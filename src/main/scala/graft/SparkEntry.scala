@@ -1,13 +1,90 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator is exposed as a (SparkSession, sfDir) =>
+  * DataFrame plus, where ANSI-SQL-expressible, a DuckDB oracle query over
+  * the same parquet files with identical column names and rounding.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full KG-construction pipeline on sf0.001 (ingest →
+    * triples → normalize → edges). Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_top_orders"      -> (Relational.q3TopOrders _),
+    "q5_region_revenue"  -> (Relational.q5RegionRevenue _),
+    "q_window_rank"      -> (Relational.qWindowRank _),
+    "q_rollup"           -> (Relational.qRollup _),
+    "q_anti_join"        -> (Relational.qAntiJoin _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_extendedprice),4) AS avg_price,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, round(rev,2) AS revenue, o_orderdate, o_orderpriority FROM (
+        |  SELECT l.l_orderkey, sum(l.l_extendedprice*(1.0-l.l_discount)) AS rev,
+        |         o.o_orderdate, o.o_orderpriority
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-06-30'
+        |    AND l.l_shipdate  > TIMESTAMP '1998-06-30'
+        |  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |) ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n.n_name, round(sum(l.l_extendedprice*(1.0-l.l_discount)),2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice,2) AS p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part
+        |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice),2) AS total,
+        |       count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+  )
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational/OLAP core — the headline bench queries (SURVEY §2 D).
+  *
+  * Shapes chosen for scale behavior: D1 is a pure map-side-combinable
+  * aggregation; D2/D3 are star joins where every dimension side is
+  * broadcast-able (hinted explicitly so the plan survives stats loss at
+  * 100 TB); D4 is a partitioned window; D6 is a broadcast anti join.
+  */
+object Relational {
+
+  /** D1 — TPC-H Q1-style pricing summary. Partial aggregation does the
+    * heavy lifting map-side; 6 output groups regardless of input size. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** D2 — TPC-H Q3-style: top-10 undelivered orders by revenue for one
+    * market segment. customer is the small side → broadcast. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), round(col("rev"), 2).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** D3 — TPC-H Q5-style: revenue by nation for one region/year where the
+    * supplying nation is the customer nation. nation/region/supplier are
+    * broadcast; the orders⋈lineitem shuffle carries only 3 columns. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    // nation/region are genuinely tiny → broadcast. supplier/customer
+    // scale with SF → leave them to AQE, which broadcasts at small SF and
+    // shuffles at 100 TB.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** D4 — window rank: top-3 parts per brand by retail price. The window
+    * partitions by brand → single shuffle, no join. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice"), 2).as("p_retailprice"), col("rnk"))
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** D5 — rollup revenue by (region, nation): partial totals + grand
+    * total in one pass (grouping-sets expansion, still map-combinable). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val geo = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"), col("n_name"))
+    Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** D6 — anti join: customers that never ordered. Broadcast the distinct
+    * keys of the probe side when small; at scale Spark plans a shuffled
+    * left-anti on o_custkey. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+}
