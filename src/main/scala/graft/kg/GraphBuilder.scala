@@ -1,0 +1,67 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property-graph build with MERGE semantics (SURVEY §2 B7-B8).
+  *
+  * Mirrors the reference's Neo4j loader semantics
+  * (Art-Knowledge-Graph-Local/Graph/graph_builder.py:41-93
+  * insert_triplets): nodes MERGEd by (normalized label, name), edges by
+  * (head, normalized relation, tail); triples with both endpoints empty
+  * are dropped; one-sided triples still create their single node.
+  *
+  * Spark-first: MERGE = distinct/groupBy — a single shuffle keyed on the
+  * merge key, instead of the reference's per-row Cypher round-trips. At
+  * 100 TB the nodes dedup shuffles (label,name) only, and edge weights
+  * come from map-side-combinable counts.
+  */
+object GraphBuilder {
+
+  private def nonEmpty(c: String) = col(c).isNotNull && trim(col(c)) =!= ""
+
+  /** Distinct nodes: (label, name). */
+  def nodes(triples: DataFrame): DataFrame = {
+    val subj = triples.filter(nonEmpty("subject"))
+      .select(Normalize.normalizeLabel(col("subject_type")).as("label"),
+        col("subject").as("name"))
+    val obj = triples.filter(nonEmpty("object"))
+      .select(Normalize.normalizeLabel(col("object_type")).as("label"),
+        col("object").as("name"))
+    subj.unionAll(obj).distinct()
+  }
+
+  /** Distinct weighted edges: (src, rel, dst, weight). */
+  def edges(triples: DataFrame): DataFrame =
+    triples.filter(nonEmpty("subject") && nonEmpty("object"))
+      .select(col("subject").as("src"),
+        Normalize.normalizeRelation(col("relation")).as("rel"),
+        col("object").as("dst"))
+      .groupBy("src", "rel", "dst")
+      .agg(count(lit(1)).as("weight"))
+
+  /** neo4j-admin bulk-import CSVs: the scale path for loading. The
+    * reference upserts row-by-row over bolt (graph_builder.py:84 MERGE
+    * per triple; AWS variant batches UNWIND of 500) — at 100 TB the only
+    * viable route is offline bulk import, so we emit the import format:
+    * nodes `id:ID,name,:LABEL`, rels `:START_ID,:END_ID,:TYPE,weight`.
+    * Node ids are md5(label|name) — stable, mergeable across runs. */
+  def exportNeo4jBulk(triples: DataFrame, outDir: String): Unit = {
+    val n = nodes(triples)
+      .select(md5(concat_ws("|", col("label"), col("name"))).as("id:ID"),
+        col("name"), col("label").as(":LABEL"))
+    // edge endpoints resolve to the md5 id of the matching node; the
+    // (label,name) → id mapping is recomputed expression-side (no join).
+    val labelOf = (side: String, typeCol: String) =>
+      md5(concat_ws("|", Normalize.normalizeLabel(col(typeCol)), col(side)))
+    val e = triples
+      .filter(nonEmpty("subject") && nonEmpty("object"))
+      .select(labelOf("subject", "subject_type").as(":START_ID"),
+        labelOf("object", "object_type").as(":END_ID"),
+        Normalize.normalizeRelation(col("relation")).as(":TYPE"))
+      .groupBy(":START_ID", ":END_ID", ":TYPE")
+      .agg(count(lit(1)).as("weight"))
+    n.write.mode("overwrite").option("header", "true").csv(s"$outDir/nodes")
+    e.write.mode("overwrite").option("header", "true").csv(s"$outDir/relationships")
+  }
+}

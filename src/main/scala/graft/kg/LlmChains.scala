@@ -1,0 +1,68 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable LLM-chain surface + tolerant triplet recovery (SURVEY §2
+  * B2/B9).
+  *
+  * The reference calls Groq via LangChain chains
+  * (Art-Knowledge-Graph-Local/LLM/chains.py) and distributes the calls
+  * with `df.rdd.mapPartitions`
+  * (Art-Knowledge-Graph-AWS/LLM/main-llm-triplets-extraction.py:16).
+  * Inference is external to the engine, so here it is a trait invoked
+  * partition-wise over a Dataset[String]; `StubChain` is the
+  * deterministic stand-in used by tests (echoes input fields as triplet
+  * JSON with trailing prose noise, like a chatty model).
+  */
+object LlmChains {
+
+  /** One prompt→completion chain, applied to a partition's prompts.
+    * Implementations must be serializable (executed on executors). */
+  trait Chain extends Serializable {
+    def invoke(prompts: Iterator[String]): Iterator[String]
+  }
+
+  /** Deterministic fake "LLM": wraps each input line in a triplet JSON
+    * array plus trailing chatter (exercises the tolerant parser). */
+  object StubChain extends Chain {
+    def invoke(prompts: Iterator[String]): Iterator[String] =
+      prompts.map { p =>
+        val clean = p.replace("\"", "").take(40)
+        s"""Here are the triplets:[{"subject":"$clean","subject_type":"text","relation":"mentions","object":"stub","object_type":"entity"}] hope this helps!"""
+      }
+  }
+
+  /** Distribute a chain over a Dataset of prompts — the Spark-native
+    * equivalent of the reference's rdd.mapPartitions(process_partition).
+    */
+  def invokePartitionwise(prompts: Dataset[String], chain: Chain): Dataset[String] = {
+    import prompts.sparkSession.implicits._
+    prompts.mapPartitions(chain.invoke)
+  }
+
+  /** Schema of one recovered triplet. */
+  val tripletSchema = "subject string, subject_type string, relation string, object string, object_type string"
+
+  /** Tolerant triplet recovery from raw LLM text (LLM/pipeline.py:13
+    * extract_json): find every flat `{...}` object and parse it; prose,
+    * markdown fences, trailing notes are ignored. For flat (non-nested)
+    * objects this equals the reference's whole-parse-then-regex strategy
+    * on both valid arrays and noisy output. Pure Catalyst — regexp +
+    * from_json stay codegen'd, no UDF. */
+  def extractTriplets(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit("\\{[^{}]*\\}"), lit(0)),
+        s => from_json(s, org.apache.spark.sql.types.StructType.fromDDL(tripletSchema))),
+      t => t.isNotNull && t.getField("subject").isNotNull)
+
+  /** End-to-end stub extraction pipeline: records (as JSON strings) →
+    * stub chain → recovered triplet rows. */
+  def extractFromRecords(records: Dataset[String]): DataFrame = {
+    val raw = invokePartitionwise(records, StubChain)
+    raw.select(explode(extractTriplets(col("value"))).as("t"))
+      .select(col("t.subject"), col("t.subject_type"), col("t.relation"),
+        col("t.object"), col("t.object_type"))
+  }
+}
