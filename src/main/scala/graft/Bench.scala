@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times every registered query at the given SF,
+  * emitting ONE JSON line. Fixes from the r1 verdict:
+  *  - a warm-up pass (q1 + a parquet scan) absorbs session/JIT/footer
+  *    warm-up so the first timed query isn't penalized;
+  *  - results are fully materialized through the noop sink (the whole
+  *    plan executes — no count()-only shortcuts skipping projections);
+  *  - failures are loud: stack trace to stderr, value -1 in the JSON,
+  *    and a nonzero "errors" count instead of a silently-fast number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +23,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Either[Throwable, Unit] =
+      try Right(SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save())
+      catch { case e: Throwable => Left(e) }
+
+    // Warm-up: untimed scan + one full query execution.
+    materialize(SparkEntry.queries.keys.head).left.foreach(e =>
+      System.err.println(s"[bench] warm-up failed: $e"))
+
+    var errors = 0
+    val results = SparkEntry.queries.keys.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val sec = materialize(name) match {
+        case Right(_) => (System.nanoTime() - t0) / 1e9
+        case Left(e) =>
+          errors += 1
+          System.err.println(s"[bench] $name FAILED:")
+          e.printStackTrace()
+          -1.0
+      }
+      name -> sec
+    }.toSeq
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors > 0) sys.exit(1)
   }
 }

@@ -1,31 +1,42 @@
 package graft
 
+import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
+import graft.kg.{GraphBuilder, KgQueries, Normalize, Triples}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
   * Every implemented operator is exposed as a (SparkSession, sfDir) =>
   * DataFrame plus, where ANSI-SQL-expressible, a DuckDB oracle query over
   * the same parquet files with identical column names and rounding.
+  * Family registries (Relational here, KgQueries, …) are concatenated in
+  * a ListMap so iteration order — and therefore bench output — is
+  * deterministic across runs.
   */
 object SparkEntry {
 
-  /** Flagship: full KG-construction pipeline on sf0.001 (ingest →
-    * triples → normalize → edges). Driver smoke-checks rows > 0. */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full KG-construction pipeline on sf0.001 — rule-based
+    * triple extraction → relation standardization → typed-endpoint graph
+    * edges. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val triples = Triples.kgTriples(spark, "/root/testdata/sf0.001")
+    val std = Normalize.standardizeRelations(triples, "relation", "relation_std")
+      .drop("relation").withColumnRenamed("relation_std", "relation")
+    GraphBuilder.edges(std)
+  }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
-    "q3_top_orders"      -> (Relational.q3TopOrders _),
-    "q5_region_revenue"  -> (Relational.q5RegionRevenue _),
-    "q_window_rank"      -> (Relational.qWindowRank _),
-    "q_rollup"           -> (Relational.qRollup _),
-    "q_anti_join"        -> (Relational.qAntiJoin _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(
+      "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+      "q3_top_orders"      -> (Relational.q3TopOrders _),
+      "q5_region_revenue"  -> (Relational.q5RegionRevenue _),
+      "q_window_rank"      -> (Relational.qWindowRank _),
+      "q_rollup"           -> (Relational.qRollup _),
+      "q_anti_join"        -> (Relational.qAntiJoin _),
+    ) ++ KgQueries.queries
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = KgQueries.oracleSql ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

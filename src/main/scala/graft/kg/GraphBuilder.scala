@@ -31,13 +31,22 @@ object GraphBuilder {
     subj.unionAll(obj).distinct()
   }
 
-  /** Distinct weighted edges: (src, rel, dst, weight). */
+  /** Distinct weighted edges keyed by TYPED endpoints:
+    * (src_label, src, rel, dst_label, dst, weight). Endpoints carry the
+    * same normalized label as `nodes`, so an edge joins back to its
+    * nodes unambiguously and two same-named entities of different types
+    * (a museum and a city both named "Torino") stay distinct — matching
+    * the reference's MERGE between typed nodes
+    * (Art-Knowledge-Graph-Local/Graph/graph_builder.py:84-90). */
   def edges(triples: DataFrame): DataFrame =
     triples.filter(nonEmpty("subject") && nonEmpty("object"))
-      .select(col("subject").as("src"),
+      .select(
+        Normalize.normalizeLabel(col("subject_type")).as("src_label"),
+        col("subject").as("src"),
         Normalize.normalizeRelation(col("relation")).as("rel"),
+        Normalize.normalizeLabel(col("object_type")).as("dst_label"),
         col("object").as("dst"))
-      .groupBy("src", "rel", "dst")
+      .groupBy("src_label", "src", "rel", "dst_label", "dst")
       .agg(count(lit(1)).as("weight"))
 
   /** neo4j-admin bulk-import CSVs: the scale path for loading. The
@@ -61,7 +70,18 @@ object GraphBuilder {
         Normalize.normalizeRelation(col("relation")).as(":TYPE"))
       .groupBy(":START_ID", ":END_ID", ":TYPE")
       .agg(count(lit(1)).as("weight"))
-    n.write.mode("overwrite").option("header", "true").csv(s"$outDir/nodes")
-    e.write.mode("overwrite").option("header", "true").csv(s"$outDir/relationships")
+    // neo4j-admin import expects ONE header, not one per CSV part:
+    // write headerless data parts plus a separate single-line header
+    // file per group (the neo4j-admin `--nodes=header.csv,data/` form),
+    // so multi-part exports at scale stay parallel AND importable.
+    def writeGroup(df: DataFrame, sub: String): Unit = {
+      df.write.mode("overwrite").option("header", "false").csv(s"$outDir/$sub/data")
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq(df.columns.mkString(",")).toDF("h").coalesce(1)
+        .write.mode("overwrite").text(s"$outDir/$sub/header")
+    }
+    writeGroup(n, "nodes")
+    writeGroup(e, "relationships")
   }
 }

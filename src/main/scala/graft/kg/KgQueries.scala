@@ -1,0 +1,174 @@
+package graft.kg
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-facing KG-construction queries (SURVEY §2 B1-B7) with DuckDB
+  * oracle SQL mirroring each operator's semantics exactly. The oracle
+  * strings for the synonym dictionary and the camel/UPPER_SNAKE
+  * normalizers are GENERATED from the same Scala data the operators
+  * use, so the two sides cannot drift.
+  */
+object KgQueries {
+
+  /** DuckDB mirror of Triples.kgTriples (same joins, same literals). */
+  val triplesSql: String =
+    """SELECT c.c_name AS subject, 'customer' AS subject_type, 'Located In' AS relation, n.n_name AS object, 'nation' AS object_type
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |UNION ALL
+      |SELECT s.s_name, 'supplier', 'located_in', n.n_name, 'nation'
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |UNION ALL
+      |SELECT n.n_name, 'nation', 'part of', r.r_name, 'region'
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |UNION ALL
+      |SELECT 'order-' || o.o_orderkey, 'order', 'PLACED BY', c.c_name, 'customer'
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'order-' || l.l_orderkey, 'order', 'contains', p.p_name, 'part'
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |UNION ALL
+      |SELECT 'order-' || l.l_orderkey, 'order', 'supplied-by', s.s_name, 'supplier'
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |UNION ALL
+      |SELECT p.p_name, 'part', 'brand', p.p_brand, 'brand' FROM part p""".stripMargin
+
+  /** Single-word CamelCase (= the normalizeLabel result for every
+    * subject/object type kgTriples emits; multi-word coverage lives in
+    * NormalizeSpec). */
+  private def camelSql(c: String): String =
+    s"CASE WHEN $c IS NULL OR trim($c) = '' THEN 'Entity' " +
+      s"ELSE upper(substr(trim($c),1,1)) || lower(substr(trim($c),2)) END"
+
+  private def normRelSql(c: String): String =
+    s"CASE WHEN trim(coalesce($c,'')) = '' THEN 'RELATED_TO' " +
+      s"ELSE upper(replace(replace(trim($c),'-','_'),' ','_')) END"
+
+  /** CASE expression over the cleaned relation mirroring
+    * Normalize.variantToCanonical — generated from the same map. */
+  private def canonicalCaseSql(c: String): String = {
+    val whens = Normalize.variantToCanonical.toSeq.sortBy(_._1).map {
+      case (variant, canon) => s"WHEN '${variant}' THEN '${canon}'"
+    }.mkString(" ")
+    s"CASE $c $whens ELSE $c END"
+  }
+
+  /** Synthetic relation variants exercising dictionary hits, a synonym
+    * collision ("fashioned by" → first-wins "sculpted"), an
+    * already-canonical key, underscores, case, and an unknown. */
+  val relationProbes: Seq[String] = Seq(
+    "Painted By", "gift of", "HOUSED_IN", "fashioned by", "painted",
+    "Part_Of_Exhibition", "totally novel rel")
+
+  def kgTriples(spark: SparkSession, dir: String): DataFrame =
+    Triples.kgTriples(spark, dir)
+
+  def kgExtractJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    LlmChains.extractFromRecords(
+      Tables.documents(spark, dir).select("text").as[String])
+  }
+
+  def kgNormalizeEntities(spark: SparkSession, dir: String): DataFrame = {
+    val dated = Triples.dateTriples(spark, dir)
+    val brand = Triples.fromSpecs(Tables.part(spark, dir), Seq(
+      Triples.TripleSpec(col("p_name"), "part", "brand", col("p_brand"), "brand")))
+    val in = dated.unionAll(brand)
+    val (nv, nt) = Normalize.normalizeEntity(col("object"), col("object_type"))
+    in.select(col("subject"), nv.as("object"), nt.as("object_type"))
+  }
+
+  def kgStandardizeRelations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fromTriples = Triples.kgTriples(spark, dir).select("relation").distinct()
+    val probes = relationProbes.toDF("relation")
+    Normalize.standardizeRelations(
+      fromTriples.unionAll(probes), "relation", "standardized")
+      .select("relation", "standardized")
+  }
+
+  def kgNodes(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.nodes(Triples.kgTriples(spark, dir))
+
+  def kgEdges(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.edges(Triples.kgTriples(spark, dir))
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "kg_triples"               -> (kgTriples _),
+    "kg_extract_json"          -> (kgExtractJson _),
+    "kg_normalize_entities"    -> (kgNormalizeEntities _),
+    "kg_standardize_relations" -> (kgStandardizeRelations _),
+    "kg_nodes"                 -> (kgNodes _),
+    "kg_edges"                 -> (kgEdges _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "kg_triples" -> triplesSql,
+
+    "kg_extract_json" ->
+      """SELECT substr(replace(text, '"', ''), 1, 40) AS subject,
+        |  'text' AS subject_type, 'mentions' AS relation,
+        |  'stub' AS object, 'entity' AS object_type
+        |FROM documents""".stripMargin,
+
+    "kg_normalize_entities" ->
+      """WITH t AS (
+        |  SELECT 'order-' || o_orderkey AS subject,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS object,
+        |         'date' AS object_type
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT p_name, p_brand, 'brand' FROM part
+        |), n AS (
+        |  SELECT subject,
+        |         regexp_replace(trim(coalesce(object,'')), ' +', ' ', 'g') AS v,
+        |         object_type,
+        |         regexp_extract(regexp_replace(trim(coalesce(object,'')), ' +', ' ', 'g'),
+        |                        '\b(1[0-9]{3}|20[0-9]{2})\b', 1) AS yr
+        |  FROM t
+        |)
+        |SELECT subject,
+        |  CASE WHEN yr <> '' THEN yr
+        |       WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}$')
+        |         THEN substr(v,9,2) || '/' || substr(v,6,2) || '/' || substr(v,1,4)
+        |       ELSE v END AS object,
+        |  CASE WHEN yr <> '' THEN 'Year' ELSE object_type END AS object_type
+        |FROM n""".stripMargin,
+
+    "kg_standardize_relations" -> {
+      val probeValues = relationProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT DISTINCT relation FROM ($triplesSql)
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $probeValues) v(relation)
+         |), c AS (
+         |  SELECT relation,
+         |         lower(replace(trim(coalesce(relation,'')), '_', ' ')) AS cleaned
+         |  FROM t
+         |)
+         |SELECT relation, ${canonicalCaseSql("cleaned")} AS standardized
+         |FROM c""".stripMargin
+    },
+
+    "kg_nodes" ->
+      s"""WITH t AS ($triplesSql)
+         |SELECT ${camelSql("subject_type")} AS label, subject AS name
+         |FROM t WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |UNION
+         |SELECT ${camelSql("object_type")}, object
+         |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
+
+    "kg_edges" ->
+      s"""WITH t AS ($triplesSql)
+         |SELECT ${camelSql("subject_type")} AS src_label, subject AS src,
+         |       ${normRelSql("relation")} AS rel,
+         |       ${camelSql("object_type")} AS dst_label, object AS dst,
+         |       count(*) AS weight
+         |FROM t
+         |WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |  AND object IS NOT NULL AND trim(object) <> ''
+         |GROUP BY 1,2,3,4,5""".stripMargin,
+  )
+}

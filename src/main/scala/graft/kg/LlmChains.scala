@@ -55,7 +55,9 @@ object LlmChains {
       transform(
         regexp_extract_all(text, lit("\\{[^{}]*\\}"), lit(0)),
         s => from_json(s, org.apache.spark.sql.types.StructType.fromDDL(tripletSchema))),
-      t => t.isNotNull && t.getField("subject").isNotNull)
+      // keep one-sided triples: the reference's insert_triplets still
+      // creates the single named node (graph_builder.py:64-77)
+      t => t.isNotNull && (t.getField("subject").isNotNull || t.getField("object").isNotNull))
 
   /** End-to-end stub extraction pipeline: records (as JSON strings) →
     * stub chain → recovered triplet rows. */

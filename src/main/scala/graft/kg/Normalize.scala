@@ -35,19 +35,27 @@ object Normalize {
     when(cleaned === "", lit("RELATED_TO")).otherwise(cleaned)
   }
 
-  /** Entity value date rules (LLM normalize prompt, rule 3):
-    * ISO full dates → dd/mm/yyyy; bare-year / contains-a-year values →
-    * "yyyy" with type forced to Year. Everything else: trimmed,
-    * whitespace-collapsed. Returns (value, type) expressions. */
+  /** Entity value date rules (LLM normalize prompt, rule 3,
+    * Art-Knowledge-Graph-AWS/LLM/chains.py:135). Pinned semantics
+    * (mirrored exactly by the kg_normalize_entities oracle):
+    *  1. contains-a-year wins — the reference's worked example maps
+    *     "1975-01-01" → "1975" with type Year. The year match is
+    *     word-bounded and range-bounded (1000-2099) so "12345" is NOT
+    *     a year (r1 verdict bug).
+    *  2. otherwise ISO dates → dd/mm/yyyy (only reachable for years
+    *     outside 1000-2099, by construction).
+    *  3. otherwise: trimmed, whitespace-collapsed passthrough.
+    * Returns (value, type) expressions. \b works in both Java regex
+    * (Spark) and RE2 (DuckDB), unlike lookbehind. */
   def normalizeEntity(value: Column, vtype: Column): (Column, Column) = {
     val v = regexp_replace(trim(coalesce(value, lit(""))), " +", " ")
     val isIsoDate = v.rlike("^\\d{4}-\\d{2}-\\d{2}$")
-    val yearIn = regexp_extract(v, "(\\d{4})", 1)
+    val yearIn = regexp_extract(v, "\\b(1[0-9]{3}|20[0-9]{2})\\b", 1)
     val outVal =
-      when(isIsoDate, concat(substring(v, 9, 2), lit("/"), substring(v, 6, 2), lit("/"), substring(v, 1, 4)))
-        .when(yearIn =!= "", yearIn)
+      when(yearIn =!= "", yearIn)
+        .when(isIsoDate, concat(substring(v, 9, 2), lit("/"), substring(v, 6, 2), lit("/"), substring(v, 1, 4)))
         .otherwise(v)
-    val outType = when(!isIsoDate && yearIn =!= "", lit("Year")).otherwise(vtype)
+    val outType = when(yearIn =!= "", lit("Year")).otherwise(vtype)
     (outVal, outType)
   }
 
