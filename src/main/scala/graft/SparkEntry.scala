@@ -34,9 +34,12 @@ object SparkEntry {
       "q_window_rank"      -> (Relational.qWindowRank _),
       "q_rollup"           -> (Relational.qRollup _),
       "q_anti_join"        -> (Relational.qAntiJoin _),
-    ) ++ KgQueries.queries
+    ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
+      graft.multimodal.Multimodal.queries
 
-  def oracleSql: Map[String, String] = KgQueries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    KgQueries.oracleSql ++ graft.text.TextQueries.oracleSql ++
+      graft.multimodal.Multimodal.oracleSql ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

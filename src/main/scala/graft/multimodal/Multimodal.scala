@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column handling (SURVEY §2 H1-H3): opaque binary payloads
+  * with typed metadata, a deterministic stub decoder, and binary frame
+  * sampling.
+  *
+  * The container has no image/audio codecs, so `stubDecodeFeatures` is a
+  * clearly-marked deterministic fake (md5-derived floats) — but ALL the
+  * Spark plumbing is real: the asset schema, the mapPartitions batch
+  * shape an inference UDF would use, and the chunking arithmetic. On a
+  * real cluster you swap `fakeEmbedding` for the codec call and nothing
+  * else changes.
+  */
+object Multimodal {
+
+  /** One decoded fake feature row. */
+  final case class AssetFeatures(doc_id: Long, dim: Int, features: Array[Float])
+
+  /** H1: wrap a text corpus as multimodal assets: binary payload +
+    * typed metadata struct — the schema contract for any downstream
+    * decode/extract stage. Payload bytes are the UTF-8 text (stand-in
+    * for image/audio bytes); per-asset work only, no shuffle. */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        col("lang"),
+        col("source"),
+        col("n_chars")).as("meta"))
+
+  /** Deterministic fake "decoder": 8 floats derived from the md5 of the
+    * payload (each hex quad scaled to [0,1)). STUB — replace with a
+    * real codec on a cluster that has one. */
+  private[multimodal] def fakeEmbedding(payload: Array[Byte]): Array[Float] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+    (0 until 8).map { i =>
+      Integer.parseInt(hex.substring(i * 4, i * 4 + 4), 16) / 65536.0f
+    }.toArray
+  }
+
+  /** H2: partition-wise feature extraction with the batch shape a real
+    * inference step needs (iterator-in/iterator-out per partition, so a
+    * model handle could be initialized once per partition and reused). */
+  def stubDecodeFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (model/codec handle)
+        it.map { case (id, payload) =>
+          val f = fakeEmbedding(payload)
+          AssetFeatures(id, f.length, f)
+        }
+      }
+  }
+
+  /** H3: chunk each payload into fixed-size frames (windowed binary
+    * slices) — the video-frame / audio-window sampling shape. Pure
+    * expressions: sequence + transform + substring on binary, then
+    * posexplode; no UDF, no shuffle. */
+  def frameSample(assets: DataFrame, frameBytes: Int): DataFrame = {
+    val len = length(col("payload"))
+    val nFrames = ceil(len.cast("double") / frameBytes).cast("int")
+    assets.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), nFrames - 1),
+        i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+  }
+
+  /** H1 driver query: flattened asset features (byte length + md5 +
+    * metadata) — DuckDB-oracle-checkable without binary columns in the
+    * output. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).select(
+      col("doc_id"),
+      length(col("payload")).as("byte_len"),
+      md5(col("payload")).as("payload_md5"),
+      col("meta.mime").as("mime"),
+      col("meta.lang").as("lang"),
+      col("meta.source").as("source"),
+      col("meta.n_chars").as("n_chars"))
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "mm_features" -> (mmFeatures _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_features" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS byte_len, md5(text) AS payload_md5,
+        |  'text/plain' AS mime, lang, source, n_chars
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,184 @@
+package graft.text
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2
+  * G1-G4): token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is pure Catalyst column expressions over codegen'd
+  * built-ins (split / regexp_extract_all / higher-order array functions
+  * / md5) — no UDFs, so the hot path stays inside whole-stage codegen
+  * and scales linearly with input splits: per-document work only, no
+  * shuffle at all (the narrowest possible plan for a 100 TB corpus
+  * scan). DuckDB oracle SQL is generated from the same constants
+  * (stopword profiles, regexes) the operators use.
+  */
+object TextQueries {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** BPE-ish token classes: letter runs, digit runs, single non-space
+    * symbols — the shape a byte-pair pretokenizer splits on. */
+  val tokenClassRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Stopword profiles for the language-ID heuristic. Order matters:
+    * ties resolve to the FIRST language reaching the max score. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "es"),
+    "it" -> Seq("il", "lo", "di", "e", "un", "per"),
+  )
+
+  private val enStops = stopwordProfiles.head._2
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** G1: token counts (whitespace + regex token classes) + char len. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    d.select(
+      col("doc_id"),
+      size(toks).as("n_tokens_ws"),
+      size(regexp_extract_all(col("text"), lit(tokenClassRegex), lit(0))).as("n_tokens_re"),
+      length(col("text")).as("len_chars"))
+  }
+
+  /** G2: quality signals: length, avg token length, punctuation ratio,
+    * stopword ratio, duplicate-token ratio, and a keep flag — the
+    * standard pre-training corpus filters (Gopher/C4-style rules). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("double")
+    val len = length(col("text")).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val stops = countIn(toks, enStops).cast("double")
+    val dupRatio = round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 4)
+    val keep = size(toks).between(5, 1000) && dupRatio < 0.8
+    d.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(len / n, 4).as("avg_token_len"),
+      round(punct / len, 4).as("punct_ratio"),
+      round(stops / n, 4).as("stopword_ratio"),
+      dupRatio.as("dup_token_ratio"),
+      keep.cast("int").as("keep"))
+  }
+
+  /** G3: language ID by stopword-profile voting; ties go to the first
+    * profile in declaration order; zero hits → "und". */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val scores = stopwordProfiles.map { case (lang, words) =>
+      lang -> countIn(toks, words)
+    }
+    val m = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === m, lit(lang))
+    }
+    val cols = col("doc_id") +:
+      scores.map { case (lang, s) => s.as(s"s_$lang") } :+
+      m.as("score_max") :+ pred.as("lang_pred")
+    d.select(cols: _*)
+  }
+
+  /** G4: document fingerprints: whole-doc md5, min-token-hash, and a
+    * min 3-gram-shingle hash (the rolling-window fingerprint used for
+    * near-dup blocking). Min over md5 hex strings is lexicographic —
+    * identical in every engine. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val shingles = transform(
+      sequence(lit(1), n - 2),
+      i => array_join(slice(toks, i, lit(3)), " "))
+    val minShingle = when(n >= 3, array_min(transform(shingles, s => md5(s))))
+      .otherwise(md5(col("text")))
+    d.select(
+      col("doc_id"),
+      md5(col("text")).as("md5_full"),
+      array_min(transform(toks, t => md5(t))).as("min_token_hash"),
+      minShingle.as("min_shingle_hash"))
+  }
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_tokens"      -> (textTokens _),
+    "text_quality"     -> (textQuality _),
+    "text_langid"      -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+  )
+
+  // --- generated DuckDB oracles -------------------------------------
+
+  private def inListSql(x: String, words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(s"list_contains([", ", ", s"], $x)")
+
+  private def countInSql(toksExpr: String, words: Seq[String]): String =
+    s"length(list_filter($toksExpr, t -> ${inListSql("t", words)}))"
+
+  private val toksSql = "string_split_regex(trim(text), ' +')"
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  length($toksSql) AS n_tokens_ws,
+         |  length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_re,
+         |  length(text) AS len_chars
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, $toksSql AS toks, length(text)::double AS len,
+         |    length(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::double AS punct
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, length(toks) AS n_tokens,
+         |    round(len / length(toks), 4) AS avg_token_len,
+         |    round(punct / len, 4) AS punct_ratio,
+         |    round(${countInSql("toks", enStops)}::double / length(toks), 4) AS stopword_ratio,
+         |    round(1.0 - length(list_distinct(toks))::double / length(toks), 4) AS dup_token_ratio
+         |  FROM q
+         |)
+         |SELECT *, (n_tokens BETWEEN 5 AND 1000 AND dup_token_ratio < 0.8)::int AS keep
+         |FROM r""".stripMargin,
+
+    "text_langid" -> {
+      val scoreCols = stopwordProfiles.map { case (lang, words) =>
+        s"${countInSql("toks", words)} AS s_$lang"
+      }.mkString(",\n    ")
+      val maxExpr = "greatest(" + stopwordProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+      val caseExpr = "CASE WHEN score_max = 0 THEN 'und' " +
+        stopwordProfiles.map(p => s"WHEN s_${p._1} = score_max THEN '${p._1}'").mkString(" ") +
+        " END"
+      s"""WITH q AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    $scoreCols
+         |  FROM q
+         |), m AS (SELECT *, $maxExpr AS score_max FROM s)
+         |SELECT doc_id, ${stopwordProfiles.map(p => s"s_${p._1}").mkString(", ")}, score_max,
+         |  $caseExpr AS lang_pred
+         |FROM m""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH q AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id, md5(text) AS md5_full,
+         |  list_aggregate(list_transform(toks, t -> md5(t)), 'min') AS min_token_hash,
+         |  CASE WHEN length(toks) >= 3
+         |    THEN list_aggregate(list_transform(range(1, length(toks) - 1),
+         |           i -> md5(array_to_string(toks[i:i+2], ' '))), 'min')
+         |    ELSE md5(text) END AS min_shingle_hash
+         |FROM q""".stripMargin,
+  )
+}
