@@ -1,0 +1,74 @@
+package graft.sources
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-facing ingestion queries (SURVEY §2 A1-A7).
+  *
+  * ing_csv / ing_json are full round-trips: a parquet table is written
+  * out in the wire format and read back with the family reader, so the
+  * oracle (`SELECT * FROM <table>`) checks both directions including
+  * quoting/escaping. ing_rdf has no SQL oracle (DuckDB can't parse
+  * RDF/XML) — rows-only check plus IngestSpec's semantic assertions.
+  */
+object IngestQueries {
+
+  private def tmp(sub: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ing/$sub"
+
+  def ingCsv(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val path = tmp("nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    Sources.csv(spark, path, schema = Some(nation.schema))
+  }
+
+  def ingJson(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val path = tmp("region_jsonl")
+    region.write.mode("overwrite").json(path)
+    Sources.json(spark, path, schema = Some(region.schema))
+  }
+
+  def ingBatches(spark: SparkSession, dir: String): DataFrame =
+    Sources.jsonBatches(
+      Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars"),
+      keyCol = "doc_id", batchSize = 100)
+
+  def ingUnion(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).select(
+      col("n_name").as("name"), col("n_nationkey").as("key"))
+    val r = Tables.region(spark, dir).select(
+      col("r_name").as("name"), col("r_regionkey").as("rkey"))
+    Sources.unionHeterogeneous(Seq(n, r))
+  }
+
+  def ingRdf(spark: SparkSession, dir: String): DataFrame =
+    RdfXml.rdfTriples(spark, "/root/reference/data/*.xml")
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "ing_csv"     -> (ingCsv _),
+    "ing_json"    -> (ingJson _),
+    "ing_batches" -> (ingBatches _),
+    "ing_union"   -> (ingUnion _),
+    "ing_rdf"     -> (ingRdf _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ing_csv"  -> "SELECT * FROM nation",
+    "ing_json" -> "SELECT * FROM region",
+    "ing_batches" ->
+      """SELECT doc_id // 100 AS batch_id,
+        |  '[' || string_agg(to_json(struct_pack(doc_id := doc_id, lang := lang,
+        |       source := source, n_chars := n_chars)), ',' ORDER BY doc_id) || ']' AS batch_json,
+        |  count(*) AS n_records
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ing_union" ->
+      """SELECT n_name AS name, n_nationkey::varchar AS key, '' AS rkey FROM nation
+        |UNION ALL
+        |SELECT r_name, '', r_regionkey::varchar FROM region""".stripMargin,
+    // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
+  )
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class IngestSpec extends SparkSpec {
+
+  test("A5 RDF/XML extractor: KEEP filter, label resolution, lang, dedup") {
+    val df = RdfXml.rdfTriples(spark, "/root/reference/data/FRA_280_003.xml").cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // only KEEP predicates survive
+    val preds = rows.map(_.getAs[String]("xml_label")).toSet
+    assert(preds.subsetOf(RdfXml.keepPredicates), s"unexpected predicates: $preds")
+    // label resolution: the viaf Agent resolves to its first prefLabel,
+    // and its wikidata sameAs object falls back to the URI fragment
+    assert(rows.exists(r =>
+      r.getAs[String]("subject") == "Paul Gauguin" &&
+        r.getAs[String]("xml_label") == "sameAs" &&
+        r.getAs[String]("object") == "Q37693"))
+    // notes carry language tags
+    assert(rows.exists(r =>
+      r.getAs[String]("xml_label") == "note" && r.getAs[String]("lang") != null))
+    // per-file dedup
+    assert(df.count() == df.distinct().count())
+    // no hexBinary payloads leaked anywhere
+    assert(!rows.exists(_.getAs[String]("object").startsWith("#")))
+    df.unpersist()
+  }
+
+  test("A5 all reference samples parse with nonzero triples") {
+    val df = RdfXml.rdfTriples(spark, "/root/reference/data/*.xml")
+    val bySrc = df.count()
+    assert(bySrc > 100, s"expected hundreds of triples, got $bySrc")
+  }
+
+  test("A4 record-oriented XML via native source") {
+    val dir = Files.createTempDirectory("graft_xml")
+    val f = dir.resolve("recs.xml")
+    Files.writeString(f,
+      """<catalog>
+        |  <record><id>1</id><title>First</title></record>
+        |  <record><id>2</id><title>Second</title></record>
+        |</catalog>""".stripMargin)
+    val df = Sources.xmlRecords(spark, f.toString)
+    val got = df.select("id", "title").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "First"), (2L, "Second")))
+  }
+
+  test("A6 heterogeneous union: all-string, missing cols filled empty") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("k", "a_only")
+    val b = Seq(("y", 2.5)).toDF("b_only", "k2")
+    val u = Sources.unionHeterogeneous(Seq(a, b))
+    assert(u.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(u.columns.toSet == Set("k", "a_only", "b_only", "k2"))
+    val rows = u.collect().map(r => u.columns.map(c => r.getAs[String](c)).toSeq).toSet
+    assert(rows == Set(Seq("1", "x", "", ""), Seq("", "", "y", "2.5")))
+  }
+
+  test("A7 batches: deterministic ids, ordered records, valid JSON arrays") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val b = Sources.jsonBatches(docs, "doc_id", 10)
+    val rows = b.orderBy("batch_id").collect()
+    assert(rows.map(_.getAs[Long]("n_records")).forall(_ <= 10))
+    val first = rows.head.getAs[String]("batch_json")
+    assert(first.startsWith("[{") && first.endsWith("}]"))
+    // doc_ids inside batch 0 are 0..9 in order
+    val ids = "\"doc_id\":(\\d+)".r.findAllMatchIn(first).map(_.group(1).toInt).toSeq
+    assert(ids == ids.sorted && ids.forall(_ < 10))
+  }
+
+  test("A1/A2 CSV and TSV round-trip with quoting") {
+    import spark.implicits._
+    val df = Seq((1, "has,comma", "plain"), (2, "has\"quote", "x"))
+      .toDF("id", "tricky", "plain")
+    val p = Files.createTempDirectory("graft_csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(p + "/c")
+    df.write.mode("overwrite").option("header", "true").option("sep", "\t").csv(p + "/t")
+    val backC = Sources.csv(spark, p + "/c", schema = Some(df.schema))
+    val backT = Sources.tsv(spark, p + "/t", schema = Some(df.schema))
+    assert(backC.collect().toSet == df.collect().toSet)
+    assert(backT.collect().toSet == df.collect().toSet)
+  }
+}
