@@ -35,12 +35,14 @@ object SparkEntry {
       "q_rollup"           -> (Relational.qRollup _),
       "q_anti_join"        -> (Relational.qAntiJoin _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
-      graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries
+      graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
+      graft.dedup.DedupQueries.queries
 
   def oracleSql: Map[String, String] =
     KgQueries.oracleSql ++ graft.text.TextQueries.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
-      graft.sources.IngestQueries.oracleSql ++ Map(
+      graft.sources.IngestQueries.oracleSql ++
+      graft.dedup.DedupQueries.oracleSql ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

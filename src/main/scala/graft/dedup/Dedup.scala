@@ -1,0 +1,141 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication kernels for LLM training corpora (SURVEY §2 E1-E5).
+  *
+  * All hashing is md5-on-strings — portable bit-for-bit across Spark,
+  * DuckDB and any other engine, so every signature here is
+  * oracle-checkable (seeds are just string prefixes). No UDFs: shingling,
+  * minhash, banding and simhash are higher-order array expressions that
+  * stay inside whole-stage codegen.
+  *
+  * Scale shape: per-document signature work is shuffle-free; candidate
+  * generation is ONE shuffle keyed on (band, bucket) — never an
+  * all-pairs cross join — and verification touches candidate pairs
+  * only. That is the standard web-scale near-dup design (LSH banding à
+  * la Broder/MMDS) and survives a 100 TB corpus: cost is O(docs ×
+  * signature) + O(colliding pairs).
+  */
+object Dedup {
+
+  /** Whitespace tokens of trimmed, space-collapsed text. */
+  def tokens(text: Column): Column = split(regexp_replace(trim(text), " +", " "), " ")
+
+  /** Word k-gram shingles; docs shorter than k yield one whole-doc
+    * shingle so they still participate. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** E1: exact dedup on md5 of normalized text. One shuffle (window by
+    * hash); emits every doc with its canonical min-id and group size so
+    * both survivors and duplicates are visible downstream. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(regexp_replace(trim(col(textCol)), " +", " "))
+    val w = Window.partitionBy("h")
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
+      .drop("h")
+  }
+
+  /** MinHash signature: element i = min over shingles of md5("i|" ++
+    * shingle) — the hex-string min is lexicographic, identical in every
+    * engine. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
+    }: _*)
+
+  /** E2: LSH banding over minhash signatures → candidate pairs.
+    * numHashes = bands × rowsPerBand; a pair collides if any band of
+    * the signature matches exactly. Returns distinct (doc_a, doc_b). */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 32-bit portable token hash: first 8 hex digits of md5 as an
+    * unsigned int (Spark: conv(...,16,10); DuckDB: '0x'||hex cast). */
+  def hex32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** E3: 32-bit SimHash over whitespace tokens: per-bit majority vote
+    * of ±1 weighted by token presence. Near-identical docs differ in
+    * few bits (hamming distance ≤ 3 is the usual near-dup test). */
+  def simhash(text: Column): Column = {
+    val hs = transform(tokens(text), t => hex32(t))
+    val bits = (0 until 32).map { j =>
+      val p = 1L << j
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + (pmod((h / p).cast("long"), lit(2)) * 2 - 1))
+      when(votes > 0, lit(p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** E4: Jaccard-verified near-dup pairs: candidates from LSH banding
+    * (never all-pairs), verified on distinct shingle sets. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatePairs(docs, idCol, textCol, k, bands, rowsPerBand)
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val uni = size(col("sha")) + size(col("shb")) - inter
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard", round(inter.cast("double") / uni, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** E5/F4: embedding near-dup pairs, blocked by a partition column so
+    * the self-join shuffles on the block key instead of exploding into
+    * all-pairs. (With no natural block key, callers use the LSH route —
+    * graft.sim.Similarity.annLsh.) */
+  def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = vecs.select(col(blockCol).as("blk"), col(idCol).as("doc_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(blockCol).as("blk"), col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("blk"), col("doc_a"), col("doc_b"), col("cos"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.dedup
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-facing dedup queries (SURVEY §2 E1-E5) over `documents` /
+  * `embeddings`, with DuckDB oracle SQL GENERATED from the same
+  * parameters (k, bands, rows, thresholds) the operators run with.
+  */
+object DedupQueries {
+
+  // shared parameters — both the Spark operators and the oracle SQL
+  // are generated from these, so they cannot drift.
+  val K = 3
+  val Bands = 4
+  val RowsPerBand = 3
+  val JaccardThreshold = 0.5
+  val CosineThreshold = 0.4 // synthetic embeddings are near-orthogonal; 0.4 yields non-trivial pairs
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(Tables.documents(spark, dir), "doc_id", "text",
+      K, Bands, RowsPerBand)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      K, Bands, RowsPerBand, JaccardThreshold)
+
+  def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label", CosineThreshold)
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "dedup_exact"           -> (dedupExact _),
+    "dedup_minhash_pairs"   -> (dedupMinhashPairs _),
+    "dedup_simhash"         -> (dedupSimhash _),
+    "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
+    "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
+  )
+
+  // --- generated DuckDB oracles -------------------------------------
+
+  /** doc_id + whitespace tokens of collapsed text. */
+  private val toksCte =
+    "toks AS (SELECT doc_id, string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS t FROM documents)"
+
+  /** k-gram shingles with the short-doc fallback, matching
+    * Dedup.shingles. */
+  private def shinglesCte(k: Int) =
+    s"""sh AS (SELECT doc_id,
+       |  CASE WHEN length(t) >= $k
+       |    THEN list_transform(range(1, length(t) - ${k - 2}), i -> array_to_string(t[i:i+${k - 1}], ' '))
+       |    ELSE [array_to_string(t, ' ')] END AS s
+       |FROM toks)""".stripMargin
+
+  /** minhash signature columns h0..h{n-1}, matching
+    * Dedup.minhashSignature. */
+  private def sigCte(numHashes: Int) = {
+    val cols = (0 until numHashes).map(i =>
+      s"list_aggregate(list_transform(s, x -> md5('$i|' || x)), 'min') AS h$i").mkString(",\n  ")
+    s"sig AS (SELECT doc_id,\n  $cols\nFROM sh)"
+  }
+
+  private def bandsCte(bands: Int, r: Int) = {
+    val parts = (0 until bands).map { b =>
+      val cat = (0 until r).map(j => s"h${b * r + j}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"bands AS (\n$parts\n)"
+  }
+
+  private val candidateSelect =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      |WHERE a.doc_id < b.doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+        |  count(*) OVER (PARTITION BY h) AS group_size,
+        |  (doc_id <> min(doc_id) OVER (PARTITION BY h))::int AS is_dup
+        |FROM h""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |${sigCte(Bands * RowsPerBand)},
+         |${bandsCte(Bands, RowsPerBand)}
+         |$candidateSelect""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bits = (0 until 32).map { j =>
+        val p = 1L << j
+        s"CASE WHEN list_sum(list_transform(hs, h -> ((h // $p) % 2) * 2 - 1)) > 0 THEN $p ELSE 0 END"
+      }.mkString("\n    + ")
+      s"""WITH $toksCte,
+         |hs AS (SELECT doc_id,
+         |  list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 8))::bigint) AS hs
+         |FROM toks)
+         |SELECT doc_id, ($bits)::bigint AS simhash
+         |FROM hs""".stripMargin
+    },
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |${sigCte(Bands * RowsPerBand)},
+         |${bandsCte(Bands, RowsPerBand)},
+         |cand AS ($candidateSelect),
+         |ds AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |j AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+         |    length(a.ds) + length(b.ds)
+         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+         |  FROM cand c
+         |  JOIN ds a ON c.doc_a = a.doc_id
+         |  JOIN ds b ON c.doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard
+         |FROM j WHERE round(inter::double / uni, 4) >= $JaccardThreshold""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      s"""WITH p AS (
+         |  SELECT a.label AS blk, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |            z -> z[1]::double * z[2]::double))
+         |      / (sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double)))
+         |         * sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))), 4) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |)
+         |SELECT blk, doc_a, doc_b, cos FROM p WHERE cos >= $CosineThreshold""".stripMargin,
+  )
+}

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Seq(
+      (0L, base),
+      (1L, base),                                            // exact dup of 0
+      (2L, base.replace("lazy", "sleepy")),                  // near dup of 0
+      (3L, "completely different words about spark shuffles and partitions everywhere"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("E1 exact dedup groups identical docs under min id") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out(0L) == (0L, 2L, 0))
+    assert(out(1L) == (0L, 2L, 1)) // dup, canonical 0
+    assert(out(2L)._2 == 1L && out(3L)._2 == 1L)
+  }
+
+  test("E2 LSH banding finds near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dups must collide")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near dup should collide in some band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not collide")
+  }
+
+  test("E3 simhash: near dups close in hamming, unrelated far") {
+    val sh = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0L) == sh(1L))
+    assert(ham(sh(0L), sh(2L)) <= 8, s"near dup hamming was ${ham(sh(0L), sh(2L))}")
+    assert(ham(sh(0L), sh(3L)) > 8, s"unrelated hamming was ${ham(sh(0L), sh(3L))}")
+  }
+
+  test("E4 jaccard verification keeps true near dups with correct score") {
+    val rows = Dedup.jaccardPairs(corpus, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((0L, 1L)) == 1.0)
+    rows.get((0L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("E5 embedding pairs: identical vectors in a block score 1.0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f), 1), // other block: never paired with 0/1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0)))
+  }
+}
