@@ -1,0 +1,120 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Approximate & exact similarity search over embedding columns
+  * (SURVEY §2 F1-F3).
+  *
+  * Scale shape: brute force is the ground-truth baseline — broadcast the
+  * (small) query set against the corpus, map-side score, one shuffle for
+  * the per-query top-k window. The scale path is LSH bucketing: corpus
+  * and queries hash to sign-buckets of deterministic random hyperplanes,
+  * candidates come from a bucket-equality join (shuffle on the bucket
+  * key, never all-pairs), and only candidates are cosine-scored. IVF is
+  * the centroid-partitioned variant of the same idea.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane matrix derived from md5("seed|p|d") —
+    * reproducible in any engine/language, no RNG state. */
+  def planeSigns(numPlanes: Int, dims: Int, seed: String = "graft"): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dims).map { d =>
+        val hex = md.digest(s"$seed|$p|$d".getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Sign-bucket of a vector under the given planes: one bit per plane
+    * ('1' iff dot(v, plane) >= 0), concatenated to a bucket string. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =
+    concat(planes.map { pl =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(pl), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** F1: exact top-k cosine neighbors for each query vector (ground
+    * truth). Queries are broadcast; ties break by neighbor id. */
+  def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val n = vecs.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    n.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** F2: multi-table LSH ANN — L independent hash tables of a few
+    * sign-planes each; a pair is a candidate if it collides in ANY
+    * table (union drives recall up exponentially in L, the standard
+    * LSH recall/cost dial). Candidates come from a (table, bucket)
+    * equality join — shuffle on the bucket key, never all-pairs — and
+    * only DISTINCT candidate pairs are cosine-scored. */
+  def annLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, tables: Seq[Seq[Seq[Int]]]): DataFrame = {
+    val buckets = array(tables.map(pl => lshBucket(col("v"), pl)): _*)
+    val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), posexplode(buckets))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val qSide = bucketed.filter(queryPred).select(col("id").as("q_id"), col("t"), col("bucket"))
+    val cand = bucketed.join(broadcast(qSide), Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("id"))
+      .select("q_id", "id").distinct()
+    cand
+      .join(base.select(col("id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(base, "id")
+      .withColumn("cos", Dedup.cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id").as("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** F3: IVF-style coarse search: the first `nCentroids` vectors (by
+    * id) act as deterministic pivots; every vector is assigned to its
+    * nearest pivot (one broadcast join, map-side); a query probes the
+    * `nprobe` pivots nearest to IT and searches only those inverted
+    * lists. */
+  def ivfSearch(vecs: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nCentroids: Int, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("cos_c").desc, col("c_id"))
+    val centroids = broadcast(
+      vecs.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("c_id"), col(vecCol).as("cv")))
+    // assign: nearest centroid per vector
+    val assigned = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(centroids)
+      .withColumn("cos_c", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("id"), col("v"), col("c_id"))
+    // probe lists: nprobe nearest centroids per query
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(centroids)
+      .withColumn("cos_c", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_c").desc, col("c_id"))))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    probes.join(assigned, "c_id")
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id").as("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sim
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private val dataDir = "/root/testdata/sf0.01" // embeddings table lives at all SFs
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+
+  test("F1 brute-force top-k: k rows per query, descending cosine, no self") {
+    val emb = Tables.embeddings(spark, dataDir)
+    val out = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), 3).cache()
+    val rows = out.collect()
+    assert(rows.length == 5 * 3)
+    assert(!rows.exists(r => r.getAs[Long]("q_id") == r.getAs[Long]("n_id")))
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    out.unpersist()
+  }
+
+  test("F2 ANN-LSH results are a subset-quality approximation with measurable recall") {
+    val emb = Tables.embeddings(spark, dataDir)
+    val truth = topkSets(Similarity.bruteTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10), 5))
+    val ann = topkSets(SimQueries.simAnnLsh(spark, dataDir))
+    // every ANN hit shares the query bucket; recall is positive but
+    // not required to be 1 — assert it's meaningfully above zero
+    val recalls = truth.keys.toSeq.map { q =>
+      val t = truth(q); val a = ann.getOrElse(q, Set.empty)
+      a.intersect(t).size.toDouble / t.size
+    }
+    assert(recalls.sum / recalls.size > 0.2,
+      s"mean recall too low: ${recalls.sum / recalls.size}")
+  }
+
+  test("F3 IVF coarse search: probing more lists improves or maintains recall") {
+    val emb = Tables.embeddings(spark, dataDir).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val truth = topkSets(Similarity.bruteTopK(emb, "vec_id", "embedding", queries, 5))
+    def recall(nprobe: Int): Double = {
+      val got = topkSets(Similarity.ivfSearch(emb, "vec_id", "embedding",
+        queries, 5, nCentroids = 8, nprobe = nprobe))
+      truth.keys.toSeq.map { q =>
+        got.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble / truth(q).size
+      }.sum / truth.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r8 = recall(8)
+    assert(r1 > 0.0)
+    assert(r4 >= r1, s"recall must not drop with more probes: $r1 -> $r4")
+    assert(r8 >= r4 && r8 > 0.9, s"probing all lists should approach exact: $r8")
+    emb.unpersist()
+  }
+
+  test("planeSigns is deterministic and balanced-ish") {
+    val p1 = Similarity.planeSigns(4, 64)
+    val p2 = Similarity.planeSigns(4, 64)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(s => s == 1 || s == -1))
+    val pos = p1.flatten.count(_ == 1)
+    assert(pos > 64 && pos < 192, s"suspiciously unbalanced planes: $pos/256 positive")
+  }
+}
