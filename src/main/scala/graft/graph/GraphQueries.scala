@@ -1,0 +1,117 @@
+package graft.graph
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.kg.{KgQueries, Triples, GraphBuilder}
+
+/** Driver-facing graph-analytics queries (SURVEY §2 C1-C6).
+  *
+  * graph_degrees / graph_bfs / graph_triangles are DuckDB-oracled
+  * (BFS via a bounded recursive CTE). graph_cc / graph_pagerank are
+  * iterative float/fixpoint algorithms — rows-only checks here,
+  * exact-semantics coverage in GraphSpec on known graphs.
+  */
+object GraphQueries {
+
+  val BfsSeed = "Nation|FRANCE"
+  val BfsHops = 3
+  val TriangleMinQty = 45
+
+  private def kgEdges(spark: SparkSession, dir: String): DataFrame =
+    GraphBuilder.edges(Triples.kgTriples(spark, dir))
+
+  /** Geography subgraph (customer/supplier → nation → region): the
+    * located-in/part-of relations only. Small diameter, converges in
+    * 2-3 rounds — the right demo surface for iterative algorithms,
+    * while full-corpus behavior is covered by GraphSpec. */
+  private def geoEdges(spark: SparkSession, dir: String): DataFrame =
+    kgEdges(spark, dir).filter(col("rel").isin("LOCATED_IN", "PART_OF"))
+
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame =
+    Graphs.degrees(kgEdges(spark, dir))
+
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    Graphs.bfs(Graphs.undirectedIds(kgEdges(spark, dir)), BfsSeed, BfsHops)
+
+  /** Triangle count over the high-quantity co-order part graph (two
+    * parts are linked when some order contains both with quantity ≥
+    * 45). Edges oriented low→high, counted by the two-join wedge
+    * closure — the standard distributed triangle enumeration. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= TriangleMinQty)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = l.select(col("l_orderkey"), col("l_partkey").as("v"))
+    val e = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    val e1 = e.select(col("u").as("x"), col("v").as("y"))
+    val e2 = e.select(col("u").as("y"), col("v").as("z"))
+    val e3 = e.select(col("u").as("x"), col("v").as("z"))
+    e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  def graphCc(spark: SparkSession, dir: String): DataFrame =
+    Graphs.connectedComponents(Graphs.undirectedIds(geoEdges(spark, dir)))
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    Graphs.pageRank(Graphs.undirectedIds(geoEdges(spark, dir)), iterations = 10)
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "graph_degrees"   -> (graphDegrees _),
+    "graph_bfs"       -> (graphBfs _),
+    "graph_triangles" -> (graphTriangles _),
+    "graph_cc"        -> (graphCc _),
+    "graph_pagerank"  -> (graphPagerank _),
+  )
+
+  // --- oracles ------------------------------------------------------
+
+  private val edgesCte =
+    s"WITH t AS (${KgQueries.triplesSql}),\ne AS (\n${KgQueries.edgesSelectSql}\n)"
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_degrees" ->
+      s"""$edgesCte,
+         |o AS (SELECT src_label AS label, src AS name, count(*) AS out_deg FROM e GROUP BY 1,2),
+         |i AS (SELECT dst_label AS label, dst AS name, count(*) AS in_deg FROM e GROUP BY 1,2)
+         |SELECT coalesce(o.label, i.label) AS label, coalesce(o.name, i.name) AS name,
+         |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
+         |  coalesce(out_deg, 0) + coalesce(in_deg, 0) AS total_deg
+         |FROM o FULL OUTER JOIN i ON o.label = i.label AND o.name = i.name""".stripMargin,
+
+    "graph_bfs" -> {
+      // RECURSIVE must be declared on the WITH that opens the query
+      val body = edgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$body,
+         |und0 AS (
+         |  SELECT DISTINCT
+         |    least(src_label || '|' || src, dst_label || '|' || dst) AS u,
+         |    greatest(src_label || '|' || src, dst_label || '|' || dst) AS v
+         |  FROM e WHERE src_label || '|' || src <> dst_label || '|' || dst
+         |),
+         |und AS (SELECT u, v FROM und0 UNION ALL SELECT v, u FROM und0),
+         |bfs(id, d) AS (
+         |  SELECT '$BfsSeed', 0
+         |  UNION
+         |  SELECT und.v, bfs.d + 1 FROM bfs JOIN und ON und.u = bfs.id
+         |  WHERE bfs.d < $BfsHops
+         |)
+         |SELECT id, min(d) AS depth FROM bfs GROUP BY id""".stripMargin
+    },
+
+    "graph_triangles" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |)
+         |SELECT count(*) AS triangles
+         |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    // graph_cc / graph_pagerank: iterative fixpoints — rows-only.
+  )
+}

@@ -1,0 +1,172 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native graph analytics (SURVEY §2 C1-C7) over the
+  * property graph GraphBuilder emits (typed endpoints (label, name)).
+  *
+  * All algorithms are iterative DataFrame joins — the Pregel pattern
+  * re-expressed in Catalyst so AQE handles skew and partition sizing.
+  * Vertex identity is the string `label || '|' || name` (the same merge
+  * key as the reference's Neo4j MERGE and our exportNeo4jBulk ids).
+  *
+  * Scale notes per algorithm:
+  *  - CC uses alternating large-star/small-star (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond") — O(log n)
+  *    rounds and per-round shuffles keyed on vertex id; robust to
+  *    power-law degree skew, unlike naive min-propagation whose round
+  *    count is the graph diameter.
+  *  - PageRank/LPA/BFS shuffle once per round on the join key; ranks
+  *    and frontiers are narrow two-column frames.
+  *  - Each loop localCheckpoints periodically so lineage doesn't grow
+  *    unboundedly across iterations (the classic iterative-Spark trap).
+  */
+object Graphs {
+
+  /** Undirected edge list (u, v) as vertex-id strings, deduped, from
+    * GraphBuilder.edges output. Self-loops dropped. */
+  def undirectedIds(edges: DataFrame): DataFrame = {
+    val u = concat_ws("|", col("src_label"), col("src"))
+    val v = concat_ws("|", col("dst_label"), col("dst"))
+    edges.select(u.as("u"), v.as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+  }
+
+  /** C1: in/out/total degree per typed node over the distinct edge
+    * rows (one shuffle per side, map-side combinable). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src_label").as("label"), col("src").as("name"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst_label").as("label"), col("dst").as("name"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("label", "name"), "full_outer")
+      .na.fill(0L, Seq("out_deg", "in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+  }
+
+  private def checkpointEvery(df: DataFrame, i: Int, every: Int = 3): DataFrame =
+    if (i % every == 0) df.localCheckpoint(eager = true) else df
+
+  /** C2: connected components via alternating large-star / small-star.
+    * Returns (id, component) where component is the lexicographic min
+    * vertex id of the component. */
+  def connectedComponents(undirected: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      nbrs.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient edges high → low, group low neighbors under the high end
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = oriented.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val center = m.select(col("u"), col("m").as("v"))
+      relinked.unionAll(center)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = undirected.select(
+      least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = checkpointEvery(smallStar(largeStar(e)), 0) // checkpoint each round: two joins deep
+      val changed = next.unionAll(e).except(next.intersect(e)).limit(1).count()
+      converged = changed == 0 && next.count() == e.count()
+      e = next
+      i += 1
+    }
+    // e is now (member, center) star edges; centers map to themselves
+    val members = e.select(col("u").as("id"), col("v").as("component"))
+    val centers = e.select(col("v").as("id"), col("v").as("component")).distinct()
+    members.unionAll(centers)
+      .groupBy("id").agg(min(col("component")).as("component"))
+  }
+
+  /** C3: PageRank, fixed iterations, damping 0.85, dangling mass
+    * redistributed uniformly. Returns (id, rank). */
+  def pageRank(undirectedOrDirected: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = undirectedOrDirected.select(col("u").as("src"), col("v").as("dst"))
+    val vertices = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val n = vertices.count().toDouble
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      val inMass = contribs.agg(sum(col("c"))).first().getDouble(0)
+      val danglingShare = (1.0 - inMass) / n // mass lost to sinks this round
+      ranks = checkpointEvery(
+        vertices.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit((1 - damping) / n) +
+              lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(danglingShare))).as("rank")),
+        i)
+    }
+    ranks
+  }
+
+  /** C5: label propagation, synchronous, fixed iterations; each vertex
+    * adopts the most frequent neighbor label, min label on ties. */
+  def labelPropagation(undirected: DataFrame, iterations: Int = 5): DataFrame = {
+    val und = undirected.select(col("u"), col("v"))
+      .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (i <- 1 to iterations) {
+      val votes = und.join(labels, und("v") === labels("id"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("n").desc, col("lbl"))
+      labels = checkpointEvery(
+        votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+          .select(col("u").as("id"), col("lbl")),
+        i)
+    }
+    labels
+  }
+
+  /** C6/C7: BFS / k-hop expansion from a seed vertex over undirected
+    * edges; returns (id, depth = min hops ≤ maxHops). One join per
+    * hop; the frontier is the only shuffled frame. */
+  def bfs(undirected: DataFrame, seed: String, maxHops: Int): DataFrame = {
+    val und = undirected.select(col("u"), col("v"))
+      .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    var visited = Seq((seed, 0)).toDF("id", "depth")
+    var frontier = visited
+    for (d <- 1 to maxHops) {
+      val next = und.join(frontier, und("u") === frontier("id"))
+        .select(col("v").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    visited
+  }
+}

@@ -38,11 +38,11 @@ object KgQueries {
   /** Single-word CamelCase (= the normalizeLabel result for every
     * subject/object type kgTriples emits; multi-word coverage lives in
     * NormalizeSpec). */
-  private def camelSql(c: String): String =
+  def camelSql(c: String): String =
     s"CASE WHEN $c IS NULL OR trim($c) = '' THEN 'Entity' " +
       s"ELSE upper(substr(trim($c),1,1)) || lower(substr(trim($c),2)) END"
 
-  private def normRelSql(c: String): String =
+  def normRelSql(c: String): String =
     s"CASE WHEN trim(coalesce($c,'')) = '' THEN 'RELATED_TO' " +
       s"ELSE upper(replace(replace(trim($c),'-','_'),' ','_')) END"
 
@@ -160,15 +160,18 @@ object KgQueries {
          |SELECT ${camelSql("object_type")}, object
          |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
 
-    "kg_edges" ->
-      s"""WITH t AS ($triplesSql)
-         |SELECT ${camelSql("subject_type")} AS src_label, subject AS src,
-         |       ${normRelSql("relation")} AS rel,
-         |       ${camelSql("object_type")} AS dst_label, object AS dst,
-         |       count(*) AS weight
-         |FROM t
-         |WHERE subject IS NOT NULL AND trim(subject) <> ''
-         |  AND object IS NOT NULL AND trim(object) <> ''
-         |GROUP BY 1,2,3,4,5""".stripMargin,
+    "kg_edges" -> s"WITH t AS ($triplesSql)\n$edgesSelectSql",
   )
+
+  /** The kg_edges SELECT over a CTE `t` of triples — shared with the
+    * graph-analytics oracles. */
+  lazy val edgesSelectSql: String =
+    s"""SELECT ${camelSql("subject_type")} AS src_label, subject AS src,
+       |       ${normRelSql("relation")} AS rel,
+       |       ${camelSql("object_type")} AS dst_label, object AS dst,
+       |       count(*) AS weight
+       |FROM t
+       |WHERE subject IS NOT NULL AND trim(subject) <> ''
+       |  AND object IS NOT NULL AND trim(object) <> ''
+       |GROUP BY 1,2,3,4,5""".stripMargin
 }

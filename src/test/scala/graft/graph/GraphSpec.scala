@@ -1,0 +1,82 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  private def edgesDf(pairs: (String, String)*) = {
+    import spark.implicits._
+    pairs.toDF("u", "v")
+  }
+
+  test("C2 connected components: chain + separate clique + isolatedless") {
+    // component A: a-b-c-d chain; component B: x-y-z triangle
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d",
+      "x" -> "y", "y" -> "z", "x" -> "z")
+    val cc = Graphs.connectedComponents(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc.size == 7)
+    assert(Set("a", "b", "c", "d").map(cc) == Set("a"))
+    assert(Set("x", "y", "z").map(cc) == Set("x"))
+  }
+
+  test("C2 connected components: long chain needs log-round convergence") {
+    val chain = (0 until 64).map(i => (f"v$i%03d", f"v${i + 1}%03d"))
+    val cc = Graphs.connectedComponents(edgesDf(chain: _*)).collect()
+    assert(cc.length == 65)
+    assert(cc.forall(_.getString(1) == "v000"))
+  }
+
+  test("C3 pagerank: symmetric cycle is uniform, sums to 1") {
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "a",
+      "b" -> "a", "c" -> "b", "a" -> "c") // both directions
+    val pr = Graphs.pageRank(e, iterations = 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
+  }
+
+  test("C3 pagerank: hub gets more mass than leaves") {
+    // star: leaves point at hub; hub dangles (mass redistributed)
+    val e = edgesDf("l1" -> "hub", "l2" -> "hub", "l3" -> "hub")
+    val pr = Graphs.pageRank(e, iterations = 30).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr("hub") > pr("l1") * 2)
+  }
+
+  test("C5 label propagation separates two cliques joined by a bridge") {
+    def clique(names: Seq[String]) =
+      for (a <- names; b <- names if a < b) yield (a, b)
+    val e = edgesDf(clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a1" -> "b1"): _*)
+    val lp = Graphs.labelPropagation(e, iterations = 5).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a2", "a3", "a4").map(lp).size == 1)
+    assert(Set("b2", "b3", "b4").map(lp).size == 1)
+    assert(lp("a2") != lp("b2"), "cliques must keep distinct labels")
+  }
+
+  test("C6/C7 BFS computes min-hop depths and respects the hop bound") {
+    val e = edgesDf("s" -> "a", "a" -> "b", "b" -> "c", "c" -> "d",
+      "s" -> "b") // shortcut: b reachable at depth 1
+    val out = Graphs.bfs(e, "s", maxHops = 2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("s" -> 0, "a" -> 1, "b" -> 1, "c" -> 2))
+  }
+
+  test("C1 degrees over typed edges") {
+    import spark.implicits._
+    val edges = Seq(
+      ("Customer", "alice", "LOCATED_IN", "Nation", "FRANCE", 1L),
+      ("Customer", "bob", "LOCATED_IN", "Nation", "FRANCE", 1L),
+      ("Nation", "FRANCE", "PART_OF", "Region", "EUROPE", 1L),
+    ).toDF("src_label", "src", "rel", "dst_label", "dst", "weight")
+    val d = Graphs.degrees(edges).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(d(("Nation", "FRANCE")) == (1L, 2L, 3L))
+    assert(d(("Customer", "alice")) == (1L, 0L, 1L))
+    assert(d(("Region", "EUROPE")) == (0L, 1L, 1L))
+  }
+}
