@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming operators over the events stream (SURVEY §2
+  * I1-I4), built so every transform is ONE function applied to either a
+  * batch or a streaming DataFrame — the batch run is the oracle for the
+  * streaming run (Structured Streaming's unified-API contract).
+  *
+  * Scale shape: windowed counts and sessionization shuffle on
+  * (window/user) keys with watermark-bounded state; file streaming uses
+  * source listing + checkpointed offsets, so a 1000-executor cluster
+  * tails a 100 TB/day landing zone with per-microbatch parallelism.
+  */
+object Streaming {
+
+  val SessionGapSec = 1800 // 30-minute inactivity gap
+
+  /** I1: tumbling-window counts/sums per event type. The watermark
+    * bounds state for streaming input and is a no-op on batch input. */
+  def windowedCounts(events: DataFrame, windowDur: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** I3: parse the JSON props column, keep high-k events. */
+  def parseProps(events: DataFrame, minK: Int = 50): DataFrame =
+    events
+      .withColumn("k", from_json(col("props"), StructType.fromDDL("k int")).getField("k"))
+      .filter(col("k") >= minK)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("k"))
+
+  /** I2 (batch path / oracle): sessionization via gaps-and-islands —
+    * lag to mark session starts, running sum to number them, one
+    * shuffle on user_id. */
+  def sessionsBatch(events: DataFrame, gapSec: Int = SessionGapSec): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gap = col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")
+    events
+      .withColumn("new_s", when(gap.isNull || gap > gapSec, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** I2 (streaming path): the same session semantics as sessionsBatch,
+    * held as per-user state in flatMapGroupsWithState. A session is
+    * emitted when a gap closes it or the event-time timeout fires
+    * (watermark passed start of a possible next event). */
+  def sessionsStreaming(events: Dataset[Ev], gapSec: Int = SessionGapSec): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          def close(s: SessionState): Unit =
+            out += Session(user, new Timestamp(s.start / 1000), new Timestamp(s.end / 1000),
+              s.n, math.rint(s.sum * 100) / 100)
+          if (it.isEmpty && state.hasTimedOut) {
+            state.getOption.foreach(close)
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val tUs = e.ts.getTime * 1000
+              if (cur == null) cur = SessionState(tUs, tUs, 1, e.value)
+              else if ((tUs - cur.end) / 1e6 > gapSec) { close(cur); cur = SessionState(tUs, tUs, 1, e.value) }
+              else cur = SessionState(cur.start, math.max(cur.end, tUs), cur.n + 1, cur.sum + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end / 1000 + gapSec * 1000L)
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** I4: checkpointed file-stream → parquet sink. Returns the running
+    * query; callers own its lifecycle. */
+  def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,
+      format: String, outDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .format(format)
+      .load(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private lazy val evs = Seq(
+    // user 1: two sessions (gap 40min between min 20 and min 61)
+    Streaming.Ev(1L, ts(0), 1.0), Streaming.Ev(1L, ts(10), 2.0), Streaming.Ev(1L, ts(20), 3.0),
+    Streaming.Ev(1L, ts(61), 4.0), Streaming.Ev(1L, ts(70), 5.0),
+    // user 2: one session
+    Streaming.Ev(2L, ts(5), 1.5), Streaming.Ev(2L, ts(25), 2.5),
+  )
+
+  test("I2 streaming sessionization matches the batch gaps-and-islands oracle") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.Ev]
+    val q = Streaming.sessionsStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // watermark-advancing flush event (far future, separate user)
+      mem.addData(Streaming.Ev(99L, ts(10000), 0.0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Ev(99L, ts(20000), 0.0)) // second batch so timeouts fire
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter(col("user_id") =!= 99L)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = Streaming.sessionsBatch(evs.toDF(), Streaming.SessionGapSec)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5)))
+        .toSet
+      assert(batch.size == 3)
+      assert(streamed == batch,
+        s"streaming $streamed\nvs batch $batch")
+    } finally q.stop()
+  }
+
+  test("I1 streaming windowed counts match batch on closed windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      val data = Seq((ts(0), "click", 1.0), (ts(2), "click", 2.0),
+        (ts(6), "view", 3.0), (ts(11), "click", 4.0))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData((ts(10000), "flush", 0.0)); q.processAllAvailable()
+      mem.addData((ts(20000), "flush", 0.0)); q.processAllAvailable()
+      val streamed = spark.table("win_out").filter(col("event_type") =!= "flush")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Streaming.windowedCounts(asEvents(data.toDF()))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("I4 file stream lands checkpointed parquet output") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream")
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    val ckp = base.resolve("ckp").toString
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val d2 = Seq((3L, "c")).toDF("id", "s")
+    d1.write.mode("append").parquet(src)
+    d2.write.mode("append").parquet(src)
+    val q = Streaming.fileStreamToParquet(spark, src, d1.schema, "parquet", out, ckp)
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3)
+    assert(got.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("I3 props parse keeps only high-k events") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "click", """{"k": 69}"""),
+      (2L, 11L, "view", """{"k": 12}"""),
+      (3L, 12L, "click", """not json"""),
+    ).toDF("event_id", "user_id", "event_type", "props")
+    val out = Streaming.parseProps(df, minK = 50).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getInt(3) == 69)
+  }
+}
