@@ -1,0 +1,103 @@
+package graft.kg
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KgSpec extends SparkSpec {
+
+  private def triplesDf(rows: (String, String, String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("subject", "subject_type", "relation", "object", "object_type")
+  }
+
+  test("B7 regression: same-named entities of different types stay distinct in edges") {
+    val t = triplesDf(
+      ("Mole Antonelliana", "museum", "located in", "Torino", "city"),
+      ("Palazzo Madama", "museum", "located in", "Torino", "museum"), // a museum ALSO named Torino
+    )
+    val e = GraphBuilder.edges(t).collect()
+    assert(e.length == 2, "distinct dst types must not collapse into one edge")
+    assert(e.map(_.getAs[String]("dst_label")).toSet == Set("City", "Museum"))
+    // and nodes joinable from edges on (label, name)
+    val n = GraphBuilder.nodes(t)
+    val joined = GraphBuilder.edges(t).join(n,
+      col("dst_label") === col("label") && col("dst") === col("name"))
+    assert(joined.count() == 2)
+  }
+
+  test("B7 one-sided triples create their single node, no edge") {
+    val t = triplesDf(
+      ("OnlySubject", "artist", "painted", "", "painting"),
+      ("", "artist", "painted", "OnlyObject", "painting"),
+    )
+    assert(GraphBuilder.edges(t).count() == 0)
+    val names = GraphBuilder.nodes(t).collect().map(_.getAs[String]("name")).toSet
+    assert(names == Set("OnlySubject", "OnlyObject"))
+  }
+
+  test("B8 neo4j bulk export: single header file, headerless parts, md5 ids") {
+    val t = triplesDf(
+      ("Gauguin", "artist", "painted", "Femmes de Tahiti", "painting"))
+    val out = Files.createTempDirectory("graft_neo4j").toString
+    GraphBuilder.exportNeo4jBulk(t, out)
+    def readDir(sub: String) = {
+      val dir = new java.io.File(s"$out/$sub")
+      dir.listFiles().filter(_.getName.endsWith(".csv")).flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().toSeq)
+    }
+    val nodeHeader = readDirText(s"$out/nodes/header")
+    assert(nodeHeader == Seq("id:ID,name,:LABEL"))
+    val relHeader = readDirText(s"$out/relationships/header")
+    assert(relHeader == Seq(":START_ID,:END_ID,:TYPE,weight"))
+    val nodeData = readDir("nodes/data")
+    assert(nodeData.length == 2)
+    assert(nodeData.forall(_.matches("[0-9a-f]{32},.*")), s"md5 ids expected: ${nodeData.toSeq}")
+    val relData = readDir("relationships/data")
+    assert(relData.length == 1 && relData.head.endsWith(",PAINTED,1"))
+    // START/END ids resolve to node ids
+    val ids = nodeData.map(_.split(",")(0)).toSet
+    val Array(s, e, _, _) = relData.head.split(",")
+    assert(ids.contains(s) && ids.contains(e))
+  }
+
+  private def readDirText(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .toSeq.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+  }
+
+  test("B9 chain runs partition-wise and tolerant parser survives noise") {
+    import spark.implicits._
+    val prompts = spark.createDataset(Seq("alpha beta", "gamma delta")).repartition(2)
+    val out = LlmChains.invokePartitionwise(prompts, LlmChains.StubChain).collect()
+    assert(out.length == 2 && out.forall(_.contains("hope this helps!")))
+    val parsed = LlmChains.extractFromRecords(prompts).collect()
+    assert(parsed.map(_.getAs[String]("subject")).toSet == Set("alpha beta", "gamma delta"))
+  }
+
+  test("B2 one-sided triples survive the tolerant parser") {
+    import spark.implicits._
+    val noisy = Seq(
+      """pre [{"subject":null,"subject_type":null,"relation":"r","object":"tail","object_type":"t"}] post""",
+      """[{"subject":"head","subject_type":"t","relation":"r","object":null,"object_type":null}]""",
+      """no json here at all""",
+    ).toDF("value")
+    val got = noisy.select(explode(LlmChains.extractTriplets(col("value"))).as("t"))
+      .select("t.subject", "t.object").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((null, "tail"), ("head", null)))
+  }
+
+  test("A8 partitioned parquet write round-trips with partition pruning") {
+    import spark.implicits._
+    val df = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")).toDF("id", "v", "pt")
+    val out = Files.createTempDirectory("graft_parq").toString + "/t"
+    df.write.partitionBy("pt").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("pt") === "p1")
+    assert(pruned.count() == 2)
+    assert(new java.io.File(s"$out/pt=p2").isDirectory, "hive-style partition dirs expected")
+  }
+}
