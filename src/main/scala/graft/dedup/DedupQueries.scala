@@ -27,8 +27,7 @@ object DedupQueries {
       K, Bands, RowsPerBand)
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashDf(Tables.documents(spark, dir), "doc_id", "text")
 
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",

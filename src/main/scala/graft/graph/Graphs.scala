@@ -35,17 +35,20 @@ object Graphs {
       .distinct()
   }
 
-  /** C1: in/out/total degree per typed node over the distinct edge
-    * rows (one shuffle per side, map-side combinable). */
-  def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src_label").as("label"), col("src").as("name"))
-      .agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col("dst_label").as("label"), col("dst").as("name"))
-      .agg(count(lit(1)).as("in_deg"))
-    out.join(in, Seq("label", "name"), "full_outer")
-      .na.fill(0L, Seq("out_deg", "in_deg"))
-      .withColumn("total_deg", col("out_deg") + col("in_deg"))
-  }
+  /** C1: in/out/total degree per typed node. Single-pass: each edge
+    * explodes into its two endpoint rows and ONE map-side-combined
+    * aggregation produces all three counts — the edge list (often an
+    * expensive upstream plan) is scanned once, not once per side. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("src_label").as("label"), col("src").as("name"), lit(1L).as("o")),
+        struct(col("dst_label").as("label"), col("dst").as("name"), lit(0L).as("o"))))
+        .as("x"))
+      .select(col("x.label").as("label"), col("x.name").as("name"), col("x.o").as("o"))
+      .groupBy("label", "name")
+      .agg(sum(col("o")).as("out_deg"),
+        (count(lit(1)) - sum(col("o"))).as("in_deg"),
+        count(lit(1)).as("total_deg"))
 
   private def checkpointEvery(df: DataFrame, i: Int, every: Int = 3): DataFrame =
     if (i % every == 0) df.localCheckpoint(eager = true) else df
@@ -102,26 +105,31 @@ object Graphs {
     * redistributed uniformly. Returns (id, rank). */
   def pageRank(undirectedOrDirected: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
+    // materialize the edge list once — every iteration joins it, and an
+    // un-checkpointed upstream plan would be replayed per round
     val e = undirectedOrDirected.select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(eager = true)
     val vertices = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(eager = true)
     val n = vertices.count().toDouble
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
+      // eager checkpoint: the inMass action below and the next round's
+      // join both reuse the materialized contribs instead of replaying
+      // the whole lineage (which otherwise doubles work per iteration)
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .join(outDeg, "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
+        .localCheckpoint(eager = true)
       val inMass = contribs.agg(sum(col("c"))).first().getDouble(0)
       val danglingShare = (1.0 - inMass) / n // mass lost to sinks this round
-      ranks = checkpointEvery(
-        vertices.join(contribs, Seq("id"), "left")
-          .select(col("id"),
-            (lit((1 - damping) / n) +
-              lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(danglingShare))).as("rank")),
-        i)
+      ranks = vertices.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(danglingShare))).as("rank"))
     }
     ranks
   }
@@ -151,6 +159,9 @@ object Graphs {
     * edges; returns (id, depth = min hops ≤ maxHops). One join per
     * hop; the frontier is the only shuffled frame. */
   def bfs(undirected: DataFrame, seed: String, maxHops: Int): DataFrame = {
+    // materialized once; per-hop joins broadcast the (small) frontier
+    // against it, so each hop is one scan of this frame and no shuffle
+    // of the big side
     val und = undirected.select(col("u"), col("v"))
       .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = true)

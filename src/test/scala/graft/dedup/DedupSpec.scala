@@ -34,7 +34,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("E3 simhash: near dups close in hamming, unrelated far") {
-    val sh = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+    val sh = Dedup.simhashDf(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(sh(0L) == sh(1L))
