@@ -108,7 +108,7 @@ object KgQueries {
     "kg_triples" -> triplesSql,
 
     "kg_extract_json" ->
-      """SELECT substr(replace(text, '"', ''), 1, 40) AS subject,
+      """SELECT substr(regexp_replace(text, '["{}\[\]]', '', 'g'), 1, 40) AS subject,
         |  'text' AS subject_type, 'mentions' AS relation,
         |  'stub' AS object, 'entity' AS object_type
         |FROM documents""".stripMargin,

@@ -28,8 +28,38 @@ object LlmChains {
   object StubChain extends Chain {
     def invoke(prompts: Iterator[String]): Iterator[String] =
       prompts.map { p =>
-        val clean = p.replace("\"", "").take(40)
+        // strip quotes AND braces/brackets: echoed JSON structure inside
+        // a string value would defeat any flat-object recovery regex
+        // (the reference's \{.*?\} has the same blind spot)
+        val clean = p.replaceAll("[\"{}\\[\\]]", "").take(40)
         s"""Here are the triplets:[{"subject":"$clean","subject_type":"text","relation":"mentions","object":"stub","object_type":"entity"}] hope this helps!"""
+      }
+  }
+
+  /** Retry/backoff decorator for flaky chains (rate limits, transient
+    * API errors) — the reference's call_with_retry
+    * (Art-Knowledge-Graph-Local/LLM/pipeline.py:36-68): exponential
+    * backoff, maxAttempts, then rethrow. Wraps any Chain; prompts are
+    * retried one-at-a-time so one poisoned prompt doesn't re-bill the
+    * whole partition. */
+  final case class RetryingChain(inner: Chain, maxAttempts: Int = 3,
+      baseDelayMs: Long = 100) extends Chain {
+    def invoke(prompts: Iterator[String]): Iterator[String] =
+      prompts.map { p =>
+        var attempt = 0
+        var out: Option[String] = None
+        var last: Throwable = null
+        while (out.isEmpty && attempt < maxAttempts) {
+          try out = Some(inner.invoke(Iterator(p)).next())
+          catch {
+            case e: Throwable =>
+              last = e
+              attempt += 1
+              if (attempt < maxAttempts)
+                Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
+          }
+        }
+        out.getOrElse(throw last)
       }
   }
 

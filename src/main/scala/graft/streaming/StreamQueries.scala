@@ -42,8 +42,8 @@ object StreamQueries {
          |  FROM events
          |), s AS (
          |  SELECT user_id, ts, value,
-         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-         |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+         |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                      ROWS UNBOUNDED PRECEDING))::bigint AS session_idx
          |  FROM g
          |)
          |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,

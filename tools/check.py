@@ -15,13 +15,16 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def canon(df: pd.DataFrame) -> str:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # normalize cell text: floats to repr with limited precision
+    # lowercase before sorting: alias case must not reorder columns
+    df = df.reindex(sorted(df.columns, key=str.lower), axis=1)
+    # normalize cell text: floats at fixed 4-decimal precision — the
+    # oracles round to <=4 decimals themselves, so this catches genuine
+    # cent-level mismatches in large aggregates that %.6g would hide
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.6g}"
+            return f"{v:.4f}"
         return str(v)
     rows = sorted("|".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
