@@ -140,17 +140,34 @@ object Dedup {
     dot / (na * nb)
   }
 
+  /** Unit-normalized copy of a float-array column (computed in
+    * double). Normalizing ONCE PER ROW turns every downstream pairwise
+    * cosine into a single dot product — for an n²/block pair set the
+    * per-pair norm recomputation is the dominant cost. */
+  def normalized(vec: Column): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (acc, v) => acc + v))
+    transform(vd, x => x / n)
+  }
+
+  /** Dot product of two (already double-typed) array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** E5/F4: embedding near-dup pairs, blocked by a partition column so
     * the self-join shuffles on the block key instead of exploding into
     * all-pairs. (With no natural block key, callers use the LSH route —
-    * graft.sim.Similarity.annLsh.) */
+    * graft.sim.Similarity.annLsh.) Vectors are unit-normalized per row
+    * before the join; cos = dot(â, b̂). */
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val a = vecs.select(col(blockCol).as("blk"), col(idCol).as("doc_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(blockCol).as("blk"), col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    val nv = vecs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      normalized(col(vecCol)).as("vn"))
+    val a = nv.select(col("blk"), col("id").as("doc_a"), col("vn").as("va"))
+    val b = nv.select(col("blk"), col("id").as("doc_b"), col("vn").as("vb"))
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("doc_a"), col("doc_b"), col("cos"))
   }

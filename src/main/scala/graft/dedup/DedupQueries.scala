@@ -131,14 +131,17 @@ object DedupQueries {
          |FROM j WHERE round(inter::double / uni, 4) >= $JaccardThreshold""".stripMargin,
 
     "dedup_embedding_pairs" ->
-      s"""WITH p AS (
-         |  SELECT a.label AS blk, a.vec_id AS doc_a, b.vec_id AS doc_b,
-         |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-         |            z -> z[1]::double * z[2]::double))
-         |      / (sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double)))
-         |         * sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))), 4) AS cos
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id
+      // mirror the Spark formulation EXACTLY (normalize per row, then
+      // dot) so floating-point results agree bit-for-bit
+      s"""WITH nv AS (
+         |  SELECT label AS blk, vec_id AS id,
+         |    list_transform(embedding, x -> x::double
+         |      / sqrt(list_sum(list_transform(embedding, y -> y::double * y::double)))) AS vn
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT a.blk, a.id AS doc_a, b.id AS doc_b,
+         |    round(list_sum(list_transform(list_zip(a.vn, b.vn), z -> z[1] * z[2])), 4) AS cos
+         |  FROM nv a JOIN nv b ON a.blk = b.blk AND a.id < b.id
          |)
          |SELECT blk, doc_a, doc_b, cos FROM p WHERE cos >= $CosineThreshold""".stripMargin,
   )
