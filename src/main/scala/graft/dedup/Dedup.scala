@@ -165,9 +165,11 @@ object Dedup {
       normalized(col(vecCol)).as("vn"))
     val a = nv.select(col("blk"), col("id").as("doc_a"), col("vn").as("va"))
     val b = nv.select(col("blk"), col("id").as("doc_b"), col("vn").as("vb"))
+    val pairDot = graft.functions.VectorFunctions.dotProduct(
+      vecs.sparkSession, col("va"), col("vb"))
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")), 4))
+      .withColumn("cos", round(pairDot, 4))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("doc_a"), col("doc_b"), col("cos"))
   }

@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import graft.functions.VectorFunctions
 
 /** Approximate & exact similarity search over embedding columns
   * (SURVEY §2 F1-F3).
@@ -47,9 +47,10 @@ object Similarity {
       queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
     val n = vecs.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    val cos = VectorFunctions.cosineSim(vecs.sparkSession, col("qv"), col("nv"))
     n.crossJoin(q)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("cos", cos)
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rnk") <= k)
@@ -76,7 +77,7 @@ object Similarity {
     cand
       .join(base.select(col("id").as("q_id"), col("v").as("qv")), "q_id")
       .join(base, "id")
-      .withColumn("cos", Dedup.cosine(col("qv"), col("v")))
+      .withColumn("cos", VectorFunctions.cosineSim(vecs.sparkSession, col("qv"), col("v")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))))
       .filter(col("rnk") <= k)
@@ -97,21 +98,21 @@ object Similarity {
     // assign: nearest centroid per vector
     val assigned = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(centroids)
-      .withColumn("cos_c", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("cos_c", VectorFunctions.cosineSim(vecs.sparkSession, col("v"), col("cv")))
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
       .select(col("id"), col("v"), col("c_id"))
     // probe lists: nprobe nearest centroids per query
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .crossJoin(centroids)
-      .withColumn("cos_c", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("cos_c", VectorFunctions.cosineSim(vecs.sparkSession, col("qv"), col("cv")))
       .withColumn("r", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_c").desc, col("c_id"))))
       .filter(col("r") <= nprobe)
       .select(col("q_id"), col("qv"), col("c_id"))
     probes.join(assigned, "c_id")
       .filter(col("q_id") =!= col("id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("v")))
+      .withColumn("cos", VectorFunctions.cosineSim(vecs.sparkSession, col("qv"), col("v")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))))
       .filter(col("rnk") <= k)
