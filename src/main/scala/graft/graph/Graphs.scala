@@ -85,12 +85,24 @@ object Graphs {
     var e = undirected.select(
       least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(eager = true)
+    // convergence = identical edge SET, detected by (count, XOR of
+    // xxhash64) over the deduped edges: one cheap aggregate per round
+    // instead of except/intersect set operations (4 extra shuffles per
+    // round); XOR is a valid set signature here because rows are
+    // distinct, and it cannot overflow under ANSI mode
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = sig(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = checkpointEvery(smallStar(largeStar(e)), 0) // checkpoint each round: two joins deep
-      val changed = next.unionAll(e).except(next.intersect(e)).limit(1).count()
-      converged = changed == 0 && next.count() == e.count()
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       e = next
       i += 1
     }

@@ -66,6 +66,25 @@ class GraphSpec extends SparkSpec {
     assert(out == Map("s" -> 0, "a" -> 1, "b" -> 1, "c" -> 2))
   }
 
+  test("C2 GraphX parity: DataFrame CC and GraphX CC agree exactly") {
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d",
+      "x" -> "y", "y" -> "z", "x" -> "z", "p" -> "q")
+    val df = Graphs.connectedComponents(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val gx = GraphxInterop.connectedComponents(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(df == gx)
+  }
+
+  test("C3 GraphX parity: rankings agree (hub outranks leaves both ways)") {
+    val e = edgesDf("l1" -> "hub", "l2" -> "hub", "l3" -> "hub", "l1" -> "l2")
+    def ranking(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(-_.getDouble(1)).map(_.getString(0)).head
+    val df = ranking(Graphs.pageRank(e, iterations = 20).collect())
+    val gx = ranking(GraphxInterop.pageRank(e, iterations = 20).collect())
+    assert(df == "hub" && gx == "hub")
+  }
+
   test("C1 degrees over typed edges") {
     import spark.implicits._
     val edges = Seq(
