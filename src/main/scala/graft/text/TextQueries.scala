@@ -94,21 +94,22 @@ object TextQueries {
   /** G4: document fingerprints: whole-doc md5, min-token-hash, and a
     * min 3-gram-shingle hash (the rolling-window fingerprint used for
     * near-dup blocking). Min over md5 hex strings is lexicographic —
-    * identical in every engine. */
+    * identical in every engine. Exploded-row aggregation (codegen'd,
+    * map-side combined) rather than interpreted array lambdas. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val toks = tokens(col("text"))
     val n = size(toks)
-    val shingles = transform(
-      sequence(lit(1), n - 2),
-      i => array_join(slice(toks, i, lit(3)), " "))
-    val minShingle = when(n >= 3, array_min(transform(shingles, s => md5(s))))
-      .otherwise(md5(col("text")))
-    d.select(
-      col("doc_id"),
-      md5(col("text")).as("md5_full"),
-      array_min(transform(toks, t => md5(t))).as("min_token_hash"),
-      minShingle.as("min_shingle_hash"))
+    val minTok = d.select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id").agg(min(md5(col("t"))).as("min_token_hash"))
+    val shingles = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => array_join(slice(toks, i, lit(3)), " ")))
+      .otherwise(array(col("text")))
+    val minSh = d.select(col("doc_id"), explode(shingles).as("s"))
+      .groupBy("doc_id").agg(min(md5(col("s"))).as("min_shingle_hash"))
+    d.select(col("doc_id"), md5(col("text")).as("md5_full"))
+      .join(minTok, "doc_id")
+      .join(minSh, "doc_id")
   }
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
