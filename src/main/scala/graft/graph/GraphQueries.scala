@@ -15,7 +15,7 @@ import graft.kg.{KgQueries, Triples, GraphBuilder}
   */
 object GraphQueries {
 
-  val BfsSeed = "Nation|FRANCE"
+  val BfsSeed = "Nation|NATION_0" // synthetic testdata nation names are NATION_0..24
   val BfsHops = 3
   val TriangleMinQty = 45
 

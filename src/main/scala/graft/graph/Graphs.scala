@@ -149,9 +149,8 @@ object Graphs {
   /** C5: label propagation, synchronous, fixed iterations; each vertex
     * adopts the most frequent neighbor label, min label on ties. */
   def labelPropagation(undirected: DataFrame, iterations: Int = 5): DataFrame = {
-    val und = undirected.select(col("u"), col("v"))
-      .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = true)
+    val one = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
+    val und = one.unionAll(one.select(col("v").as("u"), col("u").as("v")))
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (i <- 1 to iterations) {
@@ -171,25 +170,38 @@ object Graphs {
     * edges; returns (id, depth = min hops ≤ maxHops). One join per
     * hop; the frontier is the only shuffled frame. */
   def bfs(undirected: DataFrame, seed: String, maxHops: Int): DataFrame = {
-    // materialized once; per-hop joins broadcast the (small) frontier
-    // against it, so each hop is one scan of this frame and no shuffle
-    // of the big side
-    val und = undirected.select(col("u"), col("v"))
-      .unionAll(undirected.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = true)
     val spark = undirected.sparkSession
     import spark.implicits._
-    var visited = Seq((seed, 0)).toDF("id", "depth")
+    // traverse on xxhash64 vertex ids — long-keyed shuffles/joins are
+    // several times cheaper than long-string keys; the (hash → id)
+    // dictionary maps depths back at the end (64-bit collisions are
+    // negligible at any realistic vertex count)
+    // checkpoint the one-direction hashed frame FIRST — a
+    // unionAll(x, x.swap) over a lazy frame would evaluate the whole
+    // upstream pipeline twice during materialization
+    val one = undirected
+      .select(col("u"), col("v"), xxhash64(col("u")).as("hu"), xxhash64(col("v")).as("hv"))
+      .localCheckpoint(eager = true)
+    val und = one.select(col("hu").as("u"), col("hv").as("v"))
+      .unionAll(one.select(col("hv").as("u"), col("hu").as("v")))
+    val dict = one.select(col("u").as("id"), col("hu").as("h"))
+      .unionAll(one.select(col("v").as("id"), col("hv").as("h"))).distinct()
+    val seedHash = spark.range(1)
+      .select(xxhash64(lit(seed))).first().getLong(0)
+    var visited = Seq((seedHash, 0)).toDF("h", "depth")
     var frontier = visited
     for (d <- 1 to maxHops) {
-      val next = und.join(frontier, und("u") === frontier("id"))
-        .select(col("v").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
+      val next = und.join(frontier, und("u") === frontier("h"))
+        .select(col("v").as("h")).distinct()
+        .join(visited, Seq("h"), "left_anti")
         .withColumn("depth", lit(d))
         .localCheckpoint(eager = true)
       visited = visited.unionAll(next)
       frontier = next
     }
-    visited
+    // seed may be absent from the edge list; keep its row regardless
+    visited.join(dict, Seq("h"), "left")
+      .select(coalesce(col("id"), when(col("h") === seedHash, lit(seed))).as("id"),
+        col("depth"))
   }
 }
