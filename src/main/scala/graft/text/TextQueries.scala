@@ -112,11 +112,43 @@ object TextQueries {
       .join(minSh, "doc_id")
   }
 
+  /** G5: deterministic train/val/test split by md5 hash range — the
+    * standard way to partition a training corpus so membership is
+    * stable across runs, machines and engines (no RNG state, no
+    * shuffling): bucket = first 4 md5 hex digits of (salt ++ doc_id)
+    * as an integer in [0, 65536); <90% train, <95% val, else test. */
+  def textSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("int")
+    d.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < 58982, "train").when(bucket < 62259, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** G6: corpus statistics per (source, lang): documents, token sums,
+    * length distribution (exact median via percentile) — the
+    * reporting surface a data pipeline emits per ingest batch. */
+  def textCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = size(tokens(col("text")))
+    d.select(col("source"), col("lang"), n.as("n"), length(col("text")).as("len"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        round(avg(col("n")), 4).as("avg_tokens"),
+        min(col("len")).as("min_chars"),
+        max(col("len")).as("max_chars"),
+        round(expr("percentile(len, 0.5)"), 1).as("median_chars"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "text_tokens"      -> (textTokens _),
-    "text_quality"     -> (textQuality _),
-    "text_langid"      -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _),
+    "text_tokens"       -> (textTokens _),
+    "text_quality"      -> (textQuality _),
+    "text_langid"       -> (textLangid _),
+    "text_fingerprint"  -> (textFingerprint _),
+    "text_split"        -> (textSplit _),
+    "text_corpus_stats" -> (textCorpusStats _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -171,6 +203,27 @@ object TextQueries {
          |  $caseExpr AS lang_pred
          |FROM m""".stripMargin
     },
+
+    "text_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('split|' || doc_id), 1, 4))::int AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 58982 THEN 'train'
+        |       WHEN bucket < 62259 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
+    "text_corpus_stats" ->
+      s"""WITH q AS (SELECT source, lang, length($toksSql) AS n, length(text) AS len FROM documents)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  sum(n)::bigint AS total_tokens,
+         |  round(avg(n), 4) AS avg_tokens,
+         |  min(len) AS min_chars, max(len) AS max_chars,
+         |  round(quantile_cont(len, 0.5), 1) AS median_chars
+         |FROM q GROUP BY 1, 2""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH q AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
