@@ -30,9 +30,19 @@ object SimQueries {
     Similarity.annLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
       col("id") < NumQueries, K, Tables64)
 
+  val NCentroids = 8
+  val NProbe = 2
+
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfSearch(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < NumQueries), K, NCentroids, NProbe)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ann_lsh"    -> (simAnnLsh _),
+    "sim_ivf"        -> (simIvf _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -84,5 +94,33 @@ object SimQueries {
          |)
          |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
     },
+
+    "sim_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
+         |v AS (SELECT vec_id AS id, embedding AS vv FROM embeddings),
+         |asg AS (
+         |  SELECT id, vv, c_id FROM (
+         |    SELECT v.id, v.vv, c.c_id,
+         |      row_number() OVER (PARTITION BY v.id
+         |        ORDER BY ${cosSql("vv", "cv")} DESC, c.c_id) AS r
+         |    FROM v, c) WHERE r = 1
+         |),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+         |pr AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("qv", "cv")} DESC, c.c_id) AS r
+         |    FROM q, c) WHERE r <= $NProbe
+         |),
+         |s AS (
+         |  SELECT pr.q_id, asg.id AS n_id, ${cosSql("qv", "asg.vv")} AS cos
+         |  FROM pr JOIN asg ON pr.c_id = asg.c_id WHERE pr.q_id <> asg.id
+         |), r AS (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM s
+         |)
+         |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin,
   )
 }
