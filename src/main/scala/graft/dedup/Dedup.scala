@@ -130,16 +130,6 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
-
   /** Unit-normalized copy of a float-array column (computed in
     * double). Normalizing ONCE PER ROW turns every downstream pairwise
     * cosine into a single dot product — for an n²/block pair set the
@@ -149,10 +139,6 @@ object Dedup {
     val n = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (acc, v) => acc + v))
     transform(vd, x => x / n)
   }
-
-  /** Dot product of two (already double-typed) array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** E5/F4: embedding near-dup pairs, blocked by a partition column so
     * the self-join shuffles on the block key instead of exploding into
