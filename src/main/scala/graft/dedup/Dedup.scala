@@ -99,14 +99,10 @@ object Dedup {
   def simhashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", hex32(col("t")))
-    val votes = (0 until 32).map { j =>
-      sum(pmod((col("h") / (1L << j)).cast("long"), lit(2)) * 2 - 1).as(s"v$j")
-    }
-    val bits = (0 until 32)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    toks.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id").as(idCol), bits.cast("long").as("simhash"))
+    toks.groupBy("id")
+      .agg(graft.functions.VectorFunctions
+        .simhashAgg(docs.sparkSession, col("h")).as("simhash"))
+      .withColumnRenamed("id", idCol)
   }
 
   /** Hamming distance between two simhash values (bit-count of xor). */

@@ -117,9 +117,10 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> { es => CosineSimilarity(es(0), es(1)) },
-    "graft_dot"    -> { es => DotProduct(es(0), es(1)) },
+  private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine"      -> { es => CosineSimilarity(es(0), es(1)) },
+    "graft_dot"         -> { es => DotProduct(es(0), es(1)) },
+    "graft_simhash_agg" -> { es => SimHashAgg(es.head).toAggregateExpression() },
   )
 
   /** Idempotently register the graft vector functions on a session
@@ -148,4 +149,21 @@ object VectorFunctions {
     ensureRegistered(spark)
     call_function("graft_dot", a, b)
   }
+
+  /** Single-buffer SimHash aggregate over a long-hash column. */
+  def simhashAgg(spark: SparkSession, h: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_simhash_agg", h)
+  }
+}
+
+/** Production wiring for `spark.sql.extensions=graft.functions.GraftExtensions`
+  * — injects every graft function at session build time, the same
+  * registrations `VectorFunctions.ensureRegistered` applies lazily. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorFunctions.registrations.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name), builder))
+    }
 }

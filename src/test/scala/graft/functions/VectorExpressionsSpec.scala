@@ -42,6 +42,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("simhash aggregate matches the 32-sum formulation") {
+    import spark.implicits._
+    // direct vote arithmetic on known hashes: h=1 (bit0), h=3 (bits0,1)
+    val df = Seq((1L, 1L), (1L, 3L), (1L, 3L)).toDF("id", "h")
+    val got = df.groupBy("id")
+      .agg(VectorFunctions.simhashAgg(spark, col("h")).as("s"))
+      .first().getLong(1)
+    // bit0: votes +3 → set; bit1: +1 → set; bits 2..31: -3 → clear
+    assert(got == 3L)
+  }
+
+  test("GraftExtensions injects all registered functions") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("null arrays propagate null; registration is idempotent") {
     import spark.implicits._
     VectorFunctions.ensureRegistered(spark)
