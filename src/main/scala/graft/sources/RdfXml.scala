@@ -78,9 +78,18 @@ object RdfXml {
         case p: Elem =>
           val pLang = attr(p, XmlNs, "lang").orElse(langHere)
           val resource = attr(p, RdfNs, "resource")
+          val parseType = attr(p, RdfNs, "parseType")
           val nestedElems = p.child.collect { case c: Elem => c }
           if (resource.isDefined) {
             raws += Raw(subj, p.label, resource, None, None, None)
+          } else if (parseType.contains("Resource")) {
+            // rdf:parseType="Resource": the property's CHILDREN are
+            // properties of an implicit blank node, not nested typed
+            // nodes
+            bnodeCounter += 1
+            val bnode = s"_:b$bnodeCounter"
+            raws += Raw(subj, p.label, Some(bnode), None, None, None)
+            walkResource(p, bnode, pLang)
           } else if (nestedElems.nonEmpty) {
             // inline node object: property → nested resource, recurse
             nestedElems.foreach { c =>

@@ -35,6 +35,38 @@ class IngestSpec extends SparkSpec {
     assert(bySrc > 100, s"expected hundreds of triples, got $bySrc")
   }
 
+  test("A5 nested nodes, parseType=Resource, and label chain precedence") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:skos="http://www.w3.org/2004/02/skos/core#"
+        |         xmlns:dc="http://purl.org/dc/elements/1.1/"
+        |         xmlns:edm="http://www.europeana.eu/schemas/edm/">
+        |  <edm:Agent rdf:about="http://ex.org/a1">
+        |    <skos:altLabel>Alt Name</skos:altLabel>
+        |    <dc:title>Title Name</dc:title>
+        |    <edm:isRelatedTo rdf:resource="http://ex.org/a2"/>
+        |    <dc:creator rdf:parseType="Resource">
+        |      <skos:prefLabel>Inline Creator</skos:prefLabel>
+        |      <skos:note xml:lang="en">a note</skos:note>
+        |    </dc:creator>
+        |  </edm:Agent>
+        |  <edm:Agent rdf:about="http://ex.org/a2">
+        |    <skos:prefLabel>Second Agent</skos:prefLabel>
+        |  </edm:Agent>
+        |</rdf:RDF>""".stripMargin
+    val triples = RdfXml.parseFile(xml)
+    // altLabel outranks dc:title in the resolution chain
+    assert(triples.exists(t => t.subject == "Alt Name" && t.xml_label == "isRelatedTo"
+      && t.`object` == "Second Agent"))
+    // parseType=Resource bnode: creator triple resolves to the inline label
+    assert(triples.exists(t => t.subject == "Alt Name" && t.xml_label == "creator"
+      && t.`object` == "Inline Creator"))
+    // the bnode's own note survives with its language
+    assert(triples.exists(t => t.subject == "Inline Creator" && t.xml_label == "note"
+      && t.`object` == "a note" && t.lang == "en"))
+  }
+
   test("A4 record-oriented XML via native source") {
     val dir = Files.createTempDirectory("graft_xml")
     val f = dir.resolve("recs.xml")
