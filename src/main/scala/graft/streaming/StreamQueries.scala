@@ -20,10 +20,18 @@ object StreamQueries {
   def evProps(spark: SparkSession, dir: String): DataFrame =
     Streaming.parseProps(Tables.events(spark, dir))
 
+  def evAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Streaming.attributionJoin(
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "ev_windowed" -> (evWindowed _),
-    "ev_sessions" -> (evSessions _),
-    "ev_props"    -> (evProps _),
+    "ev_windowed"    -> (evWindowed _),
+    "ev_sessions"    -> (evSessions _),
+    "ev_props"       -> (evProps _),
+    "ev_attribution" -> (evAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -49,6 +57,14 @@ object StreamQueries {
          |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
          |  count(*) AS n_events, round(sum(value), 2) AS sum_value
          |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts, p.value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 300 SECONDS
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
 
     "ev_props" ->
       """SELECT event_id, user_id, event_type,

@@ -95,6 +95,24 @@ object Streaming {
       }
   }
 
+  /** I5: click→purchase attribution join — the stream-stream interval
+    * join pattern: for each click, purchases by the same user within
+    * `windowSec` after the click. On streaming inputs both sides need
+    * watermarks and the time bound keeps state finite; on batch inputs
+    * the same function is a range join (the oracle). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowSec: Int = 300): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** I4: checkpointed file-stream → parquet sink. Returns the running
     * query; callers own its lifecycle. */
   def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,

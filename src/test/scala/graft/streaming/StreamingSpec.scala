@@ -89,6 +89,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "s"))
   }
 
+  test("I5 stream-stream attribution join matches the batch range join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Long, Double)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "value")
+    val q = Streaming.attributionJoin(
+      shape(clicks.toDF()).withWatermark("ts", "10 minutes"),
+      shape(buys.toDF()).withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      val clickData = Seq((1L, ts(0), 7L, 0.0), (2L, ts(10), 8L, 0.0))
+      val buyData = Seq(
+        (10L, ts(2), 7L, 9.99),   // within 5 min of click 1, same user
+        (11L, ts(9), 7L, 5.00),   // outside 5-min window of click 1
+        (12L, ts(11), 9L, 1.00))  // different user
+      clicks.addData(clickData: _*); buys.addData(buyData: _*)
+      q.processAllAvailable()
+      clicks.addData((99L, ts(10000), 99L, 0.0)); buys.addData((98L, ts(10000), 98L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .filter(col("user_id") < 90)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Streaming.attributionJoin(shape(clickData.toDF()), shape(buyData.toDF()))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == Set((7L, 1L, 10L)))
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I3 props parse keeps only high-k events") {
     import spark.implicits._
     val df = Seq(
