@@ -91,8 +91,32 @@ object Multimodal {
       col("meta.source").as("source"),
       col("meta.n_chars").as("n_chars"))
 
+  val FrameBytes = 64
+
+  /** H3 driver query: per-frame index, md5 and length (payloads are
+    * ASCII text stand-ins, so byte slices == char slices and the
+    * DuckDB oracle can mirror the chunking exactly). */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(assets(spark, dir), FrameBytes).select(
+      col("doc_id"),
+      col("frame_idx"),
+      md5(col("frame")).as("frame_md5"),
+      length(col("frame")).as("frame_len"))
+
+  /** H2 driver query: the REAL mapPartitions decode path, flattened to
+    * (doc_id, dim_idx, value) so the md5-derived stub features are
+    * oracle-checkable value by value. */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = stubDecodeFeatures(assets(spark, dir))
+    feats.toDF().select(col("doc_id"), posexplode(col("features")))
+      .select(col("doc_id"), col("pos").as("dim_idx"),
+        round(col("col").cast("double"), 4).as("value"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
+    "mm_frames"   -> (mmFrames _),
+    "mm_decode"   -> (mmDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -100,5 +124,25 @@ object Multimodal {
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len, md5(text) AS payload_md5,
         |  'text/plain' AS mime, lang, source, n_chars
         |FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (octet_length(text::BLOB) + ${FrameBytes - 1}) // $FrameBytes))::int AS frame_idx
+         |  FROM documents
+         |)
+         |SELECT doc_id, frame_idx,
+         |  md5(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_md5,
+         |  length(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_len
+         |FROM f""".stripMargin,
+
+    "mm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS h, unnest(range(0, 8))::int AS dim_idx
+        |  FROM documents
+        |)
+        |SELECT doc_id, dim_idx,
+        |  round((('0x' || substr(h, dim_idx * 4 + 1, 4))::int / 65536.0), 4) AS value
+        |FROM d""".stripMargin,
   )
 }
