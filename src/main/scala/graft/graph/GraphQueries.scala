@@ -60,12 +60,18 @@ object GraphQueries {
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     Graphs.pageRank(Graphs.undirectedIds(geoEdges(spark, dir)), iterations = 10)
 
+  val LpaIterations = 3
+
+  def graphLpa(spark: SparkSession, dir: String): DataFrame =
+    Graphs.labelPropagation(Graphs.undirectedIds(geoEdges(spark, dir)), LpaIterations)
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_degrees"   -> (graphDegrees _),
     "graph_bfs"       -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
+    "graph_lpa"       -> (graphLpa _),
   )
 
   // --- oracles ------------------------------------------------------
@@ -101,6 +107,32 @@ object GraphQueries {
          |  WHERE bfs.d < $BfsHops
          |)
          |SELECT id, min(d) AS depth FROM bfs GROUP BY id""".stripMargin
+    },
+
+    "graph_lpa" -> {
+      val iterCtes = (1 to LpaIterations).map { i =>
+        s"""lbl$i AS (
+           |  SELECT id, lbl FROM (
+           |    SELECT und.u AS id, l.lbl, count(*) AS n,
+           |      row_number() OVER (PARTITION BY und.u
+           |        ORDER BY count(*) DESC, l.lbl) AS r
+           |    FROM und JOIN lbl${i - 1} l ON und.v = l.id
+           |    GROUP BY und.u, l.lbl
+           |  ) WHERE r = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$edgesCte,
+         |g AS (SELECT * FROM e WHERE rel IN ('LOCATED_IN', 'PART_OF')),
+         |und0 AS (
+         |  SELECT DISTINCT
+         |    least(src_label || '|' || src, dst_label || '|' || dst) AS u,
+         |    greatest(src_label || '|' || src, dst_label || '|' || dst) AS v
+         |  FROM g WHERE src_label || '|' || src <> dst_label || '|' || dst
+         |),
+         |und AS (SELECT u, v FROM und0 UNION ALL SELECT v, u FROM und0),
+         |lbl0 AS (SELECT DISTINCT u AS id, u AS lbl FROM und),
+         |$iterCtes
+         |SELECT id, lbl FROM lbl$LpaIterations""".stripMargin
     },
 
     "graph_triangles" ->

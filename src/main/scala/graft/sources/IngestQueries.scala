@@ -32,6 +32,22 @@ object IngestQueries {
     Sources.json(spark, path, schema = Some(region.schema))
   }
 
+  def ingTsv(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.supplier(spark, dir)
+    val path = tmp("supplier_tsv")
+    supplier.write.mode("overwrite").option("header", "true")
+      .option("sep", "\t").csv(path)
+    Sources.tsv(spark, path, schema = Some(supplier.schema))
+  }
+
+  def ingXml(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val path = tmp("region_xml")
+    region.write.mode("overwrite").format("xml").option("rowTag", "record").save(path)
+    Sources.xmlRecords(spark, path).select(region.columns.map(
+      c => org.apache.spark.sql.functions.col(c)): _*)
+  }
+
   def ingBatches(spark: SparkSession, dir: String): DataFrame =
     Sources.jsonBatches(
       Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars"),
@@ -50,7 +66,9 @@ object IngestQueries {
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
+    "ing_tsv"     -> (ingTsv _),
     "ing_json"    -> (ingJson _),
+    "ing_xml"     -> (ingXml _),
     "ing_batches" -> (ingBatches _),
     "ing_union"   -> (ingUnion _),
     "ing_rdf"     -> (ingRdf _),
@@ -58,7 +76,9 @@ object IngestQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ing_csv"  -> "SELECT * FROM nation",
+    "ing_tsv"  -> "SELECT * FROM supplier",
     "ing_json" -> "SELECT * FROM region",
+    "ing_xml"  -> "SELECT * FROM region",
     "ing_batches" ->
       """SELECT doc_id // 100 AS batch_id,
         |  '[' || string_agg(to_json(struct_pack(doc_id := doc_id, lang := lang,
