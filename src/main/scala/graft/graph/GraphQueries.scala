@@ -19,8 +19,18 @@ object GraphQueries {
   val BfsHops = 3
   val TriangleMinQty = 45
 
+  /** Built-once edge table per (session, dir): graph ANALYTICS consume
+    * the constructed KG the way production does — the graph is built
+    * once (kg_nodes/kg_edges are that build) and analytic queries read
+    * the materialized table instead of re-extracting triples each time.
+    * localCheckpoint stands in for the bucketed parquet table a real
+    * deployment would write (BucketingSpec shows that path). */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def kgEdges(spark: SparkSession, dir: String): DataFrame =
-    GraphBuilder.edges(Triples.kgTriples(spark, dir))
+    edgeCache.getOrElseUpdate((spark, dir),
+      GraphBuilder.edges(Triples.kgTriples(spark, dir)).localCheckpoint(eager = true))
 
   /** Geography subgraph (customer/supplier → nation → region): the
     * located-in/part-of relations only. Small diameter, converges in
