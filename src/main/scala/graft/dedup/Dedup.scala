@@ -77,6 +77,12 @@ object Dedup {
     val bandKeys = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*))
     }
+    // NOTE (measured at sf0.1): the self-join recomputes the
+    // shingle→signature pipeline once per side; checkpointing `banded`
+    // to share it was NET SLOWER (minhash −0.5 s but jaccard +3 s —
+    // materialization cost exceeds the duplicated aggregation). At
+    // true corpus scale you'd persist the signatures table explicitly
+    // instead of relying on in-plan sharing.
     val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
