@@ -34,6 +34,9 @@ object SparkEntry {
       "q_window_rank"      -> (Relational.qWindowRank _),
       "q_rollup"           -> (Relational.qRollup _),
       "q_anti_join"        -> (Relational.qAntiJoin _),
+      "q_cust_order_histogram" -> (Relational.qCustOrderHistogram _),
+      "q_semi_join"        -> (Relational.qSemiJoin _),
+      "q_monthly_revenue"  -> (Relational.qMonthlyRevenue _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -106,5 +109,21 @@ object SparkEntry {
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_cust_order_histogram" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey
+        |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_monthly_revenue" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
   )
 }

@@ -128,4 +128,40 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
       .orderBy(col("c_custkey"))
   }
+
+  /** D7 — customer-distribution histogram (TPC-H Q13 shape): left outer
+    * join + two-level aggregation. Both aggs are map-side combinable;
+    * the outer join keeps zero-order customers. */
+  def qCustOrderHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** D8 — semi join: customers with at least one urgent order (EXISTS
+    * shape; no duplicate-producing inner join + distinct). */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D9 — time-dimension trend: monthly revenue (year-month extraction
+    * feeding a low-cardinality aggregation; scan stays pruned to two
+    * columns). */
+  def qMonthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select("o_orderdate", "o_totalprice")
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("yr"), col("mon"))
 }
