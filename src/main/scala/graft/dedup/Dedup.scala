@@ -142,6 +142,28 @@ object Dedup {
     transform(vd, x => x / n)
   }
 
+  /** E6: the end-to-end dedup deliverable — fold exact-dup pairs and
+    * verified near-dup pairs into duplicate CLUSTERS (connected
+    * components over the pair graph; near-dup similarity is not
+    * transitive, so clustering is the standard closure) and keep the
+    * min-id document per cluster. Returns every doc with its canonical
+    * id and keep flag. */
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val exactPairs = exactDedup(docs, idCol, textCol)
+      .filter(col("is_dup") === 1)
+      .select(col("canonical_id").as("u"), col(idCol).as("v"))
+    val nearPairs = jaccardPairs(docs, idCol, textCol, k, bands, rowsPerBand, threshold)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val cc = graft.graph.Graphs.connectedComponents(exactPairs.unionAll(nearPairs))
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"),
+        (coalesce(col("component"), col(idCol)) === col(idCol)).cast("int").as("is_kept"))
+  }
+
   /** E5/F4: embedding near-dup pairs, blocked by a partition column so
     * the self-join shuffles on the block key instead of exploding into
     * all-pairs. (With no natural block key, callers use the LSH route —

@@ -37,12 +37,17 @@ object DedupQueries {
     Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       "label", CosineThreshold)
 
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.survivors(Tables.documents(spark, dir), "doc_id", "text",
+      K, Bands, RowsPerBand, JaccardThreshold)
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dedup_exact"           -> (dedupExact _),
     "dedup_minhash_pairs"   -> (dedupMinhashPairs _),
     "dedup_simhash"         -> (dedupSimhash _),
     "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
+    "dedup_survivors"       -> (dedupSurvivors _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -129,6 +134,44 @@ object DedupQueries {
          |)
          |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard
          |FROM j WHERE round(inter::double / uni, 4) >= $JaccardThreshold""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $toksCte,
+         |${shinglesCte(K)},
+         |${sigCte(Bands * RowsPerBand)},
+         |${bandsCte(Bands, RowsPerBand)},
+         |cand AS ($candidateSelect),
+         |ds AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |j AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+         |    length(a.ds) + length(b.ds)
+         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+         |  FROM cand c
+         |  JOIN ds a ON c.doc_a = a.doc_id
+         |  JOIN ds b ON c.doc_b = b.doc_id
+         |),
+         |jp AS (SELECT doc_a AS u, doc_b AS v FROM j
+         |       WHERE round(inter::double / uni, 4) >= $JaccardThreshold),
+         |eh AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h FROM documents),
+         |ep AS (
+         |  SELECT u, v FROM (
+         |    SELECT min(doc_id) OVER (PARTITION BY h) AS u, doc_id AS v FROM eh
+         |  ) WHERE u <> v
+         |),
+         |pairs AS (SELECT u, v FROM ep UNION SELECT u, v FROM jp),
+         |und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |closure(id, lbl) AS (
+         |  SELECT u, u FROM und
+         |  UNION
+         |  SELECT und.v, c.lbl FROM closure c JOIN und ON und.u = c.id
+         |  WHERE c.lbl < und.v
+         |),
+         |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(comp.component, d.doc_id) AS canonical_id,
+         |  (coalesce(comp.component, d.doc_id) = d.doc_id)::int AS is_kept
+         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
 
     "dedup_embedding_pairs" ->
       // mirror the Spark formulation EXACTLY (normalize per row, then

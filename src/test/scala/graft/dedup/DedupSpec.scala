@@ -50,6 +50,16 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("E6 survivors: exact + near dups cluster transitively, min id kept") {
+    val out = Dedup.survivors(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // docs 0,1 (exact) and 2 (near dup of 0) form ONE cluster via closure
+    assert(out(0L) == (0L, 1))
+    assert(out(1L) == (0L, 0))
+    assert(out(2L) == (0L, 0))
+    assert(out(3L) == (3L, 1), "unrelated doc survives as its own cluster")
+  }
+
   test("E5 embedding pairs: identical vectors in a block score 1.0") {
     import spark.implicits._
     val vecs = Seq(
