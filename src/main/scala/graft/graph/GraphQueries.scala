@@ -75,8 +75,16 @@ object GraphQueries {
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
     Graphs.labelPropagation(Graphs.undirectedIds(geoEdges(spark, dir)), LpaIterations)
 
+  /** Degree distribution of the KG (count of nodes per total degree) —
+    * the first structural sanity check on any built graph. */
+  def graphDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    Graphs.degrees(kgEdges(spark, dir))
+      .groupBy("total_deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("total_deg"))
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_degrees"   -> (graphDegrees _),
+    "graph_degree_dist" -> (graphDegreeDist _),
     "graph_bfs"       -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_cc"        -> (graphCc _),
@@ -118,6 +126,16 @@ object GraphQueries {
          |)
          |SELECT id, min(d) AS depth FROM bfs GROUP BY id""".stripMargin
     },
+
+    "graph_degree_dist" ->
+      s"""$edgesCte,
+         |o AS (SELECT src_label AS label, src AS name, count(*) AS out_deg FROM e GROUP BY 1,2),
+         |i AS (SELECT dst_label AS label, dst AS name, count(*) AS in_deg FROM e GROUP BY 1,2),
+         |d AS (
+         |  SELECT coalesce(out_deg, 0) + coalesce(in_deg, 0) AS total_deg
+         |  FROM o FULL OUTER JOIN i ON o.label = i.label AND o.name = i.name
+         |)
+         |SELECT total_deg, count(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
 
     "graph_lpa" -> {
       val iterCtes = (1 to LpaIterations).map { i =>

@@ -142,7 +142,24 @@ object TextQueries {
         round(expr("percentile(len, 0.5)"), 1).as("median_chars"))
   }
 
+  /** G7: corpus-wide top-k bigrams (deterministic tie-break) — the
+    * n-gram frequency table quality/contamination analyses start from.
+    * Explode+count: one map-side-combined shuffle, top-k collapses to
+    * TakeOrderedAndProject. */
+  def textNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => array_join(slice(toks, i, lit(2)), " "))
+    d.select(explode(when(n >= 2, bigrams).otherwise(array())).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(20)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
     "text_langid"       -> (textLangid _),
@@ -203,6 +220,17 @@ object TextQueries {
          |  $caseExpr AS lang_pred
          |FROM m""".stripMargin
     },
+
+    "text_ngrams" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |b AS (
+         |  SELECT unnest(CASE WHEN length(toks) >= 2
+         |    THEN list_transform(range(1, length(toks)), i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END) AS ngram
+         |  FROM t
+         |)
+         |SELECT ngram, count(*) AS freq FROM b
+         |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin,
 
     "text_split" ->
       """WITH b AS (
