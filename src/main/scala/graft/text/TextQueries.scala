@@ -158,7 +158,30 @@ object TextQueries {
       .limit(20)
   }
 
+  /** G8: top-3 TF-IDF terms per document — the classic term-weighting
+    * surface (contamination checks, keyword extraction). Output keeps
+    * the integer evidence (tf, df) and the RANK rather than the float
+    * score: ordering agrees across engines (exact ties share identical
+    * (tf, df) and break on the term), while a printed float could
+    * differ in the last ulp of ln(). Two shuffles: (doc,term) counts,
+    * then per-term doc frequency joined back. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nDocs = d.count().toDouble
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy((col("tf") * log(lit(nDocs) / col("df"))).desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "rnk")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_tfidf"        -> (textTfidf _),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
@@ -220,6 +243,22 @@ object TextQueries {
          |  $caseExpr AS lang_pred
          |FROM m""".stripMargin
     },
+
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * ln((SELECT count(*) FROM documents)::double / dfreq.df) DESC,
+         |               tf.term) AS rnk
+         |  FROM tf JOIN dfreq USING (term)
+         |)
+         |SELECT doc_id, term, tf, df, rnk FROM scored WHERE rnk <= 3""".stripMargin,
 
     "text_ngrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
