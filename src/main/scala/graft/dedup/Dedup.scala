@@ -114,6 +114,27 @@ object Dedup {
   /** Hamming distance between two simhash values (bit-count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** E3b: SimHash near-dup pairs — candidates block on 8-bit bands of
+    * the 32-bit simhash (pigeonhole: any pair within hamming ≤ 3 shares
+    * at least one of the 4 bands exactly), then verify hamming ≤
+    * maxHamming on candidates only. Same shuffle shape as MinHash LSH:
+    * (band, bucket) join, never all-pairs. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sim = simhashDf(docs, idCol, textCol)
+    val banded = sim.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"), col("simhash").as("sa"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"), col("simhash").as("sb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming(col("sa"), col("sb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** E4: Jaccard-verified near-dup pairs: candidates from LSH banding
     * (never all-pairs), verified on distinct shingle sets. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -17,6 +17,7 @@ object DedupQueries {
   val Bands = 4
   val RowsPerBand = 3
   val JaccardThreshold = 0.5
+  val MaxHamming = 3
   val CosineThreshold = 0.4 // synthetic embeddings are near-orthogonal; 0.4 yields non-trivial pairs
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -45,6 +46,8 @@ object DedupQueries {
     "dedup_exact"           -> (dedupExact _),
     "dedup_minhash_pairs"   -> (dedupMinhashPairs _),
     "dedup_simhash"         -> (dedupSimhash _),
+    "dedup_simhash_pairs"   -> ((s: SparkSession, d: String) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", MaxHamming)),
     "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
@@ -81,6 +84,18 @@ object DedupQueries {
     s"bands AS (\n$parts\n)"
   }
 
+  /** hs + sim CTEs mirroring Dedup.simhashDf (assumes `toks` CTE). */
+  private lazy val simhashCtes: String = {
+    val bits = (0 until 32).map { j =>
+      val p = 1L << j
+      s"CASE WHEN list_sum(list_transform(hs, h -> ((h // $p) % 2) * 2 - 1)) > 0 THEN $p ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""hs AS (SELECT doc_id,
+       |  list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 8))::bigint) AS hs
+       |FROM toks),
+       |sim AS (SELECT doc_id, ($bits)::bigint AS simhash FROM hs)""".stripMargin
+  }
+
   private val candidateSelect =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -103,17 +118,23 @@ object DedupQueries {
          |${bandsCte(Bands, RowsPerBand)}
          |$candidateSelect""".stripMargin,
 
-    "dedup_simhash" -> {
-      val bits = (0 until 32).map { j =>
-        val p = 1L << j
-        s"CASE WHEN list_sum(list_transform(hs, h -> ((h // $p) % 2) * 2 - 1)) > 0 THEN $p ELSE 0 END"
-      }.mkString("\n    + ")
+    "dedup_simhash" -> s"WITH $toksCte,\n$simhashCtes\nSELECT doc_id, simhash FROM sim",
+
+    "dedup_simhash_pairs" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id AS id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS bucket FROM sim"
+      }.mkString("\nUNION ALL\n")
       s"""WITH $toksCte,
-         |hs AS (SELECT doc_id,
-         |  list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 8))::bigint) AS hs
-         |FROM toks)
-         |SELECT doc_id, ($bits)::bigint AS simhash
-         |FROM hs""".stripMargin
+         |$simhashCtes,
+         |banded AS (
+         |$bandSelects
+         |)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |) WHERE hamming <= $MaxHamming""".stripMargin
     },
 
     "dedup_jaccard_pairs" ->

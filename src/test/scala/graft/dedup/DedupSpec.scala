@@ -42,6 +42,21 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(0L), sh(3L)) > 8, s"unrelated hamming was ${ham(sh(0L), sh(3L))}")
   }
 
+  test("E3b simhash pairs: exact dups collide at hamming 0, banding never misses <=3") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0), "exact dups must pair at hamming 0")
+    // pigeonhole: every pair within the bound MUST be found by banding —
+    // cross-check against the exhaustive hamming matrix
+    val sims = Dedup.simhashDf(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exhaustive = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b)).toSet
+    assert(pairs.keySet == exhaustive)
+  }
+
   test("E4 jaccard verification keeps true near dups with correct score") {
     val rows = Dedup.jaccardPairs(corpus, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
