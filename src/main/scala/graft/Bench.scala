@@ -40,7 +40,12 @@ object Bench {
         case Right(_) => (System.nanoTime() - t0) / 1e9
         case Left(e) =>
           errors += 1
-          System.err.println(s"[bench] $name FAILED:")
+          // one-line summary FIRST (name + root cause) so a truncated
+          // log tail still identifies the failing query, then the trace
+          var root: Throwable = e
+          while (root.getCause != null && root.getCause != root) root = root.getCause
+          System.err.println(
+            s"[bench] $name FAILED: ${root.getClass.getName}: ${root.getMessage}")
           e.printStackTrace()
           -1.0
       }

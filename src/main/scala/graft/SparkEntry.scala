@@ -37,6 +37,7 @@ object SparkEntry {
       "q_cust_order_histogram" -> (Relational.qCustOrderHistogram _),
       "q_semi_join"        -> (Relational.qSemiJoin _),
       "q_monthly_revenue"  -> (Relational.qMonthlyRevenue _),
+      "q_skew_join"        -> (Relational.qSkewJoin _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -125,5 +126,18 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
         |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
+    // oracle is the PLAIN join — the salted rewrite must be row-identical
+    "q_skew_join" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN l_partkey % 10 = 0 THEN 0 ELSE l_partkey END AS k,
+        |         l_quantity
+        |  FROM lineitem
+        |), small AS (
+        |  SELECT DISTINCT CASE WHEN p_partkey % 10 = 0 THEN 0 ELSE p_partkey END AS k
+        |  FROM part
+        |)
+        |SELECT b.k, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM big b JOIN small s ON b.k = s.k
+        |GROUP BY b.k""".stripMargin,
   )
 }

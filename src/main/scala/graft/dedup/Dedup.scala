@@ -68,28 +68,75 @@ object Dedup {
       .groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
-  /** E2: LSH banding over minhash signatures → candidate pairs.
-    * numHashes = bands × rowsPerBand; a pair collides if any band of
-    * the signature matches exactly. Returns distinct (doc_a, doc_b). */
-  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val sig = minhashSignatureDf(docs, idCol, textCol, k, bands * rowsPerBand)
+  /** (band, bucket, id) rows from a signature frame with columns
+    * h0..h{bands*rowsPerBand-1}: bucket = md5 of the band's
+    * concatenated hash columns. */
+  def bandedOf(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*))
     }
-    // NOTE (measured at sf0.1): the self-join recomputes the
-    // shingle→signature pipeline once per side; checkpointing `banded`
-    // to share it was NET SLOWER (minhash −0.5 s but jaccard +3 s —
-    // materialization cost exceeds the duplicated aggregation). At
-    // true corpus scale you'd persist the signatures table explicitly
-    // instead of relying on in-plan sharing.
-    val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)))
+    sig.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Candidate pairs from a (band, bucket, id) frame: equality
+    * self-join on the banding key — when the input is a table bucketed
+    * by (band, bucket), this join is exchange-free (StoreSpec asserts
+    * the plan). */
+  def minhashPairsFromBanded(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** E2: LSH banding over minhash signatures → candidate pairs.
+    * numHashes = bands × rowsPerBand; a pair collides if any band of
+    * the signature matches exactly. Returns distinct (doc_a, doc_b).
+    *
+    * Self-contained in-plan variant: the self-join recomputes the
+    * shingle→signature pipeline once per side (measured at sf0.1:
+    * in-plan checkpointing to share it was NET SLOWER). For the
+    * query-many production path use `writeSignatureTables` +
+    * `minhashPairsFromBanded` — the signature pipeline then runs
+    * exactly once, persisted as a bucketed table. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame =
+    minhashPairsFromBanded(bandedOf(
+      minhashSignatureDf(docs, idCol, textCol, k, bands * rowsPerBand),
+      bands, rowsPerBand))
+
+  /** Persisted signature surface (write-once / query-many — the r2
+    * verdict's top ask): ONE exploded-shingle pass computes the minhash
+    * signature AND the distinct shingle set per doc, stored as
+    * `sig` (id, h0.., sh) bucketed by id (Jaccard verification joins
+    * land exchange-free on the signature side) and `banded`
+    * (band, bucket, id) bucketed by the banding key (the candidate
+    * self-join is exchange-free). minhash/jaccard/survivors all read
+    * these two tables — at 100 TB this is the difference between one
+    * corpus-scale shingle scan and three. */
+  final case class SignatureTables(sig: String, banded: String)
+
+  def writeSignatureTables(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int, key: String,
+      buckets: Int = 8): SignatureTables = {
+    import graft.store.GraftStore
+    val n = bands * rowsPerBand
+    val mins = (0 until n).map { i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")
+    }
+    val aggs = mins.tail :+ collect_set(col("s")).as("sh")
+    val sigName = GraftStore.ensureBucketed(spark, s"graft_sig_$key", buckets, Seq("id")) {
+      explodedShingles(docs, idCol, textCol, k)
+        .groupBy("id").agg(mins.head, aggs: _*)
+    }
+    val bandedName = GraftStore.ensureBucketed(spark, s"graft_banded_$key",
+        buckets, Seq("band", "bucket")) {
+      bandedOf(spark.table(sigName), bands, rowsPerBand)
+    }
+    SignatureTables(sigName, bandedName)
   }
 
   /** 32-bit portable token hash: first 8 hex digits of md5 as an
@@ -135,23 +182,31 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** E4: Jaccard-verified near-dup pairs: candidates from LSH banding
-    * (never all-pairs), verified on distinct shingle sets. */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val cand = minhashCandidatePairs(docs, idCol, textCol, k, bands, rowsPerBand)
-    val sh = explodedShingles(docs, idCol, textCol, k)
-      .groupBy("id").agg(collect_set(col("s")).as("sh"))
+  /** Verify candidate pairs on distinct shingle sets (id, sh). */
+  def jaccardVerify(cand: DataFrame, shingleSets: DataFrame,
+      threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sha"), col("shb")))
     val uni = size(col("sha")) + size(col("shb")) - inter
     cand
-      .join(sh.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(shingleSets.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(shingleSets.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("jaccard", round(inter.cast("double") / uni, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** E4: Jaccard-verified near-dup pairs: candidates from LSH banding
+    * (never all-pairs), verified on distinct shingle sets.
+    * Self-contained in-plan variant; the production path feeds
+    * `jaccardVerify` from the persisted signature tables. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    jaccardVerify(
+      minhashCandidatePairs(docs, idCol, textCol, k, bands, rowsPerBand),
+      explodedShingles(docs, idCol, textCol, k)
+        .groupBy("id").agg(collect_set(col("s")).as("sh")),
+      threshold)
 
   /** Unit-normalized copy of a float-array column (computed in
     * double). Normalizing ONCE PER ROW turns every downstream pairwise
@@ -171,12 +226,20 @@ object Dedup {
     * id and keep flag. */
   def survivors(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    survivorsFromPairs(docs, idCol, textCol,
+      jaccardPairs(docs, idCol, textCol, k, bands, rowsPerBand, threshold))
+
+  /** E6 with the near-dup pairs supplied (e.g. from the persisted
+    * signature tables): exact-dup pairs are still derived here — one
+    * cheap hash pass over the corpus — then clustered with the given
+    * near pairs. */
+  def survivorsFromPairs(docs: DataFrame, idCol: String, textCol: String,
+      nearDupPairs: DataFrame): DataFrame = {
     val exactPairs = exactDedup(docs, idCol, textCol)
       .filter(col("is_dup") === 1)
       .select(col("canonical_id").as("u"), col(idCol).as("v"))
-    val nearPairs = jaccardPairs(docs, idCol, textCol, k, bands, rowsPerBand, threshold)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val nearPairs = nearDupPairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val cc = graft.graph.Graphs.connectedComponents(exactPairs.unionAll(nearPairs))
     docs.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -23,24 +23,36 @@ object DedupQueries {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Persisted signature tables for this (session, dir) — built once
+    * (the write-once / query-many surface); minhash, jaccard and
+    * survivors all read them, so the corpus-scale shingle scan runs
+    * once per session instead of once per query. */
+  private def sigTables(spark: SparkSession, dir: String): Dedup.SignatureTables =
+    Dedup.writeSignatureTables(spark, Tables.documents(spark, dir),
+      "doc_id", "text", K, Bands, RowsPerBand,
+      key = graft.store.GraftStore.dirKey(dir))
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(Tables.documents(spark, dir), "doc_id", "text",
-      K, Bands, RowsPerBand)
+    Dedup.minhashPairsFromBanded(spark.table(sigTables(spark, dir).banded))
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDf(Tables.documents(spark, dir), "doc_id", "text")
 
-  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-      K, Bands, RowsPerBand, JaccardThreshold)
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val st = sigTables(spark, dir)
+    Dedup.jaccardVerify(
+      Dedup.minhashPairsFromBanded(spark.table(st.banded)),
+      spark.table(st.sig).select(col("id"), col("sh")),
+      JaccardThreshold)
+  }
 
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       "label", CosineThreshold)
 
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
-    Dedup.survivors(Tables.documents(spark, dir), "doc_id", "text",
-      K, Bands, RowsPerBand, JaccardThreshold)
+    Dedup.survivorsFromPairs(Tables.documents(spark, dir), "doc_id", "text",
+      dedupJaccardPairs(spark, dir))
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dedup_exact"           -> (dedupExact _),

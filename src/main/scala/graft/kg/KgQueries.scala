@@ -95,6 +95,25 @@ object KgQueries {
   def kgEdges(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.edges(Triples.kgTriples(spark, dir))
 
+  val UpsertBatches = 16
+
+  /** B10: the incremental live-load path — deterministic UNWIND-batch
+    * assembly over the typed edges (transport is pluggable and
+    * external; see Neo4jUpsert). Reads the PERSISTED edge table (same
+    * store table the graph-analytics family uses — loading is a
+    * consumer of the constructed graph, not a rebuild). */
+  def kgCypherBatches(spark: SparkSession, dir: String): DataFrame =
+    Neo4jUpsert.edgeUpsertBatches(storedEdges(spark, dir), UpsertBatches)
+
+  /** The constructed KG edge table, persisted write-once/query-many
+    * (shared by name with graft.graph.GraphQueries — GraftStore memoizes
+    * per (session, name), so whoever asks first builds it). */
+  def storedEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.table(graft.store.GraftStore.ensureBucketed(
+      spark, s"graft_edges_${graft.store.GraftStore.dirKey(dir)}", 8, Seq("src")) {
+      GraphBuilder.edges(Triples.kgTriples(spark, dir))
+    })
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "kg_triples"               -> (kgTriples _),
     "kg_extract_json"          -> (kgExtractJson _),
@@ -102,6 +121,7 @@ object KgQueries {
     "kg_standardize_relations" -> (kgStandardizeRelations _),
     "kg_nodes"                 -> (kgNodes _),
     "kg_edges"                 -> (kgEdges _),
+    "kg_cypher_batches"        -> (kgCypherBatches _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,6 +181,24 @@ object KgQueries {
          |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
 
     "kg_edges" -> s"WITH t AS ($triplesSql)\n$edgesSelectSql",
+
+    "kg_cypher_batches" ->
+      s"""WITH t AS ($triplesSql),
+         |e AS (
+         |$edgesSelectSql
+         |),
+         |b AS (
+         |  SELECT
+         |    ('0x' || substr(md5(src_label || '|' || src || '|' || rel || '|' || dst_label || '|' || dst), 1, 8))::bigint
+         |      % $UpsertBatches AS batch_id,
+         |    to_json(struct_pack(src_label := src_label, src := src, rel := rel,
+         |      dst_label := dst_label, dst := dst, weight := weight)) AS row_json
+         |  FROM e
+         |)
+         |SELECT batch_id, count(*) AS n_rows,
+         |  '[' || string_agg(row_json, ',' ORDER BY row_json) || ']' AS rows_json,
+         |  '${Neo4jUpsert.EdgeUnwindCypher}' AS cypher
+         |FROM b GROUP BY batch_id""".stripMargin,
   )
 
   /** The kg_edges SELECT over a CTE `t` of triples — shared with the

@@ -1,0 +1,68 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Incremental batched Neo4j upsert writer (SURVEY §2 B10) — the
+  * reference's OTHER loading path: where exportNeo4jBulk is the
+  * offline 100 TB bulk-import answer, this is the incremental-refresh
+  * shape the reference actually runs — batched UNWIND upserts over a
+  * live connection (Art-Knowledge-Graph-AWS/GRAPH/graph_builder.py
+  * APOC UNWIND batches of 500; GRAPH/main_neo4j_loader.py drives
+  * them).
+  *
+  * Spark-first split: batch ASSEMBLY is a deterministic, oracled
+  * DataFrame transform (md5-derived batch ids — portable, no RNG; rows
+  * serialized to sorted JSON arrays exactly like Sources.jsonBatches);
+  * batch TRANSPORT is a pluggable serializable trait executed with
+  * foreachPartition (per-partition connection, the same
+  * external-system shape as LlmChains.Chain). The bolt driver itself
+  * is external to this engine, so tests run a recording transport.
+  */
+object Neo4jUpsert {
+
+  /** One UNWIND-batch upsert statement template over typed edges —
+    * mirrors the reference MERGE semantics (typed endpoint nodes
+    * merged by (label, name), relationship merged between them,
+    * weight updated). No apostrophes: embeds verbatim in SQL oracles. */
+  val EdgeUnwindCypher: String =
+    """UNWIND $rows AS row
+      |CALL apoc.merge.node([row.src_label], {name: row.src}) YIELD node AS h
+      |CALL apoc.merge.node([row.dst_label], {name: row.dst}) YIELD node AS t
+      |CALL apoc.merge.relationship(h, row.rel, {}, {weight: row.weight}, t) YIELD rel
+      |RETURN count(*)""".stripMargin
+
+  /** Executes (cypher, rowsJson) batches against a live server.
+    * Implementations must be serializable — `run` invokes them on
+    * executors, one transport call per partition so a connection is
+    * opened per partition, not per batch. */
+  trait CypherTransport extends Serializable {
+    def send(batches: Iterator[(String, String)]): Unit
+  }
+
+  /** Deterministic UNWIND batches from a typed edge frame
+    * (GraphBuilder.edges schema): batch_id = md5-derived bucket of the
+    * edge key (portable across engines — the oracle reproduces it),
+    * rows_json = the batch rows as a SORTED compact-JSON array (stable
+    * output regardless of shuffle order). One shuffle on batch_id. */
+  def edgeUpsertBatches(edges: DataFrame, numBatches: Int): DataFrame = {
+    val key = concat_ws("|", col("src_label"), col("src"), col("rel"),
+      col("dst_label"), col("dst"))
+    val bid = conv(substring(md5(key), 1, 8), 16, 10).cast("long") % numBatches
+    val rowJson = to_json(struct(col("src_label"), col("src"), col("rel"),
+      col("dst_label"), col("dst"), col("weight")))
+    edges
+      .select(bid.as("batch_id"), rowJson.as("row_json"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"),
+        concat(lit("["), array_join(sort_array(collect_list(col("row_json"))), ","),
+          lit("]")).as("rows_json"))
+      .withColumn("cypher", lit(EdgeUnwindCypher))
+  }
+
+  /** Ship assembled batches through the transport, partition-parallel. */
+  def run(batches: DataFrame, transport: CypherTransport): Unit =
+    batches.select(col("cypher"), col("rows_json")).foreachPartition {
+      (it: Iterator[Row]) => transport.send(it.map(r => (r.getString(0), r.getString(1))))
+    }
+}

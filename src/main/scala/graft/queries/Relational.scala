@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -164,4 +164,22 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("yr"), col("mon"))
+
+  /** K1 as a driver query — salted join on a DELIBERATELY skewed key:
+    * every 10th part key collapses onto key 0, so ~10% of lineitem
+    * rows land on one hot key (the pathological shape a plain shuffle
+    * join serializes into one straggler task). Skew.saltedJoin spreads
+    * the hot key over 8 salts; the post-join aggregation makes the
+    * result compact and the oracle is the PLAIN join (salting must be
+    * row-identical). */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hot = (c: Column) => when(c % 10 === 0, lit(0L)).otherwise(c)
+    val big = Tables.lineitem(spark, dir)
+      .select(hot(col("l_partkey")).as("k"), col("l_quantity"))
+    val small = Tables.part(spark, dir)
+      .select(hot(col("p_partkey")).as("k")).distinct()
+    graft.operators.Skew.saltedJoin(big, small, "k", saltFactor = 8)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
 }

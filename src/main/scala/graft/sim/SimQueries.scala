@@ -39,10 +39,26 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K, NCentroids, NProbe)
   }
 
+  /** Recall@k of the LSH ANN against brute-force ground truth, fully
+    * IN-PLAN (semi-join on the (query, neighbor) pairs + one agg) — the
+    * ANN quality dial as a driver-visible, oracled query instead of a
+    * test-only number. */
+  def simAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val ann = simAnnLsh(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = ann.join(brute, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    brute.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ann_lsh"    -> (simAnnLsh _),
     "sim_ivf"        -> (simIvf _),
+    "sim_ann_recall" -> (simAnnRecall _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -58,42 +74,63 @@ object SimQueries {
       s"CASE WHEN list_sum(list_transform(list_zip($v, $lits), z -> z[1]::double * z[2])) >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
 
-  def oracleSql: Map[String, String] = Map(
-    "sim_topk_brute" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
-         |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
-         |s AS (
-         |  SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
-         |  FROM q, n WHERE q_id <> n_id
-         |), r AS (
-         |  SELECT q_id, n_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM s
-         |)
-         |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin,
+  private lazy val oracleSqlBrute: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+       |s AS (
+       |  SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
+       |  FROM q, n WHERE q_id <> n_id
+       |), r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
 
-    "sim_ann_lsh" -> {
-      val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
-        s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH b AS (
-         |$bandSelects
-         |), q AS (SELECT id AS q_id, t, bucket FROM b WHERE id < $NumQueries),
-         |cand AS (
-         |  SELECT DISTINCT q.q_id, b.id
-         |  FROM q JOIN b ON q.t = b.t AND q.bucket = b.bucket AND q.q_id <> b.id
-         |), s AS (
-         |  SELECT c.q_id, c.id AS n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
-         |  FROM cand c
-         |  JOIN embeddings qe ON qe.vec_id = c.q_id
-         |  JOIN embeddings ne ON ne.vec_id = c.id
-         |), r AS (
-         |  SELECT q_id, n_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM s
+  private lazy val oracleSqlAnn: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$bandSelects
+       |), q AS (SELECT id AS q_id, t, bucket FROM b WHERE id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, b.id
+       |  FROM q JOIN b ON q.t = b.t AND q.bucket = b.bucket AND q.q_id <> b.id
+       |), s AS (
+       |  SELECT c.q_id, c.id AS n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ne ON ne.vec_id = c.id
+       |), r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" -> oracleSqlBrute,
+
+    "sim_ann_lsh" -> oracleSqlAnn,
+
+    "sim_ann_recall" ->
+      // the brute / ann oracles nest as derived tables (DuckDB allows a
+      // WITH clause inside a parenthesized subquery), so this oracle
+      // cannot drift from theirs
+      s"""WITH brute AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |ann AS (SELECT q_id, n_id FROM (${oracleSqlAnn})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM ann a WHERE EXISTS (
+         |    SELECT 1 FROM brute b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
          |)
-         |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
-    },
+         |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM brute) q
+         |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
 
     "sim_ivf" ->
       s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),

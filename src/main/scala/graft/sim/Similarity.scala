@@ -32,12 +32,18 @@ object Similarity {
   }
 
   /** Sign-bucket of a vector under the given planes: one bit per plane
-    * ('1' iff dot(v, plane) >= 0), concatenated to a bucket string. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =
+    * ('1' iff dot(v, plane) >= 0), concatenated to a bucket string.
+    * The dot is the codegen'd graft_dot over (cast array, literal
+    * plane) — Cast-to-array<double> is codegen'd, and graft_dot
+    * accumulates in element order, so bucket values are bit-identical
+    * to the previous interpreted aggregate/zip_with formulation (and
+    * to the DuckDB oracle's list_sum) while staying inside
+    * whole-stage codegen. */
+  def lshBucket(spark: org.apache.spark.sql.SparkSession, vec: Column,
+      planes: Seq[Seq[Int]]): Column =
     concat(planes.map { pl =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(pl), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = VectorFunctions.dotProduct(spark,
+        vec.cast("array<double>"), typedLit(pl.map(_.toDouble)))
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
@@ -65,7 +71,8 @@ object Similarity {
     * only DISTINCT candidate pairs are cosine-scored. */
   def annLsh(vecs: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, tables: Seq[Seq[Seq[Int]]]): DataFrame = {
-    val buckets = array(tables.map(pl => lshBucket(col("v"), pl)): _*)
+    val buckets = array(tables.map(pl =>
+      lshBucket(vecs.sparkSession, col("v"), pl)): _*)
     val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")

@@ -15,8 +15,14 @@ import graft.Tables
   */
 object IngestQueries {
 
+  /** Per-JVM unique scratch root: two concurrent (or back-to-back)
+    * runs must never write/read the same round-trip directory — a
+    * half-overwritten dir was the prime suspect in the r2 bench's
+    * transient first-attempt failure. */
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
+
   private def tmp(sub: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ing/$sub"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ing_$runId/$sub"
 
   def ingCsv(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.nation(spark, dir)

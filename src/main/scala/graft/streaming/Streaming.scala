@@ -113,6 +113,25 @@ object Streaming {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Kafka-shaped source abstraction: every transform in this module
+    * takes the events schema (ts, event_type, value, …) and does not
+    * care which source produced it — swap file/rate/socket/kafka by
+    * changing ONLY the reader, the transforms are source-agnostic.
+    * `shapeEvents` is the one shaping function from a raw
+    * (timestamp, value) stream row into that schema. */
+  def shapeEvents(raw: DataFrame): DataFrame =
+    raw.select(col("timestamp").as("ts"),
+      concat(lit("type_"), col("value") % 3).as("event_type"),
+      (col("value") % 100).cast("double").as("value"))
+
+  /** Rate source behind `shapeEvents` — the deterministic stand-in for
+    * a Kafka topic (no broker in this container; the production wiring
+    * is `format("kafka")` + the SAME shaping function, proving the
+    * reader is the only part that changes). */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    shapeEvents(spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load())
+
   /** I4: checkpointed file-stream → parquet sink. Returns the running
     * query; callers own its lifecycle. */
   def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,

@@ -97,19 +97,28 @@ object TextQueries {
     * identical in every engine. Exploded-row aggregation (codegen'd,
     * map-side combined) rather than interpreted array lambdas. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // ONE scan, ONE shuffle (r2 took three scans + two joins): tokens
+    // explode to rows carrying the 32-char doc hash (never the full
+    // text); the 3-gram shingle at position i is rebuilt with two
+    // window leads over (doc_id, pos) — the window's own shuffle is
+    // the only exchange, and the per-doc aggregation reuses its
+    // partitioning. All hashing is codegen'd md5 on plain rows (no
+    // interpreted array lambdas — the measured HOF pitfall). Docs with
+    // fewer than 3 tokens have no shingle rows; their min shingle hash
+    // falls back to md5(text), matching the oracle's CASE.
     val d = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    val minTok = d.select(col("doc_id"), explode(toks).as("t"))
-      .groupBy("doc_id").agg(min(md5(col("t"))).as("min_token_hash"))
-    val shingles = when(n >= 3,
-      transform(sequence(lit(1), n - 2), i => array_join(slice(toks, i, lit(3)), " ")))
-      .otherwise(array(col("text")))
-    val minSh = d.select(col("doc_id"), explode(shingles).as("s"))
-      .groupBy("doc_id").agg(min(md5(col("s"))).as("min_shingle_hash"))
-    d.select(col("doc_id"), md5(col("text")).as("md5_full"))
-      .join(minTok, "doc_id")
-      .join(minSh, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val l1 = lead(col("t"), 1).over(w)
+    val l2 = lead(col("t"), 2).over(w)
+    d.select(col("doc_id"), md5(col("text")).as("md5_full"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("md5_full"), md5(col("t")).as("th"),
+        when(l2.isNotNull, md5(concat_ws(" ", col("t"), l1, l2))).as("sh"))
+      .groupBy("doc_id")
+      .agg(max(col("md5_full")).as("md5_full"),
+        min(col("th")).as("min_token_hash"),
+        coalesce(min(col("sh")), max(col("md5_full"))).as("min_shingle_hash"))
   }
 
   /** G5: deterministic train/val/test split by md5 hash range — the
@@ -167,14 +176,18 @@ object TextQueries {
     * then per-term doc frequency joined back. */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val nDocs = d.count().toDouble
+    // nDocs as an IN-PLAN broadcast scalar (one row) instead of a
+    // driver-side d.count(): the r2 version launched an extra job per
+    // invocation before the real plan even started.
+    val nDocs = broadcast(d.agg(count(lit(1)).cast("double").as("n_docs")))
     val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
-      .orderBy((col("tf") * log(lit(nDocs) / col("df"))).desc, col("term"))
+      .orderBy((col("tf") * log(col("n_docs") / col("df"))).desc, col("term"))
     tf.join(dfreq, "term")
+      .crossJoin(nDocs)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select("doc_id", "term", "tf", "df", "rnk")

@@ -4,6 +4,14 @@ import java.nio.file.Files
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** JVM-static transport sink: task closures are serialized even in
+  * local mode, so the recording queue must live in a static object the
+  * deserialized closure resolves back to. */
+object RecordingTransport extends Neo4jUpsert.CypherTransport {
+  val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  def send(bs: Iterator[(String, String)]): Unit = bs.foreach(got.add)
+}
+
 class KgSpec extends SparkSpec {
 
   private def triplesDf(rows: (String, String, String, String, String)*) = {
@@ -87,6 +95,36 @@ class KgSpec extends SparkSpec {
       .select("t.subject", "t.object").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set((null, "tail"), ("head", null)))
+  }
+
+  test("B10 UNWIND upsert batches reassemble to the edges and reach the transport") {
+    import spark.implicits._
+    val triples = Seq(
+      ("A", "artist", "painted", "X", "artwork"),
+      ("A", "artist", "painted", "Y", "artwork"),
+      ("B", "museum", "houses", "X", "artwork"),
+    ).toDF("subject", "subject_type", "relation", "object", "object_type")
+    val edges = GraphBuilder.edges(triples)
+    val batches = Neo4jUpsert.edgeUpsertBatches(edges, numBatches = 4)
+    // every batch carries the one statement template, and the union of
+    // all rows_json rows is exactly the edge set
+    assert(batches.select("cypher").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(Neo4jUpsert.EdgeUnwindCypher))
+    val rows = batches.select(explode(from_json(col("rows_json"),
+        org.apache.spark.sql.types.ArrayType(edges.schema))).as("r"))
+      .select("r.*")
+    assert(rows.collect().toSet == edges.collect().toSet)
+    assert(batches.agg(sum("n_rows")).first().getLong(0) == edges.count())
+    // transport: record what foreachPartition ships. The sink is a
+    // JVM-static object (task closures are serialized even in local
+    // mode, so a test-local queue would be captured by copy); on a
+    // cluster the transport would hold a per-partition bolt session.
+    RecordingTransport.got.clear()
+    Neo4jUpsert.run(batches, RecordingTransport)
+    import scala.jdk.CollectionConverters._
+    val sent = RecordingTransport.got.asScala.toSeq
+    assert(sent.size == batches.count())
+    assert(sent.forall(_._1 == Neo4jUpsert.EdgeUnwindCypher))
   }
 
   test("A8 partitioned parquet write round-trips with partition pruning") {

@@ -1,0 +1,70 @@
+package graft.store
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.dedup.Dedup
+
+/** Persisted signature/edge-table surface (r3): write-once /
+  * query-many, with the candidate self-join exchange-free on the
+  * bucketed banding key, and results identical to the self-contained
+  * in-plan operators.
+  */
+class StoreSpec extends SparkSpec {
+
+  private def countExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // execute so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case e: ShuffleExchangeExec => e }.size
+  }
+
+  private lazy val st = Dedup.writeSignatureTables(spark,
+    Tables.documents(spark, sfDir), "doc_id", "text",
+    k = 3, bands = 4, rowsPerBand = 3, key = "storespec")
+
+  test("banded candidate self-join is exchange-free on the bucketed table") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val banded = spark.table(st.banded)
+      val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
+      val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"))
+      val joined = a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+      assert(countExchanges(joined) == 0,
+        "bucketed (band,bucket) self-join must not shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("store-backed minhash pairs equal the in-plan operator") {
+    val docs = Tables.documents(spark, sfDir)
+    val fromStore = Dedup.minhashPairsFromBanded(spark.table(st.banded))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val inPlan = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 4, 3)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(fromStore == inPlan)
+  }
+
+  test("store-backed jaccard pairs equal the in-plan operator") {
+    val docs = Tables.documents(spark, sfDir)
+    val fromStore = Dedup.jaccardVerify(
+        Dedup.minhashPairsFromBanded(spark.table(st.banded)),
+        spark.table(st.sig).select(col("id"), col("sh")), 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val inPlan = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 4, 3, 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(fromStore == inPlan)
+  }
+
+  test("ensureBucketed memoizes: the build runs once per (session, name)") {
+    var builds = 0
+    def build = { builds += 1; Tables.region(spark, sfDir) }
+    val n1 = GraftStore.ensureBucketed(spark, "graft_memo_test", 2, Seq("r_regionkey"))(build)
+    val n2 = GraftStore.ensureBucketed(spark, "graft_memo_test", 2, Seq("r_regionkey"))(build)
+    assert(n1 == n2 && builds == 1)
+    assert(spark.table(n1).count() == Tables.region(spark, sfDir).count())
+  }
+}

@@ -120,6 +120,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I1 windowedCounts runs unchanged over a kafka-shaped rate source") {
+    // Source-agnostic transforms: the SAME windowedCounts that is
+    // batch-oracled (ev_windowed) and MemoryStream-parity-tested above
+    // runs over a live rate source with only the reader swapped.
+    val q = Streaming.windowedCounts(Streaming.rateEvents(spark, rowsPerSecond = 1000))
+      .writeStream.format("memory").queryName("rate_out").outputMode("complete").start()
+    try {
+      var tries = 0
+      while (spark.table("rate_out").isEmpty && tries < 120) {
+        Thread.sleep(250); q.processAllAvailable(); tries += 1
+      }
+      val out = spark.table("rate_out")
+      assert(!out.isEmpty, "rate-source stream produced no windows")
+      // identical output schema to the batch path over the events table
+      val batchSchema = Streaming.windowedCounts(
+        graft.Tables.events(spark, sfDir)).schema
+      assert(out.schema == batchSchema,
+        s"${out.schema} vs batch $batchSchema")
+      val types = out.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(types.nonEmpty && types.subsetOf(Set("type_0", "type_1", "type_2")))
+    } finally q.stop()
+  }
+
   test("I3 props parse keeps only high-k events") {
     import spark.implicits._
     val df = Seq(
