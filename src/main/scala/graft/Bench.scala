@@ -33,6 +33,18 @@ object Bench {
     materialize(SparkEntry.queries.keys.head).left.foreach(e =>
       System.err.println(s"[bench] warm-up failed: $e"))
 
+    // One-time persisted-store builds (kg edge table + dedup signature
+    // tables), paid HERE and reported as build_sec — the per-query
+    // numbers below time the query-many read path only (r3 advice:
+    // don't let min-of-two silently hide the build in whichever query
+    // touches the store first).
+    val buildSec =
+      try graft.store.GraftStore.timeBuild(Seq(
+        () => { graft.kg.KgQueries.storedEdges(spark, sfDir); () },
+        () => graft.dedup.DedupQueries.warmStores(spark, sfDir)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] store build failed: $e"); -1.0 }
+
     var errors = 0
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -60,7 +72,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
     if (errors > 0) sys.exit(1)
   }

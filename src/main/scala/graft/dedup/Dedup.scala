@@ -121,7 +121,11 @@ object Dedup {
   def writeSignatureTables(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, rowsPerBand: Int, key: String,
-      buckets: Int = 8): SignatureTables = {
+      buckets: Int = 32): SignatureTables = {
+    // default 32 buckets: a bucketed-table scan gets ONE partition per
+    // bucket, so the bucket count is also the downstream read
+    // parallelism — size it to the executor-core total (local[32]
+    // here; at cluster scale pick cores×(2..4))
     import graft.store.GraftStore
     val n = bands * rowsPerBand
     val mins = (0 until n).map { i =>

@@ -32,6 +32,11 @@ object DedupQueries {
       "doc_id", "text", K, Bands, RowsPerBand,
       key = graft.store.GraftStore.dirKey(dir))
 
+  /** Force the persisted signature tables to exist — the bench calls
+    * this so the one-time build is paid (and reported) OUTSIDE the
+    * per-query read-path timings. */
+  def warmStores(spark: SparkSession, dir: String): Unit = { sigTables(spark, dir); () }
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairsFromBanded(spark.table(sigTables(spark, dir).banded))
 

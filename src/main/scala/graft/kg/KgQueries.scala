@@ -109,8 +109,11 @@ object KgQueries {
     * (shared by name with graft.graph.GraphQueries — GraftStore memoizes
     * per (session, name), so whoever asks first builds it). */
   def storedEdges(spark: SparkSession, dir: String): DataFrame =
+    // 32 buckets = 32-way scan parallelism for every downstream
+    // consumer (a bucketed scan is one partition per bucket; the r3
+    // 8-bucket table ran the whole graph family at 8-way on 32 cores)
     spark.table(graft.store.GraftStore.ensureBucketed(
-      spark, s"graft_edges_${graft.store.GraftStore.dirKey(dir)}", 8, Seq("src")) {
+      spark, s"graft_edges_${graft.store.GraftStore.dirKey(dir)}", 32, Seq("src")) {
       GraphBuilder.edges(Triples.kgTriples(spark, dir))
     })
 

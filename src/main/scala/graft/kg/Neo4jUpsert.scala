@@ -46,11 +46,20 @@ object Neo4jUpsert {
     * rows_json = the batch rows as a SORTED compact-JSON array (stable
     * output regardless of shuffle order). One shuffle on batch_id. */
   def edgeUpsertBatches(edges: DataFrame, numBatches: Int): DataFrame = {
-    val key = concat_ws("|", col("src_label"), col("src"), col("rel"),
-      col("dst_label"), col("dst"))
+    // Null-safe on arbitrary caller frames (r3 advice): concat_ws SKIPS
+    // nulls and to_json OMITS null fields, so a null label would shift
+    // the batch key and shrink the JSON relative to a null-propagating
+    // oracle ('||' / struct_pack). GraphBuilder.edges can't emit null
+    // labels (normalizeLabel defaults to Entity), but this API accepts
+    // any edge frame — coalesce the key columns to '' so both engines
+    // see identical bytes either way.
+    val Seq(srcL, src, rel, dstL, dst) =
+      Seq("src_label", "src", "rel", "dst_label", "dst")
+        .map(c => coalesce(col(c), lit("")))
+    val key = concat_ws("|", srcL, src, rel, dstL, dst)
     val bid = conv(substring(md5(key), 1, 8), 16, 10).cast("long") % numBatches
-    val rowJson = to_json(struct(col("src_label"), col("src"), col("rel"),
-      col("dst_label"), col("dst"), col("weight")))
+    val rowJson = to_json(struct(srcL.as("src_label"), src.as("src"), rel.as("rel"),
+      dstL.as("dst_label"), dst.as("dst"), col("weight")))
     edges
       .select(bid.as("batch_id"), rowJson.as("row_json"))
       .groupBy("batch_id")

@@ -20,7 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftStore {
 
-  private val built = TrieMap.empty[(SparkSession, String), String]
+  /** Memo value records the build parameters so a name reused with
+    * DIFFERENT parameters fails fast instead of silently serving the
+    * stale table built with the old ones (r3 advice). */
+  private case class Built(buckets: Int, bucketCols: Seq[String], sortCols: Seq[String])
+  private val built = TrieMap.empty[(SparkSession, String), Built]
 
   /** Per-JVM unique scratch root: parallel runs must never collide. */
   private lazy val defaultBase: String =
@@ -32,16 +36,31 @@ object GraftStore {
     * sort-merge joins skip the sort as well as the exchange. */
   def ensureBucketed(spark: SparkSession, name: String, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String] = Nil)
-      (df: => DataFrame): String =
-    built.getOrElseUpdate((spark, name), {
-      val sort = if (sortCols.nonEmpty) sortCols else bucketCols
+      (df: => DataFrame): String = {
+    val sort = if (sortCols.nonEmpty) sortCols else bucketCols
+    val params = Built(buckets, bucketCols, sort)
+    val memo = built.getOrElseUpdate((spark, name), {
       df.write.mode("overwrite").format("parquet")
         .option("path", s"$defaultBase/$name")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(sort.head, sort.tail: _*)
         .saveAsTable(name)
-      name
+      params
     })
+    require(memo == params,
+      s"table '$name' was built with $memo but requested with $params — " +
+        "use a distinct table name per parameterization")
+    name
+  }
+
+  /** Force-build (or just touch) a set of ensure-thunks, timing them —
+    * lets the bench pay the one-time store build OUTSIDE query timings
+    * and report it separately. */
+  def timeBuild(thunks: Seq[() => Unit]): Double = {
+    val t0 = System.nanoTime()
+    thunks.foreach(_.apply())
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** Catalog-safe suffix for a data directory. */
   def dirKey(dir: String): String =

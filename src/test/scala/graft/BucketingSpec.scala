@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** A8 scale path: bucketed tables co-locate fact-fact joins so the
@@ -11,32 +9,25 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   test("bucketed-by-join-key tables join without a shuffle exchange") {
-    import spark.implicits._
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-      val lineitem = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
-      orders.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("b_orders")
-      lineitem.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("b_lineitem")
-      val joined = spark.table("b_lineitem")
-        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
-      val rows = joined.count()
-      assert(rows == lineitem.count(), "inner join on FK must keep all lineitems")
-      val plan = joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
+    noBroadcast {
+      try {
+        val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        val lineitem = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+        orders.write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("b_orders")
+        lineitem.write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("b_lineitem")
+        val joined = spark.table("b_lineitem")
+          .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        assert(joined.count() == lineitem.count(),
+          "inner join on FK must keep all lineitems")
+        assert(countExchanges(joined) == 0, "bucketed join must not shuffle")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
       }
-      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-      assert(exchanges.isEmpty,
-        s"bucketed join must not shuffle; found ${exchanges.size} exchanges")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
 }

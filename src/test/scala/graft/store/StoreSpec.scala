@@ -1,7 +1,5 @@
 package graft.store
 
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 import graft.dedup.Dedup
@@ -13,22 +11,12 @@ import graft.dedup.Dedup
   */
 class StoreSpec extends SparkSpec {
 
-  private def countExchanges(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect() // execute so AQE finalizes the plan
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collect { case e: ShuffleExchangeExec => e }.size
-  }
-
   private lazy val st = Dedup.writeSignatureTables(spark,
     Tables.documents(spark, sfDir), "doc_id", "text",
     k = 3, bands = 4, rowsPerBand = 3, key = "storespec")
 
   test("banded candidate self-join is exchange-free on the bucketed table") {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    noBroadcast {
       val banded = spark.table(st.banded)
       val a = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
       val b = banded.select(col("band"), col("bucket"), col("id").as("doc_b"))
@@ -36,7 +24,20 @@ class StoreSpec extends SparkSpec {
         .filter(col("doc_a") < col("doc_b"))
       assert(countExchanges(joined) == 0,
         "bucketed (band,bucket) self-join must not shuffle")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("countExchanges detects real shuffles (negative control for the assertion above)") {
+    noBroadcast {
+      // join on a NON-bucket-aligned key: must shuffle, and the counter
+      // must see it through the AQE query-stage wrapping
+      val banded = spark.table(st.banded)
+      val a = banded.select(col("bucket"), col("id").as("doc_a"))
+      val b = banded.select(col("bucket"), col("id").as("doc_b"))
+      val joined = a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      assert(countExchanges(joined) > 0,
+        "a non-bucket-aligned join must shuffle; if this is 0 the counter is blind")
+    }
   }
 
   test("store-backed minhash pairs equal the in-plan operator") {
@@ -66,5 +67,16 @@ class StoreSpec extends SparkSpec {
     val n2 = GraftStore.ensureBucketed(spark, "graft_memo_test", 2, Seq("r_regionkey"))(build)
     assert(n1 == n2 && builds == 1)
     assert(spark.table(n1).count() == Tables.region(spark, sfDir).count())
+  }
+
+  test("ensureBucketed fails fast when a name is reused with different parameters") {
+    GraftStore.ensureBucketed(spark, "graft_memo_params", 2, Seq("r_regionkey")) {
+      Tables.region(spark, sfDir)
+    }
+    intercept[IllegalArgumentException] {
+      GraftStore.ensureBucketed(spark, "graft_memo_params", 4, Seq("r_name")) {
+        Tables.region(spark, sfDir)
+      }
+    }
   }
 }
