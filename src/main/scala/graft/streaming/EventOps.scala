@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics operators beyond the windows/sessions family:
+  * as-of join and ordered funnel (SURVEY §2 I6-I7).
+  *
+  * Scale notes:
+  *  - asOfJoin is the UNION + running-last formulation, not a range
+  *    join: both sides shuffle ONCE on the partition key and a single
+  *    window pass computes the match, so cost is O(events log events)
+  *    per user-partition regardless of how many right-rows precede
+  *    each left row. A range-predicate join (the naive formulation)
+  *    multiplies candidates before filtering — at 100 TB that's the
+  *    difference between one sort and a quadratic blow-up on hot keys.
+  *  - funnel is K chained aggregate+join rounds (K = #steps, small
+  *    constant); every round is keyed on user_id so AQE can coalesce
+  *    and skew-split. The per-step frames are narrow (user_id, ts).
+  */
+object EventOps {
+
+  /** As-of join: for each LEFT event (e.g. purchase), the most recent
+    * RIGHT event (e.g. click) of the same `keyCol` with right.ts <=
+    * left.ts. Right rows are first deduped to one per (key, ts) by max
+    * id — ties on ts are otherwise ambiguous — and ties between a left
+    * and right row at the same ts count as matched (<=).
+    *
+    * Returns left (key, id, ts, value) + matched (right_id, right_ts),
+    * nulls when no prior right event exists. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val k = col(keyCol)
+    val idType = left.schema(idCol).dataType
+    val valueType = left.schema(valueCol).dataType
+    // one right row per (key, ts): max id wins (deterministic)
+    val r = right.groupBy(k.as("key"), col(tsCol).as("ts"))
+      .agg(max(col(idCol)).as("right_id"))
+      .select(col("key"), col("ts"), lit(0).as("kind"),
+        col("right_id"), lit(null).cast(idType).as("left_id"),
+        lit(null).cast(valueType).as("value"))
+    val l = left.select(k.as("key"), col(tsCol).as("ts"), lit(1).as("kind"),
+      lit(null).cast(right.schema(idCol).dataType).as("right_id"),
+      col(idCol).as("left_id"),
+      col(valueCol).as("value"))
+    // kind orders right rows BEFORE left rows on equal ts, so a
+    // same-instant right event is visible to the left row (<=); the
+    // trailing left_id term makes the frame order total, hence the
+    // running last_value deterministic
+    val w = Window.partitionBy("key")
+      .orderBy(col("ts"), col("kind"), col("left_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionAll(l)
+      .withColumn("asof_right_id", last(col("right_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_right_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("key").as(keyCol), col("left_id"), col("ts").as("left_ts"),
+        col("value"), col("asof_right_id").as("right_id"),
+        col("asof_right_ts").as("right_ts"))
+  }
+
+  /** Ordered funnel: users counted at step i must have performed step
+    * i's event type AT OR AFTER their first qualifying step i-1 event
+    * (first-touch semantics: each step's anchor is the MIN qualifying
+    * ts). Returns (step, event_type, n_users), one row per step. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // anchor(1) = min ts of step-1 events per user
+    var anchors = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol).as("key")).agg(min(col(tsCol)).as("t"))
+      .localCheckpoint(eager = true) // each round reuses the previous frame twice (count + join)
+    val counts = Seq.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, anchors.count()))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      anchors = events.filter(col(typeCol) === step)
+        .join(anchors, col(keyCol) === col("key"))
+        .filter(col(tsCol) >= col("t"))
+        .groupBy(col("key")).agg(min(col(tsCol)).as("t"))
+        .localCheckpoint(eager = true)
+      counts += ((i + 1, step, anchors.count()))
+    }
+    counts.result().toDF("step", "event_type", "n_users")
+  }
+}

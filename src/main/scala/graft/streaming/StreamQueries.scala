@@ -27,11 +27,31 @@ object StreamQueries {
       ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
   }
 
+  /** Funnel step order (first-touch, see EventOps.funnel). */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** As-of join: every purchase matched to the user's most recent click
+    * at-or-before it (the attribution question ev_attribution answers
+    * with a bounded range join, answered instead with the single-pass
+    * running-last formulation — the shape that survives 100 TB). */
+  def evAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    EventOps.asOfJoin(
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"),
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+      "user_id", "ts", "event_id", "value")
+  }
+
+  def evFunnel(spark: SparkSession, dir: String): DataFrame =
+    EventOps.funnel(Tables.events(spark, dir), FunnelSteps)
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
     "ev_props"       -> (evProps _),
     "ev_attribution" -> (evAttribution _),
+    "ev_asof"        -> (evAsof _),
+    "ev_funnel"      -> (evFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -71,5 +91,56 @@ object StreamQueries {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50""".stripMargin,
+
+    // mirrors EventOps.asOfJoin step for step (dedup right per (key,ts)
+    // by max id; union with kind ordering rights before lefts on equal
+    // ts; running last_value over a total order) — NOT an ASOF JOIN,
+    // whose tie-on-equal-right-ts choice DuckDB leaves unspecified.
+    "ev_asof" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, ts, max(event_id) AS right_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), u AS (
+        |  SELECT key, ts, 0 AS kind, right_id,
+        |         NULL::bigint AS left_id, NULL::double AS value
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT key, ts, kind, left_id, value,
+        |    last_value(right_id IGNORE NULLS) OVER
+        |      (PARTITION BY key ORDER BY ts, kind, left_id
+        |       ROWS UNBOUNDED PRECEDING) AS asof_right_id,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER
+        |      (PARTITION BY key ORDER BY ts, kind, left_id
+        |       ROWS UNBOUNDED PRECEDING) AS asof_right_ts
+        |  FROM u
+        |)
+        |SELECT key AS user_id, left_id, ts AS left_ts, value,
+        |  asof_right_id AS right_id, asof_right_ts AS right_ts
+        |FROM w WHERE kind = 1""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS key, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id AS key, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.key
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id AS key, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.key
+        |  WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY 1
+        |), s4 AS (
+        |  SELECT e.user_id AS key, min(e.ts) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.key
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY 1
+        |)
+        |SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
   )
 }
