@@ -193,6 +193,87 @@ object TextQueries {
       .select("doc_id", "term", "tf", "df", "rnk")
   }
 
+  /** PII patterns applied in declaration order (order matters: a
+    * phone-like SSN must hit the earlier, more specific rule). Both the
+    * Spark chain and the oracle SQL are generated from this list. The
+    * regexes stay in the Java∩RE2 common dialect (classes, \d, \b,
+    * bounded reps) so Spark and DuckDB agree byte for byte. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b",                      "[SSN]"),
+    ("phone", "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b",                "[PHONE]"),
+    ("ipv4",  "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** G9: PII redaction — sequential regexp_replace chain plus a
+    * per-rule match count (the audit trail a redaction pass must
+    * emit). Pure codegen'd per-row work: no shuffle, scales as a
+    * straight corpus scan. */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    val counts = piiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).as(s"n_$name")
+    }
+    d.select((col("doc_id") +: counts :+ redacted.as("redacted")): _*)
+  }
+
+  val ChunkChars = 200
+  val ChunkStride = 150
+
+  /** G10: fixed-window overlapping chunking (window 200 chars, stride
+    * 150) — the context-window preprocessing step. One explode per
+    * document, no shuffle; chunk count is ceil(len/stride) so the
+    * output is linear in corpus size. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val len = length(col("text"))
+    val starts = when(len > 0, sequence(lit(0), len - 1, lit(ChunkStride)))
+      .otherwise(array())
+    d.select(col("doc_id"), col("text"), explode(starts).as("chunk_start"))
+      .select(col("doc_id"),
+        (col("chunk_start") / ChunkStride).cast("int").as("chunk_idx"),
+        col("chunk_start"),
+        substring(col("text"), col("chunk_start") + 1, lit(ChunkChars)).as("chunk"))
+  }
+
+  val PackBudget = 512 // tokens per packed sequence
+
+  /** G11: contiguous sequence packing — documents in doc_id order are
+    * packed into fixed token budgets by a running sum, PER SOURCE
+    * shard: the window partitions by source, so packing parallelizes
+    * across shards instead of forcing one global sequential scan (the
+    * per-shard split any 100 TB packing run uses). Bin assignment is
+    * floor(exclusive-cumsum / budget) — a doc larger than the budget
+    * still lands in exactly one bin. */
+  def textPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val n = size(tokens(col("text")))
+    d.select(col("source"), col("doc_id"), n.as("n_tok"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / PackBudget).cast("int"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_packed"))
+  }
+
+  val SampleBucketMax = 6554 // of 65536 ≈ 10% per stratum
+
+  /** G12: deterministic stratified sampling — hash-range filter salted
+    * with the stratum (lang), so each stratum is sampled independently
+    * and membership is stable across runs/engines (same mechanism as
+    * the G5 split, no RNG). Pure filter: no shuffle. */
+  def textSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(concat_ws("|", lit("sample"), col("lang"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int")
+    d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < SampleBucketMax)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_tfidf"        -> (textTfidf _),
     "text_ngrams"       -> (textNgrams _),
@@ -202,6 +283,10 @@ object TextQueries {
     "text_fingerprint"  -> (textFingerprint _),
     "text_split"        -> (textSplit _),
     "text_corpus_stats" -> (textCorpusStats _),
+    "text_redact"       -> (textRedact _),
+    "text_chunks"       -> (textChunks _),
+    "text_pack"         -> (textPack _),
+    "text_sample"       -> (textSample _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -314,5 +399,53 @@ object TextQueries {
          |           i -> md5(array_to_string(toks[i:i+2], ' '))), 'min')
          |    ELSE md5(text) END AS min_shingle_hash
          |FROM q""".stripMargin,
+
+    "text_redact" -> {
+      // same fold order as the Spark chain; DuckDB needs the 'g' flag
+      // (its regexp_replace is first-match-only by default, Spark's is
+      // global)
+      val chain = piiPatterns.foldLeft("text") {
+        case (c, (_, re, token)) => s"regexp_replace($c, '$re', '$token', 'g')"
+      }
+      val counts = piiPatterns.map { case (name, re, _) =>
+        s"length(regexp_extract_all(text, '$re')) AS n_$name"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $counts,
+         |  $chain AS redacted
+         |FROM documents""".stripMargin
+    },
+
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    unnest(CASE WHEN len > 0 THEN range(0, len, $ChunkStride) ELSE [] END) AS start
+         |  FROM t
+         |)
+         |SELECT doc_id, (start // $ChunkStride)::int AS chunk_idx,
+         |  start::int AS chunk_start,
+         |  substr(text, start::int + 1, $ChunkChars) AS chunk
+         |FROM s""".stripMargin,
+
+    "text_pack" ->
+      s"""WITH q AS (
+         |  SELECT source, doc_id, length($toksSql) AS n_tok FROM documents
+         |), b AS (
+         |  SELECT source, n_tok,
+         |    floor(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / $PackBudget)::int AS bin
+         |  FROM q
+         |)
+         |SELECT source, bin, count(*) AS n_docs, sum(n_tok)::bigint AS tokens_packed
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "text_sample" ->
+      s"""SELECT doc_id, lang,
+         |  ('0x' || substr(md5(concat_ws('|', 'sample', lang, doc_id)), 1, 4))::int AS bucket
+         |FROM documents
+         |WHERE ('0x' || substr(md5(concat_ws('|', 'sample', lang, doc_id)), 1, 4))::int
+         |      < $SampleBucketMax""".stripMargin,
   )
 }

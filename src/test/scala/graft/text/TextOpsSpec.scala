@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** G9-G12 edge cases on hand-built frames (driver-query coverage at
+  * corpus scale lives in the text_redact/chunks/pack/sample oracles). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redaction chain replaces all occurrences in declaration order") {
+    val redacted = TextQueries.piiPatterns.foldLeft(col("text")) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    val out = Seq(
+      "mail a@b.co and c@d.org now",     // two emails
+      "ssn 123-45-6789 phone 555-123-4567", // SSN must win over phone-like
+      "ip 10.0.0.1 end").toDF("text")
+      .select(redacted.as("r")).as[String].collect().toSeq
+    assert(out == Seq(
+      "mail [EMAIL] and [EMAIL] now",
+      "ssn [SSN] phone [PHONE]",
+      "ip [IP] end"))
+  }
+
+  test("chunking covers the text with the configured overlap, empty text yields none") {
+    val doc = "x" * 350 // starts 0,150,300 -> lens 200,200,50
+    val df = Seq((1L, doc), (2L, "")).toDF("doc_id", "text")
+    val starts = when(length(col("text")) > 0,
+      sequence(lit(0), length(col("text")) - 1, lit(TextQueries.ChunkStride)))
+      .otherwise(array())
+    val out = df.select(col("doc_id"), col("text"), explode(starts).as("s"))
+      .select(col("doc_id"), col("s"),
+        length(substring(col("text"), col("s") + 1, lit(TextQueries.ChunkChars))).as("l"))
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(out == Seq((1L, 0, 200), (1L, 150, 200), (1L, 300, 50)))
+  }
+
+  test("packing bins by exclusive running sum: oversized doc occupies one bin") {
+    // budget 512: docs of 300+300 fill bin 0 (cum 0,300), a 900-token
+    // doc starts at cum 600 -> bin 1, next doc at cum 1500 -> bin 2
+    val docs = Seq(
+      ("s", 1L, ("w " * 300).trim), ("s", 2L, ("w " * 300).trim),
+      ("s", 3L, ("w " * 900).trim), ("s", 4L, ("w " * 10).trim))
+      .toDF("source", "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val out = docs
+      .select(col("source"), col("doc_id"),
+        size(TextQueries.tokens(col("text"))).as("n"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n")).over(w), lit(0L)) / TextQueries.PackBudget).cast("int"))
+      .select("doc_id", "bin").as[(Long, Int)].collect().toSeq.sorted
+    assert(out == Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)))
+  }
+
+  test("stratified sample is deterministic and independent per stratum") {
+    val a = TextQueries.textSample(spark, sfDir).collect().toSeq
+    val b = TextQueries.textSample(spark, sfDir).collect().toSeq
+    assert(a.nonEmpty && a.toSet == b.toSet)
+    // salting with lang means the kept id-set differs per stratum (the
+    // same doc_id would be kept in one lang and dropped in another)
+    assert(a.forall(_.getInt(2) < TextQueries.SampleBucketMax))
+  }
+}
