@@ -45,24 +45,36 @@ object GraphQueries {
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
     Graphs.bfs(Graphs.undirectedIds(kgEdges(spark, dir)), BfsSeed, BfsHops)
 
-  /** Triangle count over the high-quantity co-order part graph (two
-    * parts are linked when some order contains both with quantity ≥
-    * 45). Edges oriented low→high, counted by the two-join wedge
-    * closure — the standard distributed triangle enumeration. */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** High-quantity co-order part graph (two parts are linked when some
+    * order contains both with quantity ≥ 45), edges oriented low→high,
+    * deduped — the non-tree demo graph for triangles and k-core (the
+    * geo subgraph is a tree, whose every k≥2 core is empty). */
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= TriangleMinQty)
       .select(col("l_orderkey"), col("l_partkey"))
     val a = l.select(col("l_orderkey"), col("l_partkey").as("u"))
     val b = l.select(col("l_orderkey"), col("l_partkey").as("v"))
-    val e = a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+    a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
       .select("u", "v").distinct()
+  }
+
+  /** Triangle count by the two-join wedge closure — the standard
+    * distributed triangle enumeration. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir)
     val e1 = e.select(col("u").as("x"), col("v").as("y"))
     val e2 = e.select(col("u").as("y"), col("v").as("z"))
     val e3 = e.select(col("u").as("x"), col("v").as("z"))
     e1.join(e2, "y").join(e3, Seq("x", "z"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  val KCoreK = 3
+  val KCoreIterations = 6 // ≥ observed convergence depth on this graph
+
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    Graphs.kCore(coOrderEdges(spark, dir), KCoreK, KCoreIterations)
 
   def graphCc(spark: SparkSession, dir: String): DataFrame =
     Graphs.connectedComponents(Graphs.undirectedIds(geoEdges(spark, dir)))
@@ -93,6 +105,7 @@ object GraphQueries {
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_bfs"       -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_kcore"     -> (graphKcore _),
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_lpa"       -> (graphLpa _),
@@ -238,5 +251,34 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "graph_kcore" -> {
+      // fixed-round peel mirroring Graphs.kCore; every CTE MATERIALIZED
+      // or DuckDB re-inlines e_{i-1} into d_i, k_i AND e_i and the plan
+      // grows 3^rounds (the un-materialized probe ran away; see the
+      // pagerank oracle for the same trap)
+      val rounds = (1 to KCoreIterations).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}
+           |  ) GROUP BY id
+           |),
+           |k$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $KCoreK),
+           |e$i AS MATERIALIZED (
+           |  SELECT u, v FROM e${i - 1}
+           |  WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |),
+         |$rounds
+         |SELECT id, count(*) AS deg FROM (
+         |  SELECT u AS id FROM e$KCoreIterations UNION ALL SELECT v FROM e$KCoreIterations
+         |) GROUP BY id""".stripMargin
+    },
   )
 }

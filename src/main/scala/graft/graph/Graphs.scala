@@ -166,6 +166,30 @@ object Graphs {
     labels
   }
 
+  /** C8: k-core by fixed-round peeling — each round drops vertices
+    * whose degree over the REMAINING edges is < k, then their incident
+    * edges. Fixed `iterations` (not a convergence test) so the result
+    * is a deterministic function both engines can mirror; pick rounds
+    * ≥ observed convergence depth for the target graph. Returns
+    * (id, deg): degrees over the surviving edge set. Each round is one
+    * map-side-combined degree aggregation + two semi-joins keyed on the
+    * vertex id — O(E) per round, no all-pairs anywhere. */
+  def kCore(undirected: DataFrame, k: Int, iterations: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
+    for (i <- 1 to iterations) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+      e = checkpointEvery(
+        e.join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")),
+        i, every = 2)
+    }
+    degrees(e)
+  }
+
   /** C6/C7: BFS / k-hop expansion from a seed vertex over undirected
     * edges; returns (id, depth = min hops ≤ maxHops). One join per
     * hop; the frontier is the only shuffled frame. */

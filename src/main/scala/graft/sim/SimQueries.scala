@@ -54,11 +54,15 @@ object SimQueries {
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ann_lsh"    -> (simAnnLsh _),
     "sim_ivf"        -> (simIvf _),
     "sim_ann_recall" -> (simAnnRecall _),
+    "sim_quantize"   -> (simQuantize _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -111,6 +115,22 @@ object SimQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "sim_quantize" ->
+      // mirrors Similarity.quantizeInt8: identical double expression
+      // (x * 127 / max|x|), identical half-away-from-zero rounding
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS dim, embedding
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT vec_id, dim, embedding[dim + 1]::double AS x FROM ex
+        |), m AS (
+        |  SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1
+        |)
+        |SELECT v.vec_id, v.dim,
+        |  CASE WHEN m.maxabs = 0 THEN 0
+        |       ELSE round(v.x * 127 / m.maxabs)::int END AS q
+        |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin,
+
     "sim_topk_brute" -> oracleSqlBrute,
 
     "sim_ann_lsh" -> oracleSqlAnn,

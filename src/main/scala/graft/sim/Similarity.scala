@@ -47,6 +47,26 @@ object Similarity {
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** F6: symmetric int8 quantization per vector — the storage/transfer
+    * compression step an embedding store runs before ANN serving
+    * (4× smaller than float32; dot products stay proportional within a
+    * per-vector scale). q_d = round(x_d * 127 / max|x|), so values land
+    * in [-127, 127] with the max element at exactly ±127; an all-zero
+    * vector quantizes to zeros. Exploded-row formulation (codegen'd,
+    * one shuffle for the per-vector max) — not interpreted array
+    * lambdas, per the §3 rule. Both engines compute the identical
+    * double expression and both round half-away-from-zero. */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = vecs
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val w = Window.partitionBy("vec_id")
+    ex.withColumn("maxabs", max(abs(col("x"))).over(w))
+      .select(col("vec_id"), col("dim"),
+        when(col("maxabs") === 0.0, lit(0))
+          .otherwise(round(col("x") * 127.0 / col("maxabs")).cast("int")).as("q"))
+  }
+
   /** F1: exact top-k cosine neighbors for each query vector (ground
     * truth). Queries are broadcast; ties break by neighbor id. */
   def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,

@@ -28,6 +28,21 @@ class GraphSpec extends SparkSpec {
     assert(cc.forall(_.getString(1) == "v000"))
   }
 
+  test("C8 k-core: tail peels away, triangle core survives with its degrees") {
+    // triangle x-y-z plus a pendant chain a-b-x: 2-core = the triangle
+    // (b drops once a is gone, x keeps degree 2 within the core)
+    val e = edgesDf("x" -> "y", "y" -> "z", "x" -> "z",
+      "a" -> "b", "b" -> "x")
+    val core = Graphs.kCore(e, k = 2, iterations = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+  }
+
+  test("C8 k-core: k above max degree empties the graph") {
+    val e = edgesDf("x" -> "y", "y" -> "z", "x" -> "z")
+    assert(Graphs.kCore(e, k = 3, iterations = 2).isEmpty)
+  }
+
   test("C3 pagerank: symmetric cycle is uniform, sums to 1") {
     val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "a",
       "b" -> "a", "c" -> "b", "a" -> "c") // both directions

@@ -58,6 +58,32 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("F6 int8 quantization: range, exact max element, zero vector, error bound") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // max|x| = 1.0 -> q = (64, -127, 32)
+      (2L, Seq(0.0f, 0.0f, 0.0f)),   // all-zero -> zeros, no div-by-zero
+      (3L, Seq(2.0f, 1.0f, -2.0f)))  // max at both signs -> ±127
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(q == Map(
+      (1L, 0) -> 64, (1L, 1) -> -127, (1L, 2) -> 32,
+      (2L, 0) -> 0, (2L, 1) -> 0, (2L, 2) -> 0,
+      (3L, 0) -> 127, (3L, 1) -> 64, (3L, 2) -> -127))
+    // reconstruction error bound on real vectors: |x - q*scale| <= scale/2
+    val emb = Tables.embeddings(spark, dataDir).limit(50)
+    val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
+    val scale = ex.groupBy("vec_id").agg((max(abs(col("x"))) / 127.0).as("scale"))
+    val err = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .join(ex, Seq("vec_id", "dim")).join(scale, "vec_id")
+      .filter(col("scale") > 0)
+      .select(max(abs(col("x") - col("q") * col("scale")) / col("scale")).as("m"))
+      .first().getDouble(0)
+    assert(err <= 0.5 + 1e-9, s"quantization error exceeds half a step: $err")
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
