@@ -38,6 +38,7 @@ object SparkEntry {
       "q_semi_join"        -> (Relational.qSemiJoin _),
       "q_monthly_revenue"  -> (Relational.qMonthlyRevenue _),
       "q_skew_join"        -> (Relational.qSkewJoin _),
+      "q_range_join"       -> (Relational.qRangeJoin _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -126,6 +127,17 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
         |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
+    // oracle is the naive BETWEEN join — grid bucketing must match it
+    "q_range_join" -> {
+      val values = Relational.PriceBands
+        .map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")
+      s"""WITH bands(band_id, lo, hi) AS (VALUES $values)
+         |SELECT band_id, count(*) AS n_parts,
+         |  round(sum(p_retailprice), 2) AS sum_price
+         |FROM part JOIN bands
+         |  ON lo <= p_retailprice AND p_retailprice < hi
+         |GROUP BY band_id""".stripMargin
+    },
     // oracle is the PLAIN join — the salted rewrite must be row-identical
     "q_skew_join" ->
       """WITH big AS (

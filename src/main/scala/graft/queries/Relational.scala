@@ -182,4 +182,26 @@ object Relational {
       .groupBy("k")
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
+
+  /** Irregular, partially OVERLAPPING price bands (parts at 950-999.9
+    * match two bands) — overlap is what makes this a true interval
+    * join, inexpressible as a CASE binning. Both the Spark frame and
+    * the oracle VALUES list are generated from this. */
+  val PriceBands: Seq[(Int, Double, Double)] = Seq(
+    (0, 900.0, 925.0), (1, 925.0, 960.0), (2, 960.0, 980.0),
+    (3, 980.0, 1000.0), (4, 950.0, 1000.0))
+
+  /** K4 as a driver query — parts matched to [lo, hi) price bands via
+    * RangeJoin's grid bucketing (equi-join on bucket id + precise
+    * filter), aggregated per band. Oracle is the naive BETWEEN join. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = broadcast(PriceBands.toDF("band_id", "lo", "hi"))
+    graft.operators.RangeJoin.pointInRange(
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice")),
+        "p_retailprice", bands, "lo", "hi", bucketWidth = 25.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice")), 2).as("sum_price"))
+  }
 }

@@ -140,10 +140,25 @@ object RdfXml {
   }
 
   /** Distributed extraction over a file glob: one task per file split,
-    * no shuffle; dedup is per-file (reference parity). */
+    * no shuffle; dedup is per-file (reference parity).
+    *
+    * The glob is split into (dir, pathGlobFilter) instead of being
+    * passed as the load path: a glob load path makes Spark's
+    * FileStreamSink metadata probe stat the glob as a literal file
+    * name and WARN-log a full FileNotFoundException stack through this
+    * method — benign, but it made every bench/verify tail look like a
+    * query failure (the r2/r3 "flaky bench" was exactly this noise). */
   def rdfTriples(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
+    val (dir, filter) = {
+      val i = pathGlob.lastIndexOf('/')
+      if (i >= 0 && pathGlob.drop(i + 1).exists("*?[".contains(_)))
+        (pathGlob.take(i), Some(pathGlob.drop(i + 1)))
+      else (pathGlob, None)
+    }
+    val reader = spark.read.format("binaryFile")
+    filter.foreach(f => reader.option("pathGlobFilter", f))
+    reader.load(dir)
       .select("content").as[Array[Byte]]
       .mapPartitions(_.flatMap { bytes =>
         parseFile(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))

@@ -274,6 +274,42 @@ object TextQueries {
       .filter(col("bucket") < SampleBucketMax)
   }
 
+  val ContamN = 5 // shingle width for contamination detection
+
+  /** G13: benchmark-contamination check — for every TEST-split document
+    * (G5 split), the fraction of its distinct 5-gram shingles that
+    * appear anywhere in the TRAIN split. The scan shape is the same
+    * exploded-window shingling as G4; the only corpus-scale structure
+    * is one shuffle join keyed on the shingle hash (at 100 TB the
+    * train side would first collapse through a bloom/HLL prefilter,
+    * but the join-on-hash IS the exact-answer shape). Docs with fewer
+    * than 5 tokens have no shingles and produce no row. */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("int")
+    val split = when(bucket < 58982, "train").when(bucket < 62259, "val")
+      .otherwise("test")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until ContamN).map(i => lead(col("t"), i).over(w))
+    val sh = d.select(col("doc_id"), split.as("split"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("split"),
+        when(leads.last.isNotNull,
+          md5(concat_ws(" ", (col("t") +: leads): _*))).as("sh"))
+      .filter(col("sh").isNotNull)
+      .distinct()
+    val train = sh.filter(col("split") === "train")
+      .select(col("sh")).distinct().withColumn("hit", lit(1))
+    sh.filter(col("split") === "test").select("doc_id", "sh")
+      .join(train, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .withColumn("ratio",
+        round(col("n_hit").cast("double") / col("n_shingles"), 4))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_tfidf"        -> (textTfidf _),
     "text_ngrams"       -> (textNgrams _),
@@ -287,6 +323,7 @@ object TextQueries {
     "text_chunks"       -> (textChunks _),
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
+    "text_contamination" -> (textContamination _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -447,5 +484,33 @@ object TextQueries {
          |FROM documents
          |WHERE ('0x' || substr(md5(concat_ws('|', 'sample', lang, doc_id)), 1, 4))::int
          |      < $SampleBucketMax""".stripMargin,
+
+    "text_contamination" -> {
+      val n = ContamN
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('split|' || doc_id), 1, 4))::int AS bucket,
+         |    $toksSql AS toks
+         |  FROM documents
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 58982 THEN 'train'
+         |         WHEN bucket < 62259 THEN 'val' ELSE 'test' END AS split,
+         |    toks
+         |  FROM s
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, split, sh FROM (
+         |    SELECT doc_id, split,
+         |      unnest(list_transform(range(1, length(toks) - ${n - 2}),
+         |        i -> md5(array_to_string(toks[i:i+${n - 1}], ' ')))) AS sh
+         |    FROM lab WHERE length(toks) >= $n
+         |  )
+         |), tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+         |te AS (SELECT doc_id, sh FROM sh WHERE split = 'test')
+         |SELECT te.doc_id, count(*) AS n_shingles, count(tr.sh) AS n_hit,
+         |  round(count(tr.sh)::double / count(*), 4) AS ratio
+         |FROM te LEFT JOIN tr ON te.sh = tr.sh
+         |GROUP BY te.doc_id""".stripMargin
+    },
   )
 }
