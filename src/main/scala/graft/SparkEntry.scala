@@ -39,6 +39,7 @@ object SparkEntry {
       "q_monthly_revenue"  -> (Relational.qMonthlyRevenue _),
       "q_skew_join"        -> (Relational.qSkewJoin _),
       "q_range_join"       -> (Relational.qRangeJoin _),
+      "q_pivot"            -> (Relational.qPivot _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -127,6 +128,18 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
         |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
+    "q_pivot" -> {
+      val cols = Relational.PivotRegions.map { case (value, safe) =>
+        s"""round(sum(CASE WHEN r_name = '$value' THEN o_totalprice END), 2) AS "$safe""""
+      }.mkString(",\n  ")
+      s"""SELECT year(o_orderdate) AS yr,
+         |  $cols
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1""".stripMargin
+    },
     // oracle is the naive BETWEEN join — grid bucketing must match it
     "q_range_join" -> {
       val values = Relational.PriceBands

@@ -76,6 +76,34 @@ object GraphQueries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     Graphs.kCore(coOrderEdges(spark, dir), KCoreK, KCoreIterations)
 
+  val SsspIterations = 4
+
+  /** Co-order graph with weights: w = 1 / #orders-containing-both, so
+    * frequently co-ordered parts are "close". Lineitems dedupe to
+    * (order, part) first so a part repeated within one order counts
+    * once. */
+  private def coOrderWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= TriangleMinQty)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = l.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = l.select(col("l_orderkey"), col("l_partkey").as("v"))
+    a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+      .select(col("u"), col("v"), (lit(1.0) / col("cnt")).as("w"))
+  }
+
+  /** C9 driver query: Bellman-Ford distances from the minimum part key
+    * in the co-order graph. The source is an aggregate-to-driver
+    * scalar (min over the edge frame — the oracle computes the same
+    * min in-SQL, so both engines agree on the seed). */
+  def graphSssp(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderWeighted(spark, dir).localCheckpoint(eager = true)
+    val src = e.agg(min(col("u"))).first().getLong(0)
+    Graphs.sssp(e, src, SsspIterations)
+      .select(col("id"), round(col("d"), 6).as("dist"))
+  }
+
   def graphCc(spark: SparkSession, dir: String): DataFrame =
     Graphs.connectedComponents(Graphs.undirectedIds(geoEdges(spark, dir)))
 
@@ -106,6 +134,7 @@ object GraphQueries {
     "graph_bfs"       -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore"     -> (graphKcore _),
+    "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_lpa"       -> (graphLpa _),
@@ -251,6 +280,39 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "graph_sssp" -> {
+      // fixed-round Bellman-Ford mirroring Graphs.sssp. Doubles agree
+      // without rounding (identical association order per round; min is
+      // order-independent); round(,6) kept as the output convention.
+      // 1.0::double forced: a bare 1.0 is DECIMAL in DuckDB and
+      // decimal/bigint division would diverge from Spark's double math.
+      val rounds = (1 to SsspIterations).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT id, min(d) AS d FROM (
+           |    SELECT id, d FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.v AS id, p.d + e.w AS d
+           |    FROM e2 e JOIN d${i - 1} p ON e.u = p.id
+           |  ) GROUP BY id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |), e2 AS MATERIALIZED (
+         |  SELECT u, v, 1.0::double / cnt AS w FROM e0
+         |  UNION ALL
+         |  SELECT v, u, 1.0::double / cnt FROM e0
+         |),
+         |d0 AS MATERIALIZED (SELECT min(u) AS id, 0.0::double AS d FROM e0),
+         |$rounds
+         |SELECT id, round(d, 6) AS dist FROM d$SsspIterations""".stripMargin
+    },
 
     "graph_kcore" -> {
       // fixed-round peel mirroring Graphs.kCore; every CTE MATERIALIZED

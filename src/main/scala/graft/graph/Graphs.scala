@@ -190,6 +190,34 @@ object Graphs {
     degrees(e)
   }
 
+  /** C9: single-source shortest paths (weighted), Bellman-Ford with
+    * fixed rounds: dist_i(v) = min(dist_{i-1}(v), min_u(dist_{i-1}(u) +
+    * w(u,v))). Fixed rounds make the result a deterministic function
+    * another engine can mirror; distances after round i are exact for
+    * all paths of ≤ i edges. Cross-engine float safety: every candidate
+    * distance is built by the SAME association order (inductively
+    * identical doubles), and min over a set of identical doubles is
+    * order-independent — so no rounding is needed for agreement.
+    * One edges⋈dist join + one min-aggregation per round; dist is a
+    * narrow (id, d) frame, checkpointed so lineage stays flat. */
+  def sssp(weighted: DataFrame, source: Any, iterations: Int): DataFrame = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val und = weighted.select(col("u"), col("v"), col("w"))
+      .unionAll(weighted.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(eager = true)
+    var dist = spark.range(1)
+      .select(lit(source).as("id"), lit(0.0).as("d"))
+    for (i <- 1 to iterations) {
+      val cand = und.join(dist, und("u") === dist("id"))
+        .select(col("v").as("id"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(cand)
+        .groupBy("id").agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
+
   /** C6/C7: BFS / k-hop expansion from a seed vertex over undirected
     * edges; returns (id, depth = min hops ≤ maxHops). One join per
     * hop; the frontier is the only shuffled frame. */

@@ -183,6 +183,32 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
+  /** Pivot column set, fixed up front: supplying the values keeps the
+    * pivot a single pass (no distinct-collect pre-job) and makes the
+    * output schema static — the form that survives planning without
+    * stats. Safe identifiers generated alongside for the oracle. */
+  val PivotRegions: Seq[(String, String)] = Seq(
+    "AFRICA" -> "AFRICA", "AMERICA" -> "AMERICA", "ASIA" -> "ASIA",
+    "EUROPE" -> "EUROPE", "MIDDLE EAST" -> "MIDDLE_EAST")
+
+  /** D9 — pivot: revenue by order year × customer region, regions as
+    * columns. Dimensions broadcast; one shuffle on the group key. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val cust = broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"))
+    val nat = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_regionkey"))
+    val reg = broadcast(Tables.region(spark, dir).select("r_regionkey", "r_name"))
+    val wide = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("r_name", PivotRegions.map(_._1))
+      .agg(round(sum(col("o_totalprice")), 2))
+    PivotRegions.foldLeft(wide) { case (df, (value, safe)) =>
+      if (value == safe) df else df.withColumnRenamed(value, safe)
+    }
+  }
+
   /** Irregular, partially OVERLAPPING price bands (parts at 950-999.9
     * match two bands) — overlap is what makes this a true interval
     * join, inexpressible as a CASE binning. Both the Spark frame and

@@ -43,6 +43,28 @@ class GraphSpec extends SparkSpec {
     assert(Graphs.kCore(e, k = 3, iterations = 2).isEmpty)
   }
 
+  test("C9 sssp: weighted shortcut beats fewer hops; unreached absent") {
+    import spark.implicits._
+    // a-b-c path with cheap weights vs direct a-c expensive edge:
+    // dist(c) must take the 2-hop route (0.3), not the direct 1.0;
+    // z is disconnected and must not appear
+    val e = Seq(("a", "b", 0.1), ("b", "c", 0.2), ("a", "c", 1.0),
+      ("z", "zz", 5.0)).toDF("u", "v", "w")
+    val d = Graphs.sssp(e, "a", iterations = 4).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(d("c") - 0.3) < 1e-12)
+    assert(math.abs(d("b") - 0.1) < 1e-12 && d("a") == 0.0)
+    assert(!d.contains("z"))
+  }
+
+  test("C9 sssp: fixed rounds bound path length") {
+    import spark.implicits._
+    val chain = (0 until 6).map(i => (s"v$i", s"v${i + 1}", 1.0))
+    val d = Graphs.sssp(chain.toDF("u", "v", "w"), "v0", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d("v3") == 3.0 && !d.contains("v4"), "round i covers paths of <= i edges")
+  }
+
   test("C3 pagerank: symmetric cycle is uniform, sums to 1") {
     val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "a",
       "b" -> "a", "c" -> "b", "a" -> "c") // both directions
