@@ -43,7 +43,10 @@ object GraphQueries {
     Graphs.degrees(kgEdges(spark, dir))
 
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
-    Graphs.bfs(Graphs.undirectedIds(kgEdges(spark, dir)), BfsSeed, BfsHops)
+    // dedupe=false: min-depth is invariant to parallel edges, so BFS
+    // skips the corpus-wide distinct (a full string-pair shuffle)
+    Graphs.bfs(Graphs.undirectedIds(kgEdges(spark, dir), dedupe = false),
+      BfsSeed, BfsHops)
 
   /** High-quantity co-order part graph (two parts are linked when some
     * order contains both with quantity ≥ 45), edges oriented low→high,

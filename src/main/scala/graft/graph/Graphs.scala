@@ -24,15 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Undirected edge list (u, v) as vertex-id strings, deduped, from
-    * GraphBuilder.edges output. Self-loops dropped. */
-  def undirectedIds(edges: DataFrame): DataFrame = {
+  /** Undirected edge list (u, v) as vertex-id strings from
+    * GraphBuilder.edges output. Self-loops dropped. `dedupe = false`
+    * skips the corpus-wide distinct (a full shuffle of the string
+    * pairs) — correct for multiplicity-invariant consumers like BFS,
+    * where parallel edges only re-prove the same min depth. */
+  def undirectedIds(edges: DataFrame, dedupe: Boolean = true): DataFrame = {
     val u = concat_ws("|", col("src_label"), col("src"))
     val v = concat_ws("|", col("dst_label"), col("dst"))
-    edges.select(u.as("u"), v.as("v"))
+    val base = edges.select(u.as("u"), v.as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
+    if (dedupe) base.distinct() else base
   }
 
   /** C1: in/out/total degree per typed node. Single-pass: each edge
@@ -228,16 +231,20 @@ object Graphs {
     // several times cheaper than long-string keys; the (hash → id)
     // dictionary maps depths back at the end (64-bit collisions are
     // negligible at any realistic vertex count)
-    // checkpoint the one-direction hashed frame FIRST — a
+    // checkpoint the hashed one-direction frame FIRST (a
     // unionAll(x, x.swap) over a lazy frame would evaluate the whole
-    // upstream pipeline twice during materialization
+    // upstream pipeline twice), and keep it NARROW — two longs per
+    // edge; the string-keyed dictionary is re-derived lazily from the
+    // caller frame and only evaluated once, inside the final mapping
+    // join (r4: checkpointing the strings too was half the bfs cost)
     val one = undirected
-      .select(col("u"), col("v"), xxhash64(col("u")).as("hu"), xxhash64(col("v")).as("hv"))
+      .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"))
       .localCheckpoint(eager = true)
-    val und = one.select(col("hu").as("u"), col("hv").as("v"))
-      .unionAll(one.select(col("hv").as("u"), col("hu").as("v")))
-    val dict = one.select(col("u").as("id"), col("hu").as("h"))
-      .unionAll(one.select(col("v").as("id"), col("hv").as("h"))).distinct()
+    val und = one
+      .unionAll(one.select(col("v").as("u"), col("u").as("v")))
+    val dict = undirected.select(col("u").as("id"))
+      .unionAll(undirected.select(col("v").as("id")))
+      .distinct().select(col("id"), xxhash64(col("id")).as("h"))
     val seedHash = spark.range(1)
       .select(xxhash64(lit(seed))).first().getLong(0)
     var visited = Seq((seedHash, 0)).toDF("h", "depth")
