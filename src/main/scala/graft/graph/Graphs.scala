@@ -131,20 +131,22 @@ object Graphs {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      // eager checkpoint: the inMass action below and the next round's
-      // join both reuse the materialized contribs instead of replaying
-      // the whole lineage (which otherwise doubles work per iteration)
+      // eager checkpoint (one job per round): the next round's join AND
+      // the dangling-mass aggregate both read the materialized contribs
+      // instead of replaying the whole lineage
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .join(outDeg, "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
         .localCheckpoint(eager = true)
-      val inMass = contribs.agg(sum(col("c"))).first().getDouble(0)
-      val danglingShare = (1.0 - inMass) / n // mass lost to sinks this round
-      ranks = vertices.join(contribs, Seq("id"), "left")
+      // dangling mass as an IN-PLAN broadcast scalar, not a per-round
+      // first() action (r4: halves driver round-trips per iteration);
+      // same float ops as before — (1 - Σc) then /n
+      val lost = broadcast(contribs.agg((lit(1.0) - sum(col("c"))).as("lost")))
+      ranks = vertices.join(contribs, Seq("id"), "left").crossJoin(lost)
         .select(col("id"),
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(danglingShare))).as("rank"))
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("lost") / n)).as("rank"))
     }
     ranks
   }

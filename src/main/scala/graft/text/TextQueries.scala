@@ -153,15 +153,20 @@ object TextQueries {
 
   /** G7: corpus-wide top-k bigrams (deterministic tie-break) — the
     * n-gram frequency table quality/contamination analyses start from.
-    * Explode+count: one map-side-combined shuffle, top-k collapses to
-    * TakeOrderedAndProject. */
+    * Exploded-row + window-lead formulation (the G4 pattern): the r4
+    * measured rewrite from transform/slice array lambdas, which run
+    * INTERPRETED (§3 rule) and were 4× slower at sf0.1. Two shuffles
+    * (window by doc, count by ngram), both map-side-combinable; top-k
+    * collapses to TakeOrderedAndProject. */
   def textNgrams(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    val bigrams = transform(sequence(lit(1), n - 1),
-      i => array_join(slice(toks, i, lit(2)), " "))
-    d.select(explode(when(n >= 2, bigrams).otherwise(array())).as("ngram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val next = lead(col("t"), 1).over(w)
+    d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("t"), next.as("next"))
+      .filter(col("next").isNotNull)
+      .select(concat_ws(" ", col("t"), col("next")).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram"))
       .limit(20)
