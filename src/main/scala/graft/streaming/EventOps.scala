@@ -62,6 +62,30 @@ object EventOps {
         col("asof_right_ts").as("right_ts"))
   }
 
+  /** Cohort retention matrix: users grouped by the week of their FIRST
+    * `cohortType` event; cell (cohort_week, week_offset) counts
+    * distinct cohort users with ANY event in that later week. Two
+    * shuffles (cohort agg, cell agg) + one user-keyed join; activity
+    * dedups to (user, week) before the join so the cell count is a
+    * plain count. Week arithmetic is epoch-second division — both
+    * engines truncate weeks to Monday, so offsets are exact ints. */
+  def retention(events: DataFrame, cohortType: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val cohorts = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(keyCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(keyCol), date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    active.join(cohorts, keyCol)
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+          / 604800L).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered funnel: users counted at step i must have performed step
     * i's event type AT OR AFTER their first qualifying step i-1 event
     * (first-touch semantics: each step's anchor is the MIN qualifying

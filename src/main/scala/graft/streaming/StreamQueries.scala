@@ -45,6 +45,9 @@ object StreamQueries {
   def evFunnel(spark: SparkSession, dir: String): DataFrame =
     EventOps.funnel(Tables.events(spark, dir), FunnelSteps)
 
+  def evRetention(spark: SparkSession, dir: String): DataFrame =
+    EventOps.retention(Tables.events(spark, dir), "signup")
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
@@ -52,6 +55,7 @@ object StreamQueries {
     "ev_attribution" -> (evAttribution _),
     "ev_asof"        -> (evAsof _),
     "ev_funnel"      -> (evFunnel _),
+    "ev_retention"   -> (evRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -120,6 +124,21 @@ object StreamQueries {
         |SELECT key AS user_id, left_id, ts AS left_ts, value,
         |  asof_right_id AS right_id, asof_right_ts AS right_ts
         |FROM w WHERE kind = 1""".stripMargin,
+
+    "ev_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        |)
+        |SELECT c.cohort_week,
+        |  ((epoch(a.week)::bigint - epoch(c.cohort_week)::bigint) // 604800)::int
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |WHERE a.week >= c.cohort_week
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev_funnel" ->
       """WITH s1 AS (

@@ -42,6 +42,28 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq((3L, Some(6L))))
   }
 
+  test("retention cohorts by first signup week; pre-signup weeks excluded") {
+    // week epochs: Mon 2024-01-01, 2024-01-08, 2024-01-15 (UTC)
+    def at(day: String, h: Int) = java.sql.Timestamp.valueOf(s"$day 0$h:00:00")
+    val events = Seq(
+      // user 1 signs up wk0, active wk0 + wk2
+      (1L, 1L, "signup", at("2024-01-03", 1), 0.0),
+      (2L, 1L, "click", at("2024-01-17", 2), 0.0),
+      // user 2: activity BEFORE signup (wk0), signup wk1, active wk1
+      (3L, 2L, "view", at("2024-01-04", 1), 0.0),
+      (4L, 2L, "signup", at("2024-01-10", 1), 0.0),
+      // user 3: never signs up -> no cohort
+      (5L, 3L, "click", at("2024-01-05", 1), 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.retention(events, "signup")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 00:00:00", 0, 1L), // user 1 wk0
+      ("2024-01-01 00:00:00", 2, 1L), // user 1 wk2
+      ("2024-01-08 00:00:00", 0, 1L))) // user 2 wk1; their wk0 view dropped
+  }
+
   test("funnel enforces step order with first-touch anchors") {
     val events = ev(
       // user 1: full ordered funnel
