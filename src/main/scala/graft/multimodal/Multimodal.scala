@@ -113,10 +113,47 @@ object Multimodal {
         round(col("col").cast("double"), 4).as("value"))
   }
 
+  /** Big-endian u32 at 1-based byte offset `off` of a binary column —
+    * pure codegen'd slicing (substring on binary + hex + conv). */
+  def beU32(bin: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+    conv(hex(substring(bin, off, 4)), 16, 10).cast("long")
+
+  /** PNG 8-byte signature, lowercase hex. */
+  val PngSigHex = "89504e470d0a1a0a"
+
+  /** Parse (valid_sig, width, height) from a PNG byte stream: the
+    * signature is bytes 1-8, IHDR width/height are big-endian u32 at
+    * bytes 17-20 / 21-24. No codec — header-only binary slicing, the
+    * metadata-extraction pass an image pipeline runs before any decode. */
+  def pngHeader(bin: org.apache.spark.sql.Column): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    ((lower(hex(substring(bin, 1, 8))) === PngSigHex).cast("int"),
+      beU32(bin, 17), beU32(bin, 21))
+
+  /** H4 driver query: synthesize a REAL PNG signature+IHDR prefix per
+    * asset (dims derived from metadata — the container has no images,
+    * like the H2 stub), then parse the dims back from the BYTES with
+    * pngHeader. The oracle reproduces the same hex string and slices
+    * it textually, so the binary round-trip is value-checked. */
+  def mmPngDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = (col("n_chars") % 1024 + 1).cast("int")
+    val h = (col("doc_id") % 768 + 1).cast("int")
+    val ihdrHex = concat(lit(PngSigHex),
+      lit("0000000d"), lit("49484452"), // IHDR chunk length 13 + type
+      lpad(lower(hex(w)), 8, "0"), lpad(lower(hex(h)), 8, "0"),
+      lit("0806000000")) // bit depth 8, RGBA, deflate/adam7 defaults
+    val bin = unhex(ihdrHex)
+    val (sig, width, height) = pngHeader(bin)
+    d.select(col("doc_id"), sig.as("valid_sig"),
+      width.as("width"), height.as("height"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
+    "mm_png_dims" -> (mmPngDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -135,6 +172,21 @@ object Multimodal {
          |  md5(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_md5,
          |  length(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_len
          |FROM f""".stripMargin,
+
+    "mm_png_dims" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    '$PngSigHex' || '0000000d' || '49484452'
+         |      || lpad(lower(hex(n_chars % 1024 + 1)), 8, '0')
+         |      || lpad(lower(hex(doc_id % 768 + 1)), 8, '0')
+         |      || '0806000000' AS hx
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  (substr(hx, 1, 16) = '$PngSigHex')::int AS valid_sig,
+         |  ('0x' || substr(hx, 33, 8))::bigint AS width,
+         |  ('0x' || substr(hx, 41, 8))::bigint AS height
+         |FROM b""".stripMargin,
 
     "mm_decode" ->
       """WITH d AS (

@@ -43,4 +43,26 @@ class MultimodalSpec extends SparkSpec {
     }
     a.unpersist()
   }
+
+  test("H4 pngHeader parses a genuine PNG IHDR and rejects non-PNG bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a real 640x480 PNG file prefix: signature + IHDR(len 13)
+    val png: Array[Byte] = (Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x02, 0x80, // width 640
+      0x00, 0x00, 0x01, 0xe0, // height 480
+      0x08, 0x06, 0x00, 0x00, 0x00)).map(_.toByte).toArray
+    val notPng = "just some text".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, notPng)).toDF("id", "payload")
+    val (sig, w, h) = Multimodal.pngHeader(col("payload"))
+    val byId = df.select(col("id"), sig, w, h).collect().map { r =>
+      r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    }.toMap
+    assert(byId(1L) == ((1, 640L, 480L)))
+    // truncated non-PNG bytes: signature invalid, dims null
+    assert(byId(2L) == ((0, -1L, -1L)))
+  }
 }
