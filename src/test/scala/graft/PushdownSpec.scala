@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scan-efficiency evidence: filters REACH the parquet scan
+  * (PushedFilters) and projection prunes the read schema — the two
+  * properties that decide whether a 100 TB scan reads 100 TB or the
+  * two columns it needs. Asserted on the executed plan text, the same
+  * surface `.explain("formatted")` shows.
+  */
+class PushdownSpec extends SparkSpec {
+
+  private def scanLine(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$plan"))
+  }
+
+  test("filter predicates push down to the parquet scan") {
+    val scan = scanLine(
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey"))
+    assert(scan.contains("PushedFilters:") &&
+      scan.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"l_quantity filter must reach the scan: $scan")
+  }
+
+  test("projection prunes the read schema to the selected columns") {
+    val scan = scanLine(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"))
+    val readSchema = scan.substring(scan.indexOf("ReadSchema:"))
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan must not read unprojected columns: $readSchema")
+  }
+
+  test("driver query q1 scans only its six columns with the date filter pushed") {
+    val scan = scanLine(graft.queries.Relational.q1PricingSummary(spark, sfDir))
+    assert(scan.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the scan: $scan")
+    val readSchema = scan.substring(scan.indexOf("ReadSchema:"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"q1 must not read unused columns: $readSchema")
+  }
+}
