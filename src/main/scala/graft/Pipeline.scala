@@ -29,7 +29,12 @@ object Pipeline {
 
   /** Driver-side listing of top-level inputs (per-file frames are
     * required because each file has its own schema); the per-file READS
-    * are fully distributed. */
+    * are fully distributed. Caveat for million-file landing zones: this
+    * one-frame-per-file shape matches the reference's directory layout
+    * (tens of files, each its own schema); at landing-zone scale, group
+    * files by schema first and hand each GROUP to one reader as a path
+    * list — Spark parallelizes the listing and splits within a single
+    * load, which a per-file loop would serialize on the driver. */
   private def files(dir: String, ext: String): Seq[String] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(_.getName.endsWith(ext)).map(_.getAbsolutePath).sorted
