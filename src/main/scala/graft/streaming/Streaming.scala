@@ -113,6 +113,68 @@ object Streaming {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  final case class AsofIn(user_id: Long, ts: Timestamp, kind: Int, id: Long, value: Double)
+  final case class AsofState(rights: List[(Long, Long)], lefts: List[(Long, Long, Double)])
+  final case class AsofMatch(user_id: Long, left_id: Long, left_ts: Timestamp,
+      value: Double, right_id: Option[Long], right_ts: Option[Timestamp])
+
+  /** I7 (streaming path): the as-of join with EventOps.asOfJoin's exact
+    * semantics — each left event (kind 1) matched to the latest right
+    * event (kind 0) at-or-before it, rights deduped per timestamp by
+    * max id. A left is emitted only once the WATERMARK passes its
+    * event time (no earlier right can still arrive), so late rights
+    * within the allowed delay never produce a wrong match. State per
+    * key: pending lefts + rights, pruned to rights that can still win
+    * (everything after the watermark plus the single latest at-or-
+    * before it) — bounded by the watermark delay, the condition any
+    * 100 TB/day stream needs to hold state finite. */
+  def asOfStreaming(events: Dataset[AsofIn]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          val s0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+          // merge new events; rights dedupe per ts by max id
+          var rights = s0.rights
+          var lefts = s0.lefts
+          it.foreach { e =>
+            val tMs = e.ts.getTime
+            if (e.kind == 0) {
+              val others = rights.filterNot(_._1 == tMs)
+              val keep = (rights.collect { case (t, i) if t == tMs => i } :+ e.id).max
+              rights = (tMs, keep) :: others
+            } else lefts = (tMs, e.id, e.value) :: lefts
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (mature, pending) = lefts.partition(_._1 <= wm)
+          val out = mature.sortBy(l => (l._1, l._2)).map { case (t, id, v) =>
+            val m = rights.filter(_._1 <= t) // <= : same-instant rights match
+            if (m.isEmpty) AsofMatch(user, id, new Timestamp(t), v, None, None)
+            else {
+              val (rt, ri) = m.maxBy(r => (r._1, r._2))
+              AsofMatch(user, id, new Timestamp(t), v, Some(ri), Some(new Timestamp(rt)))
+            }
+          }
+          // prune rights: future lefts all have ts > wm, so only rights
+          // after the watermark plus the latest at-or-before it can win
+          val futureRights = rights.filter(_._1 > wm)
+          val lastPast = rights.filter(_._1 <= wm) match {
+            case Nil => Nil
+            case past => List(past.maxBy(r => (r._1, r._2)))
+          }
+          if (pending.isEmpty && futureRights.isEmpty && lastPast.isEmpty) state.remove()
+          else {
+            state.update(AsofState(futureRights ++ lastPast, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Kafka-shaped source abstraction: every transform in this module
     * takes the events schema (ts, event_type, value, …) and does not
     * care which source produced it — swap file/rate/socket/kafka by

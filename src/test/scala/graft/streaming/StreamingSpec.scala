@@ -120,6 +120,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I7 streaming as-of join matches the batch union+running-last operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.AsofIn]
+    val q = Streaming.asOfStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      val data = Seq(
+        Streaming.AsofIn(7L, ts(0), 0, 1L, 0.0),   // click
+        Streaming.AsofIn(7L, ts(5), 0, 2L, 0.0),   // click
+        Streaming.AsofIn(7L, ts(5), 0, 6L, 0.0),   // same-ts click: max id 6 wins
+        Streaming.AsofIn(7L, ts(8), 1, 3L, 9.5),   // purchase -> click 6
+        Streaming.AsofIn(7L, ts(5), 1, 4L, 1.5),   // same-instant purchase -> click 6
+        Streaming.AsofIn(8L, ts(3), 1, 5L, 2.0))   // no clicks -> null match
+      // deliver out of order across two batches: the late click (id 2)
+      // arrives after purchase 3 but before the watermark passes
+      mem.addData(data.filterNot(_.id == 2L): _*)
+      q.processAllAvailable()
+      mem.addData(data.filter(_.id == 2L): _*)
+      q.processAllAvailable()
+      mem.addData(Streaming.AsofIn(99L, ts(10000), 0, 99L, 0.0)); q.processAllAvailable()
+      mem.addData(Streaming.AsofIn(99L, ts(20000), 0, 98L, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("asof_out").filter(col("user_id") < 90)
+        .select("user_id", "left_id", "value", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val ev = data.toDS().toDF("user_id", "ts", "kind", "event_id", "value")
+      val batch = graft.streaming.EventOps.asOfJoin(
+          ev.filter(col("kind") === 1), ev.filter(col("kind") === 0),
+          "user_id", "ts", "event_id", "value")
+        .select("user_id", "left_id", "value", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(batch == Set((7L, 3L, 9.5, 6L), (7L, 4L, 1.5, 6L), (8L, 5L, 2.0, -1L)))
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I1 windowedCounts runs unchanged over a kafka-shaped rate source") {
     // Source-agnostic transforms: the SAME windowedCounts that is
     // batch-oracled (ev_windowed) and MemoryStream-parity-tested above
