@@ -70,6 +70,18 @@ object IngestQueries {
   def ingRdf(spark: SparkSession, dir: String): DataFrame =
     RdfXml.rdfTriples(spark, "/root/reference/data/*.xml")
 
+  /** A8 as a driver query: partitioned parquet write + read-back.
+    * Partition columns come back LAST and with inferred types, so the
+    * read is re-projected to the original column order and schema —
+    * exactly what a consumer of a partitioned lake table does. */
+  def ingParquet(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val path = tmp("nation_parquet_part")
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
+    val back = spark.read.parquet(path)
+    back.select(nation.schema.map(f => back(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -78,6 +90,7 @@ object IngestQueries {
     "ing_batches" -> (ingBatches _),
     "ing_union"   -> (ingUnion _),
     "ing_rdf"     -> (ingRdf _),
+    "ing_parquet" -> (ingParquet _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -95,6 +108,7 @@ object IngestQueries {
       """SELECT n_name AS name, n_nationkey::varchar AS key, '' AS rkey FROM nation
         |UNION ALL
         |SELECT r_name, '', r_regionkey::varchar FROM region""".stripMargin,
+    "ing_parquet" -> "SELECT * FROM nation",
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )
 }
