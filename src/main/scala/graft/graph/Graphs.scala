@@ -227,8 +227,6 @@ object Graphs {
     * edges; returns (id, depth = min hops ≤ maxHops). One join per
     * hop; the frontier is the only shuffled frame. */
   def bfs(undirected: DataFrame, seed: String, maxHops: Int): DataFrame = {
-    val spark = undirected.sparkSession
-    import spark.implicits._
     // traverse on xxhash64 vertex ids — long-keyed shuffles/joins are
     // several times cheaper than long-string keys; the (hash → id)
     // dictionary maps depths back at the end (64-bit collisions are
@@ -242,11 +240,23 @@ object Graphs {
     val one = undirected
       .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"))
       .localCheckpoint(eager = true)
-    val und = one
-      .unionAll(one.select(col("v").as("u"), col("u").as("v")))
     val dict = undirected.select(col("u").as("id"))
       .unionAll(undirected.select(col("v").as("id")))
-      .distinct().select(col("id"), xxhash64(col("id")).as("h"))
+      .distinct().select(xxhash64(col("id")).as("h"), col("id"))
+    bfsHashed(one, dict, seed, maxHops)
+  }
+
+  /** BFS over a PRE-HASHED one-direction edge frame (u, v: xxhash64 of
+    * the string vertex ids) plus a (h, id) dictionary — the store-table
+    * entry point (r5): when both frames are persisted bucketed parquet
+    * the per-query cost is the hop joins only, not the corpus-scale
+    * hash/distinct derivation. */
+  def bfsHashed(one: DataFrame, dict: DataFrame, seed: String,
+      maxHops: Int): DataFrame = {
+    val spark = one.sparkSession
+    import spark.implicits._
+    val und = one
+      .unionAll(one.select(col("v").as("u"), col("u").as("v")))
     val seedHash = spark.range(1)
       .select(xxhash64(lit(seed))).first().getLong(0)
     var visited = Seq((seedHash, 0)).toDF("h", "depth")
