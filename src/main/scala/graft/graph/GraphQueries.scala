@@ -69,10 +69,36 @@ object GraphQueries {
     })
   }
 
+  /** Persisted undirected geo edge list (deduped, canonical
+    * least→greatest string ids) — the shared input of the iterative
+    * family (cc / pagerank / lpa), which each re-derived it (scan +
+    * filter + corpus distinct) per query until r5. Bucketed by u: every
+    * iterative algorithm's per-round join keys on the vertex id. */
+  private def storedGeoUnd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.GraftStore
+    spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_geound_${GraftStore.dirKey(dir)}", 32, Seq("u")) {
+      Graphs.undirectedIds(geoEdges(spark, dir))
+    })
+  }
+
+  /** Persisted geo vertex set: saves pagerank/lpa the per-query
+    * union+distinct over the edge list (and pagerank's count action
+    * reads this narrow table instead of the derived frame). */
+  private def storedGeoVerts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.GraftStore
+    spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_geoverts_${GraftStore.dirKey(dir)}", 32, Seq("id")) {
+      val und = storedGeoUnd(spark, dir)
+      und.select(col("u").as("id")).unionAll(und.select(col("v").as("id"))).distinct()
+    })
+  }
+
   /** Bench hook: force the one-time traversal-table builds so they are
     * paid (and reported) outside per-query timings. */
   def warmStores(spark: SparkSession, dir: String): Unit = {
-    storedUndHashed(spark, dir); storedVertexDict(spark, dir); ()
+    storedUndHashed(spark, dir); storedVertexDict(spark, dir)
+    storedGeoUnd(spark, dir); storedGeoVerts(spark, dir); ()
   }
 
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
@@ -141,21 +167,23 @@ object GraphQueries {
   }
 
   def graphCc(spark: SparkSession, dir: String): DataFrame =
-    Graphs.connectedComponents(Graphs.undirectedIds(geoEdges(spark, dir)))
+    Graphs.connectedComponents(storedGeoUnd(spark, dir))
 
   /** Ranks rounded to 6 decimals so the fixed-iteration SQL oracle can
     * hash-match: both engines run identical IEEE double operations in
     * element order; rounding absorbs the last-ulp difference from
     * engine-specific aggregation order. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
-    Graphs.pageRank(Graphs.undirectedIds(geoEdges(spark, dir)),
+    Graphs.pageRank(storedGeoUnd(spark, dir),
+        vertices = Some(storedGeoVerts(spark, dir)),
         iterations = PrIterations, damping = PrDamping)
       .select(col("id"), round(col("rank"), 6).as("rank"))
 
   val LpaIterations = 3
 
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
-    Graphs.labelPropagation(Graphs.undirectedIds(geoEdges(spark, dir)), LpaIterations)
+    Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
+      vertices = Some(storedGeoVerts(spark, dir)))
 
   /** Degree distribution of the KG (count of nodes per total degree) —
     * the first structural sanity check on any built graph. */

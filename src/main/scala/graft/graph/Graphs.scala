@@ -119,17 +119,21 @@ object Graphs {
   /** C3: PageRank, fixed iterations, damping 0.85, dangling mass
     * redistributed uniformly. Returns (id, rank). */
   def pageRank(undirectedOrDirected: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, vertices: Option[DataFrame] = None): DataFrame = {
     // materialize the edge list once — every iteration joins it, and an
     // un-checkpointed upstream plan would be replayed per round
     val e = undirectedOrDirected.select(col("u").as("src"), col("v").as("dst"))
       .localCheckpoint(eager = true)
-    val vertices = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = true)
-    val n = vertices.count().toDouble
+    // caller-supplied vertices (a persisted bucketed table) are used
+    // as-is — checkpointing would erase the bucketing that makes the
+    // per-iteration vertices⋈contribs join exchange-free on that side
+    val verticesDf = vertices.getOrElse(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(eager = true))
+    val n = verticesDf.count().toDouble
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    var ranks = verticesDf.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       // eager checkpoint (one job per round): the next round's join AND
       // the dangling-mass aggregate both read the materialized contribs
@@ -143,7 +147,7 @@ object Graphs {
       // first() action (r4: halves driver round-trips per iteration);
       // same float ops as before — (1 - Σc) then /n
       val lost = broadcast(contribs.agg((lit(1.0) - sum(col("c"))).as("lost")))
-      ranks = vertices.join(contribs, Seq("id"), "left").crossJoin(lost)
+      ranks = verticesDf.join(contribs, Seq("id"), "left").crossJoin(lost)
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("lost") / n)).as("rank"))
@@ -153,11 +157,13 @@ object Graphs {
 
   /** C5: label propagation, synchronous, fixed iterations; each vertex
     * adopts the most frequent neighbor label, min label on ties. */
-  def labelPropagation(undirected: DataFrame, iterations: Int = 5): DataFrame = {
+  def labelPropagation(undirected: DataFrame, iterations: Int = 5,
+      vertices: Option[DataFrame] = None): DataFrame = {
     val one = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
     val und = one.unionAll(one.select(col("v").as("u"), col("u").as("v")))
-    var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // caller-supplied vertex table skips the per-query union+distinct
+    var labels = vertices.getOrElse(und.select(col("u").as("id")).distinct())
+      .select(col("id")).withColumn("lbl", col("id"))
     for (i <- 1 to iterations) {
       val votes = und.join(labels, und("v") === labels("id"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
