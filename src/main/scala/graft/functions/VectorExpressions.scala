@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §3).
@@ -121,6 +121,11 @@ object VectorFunctions {
     "graft_cosine"      -> { es => CosineSimilarity(es(0), es(1)) },
     "graft_dot"         -> { es => DotProduct(es(0), es(1)) },
     "graft_simhash_agg" -> { es => SimHashAgg(es.head).toAggregateExpression() },
+    "graft_qhist"       -> { es =>
+      def num(e: Expression): Double = e.eval().asInstanceOf[Number].doubleValue()
+      QuantileHistAgg(es(0), num(es(1)), num(es(2)), num(es(3)).toInt)
+        .toAggregateExpression()
+    },
   )
 
   /** Idempotently register the graft vector functions on a session
@@ -154,6 +159,14 @@ object VectorFunctions {
   def simhashAgg(spark: SparkSession, h: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_simhash_agg", h)
+  }
+
+  /** Mergeable equi-width histogram sketch of a numeric column:
+    * `bins` counts over [lo, hi), clamped at the edges. */
+  def qhist(spark: SparkSession, x: Column, lo: Double, hi: Double,
+      bins: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_qhist", x, lit(lo), lit(hi), lit(bins))
   }
 }
 

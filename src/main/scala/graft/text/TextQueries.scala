@@ -315,6 +315,50 @@ object TextQueries {
         round(col("n_hit").cast("double") / col("n_shingles"), 4))
   }
 
+  // K5 quantile-sketch parameters: char-length histogram over [0, 1024)
+  // in 64 bins (w = 16 chars — the quantile error bound), estimated at
+  // the standard corpus percentiles.
+  val QLo = 0.0
+  val QHi = 1024.0
+  val QBins = 64
+  val Qs = Seq(0.5, 0.9, 0.99)
+  private val QW = (QHi - QLo) / QBins
+
+  /** K5 driver query: per-language length quantiles from the mergeable
+    * histogram sketch (graft_qhist, QuantileHistAgg). ONE map-side-
+    * combined aggregation scans the corpus and carries bins×8 bytes per
+    * (partition, language); everything after the sketch — cumulative
+    * counts, crossing-bin search, interpolation — is relational algebra
+    * over ≤ bins rows per language, exactly mirrored by the DuckDB
+    * oracle (deterministic by construction: the sketch is a pure
+    * function of the value multiset, unlike sampling sketches). */
+  def textQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+    val hist = d.groupBy(col("lang"))
+      .agg(graft.functions.VectorFunctions
+        .qhist(spark, length(col("text")), QLo, QHi, QBins).as("hist"))
+    val bins = hist.select(col("lang"),
+        posexplode(col("hist")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+    val n = bins.groupBy("lang").agg(sum(col("cnt")).as("n"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("bin")
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(cumW))
+    val qs = Qs.toDF("q")
+    val t = col("q") * col("n") // target rank, double — same math as oracle
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "q").orderBy("bin")
+    cum.join(n, "lang").crossJoin(broadcast(qs))
+      .filter(col("cum") >= t)
+      .withColumn("r", row_number().over(rankW))
+      .filter(col("r") === 1)
+      .select(col("lang"), col("q"),
+        round(lit(QLo) + lit(QW) *
+          (col("bin") + (t - (col("cum") - col("cnt"))) / col("cnt")), 6).as("est"),
+        col("n"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_tfidf"        -> (textTfidf _),
     "text_ngrams"       -> (textNgrams _),
@@ -329,6 +373,7 @@ object TextQueries {
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
     "text_contamination" -> (textContamination _),
+    "text_quantile_sketch" -> (textQuantileSketch _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -342,6 +387,32 @@ object TextQueries {
   private val toksSql = "string_split_regex(trim(text), ' +')"
 
   def oracleSql: Map[String, String] = Map(
+    // Mirrors textQuantileSketch step for step from the SAME constants:
+    // bin counts (the sketch is SQL-expressible because binning is a
+    // pure function of the value), cumulative crossing-bin search, and
+    // the identical double interpolation. Every numeric is forced
+    // ::double where DuckDB would otherwise pick DECIMAL (whose
+    // division semantics diverge from Spark's double math).
+    "text_quantile_sketch" -> {
+      val qsVals = Qs.map(q => s"(${q}::double)").mkString(", ")
+      s"""WITH b AS (
+         |  SELECT lang,
+         |    least(${QBins - 1}, greatest(0, floor((length(text)::double - ${QLo}::double) / ${QW}::double)))::int AS bin,
+         |    count(*) AS cnt
+         |  FROM documents GROUP BY 1, 2
+         |), n AS (SELECT lang, sum(cnt)::bigint AS n FROM b GROUP BY 1),
+         |c AS (SELECT lang, bin, cnt, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM b),
+         |qs(q) AS (VALUES $qsVals),
+         |hit AS (
+         |  SELECT c.lang, q, bin, cnt, cum - cnt AS cumprev, n.n,
+         |    row_number() OVER (PARTITION BY c.lang, q ORDER BY bin) AS r
+         |  FROM c JOIN n USING (lang) CROSS JOIN qs
+         |  WHERE cum >= q * n.n
+         |)
+         |SELECT lang, q, round(${QLo}::double + ${QW}::double * (bin + (q * n - cumprev) / cnt), 6) AS est, n
+         |FROM hit WHERE r = 1""".stripMargin
+    },
+
     "text_tokens" ->
       s"""SELECT doc_id,
          |  length($toksSql) AS n_tokens_ws,
