@@ -149,11 +149,108 @@ object Multimodal {
       width.as("width"), height.as("height"))
   }
 
+  /** Big-endian u16 at a COLUMN byte offset (1-based) — the variable-
+    * offset sibling of beU32 for marker-structured formats. */
+  def beU16(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int")
+
+  /** JPEG SOF markers that carry frame dimensions (baseline,
+    * extended-sequential, progressive, lossless). */
+  val SofMarkers = Seq("ffc0", "ffc1", "ffc2", "ffc3")
+
+  /** Max marker segments the scan walks before giving up. */
+  val JpegMaxSegments = 8
+
+  /** Find the SOF segment of a JPEG byte stream: walk the marker chain
+    * from byte 3 (after SOI), hopping each segment by its big-endian
+    * length field, until a SOF-family marker. JPEG headers are
+    * VARIABLE-length (APPn/COM segments of arbitrary size), so unlike
+    * PNG there is no fixed dimension offset — this is a genuine scan,
+    * expressed as a BOUNDED UNROLL of pure codegen'd expressions
+    * (substr at column offsets + conv), no UDF: per-row work only,
+    * whole-stage codegen, zero shuffle at any scale.
+    *
+    * The unroll is across PROJECTIONS (one withColumns step per hop),
+    * not one composed Column: each hop reads the previous offset
+    * several times, so a single nested expression would grow ~3^hops
+    * nodes and stall Catalyst (measured: minutes at 8 hops).
+    * Aliasing the offset per step keeps the plan linear —
+    * CollapseProject deliberately declines to re-inline an alias that
+    * is referenced more than once and isn't cheap, and whole-stage
+    * codegen evaluates each projection's outputs once into locals.
+    *
+    * Adds `valid_soi` and `sof_off` (0 = no SOF within maxSegments)
+    * to `df`; `binCol` names the JPEG byte-stream column. */
+  def withJpegSof(df: DataFrame, binCol: String,
+      maxSegments: Int = JpegMaxSegments): DataFrame = {
+    val bin = col(binCol)
+    var out = df
+      .withColumn("valid_soi", (lower(hex(substring(bin, 1, 2))) === "ffd8").cast("int"))
+      .withColumn("sof_off", lit(0))
+      .withColumn("_cur", lit(3))
+    for (_ <- 1 to maxSegments) {
+      val marker = lower(hex(bin.substr(col("_cur"), lit(2))))
+      val isSof = marker.isin(SofMarkers: _*)
+      out = out
+        .withColumn("sof_off",
+          when(col("sof_off") > 0, col("sof_off"))
+            .when(isSof, col("_cur")).otherwise(lit(0)))
+        // next marker sits 2 (marker bytes) + declared length past this
+        .withColumn("_cur",
+          when(col("sof_off") > 0, col("_cur"))
+            .otherwise(col("_cur") + lit(2) + beU16(bin, col("_cur") + lit(2))))
+    }
+    out.drop("_cur")
+  }
+
+  /** Dimensions from a located SOF segment: precision u8 at +4,
+    * height u16 at +5, width u16 at +7 (1-based, marker at sof_off). */
+  def jpegDims(bin: org.apache.spark.sql.Column, sofOff: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    (when(sofOff > 0, beU16(bin, sofOff + lit(7))),
+      when(sofOff > 0, beU16(bin, sofOff + lit(5))))
+
+  /** H5 driver query: synthesize a structurally REAL JPEG header per
+    * asset — SOI, fixed APP0/JFIF, an OPTIONAL COM segment (present for
+    * doc_id % 3 != 0, payload doc_id % 17 + 1 bytes), an APP1 segment
+    * of VARIABLE length (n_chars % 13 + 1 bytes), then SOF0/SOF2
+    * (alternating by doc_id parity) with dims from metadata — and parse
+    * marker, offset, and dims back from the BYTES with the bounded
+    * scan. The oracle derives every output independently from the same
+    * generating formulas (offset by segment arithmetic), so a scan that
+    * mis-hops any variable-length segment hash-mismatches. */
+  def mmJpegDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = (col("n_chars") % 512 + 16).cast("int")
+    val h = (col("doc_id") % 384 + 16).cast("int")
+    val comLen = (col("doc_id") % 17 + 1).cast("int")  // payload bytes
+    val app1Len = (col("n_chars") % 13 + 1).cast("int")
+    val sofMarker = when(col("doc_id") % 2 === 0, "ffc2").otherwise("ffc0")
+    val hx = concat(
+      lit("ffd8"),
+      lit("ffe0" + "0010" + "4a46494600010100000100010000"), // APP0/JFIF, len 16
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit("fffe"), lpad(lower(hex(comLen + 2)), 4, "0"),
+          repeat(lit("78"), comLen))).otherwise(lit("")),
+      lit("ffe1"), lpad(lower(hex(app1Len + 2)), 4, "0"),
+      repeat(lit("45"), app1Len),
+      sofMarker, lit("0011" + "08"),
+      lpad(lower(hex(h)), 4, "0"), lpad(lower(hex(w)), 4, "0"),
+      lit("03" + "011100021101031101")) // 3 components, len 17 total
+    val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
+    val scanned = withJpegSof(withBin, "_bin")
+    val (width, height) = jpegDims(col("_bin"), col("sof_off"))
+    scanned.select(col("doc_id"), col("valid_soi"),
+      lower(hex(col("_bin").substr(col("sof_off"), lit(2)))).as("sof_marker"),
+      col("sof_off"), width.as("width"), height.as("height"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
+    "mm_jpeg_dims" -> (mmJpegDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,6 +284,21 @@ object Multimodal {
          |  ('0x' || substr(hx, 33, 8))::bigint AS width,
          |  ('0x' || substr(hx, 41, 8))::bigint AS height
          |FROM b""".stripMargin,
+
+    // Independent derivation: the oracle never parses bytes — it
+    // recomputes marker, dims, AND the SOF byte offset from the
+    // generating formulas (segment arithmetic: 3 after SOI, +18 APP0,
+    // +4+p optional COM, +4+q APP1), so the Spark-side scan must hop
+    // every variable-length segment exactly right to hash-match.
+    "mm_jpeg_dims" ->
+      """SELECT doc_id,
+        |  1 AS valid_soi,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ffc2' ELSE 'ffc0' END AS sof_marker,
+        |  (25 + (n_chars % 13 + 1)
+        |     + CASE WHEN doc_id % 3 <> 0 THEN 4 + (doc_id % 17 + 1) ELSE 0 END)::int AS sof_off,
+        |  (n_chars % 512 + 16)::int AS width,
+        |  (doc_id % 384 + 16)::int AS height
+        |FROM documents""".stripMargin,
 
     "mm_decode" ->
       """WITH d AS (

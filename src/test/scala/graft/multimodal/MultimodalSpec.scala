@@ -65,4 +65,28 @@ class MultimodalSpec extends SparkSpec {
     // truncated non-PNG bytes: signature invalid, dims null
     assert(byId(2L) == ((0, -1L, -1L)))
   }
+
+  test("H5 jpegSofOffset walks variable-length segments to SOF; no-SOF streams yield 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, unhex}
+    // SOI + APP0(JFIF, len 16) + COM(len 7: 5 payload bytes) + SOF0 @ 3+18+9=30
+    val withCom = "ffd8" + "ffe000104a46494600010100000100010000" +
+      "fffe0007" + "78" * 5 +
+      "ffc0001108" + "0014" + "002a" + "03011100021101031101" // h=20 w=42
+    // no SOF within the stream: SOI + APP0 + COM only
+    val noSof = "ffd8" + "ffe000104a46494600010100000100010000" + "fffe000478" + "78"
+    val df = Seq((1L, withCom), (2L, noSof)).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val scanned = Multimodal.withJpegSof(df, "payload")
+    val (w, h) = Multimodal.jpegDims(col("payload"), col("sof_off"))
+    val byId = scanned
+      .select(col("id"), col("valid_soi"), col("sof_off"), w, h)
+      .collect().map { r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4)))
+    }.toMap
+    assert(byId(1L) == ((1, 30, 42, 20)))
+    assert(byId(2L) == ((1, 0, -1, -1)))
+  }
 }
