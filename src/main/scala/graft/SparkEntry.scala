@@ -40,6 +40,7 @@ object SparkEntry {
       "q_skew_join"        -> (Relational.qSkewJoin _),
       "q_range_join"       -> (Relational.qRangeJoin _),
       "q_pivot"            -> (Relational.qPivot _),
+      "q_cube"             -> (Relational.qCube _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -140,6 +141,16 @@ object SparkEntry {
          |JOIN region r ON n.n_regionkey = r.r_regionkey
          |GROUP BY 1""".stripMargin
     },
+    // DuckDB grouping(a, b) uses the same bitmask convention as Spark's
+    // grouping_id (first argument = most significant bit, 1 = rolled up)
+    "q_cube" ->
+      """SELECT r_name, o_orderpriority, round(sum(o_totalprice),2) AS total,
+        |       count(*) AS n_orders, grouping(r_name, o_orderpriority) AS gid
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY CUBE (r_name, o_orderpriority)""".stripMargin,
     // oracle is the naive BETWEEN join — grid bucketing must match it
     "q_range_join" -> {
       val values = Relational.PriceBands
