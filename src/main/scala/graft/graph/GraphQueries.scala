@@ -174,8 +174,11 @@ object GraphQueries {
     * element order; rounding absorbs the last-ulp difference from
     * engine-specific aggregation order. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    // checkpoint the stored vertex table ONCE per query: pageRank joins
+    // it every iteration, and ten parquet re-reads cost more than one
+    // materialization of a narrow frame (measured +0.8 s unbuffered)
     Graphs.pageRank(storedGeoUnd(spark, dir),
-        vertices = Some(storedGeoVerts(spark, dir)),
+        vertices = Some(storedGeoVerts(spark, dir).localCheckpoint(eager = true)),
         iterations = PrIterations, damping = PrDamping)
       .select(col("id"), round(col("rank"), 6).as("rank"))
 

@@ -261,13 +261,21 @@ object Graphs {
       maxHops: Int): DataFrame = {
     val spark = one.sparkSession
     import spark.implicits._
+    // materialize the doubled edge frame ONCE: every hop joins it, and
+    // an unbuffered union re-scans the source (twice) per hop; two
+    // longs per edge keeps the checkpoint narrow (the r4 lesson)
     val und = one
       .unionAll(one.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
     val seedHash = spark.range(1)
       .select(xxhash64(lit(seed))).first().getLong(0)
     var visited = Seq((seedHash, 0)).toDF("h", "depth")
     var frontier = visited
     for (d <- 1 to maxHops) {
+      // the frontier is checkpointed, so AQE sees its exact size and
+      // broadcasts small frontiers (no edge shuffle per hop) while
+      // still falling back to a shuffle join when a hop explodes —
+      // an unconditional broadcast() here would OOM on wide graphs
       val next = und.join(frontier, und("u") === frontier("h"))
         .select(col("v").as("h")).distinct()
         .join(visited, Seq("h"), "left_anti")
