@@ -41,6 +41,8 @@ object SparkEntry {
       "q_range_join"       -> (Relational.qRangeJoin _),
       "q_pivot"            -> (Relational.qPivot _),
       "q_cube"             -> (Relational.qCube _),
+      "q_grouping_sets"    -> (Relational.qGroupingSets _),
+      "q_lead_lag"         -> (Relational.qLeadLag _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -151,6 +153,27 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY CUBE (r_name, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT r_name, o_orderpriority, round(sum(o_totalprice),2) AS total,
+        |       count(*) AS n_orders, grouping(r_name, o_orderpriority) AS gid
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))""".stripMargin,
+    "q_lead_lag" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS gap_days
+        |  FROM orders
+        |)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  round(avg(gap_days), 4) AS avg_gap_days,
+        |  max(gap_days) AS max_gap_days
+        |FROM g GROUP BY o_custkey""".stripMargin,
     // oracle is the naive BETWEEN join — grid bucketing must match it
     "q_range_join" -> {
       val values = Relational.PriceBands

@@ -253,4 +253,43 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"),
         round(sum(col("p_retailprice")), 2).as("sum_price"))
   }
+
+  /** D11 — GROUPING SETS: the two single-dimension marginals plus the
+    * full cross — deliberately NOT a cube (no grand-total set), which
+    * is exactly what GROUPING SETS expresses that cube/rollup can't.
+    * Same single-shuffle Expand-based plan as qCube underneath. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val geo = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderpriority", "o_totalprice")
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderpriority")),
+          Seq(col("r_name")), Seq(col("o_orderpriority"))),
+        col("r_name"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+  }
+
+  /** D12 — lag window over order history: days since the customer's
+    * previous order, aggregated to per-customer cadence stats. One
+    * partitioned window (single shuffle on o_custkey), then a
+    * same-keyed aggregation that reuses the partitioning. */
+  def qLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("gap_days")), 4).as("avg_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+  }
 }

@@ -112,4 +112,49 @@ object EventOps {
     }
     counts.result().toDF("step", "event_type", "n_users")
   }
+
+  /** SCD/CDC compaction: the LATEST record per key from an update log —
+    * the periodic merge job every change-data-capture pipeline runs.
+    * One row_number window = a single shuffle on the key; at 100 TB
+    * this runs over a date-partitioned log where only partitions newer
+    * than the last compaction are scanned. Ordering is (ts DESC,
+    * id DESC) so equal-timestamp updates resolve deterministically. */
+  def latestByKey(log: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Hourly volume anomalies per event type: hours whose count deviates
+    * from the type's mean by >= `zThreshold` sample standard deviations.
+    * Mean/variance are computed from EXACT integer sums (sum n, sum n²)
+    * rather than streaming avg/stddev aggregates, so the float result
+    * is a fixed expression over exact inputs — deterministic across
+    * engines and accumulation orders (the property the DuckDB oracle
+    * relies on). Two narrow aggregations + one broadcast join. */
+  def hourlyAnomalies(events: DataFrame, zThreshold: Double,
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col(typeCol).as("t"))
+      .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      // greatest(0, ·) absorbs a float-cancellation tiny-negative; the
+      // sd > 0 filter below then drops constant series identically in
+      // both engines (avoids cross-engine x/0 and sqrt(<0) semantics)
+      .select(col("t"), (col("s1").cast("double") / col("cnt")).as("mean_n"),
+        sqrt(greatest(lit(0.0),
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt"))
+            / (col("cnt") - lit(1)))).as("sd_n"))
+      .filter(col("sd_n") > 0)
+    hourly.join(broadcast(stats), col(typeCol) === col("t"))
+      .withColumn("z", (col("n") - col("mean_n")) / col("sd_n"))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col(typeCol), col("hour"), col("n"), round(col("z"), 4).as("z"))
+  }
 }

@@ -48,6 +48,23 @@ object StreamQueries {
   def evRetention(spark: SparkSession, dir: String): DataFrame =
     EventOps.retention(Tables.events(spark, dir), "signup")
 
+  /** I10: CDC-style latest-record compaction of the event log (the
+    * "current state" table a MERGE-based pipeline maintains). */
+  def evScdLatest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    EventOps.latestByKey(Tables.events(spark, dir), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+  }
+
+  val AnomalyZ = 2.0
+
+  /** I11: hourly volume anomalies per event type (|z| >= 2). */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame =
+    EventOps.hourlyAnomalies(Tables.events(spark, dir), AnomalyZ)
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
@@ -56,6 +73,8 @@ object StreamQueries {
     "ev_asof"        -> (evAsof _),
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
+    "ev_scd_latest"  -> (evScdLatest _),
+    "ev_anomaly"     -> (evAnomaly _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +180,35 @@ object StreamQueries {
         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
+
+    "ev_scd_latest" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    // mirrors EventOps.hourlyAnomalies: mean/sd from EXACT integer sums
+    // (identical double expressions over identical inputs → identical
+    // rounding and threshold decisions in both engines)
+    "ev_anomaly" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT event_type AS t,
+         |    sum(n) AS s1, sum(n * n) AS s2, count(*) AS cnt
+         |  FROM hourly GROUP BY 1 HAVING count(*) > 1
+         |), sd AS (
+         |  SELECT t, s1::DOUBLE / cnt AS mean_n,
+         |    sqrt(greatest(0.0,
+         |      (s2::DOUBLE - s1::DOUBLE * s1 / cnt) / (cnt - 1))) AS sd_n
+         |  FROM stats
+         |)
+         |SELECT h.event_type, h.hour, h.n, round((h.n - mean_n) / sd_n, 4) AS z
+         |FROM hourly h JOIN sd ON h.event_type = sd.t
+         |WHERE sd_n > 0 AND abs((h.n - mean_n) / sd_n) >= ${StreamQueries.AnomalyZ}""".stripMargin,
   )
 }
