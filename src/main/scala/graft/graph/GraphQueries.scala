@@ -188,6 +188,24 @@ object GraphQueries {
     Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
       vertices = Some(storedGeoVerts(spark, dir)))
 
+  val HitsIterations = 5
+
+  /** C10 driver query: HITS over the canonical-orientation geo edges
+    * (same directed graph pageRank ranks), scores rounded to 6 decimals
+    * for the generated fixed-iteration SQL oracle. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame =
+    Graphs.hits(storedGeoUnd(spark, dir), HitsIterations,
+        vertices = Some(storedGeoVerts(spark, dir).localCheckpoint(eager = true)))
+      .select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+
+  val JaccardMinSim = 0.25
+
+  /** C11 driver query: neighborhood-Jaccard link prediction over the
+    * co-order part graph (already quantity-thresholded sparse). */
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame =
+    Graphs.neighborJaccard(coOrderEdges(spark, dir), JaccardMinSim)
+
   /** Degree distribution of the KG (count of nodes per total degree) —
     * the first structural sanity check on any built graph. */
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame =
@@ -205,6 +223,8 @@ object GraphQueries {
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_lpa"       -> (graphLpa _),
+    "graph_hits"      -> (graphHits _),
+    "graph_jaccard"   -> (graphJaccard _),
   )
 
   // --- oracles ------------------------------------------------------
@@ -337,6 +357,57 @@ object GraphQueries {
          |$iters
          |SELECT id, round(rank, 6) AS rank FROM r$PrIterations""".stripMargin
     },
+
+    "graph_hits" -> {
+      // fixed-iteration SQL mirroring Graphs.hits: same join supports,
+      // same Σ-normalization expression per half-step; MATERIALIZED for
+      // the same double-reference reason as the pagerank oracle
+      val iters = (1 to HitsIterations).map { i =>
+        s"""a$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, sum(h.h) AS a
+           |  FROM e2 e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst
+           |),
+           |an$i AS MATERIALIZED (
+           |  SELECT id, a / (SELECT sum(a) FROM a$i) AS a FROM a$i
+           |),
+           |hh$i AS MATERIALIZED (
+           |  SELECT e.src AS id, sum(a.a) AS h
+           |  FROM e2 e JOIN an$i a ON e.dst = a.id GROUP BY e.src
+           |),
+           |h$i AS MATERIALIZED (
+           |  SELECT id, h / (SELECT sum(h) FROM hh$i) AS h FROM hh$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und0),
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |h0 AS (SELECT id, 1.0::double AS h FROM v),
+         |$iters
+         |SELECT v.id, round(coalesce(h.h, 0), 6) AS hub,
+         |  round(coalesce(a.a, 0), 6) AS auth
+         |FROM v LEFT JOIN h$HitsIterations h ON v.id = h.id
+         |LEFT JOIN an$HitsIterations a ON v.id = a.id""".stripMargin
+    },
+
+    "graph_jaccard" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |),
+         |und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM und GROUP BY 1),
+         |c AS (
+         |  SELECT a.u AS u, b.u AS v, count(*) AS common
+         |  FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.u, c.v, common,
+         |  round(common::DOUBLE / (du.deg + dv.deg - common), 4) AS jaccard
+         |FROM c JOIN deg du ON c.u = du.id JOIN deg dv ON c.v = dv.id
+         |WHERE common::DOUBLE / (du.deg + dv.deg - common) >= $JaccardMinSim""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH l AS (

@@ -155,6 +155,67 @@ object Graphs {
     ranks
   }
 
+  /** C10: HITS hubs & authorities over a DIRECTED edge list (u → v),
+    * fixed iterations, sum-normalized after each half-step (scores are
+    * scale-invariant, so Σ=1 normalization is as good as L2 and keeps
+    * the oracle SQL a plain sum). Per half-step: one src/dst-keyed
+    * aggregation plus the norm as an IN-PLAN broadcast scalar (the
+    * pageRank dangling-mass idiom — no per-round driver action), with
+    * the pre-normalization frame checkpointed because both the scalar
+    * and the next join read it. Vertices missing a side score 0. */
+  def hits(directed: DataFrame, iterations: Int,
+      vertices: Option[DataFrame] = None): DataFrame = {
+    val e = directed.select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(eager = true)
+    val verticesDf = vertices.getOrElse(
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+        .distinct().localCheckpoint(eager = true))
+    var hubs = verticesDf.select(col("id"), lit(1.0).as("h"))
+    var auths = verticesDf.select(col("id"), lit(0.0).as("a"))
+    for (_ <- 1 to iterations) {
+      val a0 = e.join(hubs, e("src") === hubs("id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("id"), col("a"))
+        .localCheckpoint(eager = true)
+      val aNorm = broadcast(a0.agg(sum(col("a")).as("s")))
+      auths = a0.crossJoin(aNorm).select(col("id"), (col("a") / col("s")).as("a"))
+      val h0 = e.join(auths, e("dst") === auths("id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("id"), col("h"))
+        .localCheckpoint(eager = true)
+      val hNorm = broadcast(h0.agg(sum(col("h")).as("s")))
+      hubs = h0.crossJoin(hNorm).select(col("id"), (col("h") / col("s")).as("h"))
+    }
+    verticesDf.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("auth"))
+  }
+
+  /** C11: neighborhood-Jaccard link prediction over an undirected edge
+    * list ((u, v) one orientation, deduped). Candidate pairs come from
+    * the WEDGE join (pairs sharing ≥1 neighbor) — never all-pairs;
+    * Jaccard = |N∩| / (deg_u + deg_v − |N∩|) with integer inputs, so
+    * the double division is bit-identical across engines and the ≥
+    * threshold cannot flip. At 100 TB the standard extra guard is a
+    * degree cap dropping super-nodes before the wedge join. */
+  def neighborJaccard(edges: DataFrame, minSim: Double): DataFrame = {
+    val e0 = edges.select(col("u"), col("v")).localCheckpoint(eager = true) // read 3×
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("u").as("x"), col("v").as("n"))
+      .join(und.select(col("u").as("y"), col("v").as("n")), "n")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("deg_x") + col("deg_y") - col("common"))
+    wedges
+      .join(deg.select(col("id").as("x"), col("deg").as("deg_x")), "x")
+      .join(deg.select(col("id").as("y"), col("deg").as("deg_y")), "y")
+      .filter(jac >= minSim)
+      .select(col("x").as("u"), col("y").as("v"), col("common"),
+        round(jac, 4).as("jaccard"))
+  }
+
   /** C5: label propagation, synchronous, fixed iterations; each vertex
     * adopts the most frequent neighbor label, min label on ties. */
   def labelPropagation(undirected: DataFrame, iterations: Int = 5,

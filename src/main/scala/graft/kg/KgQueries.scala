@@ -131,6 +131,24 @@ object KgQueries {
       GraphBuilder.edges(storedTriples(spark, dir))
     })
 
+  /** B11: relation composition — two-hop paths a -[r1]→ m -[r2]→ b
+    * through the KG, grouped by the relation pair with total path count
+    * and distinct-source count. Reads the bucketed edge table twice;
+    * the b-side join key (src) is bucket-aligned, the a-side shuffles
+    * on dst. Linear in edge count here because every mid's fan-out is
+    * small; the 100 TB guard for hub mids is a per-mid degree cap. */
+  def kgTwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val e = storedEdges(spark, dir)
+    val a = e.select(col("src_label").as("a_label"), col("src").as("a"),
+      col("rel").as("rel1"), col("dst_label").as("m_label"), col("dst").as("m"))
+    val b = e.select(col("src_label").as("m_label"), col("src").as("m"),
+      col("rel").as("rel2"), col("dst").as("b"))
+    a.join(b, Seq("m_label", "m"))
+      .groupBy("rel1", "rel2")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(concat_ws("|", col("a_label"), col("a"))).as("n_sources"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "kg_triples"               -> (kgTriples _),
     "kg_extract_json"          -> (kgExtractJson _),
@@ -139,6 +157,7 @@ object KgQueries {
     "kg_nodes"                 -> (kgNodes _),
     "kg_edges"                 -> (kgEdges _),
     "kg_cypher_batches"        -> (kgCypherBatches _),
+    "kg_two_hop"               -> (kgTwoHop _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -216,6 +235,16 @@ object KgQueries {
          |  '[' || string_agg(row_json, ',' ORDER BY row_json) || ']' AS rows_json,
          |  '${Neo4jUpsert.EdgeUnwindCypher}' AS cypher
          |FROM b GROUP BY batch_id""".stripMargin,
+
+    "kg_two_hop" ->
+      s"""WITH t AS ($triplesSql),
+         |e AS MATERIALIZED (
+         |$edgesSelectSql
+         |)
+         |SELECT x.rel AS rel1, y.rel AS rel2, count(*) AS n_paths,
+         |  count(DISTINCT x.src_label || '|' || x.src) AS n_sources
+         |FROM e x JOIN e y ON x.dst_label = y.src_label AND x.dst = y.src
+         |GROUP BY 1, 2""".stripMargin,
   )
 
   /** The kg_edges SELECT over a CTE `t` of triples — shared with the

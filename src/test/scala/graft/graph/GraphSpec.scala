@@ -135,4 +135,35 @@ class GraphSpec extends SparkSpec {
     assert(d(("Customer", "alice")) == (1L, 0L, 1L))
     assert(d(("Region", "EUROPE")) == (0L, 1L, 1L))
   }
+
+  test("C10 HITS: star hub takes all hub mass, leaves split authority") {
+    // h → a, h → b, h → c: h is the only hub (score 1 after Σ-norm),
+    // the leaves split authority 1/3 each; reversed roles score 0
+    val e = edgesDf("h" -> "a", "h" -> "b", "h" -> "c")
+    val s = Graphs.hits(e, iterations = 3).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(s("h")._1 - 1.0) < 1e-12 && s("h")._2 == 0.0)
+    Seq("a", "b", "c").foreach { v =>
+      assert(s(v)._1 == 0.0 && math.abs(s(v)._2 - 1.0 / 3) < 1e-12)
+    }
+  }
+
+  test("C10 HITS: direction matters — chain endpoints are one-sided") {
+    val e = edgesDf("a" -> "b", "b" -> "c")
+    val s = Graphs.hits(e, iterations = 2).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(s("a")._2 == 0.0) // nothing points at a
+    assert(s("c")._1 == 0.0) // c points at nothing
+    assert(math.abs(s("a")._1 + s("b")._1 - 1.0) < 1e-12)
+    assert(math.abs(s("b")._2 + s("c")._2 - 1.0) < 1e-12)
+  }
+
+  test("C11 neighbor Jaccard: opposite corners of a 4-cycle are twins") {
+    // a-b-c-d-a: N(a)={b,d}=N(c), N(b)={a,c}=N(d); adjacent pairs share
+    // nothing, so only the two diagonal pairs survive, at Jaccard 1.0
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "d")
+    val out = Graphs.neighborJaccard(e, minSim = 0.25).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(("a", "c") -> (2L, 1.0), ("b", "d") -> (2L, 1.0)))
+  }
 }

@@ -90,4 +90,32 @@ class EventOpsSpec extends SparkSpec {
       .orderBy("step").as[(Int, String, Long)].collect().toSeq
     assert(out == Seq((1, "signup", 1L), (2, "view", 1L), (3, "click", 0L)))
   }
+
+  test("latestByKey keeps one row per key; equal-ts ties resolve by max id") {
+    val log = ev(
+      (1L, 1L, "a", 10L, 1.0), (2L, 1L, "b", 20L, 2.0),
+      // user 2: two updates at the SAME ts — id 5 must win
+      (4L, 2L, "c", 30L, 3.0), (5L, 2L, "d", 30L, 4.0),
+      (3L, 2L, "e", 20L, 5.0))
+    val out = EventOps.latestByKey(log, "user_id", "ts", "event_id")
+      .select("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 2L, "b"), (2L, 5L, "d")))
+  }
+
+  test("hourlyAnomalies flags only the spike hour; constant series drop out") {
+    // type x: five 1-event hours + one 12-event hour → only the spike
+    // has |z| >= 2; type y is constant (sd = 0) → excluded entirely
+    val rows = Seq.newBuilder[(Long, Long, String, Long, Double)]
+    var id = 0L
+    for (h <- 0 until 5) { id += 1; rows += ((id, 1L, "x", h * 3600L, 0.0)) }
+    for (_ <- 0 until 12) { id += 1; rows += ((id, 1L, "x", 5 * 3600L, 0.0)) }
+    for (h <- 0 until 4) { id += 1; rows += ((id, 1L, "y", h * 3600L, 0.0)) }
+    val out = EventOps.hourlyAnomalies(ev(rows.result(): _*), zThreshold = 2.0)
+      .select("event_type", "n", "z")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out.length == 1)
+    val (t, n, z) = out.head
+    assert(t == "x" && n == 12L && z > 2.0)
+  }
 }
