@@ -57,15 +57,26 @@ object SimQueries {
   def simQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
+  /** F7: exact MIPS top-k for the same query set (raw dot score). */
+  def simMips(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mipsTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < NumQueries), K)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ann_lsh"    -> (simAnnLsh _),
     "sim_ivf"        -> (simIvf _),
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_quantize"   -> (simQuantize _),
+    "sim_mips"       -> (simMips _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> z[1]::double * z[2]::double))"
 
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), z -> z[1]::double * z[2]::double))
@@ -132,6 +143,19 @@ object SimQueries {
         |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin,
 
     "sim_topk_brute" -> oracleSqlBrute,
+
+    "sim_mips" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+         |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+         |s AS (
+         |  SELECT q_id, n_id, ${dotSql("qv", "nv")} AS dot
+         |  FROM q, n WHERE q_id <> n_id
+         |), r AS (
+         |  SELECT q_id, n_id, dot,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rnk
+         |  FROM s
+         |)
+         |SELECT q_id, n_id, round(dot, 4) AS dot, rnk FROM r WHERE rnk <= $K""".stripMargin,
 
     "sim_ann_lsh" -> oracleSqlAnn,
 

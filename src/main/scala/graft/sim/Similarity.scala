@@ -83,6 +83,31 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** F7: max-inner-product top-k — the recommendation-scoring variant
+    * of F1 (score = raw dot product, not angle). Same broadcast-queries
+    * + per-query window shape as bruteTopK, with the codegen'd
+    * graft_dot on the hot path. The documented scale path for MIPS is
+    * the norm-augmentation reduction to cosine ANN: append
+    * sqrt(M² − ‖x‖²) to every item vector (M = max item norm) and a 0
+    * to queries — inner-product order becomes cosine order, after which
+    * annLsh answers it sub-linearly; this brute pass is the exact
+    * ground truth that reduction is measured against. */
+  def mipsTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val n = vecs.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val dot = VectorFunctions.dotProduct(vecs.sparkSession, col("qv"), col("nv"))
+    n.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dot", dot)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("dot"), 4).as("dot"), col("rnk"))
+  }
+
   /** F2: multi-table LSH ANN — L independent hash tables of a few
     * sign-planes each; a pair is a candidate if it collides in ANY
     * table (union drives recall up exponentially in L, the standard

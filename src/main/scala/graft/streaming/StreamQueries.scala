@@ -59,6 +59,18 @@ object StreamQueries {
         col("value").as("last_value"))
   }
 
+  /** I12 (batch face of Streaming.dedupWithinWatermark): identity-
+    * deduped event log with a DETERMINISTIC representative (min event
+    * id — dropDuplicates keeps an arbitrary row, which an oracle can't
+    * match) plus the duplicate multiplicity. */
+  def evDedupe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type", "ts")
+      .agg(min(col("event_id")).as("event_id"),
+        count(lit(1)).as("n_dupes"))
+  }
+
   val AnomalyZ = 2.0
 
   /** I11: hourly volume anomalies per event type (|z| >= 2). */
@@ -75,6 +87,7 @@ object StreamQueries {
     "ev_retention"   -> (evRetention _),
     "ev_scd_latest"  -> (evScdLatest _),
     "ev_anomaly"     -> (evAnomaly _),
+    "ev_dedupe"      -> (evDedupe _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,6 +202,11 @@ object StreamQueries {
         |                               ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
+
+    "ev_dedupe" ->
+      """SELECT user_id, event_type, ts, min(event_id) AS event_id,
+        |  count(*) AS n_dupes
+        |FROM events GROUP BY user_id, event_type, ts""".stripMargin,
 
     // mirrors EventOps.hourlyAnomalies: mean/sd from EXACT integer sums
     // (identical double expressions over identical inputs → identical

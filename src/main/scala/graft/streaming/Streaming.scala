@@ -95,6 +95,18 @@ object Streaming {
       }
   }
 
+  /** I12 (streaming path): at-least-once → effectively-once dedup of an
+    * event stream on its identity key (user, type, ts). The
+    * WithinWatermark variant is the only shape that survives 100 TB/day:
+    * plain dropDuplicates keeps every key ever seen in state, while this
+    * one evicts identities older than the watermark — state is bounded
+    * by (delay × arrival rate). Batch parity (the oracle face) is the
+    * identity-grouped min-id representative in StreamQueries.evDedupe. */
+  def dedupWithinWatermark(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
   /** I5: click→purchase attribution join — the stream-stream interval
     * join pattern: for each click, purchases by the same user within
     * `windowSec` after the click. On streaming inputs both sides need

@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I12 streaming dedup drops identity repeats, also across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("user_id", "event_type", "ts")
+    val q = Streaming.dedupWithinWatermark(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData((1L, "click", ts(0)), (1L, "click", ts(0)), (1L, "view", ts(1)))
+      q.processAllAvailable()
+      // repeat of (1, click, t0) in a LATER microbatch, still inside
+      // the watermark window — state must remember and drop it
+      mem.addData((1L, "click", ts(0)), (2L, "click", ts(2)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq
+      assert(out.length == 3)
+      assert(out.toSet == Set((1L, "click", ts(0)), (1L, "view", ts(1)),
+        (2L, "click", ts(2))))
+    } finally q.stop()
+  }
+
   test("I4 file stream lands checkpointed parquet output") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_stream")
