@@ -182,6 +182,22 @@ object GraphQueries {
         iterations = PrIterations, damping = PrDamping)
       .select(col("id"), round(col("rank"), 6).as("rank"))
 
+  /** PPR teleport set: the region vertices of the geo graph (ids are
+    * "label|name", so the prefix selects exactly the 5 regions). */
+  val PprSourcePrefix = "region|"
+
+  /** C12 driver query: personalized PageRank from the region vertices —
+    * proximity-weighted importance relative to the regions. Same
+    * iteration count/damping (and rounding contract) as graph_pagerank. */
+  def graphPpr(spark: SparkSession, dir: String): DataFrame = {
+    val verts = storedGeoVerts(spark, dir).localCheckpoint(eager = true)
+    Graphs.pageRankPersonalized(storedGeoUnd(spark, dir),
+        verts.filter(col("id").startsWith(PprSourcePrefix)),
+        iterations = PrIterations, damping = PrDamping,
+        vertices = Some(verts))
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+
   val LpaIterations = 3
 
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
@@ -222,6 +238,7 @@ object GraphQueries {
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
+    "graph_ppr"       -> (graphPpr _),
     "graph_lpa"       -> (graphLpa _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
@@ -354,6 +371,44 @@ object GraphQueries {
          |od AS MATERIALIZED (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
          |nn AS MATERIALIZED (SELECT count(*)::double AS n FROM v),
          |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+         |$iters
+         |SELECT id, round(rank, 6) AS rank FROM r$PrIterations""".stripMargin
+    },
+
+    "graph_ppr" -> {
+      // Personalized variant: teleport vector p concentrated on the
+      // region vertices; dangling mass returns to the sources (lost·p).
+      // Damping arithmetic forced ::double on the SQL side so both
+      // engines run the identical IEEE ops ((1 - 0.85) differs by an
+      // ulp between decimal and double evaluation).
+      val iters = (1 to PrIterations).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, sum(r.rank / o.deg) AS c
+           |  FROM e2 e JOIN r${i - 1} r ON e.src = r.id JOIN od o ON e.src = o.src
+           |  GROUP BY e.dst
+           |),
+           |r$i AS MATERIALIZED (
+           |  SELECT p.id,
+           |    (1 - $PrDamping::double) * p.p
+           |      + $PrDamping::double * (coalesce(c.c, 0)
+           |        + (1 - (SELECT sum(c) FROM c$i)) * p.p) AS rank
+           |  FROM p LEFT JOIN c$i c ON p.id = c.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und0),
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+         |s AS MATERIALIZED (SELECT id FROM v WHERE id LIKE '$PprSourcePrefix%'),
+         |ns AS (SELECT count(*)::double AS n FROM s),
+         |p AS MATERIALIZED (
+         |  SELECT v.id,
+         |    CASE WHEN s.id IS NOT NULL THEN 1.0::double / (SELECT n FROM ns)
+         |         ELSE 0.0::double END AS p
+         |  FROM v LEFT JOIN s ON v.id = s.id
+         |),
+         |r0 AS (SELECT id, p AS rank FROM p),
          |$iters
          |SELECT id, round(rank, 6) AS rank FROM r$PrIterations""".stripMargin
     },

@@ -155,6 +155,46 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank: the teleport vector is concentrated on a
+    * SOURCE set instead of uniform — rank measures proximity-weighted
+    * importance relative to the sources (the recommendation / related-
+    * entity primitive). Same loop shape as pageRank (edge list
+    * checkpointed once, per-round contribs checkpointed, dangling mass
+    * as an in-plan broadcast scalar) with p(v) = 1/|S| for sources else
+    * 0, and dangling mass teleporting BACK TO THE SOURCES (lost·p) —
+    * the defining difference from the uniform lost/n. */
+  def pageRankPersonalized(undirectedOrDirected: DataFrame, sources: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85,
+      vertices: Option[DataFrame] = None): DataFrame = {
+    val e = undirectedOrDirected.select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(eager = true)
+    val verticesDf = vertices.getOrElse(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(eager = true))
+    val nS = sources.count().toDouble
+    val vp = verticesDf
+      .join(sources.select(col("id"), lit(1).as("_s")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)).as("p"))
+      .localCheckpoint(eager = true)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = vp.select(col("id"), col("p").as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+        .localCheckpoint(eager = true)
+      val lost = broadcast(contribs.agg((lit(1.0) - sum(col("c"))).as("lost")))
+      ranks = vp.join(contribs, Seq("id"), "left").crossJoin(lost)
+        .select(col("id"),
+          (lit(1 - damping) * col("p") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("lost") * col("p"))).as("rank"))
+    }
+    ranks
+  }
+
   /** C10: HITS hubs & authorities over a DIRECTED edge list (u → v),
     * fixed iterations, sum-normalized after each half-step (scores are
     * scale-invariant, so Σ=1 normalization is as good as L2 and keeps

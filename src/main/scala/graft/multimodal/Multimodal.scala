@@ -245,12 +245,124 @@ object Multimodal {
       col("sof_off"), width.as("width"), height.as("height"))
   }
 
+  /** Little-endian u16/u32 at a COLUMN byte offset (1-based) — RIFF
+    * containers (WAV/AVI) store multi-byte fields least-significant
+    * byte first, so the bytes are combined arithmetically rather than
+    * via a hex-concat (which would read big-endian). */
+  def leU16(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(hex(bin.substr(off, lit(1))), 16, 10).cast("int") +
+      conv(hex(bin.substr(off + lit(1), lit(1))), 16, 10).cast("int") * 256)
+
+  def leU32(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 to 3).map(i => conv(hex(bin.substr(off + lit(i), lit(1))), 16, 10)
+      .cast("long") * (1L << (8 * i))).reduce(_ + _)
+
+  /** Little-endian lowercase-hex encodings of 16/32-bit ints — used to
+    * SYNTHESIZE RIFF bytes (the parse side uses leU16/leU32). */
+  private def leHex16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def b(x: org.apache.spark.sql.Column) = lpad(lower(hex(x.bitwiseAND(lit(255)))), 2, "0")
+    concat(b(c), b(shiftright(c, 8)))
+  }
+  private def leHex32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def b(x: org.apache.spark.sql.Column) = lpad(lower(hex(x.bitwiseAND(lit(255)))), 2, "0")
+    concat(b(c), b(shiftright(c, 8)), b(shiftright(c, 16)), b(shiftright(c, 24)))
+  }
+
+  /** Max RIFF chunks the WAV walk visits before giving up. */
+  val WavMaxChunks = 4
+
+  /** Sample rates the synthetic corpus cycles through. */
+  val WavRates = Seq(8000, 16000, 22050, 44100, 48000)
+
+  /** Walk the RIFF chunk chain of a WAV byte stream (chunks start at
+    * byte 13: "RIFF" + u32le size + "WAVE"), hopping 8 + size bytes
+    * per chunk (sizes are padded to even per the RIFF spec), capturing
+    * the fmt payload offset and the data chunk's declared size. Like
+    * the JPEG SOF scan this is a BOUNDED UNROLL of pure codegen'd
+    * expressions across projections — per-row work only, no UDF, no
+    * shuffle — because real WAV files carry variable-length LIST/INFO
+    * chunks before fmt, so there is no fixed field offset. */
+  def withWavChunks(df: DataFrame, binCol: String,
+      maxChunks: Int = WavMaxChunks): DataFrame = {
+    val bin = col(binCol)
+    var out = df
+      .withColumn("valid_riff",
+        (lower(hex(substring(bin, 1, 4))) === "52494646" && // "RIFF"
+          lower(hex(substring(bin, 9, 4))) === "57415645").cast("int")) // "WAVE"
+      .withColumn("fmt_off", lit(0))
+      .withColumn("data_size", lit(0L))
+      .withColumn("_cur", lit(13))
+    for (_ <- 1 to maxChunks) {
+      val ckId = lower(hex(bin.substr(col("_cur"), lit(4))))
+      val ckSize = leU32(bin, col("_cur") + lit(4))
+      out = out
+        .withColumn("fmt_off",
+          when(col("fmt_off") > 0, col("fmt_off"))
+            .when(ckId === "666d7420", col("_cur") + lit(8)) // "fmt "
+            .otherwise(lit(0)))
+        .withColumn("data_size",
+          when(col("data_size") > 0, col("data_size"))
+            .when(ckId === "64617461", ckSize) // "data"
+            .otherwise(lit(0L)))
+        // chunk payloads are padded to even length (RIFF word alignment);
+        // cast back to int — ckSize is long and would promote the
+        // offset (and fmt_off derived from it) to long after one hop
+        .withColumn("_cur", (col("_cur") + lit(8) + ckSize + (ckSize % 2)).cast("int"))
+    }
+    out.drop("_cur")
+  }
+
+  /** H6 driver query: synthesize a structurally REAL WAV header per
+    * asset — RIFF/WAVE, an OPTIONAL variable-length LIST chunk (present
+    * for doc_id % 3 != 0, payload (doc_id % 10) * 2 + 4 bytes), the
+    * 16-byte PCM fmt chunk (little-endian fields from metadata), and
+    * the data chunk header — then parse format, rate, and duration back
+    * from the BYTES with the bounded chunk walk. The oracle re-derives
+    * every output (including fmt_off, by chunk arithmetic) from the
+    * generating formulas, so a walk that mis-hops the LIST chunk or
+    * misreads any little-endian field hash-mismatches. */
+  def mmWavMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = element_at(
+      array(WavRates.map(lit): _*), (col("n_chars") % WavRates.size + 1).cast("int"))
+    val nFrames = (col("n_chars") % 1000 + 1).cast("int")
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataLen = nFrames * blockAlign
+    val listLen = (col("doc_id") % 10).cast("int") * 2 + 4 // even: no pad byte
+    val hasList = col("doc_id") % 3 =!= 0
+    val riffSize = lit(4 + 24 + 8) + when(hasList, listLen + 8).otherwise(0) + dataLen
+    val hx = concat(
+      lit("52494646"), leHex32(riffSize), lit("57415645"), // RIFF size WAVE
+      when(hasList, concat(lit("4c495354"), leHex32(listLen), // "LIST"
+        repeat(lit("69"), listLen))).otherwise(lit("")),
+      lit("666d7420"), leHex32(lit(16)), // "fmt " + PCM payload size
+      leHex16(lit(1)), leHex16(channels), leHex32(rate),
+      leHex32(rate * blockAlign), leHex16(blockAlign), leHex16(lit(16)),
+      lit("64617461"), leHex32(dataLen)) // "data" header (payload elided)
+    val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
+    val scanned = withWavChunks(withBin, "_bin")
+    val fmtOff = col("fmt_off")
+    val bin = col("_bin")
+    val pChannels = leU16(bin, fmtOff + lit(2))
+    val pRate = leU32(bin, fmtOff + lit(4))
+    val pBlock = leU16(bin, fmtOff + lit(12))
+    val pBits = leU16(bin, fmtOff + lit(14))
+    val pFrames = (col("data_size") / pBlock).cast("long")
+    scanned.select(col("doc_id"), col("valid_riff"), fmtOff.as("fmt_off"),
+      pChannels.as("channels"), pRate.as("sample_rate"),
+      pBits.as("bits_per_sample"), pBlock.as("block_align"),
+      col("data_size"), pFrames.as("n_frames"),
+      round((pFrames * 1000).cast("double") / pRate, 4).as("duration_ms"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
     "mm_jpeg_dims" -> (mmJpegDims _),
+    "mm_wav_meta" -> (mmWavMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -299,6 +411,32 @@ object Multimodal {
         |  (n_chars % 512 + 16)::int AS width,
         |  (doc_id % 384 + 16)::int AS height
         |FROM documents""".stripMargin,
+
+    // Independent derivation, like mm_jpeg_dims: the oracle recomputes
+    // channels/rate/frames from the generating formulas and fmt_off
+    // from chunk arithmetic (12 RIFF/WAVE bytes, optional 8+listLen
+    // LIST chunk, 8-byte fmt header → payload), never parsing bytes —
+    // so the Spark-side little-endian reads and the chunk walk are both
+    // value-checked.
+    "mm_wav_meta" -> {
+      val rateCase = WavRates.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN $r" }.mkString(" ")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    (doc_id % 2 + 1)::int AS channels,
+         |    (CASE n_chars % ${WavRates.size} $rateCase END)::bigint AS sample_rate,
+         |    (n_chars % 1000 + 1)::bigint AS n_frames,
+         |    CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 10) * 2 + 4 + 8 ELSE 0 END AS list_span
+         |  FROM documents
+         |)
+         |SELECT doc_id, 1 AS valid_riff,
+         |  (13 + list_span + 8)::int AS fmt_off,
+         |  channels, sample_rate,
+         |  16 AS bits_per_sample, (channels * 2)::int AS block_align,
+         |  (n_frames * channels * 2)::bigint AS data_size, n_frames,
+         |  round((n_frames * 1000)::double / sample_rate, 4) AS duration_ms
+         |FROM g""".stripMargin
+    },
 
     "mm_decode" ->
       """WITH d AS (

@@ -128,6 +128,29 @@ object EventOps {
       .drop("rn")
   }
 
+  /** Markov transition matrix over each user's event-type journey:
+    * counts of consecutive (from → to) event-type pairs plus the
+    * per-from transition probability. One window pass (shuffle on the
+    * user key) + one small aggregation — the next-event ordering is
+    * made total by (ts, id) so equal-timestamp events transition
+    * deterministically in both engines. At 100 TB the window shuffles
+    * once on user_id (same key the session/funnel family uses, so a
+    * bucketed event log serves all of them exchange-free). */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wf = Window.partitionBy("from_type")
+    pairs
+      .withColumn("prob", round(
+        col("n_transitions").cast("double") / sum("n_transitions").over(wf), 4))
+      .select(col("from_type"), col("to_type"), col("n_transitions"), col("prob"))
+  }
+
   /** Hourly volume anomalies per event type: hours whose count deviates
     * from the type's mean by >= `zThreshold` sample standard deviations.
     * Mean/variance are computed from EXACT integer sums (sum n, sum n²)

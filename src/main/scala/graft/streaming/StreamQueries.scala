@@ -77,6 +77,11 @@ object StreamQueries {
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     EventOps.hourlyAnomalies(Tables.events(spark, dir), AnomalyZ)
 
+  /** I13: Markov transition matrix over user event journeys. */
+  def evMarkov(spark: SparkSession, dir: String): DataFrame =
+    EventOps.transitionMatrix(Tables.events(spark, dir),
+      "user_id", "ts", "event_id", "event_type")
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
@@ -88,6 +93,7 @@ object StreamQueries {
     "ev_scd_latest"  -> (evScdLatest _),
     "ev_anomaly"     -> (evAnomaly _),
     "ev_dedupe"      -> (evDedupe _),
+    "ev_markov"      -> (evMarkov _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,5 +234,22 @@ object StreamQueries {
          |SELECT h.event_type, h.hour, h.n, round((h.n - mean_n) / sd_n, 4) AS z
          |FROM hourly h JOIN sd ON h.event_type = sd.t
          |WHERE sd_n > 0 AND abs((h.n - mean_n) / sd_n) >= ${StreamQueries.AnomalyZ}""".stripMargin,
+
+    // mirrors EventOps.transitionMatrix: (ts, event_id) total order per
+    // user, lead() for the next type, then count + per-from share
+    "ev_markov" ->
+      """WITH j AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM j WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(n_transitions::double
+        |        / (sum(n_transitions) OVER (PARTITION BY from_type))::bigint, 4) AS prob
+        |FROM c""".stripMargin,
   )
 }

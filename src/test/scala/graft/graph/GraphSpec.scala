@@ -83,6 +83,38 @@ class GraphSpec extends SparkSpec {
     assert(pr("hub") > pr("l1") * 2)
   }
 
+  test("C12 personalized pagerank: mass concentrates near the source set") {
+    import spark.implicits._
+    // path a-b-c-d (both directions): teleporting to {a} must order
+    // ranks by distance from a, and total mass stays 1
+    val e = edgesDf("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "c" -> "d", "d" -> "c")
+    val src = Seq("a").toDF("id")
+    val pr = Graphs.pageRankPersonalized(e, src, iterations = 30).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    // mass decays with distance from the teleport set. (The source
+    // itself need not be the max at d=0.85 — b receives 0.85·rank(a)
+    // while a keeps only the 0.15 teleport plus half of b.)
+    assert(pr("b") > pr("c") && pr("c") > pr("d"))
+    assert(pr("a") + pr("b") > pr("c") + pr("d"))
+    // vs UNIFORM pagerank, the source side must gain mass
+    val uni = Graphs.pageRank(e, iterations = 30).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("a") > uni("a") && pr("d") < uni("d"))
+  }
+
+  test("C12 personalized pagerank with S = V reduces to uniform pagerank") {
+    import spark.implicits._
+    val e = edgesDf("l1" -> "hub", "l2" -> "hub", "l3" -> "hub")
+    val verts = Seq("l1", "l2", "l3", "hub").toDF("id")
+    val uniform = Graphs.pageRank(e, iterations = 15).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ppr = Graphs.pageRankPersonalized(e, verts, iterations = 15).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    uniform.foreach { case (id, r) => assert(math.abs(ppr(id) - r) < 1e-12) }
+  }
+
   test("C5 label propagation separates two cliques joined by a bridge") {
     def clique(names: Seq[String]) =
       for (a <- names; b <- names if a < b) yield (a, b)

@@ -89,4 +89,32 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) == ((1, 30, 42, 20)))
     assert(byId(2L) == ((1, 0, -1, -1)))
   }
+
+  test("H6 withWavChunks parses a genuine canonical WAV header and hops LIST chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // the textbook 44-byte header: 44.1kHz stereo 16-bit PCM, 1s of audio
+    val canonical = "52494646" + "ac580100" + "57415645" +
+      "666d7420" + "10000000" + "0100" + "0200" + "44ac0000" +
+      "10b10200" + "0400" + "1000" + "64617461" + "88580100"
+    // same fmt but a 6-byte LIST/INFO chunk precedes it (fmt at 13+14+8=35)
+    val withList = "52494646" + "ba580100" + "57415645" +
+      "4c495354" + "06000000" + "494e464f6969" +
+      "666d7420" + "10000000" + "0100" + "0200" + "44ac0000" +
+      "10b10200" + "0400" + "1000" + "64617461" + "88580100"
+    val notWav = "52494646" + "04000000" + "41564920" // RIFF but AVI, no WAVE
+    val df = Seq((1L, canonical), (2L, withList), (3L, notWav)).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val scanned = Multimodal.withWavChunks(df, "payload")
+    val ch = Multimodal.leU16(col("payload"), col("fmt_off") + org.apache.spark.sql.functions.lit(2))
+    val rate = Multimodal.leU32(col("payload"), col("fmt_off") + org.apache.spark.sql.functions.lit(4))
+    val byId = scanned
+      .select(col("id"), col("valid_riff"), col("fmt_off"), col("data_size"), ch, rate)
+      .collect().map { r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getLong(5)))
+    }.toMap
+    assert(byId(1L) == ((1, 21, 88200L, 2, 44100L)))
+    assert(byId(2L) == ((1, 35, 88200L, 2, 44100L)))
+    assert(byId(3L)._1 == 0)
+  }
 }

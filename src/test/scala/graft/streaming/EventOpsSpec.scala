@@ -103,6 +103,24 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Set((1L, 2L, "b"), (2L, 5L, "d")))
   }
 
+  test("transitionMatrix counts consecutive pairs per user; equal-ts order by id") {
+    val events = ev(
+      // user 1: view -> click -> purchase
+      (1L, 1L, "view", 10L, 0.0), (2L, 1L, "click", 20L, 0.0),
+      (3L, 1L, "purchase", 30L, 0.0),
+      // user 2: view -> click at the SAME ts (id order decides), then view
+      (4L, 2L, "view", 10L, 0.0), (5L, 2L, "click", 10L, 0.0),
+      (6L, 2L, "view", 20L, 0.0),
+      // user 3: single event -> no transitions
+      (7L, 3L, "view", 10L, 0.0))
+    val out = EventOps.transitionMatrix(events, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("view", "click", 2L, 1.0),      // both users transition view->click
+      ("click", "purchase", 1L, 0.5),
+      ("click", "view", 1L, 0.5)))
+  }
+
   test("hourlyAnomalies flags only the spike hour; constant series drop out") {
     // type x: five 1-event hours + one 12-event hour → only the spike
     // has |z| >= 2; type y is constant (sd = 0) → excluded entirely
