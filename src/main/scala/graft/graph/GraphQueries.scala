@@ -215,6 +215,13 @@ object GraphQueries {
       .select(col("id"), round(col("hub"), 6).as("hub"),
         round(col("auth"), 6).as("auth"))
 
+  /** C13 driver query: modularity of the LPA partition over the geo
+    * graph — how well the propagated communities separate the edges. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    Graphs.modularity(storedGeoUnd(spark, dir),
+      Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
+        vertices = Some(storedGeoVerts(spark, dir))))
+
   val JaccardMinSim = 0.25
 
   /** C11 driver query: neighborhood-Jaccard link prediction over the
@@ -240,6 +247,7 @@ object GraphQueries {
     "graph_pagerank"  -> (graphPagerank _),
     "graph_ppr"       -> (graphPpr _),
     "graph_lpa"       -> (graphLpa _),
+    "graph_modularity" -> (graphModularity _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
   )
@@ -261,6 +269,24 @@ object GraphQueries {
       |  FROM g WHERE src_label || '|' || src <> dst_label || '|' || dst
       |),
       |und AS MATERIALIZED (SELECT u, v FROM und0 UNION ALL SELECT v, u FROM und0)""".stripMargin
+
+  /** Fixed-iteration LPA label chain (lbl0 → lblN), shared by the
+    * graph_lpa and graph_modularity oracles. */
+  private def lpaLabelCtes: String = {
+    val iterCtes = (1 to LpaIterations).map { i =>
+      s"""lbl$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT und.u AS id, l.lbl, count(*) AS n,
+         |      row_number() OVER (PARTITION BY und.u
+         |        ORDER BY count(*) DESC, l.lbl) AS r
+         |    FROM und JOIN lbl${i - 1} l ON und.v = l.id
+         |    GROUP BY und.u, l.lbl
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""lbl0 AS (SELECT DISTINCT u AS id, u AS lbl FROM und),
+       |$iterCtes""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "graph_degrees" ->
@@ -302,24 +328,34 @@ object GraphQueries {
          |)
          |SELECT total_deg, count(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
 
-    "graph_lpa" -> {
-      val iterCtes = (1 to LpaIterations).map { i =>
-        s"""lbl$i AS (
-           |  SELECT id, lbl FROM (
-           |    SELECT und.u AS id, l.lbl, count(*) AS n,
-           |      row_number() OVER (PARTITION BY und.u
-           |        ORDER BY count(*) DESC, l.lbl) AS r
-           |    FROM und JOIN lbl${i - 1} l ON und.v = l.id
-           |    GROUP BY und.u, l.lbl
-           |  ) WHERE r = 1
-           |)""".stripMargin
-      }.mkString(",\n")
+    "graph_lpa" ->
       s"""$edgesCte,
          |$geoUndCtes,
-         |lbl0 AS (SELECT DISTINCT u AS id, u AS lbl FROM und),
-         |$iterCtes
-         |SELECT id, lbl FROM lbl$LpaIterations""".stripMargin
-    },
+         |$lpaLabelCtes
+         |SELECT id, lbl FROM lbl$LpaIterations""".stripMargin,
+
+    "graph_modularity" ->
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |$lpaLabelCtes,
+         |m AS (SELECT count(*)::double AS m FROM und0),
+         |deg AS (SELECT u AS id, count(*) AS deg FROM und GROUP BY 1),
+         |e_in AS (
+         |  SELECT a.lbl AS community, count(*) AS e_in
+         |  FROM und0 e JOIN lbl$LpaIterations a ON e.u = a.id
+         |              JOIN lbl$LpaIterations b ON e.v = b.id
+         |  WHERE a.lbl = b.lbl GROUP BY 1
+         |),
+         |d AS (
+         |  SELECT l.lbl AS community, count(*) AS n_nodes,
+         |    sum(deg)::bigint AS deg_sum
+         |  FROM lbl$LpaIterations l JOIN deg ON l.id = deg.id GROUP BY 1
+         |)
+         |SELECT d.community, d.n_nodes, coalesce(e_in.e_in, 0) AS e_in, d.deg_sum,
+         |  round(coalesce(e_in.e_in, 0)::double / (SELECT m FROM m)
+         |    - (deg_sum::double / (2 * (SELECT m FROM m)))
+         |      * (deg_sum::double / (2 * (SELECT m FROM m))), 6) AS q_contrib
+         |FROM d LEFT JOIN e_in ON d.community = e_in.community""".stripMargin,
 
     "graph_cc" -> {
       // Min-label closure as a recursive CTE (the dedup_survivors

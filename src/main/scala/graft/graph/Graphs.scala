@@ -231,6 +231,34 @@ object Graphs {
         coalesce(col("a"), lit(0.0)).as("auth"))
   }
 
+  /** C13: modularity of a vertex partition over an undirected edge list
+    * ((u, v) one orientation, deduped). Per community c:
+    * Q_c = e_c/m − (d_c/2m)², where e_c counts intra-community edges,
+    * d_c sums member degrees, m = |edges|. Three keyed aggregations +
+    * two label joins — no iteration; every float is a fixed expression
+    * over exact integers, so the oracle matches bit-for-bit before the
+    * defensive round. The graph total Q is sum(q_contrib). */
+  def modularity(undirected: DataFrame, labels: DataFrame): DataFrame = {
+    val e0 = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
+    val m = e0.count().toDouble
+    val bi = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = bi.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val lu = labels.select(col("id").as("u"), col("lbl").as("lbl_u"))
+    val lv = labels.select(col("id").as("v"), col("lbl").as("lbl_v"))
+    val eIn = e0.join(lu, "u").join(lv, "v")
+      .filter(col("lbl_u") === col("lbl_v"))
+      .groupBy(col("lbl_u").as("community")).agg(count(lit(1)).as("e_in"))
+    val dSum = labels.join(deg, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val share = col("deg_sum").cast("double") / lit(2.0 * m)
+    dSum.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        round(coalesce(col("e_in"), lit(0L)).cast("double") / m
+          - share * share, 6).as("q_contrib"))
+  }
+
   /** C11: neighborhood-Jaccard link prediction over an undirected edge
     * list ((u, v) one orientation, deduped). Candidate pairs come from
     * the WEDGE join (pairs sharing ≥1 neighbor) — never all-pairs;

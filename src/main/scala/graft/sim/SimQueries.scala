@@ -64,6 +64,15 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K)
   }
 
+  val PqM = 8          // sub-spaces
+  val PqSubDim = 8     // dims per sub-space (8 × 8 = 64)
+  val PqCodebook = 16  // codebook entries per sub-space
+
+  /** F8: product-quantization ADC top-k for the same query set. */
+  def simPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      NumQueries, K, PqM, PqSubDim, PqCodebook)
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ann_lsh"    -> (simAnnLsh _),
@@ -71,6 +80,7 @@ object SimQueries {
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_quantize"   -> (simQuantize _),
     "sim_mips"       -> (simMips _),
+    "sim_pq"         -> (simPq _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -158,6 +168,49 @@ object SimQueries {
          |SELECT q_id, n_id, round(dot, 4) AS dot, rnk FROM r WHERE rnk <= $K""".stripMargin,
 
     "sim_ann_lsh" -> oracleSqlAnn,
+
+    // mirrors Similarity.pqTopK: same codebook (sub-vectors of the
+    // first PqCodebook ids), same ||a−b||² expression, and the same
+    // FIXED-ORDER d0+…+d7 sum (one conditional aggregate per
+    // sub-space) so the ADC doubles are bit-identical pre-round
+    "sim_pq" -> {
+      val d2 = (a: String, b: String) =>
+        s"${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)}"
+      val fixedSum = (0 until PqM)
+        .map(i => s"sum(CASE WHEN m = $i THEN d END)").mkString(" + ")
+      s"""WITH sub AS (
+         |  SELECT vec_id AS id, unnest(range(0, $PqM))::int AS m, embedding
+         |  FROM embeddings
+         |), s2 AS (
+         |  SELECT id, m,
+         |    embedding[m * $PqSubDim + 1 : (m + 1) * $PqSubDim] AS sv
+         |  FROM sub
+         |), cb AS (
+         |  SELECT id AS c_id, m, sv AS cv FROM s2 WHERE id < $PqCodebook
+         |), enc AS (
+         |  SELECT id, m, c_id AS code FROM (
+         |    SELECT s.id, s.m, c.c_id,
+         |      row_number() OVER (PARTITION BY s.id, s.m
+         |        ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id) AS r
+         |    FROM s2 s JOIN cb c ON s.m = c.m
+         |  ) WHERE r = 1
+         |), dt AS (
+         |  SELECT q.id AS q_id, q.m, c.c_id, ${d2("q.sv", "c.cv")} AS d
+         |  FROM s2 q JOIN cb c ON q.m = c.m
+         |  WHERE q.id < $NumQueries
+         |), j AS (
+         |  SELECT dt.q_id, enc.id AS n_id, enc.m, dt.d
+         |  FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.c_id
+         |  WHERE dt.q_id <> enc.id
+         |), a AS (
+         |  SELECT q_id, n_id, $fixedSum AS adc FROM j GROUP BY 1, 2
+         |), r AS (
+         |  SELECT q_id, n_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rnk
+         |  FROM a
+         |)
+         |SELECT q_id, n_id, round(adc, 4) AS adc, rnk FROM r WHERE rnk <= $K""".stripMargin
+    },
 
     "sim_ann_recall" ->
       // the brute / ann oracles nest as derived tables (DuckDB allows a

@@ -243,6 +243,36 @@ object TextQueries {
         substring(col("text"), col("chunk_start") + 1, lit(ChunkChars)).as("chunk"))
   }
 
+  /** Non-overlapping window for cross-doc chunk dedup (an overlapping
+    * stride would trivially self-duplicate within a document). */
+  val DedupChunkChars = 200
+
+  /** G14: cross-document duplicated-chunk detection — the boilerplate
+    * finder (licence headers, navigation text, templated passages) that
+    * document-level dedup misses. Chunks hash with md5 and aggregate by
+    * hash: one explode + one map-side-combined shuffle on the chunk
+    * hash, O(corpus chars) at any scale; only hashes seen in >= 2
+    * distinct documents survive. */
+  def textDedupChunks(spark: SparkSession, dir: String): DataFrame =
+    dedupChunks(Tables.documents(spark, dir))
+
+  def dedupChunks(d: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val starts = when(len > 0, sequence(lit(0), len - 1, lit(DedupChunkChars)))
+      .otherwise(array())
+    d.select(col("doc_id"), explode(starts).as("s"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(substring(col("text"), col("s") + 1, lit(DedupChunkChars))).as("chunk_md5"),
+        length(substring(col("text"), col("s") + 1, lit(DedupChunkChars))).as("chunk_len"))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+  }
+
   val PackBudget = 512 // tokens per packed sequence
 
   /** G11: contiguous sequence packing — documents in doc_id order are
@@ -370,6 +400,7 @@ object TextQueries {
     "text_corpus_stats" -> (textCorpusStats _),
     "text_redact"       -> (textRedact _),
     "text_chunks"       -> (textChunks _),
+    "text_dedup_chunks" -> (textDedupChunks _),
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
     "text_contamination" -> (textContamination _),
@@ -540,6 +571,23 @@ object TextQueries {
          |  start::int AS chunk_start,
          |  substr(text, start::int + 1, $ChunkChars) AS chunk
          |FROM s""".stripMargin,
+
+    "text_dedup_chunks" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    unnest(CASE WHEN len > 0 THEN range(0, len, $DedupChunkChars) ELSE [] END) AS start
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, start::int + 1, $DedupChunkChars)) AS chunk_md5,
+         |    length(substr(text, start::int + 1, $DedupChunkChars)) AS chunk_len
+         |  FROM s
+         |)
+         |SELECT chunk_md5, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc_id,
+         |  min(chunk_len) AS chunk_len
+         |FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
 
     "text_pack" ->
       s"""WITH q AS (

@@ -190,6 +190,22 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(s("b")._2 + s("c")._2 - 1.0) < 1e-12)
   }
 
+  test("C13 modularity: two bridged triangles under the clique partition") {
+    import spark.implicits._
+    // 7 edges: two triangles + bridge a3-b1. Per clique: e_c = 3,
+    // deg_sum = 7 (2+2+3) -> Q_c = 3/7 - (7/14)^2 = 0.178571
+    val e = edgesDf("a1" -> "a2", "a1" -> "a3", "a2" -> "a3",
+      "b1" -> "b2", "b1" -> "b3", "b2" -> "b3", "a3" -> "b1")
+    val labels = Seq("a1" -> "A", "a2" -> "A", "a3" -> "A",
+      "b1" -> "B", "b2" -> "B", "b3" -> "B").toDF("id", "lbl")
+    val out = Graphs.modularity(e, labels)
+      .select("community", "n_nodes", "e_in", "deg_sum", "q_contrib")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (c, n, ein, d, q) => c -> ((n, ein, d, q)) }.toMap
+    assert(out("A") == ((3L, 3L, 7L, 0.178571)))
+    assert(out("B") == ((3L, 3L, 7L, 0.178571)))
+  }
+
   test("C11 neighbor Jaccard: opposite corners of a 4-cycle are twins") {
     // a-b-c-d-a: N(a)={b,d}=N(c), N(b)={a,c}=N(d); adjacent pairs share
     // nothing, so only the two diagonal pairs survive, at Jaccard 1.0

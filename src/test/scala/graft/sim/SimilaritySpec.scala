@@ -84,6 +84,36 @@ class SimilaritySpec extends SparkSpec {
     assert(err <= 0.5 + 1e-9, s"quantization error exceeds half a step: $err")
   }
 
+  test("F8 PQ-ADC with the corpus inside the codebook is exact squared L2") {
+    import spark.implicits._
+    // every vector encodes to itself (sub-distance 0), so ADC(q, x)
+    // collapses to the true ||q − x||² — closed-form expectations
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 2f)), (3L, Array(3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, "vec_id", "embedding",
+        queryMaxId = 1, k = 3, m = 2, subDim = 1, codebookSize = 4)
+      .select("q_id", "n_id", "adc", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._4)
+    assert(out == Seq((0L, 1L, 1.0, 1), (0L, 2L, 4.0, 2), (0L, 3L, 18.0, 3)))
+  }
+
+  test("F8 PQ-ADC recall against brute force is non-trivial on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = topkSets(Similarity.bruteTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), 5))
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryMaxId = 5, k = 5, m = 8, subDim = 8, codebookSize = 16)
+      .select(col("q_id"), col("n_id"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    // PQ ranks by L2 over a 16-entry codebook — coarse, but it must
+    // recover a measurable share of the true cosine neighbors
+    val hits = brute.map { case (q, s) => (pq.getOrElse(q, Set()) & s).size }.sum
+    assert(hits > 0, "PQ found no true neighbors at all")
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)

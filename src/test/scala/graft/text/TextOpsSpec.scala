@@ -36,6 +36,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 0, 200), (1L, 150, 200), (1L, 300, 50)))
   }
 
+  test("dedupChunks finds only chunks shared across >= 2 documents") {
+    val boiler = "b" * TextQueries.DedupChunkChars
+    // docs 1 and 2 share the boilerplate chunk at aligned offsets;
+    // doc 3 repeats a chunk WITHIN itself only (n_docs = 1 -> dropped)
+    val df = Seq(
+      (1L, boiler + ("x" * 50)),
+      (2L, boiler + ("y" * 50)),
+      (3L, ("z" * TextQueries.DedupChunkChars) * 2)).toDF("doc_id", "text")
+    val out = TextQueries.dedupChunks(df)
+      .select("n_occurrences", "n_docs", "min_doc_id", "chunk_len")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((2L, 2L, 1L, TextQueries.DedupChunkChars)))
+  }
+
   test("packing bins by exclusive running sum: oversized doc occupies one bin") {
     // budget 512: docs of 300+300 fill bin 0 (cum 0,300), a 900-token
     // doc starts at cum 600 -> bin 1, next doc at cum 1500 -> bin 2
