@@ -43,6 +43,8 @@ object SparkEntry {
       "q_cube"             -> (Relational.qCube _),
       "q_grouping_sets"    -> (Relational.qGroupingSets _),
       "q_lead_lag"         -> (Relational.qLeadLag _),
+      "q_correlated"       -> (Relational.qCorrelated _),
+      "q_percentiles"      -> (Relational.qPercentiles _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -174,6 +176,22 @@ object SparkEntry {
         |  round(avg(gap_days), 4) AS avg_gap_days,
         |  max(gap_days) AS max_gap_days
         |FROM g GROUP BY o_custkey""".stripMargin,
+    // the CORRELATED spelling on purpose — the Spark side is the
+    // decorrelated window form; hash-match pins the equivalence
+    "q_correlated" ->
+      """SELECT o_custkey, count(*) AS n_above,
+        |  round(sum(o_totalprice), 2) AS sum_above
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // oracle is the naive BETWEEN join — grid bucketing must match it
     "q_range_join" -> {
       val values = Relational.PriceBands

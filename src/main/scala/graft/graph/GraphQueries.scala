@@ -222,6 +222,10 @@ object GraphQueries {
       Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
         vertices = Some(storedGeoVerts(spark, dir))))
 
+  /** C14 driver query: degree assortativity of the co-order part graph. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    Graphs.assortativity(coOrderEdges(spark, dir))
+
   val JaccardMinSim = 0.25
 
   /** C11 driver query: neighborhood-Jaccard link prediction over the
@@ -250,6 +254,7 @@ object GraphQueries {
     "graph_modularity" -> (graphModularity _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
+    "graph_assortativity" -> (graphAssortativity _),
   )
 
   // --- oracles ------------------------------------------------------
@@ -509,6 +514,29 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), bi AS (
+         |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+         |), deg AS (
+         |  SELECT u AS id, count(*) AS deg FROM bi GROUP BY 1
+         |), s AS (
+         |  SELECT count(*) AS m, sum(a.deg)::bigint AS sx,
+         |    sum(a.deg * a.deg)::bigint AS sxx, sum(a.deg * b.deg)::bigint AS sxy
+         |  FROM bi JOIN deg a ON bi.u = a.id JOIN deg b ON bi.v = b.id
+         |)
+         |SELECT m AS m_directed, sx, sxx, sxy,
+         |  round(CASE WHEN sxx::double / m - (sx::double / m) * (sx::double / m) = 0
+         |             THEN NULL
+         |             ELSE (sxy::double / m - (sx::double / m) * (sx::double / m))
+         |                  / (sxx::double / m - (sx::double / m) * (sx::double / m))
+         |        END, 6) AS assortativity
+         |FROM s""".stripMargin,
 
     "graph_sssp" -> {
       // fixed-round Bellman-Ford mirroring Graphs.sssp. Doubles agree

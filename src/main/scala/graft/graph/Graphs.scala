@@ -259,6 +259,32 @@ object Graphs {
           - share * share, 6).as("q_contrib"))
   }
 
+  /** C14: degree assortativity (Pearson correlation of endpoint degrees
+    * over the directed doubling of an undirected edge list) — positive
+    * r: hubs attach to hubs; negative: hub-and-spoke. Every moment
+    * (Σdu, Σdu², Σdu·dv) is an exact INTEGER sum, so the float result
+    * is one fixed expression over exact inputs — bit-identical across
+    * engines before the defensive round. Two joins against the degree
+    * table + one global aggregate. */
+  def assortativity(undirected: DataFrame): DataFrame = {
+    val e0 = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
+    val bi = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = bi.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val sums = bi
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("m"), sum(col("du")).as("sx"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("du") * col("dv")).as("sxy"))
+    val md = col("m").cast("double")
+    val mu = col("sx").cast("double") / md
+    val varD = col("sxx").cast("double") / md - mu * mu
+    sums.select(col("m").as("m_directed"), col("sx"), col("sxx"), col("sxy"),
+      round(when(varD === 0.0, lit(null))
+        .otherwise((col("sxy").cast("double") / md - mu * mu) / varD), 6)
+        .as("assortativity"))
+  }
+
   /** C11: neighborhood-Jaccard link prediction over an undirected edge
     * list ((u, v) one orientation, deduped). Candidate pairs come from
     * the WEDGE join (pairs sharing ≥1 neighbor) — never all-pairs;

@@ -292,4 +292,35 @@ object Relational {
         round(avg(col("gap_days")), 4).as("avg_gap_days"),
         max(col("gap_days")).as("max_gap_days"))
   }
+
+  /** D13 — correlated-subquery shape: orders priced above their own
+    * customer's average. Expressed as the decorrelated window form (one
+    * shuffle on the correlation key — exactly what an optimizer
+    * rewrites the subquery to; the oracle keeps the correlated
+    * subquery spelling to pin the equivalence). The avg is sum/count
+    * over identical doubles, so the > comparison agrees bit-for-bit. */
+  def qCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_above"),
+        round(sum(col("o_totalprice")), 2).as("sum_above"))
+  }
+
+  /** D14 — exact interpolated percentiles per group (the distribution
+    * summary a cost/latency dashboard asks of a 100 TB fact table;
+    * Spark's percentile is a single-pass partial aggregate, so the
+    * group shuffles once and only digests move). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n_rows"))
 }

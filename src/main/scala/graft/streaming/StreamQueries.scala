@@ -77,6 +77,21 @@ object StreamQueries {
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     EventOps.hourlyAnomalies(Tables.events(spark, dir), AnomalyZ)
 
+  /** I14: top event types per day — the daily heavy-hitters roll-up.
+    * One day-keyed aggregation + a rank window over tiny per-day
+    * groups (at most #event-types rows per day reach the window). */
+  def evDailyTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("n_events").desc, col("event_type"))
+    daily.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
   /** I13: Markov transition matrix over user event journeys. */
   def evMarkov(spark: SparkSession, dir: String): DataFrame =
     EventOps.transitionMatrix(Tables.events(spark, dir),
@@ -94,6 +109,7 @@ object StreamQueries {
     "ev_anomaly"     -> (evAnomaly _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
+    "ev_daily_topk"  -> (evDailyTopk _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -234,6 +250,18 @@ object StreamQueries {
          |SELECT h.event_type, h.hour, h.n, round((h.n - mean_n) / sd_n, 4) AS z
          |FROM hourly h JOIN sd ON h.event_type = sd.t
          |WHERE sd_n > 0 AND abs((h.n - mean_n) / sd_n) >= ${StreamQueries.AnomalyZ}""".stripMargin,
+
+    "ev_daily_topk" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT day, event_type, n_events,
+        |    row_number() OVER (PARTITION BY day
+        |                       ORDER BY n_events DESC, event_type) AS rnk
+        |  FROM d
+        |)
+        |SELECT day, event_type, n_events, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     // mirrors EventOps.transitionMatrix: (ts, event_id) total order per
     // user, lead() for the next type, then count + per-from share

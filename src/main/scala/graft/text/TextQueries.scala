@@ -273,6 +273,29 @@ object TextQueries {
       .filter(col("n_docs") >= 2)
   }
 
+  /** G15: token-entropy quality signal — Shannon entropy of each
+    * document's token distribution (low entropy = repetitive/templated
+    * text, a standard pretraining quality filter alongside G2's
+    * ratios). Explode + two same-keyed aggregations, one shuffle on
+    * doc_id. The per-token terms use log2 (libm, can differ by an ulp
+    * across engines), so the result is rounded to 4 decimals — the sum
+    * over ≤ vocabulary-size terms keeps the drift orders of magnitude
+    * below the rounding step. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val counts = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    counts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_toks"),
+        sum(col("n").cast("double") * log2(col("n").cast("double"))).as("snlogn"))
+      .select(col("doc_id"), col("n_types"), col("n_toks"),
+        // H = log2(T) − (Σ n·log2 n)/T  (algebraically −Σ p·log2 p,
+        // but with ONE division so both engines run the same ops)
+        round(log2(col("n_toks").cast("double"))
+          - col("snlogn") / col("n_toks"), 4).as("entropy"))
+  }
+
   val PackBudget = 512 // tokens per packed sequence
 
   /** G11: contiguous sequence packing — documents in doc_id order are
@@ -401,6 +424,7 @@ object TextQueries {
     "text_redact"       -> (textRedact _),
     "text_chunks"       -> (textChunks _),
     "text_dedup_chunks" -> (textDedupChunks _),
+    "text_entropy"      -> (textEntropy _),
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
     "text_contamination" -> (textContamination _),
@@ -588,6 +612,17 @@ object TextQueries {
          |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc_id,
          |  min(chunk_len) AS chunk_len
          |FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), c AS (
+         |  SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2
+         |)
+         |SELECT doc_id, count(*) AS n_types, sum(n)::bigint AS n_toks,
+         |  round(log2(sum(n)::double)
+         |    - sum(n::double * log2(n::double)) / sum(n)::bigint, 4) AS entropy
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     "text_pack" ->
       s"""WITH q AS (

@@ -206,6 +206,15 @@ class GraphSpec extends SparkSpec {
     assert(out("B") == ((3L, 3L, 7L, 0.178571)))
   }
 
+  test("C14 assortativity: a star is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    val e = edgesDf("hub" -> "l1", "hub" -> "l2", "hub" -> "l3")
+    val out = Graphs.assortativity(e)
+      .select("m_directed", "sx", "sxx", "sxy", "assortativity")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(out == ((6L, 12L, 30L, 18L, -1.0)))
+  }
+
   test("C11 neighbor Jaccard: opposite corners of a 4-cycle are twins") {
     // a-b-c-d-a: N(a)={b,d}=N(c), N(b)={a,c}=N(d); adjacent pairs share
     // nothing, so only the two diagonal pairs survive, at Jaccard 1.0
