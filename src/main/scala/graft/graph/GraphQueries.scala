@@ -222,6 +222,20 @@ object GraphQueries {
       Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
         vertices = Some(storedGeoVerts(spark, dir))))
 
+  val HarmonicSources = 4
+  val HarmonicHops = 3
+
+  /** C15 driver query: harmonic centrality over the co-order part graph
+    * from the 4 lowest-keyed part vertices (deterministic landmarks —
+    * the IVF-pivot trick), one multi-source BFS loop for all of them. */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir)
+    val verts = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id"))).distinct()
+    Graphs.harmonicFromLandmarks(e,
+      verts.orderBy(col("id")).limit(HarmonicSources), HarmonicHops)
+  }
+
   /** C14 driver query: degree assortativity of the co-order part graph. */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
     Graphs.assortativity(coOrderEdges(spark, dir))
@@ -255,6 +269,7 @@ object GraphQueries {
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_harmonic"  -> (graphHarmonic _),
   )
 
   // --- oracles ------------------------------------------------------
@@ -514,6 +529,29 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    "graph_harmonic" ->
+      s"""WITH RECURSIVE l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), und AS (
+         |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+         |), seeds AS (
+         |  SELECT id FROM (SELECT u AS id FROM e0 UNION SELECT v FROM e0)
+         |  ORDER BY id LIMIT $HarmonicSources
+         |), bfs(src, id, d) AS (
+         |  SELECT id, id, 0 FROM seeds
+         |  UNION
+         |  SELECT bfs.src, und.v, bfs.d + 1 FROM bfs JOIN und ON und.u = bfs.id
+         |  WHERE bfs.d < $HarmonicHops
+         |), md AS (
+         |  SELECT src, id, min(d) AS d FROM bfs GROUP BY 1, 2
+         |)
+         |SELECT id, count(*) AS n_reached,
+         |  round(sum(1.0::double / d), 4) AS harmonic
+         |FROM md WHERE d > 0 GROUP BY id""".stripMargin,
 
     "graph_assortativity" ->
       s"""WITH l AS (

@@ -412,6 +412,43 @@ object Graphs {
     * entry point (r5): when both frames are persisted bucketed parquet
     * the per-query cost is the hop joins only, not the corpus-scale
     * hash/distinct derivation. */
+  /** C15 support: MULTI-source BFS — one traversal loop carries every
+    * seed's frontier as (src, vertex) pairs, so K landmark traversals
+    * cost one loop instead of K (the landmark-centrality shape; at
+    * scale the frontier is K× wider but the edge frame is scanned the
+    * same number of times). Emits (src, id, depth) min-hop rows. */
+  def multiSourceBfs(one: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val und = one.select(col("u"), col("v"))
+      .unionAll(one.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    var visited = seeds.select(col("id").as("src"), col("id").as("h"),
+      lit(0).as("depth")).localCheckpoint(eager = true)
+    var frontier = visited
+    for (d <- 1 to maxHops) {
+      val next = und.join(frontier, und("u") === frontier("h"))
+        .select(col("src"), col("v").as("h")).distinct()
+        .join(visited, Seq("src", "h"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    visited.select(col("src"), col("h").as("id"), col("depth"))
+  }
+
+  /** C15: harmonic centrality from K landmark sources — Σ 1/d(v, s)
+    * over the landmarks that reach v (the scalable stand-in for exact
+    * closeness, which needs all-pairs BFS). Depths are exact ints, so
+    * each 1/d term is bit-identical cross-engine; the ≤K-term sum is
+    * rounded. */
+  def harmonicFromLandmarks(one: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame =
+    multiSourceBfs(one, seeds, maxHops)
+      .filter(col("depth") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        round(sum(lit(1.0) / col("depth")), 4).as("harmonic"))
+
   def bfsHashed(one: DataFrame, dict: DataFrame, seed: String,
       maxHops: Int): DataFrame = {
     val spark = one.sparkSession

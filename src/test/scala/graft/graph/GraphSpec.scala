@@ -215,6 +215,20 @@ class GraphSpec extends SparkSpec {
     assert(out == ((6L, 12L, 30L, 18L, -1.0)))
   }
 
+  test("C15 multi-source harmonic centrality on a path with end landmarks") {
+    import spark.implicits._
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val seeds = Seq("a", "e").toDF("id")
+    val out = Graphs.harmonicFromLandmarks(e, seeds, maxHops = 4)
+      .as[(String, Long, Double)].collect()
+      .map { case (id, n, h) => id -> ((n, h)) }.toMap
+    assert(out("b") == ((2L, 1.3333)))  // 1/1 + 1/3
+    assert(out("c") == ((2L, 1.0)))     // 1/2 + 1/2
+    assert(out("d") == ((2L, 1.3333)))
+    assert(out("a") == ((1L, 0.25)))    // only the far landmark (d=4); self excluded
+    assert(out("e") == ((1L, 0.25)))
+  }
+
   test("C11 neighbor Jaccard: opposite corners of a 4-cycle are twins") {
     // a-b-c-d-a: N(a)={b,d}=N(c), N(b)={a,c}=N(d); adjacent pairs share
     // nothing, so only the two diagonal pairs survive, at Jaccard 1.0
