@@ -45,6 +45,7 @@ object SparkEntry {
       "q_lead_lag"         -> (Relational.qLeadLag _),
       "q_correlated"       -> (Relational.qCorrelated _),
       "q_percentiles"      -> (Relational.qPercentiles _),
+      "q_set_ops"          -> (Relational.qSetOps _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -192,6 +193,14 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_set_ops" ->
+      """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT 'retained' AS tag, o_custkey FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+        |UNION ALL
+        |SELECT 'churned', o_custkey FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+        |UNION ALL
+        |SELECT 'new', o_custkey FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)""".stripMargin,
     // oracle is the naive BETWEEN join — grid bucketing must match it
     "q_range_join" -> {
       val values = Relational.PriceBands

@@ -311,6 +311,21 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("sum_above"))
   }
 
+  /** D15 — set operations: year-over-year customer cohorts via
+    * INTERSECT (retained) and EXCEPT (churned / new). Distinct-key
+    * inputs keep both engines' set semantics identical; Spark plans
+    * these as left-semi/left-anti aggregates — one shuffle each. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(yr: Int) =
+      o.filter(year(col("o_orderdate")) === yr).select("o_custkey").distinct()
+    val (y97, y98) = (buyers(1997), buyers(1998))
+    y97.intersect(y98).withColumn("tag", lit("retained"))
+      .unionAll(y97.except(y98).withColumn("tag", lit("churned")))
+      .unionAll(y98.except(y97).withColumn("tag", lit("new")))
+      .select("tag", "o_custkey")
+  }
+
   /** D14 — exact interpolated percentiles per group (the distribution
     * summary a cost/latency dashboard asks of a 100 TB fact table;
     * Spark's percentile is a single-pass partial aggregate, so the

@@ -82,6 +82,18 @@ object IngestQueries {
     back.select(nation.schema.map(f => back(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** A9: ORC round-trip — the other columnar wire format a lake speaks
+    * (predicate pushdown + column pruning come from Spark's native ORC
+    * source exactly as with parquet). */
+  def ingOrc(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val path = tmp("customer_orc")
+    customer.write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -91,6 +103,7 @@ object IngestQueries {
     "ing_union"   -> (ingUnion _),
     "ing_rdf"     -> (ingRdf _),
     "ing_parquet" -> (ingParquet _),
+    "ing_orc"     -> (ingOrc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -109,6 +122,9 @@ object IngestQueries {
         |UNION ALL
         |SELECT r_name, '', r_regionkey::varchar FROM region""".stripMargin,
     "ing_parquet" -> "SELECT * FROM nation",
+    "ing_orc" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )
 }
