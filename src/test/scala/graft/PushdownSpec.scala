@@ -35,6 +35,22 @@ class PushdownSpec extends SparkSpec {
       s"scan must not read unprojected columns: $readSchema")
   }
 
+  test("ORC scans push filters and prune columns like parquet") {
+    val path = java.nio.file.Files.createTempDirectory("graft_orc_pd").toString
+    Tables.customer(spark, sfDir).write.mode("overwrite").orc(path)
+    val df = spark.read.orc(path)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_mktsegment")
+    val plan = df.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("FileScan orc"))
+      .getOrElse(fail(s"no orc scan in plan:\n$plan"))
+    assert(scan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the ORC scan: $scan")
+    val readSchema = scan.substring(scan.indexOf("ReadSchema:"))
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_address"),
+      s"ORC scan must not read unprojected columns: $readSchema")
+  }
+
   test("driver query q1 scans only its six columns with the date filter pushed") {
     val scan = scanLine(graft.queries.Relational.q1PricingSummary(spark, sfDir))
     assert(scan.contains("LessThanOrEqual(l_shipdate"),
