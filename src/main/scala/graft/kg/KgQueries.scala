@@ -149,6 +149,31 @@ object KgQueries {
         countDistinct(concat_ws("|", col("a_label"), col("a"))).as("n_sources"))
   }
 
+  /** B12: relation cardinality profile — classify every relation as
+    * 1:1 / 1:N / N:1 / N:M from its max fan-out (dsts per src) and
+    * fan-in (srcs per dst), with edge/endpoint counts. The KG-audit
+    * query that decides merge strategy and index layout downstream.
+    * Three keyed aggregations over the bucketed edge table. */
+  def kgRelCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val e = storedEdges(spark, dir)
+    val out = e.groupBy(col("rel"), col("src_label"), col("src"))
+      .agg(count(lit(1)).as("fo"))
+      .groupBy("rel")
+      .agg(count(lit(1)).as("n_src"), max(col("fo")).as("max_fanout"))
+    val in = e.groupBy(col("rel"), col("dst_label"), col("dst"))
+      .agg(count(lit(1)).as("fi"))
+      .groupBy("rel")
+      .agg(count(lit(1)).as("n_dst"), max(col("fi")).as("max_fanin"))
+    val n = e.groupBy("rel").agg(count(lit(1)).as("n_edges"))
+    n.join(out, "rel").join(in, "rel")
+      .select(col("rel"), col("n_edges"), col("n_src"), col("n_dst"),
+        col("max_fanout"), col("max_fanin"),
+        when(col("max_fanout") <= 1 && col("max_fanin") <= 1, "1:1")
+          .when(col("max_fanout") > 1 && col("max_fanin") <= 1, "1:N")
+          .when(col("max_fanout") <= 1 && col("max_fanin") > 1, "N:1")
+          .otherwise("N:M").as("cardinality"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "kg_triples"               -> (kgTriples _),
     "kg_extract_json"          -> (kgExtractJson _),
@@ -158,6 +183,7 @@ object KgQueries {
     "kg_edges"                 -> (kgEdges _),
     "kg_cypher_batches"        -> (kgCypherBatches _),
     "kg_two_hop"               -> (kgTwoHop _),
+    "kg_rel_cardinality"       -> (kgRelCardinality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,6 +271,26 @@ object KgQueries {
          |  count(DISTINCT x.src_label || '|' || x.src) AS n_sources
          |FROM e x JOIN e y ON x.dst_label = y.src_label AND x.dst = y.src
          |GROUP BY 1, 2""".stripMargin,
+
+    "kg_rel_cardinality" ->
+      s"""WITH t AS ($triplesSql),
+         |e AS MATERIALIZED (
+         |$edgesSelectSql
+         |), o AS (
+         |  SELECT rel, count(*) AS n_src, max(fo) AS max_fanout FROM (
+         |    SELECT rel, src_label, src, count(*) AS fo FROM e GROUP BY 1, 2, 3
+         |  ) GROUP BY rel
+         |), i AS (
+         |  SELECT rel, count(*) AS n_dst, max(fi) AS max_fanin FROM (
+         |    SELECT rel, dst_label, dst, count(*) AS fi FROM e GROUP BY 1, 2, 3
+         |  ) GROUP BY rel
+         |), n AS (SELECT rel, count(*) AS n_edges FROM e GROUP BY 1)
+         |SELECT n.rel, n_edges, n_src, n_dst, max_fanout, max_fanin,
+         |  CASE WHEN max_fanout <= 1 AND max_fanin <= 1 THEN '1:1'
+         |       WHEN max_fanout > 1 AND max_fanin <= 1 THEN '1:N'
+         |       WHEN max_fanout <= 1 AND max_fanin > 1 THEN 'N:1'
+         |       ELSE 'N:M' END AS cardinality
+         |FROM n JOIN o ON n.rel = o.rel JOIN i ON n.rel = i.rel""".stripMargin,
   )
 
   /** The kg_edges SELECT over a CTE `t` of triples — shared with the

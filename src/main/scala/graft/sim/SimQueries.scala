@@ -73,6 +73,19 @@ object SimQueries {
     Similarity.pqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
       NumQueries, K, PqM, PqSubDim, PqCodebook)
 
+  /** F8 quality dial: recall@k of PQ-ADC against brute-force cosine
+    * ground truth (the sim_ann_recall pattern applied to PQ). */
+  def simPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val pq = simPq(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = pq.join(brute, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    brute.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ann_lsh"    -> (simAnnLsh _),
@@ -81,6 +94,7 @@ object SimQueries {
     "sim_quantize"   -> (simQuantize _),
     "sim_mips"       -> (simMips _),
     "sim_pq"         -> (simPq _),
+    "sim_pq_recall"  -> (simPqRecall _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -169,49 +183,6 @@ object SimQueries {
 
     "sim_ann_lsh" -> oracleSqlAnn,
 
-    // mirrors Similarity.pqTopK: same codebook (sub-vectors of the
-    // first PqCodebook ids), same ||a−b||² expression, and the same
-    // FIXED-ORDER d0+…+d7 sum (one conditional aggregate per
-    // sub-space) so the ADC doubles are bit-identical pre-round
-    "sim_pq" -> {
-      val d2 = (a: String, b: String) =>
-        s"${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)}"
-      val fixedSum = (0 until PqM)
-        .map(i => s"sum(CASE WHEN m = $i THEN d END)").mkString(" + ")
-      s"""WITH sub AS (
-         |  SELECT vec_id AS id, unnest(range(0, $PqM))::int AS m, embedding
-         |  FROM embeddings
-         |), s2 AS (
-         |  SELECT id, m,
-         |    embedding[m * $PqSubDim + 1 : (m + 1) * $PqSubDim] AS sv
-         |  FROM sub
-         |), cb AS (
-         |  SELECT id AS c_id, m, sv AS cv FROM s2 WHERE id < $PqCodebook
-         |), enc AS (
-         |  SELECT id, m, c_id AS code FROM (
-         |    SELECT s.id, s.m, c.c_id,
-         |      row_number() OVER (PARTITION BY s.id, s.m
-         |        ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id) AS r
-         |    FROM s2 s JOIN cb c ON s.m = c.m
-         |  ) WHERE r = 1
-         |), dt AS (
-         |  SELECT q.id AS q_id, q.m, c.c_id, ${d2("q.sv", "c.cv")} AS d
-         |  FROM s2 q JOIN cb c ON q.m = c.m
-         |  WHERE q.id < $NumQueries
-         |), j AS (
-         |  SELECT dt.q_id, enc.id AS n_id, enc.m, dt.d
-         |  FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.c_id
-         |  WHERE dt.q_id <> enc.id
-         |), a AS (
-         |  SELECT q_id, n_id, $fixedSum AS adc FROM j GROUP BY 1, 2
-         |), r AS (
-         |  SELECT q_id, n_id, adc,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rnk
-         |  FROM a
-         |)
-         |SELECT q_id, n_id, round(adc, 4) AS adc, rnk FROM r WHERE rnk <= $K""".stripMargin
-    },
-
     "sim_ann_recall" ->
       // the brute / ann oracles nest as derived tables (DuckDB allows a
       // WITH clause inside a parenthesized subquery), so this oracle
@@ -256,5 +227,67 @@ object SimQueries {
          |  FROM s
          |)
          |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin,
+
+    "sim_pq" -> oracleSqlPq,
+
+    // recall@k of PQ-ADC vs exact cosine ground truth — nested oracles
+    // (the sim_ann_recall pattern), so this cannot drift from either
+    "sim_pq_recall" ->
+      s"""WITH brute AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |pq AS (SELECT q_id, n_id FROM (${oracleSqlPq})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM pq a WHERE EXISTS (
+         |    SELECT 1 FROM brute b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM brute) q
+         |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
   )
+
+  // mirrors Similarity.pqTopK: same codebook (sub-vectors of the
+  // first PqCodebook ids), same ||a−b||² expression, and the same
+  // FIXED-ORDER d0+…+d7 sum (one conditional aggregate per
+  // sub-space) so the ADC doubles are bit-identical pre-round
+  private lazy val oracleSqlPq: String = {
+      val d2 = (a: String, b: String) =>
+        s"${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)}"
+      val fixedSum = (0 until PqM)
+        .map(i => s"sum(CASE WHEN m = $i THEN d END)").mkString(" + ")
+      s"""WITH sub AS (
+         |  SELECT vec_id AS id, unnest(range(0, $PqM))::int AS m, embedding
+         |  FROM embeddings
+         |), s2 AS (
+         |  SELECT id, m,
+         |    embedding[m * $PqSubDim + 1 : (m + 1) * $PqSubDim] AS sv
+         |  FROM sub
+         |), cb AS (
+         |  SELECT id AS c_id, m, sv AS cv FROM s2 WHERE id < $PqCodebook
+         |), enc AS (
+         |  SELECT id, m, c_id AS code FROM (
+         |    SELECT s.id, s.m, c.c_id,
+         |      row_number() OVER (PARTITION BY s.id, s.m
+         |        ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id) AS r
+         |    FROM s2 s JOIN cb c ON s.m = c.m
+         |  ) WHERE r = 1
+         |), dt AS (
+         |  SELECT q.id AS q_id, q.m, c.c_id, ${d2("q.sv", "c.cv")} AS d
+         |  FROM s2 q JOIN cb c ON q.m = c.m
+         |  WHERE q.id < $NumQueries
+         |), j AS (
+         |  SELECT dt.q_id, enc.id AS n_id, enc.m, dt.d
+         |  FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.c_id
+         |  WHERE dt.q_id <> enc.id
+         |), a AS (
+         |  SELECT q_id, n_id, $fixedSum AS adc FROM j GROUP BY 1, 2
+         |), r AS (
+         |  SELECT q_id, n_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rnk
+         |  FROM a
+         |)
+         |SELECT q_id, n_id, round(adc, 4) AS adc, rnk FROM r WHERE rnk <= $K""".stripMargin
+  }
+
 }

@@ -91,6 +91,19 @@ object TextQueries {
     d.select(cols: _*)
   }
 
+  /** G16: language-ID confusion matrix — predicted vs labeled lang with
+    * per-cell counts (the eval query any classifier in the pipeline
+    * gets; the synthetic corpus' lang labels are uncorrelated with the
+    * text, so the matrix shape — not accuracy — is the point). One
+    * join on doc_id + one tiny aggregation. */
+  def textLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = textLangid(spark, dir).select(col("doc_id"), col("lang_pred"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("lang").as("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** G4: document fingerprints: whole-doc md5, min-token-hash, and a
     * min 3-gram-shingle hash (the rolling-window fingerprint used for
     * near-dup blocking). Min over md5 hex strings is lexicographic —
@@ -418,6 +431,7 @@ object TextQueries {
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
     "text_langid"       -> (textLangid _),
+    "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"  -> (textFingerprint _),
     "text_split"        -> (textSplit _),
     "text_corpus_stats" -> (textCorpusStats _),
@@ -440,6 +454,27 @@ object TextQueries {
     s"length(list_filter($toksExpr, t -> ${inListSql("t", words)}))"
 
   private val toksSql = "string_split_regex(trim(text), ' +')"
+
+  /** DuckDB mirror of textLangid (shared by text_langid and
+    * text_lang_confusion). */
+  private lazy val langidSql: String = {
+    val scoreCols = stopwordProfiles.map { case (lang, words) =>
+      s"${countInSql("toks", words)} AS s_$lang"
+    }.mkString(",\n    ")
+    val maxExpr = "greatest(" + stopwordProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+    val caseExpr = "CASE WHEN score_max = 0 THEN 'und' " +
+      stopwordProfiles.map(p => s"WHEN s_${p._1} = score_max THEN '${p._1}'").mkString(" ") +
+      " END"
+    s"""WITH q AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM q
+       |), m AS (SELECT *, $maxExpr AS score_max FROM s)
+       |SELECT doc_id, ${stopwordProfiles.map(p => s"s_${p._1}").mkString(", ")}, score_max,
+       |  $caseExpr AS lang_pred
+       |FROM m""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // Mirrors textQuantileSketch step for step from the SAME constants:
@@ -491,24 +526,14 @@ object TextQueries {
          |SELECT *, (n_tokens BETWEEN 5 AND 1000 AND dup_token_ratio < 0.8)::int AS keep
          |FROM r""".stripMargin,
 
-    "text_langid" -> {
-      val scoreCols = stopwordProfiles.map { case (lang, words) =>
-        s"${countInSql("toks", words)} AS s_$lang"
-      }.mkString(",\n    ")
-      val maxExpr = "greatest(" + stopwordProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
-      val caseExpr = "CASE WHEN score_max = 0 THEN 'und' " +
-        stopwordProfiles.map(p => s"WHEN s_${p._1} = score_max THEN '${p._1}'").mkString(" ") +
-        " END"
-      s"""WITH q AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |    $scoreCols
-         |  FROM q
-         |), m AS (SELECT *, $maxExpr AS score_max FROM s)
-         |SELECT doc_id, ${stopwordProfiles.map(p => s"s_${p._1}").mkString(", ")}, score_max,
-         |  $caseExpr AS lang_pred
-         |FROM m""".stripMargin
-    },
+    "text_langid" -> langidSql,
+
+    // nests the langid oracle as a derived table so it cannot drift
+    "text_lang_confusion" ->
+      s"""WITH p AS ($langidSql)
+         |SELECT d.lang AS lang_actual, p.lang_pred, count(*) AS n_docs
+         |FROM documents d JOIN p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH toks AS (
