@@ -206,6 +206,16 @@ object Streaming {
     shapeEvents(spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load())
 
+  /** I15: stream-static enrichment join — the dimension lookup every
+    * event pipeline does (user tier, device class, geo). The static
+    * side is re-planned per micro-batch (so a refreshed dim table is
+    * picked up) and broadcast: map-side hash lookup, no streaming
+    * state, no shuffle of the stream — the only enrichment shape that
+    * holds at 100 TB/day. Works identically on batch inputs. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** I4: checkpointed file-stream → parquet sink. Returns the running
     * query; callers own its lifecycle. */
   def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,

@@ -112,6 +112,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "s"))
   }
 
+  test("I4 restart from checkpoint processes only NEW files — no duplicates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_restart")
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    val ckp = base.resolve("ckp").toString
+    val schema = Seq((1L, "a")).toDF("id", "s").schema
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("append").parquet(src)
+    val q1 = Streaming.fileStreamToParquet(spark, src, schema, "parquet", out, ckp)
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2)
+    // new files arrive while no query runs; the restarted query must
+    // resume from the checkpoint and emit ONLY them (exactly-once sink)
+    Seq((3L, "c")).toDF("id", "s").write.mode("append").parquet(src)
+    val q2 = Streaming.fileStreamToParquet(spark, src, schema, "parquet", out, ckp)
+    q2.awaitTermination(60000)
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), s"duplicated or lost rows: $got")
+  }
+
+  test("I15 stream-static enrichment join matches the batch join, no state store") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.enrichWithStatic(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 10.0), (2L, ts(1), 20.0), (7L, ts(2), 30.0))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select("user_id", "tier", "value").as[(Long, String, Double)].collect().toSet
+      val batch = Streaming.enrichWithStatic(
+        Seq((1L, ts(0), 10.0), (2L, ts(1), 20.0), (7L, ts(2), 30.0))
+          .toDF("user_id", "ts", "value"), dim, Seq("user_id"))
+        .select("user_id", "tier", "value").as[(Long, String, Double)].collect().toSet
+      // inner join: user 7 (no dim row) drops on both paths
+      assert(streamed == batch && streamed == Set((1L, "gold", 10.0), (2L, "basic", 20.0)))
+      // stateless: no state store rows involved in a stream-static join
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally q.stop()
+  }
+
   test("I5 stream-stream attribution join matches the batch range join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
