@@ -51,6 +51,20 @@ class PushdownSpec extends SparkSpec {
       s"ORC scan must not read unprojected columns: $readSchema")
   }
 
+  test("partitioned writes give partition pruning: filtered scans list one partition") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    Tables.nation(spark, sfDir).write.mode("overwrite")
+      .partitionBy("n_regionkey").parquet(path)
+    val df = spark.read.parquet(path).filter(col("n_regionkey") === 2)
+    val scan = scanLine(df)
+    assert(scan.contains("PartitionFilters:") && scan.contains("n_regionkey"),
+      s"region filter must prune partitions, not scan them: $scan")
+    // the pruned scan reads exactly the one directory
+    val files = df.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("n_regionkey=2")),
+      s"scan touched non-matching partitions: ${files.mkString(", ")}")
+  }
+
   test("driver query q1 scans only its six columns with the date filter pushed") {
     val scan = scanLine(graft.queries.Relational.q1PricingSummary(spark, sfDir))
     assert(scan.contains("LessThanOrEqual(l_shipdate"),

@@ -115,4 +115,37 @@ class IngestSpec extends SparkSpec {
     assert(backC.collect().toSet == df.collect().toSet)
     assert(backT.collect().toSet == df.collect().toSet)
   }
+
+  test("A3 tolerant JSON ingestion: malformed lines land in _corrupt_record") {
+    import org.apache.spark.sql.types._
+    val p = Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "part.jsonl"),
+      ("""{"id": 1, "s": "good"}""" + "\n" +
+        """{"id": 2 "s": "missing comma"}""" + "\n" +
+        """{"id": 3, "s": "also good"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(p).cache()
+    // a 100 TB ingest never dies on one bad line: good rows parse,
+    // bad lines are quarantined with their raw text for a dead-letter sink
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").contains("missing comma"))
+    df.unpersist()
+  }
+
+  test("A8 parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "s").write.mode("append").parquet(p)
+    Seq((2L, "b", 9.5)).toDF("id", "s", "score").write.mode("append").parquet(p)
+    val merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert(merged.columns.toSet == Set("id", "s", "score"))
+    val byId = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(9.5))
+  }
 }
