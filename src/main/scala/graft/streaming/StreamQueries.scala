@@ -17,6 +17,10 @@ object StreamQueries {
   def evSessions(spark: SparkSession, dir: String): DataFrame =
     Streaming.sessionsBatch(Tables.events(spark, dir))
 
+  /** I16: sliding-window counts (10-minute windows every 5 minutes). */
+  def evSliding(spark: SparkSession, dir: String): DataFrame =
+    Streaming.slidingCounts(Tables.events(spark, dir))
+
   def evProps(spark: SparkSession, dir: String): DataFrame =
     Streaming.parseProps(Tables.events(spark, dir))
 
@@ -110,6 +114,7 @@ object StreamQueries {
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
+    "ev_sliding"     -> (evSliding _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -250,6 +255,17 @@ object StreamQueries {
          |SELECT h.event_type, h.hour, h.n, round((h.n - mean_n) / sd_n, 4) AS z
          |FROM hourly h JOIN sd ON h.event_type = sd.t
          |WHERE sd_n > 0 AND abs((h.n - mean_n) / sd_n) >= ${StreamQueries.AnomalyZ}""".stripMargin,
+
+    // each event belongs to exactly window/slide = 2 sliding windows:
+    // start = 5-min bucket minus k·5min for k ∈ {0, 1}. Spark aligns
+    // window starts to the 1970 epoch, DuckDB's time_bucket to
+    // 2000-01-03 — both are multiples of 300 s, so the buckets agree.
+    "ev_sliding" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts)
+        |         - k * INTERVAL '5 minutes' AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev_daily_topk" ->
       """WITH d AS (

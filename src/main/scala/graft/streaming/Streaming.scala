@@ -32,6 +32,20 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** I16: SLIDING-window aggregation — each event lands in
+    * window/slide overlapping windows (here 2), the smoothing shape
+    * dashboards ask for. Same single shuffle as the tumbling version;
+    * the explode factor is the constant window/slide ratio. */
+  def slidingCounts(events: DataFrame, windowDur: String = "10 minutes",
+      slideDur: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** I3: parse the JSON props column, keep high-k events. */
   def parseProps(events: DataFrame, minK: Int = 50): DataFrame =
     events

@@ -137,6 +137,28 @@ class IngestSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("A8 dynamic partition overwrite rewrites only the touched partitions") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_dpo").toString
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"))
+        .toDF("id", "dt", "s").write.partitionBy("dt").mode("overwrite").parquet(p)
+      // the daily re-run overwrites ONLY dt=2024-01-02; dt=01 survives —
+      // at 100 TB this is the difference between rewriting one day and
+      // truncating the whole table
+      Seq((3L, "2024-01-02", "b2"))
+        .toDF("id", "dt", "s").write.partitionBy("dt").mode("overwrite").parquet(p)
+      val got = spark.read.parquet(p).select("id", "dt", "s")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set((1L, "2024-01-01", "a"), (3L, "2024-01-02", "b2")))
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("A8 parquet schema evolution: mergeSchema unions old and new columns") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft_evolve").toString
