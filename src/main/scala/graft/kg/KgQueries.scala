@@ -139,14 +139,28 @@ object KgQueries {
     * small; the 100 TB guard for hub mids is a per-mid degree cap. */
   def kgTwoHop(spark: SparkSession, dir: String): DataFrame = {
     val e = storedEdges(spark, dir)
+    // COUNT-FACTORED: paths through a middle m factor as
+    // n_a(m, rel1) × n_b(m, rel2), so the join carries one row per
+    // (middle, rel) — thousands — instead of one per PATH (millions;
+    // the naive self-join materializes every path before counting).
+    // n_sources still needs the distinct (source, rel1, rel2) set, but
+    // joining the DEDUPED a-side against the tiny (m, rel2) dimension
+    // keeps that leg linear in distinct source-middle pairs.
     val a = e.select(col("src_label").as("a_label"), col("src").as("a"),
       col("rel").as("rel1"), col("dst_label").as("m_label"), col("dst").as("m"))
     val b = e.select(col("src_label").as("m_label"), col("src").as("m"),
-      col("rel").as("rel2"), col("dst").as("b"))
-    a.join(b, Seq("m_label", "m"))
+      col("rel").as("rel2"))
+    val aCnt = a.groupBy("m_label", "m", "rel1").agg(count(lit(1)).as("n_a"))
+    val bCnt = b.groupBy("m_label", "m", "rel2").agg(count(lit(1)).as("n_b"))
+    val nPaths = aCnt.join(bCnt, Seq("m_label", "m"))
       .groupBy("rel1", "rel2")
-      .agg(count(lit(1)).as("n_paths"),
-        countDistinct(concat_ws("|", col("a_label"), col("a"))).as("n_sources"))
+      .agg(sum(col("n_a") * col("n_b")).as("n_paths"))
+    val nSources = a.select("a_label", "a", "rel1", "m_label", "m").distinct()
+      .join(bCnt.select("m_label", "m", "rel2"), Seq("m_label", "m"))
+      .select("a_label", "a", "rel1", "rel2").distinct()
+      .groupBy("rel1", "rel2").agg(count(lit(1)).as("n_sources"))
+    nPaths.join(nSources, Seq("rel1", "rel2"))
+      .select("rel1", "rel2", "n_paths", "n_sources")
   }
 
   /** B12: relation cardinality profile — classify every relation as
