@@ -220,6 +220,38 @@ object Streaming {
     shapeEvents(spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load())
 
+  final case class TypedEv(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String)
+  final case class LastEv(tsMs: Long, id: Long, tpe: String)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** I13 (streaming path): incremental Markov transitions — each user's
+    * state is just the LAST event seen (O(1) per user, the minimal
+    * state a journey tracker can hold); every arriving event emits one
+    * (from → to) pair. Within a batch events sort by (ts, id) — the
+    * same total order the batch operator uses — and the downstream
+    * count aggregation is the streaming-friendly half of
+    * EventOps.transitionMatrix (probabilities are a batch-side
+    * finishing touch over the counts). */
+  def transitionsStreaming(events: Dataset[TypedEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TypedEv], state: GroupState[LastEv]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = state.getOption.orNull
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (last != null) out += Transition(user, last.tpe, e.event_type)
+            last = LastEv(e.ts.getTime, e.event_id, e.event_type)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   /** I15: stream-static enrichment join — the dimension lookup every
     * event pipeline does (user tier, device class, geo). The static
     * side is re-planned per micro-batch (so a refreshed dim table is

@@ -132,6 +132,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), s"duplicated or lost rows: $got")
   }
 
+  test("I13 streaming transitions match the batch window operator, across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val q = Streaming.transitionsStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 view->click (and an equal-ts pair ordered by id)
+      mem.addData(
+        Streaming.TypedEv(1L, ts(0), 1L, "view"),
+        Streaming.TypedEv(1L, ts(1), 2L, "click"),
+        Streaming.TypedEv(2L, ts(0), 3L, "view"),
+        Streaming.TypedEv(2L, ts(0), 4L, "click"))
+      q.processAllAvailable()
+      // batch 2: continuation must chain off state (click->purchase)
+      mem.addData(Streaming.TypedEv(1L, ts(5), 5L, "purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy("from_type", "to_type").count()
+        .as[(String, String, Long)].collect().toSet
+      val batchDf = Seq(
+        (1L, 1L, "view", ts(0), 0.0), (2L, 1L, "click", ts(1), 0.0),
+        (3L, 2L, "view", ts(0), 0.0), (4L, 2L, "click", ts(0), 0.0),
+        (5L, 1L, "purchase", ts(5), 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      val batch = EventOps.transitionMatrix(batchDf, "user_id", "ts", "event_id", "event_type")
+        .select("from_type", "to_type", "n_transitions")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch && streamed == Set(
+        ("view", "click", 2L), ("click", "purchase", 1L)))
+    } finally q.stop()
+  }
+
   test("I15 stream-static enrichment join matches the batch join, no state store") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
