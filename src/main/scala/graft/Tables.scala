@@ -39,4 +39,10 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Name-dispatched loader that applies per-table quirks (events'
+    * nanosecond-timestamp conversion) — what view registration and
+    * generic tooling should use instead of raw apply. */
+  def load(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else apply(s, d, name)
 }
