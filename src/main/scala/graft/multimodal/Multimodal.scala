@@ -344,11 +344,15 @@ object Multimodal {
     val scanned = withWavChunks(withBin, "_bin")
     val fmtOff = col("fmt_off")
     val bin = col("_bin")
-    val pChannels = leU16(bin, fmtOff + lit(2))
-    val pRate = leU32(bin, fmtOff + lit(4))
-    val pBlock = leU16(bin, fmtOff + lit(12))
-    val pBits = leU16(bin, fmtOff + lit(14))
-    val pFrames = (col("data_size") / pBlock).cast("long")
+    // guard on a located fmt chunk (the jpegDims convention): a stream
+    // whose walk found no fmt within maxChunks yields nulls, not a
+    // garbage read at offset 0
+    def ifFmt(c: org.apache.spark.sql.Column) = when(fmtOff > 0, c)
+    val pChannels = ifFmt(leU16(bin, fmtOff + lit(2)))
+    val pRate = ifFmt(leU32(bin, fmtOff + lit(4)))
+    val pBlock = ifFmt(leU16(bin, fmtOff + lit(12)))
+    val pBits = ifFmt(leU16(bin, fmtOff + lit(14)))
+    val pFrames = when(pBlock > 0, (col("data_size") / pBlock).cast("long"))
     scanned.select(col("doc_id"), col("valid_riff"), fmtOff.as("fmt_off"),
       pChannels.as("channels"), pRate.as("sample_rate"),
       pBits.as("bits_per_sample"), pBlock.as("block_align"),

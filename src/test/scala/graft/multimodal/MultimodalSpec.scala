@@ -116,5 +116,13 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) == ((1, 21, 88200L, 2, 44100L)))
     assert(byId(2L) == ((1, 35, 88200L, 2, 44100L)))
     assert(byId(3L)._1 == 0)
+    // valid RIFF/WAVE but NO fmt chunk within the walk → fmt_off 0
+    val noFmt = "52494646" + "12000000" + "57415645" +
+      "4c495354" + "06000000" + "494e464f6969"
+    val scanned2 = Multimodal.withWavChunks(
+      Seq((9L, noFmt)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+    val r = scanned2.select("valid_riff", "fmt_off", "data_size").collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 0 && r.getLong(2) == 0L)
   }
 }
