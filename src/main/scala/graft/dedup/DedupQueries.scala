@@ -59,6 +59,47 @@ object DedupQueries {
     Dedup.survivorsFromPairs(Tables.documents(spark, dir), "doc_id", "text",
       dedupJaccardPairs(spark, dir))
 
+  /** E7: INCREMENTAL dedup — the daily-batch production shape: admit
+    * only incoming documents (the non-train side of the G5 hash split)
+    * that are neither exact nor near duplicates of the HISTORICAL
+    * corpus (the train side). Reads the same persisted signature
+    * store the in-corpus family uses — at 100 TB the historical side
+    * is never re-shingled, only the incoming batch is; candidates come
+    * from the (band, bucket) join of the two banded subsets, and only
+    * candidates are Jaccard-verified. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextQueries.TrainBucketMax
+    val st = sigTables(spark, dir)
+    def isHist(id: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("split|"), id.cast("string"))), 1, 4), 16, 10)
+        .cast("int") < TrainBucketMax
+    val hashes = Tables.documents(spark, dir).select(col("doc_id"),
+      md5(regexp_replace(trim(col("text")), " +", " ")).as("h"))
+    val incoming = hashes.filter(!isHist(col("doc_id")))
+    val histHashes = hashes.filter(isHist(col("doc_id")))
+      .select(col("h"), lit(1).as("_e")).distinct()
+    val exact = incoming.join(histHashes, Seq("h"), "left")
+      .select(col("doc_id"), col("_e").isNotNull.cast("int").as("is_exact_dup"))
+    val banded = spark.table(st.banded)
+    val inB = banded.filter(!isHist(col("id")))
+      .select(col("band"), col("bucket"), col("id").as("doc_a"))
+    val hiB = banded.filter(isHist(col("id")))
+      .select(col("band"), col("bucket"), col("id").as("doc_b"))
+    val cand = inB.join(hiB, Seq("band", "bucket"))
+      .select("doc_a", "doc_b").distinct()
+    val nCand = cand.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val near = Dedup.jaccardVerify(cand,
+        spark.table(st.sig).select(col("id"), col("sh")), JaccardThreshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("_n", lit(1))
+    exact.join(nCand, Seq("doc_id"), "left").join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("_n").isNotNull.cast("int").as("is_near_dup"),
+        (col("is_exact_dup") === 0 && col("_n").isNull).cast("int").as("admit"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dedup_exact"           -> (dedupExact _),
     "dedup_minhash_pairs"   -> (dedupMinhashPairs _),
@@ -68,6 +109,7 @@ object DedupQueries {
     "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
+    "dedup_incremental"     -> (dedupIncremental _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -152,6 +194,48 @@ object DedupQueries {
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
          |) WHERE hamming <= $MaxHamming""".stripMargin
+    },
+
+    // mirrors dedupIncremental: same split predicate as text_split,
+    // same band/jaccard CTEs as the in-corpus family (generated from
+    // the same constants), candidates restricted to incoming × hist
+    "dedup_incremental" -> {
+      val thr = JaccardThreshold
+      val bkt = "('0x' || substr(md5('split|' || doc_id), 1, 4))::int"
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |${sigCte(Bands * RowsPerBand)},
+         |${bandsCte(Bands, RowsPerBand)},
+         |eh AS (SELECT doc_id, $bkt AS bkt,
+         |  md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h FROM documents),
+         |inc AS (SELECT doc_id, h FROM eh WHERE bkt >= ${graft.text.TextQueries.TrainBucketMax}),
+         |hist_h AS (SELECT DISTINCT h FROM eh WHERE bkt < ${graft.text.TextQueries.TrainBucketMax}),
+         |inb AS (SELECT b.doc_id AS doc_a, band, bucket FROM bands b
+         |        JOIN eh ON b.doc_id = eh.doc_id WHERE eh.bkt >= ${graft.text.TextQueries.TrainBucketMax}),
+         |hib AS (SELECT b.doc_id AS doc_b, band, bucket FROM bands b
+         |        JOIN eh ON b.doc_id = eh.doc_id WHERE eh.bkt < ${graft.text.TextQueries.TrainBucketMax}),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM inb JOIN hib USING (band, bucket)),
+         |nc AS (SELECT doc_a, count(*) AS n_candidates FROM cand GROUP BY 1),
+         |ds AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |j AS (
+         |  SELECT c.doc_a,
+         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+         |    length(a.ds) + length(b.ds)
+         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+         |  FROM cand c
+         |  JOIN ds a ON c.doc_a = a.doc_id
+         |  JOIN ds b ON c.doc_b = b.doc_id
+         |),
+         |near AS (SELECT DISTINCT doc_a FROM j
+         |         WHERE round(inter::double / uni, 4) >= $thr)
+         |SELECT i.doc_id,
+         |  (i.h IN (SELECT h FROM hist_h))::int AS is_exact_dup,
+         |  coalesce(nc.n_candidates, 0) AS n_candidates,
+         |  (near.doc_a IS NOT NULL)::int AS is_near_dup,
+         |  (i.h NOT IN (SELECT h FROM hist_h) AND near.doc_a IS NULL)::int AS admit
+         |FROM inc i
+         |LEFT JOIN nc ON i.doc_id = nc.doc_a
+         |LEFT JOIN near ON i.doc_id = near.doc_a""".stripMargin
     },
 
     "dedup_jaccard_pairs" ->

@@ -139,12 +139,18 @@ object TextQueries {
     * stable across runs, machines and engines (no RNG state, no
     * shuffling): bucket = first 4 md5 hex digits of (salt ++ doc_id)
     * as an integer in [0, 65536); <90% train, <95% val, else test. */
+  /** Hash-split boundaries over the 16-bit bucket space: <90% train,
+    * <95% val, else test — shared by split/contamination and the
+    * incremental-dedup historical/incoming partition. */
+  val TrainBucketMax = 58982
+  val ValBucketMax = 62259
+
   def textSplit(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val bucket = conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
       .cast("int")
     d.select(col("doc_id"), bucket.as("bucket"),
-      when(bucket < 58982, "train").when(bucket < 62259, "val")
+      when(bucket < TrainBucketMax, "train").when(bucket < ValBucketMax, "val")
         .otherwise("test").as("split"))
   }
 
@@ -359,7 +365,7 @@ object TextQueries {
     val d = Tables.documents(spark, dir)
     val bucket = conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
       .cast("int")
-    val split = when(bucket < 58982, "train").when(bucket < 62259, "val")
+    val split = when(bucket < TrainBucketMax, "train").when(bucket < ValBucketMax, "val")
       .otherwise("test")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -563,16 +569,16 @@ object TextQueries {
          |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin,
 
     "text_split" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5('split|' || doc_id), 1, 4))::int AS bucket
-        |  FROM documents
-        |)
-        |SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 58982 THEN 'train'
-        |       WHEN bucket < 62259 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM b""".stripMargin,
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('split|' || doc_id), 1, 4))::int AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < $TrainBucketMax THEN 'train'
+         |       WHEN bucket < $ValBucketMax THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "text_corpus_stats" ->
       s"""WITH q AS (SELECT source, lang, length($toksSql) AS n, length(text) AS len FROM documents)
@@ -678,8 +684,8 @@ object TextQueries {
          |  FROM documents
          |), lab AS (
          |  SELECT doc_id,
-         |    CASE WHEN bucket < 58982 THEN 'train'
-         |         WHEN bucket < 62259 THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN bucket < $TrainBucketMax THEN 'train'
+         |         WHEN bucket < $ValBucketMax THEN 'val' ELSE 'test' END AS split,
          |    toks
          |  FROM s
          |), sh AS (
