@@ -315,6 +315,42 @@ object TextQueries {
           - col("snlogn") / col("n_toks"), 4).as("entropy"))
   }
 
+  /** CDC parameters: boundary gram width and the modulus (1/Mod of
+    * positions cut ⇒ expected chunk length ≈ Mod chars). */
+  val CdcGram = 8
+  val CdcMod = 64
+
+  /** G17: content-defined chunking — chunk boundaries where the
+    * rolling 8-gram hash ≡ 0 (mod 64), so boundaries depend on CONTENT
+    * not offsets: insert a byte early in a document and fixed windows
+    * (G10/G14) all shift, but CDC chunks after the edit realign — the
+    * chunking real dedup/delta systems (rsync, FastCDC) use. Emits
+    * per-document chunk statistics. One explode over positions + two
+    * same-keyed window/agg passes, shuffle on doc_id only. */
+  def textCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(length(col("text")) > 0)
+    val len = length(col("text"))
+    // candidate cut positions: every index with a full gram after it
+    val pos = d.select(col("doc_id"), col("text"),
+      explode(sequence(lit(1), greatest(len - (CdcGram - 1), lit(1)))).as("i"))
+    val gramHash = conv(substring(md5(col("text").substr(col("i"), lit(CdcGram))), 1, 4), 16, 10)
+      .cast("int")
+    val starts = pos
+      .filter(col("i") === 1 || gramHash % CdcMod === 0)
+      .select(col("doc_id"), col("text"), col("i").as("start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+    val chunkLen = coalesce(lead(col("start"), 1).over(w), length(col("text")) + 1) - col("start")
+    starts
+      .withColumn("chunk_len", chunkLen)
+      .withColumn("chunk_md5", md5(col("text").substr(col("start"), col("chunk_len"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        round(avg(col("chunk_len")), 4).as("avg_chunk_len"),
+        max(col("chunk_len")).as("max_chunk_len"),
+        countDistinct(col("chunk_md5")).as("n_distinct_chunks"))
+  }
+
   val PackBudget = 512 // tokens per packed sequence
 
   /** G11: contiguous sequence packing — documents in doc_id order are
@@ -444,6 +480,7 @@ object TextQueries {
     "text_redact"       -> (textRedact _),
     "text_chunks"       -> (textChunks _),
     "text_dedup_chunks" -> (textDedupChunks _),
+    "text_cdc_chunks"   -> (textCdcChunks _),
     "text_entropy"      -> (textEntropy _),
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
@@ -643,6 +680,34 @@ object TextQueries {
          |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc_id,
          |  min(chunk_len) AS chunk_len
          |FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // mirrors textCdcChunks: same gram hash, same boundary rule, lead
+    // window for chunk extents
+    "text_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0),
+         |p AS (
+         |  SELECT doc_id, text, len,
+         |    unnest(range(1, greatest(len - ${CdcGram - 1}, 1) + 1))::int AS i
+         |  FROM d
+         |), st AS (
+         |  SELECT doc_id, text, len, i AS start FROM p
+         |  WHERE i = 1
+         |     OR ('0x' || substr(md5(substr(text, i, $CdcGram)), 1, 4))::int % $CdcMod = 0
+         |), c AS (
+         |  SELECT doc_id,
+         |    coalesce(lead(start) OVER (PARTITION BY doc_id ORDER BY start), len + 1)
+         |      - start AS chunk_len,
+         |    md5(substr(text,
+         |      start,
+         |      coalesce(lead(start) OVER (PARTITION BY doc_id ORDER BY start), len + 1)
+         |        - start)) AS chunk_md5
+         |  FROM st
+         |)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  round(avg(chunk_len), 4) AS avg_chunk_len,
+         |  max(chunk_len) AS max_chunk_len,
+         |  count(DISTINCT chunk_md5) AS n_distinct_chunks
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     "text_entropy" ->
       s"""WITH tok AS (

@@ -50,6 +50,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq((2L, 2L, 1L, TextQueries.DedupChunkChars)))
   }
 
+  test("CDC boundaries realign after a prefix edit (the shift-robust property)") {
+    // same content with a 3-char prefix insertion: fixed windows all
+    // shift, but CDC boundaries in the unchanged tail land on the SAME
+    // grams, so most chunk hashes are shared between the two versions
+    val base = (1 to 400).map(i => s"w$i").mkString(" ")
+    val edited = "zz " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    def chunks(id: Long): Set[String] = {
+      val d = df.filter(col("doc_id") === id)
+      val len = length(col("text"))
+      val pos = d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(len - (TextQueries.CdcGram - 1), lit(1)))).as("i"))
+      val gh = conv(substring(md5(col("text").substr(col("i"), lit(TextQueries.CdcGram))), 1, 4), 16, 10).cast("int")
+      val st = pos.filter(col("i") === 1 || gh % TextQueries.CdcMod === 0)
+        .select(col("doc_id"), col("text"), col("i").as("start"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")
+      st.withColumn("cl", coalesce(lead(col("start"), 1).over(w), length(col("text")) + 1) - col("start"))
+        .select(md5(col("text").substr(col("start"), col("cl"))).as("h"))
+        .as[String].collect().toSet
+    }
+    val (c1, c2) = (chunks(1L), chunks(2L))
+    val shared = (c1 & c2).size
+    assert(c1.size > 10, s"expected ~${2400 / TextQueries.CdcMod}+ chunks, got ${c1.size}")
+    // everything after the first post-edit boundary is identical
+    assert(shared >= c1.size - 2,
+      s"CDC must preserve chunks after an edit: shared $shared of ${c1.size}")
+  }
+
   test("packing bins by exclusive running sum: oversized doc occupies one bin") {
     // budget 512: docs of 300+300 fill bin 0 (cum 0,300), a 900-token
     // doc starts at cum 600 -> bin 1, next doc at cum 1500 -> bin 2
