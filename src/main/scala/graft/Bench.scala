@@ -42,7 +42,8 @@ object Bench {
       try graft.store.GraftStore.timeBuild(Seq(
         () => { graft.kg.KgQueries.storedEdges(spark, sfDir); () },
         () => graft.dedup.DedupQueries.warmStores(spark, sfDir),
-        () => graft.graph.GraphQueries.warmStores(spark, sfDir)))
+        () => graft.graph.GraphQueries.warmStores(spark, sfDir),
+        () => graft.sim.SimQueries.warmStores(spark, sfDir)))
       catch { case e: Throwable =>
         System.err.println(s"[bench] store build failed: $e"); -1.0 }
 

@@ -168,8 +168,10 @@ object KgQueries {
     * fan-in (srcs per dst), with edge/endpoint counts. The KG-audit
     * query that decides merge strategy and index layout downstream.
     * Three keyed aggregations over the bucketed edge table. */
-  def kgRelCardinality(spark: SparkSession, dir: String): DataFrame = {
-    val e = storedEdges(spark, dir)
+  def kgRelCardinality(spark: SparkSession, dir: String): DataFrame =
+    relCardinality(storedEdges(spark, dir))
+
+  def relCardinality(e: DataFrame): DataFrame = {
     val out = e.groupBy(col("rel"), col("src_label"), col("src"))
       .agg(count(lit(1)).as("fo"))
       .groupBy("rel")

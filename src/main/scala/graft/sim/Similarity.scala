@@ -114,13 +114,27 @@ object Similarity {
     * LSH recall/cost dial). Candidates come from a (table, bucket)
     * equality join — shuffle on the bucket key, never all-pairs — and
     * only DISTINCT candidate pairs are cosine-scored. */
-  def annLsh(vecs: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, tables: Seq[Seq[Seq[Int]]]): DataFrame = {
+  /** (id, t, bucket) rows of every vector under every LSH table — the
+    * frame worth PERSISTING (write-once / query-many): the ann and
+    * recall queries then skip the numTables × numPlanes bucket dots per
+    * corpus scan, exactly the dedup signature-store split. */
+  def lshBucketsOf(vecs: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Int]]]): DataFrame = {
     val buckets = array(tables.map(pl =>
       lshBucket(vecs.sparkSession, col("v"), pl)): _*)
-    val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), posexplode(buckets))
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+  }
+
+  def annLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, tables: Seq[Seq[Seq[Int]]]): DataFrame =
+    annLshFromBuckets(vecs, idCol, vecCol,
+      lshBucketsOf(vecs, idCol, vecCol, tables), queryPred, k)
+
+  /** F2 over a precomputed/persisted (id, t, bucket) frame. */
+  def annLshFromBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+      bucketed: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val qSide = bucketed.filter(queryPred).select(col("id").as("q_id"), col("t"), col("bucket"))
     val cand = bucketed.join(broadcast(qSide), Seq("t", "bucket"))

@@ -138,4 +138,19 @@ class KgSpec extends SparkSpec {
     assert(pruned.count() == 2)
     assert(new java.io.File(s"$out/pt=p2").isDirectory, "hive-style partition dirs expected")
   }
+
+  test("B12 relation cardinality classifies all four classes") {
+    import spark.implicits._
+    val e = Seq(
+      ("E", "s1", "one2one", "E", "d1"), ("E", "s2", "one2one", "E", "d2"),
+      ("E", "s1", "one2many", "E", "d1"), ("E", "s1", "one2many", "E", "d2"),
+      ("E", "s1", "many2one", "E", "d1"), ("E", "s2", "many2one", "E", "d1"),
+      ("E", "s1", "many2many", "E", "d1"), ("E", "s1", "many2many", "E", "d2"),
+      ("E", "s2", "many2many", "E", "d1"))
+      .toDF("src_label", "src", "rel", "dst_label", "dst")
+    val out = KgQueries.relCardinality(e)
+      .select("rel", "cardinality").as[(String, String)].collect().toMap
+    assert(out == Map("one2one" -> "1:1", "one2many" -> "1:N",
+      "many2one" -> "N:1", "many2many" -> "N:M"))
+  }
 }

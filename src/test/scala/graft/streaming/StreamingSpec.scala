@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I16 streaming sliding windows match batch; each event in 2 windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "event_type", "value")
+    val q = Streaming.slidingCounts(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("slide_out").outputMode("append").start()
+    try {
+      val data = Seq((ts(0), "click", 1.0), (ts(6), "click", 2.0), (ts(12), "view", 3.0))
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData((ts(10000), "flush", 0.0)); q.processAllAvailable()
+      mem.addData((ts(20000), "flush", 0.0)); q.processAllAvailable()
+      val streamed = spark.table("slide_out").filter(col("event_type") =!= "flush")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Streaming.slidingCounts(asEvents(data.toDF()))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      // sliding invariant: every event contributes to exactly 2 windows
+      assert(batch.toSeq.map(_._3).sum == 2L * data.size)
+    } finally q.stop()
+  }
+
   test("I12 streaming dedup drops identity repeats, also across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
