@@ -74,7 +74,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(full)
+    // The full line above is >100 queries long and overflows fixed-size
+    // stdout tail capture (r6 verdict #1: six rounds of parsed:null).
+    // Two belt-and-braces channels that survive truncation:
+    //  1. the full JSON also goes to a file (BENCH_OUT env, default
+    //     bench_full.json in the working dir) for out-of-band reads;
+    //  2. a SHORT trailing summary line — tail capture keeps the END of
+    //     output, so a compact final line always parses.
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"errors":$errors,"n_queries":${results.size},"top":$slowest,"sf":"$sfDir"}""")
     spark.stop()
     if (errors > 0) sys.exit(1)
   }

@@ -178,13 +178,22 @@ object SparkEntry {
         |  max(gap_days) AS max_gap_days
         |FROM g GROUP BY o_custkey""".stripMargin,
     // the CORRELATED spelling on purpose — the Spark side is the
-    // decorrelated window form; hash-match pins the equivalence
+    // decorrelated window form; hash-match pins the equivalence. The
+    // above-average cut is exact integer cents (cents·n > Σcents), so
+    // no float-avg ulp can flip membership between engines.
     "q_correlated" ->
-      """SELECT o_custkey, count(*) AS n_above,
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_custkey, count(*) AS n_above,
         |  round(sum(o_totalprice), 2) AS sum_above
-        |FROM orders o
-        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
+        |FROM o
+        |WHERE cents * (SELECT count(*) FROM o o2
+        |               WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(cents) FROM o o2
+        |       WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * for. Usage: TimeQ <sfDir> <query> [query ...] */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: TimeQ <sfDir> <query> [query ...]")
+      sys.exit(2)
+    }
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -22,8 +26,9 @@ object TimeQ {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    run(args.tail.head) // warm-up
     args.tail.foreach { name =>
+      run(name) // per-query untimed warm-up: absorbs first-touch
+                // table reads so later queries' min-of-two is honest
       val t = math.min(run(name), run(name))
       println(f"$name%-28s $t%8.3f s")
     }

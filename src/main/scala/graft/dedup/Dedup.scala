@@ -215,12 +215,11 @@ object Dedup {
   /** Unit-normalized copy of a float-array column (computed in
     * double). Normalizing ONCE PER ROW turns every downstream pairwise
     * cosine into a single dot product — for an n²/block pair set the
-    * per-pair norm recomputation is the dominant cost. */
-  def normalized(vec: Column): Column = {
-    val vd = transform(vec, x => x.cast("double"))
-    val n = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (acc, v) => acc + v))
-    transform(vd, x => x / n)
-  }
+    * per-pair norm recomputation is the dominant cost. Codegen'd
+    * graft_normalize (element-order norm, bit-identical to the previous
+    * interpreted transform/aggregate lambdas and the SQL oracles). */
+  def normalized(spark: org.apache.spark.sql.SparkSession, vec: Column): Column =
+    graft.functions.VectorFunctions.normalize(spark, vec)
 
   /** E6: the end-to-end dedup deliverable — fold exact-dup pairs and
     * verified near-dup pairs into duplicate CLUSTERS (connected
@@ -260,7 +259,7 @@ object Dedup {
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val nv = vecs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      normalized(col(vecCol)).as("vn"))
+      normalized(vecs.sparkSession, col(vecCol)).as("vn"))
     val a = nv.select(col("blk"), col("id").as("doc_a"), col("vn").as("va"))
     val b = nv.select(col("blk"), col("id").as("doc_b"), col("vn").as("vb"))
     val pairDot = graft.functions.VectorFunctions.dotProduct(

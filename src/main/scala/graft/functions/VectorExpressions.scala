@@ -115,11 +115,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** normalize(a) = a / √Σx² as array<double> — one pass for the norm
+  * (element order, matching aggregate()/list_sum() bit-for-bit), one
+  * for the division. Replaces the interpreted transform/aggregate
+  * lambda formulation in Dedup.normalized (§3 rule: no higher-order
+  * array lambdas on driver-query paths). A zero vector divides by
+  * zero → NaN elements, identical to the lambda formulation and the
+  * SQL oracles' x / sqrt(0). */
+case class NormalizeVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; ss += v * v; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getFloat(i).toDouble / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss"); val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out"); val xv = ctx.freshName("xv")
+      s"""
+         |int $n = $a.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  $ss += $xv * $xv;
+         |}
+         |double $norm = java.lang.Math.sqrt($ss);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = ((double) $a.getFloat($i)) / $norm;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
 
   private[functions] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine"      -> { es => CosineSimilarity(es(0), es(1)) },
     "graft_dot"         -> { es => DotProduct(es(0), es(1)) },
+    "graft_normalize"   -> { es => NormalizeVector(es.head) },
     "graft_simhash_agg" -> { es => SimHashAgg(es.head).toAggregateExpression() },
     "graft_qhist"       -> { es =>
       def num(e: Expression): Double = e.eval().asInstanceOf[Number].doubleValue()
@@ -153,6 +210,13 @@ object VectorFunctions {
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Codegen'd unit-normalization of a float-array column (double
+    * output; norm accumulated in element order). */
+  def normalize(spark: SparkSession, a: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_normalize", a)
   }
 
   /** Single-buffer SimHash aggregate over a long-hash column. */

@@ -245,6 +245,18 @@ object GraphQueries {
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
     Graphs.assortativity(coOrderEdges(spark, dir))
 
+  /** C16 driver query: approximate betweenness over the co-order part
+    * graph from the same 4 deterministic landmarks graph_harmonic uses
+    * (sampled, radius-bounded Brandes — one multi-source BFS + one σ
+    * pass + one δ pass for all of them). */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir)
+    val verts = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id"))).distinct()
+    Graphs.betweennessFromLandmarks(e,
+      verts.orderBy(col("id")).limit(HarmonicSources), HarmonicHops)
+  }
+
   val JaccardMinSim = 0.25
 
   /** C11 driver query: neighborhood-Jaccard link prediction over the
@@ -275,6 +287,7 @@ object GraphQueries {
     "graph_jaccard"   -> (graphJaccard _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_harmonic"  -> (graphHarmonic _),
+    "graph_betweenness" -> (graphBetweenness _),
   )
 
   // --- oracles ------------------------------------------------------
@@ -557,6 +570,63 @@ object GraphQueries {
          |SELECT id, count(*) AS n_reached,
          |  round(sum(1.0::double / d), 4) AS harmonic
          |FROM md WHERE d > 0 GROUP BY id""".stripMargin,
+
+    // mirrors Graphs.betweennessFromLandmarks level for level: the
+    // recursive-CTE BFS min-depths (= the harmonic oracle), then one
+    // MATERIALIZED CTE per σ level (exact BIGINT path counts) and one
+    // per δ level (the same σv/σw·(1+δw) double expression; sums are
+    // the one order-sensitive reduction, absorbed by the final round 4)
+    "graph_betweenness" -> {
+      val sg = (1 to HarmonicHops).map { d =>
+        s"""sg$d AS MATERIALIZED (
+           |  SELECT s.src, und.v AS id, sum(s.sigma)::bigint AS sigma
+           |  FROM sg${d - 1} s
+           |  JOIN und ON und.u = s.id
+           |  JOIN md ON md.src = s.src AND md.id = und.v AND md.d = $d
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString(",\n")
+      val dlBoundary =
+        s"dl$HarmonicHops AS MATERIALIZED (SELECT src, id, 0.0::double AS delta FROM sg$HarmonicHops)"
+      val dl = (HarmonicHops - 1 to 1 by -1).map { d =>
+        s"""dl$d AS MATERIALIZED (
+           |  SELECT cur.src, cur.id,
+           |    sum((cur.sigma::double / w.sigma) * (1.0::double + coalesce(dw.delta, 0.0::double))) AS delta
+           |  FROM sg$d cur
+           |  JOIN und e ON e.u = cur.id
+           |  JOIN sg${d + 1} w ON w.src = cur.src AND w.id = e.v
+           |  LEFT JOIN dl${d + 1} dw ON dw.src = w.src AND dw.id = w.id
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString(",\n")
+      val accUnion = (HarmonicHops to 1 by -1)
+        .map(d => s"SELECT src, id, delta FROM dl$d").mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), und AS MATERIALIZED (
+         |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+         |), seeds AS (
+         |  SELECT id FROM (SELECT u AS id FROM e0 UNION SELECT v FROM e0)
+         |  ORDER BY id LIMIT $HarmonicSources
+         |), bfs(src, id, d) AS (
+         |  SELECT id, id, 0 FROM seeds
+         |  UNION
+         |  SELECT bfs.src, und.v, bfs.d + 1 FROM bfs JOIN und ON und.u = bfs.id
+         |  WHERE bfs.d < $HarmonicHops
+         |), md AS MATERIALIZED (
+         |  SELECT src, id, min(d) AS d FROM bfs GROUP BY 1, 2
+         |), sg0 AS MATERIALIZED (
+         |  SELECT id AS src, id, 1::bigint AS sigma FROM seeds
+         |),
+         |$sg,
+         |$dlBoundary,
+         |$dl
+         |SELECT id, round(sum(delta), 4) AS betweenness
+         |FROM ($accUnion) GROUP BY id""".stripMargin
+    },
 
     "graph_assortativity" ->
       s"""WITH l AS (

@@ -290,14 +290,32 @@ object Graphs {
     * the WEDGE join (pairs sharing ≥1 neighbor) — never all-pairs;
     * Jaccard = |N∩| / (deg_u + deg_v − |N∩|) with integer inputs, so
     * the double division is bit-identical across engines and the ≥
-    * threshold cannot flip. At 100 TB the standard extra guard is a
-    * degree cap dropping super-nodes before the wedge join. */
-  def neighborJaccard(edges: DataFrame, minSim: Double): DataFrame = {
+    * threshold cannot flip.
+    *
+    * `maxDegree` is the 100 TB super-node guard (opt-in, default off =
+    * exact semantics): a degree-d hub serving as the shared neighbor
+    * emits d² wedge rows — the classic quadratic blow-up on power-law
+    * graphs. When capped, edges touching a vertex with deg > cap are
+    * dropped BEFORE the wedge join, so hubs neither anchor wedges nor
+    * appear in pairs: surviving pairs keep their TRUE degrees in the
+    * denominator but forgo common-neighbor counts routed through
+    * capped hubs (exact precision, bounded recall — the standard
+    * trade). */
+  def neighborJaccard(edges: DataFrame, minSim: Double,
+      maxDegree: Option[Int] = None): DataFrame = {
     val e0 = edges.select(col("u"), col("v")).localCheckpoint(eager = true) // read 3×
     val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-    val wedges = und.select(col("u").as("x"), col("v").as("n"))
-      .join(und.select(col("u").as("y"), col("v").as("n")), "n")
+    val wedgeSrc = maxDegree match {
+      case None => und
+      case Some(cap) =>
+        val keep = deg.filter(col("deg") <= cap)
+        und.join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+    }
+    val wedges = wedgeSrc.select(col("u").as("x"), col("v").as("n"))
+      .join(wedgeSrc.select(col("u").as("y"), col("v").as("n")), "n")
       .filter(col("x") < col("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("common"))
     val jac = col("common").cast("double") /
@@ -448,6 +466,67 @@ object Graphs {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_reached"),
         round(sum(lit(1.0) / col("depth")), 4).as("harmonic"))
+
+  /** C16: approximate betweenness centrality — Brandes' algorithm from
+    * K sampled sources, truncated at maxHops (bounded-radius Brandes:
+    * the scalable stand-in for exact betweenness, which needs all-pairs
+    * BFS; sampling sources is the standard estimator, Brandes & Pich
+    * 2007). Three level-synchronous passes over the SAME doubled edge
+    * frame:
+    *   1. multi-source BFS → exact int depths (one loop for all K);
+    *   2. forward σ: σ(s,v) = Σ σ(s,u) over predecessors u at
+    *      depth(v)−1 — path counts stay exact LONGS, so both engines
+    *      agree bit-for-bit;
+    *   3. backward δ: δ(s,v) = Σ_w σ(s,v)/σ(s,w) · (1 + δ(s,w)) over
+    *      successors w — one edges⋈level join per depth, never
+    *      all-pairs.
+    * Betweenness(v) = Σ_s δ(s,v), rounded 4 (the δ sums are the one
+    * order-sensitive float reduction, same contract as harmonic). */
+  def betweennessFromLandmarks(one: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val und = one.select(col("u"), col("v"))
+      .unionAll(one.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    val dep = multiSourceBfs(one, seeds, maxHops).localCheckpoint(eager = true)
+    // forward: σ per level (σ(s, s) = 1)
+    var sigmaLevels = Vector(
+      dep.filter(col("depth") === 0).select(col("src"), col("id"), lit(1L).as("sigma")))
+    for (d <- 1 to maxHops) {
+      val prev = sigmaLevels.last
+      val next = und.join(prev, und("u") === prev("id"))
+        .select(col("src"), col("v").as("id"), col("sigma"))
+        .join(dep.filter(col("depth") === d).select("src", "id"),
+          Seq("src", "id"), "left_semi")
+        .groupBy("src", "id").agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(eager = true)
+      sigmaLevels :+= next
+    }
+    // backward: δ = 0 at the radius boundary, then one level join per
+    // depth; vertices without successors get no row at their level and
+    // contribute δ = 0 upward via the LEFT join + coalesce
+    var deltaLevel = sigmaLevels(maxHops)
+      .select(col("src"), col("id"), lit(0.0).as("delta"))
+    var acc = Vector(deltaLevel)
+    for (d <- maxHops - 1 to 1 by -1) {
+      val succ = sigmaLevels(d + 1)
+        .select(col("src"), col("id").as("w"), col("sigma").as("sigma_w"))
+        .join(deltaLevel.select(col("src"), col("id").as("w"), col("delta").as("delta_w")),
+          Seq("src", "w"), "left")
+        .select(col("src"), col("w"), col("sigma_w"),
+          coalesce(col("delta_w"), lit(0.0)).as("delta_w"))
+      deltaLevel = und.select(col("u").as("id"), col("v").as("w"))
+        .join(succ, Seq("w"))
+        .join(sigmaLevels(d), Seq("src", "id"))
+        .groupBy("src", "id")
+        .agg(sum(col("sigma").cast("double") / col("sigma_w")
+          * (lit(1.0) + col("delta_w"))).as("delta"))
+        .localCheckpoint(eager = true)
+      acc :+= deltaLevel
+    }
+    acc.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(round(sum(col("delta")), 4).as("betweenness"))
+  }
 
   def bfsHashed(one: DataFrame, dict: DataFrame, seed: String,
       maxHops: Int): DataFrame = {

@@ -136,9 +136,16 @@ object KgQueries {
     * and distinct-source count. Reads the bucketed edge table twice;
     * the b-side join key (src) is bucket-aligned, the a-side shuffles
     * on dst. Linear in edge count here because every mid's fan-out is
-    * small; the 100 TB guard for hub mids is a per-mid degree cap. */
-  def kgTwoHop(spark: SparkSession, dir: String): DataFrame = {
-    val e = storedEdges(spark, dir)
+    * small; `maxMidDegree` is the 100 TB guard for hub mids (opt-in,
+    * default off = exact semantics): a middle with fan-in a and
+    * fan-out b contributes a·b paths, so one hub entity ("Entity" /
+    * "Unknown"-style sinks in real KGs) dominates every relation pair.
+    * When capped, middles whose fan-in + fan-out exceeds the cap are
+    * semi-joined out of BOTH legs before the pair join. */
+  def kgTwoHop(spark: SparkSession, dir: String): DataFrame =
+    kgTwoHopCapped(storedEdges(spark, dir), maxMidDegree = None)
+
+  def kgTwoHopCapped(e: DataFrame, maxMidDegree: Option[Long]): DataFrame = {
     // COUNT-FACTORED: paths through a middle m factor as
     // n_a(m, rel1) × n_b(m, rel2), so the join carries one row per
     // (middle, rel) — thousands — instead of one per PATH (millions;
@@ -150,8 +157,19 @@ object KgQueries {
       col("rel").as("rel1"), col("dst_label").as("m_label"), col("dst").as("m"))
     val b = e.select(col("src_label").as("m_label"), col("src").as("m"),
       col("rel").as("rel2"))
-    val aCnt = a.groupBy("m_label", "m", "rel1").agg(count(lit(1)).as("n_a"))
-    val bCnt = b.groupBy("m_label", "m", "rel2").agg(count(lit(1)).as("n_b"))
+    val aCnt0 = a.groupBy("m_label", "m", "rel1").agg(count(lit(1)).as("n_a"))
+    val bCnt0 = b.groupBy("m_label", "m", "rel2").agg(count(lit(1)).as("n_b"))
+    val (aCnt, bCnt) = maxMidDegree match {
+      case None => (aCnt0, bCnt0)
+      case Some(cap) =>
+        val keep = aCnt0.groupBy("m_label", "m").agg(sum("n_a").as("fin"))
+          .join(bCnt0.groupBy("m_label", "m").agg(sum("n_b").as("fout")),
+            Seq("m_label", "m"), "full")
+          .filter(coalesce(col("fin"), lit(0L)) + coalesce(col("fout"), lit(0L)) <= cap)
+          .select("m_label", "m")
+        (aCnt0.join(keep, Seq("m_label", "m"), "left_semi"),
+          bCnt0.join(keep, Seq("m_label", "m"), "left_semi"))
+    }
     val nPaths = aCnt.join(bCnt, Seq("m_label", "m"))
       .groupBy("rel1", "rel2")
       .agg(sum(col("n_a") * col("n_b")).as("n_paths"))

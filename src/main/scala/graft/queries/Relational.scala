@@ -217,13 +217,19 @@ object Relational {
   }
 
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
-    val cust = broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"))
     val nat = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_regionkey"))
     val reg = broadcast(Tables.region(spark, dir).select("r_regionkey", "r_name"))
-    val wide = Tables.orders(spark, dir)
-      .join(cust, col("o_custkey") === col("c_custkey"))
+    // customer scales with SF (15 M rows at sf100) — never broadcast it
+    // (r6 verdict #3). Reduce it to the (c_custkey, r_name) dim through
+    // the genuinely tiny nation/region broadcasts, then let AQE pick
+    // the orders⋈geo strategy: broadcast at small SF, shuffle at 100 TB.
+    val geo = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
       .join(nat, col("c_nationkey") === col("n_nationkey"))
       .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val wide = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderdate", "o_totalprice")
+      .join(geo, col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("yr"))
       .pivot("r_name", PivotRegions.map(_._1))
       .agg(round(sum(col("o_totalprice")), 2))
@@ -297,15 +303,20 @@ object Relational {
     * customer's average. Expressed as the decorrelated window form (one
     * shuffle on the correlation key — exactly what an optimizer
     * rewrites the subquery to; the oracle keeps the correlated
-    * subquery spelling to pin the equivalence). The avg is sum/count
-    * over identical doubles, so the > comparison agrees bit-for-bit. */
+    * subquery spelling to pin the equivalence). The above-average cut
+    * is evaluated in EXACT integer cents — `cents·n > Σcents` — so the
+    * comparison is order-independent and bit-identical cross-engine
+    * (r6 advice: a float window-avg vs subquery-avg can drift by an
+    * ulp when a price sits exactly on its customer's average). */
   def qCorrelated(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey")
     Tables.orders(spark, dir)
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
-      .filter(col("o_totalprice") > col("cust_avg"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sum_cents", sum(col("cents")).over(w))
+      .filter(col("cents") * col("n") > col("sum_cents"))
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_above"),
         round(sum(col("o_totalprice")), 2).as("sum_above"))

@@ -20,6 +20,11 @@ object SimQueries {
     Similarity.planeSigns(NumTables * PlanesPerTable, Dims)
       .grouped(PlanesPerTable).toSeq
 
+  /** (Dims+1)-wide planes for the MIPS norm-augmentation reduction. */
+  lazy val Tables65: Seq[Seq[Seq[Int]]] =
+    Similarity.planeSigns(NumTables * PlanesPerTable, Dims + 1)
+      .grouped(PlanesPerTable).toSeq
+
   def simTopkBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteTopK(emb, "vec_id", "embedding",
@@ -82,6 +87,24 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K)
   }
 
+  /** F7 scale path: MIPS via augmented-vector cosine LSH. */
+  def simMipsAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mipsViaAnn(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      NumQueries, K, Tables65)
+
+  /** Recall@k of the MIPS-via-ANN reduction against the exact MIPS
+    * ground truth (the sim_ann_recall / F5 pattern). */
+  def simMipsAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simMips(spark, dir).select(col("q_id"), col("n_id"))
+    val ann = simMipsAnn(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = ann.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   val PqM = 8          // sub-spaces
   val PqSubDim = 8     // dims per sub-space (8 × 8 = 64)
   val PqCodebook = 16  // codebook entries per sub-space
@@ -111,6 +134,8 @@ object SimQueries {
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_quantize"   -> (simQuantize _),
     "sim_mips"       -> (simMips _),
+    "sim_mips_ann"   -> (simMipsAnn _),
+    "sim_mips_ann_recall" -> (simMipsAnnRecall _),
     "sim_pq"         -> (simPq _),
     "sim_pq_recall"  -> (simPqRecall _),
   )
@@ -186,18 +211,25 @@ object SimQueries {
 
     "sim_topk_brute" -> oracleSqlBrute,
 
-    "sim_mips" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
-         |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
-         |s AS (
-         |  SELECT q_id, n_id, ${dotSql("qv", "nv")} AS dot
-         |  FROM q, n WHERE q_id <> n_id
-         |), r AS (
-         |  SELECT q_id, n_id, dot,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rnk
-         |  FROM s
+    "sim_mips" -> oracleSqlMips,
+
+    "sim_mips_ann" -> oracleSqlMipsAnn,
+
+    // recall@k of the norm-augmentation MIPS reduction vs exact MIPS —
+    // nested oracles (the sim_ann_recall pattern), drift-proof
+    "sim_mips_ann_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlMips})),
+         |ann AS (SELECT q_id, n_id FROM (${oracleSqlMipsAnn})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM ann a WHERE EXISTS (
+         |    SELECT 1 FROM exact b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
          |)
-         |SELECT q_id, n_id, round(dot, 4) AS dot, rnk FROM r WHERE rnk <= $K""".stripMargin,
+         |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) q
+         |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
 
     "sim_ann_lsh" -> oracleSqlAnn,
 
@@ -264,6 +296,63 @@ object SimQueries {
          |FROM (SELECT DISTINCT q_id FROM brute) q
          |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
   )
+
+  private lazy val oracleSqlMips: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+       |s AS (
+       |  SELECT q_id, n_id, ${dotSql("qv", "nv")} AS dot
+       |  FROM q, n WHERE q_id <> n_id
+       |), r AS (
+       |  SELECT q_id, n_id, dot,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(dot, 4) AS dot, rnk FROM r WHERE rnk <= $K""".stripMargin
+
+  // mirrors Similarity.mipsViaAnn: identical augmentation expressions
+  // (‖x‖² in element order, max over identical doubles, the same
+  // sqrt(greatest(0, M²−‖x‖²)) appended) and identical 65-dim bucket
+  // dots, so buckets — and therefore candidates and ranks — agree
+  // bit-for-bit across engines
+  private lazy val oracleSqlMipsAnn: String = {
+    val itemBuckets = Tables65.zipWithIndex.map { case (pl, t) =>
+      s"SELECT id, $t AS t, ${bucketSql("av", pl)} AS bucket FROM items"
+    }.mkString("\nUNION ALL\n")
+    val queryBuckets = Tables65.zipWithIndex.map { case (pl, t) =>
+      s"SELECT id, $t AS t, ${bucketSql("av", pl)} AS bucket FROM qs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS nsq
+       |  FROM embeddings
+       |), mx AS (SELECT max(nsq) AS max_nsq FROM base),
+       |items AS (
+       |  SELECT id, list_append(embedding,
+       |    sqrt(greatest(0.0, mx.max_nsq - nsq))) AS av
+       |  FROM base, mx
+       |), qs AS (
+       |  SELECT id, list_append(embedding, 0.0) AS av
+       |  FROM base WHERE id < $NumQueries
+       |), bi AS (
+       |$itemBuckets
+       |), bq AS (
+       |$queryBuckets
+       |), cand AS (
+       |  SELECT DISTINCT bq.id AS q_id, bi.id
+       |  FROM bq JOIN bi ON bq.t = bi.t AND bq.bucket = bi.bucket AND bq.id <> bi.id
+       |), s AS (
+       |  SELECT c.q_id, c.id AS n_id, ${dotSql("qe.embedding", "ne.embedding")} AS dot
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ne ON ne.vec_id = c.id
+       |), r AS (
+       |  SELECT q_id, n_id, dot,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(dot, 4) AS dot, rnk FROM r WHERE rnk <= $K""".stripMargin
+  }
 
   // mirrors Similarity.pqTopK: same codebook (sub-vectors of the
   // first PqCodebook ids), same ||a−b||² expression, and the same

@@ -150,6 +150,49 @@ object Similarity {
       .select(col("q_id"), col("id").as("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** F7 scale path: MIPS answered THROUGH cosine LSH — the
+    * norm-augmentation reduction documented at mipsTopK, realized.
+    * Every ITEM vector gains one coordinate sqrt(M² − ‖x‖²) (M = max
+    * corpus norm, an in-plan broadcast scalar), every QUERY a 0: all
+    * augmented items share norm M, so cosine order under the
+    * augmentation equals raw inner-product order and LSH buckets over
+    * the augmented vectors answer MIPS sub-linearly. Candidates come
+    * from the (table, bucket) equality join — never all-pairs — and
+    * are scored by the ORIGINAL dot product (the augmented query
+    * coordinate is 0, so both dots agree). The quality dial vs the
+    * exact mipsTopK is sim_mips_ann_recall, the F5 pattern. */
+  def mipsViaAnn(vecs: DataFrame, idCol: String, vecCol: String,
+      queryMaxId: Int, k: Int, tables: Seq[Seq[Seq[Int]]]): DataFrame = {
+    val spark = vecs.sparkSession
+    val base = vecs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nsq", VectorFunctions.dotProduct(spark, col("v"), col("v")))
+    val maxN = base.agg(max(col("nsq")).as("max_nsq"))
+    val items = base.crossJoin(broadcast(maxN))
+      .select(col("id"), concat(col("v"),
+        array(sqrt(greatest(lit(0.0), col("max_nsq") - col("nsq"))))).as("av"))
+    val qs = base.filter(col("id") < queryMaxId)
+      .select(col("id"), concat(col("v"), array(lit(0.0))).as("av"))
+    def bucketsOf(df: DataFrame): DataFrame = {
+      val bs = array(tables.map(pl => lshBucket(spark, col("av"), pl)): _*)
+      df.select(col("id"), posexplode(bs).as(Seq("t", "bucket")))
+    }
+    val cand = bucketsOf(items)
+      .join(broadcast(bucketsOf(qs)
+        .select(col("id").as("q_id"), col("t"), col("bucket"))),
+        Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("id"))
+      .select("q_id", "id").distinct()
+    cand
+      .join(base.select(col("id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(base.select(col("id"), col("v")), "id")
+      .withColumn("dot", VectorFunctions.dotProduct(spark, col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot").desc, col("id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id").as("n_id"), round(col("dot"), 4).as("dot"), col("rnk"))
+  }
+
   /** F8: product-quantization ADC top-k — the memory-bound ANN serving
     * path: vectors compress to M sub-space codebook codes (here M×4
     * bits ≈ 8 bytes vs 256 for float32×64), and each query scores the

@@ -83,18 +83,11 @@ object StreamQueries {
 
   /** I14: top event types per day — the daily heavy-hitters roll-up.
     * One day-keyed aggregation + a rank window over tiny per-day
-    * groups (at most #event-types rows per day reach the window). */
-  def evDailyTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy("day")
-      .orderBy(col("n_events").desc, col("event_type"))
-    daily.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-  }
+    * groups (at most #event-types rows per day reach the window).
+    * Runs through the SAME dailyCounts/dailyTopk pair the streaming
+    * face uses (StreamingSpec proves the MemoryStream parity). */
+  def evDailyTopk(spark: SparkSession, dir: String): DataFrame =
+    Streaming.dailyTopk(Streaming.dailyCounts(Tables.events(spark, dir)))
 
   /** I13: Markov transition matrix over user event journeys. */
   def evMarkov(spark: SparkSession, dir: String): DataFrame =

@@ -232,7 +232,16 @@ object Streaming {
     * same total order the batch operator uses — and the downstream
     * count aggregation is the streaming-friendly half of
     * EventOps.transitionMatrix (probabilities are a batch-side
-    * finishing touch over the counts). */
+    * finishing touch over the counts).
+    *
+    * Cross-batch ordering: an O(1)-state journey tracker cannot
+    * re-linearize an event that arrives in a LATER micro-batch with a
+    * (ts, id) below the stored last event — the pinned semantics is to
+    * DROP such within-watermark reorderings (emitting them would
+    * fabricate a transition the batch operator's total order does not
+    * contain). In-order arrival therefore reproduces the batch counts
+    * exactly; late stragglers cost their one transition rather than
+    * corrupting the matrix (StreamingSpec pins both cases). */
   def transitionsStreaming(events: Dataset[TypedEv]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events
@@ -244,12 +253,41 @@ object Streaming {
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           var last = state.getOption.orNull
           it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (last != null) out += Transition(user, last.tpe, e.event_type)
-            last = LastEv(e.ts.getTime, e.event_id, e.event_type)
+            val before = last != null &&
+              (e.ts.getTime < last.tsMs ||
+                (e.ts.getTime == last.tsMs && e.event_id < last.id))
+            if (!before) {
+              if (last != null) out += Transition(user, last.tpe, e.event_type)
+              last = LastEv(e.ts.getTime, e.event_id, e.event_type)
+            }
           }
           if (last != null) state.update(last)
           out.iterator
       }
+  }
+
+  /** I14 (streaming path): daily event-type counts as a 1-day tumbling
+    * window with watermark-bounded state — the incremental half of the
+    * daily top-k roll-up. The rank over ≤ #event-types rows per closed
+    * day is a batch finishing touch (`dailyTopk`), the same
+    * incremental-counts / batch-finish split as I13's transitions vs
+    * probabilities. On batch input the watermark is a no-op and
+    * window(1 day).start == date_trunc('day'), so ONE function serves
+    * both faces. */
+  def dailyCounts(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day"), col("event_type"), col("n_events"))
+
+  /** The finishing rank over daily counts: top-k event types per day
+    * (deterministic tiebreak by type name). Shared by the batch query
+    * (ev_daily_topk) and the streaming sink's closed windows. */
+  def dailyTopk(daily: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("day")
+      .orderBy(col("n_events").desc, col("event_type"))
+    daily.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** I15: stream-static enrichment join — the dimension lookup every

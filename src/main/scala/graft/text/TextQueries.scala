@@ -329,20 +329,39 @@ object TextQueries {
     * same-keyed window/agg passes, shuffle on doc_id only. */
   def textCdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).filter(length(col("text")) > 0)
-    val len = length(col("text"))
-    // candidate cut positions: every index with a full gram after it
-    val pos = d.select(col("doc_id"), col("text"),
-      explode(sequence(lit(1), greatest(len - (CdcGram - 1), lit(1)))).as("i"))
-    val gramHash = conv(substring(md5(col("text").substr(col("i"), lit(CdcGram))), 1, 4), 16, 10)
-      .cast("int")
-    val starts = pos
-      .filter(col("i") === 1 || gramHash % CdcMod === 0)
-      .select(col("doc_id"), col("text"), col("i").as("start"))
-    val w = org.apache.spark.sql.expressions.Window
+    // Phase 1 — boundary detection as ONE-CHAR rows: the old
+    // formulation exploded a row per position with the FULL text
+    // attached, so a doc of length L pushed O(L²) bytes through the
+    // stage and every surviving boundary row shuffled the whole text
+    // into the window (r6 verdict: 1 MB doc ≈ 16 GB of shuffle). Here
+    // each position is a single character; the 8-gram is reassembled
+    // from window leads, so the doc_id shuffle moves O(L) chars total.
+    val chars = d
+      .select(col("doc_id"), posexplode(split(col("text"), "")).as(Seq("pos", "c")))
+      .filter(col("c") =!= "") // guard a trailing empty split token
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val gram = concat(col("c") +: (1 until CdcGram).map(i => lead(col("c"), i).over(wc)): _*)
+    val gramHash = conv(substring(md5(gram), 1, 4), 16, 10).cast("int")
+    // start is 1-based; a position only qualifies with a full gram
+    // after it (gram is null otherwise — concat propagates the null
+    // lead — and null % mod === 0 is null ⇒ filtered), except start=1
+    // which is always a boundary. Matches the old sequence(1, len-7).
+    val starts = chars
+      .select(col("doc_id"), (col("pos") + 1).as("start"),
+        (col("pos") === 0 || gramHash % CdcMod === 0).as("cut"))
+      .filter(col("cut"))
+      .select("doc_id", "start")
+    // Phase 2 — chunk extents over INTEGER rows only, then one join
+    // back to documents for the substring hash: text is shuffled once,
+    // O(L) not O(L²).
+    val wb = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("start")
-    val chunkLen = coalesce(lead(col("start"), 1).over(w), length(col("text")) + 1) - col("start")
-    starts
-      .withColumn("chunk_len", chunkLen)
+    val bounds = starts.withColumn("next_start", lead(col("start"), 1).over(wb))
+    bounds
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("chunk_len",
+        coalesce(col("next_start"), length(col("text")) + 1) - col("start"))
       .withColumn("chunk_md5", md5(col("text").substr(col("start"), col("chunk_len"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),

@@ -237,4 +237,46 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(out == Map(("a", "c") -> (2L, 1.0), ("b", "d") -> (2L, 1.0)))
   }
+
+  test("C11 maxDegree cap drops super-node wedges; default off is exact") {
+    // 4-cycle plus a degree-4 hub h attached to every corner: uncapped,
+    // h routes extra wedges (every corner pair shares h); capped at 3,
+    // edges touching h are dropped BEFORE the wedge join, so h appears
+    // in no pair and the 4-cycle twins come back with their TRUE
+    // (uncapped, deg 3) denominators: |{b,d,h}∩| = 2 of |∪| = 4
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "d",
+      "h" -> "a", "h" -> "b", "h" -> "c", "h" -> "d")
+    val uncapped = Graphs.neighborJaccard(e, minSim = 0.0).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.exists(p => p._1 == "h" || p._2 == "h"),
+      "hub pairs expected when uncapped")
+    val capped = Graphs.neighborJaccard(e, minSim = 0.0, maxDegree = Some(3))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(!capped.keySet.exists(p => p._1 == "h" || p._2 == "h"),
+      s"hub must be excluded when capped: ${capped.keySet}")
+    // common counts through h are forgone, but true degrees remain:
+    // jaccard(a, c) = |{b,d}| / (3 + 3 − 2) = 0.5
+    assert(capped(("a", "c")) == ((2L, 0.5)) && capped(("b", "d")) == ((2L, 0.5)))
+  }
+
+  test("C16 sampled betweenness on a path: interior vertices carry the load") {
+    import spark.implicits._
+    // path a-b-c-d, single source a, radius 3: δ(c)=1 (from d),
+    // δ(b)=(1/1)·(1+δ(c))=2, δ(d)=0 — the Brandes closed form
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d")
+    val out = Graphs.betweennessFromLandmarks(e, Seq("a").toDF("id"), maxHops = 3)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("b" -> 2.0, "c" -> 1.0, "d" -> 0.0), s"got $out")
+  }
+
+  test("C16 sampled betweenness: diamond splits shortest-path credit") {
+    import spark.implicits._
+    // a-b-d, a-c-d (two shortest a→d paths): σ(d)=2, δ(b)=δ(c)=
+    // (1/2)·(1+0)=0.5 — fractional credit through split paths
+    val e = edgesDf("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+    val out = Graphs.betweennessFromLandmarks(e, Seq("a").toDF("id"), maxHops = 2)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0), s"got $out")
+  }
 }

@@ -153,4 +153,21 @@ class KgSpec extends SparkSpec {
     assert(out == Map("one2one" -> "1:1", "one2many" -> "1:N",
       "many2one" -> "N:1", "many2many" -> "N:M"))
   }
+
+  test("B11 maxMidDegree cap excludes hub middles; default off is exact") {
+    import spark.implicits._
+    // quiet middle m1: one r1 in, one r2 out (1 path). Hub middle m2:
+    // 3 r1 in × 3 r2 out (9 paths, fan-in+fan-out = 6).
+    val e = (Seq(("E", "a0", "r1", "E", "m1"), ("E", "m1", "r2", "E", "b0")) ++
+      (1 to 3).map(i => ("E", s"a$i", "r1", "E", "m2")) ++
+      (1 to 3).map(i => ("E", "m2", "r2", "E", s"b$i")))
+      .toDF("src_label", "src", "rel", "dst_label", "dst")
+    val uncapped = KgQueries.kgTwoHopCapped(e, None)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(uncapped == Set(("r1", "r2", 10L, 4L))) // 1 + 9 paths, 4 sources
+    val capped = KgQueries.kgTwoHopCapped(e, Some(4L))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(capped == Set(("r1", "r2", 1L, 1L)),
+      s"hub middle m2 (degree 6) must be capped out: $capped")
+  }
 }

@@ -191,6 +191,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I13 late cross-batch event is dropped, not emitted as a false transition") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val q = Streaming.transitionsStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("trans_late_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Streaming.TypedEv(1L, ts(0), 1L, "view"),
+        Streaming.TypedEv(1L, ts(10), 2L, "click"))
+      q.processAllAvailable()
+      // a late event with ts BELOW the stored last (click@10) arrives in
+      // a later batch: an O(1)-state tracker cannot re-linearize it, so
+      // the pinned semantics is DROP — emitting click->late_view would
+      // fabricate a transition the batch total order does not contain
+      mem.addData(Streaming.TypedEv(1L, ts(5), 3L, "late_view"))
+      q.processAllAvailable()
+      // state is untouched by the dropped straggler: the next in-order
+      // event still chains off click@10
+      mem.addData(Streaming.TypedEv(1L, ts(20), 4L, "purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_late_out")
+        .as[Streaming.Transition].collect().map(t => (t.from_type, t.to_type)).toSet
+      assert(streamed == Set(("view", "click"), ("click", "purchase")),
+        s"unexpected transitions: $streamed")
+    } finally q.stop()
+  }
+
+  test("I14 streaming daily counts + finishing rank match the batch daily top-k") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "event_type", "value")
+    val q = Streaming.dailyCounts(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("daily_out").outputMode("append").start()
+    try {
+      // day 1: click×2, view×1; day 2 (minute 1500 > 1440): view×1 —
+      // split across two batches so counts must merge in state
+      val data = Seq((ts(0), "click", 1.0), (ts(2), "view", 1.0),
+        (ts(30), "click", 1.0), (ts(1500), "view", 1.0))
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData((ts(100000), "flush", 0.0)); q.processAllAvailable()
+      mem.addData((ts(200000), "flush", 0.0)); q.processAllAvailable()
+      val streamed = Streaming.dailyTopk(
+          spark.table("daily_out").filter(col("event_type") =!= "flush"))
+        .select("day", "event_type", "n_events", "rnk")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      val batch = Streaming.dailyTopk(Streaming.dailyCounts(asEvents(data.toDF())))
+        .select("day", "event_type", "n_events", "rnk")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I15 stream-static enrichment join matches the batch join, no state store") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -78,6 +78,34 @@ class TextOpsSpec extends SparkSpec {
       s"CDC must preserve chunks after an edit: shared $shared of ${c1.size}")
   }
 
+  test("G17 one-char-row CDC rewrite matches the position-explode formulation") {
+    // the r7 scale rewrite (chars through the window, ints-only extents,
+    // join-back for hashes) must be semantics-identical to the r6
+    // position-explode form on real corpus data
+    val d = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
+    val pos = d.select(col("doc_id"), col("text"),
+      explode(sequence(lit(1),
+        greatest(length(col("text")) - (TextQueries.CdcGram - 1), lit(1)))).as("i"))
+    val gh = conv(substring(md5(col("text").substr(col("i"), lit(TextQueries.CdcGram))), 1, 4), 16, 10).cast("int")
+    val st = pos.filter(col("i") === 1 || gh % TextQueries.CdcMod === 0)
+      .select(col("doc_id"), col("text"), col("i").as("start"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")
+    val ref = st
+      .withColumn("chunk_len",
+        coalesce(lead(col("start"), 1).over(w), length(col("text")) + 1) - col("start"))
+      .withColumn("chunk_md5", md5(col("text").substr(col("start"), col("chunk_len"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        round(avg(col("chunk_len")), 4).as("avg_chunk_len"),
+        max(col("chunk_len")).as("max_chunk_len"),
+        countDistinct(col("chunk_md5")).as("n_distinct_chunks"))
+      .collect().map(_.toString).toSet
+    val got = TextQueries.textCdcChunks(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(got == ref, s"rewrite diverged: ${(got diff ref).take(3)} vs ${(ref diff got).take(3)}")
+  }
+
   test("packing bins by exclusive running sum: oversized doc occupies one bin") {
     // budget 512: docs of 300+300 fill bin 0 (cum 0,300), a 900-token
     // doc starts at cum 600 -> bin 1, next doc at cum 1500 -> bin 2
