@@ -103,7 +103,8 @@ object GraphQueries {
     * paid (and reported) outside per-query timings. */
   def warmStores(spark: SparkSession, dir: String): Unit = {
     storedUndHashed(spark, dir); storedVertexDict(spark, dir)
-    storedGeoUnd(spark, dir); storedGeoVerts(spark, dir); ()
+    storedGeoUnd(spark, dir); storedGeoVerts(spark, dir)
+    storedCoOrder(spark, dir); ()
   }
 
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
@@ -115,16 +116,31 @@ object GraphQueries {
   /** High-quantity co-order part graph (two parts are linked when some
     * order contains both with quantity ≥ 45), edges oriented low→high,
     * deduped — the non-tree demo graph for triangles and k-core (the
-    * geo subgraph is a tree, whose every k≥2 core is empty). */
-  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .filter(col("l_quantity") >= TriangleMinQty)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val a = l.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = l.select(col("l_orderkey"), col("l_partkey").as("v"))
-    a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
-      .select("u", "v").distinct()
+    * geo subgraph is a tree, whose every k≥2 core is empty).
+    *
+    * PERSISTED (r7): eight queries (triangles, kcore, sssp, harmonic,
+    * betweenness, assortativity, jaccard + the weighted variant) each
+    * re-derived this lineitem self-join per query; the store pays it
+    * once. One (u, v, cnt) table serves BOTH the unweighted edge set
+    * (its key set) and the weighted graph (w = 1/cnt): the weighted
+    * derivation's distinct (order, part) self-join groups to exactly
+    * the same key set the unweighted distinct produces. */
+  private def storedCoOrder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.GraftStore
+    spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_coord_${GraftStore.dirKey(dir)}", 32, Seq("u")) {
+      val l = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") >= TriangleMinQty)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = l.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = l.select(col("l_orderkey"), col("l_partkey").as("v"))
+      a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+    })
   }
+
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame =
+    storedCoOrder(spark, dir).select("u", "v")
 
   /** Triangle count by the two-join wedge closure — the standard
     * distributed triangle enumeration. */
@@ -148,17 +164,10 @@ object GraphQueries {
   /** Co-order graph with weights: w = 1 / #orders-containing-both, so
     * frequently co-ordered parts are "close". Lineitems dedupe to
     * (order, part) first so a part repeated within one order counts
-    * once. */
-  private def coOrderWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .filter(col("l_quantity") >= TriangleMinQty)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = l.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = l.select(col("l_orderkey"), col("l_partkey").as("v"))
-    a.join(b, Seq("l_orderkey")).filter(col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+    * once. Reads the persisted (u, v, cnt) store table. */
+  private def coOrderWeighted(spark: SparkSession, dir: String): DataFrame =
+    storedCoOrder(spark, dir)
       .select(col("u"), col("v"), (lit(1.0) / col("cnt")).as("w"))
-  }
 
   /** C9 driver query: Bellman-Ford distances from the minimum part key
     * in the co-order graph. The source is an aggregate-to-driver
