@@ -360,6 +360,100 @@ object Multimodal {
       round((pFrames * 1000).cast("double") / pRate, 4).as("duration_ms"))
   }
 
+  /** Big-endian u32 at a COLUMN byte offset (1-based) — the variable-
+    * offset sibling of beU32 for box-structured formats (ISO-BMFF). */
+  def beU32c(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(hex(bin.substr(off, lit(4))), 16, 10).cast("long")
+
+  private def beHex32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(lower(hex(c)), 8, "0")
+
+  /** Max top-level boxes the MP4 walk visits before giving up. */
+  val Mp4MaxBoxes = 4
+
+  /** Walk the top-level box chain of an ISO-BMFF (MP4) byte stream:
+    * each box is a big-endian u32 size + 4cc type, the next box sits
+    * size bytes later — same bounded-unroll-of-projections shape as
+    * the JPEG/WAV walks (no UDF, per-row work only). Captures the moov
+    * box offset and the mdat box's declared size. Past-the-end hops
+    * read empty slices → null offsets, so captured values freeze. */
+  def withMp4Boxes(df: DataFrame, binCol: String,
+      maxBoxes: Int = Mp4MaxBoxes): DataFrame = {
+    val bin = col(binCol)
+    var out = df
+      .withColumn("valid_ftyp",
+        (lower(hex(substring(bin, 5, 4))) === "66747970").cast("int")) // "ftyp"
+      .withColumn("moov_off", lit(0))
+      .withColumn("mdat_size", lit(0L))
+      .withColumn("_cur", lit(1))
+    for (_ <- 1 to maxBoxes) {
+      val boxType = lower(hex(bin.substr(col("_cur") + lit(4), lit(4))))
+      val boxSize = beU32c(bin, col("_cur"))
+      out = out
+        .withColumn("moov_off",
+          when(col("moov_off") > 0, col("moov_off"))
+            .when(boxType === "6d6f6f76", col("_cur")) // "moov"
+            .otherwise(lit(0)))
+        .withColumn("mdat_size",
+          when(col("mdat_size") > 0, col("mdat_size"))
+            .when(boxType === "6d646174", boxSize) // "mdat"
+            .otherwise(lit(0L)))
+        .withColumn("_cur", (col("_cur") + boxSize).cast("int"))
+    }
+    out.drop("_cur")
+  }
+
+  /** H7 driver query: synthesize a structurally REAL MP4 prefix per
+    * asset — ftyp (isom brand), an OPTIONAL variable-length free box
+    * (present for doc_id % 3 != 0, payload doc_id % 11 + 1 bytes), a
+    * FULL moov{mvhd v0} box (timescale/duration big-endian from
+    * metadata, the 80 trailing mvhd bytes zeroed), and the mdat box
+    * header with its declared size (payload elided, the WAV data
+    * convention) — then parse brand validity, moov offset, timescale,
+    * duration, and mdat size back from the BYTES with the bounded box
+    * walk. The oracle re-derives everything (incl. moov_off by box
+    * arithmetic) from the generating formulas, so a walk that mis-hops
+    * the variable free box hash-mismatches. */
+  def mmMp4Meta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val timescale = ((col("n_chars") % 4 + 1) * 600).cast("int")
+    val durTicks = (col("doc_id") % 9000 + 600).cast("int")
+    val dataLen = (col("n_chars") % 2048 + 8).cast("int")
+    val freeLen = (col("doc_id") % 11 + 1).cast("int") // payload bytes
+    val hasFree = col("doc_id") % 3 =!= 0
+    val hx = concat(
+      // ftyp: size 20, brand isom, minor 512, compat mp41
+      lit("00000014" + "66747970" + "69736f6d" + "00000200" + "6d703431"),
+      when(hasFree, concat(beHex32(freeLen + 8), lit("66726565"), // "free"
+        repeat(lit("00"), freeLen))).otherwise(lit("")),
+      lit("00000074" + "6d6f6f76"), // moov: size 116
+      lit("0000006c" + "6d766864" + "00000000"), // mvhd: size 108, v0
+      lit("00000001" + "00000002"), // creation/modification stamps
+      beHex32(timescale), beHex32(durTicks),
+      lit("00" * 80), // rate/volume/reserved/matrix/next_track zeroed
+      beHex32(dataLen + 8), lit("6d646174")) // mdat header (payload elided)
+    val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
+    val scanned = withMp4Boxes(withBin, "_bin")
+    val moovOff = col("moov_off")
+    val bin = col("_bin")
+    // mvhd sits first in moov: type at moov_off+12, payload at +16,
+    // timescale at +28, duration at +32 (guarded like jpegDims/wav)
+    val hasMvhd = moovOff > 0 &&
+      lower(hex(bin.substr(moovOff + lit(12), lit(4)))) === "6d766864"
+    def ifMvhd(c: org.apache.spark.sql.Column) = when(hasMvhd, c)
+    val pTimescale = ifMvhd(beU32c(bin, moovOff + lit(28)))
+    val pDuration = ifMvhd(beU32c(bin, moovOff + lit(32)))
+    scanned.select(col("doc_id"), col("valid_ftyp"), moovOff.as("moov_off"),
+      pTimescale.as("timescale"), pDuration.as("duration_ticks"),
+      col("mdat_size"),
+      // round 6, not 4: ticks/timescale can land on an EXACT decimal
+      // tie at 4 places (759/2400 = .31625 — Spark's BigDecimal
+      // half-up vs DuckDB's binary-value rounding disagree there); at
+      // 6 places every terminating case has ≤5 decimals and the
+      // repeating cases never tie, so both engines agree bit-for-bit
+      round(pDuration.cast("double") / pTimescale, 6).as("duration_s"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -367,6 +461,7 @@ object Multimodal {
     "mm_png_dims" -> (mmPngDims _),
     "mm_jpeg_dims" -> (mmJpegDims _),
     "mm_wav_meta" -> (mmWavMeta _),
+    "mm_mp4_meta" -> (mmMp4Meta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,6 +536,26 @@ object Multimodal {
          |  round((n_frames * 1000)::double / sample_rate, 4) AS duration_ms
          |FROM g""".stripMargin
     },
+
+    // Independent derivation (the mm_jpeg/wav convention): moov_off by
+    // box arithmetic (20 ftyp bytes, optional 8+freeLen free box),
+    // timescale/duration/mdat from the generating formulas — the
+    // Spark-side box walk and big-endian reads are both value-checked.
+    "mm_mp4_meta" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    ((n_chars % 4 + 1) * 600)::bigint AS timescale,
+        |    (doc_id % 9000 + 600)::bigint AS duration_ticks,
+        |    (n_chars % 2048 + 8)::bigint AS data_len,
+        |    CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 11 + 1) + 8 ELSE 0 END AS free_span
+        |  FROM documents
+        |)
+        |SELECT doc_id, 1 AS valid_ftyp,
+        |  (1 + 20 + free_span)::int AS moov_off,
+        |  timescale, duration_ticks,
+        |  (data_len + 8)::bigint AS mdat_size,
+        |  round(duration_ticks::double / timescale, 6) AS duration_s
+        |FROM g""".stripMargin,
 
     "mm_decode" ->
       """WITH d AS (

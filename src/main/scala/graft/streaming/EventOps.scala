@@ -134,6 +134,24 @@ object EventOps {
       .drop("rn")
   }
 
+  /** I17: SCD Type-2 interval building — the companion of I10's
+    * latest-per-key compaction: EVERY update becomes a versioned row
+    * with [valid_from, valid_to) bounds and a current flag (valid_to
+    * null on the open interval). One lead + row_number window per key
+    * = a single shuffle on the key — the dimension-history builder a
+    * warehouse runs over its CDC log (at 100 TB: date-partitioned log,
+    * only post-watermark partitions rebuild). Ordering is made total
+    * by (ts, id) so equal-timestamp updates version deterministically. */
+  def scd2(log: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    log
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
   /** Markov transition matrix over each user's event-type journey:
     * counts of consecutive (from → to) event-type pairs plus the
     * per-from transition probability. One window pass (shuffle on the

@@ -75,6 +75,15 @@ object StreamQueries {
         count(lit(1)).as("n_dupes"))
   }
 
+  /** I17: SCD Type-2 history of the event log per user (every update
+    * versioned with its validity interval). */
+  def evScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    EventOps.scd2(Tables.events(spark, dir), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("version"), col("is_current"))
+  }
+
   val AnomalyZ = 2.0
 
   /** I11: hourly volume anomalies per event type (|z| >= 2). */
@@ -103,6 +112,7 @@ object StreamQueries {
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
     "ev_scd_latest"  -> (evScdLatest _),
+    "ev_scd2"        -> (evScd2 _),
     "ev_anomaly"     -> (evAnomaly _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
@@ -227,6 +237,16 @@ object StreamQueries {
       """SELECT user_id, event_type, ts, min(event_id) AS event_id,
         |  count(*) AS n_dupes
         |FROM events GROUP BY user_id, event_type, ts""".stripMargin,
+
+    // mirrors EventOps.scd2: same (ts, id) total order per key
+    "ev_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM events""".stripMargin,
 
     // mirrors EventOps.hourlyAnomalies: mean/sd from EXACT integer sums
     // (identical double expressions over identical inputs → identical

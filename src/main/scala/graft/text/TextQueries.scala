@@ -406,6 +406,31 @@ object TextQueries {
       .filter(col("bucket") < SampleBucketMax)
   }
 
+  /** Target docs per source for mixture balancing (in expectation). */
+  val MixtureCap = 120
+
+  /** G18: source-balanced mixture sampling — the head-capping pass a
+    * web-scale training mixture runs before temperature weighting:
+    * every SOURCE is downsampled to ~cap docs in expectation via a
+    * salted hash-range filter. The per-source keep threshold is EXACT
+    * INTEGER arithmetic — least(65536, (65536·cap) div n_s) — so
+    * membership is deterministic, engine-portable, and stable as the
+    * corpus grows (no RNG, no float thresholds that could flip on an
+    * ulp). Shape: one count aggregation + a broadcast threshold join +
+    * a pure filter — the corpus is scanned once and never shuffled. */
+  def textMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val thr = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .select(col("source"), col("n_s"),
+        least(lit(65536L), expr(s"${65536L * MixtureCap} div n_s")).as("thr"))
+    val bucket = conv(substring(md5(concat_ws("|", lit("mix"), col("source"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int")
+    d.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .join(broadcast(thr), Seq("source"))
+      .filter(col("bucket") < col("thr"))
+      .select("source", "doc_id", "bucket", "n_s", "thr")
+  }
+
   val ContamN = 5 // shingle width for contamination detection
 
   /** G13: benchmark-contamination check — for every TEST-split document
@@ -503,6 +528,7 @@ object TextQueries {
     "text_entropy"      -> (textEntropy _),
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
+    "text_mixture"      -> (textMixture _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
   )
@@ -758,6 +784,23 @@ object TextQueries {
          |FROM documents
          |WHERE ('0x' || substr(md5(concat_ws('|', 'sample', lang, doc_id)), 1, 4))::int
          |      < $SampleBucketMax""".stripMargin,
+
+    // mirrors textMixture: same exact-integer per-source threshold
+    // least(65536, (65536·cap) // n_s) and the same salted hash bucket
+    "text_mixture" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT source, n_s,
+         |    least(65536, ${65536L * MixtureCap} // n_s) AS thr
+         |  FROM c
+         |)
+         |SELECT d.source, d.doc_id,
+         |  ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 4))::int AS bucket,
+         |  t.n_s, t.thr
+         |FROM documents d JOIN t ON d.source = t.source
+         |WHERE ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 4))::int
+         |      < t.thr""".stripMargin,
 
     "text_contamination" -> {
       val n = ContamN

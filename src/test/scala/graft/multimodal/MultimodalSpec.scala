@@ -125,4 +125,33 @@ class MultimodalSpec extends SparkSpec {
     val r = scanned2.select("valid_riff", "fmt_off", "data_size").collect().head
     assert(r.getInt(0) == 1 && r.getInt(1) == 0 && r.getLong(2) == 0L)
   }
+
+  test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
+    // ftyp(20) + free(8+3) + moov{mvhd: timescale 600, duration 1800}
+    // (full 116 bytes) + mdat header declaring 0x100 bytes
+    val mvhd = "0000006c" + "6d766864" + "00000000" +
+      "00000001" + "00000002" + "00000258" + "00000708" + ("00" * 80)
+    val mp4 = "00000014" + "66747970" + "69736f6d" + "00000200" + "6d703431" +
+      "0000000b" + "66726565" + "aabbcc" +
+      "00000074" + "6d6f6f76" + mvhd +
+      "00000100" + "6d646174"
+    val notMp4 = "0000000c" + "6a756e6b" + "00000000" // 4cc "junk"
+    val df = Seq((1L, mp4), (2L, notMp4)).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val scanned = Multimodal.withMp4Boxes(df, "payload")
+    val ts = Multimodal.beU32c(col("payload"), col("moov_off") + lit(28))
+    val dur = Multimodal.beU32c(col("payload"), col("moov_off") + lit(32))
+    val byId = scanned
+      .select(col("id"), col("valid_ftyp"), col("moov_off"), col("mdat_size"), ts, dur)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))
+      }.toMap
+    // free spans 11 bytes: moov at 1 + 20 + 11 = 32 (1-based)
+    assert(byId(1L) == ((1, 32, 256L, 600L, 1800L)))
+    assert(byId(2L)._1 == 0 && byId(2L)._2 == 0 && byId(2L)._3 == 0L)
+  }
 }

@@ -91,6 +91,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq((1, "signup", 1L), (2, "view", 1L), (3, "click", 0L)))
   }
 
+  test("scd2 builds half-open validity intervals; equal-ts updates version by id") {
+    val log = ev(
+      (1L, 7L, "a", 10L, 0.0), (2L, 7L, "b", 20L, 0.0), // a valid [10,20)
+      (3L, 7L, "c", 20L, 0.0),  // equal-ts: b [20,20) then c current
+      (4L, 8L, "x", 5L, 0.0))   // single-version key: current from the start
+    val out = EventOps.scd2(log, "user_id", "ts", "event_id")
+      .select(col("event_id"), col("valid_from").cast("long"),
+        col("valid_to").cast("long"), col("version"), col("is_current"))
+      .as[(Long, Long, Option[Long], Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((10L, Some(20L), 1, 0)))
+    assert(out(2L) == ((20L, Some(20L), 2, 0))) // zero-width, still versioned
+    assert(out(3L) == ((20L, None, 3, 1)))
+    assert(out(4L) == ((5L, None, 1, 1)))
+  }
+
   test("latestByKey keeps one row per key; equal-ts ties resolve by max id") {
     val log = ev(
       (1L, 1L, "a", 10L, 1.0), (2L, 1L, "b", 20L, 2.0),

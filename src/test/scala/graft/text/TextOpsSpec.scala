@@ -106,6 +106,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got == ref, s"rewrite diverged: ${(got diff ref).take(3)} vs ${(ref diff got).take(3)}")
   }
 
+  test("G18 mixture sampling caps each source independently with exact thresholds") {
+    val out = TextQueries.textMixture(spark, sfDir)
+    val rows = out.select("source", "n_s", "thr")
+      .distinct().as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, thr) =>
+      val expected = math.min(65536L, 65536L * TextQueries.MixtureCap / n)
+      assert(thr == expected, s"$src: thr $thr != $expected for n=$n")
+    }
+    // kept counts land near cap·min(1, ...) in expectation; hard bound:
+    // no source exceeds its own corpus size and sampling is a subset
+    val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (src, n, _) => assert(kept(src) <= n) }
+    // determinism: same result set on a second run
+    val again = TextQueries.textMixture(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("packing bins by exclusive running sum: oversized doc occupies one bin") {
     // budget 512: docs of 300+300 fill bin 0 (cum 0,300), a 900-token
     // doc starts at cum 600 -> bin 1, next doc at cum 1500 -> bin 2
