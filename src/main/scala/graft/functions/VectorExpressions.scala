@@ -183,6 +183,10 @@ object VectorFunctions {
       QuantileHistAgg(es(0), num(es(1)), num(es(2)), num(es(3)).toInt)
         .toAggregateExpression()
     },
+    "graft_topk"        -> { es =>
+      TopKAgg(es(0), es(1).eval().asInstanceOf[Number].intValue)
+        .toAggregateExpression()
+    },
   )
 
   /** Idempotently register the graft vector functions on a session
@@ -231,6 +235,14 @@ object VectorFunctions {
       bins: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_qhist", x, lit(lo), lit(hi), lit(bins))
+  }
+
+  /** Mergeable Misra-Gries heavy-hitters sketch of a string column:
+    * map of ≤ k candidate items → estimated counts (est undercounts by
+    * at most N/k; every item with freq > N/k is present). */
+  def topk(spark: SparkSession, item: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_topk", item, lit(k))
   }
 }
 

@@ -45,6 +45,42 @@ object Monitor {
     c
   }
 
+  final case class StreamProgress(queryName: String, batchId: Long,
+      inputRows: Long, stateRows: Long)
+
+  /** J2: per-micro-batch progress collector — the streaming face of
+    * the J1 envelope (monitor.py's per-job record, emitted per batch):
+    * input volume and state-store size per progress event, the two
+    * numbers a 100 TB/day stream is actually operated on (throughput
+    * and state growth; unbounded state = the classic slow leak a
+    * watermark misconfiguration causes). */
+  final class StreamingMetricsCollector
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val progress = new ConcurrentLinkedQueue[StreamProgress]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val state = Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      progress.add(StreamProgress(
+        Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows, state))
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+    def snapshot: Seq[StreamProgress] = progress.asScala.toSeq
+
+    def toJson: String = snapshot.map { m =>
+      s"""{"query":"${m.queryName}","batch_id":${m.batchId},"input_rows":${m.inputRows},"state_rows":${m.stateRows}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  def registerStreaming(spark: SparkSession): StreamingMetricsCollector = {
+    val c = new StreamingMetricsCollector
+    spark.streams.addListener(c)
+    c
+  }
+
   /** Wall/cpu/heap envelope around a stage — monitor.py's per-job
     * record, emitted as one JSON line. */
   def timed[A](jobName: String)(body: => A): (A, String) = {

@@ -47,6 +47,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I2 native session_window aggregation matches gaps-and-islands sessionization") {
+    import spark.implicits._
+    // the built-in session_window must agree with the hand-rolled
+    // formulation the oracle pins (start = min ts, end bound = last
+    // event + gap, same membership) — cross-validates both shapes
+    val df = evs.toDF()
+    val native = df
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${Streaming.SessionGapSec} seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        (col("w.end").cast("long") - Streaming.SessionGapSec)
+          .cast("timestamp").as("session_end_upper"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4))).toSet
+    val batch = Streaming.sessionsBatch(df, Streaming.SessionGapSec)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(4), r.getDouble(5))).toSet
+    assert(native.nonEmpty && native == batch,
+      s"native $native vs gaps-and-islands $batch")
+  }
+
   test("I1 streaming windowed counts match batch on closed windows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -32,4 +32,39 @@ class SketchSpec extends SparkSpec {
     assert(direct == merged, "sketch union must equal single-pass sketch")
     toks.unpersist()
   }
+
+  test("K9 Misra-Gries top-k sketch honors the frequency and error guarantees") {
+    import spark.implicits._
+    // skewed stream: hot 3000, warm 1500, 100 tail items x 55 = 5500;
+    // N = 10000, k = 20 -> error bound N/k = 500
+    val n = 10000
+    val k = 20
+    val items = Seq.fill(3000)("hot") ++ Seq.fill(1500)("warm") ++
+      (0 until 5500).map(i => s"tail_${i % 100}")
+    val df = items.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "item").repartition(7, col("id")) // force partial buffers + merges
+    val sketch = df.agg(
+      graft.functions.VectorFunctions.topk(spark, col("item"), k).as("sk"))
+      .first().getMap[String, Long](0)
+    assert(sketch.size <= k)
+    // guarantee 1: any item with true freq > N/k must be present
+    assert(sketch.contains("hot") && sketch.contains("warm"),
+      s"heavy items missing from $sketch")
+    // guarantee 2: estimates undercount by at most N/k
+    assert(sketch("hot") <= 3000 && sketch("hot") >= 3000 - n / k, s"hot=${sketch("hot")}")
+    assert(sketch("warm") <= 1500 && sketch("warm") >= 1500 - n / k, s"warm=${sketch("warm")}")
+    // tail items (freq 55 << N/k) may appear but never overcount
+    sketch.toMap.foreach { case (kk, c) =>
+      if (kk.startsWith("tail_")) assert(c <= 55, s"$kk overcounted: $c")
+    }
+    // grouped: per-source sketches hold the guarantee per group
+    val grouped = df.withColumn("g", col("id") % 2)
+      .groupBy("g")
+      .agg(graft.functions.VectorFunctions.topk(spark, col("item"), k).as("sk"))
+      .collect()
+    grouped.foreach { r =>
+      val m = r.getMap[String, Long](1)
+      assert(m.contains("hot"), s"per-group sketch lost the heavy item: $m")
+    }
+  }
 }
