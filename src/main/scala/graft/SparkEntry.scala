@@ -46,6 +46,7 @@ object SparkEntry {
       "q_correlated"       -> (Relational.qCorrelated _),
       "q_percentiles"      -> (Relational.qPercentiles _),
       "q_set_ops"          -> (Relational.qSetOps _),
+      "q_pareto"           -> (Relational.qPareto _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -195,6 +196,31 @@ object SparkEntry {
         |    > (SELECT sum(cents) FROM o o2
         |       WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey""".stripMargin,
+    // mirrors Relational.qPareto: exact-cents money, running sum in
+    // the pinned (rank) order, one double division at the end
+    "q_pareto" ->
+      s"""WITH rev AS (
+         |  SELECT r.r_name, o.o_custkey,
+         |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::bigint AS rev_cents
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  GROUP BY 1, 2
+         |), w AS (
+         |  SELECT r_name, o_custkey, rev_cents,
+         |    row_number() OVER (PARTITION BY r_name
+         |                       ORDER BY rev_cents DESC, o_custkey) AS rnk,
+         |    sum(rev_cents) OVER (PARTITION BY r_name
+         |                         ORDER BY rev_cents DESC, o_custkey
+         |                         ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         |    sum(rev_cents) OVER (PARTITION BY r_name) AS total_cents
+         |  FROM rev
+         |)
+         |SELECT r_name, rnk, o_custkey, rev_cents,
+         |  round(cum_cents::double / total_cents, 6) AS cum_share
+         |FROM w WHERE rnk <= ${Relational.ParetoTopN}""".stripMargin,
+
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,

@@ -337,6 +337,42 @@ object Relational {
       .select("tag", "o_custkey")
   }
 
+  /** Customers kept per region in the concentration curve. */
+  val ParetoTopN = 50
+
+  /** D16 — revenue concentration (Pareto/ABC analysis): per region,
+    * customers ranked by revenue with their cumulative share of the
+    * region total — "do 20% of customers carry 80% of revenue". One
+    * shuffle on the group key, then rank + running-sum windows over
+    * the same partitioning (no second exchange). All money flows as
+    * EXACT integer cents — the running sum accumulates exact longs in
+    * the pinned (rank) order, so cum_share is one double division at
+    * the end and hash-matches without tolerance (the q_correlated
+    * playbook applied to window cumulation). */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val geo = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name", "o_custkey")
+      .agg(sum(col("cents")).as("rev_cents"))
+    val rank = Window.partitionBy("r_name")
+      .orderBy(col("rev_cents").desc, col("o_custkey"))
+    val cum = rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("r_name")
+    rev
+      .withColumn("rnk", row_number().over(rank))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(cum))
+      .withColumn("total_cents", sum(col("rev_cents")).over(all))
+      .filter(col("rnk") <= ParetoTopN)
+      .select(col("r_name"), col("rnk"), col("o_custkey"), col("rev_cents"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 6).as("cum_share"))
+  }
+
   /** D14 — exact interpolated percentiles per group (the distribution
     * summary a cost/latency dashboard asks of a 100 TB fact table;
     * Spark's percentile is a single-pass partial aggregate, so the
