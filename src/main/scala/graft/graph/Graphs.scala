@@ -439,6 +439,13 @@ object Graphs {
     val und = one.select(col("u"), col("v"))
       .unionAll(one.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = true)
+    multiSourceBfsOn(und, seeds, maxHops)
+  }
+
+  /** multiSourceBfs over an ALREADY-doubled (and ideally checkpointed)
+    * edge frame — lets callers that need the doubled frame themselves
+    * (betweenness' σ/δ passes) materialize it once. */
+  def multiSourceBfsOn(und: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     var visited = seeds.select(col("id").as("src"), col("id").as("h"),
       lit(0).as("depth")).localCheckpoint(eager = true)
     var frontier = visited
@@ -487,7 +494,7 @@ object Graphs {
     val und = one.select(col("u"), col("v"))
       .unionAll(one.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = true)
-    val dep = multiSourceBfs(one, seeds, maxHops).localCheckpoint(eager = true)
+    val dep = multiSourceBfsOn(und, seeds, maxHops).localCheckpoint(eager = true)
     // forward: σ per level (σ(s, s) = 1)
     var sigmaLevels = Vector(
       dep.filter(col("depth") === 0).select(col("src"), col("id"), lit(1L).as("sigma")))
