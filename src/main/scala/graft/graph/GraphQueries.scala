@@ -250,6 +250,21 @@ object GraphQueries {
       verts.orderBy(col("id")).limit(HarmonicSources), HarmonicHops)
   }
 
+  /** Weighted-PageRank demo iteration count (the PPR reasoning: the
+    * co-order graph is small-diameter, 5 rounds is the sweet spot). */
+  val PrwIterations = 5
+
+  /** C3w driver query: WEIGHTED PageRank over the co-order part graph
+    * (w = 1/#co-orders, so strongly co-ordered parts pass more rank) —
+    * strength-of-connection ranking where graph_pagerank ranks edge
+    * counts. Both directions of each undirected edge carry the weight. */
+  def graphPagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w0 = coOrderWeighted(spark, dir)
+    val und = w0.unionAll(w0.select(col("v").as("u"), col("u").as("v"), col("w")))
+    Graphs.pageRankWeighted(und, PrwIterations, PrDamping)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+
   /** C14 driver query: degree assortativity of the co-order part graph. */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
     Graphs.assortativity(coOrderEdges(spark, dir))
@@ -289,6 +304,7 @@ object GraphQueries {
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
+    "graph_pagerank_w" -> (graphPagerankWeighted _),
     "graph_ppr"       -> (graphPpr _),
     "graph_lpa"       -> (graphLpa _),
     "graph_modularity" -> (graphModularity _),
@@ -456,6 +472,44 @@ object GraphQueries {
          |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
          |$iters
          |SELECT id, round(rank, 6) AS rank FROM r$PrIterations""".stripMargin
+    },
+
+    // mirrors Graphs.pageRankWeighted over the co-order weighted graph:
+    // identical shape to the graph_pagerank oracle with Σw replacing
+    // out-degree and rank·w/sw contributions (same association order)
+    "graph_pagerank_w" -> {
+      val iters = (1 to PrwIterations).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, sum(r.rank * e.w / o.sw) AS c
+           |  FROM e2 e JOIN r${i - 1} r ON e.src = r.id JOIN ow o ON e.src = o.src
+           |  GROUP BY e.dst
+           |),
+           |r$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |    (1 - $PrDamping) / (SELECT n FROM nn)
+           |      + $PrDamping * (coalesce(c.c, 0)
+           |        + (1 - (SELECT sum(c) FROM c$i)) / (SELECT n FROM nn)) AS rank
+           |  FROM v LEFT JOIN c$i c ON v.id = c.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |), e2 AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst, 1.0::double / cnt AS w FROM e0
+         |  UNION ALL
+         |  SELECT v, u, 1.0::double / cnt FROM e0
+         |),
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |ow AS MATERIALIZED (SELECT src, sum(w) AS sw FROM e2 GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*)::double AS n FROM v),
+         |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+         |$iters
+         |SELECT id, round(rank, 6) AS rank FROM r$PrwIterations""".stripMargin
     },
 
     "graph_ppr" -> {

@@ -155,6 +155,42 @@ object Graphs {
     ranks
   }
 
+  /** Weighted PageRank: contributions split proportionally to edge
+    * weight — rank·w/Σw(src) instead of rank/deg — the variant that
+    * ranks a similarity/co-occurrence graph by STRENGTH of connection
+    * rather than edge count. Identical loop shape to pageRank (edge
+    * list checkpointed once, per-round contribs checkpointed, dangling
+    * mass as an in-plan broadcast scalar); Σw replaces the out-degree
+    * table. Cross-engine: w values are fixed expressions (1/cnt), the
+    * per-vertex Σw and per-round contrib sums are the order-sensitive
+    * reductions — round(6) on output absorbs the ulp drift, the same
+    * contract graph_pagerank runs under. */
+  def pageRankWeighted(weighted: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, vertices: Option[DataFrame] = None): DataFrame = {
+    val e = weighted.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .localCheckpoint(eager = true)
+    val verticesDf = vertices.getOrElse(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(eager = true))
+    val n = verticesDf.count().toDouble
+    val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    var ranks = verticesDf.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(outW, "src")
+        .select(col("dst").as("id"), (col("rank") * col("w") / col("sw")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+        .localCheckpoint(eager = true)
+      val lost = broadcast(contribs.agg((lit(1.0) - sum(col("c"))).as("lost")))
+      ranks = verticesDf.join(contribs, Seq("id"), "left").crossJoin(lost)
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("lost") / n)).as("rank"))
+    }
+    ranks
+  }
+
   /** Personalized PageRank: the teleport vector is concentrated on a
     * SOURCE set instead of uniform — rank measures proximity-weighted
     * importance relative to the sources (the recommendation / related-

@@ -260,6 +260,27 @@ class GraphSpec extends SparkSpec {
     assert(capped(("a", "c")) == ((2L, 0.5)) && capped(("b", "d")) == ((2L, 0.5)))
   }
 
+  test("C3w weighted PageRank: uniform weights reduce to plain PageRank; heavy edges attract rank") {
+    import spark.implicits._
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    val und = tri.toDF("u", "v")
+      .unionAll(tri.map(_.swap).toDF("u", "v"))
+    // uniform w = 1: rank·1/Σ1 = rank/deg — bit-identical to unweighted
+    val uniform = Graphs.pageRankWeighted(
+      und.withColumn("w", lit(1.0)), iterations = 5)
+      .as[(String, Double)].collect().toMap
+    val plain = Graphs.pageRank(und, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(uniform == plain, s"$uniform vs $plain")
+    // star with one heavy spoke: b gets 3/4 of a's rank, c gets 1/4
+    val star = Seq(("a", "b", 3.0), ("b", "a", 3.0),
+      ("a", "c", 1.0), ("c", "a", 1.0)).toDF("u", "v", "w")
+    val ranks = Graphs.pageRankWeighted(star, iterations = 8)
+      .as[(String, Double)].collect().toMap
+    assert(ranks("b") > ranks("c"),
+      s"heavy spoke must outrank light spoke: $ranks")
+  }
+
   test("C16 sampled betweenness on a path: interior vertices carry the load") {
     import spark.implicits._
     // path a-b-c-d, single source a, radius 3: δ(c)=1 (from d),
