@@ -300,6 +300,33 @@ object Streaming {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** I4 extension: idempotent foreachBatch sink — the exactly-once
+    * pattern for sinks WITHOUT transactional support: output lands in
+    * a per-batchId directory, committed by writing a marker file LAST;
+    * a replayed batch (restart between sink write and checkpoint
+    * commit — the at-least-once window) sees the marker and skips, so
+    * downstream readers that require the marker never see duplicates.
+    * This is the batchId-keyed idempotence contract foreachBatch sinks
+    * to JDBC/KV stores implement with an upsert key; spelled here with
+    * files so the semantics are testable hermetically. */
+  def idempotentBatchSink(outDir: String)(df: DataFrame, batchId: Long): Unit = {
+    val dir = new java.io.File(s"$outDir/batch_$batchId")
+    val marker = new java.io.File(dir, "_COMMITTED")
+    if (!marker.exists()) {
+      df.write.mode("overwrite").parquet(dir.toString)
+      marker.createNewFile()
+    }
+  }
+
+  /** Committed batches only — the reader side of the marker contract. */
+  def readCommittedBatches(spark: SparkSession, outDir: String): DataFrame = {
+    val dirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && new java.io.File(d, "_COMMITTED").exists())
+      .map(_.toString)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
+
   /** I4: checkpointed file-stream → parquet sink. Returns the running
     * query; callers own its lifecycle. */
   def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,

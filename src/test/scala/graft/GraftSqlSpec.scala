@@ -20,5 +20,14 @@ class GraftSqlSpec extends SparkSpec {
     // events view carries the converted timestamp (not the raw ns long)
     assert(spark.sql("SELECT ts FROM events LIMIT 1").schema("ts")
       .dataType.typeName == "timestamp")
+    // r7 functions reachable from SQL: unit normalization + the
+    // Misra-Gries heavy-hitters aggregate
+    val nrm = spark.sql(
+      """SELECT graft_dot(graft_normalize(embedding), graft_normalize(embedding)) AS n
+        |FROM embeddings WHERE vec_id = 0""".stripMargin).collect()
+    assert(nrm.length == 1 && math.abs(nrm.head.getDouble(0) - 1.0) < 1e-9)
+    val hh = spark.sql(
+      "SELECT graft_topk(event_type, 8) AS top FROM events").collect()
+    assert(hh.length == 1 && hh.head.getMap[String, Long](0).nonEmpty)
   }
 }
