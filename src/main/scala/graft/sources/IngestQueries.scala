@@ -94,6 +94,40 @@ object IngestQueries {
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
   }
 
+  /** A10: the `binaryFile` source — the multimodal ingestion front
+    * door (images/audio/video land as opaque files; Spark lists and
+    * reads them distributed, one row per file with path/length/bytes).
+    * Each document's UTF-8 bytes are materialized as a real file by an
+    * executor-side foreachPartition (write-once, marker-committed, the
+    * idempotent-sink contract), then read back through binaryFile and
+    * reduced to oracle-checkable scalars: the id parsed from the path,
+    * the byte length, and the content md5 — so listing, distribution,
+    * AND byte fidelity are all value-checked against the table the
+    * bytes came from. */
+  def ingBinary(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("docs_bin")
+    val marker = new java.io.File(path, "_WRITTEN")
+    if (!marker.exists()) {
+      new java.io.File(path).mkdirs()
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      marker.createNewFile()
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("byte_len"),
+        md5(col("content")).as("content_md5"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -104,6 +138,7 @@ object IngestQueries {
     "ing_rdf"     -> (ingRdf _),
     "ing_parquet" -> (ingParquet _),
     "ing_orc"     -> (ingOrc _),
+    "ing_binary"  -> (ingBinary _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -125,6 +160,12 @@ object IngestQueries {
     "ing_orc" ->
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // independent derivation: the files' bytes ARE the documents' UTF-8
+    // text, so length and md5 re-derive from the source table
+    "ing_binary" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )
 }
