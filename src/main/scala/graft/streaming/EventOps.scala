@@ -183,10 +183,20 @@ object EventOps {
     * engines and accumulation orders (the property the DuckDB oracle
     * relies on). Two narrow aggregations + one broadcast join. */
   def hourlyAnomalies(events: DataFrame, zThreshold: Double,
-      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
-    val hourly = events
-      .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(typeCol))
-      .agg(count(lit(1)).as("n"))
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame =
+    anomaliesFromHourly(
+      events.groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(typeCol))
+        .agg(count(lit(1)).as("n")),
+      zThreshold, typeCol)
+
+  /** The z-score finishing half over PRE-AGGREGATED hourly counts —
+    * shared by the batch query and the streaming face (hourly counts
+    * maintained incrementally by a 1-hour tumbling window with
+    * watermark; the global per-type stats are a batch pass over the
+    * closed windows, the same incremental-counts / batch-finish split
+    * as daily top-k). */
+  def anomaliesFromHourly(hourly: DataFrame, zThreshold: Double,
+      typeCol: String = "event_type"): DataFrame = {
     val stats = hourly.groupBy(col(typeCol).as("t"))
       .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
         count(lit(1)).as("cnt"))

@@ -303,6 +303,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I11 streaming hourly counts + z-score finishing match the batch anomaly operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(asEvents(mem.toDF()),
+        windowDur = "1 hour")
+      .writeStream.format("memory").queryName("hr_out").outputMode("append").start()
+    try {
+      // click: 1/hour for 5 hours, then a 6-event spike in hour 6
+      val calm = (0 until 5).map(h => (ts(h * 60), "click", 1.0))
+      val spike = (0 until 6).map(i => (ts(5 * 60 + i), "click", 1.0))
+      val data = calm ++ spike
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData((ts(100000), "flush", 0.0)); q.processAllAvailable()
+      mem.addData((ts(200000), "flush", 0.0)); q.processAllAvailable()
+      val hourly = spark.table("hr_out").filter(col("event_type") =!= "flush")
+        .select(col("window_start").as("hour"), col("event_type"),
+          col("n_events").as("n"))
+      val streamed = EventOps.anomaliesFromHourly(hourly, 2.0)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventOps.hourlyAnomalies(asEvents(data.toDF()), 2.0)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch.nonEmpty, "spike must register as an anomaly")
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I15 stream-static enrichment join matches the batch join, no state store") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
