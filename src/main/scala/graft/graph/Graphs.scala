@@ -174,7 +174,10 @@ object Graphs {
         .unionAll(e.select(col("dst").as("id"))).distinct()
         .localCheckpoint(eager = true))
     val n = verticesDf.count().toDouble
+    // checkpointed once: every iteration joins Σw, and an unbuffered
+    // frame re-runs the weight aggregation per round
     val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
+      .localCheckpoint(eager = true)
     var ranks = verticesDf.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
