@@ -190,16 +190,19 @@ object KgQueries {
     relCardinality(storedEdges(spark, dir))
 
   def relCardinality(e: DataFrame): DataFrame = {
+    // n_edges = Σ fan-outs, so the edge count rides the out-leg's
+    // second-stage aggregate — two passes over the edge table, not
+    // three (r7: the separate count leg was a full third scan+shuffle)
     val out = e.groupBy(col("rel"), col("src_label"), col("src"))
       .agg(count(lit(1)).as("fo"))
       .groupBy("rel")
-      .agg(count(lit(1)).as("n_src"), max(col("fo")).as("max_fanout"))
+      .agg(count(lit(1)).as("n_src"), max(col("fo")).as("max_fanout"),
+        sum(col("fo")).as("n_edges"))
     val in = e.groupBy(col("rel"), col("dst_label"), col("dst"))
       .agg(count(lit(1)).as("fi"))
       .groupBy("rel")
       .agg(count(lit(1)).as("n_dst"), max(col("fi")).as("max_fanin"))
-    val n = e.groupBy("rel").agg(count(lit(1)).as("n_edges"))
-    n.join(out, "rel").join(in, "rel")
+    out.join(in, "rel")
       .select(col("rel"), col("n_edges"), col("n_src"), col("n_dst"),
         col("max_fanout"), col("max_fanin"),
         when(col("max_fanout") <= 1 && col("max_fanin") <= 1, "1:1")

@@ -114,6 +114,28 @@ class SimilaritySpec extends SparkSpec {
     assert(hits > 0, "PQ found no true neighbors at all")
   }
 
+  test("F7 MIPS-via-ANN returns true inner products and recovers exact-MIPS neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.mipsTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), 5)
+      .select(col("q_id"), col("n_id"), col("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.mipsViaAnn(emb, "vec_id", "embedding",
+        queryMaxId = 5, k = 5,
+        tables = Similarity.planeSigns(24, 65).grouped(3).toSeq)
+      .select(col("q_id"), col("n_id"), col("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ann.nonEmpty, "no candidates survived the augmented buckets")
+    // scores are the ORIGINAL dot products: any pair also in the exact
+    // top-k must carry the identical rounded dot
+    ann.foreach { case (pair, d) =>
+      exact.get(pair).foreach(ed => assert(ed == d, s"$pair: $d != $ed"))
+    }
+    // the reduction must recover a measurable share of true neighbors
+    val hits = ann.map(_._1).count(exact.contains)
+    assert(hits > 0, "MIPS-via-ANN recovered no exact-MIPS neighbors")
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
