@@ -159,6 +159,16 @@ object GraphQueries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     Graphs.kCore(coOrderEdges(spark, dir), KCoreK, KCoreIterations)
 
+  val KTrussK = 3
+  val KTrussIterations = 4
+
+  /** C17 driver query: 3-truss of the co-order part graph — every
+    * surviving edge sits in ≥ 1 triangle of the surviving subgraph
+    * (edge-level cohesion; the k-core of edges). Fixed-round peel over
+    * the stored canonical edge set. */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame =
+    Graphs.kTruss(coOrderEdges(spark, dir), KTrussK, KTrussIterations)
+
   val SsspIterations = 4
 
   /** Co-order graph with weights: w = 1 / #orders-containing-both, so
@@ -301,6 +311,7 @@ object GraphQueries {
     "graph_bfs"       -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore"     -> (graphKcore _),
+    "graph_ktruss"    -> (graphKtruss _),
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
@@ -745,6 +756,41 @@ object GraphQueries {
          |d0 AS MATERIALIZED (SELECT min(u) AS id, 0.0::double AS d FROM e0),
          |$rounds
          |SELECT id, round(d, 6) AS dist FROM d$SsspIterations""".stripMargin
+    },
+
+    // mirrors Graphs.kTruss round for round: triangle enumeration,
+    // per-edge support, support-filtered keep (the kCore MATERIALIZED
+    // discipline — t/s/k CTEs are each referenced twice per level)
+    "graph_ktruss" -> {
+      val rounds = (1 to KTrussIterations).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM e${i - 1} e1
+           |  JOIN e${i - 1} e2 ON e1.v = e2.u
+           |  JOIN e${i - 1} e3 ON e3.u = e1.u AND e3.v = e2.v
+           |),
+           |s$i AS MATERIALIZED (
+           |  SELECT u, v, count(*) AS support FROM (
+           |    SELECT a AS u, b AS v FROM t$i
+           |    UNION ALL SELECT b, c FROM t$i
+           |    UNION ALL SELECT a, c FROM t$i
+           |  ) GROUP BY 1, 2
+           |),
+           |k$i AS MATERIALIZED (
+           |  SELECT e.u, e.v, coalesce(s.support, 0) AS support
+           |  FROM e${i - 1} e LEFT JOIN s$i s ON e.u = s.u AND e.v = s.v
+           |  WHERE coalesce(s.support, 0) >= ${KTrussK - 2}
+           |),
+           |e$i AS MATERIALIZED (SELECT u, v FROM k$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |),
+         |$rounds
+         |SELECT u, v, support::bigint AS support FROM k$KTrussIterations""".stripMargin
     },
 
     "graph_kcore" -> {

@@ -367,6 +367,40 @@ object Graphs {
         round(jac, 4).as("jaccard"))
   }
 
+  /** C17: k-truss decomposition by fixed-round support peeling — each
+    * round counts every edge's triangle SUPPORT (the edge-level
+    * cohesion measure k-core's vertex degrees can't see) via the
+    * oriented wedge closure, then drops edges with support < k−2 and
+    * their contribution to neighbors' support. Fixed `iterations`
+    * (pick ≥ observed convergence depth) so the result is a
+    * deterministic function both engines mirror, the kCore contract.
+    * Input edges must be canonical (u < v, deduped); returns the
+    * surviving edges with the support that justified the final keep
+    * (== the converged truss support once rounds ≥ convergence).
+    * Cost per round: one two-join triangle enumeration + a keyed
+    * aggregation — O(Σ d(u)·d(v) over edges), never all-pairs. */
+  def kTruss(canonical: DataFrame, k: Int, iterations: Int): DataFrame = {
+    var e = canonical.select(col("u"), col("v")).localCheckpoint(eager = true)
+    var result = e.withColumn("support", lit(0L))
+    for (_ <- 1 to iterations) {
+      // triangles a<b<c over the current edge set
+      val t = e.select(col("u").as("a"), col("v").as("b"))
+        .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+        .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      val sup = t.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(t.select(col("b").as("u"), col("c").as("v")))
+        .unionAll(t.select(col("a").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      result = e.join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint(eager = true)
+      e = result.select("u", "v")
+    }
+    result
+  }
+
   /** C5: label propagation, synchronous, fixed iterations; each vertex
     * adopts the most frequent neighbor label, min label on ties. */
   def labelPropagation(undirected: DataFrame, iterations: Int = 5,

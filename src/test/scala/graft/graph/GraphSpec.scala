@@ -260,6 +260,22 @@ class GraphSpec extends SparkSpec {
     assert(capped(("a", "c")) == ((2L, 0.5)) && capped(("b", "d")) == ((2L, 0.5)))
   }
 
+  test("C17 k-truss peel: K4 survives a 4-truss, a pendant triangle does not") {
+    // K4 on {a,b,c,d} (every edge in 2 triangles) + a triangle {d,e,f}
+    // hanging off d (its edges sit in 1 triangle each)
+    val e = edgesDf("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e", "d" -> "f", "e" -> "f")
+    val t3 = Graphs.kTruss(e, k = 3, iterations = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t3.size == 9, s"3-truss keeps every in-triangle edge: $t3")
+    assert(t3(("d", "e")) == 1L && t3(("a", "b")) == 2L)
+    val t4 = Graphs.kTruss(e, k = 4, iterations = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t4 == Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("a", "d") -> 2L,
+      ("b", "c") -> 2L, ("b", "d") -> 2L, ("c", "d") -> 2L),
+      s"4-truss must be exactly the K4: $t4")
+  }
+
   test("C3w weighted PageRank: uniform weights reduce to plain PageRank; heavy edges attract rank") {
     import spark.implicits._
     val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))
