@@ -169,6 +169,14 @@ object GraphQueries {
   def graphKtruss(spark: SparkSession, dir: String): DataFrame =
     Graphs.kTruss(coOrderEdges(spark, dir), KTrussK, KTrussIterations)
 
+  val WalkSteps = 4
+
+  /** C18 driver query: deterministic random-walk corpus over the
+    * co-order part graph — one walk per vertex, 4 hops, hash-driven
+    * neighbor choice (the graph-embedding training-data generator). */
+  def graphWalks(spark: SparkSession, dir: String): DataFrame =
+    Graphs.randomWalks(coOrderEdges(spark, dir), WalkSteps)
+
   val SsspIterations = 4
 
   /** Co-order graph with weights: w = 1 / #orders-containing-both, so
@@ -312,6 +320,7 @@ object GraphQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore"     -> (graphKcore _),
     "graph_ktruss"    -> (graphKtruss _),
+    "graph_walks"     -> (graphWalks _),
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
@@ -756,6 +765,42 @@ object GraphQueries {
          |d0 AS MATERIALIZED (SELECT min(u) AS id, 0.0::double AS d FROM e0),
          |$rounds
          |SELECT id, round(d, 6) AS dist FROM d$SsspIterations""".stripMargin
+    },
+
+    // mirrors Graphs.randomWalks step for step: the same neighbor-rank
+    // table, the same md5-mod-degree choice, one MATERIALIZED CTE per
+    // hop — the hash IS the randomness, so both engines walk the same
+    // paths
+    "graph_walks" -> {
+      val hops = (1 to WalkSteps).map { i =>
+        s"""w$i AS MATERIALIZED (
+           |  SELECT p.walk_src, n.v AS cur
+           |  FROM w${i - 1} p
+           |  JOIN deg d ON p.cur = d.u
+           |  JOIN nbrs n ON n.u = p.cur
+           |   AND n.rn = ('0x' || substr(md5('walk|' || p.walk_src || '|' || $i), 1, 8))::bigint
+           |               % d.deg + 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 to WalkSteps)
+        .map(i => s"SELECT walk_src, $i AS step, cur AS vertex FROM w$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), und AS MATERIALIZED (
+         |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+         |), nbrs AS MATERIALIZED (
+         |  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rn FROM und
+         |), deg AS MATERIALIZED (
+         |  SELECT u, max(rn) AS deg FROM nbrs GROUP BY u
+         |), w0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS walk_src, u AS cur FROM und
+         |),
+         |$hops
+         |$out""".stripMargin
     },
 
     // mirrors Graphs.kTruss round for round: triangle enumeration,

@@ -401,6 +401,48 @@ object Graphs {
     result
   }
 
+  /** C18: deterministic random-walk corpus — the DeepWalk/node2vec
+    * sampling pass that turns a graph into training sequences. Every
+    * vertex starts one walk; at step i the next hop is neighbor number
+    * md5(seed|src|i) mod deg(cur) (neighbors ranked by id), so the
+    * "randomness" is a portable hash — reproducible across runs,
+    * partitionings, and engines (the md5-everywhere rule; RNG walks
+    * cannot be oracle-checked). One neighbor-rank table (window over
+    * the doubled edge list) + one join per step; walk state is a
+    * narrow (src, cur) frame. At 100 TB: walks shuffle on cur each
+    * step — the same per-hop cost as BFS — and the output IS the
+    * training corpus, written not collected. */
+  def randomWalks(canonical: DataFrame, steps: Int,
+      seed: String = "walk"): DataFrame = {
+    val e0 = canonical.select(col("u"), col("v")).localCheckpoint(eager = true)
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("v")
+    val nbrs = und.withColumn("rn", row_number().over(w))
+      .localCheckpoint(eager = true)
+    val deg = nbrs.groupBy("u").agg(max(col("rn")).as("deg"))
+    var cur = und.select(col("u").as("walk_src")).distinct()
+      .select(col("walk_src"), col("walk_src").as("cur"))
+      .localCheckpoint(eager = true)
+    var acc = Vector(cur.select(col("walk_src"), lit(0).as("step"),
+      col("cur").as("vertex")))
+    for (i <- 1 to steps) {
+      val k = conv(substring(md5(concat_ws("|", lit(seed),
+        col("walk_src").cast("string"), lit(i.toString))), 1, 8), 16, 10)
+        .cast("long") % col("deg") + 1
+      val picked = cur.join(deg, cur("cur") === deg("u"))
+        .select(col("walk_src"), col("cur"), k.as("k"))
+      val n = nbrs.select(col("u").as("nu"), col("v"), col("rn"))
+      // equi-join on (vertex, chosen rank): one neighbor row per walk,
+      // never the full adjacency list per step
+      cur = picked.join(n, picked("cur") === n("nu") && picked("k") === n("rn"))
+        .select(col("walk_src"), col("v").as("cur"))
+        .localCheckpoint(eager = true)
+      acc :+= cur.select(col("walk_src"), lit(i).as("step"),
+        col("cur").as("vertex"))
+    }
+    acc.reduce(_ unionAll _)
+  }
+
   /** C5: label propagation, synchronous, fixed iterations; each vertex
     * adopts the most frequent neighbor label, min label on ties. */
   def labelPropagation(undirected: DataFrame, iterations: Int = 5,

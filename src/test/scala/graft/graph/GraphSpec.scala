@@ -276,6 +276,33 @@ class GraphSpec extends SparkSpec {
       s"4-truss must be exactly the K4: $t4")
   }
 
+  test("C18 random walks are deterministic, edge-respecting, one per source per step") {
+    import spark.implicits._
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "d", "b" -> "d")
+    val out = Graphs.randomWalks(e, steps = 3)
+      .as[(String, Int, String)].collect()
+    // every source walks every step (no dead ends on a doubled graph)
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.keySet == Set("a", "b", "c", "d"))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 to 3), s"$src: $rows")
+    }
+    // consecutive hops traverse real edges
+    val adj = (e.collect().map(r => (r.getString(0), r.getString(1))) ++
+      e.collect().map(r => (r.getString(1), r.getString(0)))).toSet
+    bySrc.foreach { case (src, rows) =>
+      val path = rows.sortBy(_._2).map(_._3).toSeq
+      path.sliding(2).foreach { pair =>
+        assert(adj.contains((pair(0), pair(1))),
+          s"$src walked a non-edge ${pair(0)}->${pair(1)}")
+      }
+    }
+    // hash-driven: a second invocation reproduces the identical corpus
+    val again = Graphs.randomWalks(e, steps = 3)
+      .as[(String, Int, String)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("C3w weighted PageRank: uniform weights reduce to plain PageRank; heavy edges attract rank") {
     import spark.implicits._
     val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))
