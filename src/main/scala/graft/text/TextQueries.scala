@@ -406,6 +406,49 @@ object TextQueries {
       .filter(col("bucket") < SampleBucketMax)
   }
 
+  /** G19: bigram-LM surprise scoring — MODEL-BASED quality scoring
+    * (the step beyond G2's heuristic ratios): a bigram language model
+    * is "trained" as exact counts over the TRAIN split (G5), and every
+    * document is scored by its average negative log-likelihood under
+    * add-one smoothing — low surprise ≈ in-distribution text, high
+    * surprise ≈ noise/outliers, the novelty/quality dial a pretraining
+    * pipeline thresholds on. Shapes: one exploded-window bigram pass,
+    * two keyed count aggregations on the train side, two broadcast-or-
+    * shuffle joins keyed on the bigram/prefix, vocab as an in-plan
+    * broadcast scalar. Cross-engine floats: counts and vocab are exact
+    * ints, each term is the identical log2((c+1)/(c_pre+V)) double,
+    * and the per-doc mean is the one order-sensitive sum — round(4). */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bigrams = d
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+    val isTrain = conv(substring(md5(concat(lit("split|"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") < TrainBucketMax
+    val train = bigrams.filter(isTrain).localCheckpoint(eager = true)
+    val bg = train.groupBy("t", "t2").agg(count(lit(1)).as("c_bg"))
+    val pre = train.groupBy("t").agg(count(lit(1)).as("c_pre"))
+    val vocab = broadcast(
+      train.select(col("t")).unionAll(train.select(col("t2").as("t")))
+        .distinct().agg(count(lit(1)).as("vocab")))
+    val term = -log2((col("c_bg") + 1).cast("double")
+      / (col("c_pre") + col("vocab")))
+    bigrams
+      .join(bg, Seq("t", "t2"), "left")
+      .join(pre, Seq("t"), "left")
+      .crossJoin(vocab)
+      .select(col("doc_id"),
+        coalesce(col("c_bg"), lit(0L)).as("c_bg"),
+        coalesce(col("c_pre"), lit(0L)).as("c_pre"), col("vocab"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("c_bg") === 0).cast("long")).as("n_unseen"),
+        round(avg(term), 4).as("surprise"))
+  }
+
   /** Target docs per source for mixture balancing (in expectation). */
   val MixtureCap = 120
 
@@ -529,6 +572,7 @@ object TextQueries {
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
     "text_mixture"      -> (textMixture _),
+    "text_lm_score"     -> (textLmScore _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
   )
@@ -801,6 +845,37 @@ object TextQueries {
          |FROM documents d JOIN t ON d.source = t.source
          |WHERE ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 4))::int
          |      < t.thr""".stripMargin,
+
+    // mirrors textLmScore: same bigram extraction (list indexing ==
+    // the exploded lead window), same train-split predicate, exact
+    // counts + identical log2 terms, round(4) on the order-sensitive
+    // per-doc mean
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bgi AS (
+         |  SELECT doc_id, unnest(range(1, length(t)))::int AS i, t FROM toks
+         |),
+         |bgs AS (SELECT doc_id, t[i] AS t1, t[i + 1] AS t2 FROM bgi),
+         |tr AS (
+         |  SELECT * FROM bgs
+         |  WHERE ('0x' || substr(md5('split|' || doc_id), 1, 4))::int < $TrainBucketMax
+         |),
+         |bg AS (SELECT t1, t2, count(*) AS c_bg FROM tr GROUP BY 1, 2),
+         |pre AS (SELECT t1, count(*) AS c_pre FROM tr GROUP BY 1),
+         |voc AS (SELECT count(*) AS vocab FROM
+         |        (SELECT t1 AS t FROM tr UNION SELECT t2 FROM tr)),
+         |j AS (
+         |  SELECT s.doc_id, coalesce(bg.c_bg, 0) AS c_bg,
+         |         coalesce(pre.c_pre, 0) AS c_pre, voc.vocab
+         |  FROM bgs s
+         |  LEFT JOIN bg ON s.t1 = bg.t1 AND s.t2 = bg.t2
+         |  LEFT JOIN pre ON s.t1 = pre.t1
+         |  CROSS JOIN voc
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  sum((c_bg = 0)::int)::bigint AS n_unseen,
+         |  round(avg(-log2((c_bg + 1)::double / (c_pre + vocab))), 4) AS surprise
+         |FROM j GROUP BY doc_id""".stripMargin,
 
     "text_contamination" -> {
       val n = ContamN
