@@ -80,6 +80,11 @@ object SimQueries {
   def simQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
+  /** F9: per-label centroid distance — the embedding outlier signal. */
+  def simCentroidDist(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDistance(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", "label")
+
   /** F7: exact MIPS top-k for the same query set (raw dot score). */
   def simMips(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -133,6 +138,7 @@ object SimQueries {
     "sim_ivf"        -> (simIvf _),
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_quantize"   -> (simQuantize _),
+    "sim_centroid_dist" -> (simCentroidDist _),
     "sim_mips"       -> (simMips _),
     "sim_mips_ann"   -> (simMipsAnn _),
     "sim_mips_ann_recall" -> (simMipsAnnRecall _),
@@ -208,6 +214,23 @@ object SimQueries {
         |  CASE WHEN m.maxabs = 0 THEN 0
         |       ELSE round(v.x * 127 / m.maxabs)::int END AS q
         |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin,
+
+    // mirrors Similarity.centroidDistance: same exploded rows, same
+    // per-(label, dim) mean, same (x−μ)² sum — round(4) absorbs the
+    // aggregation-order ulp in both reductions
+    "sim_centroid_dist" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id AS id,
+        |    unnest(range(0, length(embedding)))::int AS dim, embedding
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT label, id, dim, embedding[dim + 1]::double AS x FROM ex
+        |), mu AS (
+        |  SELECT label, dim, avg(x) AS mu FROM v GROUP BY 1, 2
+        |)
+        |SELECT v.label, v.id, round(sqrt(sum((x - mu) * (x - mu))), 4) AS dist
+        |FROM v JOIN mu ON v.label = mu.label AND v.dim = mu.dim
+        |GROUP BY 1, 2""".stripMargin,
 
     "sim_topk_brute" -> oracleSqlBrute,
 

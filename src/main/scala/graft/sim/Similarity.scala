@@ -247,6 +247,25 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("adc"), 4).as("adc"), col("rnk"))
   }
 
+  /** F9: distance to the per-label centroid — the embedding-space
+    * OUTLIER signal (vectors far from their group's mean are mislabeled
+    * or noise; the filter an embedding-based curation pass thresholds
+    * on). Exploded-row formulation: one (label, dim) mean aggregation,
+    * one join back, one per-vector sum — all codegen'd, shuffles keyed
+    * on (label, dim) and (label, id), never all-pairs. The centroid
+    * means and the distance sum are order-sensitive float reductions —
+    * round(4) on the output, the corpus-stats contract. */
+  def centroidDistance(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val ex = vecs.select(col(labelCol).as("label"), col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    val mu = ex.groupBy("label", "dim").agg(avg(col("x")).as("mu"))
+    ex.join(mu, Seq("label", "dim"))
+      .groupBy("label", "id")
+      .agg(round(sqrt(sum((col("x") - col("mu")) * (col("x") - col("mu")))), 4)
+        .as("dist"))
+  }
+
   /** F3: IVF-style coarse search: the first `nCentroids` vectors (by
     * id) act as deterministic pivots; every vector is assigned to its
     * nearest pivot (one broadcast join, map-side); a query probes the
