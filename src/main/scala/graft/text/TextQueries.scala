@@ -456,18 +456,24 @@ object TextQueries {
     * web-scale training mixture runs before temperature weighting:
     * every SOURCE is downsampled to ~cap docs in expectation via a
     * salted hash-range filter. The per-source keep threshold is EXACT
-    * INTEGER arithmetic — least(65536, (65536·cap) div n_s) — so
+    * INTEGER arithmetic — least(2³², (2³²·cap) div n_s) — so
     * membership is deterministic, engine-portable, and stable as the
     * corpus grows (no RNG, no float thresholds that could flip on an
-    * ulp). Shape: one count aggregation + a broadcast threshold join +
-    * a pure filter — the corpus is scanned once and never shuffled. */
+    * ulp). The bucket space is 32-bit: a 16-bit space floors the
+    * threshold to 0 once a source exceeds 65536·cap docs (dropping it
+    * entirely instead of capping it — exactly the web-crawl-sized
+    * source the op exists for); 32 bits holds the ±1-bucket bias
+    * negligible up to ~2³²·cap docs per source. Shape: one count
+    * aggregation + a broadcast threshold join + a pure filter — the
+    * corpus is scanned once and never shuffled. */
   def textMixture(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    val space = 4294967296L // 2^32
     val thr = d.groupBy("source").agg(count(lit(1)).as("n_s"))
       .select(col("source"), col("n_s"),
-        least(lit(65536L), expr(s"${65536L * MixtureCap} div n_s")).as("thr"))
+        least(lit(space), expr(s"${space * MixtureCap} div n_s")).as("thr"))
     val bucket = conv(substring(md5(concat_ws("|", lit("mix"), col("source"),
-      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int")
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
     d.select(col("doc_id"), col("source"), bucket.as("bucket"))
       .join(broadcast(thr), Seq("source"))
       .filter(col("bucket") < col("thr"))
@@ -830,20 +836,20 @@ object TextQueries {
          |      < $SampleBucketMax""".stripMargin,
 
     // mirrors textMixture: same exact-integer per-source threshold
-    // least(65536, (65536·cap) // n_s) and the same salted hash bucket
+    // least(2^32, (2^32·cap) // n_s) and the same salted 32-bit bucket
     "text_mixture" ->
       s"""WITH c AS (
          |  SELECT source, count(*) AS n_s FROM documents GROUP BY 1
          |), t AS (
          |  SELECT source, n_s,
-         |    least(65536, ${65536L * MixtureCap} // n_s) AS thr
+         |    least(4294967296, ${4294967296L * MixtureCap} // n_s)::bigint AS thr
          |  FROM c
          |)
          |SELECT d.source, d.doc_id,
-         |  ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 4))::int AS bucket,
+         |  ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 8))::bigint AS bucket,
          |  t.n_s, t.thr
          |FROM documents d JOIN t ON d.source = t.source
-         |WHERE ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 4))::int
+         |WHERE ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 8))::bigint
          |      < t.thr""".stripMargin,
 
     // mirrors textLmScore: same bigram extraction (list indexing ==

@@ -112,7 +112,7 @@ class TextOpsSpec extends SparkSpec {
       .distinct().as[(String, Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (src, n, thr) =>
-      val expected = math.min(65536L, 65536L * TextQueries.MixtureCap / n)
+      val expected = math.min(4294967296L, 4294967296L * TextQueries.MixtureCap / n)
       assert(thr == expected, s"$src: thr $thr != $expected for n=$n")
     }
     // kept counts land near cap·min(1, ...) in expectation; hard bound:
