@@ -138,7 +138,14 @@ case class NormalizeVector(child: Expression)
     val n = x.numElements()
     var ss = 0.0
     var i = 0
-    while (i < n) { val v = x.getFloat(i).toDouble; ss += v * v; i += 1 }
+    // a null ELEMENT propagates to a null result — the semantics of
+    // the transform/aggregate lambdas this expression replaced (and of
+    // the SQL oracles); reading the slot as 0 would fabricate a finite
+    // wrong unit vector
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble; ss += v * v; i += 1
+    }
     val norm = math.sqrt(ss)
     val out = new Array[Double](n)
     i = 0
@@ -151,19 +158,26 @@ case class NormalizeVector(child: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val ss = ctx.freshName("ss"); val norm = ctx.freshName("norm")
       val out = ctx.freshName("out"); val xv = ctx.freshName("xv")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $a.numElements();
+         |boolean $hasNull = false;
          |double $ss = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
          |  double $xv = (double) $a.getFloat($i);
          |  $ss += $xv * $xv;
          |}
-         |double $norm = java.lang.Math.sqrt($ss);
-         |double[] $out = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = ((double) $a.getFloat($i)) / $norm;
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $norm = java.lang.Math.sqrt($ss);
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = ((double) $a.getFloat($i)) / $norm;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

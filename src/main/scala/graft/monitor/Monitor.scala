@@ -71,7 +71,9 @@ object Monitor {
     def snapshot: Seq[StreamProgress] = progress.asScala.toSeq
 
     def toJson: String = snapshot.map { m =>
-      s"""{"query":"${m.queryName}","batch_id":${m.batchId},"input_rows":${m.inputRows},"state_rows":${m.stateRows}}"""
+      // query names are user-chosen — escape like the J1 error field
+      val q = m.queryName.replace("\\", "\\\\").replace("\"", "'")
+      s"""{"query":"$q","batch_id":${m.batchId},"input_rows":${m.inputRows},"state_rows":${m.stateRows}}"""
     }.mkString("[", ",", "]")
   }
 

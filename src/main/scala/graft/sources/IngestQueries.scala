@@ -105,7 +105,9 @@ object IngestQueries {
     * AND byte fidelity are all value-checked against the table the
     * bytes came from. */
   def ingBinary(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmp("docs_bin")
+    // keyed by DATA DIR like every store table: a JVM querying two
+    // scale factors must not serve the first one's files to the second
+    val path = tmp(s"docs_bin_${graft.store.GraftStore.dirKey(dir)}")
     val marker = new java.io.File(path, "_WRITTEN")
     if (!marker.exists()) {
       new java.io.File(path).mkdirs()

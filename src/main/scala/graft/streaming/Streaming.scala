@@ -318,7 +318,11 @@ object Streaming {
     }
   }
 
-  /** Committed batches only — the reader side of the marker contract. */
+  /** Committed batches only — the reader side of the marker contract.
+    * Before the FIRST commit lands there is no schema to read, so the
+    * no-commits case returns a zero-column empty frame; callers that
+    * poll must gate on `.isEmpty`/row count rather than selecting
+    * columns from a possibly-pre-first-commit result. */
   def readCommittedBatches(spark: SparkSession, outDir: String): DataFrame = {
     val dirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && new java.io.File(d, "_COMMITTED").exists())

@@ -308,11 +308,16 @@ class GraphSpec extends SparkSpec {
     val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))
     val und = tri.toDF("u", "v")
       .unionAll(tri.map(_.swap).toDF("u", "v"))
-    // uniform w = 1: rank·1/Σ1 = rank/deg — bit-identical to unweighted
+    // uniform w = 1: rank·1/Σ1 = rank/deg — equal to unweighted modulo
+    // accumulation-order ulp (the two plans join different tables, so
+    // partial-sum order can differ; compare rounded, the family's
+    // output contract)
     val uniform = Graphs.pageRankWeighted(
       und.withColumn("w", lit(1.0)), iterations = 5)
+      .select(col("id"), round(col("rank"), 9).as("rank"))
       .as[(String, Double)].collect().toMap
     val plain = Graphs.pageRank(und, iterations = 5)
+      .select(col("id"), round(col("rank"), 9).as("rank"))
       .as[(String, Double)].collect().toMap
     assert(uniform == plain, s"$uniform vs $plain")
     // star with one heavy spoke: b gets 3/4 of a's rank, c gets 1/4
