@@ -181,6 +181,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), s"duplicated or lost rows: $got")
   }
 
+  test("K5 histogram sketch aggregates inside streaming state; matches batch sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the mergeable TypedImperativeAggregate must serialize through
+    // the state store and merge across micro-batches — the same
+    // store-and-merge contract the batch/store path relies on
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "k", "x")
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("k").agg(
+        graft.functions.VectorFunctions.qhist(spark, col("x"), 0.0, 10.0, 5).as("h"))
+    val q = agg(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("qh_out").outputMode("complete").start()
+    try {
+      val b1 = Seq((ts(0), "a", 1.0), (ts(1), "a", 3.0), (ts(2), "b", 9.0))
+      val b2 = Seq((ts(3), "a", 3.5), (ts(4), "b", 0.5))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*) // must MERGE into batch-1 state, not replace
+      q.processAllAvailable()
+      val streamed = spark.table("qh_out")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = agg(asEvents((b1 ++ b2).toDF()))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(batch("a") == Seq(1L, 2L, 0L, 0L, 0L)) // 1.0 | 3.0, 3.5 (bin width 2)
+      assert(batch("b") == Seq(1L, 0L, 0L, 0L, 1L))
+    } finally q.stop()
+  }
+
   test("I4 idempotent foreachBatch sink: a replayed batch does not duplicate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
