@@ -47,6 +47,7 @@ object SparkEntry {
       "q_percentiles"      -> (Relational.qPercentiles _),
       "q_set_ops"          -> (Relational.qSetOps _),
       "q_pareto"           -> (Relational.qPareto _),
+      "q_moving_revenue"   -> (Relational.qMovingRevenue _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -220,6 +221,17 @@ object SparkEntry {
          |SELECT r_name, rnk, o_custkey, rev_cents,
          |  round(cum_cents::double / total_cents, 6) AS cum_share
          |FROM w WHERE rnk <= ${Relational.ParetoTopN}""".stripMargin,
+
+    // mirrors qMovingRevenue: the same epoch-seconds RANGE frame
+    // (peers by time distance, no tiebreak needed) over exact cents
+    "q_moving_revenue" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         |    RANGE BETWEEN ${Relational.TrailDays * 86400} PRECEDING
+         |          AND CURRENT ROW)::bigint AS trail_cents
+         |FROM orders""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

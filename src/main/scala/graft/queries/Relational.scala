@@ -373,6 +373,30 @@ object Relational {
         round(col("cum_cents").cast("double") / col("total_cents"), 6).as("cum_share"))
   }
 
+  /** Trailing window span for the moving-revenue frame. */
+  val TrailDays = 30
+
+  /** D17 — RANGE-frame moving aggregate: each order's trailing 30-day
+    * revenue for its customer — the time-decayed feature a churn/LTV
+    * model reads. A RANGE frame over epoch seconds (not a ROWS frame:
+    * membership is by TIME DISTANCE, so equal-date peers all join the
+    * frame and no id tiebreak is needed) — one shuffle on the
+    * customer key; money in exact integer cents so the frame sum is
+    * exact and hash-matches without tolerance. */
+  def qMovingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("sec"))
+      .rangeBetween(-TrailDays.toLong * 86400, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // o_orderdate ships TIMESTAMP_NTZ; the UTC session makes the
+      // ntz→ltz cast an identity, then epoch seconds (== DuckDB epoch)
+      .withColumn("sec", col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("trail_cents", sum(col("cents")).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "cents", "trail_cents")
+  }
+
   /** D14 — exact interpolated percentiles per group (the distribution
     * summary a cost/latency dashboard asks of a 100 TB fact table;
     * Spark's percentile is a single-pass partial aggregate, so the

@@ -31,6 +31,16 @@ object StreamQueries {
       ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
   }
 
+  /** I18: the outer attribution face — every click, with null purchase
+    * columns when nothing converted within the window. */
+  def evAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Streaming.attributionJoinTyped(
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"),
+      windowSec = 300, joinType = "left_outer")
+  }
+
   /** Funnel step order (first-touch, see EventOps.funnel). */
   val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
 
@@ -108,6 +118,7 @@ object StreamQueries {
     "ev_sessions"    -> (evSessions _),
     "ev_props"       -> (evProps _),
     "ev_attribution" -> (evAttribution _),
+    "ev_attribution_outer" -> (evAttributionOuter _),
     "ev_asof"        -> (evAsof _),
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
@@ -151,6 +162,14 @@ object StreamQueries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 300 SECONDS
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+
+    "ev_attribution_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 300 SECONDS""".stripMargin,
 
     "ev_props" ->
       """SELECT event_id, user_id, event_type,

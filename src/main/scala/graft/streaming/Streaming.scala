@@ -127,14 +127,27 @@ object Streaming {
     * watermarks and the time bound keeps state finite; on batch inputs
     * the same function is a range join (the oracle). */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      windowSec: Int = 300): DataFrame = {
+      windowSec: Int = 300): DataFrame =
+    attributionJoinTyped(clicks, purchases, windowSec, "inner")
+
+  /** I18: the OUTER face of the attribution join — clicks that led to
+    * no purchase within the window survive with null purchase columns
+    * (the unconverted-click feed a marketing pipeline actually wants).
+    * On streaming inputs Spark holds the left row in state until the
+    * watermark proves no matching right can still arrive, then emits
+    * the null-padded row — the stream-stream outer-join semantics
+    * pinned by StreamingSpec's parity test. */
+  def attributionJoinTyped(clicks: DataFrame, purchases: DataFrame,
+      windowSec: Int, joinType: String): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
       col("ts").as("click_ts"))
     val p = purchases.select(col("event_id").as("purchase_id"),
-      col("user_id"), col("ts").as("purchase_ts"), col("value"))
-    c.join(p, Seq("user_id"))
-      .filter(col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }

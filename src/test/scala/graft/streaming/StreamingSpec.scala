@@ -420,6 +420,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I18 stream-stream OUTER attribution join emits unconverted clicks after watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Long, Double)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "value")
+    val q = Streaming.attributionJoinTyped(
+      shape(clicks.toDF()).withWatermark("ts", "10 minutes"),
+      shape(buys.toDF()).withWatermark("ts", "10 minutes"),
+      windowSec = 300, joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer_out").outputMode("append").start()
+    try {
+      val clickData = Seq((1L, ts(0), 7L, 0.0), (2L, ts(10), 8L, 0.0))
+      val buyData = Seq((10L, ts(2), 7L, 9.99)) // converts click 1; click 2 never converts
+      clicks.addData(clickData: _*); buys.addData(buyData: _*)
+      q.processAllAvailable()
+      // watermark must pass click 2's window before its null row emits
+      clicks.addData((99L, ts(10000), 99L, 0.0)); buys.addData((98L, ts(10000), 98L, 0.0))
+      q.processAllAvailable()
+      clicks.addData((97L, ts(20000), 97L, 0.0)); buys.addData((96L, ts(20000), 96L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_outer_out")
+        .filter(col("user_id") < 90)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val batch = Streaming.attributionJoinTyped(
+          shape(clickData.toDF()), shape(buyData.toDF()), 300, "left_outer")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(batch == Set((7L, 1L, 10L), (8L, 2L, -1L)))
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I7 streaming as-of join matches the batch union+running-last operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
