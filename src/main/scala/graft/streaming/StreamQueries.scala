@@ -21,6 +21,22 @@ object StreamQueries {
   def evSliding(spark: SparkSession, dir: String): DataFrame =
     Streaming.slidingCounts(Tables.events(spark, dir))
 
+  /** I19: per-user session summary — session count, event volume, and
+    * average session duration over the I2 sessionization (the
+    * engagement roll-up a product dashboard reads). Durations are
+    * exact epoch-second ints, so the avg is exact-integer-sum /
+    * count — deterministic cross-engine; round(4) formats. */
+  def evSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Streaming.sessionsBatch(Tables.events(spark, dir))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_session_events"),
+        round(avg(unix_timestamp(col("session_end"))
+          - unix_timestamp(col("session_start"))), 4).as("avg_session_sec"))
+  }
+
   def evProps(spark: SparkSession, dir: String): DataFrame =
     Streaming.parseProps(Tables.events(spark, dir))
 
@@ -116,6 +132,7 @@ object StreamQueries {
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
+    "ev_session_stats" -> (evSessionStats _),
     "ev_props"       -> (evProps _),
     "ev_attribution" -> (evAttribution _),
     "ev_attribution_outer" -> (evAttributionOuter _),
@@ -131,29 +148,48 @@ object StreamQueries {
     "ev_sliding"     -> (evSliding _),
   )
 
+  /** Generated I2 sessionization SQL — shared verbatim by ev_sessions
+    * and (nested) ev_session_stats, so the stats oracle cannot drift. */
+  private lazy val sessionsSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+       |              > ${Streaming.SessionGapSec}
+       |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id, ts, value,
+       |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |                      ROWS UNBOUNDED PRECEDING))::bigint AS session_idx
+       |  FROM g
+       |)
+       |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |FROM s GROUP BY user_id, session_idx""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ev_windowed" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "ev_sessions" ->
-      s"""WITH g AS (
-         |  SELECT user_id, ts, value,
-         |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
-         |              > ${Streaming.SessionGapSec}
-         |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-         |         THEN 1 ELSE 0 END AS new_s
-         |  FROM events
-         |), s AS (
-         |  SELECT user_id, ts, value,
-         |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-         |                      ROWS UNBOUNDED PRECEDING))::bigint AS session_idx
-         |  FROM g
-         |)
-         |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
-         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "ev_sessions" -> sessionsSql,
+
+    // nested sessions oracle (the sim_ann_recall pattern): durations
+    // are exact epoch-second ints, avg = int sum / count — exact.
+    // date_diff('second') has FLOOR semantics (boundaries crossed ==
+    // floor(b) − floor(a)), matching Spark's unix_timestamp; a bare
+    // epoch(ts)::bigint would ROUND the fractional double and drift
+    // sessions by ±1 s
+    "ev_session_stats" ->
+      s"""WITH sess AS (SELECT * FROM (${sessionsSql}))
+         |SELECT user_id, count(*) AS n_sessions,
+         |  sum(n_events)::bigint AS total_events,
+         |  max(n_events) AS max_session_events,
+         |  round(avg(date_diff('second', session_start, session_end)), 4)
+         |    AS avg_session_sec
+         |FROM sess GROUP BY user_id""".stripMargin,
 
     "ev_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
