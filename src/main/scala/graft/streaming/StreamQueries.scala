@@ -110,6 +110,36 @@ object StreamQueries {
         col("valid_from"), col("valid_to"), col("version"), col("is_current"))
   }
 
+  /** I20: event-type co-occurrence LIFT within sessions — which event
+    * types appear in the same session more often than independence
+    * predicts (the market-basket signal over behavioral sessions).
+    * Distinct (session, type) rows self-join inside the session — the
+    * pair space is bounded by #types² per session, never event-pairs —
+    * and lift = n_ab·n_sessions / (n_a·n_b) is ONE fixed expression
+    * over exact integer counts (n_sessions rides as an in-plan
+    * broadcast scalar), so round(4) is pure formatting. */
+  def evSessionCooccur(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val asg = Streaming.sessionAssign(Tables.events(spark, dir))
+      .select(col("user_id"), col("session_idx"), col("event_type"))
+      .distinct()
+      .localCheckpoint(eager = true) // read 3× (pairs ×2, totals)
+    val nSess = broadcast(asg.select("user_id", "session_idx").distinct()
+      .agg(count(lit(1)).as("n_sess")))
+    val t = asg.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    asg.select(col("user_id"), col("session_idx"), col("event_type").as("ta"))
+      .join(asg.select(col("user_id"), col("session_idx"), col("event_type").as("tb")),
+        Seq("user_id", "session_idx"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+      .join(t.select(col("event_type").as("ta"), col("n_t").as("n_a")), "ta")
+      .join(t.select(col("event_type").as("tb"), col("n_t").as("n_b")), "tb")
+      .crossJoin(nSess)
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab") * col("n_sess")).cast("double")
+          / (col("n_a") * col("n_b")), 4).as("lift"))
+  }
+
   val AnomalyZ = 2.0
 
   /** I11: hourly volume anomalies per event type (|z| >= 2). */
@@ -133,6 +163,7 @@ object StreamQueries {
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
     "ev_session_stats" -> (evSessionStats _),
+    "ev_session_cooccur" -> (evSessionCooccur _),
     "ev_props"       -> (evProps _),
     "ev_attribution" -> (evAttribution _),
     "ev_attribution_outer" -> (evAttributionOuter _),
@@ -148,22 +179,27 @@ object StreamQueries {
     "ev_sliding"     -> (evSliding _),
   )
 
-  /** Generated I2 sessionization SQL — shared verbatim by ev_sessions
-    * and (nested) ev_session_stats, so the stats oracle cannot drift. */
-  private lazy val sessionsSql: String =
-    s"""WITH g AS (
-       |  SELECT user_id, ts, value,
+  /** Generated gaps-and-islands assignment CTEs (mirror of
+    * Streaming.sessionAssign; event_type rides through for the
+    * session-scoped analytics) — shared by ev_sessions,
+    * ev_session_stats, and ev_session_cooccur, so none can drift. */
+  private lazy val sessionAssignCtes: String =
+    s"""g AS (
+       |  SELECT user_id, ts, value, event_type,
        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
        |              > ${Streaming.SessionGapSec}
        |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
        |         THEN 1 ELSE 0 END AS new_s
        |  FROM events
        |), s AS (
-       |  SELECT user_id, ts, value,
+       |  SELECT user_id, ts, value, event_type,
        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
        |                      ROWS UNBOUNDED PRECEDING))::bigint AS session_idx
        |  FROM g
-       |)
+       |)""".stripMargin
+
+  private lazy val sessionsSql: String =
+    s"""WITH $sessionAssignCtes
        |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
        |FROM s GROUP BY user_id, session_idx""".stripMargin
@@ -198,6 +234,28 @@ object StreamQueries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 300 SECONDS
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+
+    // mirrors evSessionCooccur over the shared assignment CTEs: exact
+    // integer counts, one fixed lift expression
+    "ev_session_cooccur" ->
+      s"""WITH $sessionAssignCtes,
+         |a AS (SELECT DISTINCT user_id, session_idx, event_type FROM s),
+         |ns AS (SELECT count(*) AS n_sess FROM
+         |       (SELECT DISTINCT user_id, session_idx FROM a)),
+         |t AS (SELECT event_type, count(*) AS n_t FROM a GROUP BY 1),
+         |p AS (
+         |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_ab
+         |  FROM a x JOIN a y
+         |    ON x.user_id = y.user_id AND x.session_idx = y.session_idx
+         |   AND x.event_type < y.event_type
+         |  GROUP BY 1, 2
+         |)
+         |SELECT ta, tb, n_ab, na.n_t AS n_a, nb.n_t AS n_b,
+         |  round((n_ab * ns.n_sess)::double / (na.n_t * nb.n_t), 4) AS lift
+         |FROM p
+         |JOIN t na ON p.ta = na.event_type
+         |JOIN t nb ON p.tb = nb.event_type
+         |CROSS JOIN ns""".stripMargin,
 
     "ev_attribution_outer" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -53,20 +53,24 @@ object Streaming {
       .filter(col("k") >= minK)
       .select(col("event_id"), col("user_id"), col("event_type"), col("k"))
 
-  /** I2 (batch path / oracle): sessionization via gaps-and-islands —
+  /** I2 (batch path / oracle): gaps-and-islands session ASSIGNMENT —
     * lag to mark session starts, running sum to number them, one
-    * shuffle on user_id. */
-  def sessionsBatch(events: DataFrame, gapSec: Int = SessionGapSec): DataFrame = {
+    * shuffle on user_id; every event keeps its columns plus
+    * session_idx (the frame session-scoped analytics join against). */
+  def sessionAssign(events: DataFrame, gapSec: Int = SessionGapSec): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val gap = col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")
     events
       .withColumn("new_s", when(gap.isNull || gap > gapSec, 1).otherwise(0))
       .withColumn("session_idx", sum(col("new_s")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionsBatch(events: DataFrame, gapSec: Int = SessionGapSec): DataFrame =
+    sessionAssign(events, gapSec)
       .groupBy("user_id", "session_idx")
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-  }
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
