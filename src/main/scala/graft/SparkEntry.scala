@@ -48,6 +48,7 @@ object SparkEntry {
       "q_set_ops"          -> (Relational.qSetOps _),
       "q_pareto"           -> (Relational.qPareto _),
       "q_moving_revenue"   -> (Relational.qMovingRevenue _),
+      "q_yoy_growth"       -> (Relational.qYoyGrowth _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -221,6 +222,24 @@ object SparkEntry {
          |SELECT r_name, rnk, o_custkey, rev_cents,
          |  round(cum_cents::double / total_cents, 6) AS cum_share
          |FROM w WHERE rnk <= ${Relational.ParetoTopN}""".stripMargin,
+
+    // mirrors qYoyGrowth: exact-cents yearly sums, lag window, one
+    // fixed growth expression
+    "q_yoy_growth" ->
+      """WITH yearly AS (
+        |  SELECT r.r_name, year(o.o_orderdate) AS yr,
+        |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::bigint AS rev_cents,
+        |    count(*) AS n_orders
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r_name, yr, rev_cents, n_orders,
+        |  round((rev_cents - lag(rev_cents) OVER (PARTITION BY r_name ORDER BY yr))::double
+        |        / lag(rev_cents) OVER (PARTITION BY r_name ORDER BY yr), 6) AS yoy_growth
+        |FROM yearly""".stripMargin,
 
     // mirrors qMovingRevenue: the same epoch-seconds RANGE frame
     // (peers by time distance, no tiebreak needed) over exact cents

@@ -397,6 +397,31 @@ object Relational {
       .select("o_custkey", "o_orderkey", "o_orderdate", "cents", "trail_cents")
   }
 
+  /** D18 — year-over-year growth per region: yearly revenue (exact
+    * cents) with a lag window for the previous year and growth as ONE
+    * fixed double expression over exact ints — the trend-dashboard
+    * query. Group sizes are (region × year) tiny; the lag window rides
+    * the same partitioning. */
+  def qYoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val geo = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val yearly = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name", "yr")
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("r_name").orderBy("yr")
+    yearly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("r_name"), col("yr"), col("rev_cents"), col("n_orders"),
+        round((col("rev_cents") - col("prev_cents")).cast("double")
+          / col("prev_cents"), 6).as("yoy_growth"))
+  }
+
   /** D14 — exact interpolated percentiles per group (the distribution
     * summary a cost/latency dashboard asks of a 100 TB fact table;
     * Spark's percentile is a single-pass partial aggregate, so the

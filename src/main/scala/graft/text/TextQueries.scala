@@ -449,6 +449,26 @@ object TextQueries {
         round(avg(term), 4).as("surprise"))
   }
 
+  /** G20: top-bigram share — the fraction of a document's bigrams
+    * covered by its SINGLE most frequent bigram (the Gopher-rules
+    * repetition filter: templated/boilerplate text repeats one phrase;
+    * G2's duplicate-token ratio can't see phrase-level repeats). Exact
+    * integer counts + one division; max-count ties don't matter
+    * because only the count reaches the output. */
+  def textTopBigram(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy("doc_id", "t", "t2").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_bigrams"), 4).as("top_share"))
+  }
+
   /** Target docs per source for mixture balancing (in expectation). */
   val MixtureCap = 120
 
@@ -579,6 +599,7 @@ object TextQueries {
     "text_sample"       -> (textSample _),
     "text_mixture"      -> (textMixture _),
     "text_lm_score"     -> (textLmScore _),
+    "text_top_bigram"   -> (textTopBigram _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
   )
@@ -851,6 +872,19 @@ object TextQueries {
          |FROM documents d JOIN t ON d.source = t.source
          |WHERE ('0x' || substr(md5(concat_ws('|', 'mix', d.source, d.doc_id)), 1, 8))::bigint
          |      < t.thr""".stripMargin,
+
+    // mirrors textTopBigram: list-indexed bigrams == the exploded lead
+    // window; exact counts, one division
+    "text_top_bigram" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bgi AS (
+         |  SELECT doc_id, unnest(range(1, length(t)))::int AS i, t FROM toks
+         |),
+         |bgs AS (SELECT doc_id, t[i] AS t1, t[i + 1] AS t2 FROM bgi),
+         |c AS (SELECT doc_id, t1, t2, count(*) AS c FROM bgs GROUP BY 1, 2, 3)
+         |SELECT doc_id, sum(c)::bigint AS n_bigrams, max(c) AS top_count,
+         |  round(max(c)::double / sum(c), 4) AS top_share
+         |FROM c GROUP BY doc_id""".stripMargin,
 
     // mirrors textLmScore: same bigram extraction (list indexing ==
     // the exploded lead window), same train-split predicate, exact
