@@ -306,8 +306,12 @@ object Multimodal {
             .otherwise(lit(0L)))
         // chunk payloads are padded to even length (RIFF word alignment);
         // cast back to int — ckSize is long and would promote the
-        // offset (and fmt_off derived from it) to long after one hop
-        .withColumn("_cur", (col("_cur") + lit(8) + ckSize + (ckSize % 2)).cast("int"))
+        // offset (and fmt_off derived from it) to long after one hop.
+        // A corrupt size that would overflow the ANSI int cast nulls
+        // the cursor instead (walk freezes, query survives).
+        .withColumn("_cur",
+          when(col("_cur") + lit(8) + ckSize + (ckSize % 2) <= Int.MaxValue,
+            (col("_cur") + lit(8) + ckSize + (ckSize % 2)).cast("int")))
     }
     out.drop("_cur")
   }
@@ -398,7 +402,12 @@ object Multimodal {
           when(col("mdat_size") > 0, col("mdat_size"))
             .when(boxType === "6d646174", boxSize) // "mdat"
             .otherwise(lit(0L)))
-        .withColumn("_cur", (col("_cur") + boxSize).cast("int"))
+        // a corrupt size (< 8, or one that walks the offset past
+        // Int.MaxValue) nulls the cursor — the walk freezes instead of
+        // overflowing the ANSI int cast and failing the whole query
+        .withColumn("_cur",
+          when(boxSize >= 8 && col("_cur") + boxSize <= Int.MaxValue,
+            (col("_cur") + boxSize).cast("int")))
     }
     out.drop("_cur")
   }

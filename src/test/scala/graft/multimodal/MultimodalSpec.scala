@@ -154,4 +154,33 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) == ((1, 32, 256L, 600L, 1800L)))
     assert(byId(2L)._1 == 0 && byId(2L)._2 == 0 && byId(2L)._3 == 0L)
   }
+
+  test("H7 truncated streams: declared sizes past end-of-bytes freeze the walk, no garbage reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // ftyp declares 20 bytes but the stream ends after 12 — the next
+    // hop reads an empty slice, the offset goes null, and captured
+    // values stay at their zero defaults (no moov, no mdat)
+    val cutMp4 = "00000014" + "66747970" + "69736f6d"
+    // valid ftyp, then a box whose declared size (0x7fffffff) points
+    // far past the end — the walk must not loop or mis-capture
+    val hugeBox = "00000014" + "66747970" + "69736f6d" + "00000200" + "6d703431" +
+      "7fffffff" + "6a756e6b"
+    val df = Seq((1L, cutMp4), (2L, hugeBox)).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val out = Multimodal.withMp4Boxes(df, "payload")
+      .select("id", "valid_ftyp", "moov_off", "mdat_size")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1, 0, 0L)), s"truncated: ${out(1L)}")
+    assert(out(2L) == ((1, 0, 0L)), s"huge box: ${out(2L)}")
+    // same guard on the RIFF walk: a chunk declaring 0xFFFFFFFF bytes
+    // freezes the walk instead of overflowing the int cast
+    val hugeChunk = "52494646" + "ffffffff" + "57415645" +
+      "4c495354" + "ffffffff" + "0000"
+    val wav = Multimodal.withWavChunks(
+      Seq((9L, hugeChunk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("valid_riff", "fmt_off", "data_size").collect().head
+    assert(wav.getInt(0) == 1 && wav.getInt(1) == 0 && wav.getLong(2) == 0L)
+  }
 }
