@@ -254,9 +254,9 @@ object SparkEntry {
 
     "q_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_set_ops" ->

@@ -16,6 +16,20 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Monitor {
 
+  /** Complete JSON string escape (backslash, quote, all control chars)
+    * — user-chosen query names and error messages both route through
+    * here; a partial escape produced invalid JSON on a name containing
+    * a newline. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   final case class QueryMetric(name: String, durationMs: Double,
       outputRows: Long, error: Option[String])
 
@@ -34,7 +48,7 @@ object Monitor {
     def snapshot: Seq[QueryMetric] = metrics.asScala.toSeq
 
     def toJson: String = snapshot.map { m =>
-      val err = m.error.map(e => "\"" + e.replace("\"", "'") + "\"").getOrElse("null")
+      val err = m.error.map(e => "\"" + Monitor.jsonEscape(e) + "\"").getOrElse("null")
       s"""{"name":"${m.name}","duration_ms":${m.durationMs},"output_rows":${m.outputRows},"error":$err}"""
     }.mkString("[", ",", "]")
   }
@@ -71,9 +85,7 @@ object Monitor {
     def snapshot: Seq[StreamProgress] = progress.asScala.toSeq
 
     def toJson: String = snapshot.map { m =>
-      // query names are user-chosen — escape like the J1 error field
-      val q = m.queryName.replace("\\", "\\\\").replace("\"", "'")
-      s"""{"query":"$q","batch_id":${m.batchId},"input_rows":${m.inputRows},"state_rows":${m.stateRows}}"""
+      s"""{"query":"${Monitor.jsonEscape(m.queryName)}","batch_id":${m.batchId},"input_rows":${m.inputRows},"state_rows":${m.stateRows}}"""
     }.mkString("[", ",", "]")
   }
 

@@ -434,9 +434,14 @@ object Relational {
       // 1.0 s at sf0.1) — the array form sorts each group once
       .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").as("ps"),
         count(lit(1)).as("n_rows"))
+      // round 4, not 2: interpolating cent-granular prices with
+      // 2-decimal quantile weights yields values of AT MOST 4 decimals,
+      // so round(4) never sits on a tie — round(2) landed on an exact
+      // half-cent at sf0.001 where Spark's BigDecimal half-up and
+      // DuckDB's binary rounding disagree (the mm_mp4 duration lesson)
       .select(col("l_returnflag"),
-        round(col("ps").getItem(0), 2).as("p50"),
-        round(col("ps").getItem(1), 2).as("p95"),
-        round(col("ps").getItem(2), 2).as("p99"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p95"),
+        round(col("ps").getItem(2), 4).as("p99"),
         col("n_rows"))
 }

@@ -418,14 +418,19 @@ object TextQueries {
     * broadcast scalar. Cross-engine floats: counts and vocab are exact
     * ints, each term is the identical log2((c+1)/(c_pre+V)) double,
     * and the per-doc mean is the one order-sensitive sum — round(4). */
-  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** (doc_id, t, t2) bigram rows — the one extraction G19 and G20 both
+    * consume (exploded tokens + a lead window over (doc_id, pos)); a
+    * single definition keeps the two queries from silently drifting. */
+  private def docBigrams(d: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val bigrams = d
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
       .withColumn("t2", lead(col("t"), 1).over(w))
       .filter(col("t2").isNotNull)
+  }
+
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = docBigrams(Tables.documents(spark, dir))
     val isTrain = conv(substring(md5(concat(lit("split|"),
       col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") < TrainBucketMax
     val train = bigrams.filter(isTrain).localCheckpoint(eager = true)
@@ -456,12 +461,7 @@ object TextQueries {
     * integer counts + one division; max-count ties don't matter
     * because only the count reaches the output. */
   def textTopBigram(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t2", lead(col("t"), 1).over(w))
-      .filter(col("t2").isNotNull)
+    docBigrams(Tables.documents(spark, dir))
       .groupBy("doc_id", "t", "t2").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
