@@ -64,14 +64,24 @@ object Bench {
           -1.0
       }
     }
+    // BENCH_ONLY=a,b,c restricts the timed set for targeted re-probes
+    // (warm-up + store builds still run, so a filtered probe times the
+    // same warm read path the full bench does).
+    val only = sys.env.get("BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.keys
+      .filter(n => only.forall(_.contains(n)))
     // two timed passes per query, min taken: absorbs single-run VM /
     // GC noise so round-over-round numbers are comparable
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = selected.map { name =>
       val first = timeOnce(name)
       val sec = if (first < 0) first else math.min(first, timeOnce(name))
       name -> sec
     }.toSeq
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // names are code-controlled, but escape anyway so the emitted line
+    // is valid JSON for ANY registered name (same rule as Monitor)
+    def jkey(k: String): String = "\"" + graft.monitor.Monitor.jsonEscape(k) + "\":"
+    val qs = results.map { case (k, v) => jkey(k) + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
@@ -90,7 +100,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => jkey(k) + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"errors":$errors,"n_queries":${results.size},"top":$slowest,"sf":"$sfDir"}""")
     spark.stop()
     if (errors > 0) sys.exit(1)

@@ -216,7 +216,7 @@ object DedupQueries {
          |        JOIN eh ON b.doc_id = eh.doc_id WHERE eh.bkt < ${graft.text.TextQueries.TrainBucketMax}),
          |cand AS (SELECT DISTINCT doc_a, doc_b FROM inb JOIN hib USING (band, bucket)),
          |nc AS (SELECT doc_a, count(*) AS n_candidates FROM cand GROUP BY 1),
-         |ds AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |ds AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
          |j AS (
          |  SELECT c.doc_a,
          |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
@@ -244,7 +244,7 @@ object DedupQueries {
          |${sigCte(Bands * RowsPerBand)},
          |${bandsCte(Bands, RowsPerBand)},
          |cand AS ($candidateSelect),
-         |ds AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |ds AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
          |j AS (
          |  SELECT c.doc_a, c.doc_b,
          |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
@@ -263,7 +263,7 @@ object DedupQueries {
          |${sigCte(Bands * RowsPerBand)},
          |${bandsCte(Bands, RowsPerBand)},
          |cand AS ($candidateSelect),
-         |ds AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |ds AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
          |j AS (
          |  SELECT c.doc_a, c.doc_b,
          |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,

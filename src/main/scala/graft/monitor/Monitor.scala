@@ -49,7 +49,7 @@ object Monitor {
 
     def toJson: String = snapshot.map { m =>
       val err = m.error.map(e => "\"" + Monitor.jsonEscape(e) + "\"").getOrElse("null")
-      s"""{"name":"${m.name}","duration_ms":${m.durationMs},"output_rows":${m.outputRows},"error":$err}"""
+      s"""{"name":"${Monitor.jsonEscape(m.name)}","duration_ms":${m.durationMs},"output_rows":${m.outputRows},"error":$err}"""
     }.mkString("[", ",", "]")
   }
 
@@ -108,7 +108,7 @@ object Monitor {
     val cpuMs = (os.getProcessCpuTime - cpu0) / 1e6
     val heapMb = (rt.totalMemory() - rt.freeMemory()) / 1e6
     val json =
-      s"""{"job":"$jobName","wall_ms":$wallMs,"cpu_ms":$cpuMs,"heap_mb":$heapMb}"""
+      s"""{"job":"${jsonEscape(jobName)}","wall_ms":$wallMs,"cpu_ms":$cpuMs,"heap_mb":$heapMb}"""
     (result, json)
   }
 }

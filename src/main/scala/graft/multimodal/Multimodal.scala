@@ -375,12 +375,25 @@ object Multimodal {
   /** Max top-level boxes the MP4 walk visits before giving up. */
   val Mp4MaxBoxes = 4
 
+  /** Big-endian u64 at a COLUMN byte offset (1-based) — for ISO-BMFF
+    * `largesize` fields. conv(hex, 16, 10) is exact through 2^63-1;
+    * real box sizes fit comfortably. */
+  def beU64c(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(hex(bin.substr(off, lit(8))), 16, 10).cast("long")
+
   /** Walk the top-level box chain of an ISO-BMFF (MP4) byte stream:
     * each box is a big-endian u32 size + 4cc type, the next box sits
     * size bytes later — same bounded-unroll-of-projections shape as
     * the JPEG/WAV walks (no UDF, per-row work only). Captures the moov
     * box offset and the mdat box's declared size. Past-the-end hops
-    * read empty slices → null offsets, so captured values freeze. */
+    * read empty slices → null offsets, so captured values freeze.
+    *
+    * Both legal special size encodings are handled (r7 advice):
+    * size==1 → a 64-bit `largesize` follows the 4cc (the standard mdat
+    * encoding for files >4 GiB); size==0 → the box extends to the end
+    * of the stream (last box only), resolved against the actual byte
+    * length. A size below the box's own header width (8, or 16 with
+    * largesize) is corrupt and freezes the walk. */
   def withMp4Boxes(df: DataFrame, binCol: String,
       maxBoxes: Int = Mp4MaxBoxes): DataFrame = {
     val bin = col(binCol)
@@ -392,7 +405,11 @@ object Multimodal {
       .withColumn("_cur", lit(1))
     for (_ <- 1 to maxBoxes) {
       val boxType = lower(hex(bin.substr(col("_cur") + lit(4), lit(4))))
-      val boxSize = beU32c(bin, col("_cur"))
+      val size32 = beU32c(bin, col("_cur"))
+      val boxSize = when(size32 === 1, beU64c(bin, col("_cur") + lit(8)))
+        .when(size32 === 0, (length(bin) - col("_cur") + 1).cast("long"))
+        .otherwise(size32)
+      val headerLen = when(size32 === 1, lit(16L)).otherwise(lit(8L))
       out = out
         .withColumn("moov_off",
           when(col("moov_off") > 0, col("moov_off"))
@@ -402,15 +419,18 @@ object Multimodal {
           when(col("mdat_size") > 0, col("mdat_size"))
             .when(boxType === "6d646174", boxSize) // "mdat"
             .otherwise(lit(0L)))
-        // a corrupt size (< 8, or one that walks the offset past
-        // Int.MaxValue) nulls the cursor — the walk freezes instead of
-        // overflowing the ANSI int cast and failing the whole query
+        // a corrupt size (below the header width, or one that walks the
+        // offset past Int.MaxValue) nulls the cursor — the walk freezes
+        // instead of overflowing the ANSI int cast and failing the query
         .withColumn("_cur",
-          when(boxSize >= 8 && col("_cur") + boxSize <= Int.MaxValue,
+          when(boxSize >= headerLen && col("_cur") + boxSize <= Int.MaxValue,
             (col("_cur") + boxSize).cast("int")))
     }
     out.drop("_cur")
   }
+
+  private def beHex64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(lower(hex(c)), 16, "0")
 
   /** H7 driver query: synthesize a structurally REAL MP4 prefix per
     * asset — ftyp (isom brand), an OPTIONAL variable-length free box
@@ -420,9 +440,12 @@ object Multimodal {
     * header with its declared size (payload elided, the WAV data
     * convention) — then parse brand validity, moov offset, timescale,
     * duration, and mdat size back from the BYTES with the bounded box
-    * walk. The oracle re-derives everything (incl. moov_off by box
-    * arithmetic) from the generating formulas, so a walk that mis-hops
-    * the variable free box hash-mismatches. */
+    * walk. Every 5th asset writes mdat with the size==1 + 64-bit
+    * largesize encoding (the >4 GiB shape real muxers emit), so the
+    * largesize path of the walk is value-checked too. The oracle
+    * re-derives everything (incl. moov_off by box arithmetic) from the
+    * generating formulas, so a walk that mis-hops the variable free
+    * box or misreads largesize hash-mismatches. */
   def mmMp4Meta(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val timescale = ((col("n_chars") % 4 + 1) * 600).cast("int")
@@ -430,6 +453,7 @@ object Multimodal {
     val dataLen = (col("n_chars") % 2048 + 8).cast("int")
     val freeLen = (col("doc_id") % 11 + 1).cast("int") // payload bytes
     val hasFree = col("doc_id") % 3 =!= 0
+    val useLargesize = col("doc_id") % 5 === 0
     val hx = concat(
       // ftyp: size 20, brand isom, minor 512, compat mp41
       lit("00000014" + "66747970" + "69736f6d" + "00000200" + "6d703431"),
@@ -440,7 +464,11 @@ object Multimodal {
       lit("00000001" + "00000002"), // creation/modification stamps
       beHex32(timescale), beHex32(durTicks),
       lit("00" * 80), // rate/volume/reserved/matrix/next_track zeroed
-      beHex32(dataLen + 8), lit("6d646174")) // mdat header (payload elided)
+      // mdat header (payload elided): size==1 + largesize (16-byte
+      // header) for every 5th asset, plain u32 size otherwise
+      when(useLargesize, concat(lit("00000001" + "6d646174"),
+        beHex64((dataLen + 16).cast("long"))))
+        .otherwise(concat(beHex32(dataLen + 8), lit("6d646174"))))
     val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
     val scanned = withMp4Boxes(withBin, "_bin")
     val moovOff = col("moov_off")
@@ -550,19 +578,22 @@ object Multimodal {
     // box arithmetic (20 ftyp bytes, optional 8+freeLen free box),
     // timescale/duration/mdat from the generating formulas — the
     // Spark-side box walk and big-endian reads are both value-checked.
+    // Every 5th asset's mdat uses the largesize encoding (16-byte
+    // header), so its declared size is data_len + 16, not + 8.
     "mm_mp4_meta" ->
       """WITH g AS (
         |  SELECT doc_id,
         |    ((n_chars % 4 + 1) * 600)::bigint AS timescale,
         |    (doc_id % 9000 + 600)::bigint AS duration_ticks,
         |    (n_chars % 2048 + 8)::bigint AS data_len,
-        |    CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 11 + 1) + 8 ELSE 0 END AS free_span
+        |    CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 11 + 1) + 8 ELSE 0 END AS free_span,
+        |    CASE WHEN doc_id % 5 = 0 THEN 16 ELSE 8 END AS mdat_header
         |  FROM documents
         |)
         |SELECT doc_id, 1 AS valid_ftyp,
         |  (1 + 20 + free_span)::int AS moov_off,
         |  timescale, duration_ticks,
-        |  (data_len + 8)::bigint AS mdat_size,
+        |  (data_len + mdat_header)::bigint AS mdat_size,
         |  round(duration_ticks::double / timescale, 6) AS duration_s
         |FROM g""".stripMargin,
 

@@ -103,7 +103,19 @@ object IngestQueries {
     * reduced to oracle-checkable scalars: the id parsed from the path,
     * the byte length, and the content md5 — so listing, distribution,
     * AND byte fidelity are all value-checked against the table the
-    * bytes came from. */
+    * bytes came from.
+    *
+    * LOCAL-MODE assumption (r7 advice): the executor-side
+    * `Files.write` into java.io.tmpdir and the driver-side read of the
+    * same path only line up when driver and executors share a
+    * filesystem — true in local[n], NOT on a cluster, where the files
+    * would land on executor-local disks and the binaryFile read would
+    * silently miss them. The cluster shape is the same code with
+    * `path` on a DFS (S3/HDFS): `df.write` the bytes (or write via a
+    * Hadoop FileSystem handle) and binaryFile-read the shared URI.
+    * Spelled with local files HERE because this query's job is to
+    * value-check the binaryFile SOURCE hermetically, not to ship a
+    * file-materialization sink. */
   def ingBinary(spark: SparkSession, dir: String): DataFrame = {
     // keyed by DATA DIR like every store table: a JVM querying two
     // scale factors must not serve the first one's files to the second

@@ -149,10 +149,22 @@ object StreamQueries {
   /** I14: top event types per day — the daily heavy-hitters roll-up.
     * One day-keyed aggregation + a rank window over tiny per-day
     * groups (at most #event-types rows per day reach the window).
-    * Runs through the SAME dailyCounts/dailyTopk pair the streaming
-    * face uses (StreamingSpec proves the MemoryStream parity). */
-  def evDailyTopk(spark: SparkSession, dir: String): DataFrame =
-    Streaming.dailyTopk(Streaming.dailyCounts(Tables.events(spark, dir)))
+    * The batch face groups by a plain `date_trunc('day', ts)` — equal
+    * by construction to `window(ts, '1 day').start` but without the
+    * TimeWindow struct expansion in the aggregate (r7 routed batch
+    * through Streaming.dailyCounts and the driver bench read it 6×
+    * slower; clean r8 probes put most of that on co-tenant noise, but
+    * the cheaper projection is strictly better). The finishing rank
+    * (`dailyTopk`) stays shared with the streaming face, whose
+    * window()-aggregated counts StreamingSpec proves land on the same
+    * day keys (MemoryStream parity). */
+  def evDailyTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    Streaming.dailyTopk(daily)
+  }
 
   /** I13: Markov transition matrix over user event journeys. */
   def evMarkov(spark: SparkSession, dir: String): DataFrame =

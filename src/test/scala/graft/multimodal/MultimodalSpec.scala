@@ -155,6 +155,30 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(2L)._1 == 0 && byId(2L)._2 == 0 && byId(2L)._3 == 0L)
   }
 
+  test("H7 special size encodings: size==1 reads the 64-bit largesize, size==0 spans to EOF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    val mvhd = "0000006c" + "6d766864" + "00000000" +
+      "00000001" + "00000002" + "00000258" + "00000708" + ("00" * 80)
+    val ftypMoov = "00000014" + "66747970" + "69736f6d" + "00000200" + "6d703431" +
+      "00000074" + "6d6f6f76" + mvhd
+    // mdat with size==1: the declared size is the 64-bit largesize (32)
+    val largesize = ftypMoov + "00000001" + "6d646174" + "0000000000000020"
+    // mdat with size==0: spans to end of stream — header only → 8 bytes
+    val toEof = ftypMoov + "00000000" + "6d646174"
+    // size==1 but the stream ends before the 8 largesize bytes: the
+    // null read freezes the walk, mdat_size must stay 0 (not garbage)
+    val cutLarge = ftypMoov + "00000001" + "6d646174"
+    val out = Multimodal.withMp4Boxes(
+      Seq((1L, largesize), (2L, toEof), (3L, cutLarge)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_ftyp", "moov_off", "mdat_size")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1, 21, 32L)), s"largesize: ${out(1L)}")
+    assert(out(2L) == ((1, 21, 8L)), s"size==0: ${out(2L)}")
+    assert(out(3L) == ((1, 21, 0L)), s"cut largesize: ${out(3L)}")
+  }
+
   test("H7 truncated streams: declared sizes past end-of-bytes freeze the walk, no garbage reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
