@@ -188,13 +188,13 @@ object GraphQueries {
       .select(col("u"), col("v"), (lit(1.0) / col("cnt")).as("w"))
 
   /** C9 driver query: Bellman-Ford distances from the minimum part key
-    * in the co-order graph. The source is an aggregate-to-driver
-    * scalar (min over the edge frame — the oracle computes the same
-    * min in-SQL, so both engines agree on the seed). */
+    * in the co-order graph. The seed rides IN-PLAN as a one-row
+    * aggregate (min over the edge frame — the oracle computes the same
+    * min in-SQL), so the query issues zero pre-plan driver actions,
+    * the same convention as the PageRank family's in-plan scalars. */
   def graphSssp(spark: SparkSession, dir: String): DataFrame = {
     val e = coOrderWeighted(spark, dir).localCheckpoint(eager = true)
-    val src = e.agg(min(col("u"))).first().getLong(0)
-    Graphs.sssp(e, src, SsspIterations)
+    Graphs.ssspFrom(e, e.agg(min(col("u")).as("id")), SsspIterations)
       .select(col("id"), round(col("d"), 6).as("dist"))
   }
 

@@ -499,14 +499,20 @@ object Graphs {
     * order-independent — so no rounding is needed for agreement.
     * One edges⋈dist join + one min-aggregation per round; dist is a
     * narrow (id, d) frame, checkpointed so lineage stays flat. */
-  def sssp(weighted: DataFrame, source: Any, iterations: Int): DataFrame = {
-    val spark = weighted.sparkSession
-    import spark.implicits._
+  def sssp(weighted: DataFrame, source: Any, iterations: Int): DataFrame =
+    ssspFrom(weighted,
+      weighted.sparkSession.range(1).select(lit(source).as("id")), iterations)
+
+  /** C9 with the seed supplied as a ONE-ROW frame (column `id`) — the
+    * in-plan variant (r7 advice): a derived seed (e.g. the min vertex
+    * key) rides as part of the first round's plan instead of a driver
+    * `first()` action, matching the PageRank family's zero-pre-plan-
+    * actions convention. */
+  def ssspFrom(weighted: DataFrame, seed: DataFrame, iterations: Int): DataFrame = {
     val und = weighted.select(col("u"), col("v"), col("w"))
       .unionAll(weighted.select(col("v").as("u"), col("u").as("v"), col("w")))
       .localCheckpoint(eager = true)
-    var dist = spark.range(1)
-      .select(lit(source).as("id"), lit(0.0).as("d"))
+    var dist = seed.select(col("id"), lit(0.0).as("d"))
     for (i <- 1 to iterations) {
       val cand = und.join(dist, und("u") === dist("id"))
         .select(col("v").as("id"), (col("d") + col("w")).as("d"))

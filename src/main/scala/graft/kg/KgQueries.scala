@@ -92,6 +92,25 @@ object KgQueries {
   def kgNodes(spark: SparkSession, dir: String): DataFrame =
     GraphBuilder.nodes(storedTriples(spark, dir))
 
+  // B13 entity-resolution parameters — the Spark operator and the
+  // DuckDB oracle are both generated from these, so they cannot drift.
+  // Labels: the natural-language-name labels of this KG (serial names
+  // like Customer#000000042 are out of ER scope by design — see
+  // EntityResolution's scaladoc).
+  val ErLabels: Seq[String] = Seq("Part", "Nation", "Brand")
+  val ErK = 3
+  val ErBands = 4
+  val ErRowsPerBand = 3
+  val ErThreshold = 0.4
+
+  /** B13: deterministic entity resolution over node names — the
+    * spelling-variant merge candidates the reference's normalize
+    * prompt resolves via the LLM (chains.py rules 1-2), recovered
+    * here with char-gram MinHash banding + Jaccard verification. */
+  def kgEntityResolution(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.resolutionPairs(kgNodes(spark, dir), ErLabels,
+      ErK, ErBands, ErRowsPerBand, ErThreshold)
+
   def kgEdges(spark: SparkSession, dir: String): DataFrame =
     storedEdges(spark, dir)
 
@@ -145,14 +164,19 @@ object KgQueries {
   def kgTwoHop(spark: SparkSession, dir: String): DataFrame =
     kgTwoHopCapped(storedEdges(spark, dir), maxMidDegree = None)
 
+  /** Precondition: `e` is the MERGE-deduplicated edge table — one row
+    * per (src_label, src, rel, dst_label, dst), which is what
+    * GraphBuilder.edges produces. The n_sources leg relies on it. */
   def kgTwoHopCapped(e: DataFrame, maxMidDegree: Option[Long]): DataFrame = {
     // COUNT-FACTORED: paths through a middle m factor as
     // n_a(m, rel1) × n_b(m, rel2), so the join carries one row per
     // (middle, rel) — thousands — instead of one per PATH (millions;
     // the naive self-join materializes every path before counting).
     // n_sources still needs the distinct (source, rel1, rel2) set, but
-    // joining the DEDUPED a-side against the tiny (m, rel2) dimension
-    // keeps that leg linear in distinct source-middle pairs.
+    // the edge table is already (src, rel, dst)-unique (precondition),
+    // so the a-side joins the tiny (m, rel2) dimension DIRECTLY — the
+    // r7 plan's corpus-wide pre-join distinct was a no-op shuffle
+    // (r8: dropping it halves the leg's exchanges).
     val a = e.select(col("src_label").as("a_label"), col("src").as("a"),
       col("rel").as("rel1"), col("dst_label").as("m_label"), col("dst").as("m"))
     val b = e.select(col("src_label").as("m_label"), col("src").as("m"),
@@ -173,7 +197,7 @@ object KgQueries {
     val nPaths = aCnt.join(bCnt, Seq("m_label", "m"))
       .groupBy("rel1", "rel2")
       .agg(sum(col("n_a") * col("n_b")).as("n_paths"))
-    val nSources = a.select("a_label", "a", "rel1", "m_label", "m").distinct()
+    val nSources = a.select("a_label", "a", "rel1", "m_label", "m")
       .join(bCnt.select("m_label", "m", "rel2"), Seq("m_label", "m"))
       .select("a_label", "a", "rel1", "rel2").distinct()
       .groupBy("rel1", "rel2").agg(count(lit(1)).as("n_sources"))
@@ -221,6 +245,7 @@ object KgQueries {
     "kg_cypher_batches"        -> (kgCypherBatches _),
     "kg_two_hop"               -> (kgTwoHop _),
     "kg_rel_cardinality"       -> (kgRelCardinality _),
+    "kg_entity_resolution"     -> (kgEntityResolution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -280,6 +305,63 @@ object KgQueries {
          |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
 
     "kg_edges" -> s"WITH t AS ($triplesSql)\n$edgesSelectSql",
+
+    // mirrors EntityResolution.resolutionPairs step for step: same
+    // normalization, char-gram, seeded-minhash, label-blocked banding
+    // and hashed-gram Jaccard formulas, generated from the same Er*
+    // constants the Spark operator runs with
+    "kg_entity_resolution" -> {
+      val n = ErBands * ErRowsPerBand
+      val labelsIn = ErLabels.map(l => s"'$l'").mkString(", ")
+      val sigCols = (0 until n).map(i =>
+        s"list_aggregate(list_transform(grams, x -> md5('$i|' || x)), 'min') AS h$i")
+        .mkString(",\n  ")
+      val bandSelects = (0 until ErBands).map { b =>
+        val cat = (0 until ErRowsPerBand).map(j => s"h${b * ErRowsPerBand + j}")
+          .mkString(" || ")
+        s"SELECT label, name, $b AS band, md5(label || '|' || $cat) AS bucket FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS ($triplesSql),
+         |nodes AS (
+         |  SELECT ${camelSql("subject_type")} AS label, subject AS name
+         |  FROM t WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |  UNION
+         |  SELECT ${camelSql("object_type")}, object
+         |  FROM t WHERE object IS NOT NULL AND trim(object) <> ''
+         |),
+         |nn AS (SELECT label, name,
+         |  lower(regexp_replace(trim(name), ' +', ' ', 'g')) AS nm
+         |  FROM nodes WHERE label IN ($labelsIn)),
+         |g AS (SELECT label, name,
+         |  CASE WHEN length(nm) >= $ErK
+         |    THEN list_transform(range(1, length(nm) - ${ErK - 2}), i -> nm[i:i+${ErK - 1}])
+         |    ELSE [nm] END AS grams
+         |  FROM nn),
+         |sig AS (SELECT label, name,
+         |  $sigCols
+         |FROM g),
+         |bands AS (
+         |$bandSelects
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.label, a.name AS name_a, b.name AS name_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.name < b.name
+         |),
+         |ds AS (SELECT label, name,
+         |  list_distinct(list_transform(grams, x -> md5(x))) AS ds FROM g),
+         |j AS (
+         |  SELECT c.label, c.name_a, c.name_b,
+         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+         |    length(a.ds) + length(b.ds)
+         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+         |  FROM cand c
+         |  JOIN ds a ON c.label = a.label AND c.name_a = a.name
+         |  JOIN ds b ON c.label = b.label AND c.name_b = b.name
+         |)
+         |SELECT label, name_a, name_b, round(inter::double / uni, 4) AS jaccard
+         |FROM j WHERE round(inter::double / uni, 4) >= $ErThreshold""".stripMargin
+    },
 
     "kg_cypher_batches" ->
       s"""WITH t AS ($triplesSql),
