@@ -236,6 +236,16 @@ object GraphQueries {
     Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
       vertices = Some(storedGeoVerts(spark, dir)))
 
+  /** C5w driver query: WEIGHTED label propagation over the co-order
+    * part graph, votes summed by co-order COUNT (exact integers — the
+    * strength signal graph_pagerank_w ranks by, driving communities):
+    * parts that are frequently ordered together pull each other into
+    * one community even against more numerous weak links. */
+  def graphLpaWeighted(spark: SparkSession, dir: String): DataFrame =
+    Graphs.labelPropagationWeighted(
+      storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
+      LpaIterations)
+
   val HitsIterations = 5
 
   /** C10 driver query: HITS over the canonical-orientation geo edges
@@ -327,6 +337,7 @@ object GraphQueries {
     "graph_pagerank_w" -> (graphPagerankWeighted _),
     "graph_ppr"       -> (graphPpr _),
     "graph_lpa"       -> (graphLpa _),
+    "graph_lpa_w"     -> (graphLpaWeighted _),
     "graph_modularity" -> (graphModularity _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
@@ -416,6 +427,36 @@ object GraphQueries {
          |$geoUndCtes,
          |$lpaLabelCtes
          |SELECT id, lbl FROM lbl$LpaIterations""".stripMargin,
+
+    // mirrors Graphs.labelPropagationWeighted over the co-order graph:
+    // the lpa iteration chain with sum(cnt) votes instead of count(*)
+    // — exact bigint sums, min-label ties, drift-proof
+    "graph_lpa_w" -> {
+      val iterCtes = (1 to LpaIterations).map { i =>
+        s"""lbl$i AS (
+           |  SELECT id, lbl FROM (
+           |    SELECT und.u AS id, l.lbl, sum(und.cnt) AS n,
+           |      row_number() OVER (PARTITION BY und.u
+           |        ORDER BY sum(und.cnt) DESC, l.lbl) AS r
+           |    FROM und JOIN lbl${i - 1} l ON und.v = l.id
+           |    GROUP BY und.u, l.lbl
+           |  ) WHERE r = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |), und AS MATERIALIZED (
+         |  SELECT u, v, cnt FROM e0 UNION ALL SELECT v, u, cnt FROM e0
+         |),
+         |lbl0 AS (SELECT DISTINCT u AS id, u AS lbl FROM und),
+         |$iterCtes
+         |SELECT id, lbl FROM lbl$LpaIterations""".stripMargin
+    },
 
     "graph_modularity" ->
       s"""$edgesCte,

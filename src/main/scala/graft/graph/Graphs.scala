@@ -465,6 +465,34 @@ object Graphs {
     labels
   }
 
+  /** C5w: WEIGHTED label propagation — the C3w move applied to C5:
+    * each vertex adopts the label with the largest SUM OF EDGE WEIGHTS
+    * over its neighbors (min label on ties) instead of the largest
+    * neighbor count. With integer weights (e.g. co-occurrence counts)
+    * every vote is exact, so the fixed-iteration result is a
+    * deterministic function any engine can mirror. Same shuffle shape
+    * as the unweighted version: one join + one keyed agg + one tiny
+    * rank window per round. */
+  def labelPropagationWeighted(undirected: DataFrame, iterations: Int = 5,
+      vertices: Option[DataFrame] = None): DataFrame = {
+    val one = undirected.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(eager = true)
+    val und = one.unionAll(one.select(col("v").as("u"), col("u").as("v"), col("w")))
+    var labels = vertices.getOrElse(und.select(col("u").as("id")).distinct())
+      .select(col("id")).withColumn("lbl", col("id"))
+    for (i <- 1 to iterations) {
+      val votes = und.join(labels, und("v") === labels("id"))
+        .groupBy(col("u"), col("lbl")).agg(sum(col("w")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("n").desc, col("lbl"))
+      labels = checkpointEvery(
+        votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+          .select(col("u").as("id"), col("lbl")),
+        i)
+    }
+    labels
+  }
+
   /** C8: k-core by fixed-round peeling — each round drops vertices
     * whose degree over the REMAINING edges is < k, then their incident
     * edges. Fixed `iterations` (not a convergence test) so the result

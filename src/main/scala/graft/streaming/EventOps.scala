@@ -72,19 +72,38 @@ object EventOps {
   def retention(events: DataFrame, cohortType: String,
       keyCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
-    val cohorts = events.filter(col(typeCol) === cohortType)
-      .groupBy(col(keyCol))
-      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
     val active = events
       .select(col(keyCol), date_trunc("week", col(tsCol)).as("week"))
       .distinct()
+    retentionFromActivity(active,
+      cohortWeeks(events, cohortType, keyCol, tsCol, typeCol), keyCol)
+  }
+
+  /** The cohort dimension: user → week of their FIRST `cohortType`
+    * event. In the streaming face this is the slowly-updating
+    * stream-static dim (recomputed on whatever cadence the cohort
+    * definition changes, re-planned per micro-batch — the I15 shape). */
+  def cohortWeeks(events: DataFrame, cohortType: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame =
+    events.filter(col(typeCol) === cohortType)
+      .groupBy(col(keyCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+
+  /** Retention finishing: cells from a distinct (user, week) activity
+    * frame × the cohort dim — shared by the batch operator above and
+    * the streaming face (Streaming.weeklyActive emits the activity
+    * incrementally; StreamingSpec proves the parity). Callers on the
+    * streaming side pass `broadcast(cohorts)` so the per-micro-batch
+    * join is a map-side lookup. */
+  def retentionFromActivity(active: DataFrame, cohorts: DataFrame,
+      keyCol: String = "user_id"): DataFrame =
     active.join(cohorts, keyCol)
       .filter(col("week") >= col("cohort_week"))
       .groupBy(col("cohort_week"),
         ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
           / 604800L).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
-  }
 
   /** Ordered funnel: users counted at step i must have performed step
     * i's event type AT OR AFTER their first qualifying step i-1 event

@@ -307,6 +307,24 @@ object Streaming {
     daily.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** I9 (streaming face): incremental weekly-active (user_id, week)
+    * rows — a 7-day tumbling window keyed by user. `startTime` of 4
+    * days aligns windows to MONDAYS (the epoch is a Thursday), so
+    * `window.start` equals `date_trunc('week', ts)` exactly and the
+    * batch operator's week keys match bit-for-bit. Each (user, week)
+    * emits once on window close, watermark-bounded state; the
+    * retention matrix is a batch finishing touch over the emitted
+    * activity (EventOps.retentionFromActivity) against the cohort
+    * dim, which rides stream-static — the same incremental-half /
+    * batch-finish split as I13 transitions and I14 daily counts. */
+  def weeklyActive(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("week"))
+
   /** I15: stream-static enrichment join — the dimension lookup every
     * event pipeline does (user tier, device class, geo). The static
     * side is re-planned per micro-batch (so a refreshed dim table is
@@ -333,6 +351,34 @@ object Streaming {
       df.write.mode("overwrite").parquet(dir.toString)
       marker.createNewFile()
     }
+  }
+
+  /** I4 extension (record-keyed): exactly-once MERGE sink keyed by
+    * Kafka-shaped coordinates (topic, partition, offset) — the
+    * upsert-key idempotence contract for non-transactional sinks at
+    * RECORD granularity, where idempotentBatchSink works at BATCH
+    * granularity. Insert-if-absent: a replayed micro-batch (the
+    * restart at-least-once window) re-delivers keys already in the
+    * store and no-ops, EVEN IF the replayed content differs — offsets
+    * identify records, payload bytes do not; first write wins.
+    * Read-existing-keys → anti-join → append-new-files is the portable
+    * spelling of `MERGE WHEN NOT MATCHED THEN INSERT` (what a
+    * Delta/Iceberg/JDBC sink does transactionally); the fresh rows are
+    * materialized BEFORE the append so the write never scans the
+    * directory it is extending. */
+  def offsetMergeSink(storeDir: String,
+      keyCols: Seq[String] = Seq("topic", "partition", "offset"))
+      (df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val hasData = Option(new java.io.File(storeDir).listFiles())
+      .getOrElse(Array.empty).exists(_.getName.endsWith(".parquet"))
+    val incoming = df.dropDuplicates(keyCols)
+    val fresh = (if (hasData)
+        incoming.join(spark.read.parquet(storeDir).select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+      else incoming)
+      .localCheckpoint(eager = true)
+    if (!fresh.isEmpty) fresh.write.mode("append").parquet(storeDir)
   }
 
   /** Committed batches only — the reader side of the marker contract.

@@ -127,6 +127,20 @@ class GraphSpec extends SparkSpec {
     assert(lp("a2") != lp("b2"), "cliques must keep distinct labels")
   }
 
+  test("C5w weighted LPA: one heavy edge outvotes more numerous unit edges") {
+    import spark.implicits._
+    // vertex 1 has three neighbors: 4 via weight 10, 2 and 3 via 1.
+    // Unweighted LPA ties the three labels and min-label picks 2;
+    // weight-summed votes pick 4.
+    val we = Seq((1L, 4L, 10L), (1L, 2L, 1L), (1L, 3L, 1L)).toDF("u", "v", "w")
+    val weighted = Graphs.labelPropagationWeighted(we, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(1L) == 4L, s"heavy edge must win the vote: $weighted")
+    val unweighted = Graphs.labelPropagation(we.select("u", "v"), iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted(1L) == 2L, s"count votes tie, min label wins: $unweighted")
+  }
+
   test("C6/C7 BFS computes min-hop depths and respects the hop bound") {
     val e = edgesDf("s" -> "a", "a" -> "b", "b" -> "c", "c" -> "d",
       "s" -> "b") // shortcut: b reachable at depth 1

@@ -170,4 +170,39 @@ class KgSpec extends SparkSpec {
     assert(capped == Set(("r1", "r2", 1L, 1L)),
       s"hub middle m2 (degree 6) must be capped out: $capped")
   }
+
+  test("B13 entity resolution: spelled variants pair and cluster, labels block, dissimilar names don't") {
+    import spark.implicits._
+    val nodes = Seq(
+      ("Artist", "Pablo Picasso"),
+      ("Artist", "Pablo  Picaso"),      // typo + double space variant
+      ("Artist", "Claude Monet"),
+      ("Museum", "National Gallery"),
+      ("Museum", "The National Gallery"), // full-name variant
+      ("City",   "National Gallery"),    // same NAME, different label
+    ).toDF("label", "name")
+    val pairs = EntityResolution.resolutionPairs(nodes, Seq("Artist", "Museum"))
+      .select("label", "name_a", "name_b").as[(String, String, String)]
+      .collect().toSet
+    assert(pairs.contains(("Artist", "Pablo  Picaso", "Pablo Picasso")),
+      s"variant pair must survive banding+verification: $pairs")
+    assert(pairs.contains(("Museum", "National Gallery", "The National Gallery")),
+      s"museum full-name variant must pair: $pairs")
+    // label blocking: the City homonym is out of scope AND could never
+    // collide with the Museum (label rides in the bucket hash)
+    assert(!pairs.exists(p => p._1 == "City"), s"City label excluded: $pairs")
+    assert(!pairs.exists(p => p._2 == "Claude Monet" || p._3 == "Claude Monet"),
+      s"dissimilar name must not pair: $pairs")
+    val clusters = EntityResolution.resolutionClusters(nodes, Seq("Artist", "Museum"))
+      .as[(String, String, String, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(clusters(("Artist", "Pablo Picasso")) == (("Pablo  Picaso", 0)) ||
+      clusters(("Artist", "Pablo Picasso"))._1 == clusters(("Artist", "Pablo  Picaso"))._1,
+      s"variants share one canonical name: $clusters")
+    assert(clusters(("Artist", "Claude Monet")) == (("Claude Monet", 1)),
+      "singleton keeps its own name as canonical")
+    val canonMuseum = clusters(("Museum", "National Gallery"))._1
+    assert(canonMuseum == clusters(("Museum", "The National Gallery"))._1,
+      s"museum variants merge: $clusters")
+  }
 }

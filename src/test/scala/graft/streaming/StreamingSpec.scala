@@ -242,6 +242,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I9 streaming weekly activity + cohort finishing match the batch retention matrix") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("user_id", "ts", "event_type")
+    val q = Streaming.weeklyActive(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("weekly_out").outputMode("append").start()
+    try {
+      val wk = 7 * 1440 // minutes per week
+      val data = Seq(
+        (1L, ts(0), "signup"), (1L, ts(10), "view"),      // cohort w0, active w0
+        (1L, ts(wk + 5), "click"),                        // active w1
+        (2L, ts(wk + 10), "signup"),                      // cohort w1
+        (2L, ts(2 * wk + 3), "view"),                     // active w2
+        (3L, ts(5), "view"))                              // never signs up
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*) // cross-batch: counts merge in state
+      q.processAllAvailable()
+      mem.addData((99L, ts(100000), "flush")); q.processAllAvailable()
+      mem.addData((99L, ts(200000), "flush")); q.processAllAvailable()
+      val streamedActive = spark.table("weekly_out")
+        .filter(col("user_id") =!= 99L).select("user_id", "week")
+      val batchDf = asEvents(data.toDF())
+      val cohorts = EventOps.cohortWeeks(batchDf, "signup")
+      val streamed = EventOps.retentionFromActivity(streamedActive, broadcast(cohorts))
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = EventOps.retention(batchDf, "signup")
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+      // non-cohort user 3 must not appear in any cell: user 1 hits
+      // offsets 0,1 of cohort-week w0; user 2 offsets 0,1 of w1
+      assert(batch.toSeq.map(_._3).sum == 4L, s"cells: $batch")
+    } finally q.stop()
+  }
+
+  test("I4 offset-keyed MERGE sink: replayed offsets with different content are a no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val store = Files.createTempDirectory("graft_offsets").toString + "/store"
+    val mem = MemoryStream[(String, Int, Long, String)]
+    val asKafka = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("topic", "partition", "offset", "payload")
+    val q = asKafka(mem.toDF())
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.offsetMergeSink(store)(df, id))
+      .start()
+    try {
+      mem.addData(("t", 0, 0L, "a"), ("t", 0, 1L, "b"))
+      q.processAllAvailable()
+      mem.addData(("t", 0, 2L, "c"))
+      q.processAllAvailable()
+      // the at-least-once replay window: offsets 0-1 re-delivered with
+      // DIFFERENT payloads (plus a genuinely new offset 3) — the merge
+      // must keep the original rows and admit only the new key
+      Streaming.offsetMergeSink(store)(
+        asKafka(Seq(("t", 0, 0L, "X"), ("t", 0, 1L, "Y"), ("t", 0, 3L, "d")).toDF()), 0L)
+      val out = spark.read.parquet(store)
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(out == Set(("t", 0, 0L, "a"), ("t", 0, 1L, "b"),
+        ("t", 0, 2L, "c"), ("t", 0, 3L, "d")), s"store: $out")
+    } finally q.stop()
+  }
+
   test("I13 streaming transitions match the batch window operator, across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
