@@ -153,6 +153,17 @@ object GraphQueries {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** C19 driver query: local clustering coefficient per vertex of the
+    * co-order part graph — lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * the per-vertex "how clique-like is my neighborhood" signal C4's
+    * global count can't give. One wedge-closure triangle enumeration
+    * (each triangle credits its 3 corners) + one degree aggregation;
+    * same oriented u<v edge input as graph_triangles, so the joins
+    * reuse the stored co-order layout. Exact integer counts; the one
+    * float is a fixed expression both engines evaluate identically. */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame =
+    Graphs.localClustering(coOrderEdges(spark, dir))
+
   val KCoreK = 3
   val KCoreIterations = 6 // ≥ observed convergence depth on this graph
 
@@ -328,6 +339,7 @@ object GraphQueries {
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_bfs"       -> (graphBfs _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_clustering" -> (graphClustering _),
     "graph_kcore"     -> (graphKcore _),
     "graph_ktruss"    -> (graphKtruss _),
     "graph_walks"     -> (graphWalks _),
@@ -671,6 +683,32 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // mirrors graphClustering: same wedge closure per corner + degree
+    // agg; lcc is ONE fixed double expression over exact counts
+    "graph_clustering" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), tri AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+         |), tc AS (
+         |  SELECT id, count(*) AS n_tri FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+         |  ) GROUP BY 1
+         |), deg AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM e UNION ALL SELECT v FROM e
+         |  ) GROUP BY 1
+         |)
+         |SELECT deg.id, deg.deg, coalesce(tc.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg >= 2
+         |    THEN round(2.0 * coalesce(tc.n_tri, 0) / (deg.deg * (deg.deg - 1)), 4)
+         |    ELSE 0.0 END AS lcc
+         |FROM deg LEFT JOIN tc ON deg.id = tc.id""".stripMargin,
 
     "graph_harmonic" ->
       s"""WITH RECURSIVE l AS (

@@ -465,6 +465,32 @@ object Graphs {
     labels
   }
 
+  /** C19: local clustering coefficient — lcc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) over oriented (u < v, deduped) edges: one
+    * wedge-closure triangle enumeration credits each triangle's 3
+    * corners, one degree aggregation, a left join. Exact integer
+    * counts; the single float is a fixed expression both engines
+    * evaluate identically. Vertices of degree < 2 report lcc 0.0. */
+  def localClustering(oriented: DataFrame): DataFrame = {
+    val e = oriented.select(col("u"), col("v"))
+    val tri = e.select(col("u").as("x"), col("v").as("y"))
+      .join(e.select(col("u").as("y"), col("v").as("z")), "y")
+      .join(e.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
+    val tc = tri.select(col("x").as("id"))
+      .unionAll(tri.select(col("y").as("id")))
+      .unionAll(tri.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(tc, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** C5w: WEIGHTED label propagation — the C3w move applied to C5:
     * each vertex adopts the label with the largest SUM OF EDGE WEIGHTS
     * over its neighbors (min label on ties) instead of the largest

@@ -364,6 +364,31 @@ object Multimodal {
       round((pFrames * 1000).cast("double") / pRate, 4).as("duration_ms"))
   }
 
+  /** Signed little-endian i32 (two's complement) at a COLUMN byte
+    * offset — BMP's biHeight is NEGATIVE for top-down row order, the
+    * classic header quirk naive parsers truncate to garbage. */
+  def leI32(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = leU32(bin, off)
+    when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+  }
+
+  /** H8: BITMAPFILEHEADER + BITMAPINFOHEADER parse — fixed offsets
+    * (unlike RIFF/ISO-BMFF there is no chunk walk: BMP's info header
+    * sits at byte 15 always): 'BM' magic, signed width/height, bits
+    * per pixel. Returns |height| plus an explicit top_down flag for
+    * the negative-height encoding. Pure codegen'd projections. */
+  def withBmpHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val validBmp = (lower(hex(substring(bin, 1, 2))) === "424d").cast("int") // "BM"
+    def ifBmp(c: org.apache.spark.sql.Column) = when(validBmp === 1, c)
+    val hRaw = ifBmp(leI32(bin, lit(23)))
+    df.withColumn("valid_bmp", validBmp)
+      .withColumn("width", ifBmp(leI32(bin, lit(19))))
+      .withColumn("height", abs(hRaw))
+      .withColumn("top_down", (hRaw < 0).cast("int"))
+      .withColumn("bpp", ifBmp(leU16(bin, lit(29))))
+  }
+
   /** Big-endian u32 at a COLUMN byte offset (1-based) — the variable-
     * offset sibling of beU32 for box-structured formats (ISO-BMFF). */
   def beU32c(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -491,6 +516,31 @@ object Multimodal {
       round(pDuration.cast("double") / pTimescale, 6).as("duration_s"))
   }
 
+  /** H8 driver query: synthesize a full 54-byte BMP header per asset
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, pixel payload elided — the
+    * WAV data convention): width/bpp from metadata, every 4th asset
+    * top-down (height stored NEGATIVE, two's complement little-endian)
+    * — then parse magic, signed dims, orientation, and depth back from
+    * the BYTES. The oracle re-derives everything from the generating
+    * formulas, so a parser that misreads the sign or byte order
+    * hash-mismatches. */
+  def mmBmpDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val width = (col("n_chars") % 1024 + 16).cast("long")
+    val height = (col("doc_id") % 512 + 16).cast("long")
+    val topDown = col("doc_id") % 4 === 0
+    val bpp = when(col("doc_id") % 2 === 0, 24).otherwise(32)
+    val heightStored = when(topDown, lit(4294967296L) - height).otherwise(height)
+    val hx = concat(
+      lit("424d"), leHex32(lit(54)), lit("00000000"), leHex32(lit(54)), // BM, size, reserved, data offset
+      leHex32(lit(40)), // biSize
+      leHex32(width), leHex32(heightStored),
+      lit("0100"), leHex16(bpp), // planes=1, bitCount
+      lit("00" * 24)) // compression/sizeImage/ppm/clr fields zeroed
+    withBmpHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_bmp", "width", "height", "top_down", "bpp")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -499,6 +549,7 @@ object Multimodal {
     "mm_jpeg_dims" -> (mmJpegDims _),
     "mm_wav_meta" -> (mmWavMeta _),
     "mm_mp4_meta" -> (mmMp4Meta _),
+    "mm_bmp_dims" -> (mmBmpDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -596,6 +647,17 @@ object Multimodal {
         |  (data_len + mdat_header)::bigint AS mdat_size,
         |  round(duration_ticks::double / timescale, 6) AS duration_s
         |FROM g""".stripMargin,
+
+    // independent derivation from the generating formulas (the
+    // mm_jpeg/wav/mp4 convention) — sign handling and LE byte order
+    // on the Spark side are both value-checked
+    "mm_bmp_dims" ->
+      """SELECT doc_id, 1 AS valid_bmp,
+        |  (n_chars % 1024 + 16)::bigint AS width,
+        |  (doc_id % 512 + 16)::bigint AS height,
+        |  (doc_id % 4 = 0)::int AS top_down,
+        |  CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END AS bpp
+        |FROM documents""".stripMargin,
 
     "mm_decode" ->
       """WITH d AS (

@@ -580,7 +580,43 @@ object TextQueries {
         col("n"))
   }
 
+  /** G21 boilerplate document-frequency threshold, in tenths: a token
+    * is boilerplate within its source when it appears in ≥ 8/10 of the
+    * source's docs. Integer-ratio comparison (df·10 ≥ n_docs·8) keeps
+    * membership exact in every engine. */
+  val BoilerDfTenths = 8
+
+  /** G21: per-source boilerplate detection — tokens appearing in
+    * nearly every document of a source are template/boilerplate
+    * vocabulary (nav text, headers, license banners in a real crawl),
+    * and a document's boilerplate SHARE is the cleaning signal (high
+    * share → little unique content). One distinct (source, token,
+    * doc) pass → per-source doc-frequency; the boilerplate vocab is
+    * bounded by vocabulary size per source, so the share join
+    * BROADCASTS it — the corpus is scanned twice and shuffled never
+    * (token rows aggregate map-side per doc). */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables.documents(spark, dir))
+
+  def boilerplate(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val dfreq = tok.distinct()
+      .groupBy("source", "tok").agg(count(lit(1)).as("df"))
+    val nd = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val boiler = dfreq.join(nd, "source")
+      .filter(col("df") * 10 >= col("n_docs") * BoilerDfTenths)
+      .select(col("source"), col("tok"), lit(1).as("_b"))
+    tok.join(broadcast(boiler), Seq("source", "tok"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("_b")).as("n_boiler_tokens"))
+      .withColumn("boiler_share",
+        round(col("n_boiler_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_boilerplate"  -> (textBoilerplate _),
     "text_tfidf"        -> (textTfidf _),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
@@ -636,6 +672,26 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors textBoilerplate: same tokens, same integer-ratio df
+    // threshold (generated from BoilerDfTenths), same share expression
+    "text_boilerplate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    unnest(string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')) AS tok
+         |  FROM documents
+         |), dfreq AS (
+         |  SELECT source, tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1, 2
+         |), nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |boiler AS (
+         |  SELECT d.source, d.tok FROM dfreq d JOIN nd USING (source)
+         |  WHERE d.df * 10 >= nd.n_docs * $BoilerDfTenths
+         |)
+         |SELECT t.doc_id, t.source, count(*) AS n_tokens,
+         |  count(b.tok) AS n_boiler_tokens,
+         |  round(count(b.tok)::double / count(*), 4) AS boiler_share
+         |FROM tok t LEFT JOIN boiler b ON t.source = b.source AND t.tok = b.tok
+         |GROUP BY 1, 2""".stripMargin,
+
     // Mirrors textQuantileSketch step for step from the SAME constants:
     // bin counts (the sketch is SQL-expressible because binning is a
     // pure function of the value), cumulative crossing-bin search, and

@@ -127,6 +127,17 @@ class GraphSpec extends SparkSpec {
     assert(lp("a2") != lp("b2"), "cliques must keep distinct labels")
   }
 
+  test("C19 local clustering: closed triangle 1.0, hub with pendant dilutes, leaf 0.0") {
+    import spark.implicits._
+    // triangle a-b-c plus pendant d on a (edges oriented u < v)
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")).toDF("u", "v")
+    val out = Graphs.localClustering(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("b") == ((2L, 1L, 1.0)) && out("c") == ((2L, 1L, 1.0)))
+    assert(out("a") == ((3L, 1L, 0.3333)), s"hub: ${out("a")}") // 2·1/(3·2)
+    assert(out("d") == ((1L, 0L, 0.0)), "degree-1 vertex has lcc 0")
+  }
+
   test("C5w weighted LPA: one heavy edge outvotes more numerous unit edges") {
     import spark.implicits._
     // vertex 1 has three neighbors: 4 via weight 10, 2 and 3 via 1.

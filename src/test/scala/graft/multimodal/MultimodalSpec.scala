@@ -126,6 +126,31 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(0) == 1 && r.getInt(1) == 0 && r.getLong(2) == 0L)
   }
 
+  test("H8 withBmpHeader reads signed LE dims; negative height flags top-down; junk rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    def hdr(widthLE: String, heightLE: String, bppLE: String) =
+      "424d" + "36000000" + "00000000" + "36000000" + // BM, size 54, data @54
+        "28000000" + widthLE + heightLE + "0100" + bppLE + ("00" * 24)
+    val bottomUp = hdr("80000000", "40000000", "1800") // 128×64, 24bpp
+    val topDown  = hdr("20000000", "c0ffffff", "2000") // 32×|-64|, 32bpp
+    val junk = "ffd8ffe0" + ("00" * 50)                // JPEG magic, not BM
+    val out = Multimodal.withBmpHeader(
+      Seq((1L, bottomUp), (2L, topDown), (3L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_bmp", "width", "height", "top_down", "bpp")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5)))
+      }.toMap
+    assert(out(1L) == ((1, 128L, 64L, 0, 24)), s"bottom-up: ${out(1L)}")
+    assert(out(2L) == ((1, 32L, 64L, 1, 32)), s"top-down (0xffffffc0 = -64): ${out(2L)}")
+    assert(out(3L)._1 == 0 && out(3L)._2 == -1L, s"junk magic must null out: ${out(3L)}")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}

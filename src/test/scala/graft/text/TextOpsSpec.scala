@@ -125,6 +125,26 @@ class TextOpsSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("G21 boilerplate: near-universal tokens within a source flagged, cross-source isolation") {
+    // srcA: "tpl" in 3/3 docs (boiler at 8/10), "rare" in 1/3 (not);
+    // srcB: "tpl" in only 1/2 docs — NOT boiler there (per-source df)
+    val d = Seq(
+      (1L, "tpl tpl rare", "srcA"),
+      (2L, "tpl x", "srcA"),
+      (3L, "tpl y", "srcA"),
+      (4L, "tpl z", "srcB"),
+      (5L, "w z", "srcB"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextQueries.boilerplate(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: 3 tokens, "tpl" twice boiler (multiplicity counts)
+    assert(out(1L) == ((3L, 2L, 0.6667)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    // srcB: "z" is in 2/2 docs → boiler; "tpl" in 1/2 → not
+    assert(out(4L) == ((2L, 1L, 0.5)), s"doc4 (tpl must NOT be boiler in srcB): ${out(4L)}")
+    assert(out(5L) == ((2L, 1L, 0.5)))
+  }
+
   test("packing bins by exclusive running sum: oversized doc occupies one bin") {
     // budget 512: docs of 300+300 fill bin 0 (cum 0,300), a 900-token
     // doc starts at cum 600 -> bin 1, next doc at cum 1500 -> bin 2
