@@ -49,6 +49,7 @@ object SparkEntry {
       "q_pareto"           -> (Relational.qPareto _),
       "q_moving_revenue"   -> (Relational.qMovingRevenue _),
       "q_yoy_growth"       -> (Relational.qYoyGrowth _),
+      "q_ntile"            -> (Relational.qNtile _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -251,6 +252,19 @@ object SparkEntry {
          |    RANGE BETWEEN ${Relational.TrailDays * 86400} PRECEDING
          |          AND CURRENT ROW)::bigint AS trail_cents
          |FROM orders""".stripMargin,
+
+    // mirrors qNtile: exact-cents revenue, custkey tiebreak — the
+    // quartile boundary is deterministic in both engines
+    "q_ntile" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))::bigint AS rev_cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |  round(rev_cents / 100.0, 2) AS revenue,
+        |  ntile(4) OVER (PARTITION BY c.c_nationkey
+        |                 ORDER BY rev_cents DESC, c.c_custkey) AS quartile
+        |FROM customer c JOIN rev ON c.c_custkey = rev.o_custkey""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -422,6 +422,30 @@ object Relational {
           / col("prev_cents"), 6).as("yoy_growth"))
   }
 
+  /** D19 — NTILE quartiles of customers by revenue WITHIN their
+    * nation (the segmentation roll-up behind "top-quartile customers
+    * per market"). PARTITIONed window, so no global sort — each
+    * nation's customers rank independently (the scale-safe ntile;
+    * a global ntile is a single-partition sort and belongs to the K5
+    * sketch at 100 TB). Revenue ordered as EXACT integer cents with a
+    * custkey tiebreak, so the quartile boundary is deterministic
+    * cross-engine (a double-sum order could flip neighbors by an
+    * ulp). */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+    Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"), col("quartile"))
+  }
+
   /** D14 — exact interpolated percentiles per group (the distribution
     * summary a cost/latency dashboard asks of a 100 TB fact table;
     * Spark's percentile is a single-pass partial aggregate, so the

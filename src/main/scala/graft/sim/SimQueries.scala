@@ -80,6 +80,16 @@ object SimQueries {
   def simQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** F10: exact-integer Lloyd k-means over the int8-quantized
+    * embeddings — offline codebook learning for the PQ/IVF family. */
+  def simKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansInt8(
+      Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding"),
+      KmeansK, KmeansIters)
+
   /** F9: per-label centroid distance — the embedding outlier signal. */
   def simCentroidDist(spark: SparkSession, dir: String): DataFrame =
     Similarity.centroidDistance(Tables.embeddings(spark, dir),
@@ -138,6 +148,7 @@ object SimQueries {
     "sim_ivf"        -> (simIvf _),
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_quantize"   -> (simQuantize _),
+    "sim_kmeans"     -> (simKmeans _),
     "sim_centroid_dist" -> (simCentroidDist _),
     "sim_mips"       -> (simMips _),
     "sim_mips_ann"   -> (simMipsAnn _),
@@ -214,6 +225,56 @@ object SimQueries {
         |  CASE WHEN m.maxabs = 0 THEN 0
         |       ELSE round(v.x * 127 / m.maxabs)::int END AS q
         |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin,
+
+    // mirrors Similarity.kmeansInt8 iteration for iteration over the
+    // generated quantization CTE: integer distances, floor(Σq/n)
+    // centroid updates, min-cid ties — every value exact, no rounding
+    // needed anywhere
+    "sim_kmeans" -> {
+      val iterCtes = (1 to KmeansIters).map { i =>
+        val centUpdate = if (i < KmeansIters)
+          s""",
+             |c$i AS MATERIALIZED (
+             |  SELECT a.cid, q.dim, floor(sum(q.q)::double / count(*))::bigint AS c
+             |  FROM a$i a JOIN qt q ON a.vec_id = q.vec_id
+             |  GROUP BY 1, 2
+             |)""".stripMargin
+        else ""
+        s"""d$i AS MATERIALIZED (
+           |  SELECT qt.vec_id, c.cid, sum((qt.q - c.c) * (qt.q - c.c))::bigint AS dist
+           |  FROM qt JOIN c${i - 1} c ON qt.dim = c.dim
+           |  GROUP BY 1, 2
+           |),
+           |a$i AS MATERIALIZED (
+           |  SELECT vec_id, cid, dist FROM (
+           |    SELECT vec_id, cid, dist,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+           |    FROM d$i
+           |  ) WHERE r = 1
+           |)$centUpdate""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ex AS (
+         |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS dim, embedding
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT vec_id, dim, embedding[dim + 1]::double AS x FROM ex
+         |), m AS (
+         |  SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1
+         |), qt AS MATERIALIZED (
+         |  SELECT v.vec_id, v.dim,
+         |    CASE WHEN m.maxabs = 0 THEN 0
+         |         ELSE round(v.x * 127 / m.maxabs)::int END AS q
+         |  FROM v JOIN m ON v.vec_id = m.vec_id
+         |), seeds AS (
+         |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::int AS cid
+         |  FROM (SELECT DISTINCT vec_id FROM qt ORDER BY vec_id LIMIT $KmeansK)
+         |), c0 AS MATERIALIZED (
+         |  SELECT s.cid, q.dim, q.q::bigint AS c
+         |  FROM seeds s JOIN qt q ON s.vec_id = q.vec_id
+         |),
+         |$iterCtes
+         |SELECT vec_id, cid AS cluster, dist AS dist_sq FROM a$KmeansIters""".stripMargin
+    },
 
     // mirrors Similarity.centroidDistance: same exploded rows, same
     // per-(label, dim) mean, same (x−μ)² sum — round(4) absorbs the

@@ -67,6 +67,48 @@ object Similarity {
           .otherwise(round(col("x") * 127.0 / col("maxabs")).cast("int")).as("q"))
   }
 
+  /** F10: deterministic Lloyd k-means over int8-QUANTIZED vectors —
+    * the codebook-learning step PQ/IVF serving stacks train offline,
+    * spelled so every iteration is EXACT and cross-engine stable:
+    * distances are integer sums of squared int diffs, centroid
+    * updates are floor(Σq / n) over exact integer sums (the one IEEE
+    * division takes identical integer operands in every engine, so
+    * the floor is identical too), argmin ties break to the smallest
+    * centroid id, and seeds are the K smallest vector ids. Float
+    * k-means can NOT be pinned this way — per-dim float means are
+    * aggregation-order-dependent, and a last-ulp flip in iteration 1
+    * cascades into different assignments by iteration 3.
+    *
+    * Scale shape: the K·dims centroid table broadcasts; each
+    * iteration is ONE map-side-combined aggregation over n·K·dims
+    * joined rows (never vector×vector) plus a per-vector rank window.
+    * Empty clusters drop out of the centroid table (documented Lloyd
+    * behavior) and both engines drop them identically. */
+  def kmeansInt8(quantized: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val q = quantized.localCheckpoint(eager = true) // read every iteration
+    val seeds = q.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")) - 1)
+    var cent = q.join(seeds, "vec_id")
+      .select(col("cid"), col("dim"), col("q").cast("long").as("c"))
+      .localCheckpoint(eager = true)
+    var asg: DataFrame = null
+    for (i <- 1 to iterations) {
+      val d = col("q") - col("c")
+      val dist = q.join(broadcast(cent), "dim")
+        .groupBy("vec_id", "cid").agg(sum(d * d).as("dist"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      asg = dist.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select("vec_id", "cid", "dist")
+        .localCheckpoint(eager = true)
+      if (i < iterations)
+        cent = q.join(asg.select("vec_id", "cid"), "vec_id")
+          .groupBy("cid", "dim")
+          .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("c"))
+          .localCheckpoint(eager = true)
+    }
+    asg.select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
+  }
+
   /** F1: exact top-k cosine neighbors for each query vector (ground
     * truth). Queries are broadcast; ties break by neighbor id. */
   def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,

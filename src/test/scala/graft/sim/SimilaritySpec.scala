@@ -136,6 +136,23 @@ class SimilaritySpec extends SparkSpec {
     assert(hits > 0, "MIPS-via-ANN recovered no exact-MIPS neighbors")
   }
 
+  test("F10 int8 k-means separates two obvious clusters and assigns every vector") {
+    import spark.implicits._
+    // 2-dim quantized rows: vecs 0-2 near (100, 0), vecs 3-5 near
+    // (0, 100); seeds are vec 0 and vec 1 (both in cluster A), so the
+    // test also proves the centroid UPDATE pulls a seed across
+    val rows = Seq(
+      (0L, 0, 100), (0L, 1, 0), (1L, 0, 90), (1L, 1, 10), (2L, 0, 95), (2L, 1, 5),
+      (3L, 0, 0), (3L, 1, 100), (4L, 0, 10), (4L, 1, 90), (5L, 0, 5), (5L, 1, 95),
+    ).toDF("vec_id", "dim", "q")
+    val out = Similarity.kmeansInt8(rows, k = 2, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 6, s"every vector assigned: $out")
+    assert(Set(0L, 1L, 2L).map(out).size == 1, s"cluster A coherent: $out")
+    assert(Set(3L, 4L, 5L).map(out).size == 1, s"cluster B coherent: $out")
+    assert(out(0L) != out(3L), s"clusters separate: $out")
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
