@@ -40,7 +40,7 @@ object Bench {
     // touches the store first).
     val buildSec =
       try graft.store.GraftStore.timeBuild(Seq(
-        () => { graft.kg.KgQueries.storedEdges(spark, sfDir); () },
+        () => graft.kg.KgQueries.warmStores(spark, sfDir),
         () => graft.dedup.DedupQueries.warmStores(spark, sfDir),
         () => graft.graph.GraphQueries.warmStores(spark, sfDir),
         () => graft.sim.SimQueries.warmStores(spark, sfDir)))

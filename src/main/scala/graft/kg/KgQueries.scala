@@ -89,8 +89,24 @@ object KgQueries {
       .select("relation", "standardized")
   }
 
+  /** The constructed node table, persisted write-once/query-many (r8):
+    * kg_nodes and kg_entity_resolution both read it, so the
+    * union+distinct over the triple store runs once per session, not
+    * per query (the storedEdges discipline applied to nodes). */
+  def storedNodes(spark: SparkSession, dir: String): DataFrame =
+    spark.table(graft.store.GraftStore.ensureBucketed(
+      spark, s"graft_nodes_${graft.store.GraftStore.dirKey(dir)}", 32, Seq("name")) {
+      GraphBuilder.nodes(storedTriples(spark, dir))
+    })
+
+  /** Bench hook: force the one-time KG store builds (triples → edges,
+    * nodes) so they are paid outside per-query timings. */
+  def warmStores(spark: SparkSession, dir: String): Unit = {
+    storedEdges(spark, dir); storedNodes(spark, dir); ()
+  }
+
   def kgNodes(spark: SparkSession, dir: String): DataFrame =
-    GraphBuilder.nodes(storedTriples(spark, dir))
+    storedNodes(spark, dir)
 
   // B13 entity-resolution parameters — the Spark operator and the
   // DuckDB oracle are both generated from these, so they cannot drift.
