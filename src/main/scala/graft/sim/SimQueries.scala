@@ -129,6 +129,27 @@ object SimQueries {
     Similarity.pqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
       NumQueries, K, PqM, PqSubDim, PqCodebook)
 
+  /** F11: IVF-PQ serving search — the F3 coarse quantizer routing
+    * composed with the F8 ADC scorer over probed lists only. */
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      NumQueries, K, NCentroids, NProbe, PqM, PqSubDim, PqCodebook)
+
+  /** F11 quality dial: recall@k of IVF-PQ against brute-force cosine
+    * ground truth — quantifies the COMPOSED loss (routing misses +
+    * code approximation) the same way sim_pq_recall isolates the code
+    * half. */
+  def simIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val ivfpq = simIvfPq(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = ivfpq.join(brute, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    brute.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   /** F8 quality dial: recall@k of PQ-ADC against brute-force cosine
     * ground truth (the sim_ann_recall pattern applied to PQ). */
   def simPqRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -155,6 +176,8 @@ object SimQueries {
     "sim_mips_ann_recall" -> (simMipsAnnRecall _),
     "sim_pq"         -> (simPq _),
     "sim_pq_recall"  -> (simPqRecall _),
+    "sim_ivfpq"      -> (simIvfPq _),
+    "sim_ivfpq_recall" -> (simIvfPqRecall _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -364,6 +387,24 @@ object SimQueries {
 
     "sim_pq" -> oracleSqlPq,
 
+    "sim_ivfpq" -> oracleSqlIvfPq,
+
+    // recall of the COMPOSED approximation vs brute-force cosine —
+    // nested oracles (the sim_pq_recall pattern)
+    "sim_ivfpq_recall" ->
+      s"""WITH brute AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |ivfpq AS (SELECT q_id, n_id FROM (${oracleSqlIvfPq})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM ivfpq a WHERE EXISTS (
+         |    SELECT 1 FROM brute b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM brute) q
+         |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
+
     // recall@k of PQ-ADC vs exact cosine ground truth — nested oracles
     // (the sim_ann_recall pattern), so this cannot drift from either
     "sim_pq_recall" ->
@@ -442,6 +483,70 @@ object SimQueries {
   // first PqCodebook ids), same ||a−b||² expression, and the same
   // FIXED-ORDER d0+…+d7 sum (one conditional aggregate per
   // sub-space) so the ADC doubles are bit-identical pre-round
+  /** IVF-PQ oracle: the sim_ivf routing CTEs composed with the sim_pq
+    * code/distance-table CTEs — candidates from probed lists, ADC over
+    * candidates only, all generated from the same constants. */
+  private lazy val oracleSqlIvfPq: String = {
+    val d2 = (a: String, b: String) =>
+      s"${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)}"
+    val fixedSum = (0 until PqM)
+      .map(i => s"sum(CASE WHEN m = $i THEN d END)").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
+       |v AS (SELECT vec_id AS id, embedding AS vv FROM embeddings),
+       |asg AS (
+       |  SELECT id, c_id FROM (
+       |    SELECT v.id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosSql("vv", "cv")} DESC, c.c_id) AS r
+       |    FROM v, c) WHERE r = 1
+       |),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |pr AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q0.q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q0.q_id
+       |        ORDER BY ${cosSql("qv", "cv")} DESC, c.c_id) AS r
+       |    FROM q0, c) WHERE r <= $NProbe
+       |),
+       |cand AS (
+       |  SELECT pr.q_id, asg.id FROM pr JOIN asg ON pr.c_id = asg.c_id
+       |  WHERE pr.q_id <> asg.id
+       |),
+       |sub AS (
+       |  SELECT vec_id AS id, unnest(range(0, $PqM))::int AS m, embedding
+       |  FROM embeddings
+       |), s2 AS (
+       |  SELECT id, m,
+       |    embedding[m * $PqSubDim + 1 : (m + 1) * $PqSubDim] AS sv
+       |  FROM sub
+       |), cb AS (
+       |  SELECT id AS c_id, m, sv AS cv FROM s2 WHERE id < $PqCodebook
+       |), enc AS (
+       |  SELECT id, m, c_id AS code FROM (
+       |    SELECT s.id, s.m, c.c_id,
+       |      row_number() OVER (PARTITION BY s.id, s.m
+       |        ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id) AS r
+       |    FROM s2 s JOIN cb c ON s.m = c.m
+       |  ) WHERE r = 1
+       |), dt AS (
+       |  SELECT q.id AS q_id, q.m, c.c_id, ${d2("q.sv", "c.cv")} AS d
+       |  FROM s2 q JOIN cb c ON q.m = c.m
+       |  WHERE q.id < $NumQueries
+       |), j AS (
+       |  SELECT cand.q_id, enc.id AS n_id, enc.m, dt.d
+       |  FROM cand
+       |  JOIN enc ON cand.id = enc.id
+       |  JOIN dt ON enc.m = dt.m AND enc.code = dt.c_id AND dt.q_id = cand.q_id
+       |), a AS (
+       |  SELECT q_id, n_id, $fixedSum AS adc FROM j GROUP BY 1, 2
+       |), r AS (
+       |  SELECT q_id, n_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rnk
+       |  FROM a
+       |)
+       |SELECT q_id, n_id, round(adc, 4) AS adc, rnk FROM r WHERE rnk <= $K""".stripMargin
+  }
+
   private lazy val oracleSqlPq: String = {
       val d2 = (a: String, b: String) =>
         s"${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)}"

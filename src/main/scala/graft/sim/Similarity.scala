@@ -251,6 +251,20 @@ object Similarity {
   def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
       queryMaxId: Int, k: Int, m: Int, subDim: Int,
       codebookSize: Int): DataFrame = {
+    val (codes, dtable) = pqPieces(vecs, idCol, vecCol, queryMaxId, m, subDim, codebookSize)
+    adcRank(
+      codes.join(broadcast(dtable),
+          col("m") === col("qm") && col("code") === col("c_id"))
+        .filter(col("q_id") =!= col("id")),
+      k, m)
+  }
+
+  /** PQ building blocks shared by pqTopK (whole-corpus ADC) and
+    * ivfPqTopK (ADC over probed lists only): `codes` (id, m, code) and
+    * the per-query distance table (q_id, qm, c_id, d). */
+  private def pqPieces(vecs: DataFrame, idCol: String, vecCol: String,
+      queryMaxId: Int, m: Int, subDim: Int,
+      codebookSize: Int): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     // (id, m, sub-vector) rows: M fixed-width slices per vector
     def subs(df: DataFrame): DataFrame = {
@@ -276,17 +290,68 @@ object Similarity {
       .join(codebook, col("m") === col("cm"))
       .select(col("id").as("q_id"), col("m").as("qm"), col("c_id"),
         d2(col("sv"), col("cv")).as("d"))
+    (codes, dtable)
+  }
+
+  /** ADC finishing: per-(query, neighbor) fixed-order d0+…+d(M−1) sum
+    * (each sub-distance in its own conditional aggregate — addition
+    * order pinned by the expression, bit-identical cross-engine) +
+    * the top-k rank. */
+  private def adcRank(scored: DataFrame, k: Int, m: Int): DataFrame = {
     val fixedOrderSum = (0 until m).map(i =>
       sum(when(col("m") === i, col("d")))).reduce(_ + _)
-    codes.join(broadcast(dtable),
-        col("m") === col("qm") && col("code") === col("c_id"))
-      .filter(col("q_id") =!= col("id"))
+    scored
       .groupBy(col("q_id"), col("id").as("n_id"))
       .agg(fixedOrderSum.as("adc"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), round(col("adc"), 4).as("adc"), col("rnk"))
+  }
+
+  /** F11: IVF-PQ — the production ANN serving layout (FAISS's
+    * IndexIVFPQ shape): the coarse quantizer (deterministic pivots,
+    * F3) routes each query to its `nprobe` inverted lists, and PQ-ADC
+    * (F8) scores ONLY those lists' codes through the M×K distance
+    * table. At 100 TB the corpus is touched as codes (~30× smaller
+    * than vectors) AND only nprobe/nlists of it per query — the two
+    * reductions compose multiplicatively. Same determinism contract
+    * as both parents: cosine ties break to the smaller centroid id,
+    * ADC sums are fixed-order. */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      queryMaxId: Int, k: Int, nCentroids: Int, nprobe: Int,
+      m: Int, subDim: Int, codebookSize: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val centroids = broadcast(
+      vecs.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("c_id"), col(vecCol).as("cv")))
+    val assigned = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(centroids)
+      .withColumn("cos_c", VectorFunctions.cosineSim(spark, col("v"), col("cv")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos_c").desc, col("c_id"))))
+      .filter(col("r") === 1)
+      .select(col("id"), col("c_id"))
+    val probes = vecs.filter(col(idCol) < queryMaxId)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .crossJoin(centroids)
+      .withColumn("cos_c", VectorFunctions.cosineSim(spark, col("qv"), col("cv")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_c").desc, col("c_id"))))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("c_id"))
+    // one row per (query, list member): ids are assigned to exactly
+    // one list and probes are distinct, so no dedup is needed
+    val cand = probes.join(assigned, "c_id")
+      .filter(col("q_id") =!= col("id"))
+      .select("q_id", "id")
+    val (codes, dtable) = pqPieces(vecs, idCol, vecCol, queryMaxId, m, subDim, codebookSize)
+    adcRank(
+      cand.join(codes, "id")
+        .join(broadcast(dtable.withColumnRenamed("q_id", "dq")),
+          col("m") === col("qm") && col("code") === col("c_id")
+            && col("q_id") === col("dq")),
+      k, m)
   }
 
   /** F9: distance to the per-label centroid — the embedding-space

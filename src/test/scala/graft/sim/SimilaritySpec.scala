@@ -136,6 +136,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hits > 0, "MIPS-via-ANN recovered no exact-MIPS neighbors")
   }
 
+  test("F11 IVF-PQ at full probe equals whole-corpus PQ; at nprobe=1 returns <= k per query") {
+    val emb = Tables.embeddings(spark, dataDir)
+    val nC = 4
+    val full = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queryMaxId = 5, k = 5, nCentroids = nC, nprobe = nC,
+        m = 8, subDim = 8, codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryMaxId = 5, k = 5, m = 8, subDim = 8, codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == pq, "probing every list must reduce IVF-PQ to plain PQ")
+    val narrow = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queryMaxId = 5, k = 5, nCentroids = nC, nprobe = 1,
+        m = 8, subDim = 8, codebookSize = 16)
+      .collect().groupBy(_.getLong(0))
+    assert(narrow.nonEmpty && narrow.values.forall(_.length <= 5))
+  }
+
   test("F10 int8 k-means separates two obvious clusters and assigns every vector") {
     import spark.implicits._
     // 2-dim quantized rows: vecs 0-2 near (100, 0), vecs 3-5 near
