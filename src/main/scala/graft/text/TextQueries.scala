@@ -580,6 +580,60 @@ object TextQueries {
         col("n"))
   }
 
+  /** G22 winnowing parameters: token-3-gram hashes, guarantee window
+    * of 4 consecutive grams. */
+  val WinnowGram = 3
+  val WinnowWindow = 4
+
+  /** G22: winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm) + the cross-doc overlap signal. Each window of
+    * `WinnowWindow` consecutive 3-gram hashes keeps its MINIMUM hash
+    * (min-value, leftmost-position — deterministic in every engine),
+    * so any shared token run of length ≥ gram+window−1 is GUARANTEED
+    * to share a fingerprint — the density/recall contract plain
+    * min-hashing (G4) doesn't give. Per doc: fingerprint count, how
+    * many also occur in ANOTHER doc, and the shared ratio (the
+    * plagiarism / near-dup triage score).
+    *
+    * One scan → lead-window grams (the G4 shape) → one rolling-min
+    * window over the SAME (doc_id, pos) partitioning (no extra
+    * exchange) → distinct + two keyed aggregations. Docs shorter than
+    * one full window winnow to their global min gram; docs with < 3
+    * tokens fall back to md5(text). */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val l1 = lead(col("t"), 1).over(w)
+    val l2 = lead(col("t"), 2).over(w)
+    val grams = d.select(col("doc_id"), md5(col("text")).as("md5_full"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("md5_full"), col("pos"),
+        when(l2.isNotNull, md5(concat_ws(" ", col("t"), l1, l2))).as("gh"))
+      .filter(col("gh").isNotNull)
+    val roll = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        WinnowWindow - 1)
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val fps = grams
+      .withColumn("fp", min(col("gh")).over(roll))
+      .withColumn("ng", count(lit(1)).over(cnt))
+      // valid window starts; a doc with fewer grams than the window
+      // keeps only position 0 (frame truncates at partition end)
+      .filter(col("pos") <= greatest(col("ng") - WinnowWindow, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
+      .unionAll(d.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(grams.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    val dfp = fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+    fps.join(dfp, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        count(when(col("nd") > 1, 1)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_fp"), 4))
+  }
+
   /** G21 boilerplate document-frequency threshold, in tenths: a token
     * is boilerplate within its source when it appears in ≥ 8/10 of the
     * source's docs. Integer-ratio comparison (df·10 ≥ n_docs·8) keeps
@@ -617,6 +671,7 @@ object TextQueries {
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_boilerplate"  -> (textBoilerplate _),
+    "text_winnow"       -> (textWinnow _),
     "text_tfidf"        -> (textTfidf _),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
@@ -691,6 +746,41 @@ object TextQueries {
          |  round(count(b.tok)::double / count(*), 4) AS boiler_share
          |FROM tok t LEFT JOIN boiler b ON t.source = b.source AND t.tok = b.tok
          |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors textWinnow: same grams, same rolling-min frame (truncated
+    // at partition end), same valid-start cut, same fallbacks —
+    // generated from WinnowGram/WinnowWindow
+    "text_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |    string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS gh,
+         |    length(t) - ${WinnowGram - 1} AS ng
+         |  FROM toks, unnest(range(1, length(t) - ${WinnowGram - 2})) AS r(i)
+         |  WHERE length(t) >= $WinnowGram
+         |), roll AS (
+         |  SELECT doc_id, pos, ng,
+         |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS fp
+         |  FROM g
+         |), fps AS (
+         |  SELECT DISTINCT doc_id, fp FROM roll
+         |  WHERE pos <= greatest(ng - $WinnowWindow, 0)
+         |  UNION ALL
+         |  SELECT doc_id, md5(text) FROM documents
+         |  WHERE length(string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')) < $WinnowGram
+         |), dfp AS (
+         |  SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY 1
+         |)
+         |SELECT f.doc_id, count(*) AS n_fp,
+         |  count(CASE WHEN d.nd > 1 THEN 1 END) AS n_shared,
+         |  round(count(CASE WHEN d.nd > 1 THEN 1 END)::double / count(*), 4)
+         |    AS shared_ratio
+         |FROM fps f JOIN dfp d ON f.fp = d.fp
+         |GROUP BY 1""".stripMargin,
 
     // Mirrors textQuantileSketch step for step from the SAME constants:
     // bin counts (the sketch is SQL-expressible because binning is a

@@ -125,6 +125,28 @@ class TextOpsSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("G22 winnowing: a shared 6-token run guarantees a shared fingerprint; disjoint docs share none") {
+    // guarantee threshold = gram + window - 1 = 6 consecutive tokens
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared five six seven eight nine"),
+      (3L, "totally different words here nothing matches anything"),
+      (4L, "ab"), // < 3 tokens: md5(text) fallback, still 1 fingerprint
+    ).toDF("doc_id", "text")
+    // reuse the driver query's plan via a temp parquet table
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    d.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textWinnow(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._2 >= 1 && out(2L)._2 >= 1,
+      s"docs sharing a 6-token run must share >= 1 fingerprint: $out")
+    assert(out(3L)._2 == 0, s"disjoint doc shares nothing: $out")
+    assert(out(4L) == ((1L, 0L)), s"short doc winnows to its text hash: $out")
+  }
+
   test("G21 boilerplate: near-universal tokens within a source flagged, cross-source isolation") {
     // srcA: "tpl" in 3/3 docs (boiler at 8/10), "rare" in 1/3 (not);
     // srcB: "tpl" in only 1/2 docs — NOT boiler there (per-source df)
