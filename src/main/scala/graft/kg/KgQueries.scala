@@ -119,6 +119,32 @@ object KgQueries {
   val ErRowsPerBand = 3
   val ErThreshold = 0.4
 
+  /** B14: relation reciprocity profile — for every relation, the
+    * share of edges whose exact REVERSE edge (same relation, typed
+    * endpoints swapped) also exists. The KG-audit metric that
+    * separates symmetric relations (sameAs, isRelatedTo) from
+    * directional ones (PLACED_BY) and catches extraction bugs that
+    * emit both directions of a directional relation. One left-semi
+    * self-join of the stored edge table on the swapped key + two
+    * keyed counts. */
+  def kgReciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocity(storedEdges(spark, dir))
+
+  def reciprocity(e: DataFrame): DataFrame = {
+    val rev = e.select(col("rel").as("rel"),
+      col("dst_label").as("src_label"), col("dst").as("src"),
+      col("src_label").as("dst_label"), col("src").as("dst"))
+    val recip = e.join(rev,
+        Seq("rel", "src_label", "src", "dst_label", "dst"), "left_semi")
+      .groupBy("rel").agg(count(lit(1)).as("n_reciprocal"))
+    e.groupBy("rel").agg(count(lit(1)).as("n_edges"))
+      .join(recip, Seq("rel"), "left")
+      .select(col("rel"), col("n_edges"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"),
+        round(coalesce(col("n_reciprocal"), lit(0L)).cast("double")
+          / col("n_edges"), 4).as("reciprocity"))
+  }
+
   /** B13: deterministic entity resolution over node names — the
     * spelling-variant merge candidates the reference's normalize
     * prompt resolves via the LLM (chains.py rules 1-2), recovered
@@ -262,6 +288,7 @@ object KgQueries {
     "kg_two_hop"               -> (kgTwoHop _),
     "kg_rel_cardinality"       -> (kgRelCardinality _),
     "kg_entity_resolution"     -> (kgEntityResolution _),
+    "kg_reciprocity"           -> (kgReciprocity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,6 +348,25 @@ object KgQueries {
          |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
 
     "kg_edges" -> s"WITH t AS ($triplesSql)\n$edgesSelectSql",
+
+    // mirrors kgReciprocity: EXISTS on the swapped typed key
+    "kg_reciprocity" ->
+      s"""WITH t AS ($triplesSql),
+         |e AS MATERIALIZED (
+         |$edgesSelectSql
+         |)
+         |SELECT rel, count(*) AS n_edges,
+         |  count(CASE WHEN EXISTS (
+         |    SELECT 1 FROM e r
+         |    WHERE r.rel = e.rel AND r.src_label = e.dst_label AND r.src = e.dst
+         |      AND r.dst_label = e.src_label AND r.dst = e.src) THEN 1 END)
+         |    AS n_reciprocal,
+         |  round(count(CASE WHEN EXISTS (
+         |    SELECT 1 FROM e r
+         |    WHERE r.rel = e.rel AND r.src_label = e.dst_label AND r.src = e.dst
+         |      AND r.dst_label = e.src_label AND r.dst = e.src) THEN 1 END)::double
+         |    / count(*), 4) AS reciprocity
+         |FROM e GROUP BY 1""".stripMargin,
 
     // mirrors EntityResolution.resolutionPairs step for step: same
     // normalization, char-gram, seeded-minhash, label-blocked banding

@@ -171,6 +171,20 @@ class KgSpec extends SparkSpec {
       s"hub middle m2 (degree 6) must be capped out: $capped")
   }
 
+  test("B14 reciprocity: symmetric pairs count, one-way and cross-type reversals don't") {
+    import spark.implicits._
+    val e = Seq(
+      ("E", "a", "knows", "E", "b"), ("E", "b", "knows", "E", "a"), // reciprocal pair
+      ("E", "a", "knows", "E", "c"),                                // one-way
+      ("E", "x", "owns", "E", "y"), ("E", "y", "owns", "F", "x"),   // reverse has WRONG type
+    ).toDF("src_label", "src", "rel", "dst_label", "dst")
+    val out = KgQueries.reciprocity(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("knows") == ((3L, 2L, 0.6667)), s"knows: ${out("knows")}")
+    assert(out("owns") == ((2L, 0L, 0.0)),
+      s"typed endpoints must block the F-labeled reversal: ${out("owns")}")
+  }
+
   test("B13 entity resolution: spelled variants pair and cluster, labels block, dissimilar names don't") {
     import spark.implicits._
     val nodes = Seq(
