@@ -283,6 +283,65 @@ object Streaming {
       }
   }
 
+  final case class StepHit(user_id: Long, step: Int)
+
+  /** I8 (streaming face): the ordered funnel as a per-user state
+    * machine — state is the array of first-qualifying anchor
+    * timestamps per step (the batch operator's min-anchors, held
+    * incrementally). An event of step i qualifies when step i−1's
+    * anchor exists at-or-before it (first-touch semantics); a user's
+    * FIRST completion of a step emits one StepHit, so the funnel
+    * counts are a batch finishing touch over the hit stream
+    * (`funnelFromHits`) — the I13/I14 split again. In-order arrival
+    * reproduces the batch counts exactly (anchor decisions are final
+    * in ts order — StreamingSpec pins the cross-batch parity);
+    * within-watermark stragglers can still IMPROVE an anchor
+    * (monotone decrease never invalidates downstream anchors), and
+    * enablements they would have unlocked are dropped — the I13
+    * late-data convention. State is O(#steps) longs per user. */
+  def funnelStreaming(events: Dataset[TypedEv], steps: Seq[String]): Dataset[StepHit] = {
+    import events.sparkSession.implicits._
+    val stepOf = steps.zipWithIndex.toMap
+    val n = steps.size
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], StepHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TypedEv], state: GroupState[Array[Long]]) =>
+          // Long.MaxValue = anchor unset
+          val anchors = state.getOption.getOrElse(Array.fill(n)(Long.MaxValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StepHit]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            stepOf.get(e.event_type).foreach { i =>
+              val t = e.ts.getTime
+              val qualifies = i == 0 ||
+                (anchors(i - 1) != Long.MaxValue && t >= anchors(i - 1))
+              if (qualifies && t < anchors(i)) {
+                if (anchors(i) == Long.MaxValue) out += StepHit(user, i)
+                anchors(i) = t
+              }
+            }
+          }
+          state.update(anchors)
+          out.iterator
+      }
+  }
+
+  /** The funnel finishing count over emitted step hits: one row per
+    * step with the user count (0 for never-reached steps), matching
+    * EventOps.funnel's output shape. */
+  def funnelFromHits(hits: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val idx = steps.zipWithIndex.map { case (s, i) => (i, i + 1, s) }
+      .toDF("step0", "step", "event_type")
+    idx.join(hits.groupBy(col("step").as("step0"))
+        .agg(count(lit(1)).as("n_users")), Seq("step0"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   /** I14 (streaming path): daily event-type counts as a 1-day tumbling
     * window with watermark-bounded state — the incremental half of the
     * daily top-k roll-up. The rank over ≤ #event-types rows per closed

@@ -595,4 +595,49 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
     assert(out.head.getInt(3) == 69)
   }
+
+  test("I8 streaming funnel state machine + finishing count match the batch funnel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val steps = Seq("view", "click", "purchase", "refund")
+    val q = Streaming.funnelStreaming(mem.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_hits").outputMode("append").start()
+    try {
+      // batch 1: u1 view→click (and u4 at EQUAL ts — same-ts qualifies,
+      // as in the batch t >= anchor rule); u2 click only (precedes any
+      // view, must never count); u3 view
+      mem.addData(
+        Streaming.TypedEv(1L, ts(0), 1L, "view"),
+        Streaming.TypedEv(1L, ts(1), 2L, "click"),
+        Streaming.TypedEv(2L, ts(0), 3L, "click"),
+        Streaming.TypedEv(3L, ts(2), 4L, "view"),
+        Streaming.TypedEv(4L, ts(3), 5L, "view"),
+        Streaming.TypedEv(4L, ts(3), 6L, "click"))
+      q.processAllAvailable()
+      // batch 2: u1 purchases (chains off batch-1 anchors held in
+      // state); u3 clicks; u2's view arrives AFTER their click — step 1
+      // fires now but the old click can't retroactively qualify
+      mem.addData(
+        Streaming.TypedEv(1L, ts(5), 7L, "purchase"),
+        Streaming.TypedEv(3L, ts(4), 8L, "click"),
+        Streaming.TypedEv(2L, ts(6), 9L, "view"))
+      q.processAllAvailable()
+      val streamed = Streaming.funnelFromHits(
+          spark.table("funnel_hits"), steps)
+        .as[(Int, String, Long)].collect().toSet
+      val batchDf = Seq(
+        (1L, 1L, "view", ts(0), 0.0), (2L, 1L, "click", ts(1), 0.0),
+        (3L, 2L, "click", ts(0), 0.0), (4L, 3L, "view", ts(2), 0.0),
+        (5L, 4L, "view", ts(3), 0.0), (6L, 4L, "click", ts(3), 0.0),
+        (7L, 1L, "purchase", ts(5), 0.0), (8L, 3L, "click", ts(4), 0.0),
+        (9L, 2L, "view", ts(6), 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      val batch = EventOps.funnel(batchDf, steps)
+        .as[(Int, String, Long)].collect().toSet
+      assert(streamed == batch && streamed == Set(
+        (1, "view", 4L), (2, "click", 3L), (3, "purchase", 1L),
+        (4, "refund", 0L)), s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
