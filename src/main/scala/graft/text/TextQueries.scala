@@ -669,7 +669,60 @@ object TextQueries {
         round(col("n_boiler_tokens").cast("double") / col("n_tokens"), 4))
   }
 
+  /** G23 segment geometry: a "line" is a non-overlapping run of 5
+    * tokens (the corpus has no newlines; fixed token segments are the
+    * deterministic stand-in for layout lines), and a segment is
+    * boilerplate when it recurs verbatim in ≥ 2 distinct docs of the
+    * SAME source — the within-source templated-passage cut (nav rows,
+    * footers, licence lines in a real crawl). */
+  val LineSegTokens = 5
+  val LineMinDocs = 2
+
+  /** G23: boilerplate LINE removal — the training-data cleaning step
+    * between G14 (detect shared chunks) and E1 (drop whole duplicate
+    * docs): drop only the recurring segments and keep the rest of the
+    * document. One explode (linear in corpus tokens), one map-side-
+    * combined count shuffle on (source, segment hash), then the
+    * boilerplate set — bounded by the templated-segment vocabulary of
+    * each source, not the corpus — broadcasts back onto the segment
+    * stream and one doc_id regroup reassembles the cleaned text in
+    * segment order. Emits the cleaned doc's md5/length plus removal
+    * counts so downstream stages can audit what was cut. */
+  def textLineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(spark, dir))
+
+  def lineDedup(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val starts = when(size(t) > 0, sequence(lit(0), size(t) - 1, lit(LineSegTokens)))
+      .otherwise(array())
+    val segs = d.select(col("doc_id"), col("source"), t.as("t"),
+        explode(starts).as("s"))
+      .select(col("doc_id"), col("source"),
+        (col("s") / LineSegTokens).cast("int").as("seg_id"),
+        array_join(slice(col("t"), col("s") + 1, lit(LineSegTokens)), " ").as("seg"))
+      .withColumn("h", md5(col("seg")))
+    val boiler = segs.groupBy("source", "h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= LineMinDocs)
+      .select(col("source"), col("h"), lit(1).as("_b"))
+    segs.join(broadcast(boiler), Seq("source", "h"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_segs"),
+        count(col("_b")).as("n_removed"),
+        // kept segments reassemble in seg_id order; collect_list drops
+        // the nulled (removed) entries and array_sort orders by the
+        // struct's leading seg_id field
+        array_join(transform(
+          array_sort(collect_list(when(col("_b").isNull,
+            struct(col("seg_id"), col("seg"))))),
+          x => x.getField("seg")), " ").as("cleaned"))
+      .select(col("doc_id"), col("source"), col("n_segs"), col("n_removed"),
+        md5(col("cleaned")).as("cleaned_md5"),
+        length(col("cleaned")).as("cleaned_len"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_line_dedup"   -> (textLineDedup _),
     "text_boilerplate"  -> (textBoilerplate _),
     "text_winnow"       -> (textWinnow _),
     "text_tfidf"        -> (textTfidf _),
@@ -727,6 +780,37 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors lineDedup: same token segments (generated from
+    // LineSegTokens/LineMinDocs), same within-source recurrence cut,
+    // same ordered reassembly; coalesce('') covers fully-removed docs
+    "text_line_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, $toksSql AS t FROM documents
+         |), s AS (
+         |  SELECT doc_id, source, t,
+         |    unnest(CASE WHEN length(t) > 0
+         |      THEN range(0, length(t), $LineSegTokens) ELSE [] END)::int AS st
+         |  FROM base
+         |), seg AS (
+         |  SELECT doc_id, source, st // $LineSegTokens AS seg_id,
+         |    array_to_string(t[st + 1 : st + $LineSegTokens], ' ') AS seg
+         |  FROM s
+         |), boiler AS (
+         |  SELECT source, md5(seg) AS h FROM seg
+         |  GROUP BY source, md5(seg)
+         |  HAVING count(DISTINCT doc_id) >= $LineMinDocs
+         |), j AS (
+         |  SELECT g.doc_id, g.source, g.seg_id, g.seg, b.h AS bh
+         |  FROM seg g LEFT JOIN boiler b
+         |    ON g.source = b.source AND md5(g.seg) = b.h
+         |)
+         |SELECT doc_id, source, count(*) AS n_segs, count(bh) AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN bh IS NULL THEN seg END, ' '
+         |    ORDER BY seg_id), '')) AS cleaned_md5,
+         |  length(coalesce(string_agg(CASE WHEN bh IS NULL THEN seg END, ' '
+         |    ORDER BY seg_id), '')) AS cleaned_len
+         |FROM j GROUP BY doc_id, source""".stripMargin,
+
     // mirrors textBoilerplate: same tokens, same integer-ratio df
     // threshold (generated from BoilerDfTenths), same share expression
     "text_boilerplate" ->

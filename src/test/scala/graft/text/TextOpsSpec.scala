@@ -167,6 +167,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) == ((2L, 1L, 0.5)))
   }
 
+  test("G23 line dedup removes within-source recurring segments, keeps the rest in order") {
+    // segments are LineSegTokens=5 tokens; "a b c d e" recurs in docs
+    // 1+2 of srcA → removed from both; doc 3 (srcB) has the SAME
+    // segment but no within-srcB partner → kept (per-source cut);
+    // doc 4 = doc 1's exact duplicate → fully removed → cleaned = ""
+    val seg = "a b c d e"
+    val d = Seq(
+      (1L, seg, "srcA"),
+      (2L, s"$seg u v w x y", "srcA"),
+      (3L, seg, "srcB"),
+      (4L, seg, "srcA"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextQueries.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4), r.getInt(5)))).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L && out(1L)._4 == 0)
+    assert(out(1L)._3 == emptyMd5, s"fully-removed doc must hash empty: ${out(1L)}")
+    // doc 2: first segment removed, second ("u v w x y") kept verbatim
+    assert(out(2L) == ((2L, 1L, org.apache.commons.codec.digest.DigestUtils.md5Hex("u v w x y"), 9)),
+      s"doc2: ${out(2L)}")
+    // srcB's identical segment survives — recurrence is per-source
+    assert(out(3L)._2 == 0L && out(3L)._4 == 9, s"doc3: ${out(3L)}")
+    assert(out(4L)._2 == 1L && out(4L)._4 == 0)
+  }
+
   test("packing bins by exclusive running sum: oversized doc occupies one bin") {
     // budget 512: docs of 300+300 fill bin 0 (cum 0,300), a 900-token
     // doc starts at cum 600 -> bin 1, next doc at cum 1500 -> bin 2
