@@ -541,6 +541,86 @@ object Multimodal {
       .select("doc_id", "valid_bmp", "width", "height", "top_down", "bpp")
   }
 
+  /** Little-endian u24 at a COLUMN byte offset — WebP VP8X canvas
+    * fields are 24-bit (the format outgrew the lossy 14-bit limit). */
+  def leU24(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 to 2).map(i => conv(hex(bin.substr(off + lit(i), lit(1))), 16, 10)
+      .cast("long") * (1L << (8 * i))).reduce(_ + _)
+
+  private def leHex24(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def b(x: org.apache.spark.sql.Column) = lpad(lower(hex(x.bitwiseAND(lit(255)))), 2, "0")
+    concat(b(c), b(shiftright(c, 8)), b(shiftright(c, 16)))
+  }
+
+  /** H9: WebP dims — RIFF container ("RIFF" size "WEBP"), then ONE of
+    * three first-chunk layouts, each with its own dimension encoding:
+    * `VP8 ` (lossy: 3-byte frame tag, 9d012a sync code, 14-bit LE
+    * dims), `VP8L` (lossless: 0x2f signature, width-1 and height-1
+    * bit-packed 14+14 into a LE u32), `VP8X` (extended: 24-bit LE
+    * canvas-1 fields). Variant dispatch on the 4cc + three guarded
+    * fixed-offset reads — pure codegen'd projections like the
+    * PNG/JPEG/BMP parsers; a missing sync/signature nulls the dims
+    * rather than reading garbage. */
+  def withWebpDims(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val valid = (lower(hex(substring(bin, 1, 4))) === "52494646" && // "RIFF"
+      lower(hex(substring(bin, 9, 4))) === "57454250").cast("int")  // "WEBP"
+    val cc = lower(hex(substring(bin, 13, 4)))
+    val isLossy = cc === "56503820"    // "VP8 "
+    val isLossless = cc === "5650384c" // "VP8L"
+    val isX = cc === "56503858"        // "VP8X"
+    val variant = when(isLossy, "VP8 ").when(isLossless, "VP8L")
+      .when(isX, "VP8X")
+    // lossy: sync code guards the read; dims mask to 14 bits (the top
+    // 2 bits are the rescale hint, not size)
+    val sync = lower(hex(substring(bin, 24, 3))) === "9d012a"
+    val lossyW = when(sync, leU16(bin, lit(27)).bitwiseAND(lit(16383)).cast("long"))
+    val lossyH = when(sync, leU16(bin, lit(29)).bitwiseAND(lit(16383)).cast("long"))
+    // lossless: 0x2f signature, then (w-1) | (h-1)<<14 LE-packed
+    val sig = lower(hex(substring(bin, 21, 1))) === "2f"
+    val bits = leU32(bin, lit(22))
+    val llW = when(sig, bits.bitwiseAND(lit(16383L)) + 1L)
+    val llH = when(sig, shiftright(bits, 14).bitwiseAND(lit(16383L)) + 1L)
+    val xW = leU24(bin, lit(25)) + 1L
+    val xH = leU24(bin, lit(28)) + 1L
+    def ifValid(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    df.withColumn("valid_webp", valid)
+      .withColumn("variant", ifValid(variant))
+      .withColumn("width", ifValid(
+        when(isLossy, lossyW).when(isLossless, llW).when(isX, xW)))
+      .withColumn("height", ifValid(
+        when(isLossy, lossyH).when(isLossless, llH).when(isX, xH)))
+  }
+
+  /** H9 driver query: synthesize a structurally real WebP per asset
+    * cycling the three first-chunk variants (doc_id mod 3), dims from
+    * metadata; the odd-sized VP8L chunk carries its RIFF pad byte.
+    * Parse dims back from the BYTES; the oracle re-derives everything
+    * from the generating formulas (the mm_jpeg/wav/bmp convention), so
+    * a wrong mask, shift, or byte order hash-mismatches. */
+  def mmWebpDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = (col("n_chars") % 1024 + 16).cast("long")
+    val h = (col("doc_id") % 512 + 16).cast("long")
+    val variant = col("doc_id") % 3
+    val vp8Payload = concat(lit("000000"), lit("9d012a"),
+      leHex16(w), leHex16(h)) // frame tag + sync + 14-bit dims
+    val vp8lPayload = concat(lit("2f"),
+      leHex32((w - 1) + (h - 1) * 16384L)) // bit-packed dims-1
+    val vp8xPayload = concat(lit("00"), lit("000000"),
+      leHex24(w - 1), leHex24(h - 1)) // flags + reserved + canvas-1
+    val chunk = when(variant === 0,
+        concat(lit("56503820"), leHex32(lit(10)), vp8Payload))
+      .when(variant === 1, // declared size 5 is odd → one pad byte
+        concat(lit("5650384c"), leHex32(lit(5)), vp8lPayload, lit("00")))
+      .otherwise(concat(lit("56503858"), leHex32(lit(10)), vp8xPayload))
+    val chunkBytes = when(variant === 1, 8 + 5 + 1).otherwise(8 + 10)
+    val hx = concat(lit("52494646"), leHex32(lit(4) + chunkBytes),
+      lit("57454250"), chunk)
+    withWebpDims(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_webp", "variant", "width", "height")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -550,6 +630,7 @@ object Multimodal {
     "mm_wav_meta" -> (mmWavMeta _),
     "mm_mp4_meta" -> (mmMp4Meta _),
     "mm_bmp_dims" -> (mmBmpDims _),
+    "mm_webp_dims" -> (mmWebpDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -657,6 +738,17 @@ object Multimodal {
         |  (doc_id % 512 + 16)::bigint AS height,
         |  (doc_id % 4 = 0)::int AS top_down,
         |  CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END AS bpp
+        |FROM documents""".stripMargin,
+
+    // independent derivation from the generating formulas — variant
+    // dispatch, the 14-bit masks, the VP8L bit-unpack, and the 24-bit
+    // LE canvas reads are all value-checked against these
+    "mm_webp_dims" ->
+      """SELECT doc_id, 1 AS valid_webp,
+        |  CASE doc_id % 3 WHEN 0 THEN 'VP8 ' WHEN 1 THEN 'VP8L'
+        |    ELSE 'VP8X' END AS variant,
+        |  (n_chars % 1024 + 16)::bigint AS width,
+        |  (doc_id % 512 + 16)::bigint AS height
         |FROM documents""".stripMargin,
 
     "mm_decode" ->

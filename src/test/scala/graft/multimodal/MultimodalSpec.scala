@@ -151,6 +151,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L)._1 == 0 && out(3L)._2 == -1L, s"junk magic must null out: ${out(3L)}")
   }
 
+  test("H9 withWebpDims decodes all three variant encodings; corrupt sync/signature null out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    def riff(chunk: String) = "52494646" +
+      f"${4 + chunk.length / 2}%02x000000" + "57454250" + chunk
+    // VP8 lossy 640×480: tag + sync 9d012a + LE14 dims
+    val lossy = riff("56503820" + "0a000000" + "000000" + "9d012a" + "8002" + "e001")
+    // VP8L 1×1: bits = (w-1) | (h-1)<<14 = 0
+    val ll1x1 = riff("5650384c" + "05000000" + "2f" + "00000000" + "00")
+    // VP8X 100000×20 canvas — beyond the 14-bit lossy limit:
+    // 99999 = 0x01869f LE → 9f8601
+    val wide = riff("56503858" + "0a000000" + "00" + "000000" + "9f8601" + "130000")
+    // lossy with a WRONG sync code: dims must null, not read garbage
+    val badSync = riff("56503820" + "0a000000" + "000000" + "9d012b" + "8002" + "e001")
+    val junk = "89504e47" + ("00" * 26) // PNG magic
+    val out = Multimodal.withWebpDims(
+      Seq((1L, lossy), (2L, ll1x1), (3L, wide), (4L, badSync), (5L, junk))
+        .toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_webp", "variant", "width", "height")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) "-" else r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))
+      }.toMap
+    assert(out(1L) == ((1, "VP8 ", 640L, 480L)), s"lossy: ${out(1L)}")
+    assert(out(2L) == ((1, "VP8L", 1L, 1L)), s"lossless 1x1: ${out(2L)}")
+    assert(out(3L) == ((1, "VP8X", 100000L, 20L)), s"wide canvas: ${out(3L)}")
+    assert(out(4L) == ((1, "VP8 ", -1L, -1L)), s"bad sync must null dims: ${out(4L)}")
+    assert(out(5L)._1 == 0 && out(5L)._2 == "-", s"junk: ${out(5L)}")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
