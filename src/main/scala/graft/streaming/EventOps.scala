@@ -215,8 +215,18 @@ object EventOps {
     * closed windows, the same incremental-counts / batch-finish split
     * as daily top-k). */
   def anomaliesFromHourly(hourly: DataFrame, zThreshold: Double,
-      typeCol: String = "event_type"): DataFrame = {
-    val stats = hourly.groupBy(col(typeCol).as("t"))
+      typeCol: String = "event_type"): DataFrame =
+    scoreAgainstStats(hourly, hourlyStats(hourly, typeCol), zThreshold, typeCol)
+
+  /** Per-type mean/sd over an hourly count frame — the STATS DIM half
+    * of anomaly detection, factored out so it can also be built from
+    * HISTORY and broadcast under a live stream (Streaming
+    * .anomalyFlagsStreaming). Exact integer sums (sum n, sum n²), so
+    * the float result is a fixed expression over exact inputs —
+    * deterministic across engines and accumulation orders. */
+  def hourlyStats(hourly: DataFrame,
+      typeCol: String = "event_type"): DataFrame =
+    hourly.groupBy(col(typeCol).as("t"))
       .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -228,9 +238,16 @@ object EventOps {
           (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt"))
             / (col("cnt") - lit(1)))).as("sd_n"))
       .filter(col("sd_n") > 0)
+
+  /** The scoring half: flag hours whose count deviates ≥ zThreshold
+    * sample standard deviations from the type's stats. The stats side
+    * is per-type → always small → broadcast; under a stream-static
+    * join the dim re-reads per micro-batch, so a refreshed stats table
+    * is picked up without restarting the query. */
+  def scoreAgainstStats(hourly: DataFrame, stats: DataFrame,
+      zThreshold: Double, typeCol: String = "event_type"): DataFrame =
     hourly.join(broadcast(stats), col(typeCol) === col("t"))
       .withColumn("z", (col("n") - col("mean_n")) / col("sd_n"))
       .filter(abs(col("z")) >= zThreshold)
       .select(col(typeCol), col("hour"), col("n"), round(col("z"), 4).as("z"))
-  }
 }

@@ -283,6 +283,24 @@ object Streaming {
       }
   }
 
+  /** I11 (live face): flag anomalous hours AS THE STREAM RUNS by
+    * scoring each watermark-closed hourly window against a
+    * HISTORICAL per-type stats dim — the deployment shape where the
+    * baseline comes from yesterday's corpus and the stream is today.
+    * (The other I11 face streams the counts and finishes the z-pass
+    * in batch — that one is retrospective; this one alerts live.)
+    * The dim is per-type → tiny → broadcast; stream-static join
+    * semantics re-read it per micro-batch, so refreshing the stats
+    * table between triggers re-baselines the scoring without a query
+    * restart. */
+  def anomalyFlagsStreaming(events: DataFrame, stats: DataFrame,
+      zThreshold: Double): DataFrame =
+    EventOps.scoreAgainstStats(
+      windowedCounts(events, windowDur = "1 hour")
+        .select(col("window_start").as("hour"), col("event_type"),
+          col("n_events").as("n")),
+      stats, zThreshold)
+
   final case class StepHit(user_id: Long, step: Int)
 
   /** I8 (streaming face): the ordered funnel as a per-user state

@@ -596,6 +596,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getInt(3) == 69)
   }
 
+  test("I11 live anomaly flags against a historical stats dim match batch scoring") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "event_type", "value")
+    // history: click 1/hour for 6 hours with one 4-count hour → a
+    // non-degenerate per-type baseline (mean ~1.5, sd > 0)
+    val history = (0 until 5).map(h => (ts(h * 60), "click", 1.0)) ++
+      (0 until 4).map(i => (ts(5 * 60 + i), "click", 1.0))
+    val stats = EventOps.hourlyStats(
+      asEvents(history.toDF())
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))).cache()
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = Streaming.anomalyFlagsStreaming(asEvents(mem.toDF()), stats, 2.0)
+      .writeStream.format("memory").queryName("live_anom").outputMode("append").start()
+    try {
+      // live day: one calm hour (count 1, |z| < 2) and one 9-event
+      // spike hour; flush events advance the watermark past both
+      // (minute mod 60 stays below 46 — the epoch base is 13m20s into
+      // an hour, so the wall-clock hour flips between mod-46 and -47)
+      val live = Seq((ts(10000), "click", 1.0)) ++
+        (0 until 9).map(i => (ts(10080 + i), "click", 1.0))
+      mem.addData(live: _*)
+      q.processAllAvailable()
+      mem.addData((ts(100000), "flush", 0.0)); q.processAllAvailable()
+      mem.addData((ts(200000), "flush", 0.0)); q.processAllAvailable()
+      val streamed = spark.table("live_anom")
+        .filter(col("event_type") =!= "flush")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventOps.scoreAgainstStats(
+        asEvents(live.toDF())
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        stats, 2.0)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch.nonEmpty, "the spike hour must flag against the baseline")
+      assert(batch.map(_._3) == Set(9L), s"only the spike hour flags: $batch")
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I8 streaming funnel state machine + finishing count match the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
