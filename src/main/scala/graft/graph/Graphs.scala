@@ -56,6 +56,21 @@ object Graphs {
   private def checkpointEvery(df: DataFrame, i: Int, every: Int = 3): DataFrame =
     if (i % every == 0) df.localCheckpoint(eager = true) else df
 
+  /** Pin a loop-invariant edge table into a src-hash layout and CACHE
+    * it (r8). cache, not localCheckpoint: a checkpoint rewrites the
+    * frame as a partitioning-less ExistingRDD scan, so every round's
+    * join re-exchanges the edge side — the cached plan keeps the
+    * `repartition` node's hashpartitioning(src) visible to
+    * ENSURE_REQUIREMENTS and each iteration shuffles only the rank
+    * table (the |V|-row side; the edge list is the big side at
+    * 100 TB). Eagerly materialized so the first round doesn't pay the
+    * upstream plan twice. */
+  private def pinBySrc(edges: DataFrame): DataFrame = {
+    val pinned = edges.repartition(col("src")).cache()
+    pinned.count()
+    pinned
+  }
+
   /** C2: connected components via alternating large-star / small-star.
     * Returns (id, component) where component is the lexicographic min
     * vertex id of the component. */
@@ -132,14 +147,17 @@ object Graphs {
         .unionAll(e.select(col("dst").as("id"))).distinct()
         .localCheckpoint(eager = true))
     val n = verticesDf.count().toDouble
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degrees join ONCE, and the result pins a src-hash layout: every
+    // round's contribs join then moves only the |V|-row rank table —
+    // the edge list (the big side at 100 TB) never re-shuffles (r8; the
+    // old loop joined outDeg and exchanged the full edge list per round)
+    val e2 = pinBySrc(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
     var ranks = verticesDf.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       // eager checkpoint (one job per round): the next round's join AND
       // the dangling-mass aggregate both read the materialized contribs
       // instead of replaying the whole lineage
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(outDeg, "src")
+      val contribs = e2.join(ranks, e2("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
         .localCheckpoint(eager = true)
@@ -152,6 +170,9 @@ object Graphs {
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("lost") / n)).as("rank"))
     }
+    // the final ranks plan reads only verticesDf + the checkpointed
+    // last-round contribs, so the pinned cache can go now
+    e2.unpersist()
     ranks
   }
 
@@ -174,14 +195,12 @@ object Graphs {
         .unionAll(e.select(col("dst").as("id"))).distinct()
         .localCheckpoint(eager = true))
     val n = verticesDf.count().toDouble
-    // checkpointed once: every iteration joins Σw, and an unbuffered
-    // frame re-runs the weight aggregation per round
-    val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
-      .localCheckpoint(eager = true)
+    // Σw joins ONCE and the result pins a src-hash layout (the r8
+    // pageRank move): per round only the rank table shuffles
+    val e2 = pinBySrc(e.join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src"))
     var ranks = verticesDf.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(outW, "src")
+      val contribs = e2.join(ranks, e2("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") * col("w") / col("sw")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
         .localCheckpoint(eager = true)
@@ -191,6 +210,9 @@ object Graphs {
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("lost") / n)).as("rank"))
     }
+    // the final ranks plan reads only verticesDf + the checkpointed
+    // last-round contribs, so the pinned cache can go now
+    e2.unpersist()
     ranks
   }
 
@@ -217,11 +239,12 @@ object Graphs {
       .select(col("id"),
         when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)).as("p"))
       .localCheckpoint(eager = true)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degrees join ONCE with a pinned src-hash layout (the r8 pageRank
+    // move): per round only the rank table shuffles
+    val e2 = pinBySrc(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
     var ranks = vp.select(col("id"), col("p").as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(outDeg, "src")
+      val contribs = e2.join(ranks, e2("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
         .localCheckpoint(eager = true)
@@ -231,6 +254,7 @@ object Graphs {
           (lit(1 - damping) * col("p") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("lost") * col("p"))).as("rank"))
     }
+    e2.unpersist()
     ranks
   }
 

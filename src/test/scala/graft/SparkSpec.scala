@@ -25,13 +25,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * (ResultQueryStage at the root, shuffles as ShuffleQueryStageExec),
     * so plain tree traversal for ShuffleExchangeExec counts 0 even when
     * the join shuffles (r3 advice): recurse INTO query stages via
-    * .plan; a shuffle stage counts as 1 without descending (its .plan
-    * holds the exchange). */
+    * .plan — including INTO shuffle stages (r8: a chained plan nests
+    * earlier ShuffleQueryStages inside a later one's .plan, so
+    * stopping at the first stage undercounted multi-shuffle chains). */
   def countExchanges(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect() // execute so AQE finalizes the plan
     def walk(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case _: ShuffleQueryStageExec => 1
+      case s: ShuffleQueryStageExec => walk(s.plan) // .plan IS the exchange
       case q: QueryStageExec => walk(q.plan)
       case _: ShuffleExchangeExec => 1 + p.children.map(walk).sum
       case _ => p.children.map(walk).sum

@@ -83,6 +83,29 @@ class GraphSpec extends SparkSpec {
     assert(pr("hub") > pr("l1") * 2)
   }
 
+  test("C3 the pinned edge layout survives localCheckpoint: per-round join moves only ranks") {
+    import spark.implicits._
+    // replicate the loop's e2 shape: degrees joined once, src-hash
+    // layout pinned via repartition+cache — then ONE contribs join
+    // against a rank table must exchange exactly twice (the rank side
+    // + the groupBy(id) re-key); a localCheckpoint pin would lose the
+    // layout and re-exchange the edge side every round (3 exchanges)
+    val e = (1 to 200).map(i => (i.toLong % 20, i.toLong % 31)).toDF("src", "dst")
+    noBroadcast {
+      val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .repartition(col("src")).cache()
+      e2.count()
+      try {
+        val ranks = (0L until 20L).map(i => (i, 1.0 / 20)).toDF("id", "rank")
+        val contribs = e2.join(ranks, e2("src") === ranks("id"))
+          .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy("id").agg(sum(col("c")).as("c"))
+        val n = countExchanges(contribs)
+        assert(n == 2, s"expected 2 exchanges (ranks + re-key), got $n — the edge side moved:\n${contribs.queryExecution.executedPlan}")
+      } finally e2.unpersist()
+    }
+  }
+
   test("C12 personalized pagerank: mass concentrates near the source set") {
     import spark.implicits._
     // path a-b-c-d (both directions): teleporting to {a} must order
