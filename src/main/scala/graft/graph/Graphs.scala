@@ -65,11 +65,12 @@ object Graphs {
     * table (the |V|-row side; the edge list is the big side at
     * 100 TB). Eagerly materialized so the first round doesn't pay the
     * upstream plan twice. */
-  private def pinBySrc(edges: DataFrame): DataFrame = {
-    val pinned = edges.repartition(col("src")).cache()
+  private def pin(edges: DataFrame, key: String): DataFrame = {
+    val pinned = edges.repartition(col(key)).cache()
     pinned.count()
     pinned
   }
+  private def pinBySrc(edges: DataFrame): DataFrame = pin(edges, "src")
 
   /** C2: connected components via alternating large-star / small-star.
     * Returns (id, component) where component is the lexicographic min
@@ -273,22 +274,31 @@ object Graphs {
     val verticesDf = vertices.getOrElse(
       e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
         .distinct().localCheckpoint(eager = true))
+    // each half-step joins on a DIFFERENT key, so pin BOTH orientations
+    // (the r8 pageRank move ×2): per half-step only the score table and
+    // the post-join re-key move; the edge list itself never re-shuffles
+    val eBySrc = e.repartition(col("src")).cache()
+    val eByDst = e.repartition(col("dst")).cache()
+    eBySrc.count(); eByDst.count()
     var hubs = verticesDf.select(col("id"), lit(1.0).as("h"))
     var auths = verticesDf.select(col("id"), lit(0.0).as("a"))
     for (_ <- 1 to iterations) {
-      val a0 = e.join(hubs, e("src") === hubs("id"))
+      val a0 = eBySrc.join(hubs, eBySrc("src") === hubs("id"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .select(col("dst").as("id"), col("a"))
         .localCheckpoint(eager = true)
       val aNorm = broadcast(a0.agg(sum(col("a")).as("s")))
       auths = a0.crossJoin(aNorm).select(col("id"), (col("a") / col("s")).as("a"))
-      val h0 = e.join(auths, e("dst") === auths("id"))
+      val h0 = eByDst.join(auths, eByDst("dst") === auths("id"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("id"), col("h"))
         .localCheckpoint(eager = true)
       val hNorm = broadcast(h0.agg(sum(col("h")).as("s")))
       hubs = h0.crossJoin(hNorm).select(col("id"), (col("h") / col("s")).as("h"))
     }
+    // the final frame reads only verticesDf + the checkpointed last
+    // half-steps, so the pinned caches can go now
+    eBySrc.unpersist(); eByDst.unpersist()
     verticesDf.join(hubs, Seq("id"), "left").join(auths, Seq("id"), "left")
       .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"),
         coalesce(col("a"), lit(0.0)).as("auth"))
@@ -472,7 +482,9 @@ object Graphs {
   def labelPropagation(undirected: DataFrame, iterations: Int = 5,
       vertices: Option[DataFrame] = None): DataFrame = {
     val one = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
-    val und = one.unionAll(one.select(col("v").as("u"), col("u").as("v")))
+    // v-hash-pinned doubled frame (the r8 pageRank move): the per-round
+    // votes join moves only the label table
+    val und = pin(one.unionAll(one.select(col("v").as("u"), col("u").as("v"))), "v")
     // caller-supplied vertex table skips the per-query union+distinct
     var labels = vertices.getOrElse(und.select(col("u").as("id")).distinct())
       .select(col("id")).withColumn("lbl", col("id"))
@@ -486,7 +498,11 @@ object Graphs {
           .select(col("u").as("id"), col("lbl")),
         i)
     }
-    labels
+    // materialize the (possibly lazy) last rounds before releasing the
+    // pinned cache they read
+    val out = labels.localCheckpoint(eager = true)
+    und.unpersist()
+    out
   }
 
   /** C19: local clustering coefficient — lcc(v) = 2·tri(v) /
@@ -527,7 +543,8 @@ object Graphs {
       vertices: Option[DataFrame] = None): DataFrame = {
     val one = undirected.select(col("u"), col("v"), col("w"))
       .localCheckpoint(eager = true)
-    val und = one.unionAll(one.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val und = pin(
+      one.unionAll(one.select(col("v").as("u"), col("u").as("v"), col("w"))), "v")
     var labels = vertices.getOrElse(und.select(col("u").as("id")).distinct())
       .select(col("id")).withColumn("lbl", col("id"))
     for (i <- 1 to iterations) {
@@ -540,7 +557,9 @@ object Graphs {
           .select(col("u").as("id"), col("lbl")),
         i)
     }
-    labels
+    val out = labels.localCheckpoint(eager = true)
+    und.unpersist()
+    out
   }
 
   /** C8: k-core by fixed-round peeling — each round drops vertices
@@ -587,6 +606,10 @@ object Graphs {
     * `first()` action, matching the PageRank family's zero-pre-plan-
     * actions convention. */
   def ssspFrom(weighted: DataFrame, seed: DataFrame, iterations: Int): DataFrame = {
+    // NOT pinned (the bfsHashed trade-off, not the pageRank one): dist
+    // is checkpointed per round so AQE sees its size and broadcasts it
+    // while small — no edge shuffle per round and no upfront
+    // repartition; a pin only pays when the frontier outgrows broadcast
     val und = weighted.select(col("u"), col("v"), col("w"))
       .unionAll(weighted.select(col("v").as("u"), col("u").as("v"), col("w")))
       .localCheckpoint(eager = true)
