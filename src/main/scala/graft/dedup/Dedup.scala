@@ -262,6 +262,34 @@ object Dedup {
         (coalesce(col("component"), col(idCol)) === col(idCol)).cast("int").as("is_kept"))
   }
 
+  /** E8 kernel: greedy min-id semantic survivors — given a cluster
+    * assignment (id → cluster), compare only WITHIN-cluster pairs
+    * (normalize-then-dot, the embeddingPairs kernel with the cluster
+    * as block key) and drop every vector with a ≥-threshold partner of
+    * smaller id. The cluster's min id is always kept; cross-cluster
+    * near-dups survive by design (SemDeDup's recall trade for never
+    * going all-pairs). */
+  def semanticSurvivors(vecs: DataFrame, asg: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    val nv = vecs.join(asg, idCol)
+      .select(col("cluster"), col(idCol),
+        normalized(spark, col(vecCol)).as("vn"))
+    val a = nv.select(col("cluster"), col(idCol).as("doc_a"), col("vn").as("va"))
+    val b = nv.select(col("cluster"), col(idCol).as("doc_b"), col("vn").as("vb"))
+    val pairDot = graft.functions.VectorFunctions.dotProduct(
+      spark, col("va"), col("vb"))
+    val removed = a.join(b, Seq("cluster"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(round(pairDot, 4) >= threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+      .withColumn("_r", lit(1))
+    nv.select(col(idCol), col("cluster"))
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        col("_r").isNull.cast("int").as("is_kept"))
+  }
+
   /** E5/F4: embedding near-dup pairs, blocked by a partition column so
     * the self-join shuffles on the block key instead of exploding into
     * all-pairs. (With no natural block key, callers use the LSH route —

@@ -100,8 +100,29 @@ object DedupQueries {
         (col("is_exact_dup") === 0 && col("_n").isNull).cast("int").as("admit"))
   }
 
+  /** E8: SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): the
+    * corpus is k-means-clustered in embedding space (F10's
+    * exact-integer Lloyd — clusters bound the quadratic pair scan the
+    * way LSH bands bound E2's), then only WITHIN-cluster pairs are
+    * cosine-compared and each doc with a ≥-threshold partner of
+    * smaller id is dropped (the greedy min-id representative rule).
+    * Cross-cluster near-dups are missed by design — that is SemDeDup's
+    * documented recall trade for never going all-pairs; at 100 TB k
+    * grows with n so cluster sizes stay bounded. Emits (vec_id,
+    * cluster, is_kept). */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{Similarity, SimQueries}
+    val emb = Tables.embeddings(spark, dir)
+    val asg = Similarity.kmeansInt8(
+        Similarity.quantizeInt8(emb, "vec_id", "embedding"),
+        SimQueries.KmeansK, SimQueries.KmeansIters)
+      .select(col("vec_id"), col("cluster"))
+    Dedup.semanticSurvivors(emb, asg, "vec_id", "embedding", CosineThreshold)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dedup_exact"           -> (dedupExact _),
+    "dedup_semantic"        -> (dedupSemantic _),
     "dedup_minhash_pairs"   -> (dedupMinhashPairs _),
     "dedup_simhash"         -> (dedupSimhash _),
     "dedup_simhash_pairs"   -> ((s: SparkSession, d: String) =>
@@ -294,6 +315,28 @@ object DedupQueries {
          |  coalesce(comp.component, d.doc_id) AS canonical_id,
          |  (coalesce(comp.component, d.doc_id) = d.doc_id)::int AS is_kept
          |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
+
+    "dedup_semantic" ->
+      // the kmeans assignment is the SAME generated fixed-iteration
+      // oracle sim_kmeans verifies against (composed as a subquery);
+      // the pair scan mirrors the normalize-then-dot formulation of
+      // dedup_embedding_pairs with the cluster as the block key
+      s"""WITH asg AS (
+         |  SELECT vec_id, cluster FROM (${graft.sim.SimQueries.kmeansOracleSql})
+         |), nv AS (
+         |  SELECT a.cluster, e.vec_id,
+         |    list_transform(e.embedding, x -> x::double
+         |      / sqrt(list_sum(list_transform(e.embedding, y -> y::double * y::double)))) AS vn
+         |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+         |), removed AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM nv a JOIN nv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE round(list_sum(list_transform(list_zip(a.vn, b.vn), z -> z[1] * z[2])), 4)
+         |    >= $CosineThreshold
+         |)
+         |SELECT n.vec_id, n.cluster,
+         |  (r.vec_id IS NULL)::int AS is_kept
+         |FROM nv n LEFT JOIN removed r ON n.vec_id = r.vec_id""".stripMargin,
 
     "dedup_embedding_pairs" ->
       // mirror the Spark formulation EXACTLY (normalize per row, then

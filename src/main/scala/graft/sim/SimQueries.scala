@@ -232,28 +232,11 @@ object SimQueries {
        |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "sim_quantize" ->
-      // mirrors Similarity.quantizeInt8: identical double expression
-      // (x * 127 / max|x|), identical half-away-from-zero rounding
-      """WITH ex AS (
-        |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS dim, embedding
-        |  FROM embeddings
-        |), v AS (
-        |  SELECT vec_id, dim, embedding[dim + 1]::double AS x FROM ex
-        |), m AS (
-        |  SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1
-        |)
-        |SELECT v.vec_id, v.dim,
-        |  CASE WHEN m.maxabs = 0 THEN 0
-        |       ELSE round(v.x * 127 / m.maxabs)::int END AS q
-        |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin,
+  /** Generated fixed-iteration DuckDB mirror of kmeansInt8 over the
+    * quantized embeddings — shared by sim_kmeans and the semantic-dedup
+    * oracle (dedup_semantic composes it as a subquery). */
+  lazy val kmeansOracleSql: String = {
 
-    // mirrors Similarity.kmeansInt8 iteration for iteration over the
-    // generated quantization CTE: integer distances, floor(Σq/n)
-    // centroid updates, min-cid ties — every value exact, no rounding
-    // needed anywhere
-    "sim_kmeans" -> {
       val iterCtes = (1 to KmeansIters).map { i =>
         val centUpdate = if (i < KmeansIters)
           s""",
@@ -297,7 +280,30 @@ object SimQueries {
          |),
          |$iterCtes
          |SELECT vec_id, cid AS cluster, dist AS dist_sq FROM a$KmeansIters""".stripMargin
-    },
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_quantize" ->
+      // mirrors Similarity.quantizeInt8: identical double expression
+      // (x * 127 / max|x|), identical half-away-from-zero rounding
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS dim, embedding
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT vec_id, dim, embedding[dim + 1]::double AS x FROM ex
+        |), m AS (
+        |  SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1
+        |)
+        |SELECT v.vec_id, v.dim,
+        |  CASE WHEN m.maxabs = 0 THEN 0
+        |       ELSE round(v.x * 127 / m.maxabs)::int END AS q
+        |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin,
+
+    // mirrors Similarity.kmeansInt8 iteration for iteration over the
+    // generated quantization CTE: integer distances, floor(Σq/n)
+    // centroid updates, min-cid ties — every value exact, no rounding
+    // needed anywhere
+    "sim_kmeans" -> kmeansOracleSql,
 
     // mirrors Similarity.centroidDistance: same exploded rows, same
     // per-(label, dim) mean, same (x−μ)² sum — round(4) absorbs the

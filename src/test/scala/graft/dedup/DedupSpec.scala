@@ -87,4 +87,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((0L, 1L, 1.0)))
   }
+
+  test("E8 semantic survivors: min id kept per dup set, cross-cluster twins both survive") {
+    import spark.implicits._
+    // cluster 0: vecs 1,2,3 identical (1 kept, 2+3 removed — both have
+    // the smaller partner 1) + orthogonal 4 (kept); cluster 1: vec 5
+    // IDENTICAL to 1 but in another cluster → kept (the SemDeDup
+    // recall trade is pinned, not accidental)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val asg = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0), (5L, 1))
+      .toDF("vec_id", "cluster")
+    val out = Dedup.semanticSurvivors(vecs, asg, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1), s"$out")
+  }
 }
