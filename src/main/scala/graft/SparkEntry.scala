@@ -50,6 +50,8 @@ object SparkEntry {
       "q_moving_revenue"   -> (Relational.qMovingRevenue _),
       "q_yoy_growth"       -> (Relational.qYoyGrowth _),
       "q_ntile"            -> (Relational.qNtile _),
+      "q_global_share"     -> (Relational.qGlobalShare _),
+      "q_trade_flows"      -> (Relational.qTradeFlows _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -265,6 +267,41 @@ object SparkEntry {
         |  ntile(4) OVER (PARTITION BY c.c_nationkey
         |                 ORDER BY rev_cents DESC, c.c_custkey) AS quartile
         |FROM customer c JOIN rev ON c.c_custkey = rev.o_custkey""".stripMargin,
+
+    // mirrors qGlobalShare: same exact-cents sums, same integer-bps
+    // HAVING (rev·10⁴ ≥ total·bps — Q11's scalar subquery, never a
+    // float compare), share as the one fixed double expression
+    "q_global_share" ->
+      s"""WITH rev AS (
+         |  SELECT n.n_name,
+         |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::bigint AS rev_cents,
+         |    count(*) AS n_orders
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY 1
+         |), t AS (SELECT sum(rev_cents)::bigint AS total_cents FROM rev)
+         |SELECT rev.n_name, rev.rev_cents, rev.n_orders,
+         |  round(rev.rev_cents::double / t.total_cents, 6) AS share
+         |FROM rev, t
+         |WHERE rev.rev_cents * 10000 >= t.total_cents * ${Relational.ShareBps}""".stripMargin,
+
+    // mirrors qTradeFlows: per-row discounted price rounded to cents
+    // then integer-summed, cross-nation filter
+    "q_trade_flows" ->
+      """SELECT sg.supp_nation, cg.cust_nation, year(l.l_shipdate) AS yr,
+        |  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT))::bigint AS rev_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |      JOIN nation ON s_nationkey = n_nationkey) sg
+        |  ON l.l_suppkey = sg.s_suppkey
+        |JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey) cg
+        |  ON o.o_custkey = cg.c_custkey
+        |WHERE sg.supp_nation <> cg.cust_nation
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

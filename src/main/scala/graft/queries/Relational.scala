@@ -446,6 +446,63 @@ object Relational {
         round(col("rev_cents") / 100.0, 2).as("revenue"), col("quartile"))
   }
 
+  /** D20 share threshold in basis points (4%): nations whose revenue
+    * share clears it survive the HAVING. */
+  val ShareBps = 400
+
+  /** D20 — TPC-H Q11-style global-share HAVING: per-nation revenue
+    * kept only where its share of the GLOBAL total clears a threshold.
+    * The global total rides as an IN-PLAN broadcast scalar (the
+    * pageRank dangling-mass idiom — Q11's scalar subquery without a
+    * separate driver action), and the HAVING compares EXACT INTEGERS
+    * (rev·10⁴ ≥ total·bps) so membership can never flip on a float
+    * ulp; the share column itself is one fixed double expression for
+    * display. */
+  def qGlobalShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val total = broadcast(rev.agg(sum(col("rev_cents")).as("total_cents")))
+    rev.crossJoin(total)
+      .filter(col("rev_cents") * 10000 >= col("total_cents") * ShareBps)
+      .select(col("n_name"), col("rev_cents"), col("n_orders"),
+        round(col("rev_cents").cast("double") / col("total_cents"), 6).as("share"))
+  }
+
+  /** D21 — TPC-H Q7-style trade flows: revenue between DIFFERENT
+    * supplier and customer nations per ship year — the two-dimension
+    * join (lineitem→supplier geo, lineitem→order→customer geo) that
+    * stresses join planning: both nation dims broadcast; the only big
+    * shuffle is lineitem⋈orders on orderkey. Revenue is the discounted
+    * price as one float expression rounded to exact cents per ROW,
+    * then integer-summed — the q1 disc_price arithmetic under the
+    * exact-cents contract. */
+  def qTradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val suppGeo = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custGeo = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("yr"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
+      .join(custGeo, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "yr")
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_lines"))
+  }
+
   /** D14 — exact interpolated percentiles per group (the distribution
     * summary a cost/latency dashboard asks of a 100 TB fact table;
     * Spark's percentile is a single-pass partial aggregate, so the
