@@ -127,6 +127,24 @@ object KgQueries {
     * emit both directions of a directional relation. One left-semi
     * self-join of the stored edge table on the swapped key + two
     * keyed counts. */
+  /** B15: relation TYPE SIGNATURES — per relation, the distribution of
+    * (src_label, dst_label) endpoint-type pairs with per-relation
+    * shares: the schema-discovery audit (a clean relation maps one
+    * dominant type pair; a polluted extraction shows a long tail) that
+    * completes the KG-audit trio with B12's cardinality and B14's
+    * reciprocity. One map-side-combined keyed aggregation; the share
+    * window partitions over ≤ |relations|·|labels|² tiny rows. */
+  def kgTypeSignatures(spark: SparkSession, dir: String): DataFrame =
+    typeSignatures(storedEdges(spark, dir))
+
+  def typeSignatures(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("rel")
+    e.groupBy("rel", "src_label", "dst_label")
+      .agg(count(lit(1)).as("n_edges"))
+      .withColumn("share",
+        round(col("n_edges").cast("double") / sum("n_edges").over(w), 4))
+  }
+
   def kgReciprocity(spark: SparkSession, dir: String): DataFrame =
     reciprocity(storedEdges(spark, dir))
 
@@ -289,6 +307,7 @@ object KgQueries {
     "kg_rel_cardinality"       -> (kgRelCardinality _),
     "kg_entity_resolution"     -> (kgEntityResolution _),
     "kg_reciprocity"           -> (kgReciprocity _),
+    "kg_type_signatures"       -> (kgTypeSignatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -348,6 +367,17 @@ object KgQueries {
          |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
 
     "kg_edges" -> s"WITH t AS ($triplesSql)\n$edgesSelectSql",
+
+    // mirrors kgTypeSignatures: same grouping, same windowed share
+    "kg_type_signatures" ->
+      s"""WITH t AS ($triplesSql),
+         |e AS MATERIALIZED (
+         |$edgesSelectSql
+         |)
+         |SELECT rel, src_label, dst_label, count(*) AS n_edges,
+         |  round(count(*)::double
+         |    / sum(count(*)) OVER (PARTITION BY rel), 4) AS share
+         |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors kgReciprocity: EXISTS on the swapped typed key
     "kg_reciprocity" ->

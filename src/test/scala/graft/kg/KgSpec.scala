@@ -185,6 +185,24 @@ class KgSpec extends SparkSpec {
       s"typed endpoints must block the F-labeled reversal: ${out("owns")}")
   }
 
+  test("B15 type signatures: per-relation endpoint-type shares sum to 1, polluted tail visible") {
+    import spark.implicits._
+    val e = Seq(
+      ("Artist", "a", "painted", "Artwork", "w1"),
+      ("Artist", "b", "painted", "Artwork", "w2"),
+      ("Artist", "c", "painted", "Artwork", "w3"),
+      ("Museum", "m", "painted", "Artwork", "w4"), // the extraction bug
+      ("Artist", "a", "bornIn", "City", "p"),
+    ).toDF("src_label", "src", "rel", "dst_label", "dst")
+    val out = KgQueries.typeSignatures(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("painted", "Artist", "Artwork")) == ((3L, 0.75)), s"$out")
+    assert(out(("painted", "Museum", "Artwork")) == ((1L, 0.25)),
+      "the polluted pair must surface with its share")
+    assert(out(("bornIn", "Artist", "City")) == ((1L, 1.0)))
+  }
+
   test("B13 entity resolution: spelled variants pair and cluster, labels block, dissimilar names don't") {
     import spark.implicits._
     val nodes = Seq(
