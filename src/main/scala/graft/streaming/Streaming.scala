@@ -283,6 +283,21 @@ object Streaming {
       }
   }
 
+  /** I12 (streaming face): identity dedupe via the native
+    * dropDuplicatesWithinWatermark — state holds one entry per
+    * (user_id, event_type, ts) key and EXPIRES with the watermark
+    * (a plain dropDuplicates on a stream is the unbounded-state trap;
+    * within-watermark expiry is the production contract: replays
+    * arrive near-real-time, so a bounded horizon suffices). The kept
+    * row is the first ARRIVAL — deterministic in the key set but not
+    * in the representative event_id, unlike the batch operator's
+    * min-id rule; StreamingSpec pins the key-set parity and the
+    * cross-batch suppression. */
+  def dedupeStreaming(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
   /** I11 (live face): flag anomalous hours AS THE STREAM RUNS by
     * scoring each watermark-closed hourly window against a
     * HISTORICAL per-type stats dim — the deployment shape where the

@@ -596,6 +596,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getInt(3) == 69)
   }
 
+  test("I12 streaming dedupe suppresses cross-batch replays; key set matches batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("event_id", "user_id", "event_type", "ts")
+    val q = Streaming.dedupeStreaming(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("dedupe_out").outputMode("append").start()
+    try {
+      // batch 1: one in-batch dup pair + a distinct key
+      mem.addData((1L, 1L, "click", ts(0)), (2L, 1L, "click", ts(0)),
+        (3L, 2L, "view", ts(1)))
+      q.processAllAvailable()
+      // batch 2: replay of (1, click, ts0) under a NEW event_id within
+      // the watermark → suppressed by state; plus one genuinely new key
+      mem.addData((4L, 1L, "click", ts(0)), (5L, 1L, "view", ts(2)))
+      q.processAllAvailable()
+      val streamed = spark.table("dedupe_out")
+        .select("user_id", "event_type", "ts")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+      assert(spark.table("dedupe_out").count() == 3,
+        "each identity key must emit exactly once")
+      val batchKeys = Seq((1L, 1L, "click", ts(0)), (2L, 1L, "click", ts(0)),
+          (3L, 2L, "view", ts(1)), (4L, 1L, "click", ts(0)), (5L, 1L, "view", ts(2)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .groupBy("user_id", "event_type", "ts").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+      assert(streamed == batchKeys, s"streamed $streamed vs batch $batchKeys")
+    } finally q.stop()
+  }
+
   test("I11 live anomaly flags against a historical stats dim match batch scoring") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
