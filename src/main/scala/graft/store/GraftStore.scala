@@ -66,4 +66,38 @@ object GraftStore {
   def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  final case class CompactStats(filesBefore: Int, filesAfter: Int,
+    bytes: Long, rows: Long)
+
+  /** K10: small-file compaction — rewrite a parquet directory whose
+    * file count has drifted (streaming sinks, per-task writers, and
+    * incremental appends leave thousands of KB-size files; at 100 TB
+    * the scan-planning and open() overhead dominates) into
+    * ceil(bytes / targetBytes) files. The file count comes from the
+    * ACTUAL on-disk bytes, not a row estimate; content is preserved
+    * (same rows, same schema) and the swap is write-aside + rename so
+    * a crash mid-compaction leaves the original directory intact.
+    * Single-machine rename semantics mirror what an object-store
+    * pipeline does with a staging prefix + pointer flip. */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    def parquetFiles() = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val staged = new org.apache.hadoop.fs.Path(path + "_compacting")
+    df.repartition(nOut).write.mode("overwrite").parquet(staged.toString)
+    val rows = spark.read.parquet(staged.toString).count()
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
+    fs.rename(p, old)
+    fs.rename(staged, p)
+    fs.delete(old, true)
+    CompactStats(before.length, parquetFiles().length, bytes, rows)
+  }
 }

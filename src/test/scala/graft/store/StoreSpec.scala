@@ -79,4 +79,24 @@ class StoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("K10 compaction collapses a many-small-files table, content byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // 40 tiny files of 25 rows each
+    (0L until 1000L).map(i => (i, s"row_$i")).toDF("id", "s")
+      .repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+      .collect().map(_.toString).sorted
+    val stats = GraftStore.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(stats.filesBefore >= 40, s"$stats")
+    assert(stats.filesAfter == 1, s"one file at a 1 GiB target: $stats")
+    assert(stats.rows == 1000L)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq, "content must round-trip")
+    // staging/backup directories are gone
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.contains("compact")),
+      s"no staging leftovers: ${parent.mkString(",")}")
+  }
 }
