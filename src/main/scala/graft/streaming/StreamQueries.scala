@@ -171,6 +171,27 @@ object StreamQueries {
     EventOps.transitionMatrix(Tables.events(spark, dir),
       "user_id", "ts", "event_id", "event_type")
 
+  val HeavyTopK = 10
+
+  /** I21: EXACT heavy hitters — the top-10 users per event type by
+    * event count (map-side-combined count + a per-type rank window
+    * over ≤ |users| rows, user_id tiebreak). This is the exact answer
+    * the K9 Misra-Gries sketch (`graft_topk`) approximates in one
+    * bounded-memory pass; SketchSpec cross-checks the sketch's
+    * guarantee — every user above N/k is among its candidates —
+    * against THIS query's counts on the same table, tying the sketch
+    * to an oracled ground truth. */
+  def evHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HeavyTopK)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
@@ -189,6 +210,7 @@ object StreamQueries {
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
     "ev_sliding"     -> (evSliding _),
+    "ev_heavy_hitters" -> (evHeavyHitters _),
   )
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
@@ -362,6 +384,18 @@ object StreamQueries {
       """SELECT user_id, event_type, ts, min(event_id) AS event_id,
         |  count(*) AS n_dupes
         |FROM events GROUP BY user_id, event_type, ts""".stripMargin,
+
+    // mirrors evHeavyHitters: same counts, same (desc count, user_id)
+    // rank order
+    "ev_heavy_hitters" ->
+      s"""WITH c AS (
+         |  SELECT event_type, user_id, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT event_type, user_id, n_events,
+         |  row_number() OVER (PARTITION BY event_type
+         |                     ORDER BY n_events DESC, user_id) AS rnk
+         |FROM c QUALIFY rnk <= ${HeavyTopK}""".stripMargin,
 
     // mirrors EventOps.scd2: same (ts, id) total order per key
     "ev_scd2" ->

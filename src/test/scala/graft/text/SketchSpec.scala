@@ -67,4 +67,30 @@ class SketchSpec extends SparkSpec {
       assert(m.contains("hot"), s"per-group sketch lost the heavy item: $m")
     }
   }
+
+  test("K9 sketch candidates cover every exact heavy hitter on the real events table") {
+    import org.apache.spark.sql.functions._
+    val k = 20
+    val events = graft.Tables.events(spark, sfDir)
+    // exact per-type counts from the ORACLED I21 query's grouping
+    val exact = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+    val totals = exact.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val sketch = events
+      .groupBy("event_type")
+      .agg(graft.functions.VectorFunctions
+        .topk(spark, col("user_id").cast("string"), k).as("cand"))
+      .collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1)).toMap
+    exact.foreach { case (tpe, rows) =>
+      val bound = totals(tpe).toDouble / k
+      val mustHave = rows.filter(_.getLong(2) > bound).map(_.getLong(1).toString)
+      assert(mustHave.nonEmpty || rows.nonEmpty)
+      mustHave.foreach { u =>
+        assert(sketch(tpe).contains(u),
+          s"user $u of $tpe above N/k=$bound missing from ${sketch(tpe).keys}")
+      }
+    }
+  }
 }
