@@ -289,6 +289,23 @@ object GraphQueries {
       verts.orderBy(col("id")).limit(HarmonicSources), HarmonicHops)
   }
 
+  /** C20 driver query: radius-bounded ECCENTRICITY per landmark over
+    * the co-order graph — max BFS depth from each of the same 4
+    * deterministic landmarks graph_harmonic uses (one multi-source
+    * loop for all K), whose maximum is the standard DIAMETER LOWER
+    * BOUND (exact diameter needs all-pairs BFS; landmark eccentricity
+    * is the scalable estimator, same contract as C15/C16). */
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir)
+    val verts = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id"))).distinct()
+    Graphs.multiSourceBfs(e,
+        verts.orderBy(col("id")).limit(HarmonicSources), HarmonicHops)
+      .groupBy("src")
+      .agg(max(col("depth")).as("ecc"),
+        count(when(col("depth") > 0, 1)).as("n_reached"))
+  }
+
   /** Weighted-PageRank demo iteration count (the PPR reasoning: the
     * co-order graph is small-diameter, 5 rounds is the sweet spot). */
   val PrwIterations = 5
@@ -355,6 +372,7 @@ object GraphQueries {
     "graph_jaccard"   -> (graphJaccard _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_harmonic"  -> (graphHarmonic _),
+    "graph_eccentricity" -> (graphEccentricity _),
     "graph_betweenness" -> (graphBetweenness _),
   )
 
@@ -732,6 +750,31 @@ object GraphQueries {
          |SELECT id, count(*) AS n_reached,
          |  round(sum(1.0::double / d), 4) AS harmonic
          |FROM md WHERE d > 0 GROUP BY id""".stripMargin,
+
+    // mirrors graphEccentricity over the same recursive-CTE min-depth
+    // frame as graph_harmonic, grouped by landmark
+    "graph_eccentricity" ->
+      s"""WITH RECURSIVE l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), und AS (
+         |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+         |), seeds AS (
+         |  SELECT id FROM (SELECT u AS id FROM e0 UNION SELECT v FROM e0)
+         |  ORDER BY id LIMIT $HarmonicSources
+         |), bfs(src, id, d) AS (
+         |  SELECT id, id, 0 FROM seeds
+         |  UNION
+         |  SELECT bfs.src, und.v, bfs.d + 1 FROM bfs JOIN und ON und.u = bfs.id
+         |  WHERE bfs.d < $HarmonicHops
+         |), md AS (
+         |  SELECT src, id, min(d) AS d FROM bfs GROUP BY 1, 2
+         |)
+         |SELECT src, max(d) AS ecc,
+         |  count(CASE WHEN d > 0 THEN 1 END) AS n_reached
+         |FROM md GROUP BY src""".stripMargin,
 
     // mirrors Graphs.betweennessFromLandmarks level for level: the
     // recursive-CTE BFS min-depths (= the harmonic oracle), then one

@@ -106,6 +106,17 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("C20 eccentricity: path landmark reaches its far end; hop bound truncates") {
+    import spark.implicits._
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d")
+    def ecc(hops: Int) = Graphs.multiSourceBfs(e, Seq("a").toDF("id"), hops)
+      .groupBy("src").agg(max(col("depth")).as("ecc"),
+        count(when(col("depth") > 0, 1)).as("n_reached"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ecc(5) == Seq(("a", 3, 3L)), s"full radius: ${ecc(5)}")
+    assert(ecc(2) == Seq(("a", 2, 2L)), s"bounded radius: ${ecc(2)}")
+  }
+
   test("C12 personalized pagerank: mass concentrates near the source set") {
     import spark.implicits._
     // path a-b-c-d (both directions): teleporting to {a} must order
