@@ -316,6 +316,50 @@ object Streaming {
           col("n_events").as("n")),
       stats, zThreshold)
 
+  final case class Scd2State(tsMs: Long, id: Long, tpe: String, version: Int)
+  final case class Scd2Closed(user_id: Long, event_id: Long,
+    event_type: String, valid_from: Timestamp, valid_to: Timestamp,
+    version: Int)
+
+  /** I17 (streaming face): SCD Type-2 as a per-user state machine —
+    * state is the one OPEN version (O(1) per user); each in-order
+    * event CLOSES it, emitting the finished interval with its version
+    * number, and opens the next. Append-mode output carries exactly
+    * the batch operator's closed rows (valid_to NOT NULL) — the open
+    * version lives only in state until its successor arrives, which
+    * is what SCD2 means on an unbounded log. Out-of-order events
+    * ((ts, id) below the open version) are DROPPED, the I13 late-data
+    * convention: an O(1)-state tracker cannot re-linearize history.
+    * Equal-ts events order by event_id, matching the batch (ts, id)
+    * total order. */
+  def scd2Streaming(events: Dataset[TypedEv]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TypedEv], state: GroupState[Scd2State]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(Scd2State(e.ts.getTime, e.event_id, e.event_type, 1))
+              case Some(s) if e.ts.getTime > s.tsMs ||
+                  (e.ts.getTime == s.tsMs && e.event_id > s.id) =>
+                out += Scd2Closed(user, s.id, s.tpe,
+                  new Timestamp(s.tsMs), e.ts, s.version)
+                cur = Some(Scd2State(e.ts.getTime, e.event_id, e.event_type,
+                  s.version + 1))
+              case _ => // late straggler below the open version: drop
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class StepHit(user_id: Long, step: Int)
 
   /** I8 (streaming face): the ordered funnel as a per-user state

@@ -669,6 +669,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I17 streaming SCD2 closed versions match the batch intervals across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val q = Streaming.scd2Streaming(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Streaming.TypedEv(1L, ts(0), 1L, "bronze"),
+        Streaming.TypedEv(1L, ts(10), 2L, "silver"),
+        Streaming.TypedEv(2L, ts(5), 3L, "bronze"))
+      q.processAllAvailable()
+      // batch 2: u1 upgrades again (closes silver, opened cross-batch);
+      // u2's late event below their open version is dropped
+      mem.addData(
+        Streaming.TypedEv(1L, ts(20), 4L, "gold"),
+        Streaming.TypedEv(2L, ts(1), 5L, "late"))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_out")
+        .select("user_id", "event_id", "valid_from", "valid_to", "version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4))).toSet
+      val batchDf = Seq(
+        (1L, 1L, "bronze", ts(0), 0.0), (2L, 1L, "silver", ts(10), 0.0),
+        (3L, 2L, "bronze", ts(5), 0.0), (4L, 1L, "gold", ts(20), 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      val batch = EventOps.scd2(batchDf, "user_id", "ts", "event_id")
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("version"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4))).toSet
+      assert(streamed == batch && streamed == Set(
+        (1L, 1L, ts(0), ts(10), 1), (1L, 2L, ts(10), ts(20), 2)),
+        s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I8 streaming funnel state machine + finishing count match the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
