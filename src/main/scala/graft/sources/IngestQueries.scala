@@ -142,6 +142,36 @@ object IngestQueries {
         md5(col("content")).as("content_md5"))
   }
 
+  /** A11: corrupt-record-TOLERANT JSON parsing — the data-quality
+    * contract of a crawl-scale ingestion front door: PERMISSIVE mode
+    * with a corrupt-record column, so malformed lines (every 7th here,
+    * truncated mid-object by formula) quarantine whole instead of
+    * killing the job (FAILFAST) or vanishing (DROPMALFORMED). All
+    * in-plan: the line synthesizes via concat, from_json parses with
+    * the capture column, and the output carries the parsed fields,
+    * the corrupt flag, and the raw line's md5 for the quarantine
+    * audit trail. */
+  def ingJsonBad(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "doc_id BIGINT, lang STRING, _corrupt_record STRING"
+    val line = when(col("doc_id") % 7 === 0,
+        concat(lit("{\"doc_id\": "), col("doc_id"), lit(", ")))
+      .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"),
+        lit(", \"lang\": \""), col("lang"), lit("\"}")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("src_id"), col("lang").as("src_lang"),
+        line.as("line"))
+      .select(col("src_id"), md5(col("line")).as("line_md5"),
+        from_json(col("line"), schema, {
+          import scala.jdk.CollectionConverters._
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record").asJava
+        }).as("p"))
+      .select(col("src_id"), col("line_md5"),
+        col("p.doc_id").as("parsed_doc_id"),
+        col("p.lang").as("parsed_lang"),
+        col("p._corrupt_record").isNotNull.cast("int").as("is_corrupt"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -153,9 +183,27 @@ object IngestQueries {
     "ing_parquet" -> (ingParquet _),
     "ing_orc"     -> (ingOrc _),
     "ing_binary"  -> (ingBinary _),
+    "ing_json_bad" -> (ingJsonBad _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors ingJsonBad by the GENERATING formula: the line string,
+    // its md5, and which doc_ids are malformed are all derivable
+    // without a JSON parser — corrupt rows null their parsed fields
+    "ing_json_bad" ->
+      """WITH l AS (
+        |  SELECT doc_id AS src_id, lang,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '{"doc_id": ' || doc_id || ', '
+        |      ELSE '{"doc_id": ' || doc_id || ', "lang": "' || lang || '"}'
+        |    END AS line
+        |  FROM documents
+        |)
+        |SELECT src_id, md5(line) AS line_md5,
+        |  CASE WHEN src_id % 7 = 0 THEN NULL ELSE src_id END AS parsed_doc_id,
+        |  CASE WHEN src_id % 7 = 0 THEN NULL ELSE lang END AS parsed_lang,
+        |  (src_id % 7 = 0)::int AS is_corrupt
+        |FROM l""".stripMargin,
     "ing_csv"  -> "SELECT * FROM nation",
     "ing_tsv"  -> "SELECT * FROM supplier",
     "ing_json" -> "SELECT * FROM region",
