@@ -695,12 +695,16 @@ object TextQueries {
     val t = tokens(col("text"))
     val starts = when(size(t) > 0, sequence(lit(0), size(t) - 1, lit(LineSegTokens)))
       .otherwise(array())
+    // materialized once: BOTH the frequency pass and the reassembly
+    // regroup read the exploded segment frame — unbuffered, the
+    // tokenize+slice+md5 subtree would run twice
     val segs = d.select(col("doc_id"), col("source"), t.as("t"),
         explode(starts).as("s"))
       .select(col("doc_id"), col("source"),
         (col("s") / LineSegTokens).cast("int").as("seg_id"),
         array_join(slice(col("t"), col("s") + 1, lit(LineSegTokens)), " ").as("seg"))
       .withColumn("h", md5(col("seg")))
+      .localCheckpoint(eager = true)
     val boiler = segs.groupBy("source", "h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= LineMinDocs)
