@@ -71,20 +71,31 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.keys
       .filter(n => only.forall(_.contains(n)))
+    // J3 tracker: per-query shuffle/spill bytes bracket both passes
+    // (deterministic per execution, so 2 passes ≈ 2× one run; reported
+    // halved) — the scale cost model next to the wall seconds
+    val tracker = graft.monitor.Monitor.registerTasks(spark)
     // two timed passes per query, min taken: absorbs single-run VM /
     // GC noise so round-over-round numbers are comparable
+    tracker.delta()
     val results = selected.map { name =>
       val first = timeOnce(name)
       val sec = if (first < 0) first else math.min(first, timeOnce(name))
-      name -> sec
+      val d = tracker.delta()
+      (name, sec, (d.shuffleWrite / 2) / 1e6, (d.spill / 2) / 1e6)
     }.toSeq
     // names are code-controlled, but escape anyway so the emitted line
     // is valid JSON for ANY registered name (same rule as Monitor)
     def jkey(k: String): String = "\"" + graft.monitor.Monitor.jsonEscape(k) + "\":"
-    val qs = results.map { case (k, v) => jkey(k) + v }
+    val qs = results.map { case (k, v, _, _) => jkey(k) + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    val sh = results.map { case (k, _, mb, _) => jkey(k) + f"$mb%.1f" }
+      .mkString("{", ",", "}")
+    val spills = results.filter(_._4 > 0.5)
+      .map { case (k, _, _, mb) => jkey(k) + f"$mb%.1f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size
     // stdout tail capture (r6 verdict #1: six rounds of parsed:null).
@@ -100,7 +111,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => jkey(k) + v }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => jkey(k) + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"errors":$errors,"n_queries":${results.size},"top":$slowest,"sf":"$sfDir"}""")
     spark.stop()
     if (errors > 0) sys.exit(1)

@@ -95,6 +95,51 @@ object Monitor {
     c
   }
 
+  final case class TaskBytes(shuffleRead: Long, shuffleWrite: Long,
+      spill: Long) {
+    def -(o: TaskBytes): TaskBytes = TaskBytes(shuffleRead - o.shuffleRead,
+      shuffleWrite - o.shuffleWrite, spill - o.spill)
+  }
+
+  /** J3: cumulative task-level byte counters — shuffle read/write and
+    * spill from task-end events. `delta()` reads-and-remarks so a
+    * caller can bracket a query and attribute the bytes it moved (the
+    * bench emits these per query). At 100 TB bytes-shuffled IS the
+    * cost model — wall seconds on a shared cluster are noise, bytes
+    * are physics; a query whose time regressed but whose bytes didn't
+    * was a co-tenant, not a plan change (the r7 ev_markov episode).
+    * Listener-bus delivery is asynchronous, so a delta can lag the
+    * action's return by the bus drain — per-query MB attribution, not
+    * accounting-exact. */
+  final class TaskMetricsTracker extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    @volatile private var mark = TaskBytes(0, 0, 0)
+
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+
+    def totals: TaskBytes = TaskBytes(read.get, write.get, spill.get)
+
+    /** Bytes since the previous delta()/construction; re-marks. */
+    def delta(): TaskBytes = synchronized {
+      val now = totals; val d = now - mark; mark = now; d
+    }
+  }
+
+  def registerTasks(spark: SparkSession): TaskMetricsTracker = {
+    val t = new TaskMetricsTracker
+    spark.sparkContext.addSparkListener(t)
+    t
+  }
+
   /** Wall/cpu/heap envelope around a stage — monitor.py's per-job
     * record, emitted as one JSON line. */
   def timed[A](jobName: String)(body: => A): (A, String) = {

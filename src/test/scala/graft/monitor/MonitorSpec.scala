@@ -56,4 +56,41 @@ class MonitorSpec extends SparkSpec {
       spark.streams.removeListener(c)
     }
   }
+
+  test("J3 task tracker attributes shuffle bytes to a bracketed query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = graft.monitor.Monitor.registerTasks(spark)
+    try {
+      // listener-bus delivery is async: poll the delta until the
+      // shuffle bytes land (bounded)
+      def settledDelta(): graft.monitor.Monitor.TaskBytes = {
+        var last = t.totals
+        var stable = 0
+        var tries = 0
+        while (stable < 3 && tries < 100) {
+          Thread.sleep(50)
+          val now = t.totals
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          tries += 1
+        }
+        t.delta()
+      }
+      t.delta() // reset mark
+      // a genuine shuffle: wide groupBy with broadcast disabled
+      noBroadcast {
+        spark.range(0, 100000).select((col("id") % 997).as("k"), col("id"))
+          .repartition(8)
+          .groupBy("k").agg(sum(col("id"))).write.format("noop").mode("overwrite").save()
+      }
+      val d = settledDelta()
+      assert(d.shuffleWrite > 0, s"groupBy must write shuffle bytes: $d")
+      assert(d.shuffleRead > 0, s"groupBy must read shuffle bytes: $d")
+      // a narrow map-only job moves nothing
+      spark.range(0, 1000).select(col("id") + 1)
+        .write.format("noop").mode("overwrite").save()
+      val d2 = settledDelta()
+      assert(d2.shuffleWrite == 0, s"map-only job must not shuffle: $d2")
+    } finally spark.sparkContext.removeSparkListener(t)
+  }
 }
