@@ -149,11 +149,16 @@ object KgQueries {
     reciprocity(storedEdges(spark, dir))
 
   def reciprocity(e: DataFrame): DataFrame = {
-    val rev = e.select(col("rel").as("rel"),
-      col("dst_label").as("src_label"), col("dst").as("src"),
-      col("src_label").as("dst_label"), col("src").as("dst"))
-    val recip = e.join(rev,
-        Seq("rel", "src_label", "src", "dst_label", "dst"), "left_semi")
+    // the reciprocity test is an equi-join on the 5-part typed key;
+    // hashing key and swapped key to ONE long each moves 8 bytes per
+    // row through the semi-join shuffle instead of five strings (r8 —
+    // the bfsHashed trick; a 2⁻⁶⁴ collision is the accepted contract)
+    val key = xxhash64(col("rel"), col("src_label"), col("src"),
+      col("dst_label"), col("dst"))
+    val swapped = xxhash64(col("rel"), col("dst_label"), col("dst"),
+      col("src_label"), col("src"))
+    val recip = e.select(col("rel"), key.as("k"))
+      .join(e.select(swapped.as("k")), Seq("k"), "left_semi")
       .groupBy("rel").agg(count(lit(1)).as("n_reciprocal"))
     e.groupBy("rel").agg(count(lit(1)).as("n_edges"))
       .join(recip, Seq("rel"), "left")
