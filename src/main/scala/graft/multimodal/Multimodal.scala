@@ -621,6 +621,46 @@ object Multimodal {
       .select("doc_id", "valid_webp", "variant", "width", "height")
   }
 
+  /** H10: GIF logical-screen parse — "GIF87a"/"GIF89a" magic with the
+    * version surfaced, then the fixed-offset Logical Screen
+    * Descriptor: u16le canvas dims at bytes 7/9 and the packed byte
+    * at 11 (bit 7 = global color table present, low 3 bits = GCT size
+    * exponent − 1). Pure codegen'd guarded projections — the
+    * BMP-family shape with a bit-field unpack on top. */
+  def withGifHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val v87 = lower(hex(substring(bin, 1, 6))) === "474946383761" // GIF87a
+    val v89 = lower(hex(substring(bin, 1, 6))) === "474946383961" // GIF89a
+    val valid = (v87 || v89).cast("int")
+    def ifGif(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val packed = conv(hex(substring(bin, 11, 1)), 16, 10).cast("int")
+    df.withColumn("valid_gif", valid)
+      .withColumn("version", ifGif(when(v87, "87a").otherwise("89a")))
+      .withColumn("width", ifGif(leU16(bin, lit(7))))
+      .withColumn("height", ifGif(leU16(bin, lit(9))))
+      .withColumn("has_gct", ifGif(shiftright(packed, 7).bitwiseAND(lit(1))))
+      .withColumn("gct_bits", ifGif(packed.bitwiseAND(lit(7)) + 1))
+  }
+
+  /** H10 driver query: synthesize a 13-byte GIF header per asset
+    * (both versions, GCT present on even assets) and parse the
+    * screen descriptor back from the BYTES; formula-derived oracle
+    * (the mm family convention). */
+  def mmGifDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = (col("n_chars") % 1024 + 16).cast("int")
+    val h = (col("doc_id") % 512 + 16).cast("int")
+    val v89 = col("doc_id") % 2 === 0
+    val packed = when(v89, lit(0x93)).otherwise(lit(0x70)) // GCT,16-entry | none
+    val hx = concat(
+      lit("47494638"), when(v89, lit("39")).otherwise(lit("37")), lit("61"),
+      leHex16(w), leHex16(h),
+      lpad(lower(hex(packed)), 2, "0"), lit("00"), lit("00")) // bg + aspect
+    withGifHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_gif", "version", "width", "height",
+        "has_gct", "gct_bits")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -631,6 +671,7 @@ object Multimodal {
     "mm_mp4_meta" -> (mmMp4Meta _),
     "mm_bmp_dims" -> (mmBmpDims _),
     "mm_webp_dims" -> (mmWebpDims _),
+    "mm_gif_dims" -> (mmGifDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -749,6 +790,17 @@ object Multimodal {
         |    ELSE 'VP8X' END AS variant,
         |  (n_chars % 1024 + 16)::bigint AS width,
         |  (doc_id % 512 + 16)::bigint AS height
+        |FROM documents""".stripMargin,
+
+    // formula-derived, with the packed-byte bit fields value-checked:
+    // 0x93 → GCT present, size bits 3 (+1 = 4); 0x70 → no GCT, bits 1
+    "mm_gif_dims" ->
+      """SELECT doc_id, 1 AS valid_gif,
+        |  CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+        |  (n_chars % 1024 + 16)::int AS width,
+        |  (doc_id % 512 + 16)::int AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_gct,
+        |  CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 1 END AS gct_bits
         |FROM documents""".stripMargin,
 
     "mm_decode" ->

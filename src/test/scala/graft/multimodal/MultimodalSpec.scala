@@ -184,6 +184,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L)._1 == 0 && out(5L)._2 == "-", s"junk: ${out(5L)}")
   }
 
+  test("H10 withGifHeader parses both versions' screen descriptor; unknown version rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // GIF89a 320×200, GCT with 8 entries (bits 0b010 → 3)
+    val g89 = "474946383961" + "4001" + "c800" + "92" + "00" + "00"
+    // GIF87a 16×16, no GCT
+    val g87 = "474946383761" + "1000" + "1000" + "70" + "00" + "00"
+    val g88 = "474946383861" + "1000" + "1000" + "70" + "00" + "00" // GIF88a: not a version
+    val out = Multimodal.withGifHeader(
+      Seq((1L, g89), (2L, g87), (3L, g88)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_gif", "version", "width", "height", "has_gct", "gct_bits")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) "-" else r.getString(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(6)) -1 else r.getInt(6)))
+      }.toMap
+    assert(out(1L) == ((1, "89a", 320, 200, 1, 3)), s"89a: ${out(1L)}")
+    assert(out(2L) == ((1, "87a", 16, 16, 0, 1)), s"87a: ${out(2L)}")
+    assert(out(3L) == ((0, "-", -1, -1, -1, -1)), s"GIF88a must reject: ${out(3L)}")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
