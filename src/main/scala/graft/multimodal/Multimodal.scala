@@ -661,6 +661,83 @@ object Multimodal {
         "has_gct", "gct_bits")
   }
 
+  /** Max IFD entries the TIFF scan visits. */
+  val TiffMaxEntries = 8
+
+  /** H11: TIFF first-IFD dims — the ENDIANNESS-DISPATCH format: "II"
+    * (little) vs "MM" (big) headers switch the byte order of every
+    * later field, so each read goes through a per-row-conditional
+    * u16/u32. The IFD itself is a bounded entry scan (12-byte fixed
+    * stride from the header-declared offset — no chained hops, unlike
+    * RIFF): tag 256 = ImageWidth, 257 = ImageLength, honoring the
+    * left-justified inline-value rule (a SHORT value occupies the
+    * FIRST two bytes of the 4-byte field in either byte order). Pure
+    * codegen'd guarded projections. */
+  def withTiffDims(df: DataFrame, binCol: String,
+      maxEntries: Int = TiffMaxEntries): DataFrame = {
+    val bin = col(binCol)
+    val le = lower(hex(substring(bin, 1, 4))) === "49492a00" // II*\0
+    val be = lower(hex(substring(bin, 1, 4))) === "4d4d002a" // MM\0*
+    val valid = (le || be).cast("int")
+    def u16(off: org.apache.spark.sql.Column) = when(le, leU16(bin, off))
+      .otherwise(conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int"))
+    def u32(off: org.apache.spark.sql.Column) = when(le, leU32(bin, off))
+      .otherwise(beU32c(bin, off))
+    val ifdOff = u32(lit(5)) + 1 // file offset (0-based) → 1-based
+    val nEntries = u16(ifdOff)
+    var out = df
+      .withColumn("_w", lit(null).cast("long"))
+      .withColumn("_h", lit(null).cast("long"))
+    for (i <- 0 until maxEntries) {
+      val eOff = ifdOff + lit(2 + i * 12)
+      val tag = u16(eOff)
+      val tpe = u16(eOff + lit(2))
+      // inline value: SHORT (3) reads the first 2 bytes of the value
+      // field, LONG (4) all 4 — in the file's byte order either way
+      val value = when(tpe === 3, u16(eOff + lit(8)).cast("long"))
+        .when(tpe === 4, u32(eOff + lit(8)))
+      out = out
+        .withColumn("_w", when(col("_w").isNotNull, col("_w"))
+          .when(lit(i) < nEntries && tag === 256, value))
+        .withColumn("_h", when(col("_h").isNotNull, col("_h"))
+          .when(lit(i) < nEntries && tag === 257, value))
+    }
+    out.withColumn("valid_tiff", valid)
+      .withColumn("byte_order", when(le, "II").when(be, "MM"))
+      .withColumn("width", when(valid === 1, col("_w")))
+      .withColumn("height", when(valid === 1, col("_h")))
+      .drop("_w", "_h")
+  }
+
+  /** H11 driver query: synthesize a 3-entry first IFD per asset in
+    * BOTH byte orders (doc_id parity), width stored as SHORT on every
+    * 3rd asset (exercising the left-justified inline rule) and LONG
+    * otherwise; parse dims back from the BYTES; formula oracle. */
+  def mmTiffDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 4, "0")
+    val w = (col("n_chars") % 1024 + 16).cast("long")
+    val h = (col("doc_id") % 512 + 16).cast("long")
+    val isLe = col("doc_id") % 2 === 0
+    val wShort = col("doc_id") % 3 === 0
+    def x16(c: org.apache.spark.sql.Column) = when(isLe, leHex16(c)).otherwise(beHex16(c))
+    def x32(c: org.apache.spark.sql.Column) = when(isLe, leHex32(c)).otherwise(beHex32(c))
+    def entry(tag: Int, tpe: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      concat(x16(lit(tag)), x16(tpe), x32(lit(1)), value)
+    val wField = when(wShort, concat(x16(w), lit("0000"))).otherwise(x32(w))
+    val wType = when(wShort, lit(3)).otherwise(lit(4))
+    val hx = concat(
+      when(isLe, lit("49492a00")).otherwise(lit("4d4d002a")),
+      x32(lit(8)), // first IFD at file offset 8
+      x16(lit(3)), // 3 entries
+      entry(254, lit(4), x32(lit(0))),
+      entry(256, wType, wField),
+      entry(257, lit(4), x32(h)),
+      x32(lit(0))) // no next IFD
+    withTiffDims(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_tiff", "byte_order", "width", "height")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -672,6 +749,7 @@ object Multimodal {
     "mm_bmp_dims" -> (mmBmpDims _),
     "mm_webp_dims" -> (mmWebpDims _),
     "mm_gif_dims" -> (mmGifDims _),
+    "mm_tiff_dims" -> (mmTiffDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -801,6 +879,15 @@ object Multimodal {
         |  (doc_id % 512 + 16)::int AS height,
         |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_gct,
         |  CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 1 END AS gct_bits
+        |FROM documents""".stripMargin,
+
+    // formula-derived; byte order, the SHORT/LONG width dispatch, and
+    // the left-justified inline rule are all value-checked
+    "mm_tiff_dims" ->
+      """SELECT doc_id, 1 AS valid_tiff,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  (n_chars % 1024 + 16)::bigint AS width,
+        |  (doc_id % 512 + 16)::bigint AS height
         |FROM documents""".stripMargin,
 
     "mm_decode" ->

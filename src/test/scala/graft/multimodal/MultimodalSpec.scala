@@ -209,6 +209,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((0, "-", -1, -1, -1, -1)), s"GIF88a must reject: ${out(3L)}")
   }
 
+  test("H11 withTiffDims handles both byte orders, SHORT left-justification, any tag order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // II, 1 entry: ImageWidth as SHORT 320 (LE, left-justified)
+    val ii = "49492a00" + "08000000" + "0100" +
+      "0001" + "0300" + "01000000" + "4001" + "0000" + "00000000"
+    // MM, 2 entries with height FIRST: ImageLength LONG 200, then
+    // ImageWidth SHORT 16 (BE, left-justified)
+    val mm = "4d4d002a" + "00000008" + "0002" +
+      "0101" + "0004" + "00000001" + "000000c8" +
+      "0100" + "0003" + "00000001" + "0010" + "0000" + "00000000"
+    val junk = "ffd8ffe0" + ("00" * 30)
+    val out = Multimodal.withTiffDims(
+      Seq((1L, ii), (2L, mm), (3L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_tiff", "byte_order", "width", "height")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) "-" else r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))
+      }.toMap
+    assert(out(1L) == ((1, "II", 320L, -1L)), s"II short width, no height: ${out(1L)}")
+    assert(out(2L) == ((1, "MM", 16L, 200L)), s"MM reversed tag order: ${out(2L)}")
+    assert(out(3L) == ((0, "-", -1L, -1L)), s"junk: ${out(3L)}")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
