@@ -29,5 +29,15 @@ class GraftSqlSpec extends SparkSpec {
     val hh = spark.sql(
       "SELECT graft_topk(event_type, 8) AS top FROM events").collect()
     assert(hh.length == 1 && hh.head.getMap[String, Long](0).nonEmpty)
+    // the remaining registry entries: simhash aggregate + quantile hist
+    // — with this, EVERY graft_* function is exercised from plain SQL
+    val sh = spark.sql(
+      """SELECT graft_simhash_agg(xxhash64(t.tok)) AS sig
+        |FROM (SELECT explode(split(text, ' ')) AS tok FROM documents
+        |      WHERE doc_id = 0) t""".stripMargin).collect()
+    assert(sh.length == 1 && !sh.head.isNullAt(0))
+    val qh = spark.sql(
+      "SELECT graft_qhist(n_chars, 0, 4096, 16) AS h FROM documents").collect()
+    assert(qh.length == 1 && qh.head.getAs[Seq[Long]](0).sum > 0)
   }
 }
