@@ -120,16 +120,29 @@ object StreamQueries {
     * broadcast scalar), so round(4) is pure formatting. */
   def evSessionCooccur(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val asg = Streaming.sessionAssign(Tables.events(spark, dir))
-      .select(col("user_id"), col("session_idx"), col("event_type"))
-      .distinct()
-      .localCheckpoint(eager = true) // read 3× (pairs ×2, totals)
-    val nSess = broadcast(asg.select("user_id", "session_idx").distinct()
+    cooccurFromSessions(
+      Streaming.sessionAssign(Tables.events(spark, dir))
+        .select(col("user_id"), col("session_idx").as("session_id"),
+          col("event_type"))
+        .distinct())
+  }
+
+  /** The lift finishing over a distinct (user, session, type) frame —
+    * shared by the batch query (gaps-and-islands session ids) and the
+    * streaming face (Streaming.sessionTypesStreaming emits the frame
+    * incrementally from closed native session_windows; only the
+    * session PARTITIONING matters to the pair counts, so the two
+    * faces agree whenever the sessionizations do — which the I2 spec
+    * cross-validates). */
+  def cooccurFromSessions(asg0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val asg = asg0.localCheckpoint(eager = true) // read 3× (pairs ×2, totals)
+    val nSess = broadcast(asg.select("user_id", "session_id").distinct()
       .agg(count(lit(1)).as("n_sess")))
     val t = asg.groupBy("event_type").agg(count(lit(1)).as("n_t"))
-    asg.select(col("user_id"), col("session_idx"), col("event_type").as("ta"))
-      .join(asg.select(col("user_id"), col("session_idx"), col("event_type").as("tb")),
-        Seq("user_id", "session_idx"))
+    asg.select(col("user_id"), col("session_id"), col("event_type").as("ta"))
+      .join(asg.select(col("user_id"), col("session_id"), col("event_type").as("tb")),
+        Seq("user_id", "session_id"))
       .filter(col("ta") < col("tb"))
       .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
       .join(t.select(col("event_type").as("ta"), col("n_t").as("n_a")), "ta")

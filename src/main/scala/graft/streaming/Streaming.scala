@@ -283,6 +283,25 @@ object Streaming {
       }
   }
 
+  /** I20 (streaming face): distinct session-scoped event types from
+    * CLOSED native session_windows — one row per (user, session
+    * start, type) emitted when the watermark closes the session. The
+    * market-basket finishing (`StreamQueries.cooccurFromSessions`)
+    * runs batch over the emitted frame; the session start stands in
+    * for the batch face's gaps-and-islands index (only the session
+    * PARTITIONING feeds the pair counts, and I2's spec pins that the
+    * two sessionizations agree). */
+  def sessionTypesStreaming(events: DataFrame,
+      gapSec: Int = SessionGapSec,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(col("user_id"), col("sw.start").cast("long").as("session_id"),
+        explode(col("types")).as("event_type"))
+
   /** I12 (streaming face): identity dedupe via the native
     * dropDuplicatesWithinWatermark — state holds one entry per
     * (user_id, event_type, ts) key and EXPIRES with the watermark

@@ -596,6 +596,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getInt(3) == 69)
   }
 
+  test("I20 streaming session types + lift finishing match the batch co-occurrence") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("user_id", "ts", "event_type")
+    val q = Streaming.sessionTypesStreaming(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("sess_types").outputMode("append").start()
+    try {
+      // u1: one session {click,view}, then after a >30-min gap a
+      // second session {click}; u2: one session {view,buy} split
+      // across two micro-batches (must merge in session state)
+      mem.addData((1L, ts(0), "click"), (1L, ts(5), "view"),
+        (2L, ts(0), "view"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(10), "buy"), (1L, ts(60), "click"))
+      q.processAllAvailable()
+      mem.addData((9L, ts(10000), "flush")); q.processAllAvailable()
+      mem.addData((9L, ts(20000), "flush")); q.processAllAvailable()
+      val emitted = spark.table("sess_types")
+        .filter(col("event_type") =!= "flush" && col("user_id") =!= 9L)
+      val streamed = StreamQueries.cooccurFromSessions(emitted)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val batchData = Seq((1L, ts(0), "click"), (1L, ts(5), "view"),
+        (2L, ts(0), "view"), (2L, ts(10), "buy"), (1L, ts(60), "click"))
+      val batch = StreamQueries.cooccurFromSessions(
+        Streaming.sessionAssign(asEvents(batchData.toDF()))
+          .select(col("user_id"), col("session_idx").as("session_id"),
+            col("event_type")).distinct())
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      // 3 sessions; click+view co-occur once (lift 3/(2·2)), view+buy
+      // once (lift 3/(2·1))
+      assert(streamed == batch && streamed == Set(
+        ("click", "view", 1L, 2L, 2L, 0.75),
+        ("buy", "view", 1L, 1L, 2L, 1.5)), s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I12 streaming dedupe suppresses cross-batch replays; key set matches batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
