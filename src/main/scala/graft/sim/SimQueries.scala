@@ -120,6 +120,25 @@ object SimQueries {
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  /** F12: binary-quantized Hamming top-k for the same query set. */
+  def simHamming(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hammingTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", NumQueries, K)
+
+  /** Recall@k of sign-bit Hamming against the exact cosine ground
+    * truth — how much the coarsest quantization rung gives up (the
+    * sim_ann_recall / F5 pattern). */
+  def simHammingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val ham = simHamming(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = ham.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   val PqM = 8          // sub-spaces
   val PqSubDim = 8     // dims per sub-space (8 × 8 = 64)
   val PqCodebook = 16  // codebook entries per sub-space
@@ -178,7 +197,36 @@ object SimQueries {
     "sim_pq_recall"  -> (simPqRecall _),
     "sim_ivfpq"      -> (simIvfPq _),
     "sim_ivfpq_recall" -> (simIvfPqRecall _),
+    "sim_hamming"    -> (simHamming _),
+    "sim_hamming_recall" -> (simHammingRecall _),
   )
+
+  /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
+    * sim_hamming and the recall oracle). */
+  private lazy val oracleSqlHamming: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS i, embedding
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id,
+       |    bit_or(CASE WHEN embedding[i + 1] > 0
+       |      -- duckdb overflow-checks 1<<63; spell the sign bit as
+       |      -- the two's-complement literal spark's shiftleft lands on
+       |      THEN CASE WHEN i = 63 THEN (-9223372036854775808)::bigint
+       |                ELSE (1::bigint << i) END
+       |      ELSE 0::bigint END) AS bits
+       |  FROM ex GROUP BY 1
+       |), q AS (SELECT vec_id AS q_id, bits AS qb FROM b WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT q.q_id, n.vec_id AS n_id,
+       |    bit_count(xor(q.qb, n.bits))::int AS hamming
+       |  FROM b n, q WHERE q.q_id <> n.vec_id
+       |), r AS (
+       |  SELECT q_id, n_id, hamming,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, hamming, rnk FROM r WHERE rnk <= $K""".stripMargin
 
   // --- generated DuckDB oracles -------------------------------------
 
@@ -413,6 +461,22 @@ object SimQueries {
 
     // recall@k of PQ-ADC vs exact cosine ground truth — nested oracles
     // (the sim_ann_recall pattern), so this cannot drift from either
+    "sim_hamming" -> oracleSqlHamming,
+
+    "sim_hamming_recall" ->
+      s"""WITH brute AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |ham AS (SELECT q_id, n_id FROM (${oracleSqlHamming})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM ham a WHERE EXISTS (
+         |    SELECT 1 FROM brute b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM brute) q
+         |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
+
     "sim_pq_recall" ->
       s"""WITH brute AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
          |pq AS (SELECT q_id, n_id FROM (${oracleSqlPq})),

@@ -67,6 +67,39 @@ object Similarity {
           .otherwise(round(col("x") * 127.0 / col("maxabs")).cast("int")).as("q"))
   }
 
+  /** F12: 1-bit (sign) BINARY quantization — a ≤64-dim vector packs
+    * to ONE long (bit i set iff x_i > 0) and similarity collapses to
+    * Hamming distance, bit_count(a XOR b): 8 bytes per vector and a
+    * two-instruction kernel — the coarsest rung of the quantization
+    * ladder (int8 F6 → PQ F8 → sign bits), the candidate-generation
+    * pass serving stacks run before int8/exact rescoring. Packing is
+    * one explode + a codegen'd bit_or aggregation (no HOF lambda);
+    * the i=63 shift lands in the sign bit identically in any two's-
+    * complement engine. */
+  def binaryPack(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("vec_id"),
+        when(col("x") > 0, expr("shiftleft(1L, i)")).otherwise(lit(0L)).as("b"))
+      .groupBy("vec_id").agg(bit_or(col("b")).as("bits"))
+
+  /** F12 search: exact Hamming top-k over the packed corpus for a
+    * broadcast query set (bruteTopK's shape with the bit kernel);
+    * ties break by (hamming, n_id). */
+  def hammingTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int, k: Int): DataFrame = {
+    val packed = binaryPack(vecs, idCol, vecCol)
+    val q = broadcast(packed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("bits").as("qb")))
+    packed.select(col("vec_id").as("n_id"), col("bits").as("nb"))
+      .crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("hamming", expr("bit_count(qb ^ nb)").cast("int"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("hamming"), col("rnk"))
+  }
+
   /** F10: deterministic Lloyd k-means over int8-QUANTIZED vectors —
     * the codebook-learning step PQ/IVF serving stacks train offline,
     * spelled so every iteration is EXACT and cross-engine stable:

@@ -171,6 +171,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) != out(3L), s"clusters separate: $out")
   }
 
+  test("F12 binary pack sets the sign bit for dim 64; Hamming ranks by sign disagreement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // v0: all positive (bits = -1 two's complement: every bit incl. 63);
+    // v1: identical signs; v2: last dim flipped (hamming 1 from v0);
+    // v3: all negative (hamming 64)
+    def vec(f: Int => Float) = (0 until 64).map(f).toArray
+    val vecs = Seq(
+      (0L, vec(_ => 1.0f)), (1L, vec(_ => 2.0f)),
+      (2L, vec(i => if (i == 63) -1.0f else 1.0f)),
+      (3L, vec(_ => -1.0f)),
+    ).toDF("vec_id", "embedding")
+    val packed = Similarity.binaryPack(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed(0L) == -1L, s"64 sign bits = all-ones long: ${packed(0L)}")
+    assert(packed(2L) == Long.MaxValue, s"bit 63 clear: ${packed(2L)}")
+    assert(packed(3L) == 0L)
+    val top = Similarity.hammingTopK(vecs, "vec_id", "embedding",
+        numQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).toSeq.sortBy(_._3)
+    assert(top == Seq((1L, 0, 1), (2L, 1, 2), (3L, 64, 3)), s"$top")
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
