@@ -65,6 +65,46 @@ class PushdownSpec extends SparkSpec {
       s"scan touched non-matching partitions: ${files.mkString(", ")}")
   }
 
+  test("K11 z-order layout prunes row groups for the dimension a linear sort abandons") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // Morton sanity: z(3,5) interleaves to 0b100111 = 39
+    val z = spark.range(1).select(graft.functions.ZOrder
+      .zOrderKey(lit(3), lit(5)).as("z")).head.getLong(0)
+    assert(z == 39L, s"z(3,5) = $z")
+    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      var n = -1L
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: FileSourceScanExec => n = s.metrics("numOutputRows").value
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan); n
+    }
+    val n = 1 << 18 // 512×512 grid, one row per cell
+    val base = spark.range(n).select(
+      (col("id") % 512).cast("int").as("x"),
+      ((col("id") / 512) % 512).cast("int").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    base.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    base.withColumn("zk", graft.functions.ZOrder.zOrderKey(col("x"), col("y")))
+      .repartitionByRange(64, col("zk")).sortWithinPartitions("zk")
+      .drop("zk").write.parquet(s"$dir/zorder")
+    // the y-box query: the linear-by-x layout has useless y stats in
+    // every row group and reads everything; the z-order layout keeps
+    // BOTH dims' stats tight enough to cut most groups
+    def scanRows(path: String) = scanOutputRows(
+      spark.read.parquet(path).filter(col("y") >= 100 && col("y") < 150))
+    val lin = scanRows(s"$dir/linear")
+    val zo = scanRows(s"$dir/zorder")
+    assert(lin == n, s"linear-by-x layout must scan all rows for a y filter: $lin")
+    assert(zo * 2 < lin, s"z-order must cut the y scan: zorder=$zo vs linear=$lin")
+  }
+
   test("driver query q1 scans only its six columns with the date filter pushed") {
     val scan = scanLine(graft.queries.Relational.q1PricingSummary(spark, sfDir))
     assert(scan.contains("LessThanOrEqual(l_shipdate"),
