@@ -469,6 +469,90 @@ object TextQueries {
         round(col("top_count").cast("double") / col("n_bigrams"), 4).as("top_share"))
   }
 
+  /** Gopher-rule stopword list (Rae et al. 2021, appendix A1.1): a doc
+    * must contain at least two of these to pass the stopword rule. */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** G24: the published Gopher quality-filter battery as separate
+    * per-rule flags (word-count bounds, mean word length 3-10,
+    * symbol-to-word ratio, alphabetic-word fraction, stopword
+    * presence). Every FLAG is exact integer arithmetic — `nonws
+    * between 3n and 10n` instead of `nonws/n between 3 and 10` — so a
+    * boundary document can't flip on a float ulp between engines; the
+    * rounded ratios ride along for inspection only. Shape: one corpus
+    * scan, zero shuffles (pure per-document projection). */
+  def textGopher(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir))
+
+  def gopherRules(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val nonws = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val nSym = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val stops = countIn(toks, GopherStops).cast("long")
+    val rWords = n.between(50L, 100000L)
+    val rMean = nonws.between(n * 3L, n * 10L)
+    val rSym = nSym * 10L <= n
+    val rAlpha = nAlpha * 5L >= n * 4L
+    val rStops = stops >= 2L
+    d.select(
+      col("doc_id"),
+      n.as("n_words"),
+      round(nonws.cast("double") / n, 4).as("mean_word_len"),
+      round(nSym.cast("double") / n, 4).as("symbol_ratio"),
+      round(nAlpha.cast("double") / n, 4).as("alpha_frac"),
+      stops.as("stop_hits"),
+      rWords.cast("int").as("r_words"),
+      rMean.cast("int").as("r_mean_len"),
+      rSym.cast("int").as("r_symbol"),
+      rAlpha.cast("int").as("r_alpha"),
+      rStops.cast("int").as("r_stops"),
+      (rWords && rMean && rSym && rAlpha && rStops).cast("int").as("keep"))
+  }
+
+  /** Per-doc token n-grams of width n: exploded positions + (n-1) lead
+    * windows; `concat` (NOT concat_ws) so a null tail lead nulls the
+    * whole gram — the same rows a length-guard filter would keep. */
+  private def docNgramCounts(d: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(i => lead(col("t"), i).over(w))
+    val parts = (col("t") +: leads).flatMap(c => Seq(c, lit(" "))).dropRight(1)
+    d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), concat(parts: _*).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+  }
+
+  /** G25: within-document repetition metrics (the Gopher repetition
+    * rules at token granularity): the token fraction covered by the
+    * single most frequent 3-gram (top3_frac ≤ 0.18 rule) and by ALL
+    * duplicated 5-grams counting every occurrence (dup5_frac ≤ 0.15
+    * rule). n_tokens is recovered exactly from the 3-gram occurrence
+    * total (occ3 = n-2) — no second corpus scan. Flags are integer
+    * cross-multiplications, fractions ride along rounded. Docs under 5
+    * tokens have no 5-grams and drop (inner join; oracle mirrors).
+    * Shape: two exploded-window aggregations + one per-doc join. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir))
+
+  def repetition(d: DataFrame): DataFrame = {
+    val a3 = docNgramCounts(d, 3).groupBy("doc_id")
+      .agg(sum(col("c")).as("occ3"),
+        coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("dup3"),
+        max(col("c")).as("max3"))
+    val a5 = docNgramCounts(d, 5).groupBy("doc_id")
+      .agg(coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("dup5"))
+    val n = (col("occ3") + 2L).as("n_tokens")
+    a3.join(a5, Seq("doc_id"))
+      .select(col("doc_id"), n, col("max3").as("top3_count"),
+        round(col("max3") * 3.0 / (col("occ3") + 2L), 4).as("top3_frac"),
+        round(col("dup5") * 5.0 / (col("occ3") + 2L), 4).as("dup5_frac"),
+        (col("max3") * 300L <= (col("occ3") + 2L) * 18L).cast("int").as("r_top3"),
+        (col("dup5") * 500L <= (col("occ3") + 2L) * 15L).cast("int").as("r_dup5"))
+  }
+
   /** Target docs per source for mixture balancing (in expectation). */
   val MixtureCap = 120
 
@@ -748,6 +832,8 @@ object TextQueries {
     "text_mixture"      -> (textMixture _),
     "text_lm_score"     -> (textLmScore _),
     "text_top_bigram"   -> (textTopBigram _),
+    "text_gopher"       -> (textGopher _),
+    "text_repetition"   -> (textRepetition _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
   )
@@ -954,6 +1040,60 @@ object TextQueries {
          |)
          |SELECT ngram, count(*) AS freq FROM b
          |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin,
+
+    // mirrors textGopher: same token split, same regexes, same
+    // integer-arithmetic rule flags (generated from GopherStops)
+    "text_gopher" ->
+      s"""WITH q AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  length(toks) AS n,
+         |  length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
+         |  length(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         |  length(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         |  ${countInSql("toks", GopherStops)} AS stops
+         |FROM q)
+         |SELECT doc_id, n AS n_words,
+         |  round(nonws*1.0/n, 4) AS mean_word_len,
+         |  round(n_sym*1.0/n, 4) AS symbol_ratio,
+         |  round(n_alpha*1.0/n, 4) AS alpha_frac,
+         |  stops AS stop_hits,
+         |  CAST(n BETWEEN 50 AND 100000 AS INT) AS r_words,
+         |  CAST(nonws BETWEEN 3*n AND 10*n AS INT) AS r_mean_len,
+         |  CAST(n_sym*10 <= n AS INT) AS r_symbol,
+         |  CAST(n_alpha*5 >= n*4 AS INT) AS r_alpha,
+         |  CAST(stops >= 2 AS INT) AS r_stops,
+         |  CAST((n BETWEEN 50 AND 100000) AND (nonws BETWEEN 3*n AND 10*n)
+         |    AND n_sym*10 <= n AND n_alpha*5 >= n*4 AND stops >= 2 AS INT) AS keep
+         |FROM m""".stripMargin,
+
+    // mirrors textRepetition: list-sliced token n-grams (same rows as
+    // the lead-window form: i in 1..len-n+1), same integer flags
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g3 AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(toks) >= 3
+         |    THEN list_transform(range(1, length(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS g
+         |  FROM t),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |a3 AS (SELECT doc_id, sum(c) AS occ3,
+         |         coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup3,
+         |         max(c) AS max3 FROM c3 GROUP BY 1),
+         |g5 AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(toks) >= 5
+         |    THEN list_transform(range(1, length(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+         |    ELSE [] END) AS g
+         |  FROM t),
+         |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+         |a5 AS (SELECT doc_id,
+         |         coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup5
+         |       FROM c5 GROUP BY 1)
+         |SELECT a3.doc_id, (occ3 + 2)::bigint AS n_tokens, max3 AS top3_count,
+         |  round(max3 * 3.0 / (occ3 + 2), 4) AS top3_frac,
+         |  round(dup5 * 5.0 / (occ3 + 2), 4) AS dup5_frac,
+         |  CAST(max3 * 300 <= (occ3 + 2) * 18 AS INT) AS r_top3,
+         |  CAST(dup5 * 500 <= (occ3 + 2) * 15 AS INT) AS r_dup5
+         |FROM a3 JOIN a5 ON a3.doc_id = a5.doc_id""".stripMargin,
 
     "text_split" ->
       s"""WITH b AS (

@@ -220,4 +220,38 @@ class TextOpsSpec extends SparkSpec {
     // same doc_id would be kept in one lang and dropped in another)
     assert(a.forall(_.getInt(2) < TextQueries.SampleBucketMax))
   }
+
+  test("gopher rules fire on the documented boundary cases") {
+    val good = (1 to 60).map(i => s"the of word$i").mkString(" ") // 180 words, all alpha, stops
+    val df = Seq(
+      (1L, good),                          // passes every rule
+      (2L, "the of and short"),            // < 50 words -> r_words 0
+      (3L, (1 to 60).map(_ => "# ...").mkString(" ")), // symbols, no alpha, no stops
+    ).toDF("doc_id", "text")
+    val out = TextQueries.gopherRules(df)
+      .select("doc_id", "r_words", "r_symbol", "r_alpha", "r_stops", "keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(out(0) == ((1L, 1, 1, 1, 1, 1)))
+    assert(out(1)._2 == 0 && out(1)._6 == 0) // word count fails
+    assert(out(2)._3 == 0 && out(2)._4 == 0 && out(2)._5 == 0 && out(2)._6 == 0)
+  }
+
+  test("repetition counts duplicated n-gram occurrences, not distinct grams") {
+    // "a b c a b c a b c d": 8 trigrams, "a b c" x3 + "b c a" x2 +
+    // "c a b" x2 -> dup3 = 7, max3 = 3; n = 10; 6 five-grams,
+    // "a b c a b" x2 + "b c a b c" x2 -> dup5 = 4
+    val df = Seq((1L, "a b c a b c a b c d")).toDF("doc_id", "text")
+    val r = TextQueries.repetition(df).collect()(0)
+    assert(r.getLong(1) == 10L)          // n_tokens
+    assert(r.getLong(2) == 3L)           // top3_count
+    assert(r.getDouble(3) == 0.9)        // 3*3/10
+    assert(r.getDouble(4) == 2.0)        // 5*4/10 (overlaps can exceed 1)
+    assert(r.getInt(5) == 0 && r.getInt(6) == 0)
+  }
+
+  test("repetition drops docs under five tokens (no 5-grams)") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val ids = TextQueries.repetition(df).select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(2L))
+  }
 }
