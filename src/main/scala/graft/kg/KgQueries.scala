@@ -145,6 +145,36 @@ object KgQueries {
         round(col("n_edges").cast("double") / sum("n_edges").over(w), 4))
   }
 
+  /** B16: schema-violation audit over B15's type signatures — per
+    * relation, the DOMINANT (src_label, dst_label) endpoint-type pair
+    * (max edge count, lexicographic pair on ties so the verdict is
+    * deterministic) and how many edges deviate from it. This is the
+    * actionable face of B15: the distribution says "painted has a
+    * tail", this says "37 painted edges leave a Museum and should be
+    * re-extracted". One keyed aggregation; both windows (rank + total)
+    * share the per-relation partitioning, and the frame they run over
+    * is ≤ |relations|·|labels|² rows. */
+  def kgSchemaViolations(spark: SparkSession, dir: String): DataFrame =
+    schemaViolations(storedEdges(spark, dir))
+
+  def schemaViolations(e: DataFrame): DataFrame = {
+    val byRel = org.apache.spark.sql.expressions.Window.partitionBy("rel")
+    val rank = org.apache.spark.sql.expressions.Window.partitionBy("rel")
+      .orderBy(col("n_pair").desc, col("src_label"), col("dst_label"))
+    e.groupBy("rel", "src_label", "dst_label")
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("rk", row_number().over(rank))
+      .withColumn("n_edges", sum("n_pair").over(byRel))
+      .filter(col("rk") === 1)
+      .select(col("rel"), col("n_edges"),
+        col("src_label").as("dom_src_label"),
+        col("dst_label").as("dom_dst_label"),
+        col("n_pair").as("n_dominant"),
+        (col("n_edges") - col("n_pair")).as("n_violating"),
+        round((col("n_edges") - col("n_pair")).cast("double")
+          / col("n_edges"), 4).as("violation_share"))
+  }
+
   def kgReciprocity(spark: SparkSession, dir: String): DataFrame =
     reciprocity(storedEdges(spark, dir))
 
@@ -313,6 +343,7 @@ object KgQueries {
     "kg_entity_resolution"     -> (kgEntityResolution _),
     "kg_reciprocity"           -> (kgReciprocity _),
     "kg_type_signatures"       -> (kgTypeSignatures _),
+    "kg_schema_violations"     -> (kgSchemaViolations _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -383,6 +414,25 @@ object KgQueries {
          |  round(count(*)::double
          |    / sum(count(*)) OVER (PARTITION BY rel), 4) AS share
          |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    // mirrors kgSchemaViolations: same rank tiebreak, same totals
+    "kg_schema_violations" ->
+      s"""WITH t AS ($triplesSql),
+         |e AS MATERIALIZED (
+         |$edgesSelectSql
+         |),
+         |s AS (SELECT rel, src_label, dst_label, count(*) AS n_pair
+         |      FROM e GROUP BY 1, 2, 3),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY rel
+         |          ORDER BY n_pair DESC, src_label, dst_label) AS rk,
+         |        sum(n_pair) OVER (PARTITION BY rel) AS n_edges
+         |      FROM s)
+         |SELECT rel, n_edges::bigint AS n_edges, src_label AS dom_src_label,
+         |  dst_label AS dom_dst_label, n_pair AS n_dominant,
+         |  (n_edges - n_pair)::bigint AS n_violating,
+         |  round((n_edges - n_pair)::double / n_edges, 4) AS violation_share
+         |FROM r WHERE rk = 1""".stripMargin,
 
     // mirrors kgReciprocity: EXISTS on the swapped typed key
     "kg_reciprocity" ->

@@ -203,6 +203,27 @@ class KgSpec extends SparkSpec {
     assert(out(("bornIn", "Artist", "City")) == ((1L, 1.0)))
   }
 
+  test("B16 schema violations: dominant pair by count then lexicographic tie, deviants counted") {
+    import spark.implicits._
+    val e = Seq(
+      ("Artist", "a", "painted", "Artwork", "w1"),
+      ("Artist", "b", "painted", "Artwork", "w2"),
+      ("Artist", "c", "painted", "Artwork", "w3"),
+      ("Museum", "m", "painted", "Artwork", "w4"), // the extraction bug
+      ("Artist", "a", "bornIn", "City", "p"),      // clean relation
+      ("Artist", "x", "tied", "City", "c1"),       // 1-1 tie: lexicographic
+      ("Museum", "y", "tied", "City", "c2"),       //   dominant is Artist
+    ).toDF("src_label", "src", "rel", "dst_label", "dst")
+    val out = KgQueries.schemaViolations(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(out("painted") == ((4L, "Artist", "Artwork", 3L, 1L, 0.25)), s"$out")
+    assert(out("bornIn") == ((1L, "Artist", "City", 1L, 0L, 0.0)),
+      "a clean relation reports zero violations")
+    assert(out("tied") == ((2L, "Artist", "City", 1L, 1L, 0.5)),
+      "equal-count tie must resolve to the lexicographic pair")
+  }
+
   test("B13 entity resolution: spelled variants pair and cluster, labels block, dissimilar names don't") {
     import spark.implicits._
     val nodes = Seq(
