@@ -191,6 +191,7 @@ object VectorFunctions {
     "graft_cosine"      -> { es => CosineSimilarity(es(0), es(1)) },
     "graft_dot"         -> { es => DotProduct(es(0), es(1)) },
     "graft_normalize"   -> { es => NormalizeVector(es.head) },
+    "graft_jaro_winkler" -> { es => JaroWinkler(es(0), es(1)) },
     "graft_simhash_agg" -> { es => SimHashAgg(es.head).toAggregateExpression() },
     "graft_qhist"       -> { es =>
       def num(e: Expression): Double = e.eval().asInstanceOf[Number].doubleValue()
@@ -235,6 +236,13 @@ object VectorFunctions {
   def normalize(spark: SparkSession, a: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_normalize", a)
+  }
+
+  /** Codegen'd Jaro-Winkler similarity over two string columns
+    * (DuckDB-parity semantics; see JaroWinklerImpl). */
+  def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_jaro_winkler", a, b)
   }
 
   /** Single-buffer SimHash aggregate over a long-hash column. */

@@ -206,6 +206,19 @@ object KgQueries {
     EntityResolution.resolutionPairs(kgNodes(spark, dir), ErLabels,
       ErK, ErBands, ErRowsPerBand, ErThreshold)
 
+  /** B13 verify stage, second signal: Jaro-Winkler over the SAME
+    * normalized names on the verified ER pairs — JW weights prefix
+    * agreement ("P. Picasso" keeps the P), which gram Jaccard
+    * dilutes; a curation pass thresholds on both. The JW kernel is
+    * the codegen'd graft_jaro_winkler expression (DuckDB-parity
+    * semantics), evaluated only on the candidate-verified pairs —
+    * never corpus-wide. */
+  def kgErJw(spark: SparkSession, dir: String): DataFrame =
+    kgEntityResolution(spark, dir)
+      .withColumn("jw", round(graft.functions.VectorFunctions.jaroWinkler(spark,
+        EntityResolution.normName(col("name_a")),
+        EntityResolution.normName(col("name_b"))), 4))
+
   def kgEdges(spark: SparkSession, dir: String): DataFrame =
     storedEdges(spark, dir)
 
@@ -341,10 +354,69 @@ object KgQueries {
     "kg_two_hop"               -> (kgTwoHop _),
     "kg_rel_cardinality"       -> (kgRelCardinality _),
     "kg_entity_resolution"     -> (kgEntityResolution _),
+    "kg_er_jw"                 -> (kgErJw _),
     "kg_reciprocity"           -> (kgReciprocity _),
     "kg_type_signatures"       -> (kgTypeSignatures _),
     "kg_schema_violations"     -> (kgSchemaViolations _),
   )
+
+  /** Generated ER pair oracle — mirrors EntityResolution.resolutionPairs
+    * step for step (normalization, char-gram, seeded-minhash,
+    * label-blocked banding, hashed-gram Jaccard), generated from the
+    * same Er* constants the Spark operator runs with. Shared by
+    * kg_entity_resolution and (as a subquery) kg_er_jw. */
+  private lazy val erPairsSql: String = {
+    val n = ErBands * ErRowsPerBand
+    val labelsIn = ErLabels.map(l => s"'$l'").mkString(", ")
+    val sigCols = (0 until n).map(i =>
+      s"list_aggregate(list_transform(grams, x -> md5('$i|' || x)), 'min') AS h$i")
+      .mkString(",\n  ")
+    val bandSelects = (0 until ErBands).map { b =>
+      val cat = (0 until ErRowsPerBand).map(j => s"h${b * ErRowsPerBand + j}")
+        .mkString(" || ")
+      s"SELECT label, name, $b AS band, md5(label || '|' || $cat) AS bucket FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS ($triplesSql),
+       |nodes AS (
+       |  SELECT ${camelSql("subject_type")} AS label, subject AS name
+       |  FROM t WHERE subject IS NOT NULL AND trim(subject) <> ''
+       |  UNION
+       |  SELECT ${camelSql("object_type")}, object
+       |  FROM t WHERE object IS NOT NULL AND trim(object) <> ''
+       |),
+       |nn AS (SELECT label, name,
+       |  lower(regexp_replace(trim(name), ' +', ' ', 'g')) AS nm
+       |  FROM nodes WHERE label IN ($labelsIn)),
+       |g AS (SELECT label, name,
+       |  CASE WHEN length(nm) >= $ErK
+       |    THEN list_transform(range(1, length(nm) - ${ErK - 2}), i -> nm[i:i+${ErK - 1}])
+       |    ELSE [nm] END AS grams
+       |  FROM nn),
+       |sig AS (SELECT label, name,
+       |  $sigCols
+       |FROM g),
+       |bands AS (
+       |$bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.label, a.name AS name_a, b.name AS name_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.name < b.name
+       |),
+       |ds AS (SELECT label, name,
+       |  list_distinct(list_transform(grams, x -> md5(x))) AS ds FROM g),
+       |j AS (
+       |  SELECT c.label, c.name_a, c.name_b,
+       |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+       |    length(a.ds) + length(b.ds)
+       |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+       |  FROM cand c
+       |  JOIN ds a ON c.label = a.label AND c.name_a = a.name
+       |  JOIN ds b ON c.label = b.label AND c.name_b = b.name
+       |)
+       |SELECT label, name_a, name_b, round(inter::double / uni, 4) AS jaccard
+       |FROM j WHERE round(inter::double / uni, 4) >= $ErThreshold""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "kg_triples" -> triplesSql,
@@ -457,58 +529,17 @@ object KgQueries {
     // normalization, char-gram, seeded-minhash, label-blocked banding
     // and hashed-gram Jaccard formulas, generated from the same Er*
     // constants the Spark operator runs with
-    "kg_entity_resolution" -> {
-      val n = ErBands * ErRowsPerBand
-      val labelsIn = ErLabels.map(l => s"'$l'").mkString(", ")
-      val sigCols = (0 until n).map(i =>
-        s"list_aggregate(list_transform(grams, x -> md5('$i|' || x)), 'min') AS h$i")
-        .mkString(",\n  ")
-      val bandSelects = (0 until ErBands).map { b =>
-        val cat = (0 until ErRowsPerBand).map(j => s"h${b * ErRowsPerBand + j}")
-          .mkString(" || ")
-        s"SELECT label, name, $b AS band, md5(label || '|' || $cat) AS bucket FROM sig"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH t AS ($triplesSql),
-         |nodes AS (
-         |  SELECT ${camelSql("subject_type")} AS label, subject AS name
-         |  FROM t WHERE subject IS NOT NULL AND trim(subject) <> ''
-         |  UNION
-         |  SELECT ${camelSql("object_type")}, object
-         |  FROM t WHERE object IS NOT NULL AND trim(object) <> ''
-         |),
-         |nn AS (SELECT label, name,
-         |  lower(regexp_replace(trim(name), ' +', ' ', 'g')) AS nm
-         |  FROM nodes WHERE label IN ($labelsIn)),
-         |g AS (SELECT label, name,
-         |  CASE WHEN length(nm) >= $ErK
-         |    THEN list_transform(range(1, length(nm) - ${ErK - 2}), i -> nm[i:i+${ErK - 1}])
-         |    ELSE [nm] END AS grams
-         |  FROM nn),
-         |sig AS (SELECT label, name,
-         |  $sigCols
-         |FROM g),
-         |bands AS (
-         |$bandSelects
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.label, a.name AS name_a, b.name AS name_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |  WHERE a.name < b.name
-         |),
-         |ds AS (SELECT label, name,
-         |  list_distinct(list_transform(grams, x -> md5(x))) AS ds FROM g),
-         |j AS (
-         |  SELECT c.label, c.name_a, c.name_b,
-         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
-         |    length(a.ds) + length(b.ds)
-         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
-         |  FROM cand c
-         |  JOIN ds a ON c.label = a.label AND c.name_a = a.name
-         |  JOIN ds b ON c.label = b.label AND c.name_b = b.name
-         |)
-         |SELECT label, name_a, name_b, round(inter::double / uni, 4) AS jaccard
-         |FROM j WHERE round(inter::double / uni, 4) >= $ErThreshold""".stripMargin
-    },
+    "kg_entity_resolution" -> erPairsSql,
+
+    // composes the ER pair oracle + DuckDB's own jaro_winkler
+    // (semantics-parity probed: boost threshold 0.7, prefix <= 4)
+    "kg_er_jw" ->
+      s"""WITH p AS MATERIALIZED ($erPairsSql)
+         |SELECT label, name_a, name_b, jaccard,
+         |  round(jaro_winkler_similarity(
+         |    lower(regexp_replace(trim(name_a), ' +', ' ', 'g')),
+         |    lower(regexp_replace(trim(name_b), ' +', ' ', 'g'))), 4) AS jw
+         |FROM p""".stripMargin,
 
     "kg_cypher_batches" ->
       s"""WITH t AS ($triplesSql),

@@ -39,5 +39,9 @@ class GraftSqlSpec extends SparkSpec {
     val qh = spark.sql(
       "SELECT graft_qhist(n_chars, 0, 4096, 16) AS h FROM documents").collect()
     assert(qh.length == 1 && qh.head.getAs[Seq[Long]](0).sum > 0)
+    // r8: string-similarity kernel from SQL
+    val jw = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw").collect()
+    assert(jw.head.getDouble(0) == 0.9611111111111111)
   }
 }

@@ -27,6 +27,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0.0, s"codegen and HOF cosine diverge by $diff")
   }
 
+  test("jaro-winkler matches the published values and the DuckDB parameterization") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = JaroWinklerImpl.jaroWinkler(u(a), u(b))
+    // classic textbook pairs (values probed against DuckDB's
+    // jaro_winkler_similarity — exact doubles, no tolerance)
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jw("DWAYNE", "DUANE") == 0.8400000000000001)
+    // boost threshold: jaro 0.6 <= 0.7 gets NO prefix bonus
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+    // prefix bonus capped at 4 chars
+    assert(jw("abcdefg", "abcdxyz") == 0.8285714285714286)
+    // empties are 0, not 1 (the DuckDB convention)
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // codegen path agrees with the static impl
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("Pablo Picasso", "P. Picasso"))
+      .toDF("a", "b")
+      .select(VectorFunctions.jaroWinkler(spark, col("a"), col("b")).as("jw"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      Seq(0.9611111111111111, 0.7776923076923077))
+  }
+
   test("interpreted eval path matches codegen path") {
     val x = Literal.create(Seq(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
     val y = Literal.create(Seq(-1.0f, 0.5f, 2.0f), ArrayType(FloatType))
