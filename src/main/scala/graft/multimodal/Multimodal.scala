@@ -738,6 +738,73 @@ object Multimodal {
       .select("doc_id", "valid_tiff", "byte_order", "width", "height")
   }
 
+  /** H12: FLAC STREAMINFO parse — "fLaC" magic, then the FIRST
+    * metadata block must be STREAMINFO (bits 0-6 of the header byte
+    * == 0; bit 7 is the last-block flag and is masked out) with the
+    * spec-fixed 34-byte length. The body is this family's BIT-PACKED
+    * member: after four fixed u16be/u24be block/frame-size fields,
+    * ONE big-endian 64-bit span packs sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5), and a 36-bit total-sample
+    * count. Read as TWO u32s (no signed-64 edge) and unpacked with
+    * shift/mask arithmetic — pure codegen'd projections, zero
+    * shuffle, the H-family contract. duration rounds at 6: for every
+    * rate in the synthetic set (8000/22050/44100), total·2·10⁶/rate
+    * is even whenever it is an integer, so the exact-decimal-tie
+    * class (the H7 lesson) cannot strike. */
+  def withFlacInfo(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val magic = lower(hex(substring(bin, 1, 4))) === "664c6143" // fLaC
+    val btype = conv(hex(substring(bin, 5, 1)), 16, 10).cast("int")
+    val blockLen = conv(hex(substring(bin, 6, 3)), 16, 10).cast("int")
+    val valid = (magic && btype.bitwiseAND(lit(0x7f)) === 0 &&
+      blockLen === 34).cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val hi = beU32c(bin, lit(19))
+    val lo = beU32c(bin, lit(23))
+    val rate = shiftright(hi, 12)
+    val total = hi.bitwiseAND(lit(15L)) * lit(4294967296L) + lo
+    df.withColumn("valid_flac", valid)
+      .withColumn("min_block", ifOk(beU16(bin, lit(9))))
+      .withColumn("max_block", ifOk(beU16(bin, lit(11))))
+      .withColumn("sample_rate", ifOk(rate))
+      .withColumn("channels",
+        ifOk(shiftright(hi, 9).bitwiseAND(lit(7L)).cast("int") + 1))
+      .withColumn("bits_per_sample",
+        ifOk(shiftright(hi, 4).bitwiseAND(lit(31L)).cast("int") + 1))
+      .withColumn("total_samples", ifOk(total))
+      .withColumn("duration_sec",
+        ifOk(when(rate > 0, round(total.cast("double") / rate, 6))))
+  }
+
+  /** H12 driver query: synthesize a 42-byte fLaC header + STREAMINFO
+    * per asset (rates cycle the tie-free set, channels sweep all 8,
+    * every 5th asset's total-sample count exceeds 2³³ so the 36-bit
+    * span above the lo-u32 boundary is value-checked) and parse it
+    * back from the BYTES; formula-derived oracle. */
+  def mmFlacMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 4, "0")
+    def beHex24(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 6, "0")
+    val rate = element_at(array(lit(8000L), lit(22050L), lit(44100L)),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val ch = (col("doc_id") % 8 + 1).cast("long")
+    val bps = when(col("doc_id") % 2 === 0, 16L).otherwise(24L)
+    val total = (col("n_chars") % 100000).cast("long") +
+      when(col("doc_id") % 5 === 0, lit(8589934592L)).otherwise(lit(0L))
+    val hi = shiftleft(rate, 12) + shiftleft(ch - 1, 9) +
+      shiftleft(bps - lit(1L), 4) + shiftright(total, 32)
+    val lo = total.bitwiseAND(lit(4294967295L))
+    val minF = (col("doc_id") % 1000 + 14).cast("long")
+    val maxF = minF + (col("n_chars") % 512).cast("long")
+    val hx = concat(lit("664c6143"), lit("80"), beHex24(lit(34)),
+      beHex16(lit(4096)), beHex16(lit(4096)), beHex24(minF), beHex24(maxF),
+      beHex32(hi), beHex32(lo), lit("00" * 16))
+    withFlacInfo(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_flac", "min_block", "max_block",
+        "sample_rate", "channels", "bits_per_sample", "total_samples",
+        "duration_sec")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -750,6 +817,7 @@ object Multimodal {
     "mm_webp_dims" -> (mmWebpDims _),
     "mm_gif_dims" -> (mmGifDims _),
     "mm_tiff_dims" -> (mmTiffDims _),
+    "mm_flac_meta" -> (mmFlacMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -889,6 +957,27 @@ object Multimodal {
         |  (n_chars % 1024 + 16)::bigint AS width,
         |  (doc_id % 512 + 16)::bigint AS height
         |FROM documents""".stripMargin,
+
+    // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit
+    // span crossing the lo-u32 boundary on every 5th asset) is
+    // value-checked. Duration rounds at 6 — tie-free for every rate
+    // in the synthetic set (see withFlacInfo's scaladoc).
+    "mm_flac_meta" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+        |       ELSE 44100 END)::bigint AS sample_rate,
+        |    (doc_id % 8 + 1)::int AS channels,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END)::int AS bits_per_sample,
+        |    ((n_chars % 100000)
+        |      + CASE WHEN doc_id % 5 = 0 THEN 8589934592 ELSE 0 END)::bigint
+        |      AS total_samples
+        |  FROM documents
+        |)
+        |SELECT doc_id, 1 AS valid_flac, 4096 AS min_block, 4096 AS max_block,
+        |  sample_rate, channels, bits_per_sample, total_samples,
+        |  round(total_samples::double / sample_rate, 6) AS duration_sec
+        |FROM g""".stripMargin,
 
     "mm_decode" ->
       """WITH d AS (

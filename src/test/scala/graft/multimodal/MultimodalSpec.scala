@@ -236,6 +236,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((0, "-", -1L, -1L)), s"junk: ${out(3L)}")
   }
 
+  test("H12 withFlacInfo unpacks the bit-packed STREAMINFO; wrong first block rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // genuine canonical header: 44.1 kHz stereo 16-bit, 1M samples
+    // hi u32 = 44100<<12 | 1<<9 | 15<<4 | 0 = 0x0ac442f0
+    val canonical = "664c6143" + "80" + "000022" + "1000" + "1000" +
+      "00001a" + "0000ff" + "0ac442f0" + "000f4240" + ("00" * 16)
+    // every field at its maximum width: rate 2^20-1, 8ch, 32-bit,
+    // total = 2^36-1 — hi and lo both all-ones
+    val maxed = "664c6143" + "80" + "000022" + "1000" + "1000" +
+      "000000" + "000000" + "ffffffff" + "ffffffff" + ("00" * 16)
+    // first metadata block is a VORBIS_COMMENT (type 4), not STREAMINFO
+    val wrongBlock = "664c6143" + "84" + "000022" + ("00" * 34)
+    val junk = "52494646" + ("00" * 38)
+    val out = Multimodal.withFlacInfo(
+      Seq((1L, canonical), (2L, maxed), (3L, wrongBlock), (4L, junk))
+        .toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_flac", "sample_rate", "channels",
+        "bits_per_sample", "total_samples", "duration_sec")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))
+      }.toMap
+    assert(out(1L) == ((1, 44100L, 2, 16, 1000000L)), s"canonical: ${out(1L)}")
+    assert(out(2L) == ((1, 1048575L, 8, 32, 68719476735L)),
+      s"all bit widths at max, 36-bit span crosses the u32 boundary: ${out(2L)}")
+    assert(out(3L)._1 == 0, "a non-STREAMINFO first block must not validate")
+    assert(out(4L)._1 == 0, "junk magic must not validate")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
