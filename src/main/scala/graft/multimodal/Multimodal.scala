@@ -738,6 +738,104 @@ object Multimodal {
       .select("doc_id", "valid_tiff", "byte_order", "width", "height")
   }
 
+  /** Max JPEG segments the EXIF walk hops before giving up. */
+  val ExifMaxSegments = 4
+
+  /** Max IFD0 entries the EXIF orientation scan visits. */
+  val ExifMaxEntries = 4
+
+  /** H13: EXIF orientation — the two-format composition: a JPEG
+    * marker walk (the H5 shape) locates the APP1 segment whose
+    * payload opens with "Exif\0\0", and the TIFF machinery (the H11
+    * shape — full endianness dispatch, left-justified SHORT inline
+    * values) walks the EMBEDDED TIFF that starts 10 bytes past the
+    * APP1 marker, scanning IFD0 for tag 274 (Orientation, 1-8: the
+    * rotate/mirror flag an image pipeline must honor before any
+    * resize). All offsets inside the TIFF are relative to its own
+    * header — the walk carries the absolute base through every read.
+    * Non-ff garbage or a missing APP1 freezes the walk (null-out, the
+    * H7 corrupt-guard convention). Pure codegen'd projections. */
+  def withExifOrientation(df: DataFrame, binCol: String,
+      maxSegments: Int = ExifMaxSegments,
+      maxEntries: Int = ExifMaxEntries): DataFrame = {
+    val bin = col(binCol)
+    val soi = lower(hex(substring(bin, 1, 2))) === "ffd8"
+    var out = df
+      .withColumn("_app1", lit(null).cast("int"))
+      .withColumn("_cur", when(soi, lit(3)))
+    for (_ <- 0 until maxSegments) {
+      val off = col("_cur")
+      val marker = lower(hex(bin.substr(off, lit(2))))
+      val isExif = marker === "ffe1" &&
+        lower(hex(bin.substr(off + 4, lit(6)))) === "457869660000"
+      out = out
+        .withColumn("_app1",
+          when(col("_app1").isNotNull, col("_app1")).when(isExif, off))
+        // a non-marker byte pair freezes the walk (corrupt guard)
+        .withColumn("_cur",
+          when(col("_app1").isNotNull, col("_cur"))
+            .when(marker.startsWith("ff"),
+              off + lit(2) + beU16(bin, off + lit(2))))
+    }
+    val base = col("_app1") + 10 // marker(2) + len(2) + "Exif\0\0"(6)
+    val le = lower(hex(bin.substr(base, lit(4)))) === "49492a00"
+    val be = lower(hex(bin.substr(base, lit(4)))) === "4d4d002a"
+    def u16(off: org.apache.spark.sql.Column) = when(le, leU16(bin, off))
+      .otherwise(conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int"))
+    def u32(off: org.apache.spark.sql.Column) = when(le, leU32(bin, off))
+      .otherwise(beU32c(bin, off))
+    val ifdPos = base + u32(base + 4).cast("int") // rel offset → abs pos
+    val nEntries = u16(ifdPos)
+    var o = out.withColumn("_orient", lit(null).cast("int"))
+    for (i <- 0 until maxEntries) {
+      val eOff = ifdPos + lit(2 + i * 12)
+      val tag = u16(eOff)
+      val tpe = u16(eOff + lit(2))
+      o = o.withColumn("_orient",
+        when(col("_orient").isNotNull, col("_orient"))
+          .when(lit(i) < nEntries && tag === 274 && tpe === 3,
+            u16(eOff + lit(8))))
+    }
+    val valid = (soi && col("_app1").isNotNull && (le || be)).cast("int")
+    o.withColumn("valid_exif", valid)
+      .withColumn("app1_off", when(valid === 1, col("_app1")))
+      .withColumn("byte_order",
+        when(valid === 1, when(le, "II").otherwise("MM")))
+      .withColumn("orientation", when(valid === 1, col("_orient")))
+      .drop("_app1", "_cur", "_orient")
+  }
+
+  /** H13 driver query: synthesize SOI + optional variable-length APP0
+    * + APP1/Exif with an embedded two-entry TIFF IFD0 (byte order by
+    * doc parity, a pointer-valued ImageDescription entry BEFORE the
+    * orientation entry so the scan must skip non-matching tags);
+    * parse walk offset, byte order, and orientation back from the
+    * BYTES. Oracle derives app1_off independently by segment
+    * arithmetic (the H5 convention). */
+  def mmExifMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val isLe = col("doc_id") % 2 === 0
+    val orient = (col("doc_id") % 8 + 1).cast("int")
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 4, "0")
+    def x16(c: org.apache.spark.sql.Column) = when(isLe, leHex16(c)).otherwise(beHex16(c))
+    def x32(c: org.apache.spark.sql.Column) = when(isLe, leHex32(c)).otherwise(beHex32(c))
+    val app0Len = (col("doc_id") % 16 + 4).cast("int") // payload bytes
+    val hasApp0 = col("doc_id") % 3 =!= 0
+    val app0 = when(hasApp0,
+      concat(lit("ffe0"), beHex16(app0Len + 2), repeat(lit("4a"), app0Len)))
+      .otherwise(lit(""))
+    val tiff = concat(
+      when(isLe, lit("49492a00")).otherwise(lit("4d4d002a")),
+      x32(lit(8)), x16(lit(2)),
+      x16(lit(270)), x16(lit(2)), x32(lit(4)), x32(lit(38)), // desc ptr
+      x16(lit(274)), x16(lit(3)), x32(lit(1)), x16(orient), lit("0000"),
+      x32(lit(0)))
+    val hx = concat(lit("ffd8"), app0,
+      lit("ffe1"), lit("002e"), lit("457869660000"), tiff)
+    withExifOrientation(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_exif", "app1_off", "byte_order", "orientation")
+  }
+
   /** H12: FLAC STREAMINFO parse — "fLaC" magic, then the FIRST
     * metadata block must be STREAMINFO (bits 0-6 of the header byte
     * == 0; bit 7 is the last-block flag and is masked out) with the
@@ -818,6 +916,7 @@ object Multimodal {
     "mm_gif_dims" -> (mmGifDims _),
     "mm_tiff_dims" -> (mmTiffDims _),
     "mm_flac_meta" -> (mmFlacMeta _),
+    "mm_exif"      -> (mmExifMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -956,6 +1055,17 @@ object Multimodal {
         |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
         |  (n_chars % 1024 + 16)::bigint AS width,
         |  (doc_id % 512 + 16)::bigint AS height
+        |FROM documents""".stripMargin,
+
+    // app1_off derived independently by segment arithmetic (2 SOI
+    // bytes + optional 4+payload APP0 → 1-based marker position);
+    // byte order and orientation from the generating formulas
+    "mm_exif" ->
+      """SELECT doc_id, 1 AS valid_exif,
+        |  (3 + CASE WHEN doc_id % 3 <> 0
+        |     THEN 4 + (doc_id % 16 + 4) ELSE 0 END)::int AS app1_off,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  (doc_id % 8 + 1)::int AS orientation
         |FROM documents""".stripMargin,
 
     // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit

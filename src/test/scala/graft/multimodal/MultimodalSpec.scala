@@ -270,6 +270,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._1 == 0, "junk magic must not validate")
   }
 
+  test("H13 withExifOrientation finds APP1 past other segments and reads tag 274 in either order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // MM TIFF, one entry: Orientation SHORT 6 (rotate 90 CW),
+    // APP1 directly after SOI
+    val mmTiff = "4d4d002a" + "00000008" + "0001" +
+      "0112" + "0003" + "00000001" + "0006" + "0000" + "00000000"
+    val direct = "ffd8" + "ffe1" + "0020" + "457869660000" + mmTiff
+    // II TIFF behind an APP0, orientation 3 as the SECOND entry
+    val iiTiff = "49492a00" + "08000000" + "0200" +
+      "0e01" + "0200" + "04000000" + "26000000" +
+      "1201" + "0300" + "01000000" + "0300" + "0000" + "00000000"
+    val behindApp0 = "ffd8" + "ffe0" + "0006" + "4a464946" +
+      "ffe1" + "002c" + "457869660000" + iiTiff
+    // APP1 present but payload is XMP, not Exif → invalid
+    val xmpApp1 = "ffd8" + "ffe1" + "0010" + "687474703a2f2f6e732e61646f6265"
+    val junk = "474946" + ("00" * 20)
+    val out = Multimodal.withExifOrientation(
+      Seq((1L, direct), (2L, behindApp0), (3L, xmpApp1), (4L, junk))
+        .toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_exif", "app1_off", "byte_order", "orientation")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) "-" else r.getString(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4)))
+      }.toMap
+    assert(out(1L) == ((1, 3, "MM", 6)), s"direct APP1: ${out(1L)}")
+    assert(out(2L) == ((1, 11, "II", 3)),
+      s"APP1 behind APP0, orientation as 2nd entry: ${out(2L)}")
+    assert(out(3L)._1 == 0, "an XMP APP1 must not validate as Exif")
+    assert(out(4L)._1 == 0, "junk must not validate")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
