@@ -205,6 +205,33 @@ object StreamQueries {
       .filter(col("rnk") <= HeavyTopK)
   }
 
+  /** Relative error (percent) the I22 sketch estimate must stay
+    * within for est_ok — generous vs the ~1.6% HLL rsd at lgK 12
+    * (and the sketch is EXACT in sparse mode at these per-hour
+    * cardinalities), so the flag is a stable 1 in any engine. */
+  val HllBoundPct = 5L
+
+  /** I22 (batch face): per (hour, event_type) — the EXACT distinct
+    * user count (oracled) plus a flag that the HLL sketch estimate
+    * lands within [[HllBoundPct]] of it, as integer
+    * cross-multiplication. The estimate itself is engine-specific
+    * (DataSketches registers) and can't hash-match an oracle; the
+    * bound CAN — so this query pins both the windowed-sketch plumbing
+    * and its accuracy contract. The streaming face is the same
+    * hourlyDistinctSketch with live watermark (StreamingSpec). */
+  def evHourlyDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val est = Streaming.distinctFromSketches(Streaming.hourlyDistinctSketch(ev))
+    val exact = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(countDistinct("user_id").as("n_users"))
+    exact.join(est, Seq("hour", "event_type"))
+      .select(col("hour"), col("event_type"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")) * 100L
+          <= col("n_users") * HllBoundPct).cast("int").as("est_ok"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
@@ -224,6 +251,7 @@ object StreamQueries {
     "ev_daily_topk"  -> (evDailyTopk _),
     "ev_sliding"     -> (evSliding _),
     "ev_heavy_hitters" -> (evHeavyHitters _),
+    "ev_hourly_distinct" -> (evHourlyDistinct _),
   )
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
@@ -409,6 +437,14 @@ object StreamQueries {
          |  row_number() OVER (PARTITION BY event_type
          |                     ORDER BY n_events DESC, user_id) AS rnk
          |FROM c QUALIFY rnk <= ${HeavyTopK}""".stripMargin,
+
+    // exact distinct is the oracled half; est_ok = 1 asserts the
+    // Spark-side sketch estimate stayed within the published bound
+    // on EVERY row (a sketch regression hash-mismatches)
+    "ev_hourly_distinct" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(DISTINCT user_id) AS n_users, 1 AS est_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // mirrors EventOps.scd2: same (ts, id) total order per key
     "ev_scd2" ->

@@ -480,6 +480,31 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("week"))
 
+  /** I22: hourly approx-distinct users per event type — K2's
+    * store-and-merge HLL cardinality shape run INSIDE the streaming
+    * engine: a 1-hour tumbling window aggregates
+    * `hll_sketch_agg(user_id)` with watermark-bounded state, so
+    * per-window uniques cost O(sketch bytes) state per (hour, type)
+    * instead of O(distinct users) — the only windowed-unique shape
+    * that holds at 100 TB/day (an exact windowed distinct keeps every
+    * user id in the state store). The sketch register array is a
+    * per-register max — merge-order-independent — so cross-batch
+    * state merges estimate identically to one batch pass. On batch
+    * input the watermark is a no-op and window.start ==
+    * date_trunc('hour'): one function, both faces. */
+  def hourlyDistinctSketch(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(col("w.start").as("hour"), col("event_type"), col("sk"))
+
+  /** The finishing estimate over closed sketch windows — shared by
+    * the batch query and the streaming sink. */
+  def distinctFromSketches(sk: DataFrame): DataFrame =
+    sk.select(col("hour"), col("event_type"),
+      hll_sketch_estimate(col("sk")).as("approx_users"))
+
   /** I15: stream-static enrichment join — the dimension lookup every
     * event pipeline does (user tier, device class, geo). The static
     * side is re-planned per micro-batch (so a refreshed dim table is

@@ -401,6 +401,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I22 streaming hourly HLL sketches merge across batches and match the batch estimates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "user_id", "event_type")
+    val q = Streaming.hourlyDistinctSketch(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("hll_out").outputMode("append").start()
+    try {
+      // hour 0: users 1,2,3 click (user 2 twice — dedup inside the
+      // sketch); hour 1: users 1,9 view — split so the hour-0 sketch
+      // must MERGE through the state store across micro-batches
+      val data = Seq((ts(0), 1L, "click"), (ts(2), 2L, "click"),
+        (ts(10), 2L, "click"), (ts(30), 3L, "click"),
+        (ts(70), 1L, "view"), (ts(80), 9L, "view"))
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData((ts(100000), 0L, "flush")); q.processAllAvailable()
+      mem.addData((ts(200000), 0L, "flush")); q.processAllAvailable()
+      val streamed = Streaming.distinctFromSketches(
+          spark.table("hll_out").filter(col("event_type") =!= "flush"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = Streaming.distinctFromSketches(
+          Streaming.hourlyDistinctSketch(asEvents(data.toDF())))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+      // small cardinalities sit in the sketch's exact (sparse) range
+      assert(streamed.map(t => (t._2, t._3)) == Set(("click", 3L), ("view", 2L)),
+        s"exact-at-small-cardinality estimates: $streamed")
+    } finally q.stop()
+  }
+
   test("I11 streaming hourly counts + z-score finishing match the batch anomaly operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
