@@ -903,6 +903,84 @@ object Multimodal {
         "duration_sec")
   }
 
+  /** MPEG-1 Layer III bitrate table (kbps), indexed 1-14 (0 = free,
+    * 15 = bad — both invalid here). */
+  val Mp3Bitrates: Seq[Int] =
+    Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample-rate table, indexed 0-2 (3 = reserved). */
+  val Mp3Rates: Seq[Int] = Seq(44100, 48000, 32000)
+
+  /** H14: MP3 (MPEG-1 Layer III) frame header — the TABLE-LOOKUP
+    * format: the 4-byte header is pure bit fields (11-bit sync, 2-bit
+    * version, 2-bit layer, 4-bit bitrate INDEX, 2-bit rate INDEX,
+    * 1-bit padding) whose indices resolve through published tables —
+    * expressed as element_at over literal arrays, still one codegen'd
+    * projection. A leading ID3v2 tag is hopped via its SYNCSAFE
+    * 28-bit size (4 bytes × 7 bits — the high bit of each byte is
+    * kept clear so a tag size can never fake a frame sync; masked on
+    * read as the guard). Frame length uses the Layer III formula
+    * 144·bitrate/rate + padding as exact integer division. */
+  def withMp3Header(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val hasId3 = lower(hex(substring(bin, 1, 3))) === "494433"
+    def b7(i: Int) = conv(hex(substring(bin, i, 1)), 16, 10).cast("int")
+      .bitwiseAND(lit(0x7f))
+    val tagSize = shiftleft(b7(7), 21) + shiftleft(b7(8), 14) +
+      shiftleft(b7(9), 7) + b7(10)
+    val frameOff = when(hasId3, tagSize + 11).otherwise(lit(1))
+    val hdr = beU32c(bin, frameOff)
+    val sync = shiftright(hdr, 21).bitwiseAND(lit(0x7ffL)) === 0x7ffL
+    val version = shiftright(hdr, 19).bitwiseAND(lit(3L))
+    val layer = shiftright(hdr, 17).bitwiseAND(lit(3L))
+    val brIdx = shiftright(hdr, 12).bitwiseAND(lit(15L)).cast("int")
+    val srIdx = shiftright(hdr, 10).bitwiseAND(lit(3L)).cast("int")
+    val padding = shiftright(hdr, 9).bitwiseAND(lit(1L)).cast("int")
+    val valid = (sync && version === 3L && layer === 1L &&
+      brIdx.between(1, 14) && srIdx.between(0, 2)).cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val br = element_at(array(Mp3Bitrates.map(lit): _*), brIdx)
+    val sr = element_at(array(Mp3Rates.map(lit): _*), srIdx + 1)
+    df.withColumn("valid_mp3", valid)
+      .withColumn("has_id3", hasId3.cast("int"))
+      .withColumn("frame_off", ifOk(frameOff))
+      .withColumn("bitrate_kbps", ifOk(br))
+      .withColumn("sample_rate", ifOk(sr))
+      .withColumn("padding", ifOk(padding))
+      // exact: 144000·br < 2^26, and an integer quotient is exactly
+      // representable, so floor-of-double == integer division
+      .withColumn("frame_len",
+        ifOk(floor(br.cast("long") * lit(144000L)
+          / sr.cast("long")).cast("long") + padding))
+  }
+
+  /** H14 driver query: synthesize an optional ID3v2 tag (variable
+    * syncsafe-sized payload) + one genuine MPEG-1 Layer III header
+    * per asset, sweeping the full valid bitrate table and all three
+    * sample rates; parse back from the BYTES. Oracle derives
+    * frame_off by syncsafe arithmetic and bitrate/rate by the same
+    * published tables (formula convention). */
+  def mmMp3Meta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val brIdx = (col("doc_id") % 14 + 1).cast("int")
+    val srIdx = (col("doc_id") % 3).cast("int")
+    val padding = ((col("doc_id") + col("n_chars")) % 2).cast("int")
+    val hasId3 = col("doc_id") % 3 =!= 0
+    val tagLen = (col("doc_id") % 200 + 4).cast("int") // syncsafe payload
+    def hx2(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+    val id3 = when(hasId3, concat(lit("494433" + "0400" + "00"),
+      hx2(shiftright(tagLen, 21).bitwiseAND(lit(0x7f))),
+      hx2(shiftright(tagLen, 14).bitwiseAND(lit(0x7f))),
+      hx2(shiftright(tagLen, 7).bitwiseAND(lit(0x7f))),
+      hx2(tagLen.bitwiseAND(lit(0x7f))),
+      repeat(lit("aa"), tagLen))).otherwise(lit(""))
+    val byte2 = shiftleft(brIdx, 4) + shiftleft(srIdx, 2) + shiftleft(padding, 1)
+    val hx = concat(id3, lit("fffb"), hx2(byte2), lit("00"))
+    withMp3Header(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_mp3", "has_id3", "frame_off",
+        "bitrate_kbps", "sample_rate", "padding", "frame_len")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -917,6 +995,7 @@ object Multimodal {
     "mm_tiff_dims" -> (mmTiffDims _),
     "mm_flac_meta" -> (mmFlacMeta _),
     "mm_exif"      -> (mmExifMeta _),
+    "mm_mp3_meta"  -> (mmMp3Meta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1056,6 +1135,30 @@ object Multimodal {
         |  (n_chars % 1024 + 16)::bigint AS width,
         |  (doc_id % 512 + 16)::bigint AS height
         |FROM documents""".stripMargin,
+
+    // frame_off by syncsafe arithmetic (11 + tag payload when the tag
+    // is present), bitrate/rate through the same published tables;
+    // the bit-field packing on the Spark side is value-checked
+    "mm_mp3_meta" -> {
+      val brCase = Mp3Bitrates.zipWithIndex
+        .map { case (b, i) => s"WHEN ${i + 1} THEN $b" }.mkString(" ")
+      val srCase = Mp3Rates.zipWithIndex
+        .map { case (r, i) => s"WHEN $i THEN $r" }.mkString(" ")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    (CASE doc_id % 14 + 1 $brCase END)::int AS bitrate_kbps,
+         |    (CASE doc_id % 3 $srCase END)::int AS sample_rate,
+         |    ((doc_id + n_chars) % 2)::int AS padding,
+         |    CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 200 + 4) ELSE NULL END AS tag_len
+         |  FROM documents
+         |)
+         |SELECT doc_id, 1 AS valid_mp3,
+         |  (tag_len IS NOT NULL)::int AS has_id3,
+         |  coalesce(tag_len + 11, 1)::int AS frame_off,
+         |  bitrate_kbps, sample_rate, padding,
+         |  (bitrate_kbps * 144000 // sample_rate + padding)::bigint AS frame_len
+         |FROM g""".stripMargin
+    },
 
     // app1_off derived independently by segment arithmetic (2 SOI
     // bytes + optional 4+payload APP0 → 1-based marker position);

@@ -305,6 +305,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._1 == 0, "junk must not validate")
   }
 
+  test("H14 withMp3Header hops syncsafe ID3 tags and resolves the bit-field tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // bare frame: 128 kbps (idx 9), 44.1 kHz (idx 0), no padding
+    val bare = "fffb" + "90" + "00" + "aabbcc"
+    // ID3v2 tag with a syncsafe size crossing the 7-bit boundary:
+    // 200 = 1<<7 | 72 → size bytes 00 00 01 48; frame at 11+200
+    val tagged = "494433" + "0400" + "00" + "00000148" + ("aa" * 200) +
+      "fffb" + "92" + "00" // 128 kbps, 44.1 kHz, padded
+    val freeBitrate = "fffb" + "00" + "00" // bitrate idx 0 = free
+    val mpeg2 = "fff3" + "90" + "00" // version bits 10, not MPEG-1
+    val junk = "abcdef0123456789"
+    val out = Multimodal.withMp3Header(
+      Seq((1L, bare), (2L, tagged), (3L, freeBitrate), (4L, mpeg2), (5L, junk))
+        .toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_mp3", "has_id3", "frame_off", "bitrate_kbps",
+        "sample_rate", "padding", "frame_len")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(7)) -1L else r.getLong(7)))
+      }.toMap
+    // 144000·128/44100 = 417 (floor)
+    assert(out(1L) == ((1, 0, 1, 128, 44100, 417L)), s"bare: ${out(1L)}")
+    assert(out(2L) == ((1, 1, 211, 128, 44100, 418L)),
+      s"syncsafe hop + padding: ${out(2L)}")
+    assert(out(3L)._1 == 0, "free bitrate must not validate")
+    assert(out(4L)._1 == 0, "MPEG-2 version bits must not validate")
+    assert(out(5L)._1 == 0, "junk must not validate")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
