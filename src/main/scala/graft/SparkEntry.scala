@@ -52,6 +52,8 @@ object SparkEntry {
       "q_ntile"            -> (Relational.qNtile _),
       "q_global_share"     -> (Relational.qGlobalShare _),
       "q_trade_flows"      -> (Relational.qTradeFlows _),
+      "q_large_orders"     -> (Relational.qLargeOrders _),
+      "q_top_supplier"     -> (Relational.qTopSupplier _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -302,6 +304,35 @@ object SparkEntry {
         |  ON o.o_custkey = cg.c_custkey
         |WHERE sg.supp_nation <> cg.cust_nation
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // mirrors qLargeOrders: integral quantities summed as bigints,
+    // integer HAVING cut
+    "q_large_orders" ->
+      s"""WITH q AS (
+         |  SELECT l_orderkey, sum(l_quantity::bigint)::bigint AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum(l_quantity::bigint) > ${Relational.LargeOrderQty}
+         |)
+         |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+         |  q.sum_qty
+         |FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    // mirrors qTopSupplier: exact-cents revenue, argmax by scalar
+    // subquery (the in-plan broadcast scalar's SQL spelling)
+    "q_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::bigint AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, r.rev_cents
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rev_cents = (SELECT max(rev_cents) FROM r)""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -503,6 +503,54 @@ object Relational {
       .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_lines"))
   }
 
+  /** Q18 quantity threshold — the "large order" cut. */
+  val LargeOrderQty = 300L
+
+  /** D22 — TPC-H Q18-style large orders: orders whose total lineitem
+    * quantity exceeds [[LargeOrderQty]]. Quantities are integral by
+    * data contract, so they aggregate as exact longs and the HAVING
+    * is an integer compare. Shape: one map-side-combined orderkey
+    * aggregation over the corpus — the only big shuffle — then the
+    * ≤ |orders| survivors join the dims (AQE broadcasts the shrunken
+    * side at any SF). */
+  def qLargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey").agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > LargeOrderQty)
+    qty
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("sum_qty"))
+  }
+
+  /** D23 — TPC-H Q15-style top supplier: quarterly revenue per
+    * supplier, returning the supplier(s) that achieve the MAXIMUM —
+    * the argmax-over-aggregate shape. The max is an IN-PLAN broadcast
+    * scalar over the aggregated frame (the D20 discipline: no driver
+    * action, no second corpus scan — the aggregate subtree
+    * canonicalizes identically on both sides and ReuseExchange shares
+    * it) and the tie test is exact integer cents, so "the" top
+    * supplier is well-defined cross-engine even on a revenue tie. */
+  def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("l_suppkey").agg(sum(col("cents")).as("rev_cents"))
+    val mx = broadcast(rev.agg(max(col("rev_cents")).as("max_cents")))
+    rev.crossJoin(mx).filter(col("rev_cents") === col("max_cents"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+  }
+
   /** D14 — exact interpolated percentiles per group (the distribution
     * summary a cost/latency dashboard asks of a 100 TB fact table;
     * Spark's percentile is a single-pass partial aggregate, so the
