@@ -120,6 +120,29 @@ object SimQueries {
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  /** Candidates per query the F13 bit pass nominates (4·K). */
+  val RerankCand = 20
+
+  /** F13: two-stage retrieval — Hamming candidate generation +
+    * exact-cosine rescoring of the candidates only. */
+  def simRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rerankTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", NumQueries, RerankCand, K)
+
+  /** F13 quality dial: recall@k of the reranked stack vs brute-force
+    * cosine (the F5 pattern) — by construction ≥ the raw Hamming
+    * recall, since rescoring re-orders candidates by the TRUE metric. */
+  def simRerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val rr = simRerank(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = rr.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   /** F12: binary-quantized Hamming top-k for the same query set. */
   def simHamming(spark: SparkSession, dir: String): DataFrame =
     Similarity.hammingTopK(Tables.embeddings(spark, dir), "vec_id",
@@ -199,11 +222,15 @@ object SimQueries {
     "sim_ivfpq_recall" -> (simIvfPqRecall _),
     "sim_hamming"    -> (simHamming _),
     "sim_hamming_recall" -> (simHammingRecall _),
+    "sim_rerank"     -> (simRerank _),
+    "sim_rerank_recall" -> (simRerankRecall _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
     * sim_hamming and the recall oracle). */
-  private lazy val oracleSqlHamming: String =
+  private lazy val oracleSqlHamming: String = hammingSqlK(K)
+
+  private def hammingSqlK(k: Int): String =
     s"""WITH ex AS (
        |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS i, embedding
        |  FROM embeddings
@@ -226,7 +253,7 @@ object SimQueries {
        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rnk
        |  FROM s
        |)
-       |SELECT q_id, n_id, hamming, rnk FROM r WHERE rnk <= $K""".stripMargin
+       |SELECT q_id, n_id, hamming, rnk FROM r WHERE rnk <= $k""".stripMargin
 
   // --- generated DuckDB oracles -------------------------------------
 
@@ -469,6 +496,46 @@ object SimQueries {
          |hits AS (
          |  SELECT a.q_id, count(*) AS hits
          |  FROM ham a WHERE EXISTS (
+         |    SELECT 1 FROM brute b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM brute) q
+         |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
+
+    // two-stage stack: K'-candidate Hamming CTE (same generator as
+    // sim_hamming, wider k) + exact-cosine rescore of candidates only
+    "sim_rerank" ->
+      s"""WITH cand AS (SELECT q_id, n_id FROM (${hammingSqlK(RerankCand)})),
+         |sc AS (
+         |  SELECT c.q_id, c.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id
+         |  JOIN embeddings ne ON ne.vec_id = c.n_id
+         |), r AS (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM sc
+         |)
+         |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin,
+
+    "sim_rerank_recall" ->
+      s"""WITH brute AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |cand AS (SELECT q_id, n_id FROM (${hammingSqlK(RerankCand)})),
+         |sc AS (
+         |  SELECT c.q_id, c.n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id
+         |  JOIN embeddings ne ON ne.vec_id = c.n_id
+         |), rr AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM sc) WHERE rnk <= $K
+         |), hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM rr a WHERE EXISTS (
          |    SELECT 1 FROM brute b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
          |  GROUP BY a.q_id
          |)

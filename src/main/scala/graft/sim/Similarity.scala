@@ -100,6 +100,33 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("hamming"), col("rnk"))
   }
 
+  /** F13: two-stage retrieval (candidate generation + rescoring) —
+    * the production serving stack's composition: the coarsest
+    * quantization rung (F12 sign bits) nominates candK candidates per
+    * query in an 8-byte-per-vector Hamming pass, and ONLY those
+    * candidates are rescored with the exact float cosine. The corpus
+    * scan runs at two instructions per vector; the exact kernel
+    * touches queries·candK rows. Rescoring restores the true metric's
+    * ORDER among survivors — the part a Hamming rank gets wrong —
+    * so quality loss is exactly the bit pass's candidate recall, and
+    * candK == corpus size recovers brute-force EXACTLY (spec-pinned,
+    * the F11 full-probe invariant). */
+  def rerankTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int, candK: Int, k: Int): DataFrame = {
+    val cand = hammingTopK(vecs, idCol, vecCol, numQueries, candK)
+      .select(col("q_id"), col("n_id"))
+    val qv = broadcast(vecs.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val cos = VectorFunctions.cosineSim(vecs.sparkSession, col("qv"), col("nv"))
+    cand.join(vecs.select(col(idCol).as("n_id"), col(vecCol).as("nv")), "n_id")
+      .join(qv, "q_id")
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** F10: deterministic Lloyd k-means over int8-QUANTIZED vectors —
     * the codebook-learning step PQ/IVF serving stacks train offline,
     * spelled so every iteration is EXACT and cross-engine stable:

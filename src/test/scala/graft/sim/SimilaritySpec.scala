@@ -194,6 +194,33 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq((1L, 0, 1), (2L, 1, 2), (3L, 64, 3)), s"$top")
   }
 
+  test("F13 rerank with full candidates equals brute force; narrow candidates rescore by true cosine") {
+    val emb = Tables.embeddings(spark, dataDir)
+    val n = emb.count().toInt
+    // the F11 full-probe invariant: nominating EVERY vector reduces
+    // the two-stage stack to brute-force cosine, bit for bit
+    val full = Similarity.rerankTopK(emb, "vec_id", "embedding",
+        numQueries = 5, candK = n, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute, "full candidate set must recover brute force exactly")
+    // narrow candidates: every reranked neighbor must come from the
+    // bit pass's candidate set, ordered by true cosine
+    val cand = Similarity.hammingTopK(emb, "vec_id", "embedding", 5, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.rerankTopK(emb, "vec_id", "embedding", 5, 20, 5)
+      .collect()
+    assert(rr.nonEmpty && rr.forall(r => cand((r.getLong(0), r.getLong(1)))),
+      "reranked results must be Hamming candidates")
+    rr.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.sameElements(byRank.sortBy(-(_: Double))),
+        "rescored ranks must follow true cosine order")
+    }
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
