@@ -26,10 +26,18 @@ object StreamQueries {
     * engagement roll-up a product dashboard reads). Durations are
     * exact epoch-second ints, so the avg is exact-integer-sum /
     * count — deterministic cross-engine; round(4) formats. */
-  def evSessionStats(spark: SparkSession, dir: String): DataFrame = {
+  def evSessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionStatsFromSessions(
+      Streaming.sessionsBatch(Tables.events(spark, dir)))
+
+  /** Shared I19 finishing: the per-user roll-up over per-session rows
+    * from EITHER face (batch gaps-and-islands or closed native
+    * session_windows — their bounds agree exactly, the I2 pin).
+    * Durations are exact epoch-second ints; the avg is exact-sum /
+    * count, rounded at 4. */
+  def sessionStatsFromSessions(sessions: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    Streaming.sessionsBatch(Tables.events(spark, dir))
-      .groupBy("user_id")
+    sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("total_events"),
         max(col("n_events")).as("max_session_events"),

@@ -302,6 +302,28 @@ object Streaming {
       .select(col("user_id"), col("sw.start").cast("long").as("session_id"),
         explode(col("types")).as("event_type"))
 
+  /** I19 (streaming face): per-session summaries from CLOSED native
+    * session_windows — one row per (user, session) on watermark
+    * close. `session_end` subtracts the gap back out of the window's
+    * upper bound (sw.end = last event + gap by definition), so the
+    * emitted bounds equal the batch operator's (min ts, max ts)
+    * EXACTLY (the I2 cross-validation pins the two sessionizations
+    * agree). The per-user roll-up is the shared finishing
+    * (`StreamQueries.sessionStatsFromSessions`) — the I13/I14
+    * incremental-half / batch-finish split. */
+  def sessionSummariesStreaming(events: DataFrame,
+      gapSec: Int = SessionGapSec,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        (col("sw.end").cast("long") - gapSec).cast("timestamp")
+          .as("session_end"),
+        col("n_events"))
+
   /** I12 (streaming face): identity dedupe via the native
     * dropDuplicatesWithinWatermark — state holds one entry per
     * (user_id, event_type, ts) key and EXPIRES with the watermark

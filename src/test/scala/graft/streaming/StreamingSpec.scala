@@ -671,6 +671,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I19 streaming session summaries + shared roll-up match the batch session stats") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("user_id", "ts", "event_type", "value")
+    val q = Streaming.sessionSummariesStreaming(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("sess_sum").outputMode("append").start()
+    try {
+      // u1: a 2-event session then, after a >30-min gap, a 1-event
+      // session; u2: one session extended ACROSS micro-batches (its
+      // open window must grow in state, and the end bound must come
+      // out gap-subtracted)
+      val data = Seq((1L, ts(0), "click", 1.0), (1L, ts(5), "view", 1.0),
+        (2L, ts(0), "view", 1.0), (2L, ts(10), "buy", 1.0),
+        (1L, ts(60), "click", 1.0))
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      mem.addData((9L, ts(10000), "flush", 0.0)); q.processAllAvailable()
+      mem.addData((9L, ts(20000), "flush", 0.0)); q.processAllAvailable()
+      val emitted = spark.table("sess_sum").filter(col("user_id") =!= 9L)
+      val streamed = StreamQueries.sessionStatsFromSessions(emitted)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = StreamQueries.sessionStatsFromSessions(
+          Streaming.sessionsBatch(asEvents(data.toDF())))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // u1: sessions of 2 (300 s) and 1 (0 s) events → avg 150 s;
+      // u2: one 3-event... no — one 2-event session spanning 600 s
+      assert(streamed == batch && streamed == Set(
+        (1L, 2L, 3L, 2L, 150.0), (2L, 1L, 2L, 2L, 600.0)),
+        s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("I12 streaming dedupe suppresses cross-batch replays; key set matches batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
