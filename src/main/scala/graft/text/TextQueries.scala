@@ -553,6 +553,40 @@ object TextQueries {
         (col("dup5") * 500L <= (col("occ3") + 2L) * 15L).cast("int").as("r_dup5"))
   }
 
+  /** Head of the rank-frequency profile G27 reports. */
+  val ZipfTopK = 50
+
+  /** G27: corpus rank-frequency (Zipf) profile — the vocabulary
+    * diagnostic tokenizer and corpus-mixture work starts from: the
+    * top-[[ZipfTopK]] tokens with rank, frequency, corpus share,
+    * cumulative head share, and the freq·rank product (near-constant
+    * under Zipf's law — the eyeball test for natural vs synthetic
+    * vocabularies). Shape: one token-count aggregation; the head is
+    * taken with orderBy+limit (TakeOrdered reduce — no global sort
+    * shuffle, the G7 discipline), so the rank/cum-share windows run
+    * over ≤ topK rows; the corpus total rides as an in-plan broadcast
+    * scalar. Shares are exact-integer sums under one division. */
+  def textZipf(spark: SparkSession, dir: String): DataFrame =
+    zipfProfile(Tables.documents(spark, dir), ZipfTopK)
+
+  def zipfProfile(d: DataFrame, topK: Int): DataFrame = {
+    val counts = d
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+    val total = broadcast(counts.agg(sum(col("freq")).as("total")))
+    val head = counts.orderBy(col("freq").desc, col("t")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("t"))
+    head.crossJoin(total)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("t").as("token"), col("freq"),
+        (col("freq") * col("rank")).as("fr_product"),
+        round(col("freq").cast("double") / col("total"), 6).as("share"),
+        round(col("cum_freq").cast("double") / col("total"), 6).as("cum_share"))
+  }
+
   /** Target docs per source for mixture balancing (in expectation). */
   val MixtureCap = 120
 
@@ -833,6 +867,7 @@ object TextQueries {
     "text_lm_score"     -> (textLmScore _),
     "text_top_bigram"   -> (textTopBigram _),
     "text_gopher"       -> (textGopher _),
+    "text_zipf"         -> (textZipf _),
     "text_repetition"   -> (textRepetition _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
@@ -1040,6 +1075,28 @@ object TextQueries {
          |)
          |SELECT ngram, count(*) AS freq FROM b
          |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 20""".stripMargin,
+
+    // mirrors textZipf: same (freq DESC, token) total order for the
+    // head cut, the rank, and the running sum; shares are exact-int
+    // sums under one division
+    "text_zipf" ->
+      s"""WITH c AS (
+         |  SELECT t, count(*) AS freq
+         |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+         |  GROUP BY 1
+         |), tot AS (SELECT sum(freq)::bigint AS total FROM c),
+         |r AS (
+         |  SELECT t, freq,
+         |    row_number() OVER (ORDER BY freq DESC, t) AS rank,
+         |    (sum(freq) OVER (ORDER BY freq DESC, t
+         |       ROWS UNBOUNDED PRECEDING))::bigint AS cum_freq
+         |  FROM c
+         |)
+         |SELECT rank::int AS rank, t AS token, freq,
+         |  (freq * rank)::bigint AS fr_product,
+         |  round(freq::double / total, 6) AS share,
+         |  round(cum_freq::double / total, 6) AS cum_share
+         |FROM r, tot WHERE rank <= $ZipfTopK""".stripMargin,
 
     // mirrors textGopher: same token split, same regexes, same
     // integer-arithmetic rule flags (generated from GopherStops)

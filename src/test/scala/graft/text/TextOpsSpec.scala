@@ -249,6 +249,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(5) == 0 && r.getInt(6) == 0)
   }
 
+  test("zipf profile ranks by (freq desc, token), head-cuts, exact shares and cum shares") {
+    // corpus: a×4, b×2, c×2, d×1 → total 9; tie b/c breaks to b;
+    // topK 3 drops d but the TOTAL still counts it
+    val df = Seq((1L, "a b a c"), (2L, "a b c a d")).toDF("doc_id", "text")
+    val got = TextQueries.zipfProfile(df, topK = 3)
+      .select("rank", "token", "freq", "fr_product", "share", "cum_share")
+      .as[(Int, String, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1, "a", 4L, 4L, 0.444444, 0.444444),
+      (2, "b", 2L, 4L, 0.222222, 0.666667),
+      (3, "c", 2L, 6L, 0.222222, 0.888889)), s"$got")
+  }
+
   test("repetition drops docs under five tokens (no 5-grams)") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
     val ids = TextQueries.repetition(df).select("doc_id").as[Long].collect().toSeq
