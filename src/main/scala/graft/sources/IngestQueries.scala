@@ -172,6 +172,32 @@ object IngestQueries {
         col("p._corrupt_record").isNotNull.cast("int").as("is_corrupt"))
   }
 
+  /** A12: corrupt-tolerant CSV parse — the A11 quarantine contract on
+    * the COLUMNAR text format, with the semantics difference that
+    * makes CSV worth pinning separately: a damaged row is FIELD-WISE
+    * recoverable (PERMISSIVE from_csv keeps every well-typed field
+    * and nulls only the untypeable one) where a damaged JSON line
+    * loses everything. Every 6th line carries a non-numeric value in
+    * the numeric column (broken by formula); the raw line md5 is the
+    * quarantine audit key. Zero-shuffle per-row projection. */
+  def ingCsvBad(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING")
+    val line = when(col("doc_id") % 6 === 0,
+        concat(col("doc_id"), lit(",xx")))
+      .otherwise(concat(col("doc_id"), lit(","), col("n_chars")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("src_id"), line.as("line"))
+      .select(col("src_id"), md5(col("line")).as("line_md5"),
+        from_csv(col("line"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+      .select(col("src_id"), col("line_md5"),
+        col("p.doc_id").as("parsed_doc_id"),
+        col("p.n_chars").as("parsed_n"),
+        col("p._corrupt_record").isNotNull.cast("int").as("is_corrupt"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -184,6 +210,7 @@ object IngestQueries {
     "ing_orc"     -> (ingOrc _),
     "ing_binary"  -> (ingBinary _),
     "ing_json_bad" -> (ingJsonBad _),
+    "ing_csv_bad" -> (ingCsvBad _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -204,6 +231,24 @@ object IngestQueries {
         |  CASE WHEN src_id % 7 = 0 THEN NULL ELSE lang END AS parsed_lang,
         |  (src_id % 7 = 0)::int AS is_corrupt
         |FROM l""".stripMargin,
+    // mirrors ingCsvBad by the generating formula: the typed field
+    // survives on corrupt rows (field-wise recovery), the untypeable
+    // one nulls, the raw-line md5 is the audit key
+    "ing_csv_bad" ->
+      """WITH l AS (
+        |  SELECT doc_id AS src_id, n_chars,
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN doc_id || ',xx'
+        |      ELSE doc_id || ',' || n_chars
+        |    END AS line
+        |  FROM documents
+        |)
+        |SELECT src_id, md5(line) AS line_md5,
+        |  src_id AS parsed_doc_id,
+        |  CASE WHEN src_id % 6 = 0 THEN NULL ELSE n_chars END::bigint AS parsed_n,
+        |  (src_id % 6 = 0)::int AS is_corrupt
+        |FROM l""".stripMargin,
+
     "ing_csv"  -> "SELECT * FROM nation",
     "ing_tsv"  -> "SELECT * FROM supplier",
     "ing_json" -> "SELECT * FROM region",

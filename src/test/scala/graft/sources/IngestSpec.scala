@@ -137,6 +137,25 @@ class IngestSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("A12 tolerant CSV parse recovers well-typed fields of damaged rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("id BIGINT, n BIGINT, _corrupt_record STRING")
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val df = Seq("1,10", "2,xx", "3").toDF("line")
+      .select(from_csv(col("line"), schema, opts).as("p"))
+      .select(col("p.id"), col("p.n"),
+        col("p._corrupt_record").isNotNull.cast("int").as("bad"))
+      .as[(Option[Long], Option[Long], Int)].collect().toSeq
+    // the CSV-vs-JSON contract: a damaged row keeps its well-typed
+    // fields (id parses on every row); only the untypeable or missing
+    // field nulls, and the raw line is quarantined
+    assert(df(0) == ((Some(1L), Some(10L), 0)))
+    assert(df(1) == ((Some(2L), None, 1)), s"typed field survives: ${df(1)}")
+    assert(df(2) == ((Some(3L), None, 1)), s"short row quarantined: ${df(2)}")
+  }
+
   test("A8 dynamic partition overwrite rewrites only the touched partitions") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft_dpo").toString
