@@ -257,6 +257,16 @@ object GraphQueries {
       storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
       LpaIterations)
 
+  val LouvainRounds = 3
+
+  /** C21 driver query: exact-integer Louvain one-level move over the
+    * stored co-order weighted graph (integer co-order counts as
+    * weights — the same weight column C5w votes with). */
+  def graphLouvain(spark: SparkSession, dir: String): DataFrame =
+    Graphs.louvainMove(
+      storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
+      LouvainRounds)
+
   val HitsIterations = 5
 
   /** C10 driver query: HITS over the canonical-orientation geo edges
@@ -367,6 +377,7 @@ object GraphQueries {
     "graph_ppr"       -> (graphPpr _),
     "graph_lpa"       -> (graphLpa _),
     "graph_lpa_w"     -> (graphLpaWeighted _),
+    "graph_louvain"   -> (graphLouvain _),
     "graph_modularity" -> (graphModularity _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
@@ -486,6 +497,55 @@ object GraphQueries {
          |lbl0 AS (SELECT DISTINCT u AS id, u AS lbl FROM und),
          |$iterCtes
          |SELECT id, lbl FROM lbl$LpaIterations""".stripMargin
+    },
+
+    // mirrors Graphs.louvainMove round for round: integer score
+    // 2m·k − d_u·D_c^{−u}, stay-candidate via the UNION ALL k=0 row,
+    // min-community ties — every CTE materialized (the iteration-CTE
+    // inlining lesson), no float anywhere
+    "graph_louvain" -> {
+      val roundCtes = (1 to LouvainRounds).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT und.u AS id, cm.c, sum(und.cnt)::bigint AS k
+           |  FROM und JOIN c${i - 1} cm ON und.v = cm.id GROUP BY 1, 2
+           |), dc$i AS MATERIALIZED (
+           |  SELECT cm.c, sum(deg.deg)::bigint AS d_c
+           |  FROM c${i - 1} cm JOIN deg ON cm.id = deg.id GROUP BY 1
+           |), cand$i AS MATERIALIZED (
+           |  SELECT id, c, max(k)::bigint AS k FROM (
+           |    SELECT id, c, k FROM k$i
+           |    UNION ALL SELECT id, c, 0 AS k FROM c${i - 1}
+           |  ) GROUP BY 1, 2
+           |), c$i AS MATERIALIZED (
+           |  SELECT id, c FROM (
+           |    SELECT cand.id, cand.c,
+           |      row_number() OVER (PARTITION BY cand.id ORDER BY
+           |        ((SELECT two_m FROM tm) * cand.k
+           |          - deg.deg * (dc.d_c
+           |              - CASE WHEN cand.c = cur.c THEN deg.deg ELSE 0 END)) DESC,
+           |        cand.c) AS r
+           |    FROM cand$i cand
+           |    JOIN dc$i dc ON cand.c = dc.c
+           |    JOIN deg ON cand.id = deg.id
+           |    JOIN c${i - 1} cur ON cand.id = cur.id
+           |  ) WHERE r = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |), und AS MATERIALIZED (
+         |  SELECT u, v, cnt FROM e0 UNION ALL SELECT v, u, cnt FROM e0
+         |), deg AS MATERIALIZED (
+         |  SELECT u AS id, sum(cnt)::bigint AS deg FROM und GROUP BY 1
+         |), tm AS (SELECT sum(deg)::bigint AS two_m FROM deg),
+         |c0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
+         |$roundCtes
+         |SELECT id, c AS community FROM c$LouvainRounds""".stripMargin
     },
 
     "graph_modularity" ->

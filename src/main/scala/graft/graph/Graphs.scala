@@ -562,6 +562,65 @@ object Graphs {
     out
   }
 
+  /** C21: Louvain-style one-level community move (Blondel et al.
+    * 2008, phase 1), spelled EXACT: every vertex simultaneously
+    * adopts the candidate community c maximizing the modularity gain
+    * — and because argmax(k_{u,c}/m − d_u·D_c/2m²) is invariant under
+    * the positive affine map x → 2m·x·m, the comparison collapses to
+    * the INTEGER score 2m·k_{u,c} − d_u·D_c^{−u} (weights are integer
+    * co-order counts): no float enters the algorithm, so the R-round
+    * result is a deterministic function any engine reproduces
+    * bit-for-bit. Ties break to the smallest community id; the
+    * current community is always a candidate (k = 0 when u has no
+    * internal edge) and D excludes u from its own community (the
+    * standard gain convention). Synchronous update + fixed rounds pin
+    * the semantics (production Louvain is asynchronous multi-level;
+    * this is the oracle-checkable one-sweep core).
+    *
+    * Scale shape per round: one und⋈comm join + three keyed
+    * aggregations, all on vertex/community keys — O(E) rows, no
+    * all-pairs; deg and 2m are computed once, 2m rides as an in-plan
+    * broadcast scalar. Scores stay in long range while
+    * 2m·max(k) < 2⁶³ (~10¹⁸ at 100 TB co-order counts — documented
+    * headroom). */
+  def louvainMove(undirected: DataFrame, iterations: Int): DataFrame = {
+    val one = undirected.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(eager = true)
+    val und = pin(
+      one.unionAll(one.select(col("v").as("u"), col("u").as("v"), col("w"))), "v")
+    val deg = und.groupBy(col("u").as("id")).agg(sum(col("w")).as("deg"))
+      .localCheckpoint(eager = true)
+    val twoM = broadcast(deg.agg(sum(col("deg")).as("two_m")))
+    var comm = deg.select(col("id"), col("id").as("c"))
+    for (i <- 1 to iterations) {
+      val k = und.join(comm.select(col("id").as("vid"), col("c")),
+          und("v") === col("vid"))
+        .groupBy(und("u").as("id"), col("c")).agg(sum(col("w")).as("k"))
+      val dC = comm.join(deg, "id").groupBy("c").agg(sum(col("deg")).as("d_c"))
+      val cand = k
+        .unionByName(comm.select(col("id"), col("c")).withColumn("k", lit(0L)))
+        .groupBy("id", "c").agg(max(col("k")).as("k"))
+      val scored = cand
+        .join(dC, "c")
+        .join(deg, "id")
+        .join(comm.select(col("id"), col("c").as("cur")), "id")
+        .crossJoin(twoM)
+        .withColumn("d_adj",
+          col("d_c") - when(col("c") === col("cur"), col("deg")).otherwise(lit(0L)))
+        .withColumn("score", col("two_m") * col("k") - col("deg") * col("d_adj"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("score").desc, col("c"))
+      comm = checkpointEvery(
+        scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+          .select(col("id"), col("c")),
+        i)
+    }
+    val out = comm.select(col("id"), col("c").as("community"))
+      .localCheckpoint(eager = true)
+    und.unpersist()
+    out
+  }
+
   /** C8: k-core by fixed-round peeling — each round drops vertices
     * whose degree over the REMAINING edges is < k, then their incident
     * edges. Fixed `iterations` (not a convergence test) so the result

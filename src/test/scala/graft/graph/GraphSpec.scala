@@ -186,6 +186,29 @@ class GraphSpec extends SparkSpec {
     assert(unweighted(1L) == 2L, s"count votes tie, min label wins: $unweighted")
   }
 
+  test("C21 louvain move: exact-integer argmax, min-community ties, weight pull, pendant absorbed") {
+    import spark.implicits._
+    // heavy edge wins the gain: 2m=24, score(c4)=24·10−12·10=120
+    // beats score(c2)=score(c3)=12
+    val we = Seq((1L, 4L, 10L), (1L, 2L, 1L), (1L, 3L, 1L)).toDF("u", "v", "w")
+    val heavy = Graphs.louvainMove(we, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(heavy(1L) == 4L, s"heavy neighborhood must win: $heavy")
+    // exact score tie (2m·k−d·D equal on both) breaks to min community
+    val tie = Seq((1L, 2L, 1L), (1L, 3L, 1L)).toDF("u", "v", "w")
+    val t = Graphs.louvainMove(tie, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(1L) == 2L, s"tie must break to the smaller community: $t")
+    // weighted clique + pendant, one synchronous round, every score
+    // hand-computed: 2m=20; v3's c1/c2 candidates tie at 18 → c1;
+    // pendant v4 joins its only neighbor (score 13 > stay 0)
+    val clique = Seq((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L),
+      (3L, 4L, 1L)).toDF("u", "v", "w")
+    val c = Graphs.louvainMove(clique, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L), s"$c")
+  }
+
   test("C6/C7 BFS computes min-hop depths and respects the hop bound") {
     val e = edgesDf("s" -> "a", "a" -> "b", "b" -> "c", "c" -> "d",
       "s" -> "b") // shortcut: b reachable at depth 1
