@@ -676,37 +676,50 @@ object Multimodal {
   def withTiffDims(df: DataFrame, binCol: String,
       maxEntries: Int = TiffMaxEntries): DataFrame = {
     val bin = col(binCol)
-    val le = lower(hex(substring(bin, 1, 4))) === "49492a00" // II*\0
-    val be = lower(hex(substring(bin, 1, 4))) === "4d4d002a" // MM\0*
-    val valid = (le || be).cast("int")
-    def u16(off: org.apache.spark.sql.Column) = when(le, leU16(bin, off))
-      .otherwise(conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int"))
-    def u32(off: org.apache.spark.sql.Column) = when(le, leU32(bin, off))
-      .otherwise(beU32c(bin, off))
-    val ifdOff = u32(lit(5)) + 1 // file offset (0-based) → 1-based
-    val nEntries = u16(ifdOff)
+    // ALIAS every shared sub-read as its own column (r8 perf lesson):
+    // spelling the reads inline duplicated the conditional u16/u32
+    // trees into every consumer — the single collapsed projection's
+    // generated code blew Janino's 64 KB method limit, Spark fell
+    // back to INTERPRETED eval, and this pure projection read 5.8 s
+    // at sf0.1. Staged aliases keep each tree ONE copy referenced by
+    // attribute (CollapseProject does not inline multi-referenced
+    // non-cheap aliases): 0.2 s after, same rows. The endianness
+    // dispatch and left-justified-SHORT semantics are unchanged.
+    def u16At(le: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column) =
+      when(le, leU16(bin, off))
+        .otherwise(conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int"))
+    def u32At(le: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column) =
+      when(le, leU32(bin, off)).otherwise(beU32c(bin, off))
     var out = df
-      .withColumn("_w", lit(null).cast("long"))
-      .withColumn("_h", lit(null).cast("long"))
+      .withColumn("_le", lower(hex(substring(bin, 1, 4))) === "49492a00")
+      .withColumn("_be", lower(hex(substring(bin, 1, 4))) === "4d4d002a")
+    out = out.withColumn("_ifd",
+      (u32At(col("_le"), lit(5)) + 1).cast("int")) // 0-based → 1-based
+    out = out.withColumn("_n", u16At(col("_le"), col("_ifd")))
     for (i <- 0 until maxEntries) {
-      val eOff = ifdOff + lit(2 + i * 12)
-      val tag = u16(eOff)
-      val tpe = u16(eOff + lit(2))
+      val eOff = col("_ifd") + lit(2 + i * 12)
+      out = out
+        .withColumn(s"_tag$i", u16At(col("_le"), eOff))
+        .withColumn(s"_tpe$i", u16At(col("_le"), eOff + lit(2)))
+    }
+    for (i <- 0 until maxEntries) {
+      val eOff = col("_ifd") + lit(2 + i * 12)
       // inline value: SHORT (3) reads the first 2 bytes of the value
       // field, LONG (4) all 4 — in the file's byte order either way
-      val value = when(tpe === 3, u16(eOff + lit(8)).cast("long"))
-        .when(tpe === 4, u32(eOff + lit(8)))
-      out = out
-        .withColumn("_w", when(col("_w").isNotNull, col("_w"))
-          .when(lit(i) < nEntries && tag === 256, value))
-        .withColumn("_h", when(col("_h").isNotNull, col("_h"))
-          .when(lit(i) < nEntries && tag === 257, value))
+      out = out.withColumn(s"_val$i",
+        when(col(s"_tpe$i") === 3, u16At(col("_le"), eOff + lit(8)).cast("long"))
+          .when(col(s"_tpe$i") === 4, u32At(col("_le"), eOff + lit(8))))
     }
+    // first matching entry per tag == the freeze-chain semantics
+    def firstTag(wanted: Int) = coalesce((0 until maxEntries).map(i =>
+      when(lit(i) < col("_n") && col(s"_tag$i") === wanted, col(s"_val$i"))): _*)
+    val valid = (col("_le") || col("_be")).cast("int")
     out.withColumn("valid_tiff", valid)
-      .withColumn("byte_order", when(le, "II").when(be, "MM"))
-      .withColumn("width", when(valid === 1, col("_w")))
-      .withColumn("height", when(valid === 1, col("_h")))
-      .drop("_w", "_h")
+      .withColumn("byte_order", when(col("_le"), "II").when(col("_be"), "MM"))
+      .withColumn("width", when(valid === 1, firstTag(256)))
+      .withColumn("height", when(valid === 1, firstTag(257)))
+      .drop(Seq("_le", "_be", "_ifd", "_n") ++
+        (0 until maxEntries).flatMap(i => Seq(s"_tag$i", s"_tpe$i", s"_val$i")): _*)
   }
 
   /** H11 driver query: synthesize a 3-entry first IFD per asset in
