@@ -202,6 +202,11 @@ object VectorFunctions {
       TopKAgg(es(0), es(1).eval().asInstanceOf[Number].intValue)
         .toAggregateExpression()
     },
+    "graft_cms"         -> { es =>
+      CountMinAgg(es(0), es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].intValue)
+        .toAggregateExpression()
+    },
   )
 
   /** Idempotently register the graft vector functions on a session
@@ -257,6 +262,15 @@ object VectorFunctions {
       bins: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_qhist", x, lit(lo), lit(hi), lit(bins))
+  }
+
+  /** Mergeable Count-Min frequency sketch of a string column: the
+    * flattened depth×width counter matrix (query with
+    * CountMin.estimate — always ≥ true count, ≤ true + eN/width
+    * w.h.p.). */
+  def cms(spark: SparkSession, item: Column, depth: Int, width: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cms", item, lit(depth), lit(width))
   }
 
   /** Mergeable Misra-Gries heavy-hitters sketch of a string column:

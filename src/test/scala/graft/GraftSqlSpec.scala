@@ -43,5 +43,9 @@ class GraftSqlSpec extends SparkSpec {
     val jw = spark.sql(
       "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw").collect()
     assert(jw.head.getDouble(0) == 0.9611111111111111)
+    // r8: Count-Min frequency sketch from SQL
+    val cms = spark.sql(
+      "SELECT graft_cms(event_type, 4, 64) AS s FROM events").collect()
+    assert(cms.length == 1 && cms.head.getAs[Seq[Long]](0).sum > 0)
   }
 }

