@@ -55,6 +55,40 @@ object StreamQueries {
       ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
   }
 
+  /** I24: MULTI-touch attribution — the position-based credit models
+    * marketing runs on top of I5's pair stream: per purchase, every
+    * contributing click gets (a) a linear 1/n share and (b) the
+    * U-shaped split (40% first touch, 40% last, middles share the
+    * 20%; n=1 → 100%, n=2 → 50/50 — conventions pinned here and in
+    * the oracle). Click order within a purchase is (click_ts,
+    * click_id) — fully deterministic. Shares are IEEE divisions of
+    * small exact ints, identical cross-engine, rounded at 6. One
+    * window over the attribution pairs, partitioned by purchase —
+    * groups are bounded by clicks-per-purchase-window, never
+    * corpus-wide. */
+  def evMultiTouch(spark: SparkSession, dir: String): DataFrame =
+    multiTouchShares(evAttribution(spark, dir))
+
+  /** The share computation over any (user_id, purchase_id, click_id,
+    * click_ts) pair frame — split out so the conventions are
+    * fixture-testable (EventOpsSpec). */
+  def multiTouchShares(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("purchase_id").orderBy(col("click_ts"), col("click_id"))
+    val full = org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
+    val n = col("n_clicks")
+    pairs
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n_clicks", count(lit(1)).over(full))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("pos"), col("n_clicks"),
+        round(lit(1.0) / n, 6).as("linear_share"),
+        round(when(n === 1, 1.0).when(n === 2, 0.5)
+          .when(col("pos") === 1 || col("pos") === n, 0.4)
+          .otherwise(lit(0.2) / (n - 2)), 6).as("ushape_share"))
+  }
+
   /** I18: the outer attribution face — every click, with null purchase
     * columns when nothing converted within the window. */
   def evAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
@@ -247,6 +281,7 @@ object StreamQueries {
     "ev_session_cooccur" -> (evSessionCooccur _),
     "ev_props"       -> (evProps _),
     "ev_attribution" -> (evAttribution _),
+    "ev_multi_touch" -> (evMultiTouch _),
     "ev_attribution_outer" -> (evAttributionOuter _),
     "ev_asof"        -> (evAsof _),
     "ev_funnel"      -> (evFunnel _),
@@ -317,6 +352,33 @@ object StreamQueries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 300 SECONDS
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+
+    // mirrors evMultiTouch over the same pair join: (click_ts,
+    // click_id) order, pinned n=1/n=2 conventions, ::double forced
+    // (a bare literal is DECIMAL in DuckDB — the §3 lesson)
+    "ev_multi_touch" ->
+      """WITH pairs AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |    c.ts AS click_ts
+        |  FROM events c JOIN events p
+        |    ON c.user_id = p.user_id
+        |   AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 300 SECONDS
+        |  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, purchase_id, click_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |                       ORDER BY click_ts, click_id) AS pos,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n_clicks
+        |  FROM pairs
+        |)
+        |SELECT user_id, purchase_id, click_id, pos::int AS pos,
+        |  n_clicks::bigint AS n_clicks,
+        |  round(1.0::double / n_clicks, 6) AS linear_share,
+        |  round(CASE WHEN n_clicks = 1 THEN 1.0::double
+        |             WHEN n_clicks = 2 THEN 0.5::double
+        |             WHEN pos = 1 OR pos = n_clicks THEN 0.4::double
+        |             ELSE 0.2::double / (n_clicks - 2) END, 6) AS ushape_share
+        |FROM r""".stripMargin,
 
     // mirrors evSessionCooccur over the shared assignment CTEs: exact
     // integer counts, one fixed lift expression

@@ -107,6 +107,28 @@ class EventOpsSpec extends SparkSpec {
     assert(out(4L) == ((5L, None, 1, 1)))
   }
 
+  test("multi-touch shares: U-shape endpoints, middle split, n=1/n=2 conventions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    // purchase 100: 4 clicks → 0.4 / 0.1 / 0.1 / 0.4; purchase 200:
+    // 1 click → 1.0; purchase 300: 2 clicks → 0.5 each
+    val pairs = Seq(
+      (1L, 100L, 11L, t(0)), (1L, 100L, 12L, t(1)),
+      (1L, 100L, 13L, t(2)), (1L, 100L, 14L, t(3)),
+      (2L, 200L, 21L, t(0)),
+      (3L, 300L, 31L, t(0)), (3L, 300L, 32L, t(1)),
+    ).toDF("user_id", "purchase_id", "click_id", "click_ts")
+    val out = StreamQueries.multiTouchShares(pairs).collect()
+      .map(r => r.getLong(2) -> ((r.getInt(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out(11L) == ((1, 4L, 0.25, 0.4)) && out(14L) == ((4, 4L, 0.25, 0.4)))
+    assert(out(12L) == ((2, 4L, 0.25, 0.1)) && out(13L) == ((3, 4L, 0.25, 0.1)),
+      s"middles split the 20%: $out")
+    assert(out(21L) == ((1, 1L, 1.0, 1.0)))
+    assert(out(31L) == ((1, 2L, 0.5, 0.5)) && out(32L) == ((2, 2L, 0.5, 0.5)))
+  }
+
   test("latestByKey keeps one row per key; equal-ts ties resolve by max id") {
     val log = ev(
       (1L, 1L, "a", 10L, 1.0), (2L, 1L, "b", 20L, 2.0),
