@@ -267,6 +267,19 @@ object GraphQueries {
       storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
       LouvainRounds)
 
+  val LayerRounds = 6
+
+  /** C22 driver query: longest-path layers over the FULL directed
+    * typed-edge KG (composite label|name ids; the deepest legal chain
+    * here is order→part→supplier→nation→region = 4 edges, so 6
+    * rounds are exact and level 6 would flag a cycle). */
+  def graphLayers(spark: SparkSession, dir: String): DataFrame =
+    Graphs.dagLayers(
+      kgEdges(spark, dir).select(
+        concat_ws("|", col("src_label"), col("src")).as("u"),
+        concat_ws("|", col("dst_label"), col("dst")).as("v")).distinct(),
+      LayerRounds)
+
   val HitsIterations = 5
 
   /** C10 driver query: HITS over the canonical-orientation geo edges
@@ -378,6 +391,7 @@ object GraphQueries {
     "graph_lpa"       -> (graphLpa _),
     "graph_lpa_w"     -> (graphLpaWeighted _),
     "graph_louvain"   -> (graphLouvain _),
+    "graph_layers"    -> (graphLayers _),
     "graph_modularity" -> (graphModularity _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
@@ -497,6 +511,33 @@ object GraphQueries {
          |lbl0 AS (SELECT DISTINCT u AS id, u AS lbl FROM und),
          |$iterCtes
          |SELECT id, lbl FROM lbl$LpaIterations""".stripMargin
+    },
+
+    // mirrors Graphs.dagLayers round for round: (max, +1) relaxation
+    // over the distinct directed composite-id edge set
+    "graph_layers" -> {
+      val roundCtes = (1 to LayerRounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT id, max(level)::int AS level FROM (
+           |    SELECT id, level FROM l${i - 1}
+           |    UNION ALL
+           |    SELECT d.v AS id, l.level + 1 AS level
+           |    FROM d JOIN l${i - 1} l ON d.u = l.id
+           |  ) GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (${KgQueries.triplesSql}),
+         |e AS MATERIALIZED (
+         |${KgQueries.edgesSelectSql}
+         |),
+         |d AS MATERIALIZED (
+         |  SELECT DISTINCT src_label || '|' || src AS u,
+         |    dst_label || '|' || dst AS v FROM e
+         |),
+         |verts AS (SELECT u AS id FROM d UNION SELECT v FROM d),
+         |l0 AS MATERIALIZED (SELECT id, 0 AS level FROM verts),
+         |$roundCtes
+         |SELECT id, level FROM l$LayerRounds""".stripMargin
     },
 
     // mirrors Graphs.louvainMove round for round: integer score

@@ -621,6 +621,31 @@ object Graphs {
     out
   }
 
+  /** C22: R-bounded longest-path layering of a DIRECTED graph — the
+    * topological depth audit for a DAG-shaped KG (every FK-derived
+    * schema is one: B14 measured zero reciprocal edges on this
+    * corpus): level(v) = longest edge path ending at v, exact for all
+    * paths of ≤ `iterations` edges; a cycle cannot run away — its
+    * members simply saturate at the round bound, which is the
+    * CYCLE-DETECTION signal (any vertex at level == iterations sits
+    * on or downstream of a path ≥ R, on a schema whose legal depth is
+    * known to be < R: an extraction bug). Per round: one edge⋈level
+    * join + one map-side-combined max aggregation, O(E), the
+    * Bellman-Ford shape with (max, +1) instead of (min, +w). */
+  def dagLayers(directed: DataFrame, iterations: Int): DataFrame = {
+    val e = directed.select(col("u"), col("v")).localCheckpoint(eager = true)
+    var lvl = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .distinct().withColumn("level", lit(0))
+    for (i <- 1 to iterations) {
+      val cand = e.join(lvl, e("u") === lvl("id"))
+        .select(e("v").as("id"), (col("level") + 1).as("level"))
+      lvl = checkpointEvery(
+        lvl.unionAll(cand).groupBy("id").agg(max(col("level")).as("level")),
+        i, every = 2)
+    }
+    lvl
+  }
+
   /** C8: k-core by fixed-round peeling — each round drops vertices
     * whose degree over the REMAINING edges is < k, then their incident
     * edges. Fixed `iterations` (not a convergence test) so the result

@@ -209,6 +209,23 @@ class GraphSpec extends SparkSpec {
     assert(c == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L), s"$c")
   }
 
+  test("C22 dag layers: longest path wins the diamond; a cycle saturates at the round bound") {
+    import spark.implicits._
+    // diamond with a long side: a→b→c→d plus the a→d shortcut —
+    // level(d) must be the LONGEST path (3), not the shortest
+    val dag = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")).toDF("u", "v")
+    val lv = Graphs.dagLayers(dag, 5).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lv == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3), s"$lv")
+    // a 2-cycle cannot run away: both members saturate AT the round
+    // bound — the cycle-detection signal on a schema of known depth
+    val cyc = Seq(("x", "y"), ("y", "x"), ("y", "z")).toDF("u", "v")
+    val cl = Graphs.dagLayers(cyc, 4).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(cl("x").max(cl("y")) == 4 && cl("z") >= 4,
+      s"cycle members must sit at the bound: $cl")
+  }
+
   test("C6/C7 BFS computes min-hop depths and respects the hop bound") {
     val e = edgesDf("s" -> "a", "a" -> "b", "b" -> "c", "c" -> "d",
       "s" -> "b") // shortcut: b reachable at depth 1
