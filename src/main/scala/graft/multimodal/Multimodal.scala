@@ -751,6 +751,79 @@ object Multimodal {
       .select("doc_id", "valid_tiff", "byte_order", "width", "height")
   }
 
+  /** Max PNG chunks the metadata walk visits after IHDR. */
+  val PngMaxChunks = 4
+
+  /** H15: PNG chunk walk — the variable-length metadata pass H4's
+    * fixed-offset IHDR read can't do: every chunk is u32be length +
+    * 4cc type + data + 4-byte CRC (so the next chunk sits len+12
+    * later), and ancillary metadata (pHYs pixel density, tEXt
+    * comments) may appear in ANY order between IHDR and IDAT. The
+    * walk captures pHYs x/y pixels-per-unit + unit flag and the
+    * byte length of the first tEXt chunk. The bounded unroll stages
+    * per-hop offsets as aliased columns (the 64 KB-codegen lesson —
+    * shared reads referenced by attribute, never re-spelled). */
+  def withPngChunks(df: DataFrame, binCol: String,
+      maxChunks: Int = PngMaxChunks): DataFrame = {
+    val bin = col(binCol)
+    val valid = (lower(hex(substring(bin, 1, 8))) === PngSigHex).cast("int")
+    // first chunk after the 8-byte signature is IHDR at 9; next = 9 +
+    // (len 13) + 12 = 34
+    var out = df.withColumn("_c0", when(valid === 1, lit(34)))
+      .withColumn("_px", lit(null).cast("long"))
+      .withColumn("_py", lit(null).cast("long"))
+      .withColumn("_pu", lit(null).cast("int"))
+      .withColumn("_tl", lit(null).cast("long"))
+    for (i <- 0 until maxChunks) {
+      val off = col(s"_c$i")
+      val len = beU32c(bin, off)
+      val typ = lower(hex(bin.substr(off + 4, lit(4))))
+      out = out
+        .withColumn("_px", coalesce(col("_px"),
+          when(typ === "70485973", beU32c(bin, off + 8)))) // pHYs
+        .withColumn("_py", coalesce(col("_py"),
+          when(typ === "70485973", beU32c(bin, off + 12))))
+        .withColumn("_pu", coalesce(col("_pu"),
+          when(typ === "70485973",
+            conv(hex(bin.substr(off + 16, lit(1))), 16, 10).cast("int"))))
+        .withColumn("_tl", coalesce(col("_tl"),
+          when(typ === "74455874", len))) // tEXt
+        .withColumn(s"_c${i + 1}",
+          when(typ =!= "49454e44", (off + len + 12).cast("int"))) // stop at IEND
+    }
+    out.withColumn("valid_png", valid)
+      .withColumn("phys_x", when(valid === 1, col("_px")))
+      .withColumn("phys_y", when(valid === 1, col("_py")))
+      .withColumn("phys_unit", when(valid === 1, col("_pu")))
+      .withColumn("text_len", when(valid === 1, col("_tl")))
+      .drop((0 to maxChunks).map(i => s"_c$i") ++ Seq("_px", "_py", "_pu", "_tl"): _*)
+  }
+
+  /** H15 driver query: synthesize signature + IHDR + (tEXt and pHYs
+    * in DOC-PARITY ORDER — the walk must find them either way) +
+    * IDAT stub per asset; parse back from the BYTES; formula oracle
+    * (chunk arithmetic never re-parsed). */
+  def mmPngChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val px = (col("n_chars") % 5000 + 72).cast("long")
+    val py = (col("doc_id") % 5000 + 72).cast("long")
+    val textLen = (col("doc_id") % 40 + 6).cast("long")
+    val phys = concat(lit("00000009"), lit("70485973"),
+      lpad(lower(hex(px)), 8, "0"), lpad(lower(hex(py)), 8, "0"),
+      lit("01"), lit("00000000")) // unit 1 (metre) + dummy crc
+    val text = concat(lpad(lower(hex(textLen)), 8, "0"), lit("74455874"),
+      repeat(lit("61"), textLen.cast("int")), lit("00000000"))
+    val physFirst = col("doc_id") % 2 === 0
+    val hx = concat(lit(PngSigHex),
+      lit("0000000d" + "49484452"), lpad(lower(hex(lit(640))), 8, "0"),
+      lpad(lower(hex(lit(480))), 8, "0"), lit("0806000000"), lit("00000000"),
+      when(physFirst, concat(phys, text)).otherwise(concat(text, phys)),
+      lit("00000000" + "49444154" + "00000000")) // empty IDAT
+    withPngChunks(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_png", "phys_x", "phys_y", "phys_unit",
+        "text_len")
+  }
+
   /** Max JPEG segments the EXIF walk hops before giving up. */
   val ExifMaxSegments = 4
 
@@ -1009,6 +1082,7 @@ object Multimodal {
     "mm_flac_meta" -> (mmFlacMeta _),
     "mm_exif"      -> (mmExifMeta _),
     "mm_mp3_meta"  -> (mmMp3Meta _),
+    "mm_png_chunks" -> (mmPngChunks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1147,6 +1221,16 @@ object Multimodal {
         |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
         |  (n_chars % 1024 + 16)::bigint AS width,
         |  (doc_id % 512 + 16)::bigint AS height
+        |FROM documents""".stripMargin,
+
+    // formula-derived: pHYs/tEXt values from the generating formulas;
+    // the either-order chunk walk is value-checked by doc parity
+    "mm_png_chunks" ->
+      """SELECT doc_id, 1 AS valid_png,
+        |  (n_chars % 5000 + 72)::bigint AS phys_x,
+        |  (doc_id % 5000 + 72)::bigint AS phys_y,
+        |  1 AS phys_unit,
+        |  (doc_id % 40 + 6)::bigint AS text_len
         |FROM documents""".stripMargin,
 
     // frame_off by syncsafe arithmetic (11 + tag payload when the tag

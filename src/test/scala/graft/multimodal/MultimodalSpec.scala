@@ -339,6 +339,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L)._1 == 0, "junk must not validate")
   }
 
+  test("H15 withPngChunks hops variable chunks to pHYs/tEXt; stops at IEND; junk rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    val sig = Multimodal.PngSigHex
+    val ihdr = "0000000d" + "49484452" + "00000280" + "000001e0" +
+      "0806000000" + "00000000"
+    // 2834 ppm ≈ 72 dpi in metres — the canonical pHYs
+    val phys = "00000009" + "70485973" + "00000b12" + "00000b12" + "01" + "00000000"
+    val text = "00000007" + "74455874" + ("61" * 7) + "00000000"
+    val withBoth = sig + ihdr + text + phys + "00000000" + "49444154" + "00000000"
+    // IEND right after IHDR: the walk must stop, no metadata found
+    val bare = sig + ihdr + "00000000" + "49454e44" + "ae426082"
+    val junk = "474946383961" + ("00" * 30)
+    val out = Multimodal.withPngChunks(
+      Seq((1L, withBoth), (2L, bare), (3L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("payload")), "payload")
+      .select("id", "valid_png", "phys_x", "phys_y", "phys_unit", "text_len")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))
+      }.toMap
+    assert(out(1L) == ((1, 2834L, 1, 7L)), s"tEXt-then-pHYs chain: ${out(1L)}")
+    assert(out(2L) == ((1, -1L, -1, -1L)), s"no-metadata PNG stays null: ${out(2L)}")
+    assert(out(3L)._1 == 0, "GIF bytes must not validate as PNG")
+  }
+
   test("H7 withMp4Boxes walks a genuine box chain and rejects non-MP4 streams") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex, lit, hex, lower}
