@@ -64,6 +64,27 @@ object GraphQueries {
     })
   }
 
+  /** Persisted DIRECTED hashed edge list (r8) — dagLayers' input. The
+    * r8 profile put graph_layers' per-round cost almost entirely in
+    * carrying ~25-byte composite-string keys through six join+agg
+    * rounds; two xxhash64 longs per edge cut the round shuffles and the
+    * per-round level-frame broadcast to 8-byte keys (the bfsHashed
+    * move applied to the layering loop). Collision headroom: 166k
+    * vertices at sf0.1 → P(any collision) ≈ 7e-10; even 10⁹ vertices
+    * (100 TB KG) stays ≈ 2.7e-2 against a 64-bit space — and a
+    * collision can only merge two vertices' levels, never diverge the
+    * walk. Distinct on the hashed pair mirrors the string distinct. */
+  private def storedDirHashed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.GraftStore
+    spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_dirh_${GraftStore.dirKey(dir)}", 32, Seq("u")) {
+      kgEdges(spark, dir).select(
+          xxhash64(concat_ws("|", col("src_label"), col("src"))).as("u"),
+          xxhash64(concat_ws("|", col("dst_label"), col("dst"))).as("v"))
+        .distinct()
+    })
+  }
+
   private def storedVertexDict(spark: SparkSession, dir: String): DataFrame = {
     import graft.store.GraftStore
     spark.table(GraftStore.ensureBucketed(
@@ -103,6 +124,7 @@ object GraphQueries {
     * paid (and reported) outside per-query timings. */
   def warmStores(spark: SparkSession, dir: String): Unit = {
     storedUndHashed(spark, dir); storedVertexDict(spark, dir)
+    storedDirHashed(spark, dir)
     storedGeoUnd(spark, dir); storedGeoVerts(spark, dir)
     storedCoOrder(spark, dir); ()
   }
@@ -272,13 +294,18 @@ object GraphQueries {
   /** C22 driver query: longest-path layers over the FULL directed
     * typed-edge KG (composite label|name ids; the deepest legal chain
     * here is order→part→supplier→nation→region = 4 edges, so 6
-    * rounds are exact and level 6 would flag a cycle). */
+    * rounds are exact and level 6 would flag a cycle). r8: iterates on
+    * the stored hashed edge list (8-byte keys through all six rounds)
+    * and maps hashes back to string ids through the vertex dictionary
+    * ONCE at the end — the dict join keys on its bucket column. The
+    * dict covers every layer vertex: it indexes all kg edge endpoints
+    * and the corpus has zero self-loops (B14), so the inner join drops
+    * nothing. */
   def graphLayers(spark: SparkSession, dir: String): DataFrame =
-    Graphs.dagLayers(
-      kgEdges(spark, dir).select(
-        concat_ws("|", col("src_label"), col("src")).as("u"),
-        concat_ws("|", col("dst_label"), col("dst")).as("v")).distinct(),
-      LayerRounds)
+    Graphs.dagLayers(storedDirHashed(spark, dir), LayerRounds)
+      .withColumnRenamed("id", "h")
+      .join(storedVertexDict(spark, dir), "h")
+      .select(col("id"), col("level"))
 
   val HitsIterations = 5
 

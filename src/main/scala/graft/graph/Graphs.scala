@@ -608,12 +608,21 @@ object Graphs {
         .withColumn("d_adj",
           col("d_c") - when(col("c") === col("cur"), col("deg")).otherwise(lit(0L)))
         .withColumn("score", col("two_m") * col("k") - col("deg") * col("d_adj"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("score").desc, col("c"))
+      // argmax(score) with min-c ties as ONE hash aggregation:
+      // min(struct(-score, c)) orders by -score asc (= score desc),
+      // then c asc — identical to the row_number window it replaces,
+      // but map-side combined and sort-free (the window's
+      // partitionBy(id) sort was a full extra exchange per round)
+      // checkpoint EVERY round: comm_{i-1} is referenced four times in
+      // round i (k, d_C, the stay-candidate union, and cur) — without a
+      // per-round cut the lineage inlines 4× per round (4^R plan copies
+      // by round R, the r3 exponential-CTE lesson recurring in Spark);
+      // comm is one narrow (id, c) row per vertex, so the cut is cheap
       comm = checkpointEvery(
-        scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-          .select(col("id"), col("c")),
-        i)
+        scored.groupBy("id")
+          .agg(min(struct((-col("score")).as("ns"), col("c").as("c"))).as("b"))
+          .select(col("id"), col("b.c").as("c")),
+        i, every = 1)
     }
     val out = comm.select(col("id"), col("c").as("community"))
       .localCheckpoint(eager = true)
@@ -633,7 +642,12 @@ object Graphs {
     * join + one map-side-combined max aggregation, O(E), the
     * Bellman-Ford shape with (max, +1) instead of (min, +w). */
   def dagLayers(directed: DataFrame, iterations: Int): DataFrame = {
-    val e = directed.select(col("u"), col("v")).localCheckpoint(eager = true)
+    // pinned, not checkpointed: the edge list is loop-invariant and the
+    // big side (composite string keys on the KG corpus) — a u-hash
+    // cached layout means each round shuffles only the |V|-row level
+    // frame; a checkpoint would erase the partitioning and re-exchange
+    // O(E) keys every round (measured 9.9 s → pin target <5 s at sf0.1)
+    val e = pin(directed.select(col("u"), col("v")), "u")
     var lvl = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .distinct().withColumn("level", lit(0))
     for (i <- 1 to iterations) {
@@ -643,7 +657,9 @@ object Graphs {
         lvl.unionAll(cand).groupBy("id").agg(max(col("level")).as("level")),
         i, every = 2)
     }
-    lvl
+    val out = lvl.localCheckpoint(eager = true)
+    e.unpersist()
+    out
   }
 
   /** C8: k-core by fixed-round peeling — each round drops vertices
