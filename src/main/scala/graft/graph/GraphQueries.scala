@@ -90,8 +90,18 @@ object GraphQueries {
     spark.table(GraftStore.ensureBucketed(
       spark, s"graft_vdict_${GraftStore.dirKey(dir)}", 32, Seq("h")) {
       val und = Graphs.undirectedIds(kgEdges(spark, dir), dedupe = false)
+      // rank: dense position in lexicographic id order — an
+      // order-isomorphic integer surrogate, so min-label closures
+      // (graph_scc) propagate 4-byte ints instead of ~25-byte strings
+      // and still resolve to the same representative when mapped back.
+      // The single-partition window is the one-time dictionary-encode
+      // sort (166k rows at sf0.1); the 1000-executor build is the
+      // standard distributed sort + per-partition-offset rank.
       und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
-        .distinct().select(xxhash64(col("id")).as("h"), col("id"))
+        .distinct()
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+        .select(xxhash64(col("id")).as("h"), col("id"), col("rank"))
     })
   }
 
@@ -307,6 +317,47 @@ object GraphQueries {
       .join(storedVertexDict(spark, dir), "h")
       .select(col("id"), col("level"))
 
+  /** Rounds for the SCC min-label closures — the LayerRounds bound
+    * (longest legal KG chain is 4 edges, so 6 ≥ diameter makes both
+    * closures exact on this corpus). */
+  val SccRounds = 6
+
+  /** C23 driver query: one forward-backward phase of SCC coloring
+    * over the directed KG. fwd_min(v) = min composite id reachable
+    * FROM v, bwd_min(v) = min id that REACHES v (both within
+    * SccRounds ≥ diameter, so exact closures). The coloring theorem:
+    * fwd and bwd are CONSTANT on an SCC (mutually-reachable vertices
+    * share descendant and ancestor sets), and fwd_min(v) == bwd_min(v)
+    * == m puts m in both sets, so the color class {v : fwd=bwd=m} is
+    * exactly SCC(m) — sound and SCC-complete for every class that
+    * colors. Classes whose min-reachable and min-reaching labels
+    * disagree (a cycle fed by a smaller upstream id) stay uncolored in
+    * one phase; the full decomposition peels colored vertices and
+    * repeats, and a 2+-member class here — scc_id shared by two rows —
+    * is already a proven sameAs-style cycle. GraphSpec pins both the
+    * exact coloring of a pure cycle and the uncolored fed-cycle case;
+    * C22's saturation stays the corpus-wide cycle alarm. String ids,
+    * not hashes: the closure min is lexicographic, which the DuckDB
+    * oracle mirrors. */
+  def graphScc(spark: SparkSession, dir: String): DataFrame = {
+    // runs on the stored hashed edge list with dictionary RANKS as the
+    // propagated labels (order-isomorphic to the lexicographic string
+    // min the oracle computes), so all SccRounds move 8-byte vertex
+    // keys and 4-byte labels; the three dict joins at the end resolve
+    // the vertex and both representative mins back to string ids
+    // (same hash-collision headroom argument as storedDirHashed)
+    val dict = storedVertexDict(spark, dir)
+    Graphs.sccColoring(
+        storedDirHashed(spark, dir), SccRounds,
+        labels = Some(dict.select(col("h").as("id"), col("rank").as("lbl"))))
+      .select(col("id").as("h"), col("fwd_min").as("fr"), col("bwd_min").as("br"))
+      .join(dict.select(col("h"), col("id")), "h")
+      .join(dict.select(col("rank").as("fr"), col("id").as("fwd_min")), "fr")
+      .join(dict.select(col("rank").as("br"), col("id").as("bwd_min")), "br")
+      .select(col("id"), col("fwd_min"), col("bwd_min"),
+        when(col("fr") === col("br"), col("fwd_min")).as("scc_id"))
+  }
+
   val HitsIterations = 5
 
   /** C10 driver query: HITS over the canonical-orientation geo edges
@@ -419,6 +470,7 @@ object GraphQueries {
     "graph_lpa_w"     -> (graphLpaWeighted _),
     "graph_louvain"   -> (graphLouvain _),
     "graph_layers"    -> (graphLayers _),
+    "graph_scc"       -> (graphScc _),
     "graph_modularity" -> (graphModularity _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
@@ -565,6 +617,40 @@ object GraphQueries {
          |l0 AS MATERIALIZED (SELECT id, 0 AS level FROM verts),
          |$roundCtes
          |SELECT id, level FROM l$LayerRounds""".stripMargin
+    },
+
+    // mirrors Graphs.minLabelClosure round for round (the full
+    // recurrence — the Spark side's delta frontier is value-identical
+    // per round by the Bellman-Ford argument in its doc comment):
+    // R-round forward and backward min-id closures, then the
+    // fwd==bwd coloring join
+    "graph_scc" -> {
+      def chain(pfx: String, fromCol: String, toCol: String) =
+        (1 to SccRounds).map { i =>
+          s"""$pfx$i AS MATERIALIZED (
+             |  SELECT id, min(m) AS m FROM (
+             |    SELECT id, m FROM $pfx${i - 1}
+             |    UNION ALL
+             |    SELECT d.$fromCol AS id, f.m FROM d JOIN $pfx${i - 1} f ON d.$toCol = f.id
+             |  ) GROUP BY 1
+             |)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH t AS (${KgQueries.triplesSql}),
+         |e AS MATERIALIZED (
+         |${KgQueries.edgesSelectSql}
+         |),
+         |d AS MATERIALIZED (
+         |  SELECT DISTINCT src_label || '|' || src AS u,
+         |    dst_label || '|' || dst AS v FROM e
+         |),
+         |verts AS (SELECT u AS id FROM d UNION SELECT v FROM d),
+         |f0 AS MATERIALIZED (SELECT id, id AS m FROM verts),
+         |${chain("f", "u", "v")},
+         |b0 AS MATERIALIZED (SELECT id, id AS m FROM verts),
+         |${chain("b", "v", "u")}
+         |SELECT f.id, f.m AS fwd_min, b.m AS bwd_min,
+         |  CASE WHEN f.m = b.m THEN f.m END AS scc_id
+         |FROM f$SccRounds f JOIN b$SccRounds b ON f.id = b.id""".stripMargin
     },
 
     // mirrors Graphs.louvainMove round for round: integer score

@@ -674,6 +674,93 @@ object Graphs {
     out
   }
 
+  /** C23 core: R-round min-label closure along edge direction —
+    * f(u) = min id reachable FROM u in ≤ R edges (including u itself),
+    * the forward half of SCC coloring. Delta form of the Bellman-Ford
+    * recurrence f_i(u) = min(f_{i-1}(u), min_{(u,v)∈E} f_{i-1}(v)):
+    * a vertex whose min did not drop last round has nothing new to
+    * offer its in-neighbors (its previous drop already propagated the
+    * round it happened), so each round joins edges only against the
+    * SHRINKING dropped-set — identical per-round values to the full
+    * recurrence, which is what the generated oracle mirrors. Exact
+    * closure when R ≥ graph diameter. Expects (u, v) edges; returns
+    * (id, m). */
+  def minLabelClosure(directed: DataFrame, rounds: Int): DataFrame = {
+    val e = pin(directed.select(col("u"), col("v")), "v")
+    var f = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .distinct().withColumn("m", col("id"))
+      .localCheckpoint(eager = true)
+    var changed = f
+    for (_ <- 1 to rounds) {
+      val cand = e.join(changed, e("v") === changed("id"))
+        .groupBy(e("u").as("id")).agg(min(col("m")).as("cm"))
+      // one frame carries both outputs of the round (new mins + the
+      // dropped flag) so the checkpoint is computed once per round
+      val merged = f.join(cand, Seq("id"), "left")
+        .select(col("id"), least(col("m"), coalesce(col("cm"), col("m"))).as("m"),
+          (coalesce(col("cm"), col("m")) < col("m")).as("dropped"))
+        .localCheckpoint(eager = true)
+      f = merged.select(col("id"), col("m"))
+      changed = merged.filter(col("dropped")).select(col("id"), col("m"))
+    }
+    e.unpersist()
+    f
+  }
+
+  /** Both SCC-coloring closures in ONE loop: returns (id, fwd_min,
+    * bwd_min) ≡ minLabelClosure(E) ⋈ minLabelClosure(Eᵀ) (spec-pinned
+    * equivalence), but the per-round state is a single frame so each
+    * round pays one lineage-cut materialization instead of two, and
+    * the loop exits early once BOTH delta frontiers are empty — the
+    * recurrence is at its fixed point and every remaining round is a
+    * provable no-op, so the early exit is value-identical to the full
+    * R rounds the oracle runs. Two pinned edge copies, one per join
+    * key (v for the forward propagation, u for the backward), keep
+    * every round's big side exchange-free.
+    *
+    * `labels`, when given, is a (id, lbl) frame covering every edge
+    * endpoint: the closure then propagates `lbl` instead of the id
+    * itself — the driver passes dictionary RANKS here so the loop
+    * moves fixed-width ints while remaining order-isomorphic to the
+    * string min the oracle computes. */
+  def sccColoring(directed: DataFrame, rounds: Int,
+      labels: Option[DataFrame] = None): DataFrame = {
+    val eF = pin(directed.select(col("u"), col("v")), "v")
+    val eB = pin(directed.select(col("u"), col("v")), "u")
+    var st = (labels match {
+      case Some(l) =>
+        l.select(col("id"), col("lbl").as("fwd_min"), col("lbl").as("bwd_min"))
+      case None =>
+        eF.select(col("u").as("id")).unionAll(eF.select(col("v").as("id")))
+          .distinct()
+          .select(col("id"), col("id").as("fwd_min"), col("id").as("bwd_min"))
+    }).localCheckpoint(eager = true)
+    var chF = st.select(col("id"), col("fwd_min").as("m"))
+    var chB = st.select(col("id"), col("bwd_min").as("m"))
+    var i = 0
+    var fixedPoint = false
+    while (i < rounds && !fixedPoint) {
+      i += 1
+      val cf = eF.join(chF, eF("v") === chF("id"))
+        .groupBy(eF("u").as("id")).agg(min(col("m")).as("cf"))
+      val cb = eB.join(chB, eB("u") === chB("id"))
+        .groupBy(eB("v").as("id")).agg(min(col("m")).as("cb"))
+      val merged = st.join(cf, Seq("id"), "left").join(cb, Seq("id"), "left")
+        .select(col("id"),
+          least(col("fwd_min"), coalesce(col("cf"), col("fwd_min"))).as("fwd_min"),
+          least(col("bwd_min"), coalesce(col("cb"), col("bwd_min"))).as("bwd_min"),
+          (coalesce(col("cf"), col("fwd_min")) < col("fwd_min")).as("fd"),
+          (coalesce(col("cb"), col("bwd_min")) < col("bwd_min")).as("bd"))
+        .localCheckpoint(eager = true)
+      st = merged.select(col("id"), col("fwd_min"), col("bwd_min"))
+      chF = merged.filter(col("fd")).select(col("id"), col("fwd_min").as("m"))
+      chB = merged.filter(col("bd")).select(col("id"), col("bwd_min").as("m"))
+      fixedPoint = merged.filter(col("fd") || col("bd")).isEmpty
+    }
+    eF.unpersist(); eB.unpersist()
+    st
+  }
+
   /** C8: k-core by fixed-round peeling — each round drops vertices
     * whose degree over the REMAINING edges is < k, then their incident
     * edges. Fixed `iterations` (not a convergence test) so the result
