@@ -274,6 +274,46 @@ object StreamQueries {
           <= col("n_users") * HllBoundPct).cast("int").as("est_ok"))
   }
 
+  /** K13 windowed-face sketch shape: 3 md5 hash rows × 32 buckets —
+    * small enough that the per-hour matrix is one array cell in the
+    * output, wide enough that the 8 synthetic event types rarely
+    * collide (overcount is still exercised by SketchSpec's forced
+    * collisions). Shared by the oracle generator. */
+  val CmsDepth = 3
+  val CmsWidth = 32
+
+  /** K13 windowed face: per-hour Count-Min sketch over event types +
+    * in-plan point queries against it. Unlike I22's HLL (estimate is
+    * engine-specific, only the accuracy BOUND is oracled), the CMS
+    * counters are md5-bucketed — the engine-portable seed convention —
+    * so the ESTIMATE ITSELF is a deterministic function DuckDB
+    * reproduces exactly: per (hour, type), n_events (exact), cms_est
+    * (min over the type's depth buckets, read from the aggregated
+    * sketch with element_at), and the overcount ≥ 0 that one-sided CMS
+    * error guarantees. The streaming face is the same groupBy-agg
+    * through state-store merge (StreamingSpec). */
+  def evCmsHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val sk = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(graft.functions.VectorFunctions.cms(
+        spark, col("event_type"), CmsDepth, CmsWidth).as("sk"))
+    val exact = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    // bucket(r, t) = (u32 of first 4 md5 bytes & 0x7fffffff) % width —
+    // the CountMin.bucket convention spelled as codegen'd columns
+    def bucket(r: Int) =
+      conv(substring(md5(concat(lit(s"$r|"), col("event_type"))), 1, 8), 16, 10)
+        .cast("long").bitwiseAND(lit(2147483647L)) % CmsWidth
+    val est = (0 until CmsDepth).map { r =>
+      element_at(col("sk"), (lit(r * CmsWidth) + bucket(r) + 1).cast("int"))
+    }.reduce(least(_, _))
+    exact.join(sk, "hour")
+      .select(col("hour"), col("event_type"), col("n_events"),
+        est.as("cms_est"), (est - col("n_events")).as("overcount"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ev_windowed"    -> (evWindowed _),
     "ev_sessions"    -> (evSessions _),
@@ -295,6 +335,7 @@ object StreamQueries {
     "ev_sliding"     -> (evSliding _),
     "ev_heavy_hitters" -> (evHeavyHitters _),
     "ev_hourly_distinct" -> (evHourlyDistinct _),
+    "ev_cms_hourly"  -> (evCmsHourly _),
   )
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
@@ -515,6 +556,29 @@ object StreamQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(DISTINCT user_id) AS n_users, 1 AS est_ok
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // mirrors evCmsHourly cell for cell: the md5 bucket convention is
+    // engine-portable, so the sketch ESTIMATE (not just a bound) is
+    // reproduced — per (hour, type), min over its depth-row counters
+    "ev_cms_hourly" ->
+      s"""WITH e AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+         |cnt AS (SELECT hour, event_type, count(*) AS n_events FROM e GROUP BY 1, 2),
+         |cell AS (
+         |  SELECT e.hour, r.r,
+         |    (('0x' || substr(md5(r.r::varchar || '|' || e.event_type), 1, 8))::bigint
+         |      & 2147483647) % $CmsWidth AS b,
+         |    count(*) AS c
+         |  FROM e CROSS JOIN range($CmsDepth) r(r) GROUP BY 1, 2, 3
+         |), est AS (
+         |  SELECT cnt.hour, cnt.event_type, min(cell.c) AS cms_est
+         |  FROM cnt JOIN cell ON cell.hour = cnt.hour
+         |    AND cell.b = (('0x' || substr(md5(cell.r::varchar || '|' || cnt.event_type), 1, 8))::bigint
+         |                   & 2147483647) % $CmsWidth
+         |  GROUP BY 1, 2
+         |)
+         |SELECT cnt.hour, cnt.event_type, cnt.n_events, est.cms_est,
+         |  est.cms_est - cnt.n_events AS overcount
+         |FROM cnt JOIN est ON cnt.hour = est.hour AND cnt.event_type = est.event_type""".stripMargin,
 
     // mirrors EventOps.scd2: same (ts, id) total order per key
     "ev_scd2" ->

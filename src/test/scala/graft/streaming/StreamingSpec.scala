@@ -212,6 +212,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("K13 CMS sketch aggregates inside streaming state; matches batch sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // same store-and-merge contract as K5: the counter matrix must
+    // serialize through the state store and vector-ADD across
+    // micro-batches (merge-order independence makes streamed == batch
+    // exact, counter for counter)
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "k", "item").groupBy("k").agg(
+        graft.functions.VectorFunctions.cms(spark, col("item"), 2, 8).as("sk"))
+    val q = agg(mem.toDF())
+      .writeStream.format("memory").queryName("cms_out").outputMode("complete").start()
+    try {
+      val b1 = Seq((ts(0), "a", "x"), (ts(1), "a", "y"), (ts(2), "b", "x"))
+      val b2 = Seq((ts(3), "a", "x"), (ts(4), "b", "z"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*) // must MERGE into batch-1 counters, not replace
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = agg((b1 ++ b2).toDF())
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(batch("a").sum == 2 * 3 && batch("b").sum == 2 * 2,
+        "each row of the matrix counts every item once")
+    } finally q.stop()
+  }
+
   test("I4 idempotent foreachBatch sink: a replayed batch does not duplicate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
