@@ -841,10 +841,12 @@ object Multimodal {
     * header — the walk carries the absolute base through every read.
     * Non-ff garbage or a missing APP1 freezes the walk (null-out, the
     * H7 corrupt-guard convention). Pure codegen'd projections. */
-  def withExifOrientation(df: DataFrame, binCol: String,
-      maxSegments: Int = ExifMaxSegments,
-      maxEntries: Int = ExifMaxEntries): DataFrame = {
-    val bin = col(binCol)
+  /** Shared H13/H16 front half: the JPEG marker walk (H5 shape) to
+    * the APP1 segment whose payload opens with "Exif\0\0". Adds
+    * `_soi` (boolean) and `_app1` (absolute segment offset, null when
+    * absent or when a non-marker byte pair froze the walk). */
+  private def locateApp1(df: DataFrame,
+      bin: org.apache.spark.sql.Column, maxSegments: Int): DataFrame = {
     val soi = lower(hex(substring(bin, 1, 2))) === "ffd8"
     var out = df
       .withColumn("_app1", lit(null).cast("int"))
@@ -863,6 +865,15 @@ object Multimodal {
             .when(marker.startsWith("ff"),
               off + lit(2) + beU16(bin, off + lit(2))))
     }
+    out.withColumn("_soi", soi).drop("_cur")
+  }
+
+  def withExifOrientation(df: DataFrame, binCol: String,
+      maxSegments: Int = ExifMaxSegments,
+      maxEntries: Int = ExifMaxEntries): DataFrame = {
+    val bin = col(binCol)
+    val out = locateApp1(df, bin, maxSegments)
+    val soi = col("_soi")
     val base = col("_app1") + 10 // marker(2) + len(2) + "Exif\0\0"(6)
     val le = lower(hex(bin.substr(base, lit(4)))) === "49492a00"
     val be = lower(hex(bin.substr(base, lit(4)))) === "4d4d002a"
@@ -888,7 +899,7 @@ object Multimodal {
       .withColumn("byte_order",
         when(valid === 1, when(le, "II").otherwise("MM")))
       .withColumn("orientation", when(valid === 1, col("_orient")))
-      .drop("_app1", "_cur", "_orient")
+      .drop("_app1", "_soi", "_orient")
   }
 
   /** H13 driver query: synthesize SOI + optional variable-length APP0
@@ -920,6 +931,172 @@ object Multimodal {
       lit("ffe1"), lit("002e"), lit("457869660000"), tiff)
     withExifOrientation(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
       .select("doc_id", "valid_exif", "app1_off", "byte_order", "orientation")
+  }
+
+  /** Max entries scanned in the EXIF and GPS sub-IFDs (H16). */
+  val GpsMaxEntries = 4
+
+  /** H16: EXIF capture-time + GPS — the pointer-FOLLOWING pass H13's
+    * flat IFD0 scan can't do. Three new TIFF mechanics, all relative
+    * to the embedded TIFF base: (1) IFD0's tags 34665/34853 are
+    * type-LONG POINTERS to the Exif and GPS sub-IFDs — the walk reads
+    * them and re-enters the entry scan at base+offset; (2)
+    * DateTimeOriginal (tag 36867, ASCII count 20 > 4) is
+    * pointer-VALUED — the text lives in the data area, so the value
+    * field is dereferenced and 19 chars decoded ("YYYY:MM:DD
+    * HH:MM:SS", NUL dropped); (3) GPSLatitude/Longitude (tags 2/4,
+    * RATIONAL count 3) dereference to three u32/u32 pairs —
+    * deg/min/sec each as num÷den — combined with the inline ASCII
+    * hemisphere refs (tags 1/3; raw bytes, never byte-swapped) into
+    * signed decimal degrees. Full endianness dispatch as in H11/H13;
+    * missing APP1 or an unknown byte order nulls everything (corrupt
+    * guard). Pure codegen'd projections — no UDF, no shuffle. */
+  def withExifGps(df: DataFrame, binCol: String,
+      maxSegments: Int = ExifMaxSegments,
+      maxEntries: Int = ExifMaxEntries,
+      gpsEntries: Int = GpsMaxEntries): DataFrame = {
+    val bin = col(binCol)
+    var out = locateApp1(df, bin, maxSegments)
+    val base = col("_app1") + 10
+    val le = lower(hex(bin.substr(base, lit(4)))) === "49492a00"
+    val be = lower(hex(bin.substr(base, lit(4)))) === "4d4d002a"
+    def u16(off: org.apache.spark.sql.Column) = when(le, leU16(bin, off))
+      .otherwise(conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int"))
+    def u32(off: org.apache.spark.sql.Column) = when(le, leU32(bin, off))
+      .otherwise(beU32c(bin, off))
+    // IFD0 scan: stage the two sub-IFD pointers as aliased columns
+    // (the 64 KB-codegen lesson — every later read goes through them)
+    val ifd0 = base + u32(base + 4).cast("int")
+    val n0 = u16(ifd0)
+    out = out.withColumn("_exifp", lit(null).cast("long"))
+      .withColumn("_gpsp", lit(null).cast("long"))
+    for (i <- 0 until maxEntries) {
+      val eOff = ifd0 + lit(2 + i * 12)
+      val tag = u16(eOff)
+      def keep(cur: String, wanted: Int) =
+        when(col(cur).isNotNull, col(cur))
+          .when(lit(i) < n0 && tag === wanted && u16(eOff + lit(2)) === 4,
+            u32(eOff + lit(8)))
+      out = out.withColumn("_exifp", keep("_exifp", 34665))
+        .withColumn("_gpsp", keep("_gpsp", 34853))
+    }
+    // Exif sub-IFD: DateTimeOriginal's pointer, then the dereference
+    val exifIfd = (base + col("_exifp")).cast("int")
+    out = out.withColumn("_dtp", lit(null).cast("long"))
+    for (i <- 0 until gpsEntries) {
+      val eOff = exifIfd + lit(2 + i * 12)
+      out = out.withColumn("_dtp",
+        when(col("_dtp").isNotNull, col("_dtp"))
+          .when(lit(i) < u16(exifIfd) && u16(eOff) === 36867 &&
+            u16(eOff + lit(2)) === 2, u32(eOff + lit(8))))
+    }
+    // GPS sub-IFD: hemisphere refs (inline ASCII) + coordinate
+    // pointers, staged per tag
+    val gpsIfd = (base + col("_gpsp")).cast("int")
+    out = out.withColumn("_latr", lit(null).cast("string"))
+      .withColumn("_latp", lit(null).cast("long"))
+      .withColumn("_lonr", lit(null).cast("string"))
+      .withColumn("_lonp", lit(null).cast("long"))
+    for (i <- 0 until gpsEntries) {
+      val eOff = gpsIfd + lit(2 + i * 12)
+      val tag = u16(eOff)
+      val inBounds = lit(i) < u16(gpsIfd)
+      def refAt(cur: String, wanted: Int) =
+        when(col(cur).isNotNull, col(cur))
+          .when(inBounds && tag === wanted && u16(eOff + lit(2)) === 2,
+            bin.substr(eOff + lit(8), lit(1)).cast("string"))
+      def ptrAt(cur: String, wanted: Int) =
+        when(col(cur).isNotNull, col(cur))
+          .when(inBounds && tag === wanted && u16(eOff + lit(2)) === 5,
+            u32(eOff + lit(8)))
+      out = out.withColumn("_latr", refAt("_latr", 1))
+        .withColumn("_latp", ptrAt("_latp", 2))
+        .withColumn("_lonr", refAt("_lonr", 3))
+        .withColumn("_lonp", ptrAt("_lonp", 4))
+    }
+    def degrees(ptr: org.apache.spark.sql.Column) = {
+      val p = (base + ptr).cast("int")
+      def rational(o: org.apache.spark.sql.Column) =
+        u32(o).cast("double") / u32(o + lit(4)).cast("double")
+      rational(p) + rational(p + lit(8)) / 60.0 +
+        rational(p + lit(16)) / 3600.0
+    }
+    val valid = (col("_soi") && col("_app1").isNotNull && (le || be))
+      .cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    out
+      .withColumn("valid_exif", valid)
+      .withColumn("datetime_original",
+        ifOk(bin.substr((base + col("_dtp")).cast("int"), lit(19))
+          .cast("string")))
+      .withColumn("lat", ifOk(round(
+        degrees(col("_latp")) *
+          when(col("_latr") === "N", 1.0).otherwise(-1.0), 6)))
+      .withColumn("lon", ifOk(round(
+        degrees(col("_lonp")) *
+          when(col("_lonr") === "E", 1.0).otherwise(-1.0), 6)))
+      .drop("_app1", "_soi", "_exifp", "_gpsp", "_dtp",
+        "_latr", "_latp", "_lonr", "_lonp")
+  }
+
+  /** H16 driver query: synthesize SOI + APP1/Exif embedding a TIFF
+    * with IFD0 (orientation inline + BOTH sub-IFD pointers), an Exif
+    * sub-IFD whose DateTimeOriginal dereferences into the data area,
+    * and a GPS IFD whose lat/lon dereference to deg/min/sec rationals
+    * (millisecond-denominator seconds exercise den ≠ 1); byte order
+    * by doc parity. Parse time + signed coordinates back from the
+    * BYTES; formula oracle (identical double expressions → identical
+    * round(,6) in both engines). */
+  def mmExifGps(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val isLe = col("doc_id") % 2 === 0
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 4, "0")
+    def x16(c: org.apache.spark.sql.Column) = when(isLe, leHex16(c)).otherwise(beHex16(c))
+    def x32(c: org.apache.spark.sql.Column) = when(isLe, leHex32(c)).otherwise(beHex32(c))
+    def entry(tag: Int, tpe: Int, cnt: Int, value: org.apache.spark.sql.Column) =
+      concat(x16(lit(tag)), x16(lit(tpe)), x32(lit(cnt)), value)
+    // layout (offsets relative to TIFF base): header 0-7, IFD0 at 8
+    // (3 entries, ends 50), Exif IFD at 50 (1 entry, ends 68), GPS
+    // IFD at 68 (4 entries, ends 122), data: datetime 122, lat
+    // rationals 142, lon rationals 166
+    val dt = format_string("2020:%02d:%02d %02d:%02d:%02d",
+      col("doc_id") % 12 + 1, col("doc_id") % 28 + 1, col("doc_id") % 24,
+      col("doc_id") % 60, (col("doc_id") * 7) % 60)
+    val latDeg = col("doc_id") % 90
+    val latMin = col("doc_id") % 60
+    val latSecMs = (col("doc_id") * 37) % 60000
+    val lonDeg = col("doc_id") % 180
+    val lonMin = (col("doc_id") * 3) % 60
+    val lonSecMs = (col("doc_id") * 53) % 60000
+    val north = col("doc_id") % 2 === 0
+    val east = col("doc_id") % 3 === 0
+    def rats(deg: org.apache.spark.sql.Column, min: org.apache.spark.sql.Column,
+        secMs: org.apache.spark.sql.Column) =
+      concat(x32(deg), x32(lit(1)), x32(min), x32(lit(1)),
+        x32(secMs), x32(lit(1000)))
+    val tiff = concat(
+      when(isLe, lit("49492a00")).otherwise(lit("4d4d002a")), x32(lit(8)),
+      x16(lit(3)),
+      entry(274, 3, 1, concat(x16(lit(1)), lit("0000"))),
+      entry(34665, 4, 1, x32(lit(50))),
+      entry(34853, 4, 1, x32(lit(68))),
+      x32(lit(0)),
+      x16(lit(1)),
+      entry(36867, 2, 20, x32(lit(122))),
+      x32(lit(0)),
+      x16(lit(4)),
+      entry(1, 2, 2, when(north, lit("4e000000")).otherwise(lit("53000000"))),
+      entry(2, 5, 3, x32(lit(142))),
+      entry(3, 2, 2, when(east, lit("45000000")).otherwise(lit("57000000"))),
+      entry(4, 5, 3, x32(lit(166))),
+      x32(lit(0)),
+      hex(dt), lit("00"),
+      rats(latDeg, latMin, latSecMs), rats(lonDeg, lonMin, lonSecMs))
+    // APP1 length covers itself + "Exif\0\0" + the 190-byte TIFF
+    val hx = concat(lit("ffd8"), lit("ffe1"), lit("00c6"),
+      lit("457869660000"), tiff)
+    withExifGps(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_exif", "datetime_original", "lat", "lon")
   }
 
   /** H12: FLAC STREAMINFO parse — "fLaC" magic, then the FIRST
@@ -1083,6 +1260,7 @@ object Multimodal {
     "mm_exif"      -> (mmExifMeta _),
     "mm_mp3_meta"  -> (mmMp3Meta _),
     "mm_png_chunks" -> (mmPngChunks _),
+    "mm_exif_gps"  -> (mmExifGps _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1266,6 +1444,24 @@ object Multimodal {
         |     THEN 4 + (doc_id % 16 + 4) ELSE 0 END)::int AS app1_off,
         |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
         |  (doc_id % 8 + 1)::int AS orientation
+        |FROM documents""".stripMargin,
+
+    // formula-derived: datetime from the generating format string,
+    // lat/lon as the SAME double expression tree the Spark side
+    // evaluates (num/den divisions in the same order → identical IEEE
+    // doubles → identical round(,6)); the pointer-following and
+    // rational dereferences are value-checked against these formulas
+    "mm_exif_gps" ->
+      """SELECT doc_id, 1 AS valid_exif,
+        |  printf('2020:%02d:%02d %02d:%02d:%02d',
+        |    doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24,
+        |    doc_id % 60, (doc_id * 7) % 60) AS datetime_original,
+        |  round((doc_id % 90 + (doc_id % 60) / 60.0
+        |      + ((doc_id * 37) % 60000 / 1000.0) / 3600.0)
+        |    * CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END, 6) AS lat,
+        |  round((doc_id % 180 + ((doc_id * 3) % 60) / 60.0
+        |      + ((doc_id * 53) % 60000 / 1000.0) / 3600.0)
+        |    * CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE -1.0 END, 6) AS lon
         |FROM documents""".stripMargin,
 
     // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit

@@ -305,6 +305,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._1 == 0, "junk must not validate")
   }
 
+  test("H16 withExifGps follows both sub-IFD pointers and dereferences ASCII + rationals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // Hand-built MM-order TIFF. Layout: IFD0 at 8 with the two
+    // pointer entries (ends 8+2+2*12+4=38), Exif IFD at 38 (ends 56),
+    // GPS IFD at 56 (4 entries, ends 110), data: datetime at 110,
+    // lat rationals at 130, lon rationals at 154.
+    // lat = 40 + 30/60 + (9000/1000)/3600 = 40.5025 N
+    // lon = 73 + 0/60 + (3600/2)/3600 = 73.5 W → -73.5
+    def e(tag: String, tpe: String, cnt: String, v: String) = tag + tpe + cnt + v
+    def rat(n: Long, d: Long) = f"$n%08x" + f"$d%08x"
+    val tiff = "4d4d002a" + "00000008" +
+      "0002" +
+      e("8769", "0004", "00000001", "00000026") + // Exif IFD @38
+      e("8825", "0004", "00000001", "00000038") + // GPS IFD @56
+      "00000000" +
+      "0001" +
+      e("9003", "0002", "00000014", "0000006e") + // datetime @110
+      "00000000" +
+      "0004" +
+      e("0001", "0002", "00000002", "4e000000") + // 'N'
+      e("0002", "0005", "00000003", "00000082") + // lat rats @130
+      e("0003", "0002", "00000002", "57000000") + // 'W'
+      e("0004", "0005", "00000003", "0000009a") + // lon rats @154
+      "00000000" +
+      "323032313a30363a31352031323a33343a3536" + "00" + // 2021:06:15 12:34:56
+      rat(40, 1) + rat(30, 1) + rat(9000, 1000) +
+      rat(73, 1) + rat(0, 1) + rat(3600, 2)
+    val good = "ffd8" + "ffe1" + "00b6" + "457869660000" + tiff
+    val noApp1 = "ffd8" + "ffdb" + "0004" + "0000"
+    val out = Multimodal.withExifGps(
+      Seq((1L, good), (2L, noApp1)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .select("id", "valid_exif", "datetime_original", "lat", "lon")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1)
+    assert(out(1L).getString(2) == "2021:06:15 12:34:56")
+    assert(out(1L).getDouble(3) == 40.5025, s"lat ${out(1L).getDouble(3)}")
+    assert(out(1L).getDouble(4) == -73.5, s"lon ${out(1L).getDouble(4)}")
+    assert(out(2L).getInt(1) == 0 && out(2L).isNullAt(2) && out(2L).isNullAt(3),
+      "missing APP1 must null everything")
+  }
+
   test("H14 withMp3Header hops syncsafe ID3 tags and resolves the bit-field tables") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
