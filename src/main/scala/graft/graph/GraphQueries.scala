@@ -349,7 +349,8 @@ object GraphQueries {
     val dict = storedVertexDict(spark, dir)
     Graphs.sccColoring(
         storedDirHashed(spark, dir), SccRounds,
-        labels = Some(dict.select(col("h").as("id"), col("rank").as("lbl"))))
+        labels = Some(dict.select(col("h").as("id"), col("rank").as("lbl"))),
+        pinEdges = false)
       .select(col("id").as("h"), col("fwd_min").as("fr"), col("bwd_min").as("br"))
       .join(dict.select(col("h"), col("id")), "h")
       .join(dict.select(col("rank").as("fr"), col("id").as("fwd_min")), "fr")

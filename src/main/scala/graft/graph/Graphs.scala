@@ -707,6 +707,12 @@ object Graphs {
     f
   }
 
+  /** Frontier rows below which sccColoring broadcasts the frontier
+    * side of its per-round joins: ~16 MB of (long, int) hashed
+    * relation — comfortably executor-resident, while a 10⁹-vertex
+    * round-1 frontier stays on the shuffle path. */
+  val SccBroadcastRows = 1000000L
+
   /** Both SCC-coloring closures in ONE loop: returns (id, fwd_min,
     * bwd_min) ≡ minLabelClosure(E) ⋈ minLabelClosure(Eᵀ) (spec-pinned
     * equivalence), but the per-round state is a single frame so each
@@ -714,9 +720,7 @@ object Graphs {
     * the loop exits early once BOTH delta frontiers are empty — the
     * recurrence is at its fixed point and every remaining round is a
     * provable no-op, so the early exit is value-identical to the full
-    * R rounds the oracle runs. Two pinned edge copies, one per join
-    * key (v for the forward propagation, u for the backward), keep
-    * every round's big side exchange-free.
+    * R rounds the oracle runs.
     *
     * `labels`, when given, is a (id, lbl) frame covering every edge
     * endpoint: the closure then propagates `lbl` instead of the id
@@ -724,9 +728,23 @@ object Graphs {
     * moves fixed-width ints while remaining order-isomorphic to the
     * string min the oracle computes. */
   def sccColoring(directed: DataFrame, rounds: Int,
-      labels: Option[DataFrame] = None): DataFrame = {
-    val eF = pin(directed.select(col("u"), col("v")), "v")
-    val eB = pin(directed.select(col("u"), col("v")), "u")
+      labels: Option[DataFrame] = None,
+      pinEdges: Boolean = true): DataFrame = {
+    // pinEdges=false when the caller passes a bucketed store table:
+    // small frontiers broadcast (the guard below), so the edge side
+    // never moves at all, and a repartition+cache would only add two
+    // full-edge exchanges of pure overhead
+    val (eF, eB) =
+      if (pinEdges)
+        (pin(directed.select(col("u"), col("v")), "v"),
+          pin(directed.select(col("u"), col("v")), "u"))
+      else (directed, directed)
+    // wrap the INITIAL frontiers too (they are |V| rows — broadcast
+    // only under the same guard as the loop's)
+    def guard(f: DataFrame): DataFrame = {
+      val n = f.count()
+      if (n > 0 && n < SccBroadcastRows) broadcast(f) else f
+    }
     var st = (labels match {
       case Some(l) =>
         l.select(col("id"), col("lbl").as("fwd_min"), col("lbl").as("bwd_min"))
@@ -735,8 +753,10 @@ object Graphs {
           .distinct()
           .select(col("id"), col("id").as("fwd_min"), col("id").as("bwd_min"))
     }).localCheckpoint(eager = true)
-    var chF = st.select(col("id"), col("fwd_min").as("m"))
-    var chB = st.select(col("id"), col("bwd_min").as("m"))
+    var chF = guard(st.select(col("id"), col("fwd_min").as("m"))
+      .localCheckpoint(eager = true))
+    var chB = guard(st.select(col("id"), col("bwd_min").as("m"))
+      .localCheckpoint(eager = true))
     var i = 0
     var fixedPoint = false
     while (i < rounds && !fixedPoint) {
@@ -753,11 +773,27 @@ object Graphs {
           (coalesce(col("cb"), col("bwd_min")) < col("bwd_min")).as("bd"))
         .localCheckpoint(eager = true)
       st = merged.select(col("id"), col("fwd_min"), col("bwd_min"))
-      chF = merged.filter(col("fd")).select(col("id"), col("fwd_min").as("m"))
-      chB = merged.filter(col("bd")).select(col("id"), col("bwd_min").as("m"))
-      fixedPoint = merged.filter(col("fd") || col("bd")).isEmpty
+      // frontier broadcast is decided EXPLICITLY from the exact row
+      // count the fixed-point check already pays for: AQE alone can't
+      // save the edge side here — both shuffle stages of the SMJ are
+      // submitted concurrently, so by the time the materialized
+      // frontier proves tiny the edge exchange has already run. A
+      // driver-side guard (rows < SccBroadcastRows) broadcasts small
+      // frontiers statically — zero edge movement per round — and
+      // degrades to the shuffle join exactly when a frontier is big
+      // enough that broadcasting it would hurt (the 10⁹-vertex case).
+      def frontier(flag: String, m: String): (DataFrame, Long) = {
+        val f = merged.filter(col(flag)).select(col("id"), col(m).as("m"))
+          .localCheckpoint(eager = true)
+        val n = f.count()
+        (if (n > 0 && n < SccBroadcastRows) broadcast(f) else f, n)
+      }
+      val (nf, nF) = frontier("fd", "fwd_min")
+      val (nb, nB) = frontier("bd", "bwd_min")
+      chF = nf; chB = nb
+      fixedPoint = nF == 0 && nB == 0
     }
-    eF.unpersist(); eB.unpersist()
+    if (pinEdges) { eF.unpersist(); eB.unpersist() }
     st
   }
 
