@@ -26,16 +26,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** The events table carries parquet TIMESTAMP(NANOS) (pandas ns),
-    * which Spark's vectorized reader rejects; read nanos as long and
-    * truncate to micros (exactly what DuckDB's ns→µs read does, so
-    * oracles agree). Integer DIV — a double division would lose
-    * precision at 1e18 ns. */
+  /** The events table's `ts` has shipped in two physical forms:
+    * parquet TIMESTAMP(NANOS) (pandas ns — Spark's vectorized reader
+    * rejects it; read nanos as long, integer-DIV to micros, exactly
+    * DuckDB's ns→µs read) and native TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ). Dispatch on the read schema and normalize both
+    * to session-TZ TimestampType (session TZ is pinned UTC, so the
+    * NTZ cast is instant-preserving) — downstream operators and
+    * oracles see one contract regardless of generator vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -948,95 +948,116 @@ object Multimodal {
     * RATIONAL count 3) dereference to three u32/u32 pairs —
     * deg/min/sec each as num÷den — combined with the inline ASCII
     * hemisphere refs (tags 1/3; raw bytes, never byte-swapped) into
-    * signed decimal degrees. Full endianness dispatch as in H11/H13;
-    * missing APP1 or an unknown byte order nulls everything (corrupt
-    * guard). Pure codegen'd projections — no UDF, no shuffle. */
+    * signed integer MILLI-ARCSECONDS: sign·(deg·3600000 + min·60000
+    * + sec·1000), each term an exact integer `div` by its
+    * denominator. Integer output kills the r8 round(,6) decimal-tie
+    * hash-fail class outright (no float ever exists to round), and is
+    * exact whenever each denominator divides its term — true for the
+    * 1/1/1000 denominators real EXIF writers emit. Every shared
+    * sub-read is staged as an aliased column (the withTiffDims 64 KB
+    * lesson — spelling the conditional endian trees inline blew
+    * Janino's method limit and fell back to interpreted eval at
+    * 6.6 s/sf0.1). Full endianness dispatch as in H11/H13; missing
+    * APP1 or an unknown byte order nulls everything (corrupt guard).
+    * Pure codegen'd projections — no UDF, no shuffle. */
   def withExifGps(df: DataFrame, binCol: String,
       maxSegments: Int = ExifMaxSegments,
       maxEntries: Int = ExifMaxEntries,
       gpsEntries: Int = GpsMaxEntries): DataFrame = {
     val bin = col(binCol)
     var out = locateApp1(df, bin, maxSegments)
-    val base = col("_app1") + 10
-    val le = lower(hex(bin.substr(base, lit(4)))) === "49492a00"
-    val be = lower(hex(bin.substr(base, lit(4)))) === "4d4d002a"
-    def u16(off: org.apache.spark.sql.Column) = when(le, leU16(bin, off))
-      .otherwise(conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int"))
-    def u32(off: org.apache.spark.sql.Column) = when(le, leU32(bin, off))
-      .otherwise(beU32c(bin, off))
-    // IFD0 scan: stage the two sub-IFD pointers as aliased columns
-    // (the 64 KB-codegen lesson — every later read goes through them)
-    val ifd0 = base + u32(base + 4).cast("int")
-    val n0 = u16(ifd0)
-    out = out.withColumn("_exifp", lit(null).cast("long"))
-      .withColumn("_gpsp", lit(null).cast("long"))
+    def u16At(off: org.apache.spark.sql.Column) =
+      when(col("_gle"), leU16(bin, off))
+        .otherwise(conv(hex(bin.substr(off, lit(2))), 16, 10).cast("int"))
+    def u32At(off: org.apache.spark.sql.Column) =
+      when(col("_gle"), leU32(bin, off)).otherwise(beU32c(bin, off))
+    out = out
+      .withColumn("_gbase", col("_app1") + 10) // marker(2)+len(2)+"Exif\0\0"(6)
+      .withColumn("_gle",
+        lower(hex(bin.substr(col("_app1") + 10, lit(4)))) === "49492a00")
+      .withColumn("_gbe",
+        lower(hex(bin.substr(col("_app1") + 10, lit(4)))) === "4d4d002a")
+    // IFD0 scan: stage entry count + per-entry tag/type/value once;
+    // every selector below references them by attribute
+    out = out
+      .withColumn("_ifd0", (col("_gbase") + u32At(col("_gbase") + 4)).cast("int"))
+      .withColumn("_n0", u16At(col("_ifd0")))
     for (i <- 0 until maxEntries) {
-      val eOff = ifd0 + lit(2 + i * 12)
-      val tag = u16(eOff)
-      def keep(cur: String, wanted: Int) =
-        when(col(cur).isNotNull, col(cur))
-          .when(lit(i) < n0 && tag === wanted && u16(eOff + lit(2)) === 4,
-            u32(eOff + lit(8)))
-      out = out.withColumn("_exifp", keep("_exifp", 34665))
-        .withColumn("_gpsp", keep("_gpsp", 34853))
+      val eOff = col("_ifd0") + lit(2 + i * 12)
+      out = out.withColumn(s"_0t$i", u16At(eOff))
+        .withColumn(s"_0y$i", u16At(eOff + lit(2)))
+        .withColumn(s"_0v$i", u32At(eOff + lit(8)))
     }
+    def firstIfd0(wanted: Int) = coalesce((0 until maxEntries).map(i =>
+      when(lit(i) < col("_n0") && col(s"_0t$i") === wanted &&
+        col(s"_0y$i") === 4, col(s"_0v$i"))): _*)
+    out = out.withColumn("_exifp", firstIfd0(34665))
+      .withColumn("_gpsp", firstIfd0(34853))
     // Exif sub-IFD: DateTimeOriginal's pointer, then the dereference
-    val exifIfd = (base + col("_exifp")).cast("int")
-    out = out.withColumn("_dtp", lit(null).cast("long"))
+    out = out
+      .withColumn("_eifd", (col("_gbase") + col("_exifp")).cast("int"))
+      .withColumn("_ne", u16At(col("_eifd")))
     for (i <- 0 until gpsEntries) {
-      val eOff = exifIfd + lit(2 + i * 12)
-      out = out.withColumn("_dtp",
-        when(col("_dtp").isNotNull, col("_dtp"))
-          .when(lit(i) < u16(exifIfd) && u16(eOff) === 36867 &&
-            u16(eOff + lit(2)) === 2, u32(eOff + lit(8))))
+      val eOff = col("_eifd") + lit(2 + i * 12)
+      out = out.withColumn(s"_et$i", u16At(eOff))
+        .withColumn(s"_ey$i", u16At(eOff + lit(2)))
+        .withColumn(s"_ev$i", u32At(eOff + lit(8)))
     }
-    // GPS sub-IFD: hemisphere refs (inline ASCII) + coordinate
-    // pointers, staged per tag
-    val gpsIfd = (base + col("_gpsp")).cast("int")
-    out = out.withColumn("_latr", lit(null).cast("string"))
-      .withColumn("_latp", lit(null).cast("long"))
-      .withColumn("_lonr", lit(null).cast("string"))
-      .withColumn("_lonp", lit(null).cast("long"))
+    out = out.withColumn("_dtp", coalesce((0 until gpsEntries).map(i =>
+      when(lit(i) < col("_ne") && col(s"_et$i") === 36867 &&
+        col(s"_ey$i") === 2, col(s"_ev$i"))): _*))
+    // GPS sub-IFD: hemisphere refs (inline ASCII, never byte-swapped)
+    // + coordinate pointers, from the same staged tag/type columns
+    out = out
+      .withColumn("_gifd", (col("_gbase") + col("_gpsp")).cast("int"))
+      .withColumn("_ng", u16At(col("_gifd")))
     for (i <- 0 until gpsEntries) {
-      val eOff = gpsIfd + lit(2 + i * 12)
-      val tag = u16(eOff)
-      val inBounds = lit(i) < u16(gpsIfd)
-      def refAt(cur: String, wanted: Int) =
-        when(col(cur).isNotNull, col(cur))
-          .when(inBounds && tag === wanted && u16(eOff + lit(2)) === 2,
-            bin.substr(eOff + lit(8), lit(1)).cast("string"))
-      def ptrAt(cur: String, wanted: Int) =
-        when(col(cur).isNotNull, col(cur))
-          .when(inBounds && tag === wanted && u16(eOff + lit(2)) === 5,
-            u32(eOff + lit(8)))
-      out = out.withColumn("_latr", refAt("_latr", 1))
-        .withColumn("_latp", ptrAt("_latp", 2))
-        .withColumn("_lonr", refAt("_lonr", 3))
-        .withColumn("_lonp", ptrAt("_lonp", 4))
+      val eOff = col("_gifd") + lit(2 + i * 12)
+      out = out.withColumn(s"_gt$i", u16At(eOff))
+        .withColumn(s"_gy$i", u16At(eOff + lit(2)))
+        .withColumn(s"_gv$i", u32At(eOff + lit(8)))
+        .withColumn(s"_gr$i", bin.substr(eOff + lit(8), lit(1)).cast("string"))
     }
-    def degrees(ptr: org.apache.spark.sql.Column) = {
-      val p = (base + ptr).cast("int")
-      def rational(o: org.apache.spark.sql.Column) =
-        u32(o).cast("double") / u32(o + lit(4)).cast("double")
-      rational(p) + rational(p + lit(8)) / 60.0 +
-        rational(p + lit(16)) / 3600.0
+    def gpsRef(wanted: Int) = coalesce((0 until gpsEntries).map(i =>
+      when(lit(i) < col("_ng") && col(s"_gt$i") === wanted &&
+        col(s"_gy$i") === 2, col(s"_gr$i"))): _*)
+    def gpsPtr(wanted: Int) = coalesce((0 until gpsEntries).map(i =>
+      when(lit(i) < col("_ng") && col(s"_gt$i") === wanted &&
+        col(s"_gy$i") === 5, col(s"_gv$i"))): _*)
+    out = out.withColumn("_latr", gpsRef(1)).withColumn("_latp", gpsPtr(2))
+      .withColumn("_lonr", gpsRef(3)).withColumn("_lonp", gpsPtr(4))
+    // dereference the three num/den rational pairs per coordinate,
+    // staged, then fold to exact integer milli-arcseconds
+    for ((pfx, ptr) <- Seq("_la" -> "_latp", "_lo" -> "_lonp")) {
+      out = out.withColumn(s"${pfx}q",
+        (col("_gbase") + col(ptr)).cast("int"))
+      for ((f, o) <- Seq("dn" -> 0, "dd" -> 4, "mn" -> 8, "md" -> 12,
+          "sn" -> 16, "sd" -> 20))
+        out = out.withColumn(s"$pfx$f", u32At(col(s"${pfx}q") + lit(o)))
     }
-    val valid = (col("_soi") && col("_app1").isNotNull && (le || be))
-      .cast("int")
+    def mas(pfx: String) = expr(
+      s"${pfx}dn * 3600000 div ${pfx}dd + ${pfx}mn * 60000 div ${pfx}md" +
+        s" + ${pfx}sn * 1000 div ${pfx}sd")
+    val valid = (col("_soi") && col("_app1").isNotNull &&
+      (col("_gle") || col("_gbe"))).cast("int")
     def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
     out
       .withColumn("valid_exif", valid)
       .withColumn("datetime_original",
-        ifOk(bin.substr((base + col("_dtp")).cast("int"), lit(19))
+        ifOk(bin.substr((col("_gbase") + col("_dtp")).cast("int"), lit(19))
           .cast("string")))
-      .withColumn("lat", ifOk(round(
-        degrees(col("_latp")) *
-          when(col("_latr") === "N", 1.0).otherwise(-1.0), 6)))
-      .withColumn("lon", ifOk(round(
-        degrees(col("_lonp")) *
-          when(col("_lonr") === "E", 1.0).otherwise(-1.0), 6)))
-      .drop("_app1", "_soi", "_exifp", "_gpsp", "_dtp",
-        "_latr", "_latp", "_lonr", "_lonp")
+      .withColumn("lat_mas", ifOk(mas("_la") *
+        when(col("_latr") === "N", 1L).otherwise(-1L)))
+      .withColumn("lon_mas", ifOk(mas("_lo") *
+        when(col("_lonr") === "E", 1L).otherwise(-1L)))
+      .drop(Seq("_app1", "_soi", "_gbase", "_gle", "_gbe", "_ifd0", "_n0",
+        "_exifp", "_gpsp", "_eifd", "_ne", "_dtp", "_gifd", "_ng",
+        "_latr", "_latp", "_lonr", "_lonp", "_laq", "_loq") ++
+        (0 until maxEntries).flatMap(i => Seq(s"_0t$i", s"_0y$i", s"_0v$i")) ++
+        (0 until gpsEntries).flatMap(i => Seq(s"_et$i", s"_ey$i", s"_ev$i",
+          s"_gt$i", s"_gy$i", s"_gv$i", s"_gr$i")) ++
+        Seq("_la", "_lo").flatMap(p =>
+          Seq("dn", "dd", "mn", "md", "sn", "sd").map(f => s"$p$f")): _*)
   }
 
   /** H16 driver query: synthesize SOI + APP1/Exif embedding a TIFF
@@ -1044,9 +1065,9 @@ object Multimodal {
     * sub-IFD whose DateTimeOriginal dereferences into the data area,
     * and a GPS IFD whose lat/lon dereference to deg/min/sec rationals
     * (millisecond-denominator seconds exercise den ≠ 1); byte order
-    * by doc parity. Parse time + signed coordinates back from the
-    * BYTES; formula oracle (identical double expressions → identical
-    * round(,6) in both engines). */
+    * by doc parity. Parse time + signed integer milli-arcsecond
+    * coordinates back from the BYTES; exact-integer formula oracle
+    * (no float exists on either side, so no rounding-tie class). */
   def mmExifGps(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val isLe = col("doc_id") % 2 === 0
@@ -1096,7 +1117,7 @@ object Multimodal {
     val hx = concat(lit("ffd8"), lit("ffe1"), lit("00c6"),
       lit("457869660000"), tiff)
     withExifGps(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
-      .select("doc_id", "valid_exif", "datetime_original", "lat", "lon")
+      .select("doc_id", "valid_exif", "datetime_original", "lat_mas", "lon_mas")
   }
 
   /** H12: FLAC STREAMINFO parse — "fLaC" magic, then the FIRST
@@ -1447,21 +1468,22 @@ object Multimodal {
         |FROM documents""".stripMargin,
 
     // formula-derived: datetime from the generating format string,
-    // lat/lon as the SAME double expression tree the Spark side
-    // evaluates (num/den divisions in the same order → identical IEEE
-    // doubles → identical round(,6)); the pointer-following and
-    // rational dereferences are value-checked against these formulas
+    // lat/lon as exact signed integer milli-arcseconds —
+    // sign·(deg·3600000 + min·60000 + secMs) — so both engines
+    // compute in ℤ and the r8 round(,6) decimal-tie class cannot
+    // occur; the pointer-following and rational dereferences are
+    // value-checked against these formulas
     "mm_exif_gps" ->
       """SELECT doc_id, 1 AS valid_exif,
         |  printf('2020:%02d:%02d %02d:%02d:%02d',
         |    doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24,
         |    doc_id % 60, (doc_id * 7) % 60) AS datetime_original,
-        |  round((doc_id % 90 + (doc_id % 60) / 60.0
-        |      + ((doc_id * 37) % 60000 / 1000.0) / 3600.0)
-        |    * CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END, 6) AS lat,
-        |  round((doc_id % 180 + ((doc_id * 3) % 60) / 60.0
-        |      + ((doc_id * 53) % 60000 / 1000.0) / 3600.0)
-        |    * CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE -1.0 END, 6) AS lon
+        |  (((doc_id % 90) * 3600000 + (doc_id % 60) * 60000
+        |      + (doc_id * 37) % 60000)
+        |    * CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)::bigint AS lat_mas,
+        |  (((doc_id % 180) * 3600000 + ((doc_id * 3) % 60) * 60000
+        |      + (doc_id * 53) % 60000)
+        |    * CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END)::bigint AS lon_mas
         |FROM documents""".stripMargin,
 
     // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit

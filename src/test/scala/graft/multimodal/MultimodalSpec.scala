@@ -312,8 +312,10 @@ class MultimodalSpec extends SparkSpec {
     // pointer entries (ends 8+2+2*12+4=38), Exif IFD at 38 (ends 56),
     // GPS IFD at 56 (4 entries, ends 110), data: datetime at 110,
     // lat rationals at 130, lon rationals at 154.
-    // lat = 40 + 30/60 + (9000/1000)/3600 = 40.5025 N
-    // lon = 73 + 0/60 + (3600/2)/3600 = 73.5 W → -73.5
+    // lat = 40° 30' 9.000" N → 40*3600000 + 30*60000 + 9000
+    //     = 145_809_000 mas (40.5025°)
+    // lon = 73° 0' 1800.000" W (3600/2 exercises den ≠ 1 and ≠ 1000)
+    //     → -(73*3600000 + 1_800_000) = -264_600_000 mas (-73.5°)
     def e(tag: String, tpe: String, cnt: String, v: String) = tag + tpe + cnt + v
     def rat(n: Long, d: Long) = f"$n%08x" + f"$d%08x"
     val tiff = "4d4d002a" + "00000008" +
@@ -338,12 +340,12 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.withExifGps(
       Seq((1L, good), (2L, noApp1)).toDF("id", "hx")
         .select(col("id"), unhex(col("hx")).as("p")), "p")
-      .select("id", "valid_exif", "datetime_original", "lat", "lon")
+      .select("id", "valid_exif", "datetime_original", "lat_mas", "lon_mas")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getInt(1) == 1)
     assert(out(1L).getString(2) == "2021:06:15 12:34:56")
-    assert(out(1L).getDouble(3) == 40.5025, s"lat ${out(1L).getDouble(3)}")
-    assert(out(1L).getDouble(4) == -73.5, s"lon ${out(1L).getDouble(4)}")
+    assert(out(1L).getLong(3) == 145809000L, s"lat_mas ${out(1L).getLong(3)}")
+    assert(out(1L).getLong(4) == -264600000L, s"lon_mas ${out(1L).getLong(4)}")
     assert(out(2L).getInt(1) == 0 && out(2L).isNullAt(2) && out(2L).isNullAt(3),
       "missing APP1 must null everything")
   }
