@@ -24,6 +24,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Machine-load telemetry (r8 verdict #5: a loaded co-tenant box
+    // produced a 198.7 s artifact whose 10 worst "regressions" were
+    // noise; record the evidence IN the artifact so a hot run is
+    // self-identifying). os_load1 is the 1-min runqueue average
+    // (direct MXBean read; >> cpus means co-tenants), cpu_proc /
+    // cpu_sys are this-JVM and whole-box utilization in [0,1]
+    // (com.sun.management extension — exported from jdk.management on
+    // every JDK we run; a JVM without it degrades to -1).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage
+    def procCpuNs: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val loadStart = loadAvg
+    val benchWall0 = System.nanoTime()
+    val benchCpu0 = procCpuNs
+
     def materialize(name: String): Either[Throwable, Unit] =
       try Right(SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save())
@@ -95,7 +113,18 @@ object Bench {
       .map { case (k, _, _, mb) => jkey(k) + f"$mb%.1f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"errors":$errors,"sf":"$sfDir"}"""
+    // load snapshot AFTER the timed passes: os_load1_end reflects the
+    // bench's own threads PLUS any co-tenant, while cpu_proc_avg is
+    // THIS JVM's average core-occupancy over the whole bench window
+    // (CPU-time delta / wall). os_load1_end far above
+    // cpu_proc_avg·cpus ⇒ co-tenants were running and the wall
+    // seconds are suspect.
+    val nCores = Runtime.getRuntime.availableProcessors
+    val wallNs = (System.nanoTime() - benchWall0).toDouble
+    val cpuAvg =
+      if (benchCpu0 < 0) -1.0 else (procCpuNs - benchCpu0) / wallNs / nCores
+    val loadJson = f""""cpus":$nCores,"os_load1_start":$loadStart%.2f,"os_load1_end":$loadAvg%.2f,"cpu_proc_avg":$cpuAvg%.3f"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size
     // stdout tail capture (r6 verdict #1: six rounds of parsed:null).
@@ -112,7 +141,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: $e") }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v, _, _) => jkey(k) + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"errors":$errors,"n_queries":${results.size},"top":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"errors":$errors,"n_queries":${results.size},"top":$slowest,"sf":"$sfDir"}""")
     spark.stop()
     if (errors > 0) sys.exit(1)
   }
