@@ -47,20 +47,24 @@ object GraphQueries {
   def graphDegrees(spark: SparkSession, dir: String): DataFrame =
     Graphs.degrees(kgEdges(spark, dir))
 
-  /** Persisted HASHED traversal surface (r5): the xxhash64 one-direction
-    * edge list and the (hash → string id) vertex dictionary, bucketed
-    * parquet next to the edge table. BFS's per-query cost was dominated
-    * by re-deriving these from the edge table — hashing every edge and
-    * a corpus-wide string distinct for the dictionary — on EVERY call;
-    * at 100 TB the traversal structure is exactly what you materialize
-    * once beside the graph. Buckets on the join keys (u for hop joins,
-    * h for the final depth→id mapping join). */
+  /** Persisted HASHED traversal surface (r5; doubled r10): the
+    * xxhash64 edge list with BOTH directions materialized, and the
+    * (hash → string id) vertex dictionary, bucketed parquet next to
+    * the edge table. BFS's per-query cost was dominated by re-deriving
+    * these from the edge table — hashing every edge, a corpus-wide
+    * string distinct for the dictionary, and (until r10) a per-query
+    * union+localCheckpoint to double the one-direction frame — on
+    * EVERY call; at 100 TB the traversal structure is exactly what you
+    * materialize once beside the graph. Storing the doubled frame
+    * bucketed on u means a hop join against a broadcast frontier reads
+    * the store and moves nothing. */
   private def storedUndHashed(spark: SparkSession, dir: String): DataFrame = {
     import graft.store.GraftStore
     spark.table(GraftStore.ensureBucketed(
-      spark, s"graft_undh_${GraftStore.dirKey(dir)}", 32, Seq("u")) {
-      Graphs.undirectedIds(kgEdges(spark, dir), dedupe = false)
+      spark, s"graft_undh2_${GraftStore.dirKey(dir)}", 32, Seq("u")) {
+      val one = Graphs.undirectedIds(kgEdges(spark, dir), dedupe = false)
         .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"))
+      one.unionAll(one.select(col("v").as("u"), col("u").as("v")))
     })
   }
 
@@ -141,8 +145,10 @@ object GraphQueries {
 
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
     // dedupe=false upstream: min-depth is invariant to parallel edges,
-    // so the stored edge list skips the corpus-wide distinct
-    Graphs.bfsHashed(storedUndHashed(spark, dir),
+    // so the stored edge list skips the corpus-wide distinct; the
+    // store is already doubled, so the loop runs with zero per-query
+    // edge materialization
+    Graphs.bfsHashedOn(storedUndHashed(spark, dir),
       storedVertexDict(spark, dir), BfsSeed, BfsHops)
 
   /** High-quantity co-order part graph (two parts are linked when some

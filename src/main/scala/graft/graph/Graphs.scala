@@ -994,29 +994,59 @@ object Graphs {
 
   def bfsHashed(one: DataFrame, dict: DataFrame, seed: String,
       maxHops: Int): DataFrame = {
-    val spark = one.sparkSession
-    import spark.implicits._
     // materialize the doubled edge frame ONCE: every hop joins it, and
     // an unbuffered union re-scans the source (twice) per hop; two
     // longs per edge keeps the checkpoint narrow (the r4 lesson)
     val und = one
       .unionAll(one.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = true)
+    bfsHashedOn(und, dict, seed, maxHops)
+  }
+
+  /** BFS loop over an ALREADY-doubled hashed edge frame — the bucketed
+    * store-table entry point (the graph_bfs store persists both
+    * directions bucketed on u, so there is no per-query doubling
+    * checkpoint at all). Two scale moves per hop (r8 verdict #6):
+    *  - frontier and visited-key sets are broadcast under the
+    *    [[SccBroadcastRows]] driver guard (exact counts are free — the
+    *    frontier was just checkpointed), so neither the hop join nor
+    *    the anti-join ever moves the edge frame;
+    *  - candidates are pruned against the broadcast visited set
+    *    BEFORE the dedup: the prune is map-side, so the per-hop
+    *    distinct shuffles only the not-yet-visited candidates — on
+    *    late hops almost every candidate is already visited, which is
+    *    exactly where the old dedup-first order paid the full
+    *    candidate multiset. Wide-graph fallback keeps the old order
+    *    (dedup first, then shuffle anti-join) so an explosive hop
+    *    degrades to two bounded shuffles rather than an OOM. */
+  def bfsHashedOn(und: DataFrame, dict: DataFrame, seed: String,
+      maxHops: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
     val seedHash = spark.range(1)
       .select(xxhash64(lit(seed))).first().getLong(0)
     var visited = Seq((seedHash, 0)).toDF("h", "depth")
+    // visited KEY set, kept separately so the anti-join broadcast
+    // ships one long per vertex, not the depth column too
+    var visitedKeys = visited.select(col("h"))
+    var nVisited = 1L
     var frontier = visited
+    var nFrontier = 1L
     for (d <- 1 to maxHops) {
-      // the frontier is checkpointed, so AQE sees its exact size and
-      // broadcasts small frontiers (no edge shuffle per hop) while
-      // still falling back to a shuffle join when a hop explodes —
-      // an unconditional broadcast() here would OOM on wide graphs
-      val next = und.join(frontier, und("u") === frontier("h"))
-        .select(col("v").as("h")).distinct()
-        .join(visited, Seq("h"), "left_anti")
-        .withColumn("depth", lit(d))
+      val f = if (nFrontier < SccBroadcastRows) broadcast(frontier)
+              else frontier
+      val cand = und.join(f, und("u") === f("h")).select(col("v").as("h"))
+      val fresh =
+        if (nVisited < SccBroadcastRows)
+          cand.join(broadcast(visitedKeys), Seq("h"), "left_anti").distinct()
+        else
+          cand.distinct().join(visitedKeys, Seq("h"), "left_anti")
+      val next = fresh.withColumn("depth", lit(d))
         .localCheckpoint(eager = true)
+      nFrontier = next.count()
+      nVisited += nFrontier
       visited = visited.unionAll(next)
+      visitedKeys = visitedKeys.unionAll(next.select(col("h")))
       frontier = next
     }
     // seed may be absent from the edge list; keep its row regardless
