@@ -274,6 +274,48 @@ object StreamQueries {
           <= col("n_users") * HllBoundPct).cast("int").as("est_ok"))
   }
 
+  /** I24 counter budget: at the verify SF the per-(hour, type) user
+    * sets are below k, so the Misra-Gries summary is EXACT (no
+    * decrement ever fires) and both flags are a deterministic 1 on
+    * every row — the est_ok/present convention from I22. The
+    * guarantee UNDER PRESSURE (decrements firing, coverage + error
+    * bound holding) is SketchSpec's windowed superset check with a
+    * deliberately small k. */
+  val MgHourlyK = 10
+
+  /** I24 (batch face): per-hour Misra-Gries heavy-hitter candidates
+    * cross-checked against the EXACT grouping — one row per (hour,
+    * event_type, user) whose exact count clears the integer-form
+    * threshold n·k > N (strictly what the MG coverage guarantee
+    * promises to catch), with `present` (candidate map contains the
+    * user) and `est_ok` (estimate ∈ [n − N/k, n], integer
+    * cross-multiplied). Row set and counts come from exact
+    * aggregation, flags from the sketch — so the output is
+    * deterministic and hash-oracled even though the surviving
+    * counter SET near the bound is merge-order dependent. The
+    * streaming face is the same hourlyTopKCandidates with live
+    * watermark (StreamingSpec). */
+  def evMgHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val cand = Streaming.hourlyTopKCandidates(ev, MgHourlyK)
+    val exact = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = exact.groupBy("hour", "event_type")
+      .agg(sum("n_events").as("n_total"))
+    val est = element_at(col("cand"), col("user_id").cast("string"))
+    exact.join(totals, Seq("hour", "event_type"))
+      .filter(col("n_events") * MgHourlyK > col("n_total"))
+      .join(cand, Seq("hour", "event_type"))
+      .select(col("hour"), col("event_type"), col("user_id"), col("n_events"),
+        est.isNotNull.cast("int").as("present"),
+        (est.isNotNull && est <= col("n_events") &&
+          (col("n_events") - est) * MgHourlyK <= col("n_total"))
+          .cast("int").as("est_ok"))
+  }
+
   /** K13 windowed-face sketch shape: 3 md5 hash rows × 32 buckets —
     * small enough that the per-hour matrix is one array cell in the
     * output, wide enough that the 8 synthetic event types rarely
@@ -336,6 +378,7 @@ object StreamQueries {
     "ev_heavy_hitters" -> (evHeavyHitters _),
     "ev_hourly_distinct" -> (evHourlyDistinct _),
     "ev_cms_hourly"  -> (evCmsHourly _),
+    "ev_mg_hourly"   -> (evMgHourly _),
   )
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
@@ -579,6 +622,24 @@ object StreamQueries {
          |SELECT cnt.hour, cnt.event_type, cnt.n_events, est.cms_est,
          |  est.cms_est - cnt.n_events AS overcount
          |FROM cnt JOIN est ON cnt.hour = est.hour AND cnt.event_type = est.event_type""".stripMargin,
+
+    // row set + counts from the exact grouping (deterministic); the
+    // sketch only contributes the present/est_ok flags, which the MG
+    // coverage and error guarantees pin to 1 on every threshold-
+    // clearing row in ANY engine — so literal 1s here ARE the mirror
+    "ev_mg_hourly" ->
+      s"""WITH c AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type, user_id,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2, 3
+         |), t AS (
+         |  SELECT hour, event_type, sum(n_events) AS n_total
+         |  FROM c GROUP BY 1, 2
+         |)
+         |SELECT c.hour, c.event_type, c.user_id, c.n_events,
+         |  1 AS present, 1 AS est_ok
+         |FROM c JOIN t ON c.hour = t.hour AND c.event_type = t.event_type
+         |WHERE c.n_events * $MgHourlyK > t.n_total""".stripMargin,
 
     // mirrors EventOps.scd2: same (ts, id) total order per key
     "ev_scd2" ->

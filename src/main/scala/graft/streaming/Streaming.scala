@@ -521,6 +521,23 @@ object Streaming {
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .select(col("w.start").as("hour"), col("event_type"), col("sk"))
 
+  /** I24: windowed heavy-hitter CANDIDATES through streaming state —
+    * K9's mergeable Misra-Gries summary (`graft_topk`) per 1-hour
+    * tumbling window and event type. The state store carries ≤ k
+    * counters per (window, type) at ANY data volume — the only
+    * windowed top-k shape that holds at 100 TB/day, where the exact
+    * answer shuffles every (user, window) pair. Pairs with
+    * [[hourlyDistinctSketch]] the way K9 pairs with K2: candidates
+    * with guaranteed coverage (freq > N/k ⇒ present) rather than a
+    * cardinality estimate. Works identically on batch inputs. */
+  def hourlyTopKCandidates(events: DataFrame, k: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.VectorFunctions.topk(events.sparkSession,
+        col("user_id").cast("string"), k).as("cand"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cand"))
+
   /** The finishing estimate over closed sketch windows — shared by
     * the batch query and the streaming sink. */
   def distinctFromSketches(sk: DataFrame): DataFrame =

@@ -466,6 +466,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I24 streaming hourly Misra-Gries candidates merge across batches and match batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "user_id", "event_type")
+    // k=4 ≥ the 3 distinct users per (hour, type): no decrement can
+    // fire, so the summary is EXACT counts and streamed == batch is an
+    // equality check even though MG is merge-order dependent in general
+    val q = Streaming.hourlyTopKCandidates(asEvents(mem.toDF()), 4)
+      .writeStream.format("memory").queryName("mg_out").outputMode("append").start()
+    try {
+      // user 1's clicks span the micro-batches: the batch-2 increment
+      // must MERGE into batch-1's counter through the state store
+      val data = Seq((ts(0), 1L, "click"), (ts(2), 2L, "click"),
+        (ts(10), 1L, "click"), (ts(30), 3L, "click"),
+        (ts(70), 1L, "view"), (ts(80), 9L, "view"))
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData((ts(100000), 0L, "flush")); q.processAllAvailable()
+      mem.addData((ts(200000), 0L, "flush")); q.processAllAvailable()
+      val streamed = spark.table("mg_out")
+        .filter(col("event_type") =!= "flush")
+        .as[(Timestamp, String, Map[String, Long])].collect().toSet
+      val batch = Streaming.hourlyTopKCandidates(asEvents(data.toDF()), 4)
+        .as[(Timestamp, String, Map[String, Long])].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+      assert(streamed.map(t => (t._2, t._3)) ==
+        Set(("click", Map("1" -> 2L, "2" -> 1L, "3" -> 1L)),
+          ("view", Map("1" -> 1L, "9" -> 1L))),
+        s"exact counters below k: $streamed")
+    } finally q.stop()
+  }
+
   test("I11 streaming hourly counts + z-score finishing match the batch anomaly operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -100,6 +100,45 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("I24 windowed MG candidates cover every per-hour heavy hitter with bounded undercount") {
+    import org.apache.spark.sql.functions._
+    // k deliberately SMALL so the decrement/merge-trim paths fire on
+    // real per-hour groups — this is the guarantee-under-pressure
+    // check the exact-at-sparse driver oracle can't exercise
+    val k = 3
+    // sf0.01, not the default sf0.001: pressure needs per-hour groups
+    // with more than k distinct users, which the smallest SF never has
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(r => (r.getTimestamp(0), r.getString(1)))
+    val cand = graft.streaming.Streaming
+      .hourlyTopKCandidates(events, k).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getMap[String, Long](2))
+      .toMap
+    assert(exact.nonEmpty && exact.keySet == cand.keySet)
+    var pressured = 0
+    exact.foreach { case (key, rows) =>
+      val total = rows.map(_.getLong(3)).sum
+      val bound = total.toDouble / k
+      if (rows.size > k) pressured += 1
+      rows.foreach { r =>
+        val (u, n) = (r.getLong(2).toString, r.getLong(3))
+        val est = cand(key).get(u)
+        // coverage: freq > N/k must be present
+        if (n > bound) assert(est.isDefined,
+          s"user $u of $key with n=$n > N/k=$bound missing from ${cand(key)}")
+        // one-sided bounded error on every surviving candidate
+        est.foreach(e => assert(e <= n && n - e <= bound,
+          s"estimate $e for $u of $key outside [${n - bound}, $n]"))
+      }
+    }
+    assert(pressured > 0,
+      s"fixture too sparse: no (hour, type) group exceeded k=$k users")
+  }
+
   test("K9 sketch candidates cover every exact heavy hitter on the real events table") {
     import org.apache.spark.sql.functions._
     val k = 20
