@@ -452,6 +452,14 @@ object GraphQueries {
   def graphJaccard(spark: SparkSession, dir: String): DataFrame =
     Graphs.neighborJaccard(coOrderEdges(spark, dir), JaccardMinSim)
 
+  val AaMinCommon = 2L
+
+  /** C24 driver query: Adamic-Adar link prediction over the co-order
+    * part graph — candidate (non-adjacent) pairs with ≥ 2 common
+    * neighbors, scored by Σ 1/ln(deg of shared neighbor). */
+  def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame =
+    Graphs.adamicAdar(coOrderEdges(spark, dir), AaMinCommon)
+
   /** Degree distribution of the KG (count of nodes per total degree) —
     * the first structural sanity check on any built graph. */
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame =
@@ -481,6 +489,7 @@ object GraphQueries {
     "graph_modularity" -> (graphModularity _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
+    "graph_adamic_adar" -> (graphAdamicAdar _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_harmonic"  -> (graphHarmonic _),
     "graph_eccentricity" -> (graphEccentricity _),
@@ -922,6 +931,30 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // mirrors Graphs.adamicAdar: same wedge closure + 1/ln(deg)
+    // weight; candidate row set pinned by the integer common-count
+    // threshold and the NOT-adjacent anti-join, score round-4
+    "graph_adamic_adar" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |),
+         |und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM und GROUP BY 1),
+         |c AS (
+         |  SELECT a.u AS u, b.u AS v, count(*) AS common,
+         |    sum(1.0 / ln(d.deg)) AS aa
+         |  FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+         |  JOIN deg d ON d.id = a.v
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.u, c.v, common, round(aa, 4) AS adamic_adar
+         |FROM c
+         |WHERE common >= $AaMinCommon
+         |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)""".stripMargin,
 
     // mirrors graphClustering: same wedge closure per corner + degree
     // agg; lcc is ONE fixed double expression over exact counts

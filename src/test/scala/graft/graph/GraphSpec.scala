@@ -270,6 +270,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("C24 Adamic-Adar scores non-adjacent pairs by shared-neighbor rarity") {
+    // square a-b-c-d-a plus hub h attached to a and c:
+    //   degrees: a=3, b=2, c=3, d=2, h=2
+    //   (a,c): non-adjacent, common {b, d, h}, each deg 2 → 3/ln(2)
+    //   (b,d): non-adjacent, common {a, c} (deg 3) → 2/ln(3)
+    //   (b,h): non-adjacent, common {a, c} → 2/ln(3)
+    //   (d,h): non-adjacent, common {a, c} → 2/ln(3)
+    //   adjacent pairs (a,b), … must NOT appear
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "d",
+      "a" -> "h", "c" -> "h")
+    val out = Graphs.adamicAdar(e, minCommon = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val twoLn3 = BigDecimal(2.0 / math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val threeLn2 = BigDecimal(3.0 / math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(("a", "c"), ("b", "d"), ("b", "h"), ("d", "h")),
+      s"candidate set: ${out.keySet}")
+    assert(out(("a", "c")) == ((3L, threeLn2)), s"${out(("a", "c"))}")
+    assert(out(("b", "d")) == ((2L, twoLn3)))
+    assert(out(("b", "h")) == ((2L, twoLn3)))
+    assert(out(("d", "h")) == ((2L, twoLn3)))
+  }
+
   test("C6/C7 BFS computes min-hop depths and respects the hop bound") {
     val e = edgesDf("s" -> "a", "a" -> "b", "b" -> "c", "c" -> "d",
       "s" -> "b") // shortcut: b reachable at depth 1
