@@ -107,3 +107,93 @@ case class JaroWinkler(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Static content-defined-chunking kernel: ONE pass over the UTF-8
+  * bytes emits every chunk-boundary position (1-based code-point
+  * index), replacing the G18 plan that exploded a row per CHARACTER
+  * and reassembled grams through a per-doc window sort (21 MB
+  * shuffled + a window per doc at sf0.1; at 100 TB the per-char row
+  * explosion is the dominant cost of the whole query). Semantics are
+  * pinned to the DuckDB oracle expression: position i (1-based,
+  * i ≤ len − gram + 1) is a boundary iff i = 1 or the u16 of the
+  * first two MD5 bytes of the gram's UTF-8 bytes ≡ 0 (mod `mod`) —
+  * the md5 gram hash is the engine-portable convention (§3), and the
+  * kernel digests the byte SLICE directly (no per-position substring
+  * or hex-string allocation). Code-point offsets are walked once, so
+  * non-ASCII text gets the same character arithmetic substr uses. */
+object CdcBoundariesImpl {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def boundaries(s: UTF8String, gram: Int, mod: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Int])
+    // code-point → byte-offset table (one pass; off(n) = total bytes)
+    val off = new Array[Int](n + 1)
+    var i = 0
+    var b = 0
+    while (i < n) {
+      off(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    off(n) = bytes.length
+    val digest = md.get()
+    var out = new Array[Int](8)
+    var m = 0
+    def push(v: Int): Unit = {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+      out(m) = v; m += 1
+    }
+    push(1)
+    val last = math.max(n - gram + 1, 1)
+    var p = 2 // 1-based candidate position
+    while (p <= last) {
+      val st = off(p - 1)
+      digest.update(bytes, st, off(p - 1 + gram) - st)
+      val h = digest.digest()
+      if ((((h(0) & 0xff) << 8) | (h(1) & 0xff)) % mod == 0) push(p)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** graft_cdc_boundaries(text, gram, mod) → array<int> of 1-based
+  * chunk-start positions — the whole G18 boundary-detection phase as
+  * one codegen'd static call; downstream chunk extents come from
+  * element_at over the SAME array, so no window, no per-char rows,
+  * no shuffle before the final per-doc aggregate. */
+case class CdcBoundaries(child: Expression, gram: Int, mod: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(gram > 0 && mod > 0, s"need gram > 0 and mod > 0, got $gram, $mod")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(s: Any): Any =
+    CdcBoundariesImpl.boundaries(s.asInstanceOf[UTF8String], gram, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcBoundariesImpl.boundaries($c, $gram, $mod)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -192,6 +192,10 @@ object VectorFunctions {
     "graft_dot"         -> { es => DotProduct(es(0), es(1)) },
     "graft_normalize"   -> { es => NormalizeVector(es.head) },
     "graft_jaro_winkler" -> { es => JaroWinkler(es(0), es(1)) },
+    "graft_cdc_boundaries" -> { es =>
+      CdcBoundaries(es(0), es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].intValue)
+    },
     "graft_simhash_agg" -> { es => SimHashAgg(es.head).toAggregateExpression() },
     "graft_qhist"       -> { es =>
       def num(e: Expression): Double = e.eval().asInstanceOf[Number].doubleValue()
@@ -276,6 +280,14 @@ object VectorFunctions {
   /** Mergeable Misra-Gries heavy-hitters sketch of a string column:
     * map of ≤ k candidate items → estimated counts (est undercounts by
     * at most N/k; every item with freq > N/k is present). */
+  /** Codegen'd single-pass CDC boundary positions (1-based) of a
+    * string column. */
+  def cdcBoundaries(spark: SparkSession, text: Column, gram: Int,
+      mod: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cdc_boundaries", text, lit(gram), lit(mod))
+  }
+
   def topk(spark: SparkSession, item: Column, k: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_topk", item, lit(k))

@@ -325,41 +325,28 @@ object TextQueries {
     * not offsets: insert a byte early in a document and fixed windows
     * (G10/G14) all shift, but CDC chunks after the edit realign — the
     * chunking real dedup/delta systems (rsync, FastCDC) use. Emits
-    * per-document chunk statistics. One explode over positions + two
-    * same-keyed window/agg passes, shuffle on doc_id only. */
+    * per-document chunk statistics.
+    *
+    * r10 plan: boundary detection is ONE codegen'd pass per document
+    * (graft_cdc_boundaries → array<int> of starts, the r6 per-char
+    * explode + per-doc window-sort reassembly collapsed into a static
+    * kernel; 21 MB shuffled at sf0.1 → zero, and at 100 TB the
+    * per-char rows were the dominant cost of the whole query). Chunk
+    * extents read the SAME array with element_at — no window, no join
+    * back, no shuffle before the final map-side-combined per-doc
+    * aggregate. */
   def textCdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).filter(length(col("text")) > 0)
-    // Phase 1 — boundary detection as ONE-CHAR rows: the old
-    // formulation exploded a row per position with the FULL text
-    // attached, so a doc of length L pushed O(L²) bytes through the
-    // stage and every surviving boundary row shuffled the whole text
-    // into the window (r6 verdict: 1 MB doc ≈ 16 GB of shuffle). Here
-    // each position is a single character; the 8-gram is reassembled
-    // from window leads, so the doc_id shuffle moves O(L) chars total.
-    val chars = d
-      .select(col("doc_id"), posexplode(split(col("text"), "")).as(Seq("pos", "c")))
-      .filter(col("c") =!= "") // guard a trailing empty split token
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val gram = concat(col("c") +: (1 until CdcGram).map(i => lead(col("c"), i).over(wc)): _*)
-    val gramHash = conv(substring(md5(gram), 1, 4), 16, 10).cast("int")
-    // start is 1-based; a position only qualifies with a full gram
-    // after it (gram is null otherwise — concat propagates the null
-    // lead — and null % mod === 0 is null ⇒ filtered), except start=1
-    // which is always a boundary. Matches the old sequence(1, len-7).
-    val starts = chars
-      .select(col("doc_id"), (col("pos") + 1).as("start"),
-        (col("pos") === 0 || gramHash % CdcMod === 0).as("cut"))
-      .filter(col("cut"))
-      .select("doc_id", "start")
-    // Phase 2 — chunk extents over INTEGER rows only, then one join
-    // back to documents for the substring hash: text is shuffled once,
-    // O(L) not O(L²).
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("start")
-    val bounds = starts.withColumn("next_start", lead(col("start"), 1).over(wb))
-    bounds
-      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val withB = d.select(col("doc_id"), col("text"),
+      graft.functions.VectorFunctions
+        .cdcBoundaries(spark, col("text"), CdcGram, CdcMod).as("bs"))
+    // posexplode yields the 0-based index i; the NEXT boundary is
+    // try_element_at(bs, i + 2) (1-based; the try_ form returns null
+    // past the tail where ANSI element_at throws)
+    withB
+      .select(col("doc_id"), col("text"), col("bs"),
+        posexplode(col("bs")).as(Seq("i", "start")))
+      .withColumn("next_start", try_element_at(col("bs"), col("i") + 2))
       .withColumn("chunk_len",
         coalesce(col("next_start"), length(col("text")) + 1) - col("start"))
       .withColumn("chunk_md5", md5(col("text").substr(col("start"), col("chunk_len"))))

@@ -51,6 +51,37 @@ class VectorExpressionsSpec extends SparkSpec {
       Seq(0.9611111111111111, 0.7776923076923077))
   }
 
+  test("cdc boundary kernel matches the per-position md5 re-derivation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gram = 8
+    val mod = 64
+    // independent re-derivation of the oracle expression: i=1 plus
+    // every i ≤ len-gram+1 whose gram's md5 u16 prefix ≡ 0 (mod 64)
+    def expected(s: String): Seq[Int] = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      1 +: (2 to math.max(s.length - gram + 1, 1)).filter { i =>
+        val h = digest.digest(
+          s.substring(i - 1, i - 1 + gram)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % mod == 0
+      }
+    }
+    def actual(s: String): Seq[Int] =
+      CdcBoundariesImpl.boundaries(UTF8String.fromString(s), gram, mod)
+        .toIntArray().toSeq
+    // real corpus text: every doc at the smallest SF, plus edge shapes
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(docs.nonEmpty)
+    (docs.toSeq :+ "x" :+ "exactly8" :+ "ninechars" :+ "ü8ü8ü8ü8ü8")
+      .foreach { s =>
+        assert(actual(s) == expected(s), s"boundaries diverge on '${s.take(40)}'")
+      }
+    // at least one real doc must have an interior boundary, or the
+    // fixture proves nothing about the hash path
+    assert(docs.exists(s => actual(s).length > 1), "no interior boundaries")
+  }
+
   test("interpreted eval path matches codegen path") {
     val x = Literal.create(Seq(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
     val y = Literal.create(Seq(-1.0f, 0.5f, 2.0f), ArrayType(FloatType))
