@@ -217,6 +217,59 @@ object TextQueries {
       .select("doc_id", "term", "tf", "df", "rnk")
   }
 
+  /** G24 retrieval-scoring constants. k1/b are the standard Robertson
+    * parameterization; the query is a FIXED in-vocabulary term set so
+    * the scored surface is deterministic. Written as exact double
+    * literals (1.2, 0.75 are not representable — both engines parse
+    * the same literal to the same double, which is what matters). */
+  val Bm25QueryTerms: Seq[String] = Seq("hash", "scan", "merge")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** G24: BM25 retrieval scoring — the quality/relevance scorer a
+    * training-data pipeline runs to mine query-relevant documents
+    * (and the standard lexical baseline next to the F-section dense
+    * retrieval). score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b
+    * + b·dl/avgdl)) with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    * Plan shape at 100 TB: the tokens explode once; tf rows are
+    * FILTERED to the query terms before any shuffle (the only
+    * per-term aggregation that moves is |q|·N_matching rows, not the
+    * corpus vocabulary), df comes from that same tiny frame, and
+    * N/avgdl ride one broadcast scalar row — so the whole query costs
+    * one corpus scan + one small shuffle + a top-k rank. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stats = broadcast(d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(tokens(col("text"))).cast("double")).as("avgdl")))
+    val tf = d
+      .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25QueryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        lit(Bm25B) * col("dl") / col("avgdl")))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // partial top-k merged on one reducer — NOT a global row_number
+    // window, which would single-partition-sort every matching doc);
+    // the rank is then numbered over the K surviving rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(stats)
+      .groupBy("doc_id")
+      .agg(sum(idf * tfNorm).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25TopK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("doc_id"), col("n_terms_hit"),
+        round(col("score"), 4).as("bm25"))
+  }
+
   /** PII patterns applied in declaration order (order matters: a
     * phone-like SSN must hit the earlier, more specific rule). Both the
     * Spark chain and the oracle SQL are generated from this list. The
@@ -835,6 +888,7 @@ object TextQueries {
     "text_boilerplate"  -> (textBoilerplate _),
     "text_winnow"       -> (textWinnow _),
     "text_tfidf"        -> (textTfidf _),
+    "text_bm25"         -> (textBm25 _),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
@@ -1051,6 +1105,38 @@ object TextQueries {
          |  FROM tf JOIN dfreq USING (term)
          |)
          |SELECT doc_id, term, tf, df, rnk FROM scored WHERE rnk <= 3""".stripMargin,
+
+    // mirrors textBm25 term for term: same fixed query set, same idf
+    // and tf-normalization double expressions, same (score, doc_id)
+    // total order on the top-k cut
+    "text_bm25" -> {
+      val termList = Bm25QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH stats AS (
+         |  SELECT count(*)::double AS n_docs,
+         |    avg(length($toksSql)::double) AS avgdl
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, length($toksSql) AS dl,
+         |    unnest($toksSql) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+         |  WHERE term IN $termList GROUP BY 1, 2, 3
+         |), dfreq AS (
+         |  SELECT term, count(*)::double AS df FROM tf GROUP BY 1
+         |), scored AS (
+         |  SELECT tf.doc_id, count(*) AS n_terms_hit,
+         |    sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * (tf.tf * ($Bm25K1 + 1.0)
+         |        / (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * tf.dl / s.avgdl)))
+         |    ) AS score
+         |  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+         |  GROUP BY 1
+         |)
+         |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         |  doc_id, n_terms_hit, round(score, 4) AS bm25
+         |FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
 
     "text_ngrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

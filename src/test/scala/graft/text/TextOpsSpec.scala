@@ -106,6 +106,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got == ref, s"rewrite diverged: ${(got diff ref).take(3)} vs ${(ref diff got).take(3)}")
   }
 
+  test("G24 BM25 top-k is rank-consistent and bounded by the query size") {
+    val rows = TextQueries.textBm25(spark, sfDir)
+      .orderBy("rnk")
+      .select("rnk", "doc_id", "n_terms_hit", "bm25")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.length == TextQueries.Bm25TopK)
+    assert(rows.map(_._1).toSeq == (1 to rows.length), "ranks must be dense")
+    assert(rows.map(_._2).distinct.length == rows.length, "doc_ids unique")
+    // scores non-increasing down the ranking; hits bounded by |query|
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4, s"rank ${a._1} score ${a._4} < rank ${b._1} ${b._4}")
+    }
+    rows.foreach { r =>
+      assert(r._3 >= 1 && r._3 <= TextQueries.Bm25QueryTerms.length)
+      assert(r._4 > 0.0)
+    }
+  }
+
   test("G18 mixture sampling caps each source independently with exact thresholds") {
     val out = TextQueries.textMixture(spark, sfDir)
     val rows = out.select("source", "n_s", "thr")
