@@ -1,0 +1,233 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, EqualTo, Expression, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** The as-of join as a WHOLE-OPERATOR physical plan (SURVEY §2 K15) —
+  * the (c) rung of the custom-operator ladder: a marker condition in
+  * an ordinary left-outer join, a SparkStrategy that recognizes it,
+  * and a sorted-merge SparkPlan, installed through the PUBLIC
+  * `spark.experimental.extraStrategies` hook.
+  *
+  * Why a custom operator at all: the composed formulation (I7
+  * `EventOps.asOfJoin`) unions both sides into one frame and runs a
+  * running-`last` window over it — correct, one shuffle, but the
+  * window sorts |L|+|R| rows in ONE pass per key and carries every
+  * left column through the union frame. The merge exec shuffles each
+  * side on its own key, sorts each side independently (AQE-sized,
+  * spillable), and then streams both sorted iterators in one O(|L|+|R|)
+  * forward pass per partition holding exactly ONE buffered right row —
+  * the textbook as-of merge (kdb/QuestDB/Flink temporal join shape).
+  * At 100 TB the union frame never materializes and the right side's
+  * value columns never ride through a window buffer.
+  *
+  * Semantics (pinned to I7): for each left row, the LATEST right row
+  * of the same key with right.ts <= left.ts, right columns null when
+  * no such row exists. The right side must be unique per (key, ts)
+  * for deterministic output — callers dedup first (I7's max-id rule).
+  * Null keys or timestamps on the right never match; on the left they
+  * emit null-matched rows. v1 scope: single equi-key of int/long,
+  * timestamps as TIMESTAMP/TIMESTAMP_NTZ/long (all compared as long
+  * micros) — the strategy REFUSES (loud error, not silent wrong
+  * plans) anything else.
+  */
+object AsofJoin {
+
+  /** Idempotently install the strategy on a session (the public
+    * extension point — no spark.sql.extensions config needed). */
+  def ensureInstalled(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsofJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new AsofJoinStrategy
+
+  /** As-of join `left` to `right`: equi-key `leftKey = rightKey` plus
+    * the as-of condition rightTs <= leftTs resolved to the LATEST
+    * right row. Column names must be disjoint (rename the right side
+    * first — same rule as any self-join). */
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTs: Column, rightTs: Column): DataFrame = {
+    val spark = left.sparkSession
+    ensureInstalled(spark)
+    // the marker rides the public FunctionRegistry (the repo's
+    // standard Column-from-Expression bridge)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    left.join(right,
+      leftKey === rightKey && org.apache.spark.sql.functions
+        .call_function("graft_asof_match", leftTs, rightTs), "left_outer")
+  }
+}
+
+/** Marker condition: `rightTs <= leftTs` AS AN AS-OF MATCH. Evaluable
+  * as a plain boolean (so analysis passes and EXPLAIN shows honest
+  * semantics), but its real role is to be recognized by
+  * [[AsofJoinStrategy]], which replaces the multi-match outer join
+  * with the latest-match merge. */
+case class AsofMatch(leftTs: Expression, rightTs: Expression)
+    extends BinaryExpression {
+  override def left: Expression = leftTs
+  override def right: Expression = rightTs
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_asof_match"
+
+  private def tsOk(t: DataType) = t match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tsOk(leftTs.dataType) && tsOk(rightTs.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs timestamp/long sides, got " +
+        s"${leftTs.dataType.simpleString}, ${rightTs.dataType.simpleString}")
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    asLong(r) <= asLong(l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"((long) $r) <= ((long) $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(leftTs = l, rightTs = r)
+}
+
+/** Recognizes Join(LeftOuter, key-equality AND AsofMatch) and plans
+  * the sorted-merge exec. A marker join the strategy CANNOT handle
+  * (wrong key types, extra conjuncts) throws: falling through to
+  * normal planning would silently produce multi-match semantics. */
+class AsofJoinStrategy extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def keyOk(t: DataType) = t == LongType || t == IntegerType
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j @ Join(l, r, LeftOuter, Some(cond), _)
+        if cond.exists(_.isInstanceOf[AsofMatch]) =>
+      // split cond into the marker and the single equi-key
+      def split(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          split(a) ++ split(b)
+        case other => Seq(other)
+      }
+      val parts = split(cond)
+      val markers = parts.collect { case m: AsofMatch => m }
+      val equis = parts.collect { case e: EqualTo => e }
+      if (markers.length != 1 || equis.length != 1 ||
+          parts.length != 2)
+        throw new IllegalArgumentException(
+          s"graft asof join needs exactly (key = key) AND graft_asof_match, got: $cond")
+      val m = markers.head
+      val eq = equis.head
+      val lOut = l.outputSet
+      // orient the equality and the marker legs to their sides
+      val (lk, rk) =
+        if (eq.left.references.subsetOf(lOut)) (eq.left, eq.right)
+        else (eq.right, eq.left)
+      if (!lk.references.subsetOf(lOut) || !rk.references.subsetOf(r.outputSet) ||
+          !m.leftTs.references.subsetOf(lOut) ||
+          !m.rightTs.references.subsetOf(r.outputSet))
+        throw new IllegalArgumentException(
+          s"graft asof join: condition legs not split across sides: $cond")
+      if (!keyOk(lk.dataType) || !keyOk(rk.dataType))
+        throw new IllegalArgumentException(
+          s"graft asof join v1 supports int/long keys, got ${lk.dataType}")
+      AsofJoinExec(lk, rk, m.leftTs, m.rightTs,
+        planLater(l), planLater(r), j.output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-merge as-of join: children clustered on their keys and
+  * sorted (key, ts) ascending; one forward pass per partition holds
+  * at most one copied right row. */
+case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    left: SparkPlan, right: SparkPlan,
+    override val output: Seq[Attribute]) extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
+      Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lkExpr = bindLong(leftKey, left.output)
+    val ltExpr = bindLong(leftTs, left.output)
+    val rkExpr = bindLong(rightKey, right.output)
+    val rtExpr = bindLong(rightTs, right.output)
+    val rightWidth = right.output.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val nullRight =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
+        // one-row lookahead on the right, primitives projected before
+        // the underlying row object is reused by the next next()
+        private var rRow: InternalRow = _
+        private var rKey = 0L
+        private var rTs = 0L
+        private var rHas = false
+        advanceRight()
+        private def advanceRight(): Unit = {
+          rHas = false
+          while (!rHas && rIter.hasNext) {
+            val row = rIter.next()
+            val k = rkExpr.eval(row)
+            val t = rtExpr.eval(row)
+            if (k != null && t != null) { // null right keys/ts never match
+              rRow = row; rKey = toLong(k); rTs = toLong(t); rHas = true
+            }
+          }
+        }
+        private var held: InternalRow = _
+        private var heldKey = 0L
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lkExpr.eval(l)
+          val lt = ltExpr.eval(l)
+          if (lk == null || lt == null) return joined(l, nullRight)
+          val lKey = toLong(lk)
+          val lTs = toLong(lt)
+          if (held != null && heldKey != lKey) held = null
+          while (rHas && (rKey < lKey || (rKey == lKey && rTs <= lTs))) {
+            if (rKey == lKey) { held = rRow.copy(); heldKey = lKey }
+            advanceRight()
+          }
+          joined(l, if (held != null) held else nullRight)
+        }
+      }
+    }
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+  private def bindLong(e: Expression, attrs: Seq[Attribute]): Expression =
+    org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(e, org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}

@@ -114,6 +114,26 @@ object StreamQueries {
       "user_id", "ts", "event_id", "value")
   }
 
+  /** K15 face: the SAME as-of question as ev_asof, answered by the
+    * custom sorted-merge AsofJoinExec instead of the union+window
+    * composition — both stay registered so the driver hash-checks the
+    * whole-operator plan against the identical oracle. Right side
+    * deduped per (key, ts) by max id exactly as I7 does. */
+  def evAsofExec(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"), col("value"))
+    val right = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("r_key"), col("ts").as("right_ts"))
+      .agg(max(col("event_id")).as("right_id"))
+    graft.plans.AsofJoin.join(left, right,
+        col("user_id"), col("r_key"), col("left_ts"), col("right_ts"))
+      .select(col("user_id"), col("left_id"), col("left_ts"), col("value"),
+        col("right_id"), col("right_ts"))
+  }
+
   def evFunnel(spark: SparkSession, dir: String): DataFrame =
     EventOps.funnel(Tables.events(spark, dir), FunnelSteps)
 
@@ -366,6 +386,7 @@ object StreamQueries {
     "ev_multi_touch" -> (evMultiTouch _),
     "ev_attribution_outer" -> (evAttributionOuter _),
     "ev_asof"        -> (evAsof _),
+    "ev_asof_exec"   -> (evAsofExec _),
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
     "ev_scd_latest"  -> (evScdLatest _),
@@ -405,6 +426,36 @@ object StreamQueries {
        |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
        |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+  /** The as-of oracle (dedup right per (key,ts) by max id; union with
+    * kind ordering rights before lefts on equal ts; running
+    * last_value over a total order) — NOT DuckDB's ASOF JOIN, whose
+    * tie-on-equal-right-ts choice is unspecified. Shared by ev_asof
+    * (union+window plan) and ev_asof_exec (K15 merge operator). */
+  private val asofOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id AS key, ts, max(event_id) AS right_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), u AS (
+      |  SELECT key, ts, 0 AS kind, right_id,
+      |         NULL::bigint AS left_id, NULL::double AS value
+      |  FROM c
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, NULL, event_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), w AS (
+      |  SELECT key, ts, kind, left_id, value,
+      |    last_value(right_id IGNORE NULLS) OVER
+      |      (PARTITION BY key ORDER BY ts, kind, left_id
+      |       ROWS UNBOUNDED PRECEDING) AS asof_right_id,
+      |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER
+      |      (PARTITION BY key ORDER BY ts, kind, left_id
+      |       ROWS UNBOUNDED PRECEDING) AS asof_right_ts
+      |  FROM u
+      |)
+      |SELECT key AS user_id, left_id, ts AS left_ts, value,
+      |  asof_right_id AS right_id, asof_right_ts AS right_ts
+      |FROM w WHERE kind = 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ev_windowed" ->
@@ -500,34 +551,10 @@ object StreamQueries {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50""".stripMargin,
 
-    // mirrors EventOps.asOfJoin step for step (dedup right per (key,ts)
-    // by max id; union with kind ordering rights before lefts on equal
-    // ts; running last_value over a total order) — NOT an ASOF JOIN,
-    // whose tie-on-equal-right-ts choice DuckDB leaves unspecified.
-    "ev_asof" ->
-      """WITH c AS (
-        |  SELECT user_id AS key, ts, max(event_id) AS right_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
-        |), u AS (
-        |  SELECT key, ts, 0 AS kind, right_id,
-        |         NULL::bigint AS left_id, NULL::double AS value
-        |  FROM c
-        |  UNION ALL
-        |  SELECT user_id, ts, 1, NULL, event_id, value
-        |  FROM events WHERE event_type = 'purchase'
-        |), w AS (
-        |  SELECT key, ts, kind, left_id, value,
-        |    last_value(right_id IGNORE NULLS) OVER
-        |      (PARTITION BY key ORDER BY ts, kind, left_id
-        |       ROWS UNBOUNDED PRECEDING) AS asof_right_id,
-        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER
-        |      (PARTITION BY key ORDER BY ts, kind, left_id
-        |       ROWS UNBOUNDED PRECEDING) AS asof_right_ts
-        |  FROM u
-        |)
-        |SELECT key AS user_id, left_id, ts AS left_ts, value,
-        |  asof_right_id AS right_id, asof_right_ts AS right_ts
-        |FROM w WHERE kind = 1""".stripMargin,
+    // mirrors EventOps.asOfJoin step for step — shared verbatim with
+    // ev_asof_exec (the K15 custom merge operator answers the same
+    // question through a different physical plan)
+    "ev_asof" -> asofOracleSql,
 
     "ev_retention" ->
       """WITH c AS (
@@ -711,5 +738,8 @@ object StreamQueries {
         |  round(n_transitions::double
         |        / (sum(n_transitions) OVER (PARTITION BY from_type))::bigint, 4) AS prob
         |FROM c""".stripMargin,
+
+    // the K15 custom merge operator answers the identical question
+    "ev_asof_exec" -> asofOracleSql,
   )
 }

@@ -1,0 +1,85 @@
+package graft.plans
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def findAsof(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: AsofJoinExec => 1 + p.children.map(walk).sum
+      case _ => p.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def fixture = {
+    // user 1: clicks at 10, 20, 35; purchases at 5 (no match),
+    //   20 (tie → the t=20 click), 30 (→ t=20), 40 (→ t=35)
+    // user 2: no clicks at all → all-null right side
+    // user 3: click at 100 only AFTER its purchase at 50 → null
+    val left = Seq((1L, 101L, ts(5), 1.0), (1L, 102L, ts(20), 2.0),
+      (1L, 103L, ts(30), 3.0), (1L, 104L, ts(40), 4.0),
+      (2L, 201L, ts(25), 5.0), (3L, 301L, ts(50), 6.0))
+      .toDF("user_id", "left_id", "left_ts", "value")
+    val right = Seq((1L, 11L, ts(10)), (1L, 12L, ts(20)), (1L, 13L, ts(35)),
+      (3L, 31L, ts(100)))
+      .toDF("r_key", "right_id", "right_ts")
+    (left, right)
+  }
+
+  test("K15 merge exec matches the hand-computed as-of result and plans as AsofJoinExec") {
+    val (left, right) = fixture
+    val out = AsofJoin.join(left, right,
+      col("user_id"), col("r_key"), col("left_ts"), col("right_ts"))
+      .select(col("left_id"), col("right_id"), col("right_ts"))
+    assert(findAsof(out) == 1, "the custom exec must be in the executed plan")
+    val got = out.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getTimestamp(2)))))
+      .toMap
+    assert(got(101L).isEmpty, "purchase before any click")
+    assert(got(102L).contains((12L, ts(20))), "equal-ts click matches (<=)")
+    assert(got(103L).contains((12L, ts(20))))
+    assert(got(104L).contains((13L, ts(35))))
+    assert(got(201L).isEmpty, "user with no clicks")
+    assert(got(301L).isEmpty, "click only after the purchase")
+  }
+
+  test("K15 merge exec ≡ the I7 union+window composition on real events") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val viaWindow = graft.streaming.EventOps.asOfJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(_.toString).toSet
+    val viaExec = graft.streaming.StreamQueries.evAsofExec(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(viaExec.nonEmpty && viaExec == viaWindow)
+  }
+
+  test("K15 strategy refuses a marker join it cannot plan correctly") {
+    val (left, right) = fixture
+    val bad = intercept[Exception] {
+      // extra conjunct the merge cannot honor → must throw, not
+      // silently fall back to multi-match outer-join semantics
+      AsofJoin.ensureInstalled(spark)
+      graft.functions.VectorFunctions.ensureRegistered(spark)
+      left.join(right,
+        col("user_id") === col("r_key") &&
+          call_function("graft_asof_match", col("left_ts"), col("right_ts")) &&
+          col("right_id") > 11L, "left_outer")
+        .collect()
+    }
+    assert(bad.getMessage != null)
+  }
+}
