@@ -1265,6 +1265,104 @@ object Multimodal {
         "bitrate_kbps", "sample_rate", "padding", "frame_len")
   }
 
+  /** Max ID3v2 frames the tag walk visits. */
+  val Id3MaxFrames = 4
+
+  /** The text frames the walk extracts, (frame id → output column). */
+  val Id3TextFrames: Seq[(String, String)] =
+    Seq("TIT2" -> "title", "TPE1" -> "artist", "TALB" -> "album")
+
+  /** H17: ID3v2.4 text-frame extraction — the metadata walk INSIDE
+    * the tag H14 only hops over. After the 10-byte header ("ID3",
+    * version, flags, SYNCSAFE 28-bit tag size), frames are [id(4
+    * ASCII) syncsafe-size(4) flags(2) payload]; a text frame's
+    * payload opens with an encoding byte (0x00 latin-1 here) then the
+    * value. The walk visits ≤ [[Id3MaxFrames]] frames with every
+    * frame offset/size staged as an aliased column (the H11 64 KB
+    * lesson — and CodegenFallbackSpec now checks this parser at birth
+    * mechanically); a frame is live iff it fits inside the declared
+    * tag and its id is [A-Z0-9]{4} (padding opens with 0x00, so the
+    * id test is also the padding stop). First matching frame per
+    * wanted id wins, absent frames null. */
+  def withId3Tags(df: DataFrame, binCol: String,
+      maxFrames: Int = Id3MaxFrames): DataFrame = {
+    val bin = col(binCol)
+    def b7(off: org.apache.spark.sql.Column) =
+      conv(hex(bin.substr(off, lit(1))), 16, 10).cast("int").bitwiseAND(lit(0x7f))
+    def syncsafe(off: org.apache.spark.sql.Column) =
+      shiftleft(b7(off), 21) + shiftleft(b7(off + 1), 14) +
+        shiftleft(b7(off + 2), 7) + b7(off + 3)
+    var out = df
+      .withColumn("_i3ok", lower(hex(substring(bin, 1, 3))) === "494433")
+      .withColumn("_i3end", lit(10) + syncsafe(lit(7))) // last tag byte, 1-based
+      .withColumn("_fo0", lit(11))
+    for (i <- 0 until maxFrames) {
+      val fo = col(s"_fo$i")
+      out = out
+        .withColumn(s"_fid$i", bin.substr(fo, lit(4)).cast("string"))
+        .withColumn(s"_fsz$i", syncsafe(fo + 4))
+        // coalesce: a frame offset derived PAST the binary end is
+        // null, and true && null = null would poison the n_frames sum
+        .withColumn(s"_fok$i", coalesce(
+          col("_i3ok") && fo + 9 <= col("_i3end") &&
+            col(s"_fid$i").rlike("^[A-Z0-9]{4}$") && col(s"_fsz$i") > 0,
+          lit(false)))
+        .withColumn(s"_fo${i + 1}",
+          (fo + 10 + col(s"_fsz$i")).cast("int"))
+    }
+    def textOf(id: String) = coalesce((0 until maxFrames).map(i =>
+      when(col(s"_fok$i") && col(s"_fid$i") === id,
+        // skip the encoding byte; value is the remaining size-1 bytes
+        bin.substr(col(s"_fo$i") + 11, col(s"_fsz$i") - 1).cast("string"))): _*)
+    val nFrames = (0 until maxFrames)
+      .map(i => col(s"_fok$i").cast("int")).reduce(_ + _)
+    def ifOk(c: org.apache.spark.sql.Column) = when(col("_i3ok"), c)
+    out = out
+      .withColumn("valid_id3", col("_i3ok").cast("int"))
+      .withColumn("n_frames", ifOk(nFrames))
+    for ((id, colName) <- Id3TextFrames)
+      out = out.withColumn(colName, ifOk(textOf(id)))
+    out.drop(Seq("_i3ok", "_i3end") ++
+      (0 to maxFrames).map(i => s"_fo$i") ++
+      (0 until maxFrames).flatMap(i =>
+        Seq(s"_fid$i", s"_fsz$i", s"_fok$i")): _*)
+  }
+
+  /** H17 driver query: synthesize an ID3v2.4 tag per asset — TIT2 +
+    * TPE1 always (ORDER swapped by doc parity to exercise the scan),
+    * TALB only on doc_id % 4 != 0 (absent → null), trailing padding
+    * inside the declared tag size, and every 3rd doc carries no tag
+    * at all (corrupt guard). Values are formula-derived strings the
+    * oracle reprints. */
+  def mmId3Tags(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hasTag = col("doc_id") % 3 =!= 0
+    val hasAlb = col("doc_id") % 4 =!= 0
+    val title = concat(lit("Title_"), (col("doc_id") % 50).cast("string"))
+    val artist = concat(lit("Artist_"), (col("doc_id") % 20).cast("string"))
+    val album = concat(lit("Album_"), (col("doc_id") % 7).cast("string"))
+    def hx2(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+    def ss4(c: org.apache.spark.sql.Column) = concat(
+      hx2(shiftright(c, 21).bitwiseAND(lit(0x7f))),
+      hx2(shiftright(c, 14).bitwiseAND(lit(0x7f))),
+      hx2(shiftright(c, 7).bitwiseAND(lit(0x7f))),
+      hx2(c.bitwiseAND(lit(0x7f))))
+    def frame(id: String, v: org.apache.spark.sql.Column) = concat(
+      hex(lit(id)), ss4(length(v) + 1), lit("0000"), lit("00"), hex(v))
+    val tit = frame("TIT2", title)
+    val tpe = frame("TPE1", artist)
+    val alb = when(hasAlb, frame("TALB", album)).otherwise(lit(""))
+    val frames = concat(
+      when(col("doc_id") % 2 === 0, concat(tit, tpe))
+        .otherwise(concat(tpe, tit)), alb)
+    val padBytes = (col("doc_id") % 9 + 1).cast("int")
+    val tagSize = (length(frames) / 2).cast("int") + padBytes
+    val hx = when(hasTag, concat(lit("494433" + "0400" + "00"), ss4(tagSize),
+      frames, repeat(lit("00"), padBytes))).otherwise(lit("ff00"))
+    withId3Tags(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_id3", "n_frames", "title", "artist", "album")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -1282,6 +1380,7 @@ object Multimodal {
     "mm_mp3_meta"  -> (mmMp3Meta _),
     "mm_png_chunks" -> (mmPngChunks _),
     "mm_exif_gps"  -> (mmExifGps _),
+    "mm_id3_tags"  -> (mmId3Tags _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1487,6 +1586,20 @@ object Multimodal {
         |FROM documents""".stripMargin,
 
     // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit
+    // formula-derived: the tag walk's frame ids/sizes/order are
+    // value-checked by reprinting the generating strings; n_frames
+    // counts the conditional TALB, absent tag nulls everything
+    "mm_id3_tags" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS valid_id3,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN CASE WHEN doc_id % 4 <> 0 THEN 3 ELSE 2 END END AS n_frames,
+        |  CASE WHEN doc_id % 3 <> 0 THEN 'Title_' || (doc_id % 50) END AS title,
+        |  CASE WHEN doc_id % 3 <> 0 THEN 'Artist_' || (doc_id % 20) END AS artist,
+        |  CASE WHEN doc_id % 3 <> 0 AND doc_id % 4 <> 0
+        |    THEN 'Album_' || (doc_id % 7) END AS album
+        |FROM documents""".stripMargin,
+
     // span crossing the lo-u32 boundary on every 5th asset) is
     // value-checked. Duration rounds at 6 — tie-free for every rate
     // in the synthetic set (see withFlacInfo's scaladoc).

@@ -384,6 +384,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L)._1 == 0, "junk must not validate")
   }
 
+  test("H17 withId3Tags walks text frames in either order, stops at padding, nulls junk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    def hexOf(s: String) = s.getBytes("ISO-8859-1").map(b => f"$b%02x").mkString
+    def ss4(n: Int) = f"${(n >> 21) & 0x7f}%02x${(n >> 14) & 0x7f}%02x" +
+      f"${(n >> 7) & 0x7f}%02x${n & 0x7f}%02x"
+    def frame(id: String, v: String) =
+      hexOf(id) + ss4(v.length + 1) + "0000" + "00" + hexOf(v)
+    val tit = frame("TIT2", "So Long")
+    val tpe = frame("TPE1", "The Graft")
+    val alb = frame("TALB", "Plans")
+    def tag(frames: String, pad: Int) =
+      "494433" + "0400" + "00" + ss4(frames.length / 2 + pad) +
+        frames + "00" * pad
+    val out = Multimodal.withId3Tags(
+      Seq((1L, tag(tit + tpe + alb, 3)),  // all three, title first
+        (2L, tag(alb + tpe + tit, 0)),    // reversed order, no padding
+        (3L, tag(tit, 40)),               // one frame, wide padding
+        (4L, "fffb9000"),                 // bare mp3, no tag
+        (5L, "49443304000000000148"))     // header only, empty tag
+        .toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .select("id", "valid_id3", "n_frames", "title", "artist", "album")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) "-" else r.getString(3),
+        if (r.isNullAt(4)) "-" else r.getString(4),
+        if (r.isNullAt(5)) "-" else r.getString(5)))).toMap
+    assert(out(1L) == ((1, 3, "So Long", "The Graft", "Plans")), s"${out(1L)}")
+    assert(out(2L) == ((1, 3, "So Long", "The Graft", "Plans")),
+      s"order must not matter: ${out(2L)}")
+    assert(out(3L) == ((1, 1, "So Long", "-", "-")), s"${out(3L)}")
+    assert(out(4L) == ((0, -1, "-", "-", "-")), "no tag nulls everything")
+    assert(out(5L) == ((1, 0, "-", "-", "-")), s"empty tag: ${out(5L)}")
+  }
+
   test("H15 withPngChunks hops variable chunks to pHYs/tEXt; stops at IEND; junk rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
