@@ -94,6 +94,23 @@ object IngestQueries {
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
   }
 
+  /** A13: compressed-text round-trip — JSONL written with the gzip
+    * codec, read back through the same auto-detected codec path
+    * (extension-dispatched, the way a crawl drop actually arrives).
+    * Scale note baked into the choice: gzip is NOT splittable — one
+    * task per .gz file regardless of size, so a 100 TB drop must
+    * arrive as many medium files (or as zstd/bzip2/snappy-framed,
+    * which split); this query pins the CODEC path, the A8/K10 stores
+    * pin the splittable-layout path. Byte fidelity value-checked by
+    * md5 against the table the lines came from. */
+  def ingGzip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val path = tmp(s"docs_gz_${graft.store.GraftStore.dirKey(dir)}")
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+  }
+
   /** A10: the `binaryFile` source — the multimodal ingestion front
     * door (images/audio/video land as opaque files; Spark lists and
     * reads them distributed, one row per file with path/length/bytes).
@@ -208,6 +225,7 @@ object IngestQueries {
     "ing_rdf"     -> (ingRdf _),
     "ing_parquet" -> (ingParquet _),
     "ing_orc"     -> (ingOrc _),
+    "ing_gzip"    -> (ingGzip _),
     "ing_binary"  -> (ingBinary _),
     "ing_json_bad" -> (ingJsonBad _),
     "ing_csv_bad" -> (ingCsvBad _),
@@ -267,6 +285,9 @@ object IngestQueries {
     "ing_orc" ->
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // the gzip JSONL lines round-trip the documents rows byte-exactly
+    "ing_gzip" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents""",
     // independent derivation: the files' bytes ARE the documents' UTF-8
     // text, so length and md5 re-derive from the source table
     "ing_binary" ->

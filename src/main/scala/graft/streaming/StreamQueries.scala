@@ -114,6 +114,25 @@ object StreamQueries {
       "user_id", "ts", "event_id", "value")
   }
 
+  /** I25: EXACT per-type value percentiles — the latency/size SLO
+    * readout (p50/p90/p99) every event pipeline publishes. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the textbook
+    * linear interpolation lower + (upper − lower)·frac at rank
+    * p·(n−1), so the doubles mirror; round-4 absorbs ulp. At 100 TB
+    * the EXACT form is the verification face — the K5 mergeable
+    * histogram sketch is the production face (text_quantile_sketch);
+    * here the per-type sort is the cost and event types are few, so
+    * the skew ceiling is per-partition sort, not a driver collect. */
+  def evValuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+  }
+
   /** K15 face: the SAME as-of question as ev_asof, answered by the
     * custom sorted-merge AsofJoinExec instead of the union+window
     * composition — both stay registered so the driver hash-checks the
@@ -387,6 +406,7 @@ object StreamQueries {
     "ev_attribution_outer" -> (evAttributionOuter _),
     "ev_asof"        -> (evAsof _),
     "ev_asof_exec"   -> (evAsofExec _),
+    "ev_value_percentiles" -> (evValuePercentiles _),
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
     "ev_scd_latest"  -> (evScdLatest _),
@@ -741,5 +761,14 @@ object StreamQueries {
 
     // the K15 custom merge operator answers the identical question
     "ev_asof_exec" -> asofOracleSql,
+
+    // quantile_cont shares percentile()'s lower + (upper−lower)·frac
+    // interpolation at rank p·(n−1); round-4 absorbs ulp
+    "ev_value_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }
