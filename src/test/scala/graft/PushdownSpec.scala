@@ -65,6 +65,46 @@ class PushdownSpec extends SparkSpec {
       s"scan touched non-matching partitions: ${files.mkString(", ")}")
   }
 
+  test("dynamic partition pruning injects the dim filter into the fact scan at runtime") {
+    import spark.implicits._
+    // the 100 TB star-join shape: fact partitioned on the join key,
+    // dim filtered at runtime — the fact scan must list ONLY the
+    // partitions the filtered dim reaches, discovered via the reused
+    // broadcast, not a static predicate
+    val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sfDir).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(path)
+    val fact = spark.read.parquet(path)
+    // the dim must be FILE-backed: a LocalRelation dim has its filter
+    // constant-folded away by ConvertToLocalRelation before the
+    // PartitionPruning batch runs, so no selective predicate remains
+    // for DPP to clone into the fact side
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("R", 1), ("A", 2), ("N", 3)).toDF("flag", "x")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val j = fact.join(dim.filter(col("x") === 1),
+      fact("l_returnflag") === dim("flag"))
+    j.collect()
+    // walk to the fact scan and read its partition filters directly —
+    // the treeString elides long filter lists, so string-matching the
+    // whole plan false-negatives
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case _ => p.children.flatMap(scans)
+    }
+    val factScan = scans(j.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft_dpp")))
+    assert(factScan.isDefined, "fact scan not found")
+    val pf = factScan.get.partitionFilters.mkString("; ")
+    assert(pf.contains("dynamicpruning"),
+      s"expected a dynamicpruning filter on the fact scan, got: '$pf'")
+  }
+
   test("K11 z-order layout prunes row groups for the dimension a linear sort abandons") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
