@@ -105,12 +105,16 @@ object Bench {
     // names are code-controlled, but escape anyway so the emitted line
     // is valid JSON for ANY registered name (same rule as Monitor)
     def jkey(k: String): String = "\"" + graft.monitor.Monitor.jsonEscape(k) + "\":"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma decimal separator would corrupt the hand-built JSON line
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => jkey(k) + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, mb, _) => jkey(k) + f"$mb%.1f" }
+    val sh = results.map { case (k, _, mb, _) => jkey(k) + num(mb, 1) }
       .mkString("{", ",", "}")
     val spills = results.filter(_._4 > 0.5)
-      .map { case (k, _, _, mb) => jkey(k) + f"$mb%.1f" }
+      .map { case (k, _, _, mb) => jkey(k) + num(mb, 1) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     // load snapshot AFTER the timed passes: os_load1_end reflects the
@@ -123,7 +127,7 @@ object Bench {
     val wallNs = (System.nanoTime() - benchWall0).toDouble
     val cpuAvg =
       if (benchCpu0 < 0) -1.0 else (procCpuNs - benchCpu0) / wallNs / nCores
-    val loadJson = f""""cpus":$nCores,"os_load1_start":$loadStart%.2f,"os_load1_end":$loadAvg%.2f,"cpu_proc_avg":$cpuAvg%.3f"""
+    val loadJson = s""""cpus":$nCores,"os_load1_start":${num(loadStart, 2)},"os_load1_end":${num(loadAvg, 2)},"cpu_proc_avg":${num(cpuAvg, 3)}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size

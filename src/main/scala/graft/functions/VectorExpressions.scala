@@ -278,9 +278,6 @@ object VectorFunctions {
     call_function("graft_cms", item, lit(depth), lit(width))
   }
 
-  /** Mergeable Misra-Gries heavy-hitters sketch of a string column:
-    * map of ≤ k candidate items → estimated counts (est undercounts by
-    * at most N/k; every item with freq > N/k is present). */
   /** Codegen'd single-pass CDC boundary positions (1-based) of a
     * string column. */
   def cdcBoundaries(spark: SparkSession, text: Column, gram: Int,
@@ -289,6 +286,9 @@ object VectorFunctions {
     call_function("graft_cdc_boundaries", text, lit(gram), lit(mod))
   }
 
+  /** Mergeable Misra-Gries heavy-hitters sketch of a string column:
+    * map of ≤ k candidate items → estimated counts (est undercounts by
+    * at most N/k; every item with freq > N/k is present). */
   def topk(spark: SparkSession, item: Column, k: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_topk", item, lit(k))

@@ -1301,10 +1301,13 @@ object Multimodal {
       out = out
         .withColumn(s"_fid$i", bin.substr(fo, lit(4)).cast("string"))
         .withColumn(s"_fsz$i", syncsafe(fo + 4))
+        // liveness = header AND declared payload fit inside the tag
+        // (header-only would let a truncated tag's oversized size
+        // field pull post-tag audio bytes out as frame text);
         // coalesce: a frame offset derived PAST the binary end is
         // null, and true && null = null would poison the n_frames sum
         .withColumn(s"_fok$i", coalesce(
-          col("_i3ok") && fo + 9 <= col("_i3end") &&
+          col("_i3ok") && fo + 9 + col(s"_fsz$i") <= col("_i3end") &&
             col(s"_fid$i").rlike("^[A-Z0-9]{4}$") && col(s"_fsz$i") > 0,
           lit(false)))
         .withColumn(s"_fo${i + 1}",

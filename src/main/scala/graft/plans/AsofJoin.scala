@@ -102,18 +102,29 @@ case class AsofMatch(leftTs: Expression, rightTs: Expression)
     copy(leftTs = l, rightTs = r)
 }
 
-/** Recognizes Join(LeftOuter, key-equality AND AsofMatch) and plans
-  * the sorted-merge exec. A marker join the strategy CANNOT handle
-  * (wrong key types, extra conjuncts) throws: falling through to
+/** Recognizes Join(key-equality AND AsofMatch) and plans the
+  * sorted-merge exec. LeftOuter is the native shape; Inner is ALSO
+  * handled because the optimizer's EliminateOuterJoin legitimately
+  * converts the marker join to Inner when a null-intolerant filter
+  * on right columns sits above it — planned as the same merge plus a
+  * right-key-not-null filter (latest-match inner semantics), so the
+  * rewrite cannot silently bring back multi-match joining. Any OTHER
+  * join type carrying the marker, or a marker join with extra
+  * conjuncts / unsupported key types, throws: falling through to
   * normal planning would silently produce multi-match semantics. */
 class AsofJoinStrategy extends SparkStrategy {
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
 
   private def keyOk(t: DataType) = t == LongType || t == IntegerType
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ Join(l, r, LeftOuter, Some(cond), _)
+    case j @ Join(l, r, joinType, Some(cond), _)
         if cond.exists(_.isInstanceOf[AsofMatch]) =>
+      if (joinType != LeftOuter && joinType != Inner)
+        throw new IllegalArgumentException(
+          s"graft asof join supports LEFT OUTER (native) and INNER " +
+            s"(EliminateOuterJoin residue) shapes, got $joinType")
       // split cond into the marker and the single equi-key
       def split(e: Expression): Seq[Expression] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
@@ -142,8 +153,18 @@ class AsofJoinStrategy extends SparkStrategy {
       if (!keyOk(lk.dataType) || !keyOk(rk.dataType))
         throw new IllegalArgumentException(
           s"graft asof join v1 supports int/long keys, got ${lk.dataType}")
-      AsofJoinExec(lk, rk, m.leftTs, m.rightTs,
-        planLater(l), planLater(r), j.output) :: Nil
+      // the merge's output is left-outer shaped; an Inner marker join
+      // (EliminateOuterJoin residue) additionally drops the unmatched
+      // rows via a right-key-not-null filter on top
+      val merged = AsofJoinExec(lk, rk, m.leftTs, m.rightTs,
+        planLater(l), planLater(r),
+        l.output ++ r.output.map(_.withNullability(true)))
+      val shaped: SparkPlan =
+        if (joinType == Inner)
+          org.apache.spark.sql.execution.FilterExec(
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(rk), merged)
+        else merged
+      shaped :: Nil
     case _ => Nil
   }
 }
@@ -175,7 +196,20 @@ case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
     val rkExpr = bindLong(rightKey, right.output)
     val rtExpr = bindLong(rightTs, right.output)
     val rightWidth = right.output.length
+    val allAttrs = left.output ++ right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // parents (shuffle serializer, executeCollect's byte-array RDD,
+      // cache) require UnsafeRow output — project the JoinedRow
+      // through an UnsafeProjection exactly as the built-in joins do.
+      // Bind every field nullable=true BY HAND: the right child's
+      // attributes are non-nullable, and a non-nullable BoundReference
+      // skips isNullAt in generated code — the all-null unmatched row
+      // would silently read as zeros
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(allAttrs.zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, a.dataType, nullable = true): Expression
+        }.toIndexedSeq)
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val nullRight =
@@ -206,7 +240,7 @@ case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
           val l = lIter.next()
           val lk = lkExpr.eval(l)
           val lt = ltExpr.eval(l)
-          if (lk == null || lt == null) return joined(l, nullRight)
+          if (lk == null || lt == null) return toUnsafe(joined(l, nullRight))
           val lKey = toLong(lk)
           val lTs = toLong(lt)
           if (held != null && heldKey != lKey) held = null
@@ -214,7 +248,7 @@ case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
             if (rKey == lKey) { held = rRow.copy(); heldKey = lKey }
             advanceRight()
           }
-          joined(l, if (held != null) held else nullRight)
+          toUnsafe(joined(l, if (held != null) held else nullRight))
         }
       }
     }

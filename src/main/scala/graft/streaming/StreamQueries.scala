@@ -344,7 +344,10 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"))
     val totals = exact.groupBy("hour", "event_type")
       .agg(sum("n_events").as("n_total"))
-    val est = element_at(col("cand"), col("user_id").cast("string"))
+    // try_element_at: ANSI element_at THROWS on an absent map key, so
+    // a coverage failure (the very thing `present` reports) would
+    // crash the query instead of setting the flag to 0
+    val est = try_element_at(col("cand"), col("user_id").cast("string"))
     exact.join(totals, Seq("hour", "event_type"))
       .filter(col("n_events") * MgHourlyK > col("n_total"))
       .join(cand, Seq("hour", "event_type"))

@@ -403,7 +403,12 @@ class MultimodalSpec extends SparkSpec {
         (2L, tag(alb + tpe + tit, 0)),    // reversed order, no padding
         (3L, tag(tit, 40)),               // one frame, wide padding
         (4L, "fffb9000"),                 // bare mp3, no tag
-        (5L, "49443304000000000148"))     // header only, empty tag
+        (5L, "49443304000000000148"),     // header only, empty tag
+        // tag declares 30 bytes but the TIT2 frame claims a 1000-byte
+        // payload: header fits, payload overflows the tag → frame dead
+        (6L, "494433" + "0400" + "00" + ss4(30) +
+          hexOf("TIT2") + ss4(1000) + "0000" + "00" + hexOf("X" * 19) +
+          hexOf("POST-TAG-AUDIO-BYTES")))
         .toDF("id", "hx")
         .select(col("id"), unhex(col("hx")).as("p")), "p")
       .select("id", "valid_id3", "n_frames", "title", "artist", "album")
@@ -418,6 +423,8 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((1, 1, "So Long", "-", "-")), s"${out(3L)}")
     assert(out(4L) == ((0, -1, "-", "-", "-")), "no tag nulls everything")
     assert(out(5L) == ((1, 0, "-", "-", "-")), s"empty tag: ${out(5L)}")
+    assert(out(6L) == ((1, 0, "-", "-", "-")),
+      s"oversized frame payload must not escape the declared tag: ${out(6L)}")
   }
 
   test("H15 withPngChunks hops variable chunks to pHYs/tEXt; stops at IEND; junk rejected") {

@@ -67,17 +67,46 @@ class AsofJoinSpec extends SparkSpec {
     assert(viaExec.nonEmpty && viaExec == viaWindow)
   }
 
+  test("K15 exec output survives a bare collect (UnsafeRow contract)") {
+    val (left, right) = fixture
+    // NO projection on top: executeCollect's byte-array RDD casts
+    // rows to UnsafeRow, so the exec must emit unsafe rows itself
+    val rows = AsofJoin.join(left, right,
+      col("user_id"), col("r_key"), col("left_ts"), col("right_ts"))
+      .collect()
+    assert(rows.length == 6)
+  }
+
+  test("K15 inner-converted marker join keeps latest-match semantics") {
+    val (left, right) = fixture
+    // the null-intolerant filter on a right column lets
+    // EliminateOuterJoin convert the marker join to Inner — the
+    // strategy must still plan the merge (plus a not-null filter),
+    // never a multi-match inner join
+    val out = AsofJoin.join(left, right,
+      col("user_id"), col("r_key"), col("left_ts"), col("right_ts"))
+      .filter(col("right_id") > 0L)
+      .select(col("left_id"), col("right_id"))
+    assert(findAsof(out) == 1, "inner-converted shape must still merge")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(102L -> 12L, 103L -> 12L, 104L -> 13L),
+      s"one latest match per left row, unmatched dropped: $got")
+  }
+
   test("K15 strategy refuses a marker join it cannot plan correctly") {
     val (left, right) = fixture
     val bad = intercept[Exception] {
-      // extra conjunct the merge cannot honor → must throw, not
-      // silently fall back to multi-match outer-join semantics
+      // a CROSS-SIDE extra conjunct the merge cannot honor — and one
+      // the optimizer cannot push out of a left-outer join condition
+      // (a single-side conjunct WOULD be legally pushed into the
+      // right child, leaving a plannable marker join) → must throw,
+      // not silently fall back to multi-match outer-join semantics
       AsofJoin.ensureInstalled(spark)
       graft.functions.VectorFunctions.ensureRegistered(spark)
       left.join(right,
         col("user_id") === col("r_key") &&
           call_function("graft_asof_match", col("left_ts"), col("right_ts")) &&
-          col("right_id") > 11L, "left_outer")
+          col("left_id") > col("right_id"), "left_outer")
         .collect()
     }
     assert(bad.getMessage != null)
