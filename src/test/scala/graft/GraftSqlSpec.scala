@@ -47,5 +47,25 @@ class GraftSqlSpec extends SparkSpec {
     val cms = spark.sql(
       "SELECT graft_cms(event_type, 4, 64) AS s FROM events").collect()
     assert(cms.length == 1 && cms.head.getAs[Seq[Long]](0).sum > 0)
+    // r10: CDC boundary kernel from SQL — first boundary is always 1
+    val cdc = spark.sql(
+      "SELECT graft_cdc_boundaries(text, 8, 64) AS b FROM documents WHERE doc_id = 0")
+      .collect()
+    assert(cdc.length == 1 && cdc.head.getAs[Seq[Int]](0).headOption.contains(1))
+    // r10: the as-of marker drives the K15 merge operator from SQL
+    graft.plans.AsofJoin.ensureInstalled(spark)
+    val asof = spark.sql(
+      """SELECT count(*) AS n FROM
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT OUTER JOIN
+        |  (SELECT user_id AS u2, ts AS ts2, max(event_id) AS rid
+        |   FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+        |ON p.user_id = c.u2 AND graft_asof_match(p.ts, c.ts2)""".stripMargin)
+      .collect()
+    val purchases = spark.sql(
+      "SELECT count(*) FROM events WHERE event_type = 'purchase'")
+      .collect().head.getLong(0)
+    assert(asof.head.getLong(0) == purchases,
+      "as-of from SQL must emit exactly one row per left row")
   }
 }
