@@ -196,7 +196,12 @@ object VectorFunctions {
       CdcBoundaries(es(0), es(1).eval().asInstanceOf[Number].intValue,
         es(2).eval().asInstanceOf[Number].intValue)
     },
-    "graft_asof_match" -> { es => graft.plans.AsofMatch(es(0), es(1)) },
+    "graft_asof_match" -> { es =>
+      if (es.length >= 3)
+        graft.plans.AsofMatch(es(0), es(1),
+          es(2).eval().asInstanceOf[Number].longValue)
+      else graft.plans.AsofMatch(es(0), es(1))
+    },
     "graft_simhash_agg" -> { es => SimHashAgg(es.head).toAggregateExpression() },
     "graft_qhist"       -> { es =>
       def num(e: Expression): Double = e.eval().asInstanceOf[Number].doubleValue()

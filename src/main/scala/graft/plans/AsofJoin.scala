@@ -51,33 +51,46 @@ object AsofJoin {
 
   /** As-of join `left` to `right`: equi-key `leftKey = rightKey` plus
     * the as-of condition rightTs <= leftTs resolved to the LATEST
-    * right row. Column names must be disjoint (rename the right side
-    * first — same rule as any self-join). */
+    * right row; a finite `tolMicros` additionally requires
+    * leftTs − rightTs ≤ tolMicros (the attribution window). Column
+    * names must be disjoint (rename the right side first — same rule
+    * as any self-join). */
   def join(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTs: Column, rightTs: Column): DataFrame = {
+      leftTs: Column, rightTs: Column,
+      tolMicros: Long = Long.MaxValue): DataFrame = {
     val spark = left.sparkSession
     ensureInstalled(spark)
     // the marker rides the public FunctionRegistry (the repo's
     // standard Column-from-Expression bridge)
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    left.join(right,
-      leftKey === rightKey && org.apache.spark.sql.functions
-        .call_function("graft_asof_match", leftTs, rightTs), "left_outer")
+    val marker =
+      if (tolMicros == Long.MaxValue)
+        org.apache.spark.sql.functions
+          .call_function("graft_asof_match", leftTs, rightTs)
+      else org.apache.spark.sql.functions.call_function(
+        "graft_asof_match", leftTs, rightTs,
+        org.apache.spark.sql.functions.lit(tolMicros))
+    left.join(right, leftKey === rightKey && marker, "left_outer")
   }
 }
 
-/** Marker condition: `rightTs <= leftTs` AS AN AS-OF MATCH. Evaluable
-  * as a plain boolean (so analysis passes and EXPLAIN shows honest
-  * semantics), but its real role is to be recognized by
-  * [[AsofJoinStrategy]], which replaces the multi-match outer join
-  * with the latest-match merge. */
-case class AsofMatch(leftTs: Expression, rightTs: Expression)
+/** Marker condition: `rightTs <= leftTs` (and, with a finite
+  * `tolMicros`, `leftTs − rightTs <= tolMicros` — the attribution
+  * window: the latest right event but only within Δt) AS AN AS-OF
+  * MATCH. Evaluable as a plain boolean (so analysis passes and
+  * EXPLAIN shows honest semantics), but its real role is to be
+  * recognized by [[AsofJoinStrategy]], which replaces the
+  * multi-match outer join with the latest-match merge. */
+case class AsofMatch(leftTs: Expression, rightTs: Expression,
+    tolMicros: Long = Long.MaxValue)
     extends BinaryExpression {
   override def left: Expression = leftTs
   override def right: Expression = rightTs
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_asof_match"
+
+  require(tolMicros > 0, s"tolerance must be positive, got $tolMicros")
 
   private def tsOk(t: DataType) = t match {
     case TimestampType | TimestampNTZType | LongType | IntegerType => true
@@ -94,10 +107,13 @@ case class AsofMatch(leftTs: Expression, rightTs: Expression)
     case i: Int => i.toLong
     case l: Long => l
   }
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    asLong(r) <= asLong(l)
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val lt = asLong(l); val rt = asLong(r)
+    rt <= lt && lt - rt <= tolMicros
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (l, r) => s"((long) $r) <= ((long) $l)")
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"(((long) $r) <= ((long) $l) && ((long) $l) - ((long) $r) <= ${tolMicros}L)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(leftTs = l, rightTs = r)
 }
@@ -156,7 +172,7 @@ class AsofJoinStrategy extends SparkStrategy {
       // the merge's output is left-outer shaped; an Inner marker join
       // (EliminateOuterJoin residue) additionally drops the unmatched
       // rows via a right-key-not-null filter on top
-      val merged = AsofJoinExec(lk, rk, m.leftTs, m.rightTs,
+      val merged = AsofJoinExec(lk, rk, m.leftTs, m.rightTs, m.tolMicros,
         planLater(l), planLater(r),
         l.output ++ r.output.map(_.withNullability(true)))
       val shaped: SparkPlan =
@@ -171,9 +187,12 @@ class AsofJoinStrategy extends SparkStrategy {
 
 /** Sorted-merge as-of join: children clustered on their keys and
   * sorted (key, ts) ascending; one forward pass per partition holds
-  * at most one copied right row. */
+  * at most one copied right row. A finite `tolMicros` nulls matches
+  * staler than the window PER LEFT ROW (the held row stays buffered —
+  * it is still the latest candidate for later, larger-ts left rows,
+  * which are only MORE stale, but a fresh right row may rescue them). */
 case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression,
+    leftTs: Expression, rightTs: Expression, tolMicros: Long,
     left: SparkPlan, right: SparkPlan,
     override val output: Seq[Attribute]) extends BinaryExecNode {
 
@@ -234,6 +253,7 @@ case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
         }
         private var held: InternalRow = _
         private var heldKey = 0L
+        private var heldTs = 0L
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
@@ -245,10 +265,14 @@ case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
           val lTs = toLong(lt)
           if (held != null && heldKey != lKey) held = null
           while (rHas && (rKey < lKey || (rKey == lKey && rTs <= lTs))) {
-            if (rKey == lKey) { held = rRow.copy(); heldKey = lKey }
+            if (rKey == lKey) { held = rRow.copy(); heldKey = lKey; heldTs = rTs }
             advanceRight()
           }
-          toUnsafe(joined(l, if (held != null) held else nullRight))
+          // tolerance is judged per left row: lTs - heldTs grows with
+          // later lefts, so a stale held row nulls here but remains
+          // the latest candidate until a fresher right replaces it
+          val matched = held != null && lTs - heldTs <= tolMicros
+          toUnsafe(joined(l, if (matched) held else nullRight))
         }
       }
     }

@@ -133,6 +133,32 @@ object StreamQueries {
         round(percentile(col("value"), lit(0.99)), 4).as("p99"))
   }
 
+  /** K15 tolerance face: micros in the 1-day attribution window. */
+  val AsofTolMicros: Long = 24L * 3600 * 1000000
+
+  /** K15 tolerance face: ev_asof_exec's question bounded to a 1-day
+    * window — the latest click still attributes a purchase ONLY
+    * within Δt (the attribution-window semantics ev_attribution's
+    * range join answers; here via the merge operator's per-left-row
+    * staleness check). At sf0.01 the window genuinely splits the
+    * surface: ~40% fresh matches, ~60% stale-nulled, plus the
+    * never-matched — all three legs oracled. */
+  def evAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"), col("value"))
+    val right = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("r_key"), col("ts").as("right_ts"))
+      .agg(max(col("event_id")).as("right_id"))
+    graft.plans.AsofJoin.join(left, right,
+        col("user_id"), col("r_key"), col("left_ts"), col("right_ts"),
+        tolMicros = AsofTolMicros)
+      .select(col("user_id"), col("left_id"), col("left_ts"), col("value"),
+        col("right_id"), col("right_ts"))
+  }
+
   /** K15 face: the SAME as-of question as ev_asof, answered by the
     * custom sorted-merge AsofJoinExec instead of the union+window
     * composition — both stay registered so the driver hash-checks the
@@ -409,6 +435,7 @@ object StreamQueries {
     "ev_attribution_outer" -> (evAttributionOuter _),
     "ev_asof"        -> (evAsof _),
     "ev_asof_exec"   -> (evAsofExec _),
+    "ev_asof_tol"    -> (evAsofTol _),
     "ev_value_percentiles" -> (evValuePercentiles _),
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
@@ -764,6 +791,18 @@ object StreamQueries {
 
     // the K15 custom merge operator answers the identical question
     "ev_asof_exec" -> asofOracleSql,
+
+    // tolerance leg: the unbounded answer with matches staler than
+    // the window nulled — the most-recent row is the ONLY candidate,
+    // so bounding ≡ post-nulling the unbounded result
+    "ev_asof_tol" ->
+      s"""WITH base AS ($asofOracleSql)
+         |SELECT user_id, left_id, left_ts, value,
+         |  CASE WHEN left_ts - right_ts <= INTERVAL 1 DAY
+         |    THEN right_id END AS right_id,
+         |  CASE WHEN left_ts - right_ts <= INTERVAL 1 DAY
+         |    THEN right_ts END AS right_ts
+         |FROM base""".stripMargin,
 
     // quantile_cont shares percentile()'s lower + (upper−lower)·frac
     // interpolation at rank p·(n−1); round-4 absorbs ulp

@@ -93,6 +93,29 @@ class AsofJoinSpec extends SparkSpec {
       s"one latest match per left row, unmatched dropped: $got")
   }
 
+  test("K15 tolerance nulls stale matches per left row but keeps the candidate buffered") {
+    val (left, right) = fixture
+    // tol = 12s: purchase@20 matches click@20 (Δ0) and click@20 also
+    // still serves purchase@30 (Δ10 ≤ 12) but NOT purchase@40 via
+    // click@35 (Δ5 ≤ 12 — fresh right row rescued it); tighten to 4s:
+    // purchase@30 goes stale (Δ10 > 4) while purchase@40 keeps
+    // click@35 (Δ5 > 4 → also stale)
+    def run(tolSec: Long) = AsofJoin.join(left, right,
+        col("user_id"), col("r_key"), col("left_ts"), col("right_ts"),
+        tolMicros = tolSec * 1000000L)
+      .select(col("left_id"), col("right_id")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val wide = run(12)
+    assert(wide(102L) == 12L && wide(103L) == 12L && wide(104L) == 13L,
+      s"all within 12s: $wide")
+    val tight = run(4)
+    assert(tight(102L) == 12L, "equal-ts match is Δ0")
+    assert(tight(103L) == -1L, "Δ10 > 4s must null, not fall back to older rows")
+    assert(tight(104L) == -1L, "Δ5 > 4s must null")
+    assert(tight(101L) == -1L && tight(201L) == -1L && tight(301L) == -1L)
+  }
+
   test("K15 strategy refuses a marker join it cannot plan correctly") {
     val (left, right) = fixture
     val bad = intercept[Exception] {
