@@ -133,6 +133,32 @@ object StreamQueries {
         round(percentile(col("value"), lit(0.99)), 4).as("p99"))
   }
 
+  /** I26 histogram shape: [0, 512) in 32 bins of exact width 16 —
+    * covers the value column's [0.01, 490] range with no edge-bin
+    * clamping in play, and both 512.0/32 and the per-value (x−0)/16
+    * are exact double operations the oracle reproduces bit-for-bit. */
+  val QhLo = 0.0
+  val QhHi = 512.0
+  val QhBins = 32
+
+  /** I26: windowed quantile-histogram face — K5's `graft_qhist` per
+    * 1-hour window, the third member of the I22/I23 windowed-sketch
+    * family. Like I23 (and unlike I22's engine-specific HLL), the
+    * sketch VALUES are oracle-checkable: the bin of a value is a pure
+    * deterministic function (floor((x−lo)/w), clamped) and merge is
+    * vector add, so DuckDB reproduces every counter cell for cell.
+    * Emitted exploded as (hour, bin, cnt>0) rows — the whole
+    * histogram is value-checked, not a derived bound. */
+  def evQhistHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(graft.functions.VectorFunctions
+        .qhist(spark, col("value"), QhLo, QhHi, QhBins).as("h"))
+      .select(col("hour"), posexplode(col("h")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+  }
+
   /** K15 tolerance face: micros in the 1-day attribution window. */
   val AsofTolMicros: Long = 24L * 3600 * 1000000
 
@@ -450,6 +476,7 @@ object StreamQueries {
     "ev_hourly_distinct" -> (evHourlyDistinct _),
     "ev_cms_hourly"  -> (evCmsHourly _),
     "ev_mg_hourly"   -> (evMgHourly _),
+    "ev_qhist_hourly" -> (evQhistHourly _),
   )
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
@@ -803,6 +830,18 @@ object StreamQueries {
          |  CASE WHEN left_ts - right_ts <= INTERVAL 1 DAY
          |    THEN right_ts END AS right_ts
          |FROM base""".stripMargin,
+
+    // mirrors evQhistHourly cell for cell: bin = clamped
+    // floor((value − lo)/w) is a pure deterministic double function
+    // (w = 16 exact), merge is vector add — the I23 values-not-bounds
+    // convention for the quantile sketch
+    "ev_qhist_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour,
+         |  least(${QhBins - 1}, greatest(0,
+         |    floor((value - $QhLo) / ${(QhHi - QhLo) / QhBins})))::int AS bin,
+         |  count(*) AS cnt
+         |FROM events
+         |GROUP BY 1, 2""".stripMargin,
 
     // quantile_cont shares percentile()'s lower + (upper−lower)·frac
     // interpolation at rank p·(n−1); round-4 absorbs ulp
