@@ -82,6 +82,38 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(docs.exists(s => actual(s).length > 1), "no interior boundaries")
   }
 
+  test("cdc boundary kernel property: random strings incl. multi-byte and edge lengths") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gram = 8
+    val mod = 16 // coarser mod → denser boundaries → more hash-path coverage
+    def expected(s: String): Seq[Int] = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val cps = s.codePoints().toArray
+      1 +: (2 to math.max(cps.length - gram + 1, 1)).filter { i =>
+        val g = new String(cps, i - 1, gram)
+        val h = digest.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % mod == 0
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcdefgh 0123", "äöü€aβ", "aé中")
+    for (trial <- 1 to 40) {
+      val alpha = alphabets(trial % alphabets.length)
+      val len = trial % 12 match {
+        case 0 => 0
+        case 1 => gram - 1
+        case 2 => gram
+        case _ => 1 + rnd.nextInt(200)
+      }
+      val s = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      if (s.nonEmpty) {
+        val got = CdcBoundariesImpl.boundaries(UTF8String.fromString(s), gram, mod)
+          .toIntArray().toSeq
+        assert(got == expected(s), s"trial $trial diverged on '${s.take(40)}'")
+      }
+    }
+  }
+
   test("interpreted eval path matches codegen path") {
     val x = Literal.create(Seq(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
     val y = Literal.create(Seq(-1.0f, 0.5f, 2.0f), ArrayType(FloatType))

@@ -116,6 +116,39 @@ class AsofJoinSpec extends SparkSpec {
     assert(tight(101L) == -1L && tight(201L) == -1L && tight(301L) == -1L)
   }
 
+  test("K15 randomized parity: merge exec ≡ union+window composition incl. ties") {
+    // seeded generator: dense key space + coarse timestamps force key
+    // collisions, ts ties (left==right and right==right), and empty
+    // sides — the merge's edge geometry — while staying reproducible
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nL = 20 + rnd.nextInt(60)
+      val nR = rnd.nextInt(80)
+      val lefts = (1 to nL).map(i =>
+        (rnd.nextInt(6).toLong, 1000L + i, ts(rnd.nextInt(50)), rnd.nextDouble()))
+      val rights = (1 to nR).map(i =>
+        (rnd.nextInt(6).toLong, 2000L + i, ts(rnd.nextInt(50)), 0.0))
+      val left = lefts.toDF("user_id", "event_id", "ts", "value")
+      val right = rights.toDF("user_id", "event_id", "ts", "value")
+      val viaWindow = graft.streaming.EventOps
+        .asOfJoin(left, right, "user_id", "ts", "event_id", "value")
+        .collect().map(_.toString).toSet
+      val dedupedRight = right.groupBy(col("user_id").as("r_key"),
+          col("ts").as("right_ts"))
+        .agg(max(col("event_id")).as("right_id"))
+      val viaExec = AsofJoin.join(
+          left.select(col("user_id"), col("event_id").as("left_id"),
+            col("ts").as("left_ts"), col("value")),
+          dedupedRight,
+          col("user_id"), col("r_key"), col("left_ts"), col("right_ts"))
+        .select(col("user_id"), col("left_id"), col("left_ts"),
+          col("value"), col("right_id"), col("right_ts"))
+        .collect().map(_.toString).toSet
+      assert(viaExec == viaWindow,
+        s"trial $trial (nL=$nL nR=$nR): ${(viaExec diff viaWindow).take(3)} vs ${(viaWindow diff viaExec).take(3)}")
+    }
+  }
+
   test("K15 strategy refuses a marker join it cannot plan correctly") {
     val (left, right) = fixture
     val bad = intercept[Exception] {
