@@ -786,12 +786,6 @@ object Graphs {
         (pin(directed.select(col("u"), col("v")), "v"),
           pin(directed.select(col("u"), col("v")), "u"))
       else (directed, directed)
-    // wrap the INITIAL frontiers too (they are |V| rows — broadcast
-    // only under the same guard as the loop's)
-    def guard(f: DataFrame): DataFrame = {
-      val n = f.count()
-      if (n > 0 && n < SccBroadcastRows) broadcast(f) else f
-    }
     var st = (labels match {
       case Some(l) =>
         l.select(col("id"), col("lbl").as("fwd_min"), col("lbl").as("bwd_min"))
@@ -800,10 +794,14 @@ object Graphs {
           .distinct()
           .select(col("id"), col("id").as("fwd_min"), col("id").as("bwd_min"))
     }).localCheckpoint(eager = true)
-    var chF = guard(st.select(col("id"), col("fwd_min").as("m"))
-      .localCheckpoint(eager = true))
-    var chB = guard(st.select(col("id"), col("bwd_min").as("m"))
-      .localCheckpoint(eager = true))
+    // initial frontiers are |V|-row SELECTS over the checkpointed
+    // state — no further checkpoint needed (re-scanning a checkpoint
+    // is cheap), and ONE count guards both broadcasts
+    val n0 = st.count()
+    def guard0(f: DataFrame): DataFrame =
+      if (n0 > 0 && n0 < SccBroadcastRows) broadcast(f) else f
+    var chF = guard0(st.select(col("id"), col("fwd_min").as("m")))
+    var chB = guard0(st.select(col("id"), col("bwd_min").as("m")))
     var i = 0
     var fixedPoint = false
     while (i < rounds && !fixedPoint) {
@@ -820,24 +818,30 @@ object Graphs {
           (coalesce(col("cb"), col("bwd_min")) < col("bwd_min")).as("bd"))
         .localCheckpoint(eager = true)
       st = merged.select(col("id"), col("fwd_min"), col("bwd_min"))
-      // frontier broadcast is decided EXPLICITLY from the exact row
-      // count the fixed-point check already pays for: AQE alone can't
-      // save the edge side here — both shuffle stages of the SMJ are
-      // submitted concurrently, so by the time the materialized
-      // frontier proves tiny the edge exchange has already run. A
-      // driver-side guard (rows < SccBroadcastRows) broadcasts small
-      // frontiers statically — zero edge movement per round — and
-      // degrades to the shuffle join exactly when a frontier is big
-      // enough that broadcasting it would hurt (the 10⁹-vertex case).
-      def frontier(flag: String, m: String): (DataFrame, Long) = {
+      // frontier broadcast is decided EXPLICITLY from exact row
+      // counts: AQE alone can't save the edge side here — both
+      // shuffle stages of the SMJ are submitted concurrently, so by
+      // the time the materialized frontier proves tiny the edge
+      // exchange has already run. A driver-side guard (rows <
+      // SccBroadcastRows) broadcasts small frontiers statically —
+      // zero edge movement per round — and degrades to the shuffle
+      // join exactly when a frontier is big enough that broadcasting
+      // it would hurt (the 10⁹-vertex case). BOTH counts come from
+      // ONE aggregate over the checkpointed frame, and the frontier
+      // frames themselves are plain filters over that checkpoint —
+      // re-scanned cheaply at use, no per-frontier checkpoint jobs
+      // (r10: 5 driver actions per round cut to 2)
+      val cnt = merged.agg(
+        sum(col("fd").cast("long")).as("nf"),
+        sum(col("bd").cast("long")).as("nb")).collect().head
+      val nF = cnt.getLong(0)
+      val nB = cnt.getLong(1)
+      def frontier(flag: String, m: String, n: Long): DataFrame = {
         val f = merged.filter(col(flag)).select(col("id"), col(m).as("m"))
-          .localCheckpoint(eager = true)
-        val n = f.count()
-        (if (n > 0 && n < SccBroadcastRows) broadcast(f) else f, n)
+        if (n > 0 && n < SccBroadcastRows) broadcast(f) else f
       }
-      val (nf, nF) = frontier("fd", "fwd_min")
-      val (nb, nB) = frontier("bd", "bwd_min")
-      chF = nf; chB = nb
+      chF = frontier("fd", "fwd_min", nF)
+      chB = frontier("bd", "bwd_min", nB)
       fixedPoint = nF == 0 && nB == 0
     }
     if (pinEdges) { eF.unpersist(); eB.unpersist() }
