@@ -1265,6 +1265,56 @@ object Multimodal {
         "bitrate_kbps", "sample_rate", "padding", "frame_len")
   }
 
+  /** H18: ICO directory parse — the favicon-scale asset format. A
+    * 6-byte ICONDIR (reserved 0x0000, type u16le = 1 for icons — 2 is
+    * a cursor and does NOT validate — count u16le ≥ 1) then 16-byte
+    * entries whose FIRST byte pair is the dims with the format's one
+    * quirk: a 0 byte means 256 (the max a byte-sized field can't
+    * spell). Emits the entry count and the first entry's dims + bpp.
+    * Pure codegen'd projection, no UDF, no shuffle. */
+  def withIcoDims(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    def u8(i: Int) = conv(hex(substring(bin, i, 1)), 16, 10).cast("int")
+    val valid = (lower(hex(substring(bin, 1, 4))) === "00000100" &&
+      leU16(bin, lit(5)) >= 1).cast("int")
+    def dim(i: Int) = {
+      val b = u8(i)
+      when(b === 0, 256).otherwise(b)
+    }
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    df.withColumn("valid_ico", valid)
+      .withColumn("n_images", ifOk(leU16(bin, lit(5))))
+      .withColumn("width", ifOk(dim(7)))
+      .withColumn("height", ifOk(dim(8)))
+      .withColumn("bpp", ifOk(leU16(bin, lit(13))))
+  }
+
+  /** H18 driver query: synthesize an ICONDIR + first entry per asset —
+    * dims sweep 1..255 plus the 256-spelled-as-0 quirk on every 8th
+    * asset, bpp cycles the real palette/truecolor values; every 5th
+    * asset is a CURSOR (type 2), which must not validate. Formula
+    * oracle. */
+  def mmIcoDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val isCursor = col("doc_id") % 5 === 0
+    val w = when(col("doc_id") % 8 === 0, lit(0))
+      .otherwise((col("doc_id") % 255 + 1).cast("int"))
+    val h = when(col("doc_id") % 8 === 0, lit(0))
+      .otherwise((col("n_chars") % 255 + 1).cast("int"))
+    val nImg = (col("doc_id") % 3 + 1).cast("int")
+    val bpp = element_at(array(lit(1), lit(4), lit(8), lit(24), lit(32)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    def hx2(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+    def le16(c: org.apache.spark.sql.Column) = concat(
+      hx2(c.bitwiseAND(lit(0xff))), hx2(shiftright(c, 8).bitwiseAND(lit(0xff))))
+    val hx = concat(lit("0000"),
+      when(isCursor, lit("0200")).otherwise(lit("0100")),
+      le16(nImg), hx2(w), hx2(h), lit("0000"), le16(lit(1)), le16(bpp),
+      lit("00000000"), lit("16000000"))
+    withIcoDims(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_ico", "n_images", "width", "height", "bpp")
+  }
+
   /** Max ID3v2 frames the tag walk visits. */
   val Id3MaxFrames = 4
 
@@ -1384,6 +1434,7 @@ object Multimodal {
     "mm_png_chunks" -> (mmPngChunks _),
     "mm_exif_gps"  -> (mmExifGps _),
     "mm_id3_tags"  -> (mmId3Tags _),
+    "mm_ico_dims"  -> (mmIcoDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1589,6 +1640,24 @@ object Multimodal {
         |FROM documents""".stripMargin,
 
     // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit
+    // formula-derived incl. the 0-means-256 quirk and the cursor
+    // rejection leg
+    "mm_ico_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS valid_ico,
+        |  CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 3 + 1)::int END AS n_images,
+        |  CASE WHEN doc_id % 5 <> 0 THEN
+        |    (CASE WHEN doc_id % 8 = 0 THEN 256 ELSE doc_id % 255 + 1 END)::int
+        |  END AS width,
+        |  CASE WHEN doc_id % 5 <> 0 THEN
+        |    (CASE WHEN doc_id % 8 = 0 THEN 256 ELSE n_chars % 255 + 1 END)::int
+        |  END AS height,
+        |  CASE WHEN doc_id % 5 <> 0 THEN
+        |    (CASE doc_id % 5 WHEN 1 THEN 4 WHEN 2 THEN 8 WHEN 3 THEN 24
+        |      WHEN 4 THEN 32 END)::int
+        |  END AS bpp
+        |FROM documents""".stripMargin,
+
     // formula-derived: the tag walk's frame ids/sizes/order are
     // value-checked by reprinting the generating strings; n_frames
     // counts the conditional TALB, absent tag nulls everything

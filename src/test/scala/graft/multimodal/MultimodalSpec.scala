@@ -427,6 +427,33 @@ class MultimodalSpec extends SparkSpec {
       s"oversized frame payload must not escape the declared tag: ${out(6L)}")
   }
 
+  test("H18 withIcoDims reads first-entry dims with the 0-means-256 quirk; cursors rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // 16x32 icon, 3 images, 24bpp
+    val icon = "0000" + "0100" + "0300" + "10" + "20" + "00" + "00" +
+      "0100" + "1800" + "00000000" + "16000000"
+    // 256x256 spelled as 0x00 bytes
+    val big = "0000" + "0100" + "0100" + "00" + "00" + "00" + "00" +
+      "0100" + "2000" + "00000000" + "16000000"
+    val cursor = "0000" + "0200" + "0100" + "10" + "10" + "00" + "00" +
+      "0100" + "0100" + "00000000" + "16000000"
+    val junk = "89504e470d0a1a0a"
+    val out = Multimodal.withIcoDims(
+      Seq((1L, icon), (2L, big), (3L, cursor), (4L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .select("id", "valid_ico", "n_images", "width", "height", "bpp")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5)))).toMap
+    assert(out(1L) == ((1, 3, 16, 32, 24)), s"${out(1L)}")
+    assert(out(2L) == ((1, 1, 256, 256, 32)), s"0 byte must read as 256: ${out(2L)}")
+    assert(out(3L)._1 == 0, "a cursor (type 2) must not validate")
+    assert(out(4L)._1 == 0, "PNG bytes must not validate")
+  }
+
   test("H15 withPngChunks hops variable chunks to pHYs/tEXt; stops at IEND; junk rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
