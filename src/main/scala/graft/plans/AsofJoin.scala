@@ -58,7 +58,17 @@ object AsofJoin {
   def join(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTs: Column, rightTs: Column,
+      tolMicros: Long = Long.MaxValue): DataFrame =
+    joinMulti(left, right, Seq(leftKey), Seq(rightKey),
+      leftTs, rightTs, tolMicros)
+
+  /** Composite-key form: equi-keys pair positionally. */
+  def joinMulti(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTs: Column, rightTs: Column,
       tolMicros: Long = Long.MaxValue): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "need matching non-empty key lists")
     val spark = left.sparkSession
     ensureInstalled(spark)
     // the marker rides the public FunctionRegistry (the repo's
@@ -71,7 +81,9 @@ object AsofJoin {
       else org.apache.spark.sql.functions.call_function(
         "graft_asof_match", leftTs, rightTs,
         org.apache.spark.sql.functions.lit(tolMicros))
-    left.join(right, leftKey === rightKey && marker, "left_outer")
+    val keysEq = leftKeys.zip(rightKeys)
+      .map { case (a, b) => a === b }.reduce(_ && _)
+    left.join(right, keysEq && marker, "left_outer")
   }
 }
 
@@ -150,35 +162,37 @@ class AsofJoinStrategy extends SparkStrategy {
       val parts = split(cond)
       val markers = parts.collect { case m: AsofMatch => m }
       val equis = parts.collect { case e: EqualTo => e }
-      if (markers.length != 1 || equis.length != 1 ||
-          parts.length != 2)
+      if (markers.length != 1 || equis.isEmpty ||
+          parts.length != equis.length + 1)
         throw new IllegalArgumentException(
-          s"graft asof join needs exactly (key = key) AND graft_asof_match, got: $cond")
+          s"graft asof join needs (k1 = k1) [AND …] AND graft_asof_match, got: $cond")
       val m = markers.head
-      val eq = equis.head
       val lOut = l.outputSet
-      // orient the equality and the marker legs to their sides
-      val (lk, rk) =
+      // orient each equality to its side
+      val (lks, rks) = equis.map { eq =>
         if (eq.left.references.subsetOf(lOut)) (eq.left, eq.right)
         else (eq.right, eq.left)
-      if (!lk.references.subsetOf(lOut) || !rk.references.subsetOf(r.outputSet) ||
-          !m.leftTs.references.subsetOf(lOut) ||
-          !m.rightTs.references.subsetOf(r.outputSet))
+      }.unzip
+      val legsOk = lks.forall(_.references.subsetOf(lOut)) &&
+        rks.forall(_.references.subsetOf(r.outputSet)) &&
+        m.leftTs.references.subsetOf(lOut) &&
+        m.rightTs.references.subsetOf(r.outputSet)
+      if (!legsOk)
         throw new IllegalArgumentException(
           s"graft asof join: condition legs not split across sides: $cond")
-      if (!keyOk(lk.dataType) || !keyOk(rk.dataType))
+      (lks ++ rks).find(k => !keyOk(k.dataType)).foreach(k =>
         throw new IllegalArgumentException(
-          s"graft asof join v1 supports int/long keys, got ${lk.dataType}")
+          s"graft asof join supports int/long keys, got ${k.dataType}"))
       // the merge's output is left-outer shaped; an Inner marker join
       // (EliminateOuterJoin residue) additionally drops the unmatched
       // rows via a right-key-not-null filter on top
-      val merged = AsofJoinExec(lk, rk, m.leftTs, m.rightTs, m.tolMicros,
+      val merged = AsofJoinExec(lks, rks, m.leftTs, m.rightTs, m.tolMicros,
         planLater(l), planLater(r),
         l.output ++ r.output.map(_.withNullability(true)))
       val shaped: SparkPlan =
         if (joinType == Inner)
           org.apache.spark.sql.execution.FilterExec(
-            org.apache.spark.sql.catalyst.expressions.IsNotNull(rk), merged)
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(rks.head), merged)
         else merged
       shaped :: Nil
     case _ => Nil
@@ -191,28 +205,31 @@ class AsofJoinStrategy extends SparkStrategy {
   * staler than the window PER LEFT ROW (the held row stays buffered —
   * it is still the latest candidate for later, larger-ts left rows,
   * which are only MORE stale, but a fresh right row may rescue them). */
-case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
+case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, tolMicros: Long,
     left: SparkPlan, right: SparkPlan,
     override val output: Seq[Attribute]) extends BinaryExecNode {
 
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    s"need matching non-empty key lists, got $leftKeys / $rightKeys")
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) ::
-      ClusteredDistribution(rightKey :: Nil) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
-      Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    Seq((leftKeys :+ leftTs).map(SortOrder(_,
+        org.apache.spark.sql.catalyst.expressions.Ascending)),
+      (rightKeys :+ rightTs).map(SortOrder(_,
+        org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lkExpr = bindLong(leftKey, left.output)
+    val nk = leftKeys.length
+    val lkExprs = leftKeys.map(bindLong(_, left.output)).toArray
     val ltExpr = bindLong(leftTs, left.output)
-    val rkExpr = bindLong(rightKey, right.output)
+    val rkExprs = rightKeys.map(bindLong(_, right.output)).toArray
     val rtExpr = bindLong(rightTs, right.output)
     val rightWidth = right.output.length
     val allAttrs = left.output ++ right.output
@@ -233,10 +250,35 @@ case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
         private val joined = new JoinedRow
         private val nullRight =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
+        // composite keys as primitive long buffers, compared
+        // lexicographically — consistent with the (k1, …, kn) asc
+        // sort order because every key is int/long (strategy-gated)
+        private val lKeys = new Array[Long](nk)
+        private val rKeys = new Array[Long](nk)
+        private val heldKeys = new Array[Long](nk)
+        private def cmpKeys(a: Array[Long], b: Array[Long]): Int = {
+          var i = 0
+          while (i < nk) {
+            if (a(i) != b(i)) return java.lang.Long.compare(a(i), b(i))
+            i += 1
+          }
+          0
+        }
+        /** Evaluate `exprs` into `buf`; false if any key is null. */
+        private def evalKeys(exprs: Array[Expression], row: InternalRow,
+            buf: Array[Long]): Boolean = {
+          var i = 0
+          while (i < nk) {
+            val v = exprs(i).eval(row)
+            if (v == null) return false
+            buf(i) = toLong(v)
+            i += 1
+          }
+          true
+        }
         // one-row lookahead on the right, primitives projected before
         // the underlying row object is reused by the next next()
         private var rRow: InternalRow = _
-        private var rKey = 0L
         private var rTs = 0L
         private var rHas = false
         advanceRight()
@@ -244,34 +286,40 @@ case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
           rHas = false
           while (!rHas && rIter.hasNext) {
             val row = rIter.next()
-            val k = rkExpr.eval(row)
             val t = rtExpr.eval(row)
-            if (k != null && t != null) { // null right keys/ts never match
-              rRow = row; rKey = toLong(k); rTs = toLong(t); rHas = true
+            // null right keys/ts never match
+            if (t != null && evalKeys(rkExprs, row, rKeys)) {
+              rRow = row; rTs = toLong(t); rHas = true
             }
           }
         }
         private var held: InternalRow = _
-        private var heldKey = 0L
+        private var heldValid = false
         private var heldTs = 0L
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lk = lkExpr.eval(l)
           val lt = ltExpr.eval(l)
-          if (lk == null || lt == null) return toUnsafe(joined(l, nullRight))
-          val lKey = toLong(lk)
+          if (lt == null || !evalKeys(lkExprs, l, lKeys))
+            return toUnsafe(joined(l, nullRight))
           val lTs = toLong(lt)
-          if (held != null && heldKey != lKey) held = null
-          while (rHas && (rKey < lKey || (rKey == lKey && rTs <= lTs))) {
-            if (rKey == lKey) { held = rRow.copy(); heldKey = lKey; heldTs = rTs }
+          if (heldValid && cmpKeys(heldKeys, lKeys) != 0) heldValid = false
+          var c = if (rHas) cmpKeys(rKeys, lKeys) else 0
+          while (rHas && (c < 0 || (c == 0 && rTs <= lTs))) {
+            if (c == 0) {
+              held = rRow.copy()
+              System.arraycopy(rKeys, 0, heldKeys, 0, nk)
+              heldTs = rTs
+              heldValid = true
+            }
             advanceRight()
+            if (rHas) c = cmpKeys(rKeys, lKeys)
           }
           // tolerance is judged per left row: lTs - heldTs grows with
           // later lefts, so a stale held row nulls here but remains
           // the latest candidate until a fresher right replaces it
-          val matched = held != null && lTs - heldTs <= tolMicros
+          val matched = heldValid && lTs - heldTs <= tolMicros
           toUnsafe(joined(l, if (matched) held else nullRight))
         }
       }

@@ -116,6 +116,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(tight(101L) == -1L && tight(201L) == -1L && tight(301L) == -1L)
   }
 
+  test("K15 composite keys: (tenant, user) pairs do not cross-match") {
+    // same user id under two tenants: the single-key join would
+    // leak tenant A's click into tenant B's purchase
+    val left = Seq((1L, 7L, 501L, ts(20)), (2L, 7L, 502L, ts(20)))
+      .toDF("tenant", "user_id", "left_id", "left_ts")
+    val right = Seq((1L, 7L, 11L, ts(10)), (2L, 7L, 22L, ts(15)))
+      .toDF("r_tenant", "r_user", "right_id", "right_ts")
+    val out = AsofJoin.joinMulti(left, right,
+        Seq(col("tenant"), col("user_id")), Seq(col("r_tenant"), col("r_user")),
+        col("left_ts"), col("right_ts"))
+      .select(col("left_id"), col("right_id"))
+    assert(findAsof(out) == 1)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(501L -> 11L, 502L -> 22L),
+      s"each tenant must match only its own clicks: $got")
+  }
+
   test("K15 randomized parity: merge exec ≡ union+window composition incl. ties") {
     // seeded generator: dense key space + coarse timestamps force key
     // collisions, ts ties (left==right and right==right), and empty
