@@ -1,0 +1,78 @@
+package graft.monitor
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+
+/** J5: executed-plan audit — the scale red-flags this repo's specs
+  * check (exchange counts, codegen spans, scan pushdown) exposed as a
+  * library surface, so a user can assert the SAME invariants on their
+  * own pipelines ("this join must broadcast", "this scan must push
+  * its filter", "no projection may run interpreted") instead of
+  * eyeballing `explain` output at 3am.
+  *
+  * AQE-aware: the finalized plan is a tree of QueryStageExec leaves,
+  * so plain traversal undercounts — the walk recurses INTO stages,
+  * including into shuffle stages (a chained plan nests earlier
+  * ShuffleQueryStages inside a later one's .plan — the r8
+  * countExchanges lesson, shared machinery now).
+  */
+object PlanAudit {
+
+  /** One row of scale truth about an EXECUTED plan. */
+  final case class Audit(
+      shuffleExchanges: Int,
+      broadcastExchanges: Int,
+      sorts: Int,
+      wholeStageSpans: Int,
+      fileScans: Int,
+      scansWithPushedFilters: Int,
+      scansWithPartitionFilters: Int,
+      readColumns: Int) {
+    /** The headline smells, human-readable; empty = clean. */
+    def smells: Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (fileScans > 0 && wholeStageSpans == 0)
+        out += "no whole-stage codegen span anywhere (interpreted plan?)"
+      if (scansWithPushedFilters == 0 && fileScans > 0)
+        out += "no scan pushes any filter (full-table reads)"
+      out.toSeq
+    }
+  }
+
+  /** Materializes `df` through its OWN query execution (a sink write
+    * would spawn a separate execution and leave THIS plan's AQE
+    * stages unfinalized — the audit would read the pre-adaptive
+    * skeleton with no codegen spans): every row of every partition is
+    * consumed executor-side, nothing is collected. Callers that
+    * already ran an action on `df` can pass `materialize = false`. */
+  def audit(df: DataFrame, materialize: Boolean = true): Audit = {
+    if (materialize)
+      df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = {
+      seen += p
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: ShuffleQueryStageExec => walk(s.plan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    val scans = seen.collect { case s: FileSourceScanExec => s }.toSeq
+    Audit(
+      shuffleExchanges = seen.count(_.isInstanceOf[ShuffleExchangeExec]),
+      broadcastExchanges = seen.count(_.isInstanceOf[BroadcastExchangeExec]),
+      sorts = seen.count(_.isInstanceOf[SortExec]),
+      wholeStageSpans = seen.count(_.isInstanceOf[WholeStageCodegenExec]),
+      fileScans = scans.length,
+      scansWithPushedFilters =
+        scans.count(_.metadata.get("PushedFilters").exists(v =>
+          v.nonEmpty && v != "[]")),
+      scansWithPartitionFilters =
+        scans.count(_.partitionFilters.nonEmpty),
+      readColumns = scans.map(_.output.length).sum)
+  }
+}

@@ -94,3 +94,29 @@ class MonitorSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(t)
   }
 }
+
+class PlanAuditSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("J5 audit counts exchanges, codegen spans, and scan pushdown on a real star join") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 45)
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+    val a = graft.monitor.PlanAudit.audit(li)
+    assert(a.shuffleExchanges == 1, s"one agg shuffle expected: $a")
+    assert(a.wholeStageSpans >= 1, s"agg must run codegen'd: $a")
+    assert(a.fileScans == 1 && a.scansWithPushedFilters == 1,
+      s"the quantity filter must reach the scan: $a")
+    assert(a.readColumns == 2, s"pruned read schema expected: $a")
+    assert(a.smells.isEmpty, s"clean plan must report no smells: ${a.smells}")
+  }
+
+  test("J5 audit sees the broadcast side of a dim join") {
+    val j = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+    val a = graft.monitor.PlanAudit.audit(j)
+    assert(a.broadcastExchanges == 1, s"nation must broadcast: $a")
+  }
+}
