@@ -709,11 +709,22 @@ object Graphs {
     val all = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .distinct().localCheckpoint(eager = true)
     var frontier = all
+    // guarded frontier broadcast (the SCC move, r10): with the edge
+    // side u-pinned and the frontier broadcast, the hop join moves
+    // NOTHING — the per-round distinct is the only shuffle left; the
+    // count also buys the early exit (an empty frontier means every
+    // remaining round is a no-op, so levels are already final)
+    var nF = frontier.count()
     var acc = all.withColumn("level", lit(0))
-    for (i <- 1 to iterations) {
-      frontier = e.join(frontier.select(col("id")), e("u") === col("id"))
+    var i = 1
+    while (i <= iterations && nF > 0) {
+      val f = if (nF < SccBroadcastRows) broadcast(frontier.select(col("id")))
+              else frontier.select(col("id"))
+      frontier = e.join(f, e("u") === col("id"))
         .select(e("v").as("id")).distinct().localCheckpoint(eager = true)
-      acc = acc.unionAll(frontier.withColumn("level", lit(i)))
+      nF = frontier.count()
+      if (nF > 0) acc = acc.unionAll(frontier.withColumn("level", lit(i)))
+      i += 1
     }
     val out = acc.groupBy("id").agg(max(col("level")).as("level"))
       .localCheckpoint(eager = true)
