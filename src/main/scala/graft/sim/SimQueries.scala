@@ -205,8 +205,19 @@ object SimQueries {
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  /** F14 radius: same query set as F1, cosine ≥ 0.3 (≈40 rows at
+    * sf0.01 — nonempty at every SF without flooding). */
+  val RangeTau = 0.3
+
+  def simRange(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.rangeSearch(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < NumQueries), RangeTau)
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_topk_brute" -> (simTopkBrute _),
+    "sim_range"      -> (simRange _),
     "sim_ann_lsh"    -> (simAnnLsh _),
     "sim_ivf"        -> (simIvf _),
     "sim_ann_recall" -> (simAnnRecall _),
@@ -398,6 +409,16 @@ object SimQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "sim_topk_brute" -> oracleSqlBrute,
+
+    // same cosine tree as the brute oracle, threshold instead of rank
+    "sim_range" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+         |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+         |s AS (
+         |  SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
+         |  FROM q, n WHERE q_id <> n_id
+         |)
+         |SELECT q_id, n_id, round(cos, 4) AS cos FROM s WHERE cos >= $RangeTau""".stripMargin,
 
     "sim_mips" -> oracleSqlMips,
 

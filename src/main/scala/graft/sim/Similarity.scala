@@ -169,6 +169,29 @@ object Similarity {
     asg.select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
   }
 
+  /** F14: radius (range) search — every neighbor with cosine ≥ τ of
+    * each query, the UNBOUNDED-count dual of top-k (dedup and
+    * recall-sweep workloads ask "everything this similar", not "the
+    * 5 best"). Same broadcast-queries shape as [[bruteTopK]] but NO
+    * per-query window: the threshold filter is map-side, so the
+    * whole query is one scan with zero shuffle — the k-free answer
+    * is strictly CHEAPER than top-k at scale, not more expensive.
+    * Row set pinned by the float threshold (the
+    * dedup_embedding_pairs precedent: identical cosine expression
+    * trees on both engines → identical doubles → identical filter
+    * decisions). */
+  def rangeSearch(vecs: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, minCos: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val n = vecs.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    val cos = VectorFunctions.cosineSim(vecs.sparkSession, col("qv"), col("nv"))
+    n.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** F1: exact top-k cosine neighbors for each query vector (ground
     * truth). Queries are broadcast; ties break by neighbor id. */
   def bruteTopK(vecs: DataFrame, idCol: String, vecCol: String,
