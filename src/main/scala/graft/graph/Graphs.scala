@@ -842,9 +842,11 @@ object Graphs {
       // frames themselves are plain filters over that checkpoint —
       // re-scanned cheaply at use, no per-frontier checkpoint jobs
       // (r10: 5 driver actions per round cut to 2)
+      // coalesce: sum over an EMPTY frame is null, and getLong would
+      // NPE — an empty edge/label input must exit cleanly instead
       val cnt = merged.agg(
-        sum(col("fd").cast("long")).as("nf"),
-        sum(col("bd").cast("long")).as("nb")).collect().head
+        coalesce(sum(col("fd").cast("long")), lit(0L)).as("nf"),
+        coalesce(sum(col("bd").cast("long")), lit(0L)).as("nb")).collect().head
       val nF = cnt.getLong(0)
       val nB = cnt.getLong(1)
       def frontier(flag: String, m: String, n: Long): DataFrame = {

@@ -2,7 +2,7 @@ package graft.monitor
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 
 /** J5: executed-plan audit — the scale red-flags this repo's specs
@@ -47,20 +47,32 @@ object PlanAudit {
     * skeleton with no codegen spans): every row of every partition is
     * consumed executor-side, nothing is collected. Callers that
     * already ran an action on `df` can pass `materialize = false`. */
-  def audit(df: DataFrame, materialize: Boolean = true): Audit = {
+  /** Every physical node of the EXECUTED plan, AQE stages and
+    * expression-held subquery plans included — THE traversal (specs
+    * that need raw nodes build on this instead of re-spelling the
+    * stage recursion). */
+  def nodes(df: DataFrame, materialize: Boolean = true): Seq[SparkPlan] = {
     if (materialize)
       df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
     val seen = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
     def walk(p: SparkPlan): Unit = {
       seen += p
+      // expression-held subquery plans (scalar/IN/EXISTS) are NOT
+      // children — their scans and exchanges would silently escape a
+      // children-only walk
+      p.subqueries.foreach(walk)
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case s: ShuffleQueryStageExec => walk(s.plan)
         case q: QueryStageExec => walk(q.plan)
         case other => other.children.foreach(walk)
       }
     }
     walk(df.queryExecution.executedPlan)
+    seen.toSeq
+  }
+
+  def audit(df: DataFrame, materialize: Boolean = true): Audit = {
+    val seen = nodes(df, materialize)
     val scans = seen.collect { case s: FileSourceScanExec => s }.toSeq
     Audit(
       shuffleExchanges = seen.count(_.isInstanceOf[ShuffleExchangeExec]),

@@ -1639,7 +1639,6 @@ object Multimodal {
         |    * CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END)::bigint AS lon_mas
         |FROM documents""".stripMargin,
 
-    // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit
     // formula-derived incl. the 0-means-256 quirk and the cursor
     // rejection leg
     "mm_ico_dims" ->
@@ -1672,6 +1671,7 @@ object Multimodal {
         |    THEN 'Album_' || (doc_id % 7) END AS album
         |FROM documents""".stripMargin,
 
+    // formula-derived; the 20/3/5/36-bit unpack (incl. the 36-bit
     // span crossing the lo-u32 boundary on every 5th asset) is
     // value-checked. Duration rounds at 6 — tie-free for every rate
     // in the synthetic set (see withFlacInfo's scaladoc).

@@ -20,25 +20,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   val sfDir = "/root/testdata/sf0.001"
 
-  /** Shuffle count of the EXECUTED plan. Under AQE (Spark 4 default)
-    * the finalized plan is a tree of QueryStageExec LEAVES
-    * (ResultQueryStage at the root, shuffles as ShuffleQueryStageExec),
-    * so plain tree traversal for ShuffleExchangeExec counts 0 even when
-    * the join shuffles (r3 advice): recurse INTO query stages via
-    * .plan — including INTO shuffle stages (r8: a chained plan nests
-    * earlier ShuffleQueryStages inside a later one's .plan, so
-    * stopping at the first stage undercounted multi-shuffle chains). */
-  def countExchanges(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect() // execute so AQE finalizes the plan
-    def walk(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: ShuffleQueryStageExec => walk(s.plan) // .plan IS the exchange
-      case q: QueryStageExec => walk(q.plan)
-      case _: ShuffleExchangeExec => 1 + p.children.map(walk).sum
-      case _ => p.children.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
-  }
+  /** Shuffle count of the EXECUTED plan — delegates to the J5
+    * PlanAudit library walk (the AQE stage-recursion lesson lives in
+    * ONE place now; audit also materializes through the frame's own
+    * query execution without a driver collect). */
+  def countExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    graft.monitor.PlanAudit.audit(df).shuffleExchanges
 
   /** Disable BOTH broadcast thresholds for `body`: AQE has its own
     * spark.sql.adaptive.autoBroadcastJoinThreshold and will happily

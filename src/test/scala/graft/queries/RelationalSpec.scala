@@ -8,19 +8,10 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 class RelationalSpec extends SparkSpec {
 
   /** Subtree strings of every broadcast exchange in the EXECUTED plan
-    * (recursing into AQE query stages, the countExchanges lesson). */
-  private def broadcastSubtrees(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    df.collect()
-    val out = scala.collection.mutable.Buffer.empty[String]
-    def walk(p: SparkPlan): Unit = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case b: BroadcastExchangeExec => out += b.toString; b.children.foreach(walk)
-      case q: QueryStageExec => walk(q.plan)
-      case _ => p.children.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    out.toSeq
-  }
+    * (the PlanAudit traversal — one copy of the AQE stage recursion). */
+  private def broadcastSubtrees(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    graft.monitor.PlanAudit.nodes(df)
+      .collect { case b: BroadcastExchangeExec => b.toString }
 
   test("q_trade_flows broadcasts both geo dims, never the lineitem fact side") {
     noBroadcast {
