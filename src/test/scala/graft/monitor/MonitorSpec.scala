@@ -120,3 +120,19 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(a.broadcastExchanges == 1, s"nation must broadcast: $a")
   }
 }
+
+class PlanAuditSubquerySpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("J5 audit counts scans inside expression-held subquery plans") {
+    // scalar subquery over parquet: its scan lives under
+    // p.subqueries, not p.children — a children-only walk missed it
+    graft.Graft.registerSql(spark, sfDir)
+    val df = spark.sql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)
+    val a = graft.monitor.PlanAudit.audit(df)
+    assert(a.fileScans >= 2,
+      s"outer scan AND the scalar-subquery scan must both be counted: $a")
+  }
+}
