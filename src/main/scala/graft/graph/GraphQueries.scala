@@ -96,15 +96,17 @@ object GraphQueries {
       val und = Graphs.undirectedIds(kgEdges(spark, dir), dedupe = false)
       // rank: dense position in lexicographic id order — an
       // order-isomorphic integer surrogate, so min-label closures
-      // (graph_scc) propagate 4-byte ints instead of ~25-byte strings
+      // (graph_scc) propagate 8-byte longs instead of ~25-byte strings
       // and still resolve to the same representative when mapped back.
-      // The single-partition window is the one-time dictionary-encode
-      // sort (166k rows at sf0.1); the 1000-executor build is the
-      // standard distributed sort + per-partition-offset rank.
-      und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
-        .distinct()
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      // r11: built by Graphs.rankedAsc (distributed range-sort +
+      // per-partition-offset rank) — the previous
+      // row_number().over(Window.orderBy(id)) collapsed the whole
+      // vertex set into ONE task, the last single-partition global
+      // sort in the repo; the two-pass rank keeps every stage
+      // `parts`-way parallel at any vertex count.
+      val ids = und.select(col("u").as("id"))
+        .unionAll(und.select(col("v").as("id"))).distinct()
+      Graphs.rankedAsc(ids, "id", "rank")
         .select(xxhash64(col("id")).as("h"), col("id"), col("rank"))
     })
   }

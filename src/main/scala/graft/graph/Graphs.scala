@@ -38,6 +38,45 @@ object Graphs {
     if (dedupe) base.distinct() else base
   }
 
+  /** Distributed dense ascending rank (1-based) of the DISTINCT values
+    * in `key`: the standard two-pass cluster rank — range-partition +
+    * in-partition sort (a distributed sort, `parts`-way parallel), per-
+    * partition counts collected to the driver (≤ `parts` longs), and
+    * prefix-sum offsets broadcast back so rank = offset + local
+    * row_number. No stage ever holds more than one range of the data:
+    * unlike `row_number().over(Window.orderBy(key))`, which collapses
+    * to a SINGLE task at any scale, this holds at 10⁹ rows by raising
+    * `parts` with the cluster. The sorted frame is localCheckpointed
+    * ONCE so the counts pass and the rank pass see identical range
+    * boundaries (RangePartitioner re-samples per job otherwise — the
+    * two passes must agree on partition membership for the offsets to
+    * be correct). Output: (key, rankCol: long). */
+  def rankedAsc(ids: DataFrame, key: String, rankCol: String,
+      parts: Int = 32): DataFrame = {
+    val spark = ids.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val sorted = ids.select(col(key))
+      .repartitionByRange(parts, col(key))
+      .sortWithinPartitions(key)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // offset(pid) = rows in all earlier ranges; range partitioning is
+    // order-preserving across pids, so offset + local rank is global
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq)
+      .toDF("_pid", "_off")
+    // the window partitions by _pid: ≤ `parts` groups, each one range —
+    // a parts-way-parallel in-range sort, never a global one
+    sorted
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(col(key))))
+      .join(broadcast(offDf), "_pid")
+      .select(col(key), (col("_off") + col("_rn")).as(rankCol))
+  }
+
   /** C1: in/out/total degree per typed node. Single-pass: each edge
     * explodes into its two endpoint rows and ONE map-side-combined
     * aggregation produces all three counts — the edge list (often an
@@ -788,40 +827,60 @@ object Graphs {
   def sccColoring(directed: DataFrame, rounds: Int,
       labels: Option[DataFrame] = None,
       pinEdges: Boolean = true): DataFrame = {
+    // r11 merged fwd/bwd pass: each directed edge (u, v) carries BOTH
+    // closure messages —
+    //   fwd_min(u) ← fwd_min(v)   (recv = u, send = v, fw = true)
+    //   bwd_min(v) ← bwd_min(u)   (recv = v, send = u, fw = false)
+    // — so the doubled-and-tagged frame below lets every round run ONE
+    // edge scan + ONE frontier join + ONE two-sided min aggregate +
+    // ONE merge join where the r10 form ran two of each. Per-round
+    // values are unchanged (the same two Bellman-Ford min recurrences,
+    // just co-scheduled), which GraphSpec's closure-equivalence pin
+    // re-proves. The explode generates both tagged rows from a single
+    // pass over the edge table instead of a two-scan union.
+    val e2raw = directed.select(explode(array(
+        struct(col("u").as("recv"), col("v").as("send"), lit(true).as("fw")),
+        struct(col("v").as("recv"), col("u").as("send"), lit(false).as("fw"))))
+        .as("x"))
+      .select(col("x.recv").as("recv"), col("x.send").as("send"),
+        col("x.fw").as("fw"))
     // pinEdges=false when the caller passes a bucketed store table:
     // small frontiers broadcast (the guard below), so the edge side
-    // never moves at all, and a repartition+cache would only add two
-    // full-edge exchanges of pure overhead
-    val (eF, eB) =
-      if (pinEdges)
-        (pin(directed.select(col("u"), col("v")), "v"),
-          pin(directed.select(col("u"), col("v")), "u"))
-      else (directed, directed)
+    // never moves at all, and a repartition+cache would only add a
+    // full-edge exchange of pure overhead
+    val e2 = if (pinEdges) pin(e2raw, "send") else e2raw
     var st = (labels match {
       case Some(l) =>
         l.select(col("id"), col("lbl").as("fwd_min"), col("lbl").as("bwd_min"))
       case None =>
-        eF.select(col("u").as("id")).unionAll(eF.select(col("v").as("id")))
+        directed.select(col("u").as("id"))
+          .unionAll(directed.select(col("v").as("id")))
           .distinct()
           .select(col("id"), col("id").as("fwd_min"), col("id").as("bwd_min"))
     }).localCheckpoint(eager = true)
-    // initial frontiers are |V|-row SELECTS over the checkpointed
+    // initial frontier is a 2|V|-row SELECT over the checkpointed
     // state — no further checkpoint needed (re-scanning a checkpoint
-    // is cheap), and ONE count guards both broadcasts
+    // is cheap), and ONE count guards the broadcast
     val n0 = st.count()
-    def guard0(f: DataFrame): DataFrame =
-      if (n0 > 0 && n0 < SccBroadcastRows) broadcast(f) else f
-    var chF = guard0(st.select(col("id"), col("fwd_min").as("m")))
-    var chB = guard0(st.select(col("id"), col("bwd_min").as("m")))
+    def guardedFrontier(fwdLeg: DataFrame, bwdLeg: DataFrame,
+        n: Long): DataFrame = {
+      val c = fwdLeg.unionAll(bwdLeg)
+      if (n > 0 && n < SccBroadcastRows) broadcast(c) else c
+    }
+    var ch = guardedFrontier(
+      st.select(col("id").as("sid"), col("fwd_min").as("m"), lit(true).as("sfw")),
+      st.select(col("id").as("sid"), col("bwd_min").as("m"), lit(false).as("sfw")),
+      2 * n0)
     var i = 0
     var fixedPoint = false
     while (i < rounds && !fixedPoint) {
       i += 1
-      val cf = eF.join(chF, eF("v") === chF("id"))
-        .groupBy(eF("u").as("id")).agg(min(col("m")).as("cf"))
-      val cb = eB.join(chB, eB("u") === chB("id"))
-        .groupBy(eB("v").as("id")).agg(min(col("m")).as("cb"))
-      val merged = st.join(cf, Seq("id"), "left").join(cb, Seq("id"), "left")
+      val cand = e2.join(ch,
+          e2("send") === col("sid") && e2("fw") === col("sfw"))
+        .groupBy(e2("recv").as("id"))
+        .agg(min(when(col("sfw"), col("m"))).as("cf"),
+          min(when(!col("sfw"), col("m"))).as("cb"))
+      val merged = st.join(cand, Seq("id"), "left")
         .select(col("id"),
           least(col("fwd_min"), coalesce(col("cf"), col("fwd_min"))).as("fwd_min"),
           least(col("bwd_min"), coalesce(col("cb"), col("bwd_min"))).as("bwd_min"),
@@ -849,15 +908,15 @@ object Graphs {
         coalesce(sum(col("bd").cast("long")), lit(0L)).as("nb")).collect().head
       val nF = cnt.getLong(0)
       val nB = cnt.getLong(1)
-      def frontier(flag: String, m: String, n: Long): DataFrame = {
-        val f = merged.filter(col(flag)).select(col("id"), col(m).as("m"))
-        if (n > 0 && n < SccBroadcastRows) broadcast(f) else f
-      }
-      chF = frontier("fd", "fwd_min", nF)
-      chB = frontier("bd", "bwd_min", nB)
+      ch = guardedFrontier(
+        merged.filter(col("fd")).select(col("id").as("sid"),
+          col("fwd_min").as("m"), lit(true).as("sfw")),
+        merged.filter(col("bd")).select(col("id").as("sid"),
+          col("bwd_min").as("m"), lit(false).as("sfw")),
+        nF + nB)
       fixedPoint = nF == 0 && nB == 0
     }
-    if (pinEdges) { eF.unpersist(); eB.unpersist() }
+    if (pinEdges) e2.unpersist()
     st
   }
 
