@@ -232,6 +232,13 @@ object VectorFunctions {
           new ExpressionInfo(classOf[CosineSimilarity].getName, name), builder)
       }
     }
+    // graft_asof_match must never be analyzable without the strategy
+    // that gives it as-of semantics: a SQL user planning the marker
+    // WITHOUT AsofJoinStrategy installed would get a silent multi-match
+    // join (the marker degenerates to plain rightTs <= leftTs),
+    // violating the operator's loud-error contract — so registering the
+    // function installs the strategy too (both idempotent).
+    graft.plans.AsofJoin.ensureInstalled(spark)
   }
 
   /** Codegen'd cosine over two float-array columns. */

@@ -480,8 +480,12 @@ object Graphs {
       .groupBy("x", "y")
       .agg(count(lit(1)).as("common"), sum(col("aa_w")).as("aa"))
       .filter(col("common") >= minCommon)
-    // link PREDICTION scores candidate pairs — drop existing edges
-    pairs.join(e0.select(col("u").as("x"), col("v").as("y")),
+    // link PREDICTION scores candidate pairs — drop existing edges.
+    // Canonicalized here (least/greatest), NOT taken as given: the
+    // candidate pairs are x<y, so a caller passing (u>v) edges would
+    // otherwise see adjacent pairs survive into the prediction output
+    pairs.join(e0.select(least(col("u"), col("v")).as("x"),
+        greatest(col("u"), col("v")).as("y")),
         Seq("x", "y"), "left_anti")
       .select(col("x").as("u"), col("y").as("v"), col("common"),
         round(col("aa"), 4).as("adamic_adar"))

@@ -78,23 +78,30 @@ object LlmChains {
     * extract_json): find every flat `{...}` object and parse it; prose,
     * markdown fences, trailing notes are ignored. For flat (non-nested)
     * objects this equals the reference's whole-parse-then-regex strategy
-    * on both valid arrays and noisy output. Pure Catalyst — regexp +
-    * from_json stay codegen'd, no UDF. */
-  def extractTriplets(text: Column): Column =
-    filter(
-      transform(
-        regexp_extract_all(text, lit("\\{[^{}]*\\}"), lit(0)),
-        s => from_json(s, org.apache.spark.sql.types.StructType.fromDDL(tripletSchema))),
+    * on both valid arrays and noisy output.
+    *
+    * r11 spelling: explode each regex fragment to its own row and run
+    * from_json + the one-sided-triple filter per ROW — every step is
+    * codegen'd. The previous `transform`+`filter` array-lambda form
+    * computed the same rows but evaluated the lambdas interpreted
+    * (Catalyst HOFs have no doGenCode), the one §3-rule violation left
+    * on a query path. Row order and multiplicity are unchanged:
+    * explode-then-filter keeps exactly the fragments the
+    * filter-then-explode form kept. */
+  def extractTripletRows(raw: DataFrame, text: Column): DataFrame =
+    raw.select(explode(
+        regexp_extract_all(text, lit("\\{[^{}]*\\}"), lit(0))).as("_frag"))
+      .select(from_json(col("_frag"),
+        org.apache.spark.sql.types.StructType.fromDDL(tripletSchema)).as("t"))
       // keep one-sided triples: the reference's insert_triplets still
       // creates the single named node (graph_builder.py:64-77)
-      t => t.isNotNull && (t.getField("subject").isNotNull || t.getField("object").isNotNull))
+      .filter(col("t").isNotNull &&
+        (col("t.subject").isNotNull || col("t.object").isNotNull))
+      .select(col("t.subject"), col("t.subject_type"), col("t.relation"),
+        col("t.object"), col("t.object_type"))
 
   /** End-to-end stub extraction pipeline: records (as JSON strings) →
     * stub chain → recovered triplet rows. */
-  def extractFromRecords(records: Dataset[String]): DataFrame = {
-    val raw = invokePartitionwise(records, StubChain)
-    raw.select(explode(extractTriplets(col("value"))).as("t"))
-      .select(col("t.subject"), col("t.subject_type"), col("t.relation"),
-        col("t.object"), col("t.object_type"))
-  }
+  def extractFromRecords(records: Dataset[String]): DataFrame =
+    extractTripletRows(invokePartitionwise(records, StubChain).toDF(), col("value"))
 }

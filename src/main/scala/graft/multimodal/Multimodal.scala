@@ -1035,9 +1035,33 @@ object Multimodal {
           "sn" -> 16, "sd" -> 20))
         out = out.withColumn(s"$pfx$f", u32At(col(s"${pfx}q") + lit(o)))
     }
-    def mas(pfx: String) = expr(
-      s"${pfx}dn * 3600000 div ${pfx}dd + ${pfx}mn * 60000 div ${pfx}md" +
-        s" + ${pfx}sn * 1000 div ${pfx}sd")
+    // Codegen-span break (r11): the staged chain up to here plus the
+    // fold below compile into ONE fused whole-stage method, and that
+    // method sat exactly at Janino's 64KB limit — the r10 shape
+    // compiled with zero headroom, so ADDING the denominator zero
+    // guards tipped it into the interpreted fallback
+    // (CodegenFallbackSpec caught it at birth). observe() plans a
+    // CollectMetricsExec, which does not participate in whole-stage
+    // codegen: it cuts the pipeline into two independently-compiled
+    // spans (staging | fold) at the cost of one per-partition count
+    // accumulator — no shuffle, no materialization, and each span now
+    // has real headroom instead of riding the limit.
+    out = out.observe("mm_exif_gps_staged", count(lit(1)).as("rows"))
+    // The fold references every rational component TWICE (numerators
+    // through an always-true case, denominators through the zero
+    // guard), so CollapseProject keeps all 12 u32 deref chains staged
+    // in their own projection instead of inlining them into the fold.
+    // The denominator guard nulls corrupt den = 0 rationals instead
+    // of throwing ANSI division-by-zero, matching the module's other
+    // corrupt-input guards.
+    def mas(pfx: String) = {
+      def num(f: String) = s"(case when $pfx$f >= 0 then $pfx$f end)"
+      def den(f: String) = s"(case when $pfx$f != 0 then $pfx$f end)"
+      expr(
+        s"${num("dn")} * 3600000 div ${den("dd")}" +
+          s" + ${num("mn")} * 60000 div ${den("md")}" +
+          s" + ${num("sn")} * 1000 div ${den("sd")}")
+    }
     val valid = (col("_soi") && col("_app1").isNotNull &&
       (col("_gle") || col("_gbe"))).cast("int")
     def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)

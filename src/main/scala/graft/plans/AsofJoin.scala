@@ -43,11 +43,16 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
 object AsofJoin {
 
   /** Idempotently install the strategy on a session (the public
-    * extension point — no spark.sql.extensions config needed). */
-  def ensureInstalled(spark: SparkSession): Unit =
+    * extension point — no spark.sql.extensions config needed).
+    * Synchronized: extraStrategies is a plain var, so the check-then-
+    * append below is a read-modify-write — two threads planning their
+    * first as-of join concurrently could otherwise double-append the
+    * strategy or clobber another writer's entry. */
+  def ensureInstalled(spark: SparkSession): Unit = AsofJoin.synchronized {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsofJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsofJoinStrategy
+  }
 
   /** As-of join `left` to `right`: equi-key `leftKey = rightKey` plus
     * the as-of condition rightTs <= leftTs resolved to the LATEST

@@ -295,6 +295,18 @@ class GraphSpec extends SparkSpec {
     assert(out(("d", "h")) == ((2L, twoLn3)))
   }
 
+  test("C24 Adamic-Adar drops existing edges even when input is non-canonical") {
+    // same square+hub but every edge reversed (u > v): the existing-
+    // edge anti-join must canonicalize internally, or adjacent pairs
+    // like (a,b) would survive into the prediction output
+    val e = edgesDf("b" -> "a", "c" -> "b", "d" -> "c", "d" -> "a",
+      "h" -> "a", "h" -> "c")
+    val out = Graphs.adamicAdar(e, minCommon = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "c"), ("b", "d"), ("b", "h"), ("d", "h")),
+      s"candidate set: $out")
+  }
+
   test("C6/C7 BFS computes min-hop depths and respects the hop bound") {
     val e = edgesDf("s" -> "a", "a" -> "b", "b" -> "c", "c" -> "d",
       "s" -> "b") // shortcut: b reachable at depth 1

@@ -91,8 +91,8 @@ class KgSpec extends SparkSpec {
       """[{"subject":"head","subject_type":"t","relation":"r","object":null,"object_type":null}]""",
       """no json here at all""",
     ).toDF("value")
-    val got = noisy.select(explode(LlmChains.extractTriplets(col("value"))).as("t"))
-      .select("t.subject", "t.object").collect()
+    val got = LlmChains.extractTripletRows(noisy, col("value"))
+      .select("subject", "object").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set((null, "tail"), ("head", null)))
   }
