@@ -35,10 +35,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   * no such row exists. The right side must be unique per (key, ts)
   * for deterministic output — callers dedup first (I7's max-id rule).
   * Null keys or timestamps on the right never match; on the left they
-  * emit null-matched rows. v1 scope: single equi-key of int/long,
-  * timestamps as TIMESTAMP/TIMESTAMP_NTZ/long (all compared as long
-  * micros) — the strategy REFUSES (loud error, not silent wrong
-  * plans) anything else.
+  * emit null-matched rows. Plannable space (r11): composite equi-keys
+  * of int/long/string/date (keys ride an UnsafeProjection and compare
+  * through the same natural ascending ordering the children sort by),
+  * timestamps as TIMESTAMP/TIMESTAMP_NTZ/long/int on either side
+  * independently (all compared as long micros — a mixed
+  * TIMESTAMP/TIMESTAMP_NTZ pair compares UTC-instant to wall-clock
+  * micros, the caller's contract to mean it) — the strategy REFUSES
+  * (loud error, not silent wrong plans) anything else.
   */
 object AsofJoin {
 
@@ -149,7 +153,11 @@ class AsofJoinStrategy extends SparkStrategy {
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
 
-  private def keyOk(t: DataType) = t == LongType || t == IntegerType
+  private def keyOk(t: DataType) = t match {
+    case LongType | IntegerType | org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j @ Join(l, r, joinType, Some(cond), _)
@@ -187,7 +195,7 @@ class AsofJoinStrategy extends SparkStrategy {
           s"graft asof join: condition legs not split across sides: $cond")
       (lks ++ rks).find(k => !keyOk(k.dataType)).foreach(k =>
         throw new IllegalArgumentException(
-          s"graft asof join supports int/long keys, got ${k.dataType}"))
+          s"graft asof join supports int/long/string/date keys, got ${k.dataType}"))
       // the merge's output is left-outer shaped; an Inner marker join
       // (EliminateOuterJoin residue) additionally drops the unmatched
       // rows via a right-key-not-null filter on top
@@ -231,11 +239,13 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val nk = leftKeys.length
-    val lkExprs = leftKeys.map(bindLong(_, left.output)).toArray
     val ltExpr = bindLong(leftTs, left.output)
-    val rkExprs = rightKeys.map(bindLong(_, right.output)).toArray
     val rtExpr = bindLong(rightTs, right.output)
+    val keyTypes = leftKeys.map(_.dataType)
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lOut = left.output
+    val rOut = right.output
     val rightWidth = right.output.length
     val allAttrs = left.output ++ right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -251,39 +261,28 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           org.apache.spark.sql.catalyst.expressions
             .BoundReference(i, a.dataType, nullable = true): Expression
         }.toIndexedSeq)
+      // r11: composite keys ride an UnsafeProjection per side and
+      // compare through the natural ascending InternalRow ordering —
+      // the SAME per-type ordering the requiredChildOrdering sorts by,
+      // so string/date keys merge exactly as int/long keys did.
+      // (SortMergeJoinExec's key machinery, re-spelled for the asof
+      // forward pass.)
+      val lkProj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(lKeyExprs, lOut)
+      val rkProj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(rKeyExprs, rOut)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val nullRight =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
-        // composite keys as primitive long buffers, compared
-        // lexicographically — consistent with the (k1, …, kn) asc
-        // sort order because every key is int/long (strategy-gated)
-        private val lKeys = new Array[Long](nk)
-        private val rKeys = new Array[Long](nk)
-        private val heldKeys = new Array[Long](nk)
-        private def cmpKeys(a: Array[Long], b: Array[Long]): Int = {
-          var i = 0
-          while (i < nk) {
-            if (a(i) != b(i)) return java.lang.Long.compare(a(i), b(i))
-            i += 1
-          }
-          0
-        }
-        /** Evaluate `exprs` into `buf`; false if any key is null. */
-        private def evalKeys(exprs: Array[Expression], row: InternalRow,
-            buf: Array[Long]): Boolean = {
-          var i = 0
-          while (i < nk) {
-            val v = exprs(i).eval(row)
-            if (v == null) return false
-            buf(i) = toLong(v)
-            i += 1
-          }
-          true
-        }
-        // one-row lookahead on the right, primitives projected before
-        // the underlying row object is reused by the next next()
+        // one-row lookahead on the right: rKey is rkProj's reusable
+        // buffer — valid until the NEXT advanceRight overwrites it,
+        // which is exactly its lifetime; the held key is copied
+        // because it outlives arbitrarily many right advances
         private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
         private var rTs = 0L
         private var rHas = false
         advanceRight()
@@ -292,13 +291,15 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           while (!rHas && rIter.hasNext) {
             val row = rIter.next()
             val t = rtExpr.eval(row)
+            val k = rkProj(row)
             // null right keys/ts never match
-            if (t != null && evalKeys(rkExprs, row, rKeys)) {
-              rRow = row; rTs = toLong(t); rHas = true
+            if (t != null && !k.anyNull) {
+              rRow = row; rKey = k; rTs = toLong(t); rHas = true
             }
           }
         }
         private var held: InternalRow = _
+        private var heldKey: InternalRow = _
         private var heldValid = false
         private var heldTs = 0L
 
@@ -306,20 +307,21 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
         override def next(): InternalRow = {
           val l = lIter.next()
           val lt = ltExpr.eval(l)
-          if (lt == null || !evalKeys(lkExprs, l, lKeys))
+          val lKey = lkProj(l)
+          if (lt == null || lKey.anyNull)
             return toUnsafe(joined(l, nullRight))
           val lTs = toLong(lt)
-          if (heldValid && cmpKeys(heldKeys, lKeys) != 0) heldValid = false
-          var c = if (rHas) cmpKeys(rKeys, lKeys) else 0
+          if (heldValid && keyOrd.compare(heldKey, lKey) != 0) heldValid = false
+          var c = if (rHas) keyOrd.compare(rKey, lKey) else 0
           while (rHas && (c < 0 || (c == 0 && rTs <= lTs))) {
             if (c == 0) {
               held = rRow.copy()
-              System.arraycopy(rKeys, 0, heldKeys, 0, nk)
+              heldKey = rKey.copy()
               heldTs = rTs
               heldValid = true
             }
             advanceRight()
-            if (rHas) c = cmpKeys(rKeys, lKeys)
+            if (rHas) c = keyOrd.compare(rKey, lKey)
           }
           // tolerance is judged per left row: lTs - heldTs grows with
           // later lefts, so a stale held row nulls here but remains

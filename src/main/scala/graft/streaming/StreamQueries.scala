@@ -205,6 +205,27 @@ object StreamQueries {
         col("right_id"), col("right_ts"))
   }
 
+  /** K15 string-key face (r11): the SAME as-of question keyed by an
+    * opaque string id ('u' || user_id — lexicographic order differs
+    * from numeric order, e.g. "u10" < "u9", so the exec's
+    * natural-ordering key compare is genuinely exercised, not just a
+    * re-encoded long), planned through the merge operator. */
+  def evAsofStr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(concat(lit("u"), col("user_id")).as("user_key"),
+        col("event_id").as("left_id"), col("ts").as("left_ts"), col("value"))
+    val right = ev.filter(col("event_type") === "click")
+      .groupBy(concat(lit("u"), col("user_id")).as("r_key"),
+        col("ts").as("right_ts"))
+      .agg(max(col("event_id")).as("right_id"))
+    graft.plans.AsofJoin.join(left, right,
+        col("user_key"), col("r_key"), col("left_ts"), col("right_ts"))
+      .select(col("user_key"), col("left_id"), col("left_ts"), col("value"),
+        col("right_id"), col("right_ts"))
+  }
+
   def evFunnel(spark: SparkSession, dir: String): DataFrame =
     EventOps.funnel(Tables.events(spark, dir), FunnelSteps)
 
@@ -462,6 +483,7 @@ object StreamQueries {
     "ev_asof"        -> (evAsof _),
     "ev_asof_exec"   -> (evAsofExec _),
     "ev_asof_tol"    -> (evAsofTol _),
+    "ev_asof_str"    -> (evAsofStr _),
     "ev_value_percentiles" -> (evValuePercentiles _),
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
@@ -508,31 +530,33 @@ object StreamQueries {
     * kind ordering rights before lefts on equal ts; running
     * last_value over a total order) — NOT DuckDB's ASOF JOIN, whose
     * tie-on-equal-right-ts choice is unspecified. Shared by ev_asof
-    * (union+window plan) and ev_asof_exec (K15 merge operator). */
-  private val asofOracleSql: String =
-    """WITH c AS (
-      |  SELECT user_id AS key, ts, max(event_id) AS right_id
-      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
-      |), u AS (
-      |  SELECT key, ts, 0 AS kind, right_id,
-      |         NULL::bigint AS left_id, NULL::double AS value
-      |  FROM c
-      |  UNION ALL
-      |  SELECT user_id, ts, 1, NULL, event_id, value
-      |  FROM events WHERE event_type = 'purchase'
-      |), w AS (
-      |  SELECT key, ts, kind, left_id, value,
-      |    last_value(right_id IGNORE NULLS) OVER
-      |      (PARTITION BY key ORDER BY ts, kind, left_id
-      |       ROWS UNBOUNDED PRECEDING) AS asof_right_id,
-      |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER
-      |      (PARTITION BY key ORDER BY ts, kind, left_id
-      |       ROWS UNBOUNDED PRECEDING) AS asof_right_ts
-      |  FROM u
-      |)
-      |SELECT key AS user_id, left_id, ts AS left_ts, value,
-      |  asof_right_id AS right_id, asof_right_ts AS right_ts
-      |FROM w WHERE kind = 1""".stripMargin
+    * (union+window plan), ev_asof_exec (K15 merge operator), and —
+    * keyed by the string id — ev_asof_str. */
+  private def asofOracleSqlKeyed(keyExpr: String, keyName: String): String =
+    s"""WITH c AS (
+       |  SELECT $keyExpr AS key, ts, max(event_id) AS right_id
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+       |), u AS (
+       |  SELECT key, ts, 0 AS kind, right_id,
+       |         NULL::bigint AS left_id, NULL::double AS value
+       |  FROM c
+       |  UNION ALL
+       |  SELECT $keyExpr, ts, 1, NULL, event_id, value
+       |  FROM events WHERE event_type = 'purchase'
+       |), w AS (
+       |  SELECT key, ts, kind, left_id, value,
+       |    last_value(right_id IGNORE NULLS) OVER
+       |      (PARTITION BY key ORDER BY ts, kind, left_id
+       |       ROWS UNBOUNDED PRECEDING) AS asof_right_id,
+       |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER
+       |      (PARTITION BY key ORDER BY ts, kind, left_id
+       |       ROWS UNBOUNDED PRECEDING) AS asof_right_ts
+       |  FROM u
+       |)
+       |SELECT key AS $keyName, left_id, ts AS left_ts, value,
+       |  asof_right_id AS right_id, asof_right_ts AS right_ts
+       |FROM w WHERE kind = 1""".stripMargin
+  private val asofOracleSql: String = asofOracleSqlKeyed("user_id", "user_id")
 
   def oracleSql: Map[String, String] = Map(
     "ev_windowed" ->
@@ -818,6 +842,9 @@ object StreamQueries {
 
     // the K15 custom merge operator answers the identical question
     "ev_asof_exec" -> asofOracleSql,
+
+    // string-keyed K15 face: identical question, key = 'u' || user_id
+    "ev_asof_str" -> asofOracleSqlKeyed("'u' || user_id", "user_key"),
 
     // tolerance leg: the unbounded answer with matches staler than
     // the window nulled — the most-recent row is the ONLY candidate,

@@ -166,6 +166,53 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("K15 string keys plan through the merge and match per key (r11)") {
+    // same fixture geometry as the long-keyed test, keys as strings —
+    // the exec's UnsafeProjection + natural-ordering key compare must
+    // merge them identically (and "10" < "9" lexicographically, so a
+    // numeric-compare regression would mis-merge u10 vs u9)
+    val left = Seq(("u10", 101L, ts(5)), ("u10", 102L, ts(20)),
+      ("u9", 201L, ts(25)), ("u9", 202L, ts(40)))
+      .toDF("user_key", "left_id", "left_ts")
+    val right = Seq(("u10", 11L, ts(10)), ("u9", 91L, ts(30)))
+      .toDF("r_key", "right_id", "right_ts")
+    val out = AsofJoin.join(left, right,
+      col("user_key"), col("r_key"), col("left_ts"), col("right_ts"))
+      .select(col("left_id"), col("right_id"))
+    assert(findAsof(out) == 1, "string-keyed marker join must plan the merge")
+    val got = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(101L -> -1L, 102L -> 11L, 201L -> -1L, 202L -> 91L),
+      s"got $got")
+  }
+
+  test("K15 mixed TIMESTAMP/TIMESTAMP_NTZ sides plan and compare as micros (r11)") {
+    val left = Seq((1L, 101L, ts(5)), (1L, 102L, ts(20)))
+      .toDF("user_id", "left_id", "left_ts")
+    val right = Seq((1L, 11L, ts(10)))
+      .toDF("r_key", "right_id", "right_ts")
+      .withColumn("right_ts", col("right_ts").cast("timestamp_ntz"))
+    val out = AsofJoin.join(left, right,
+      col("user_id"), col("r_key"), col("left_ts"), col("right_ts"))
+      .select(col("left_id"), col("right_id"))
+    assert(findAsof(out) == 1, "NTZ-mixed marker join must plan the merge")
+    val got = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // session TZ is UTC, so instant-micros == wall-clock-micros here
+    assert(got == Map(101L -> -1L, 102L -> 11L), s"got $got")
+  }
+
+  test("K15 strategy refuses unsupported key types loudly (r11)") {
+    val left = Seq((1.5, 101L, ts(5))).toDF("k", "left_id", "left_ts")
+    val right = Seq((1.5, 11L, ts(1))).toDF("rk", "right_id", "right_ts")
+    val bad = intercept[Exception] {
+      AsofJoin.join(left, right,
+        col("k"), col("rk"), col("left_ts"), col("right_ts")).collect()
+    }
+    assert(bad.getMessage.contains("int/long/string/date"),
+      s"double keys must refuse, got: ${bad.getMessage}")
+  }
+
   test("K15 strategy refuses a marker join it cannot plan correctly") {
     val (left, right) = fixture
     val bad = intercept[Exception] {
