@@ -96,11 +96,22 @@ object Bench {
     // two timed passes per query, min taken: absorbs single-run VM /
     // GC noise so round-over-round numbers are comparable
     tracker.delta()
+    // J5 per-query executed-plan audit (r11): an UNTIMED third
+    // execution through PlanAudit — the audit must materialize the
+    // frame's OWN queryExecution (a sink write leaves its AQE stages
+    // unfinalized, the r10 PlanAudit lesson), so it cannot piggyback
+    // on the timed noop-sink passes. Adds bench wall time but zero
+    // effect on the timed numbers; failures degrade to an "error"
+    // smell, never a crashed bench.
+    def auditOnce(name: String): graft.monitor.PlanAudit.Audit =
+      graft.monitor.PlanAudit.audit(SparkEntry.queries(name)(spark, sfDir))
     val results = selected.map { name =>
       val first = timeOnce(name)
       val sec = if (first < 0) first else math.min(first, timeOnce(name))
       val d = tracker.delta()
-      (name, sec, (d.shuffleWrite / 2) / 1e6, (d.spill / 2) / 1e6)
+      val audit = try Some(auditOnce(name)) catch { case _: Throwable => None }
+      tracker.delta() // discard the audit pass's bytes from the next query
+      (name, sec, (d.shuffleWrite / 2) / 1e6, (d.spill / 2) / 1e6, audit)
     }.toSeq
     // names are code-controlled, but escape anyway so the emitted line
     // is valid JSON for ANY registered name (same rule as Monitor)
@@ -109,14 +120,29 @@ object Bench {
     // comma decimal separator would corrupt the hand-built JSON line
     def num(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => jkey(k) + v }
+    val qs = results.map { case (k, v, _, _, _) => jkey(k) + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, mb, _) => jkey(k) + num(mb, 1) }
+    val sh = results.map { case (k, _, mb, _, _) => jkey(k) + num(mb, 1) }
       .mkString("{", ",", "}")
     val spills = results.filter(_._4 > 0.5)
-      .map { case (k, _, _, mb) => jkey(k) + num(mb, 1) }
+      .map { case (k, _, _, mb, _) => jkey(k) + num(mb, 1) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    // J5 audit next to the wall seconds: counts + human-readable
+    // smells per query, machine-readable in the round artifact
+    def auditJson(a: graft.monitor.PlanAudit.Audit): String = {
+      val sm = a.smells.map(s =>
+        "\"" + graft.monitor.Monitor.jsonEscape(s) + "\"")
+        .mkString("[", ",", "]")
+      s"""{"shuffles":${a.shuffleExchanges},"broadcasts":${a.broadcastExchanges},""" +
+        s""""sorts":${a.sorts},"codegen_spans":${a.wholeStageSpans},""" +
+        s""""scans":${a.fileScans},"pushed":${a.scansWithPushedFilters},""" +
+        s""""single_partition":${a.singlePartitionExchanges},""" +
+        s""""sp_heavy":${a.singlePartitionHeavy},"smells":$sm}"""
+    }
+    val audits = results.map { case (k, _, _, _, a) =>
+      jkey(k) + a.map(auditJson).getOrElse("""{"smells":["audit error"]}""")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     // load snapshot AFTER the timed passes: os_load1_end reflects the
     // bench's own threads PLUS any co-tenant, while cpu_proc_avg is
     // THIS JVM's average core-occupancy over the whole bench window
@@ -128,7 +154,7 @@ object Bench {
     val cpuAvg =
       if (benchCpu0 < 0) -1.0 else (procCpuNs - benchCpu0) / wallNs / nCores
     val loadJson = s""""cpus":$nCores,"os_load1_start":${num(loadStart, 2)},"os_load1_end":${num(loadAvg, 2)},"cpu_proc_avg":${num(cpuAvg, 3)}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"errors":$errors,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size
     // stdout tail capture (r6 verdict #1: six rounds of parsed:null).
@@ -144,7 +170,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v, _, _) => jkey(k) + v }.mkString("{", ",", "}")
+      .map { case (k, v, _, _, _) => jkey(k) + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"errors":$errors,"n_queries":${results.size},"top":$slowest,"sf":"$sfDir"}""")
     spark.stop()
     if (errors > 0) sys.exit(1)

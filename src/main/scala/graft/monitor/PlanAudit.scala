@@ -29,7 +29,9 @@ object PlanAudit {
       fileScans: Int,
       scansWithPushedFilters: Int,
       scansWithPartitionFilters: Int,
-      readColumns: Int) {
+      readColumns: Int,
+      singlePartitionExchanges: Int = 0,
+      singlePartitionHeavy: Int = 0) {
     /** The headline smells, human-readable; empty = clean. */
     def smells: Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -37,6 +39,19 @@ object PlanAudit {
         out += "no whole-stage codegen span anywhere (interpreted plan?)"
       if (scansWithPushedFilters == 0 && fileScans > 0)
         out += "no scan pushes any filter (full-table reads)"
+      // the scale-killer class (the r10 vdict lesson): a stage that
+      // collapses UNBOUNDED data into one task — a global window/sort
+      // with no partitioning. The benign single-partition shapes (the
+      // final combine of a two-phase global aggregate, a bounded
+      // limit) are counted in singlePartitionExchanges but do NOT
+      // smell: they move one row (or ≤ limit rows) per upstream
+      // partition, not the data. Deliberate tiny-frame globals (a
+      // rank over an already-aggregated handful of rows) still trip
+      // this — the smell reports the construct, the reader judges
+      // the row count.
+      if (singlePartitionHeavy > 0)
+        out += s"$singlePartitionHeavy unbounded single-partition " +
+          "exchange(s) (one-task stage unless the frame is tiny)"
       out.toSeq
     }
   }
@@ -71,6 +86,32 @@ object PlanAudit {
     seen.toSeq
   }
 
+  private def spExchanges(seen: Seq[SparkPlan]): Seq[ShuffleExchangeExec] =
+    seen.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+    }
+
+  /** A single-partition exchange is benign when its input is already
+    * reduced per upstream partition: the final combine of a two-phase
+    * aggregate moves one row per partition, a local limit moves ≤ N —
+    * the data itself never converges on one task. Anything else (a
+    * no-partition window/sort feeding the exchange the full frame) is
+    * the one-task-stage scale killer. */
+  private def spBenign(child: SparkPlan): Boolean = child match {
+    case q: QueryStageExec => spBenign(q.plan)
+    case a: AdaptiveSparkPlanExec => spBenign(a.executedPlan)
+    case w: WholeStageCodegenExec => spBenign(w.child)
+    case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      agg.aggregateExpressions.forall(e =>
+        e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial ||
+          e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.PartialMerge)
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case p: org.apache.spark.sql.execution.ProjectExec => spBenign(p.child)
+    case _ => false
+  }
+
   def audit(df: DataFrame, materialize: Boolean = true): Audit = {
     val seen = nodes(df, materialize)
     val scans = seen.collect { case s: FileSourceScanExec => s }.toSeq
@@ -85,6 +126,8 @@ object PlanAudit {
           v.nonEmpty && v != "[]")),
       scansWithPartitionFilters =
         scans.count(_.partitionFilters.nonEmpty),
-      readColumns = scans.map(_.output.length).sum)
+      readColumns = scans.map(_.output.length).sum,
+      singlePartitionExchanges = spExchanges(seen).length,
+      singlePartitionHeavy = spExchanges(seen).count(e => !spBenign(e.child)))
   }
 }

@@ -119,6 +119,29 @@ class PlanAuditSpec extends graft.SparkSpec {
     val a = graft.monitor.PlanAudit.audit(j)
     assert(a.broadcastExchanges == 1, s"nation must broadcast: $a")
   }
+
+  test("J5 single-partition telemetry: global agg is benign, global window is heavy (r11)") {
+    // a global scalar aggregate's final combine IS a single-partition
+    // exchange, but it moves one partial row per upstream partition —
+    // counted, never smelled
+    val agg = graft.Tables.lineitem(spark, sfDir)
+      .agg(sum("l_quantity").as("q"))
+    val aAgg = graft.monitor.PlanAudit.audit(agg)
+    assert(aAgg.singlePartitionExchanges >= 1,
+      s"the final combine is single-partition: $aAgg")
+    assert(aAgg.singlePartitionHeavy == 0,
+      s"a two-phase global agg must not smell: $aAgg")
+    assert(!aAgg.smells.exists(_.contains("single-partition")), s"${aAgg.smells}")
+    // a no-partition window collapses the WHOLE frame into one task —
+    // the vdict-class scale killer the smell exists for
+    val w = graft.Tables.lineitem(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("l_orderkey")))
+    val aWin = graft.monitor.PlanAudit.audit(w)
+    assert(aWin.singlePartitionHeavy >= 1,
+      s"the global window must count as heavy: $aWin")
+    assert(aWin.smells.exists(_.contains("single-partition")), s"${aWin.smells}")
+  }
 }
 
 class PlanAuditSubquerySpec extends graft.SparkSpec {
