@@ -54,6 +54,10 @@ object SparkEntry {
       "q_trade_flows"      -> (Relational.qTradeFlows _),
       "q_large_orders"     -> (Relational.qLargeOrders _),
       "q_top_supplier"     -> (Relational.qTopSupplier _),
+      "q_priority_shipping" -> (Relational.qPriorityShipping _),
+      "q_promo_share"      -> (Relational.qPromoShare _),
+      "q_disjunctive"      -> (Relational.qDisjunctiveRevenue _),
+      "q_dormant_customers" -> (Relational.qDormantCustomers _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -333,6 +337,49 @@ object SparkEntry {
         |SELECT s.s_suppkey, s.s_name, r.rev_cents
         |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
         |WHERE r.rev_cents = (SELECT max(rev_cents) FROM r)""".stripMargin,
+    "q_priority_shipping" ->
+      """SELECT l.l_returnflag,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END)::bigint AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END)::bigint AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_promo_share" ->
+      """SELECT
+        |  round(sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END), 2)
+        |    AS promo_revenue,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+        |    AS total_revenue,
+        |  round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END)
+        |    / sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin,
+    "q_disjunctive" ->
+      """SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_dormant_customers" ->
+      """SELECT c.c_mktsegment, count(*) AS n_dormant,
+        |  round(sum(c.c_acctbal), 2) AS dormant_balance
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                     WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

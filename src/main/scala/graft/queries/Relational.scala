@@ -573,4 +573,94 @@ object Relational {
         round(col("ps").getItem(1), 4).as("p95"),
         round(col("ps").getItem(2), 4).as("p99"),
         col("n_rows"))
+
+  /** D24 — TPC-H Q12 shape re-keyed to this corpus (no l_shipmode
+    * column): per return-flag, 1997-shipped lineitems split into
+    * HIGH-priority ('1-URGENT'/'2-HIGH') vs lower-priority order
+    * counts — the conditional-aggregation join. Scale shape: the
+    * shipdate range filter is pushed to the lineitem scan BEFORE the
+    * join, orders carries exactly two columns in, and the split is
+    * one conditional sum pair (exact integers, no post-agg pass). */
+  def qPriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val hiPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_returnflag")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hiPrio, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hiPrio, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** D25 — TPC-H Q14 shape: the PROMO part-type's share of one
+    * month's discounted revenue — the conditional-numerator ratio
+    * query. Scale shape: the month filter reaches the lineitem scan,
+    * only (partkey, rev) rides into the join, and both sums come out
+    * of ONE aggregate (no second pass for the denominator). */
+  def qPromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-09-01").cast("timestamp")
+    val hi = lit("1997-10-01").cast("timestamp")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(col("rev")), 2).as("total_revenue"),
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0))) /
+          sum(col("rev")), 4).as("promo_share"))
+  }
+
+  /** D26 — TPC-H Q19 shape: revenue under an OR-of-ANDs predicate
+    * spanning both sides (brand/size bands on part × quantity bands
+    * on lineitem) — the disjunctive-pushdown stress. Catalyst
+    * distributes the common single-side conjuncts: the part scan
+    * prunes to the three brands and the lineitem scan to the union
+    * quantity range BEFORE the join, with the full disjunction
+    * re-checked on the joined rows. */
+  def qDisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#12", 15, 1, 11) ||
+        band("Brand#23", 25, 10, 20) ||
+        band("Brand#24", 35, 20, 30))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** D27 — TPC-H Q22 shape: well-funded dormant customers — balance
+    * above the positive-balance corpus average (scalar aggregate,
+    * broadcast as a one-row cross join) with NO order since
+    * 1999-01-01 (anti join against the date-pruned order scan),
+    * rolled up per market segment. The corpus gives every customer
+    * SOME order, so the dormancy window is what makes the anti-join
+    * surface non-empty. */
+  def qDormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_dormant"),
+        round(sum(col("c_acctbal")), 2).as("dormant_balance"))
+  }
 }
