@@ -1339,6 +1339,104 @@ object Multimodal {
       .select("doc_id", "valid_ico", "n_images", "width", "height", "bpp")
   }
 
+  /** Max OGG segment-table entries the page walk sums. */
+  val OggMaxSegments = 4
+
+  /** OGG sample rates the synthetic corpus cycles through. */
+  val OggRates = Seq(8000, 16000, 22050, 44100, 48000)
+
+  /** H19: OGG page header + Vorbis identification header parse
+    * (RFC 3533 / Vorbis I spec) — the container walk for the one
+    * mainstream audio format (Ogg/Vorbis) H6/H12/H14 don't cover.
+    * Fixed 27-byte header: "OggS" capture + version 0 validate,
+    * header-type flag bits (BOS/EOS), granule position as a FULL
+    * signed 64-bit LE read (two u32 halves recombined with long
+    * arithmetic — the wrap reproduces two's-complement semantics, so
+    * the -1 end-of-stream marker reads correctly), serial + page
+    * sequence u32le, then the segment table: page body length is the
+    * SUM of up to [[OggMaxSegments]] lacing values (bounded unroll,
+    * the JPEG-walk discipline). On a BOS page whose first packet is
+    * a Vorbis identification header ("\\x01vorbis"), channels and
+    * sample rate are read from the packet. Pure codegen'd guarded
+    * projections, zero shuffle at any scale. */
+  def withOggMeta(df: DataFrame, binCol: String,
+      maxSegments: Int = OggMaxSegments): DataFrame = {
+    val bin = col(binCol)
+    def u8(off: org.apache.spark.sql.Column) =
+      conv(hex(bin.substr(off, lit(1))), 16, 10).cast("int")
+    val valid = (lower(hex(substring(bin, 1, 4))) === "4f676753" &&
+      u8(lit(5)) === 0).cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    var out = df.withColumn("valid_ogg", valid)
+      .withColumn("_flags", u8(lit(6)))
+      .withColumn("_nseg", u8(lit(27)))
+    val bodyLen = (0 until maxSegments).map(i =>
+      when(lit(i) < col("_nseg"), u8(lit(28 + i))).otherwise(lit(0)))
+      .reduce(_ + _)
+    out = out
+      .withColumn("is_bos", ifOk(shiftright(col("_flags"), 1).bitwiseAND(lit(1))))
+      .withColumn("is_eos", ifOk(shiftright(col("_flags"), 2).bitwiseAND(lit(1))))
+      // shift+OR, not hi * 2^32 + lo: the bitwise spelling wraps to
+      // the signed two's-complement value natively (granule -1 = the
+      // EOS marker), where ANSI checked multiplication throws
+      // ARITHMETIC_OVERFLOW on any hi half ≥ 2^31
+      .withColumn("granule",
+        ifOk(shiftleft(leU32(bin, lit(11)), 32).bitwiseOR(leU32(bin, lit(7)))))
+      .withColumn("serial", ifOk(leU32(bin, lit(15))))
+      .withColumn("page_seq", ifOk(leU32(bin, lit(19))))
+      .withColumn("n_segments", ifOk(col("_nseg")))
+      .withColumn("body_len",
+        ifOk(when(col("_nseg") <= maxSegments, bodyLen)))
+    // first-packet Vorbis id header: only meaningful on a BOS page
+    // whose first lacing value covers the 30-byte packet
+    val body0 = lit(28) + col("_nseg")
+    val vorbis = col("is_bos") === 1 && col("_nseg") >= 1 &&
+      u8(lit(28)) >= 30 &&
+      lower(hex(bin.substr(body0, lit(7)))) === "01766f72626973"
+    out
+      .withColumn("channels", when(vorbis, u8(body0 + lit(11))))
+      .withColumn("sample_rate", when(vorbis, leU32(bin, body0 + lit(12))))
+      .drop("_flags", "_nseg")
+  }
+
+  /** H19 driver query: synthesize one OGG page per asset — a Vorbis
+    * BOS page (id-header packet + zero filler segment) by default,
+    * a mid-stream data page every 7th asset, an EOS flag every 13th,
+    * and a corrupt capture every 11th (must not validate) — then
+    * parse everything back from the BYTES; formula oracle. */
+  def mmOggMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 11 === 0
+    val bos = col("doc_id") % 7 =!= 0
+    val eos = col("doc_id") % 13 === 0
+    val filler = (col("n_chars") % 200).cast("int")
+    val granule = when(bos, lit(0)).otherwise((col("doc_id") % 1000) * 100)
+      .cast("int")
+    val serial = (col("doc_id") % 100000).cast("int")
+    val pageSeq = when(bos, lit(0)).otherwise(col("doc_id") % 50 + 1).cast("int")
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = element_at(
+      array(OggRates.map(r => lit(r)): _*), (col("doc_id") % 5 + 1).cast("int"))
+    def hx2(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+    val flags = when(bos, lit(2)).otherwise(lit(0)) +
+      when(eos, lit(4)).otherwise(lit(0))
+    val vorbisId = concat(lit("01"), lit("766f72626973"), lit("00000000"),
+      hx2(channels), leHex32(rate), lit("00" * 12), lit("b8"), lit("01"))
+    val segTable = when(bos, concat(lit("1e"), hx2(filler)))
+      .otherwise(hx2(filler))
+    val body = when(bos, concat(vorbisId, repeat(lit("00"), filler)))
+      .otherwise(repeat(lit("aa"), filler))
+    val hx = concat(
+      when(corrupt, lit("4f676758")).otherwise(lit("4f676753")), lit("00"),
+      hx2(flags), leHex32(granule), lit("00000000"),
+      leHex32(serial), leHex32(pageSeq), lit("00000000"),
+      when(bos, lit("02")).otherwise(lit("01")), segTable, body)
+    withOggMeta(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_ogg", "is_bos", "is_eos", "granule",
+        "serial", "page_seq", "n_segments", "body_len",
+        "channels", "sample_rate")
+  }
+
   /** Max ID3v2 frames the tag walk visits. */
   val Id3MaxFrames = 4
 
@@ -1459,9 +1557,37 @@ object Multimodal {
     "mm_exif_gps"  -> (mmExifGps _),
     "mm_id3_tags"  -> (mmId3Tags _),
     "mm_ico_dims"  -> (mmIcoDims _),
+    "mm_ogg_meta"  -> (mmOggMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_ogg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS valid_ogg,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::int END AS is_bos,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)::int END AS is_eos,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 7 <> 0 THEN 0
+        |      ELSE (doc_id % 1000) * 100 END)::bigint END AS granule,
+        |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 100000)::bigint END AS serial,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 7 <> 0 THEN 0
+        |      ELSE doc_id % 50 + 1 END)::bigint END AS page_seq,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 7 <> 0 THEN 2 ELSE 1 END)::int END AS n_segments,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 7 <> 0 THEN 30 + n_chars % 200
+        |      ELSE n_chars % 200 END)::int END AS body_len,
+        |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 <> 0
+        |    THEN (doc_id % 2 + 1)::int END AS channels,
+        |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 <> 0 THEN
+        |    (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |      WHEN 4 THEN 48000 END)::bigint END AS sample_rate
+        |FROM documents""".stripMargin,
+
     "mm_features" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len, md5(text) AS payload_md5,
         |  'text/plain' AS mime, lang, source, n_chars

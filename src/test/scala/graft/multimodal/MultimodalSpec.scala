@@ -454,6 +454,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._1 == 0, "PNG bytes must not validate")
   }
 
+  test("H19 withOggMeta parses a Vorbis BOS page, s64 granule wrap, and segment bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // BOS page: serial 12345, seq 0, 2 segments (30-byte Vorbis id +
+    // 5 filler) — stereo 44100 Hz
+    val vorbisId = "01" + "766f72626973" + "00000000" + "02" + "44ac0000" +
+      ("00" * 12) + "b8" + "01"
+    val bos = "4f676753" + "00" + "02" + ("00" * 8) + "39300000" +
+      "00000000" + "00000000" + "02" + "1e" + "05" + vorbisId + ("aa" * 5)
+    // mid-stream EOS page with granule -1 (the end-of-stream marker):
+    // the two u32-half reads must recombine to the signed value
+    val eos = "4f676753" + "00" + "04" + ("ff" * 8) + "39300000" +
+      "07000000" + "00000000" + "01" + "03" + "aabbcc"
+    // 5 segments > OggMaxSegments=4: n_segments reads but body_len
+    // must NULL (the bounded walk refuses a sum it didn't finish)
+    val wide = "4f676753" + "00" + "00" + ("00" * 8) + "39300000" +
+      "01000000" + "00000000" + "05" + ("01" * 5) + ("bb" * 5)
+    val junk = "4f676758" + "00" + "02" + ("00" * 24)
+    val out = Multimodal.withOggMeta(
+      Seq((1L, bos), (2L, eos), (3L, wide), (4L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .collect().map { r =>
+        def l(n: String) = if (r.isNullAt(r.fieldIndex(n))) Long.MinValue
+          else r.getAs[Any](n) match { case i: Int => i.toLong; case x: Long => x }
+        r.getLong(0) -> ((r.getAs[Int]("valid_ogg"), l("is_bos"), l("is_eos"),
+          l("granule"), l("serial"), l("page_seq"), l("n_segments"),
+          l("body_len"), l("channels"), l("sample_rate")))
+      }.toMap
+    assert(out(1L) == ((1, 1L, 0L, 0L, 12345L, 0L, 2L, 35L, 2L, 44100L)),
+      s"BOS Vorbis page: ${out(1L)}")
+    assert(out(2L) == ((1, 0L, 1L, -1L, 12345L, 7L, 1L, 3L,
+      Long.MinValue, Long.MinValue)), s"EOS page, granule -1: ${out(2L)}")
+    assert(out(3L)._7 == 5L && out(3L)._8 == Long.MinValue,
+      s"overflowing segment table must null body_len: ${out(3L)}")
+    assert(out(4L)._1 == 0, "corrupt capture must not validate")
+  }
+
   test("H15 withPngChunks hops variable chunks to pHYs/tEXt; stops at IEND; junk rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
