@@ -58,6 +58,7 @@ object SparkEntry {
       "q_promo_share"      -> (Relational.qPromoShare _),
       "q_disjunctive"      -> (Relational.qDisjunctiveRevenue _),
       "q_dormant_customers" -> (Relational.qDormantCustomers _),
+      "q_late_orders"      -> (Relational.qOrderPriorityCount _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -370,6 +371,15 @@ object SparkEntry {
         |       AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_late_orders" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
     "q_dormant_customers" ->
       """SELECT c.c_mktsegment, count(*) AS n_dormant,
         |  round(sum(c.c_acctbal), 2) AS dormant_balance

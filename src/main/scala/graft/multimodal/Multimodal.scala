@@ -1437,6 +1437,68 @@ object Multimodal {
         "channels", "sample_rate")
   }
 
+  /** Longest ZIP entry filename the parser dereferences. */
+  val ZipMaxName = 64
+
+  /** H20: ZIP local-file-header parse (PKWARE APPNOTE) — the
+    * CONTAINER format a document lake actually stores: docx/xlsx and
+    * epub are ZIP archives, and their FIRST entry is diagnostic
+    * (epub: a stored — never deflated — "mimetype" entry; OOXML:
+    * "[Content_Types].xml"). Parses the header at offset 0:
+    * "PK\x03\x04" validate, compression method (stored/deflated),
+    * CRC-32, compressed/uncompressed sizes, and the entry FILENAME
+    * as a string (guarded to [[ZipMaxName]] bytes — a hostile length
+    * field must not drag a megabyte into the row). Pure codegen'd
+    * guarded projections, zero shuffle. */
+  def withZipEntry(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val valid = (lower(hex(substring(bin, 1, 4))) === "504b0304").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val method = leU16(bin, lit(9))
+    val nlen = leU16(bin, lit(27))
+    df.withColumn("valid_zip", valid)
+      .withColumn("method",
+        ifOk(when(method === 0, "stored").when(method === 8, "deflated")
+          .otherwise("other")))
+      .withColumn("crc32", ifOk(leU32(bin, lit(15))))
+      .withColumn("compressed_size", ifOk(leU32(bin, lit(19))))
+      .withColumn("uncompressed_size", ifOk(leU32(bin, lit(23))))
+      .withColumn("name_len", ifOk(nlen))
+      .withColumn("filename",
+        ifOk(when(nlen <= ZipMaxName, bin.substr(lit(31), nlen).cast("string"))))
+  }
+
+  /** H20 driver query: synthesize a first local header per asset —
+    * an epub leg (stored "mimetype"), an OOXML leg (deflated
+    * "[Content_Types].xml"), a generic deflated JSON leg, and a
+    * corrupt signature every 9th asset — and parse it back from the
+    * BYTES; formula oracle. */
+  def mmZipEntry(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 9 === 0
+    val leg = col("doc_id") % 3
+    val name = when(leg === 0, "mimetype")
+      .when(leg === 1, "[Content_Types].xml")
+      .otherwise("data.json")
+    val method = when(leg === 0, lit(0)).otherwise(lit(8))
+    val usize = when(leg === 0, col("n_chars") % 500 + 20)
+      .otherwise(col("n_chars") % 5000 + 100).cast("int")
+    val csize = when(leg === 0, usize)
+      .otherwise((usize.cast("long") / 3).cast("int") + 18)
+    val crc = (col("doc_id") * 2654435761L % 4294967296L).cast("long")
+    def le16(c: org.apache.spark.sql.Column) = concat(
+      lpad(lower(hex(c.bitwiseAND(lit(0xff)))), 2, "0"),
+      lpad(lower(hex(shiftright(c, 8).bitwiseAND(lit(0xff)))), 2, "0"))
+    val hx = concat(
+      when(corrupt, lit("504b0306")).otherwise(lit("504b0304")),
+      lit("1400"), lit("0000"), le16(method), lit("0000"), lit("0000"),
+      leHex32(crc), leHex32(csize), leHex32(usize),
+      le16(length(name)), lit("0000"), lower(hex(name)))
+    withZipEntry(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_zip", "method", "crc32",
+        "compressed_size", "uncompressed_size", "name_len", "filename")
+  }
+
   /** Max ID3v2 frames the tag walk visits. */
   val Id3MaxFrames = 4
 
@@ -1558,9 +1620,35 @@ object Multimodal {
     "mm_id3_tags"  -> (mmId3Tags _),
     "mm_ico_dims"  -> (mmIcoDims _),
     "mm_ogg_meta"  -> (mmOggMeta _),
+    "mm_zip_entry" -> (mmZipEntry _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_zip_entry" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_zip,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'stored' ELSE 'deflated' END)
+        |  END AS method,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (doc_id * 2654435761 % 4294967296)::bigint END AS crc32,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 0 THEN n_chars % 500 + 20
+        |      ELSE (n_chars % 5000 + 100) // 3 + 18 END)::bigint
+        |  END AS compressed_size,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 0 THEN n_chars % 500 + 20
+        |      ELSE n_chars % 5000 + 100 END)::bigint
+        |  END AS uncompressed_size,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 19
+        |      ELSE 9 END)::int END AS name_len,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE doc_id % 3 WHEN 0 THEN 'mimetype'
+        |      WHEN 1 THEN '[Content_Types].xml'
+        |      ELSE 'data.json' END) END AS filename
+        |FROM documents""".stripMargin,
+
     "mm_ogg_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS valid_ogg,

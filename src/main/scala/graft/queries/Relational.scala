@@ -642,6 +642,29 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** D28 — TPC-H Q4 shape: order counts per priority for one quarter,
+    * restricted to orders with at least one LATE lineitem (shipped
+    * after the order month ended — the corpus has no commit/receipt
+    * dates, so lateness is shipdate > orderdate + 30 days). The
+    * EXISTS spells as a left-semi join: the order row survives once
+    * regardless of how many lines are late, which a plain join+agg
+    * would double-count. Both scans prune on their date filters. */
+  def qOrderPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-07-01").cast("timestamp")
+    val hi = lit("1997-10-01").cast("timestamp")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val late = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** D27 — TPC-H Q22 shape: well-funded dormant customers — balance
     * above the positive-balance corpus average (scalar aggregate,
     * broadcast as a one-row cross join) with NO order since

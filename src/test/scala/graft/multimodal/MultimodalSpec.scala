@@ -491,6 +491,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._1 == 0, "corrupt capture must not validate")
   }
 
+  test("H20 withZipEntry reads the first local header; hostile name length nulls filename") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    def hexOf(s: String) = s.getBytes("UTF-8").map("%02x".format(_)).mkString
+    // epub-style: stored "mimetype", crc 0x12345678, sizes 20/20
+    val epub = "504b0304" + "1400" + "0000" + "0000" + "0000" + "0000" +
+      "78563412" + "14000000" + "14000000" + "0800" + "0000" + hexOf("mimetype")
+    // hostile name length 0xFFFF: name_len reads, filename must NULL
+    val hostile = "504b0304" + "1400" + "0000" + "0800" + "0000" + "0000" +
+      "00000000" + "0a000000" + "64000000" + "ffff" + "0000" + hexOf("x")
+    val junk = "504b0506" + ("00" * 18)
+    val out = Multimodal.withZipEntry(
+      Seq((1L, epub), (2L, hostile), (3L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Int]("valid_zip"),
+        r.getAs[String]("method"), r.getAs[Any]("crc32"),
+        r.getAs[Any]("name_len"), r.getAs[String]("filename")))).toMap
+    assert(out(1L) == ((1, "stored", 0x12345678L, 8, "mimetype")), s"${out(1L)}")
+    assert(out(2L)._2 == "deflated" && out(2L)._4 == 0xffff &&
+      out(2L)._5 == null, s"hostile length must null the name: ${out(2L)}")
+    assert(out(3L)._1 == 0, "an EOCD-first blob is not a local header")
+  }
+
   test("H15 withPngChunks hops variable chunks to pHYs/tEXt; stops at IEND; junk rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
