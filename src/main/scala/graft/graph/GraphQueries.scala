@@ -462,6 +462,20 @@ object GraphQueries {
   def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame =
     Graphs.adamicAdar(coOrderEdges(spark, dir), AaMinCommon)
 
+  val NbRounds = 3
+
+  /** C25 driver query: neighborhood function over the geo subgraph —
+    * HyperBall's N(r) with the exact pair closure as the verification
+    * face and the per-vertex HLL-union loop as the scale face, the
+    * est_ok flag pinning the sketch within 500 bps of exact. The geo
+    * graph's small diameter makes 3 rounds reach near-saturation (the
+    * N(r) curve flattening IS the effective-diameter signal). */
+  def graphNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    Graphs.neighborhoodFunction(storedGeoUnd(spark, dir)
+        .unionAll(storedGeoUnd(spark, dir)
+          .select(col("v").as("u"), col("u").as("v"))),
+      NbRounds)
+
   /** Degree distribution of the KG (count of nodes per total degree) —
     * the first structural sanity check on any built graph. */
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame =
@@ -492,6 +506,7 @@ object GraphQueries {
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
     "graph_adamic_adar" -> (graphAdamicAdar _),
+    "graph_neighborhood" -> (graphNeighborhood _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_harmonic"  -> (graphHarmonic _),
     "graph_eccentricity" -> (graphEccentricity _),
@@ -957,6 +972,29 @@ object GraphQueries {
          |FROM c
          |WHERE common >= $AaMinCommon
          |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)""".stripMargin,
+
+    // mirrors the EXACT face of the neighborhood function round for
+    // round (per-round distinct pair closure over the doubled geo
+    // edges); est_ok is the constant 1 the in-plan HLL flag must hit
+    "graph_neighborhood" -> {
+      val bCtes = (1 to NbRounds).map { r =>
+        s"""b$r AS MATERIALIZED (
+           |  SELECT DISTINCT src, reached FROM (
+           |    SELECT src, reached FROM b${r - 1}
+           |    UNION ALL
+           |    SELECT p.src, und.v FROM b${r - 1} p JOIN und ON und.u = p.reached
+           |  ) x
+           |)""".stripMargin
+      }.mkString(",\n")
+      val counts = (0 to NbRounds).map(r =>
+        s"SELECT $r AS radius, count(*)::bigint AS n_pairs, 1 AS est_ok FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |b0 AS MATERIALIZED (SELECT DISTINCT u AS src, u AS reached FROM und),
+         |$bCtes
+         |$counts""".stripMargin
+    },
 
     // mirrors graphClustering: same wedge closure per corner + degree
     // agg; lcc is ONE fixed double expression over exact counts

@@ -924,6 +924,59 @@ object Graphs {
     st
   }
 
+  /** C25: neighborhood function N(r) = Σ_v |B(v, r)| — the HyperBall
+    * question (Boldi/Rosa/Vigna: "HyperANF") answered two ways in one
+    * frame, the sim_ann_recall verification convention:
+    *  - EXACT face: per-round distinct (src, reached) pair closure —
+    *    O(Σ|B|) state, the verification-only face (at 100 TB the pair
+    *    frame is the thing you cannot hold);
+    *  - SKETCH face (the 100 TB path): one 2^lgK-register HLL PER
+    *    VERTEX, each round unioning every neighbor's sketch —
+    *    B_{r+1}(v) = B_r(v) ∪ ⋃_{(v,w)∈E} B_r(w) — so per-round
+    *    state is V fixed-width sketches and the shuffle moves
+    *    sketches, never ball members. Insertion and union are
+    *    register-max operations: order-independent, deterministic,
+    *    so the accuracy flag below is stable across runs.
+    * Emits one row per radius 0..rounds: (radius, n_pairs exact,
+    * est_ok = |Σ estimates − n_pairs| ≤ tolBps). The estimate itself
+    * is NOT emitted (an engine-specific register layout has no
+    * cross-engine oracle — the I22 HLL convention); the flag pins it
+    * within tolerance of the exact count the oracle reproduces. */
+  def neighborhoodFunction(und: DataFrame, rounds: Int,
+      lgK: Int = 12, tolBps: Int = 500): DataFrame = {
+    val e = und.select(col("u"), col("v")).localCheckpoint(eager = true)
+    val verts = e.select(col("u").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    var pairs = verts.select(col("id").as("src"), col("id").as("reached"))
+      .localCheckpoint(eager = true)
+    var sk = verts.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sketch"))
+      .localCheckpoint(eager = true)
+    def radiusRow(r: Int, p: DataFrame, s: DataFrame): DataFrame = {
+      val exact = p.agg(count(lit(1)).as("n_pairs"))
+      val est = s.agg(sum(hll_sketch_estimate(col("sketch"))).as("est"))
+      exact.crossJoin(est).select(lit(r).as("radius"), col("n_pairs"),
+        (abs(col("est") - col("n_pairs")) * 10000 <=
+          col("n_pairs") * tolBps).cast("int").as("est_ok"))
+    }
+    var out = radiusRow(0, pairs, sk)
+    for (r <- 1 to rounds) {
+      pairs = pairs.unionAll(
+          e.join(pairs, e("u") === pairs("reached"))
+            .select(pairs("src"), e("v").as("reached")))
+        .distinct().localCheckpoint(eager = true)
+      sk = sk.unionAll(
+          e.join(sk, e("u") === col("id"))
+            .select(e("v").as("id"), col("sketch")))
+        .groupBy(col("id"))
+        .agg(hll_union_agg(col("sketch")).as("sketch"))
+        .localCheckpoint(eager = true)
+      out = out.unionAll(radiusRow(r, pairs, sk))
+    }
+    e.unpersist()
+    out
+  }
+
   /** C8: k-core by fixed-round peeling — each round drops vertices
     * whose degree over the REMAINING edges is < k, then their incident
     * edges. Fixed `iterations` (not a convergence test) so the result

@@ -529,6 +529,20 @@ class GraphSpec extends SparkSpec {
     assert(out == Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0), s"got $out")
   }
 
+  test("C25 neighborhood function: hand-computed N(r) on a path, sketch flag holds") {
+    // path a-b-c-d (doubled): balls by hand —
+    //   r=0: 4 singletons          → N(0) = 4
+    //   r=1: 2+3+3+2               → N(1) = 10
+    //   r=2: 3+4+4+3               → N(2) = 14
+    //   r=3: saturated             → N(3) = 16
+    val one = edgesDf("a" -> "b", "b" -> "c", "c" -> "d")
+    val und = one.unionAll(one.select(col("v").as("u"), col("u").as("v")))
+    val out = Graphs.neighborhoodFunction(und, rounds = 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(0 -> ((4L, 1)), 1 -> ((10L, 1)),
+      2 -> ((14L, 1)), 3 -> ((16L, 1))), s"got $out")
+  }
+
   test("rankedAsc: distributed rank matches global sort order, no " +
       "single-partition stage (r11 vdict build)") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
