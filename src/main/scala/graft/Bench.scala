@@ -108,9 +108,12 @@ object Bench {
     val results = selected.map { name =>
       val first = timeOnce(name)
       val sec = if (first < 0) first else math.min(first, timeOnce(name))
-      val d = tracker.delta()
+      val d = tracker.settledDelta()
       val audit = try Some(auditOnce(name)) catch { case _: Throwable => None }
-      tracker.delta() // discard the audit pass's bytes from the next query
+      // discard the audit pass's bytes; settled, or the async listener
+      // bus would leak the audit's straggler task events into the
+      // NEXT query's bracket
+      tracker.settledDelta()
       (name, sec, (d.shuffleWrite / 2) / 1e6, (d.spill / 2) / 1e6, audit)
     }.toSeq
     // names are code-controlled, but escape anyway so the emitted line
@@ -139,8 +142,14 @@ object Bench {
         s""""single_partition":${a.singlePartitionExchanges},""" +
         s""""sp_heavy":${a.singlePartitionHeavy},"smells":$sm}"""
     }
+    // the error fallback carries the SAME keys as a successful audit
+    // (nulled counts) so consumers can index fields unconditionally
+    val auditErrJson =
+      """{"shuffles":null,"broadcasts":null,"sorts":null,""" +
+        """"codegen_spans":null,"scans":null,"pushed":null,""" +
+        """"single_partition":null,"sp_heavy":null,"smells":["audit error"]}"""
     val audits = results.map { case (k, _, _, _, a) =>
-      jkey(k) + a.map(auditJson).getOrElse("""{"smells":["audit error"]}""")
+      jkey(k) + a.map(auditJson).getOrElse(auditErrJson)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     // load snapshot AFTER the timed passes: os_load1_end reflects the

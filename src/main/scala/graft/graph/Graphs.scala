@@ -973,7 +973,9 @@ object Graphs {
         .localCheckpoint(eager = true)
       out = out.unionAll(radiusRow(r, pairs, sk))
     }
-    e.unpersist()
+    // no unpersist: e and the per-round frames are localCheckpoints
+    // (block-manager RDDs released by GC), not CacheManager entries —
+    // an unpersist() here would be a no-op that reads like cleanup
     out
   }
 

@@ -132,6 +132,25 @@ object Monitor {
     def delta(): TaskBytes = synchronized {
       val now = totals; val d = now - mark; mark = now; d
     }
+
+    /** delta() after the async listener bus has settled: onTaskEnd
+      * events can still be in flight when an action returns, so an
+      * immediate delta() mis-attributes the stragglers to the NEXT
+      * bracket. Polls `totals` until stable (bounded), then marks —
+      * use at bracket boundaries whose attribution matters. */
+    def settledDelta(stableChecks: Int = 2, pollMs: Long = 20,
+        maxPolls: Int = 50): TaskBytes = {
+      var last = totals
+      var stable = 0
+      var polls = 0
+      while (stable < stableChecks && polls < maxPolls) {
+        Thread.sleep(pollMs)
+        val now = totals
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        polls += 1
+      }
+      delta()
+    }
   }
 
   def registerTasks(spark: SparkSession): TaskMetricsTracker = {

@@ -1046,7 +1046,13 @@ object Multimodal {
     // spans (staging | fold) at the cost of one per-partition count
     // accumulator — no shuffle, no materialization, and each span now
     // has real headroom instead of riding the limit.
-    out = out.observe("mm_exif_gps_staged", count(lit(1)).as("rows"))
+    // name made unique per invocation: CollectMetrics names must be
+    // unique within one analyzed plan, and a fixed name would fail
+    // analysis for any caller composing two EXIF-parsed frames
+    // (union/join) in one query
+    out = out.observe(
+      s"mm_exif_gps_staged_${ExifGpsStageId.incrementAndGet()}",
+      count(lit(1)).as("rows"))
     // The fold references every rational component TWICE (numerators
     // through an always-true case, denominators through the zero
     // guard), so CollapseProject keeps all 12 u32 deref chains staged
@@ -1329,15 +1335,15 @@ object Multimodal {
     val bpp = element_at(array(lit(1), lit(4), lit(8), lit(24), lit(32)),
       (col("doc_id") % 5 + 1).cast("int"))
     def hx2(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
-    def le16(c: org.apache.spark.sql.Column) = concat(
-      hx2(c.bitwiseAND(lit(0xff))), hx2(shiftright(c, 8).bitwiseAND(lit(0xff))))
     val hx = concat(lit("0000"),
       when(isCursor, lit("0200")).otherwise(lit("0100")),
-      le16(nImg), hx2(w), hx2(h), lit("0000"), le16(lit(1)), le16(bpp),
-      lit("00000000"), lit("16000000"))
+      leHex16(nImg), hx2(w), hx2(h), lit("0000"), leHex16(lit(1)),
+      leHex16(bpp), lit("00000000"), lit("16000000"))
     withIcoDims(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
       .select("doc_id", "valid_ico", "n_images", "width", "height", "bpp")
   }
+
+  private val ExifGpsStageId = new java.util.concurrent.atomic.AtomicLong
 
   /** Max OGG segment-table entries the page walk sums. */
   val OggMaxSegments = 4
@@ -1486,14 +1492,11 @@ object Multimodal {
     val csize = when(leg === 0, usize)
       .otherwise((usize.cast("long") / 3).cast("int") + 18)
     val crc = (col("doc_id") * 2654435761L % 4294967296L).cast("long")
-    def le16(c: org.apache.spark.sql.Column) = concat(
-      lpad(lower(hex(c.bitwiseAND(lit(0xff)))), 2, "0"),
-      lpad(lower(hex(shiftright(c, 8).bitwiseAND(lit(0xff)))), 2, "0"))
     val hx = concat(
       when(corrupt, lit("504b0306")).otherwise(lit("504b0304")),
-      lit("1400"), lit("0000"), le16(method), lit("0000"), lit("0000"),
+      lit("1400"), lit("0000"), leHex16(method), lit("0000"), lit("0000"),
       leHex32(crc), leHex32(csize), leHex32(usize),
-      le16(length(name)), lit("0000"), lower(hex(name)))
+      leHex16(length(name)), lit("0000"), lower(hex(name)))
     withZipEntry(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
       .select("doc_id", "valid_zip", "method", "crc32",
         "compressed_size", "uncompressed_size", "name_len", "filename")

@@ -350,6 +350,19 @@ class MultimodalSpec extends SparkSpec {
       "missing APP1 must null everything")
   }
 
+  test("H16 two withExifGps frames compose in ONE query (unique observe names)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // the codegen-span break rides an observe() metrics node, and
+    // CollectMetrics names must be unique per analyzed plan — a fixed
+    // name failed analysis on any union/join of two parsed frames
+    def frame(id: Long) = Multimodal.withExifGps(
+      Seq((id, "ffd8" + "ffdb" + "0004" + "0000")).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .select("id", "valid_exif")
+    assert(frame(1L).unionAll(frame(2L)).collect().length == 2)
+  }
+
   test("H14 withMp3Header hops syncsafe ID3 tags and resolves the bit-field tables") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
