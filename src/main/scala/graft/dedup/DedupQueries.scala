@@ -120,7 +120,59 @@ object DedupQueries {
     Dedup.semanticSurvivors(emb, asg, "vec_id", "embedding", CosineThreshold)
   }
 
+  /** Tolerance (bps of exact, floored at ±2 absolute) for the theta
+    * set-op accuracy flags. */
+  val ThetaTolBps = 200
+
+  /** K16 driver query: pairwise source-vocabulary overlap — for every
+    * source pair, |vocab(A) ∩ vocab(B)| and |A ∪ B|, answered BOTH
+    * ways in one frame (the C25/sim_ann_recall convention): the exact
+    * distinct-token self-join as the verification face, and theta
+    * sketch intersections/unions (graft_theta per source — ONE
+    * sketch row per source, then 190 pairwise scalar set-ops on
+    * sketch BYTES) as the 100 TB path, where the raw-token join is
+    * the thing you cannot afford and HLL cannot intersect. est_ok
+    * pins both estimates within [[ThetaTolBps]] (exact-mode sketches
+    * at these cardinalities make them exactly equal; at sampling
+    * scale the same plan degrades to the documented ±1/√k). */
+  def dedupSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def thetaAgg(c: Column): Column = call_function("graft_theta", c)
+    def inter(a: Column, b: Column): Column =
+      call_function("graft_theta_intersect", a, b)
+    def uni(a: Column, b: Column): Column =
+      call_function("graft_theta_union_est", a, b)
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(trim(col("text")), " +")).as("t"))
+      .filter(col("t") =!= "")
+      .distinct()
+      .localCheckpoint(eager = true)
+    val sk = toks.groupBy("source")
+      .agg(thetaAgg(col("t")).as("sk"), count(lit(1)).as("n"))
+    val pairs = sk.select(col("source").as("src_a"), col("sk").as("sk_a"),
+        col("n").as("n_a"))
+      .join(sk.select(col("source").as("src_b"), col("sk").as("sk_b"),
+        col("n").as("n_b")), col("src_a") < col("src_b"))
+    val exact = toks.select(col("source").as("src_a"), col("t"))
+      .join(toks.select(col("source").as("src_b"), col("t")),
+        Seq("t")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("ov"))
+    def ok(est: Column, ex: Column): Column =
+      (abs(est - ex) * 10000 <= greatest(lit(2L * 10000), ex * ThetaTolBps))
+    pairs.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("ov"), lit(0L)).as("overlap"),
+        (col("n_a") + col("n_b") - coalesce(col("ov"), lit(0L))).as("union_size"),
+        (ok(inter(col("sk_a"), col("sk_b")), coalesce(col("ov"), lit(0L))) &&
+          ok(uni(col("sk_a"), col("sk_b")),
+            col("n_a") + col("n_b") - coalesce(col("ov"), lit(0L))))
+          .cast("int").as("est_ok"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "dedup_source_overlap"  -> (dedupSourceOverlap _),
     "dedup_exact"           -> (dedupExact _),
     "dedup_semantic"        -> (dedupSemantic _),
     "dedup_minhash_pairs"   -> (dedupMinhashPairs _),
@@ -182,6 +234,29 @@ object DedupQueries {
       |WHERE a.doc_id < b.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors the EXACT face (distinct-token self-join); est_ok is
+    // the constant 1 the in-plan theta flags must hit — the estimate
+    // itself is never emitted (engine-specific sketch, the I22/C25
+    // convention)
+    "dedup_source_overlap" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT DISTINCT source, t FROM (
+        |    SELECT source, unnest(string_split_regex(trim(text), ' +')) AS t
+        |    FROM documents
+        |  ) WHERE t <> ''
+        |), n AS (SELECT source, count(*) AS n FROM toks GROUP BY 1),
+        |ov AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS ov
+        |  FROM toks x JOIN toks y ON x.t = y.t AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  a.n::bigint AS n_a, b.n::bigint AS n_b,
+        |  coalesce(ov.ov, 0)::bigint AS overlap,
+        |  (a.n + b.n - coalesce(ov.ov, 0))::bigint AS union_size,
+        |  1 AS est_ok
+        |FROM n a JOIN n b ON a.source < b.source
+        |LEFT JOIN ov ON ov.src_a = a.source AND ov.src_b = b.source""".stripMargin,
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id,
         |  md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h FROM documents)

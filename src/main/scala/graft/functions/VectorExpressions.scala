@@ -217,6 +217,15 @@ object VectorFunctions {
         es(2).eval().asInstanceOf[Number].intValue)
         .toAggregateExpression()
     },
+    "graft_theta"       -> { es =>
+      if (es.length >= 2)
+        ThetaSketchAgg(es(0), es(1).eval().asInstanceOf[Number].intValue)
+          .toAggregateExpression()
+      else ThetaSketchAgg(es(0)).toAggregateExpression()
+    },
+    "graft_theta_estimate" -> { es => ThetaEstimate(es.head) },
+    "graft_theta_intersect" -> { es => ThetaIntersectEstimate(es(0), es(1)) },
+    "graft_theta_union_est" -> { es => ThetaUnionEstimate(es(0), es(1)) },
   )
 
   /** Idempotently register the graft vector functions on a session

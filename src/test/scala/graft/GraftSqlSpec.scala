@@ -67,5 +67,17 @@ class GraftSqlSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(asof.head.getLong(0) == purchases,
       "as-of from SQL must emit exactly one row per left row")
+    // r11: theta sketch + set ops from SQL — distinct langs is small,
+    // so exact mode makes the self-intersection exactly the count
+    val theta = spark.sql(
+      """SELECT graft_theta_estimate(sk) AS est,
+        |  graft_theta_intersect(sk, sk) AS self_inter
+        |FROM (SELECT graft_theta(lang) AS sk FROM documents)""".stripMargin)
+      .collect().head
+    val nLangs = spark.sql("SELECT count(DISTINCT lang) FROM documents")
+      .collect().head.getLong(0)
+    assert(theta.getDouble(0) == nLangs.toDouble &&
+      theta.getDouble(1) == nLangs.toDouble,
+      s"theta from SQL: $theta vs $nLangs")
   }
 }

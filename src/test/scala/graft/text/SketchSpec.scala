@@ -33,6 +33,45 @@ class SketchSpec extends SparkSpec {
     toks.unpersist()
   }
 
+  test("K16 theta sketch: exact below k, sampling accuracy above, set ops (r11)") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // exact mode: 100 distinct values across 8 partitions → the
+    // estimate is EXACTLY 100 (theta holds raw hashes below 2^lgK),
+    // and merge order across partitions cannot change a hash set
+    val small = spark.range(0, 300).select((col("id") % 100).as("v"))
+      .repartition(8)
+    val smallEst = small.agg(
+      call_function("graft_theta_estimate",
+        call_function("graft_theta", col("v").cast("string")))).first().getDouble(0)
+    assert(smallEst == 100.0, s"exact mode must be exact: $smallEst")
+    // sampling mode: 40k distinct > 2^12 nominal entries → ±1/√k
+    // relative error territory; bound loosely at 5%
+    val big = spark.range(0, 40000).select(col("id").cast("string").as("v"))
+      .repartition(8)
+    val bigEst = big.agg(
+      call_function("graft_theta_estimate",
+        call_function("graft_theta", col("v")))).first().getDouble(0)
+    assert(math.abs(bigEst - 40000) / 40000 < 0.05, s"sampling estimate: $bigEst")
+    // set ops: A = [0, 24k), B = [16k, 40k) → ∩ 8k, ∪ 40k — the
+    // question HLL cannot answer from two sketches
+    val tagged = spark.range(0, 40000).select(col("id"),
+        when(col("id") < 24000, "a").otherwise(null).as("ga"),
+        when(col("id") >= 16000, "b").otherwise(null).as("gb"))
+    val sks = tagged.agg(
+      call_function("graft_theta",
+        when(col("ga").isNotNull, col("id").cast("string"))).as("ska"),
+      call_function("graft_theta",
+        when(col("gb").isNotNull, col("id").cast("string"))).as("skb"))
+    val r = sks.select(
+      call_function("graft_theta_intersect", col("ska"), col("skb")),
+      call_function("graft_theta_union_est", col("ska"), col("skb"))).first()
+    assert(math.abs(r.getDouble(0) - 8000) / 8000 < 0.10,
+      s"intersection estimate: ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 40000) / 40000 < 0.05,
+      s"union estimate: ${r.getDouble(1)}")
+  }
+
   test("K13 Count-Min sketch: exact counters, merge-order independence, one-sided error") {
     import spark.implicits._
     import graft.functions.{CountMin, VectorFunctions}
