@@ -314,6 +314,14 @@ object VectorFunctions {
     ensureRegistered(spark)
     call_function("graft_topk", item, lit(k))
   }
+
+  /** Mergeable theta sketch of a string column (compact bytes) —
+    * estimate with graft_theta_estimate; set-operate across sketches
+    * with graft_theta_intersect / graft_theta_union_est. */
+  def theta(spark: SparkSession, item: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_theta", item)
+  }
 }
 
 /** Production wiring for `spark.sql.extensions=graft.functions.GraftExtensions`

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import scala.collection.immutable.ListMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.Tables
 
 /** Driver-facing streaming queries (SURVEY §2 I1-I3), run through the
@@ -224,6 +224,45 @@ object StreamQueries {
         col("user_key"), col("r_key"), col("left_ts"), col("right_ts"))
       .select(col("user_key"), col("left_id"), col("left_ts"), col("value"),
         col("right_id"), col("right_ts"))
+  }
+
+  /** Tolerance (bps) for the hourly theta overlap flags. */
+  val OverlapTolBps = 200
+
+  /** I28 batch face: hour-over-hour active-user overlap — per hour
+    * with a successor hour, how many of its distinct users return in
+    * the next hour (adjacent-window retention), answered BOTH ways
+    * (the C25/K16 convention): the exact distinct (hour, user)
+    * self-join as the verification face, and theta set-ops over the
+    * CLOSED per-window sketches [[Streaming.hourlyThetaSketch]]
+    * emits — at 100 TB/day the stored sketches answer overlap for
+    * ANY window pair without rejoining raw ids, which is the reason
+    * this face stores theta rather than I22's HLL. est_ok pins the
+    * per-hour estimate AND the pairwise intersection ≤ 200 bps. */
+  def evHourlyOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val ev = Tables.events(spark, dir)
+    val sk = Streaming.hourlyThetaSketch(ev)
+    val hu = ev.select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .distinct().localCheckpoint(eager = true)
+    val n = hu.groupBy("hour").agg(count(lit(1)).as("n_users"))
+    val ov = hu.select(col("hour"), col("user_id"))
+      .join(hu.select((col("hour") - expr("INTERVAL 1 HOUR")).as("hour"),
+        col("user_id")), Seq("hour", "user_id"))
+      .groupBy("hour").agg(count(lit(1)).as("next_overlap"))
+    val pairs = sk.select(col("hour"), col("sk"))
+      .join(sk.select((col("hour") - expr("INTERVAL 1 HOUR")).as("hour"),
+        col("sk").as("sk_next")), Seq("hour"))
+    def ok(est: Column, ex: Column): Column =
+      abs(est - ex) * 10000 <= greatest(lit(2L * 10000), ex * OverlapTolBps)
+    pairs.join(n, Seq("hour")).join(ov, Seq("hour"), "left")
+      .select(col("hour"), col("n_users"),
+        coalesce(col("next_overlap"), lit(0L)).as("next_overlap"),
+        (ok(call_function("graft_theta_estimate", col("sk")), col("n_users")) &&
+          ok(call_function("graft_theta_intersect", col("sk"), col("sk_next")),
+            coalesce(col("next_overlap"), lit(0L))))
+          .cast("int").as("est_ok"))
   }
 
   def evFunnel(spark: SparkSession, dir: String): DataFrame =
@@ -484,6 +523,7 @@ object StreamQueries {
     "ev_asof_exec"   -> (evAsofExec _),
     "ev_asof_tol"    -> (evAsofTol _),
     "ev_asof_str"    -> (evAsofStr _),
+    "ev_hourly_overlap" -> (evHourlyOverlap _),
     "ev_value_percentiles" -> (evValuePercentiles _),
     "ev_funnel"      -> (evFunnel _),
     "ev_retention"   -> (evRetention _),
@@ -845,6 +885,25 @@ object StreamQueries {
 
     // string-keyed K15 face: identical question, key = 'u' || user_id
     "ev_asof_str" -> asofOracleSqlKeyed("'u' || user_id", "user_key"),
+
+    // I28: exact face of the hour-over-hour overlap (distinct
+    // (hour, user) self-join at +1 hour); est_ok is the constant 1
+    // the in-plan theta flags must hit
+    "ev_hourly_overlap" ->
+      """WITH hu AS MATERIALIZED (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events
+        |), n AS (SELECT hour, count(*) AS n_users FROM hu GROUP BY 1),
+        |ov AS (
+        |  SELECT a.hour, count(*) AS next_overlap
+        |  FROM hu a JOIN hu b ON a.user_id = b.user_id
+        |    AND b.hour = a.hour + INTERVAL 1 HOUR
+        |  GROUP BY 1
+        |)
+        |SELECT n.hour, n.n_users::bigint AS n_users,
+        |  coalesce(ov.next_overlap, 0)::bigint AS next_overlap,
+        |  1 AS est_ok
+        |FROM n JOIN n nx ON nx.hour = n.hour + INTERVAL 1 HOUR
+        |LEFT JOIN ov ON ov.hour = n.hour""".stripMargin,
 
     // tolerance leg: the unbounded answer with matches staler than
     // the window nulled — the most-recent row is the ONLY candidate,

@@ -538,6 +538,24 @@ object Streaming {
         col("user_id").cast("string"), k).as("cand"))
       .select(col("w.start").as("hour"), col("event_type"), col("cand"))
 
+  /** I28: hourly THETA sketch of active users through streaming
+    * state — the K16 shape the I22 HLL face cannot give: closed
+    * per-window theta sketches support SET OPERATIONS downstream
+    * (hour-over-hour user overlap = retention between adjacent
+    * windows, estimated from two stored sketches without rejoining
+    * raw ids). State per window is ≤ 2^lgK 8-byte hashes; the sketch
+    * is a deterministic function of the window's user SET (sampling
+    * keeps the k smallest hashes), so cross-batch state merges
+    * estimate identically to one batch pass. On batch input the
+    * watermark is a no-op: one function, both faces. */
+  def hourlyThetaSketch(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.VectorFunctions.theta(events.sparkSession,
+        col("user_id").cast("string")).as("sk"))
+      .select(col("w.start").as("hour"), col("sk"))
+
   /** The finishing estimate over closed sketch windows — shared by
     * the batch query and the streaming sink. */
   def distinctFromSketches(sk: DataFrame): DataFrame =

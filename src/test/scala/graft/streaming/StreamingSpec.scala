@@ -466,6 +466,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I28 streaming hourly theta sketches merge across batches; overlap from closed windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "user_id", "event_type")
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val q = Streaming.hourlyThetaSketch(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("theta_out").outputMode("append").start()
+    try {
+      // hour 0: users 1,2,3 (2 twice); hour 1: users 2,3,9 — split so
+      // the hour-0 sketch must MERGE through the state store; overlap
+      // between the closed windows is {2,3} = 2
+      val data = Seq((ts(0), 1L, "click"), (ts(2), 2L, "click"),
+        (ts(10), 2L, "click"), (ts(30), 3L, "click"),
+        (ts(70), 2L, "view"), (ts(80), 3L, "view"), (ts(90), 9L, "view"))
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData((ts(100000), 0L, "x")); q.processAllAvailable()
+      mem.addData((ts(200000), 0L, "x")); q.processAllAvailable()
+      import org.apache.spark.sql.functions.call_function
+      // the two data hours start within minutes 0-90 of the base; the
+      // flush events land ~70 days later and are filtered out
+      def ests(sk: org.apache.spark.sql.DataFrame) =
+        sk.filter(col("hour") < ts(120))
+          .select(col("hour"),
+            call_function("graft_theta_estimate", col("sk")).as("est"))
+          .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+      val streamed = ests(spark.table("theta_out"))
+      val batch = ests(Streaming.hourlyThetaSketch(asEvents(data.toDF())))
+      assert(streamed == batch && batch.values.toSet == Set(3.0),
+        s"streamed $streamed vs batch $batch")
+      // overlap of the two closed windows from sketch bytes alone
+      val sks = spark.table("theta_out")
+        .filter(col("hour") < ts(120))
+        .orderBy("hour").collect().map(_.getAs[Array[Byte]]("sk"))
+      val inter = spark.range(1).select(call_function("graft_theta_intersect",
+          lit(sks(0)), lit(sks(1)))).first().getDouble(0)
+      assert(inter == 2.0, s"closed-window overlap must be exactly 2: $inter")
+    } finally q.stop()
+  }
+
   test("I24 streaming hourly Misra-Gries candidates merge across batches and match batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
