@@ -59,6 +59,15 @@ object SparkEntry {
       "q_disjunctive"      -> (Relational.qDisjunctiveRevenue _),
       "q_dormant_customers" -> (Relational.qDormantCustomers _),
       "q_late_orders"      -> (Relational.qOrderPriorityCount _),
+      "q_forecast_revenue" -> (Relational.qForecastRevenue _),
+      "q_returned_items"   -> (Relational.qReturnedItems _),
+      "q_market_share"     -> (Relational.qMarketShare _),
+      "q_product_profit"   -> (Relational.qProductProfit _),
+      "q_min_cost_supplier" -> (Relational.qMinCostSupplier _),
+      "q_parts_supplier_counts" -> (Relational.qPartsSupplierCounts _),
+      "q_small_qty_revenue" -> (Relational.qSmallQtyRevenue _),
+      "q_excess_suppliers" -> (Relational.qExcessSuppliers _),
+      "q_waiting_suppliers" -> (Relational.qWaitingSuppliers _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -390,6 +399,139 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, round(rev, 2) AS revenue,
+        |  round(c_acctbal, 2) AS c_acctbal, n_name
+        |FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |         sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+        |    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2, 3, 4
+        |) ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_market_share" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |                 THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                 ELSE 0.0 END)
+        |        / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS mkt_share,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS total_rev
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+        |            - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q_min_cost_supplier" ->
+      """SELECT p_partkey, p_brand, unit_cost AS min_cost,
+        |  s_suppkey, s_name, s_acctbal, n_name
+        |FROM (
+        |  SELECT p.p_partkey, p.p_brand,
+        |         l.l_extendedprice / l.l_quantity AS unit_cost,
+        |         s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+        |         row_number() OVER (
+        |           PARTITION BY p.p_partkey
+        |           ORDER BY l.l_extendedprice / l.l_quantity, s.s_suppkey) AS rn
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |    AND p.p_size = 15 AND p.p_type = 'STANDARD'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  WHERE l.l_quantity > 0
+        |) WHERE rn = 1
+        |ORDER BY s_acctbal DESC, p_partkey LIMIT 25""".stripMargin,
+    "q_parts_supplier_counts" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'MEDIUM'
+        |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH brand_lines AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |    AND p.p_brand = 'Brand#23' AND p.p_type = 'SMALL'
+        |)
+        |SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_small_lines
+        |FROM brand_lines b
+        |JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+        |      FROM brand_lines GROUP BY 1) t
+        |  ON b.l_partkey = t.l_partkey
+        |WHERE b.l_quantity < t.qty_threshold""".stripMargin,
+    "q_excess_suppliers" ->
+      """WITH li97 AS (
+        |  SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 10
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |)
+        |SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+        |FROM supplier s
+        |WHERE s.s_nationkey = 3
+        |  AND s.s_suppkey IN (
+        |    SELECT sp.l_suppkey
+        |    FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |          FROM li97 GROUP BY 1, 2) sp
+        |    JOIN (SELECT l_partkey, sum(l_quantity) AS total_qty
+        |          FROM li97 GROUP BY 1) tp
+        |      ON sp.l_partkey = tp.l_partkey
+        |    WHERE sp.supp_qty * 2 > tp.total_qty)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_waiting_suppliers" ->
+      """WITH lines AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        |         THEN 1 ELSE 0 END AS is_late
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |), only_late AS (
+        |  SELECT l_orderkey FROM lines GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) > 1
+        |     AND count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) = 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late = 1) ll
+        |JOIN only_late ol ON ll.l_orderkey = ol.l_orderkey
+        |JOIN supplier s ON ll.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
