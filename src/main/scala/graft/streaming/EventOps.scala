@@ -250,4 +250,29 @@ object EventOps {
       .withColumn("z", (col("n") - col("mean_n")) / col("sd_n"))
       .filter(abs(col("z")) >= zThreshold)
       .select(col(typeCol), col("hour"), col("n"), round(col("z"), 4).as("z"))
+
+  /** I29 (batch face): point-in-time-correct lifetime features — each
+    * event enriched with its user's history STRICTLY BEFORE it (event
+    * count, prior purchase count, prior value sum). The leakage-free
+    * "as-of feature join" of an ML training pipeline, spelled as ONE
+    * user-keyed window with a [unbounded, -1) frame: a single shuffle
+    * on user_id, one sort per partition, incremental frame evaluation
+    * — O(n log n) per user regardless of history depth, vs the naive
+    * self-join that re-scans each user's past per event. Streaming
+    * parity: Streaming.lifetimeFeaturesStreaming (transformWithState,
+    * O(1) state per user). (ts, event_id) makes the order total, so
+    * the running sum is deterministic cross-engine. */
+  def lifetimeFeatures(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("n_prior_purchases",
+        count(when(col("event_type") === "purchase", 1)).over(w))
+      .withColumn("prior_value_sum",
+        round(coalesce(sum(col("value")).over(w), lit(0.0)), 4))
+      .select("event_id", "user_id", "ts", "n_prior", "n_prior_purchases",
+        "prior_value_sum")
+  }
 }

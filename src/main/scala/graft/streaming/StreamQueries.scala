@@ -539,7 +539,14 @@ object StreamQueries {
     "ev_cms_hourly"  -> (evCmsHourly _),
     "ev_mg_hourly"   -> (evMgHourly _),
     "ev_qhist_hourly" -> (evQhistHourly _),
+    "ev_lifetime_features" -> (evLifetimeFeatures _),
   )
+
+  /** I29: point-in-time-correct lifetime features (batch face; the
+    * transformWithState streaming face is parity-pinned in
+    * StreamingSpec). */
+  def evLifetimeFeatures(spark: SparkSession, dir: String): DataFrame =
+    EventOps.lifetimeFeatures(Tables.events(spark, dir))
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
     * Streaming.sessionAssign; event_type rides through for the
@@ -605,6 +612,16 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ev_sessions" -> sessionsSql,
+
+    "ev_lifetime_features" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_prior,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+        |    AS n_prior_purchases,
+        |  round(coalesce(sum(value) OVER w, 0.0), 4) AS prior_value_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     // nested sessions oracle (the sim_ann_recall pattern): durations
     // are exact epoch-second ints, avg = int sum / count — exact.

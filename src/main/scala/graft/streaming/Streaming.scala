@@ -631,6 +631,60 @@ object Streaming {
     else spark.read.parquet(dirs.toIndexedSeq: _*)
   }
 
+  final case class LfEv(event_id: Long, user_id: Long, ts: Timestamp,
+      value: Double, event_type: String)
+  final case class LfState(n: Long, nPurch: Long, sum: Double)
+  final case class LifetimeFeat(event_id: Long, user_id: Long, ts: Timestamp,
+      n_prior: Long, n_prior_purchases: Long, prior_value_sum: Double)
+
+  /** I29 (streaming path): point-in-time-correct lifetime features via
+    * Spark 4's transformWithState / StatefulProcessor — each event is
+    * enriched with its user's history STRICTLY BEFORE it (count, prior
+    * purchase count, prior value sum), i.e. the leakage-free feature
+    * join an ML training pipeline needs at serving parity. State is one
+    * ValueState[(n, nPurch, sum)] per user — O(1) per key, no list
+    * growth — through the RocksDB state store the API requires.
+    * Batch face / oracle: EventOps.lifetimeFeatures (one window pass).
+    * Within a micro-batch rows sort by (ts, event_id) — the same total
+    * order the batch window uses; cross-batch order is the source's
+    * append order, as with the other fMGWS faces. */
+  class LifetimeFeatureProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LfEv, LifetimeFeat] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[LfState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LfState]("lifetime",
+        org.apache.spark.sql.Encoders.product[LfState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[LfEv],
+        tv: TimerValues): Iterator[LifetimeFeat] = {
+      var cur = if (state.exists()) state.get() else LfState(0L, 0L, 0.0)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        // HALF_UP at 4 decimals — exactly Spark's round(), so the batch
+        // parity holds even on .00005 representation ties
+        val rounded = BigDecimal(cur.sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val f = LifetimeFeat(e.event_id, user, e.ts, cur.n, cur.nPurch, rounded)
+        cur = LfState(cur.n + 1,
+          cur.nPurch + (if (e.event_type == "purchase") 1L else 0L),
+          cur.sum + e.value)
+        f
+      }
+      state.update(cur)
+      out.iterator
+    }
+  }
+
+  /** I29 front door: requires the RocksDB state store provider (the
+    * transformWithState contract); callers set
+    * spark.sql.streaming.stateStore.providerClass before starting. */
+  def lifetimeFeaturesStreaming(events: Dataset[LfEv]): Dataset[LifetimeFeat] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new LifetimeFeatureProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** I4: checkpointed file-stream → parquet sink. Returns the running
     * query; callers own its lifecycle. */
   def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,

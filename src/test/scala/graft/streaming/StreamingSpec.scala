@@ -975,4 +975,50 @@ class StreamingSpec extends SparkSpec {
         (4, "refund", 0L)), s"streamed $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("I29 transformWithState lifetime features match the batch window face across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streaming.LfEv]
+    val q = Streaming.lifetimeFeaturesStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("lf_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 twice (purchase then click), user 2 once
+      mem.addData(
+        Streaming.LfEv(1L, 1L, ts(0), 10.0, "purchase"),
+        Streaming.LfEv(2L, 1L, ts(5), 3.0, "click"),
+        Streaming.LfEv(3L, 2L, ts(1), 7.5, "view"))
+      q.processAllAvailable()
+      // batch 2: history must carry across micro-batches via state
+      mem.addData(
+        Streaming.LfEv(4L, 1L, ts(10), 2.25, "purchase"),
+        Streaming.LfEv(5L, 2L, ts(8), 1.0, "purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("lf_out")
+        .select("event_id", "user_id", "n_prior", "n_prior_purchases", "prior_value_sum")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val batchDf = Seq(
+        (1L, 1L, ts(0), 10.0, "purchase"), (2L, 1L, ts(5), 3.0, "click"),
+        (3L, 2L, ts(1), 7.5, "view"), (4L, 1L, ts(10), 2.25, "purchase"),
+        (5L, 2L, ts(8), 1.0, "purchase"))
+        .toDF("event_id", "user_id", "ts", "value", "event_type")
+      val batch = EventOps.lifetimeFeatures(batchDf)
+        .select("event_id", "user_id", "n_prior", "n_prior_purchases", "prior_value_sum")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed == Set(
+        (1L, 1L, 0L, 0L, 0.0), (2L, 1L, 1L, 1L, 10.0), (3L, 2L, 0L, 0L, 0.0),
+        (4L, 1L, 2L, 1L, 13.0), (5L, 2L, 1L, 0L, 7.5)),
+        s"streamed $streamed vs batch $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
