@@ -1502,6 +1502,133 @@ object Multimodal {
         "compressed_size", "uncompressed_size", "name_len", "filename")
   }
 
+  /** Longest tar name / gzip FNAME the parsers dereference. */
+  val TarMaxName = 100
+
+  /** H21: POSIX ustar tar-header parse — the archive format crawl
+    * drops and model checkpoints actually arrive in. Tar is unusual
+    * among the H-family formats: every numeric field is OCTAL ASCII
+    * (size, mtime), strings are NUL-padded fixed slots, and the magic
+    * sits at byte 257 ("ustar\0"), not at offset 0. The octal fields
+    * decode with conv(_, 8, 10) on the digit prefix — a codegen'd
+    * string op, no UDF; names NUL-trim with one regexp anchored at
+    * the slot start. Pure guarded projections, zero shuffle.
+    * Layout (POSIX.1-1988): name@0[100] mode@100[8] uid@108[8]
+    * gid@116[8] size@124[12oct] mtime@136[12oct] chksum@148[8]
+    * typeflag@156[1] linkname@157[100] magic@257[6] version@263[2]
+    * uname@265[32]. */
+  def withTarHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    // "ustar\0" at byte offset 257 (1-based substr position 258)
+    val valid = (lower(hex(substring(bin, 258, 6))) === "757374617200").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    def octalAt(off: Int, len: Int) =
+      conv(regexp_extract(substring(bin, off, len).cast("string"),
+        "^([0-7]+)", 1), 8, 10).cast("long")
+    def nulTrimmedAt(off: Int, len: Int) =
+      regexp_extract(substring(bin, off, len).cast("string"), "^[^\u0000]*", 0)
+    val tf = substring(bin, 157, 1).cast("string")
+    df.withColumn("valid_tar", valid)
+      .withColumn("name", ifOk(nulTrimmedAt(1, TarMaxName)))
+      .withColumn("size", ifOk(octalAt(125, 12)))
+      .withColumn("mtime", ifOk(octalAt(137, 12)))
+      .withColumn("entry_type",
+        ifOk(when(tf === "0" || tf === "\u0000", "file")
+          .when(tf === "5", "dir").when(tf === "2", "symlink")
+          .otherwise("other")))
+      .withColumn("uname", ifOk(nulTrimmedAt(266, 32)))
+  }
+
+  /** H21 driver query: synthesize a ustar header per asset — file /
+    * dir / symlink legs, octal-encoded size+mtime (conv 10→8 on the
+    * write side mirrors conv 8→10 on the read side), NUL-padded name
+    * slots, corrupt magic every 9th — and parse it back from the
+    * BYTES; formula oracle. */
+  def mmTarMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 9 === 0
+    val leg = col("doc_id") % 3
+    val name = when(leg === 0, concat(lit("docs/doc_"), col("doc_id"), lit(".txt")))
+      .when(leg === 1, concat(lit("docs/dir_"), col("doc_id"), lit("/")))
+      .otherwise(concat(lit("docs/link_"), col("doc_id")))
+    val size = when(leg === 0, col("n_chars") % 10000 + 1).otherwise(lit(0)).cast("long")
+    val mtime = (lit(1700000000L) + col("doc_id")).cast("long")
+    val typeflagHex = when(leg === 0, lit("30")).when(leg === 1, lit("35"))
+      .otherwise(lit("32"))
+    def octField12(v: org.apache.spark.sql.Column) =
+      concat(lower(hex(lpad(conv(v.cast("string"), 10, 8), 11, "0"))), lit("00"))
+    val zeros8 = "30" * 7 + "00"                    // "0000000\0"
+    val spaces8 = "20" * 8                          // checksum left unset
+    val hx = concat(
+      rpad(lower(hex(name)), 200, "0"),             // name[100]
+      lit(zeros8), lit(zeros8), lit(zeros8),        // mode, uid, gid
+      octField12(size), octField12(mtime),
+      lit(spaces8), typeflagHex,
+      lit("0" * 200),                               // linkname[100]
+      when(corrupt, lit("757374617a00")).otherwise(lit("757374617200")),
+      lit("3030"),                                  // version "00"
+      rpad(lower(hex(lit("builder"))), 64, "0"))    // uname[32]
+    withTarHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_tar", "name", "size", "mtime", "entry_type", "uname")
+  }
+
+  /** H22: gzip member-header parse (RFC 1952) — the codec envelope
+    * A13 reads THROUGH (extension-dispatched decompress); this reads
+    * the header itself: magic 1f8b + CM=8 validate, the FLG bit
+    * field (FTEXT/FHCRC/FEXTRA/FNAME/FCOMMENT), MTIME u32le, XFL
+    * compression hint, the OS byte, and — when FNAME is set — the
+    * NUL-terminated original filename trailing the fixed header.
+    * Why it matters at scale: MTIME/FNAME are the only provenance a
+    * bare .gz drop carries, and FEXTRA presence signals BGZF-style
+    * blocked variants that ARE splittable unlike plain gzip. */
+  def withGzipHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val valid = (lower(hex(substring(bin, 1, 3))) === "1f8b08").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    def u8(off: Int) = conv(hex(bin.substr(lit(off), lit(1))), 16, 10).cast("int")
+    val flg = u8(4)
+    val xfl = u8(9)
+    val os = u8(10)
+    df.withColumn("valid_gzip", valid)
+      .withColumn("has_name", ifOk((flg.bitwiseAND(8) =!= 0).cast("int")))
+      .withColumn("has_extra", ifOk((flg.bitwiseAND(4) =!= 0).cast("int")))
+      .withColumn("is_text", ifOk((flg.bitwiseAND(1) =!= 0).cast("int")))
+      .withColumn("mtime", ifOk(leU32(bin, lit(5))))
+      .withColumn("xfl_hint",
+        ifOk(when(xfl === 2, "best").when(xfl === 4, "fastest").otherwise("none")))
+      .withColumn("os_name",
+        ifOk(when(os === 3, "unix").when(os === 0, "fat").when(os === 11, "ntfs")
+          .otherwise("other")))
+      .withColumn("fname",
+        ifOk(when(flg.bitwiseAND(8) =!= 0,
+          regexp_extract(substring(bin, 11, TarMaxName).cast("string"),
+            "^[^\u0000]*", 0))))
+  }
+
+  /** H22 driver query: synthesize a gzip member header per asset —
+    * FNAME leg, bare leg, FTEXT+fastest leg, corrupt magic every
+    * 11th — parse back from the BYTES; formula oracle. */
+  def mmGzipMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 11 === 0
+    val leg = col("doc_id") % 3
+    val flgHex = when(leg === 0, lit("08")).when(leg === 1, lit("00"))
+      .otherwise(lit("01"))
+    val mtime = (lit(1600000000L) + col("doc_id") * 60L).cast("long")
+    val xflHex = when(leg === 2, lit("04")).otherwise(lit("02"))
+    val osHex = when(leg === 1, lit("00")).otherwise(lit("03"))
+    val nameHex = when(leg === 0,
+      concat(lower(hex(concat(lit("doc_"), col("doc_id"), lit(".json")))), lit("00")))
+      .otherwise(lit(""))
+    val hx = concat(
+      when(corrupt, lit("1f8c08")).otherwise(lit("1f8b08")),
+      flgHex, leHex32(mtime), xflHex, osHex, nameHex,
+      lit("4b4c4c")) // a few deflate payload bytes
+    withGzipHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_gzip", "has_name", "has_extra", "is_text",
+        "mtime", "xfl_hint", "os_name", "fname")
+  }
+
   /** Max ID3v2 frames the tag walk visits. */
   val Id3MaxFrames = 4
 
@@ -1624,9 +1751,50 @@ object Multimodal {
     "mm_ico_dims"  -> (mmIcoDims _),
     "mm_ogg_meta"  -> (mmOggMeta _),
     "mm_zip_entry" -> (mmZipEntry _),
+    "mm_tar_meta"  -> (mmTarMeta _),
+    "mm_gzip_meta" -> (mmGzipMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_tar_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_tar,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE doc_id % 3
+        |       WHEN 0 THEN 'docs/doc_' || doc_id || '.txt'
+        |       WHEN 1 THEN 'docs/dir_' || doc_id || '/'
+        |       ELSE 'docs/link_' || doc_id END) END AS name,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 0 THEN n_chars % 10000 + 1
+        |      ELSE 0 END)::bigint END AS size,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (1700000000 + doc_id)::bigint END AS mtime,
+        |  CASE WHEN doc_id % 9 <> 0 THEN
+        |    (CASE doc_id % 3 WHEN 0 THEN 'file' WHEN 1 THEN 'dir'
+        |      ELSE 'symlink' END) END AS entry_type,
+        |  CASE WHEN doc_id % 9 <> 0 THEN 'builder' END AS uname
+        |FROM documents""".stripMargin,
+
+    "mm_gzip_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS valid_gzip,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::int END AS has_name,
+        |  CASE WHEN doc_id % 11 <> 0 THEN 0::int END AS has_extra,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)::int END AS is_text,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (1600000000 + doc_id * 60)::bigint END AS mtime,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 2 THEN 'fastest' ELSE 'best' END)
+        |  END AS xfl_hint,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'fat' ELSE 'unix' END)
+        |  END AS os_name,
+        |  CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 = 0 THEN
+        |    'doc_' || doc_id || '.json' END AS fname
+        |FROM documents""".stripMargin,
+
     "mm_zip_entry" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_zip,

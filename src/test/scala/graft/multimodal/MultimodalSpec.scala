@@ -527,6 +527,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L)._1 == 0, "an EOCD-first blob is not a local header")
   }
 
+  test("H21 withTarHeader decodes octal fields, NUL-padded slots, and typeflag classes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    def hexOf(s: String) = s.getBytes("UTF-8").map("%02x".format(_)).mkString
+    def slot(s: String, len: Int) = hexOf(s).padTo(len * 2, '0').mkString
+    def header(name: String, sizeOct: String, mtimeOct: String,
+        typeflag: String, magic: String, uname: String) =
+      slot(name, 100) + slot("0000644", 8) + slot("0000000", 8) +
+        slot("0000000", 8) + slot(sizeOct, 12) + slot(mtimeOct, 12) +
+        "20" * 8 + hexOf(typeflag) + "0" * 200 + magic + "3030" +
+        slot(uname, 32)
+    // 0o777 = 511 bytes; 0o14371339573 is not valid octal (9) — use 0o14327724255
+    val file = header("a.txt", "00000000777", "14327724255", "0", "757374617200", "root")
+    val dir = header("d/", "00000000000", "00000000001", "5", "757374617200", "u")
+    // old-tar NUL typeflag must classify as a regular file
+    val oldFile = slot("b", 100) + slot("0000644", 8) + slot("0000000", 8) +
+      slot("0000000", 8) + slot("00000000012", 12) + slot("00000000000", 12) +
+      "20" * 8 + "00" + "0" * 200 + "757374617200" + "3030" + slot("x", 32)
+    val junk = header("x", "00000000001", "00000000000", "0", "757374617a00", "n")
+    val out = Multimodal.withTarHeader(
+      Seq((1L, file), (2L, dir), (3L, oldFile), (4L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Int]("valid_tar"),
+        r.getAs[String]("name"), r.getAs[Any]("size"), r.getAs[Any]("mtime"),
+        r.getAs[String]("entry_type"), r.getAs[String]("uname")))).toMap
+    assert(out(1L) == ((1, "a.txt", 511L, java.lang.Long.parseLong("14327724255", 8),
+      "file", "root")), s"${out(1L)}")
+    assert(out(2L) == ((1, "d/", 0L, 1L, "dir", "u")), s"${out(2L)}")
+    assert(out(3L)._5 == "file", s"NUL typeflag is an old-tar regular file: ${out(3L)}")
+    assert(out(4L)._1 == 0 && out(4L)._2 == null, "bad magic must not validate")
+  }
+
+  test("H22 withGzipHeader reads FLG bits, MTIME, XFL/OS, and the trailing FNAME") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    def hexOf(s: String) = s.getBytes("UTF-8").map("%02x".format(_)).mkString
+    // FNAME set, mtime 1234567890 (le d2029649), best, unix, "hello.txt\0"
+    val named = "1f8b08" + "08" + "d2029649" + "02" + "03" + hexOf("hello.txt") + "00" + "4b4c"
+    // bare: no flags, mtime 0, fastest, FAT
+    val bare = "1f8b08" + "00" + "00000000" + "04" + "00" + "4b4c"
+    // FTEXT+FEXTRA: text flag and the splittable-variant signal
+    val extra = "1f8b08" + "05" + "01000000" + "02" + "03" + "0600" + "424322" * 2
+    val junk = "1f8c08" + "00" + "00000000" + "02" + "03"
+    val out = Multimodal.withGzipHeader(
+      Seq((1L, named), (2L, bare), (3L, extra), (4L, junk)).toDF("id", "hx")
+        .select(col("id"), unhex(col("hx")).as("p")), "p")
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Int]("valid_gzip"),
+        r.getAs[Any]("has_name"), r.getAs[Any]("has_extra"), r.getAs[Any]("is_text"),
+        r.getAs[Any]("mtime"), r.getAs[String]("xfl_hint"),
+        r.getAs[String]("os_name"), r.getAs[String]("fname")))).toMap
+    assert(out(1L) == ((1, 1, 0, 0, 1234567890L, "best", "unix", "hello.txt")), s"${out(1L)}")
+    assert(out(2L) == ((1, 0, 0, 0, 0L, "fastest", "fat", null)), s"${out(2L)}")
+    assert(out(3L)._3 == 1 && out(3L)._4 == 1 && out(3L)._8 == null, s"${out(3L)}")
+    assert(out(4L)._1 == 0, "bad magic must not validate")
+  }
+
   test("H15 withPngChunks hops variable chunks to pHYs/tEXt; stops at IEND; junk rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unhex}
