@@ -223,6 +223,41 @@ object Dedup {
         .groupBy("id").agg(collect_set(md5(col("s"))).as("sh")),
       threshold)
 
+  /** E9: asymmetric containment near-dup pairs (Broder containment):
+    * C(A→B) = |A∩B| / |A| — high when A is (nearly) embedded in B even
+    * though Jaccard is low (a quote inside an article, a doc inside a
+    * concatenation), the class MinHash-LSH structurally misses because
+    * banding targets symmetric resemblance. Candidates come from
+    * RARE-SHINGLE blocking — the inverted-index prefix filter: only
+    * docs sharing a shingle with document frequency in [2, maxDf]
+    * pair up, so per-shingle fanout is bounded by maxDf² and the
+    * all-pairs product never materializes. Verification runs on the
+    * candidate set only, against the SAME hashed-shingle sets the
+    * signature store persists (set cardinalities are hash-invariant).
+    * `sets` = (id, sh: array<string md5-hashed distinct shingles>). */
+  def containmentFromSets(sets: DataFrame, maxDf: Int = 20,
+      threshold: Double = 0.8): DataFrame = {
+    val ex = sets.select(col("id"), explode(col("sh")).as("h"))
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val blocked = ex.join(rare, "h")
+    val cand = blocked.as("a").join(blocked.as("b"), "h")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
+    val cAB = inter / size(col("ha"))   // A contained in B when high
+    val cBA = inter / size(col("hb"))
+    cand
+      .join(sets.select(col("id").as("doc_a"), col("sh").as("ha")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("sh").as("hb")), "doc_b")
+      .withColumn("containment", round(greatest(cAB, cBA), 4))
+      .withColumn("direction", when(cAB >= cBA, "a_in_b").otherwise("b_in_a"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment", "direction")
+  }
+
   /** Unit-normalized copy of a float-array column (computed in
     * double). Normalizing ONCE PER ROW turns every downstream pairwise
     * cosine into a single dot product — for an n²/block pair set the

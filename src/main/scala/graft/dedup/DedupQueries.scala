@@ -51,6 +51,18 @@ object DedupQueries {
       JaccardThreshold)
   }
 
+  val ContainmentMaxDf = 20
+  val ContainmentThreshold = 0.8
+
+  /** E9: containment pairs from the persisted signature store — the
+    * (id, sh) hashed-shingle sets are read back, never re-shingled. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val st = sigTables(spark, dir)
+    Dedup.containmentFromSets(
+      spark.table(st.sig).select(col("id"), col("sh")),
+      ContainmentMaxDf, ContainmentThreshold)
+  }
+
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       "label", CosineThreshold)
@@ -180,6 +192,7 @@ object DedupQueries {
     "dedup_simhash_pairs"   -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", MaxHamming)),
     "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
+    "dedup_containment"     -> (dedupContainment _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
     "dedup_incremental"     -> (dedupIncremental _),
@@ -352,6 +365,31 @@ object DedupQueries {
          |)
          |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard
          |FROM j WHERE round(inter::double / uni, 4) >= $JaccardThreshold""".stripMargin,
+
+    // mirrors containmentFromSets over the same hashed-shingle sets:
+    // rare-shingle blocking (df in [2, maxDf]) then per-pair verify
+    "dedup_containment" ->
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |hd AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
+         |ex AS (SELECT doc_id, unnest(ds) AS h FROM hd),
+         |rare AS (SELECT h FROM ex GROUP BY h
+         |         HAVING count(*) >= 2 AND count(*) <= $ContainmentMaxDf),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE a.h IN (SELECT h FROM rare)),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |    length(list_filter(a.ds, x -> list_contains(b.ds, x)))::double AS inter,
+         |    length(a.ds) AS la, length(b.ds) AS lb
+         |  FROM cand c
+         |  JOIN hd a ON c.doc_a = a.doc_id
+         |  JOIN hd b ON c.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(greatest(inter / la, inter / lb), 4) AS containment,
+         |  CASE WHEN inter / la >= inter / lb THEN 'a_in_b' ELSE 'b_in_a' END
+         |    AS direction
+         |FROM v
+         |WHERE round(greatest(inter / la, inter / lb), 4) >= $ContainmentThreshold""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH RECURSIVE $toksCte,

@@ -105,4 +105,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1), s"$out")
   }
+
+  test("E9 containment: subset doc scores 1.0 with direction; low-overlap pair filtered") {
+    import spark.implicits._
+    // doc 1 ⊂ doc 2 (every shingle of 1 in 2, but 2 has many more) —
+    // Jaccard is low (2/6), containment a_in_b = 1.0. doc 3 shares
+    // one rare shingle with 2 → candidate, but containment < 0.8.
+    // doc 4 is disjoint → never a candidate.
+    val sets = Seq(
+      (1L, Seq("s1", "s2")),
+      (2L, Seq("s1", "s2", "s3", "s4", "s5", "s6")),
+      (3L, Seq("s6", "x1", "x2", "x3")),
+      (4L, Seq("y1", "y2")),
+    ).toDF("id", "sh")
+    val out = Dedup.containmentFromSets(sets, maxDf = 20, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getString(3)))).toMap
+    assert(out == Map((1L, 2L) -> ((1.0, "a_in_b"))), s"$out")
+  }
 }
