@@ -265,6 +265,26 @@ object GraphQueries {
         iterations = PrIterations, damping = PrDamping)
       .select(col("id"), round(col("rank"), 6).as("rank"))
 
+  val KatzIterations = 6
+  /** Below 1/λmax for the geo graph across SFs (λmax ≈ √maxdeg; the
+    * hub nations carry the largest degrees) so the Katz series
+    * contracts rather than amplifies round over round. */
+  val KatzAlpha = 0.005
+
+  /** C26 driver query: Katz centrality over BOTH orientations of the
+    * geo graph (symmetric Katz) — walk-counting importance where hubs
+    * amplify, complementing graph_pagerank's degree-normalized rank;
+    * same rounding contract (round 6 absorbs sum-order ulp). */
+  def graphKatz(spark: SparkSession, dir: String): DataFrame = {
+    val und = storedGeoUnd(spark, dir)
+    val both = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    Graphs.katz(both, iterations = KatzIterations, alpha = KatzAlpha,
+        beta = 1.0,
+        vertices = Some(storedGeoVerts(spark, dir).localCheckpoint(eager = true)))
+      .select(col("id"), round(col("katz"), 6).as("katz"))
+  }
+
   /** PPR teleport set: the region vertices of the geo graph (ids are
     * "label|name", so the prefix selects exactly the 5 regions). */
   val PprSourcePrefix = "region|"
@@ -496,6 +516,7 @@ object GraphQueries {
     "graph_cc"        -> (graphCc _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_pagerank_w" -> (graphPagerankWeighted _),
+    "graph_katz"      -> (graphKatz _),
     "graph_ppr"       -> (graphPpr _),
     "graph_lpa"       -> (graphLpa _),
     "graph_lpa_w"     -> (graphLpaWeighted _),
@@ -772,6 +793,33 @@ object GraphQueries {
          |  WHERE c.lbl < und.v
          |)
          |SELECT id, min(lbl) AS component FROM closure GROUP BY id""".stripMargin
+    },
+
+    // mirrors Graphs.katz over both orientations: x0 = 1, x_{t+1} =
+    // 1 + α Σ_in x_t; MATERIALIZED per level (the pagerank lesson),
+    // round(6) absorbs sum-order ulp
+    "graph_katz" -> {
+      val iters = (1 to KatzIterations).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.dst AS id, sum(x.x) AS c
+           |  FROM e2 e JOIN x${i - 1} x ON e.src = x.id
+           |  GROUP BY e.dst
+           |),
+           |x$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |    1.0::double + ${KatzAlpha}::double * coalesce(c.c, 0.0::double) AS x
+           |  FROM v LEFT JOIN c$i c ON v.id = c.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und0
+         |  UNION ALL SELECT v AS src, u AS dst FROM und0),
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |x0 AS (SELECT id, 1.0::double AS x FROM v),
+         |$iters
+         |SELECT id, round(x, 6) AS katz FROM x$KatzIterations""".stripMargin
     },
 
     "graph_pagerank" -> {

@@ -216,6 +216,41 @@ object Graphs {
     ranks
   }
 
+  /** C26: Katz centrality, fixed iterations: x_{t+1}(v) = β + α ·
+    * Σ_{(u→v)∈E} x_t(u), x_0 = β — walk-counting centrality where a
+    * vertex is important for being reachable by MANY short walks,
+    * attenuated by α per hop (PageRank normalizes by out-degree and
+    * redistributes; Katz does neither, so hubs amplify rather than
+    * dilute). α must stay below 1/λmax for the series to converge —
+    * callers pick it for the graph's degree scale. Same loop shape as
+    * pageRank: the edge list pins a src-hash layout once and every
+    * round shuffles only the |V|-row score table; per-round contribs
+    * checkpoint eagerly so lineage stays one round deep. No dangling
+    * or normalizing scalar → one join+agg per round, no per-round
+    * driver action at all. */
+  def katz(directed: DataFrame, iterations: Int = 6, alpha: Double = 0.005,
+      beta: Double = 1.0, vertices: Option[DataFrame] = None): DataFrame = {
+    val e = directed.select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(eager = true)
+    val verticesDf = vertices.getOrElse(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(eager = true))
+    val e2 = pinBySrc(e)
+    var x = verticesDf.withColumn("katz", lit(beta))
+    for (_ <- 1 to iterations) {
+      val contribs = e2.join(x, e2("src") === x("id"))
+        .select(col("dst").as("id"), col("katz").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+        .localCheckpoint(eager = true)
+      x = verticesDf.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(beta) + lit(alpha) * coalesce(col("c"), lit(0.0))).as("katz"))
+    }
+    e2.unpersist()
+    x
+  }
+
   /** Weighted PageRank: contributions split proportionally to edge
     * weight — rank·w/Σw(src) instead of rank/deg — the variant that
     * ranks a similarity/co-occurrence graph by STRENGTH of connection

@@ -74,6 +74,15 @@ class GraphSpec extends SparkSpec {
     pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
   }
 
+  test("C26 katz: path graph hand-computed two iterations; hubs amplify") {
+    // path a—b—c, both directions; α=0.5 β=1: x1=(1.5,2,1.5),
+    // x2 = (1+.5·2, 1+.5·(1.5+1.5), 1+.5·2) = (2, 2.5, 2)
+    val e = edgesDf("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
+    val k = Graphs.katz(e, iterations = 2, alpha = 0.5, beta = 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(k == Map("a" -> 2.0, "b" -> 2.5, "c" -> 2.0), s"$k")
+  }
+
   test("C3 pagerank: hub gets more mass than leaves") {
     // star: leaves point at hub; hub dangles (mass redistributed)
     val e = edgesDf("l1" -> "hub", "l2" -> "hub", "l3" -> "hub")
