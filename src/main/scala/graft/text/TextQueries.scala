@@ -627,6 +627,50 @@ object TextQueries {
         round(col("cum_freq").cast("double") / col("total"), 6).as("cum_share"))
   }
 
+  /** G28: encoding / mojibake audit — the byte-level QA pass a crawl
+    * corpus runs before tokenization: decode the raw bytes as UTF-8
+    * with the REPLACE policy (Java's String(bytes, UTF_8): each
+    * malformed sequence becomes one U+FFFD) and profile the result —
+    * replacement count (= broken sequences), non-ASCII char count,
+    * and a clean flag. A doc with replacements was decoded with the
+    * wrong charset somewhere upstream; a doc with a high non-ASCII
+    * share in a declared-ASCII source is mislabeled. Zero shuffle —
+    * pure codegen'd projections over the byte column.
+    *
+    * The driver query synthesizes the byte stream per asset the
+    * mm-family way (the corpus itself is clean ASCII, so the audit on
+    * raw `text` would be vacuously zero): an ASCII leg, a VALID
+    * 2-byte UTF-8 leg (é — non-ASCII but clean), an INVALID
+    * truncated-sequence leg (0xC3 '(' — a replacement + the
+    * swallowed ASCII byte), plus a lone 0xFF every 7th asset. Every
+    * count is then a doc_id formula the DuckDB oracle states without
+    * needing a UTF-8 decoder of its own. */
+  def textEncodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = substring(col("text"), 1, 40)
+    val legHex = when(col("doc_id") % 3 === 1, lit("c3a9"))      // é
+      .when(col("doc_id") % 3 === 2, lit("c328"))                // invalid
+      .otherwise(lit(""))
+    val tailHex = when(col("doc_id") % 7 === 0, lit("ff")).otherwise(lit(""))
+    val bin = unhex(concat(lower(hex(base)), legHex, tailHex))
+    // binary\u2192string reinterprets bytes unvalidated; Spark 4's
+    // make_valid_utf8 then applies the Unicode maximal-subpart
+    // REPLACE policy (one U+FFFD per malformed subsequence) and
+    // is_valid_utf8 is the audit's clean signal on the RAW bytes
+    val raw = bin.cast("string")
+    val s = make_valid_utf8(raw)
+    val nRepl = (length(s) - length(regexp_replace(s, "\ufffd", ""))).cast("int")
+    val nNonAscii =
+      (length(s) - length(regexp_replace(s, "[^\\x00-\\x7F]", ""))
+        - nRepl).cast("int")
+    d.select(col("doc_id"),
+        length(s).as("n_chars_decoded"),
+        nRepl.as("n_replacement"),
+        nNonAscii.as("n_nonascii"),
+        is_valid_utf8(raw).cast("int").as("valid_utf8"),
+        (nRepl === 0 && nNonAscii === 0).cast("int").as("is_clean"))
+  }
+
   /** Target docs per source for mixture balancing (in expectation). */
   val MixtureCap = 120
 
@@ -909,6 +953,7 @@ object TextQueries {
     "text_top_bigram"   -> (textTopBigram _),
     "text_gopher"       -> (textGopher _),
     "text_zipf"         -> (textZipf _),
+    "text_encoding_audit" -> (textEncodingAudit _),
     "text_repetition"   -> (textRepetition _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
@@ -1152,6 +1197,24 @@ object TextQueries {
     // mirrors textZipf: same (freq DESC, token) total order for the
     // head cut, the rank, and the running sum; shares are exact-int
     // sums under one division
+    // formula mirror of the synthesized byte stream: base = first 40
+    // chars (ASCII corpus → bytes == chars), +1 char for the valid é
+    // leg, +2 (FFFD + kept '(') for the truncated-sequence leg, +1
+    // FFFD for the lone-0xFF tail every 7th
+    "text_encoding_audit" ->
+      """SELECT doc_id,
+        |  least(40, length(text))
+        |    + (CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_chars_decoded,
+        |  ((CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END))::int AS n_replacement,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)::int AS n_nonascii,
+        |  (CASE WHEN doc_id % 3 <> 2 AND doc_id % 7 <> 0
+        |    THEN 1 ELSE 0 END)::int AS valid_utf8,
+        |  (CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 0
+        |    THEN 1 ELSE 0 END)::int AS is_clean
+        |FROM documents""".stripMargin,
+
     "text_zipf" ->
       s"""WITH c AS (
          |  SELECT t, count(*) AS freq
