@@ -671,6 +671,54 @@ object TextQueries {
         (nRepl === 0 && nNonAscii === 0).cast("int").as("is_clean"))
   }
 
+  /** G29: Gopher line/sentence-structure battery (Rae et al. A1.1,
+    * the rules the doc-level battery in [[gopherRules]] cannot state):
+    * share of lines starting with a bullet (drop if >90%), share of
+    * lines ending with an ellipsis (drop if >30%), and a minimum
+    * sentence count (lines ending in terminal punctuation, ≥3). The
+    * corpus has no newlines or punctuation (re-probed every round),
+    * so the structure is synthesized per doc the mm-family way —
+    * 4..8 lines whose bullet/terminator marks follow a doc_id+line
+    * formula — and the battery then genuinely PARSES the structured
+    * text (split on newline, explode, per-line prefix/suffix tests,
+    * one doc_id aggregation) while the oracle re-states only the
+    * generation formula over unnest(range(...)). Flags are integer
+    * cross-multiplications; the single shuffle is the per-doc count
+    * aggregation. */
+  def textGopherLines(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val body = substring(col("text"), 1, 20)
+    val nLines = (lit(4) + col("doc_id") % 5).cast("int")
+    // static 8-leg unroll keeps the builder a pure codegen concat
+    def line(i: Int): Column = {
+      val mark = when((col("doc_id") + i) % 3 === 0, lit("- ")).otherwise(lit(""))
+      val term = when((col("doc_id") + i) % 4 === 0, lit("..."))
+        .when((col("doc_id") + i) % 4 === 1, lit(".")).otherwise(lit(""))
+      val sep = if (i == 0) lit("") else lit("\n")
+      when(lit(i) < nLines, concat(sep, mark, body, term)).otherwise(lit(""))
+    }
+    val structured = concat((0 until 8).map(line): _*)
+    val isBullet = startswith(col("line"), lit("- ")).cast("int")
+    val isEllipsis = endswith(col("line"), lit("...")).cast("int")
+    val isSentence =
+      (endswith(col("line"), lit(".")) && !endswith(col("line"), lit("...")))
+        .cast("int")
+    d.select(col("doc_id"), explode(split(structured, "\n")).as("line"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(isBullet).as("n_bullet"),
+        sum(isEllipsis).as("n_ellipsis"),
+        sum(isSentence).as("n_sentences"))
+      .select(col("doc_id"), col("n_lines"), col("n_bullet"),
+        col("n_ellipsis"), col("n_sentences"),
+        (col("n_bullet") * 10 <= col("n_lines") * 9).cast("int").as("r_bullet"),
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3).cast("int").as("r_ellipsis"),
+        (col("n_sentences") >= 3).cast("int").as("r_sentences"),
+        (col("n_bullet") * 10 <= col("n_lines") * 9 &&
+          col("n_ellipsis") * 10 <= col("n_lines") * 3 &&
+          col("n_sentences") >= 3).cast("int").as("keep"))
+  }
+
   /** Target docs per source for mixture balancing (in expectation). */
   val MixtureCap = 120
 
@@ -954,6 +1002,7 @@ object TextQueries {
     "text_gopher"       -> (textGopher _),
     "text_zipf"         -> (textZipf _),
     "text_encoding_audit" -> (textEncodingAudit _),
+    "text_gopher_lines" -> (textGopherLines _),
     "text_repetition"   -> (textRepetition _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
@@ -1214,6 +1263,30 @@ object TextQueries {
         |  (CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 0
         |    THEN 1 ELSE 0 END)::int AS is_clean
         |FROM documents""".stripMargin,
+
+    // generation-formula mirror: the Spark side PARSES the structured
+    // text it built; the oracle only re-states the line-mark formula
+    // over unnest(range(L)) — bullet at (doc_id+i)%3=0, ellipsis
+    // terminator at (doc_id+i)%4=0, period at %4=1, L = 4 + doc_id%5
+    "text_gopher_lines" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS i
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END)::bigint AS n_bullet,
+        |    sum(CASE WHEN (doc_id + i) % 4 = 0 THEN 1 ELSE 0 END)::bigint AS n_ellipsis,
+        |    sum(CASE WHEN (doc_id + i) % 4 = 1 THEN 1 ELSE 0 END)::bigint AS n_sentences
+        |  FROM g GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_sentences,
+        |  (CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END) AS r_bullet,
+        |  (CASE WHEN n_ellipsis * 10 <= n_lines * 3 THEN 1 ELSE 0 END) AS r_ellipsis,
+        |  (CASE WHEN n_sentences >= 3 THEN 1 ELSE 0 END) AS r_sentences,
+        |  (CASE WHEN n_bullet * 10 <= n_lines * 9
+        |    AND n_ellipsis * 10 <= n_lines * 3
+        |    AND n_sentences >= 3 THEN 1 ELSE 0 END) AS keep
+        |FROM c""".stripMargin,
 
     "text_zipf" ->
       s"""WITH c AS (
