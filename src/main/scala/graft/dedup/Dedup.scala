@@ -325,6 +325,59 @@ object Dedup {
         col("_r").isNull.cast("int").as("is_kept"))
   }
 
+  /** E10: exact substring-span dedup — the ExactSubstr operator of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 §4.1): find every maximal span
+    * of ≥ `w` characters that occurs more than once in the corpus
+    * (across documents OR repeated within one). The paper builds a
+    * single-node suffix array; the Spark-first spelling is a hashed
+    * char-gram inverted index — cluster-parallel and shuffle-bounded:
+    *
+    *  1. every w-char window start → (doc, pos, md5(window)); md5 so
+    *     the global frequency count shuffles a fixed-width key, never
+    *     the text (and so the oracle can state the same key);
+    *  2. one aggregation keeps hashes with total occurrence ≥ 2 (the
+    *     duplicated grams — map-side partial count first, and the
+    *     corpus-scale survivor set is tiny relative to the scan);
+    *  3. a left-semi join marks duplicated window starts, and the
+    *     classic gaps-and-islands trick (pos − row_number per doc)
+    *     merges consecutive starts into maximal runs: a run of r
+    *     consecutive duplicated starts IS a duplicated span of
+    *     r + w − 1 chars.
+    *
+    * Returns one row per document (docs with no duplicated span
+    * included with zeros): duplicated-start count, span count, the
+    * longest duplicated span length, and the paper's drop flag
+    * (any span ≥ `flagChars`). */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, flagChars: Int): DataFrame = {
+    val starts = docs.select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - (w - 1))).as("p"))
+      .select(col(idCol), col("p"),
+        md5(col(textCol).substr(col("p"), lit(w)).cast("binary")).as("h"))
+    val dupHashes = starts.groupBy("h")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("h")
+    val dupStarts = starts.join(dupHashes, Seq("h"), "left_semi")
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("p")
+    val islands = dupStarts
+      .withColumn("grp", col("p") - row_number().over(rn))
+      .groupBy(col(idCol), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(idCol)
+      .agg(sum(col("run")).as("n_dup_starts"),
+        count(lit(1)).as("n_spans"),
+        (max(col("run")) + (w - 1)).as("max_span_chars"))
+    docs.select(col(idCol))
+      .join(islands, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_chars"), lit(0L)).as("max_span_chars"),
+        (coalesce(col("max_span_chars"), lit(0L)) >= flagChars)
+          .cast("int").as("flagged"))
+  }
+
   /** E5/F4: embedding near-dup pairs, blocked by a partition column so
     * the self-join shuffles on the block key instead of exploding into
     * all-pairs. (With no natural block key, callers use the LSH route —

@@ -195,8 +195,18 @@ object DedupQueries {
     "dedup_containment"     -> (dedupContainment _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
+    "dedup_substring"       -> (dedupSubstring _),
     "dedup_incremental"     -> (dedupIncremental _),
   )
+
+  val SubstrW = 30
+  val SubstrFlagChars = 50
+
+  /** E10: ExactSubstr spans (Lee et al. 2022) at char-gram width
+    * [[SubstrW]], flagged at the paper's ~50-unit span threshold. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir), "doc_id", "text",
+      SubstrW, SubstrFlagChars)
 
   // --- generated DuckDB oracles -------------------------------------
 
@@ -247,6 +257,35 @@ object DedupQueries {
       |WHERE a.doc_id < b.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // same md5 window keys, same duplicated-hash cut, same
+    // gaps-and-islands merge (p - row_number), generated from the
+    // shared W/flag constants
+    "dedup_substring" ->
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id, p, md5(substr(text, p::int, $SubstrW)) AS h
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, length(text) - ${SubstrW - 2})) AS p
+         |        FROM documents) s
+         |), dup AS (
+         |  SELECT doc_id, p,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+         |  FROM g WHERE h IN (SELECT h FROM g GROUP BY h HAVING count(*) >= 2)
+         |), isl AS (
+         |  SELECT doc_id, p - rn AS grp, count(*) AS run
+         |  FROM dup GROUP BY doc_id, p - rn
+         |), agg AS (
+         |  SELECT doc_id, sum(run)::bigint AS n_dup_starts,
+         |    count(*)::bigint AS n_spans,
+         |    (max(run) + ${SubstrW - 1})::bigint AS max_span_chars
+         |  FROM isl GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(n_dup_starts, 0)::bigint AS n_dup_starts,
+         |  coalesce(n_spans, 0)::bigint AS n_spans,
+         |  coalesce(max_span_chars, 0)::bigint AS max_span_chars,
+         |  (CASE WHEN coalesce(max_span_chars, 0) >= $SubstrFlagChars
+         |    THEN 1 ELSE 0 END) AS flagged
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     // mirrors the EXACT face (distinct-token self-join); est_ok is
     // the constant 1 the in-plan theta flags must hit — the estimate
     // itself is never emitted (engine-specific sketch, the I22/C25

@@ -123,4 +123,27 @@ class DedupSpec extends SparkSpec {
         ((r.getDouble(2), r.getString(3)))).toMap
     assert(out == Map((1L, 2L) -> ((1.0, "a_in_b"))), s"$out")
   }
+
+  test("E10 substring spans: shared run merges to one maximal span, unique doc zero") {
+    import spark.implicits._
+    // docs 0 and 1 share chars 1..14 ("ABCDEFGHIJKLMN") and diverge
+    // after; w=10 → duplicated starts p=1..5 in each (one island),
+    // maximal span = 5 + 10 - 1 = 14. doc 2 shares nothing. doc 3
+    // repeats a 12-char block WITHIN itself at p=1 and p=13 → its
+    // starts {1,2,3,13,14,15} form TWO islands (runs of 3), max span
+    // 3 + 9 = 12.
+    val docs = Seq(
+      (0L, "ABCDEFGHIJKLMN" + "0qrstuvwxy"),
+      (1L, "ABCDEFGHIJKLMN" + "1zzzzzzzzz"),
+      (2L, "totally unrelated chars 9876"),
+      (3L, "PQRSTUVWXYZ@" + "PQRSTUVWXYZ@"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "doc_id", "text", w = 10, flagChars = 14)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(0L) == ((5L, 1L, 14L, 1)), s"$out")
+    assert(out(1L) == ((5L, 1L, 14L, 1)))
+    assert(out(2L) == ((0L, 0L, 0L, 0)))
+    assert(out(3L) == ((6L, 2L, 12L, 0)), s"$out")
+  }
 }
