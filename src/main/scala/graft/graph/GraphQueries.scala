@@ -145,6 +145,37 @@ object GraphQueries {
     storedCoOrder(spark, dir); ()
   }
 
+  /** K18: recursive CTE through the SQL front door (Spark 4's
+    * WITH RECURSIVE → UnionLoopExec) — the geo containment hierarchy
+    * (region → nation → supplier/customer) expanded with depth and a
+    * materialized root-to-node path, written as DECLARATIVE SQL a
+    * migrating warehouse user would hand the engine verbatim. Spark's
+    * recursion supports UNION ALL only (probed: UNION raises
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the shape is chosen
+    * where UNION ALL is exact: the hierarchy is a TREE (each child
+    * one parent under MERGE-deduped edges), so path enumeration IS
+    * node enumeration — no walk explosion at any scale, recursion
+    * depth bound by the hierarchy's (2), not the data size. Cyclic /
+    * high-fan traversals stay on the hand-built frontier loops
+    * ([[graphBfs]]) — that split is the 100 TB design point. The
+    * DuckDB oracle runs the same recursion over its own edge CTEs. */
+  def graphHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    geoEdges(spark, dir).select(
+        concat_ws("|", col("src_label"), col("src")).as("child"),
+        concat_ws("|", col("dst_label"), col("dst")).as("parent"))
+      .distinct()
+      .createOrReplaceTempView("graft_geo_cp")
+    spark.sql(
+      """WITH RECURSIVE h(id, depth, path) AS (
+        |  SELECT DISTINCT parent, 0, parent
+        |  FROM graft_geo_cp WHERE parent LIKE 'Region|%'
+        |  UNION ALL
+        |  SELECT c.child, h.depth + 1, h.path || '/' || c.child
+        |  FROM h JOIN graft_geo_cp c ON c.parent = h.id
+        |)
+        |SELECT id, depth, path FROM h""".stripMargin)
+  }
+
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
     // dedupe=false upstream: min-depth is invariant to parallel edges,
     // so the stored edge list skips the corpus-wide distinct; the
@@ -507,6 +538,7 @@ object GraphQueries {
     "graph_degrees"   -> (graphDegrees _),
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_bfs"       -> (graphBfs _),
+    "graph_hierarchy" -> (graphHierarchy _),
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore"     -> (graphKcore _),
@@ -598,6 +630,25 @@ object GraphQueries {
          |  WHERE bfs.d < $BfsHops
          |)
          |SELECT id, min(d) AS depth FROM bfs GROUP BY id""".stripMargin
+    },
+
+    // same recursion the Spark SQL front door runs (UNION ALL is
+    // exact on the containment TREE), over DuckDB's own edge CTEs
+    "graph_hierarchy" -> {
+      val body = edgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$body,
+         |cp AS (
+         |  SELECT DISTINCT src_label || '|' || src AS child,
+         |    dst_label || '|' || dst AS parent
+         |  FROM e WHERE rel IN ('LOCATED_IN', 'PART_OF')
+         |),
+         |h(id, depth, path) AS (
+         |  SELECT DISTINCT parent, 0, parent FROM cp WHERE parent LIKE 'Region|%'
+         |  UNION ALL
+         |  SELECT cp.child, h.depth + 1, h.path || '/' || cp.child
+         |  FROM h JOIN cp ON cp.parent = h.id
+         |)
+         |SELECT id, depth, path FROM h""".stripMargin
     },
 
     "graph_degree_dist" ->
