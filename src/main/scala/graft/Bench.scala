@@ -61,7 +61,8 @@ object Bench {
         () => graft.kg.KgQueries.warmStores(spark, sfDir),
         () => graft.dedup.DedupQueries.warmStores(spark, sfDir),
         () => graft.graph.GraphQueries.warmStores(spark, sfDir),
-        () => graft.sim.SimQueries.warmStores(spark, sfDir)))
+        () => graft.sim.SimQueries.warmStores(spark, sfDir),
+        () => graft.sources.IngestQueries.warmStores(spark, sfDir)))
       catch { case e: Throwable =>
         System.err.println(s"[bench] store build failed: $e"); -1.0 }
 

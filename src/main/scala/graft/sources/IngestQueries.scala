@@ -215,6 +215,34 @@ object IngestQueries {
         col("p._corrupt_record").isNotNull.cast("int").as("is_corrupt"))
   }
 
+  /** K19 as a driver query: lineitem re-laid-out range-clustered on
+    * l_shipdate (8 files, one disjoint date range each), a file-level
+    * zone-map stats table persisted beside it, and a one-year window
+    * read through [[graft.store.ZoneMap.prunedRead]] — the scan plans
+    * over only the files whose zone intersects the window (~1/8 of
+    * them by construction; file-count evidence is engine-specific and
+    * lives in ZoneMapSpec, the RESULT is oracled as the plain filtered
+    * aggregate it must equal). */
+  def ingZonemap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, ZoneMap}
+    val key = GraftStore.dirKey(dir)
+    val path = ZoneMap.ensureRangeLayout(spark, s"li_byship_$key",
+      Tables.lineitem(spark, dir), "l_shipdate", 8)
+    val statsDf = spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_zmstats_$key", 4, Seq("file")) {
+      ZoneMap.stats(spark, path, Seq("l_shipdate"))
+    })
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-12-31").cast("timestamp")
+    ZoneMap.prunedRead(spark, path, statsDf, "l_shipdate", lo, hi)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  def warmStores(spark: SparkSession, dir: String): Unit = { ingZonemap(spark, dir); () }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -229,6 +257,7 @@ object IngestQueries {
     "ing_binary"  -> (ingBinary _),
     "ing_json_bad" -> (ingJsonBad _),
     "ing_csv_bad" -> (ingCsvBad _),
+    "ing_zonemap" -> (ingZonemap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,6 +323,14 @@ object IngestQueries {
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    // the pruned zone-map read must equal the plain filtered aggregate
+    "ing_zonemap" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate <= '1995-12-31'
+        |GROUP BY 1""".stripMargin,
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )
 }
