@@ -1,0 +1,90 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** K20: snapshot / time-travel table store — the transactional-lake
+  * core mechanism (Delta/Iceberg/Hudi all share it) reduced to its
+  * load-bearing parts: a table is an ordered sequence of MANIFESTS,
+  * each listing exactly the data files visible at that version; a
+  * commit writes new immutable data files, then publishes the next
+  * manifest ATOMICALLY (write-temp + rename — readers see the old
+  * version or the new one, never a half-written file list); a read at
+  * version v plans over precisely v's files, so time travel, rollback
+  * audits, and reproducible training-data snapshots ("the corpus as
+  * of run 17") are all the same O(1) manifest lookup.
+  *
+  * Why this matters at 100 TB: plain `overwrite` on a live directory
+  * is a delete-then-write visibility hole, and appends that land
+  * mid-query double-count. Manifest isolation gives snapshot reads
+  * with zero coordination on the read path — the scan's file list is
+  * immutable by construction. Data files are never modified or
+  * removed by commits (GC of unreferenced files is a separate,
+  * deferred concern — exactly how the production formats stage it).
+  *
+  * Local-FS `rename` gives the atomic publish here; on an object
+  * store the same contract comes from a conditional PUT / DynamoDB
+  * mutex (public Delta-on-S3 design), behind this same interface.
+  */
+object SnapshotStore {
+
+  private lazy val base: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def tableDir(name: String): Path = Paths.get(base, name)
+  private def manifestDir(name: String): Path = tableDir(name).resolve("_manifests")
+
+  private def manifestPath(name: String, v: Long): Path =
+    manifestDir(name).resolve(f"v$v%06d.txt")
+
+  /** Committed versions of `name`, ascending (empty if none). */
+  def versions(name: String): Seq[Long] = {
+    val dir = manifestDir(name)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toLong }
+      .toSeq.sorted
+  }
+
+  private def readManifest(name: String, v: Long): Seq[String] =
+    Files.readAllLines(manifestPath(name, v)).asScala.toSeq.filter(_.nonEmpty)
+
+  /** Write `df`'s files under an immutable per-commit directory and
+    * atomically publish the next manifest. `append=true` carries the
+    * previous version's files forward; `append=false` starts the new
+    * version from only this commit's files (logical overwrite — old
+    * files stay on disk for time travel). Returns the new version. */
+  private def commit(name: String, df: DataFrame, append: Boolean): Long =
+    synchronized {
+      val prev = versions(name)
+      val v = prev.lastOption.getOrElse(-1L) + 1L
+      val dataDir = tableDir(name).resolve(s"data_v$v")
+      df.write.mode("error").parquet(dataDir.toString)
+      val newFiles = Files.list(dataDir).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      val visible =
+        (if (append && prev.nonEmpty) readManifest(name, prev.last) else Seq.empty) ++ newFiles
+      Files.createDirectories(manifestDir(name))
+      val tmp = manifestDir(name).resolve(s".v$v.tmp")
+      Files.write(tmp, visible.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, manifestPath(name, v), StandardCopyOption.ATOMIC_MOVE)
+      v
+    }
+
+  def commitAppend(name: String, df: DataFrame): Long = commit(name, df, append = true)
+  def commitOverwrite(name: String, df: DataFrame): Long = commit(name, df, append = false)
+
+  /** Snapshot read: the latest version, or the table as of `version`.
+    * The returned plan's file list is immutable — later commits can
+    * never change what this scan reads. */
+  def read(spark: SparkSession, name: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v of '$name' not found (have $vs)")
+    spark.read.parquet(readManifest(name, v): _*)
+  }
+}

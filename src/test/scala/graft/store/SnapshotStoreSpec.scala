@@ -1,0 +1,57 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+
+  private def rows(name: String, v: Option[Long] = None): Set[(Long, String)] =
+    SnapshotStore.read(spark, name, v).collect()
+      .map(r => (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("s")))).toSet
+
+  test("K20 append commits accumulate; each version stays readable") {
+    import spark.implicits._
+    val v0 = SnapshotStore.commitAppend("t1", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v1 = SnapshotStore.commitAppend("t1", Seq((3L, "c")).toDF("k", "s"))
+    assert((v0, v1) == ((0L, 1L)))
+    assert(rows("t1") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows("t1", Some(0L)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("K20 overwrite starts a fresh version but old snapshots survive") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("t2", Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.commitAppend("t2", Seq((2L, "b")).toDF("k", "s"))
+    val v2 = SnapshotStore.commitOverwrite("t2", Seq((9L, "z")).toDF("k", "s"))
+    assert(v2 == 2L)
+    assert(rows("t2") == Set((9L, "z")))
+    assert(rows("t2", Some(1L)) == Set((1L, "a"), (2L, "b")))
+    assert(SnapshotStore.versions("t2") == Seq(0L, 1L, 2L))
+  }
+
+  test("K20 a snapshot plan is immune to commits made after it was built") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("t3", Seq((1L, "a")).toDF("k", "s"))
+    val snap = SnapshotStore.read(spark, "t3")
+    SnapshotStore.commitAppend("t3", Seq((2L, "b")).toDF("k", "s"))
+    assert(snap.count() == 1L) // the old file list, not the new table
+    assert(rows("t3") == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("K20 unknown table / version fail loudly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] { SnapshotStore.read(spark, "nope") }
+    SnapshotStore.commitAppend("t4", Seq((1L, "a")).toDF("k", "s"))
+    intercept[IllegalArgumentException] { SnapshotStore.read(spark, "t4", Some(7L)) }
+  }
+
+  test("K20 filters still push down through a snapshot read") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("t5", (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"))
+    val df = SnapshotStore.read(spark, "t5").filter(col("k") === 42L)
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("PushedFilters:") && scan.contains("EqualTo(k,42"), scan)
+    assert(df.count() == 1L)
+  }
+}
