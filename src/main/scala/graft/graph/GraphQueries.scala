@@ -283,6 +283,24 @@ object GraphQueries {
   def graphCc(spark: SparkSession, dir: String): DataFrame =
     Graphs.connectedComponents(storedGeoUnd(spark, dir))
 
+  /** C27 driver query: Borůvka MSF over the co-order graph with the
+    * EXACT integer co-occurrence count as weight (min-cnt forest —
+    * the skeleton of weakest links; no float ties to tie-break, and
+    * struct(w, u, v) uniquifies picks regardless). Rows-only by
+    * design: a minimum spanning forest is not SQL-expressible
+    * (Kruskal/Prim are inherently sequential); semantics are pinned
+    * by GraphSpec against an in-test Kruskal over the same edges with
+    * the same total order — forest = the unique MSF, per-component
+    * edge counts n−1, identical total weight. */
+  def graphMsf(spark: SparkSession, dir: String): DataFrame =
+    Graphs.boruvkaMsf(coOrderCnt(spark, dir))
+
+  /** The (u, v, cnt→w) co-order edge list graph_msf runs on —
+    * public so GraphSpec can Kruskal-check the forest on the SAME
+    * input. */
+  def coOrderCnt(spark: SparkSession, dir: String): DataFrame =
+    storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w"))
+
   /** Ranks rounded to 6 decimals so the fixed-iteration SQL oracle can
     * hash-match: both engines run identical IEEE double operations in
     * element order; rounding absorbs the last-ulp difference from
@@ -546,6 +564,7 @@ object GraphQueries {
     "graph_walks"     -> (graphWalks _),
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
+    "graph_msf"       -> (graphMsf _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_pagerank_w" -> (graphPagerankWeighted _),
     "graph_katz"      -> (graphKatz _),

@@ -1052,6 +1052,64 @@ object Graphs {
     ssspFrom(weighted,
       weighted.sparkSession.range(1).select(lit(source).as("id")), iterations)
 
+  /** C27: Borůvka minimum spanning forest — THE classic
+    * cluster-parallel MST algorithm (every component picks its
+    * lightest outgoing edge simultaneously; components at least halve
+    * per round, so O(log V) rounds regardless of graph size — the
+    * property that makes it the distributed choice over inherently
+    * sequential Prim/Kruskal). Input (u, v, w) canonical u < v,
+    * deduped; edges are totally ordered by struct(w, u, v), which
+    * makes every pick — and therefore the whole forest — unique and
+    * deterministic even under weight ties.
+    *
+    * Per round: one edges⋈labels join marks cross-component edges,
+    * one min-struct aggregation picks each component's edge, the
+    * picked edges' COMPONENT pairs feed the existing star-contraction
+    * [[connectedComponents]] (itself O(log C)) to merge labels. The
+    * full edge table never moves after its one checkpoint; per-round
+    * shuffles carry only the |V|-row label frame and the ≤ C picked
+    * edges. One scalar driver action per round (the emptiness guard).
+    * Returns the forest as (u, v, w): |V| − #components rows. */
+  def boruvkaMsf(weighted: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val e0 = weighted.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(eager = true)
+    val vertices = e0.select(col("u").as("id"))
+      .unionAll(e0.select(col("v").as("id"))).distinct()
+    var comp = vertices.select(col("id"), col("id").as("c"))
+      .localCheckpoint(eager = true)
+    var forest: DataFrame = null
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val ce = e0
+        .join(comp.select(col("id").as("u"), col("c").as("cu")), "u")
+        .join(comp.select(col("id").as("v"), col("c").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      val pick = struct(col("w"), col("u"), col("v"),
+        col("cu"), col("cv"))
+      val chosen = ce.select(col("cu").as("c"), pick.as("e"))
+        .unionAll(ce.select(col("cv").as("c"), pick.as("e")))
+        .groupBy("c").agg(min(col("e")).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"),
+          col("e.cu").as("cu"), col("e.cv").as("cv"))
+        .distinct().localCheckpoint(eager = true)
+      if (chosen.isEmpty) done = true
+      else {
+        val picked = chosen.select(col("u"), col("v"), col("w"))
+        forest =
+          if (forest == null) picked
+          else forest.unionAll(picked).localCheckpoint(eager = true)
+        val merged = connectedComponents(
+          chosen.select(col("cu").as("u"), col("cv").as("v")))
+        comp = comp.join(merged.withColumnRenamed("id", "c"), Seq("c"), "left")
+          .select(col("id"), coalesce(col("component"), col("c")).as("c"))
+          .localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    if (forest == null) e0.limit(0) else forest
+  }
+
   /** C9 with the seed supplied as a ONE-ROW frame (column `id`) — the
     * in-plan variant (r7 advice): a derived seed (e.g. the min vertex
     * key) rides as part of the first round's plan instead of a driver

@@ -579,4 +579,54 @@ class GraphSpec extends SparkSpec {
     assert(!nodes.collect { case s: SortExec => s }.exists(_.global),
       "no global sort anywhere in the rank build")
   }
+
+  /** Reference Kruskal with the same struct(w, u, v) total order —
+    * union-find over the collected edge list. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.sortBy { case (u, v, w) => (w, u, v) }.flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }
+  }
+
+  test("C27 Borůvka MSF: weighted fixture picks the light spanning edges, skips the cycle closer") {
+    import spark.implicits._
+    // square 1-2-3-4 with heavy diagonal: MSF keeps the three lightest
+    // square sides; plus a separate 2-node component
+    val e = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (1L, 4L, 5L),
+      (1L, 3L, 9L), (10L, 11L, 7L),
+    ).toDF("u", "v", "w")
+    val got = Graphs.boruvkaMsf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (10L, 11L, 7L)))
+  }
+
+  test("C27 Borůvka MSF: tie weights resolve by the (w,u,v) total order, deterministically") {
+    import spark.implicits._
+    // triangle with ALL weights equal: the unique MSF under the total
+    // order keeps the two lexicographically-smallest edges
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L)).toDF("u", "v", "w")
+    val got = Graphs.boruvkaMsf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 3L, 3L)))
+  }
+
+  test("C27 Borůvka MSF equals reference Kruskal on the real co-order graph") {
+    val e = GraphQueries.queries("graph_msf")(spark, sfDir)
+    val got = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val input = GraphQueries.coOrderCnt(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = kruskal(input.toSeq)
+    assert(got.toSet == expect.toSet,
+      s"forest mismatch: extra=${got.toSet -- expect.toSet} missing=${expect.toSet -- got.toSet}")
+    // forest property: |E| = |V| − #components
+    val vs = input.flatMap(t => Seq(t._1, t._2)).distinct.length
+    assert(got.length < vs)
+  }
 }
