@@ -297,6 +297,27 @@ object Dedup {
         (coalesce(col("component"), col(idCol)) === col(idCol)).cast("int").as("is_kept"))
   }
 
+  /** E11: quality-aware survivorship — production near-dup pipelines
+    * keep the BEST member of each duplicate cluster, not the min-id
+    * one (the usual policy: the longest / highest-quality variant, so
+    * truncated or boilerplate-wrapped copies lose to the full
+    * article). Given the cluster assignment (doc → canonical_id from
+    * [[survivorsFromPairs]]) and a per-doc integer score, the kept doc
+    * is the exact argmax under the (score, −id) total order — one
+    * max-struct aggregation per cluster (map-side partial, no window
+    * over the corpus), joined back broadcastable-small per cluster. */
+  def bestSurvivors(clusters: DataFrame, idCol: String,
+      scored: DataFrame, scoreCol: String): DataFrame = {
+    val cl = clusters.select(col(idCol), col("canonical_id").as("cluster_id"))
+      .join(scored.select(col(idCol), col(scoreCol).as("score")), idCol)
+    val best = cl.groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col(idCol)).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("kept_id"))
+    cl.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("score"), col("kept_id"),
+        (col(idCol) === col("kept_id")).cast("int").as("is_kept"))
+  }
+
   /** E8 kernel: greedy min-id semantic survivors — given a cluster
     * assignment (id → cluster), compare only WITHIN-cluster pairs
     * (normalize-then-dot, the embeddingPairs kernel with the cluster

@@ -71,6 +71,15 @@ object DedupQueries {
     Dedup.survivorsFromPairs(Tables.documents(spark, dir), "doc_id", "text",
       dedupJaccardPairs(spark, dir))
 
+  /** E11: same clusters, quality-aware policy — keep the LONGEST
+    * member (exact char count; ties → min doc_id). */
+  def dedupBestSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.bestSurvivors(
+      dedupSurvivors(spark, dir), "doc_id",
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "len")
+  }
+
   /** E7: INCREMENTAL dedup — the daily-batch production shape: admit
     * only incoming documents (the non-train side of the G5 hash split)
     * that are neither exact nor near duplicates of the HISTORICAL
@@ -195,6 +204,7 @@ object DedupQueries {
     "dedup_containment"     -> (dedupContainment _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
+    "dedup_best_survivor"   -> (dedupBestSurvivor _),
     "dedup_substring"       -> (dedupSubstring _),
     "dedup_incremental"     -> (dedupIncremental _),
   )
@@ -255,6 +265,44 @@ object DedupQueries {
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
       |WHERE a.doc_id < b.doc_id""".stripMargin
+
+  /** Shared by the survivor-family oracles: exact + jaccard-verified
+    * dup pairs closed into components (`comp(id, component)`) via the
+    * recursive min-label closure. Callers must open with
+    * `WITH RECURSIVE`. */
+  private lazy val dupClusterCtes: String =
+    s"""$toksCte,
+       |${shinglesCte(K)},
+       |${sigCte(Bands * RowsPerBand)},
+       |${bandsCte(Bands, RowsPerBand)},
+       |cand AS ($candidateSelect),
+       |ds AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+       |    length(a.ds) + length(b.ds)
+       |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+       |  FROM cand c
+       |  JOIN ds a ON c.doc_a = a.doc_id
+       |  JOIN ds b ON c.doc_b = b.doc_id
+       |),
+       |jp AS (SELECT doc_a AS u, doc_b AS v FROM j
+       |       WHERE round(inter::double / uni, 4) >= $JaccardThreshold),
+       |eh AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h FROM documents),
+       |ep AS (
+       |  SELECT u, v FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY h) AS u, doc_id AS v FROM eh
+       |  ) WHERE u <> v
+       |),
+       |pairs AS (SELECT u, v FROM ep UNION SELECT u, v FROM jp),
+       |und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+       |closure(id, lbl) AS (
+       |  SELECT u, u FROM und
+       |  UNION
+       |  SELECT und.v, c.lbl FROM closure c JOIN und ON und.u = c.id
+       |  WHERE c.lbl < und.v
+       |),
+       |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // same md5 window keys, same duplicated-hash cut, same
@@ -431,42 +479,31 @@ object DedupQueries {
          |WHERE round(greatest(inter / la, inter / lb), 4) >= $ContainmentThreshold""".stripMargin,
 
     "dedup_survivors" ->
-      s"""WITH RECURSIVE $toksCte,
-         |${shinglesCte(K)},
-         |${sigCte(Bands * RowsPerBand)},
-         |${bandsCte(Bands, RowsPerBand)},
-         |cand AS ($candidateSelect),
-         |ds AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
-         |j AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
-         |    length(a.ds) + length(b.ds)
-         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
-         |  FROM cand c
-         |  JOIN ds a ON c.doc_a = a.doc_id
-         |  JOIN ds b ON c.doc_b = b.doc_id
-         |),
-         |jp AS (SELECT doc_a AS u, doc_b AS v FROM j
-         |       WHERE round(inter::double / uni, 4) >= $JaccardThreshold),
-         |eh AS (SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h FROM documents),
-         |ep AS (
-         |  SELECT u, v FROM (
-         |    SELECT min(doc_id) OVER (PARTITION BY h) AS u, doc_id AS v FROM eh
-         |  ) WHERE u <> v
-         |),
-         |pairs AS (SELECT u, v FROM ep UNION SELECT u, v FROM jp),
-         |und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-         |closure(id, lbl) AS (
-         |  SELECT u, u FROM und
-         |  UNION
-         |  SELECT und.v, c.lbl FROM closure c JOIN und ON und.u = c.id
-         |  WHERE c.lbl < und.v
-         |),
-         |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)
+      s"""WITH RECURSIVE $dupClusterCtes
          |SELECT d.doc_id,
          |  coalesce(comp.component, d.doc_id) AS canonical_id,
          |  (coalesce(comp.component, d.doc_id) = d.doc_id)::int AS is_kept
          |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
+
+    // same cluster derivation, different survivorship policy: keep
+    // the LONGEST member (ties → min doc_id), stated as a window rank
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+         |cl AS (
+         |  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS cluster_id,
+         |    length(d.text)::bigint AS score
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |),
+         |r AS (
+         |  SELECT doc_id, cluster_id, score,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id) AS rn
+         |  FROM cl
+         |),
+         |k AS (SELECT cluster_id, doc_id AS kept_id FROM r WHERE rn = 1)
+         |SELECT cl.doc_id, cl.cluster_id, cl.score, k.kept_id,
+         |  (cl.doc_id = k.kept_id)::int AS is_kept
+         |FROM cl JOIN k USING (cluster_id)""".stripMargin,
 
     "dedup_semantic" ->
       // the kmeans assignment is the SAME generated fixed-iteration
