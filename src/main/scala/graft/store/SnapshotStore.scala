@@ -50,14 +50,22 @@ object SnapshotStore {
   }
 
   private def readManifest(name: String, v: Long): Seq[String] =
-    Files.readAllLines(manifestPath(name, v)).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(manifestPath(name, v)).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** The streaming batchId this version committed, if it was published
+    * by [[commitStreamBatch]] (recorded as a `#batch=` header). */
+  def batchIdOf(name: String, v: Long): Option[Long] =
+    Files.readAllLines(manifestPath(name, v)).asScala
+      .find(_.startsWith("#batch=")).map(_.stripPrefix("#batch=").toLong)
 
   /** Write `df`'s files under an immutable per-commit directory and
     * atomically publish the next manifest. `append=true` carries the
     * previous version's files forward; `append=false` starts the new
     * version from only this commit's files (logical overwrite — old
     * files stay on disk for time travel). Returns the new version. */
-  private def commit(name: String, df: DataFrame, append: Boolean): Long =
+  private def commit(name: String, df: DataFrame, append: Boolean,
+      header: Option[String] = None): Long =
     synchronized {
       val prev = versions(name)
       val v = prev.lastOption.getOrElse(-1L) + 1L
@@ -69,13 +77,35 @@ object SnapshotStore {
         (if (append && prev.nonEmpty) readManifest(name, prev.last) else Seq.empty) ++ newFiles
       Files.createDirectories(manifestDir(name))
       val tmp = manifestDir(name).resolve(s".v$v.tmp")
-      Files.write(tmp, visible.mkString("\n").getBytes("UTF-8"))
+      Files.write(tmp, (header.toSeq ++ visible).mkString("\n").getBytes("UTF-8"))
       Files.move(tmp, manifestPath(name, v), StandardCopyOption.ATOMIC_MOVE)
       v
     }
 
   def commitAppend(name: String, df: DataFrame): Long = commit(name, df, append = true)
   def commitOverwrite(name: String, df: DataFrame): Long = commit(name, df, append = false)
+
+  /** Exactly-once streaming append — the `foreachBatch` sink that
+    * marries batchId idempotence to snapshot isolation: each
+    * micro-batch publishes ONE new version whose manifest records its
+    * batchId; a REPLAYED batch (restart inside the at-least-once
+    * window between sink write and checkpoint commit) finds its
+    * batchId already published and no-ops, returning the existing
+    * version. Readers are never exposed to a half-committed batch:
+    * they see version v or v+1, each a complete consistent table.
+    * Usage: `ds.writeStream.foreachBatch(SnapshotStore.streamSink(name) _)`. */
+  def commitStreamBatch(name: String, df: DataFrame, batchId: Long): Long =
+    synchronized {
+      versions(name).find(v => batchIdOf(name, v).contains(batchId)) match {
+        case Some(v) => v
+        case None => commit(name, df, append = true, header = Some(s"#batch=$batchId"))
+      }
+    }
+
+  /** [[commitStreamBatch]] curried to the foreachBatch signature. */
+  def streamSink(name: String)(df: DataFrame, batchId: Long): Unit = {
+    commitStreamBatch(name, df, batchId); ()
+  }
 
   /** Snapshot read: the latest version, or the table as of `version`.
     * The returned plan's file list is immutable — later commits can

@@ -45,6 +45,33 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotStore.read(spark, "t4", Some(7L)) }
   }
 
+  test("K20/I30 replayed stream batch publishes no second version and no duplicate rows") {
+    import spark.implicits._
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val b1 = Seq((3L, "c")).toDF("k", "s")
+    val v0 = SnapshotStore.commitStreamBatch("st1", b0, batchId = 0L)
+    val v0r = SnapshotStore.commitStreamBatch("st1", b0, batchId = 0L) // replay
+    val v1 = SnapshotStore.commitStreamBatch("st1", b1, batchId = 1L)
+    assert(v0 == v0r && v1 == v0 + 1)
+    assert(SnapshotStore.versions("st1") == Seq(0L, 1L))
+    assert(rows("st1") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(SnapshotStore.batchIdOf("st1", v1).contains(1L))
+  }
+
+  test("K20/I30 a real stream lands exactly-once through the foreachBatch sink") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = mem.toDF().toDF("k", "s").writeStream
+      .outputMode("append")
+      .foreachBatch(SnapshotStore.streamSink("st2") _)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(rows("st2") == Set((1L, "a"), (2L, "b")))
+    assert(SnapshotStore.versions("st2").nonEmpty)
+  }
+
   test("K20 filters still push down through a snapshot read") {
     import spark.implicits._
     SnapshotStore.commitAppend("t5", (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"))
