@@ -107,6 +107,29 @@ object SnapshotStore {
     commitStreamBatch(name, df, batchId); ()
   }
 
+  /** Retention GC (the VACUUM half every snapshot format stages
+    * separately from commits): keep only the newest `keep` versions'
+    * manifests, then delete every data file no surviving manifest
+    * references. Order matters for crash safety — manifests go first,
+    * so a crash mid-vacuum can only leave orphaned data files (which
+    * the next vacuum removes), never a manifest pointing at deleted
+    * data. */
+  def vacuum(name: String, keep: Int): Unit = synchronized {
+    require(keep >= 1, "must keep at least one version")
+    val vs = versions(name)
+    val drop = vs.dropRight(keep)
+    if (drop.nonEmpty) {
+      val referenced = vs.takeRight(keep).flatMap(readManifest(name, _)).toSet
+      drop.foreach(v => Files.delete(manifestPath(name, v)))
+      Files.list(tableDir(name)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("data_v")).foreach { d =>
+          Files.list(d).iterator().asScala
+            .filter(f => !referenced.contains(f.toString)).foreach(Files.delete)
+          if (!Files.list(d).iterator().hasNext) Files.delete(d)
+        }
+    }
+  }
+
   /** Snapshot read: the latest version, or the table as of `version`.
     * The returned plan's file list is immutable — later commits can
     * never change what this scan reads. */

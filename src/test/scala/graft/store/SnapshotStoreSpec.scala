@@ -2,6 +2,7 @@ package graft.store
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class SnapshotStoreSpec extends SparkSpec {
 
@@ -70,6 +71,26 @@ class SnapshotStoreSpec extends SparkSpec {
     try { q.processAllAvailable() } finally q.stop()
     assert(rows("st2") == Set((1L, "a"), (2L, "b")))
     assert(SnapshotStore.versions("st2").nonEmpty)
+  }
+
+  test("K20 vacuum drops old versions and their unreferenced files; survivors intact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    SnapshotStore.commitAppend("t6", Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.commitOverwrite("t6", Seq((2L, "b")).toDF("k", "s"))
+    SnapshotStore.commitAppend("t6", Seq((3L, "c")).toDF("k", "s"))
+    def dataFiles: Long = {
+      val dir = Paths.get(SnapshotStore.read(spark, "t6").inputFiles.head
+        .stripPrefix("file:")).getParent.getParent
+      Files.walk(dir).iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val before = dataFiles
+    SnapshotStore.vacuum("t6", keep = 2)
+    assert(SnapshotStore.versions("t6") == Seq(1L, 2L))
+    assert(rows("t6") == Set((2L, "b"), (3L, "c")))
+    assert(rows("t6", Some(1L)) == Set((2L, "b")))
+    assert(dataFiles < before, "v0's overwritten files must be deleted")
+    intercept[IllegalArgumentException] { SnapshotStore.read(spark, "t6", Some(0L)) }
   }
 
   test("K20 filters still push down through a snapshot read") {
