@@ -100,4 +100,20 @@ object GraftStore {
     fs.delete(old, true)
     CompactStats(before.length, parquetFiles().length, bytes, rows)
   }
+
+  /** K21: catalog statistics for a store table — runs ANALYZE TABLE
+    * (optionally with per-column stats) so the cost-based optimizer
+    * plans from ROW COUNTS and NDVs instead of raw file bytes. At
+    * 100 TB this is the difference between "the 2 GB compressed side
+    * looks too big to broadcast" and a stats-informed plan; column
+    * NDV/min/max additionally feed join-reorder and selectivity
+    * estimates under spark.sql.cbo.enabled. Store builds are the
+    * natural ANALYZE point: write once, analyze once, every
+    * downstream query plans with the numbers. */
+  def analyze(spark: SparkSession, name: String, cols: Seq[String] = Nil): Unit = {
+    val forCols =
+      if (cols.isEmpty) "" else s" FOR COLUMNS ${cols.mkString(", ")}"
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS$forCols")
+    ()
+  }
 }

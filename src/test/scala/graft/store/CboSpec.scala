@@ -1,0 +1,52 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+
+/** K21: ANALYZE-driven statistics — the catalog carries exact row
+  * counts and column NDV/min/max after a store build, and the
+  * cost-based optimizer estimates from them. */
+class CboSpec extends SparkSpec {
+
+  private lazy val table: String = {
+    import spark.implicits._
+    val name = GraftStore.ensureBucketed(spark, "cbo_t", 4, Seq("k")) {
+      (1L to 1000L).map(i => (i, i % 10)).toDF("k", "g")
+    }
+    GraftStore.analyze(spark, name, cols = Seq("k", "g"))
+    name
+  }
+
+  test("K21 ANALYZE records exact row count and column NDV in the catalog") {
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).stats
+      .getOrElse(fail("no stats after ANALYZE"))
+    assert(stats.rowCount.contains(BigInt(1000)))
+    val g = stats.colStats("g")
+    assert(g.distinctCount.exists(d => d >= BigInt(9) && d <= BigInt(11)),
+      s"g NDV ~10, got ${g.distinctCount}")
+    assert(stats.colStats("k").min.isDefined && stats.colStats("k").max.isDefined)
+  }
+
+  test("K21 CBO estimates a selective filter below the table row count") {
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val full = spark.table(table)
+      assert(full.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(1000)))
+      val est = spark.table(table).filter(col("g") === 3)
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("CBO must estimate a row count"))
+      assert(est > BigInt(0) && est < BigInt(300),
+        s"one of ~10 groups should estimate well under the table size, got $est")
+    }
+  }
+
+  private def withSQLConf[A](kv: (String, String)*)(body: => A): A = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
