@@ -59,6 +59,16 @@ object SnapshotStore {
     Files.readAllLines(manifestPath(name, v)).asScala
       .find(_.startsWith("#batch=")).map(_.stripPrefix("#batch=").toLong)
 
+  /** The table schema AT version v, recorded in the manifest (the
+    * Delta design: schema lives in the log, so a read never touches
+    * file footers to discover it — O(1) at any file count, and an
+    * appended column is visible the moment its commit lands). */
+  def schemaOf(name: String, v: Long): Option[org.apache.spark.sql.types.StructType] =
+    Files.readAllLines(manifestPath(name, v)).asScala
+      .find(_.startsWith("#schema=")).map(l =>
+        org.apache.spark.sql.types.DataType.fromJson(
+          l.stripPrefix("#schema=")).asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Write `df`'s files under an immutable per-commit directory and
     * atomically publish the next manifest. `append=true` carries the
     * previous version's files forward; `append=false` starts the new
@@ -75,9 +85,26 @@ object SnapshotStore {
         .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
       val visible =
         (if (append && prev.nonEmpty) readManifest(name, prev.last) else Seq.empty) ++ newFiles
+      // schema evolution, Delta-style: an append's schema is the
+      // previous schema widened by the commit's NEW columns (same-name
+      // columns must keep their type — fail loudly, never corrupt);
+      // an overwrite starts from the commit's own schema
+      val schema: org.apache.spark.sql.types.StructType =
+        (if (append) prev.lastOption.flatMap(schemaOf(name, _)) else None) match {
+          case None => df.schema
+          case Some(old) =>
+            df.schema.fields.filter(f => old.fieldNames.contains(f.name)).foreach { f =>
+              val prevType = old(f.name).dataType
+              require(prevType == f.dataType,
+                s"column '${f.name}' type changed: $prevType -> ${f.dataType}")
+            }
+            org.apache.spark.sql.types.StructType(
+              old.fields ++ df.schema.fields.filterNot(f => old.fieldNames.contains(f.name)))
+        }
       Files.createDirectories(manifestDir(name))
       val tmp = manifestDir(name).resolve(s".v$v.tmp")
-      Files.write(tmp, (header.toSeq ++ visible).mkString("\n").getBytes("UTF-8"))
+      val headers = header.toSeq :+ s"#schema=${schema.json}"
+      Files.write(tmp, (headers ++ visible).mkString("\n").getBytes("UTF-8"))
       Files.move(tmp, manifestPath(name, v), StandardCopyOption.ATOMIC_MOVE)
       v
     }
@@ -138,6 +165,12 @@ object SnapshotStore {
     require(vs.nonEmpty, s"snapshot table '$name' has no commits")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v of '$name' not found (have $vs)")
-    spark.read.parquet(readManifest(name, v): _*)
+    val files = readManifest(name, v)
+    schemaOf(name, v) match {
+      // schema from the log: files written before a column was added
+      // simply null it — no footer-merge scan at any file count
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 }

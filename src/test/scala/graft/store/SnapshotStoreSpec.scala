@@ -93,6 +93,24 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotStore.read(spark, "t6", Some(0L)) }
   }
 
+  test("K20 schema evolution: appended column visible, pre-evolution rows null it") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("t7", Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.commitAppend("t7",
+      Seq((2L, "b", 7.5)).toDF("k", "s", "score"))
+    val latest = SnapshotStore.read(spark, "t7").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(latest == Set((1L, "a", None), (2L, "b", Some(7.5))))
+    // the pre-evolution snapshot has no score column at all
+    assert(SnapshotStore.read(spark, "t7", Some(0L))
+      .schema.fieldNames.toSeq == Seq("k", "s"))
+    // a type change on an existing column fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend("t7", Seq(("x", "c")).toDF("k", "s"))
+    }
+  }
+
   test("K20 filters still push down through a snapshot read") {
     import spark.implicits._
     SnapshotStore.commitAppend("t5", (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"))
