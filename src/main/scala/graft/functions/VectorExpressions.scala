@@ -226,6 +226,16 @@ object VectorFunctions {
     "graft_theta_estimate" -> { es => ThetaEstimate(es.head) },
     "graft_theta_intersect" -> { es => ThetaIntersectEstimate(es(0), es(1)) },
     "graft_theta_union_est" -> { es => ThetaUnionEstimate(es(0), es(1)) },
+    // Spark's own runtime-filter Bloom sketch, surfaced as a callable
+    // pair (the engine keeps them internal-only) — the K22 file index
+    // builds on these instead of reimplementing the filter
+    "graft_bloom_agg" -> { es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1)).toAggregateExpression()
+    },
+    "graft_bloom_might_contain" -> { es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))
+    },
   )
 
   /** Idempotently register the graft vector functions on a session
