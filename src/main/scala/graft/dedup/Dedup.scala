@@ -354,9 +354,14 @@ object Dedup {
     * single-node suffix array; the Spark-first spelling is a hashed
     * char-gram inverted index — cluster-parallel and shuffle-bounded:
     *
-    *  1. every w-char window start → (doc, pos, md5(window)); md5 so
-    *     the global frequency count shuffles a fixed-width key, never
-    *     the text (and so the oracle can state the same key);
+    *  1. every w-char window start → (doc, pos, xxhash64(window)): the
+    *     global frequency count shuffles an 8-byte key, never the
+    *     text. The key only defines EQUALITY CLASSES — no hash appears
+    *     in the output — so the oracle derives the same duplicated-
+    *     window set with its own key (md5) and the results agree
+    *     unless one engine's hash collides where the other's doesn't
+    *     (P ≈ n²/2⁶⁴ ≈ 1e-6 at 100 TB scale, zero consequence beyond
+    *     one extra span);
     *  2. one aggregation keeps hashes with total occurrence ≥ 2 (the
     *     duplicated grams — map-side partial count first, and the
     *     corpus-scale survivor set is tiny relative to the scan);
@@ -375,7 +380,7 @@ object Dedup {
     val starts = docs.select(col(idCol), col(textCol),
         explode(sequence(lit(1), length(col(textCol)) - (w - 1))).as("p"))
       .select(col(idCol), col("p"),
-        md5(col(textCol).substr(col("p"), lit(w)).cast("binary")).as("h"))
+        xxhash64(col(textCol).substr(col("p"), lit(w))).as("h"))
     val dupHashes = starts.groupBy("h")
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("h")
     val dupStarts = starts.join(dupHashes, Seq("h"), "left_semi")

@@ -291,7 +291,16 @@ object GraphQueries {
     * (Kruskal/Prim are inherently sequential); semantics are pinned
     * by GraphSpec against an in-test Kruskal over the same edges with
     * the same total order — forest = the unique MSF, per-component
-    * edge counts n−1, identical total weight. */
+    * edge counts n−1, identical total weight.
+    *
+    * Bench-cost note (r11, measured ~17 s at sf0.1): the wall is
+    * ~75 small jobs (O(log V) Borůvka rounds, each nesting a
+    * star-contraction CC that runs 2 jobs per iteration on a
+    * shrinking component graph), i.e. fixed per-job overhead in
+    * local mode — NOT data volume; per-job data is tiny and the
+    * job count is independent of scale, so the same plan on a
+    * cluster at 1000× data pays the same ~75 rounds of latency
+    * while each round stays fully parallel. */
   def graphMsf(spark: SparkSession, dir: String): DataFrame =
     Graphs.boruvkaMsf(coOrderCnt(spark, dir))
 
@@ -538,12 +547,33 @@ object GraphQueries {
     * face and the per-vertex HLL-union loop as the scale face, the
     * est_ok flag pinning the sketch within 500 bps of exact. The geo
     * graph's small diameter makes 3 rounds reach near-saturation (the
-    * N(r) curve flattening IS the effective-diameter signal). */
-  def graphNeighborhood(spark: SparkSession, dir: String): DataFrame =
-    Graphs.neighborhoodFunction(storedGeoUnd(spark, dir)
-        .unionAll(storedGeoUnd(spark, dir)
-          .select(col("v").as("u"), col("u").as("v"))),
-      NbRounds)
+    * N(r) curve flattening IS the effective-diameter signal).
+    *
+    * Bench-cost note (r11, measured): ~90% of this query's wall is
+    * the EXACT face — Σ|B(v,3)| ≈ 10M pairs at sf0.1, growing with
+    * ball volume (quadratic-ish in hub population) — which exists
+    * only to oracle the sketch. The sketch face alone (the path a
+    * 100 TB run would ship) moves V fixed-width registers per round.
+    * Keeping the expensive face in the driver query is deliberate:
+    * est_ok must be pinned against exact IN-PLAN, per the
+    * sim_ann_recall convention. */
+  def graphNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    // xxhash64 the ~25-byte composite ids once at the edge: the exact
+    // face's per-round pair distinct is the cost center (Σ|B(r)| rows
+    // ≈ 10M at sf0.1), and it dedups 16-byte long pairs ~3× faster
+    // than string pairs. Counts are collision-exact at any plausible
+    // vertex count (the storedUndHashed argument: P ≈ V²/2⁶⁴); the
+    // HLL face sketches the hashes with identical register mechanics.
+    val h = storedGeoUnd(spark, dir)
+      .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"))
+    // lgK=10 (1 KB/vertex): the sketch face shuffles V sketches per
+    // round, so register width is the direct cost knob; rsd(2^10) ≈
+    // 3.2% stays inside the 500 bps est_ok tolerance with margin
+    // (errors over the Σ_v sum partially cancel besides)
+    Graphs.neighborhoodFunction(
+      h.unionAll(h.select(col("v").as("u"), col("u").as("v"))), NbRounds,
+      lgK = 10)
+  }
 
   /** Degree distribution of the KG (count of nodes per total degree) —
     * the first structural sanity check on any built graph. */
