@@ -540,6 +540,7 @@ object StreamQueries {
     "ev_mg_hourly"   -> (evMgHourly _),
     "ev_qhist_hourly" -> (evQhistHourly _),
     "ev_lifetime_features" -> (evLifetimeFeatures _),
+    "ev_throttle"    -> (evThrottle _),
   )
 
   /** I29: point-in-time-correct lifetime features (batch face; the
@@ -547,6 +548,13 @@ object StreamQueries {
     * StreamingSpec). */
   def evLifetimeFeatures(spark: SparkSession, dir: String): DataFrame =
     EventOps.lifetimeFeatures(Tables.events(spark, dir))
+
+  val ThrottleMax = 1
+
+  /** I32: per-(user, hour) rate cap at [[ThrottleMax]] (batch face;
+    * streaming parity in StreamingSpec). */
+  def evThrottle(spark: SparkSession, dir: String): DataFrame =
+    Streaming.throttleBatch(Tables.events(spark, dir), ThrottleMax)
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
     * Streaming.sessionAssign; event_type rides through for the
@@ -606,6 +614,14 @@ object StreamQueries {
   private val asofOracleSql: String = asofOracleSqlKeyed("user_id", "user_id")
 
   def oracleSql: Map[String, String] = Map(
+    "ev_throttle" ->
+      s"""SELECT event_id, user_id, date_trunc('hour', ts) AS hour,
+         |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+         |    ORDER BY ts, event_id) AS seq,
+         |  (CASE WHEN row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+         |    ORDER BY ts, event_id) <= ${ThrottleMax} THEN 1 ELSE 0 END) AS admitted
+         |FROM events""".stripMargin,
+
     "ev_windowed" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value

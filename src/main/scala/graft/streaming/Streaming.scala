@@ -685,6 +685,66 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class ThEv(event_id: Long, user_id: Long, ts: Timestamp)
+  final case class Throttled(event_id: Long, user_id: Long, hour: Timestamp,
+      seq: Long, admitted: Int)
+
+  /** I32 (batch face / oracle): per-key rate capping — admit at most
+    * `maxPerWindow` events per (user, clock hour), the abuse/API-quota
+    * operator every event front door runs. Deterministic total order
+    * (ts, event_id) decides WHICH events are admitted; every event is
+    * emitted with its within-window sequence and the admitted flag
+    * (the rejected stream is the abuse-audit feed, not a discard).
+    * One window over (user, hour) — fine-grained keys, no skew pile-up
+    * at 100 TB. */
+  def throttleBatch(events: DataFrame, maxPerWindow: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("hour")).orderBy(col("ts"), col("event_id"))
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("event_id"), col("user_id"), col("hour"), col("seq"),
+        (col("seq") <= maxPerWindow).cast("int").as("admitted"))
+  }
+
+  /** I32 (streaming path): the same cap through transformWithState —
+    * one ValueState[Long] counter per (user, hour) key, O(1) state per
+    * key, hour keys age out of relevance naturally. Within a
+    * micro-batch rows sort by (ts, event_id) — the batch face's total
+    * order — so single-batch parity is exact; across batches the
+    * counter carries, admitting first-arrived (the semantics a live
+    * rate limiter wants). */
+  class ThrottleProcessor(max: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), ThEv, Throttled] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("throttle_n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Long, Long), rows: Iterator[ThEv],
+        tv: TimerValues): Iterator[Throttled] = {
+      var n = if (count.exists()) count.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        n += 1
+        Throttled(e.event_id, e.user_id,
+          new Timestamp(key._2), n, if (n <= max) 1 else 0)
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  /** I32 front door (requires the RocksDB state store provider, as
+    * with the I29 face). */
+  def throttleStreaming(events: Dataset[ThEv], maxPerWindow: Int): Dataset[Throttled] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(e =>
+        (e.user_id, e.ts.getTime - math.floorMod(e.ts.getTime, 3600000L)))
+      .transformWithState(new ThrottleProcessor(maxPerWindow),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** I4: checkpointed file-stream → parquet sink. Returns the running
     * query; callers own its lifecycle. */
   def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,

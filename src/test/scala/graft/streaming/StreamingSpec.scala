@@ -1021,4 +1021,46 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("I32 transformWithState throttle matches the batch cap across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streaming.ThEv]
+    val q = Streaming.throttleStreaming(mem.toDS(), maxPerWindow = 2)
+      .writeStream.format("memory").queryName("th_out").outputMode("append").start()
+    try {
+      // user 1: three events in one hour (third must be rejected),
+      // then one in the NEXT hour (counter resets with the key)
+      mem.addData(
+        Streaming.ThEv(1L, 1L, ts(0)), Streaming.ThEv(2L, 1L, ts(5)),
+        Streaming.ThEv(3L, 2L, ts(2)))
+      q.processAllAvailable()
+      // batch 2: the (user 1, hour 0) counter must carry via state
+      mem.addData(
+        Streaming.ThEv(4L, 1L, ts(10)), Streaming.ThEv(5L, 1L, ts(70)))
+      q.processAllAvailable()
+      val streamed = spark.table("th_out")
+        .select("event_id", "user_id", "seq", "admitted")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val batch = Streaming.throttleBatch(
+          Seq((1L, 1L, ts(0)), (2L, 1L, ts(5)), (3L, 2L, ts(2)),
+            (4L, 1L, ts(10)), (5L, 1L, ts(70)))
+            .toDF("event_id", "user_id", "ts"), maxPerWindow = 2)
+        .select("event_id", "user_id", "seq", "admitted")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(streamed == batch && streamed == Set(
+        (1L, 1L, 1L, 1), (2L, 1L, 2L, 1), (3L, 2L, 1L, 1),
+        (4L, 1L, 3L, 0), (5L, 1L, 1L, 1)),
+        s"streamed $streamed vs batch $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
