@@ -134,6 +134,29 @@ object SnapshotStore {
     commitStreamBatch(name, df, batchId); ()
   }
 
+  /** I31: CDC merge-apply — one change batch of upserts and deletes
+    * keyed by `keyCols` becomes ONE new snapshot version (the
+    * Delta/Iceberg MERGE shape, copy-on-write flavor): surviving rows
+    * = previous version anti-joined on every changed key, plus the
+    * upsert rows. Readers switch from the old complete table to the
+    * new complete table atomically with the manifest publish — a CDC
+    * consumer never sees a half-applied batch. The anti-join shuffles
+    * on the merge key like any MERGE; at 100 TB the refinement is
+    * file-level copy-on-write (rewrite only files holding changed
+    * keys — the zone-map/Bloom indexes locate them), same contract.
+    * `changes` must carry `opCol` ∈ {"upsert","delete"}; delete rows
+    * need only the key columns populated. */
+  def applyChanges(spark: SparkSession, name: String, changes: DataFrame,
+      keyCols: Seq[String], opCol: String = "op"): Long = {
+    import org.apache.spark.sql.functions.col
+    val prev = read(spark, name)
+    val changedKeys = changes.select(keyCols.map(col): _*).distinct()
+    val survivors = prev.join(changedKeys, keyCols, "left_anti")
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+      .select(prev.columns.map(col): _*)
+    commitOverwrite(name, survivors.unionAll(upserts))
+  }
+
   /** Retention GC (the VACUUM half every snapshot format stages
     * separately from commits): keep only the newest `keep` versions'
     * manifests, then delete every data file no surviving manifest

@@ -111,6 +111,22 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("K20/I31 CDC merge-apply: upsert existing, insert new, delete, one atomic version") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("t8",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    val changes = Seq(
+      (2L, "B2", "upsert"),  // update existing key
+      (4L, "d", "upsert"),   // brand-new key
+      (3L, null.asInstanceOf[String], "delete"), // key-only delete
+    ).toDF("k", "s", "op")
+    val v = SnapshotStore.applyChanges(spark, "t8", changes, Seq("k"))
+    assert(v == 1L)
+    assert(rows("t8") == Set((1L, "a"), (2L, "B2"), (4L, "d")))
+    // pre-merge snapshot untouched
+    assert(rows("t8", Some(0L)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("K20 filters still push down through a snapshot read") {
     import spark.implicits._
     SnapshotStore.commitAppend("t5", (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"))
