@@ -62,7 +62,8 @@ object Bench {
         () => graft.dedup.DedupQueries.warmStores(spark, sfDir),
         () => graft.graph.GraphQueries.warmStores(spark, sfDir),
         () => graft.sim.SimQueries.warmStores(spark, sfDir),
-        () => graft.sources.IngestQueries.warmStores(spark, sfDir)))
+        () => graft.sources.IngestQueries.warmStores(spark, sfDir),
+        () => graft.text.TextQueries.warmStores(spark, sfDir)))
       catch { case e: Throwable =>
         System.err.println(s"[bench] store build failed: $e"); -1.0 }
 

@@ -241,7 +241,39 @@ object IngestQueries {
         sum(col("l_extendedprice")).as("sum_price"))
   }
 
-  def warmStores(spark: SparkSession, dir: String): Unit = { ingZonemap(spark, dir); () }
+  /** K23 as a driver query: the same one-year window as [[ingZonemap]],
+    * but the pruning is PLANNER-DRIVEN — lineitem is committed
+    * range-clustered into the snapshot store once per session, read
+    * back through [[graft.store.SnapshotStore.readIndexed]], and the
+    * plain `.filter(...)` alone shrinks the planned file set (the
+    * custom FileIndex evaluates the pushed data filters against the
+    * per-file zone map; no second predicate pass-in). Oracle: the
+    * filtered aggregate it must equal. File-count evidence lives in
+    * FileIndexSpec. */
+  private val snapCommitted = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def ingSnapshotIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, SnapshotStore}
+    val key = GraftStore.dirKey(dir)
+    val name = s"li_snap_$key"
+    snapCommitted.getOrElseUpdate(name, {
+      SnapshotStore.commitOverwrite(name,
+        Tables.lineitem(spark, dir)
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate"))
+      true
+    })
+    val (_, li) = SnapshotStore.readIndexed(spark, name, Seq("l_shipdate"))
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <= lit("1996-12-31").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  def warmStores(spark: SparkSession, dir: String): Unit = {
+    ingZonemap(spark, dir); ingSnapshotIndex(spark, dir); ()
+  }
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
@@ -258,6 +290,7 @@ object IngestQueries {
     "ing_json_bad" -> (ingJsonBad _),
     "ing_csv_bad" -> (ingCsvBad _),
     "ing_zonemap" -> (ingZonemap _),
+    "ing_snapshot_index" -> (ingSnapshotIndex _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -330,6 +363,13 @@ object IngestQueries {
         |  sum(l_extendedprice) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate <= '1995-12-31'
+        |GROUP BY 1""".stripMargin,
+    "ing_snapshot_index" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate <= '1996-12-31'
         |GROUP BY 1""".stripMargin,
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )

@@ -1,0 +1,192 @@
+package graft.store
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** K23: planner-integrated file skipping — a custom [[FileIndex]] that
+  * serves a snapshot manifest's immutable file list to Spark's own
+  * parquet scan AND evaluates the query's data filters against a
+  * per-file min/max zone map at PLANNING time (the Delta
+  * `TahoeFileIndex` / Iceberg manifest-stats pattern). This closes the
+  * gap the explicit [[ZoneMap.prunedRead]] surface leaves open: there
+  * the caller must pass the predicate twice (once to prune, once to
+  * filter); here `df.filter(...)` alone drives the pruning, because
+  * `FileSourceScanExec` hands the pushed data filters to
+  * `listFiles(partitionFilters, dataFilters)` and only the surviving
+  * files are planned into the scan.
+  *
+  * Why this is the 100 TB shape: the scan downstream is the stock
+  * vectorized `ParquetFileFormat` — whole-stage codegen, row-group
+  * pruning and column pruning all intact — while the candidate file
+  * set shrinks BEFORE any footer is opened. The zone map itself is
+  * metadata-scale (one (min,max) pair per file per clustered column,
+  * exactly what Delta keeps in its log), so holding it driver-side is
+  * the same contract as holding the file list itself. Pruning is
+  * conservative three-valued logic: any predicate shape or column the
+  * index has no stats for keeps the file, so an unprunable query is
+  * merely unpruned, never wrong.
+  *
+  * Reference behavior anchor: the reference's pipelines re-read full
+  * datasets per stage (e.g. Big-Data---Knowledge-graph-construction-
+  * with-LLM `LOCAL/LLM/pipeline.py` reloading the corpus CSV per
+  * step); this index is the engine-side answer at scale — repeated
+  * narrow queries against a large immutable snapshot touch only the
+  * files their predicates can match.
+  */
+final class GraftFileIndex(
+    files: Seq[FileStatus],
+    zones: Map[String, Map[String, (Any, Any)]],
+    val dataSchema: StructType) extends FileIndex {
+
+  val totalFiles: Int = files.size
+  /** Files surviving the most recent `listFiles` — test/telemetry hook. */
+  val lastKept = new AtomicInteger(files.size)
+
+  override def rootPaths: Seq[Path] = files.map(_.getPath.getParent).distinct
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = files.map(_.getLen).sum
+  override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty) files
+      else files.filter { f =>
+        val z = zones.getOrElse(f.getPath.toUri.getPath, Map.empty[String, (Any, Any)])
+        dataFilters.forall(e => mayMatch(z, e))
+      }
+    lastKept.set(kept.size)
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  /** Can any row of a file with zone stats `z` satisfy `e`? Unknown
+    * shapes answer true (keep) — pruning must never invent emptiness. */
+  private def mayMatch(z: Map[String, (Any, Any)], e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(z, l) && mayMatch(z, r)
+    case Or(l, r) => mayMatch(z, l) || mayMatch(z, r)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => overlaps(z, a.name, dt, v, v)
+    case EqualTo(Literal(v, dt), a: AttributeReference) => overlaps(z, a.name, dt, v, v)
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) => upperAbove(z, a.name, dt, v, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => upperAbove(z, a.name, dt, v, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, dt)) => lowerBelow(z, a.name, dt, v, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => lowerBelow(z, a.name, dt, v, strict = false)
+    // literal-first mirrors: lit OP attr  ≡  attr flip(OP) lit
+    case GreaterThan(Literal(v, dt), a: AttributeReference) => lowerBelow(z, a.name, dt, v, strict = true)
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => lowerBelow(z, a.name, dt, v, strict = false)
+    case LessThan(Literal(v, dt), a: AttributeReference) => upperAbove(z, a.name, dt, v, strict = true)
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => upperAbove(z, a.name, dt, v, strict = false)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, dt) => overlaps(z, a.name, dt, v, v) }
+    case InSet(a: AttributeReference, vs) =>
+      vs.exists(v => overlaps(z, a.name, a.dataType, v, v))
+    case _ => true
+  }
+
+  // zone checks: absent stats (uncovered column, all-null file) keep the file
+  private def overlaps(z: Map[String, (Any, Any)], c: String, dt: DataType,
+      lo: Any, hi: Any): Boolean =
+    z.get(c) match {
+      case Some((zmin, zmax)) =>
+        (canon(dt, lo), canon(dt, hi), canon(dt, zmin), canon(dt, zmax)) match {
+          case (Some(l), Some(h), Some(zl), Some(zh)) => cmp(zh, l) >= 0 && cmp(zl, h) <= 0
+          case _ => true
+        }
+      case None => true
+    }
+
+  private def upperAbove(z: Map[String, (Any, Any)], c: String, dt: DataType,
+      v: Any, strict: Boolean): Boolean =
+    z.get(c) match {
+      case Some((_, zmax)) =>
+        (canon(dt, v), canon(dt, zmax)) match {
+          case (Some(lit), Some(zh)) => if (strict) cmp(zh, lit) > 0 else cmp(zh, lit) >= 0
+          case _ => true
+        }
+      case None => true
+    }
+
+  private def lowerBelow(z: Map[String, (Any, Any)], c: String, dt: DataType,
+      v: Any, strict: Boolean): Boolean =
+    z.get(c) match {
+      case Some((zmin, _)) =>
+        (canon(dt, v), canon(dt, zmin)) match {
+          case (Some(lit), Some(zl)) => if (strict) cmp(zl, lit) < 0 else cmp(zl, lit) <= 0
+          case _ => true
+        }
+      case None => true
+    }
+
+  /** Canonicalize a value (Catalyst-internal from a Literal, or
+    * external from a collected stats row) to one comparable domain per
+    * type family. None = unsupported → caller keeps the file. */
+  private def canon(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (ByteType | ShortType | IntegerType | LongType, n: java.lang.Number) => Some(n.longValue())
+    case (FloatType | DoubleType, n: java.lang.Number) => Some(n.doubleValue())
+    case (_: DecimalType, d: Decimal) => Some(d.toJavaBigDecimal)
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(d)
+    case (_: DecimalType, d: BigDecimal) => Some(d.bigDecimal)
+    case (StringType, s: UTF8String) => Some(s.toString)
+    case (StringType, s: String) => Some(s)
+    case (DateType, d: java.lang.Integer) => Some(d.longValue()) // internal: epoch days
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (TimestampType, t: java.lang.Long) => Some(t.longValue()) // internal: epoch micros
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0 // mixed canon domains: treat as overlapping (keep)
+  }
+}
+
+object GraftFileIndex {
+
+  /** Build an index over concrete parquet `paths`: one distributed
+    * aggregation derives the per-file zone map for `zoneCols`
+    * (write-once; the result is metadata-scale — one row per file),
+    * then the scan DataFrame plans over the index. Filters applied to
+    * the returned frame prune files at planning time. */
+  def scan(spark: SparkSession, paths: Seq[String], schema: StructType,
+      zoneCols: Seq[String]): (GraftFileIndex, DataFrame) = {
+    val fs = new Path(paths.head).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = paths.map(p => fs.getFileStatus(new Path(p)))
+    val zones: Map[String, Map[String, (Any, Any)]] =
+      if (zoneCols.isEmpty) Map.empty
+      else {
+        val aggs = zoneCols.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+        spark.read.schema(schema).parquet(paths: _*)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val key = new java.net.URI(r.getString(0)).getPath
+            key -> zoneCols.map(c =>
+              c -> ((r.get(r.fieldIndex(s"${c}__min")), r.get(r.fieldIndex(s"${c}__max"))))).toMap
+          }.toMap
+      }
+    val index = new GraftFileIndex(statuses, zones, schema)
+    val relation = HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    (index, spark.baseRelationToDataFrame(relation))
+  }
+}

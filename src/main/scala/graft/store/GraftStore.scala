@@ -53,6 +53,23 @@ object GraftStore {
     name
   }
 
+  /** Ensure an UNBUCKETED catalog table `name` (for tiny derived
+    * tables — corpus stats rows, dictionaries small enough that bucket
+    * layout buys nothing); memoized like [[ensureBucketed]]. */
+  def ensurePlain(spark: SparkSession, name: String)(df: => DataFrame): String = {
+    val params = Built(0, Nil, Nil)
+    val memo = built.getOrElseUpdate((spark, name), {
+      df.write.mode("overwrite").format("parquet")
+        .option("path", s"$defaultBase/$name")
+        .saveAsTable(name)
+      params
+    })
+    require(memo == params,
+      s"table '$name' was built bucketed ($memo) but requested plain — " +
+        "use a distinct table name per parameterization")
+    name
+  }
+
   /** Force-build (or just touch) a set of ensure-thunks, timing them —
     * lets the bench pay the one-time store build OUTSIDE query timings
     * and report it separately. */

@@ -53,6 +53,12 @@ object SnapshotStore {
     Files.readAllLines(manifestPath(name, v)).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
+  /** The data files visible at version `v` — the manifest, verbatim.
+    * Public so incremental consumers (K25) can diff file sets between
+    * versions; files are immutable, so `files(v2) \ files(v1)` IS the
+    * appended data. */
+  def files(name: String, v: Long): Seq[String] = readManifest(name, v)
+
   /** The streaming batchId this version committed, if it was published
     * by [[commitStreamBatch]] (recorded as a `#batch=` header). */
   def batchIdOf(name: String, v: Long): Option[Long] =
@@ -178,6 +184,28 @@ object SnapshotStore {
           if (!Files.list(d).iterator().hasNext) Files.delete(d)
         }
     }
+  }
+
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Seq[String]), (GraftFileIndex, DataFrame)]
+
+  /** K23: snapshot read THROUGH a [[GraftFileIndex]] — same immutable
+    * manifest file list, but data filters on the returned frame prune
+    * files at planning time against a per-file zone map over
+    * `zoneCols` (built once per (table, version), cached like the
+    * production formats cache log stats). Returns the index too so
+    * callers/tests can observe pruning (`lastKept` vs `totalFiles`). */
+  def readIndexed(spark: SparkSession, name: String, zoneCols: Seq[String],
+      version: Option[Long] = None): (GraftFileIndex, DataFrame) = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v of '$name' not found (have $vs)")
+    indexCache.getOrElseUpdate((name, v, zoneCols), {
+      val files = readManifest(name, v)
+      val schema = schemaOf(name, v).getOrElse(spark.read.parquet(files: _*).schema)
+      GraftFileIndex.scan(spark, files, schema, zoneCols)
+    })
   }
 
   /** Snapshot read: the latest version, or the table as of `version`.

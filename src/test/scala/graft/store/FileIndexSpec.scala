@@ -1,0 +1,101 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** K23: planner-integrated file skipping through [[GraftFileIndex]].
+  * The load-bearing claims: (1) a plain `df.filter(...)` — no explicit
+  * prune call — shrinks the planned file set; (2) results are
+  * identical to the unindexed read for every predicate shape,
+  * including ones the index cannot prune (conservative keep); (3) the
+  * scan underneath is still Spark's own parquet source (vectorized
+  * reader, pushdown intact). */
+class FileIndexSpec extends SparkSpec {
+
+  private lazy val table: String = {
+    import spark.implicits._
+    val df = (0L until 4000L)
+      .map(k => (k, s"s${k / 1000}", java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(10000 + k / 100))))
+      .toDF("k", "grp", "d")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+    SnapshotStore.commitOverwrite("fidx", df)
+    "fidx"
+  }
+
+  private def scanFileCount(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case s: FileSourceScanExec => s.metrics("numFiles").value }.get
+  }
+
+  test("K23 a plain filter prunes files at planning time; results match unindexed") {
+    val (idx, df) = SnapshotStore.readIndexed(spark, table, Seq("k"))
+    assert(idx.totalFiles == 8)
+    val pruned = df.filter(col("k") >= 500 && col("k") < 900)
+    val got = pruned.agg(count(lit(1)), sum("k")).collect().head
+    // oracle by closed form: sum(500..899) = (500+899)*400/2
+    assert(got.getLong(0) == 400L && got.getLong(1) == (500L + 899L) * 400L / 2L)
+    assert(idx.lastKept.get() < idx.totalFiles,
+      s"expected pruning, kept ${idx.lastKept.get()}/${idx.totalFiles}")
+    assert(scanFileCount(pruned) == idx.lastKept.get().toLong)
+  }
+
+  test("K23 equality on a range-clustered key plans a single file") {
+    val (idx, df) = SnapshotStore.readIndexed(spark, table, Seq("k"))
+    assert(df.filter(col("k") === 1234).count() == 1L)
+    assert(idx.lastKept.get() == 1)
+  }
+
+  test("K23 IN-list keeps only the files containing the listed keys") {
+    val (idx, df) = SnapshotStore.readIndexed(spark, table, Seq("k"))
+    assert(df.filter(col("k").isin(10L, 3990L)).count() == 2L)
+    assert(idx.lastKept.get() <= 2)
+  }
+
+  test("K23 string and date zone columns prune too") {
+    val (idx, df) = SnapshotStore.readIndexed(spark, table, Seq("grp", "d"))
+    assert(df.filter(col("grp") === "s3").count() == 1000L)
+    assert(idx.lastKept.get() <= 2, s"kept ${idx.lastKept.get()}")
+    val dayOne = df.filter(col("d") === java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(10001)))
+    assert(dayOne.count() == 100L)
+    assert(idx.lastKept.get() <= 1)
+  }
+
+  test("K23 unprunable predicates keep every file but stay correct") {
+    val (idx, df) = SnapshotStore.readIndexed(spark, table, Seq("k"))
+    // k % 1000 is not a zone-checkable shape → conservative keep-all
+    assert(df.filter(col("k") % 1000 === 7).count() == 4L)
+    assert(idx.lastKept.get() == idx.totalFiles)
+    // disjunction spanning two zones keeps (at least) both, not all
+    assert(df.filter(col("k") === 5 || col("k") === 3999).count() == 2L)
+    assert(idx.lastKept.get() <= 2)
+  }
+
+  test("K23 filter on a column WITHOUT zone stats keeps all files, correct rows") {
+    val (idx, df) = SnapshotStore.readIndexed(spark, table, Seq("k"))
+    assert(df.filter(col("grp") === "s0").count() == 1000L)
+    assert(idx.lastKept.get() == idx.totalFiles)
+  }
+
+  test("K23 an empty survivor set yields zero rows without scanning") {
+    val (idx, df) = SnapshotStore.readIndexed(spark, table, Seq("k"))
+    val out = df.filter(col("k") > 100000)
+    assert(out.count() == 0L)
+    assert(idx.lastKept.get() == 0)
+  }
+
+  test("K23 the indexed read is immune to later commits (snapshot semantics)") {
+    import spark.implicits._
+    val before = SnapshotStore.readIndexed(spark, table, Seq("k"))._2
+    SnapshotStore.commitAppend(table, Seq((999999L, "zz", java.sql.Date.valueOf("2020-01-01"))).toDF("k", "grp", "d"))
+    assert(before.count() == 4000L)
+    val (_, after) = SnapshotStore.readIndexed(spark, table, Seq("k"))
+    assert(after.count() == 4001L)
+  }
+}
