@@ -271,8 +271,38 @@ object IngestQueries {
         sum(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** K25 as a driver query: a per-(returnflag, linestatus) aggregate
+    * maintained INCREMENTALLY across two snapshot commits — lineitem
+    * lands in the store in two halves (even orderkeys, then odd), the
+    * view refreshes after each, and the second refresh aggregates only
+    * the appended files (file-scan evidence in IncrementalViewSpec).
+    * Measures ship as exact integer cents/centi-units because the
+    * incremental merge re-associates the summation — int sums are
+    * order-free, double sums are not. Oracle: the one-shot group-by of
+    * the whole table, which every refresh must equal. */
+  def ingMvInc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, IncrementalView, SnapshotStore}
+    val key = GraftStore.dirKey(dir)
+    val base = s"li_mvbase_$key"
+    val mv = s"li_mv_$key"
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val sums = Seq("qty_c", "price_c")
+    snapCommitted.getOrElseUpdate(base, {
+      val li = Tables.lineitem(spark, dir).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      SnapshotStore.commitAppend(base, li.filter(col("l_orderkey") % 2 === 0))
+      IncrementalView.refresh(spark, base, mv, keys, sums)
+      SnapshotStore.commitAppend(base, li.filter(col("l_orderkey") % 2 === 1))
+      true
+    })
+    IncrementalView.refresh(spark, base, mv, keys, sums)
+    IncrementalView.read(spark, mv)
+  }
+
   def warmStores(spark: SparkSession, dir: String): Unit = {
-    ingZonemap(spark, dir); ingSnapshotIndex(spark, dir); ()
+    ingZonemap(spark, dir); ingSnapshotIndex(spark, dir); ingMvInc(spark, dir); ()
   }
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -291,6 +321,7 @@ object IngestQueries {
     "ing_csv_bad" -> (ingCsvBad _),
     "ing_zonemap" -> (ingZonemap _),
     "ing_snapshot_index" -> (ingSnapshotIndex _),
+    "ing_mv_inc" -> (ingMvInc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,6 +402,12 @@ object IngestQueries {
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate <= '1996-12-31'
         |GROUP BY 1""".stripMargin,
+    "ing_mv_inc" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(round(l_quantity * 100)::bigint)::bigint AS sum_qty_c,
+        |  sum(round(l_extendedprice * 100)::bigint)::bigint AS sum_price_c
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )
 }
