@@ -1730,6 +1730,91 @@ object Multimodal {
       .select("doc_id", "valid_id3", "n_frames", "title", "artist", "album")
   }
 
+  /** H23: Standard MIDI File header parse — the "MThd" chunk is
+    * all-big-endian fixed offsets (u32 length pinned to 6, u16
+    * format / ntrks / division), with ONE bit-field subtlety: division
+    * bit 15 selects SMPTE timing (negative frame rate + ticks) vs
+    * ticks-per-quarter-note, so the raw u16 splits into a flag and a
+    * 15-bit value. The first "MTrk" chunk header follows immediately
+    * at byte 15 with its u32 byte length. Pure codegen'd guarded
+    * projections — the PNG/GIF header shape plus the bit split. */
+  def withMidiHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val magicOk = lower(hex(substring(bin, 1, 4))) === "4d546864" // MThd
+    val lenOk = beU32(bin, 5) === 6
+    val valid = (magicOk && lenOk).cast("int")
+    def ifm(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val divRaw = beU16(bin, lit(13))
+    val trkOk = lower(hex(substring(bin, 15, 4))) === "4d54726b" // MTrk
+    df.withColumn("valid_midi", valid)
+      .withColumn("format", ifm(beU16(bin, lit(9))))
+      .withColumn("ntrks", ifm(beU16(bin, lit(11))))
+      .withColumn("smpte", ifm(shiftright(divRaw, 15).bitwiseAND(lit(1))))
+      .withColumn("division", ifm(divRaw.bitwiseAND(lit(0x7fff))))
+      .withColumn("first_track_len", ifm(when(trkOk, beU32(bin, 19))))
+  }
+
+  /** H23 driver query: synthesize a 22-byte MThd+MTrk prefix per asset
+    * (SMPTE flag on every 4th, corrupt magic on every 13th) and parse
+    * it back from the bytes; formula oracle (mm convention). */
+  def mmMidiMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 13 === 0
+    val fmt = (col("doc_id") % 3).cast("int")
+    val ntrks = (col("doc_id") % 15 + 1).cast("int")
+    val divTicks = (col("n_chars") % 960 + 24).cast("int")
+    val smpte = col("doc_id") % 4 === 0
+    val divRaw = when(smpte, divTicks + 32768).otherwise(divTicks)
+    val trkLen = (col("n_chars") % 4096).cast("int")
+    def beHex16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 4, "0")
+    def beHex32(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 8, "0")
+    val hx = concat(
+      when(corrupt, lit("4d546900")).otherwise(lit("4d546864")),
+      lit("00000006"),
+      beHex16(fmt), beHex16(ntrks), beHex16(divRaw),
+      lit("4d54726b"), beHex32(trkLen))
+    withMidiHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_midi", "format", "ntrks", "smpte",
+        "division", "first_track_len")
+  }
+
+  /** H24: PDF header/trailer scan — the document-container sibling of
+    * the tar/zip/gzip trio. PDF's outer structure is TEXTUAL: a
+    * "%PDF-M.m" first line, "N G obj" object openers, and a trailer
+    * whose last three lines are `startxref`, the xref byte offset,
+    * and `%%EOF`. This pass extracts exactly what a corpus triage
+    * needs before any real PDF library runs: version, object count,
+    * xref offset, trailer integrity. Regex + string ops only —
+    * codegen'd, zero shuffle. */
+  def withPdfInfo(df: DataFrame, strCol: String): DataFrame = {
+    val s = col(strCol)
+    val valid = (s.startsWith("%PDF-") && s.endsWith("%%EOF")).cast("int")
+    def ifp(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val ver = regexp_extract(s, "^%PDF-(\\d\\.\\d)", 1)
+    val xref = regexp_extract(s, "startxref\\n(\\d+)\\n%%EOF$", 1)
+    df.withColumn("valid_pdf", valid)
+      .withColumn("pdf_version", ifp(when(ver =!= "", ver)))
+      .withColumn("n_objs", ifp(size(regexp_extract_all(s, lit("\\d+ \\d+ obj"), lit(0)))))
+      .withColumn("startxref", ifp(when(xref =!= "", xref.cast("long"))))
+  }
+
+  /** H24 driver query: synthesize a minimal well-formed PDF per asset
+    * (version 1.(doc_id%8), doc_id%6+1 objects, startxref = n_chars,
+    * corrupt header on every 9th) and scan it back; formula oracle. */
+  def mmPdfInfo(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 9 === 0
+    val nObjs = (col("doc_id") % 6 + 1).cast("int")
+    val body = repeat(lit("1 0 obj\n<< >>\nendobj\n"), nObjs)
+    val pdf = concat(
+      when(corrupt, lit("%FDP-")).otherwise(lit("%PDF-")),
+      lit("1."), (col("doc_id") % 8).cast("string"), lit("\n"),
+      body,
+      lit("startxref\n"), col("n_chars").cast("string"), lit("\n%%EOF"))
+    withPdfInfo(d.select(col("doc_id"), pdf.as("_s")), "_s")
+      .select("doc_id", "valid_pdf", "pdf_version", "n_objs", "startxref")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -1753,9 +1838,32 @@ object Multimodal {
     "mm_zip_entry" -> (mmZipEntry _),
     "mm_tar_meta"  -> (mmTarMeta _),
     "mm_gzip_meta" -> (mmGzipMeta _),
+    "mm_midi_meta" -> (mmMidiMeta _),
+    "mm_pdf_info"  -> (mmPdfInfo _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmMidiMeta by the generating formula: every 13th doc is
+    // corrupt (all parsed fields null), SMPTE flag on every 4th
+    "mm_midi_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS valid_midi,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE (doc_id % 3)::int END AS format,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE (doc_id % 15 + 1)::int END AS ntrks,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::int AS smpte,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE (n_chars % 960 + 24)::int END AS division,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE (n_chars % 4096)::bigint END AS first_track_len
+        |FROM documents""".stripMargin,
+    // mirrors mmPdfInfo: corrupt header on every 9th (all fields null)
+    "mm_pdf_info" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_pdf,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE '1.' || (doc_id % 8) END AS pdf_version,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE (doc_id % 6 + 1)::int END AS n_objs,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS startxref
+        |FROM documents""".stripMargin,
     "mm_tar_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_tar,

@@ -1027,6 +1027,34 @@ object TextQueries {
         length(col("cleaned")).as("cleaned_len"))
   }
 
+  val WsampleK = 5
+
+  /** G30: weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield-Lund-Thorup): each doc gets priority q = w / u where
+    * w = n_chars and u ∈ (0, 1] derives from a salted 32-bit hash of
+    * the doc id; the top-k priorities per source ARE a weighted
+    * sample (long docs proportionally likelier, every doc possible).
+    * The cross-engine trick: q = w·2^32 / (h+1) uses only IEEE
+    * multiply/divide — correctly rounded, so Spark and the oracle
+    * compute bit-identical doubles and the ranking can't drift the
+    * way a pow(u, 1/w) / exp-jitter spelling can (transcendental
+    * functions differ across libm implementations). Shapes: one
+    * narrow scan + one per-source window — no global sort; at 100 TB
+    * the window shuffles one (source)-keyed pass and each partition
+    * streams. A deterministic, seedable corpus downsampler. */
+  def textWsample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat_ws("|", lit("wsample"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    val q = col("n_chars").cast("double") * lit(4294967296.0) /
+      (h + lit(1L)).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"), q.as("q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= WsampleK)
+  }
+
   /** Build the K24 inverted-index tables outside query timings. */
   def warmStores(spark: SparkSession, dir: String): Unit = {
     textBm25Indexed(spark, dir); ()
@@ -1039,6 +1067,7 @@ object TextQueries {
     "text_tfidf"        -> (textTfidf _),
     "text_bm25"         -> (textBm25 _),
     "text_bm25_indexed" -> (textBm25Indexed _),
+    "text_wsample"      -> (textWsample _),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
@@ -1292,6 +1321,21 @@ object TextQueries {
     // K24: the indexed lookup must produce the IDENTICAL ranked list
     // as the corpus-scan spelling — one oracle text, two plans
     "text_bm25_indexed" -> bm25OracleSql,
+
+    // mirrors textWsample: same salted 32-bit hash, same w·2^32/(h+1)
+    // priority (multiply/divide only — bit-identical doubles), same
+    // per-source (q DESC, doc_id) rank cut
+    "text_wsample" ->
+      s"""WITH p AS (
+         |  SELECT source, doc_id, n_chars,
+         |    n_chars::double * 4294967296.0 /
+         |      ((('0x' || substr(md5(concat_ws('|', 'wsample', doc_id)), 1, 8))::bigint + 1)::double) AS q
+         |  FROM documents
+         |)
+         |SELECT source, doc_id, n_chars, q,
+         |  row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rnk
+         |FROM p
+         |QUALIFY rnk <= $WsampleK""".stripMargin,
 
     // mirrors textBm25 term for term: same fixed query set, same idf
     // and tf-normalization double expressions, same (score, doc_id)
