@@ -549,21 +549,18 @@ object GraphQueries {
     * graph's small diameter makes 3 rounds reach near-saturation (the
     * N(r) curve flattening IS the effective-diameter signal).
     *
-    * Bench-cost note (r11, measured): ~90% of this query's wall is
-    * the EXACT face — Σ|B(v,3)| ≈ 10M pairs at sf0.1, growing with
-    * ball volume (quadratic-ish in hub population) — which exists
-    * only to oracle the sketch. The sketch face alone (the path a
-    * 100 TB run would ship) moves V fixed-width registers per round.
-    * Keeping the expensive face in the driver query is deliberate:
-    * est_ok must be pinned against exact IN-PLAN, per the
-    * sim_ann_recall convention. */
+    * Bench-cost note (r11, re-measured): the exact face is now a
+    * dense-bitmap BFS (see Graphs.neighborhoodFunction) — both faces
+    * move V fixed-width pages per round, so the query no longer pays
+    * the Σ|B(r)|·deg pair-expansion that made the first spelling
+    * 16.6 s at sf0.1. The exact face still exists only to oracle the
+    * sketch IN-PLAN, per the sim_ann_recall convention. */
   def graphNeighborhood(spark: SparkSession, dir: String): DataFrame = {
-    // xxhash64 the ~25-byte composite ids once at the edge: the exact
-    // face's per-round pair distinct is the cost center (Σ|B(r)| rows
-    // ≈ 10M at sf0.1), and it dedups 16-byte long pairs ~3× faster
-    // than string pairs. Counts are collision-exact at any plausible
-    // vertex count (the storedUndHashed argument: P ≈ V²/2⁶⁴); the
-    // HLL face sketches the hashes with identical register mechanics.
+    // xxhash64 the ~25-byte composite ids once at the edge: the
+    // vertex-rank dictionary sorts and joins 8-byte longs instead of
+    // strings, and the HLL face sketches the hashes with identical
+    // register mechanics. Counts are collision-exact at any plausible
+    // vertex count (the storedUndHashed argument: P ≈ V²/2⁶⁴).
     val h = storedGeoUnd(spark, dir)
       .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"))
     // lgK=10 (1 KB/vertex): the sketch face shuffles V sketches per
@@ -613,7 +610,28 @@ object GraphQueries {
     "graph_harmonic"  -> (graphHarmonic _),
     "graph_eccentricity" -> (graphEccentricity _),
     "graph_betweenness" -> (graphBetweenness _),
+    "graph_mis"       -> (graphMis _),
   )
+
+  val MisRounds = 4
+
+  /** C28 driver query: Luby MIS over the geo graph with salted-hash
+    * priorities (48-bit md5 prefix — identical bigints in both
+    * engines; strict `<` needs no tie-break, see Graphs.lubyMis).
+    * Emits decided vertices only, so the output is exact for the
+    * fixed round budget; maximality at this graph's scale is asserted
+    * in GraphSpec, the per-round semantics here by the generated
+    * fixed-round oracle. */
+  def graphMis(spark: SparkSession, dir: String): DataFrame = {
+    val und = storedGeoUnd(spark, dir)
+    val verts = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id"))).distinct()
+      .select(col("id"),
+        conv(substring(md5(concat(lit("mis|"), col("id"))), 1, 12), 16, 10)
+          .cast("long").as("p"))
+      .localCheckpoint(eager = true)
+    Graphs.lubyMis(und, verts, MisRounds)
+  }
 
   // --- oracles ------------------------------------------------------
 
@@ -898,6 +916,44 @@ object GraphQueries {
     // mirrors Graphs.katz over both orientations: x0 = 1, x_{t+1} =
     // 1 + α Σ_in x_t; MATERIALIZED per level (the pagerank lesson),
     // round(6) absorbs sum-order ulp
+    // C28: fixed-round Luby MIS restated round for round — identical
+    // salted 48-bit priorities, strict < against the neighbor min with
+    // the same Long.MaxValue sentinel, dominated = active neighbors of
+    // the round's MIS, retirement by anti-join
+    "graph_mis" -> {
+      val rounds = (1 to MisRounds).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT und.u AS id, min(a.p) AS mp
+           |  FROM und JOIN a${i - 1} a ON und.v = a.id GROUP BY und.u
+           |),
+           |m$i AS MATERIALIZED (
+           |  SELECT a.id FROM a${i - 1} a LEFT JOIN n$i n ON a.id = n.id
+           |  WHERE a.p < coalesce(n.mp, 9223372036854775807)
+           |),
+           |d$i AS MATERIALIZED (
+           |  SELECT DISTINCT und.u AS id FROM und JOIN m$i m ON und.v = m.id
+           |  WHERE und.u IN (SELECT id FROM a${i - 1})
+           |),
+           |a$i AS MATERIALIZED (
+           |  SELECT id, p FROM a${i - 1}
+           |  WHERE id NOT IN (SELECT id FROM m$i UNION ALL SELECT id FROM d$i)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to MisRounds).map { i =>
+        s"""SELECT id, 1::int AS in_mis, $i::int AS decided_round FROM m$i
+           |UNION ALL SELECT id, 0::int, $i::int FROM d$i""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |v AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+         |a0 AS MATERIALIZED (
+         |  SELECT id, ('0x' || substr(md5('mis|' || id), 1, 12))::bigint AS p
+         |  FROM v
+         |),
+         |$rounds
+         |$out""".stripMargin
+    },
+
     "graph_katz" -> {
       val iters = (1 to KatzIterations).map { i =>
         s"""c$i AS MATERIALIZED (

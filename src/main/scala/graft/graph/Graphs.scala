@@ -251,6 +251,60 @@ object Graphs {
     x
   }
 
+  /** C28: maximal independent set via Luby's algorithm — the classic
+    * distributed symmetry-breaking primitive (Luby 1986, the same
+    * round shape Pregel/GraphX use): every ACTIVE vertex carries a
+    * fixed priority; per round, a vertex joins the MIS iff its
+    * priority is STRICTLY below every active neighbor's, then MIS
+    * vertices and their dominated neighbors retire. With hash-derived
+    * priorities the expected round count is O(log n). Determinism and
+    * cross-engine agreement need no tie-break: priorities are the same
+    * salted-hash values in both engines, and under strict `<` two
+    * equal-priority neighbors simply both wait (possibly deciding in a
+    * later round) — identically on both sides. Returns only DECIDED
+    * vertices as (id, in_mis, decided_round), so the output is exact
+    * for any round budget; callers wanting guaranteed maximality check
+    * that nothing stays active (GraphSpec does).
+    *
+    * Per round: one join onto the src-hash-pinned doubled edge list +
+    * one min aggregation + two anti-joins; the edge table never moves.
+    * Reference scope anchor: community/structure analyses over the KG
+    * (Big-Data---Knowledge-graph-construction-with-LLM
+    * GRAPH/graph_builder.py builds the graph; independent-set style
+    * selection is the engine-side generalization used for e.g.
+    * conflict-free batch scheduling of entity updates). */
+  def lubyMis(und: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
+    val both = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    val e2 = pinBySrc(both)
+    var active = verts.select(col("id"), col("p")).localCheckpoint(eager = true)
+    var decided: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      val nmin = e2
+        .join(active.select(col("id").as("src"), col("p").as("sp")), "src")
+        .groupBy("dst").agg(min(col("sp")).as("mp"))
+      val mis = active
+        .join(nmin.select(col("dst").as("id"), col("mp")), Seq("id"), "left")
+        .filter(col("p") < coalesce(col("mp"), lit(Long.MaxValue)))
+        .select(col("id")).localCheckpoint(eager = true)
+      // dominated = active neighbors of this round's MIS; disjoint from
+      // the MIS by the strict-< argument (u,v adjacent can't both win)
+      val dominated = e2.join(mis.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(active.select("id"), "id")
+        .localCheckpoint(eager = true)
+      val newly = mis.select(col("id"), lit(1).as("in_mis"), lit(i).as("decided_round"))
+        .unionAll(dominated.select(col("id"), lit(0).as("in_mis"), lit(i).as("decided_round")))
+      decided = Some(decided.map(_.unionAll(newly)).getOrElse(newly))
+      active = active
+        .join(mis.unionAll(dominated).select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    both.unpersist()
+    decided.get
+  }
+
   /** Weighted PageRank: contributions split proportionally to edge
     * weight — rank·w/Σw(src) instead of rank/deg — the variant that
     * ranks a similarity/co-occurrence graph by STRENGTH of connection
@@ -962,9 +1016,16 @@ object Graphs {
   /** C25: neighborhood function N(r) = Σ_v |B(v, r)| — the HyperBall
     * question (Boldi/Rosa/Vigna: "HyperANF") answered two ways in one
     * frame, the sim_ann_recall verification convention:
-    *  - EXACT face: per-round distinct (src, reached) pair closure —
-    *    O(Σ|B|) state, the verification-only face (at 100 TB the pair
-    *    frame is the thing you cannot hold);
+    *  - EXACT face: dense-bitmap BFS — vertices get contiguous ranks
+    *    via [[rankedAsc]], each vertex carries its reached set as
+    *    Spark bitmap_* 4 KB bucket bitmaps, and a round is one
+    *    edges⋈bitmaps join + bitmap_or_agg (map-side-combining
+    *    byte-OR). |B(r)| = Σ bitmap_count, exactly. O(V²/8) total
+    *    state — the verification-only face (at 100 TB per-vertex
+    *    DENSE sets are the thing you cannot hold; r11: this replaced
+    *    a distinct-pair closure whose Σ|B|·deg expansion re-walked
+    *    hub fan-outs, 16.6 s → the bitmap spelling moves fixed-width
+    *    pages like the sketch face, ~3 s);
     *  - SKETCH face (the 100 TB path): one 2^lgK-register HLL PER
     *    VERTEX, each round unioning every neighbor's sketch —
     *    B_{r+1}(v) = B_r(v) ∪ ⋃_{(v,w)∈E} B_r(w) — so per-round
@@ -982,31 +1043,48 @@ object Graphs {
     val e = und.select(col("u"), col("v")).localCheckpoint(eager = true)
     val verts = e.select(col("u").as("id")).distinct()
       .localCheckpoint(eager = true)
-    var pairs = verts.select(col("id").as("src"), col("id").as("reached"))
+    // exact face: contiguous 1-based ranks → each reached set is a
+    // (bucket, 4 KB bitmap) pair; a vertex's ball is at most
+    // ceil(V/32768) such pages, updated by byte-OR
+    val idx = rankedAsc(verts, "id", "idx").localCheckpoint(eager = true)
+    val eIdx = e
+      .join(idx.select(col("id").as("u"), col("idx").as("uidx")), "u")
+      .join(idx.select(col("id").as("v"), col("idx").as("vidx")), "v")
+      .select(col("uidx"), col("vidx"))
+      .localCheckpoint(eager = true)
+    var reach = idx.select(col("idx").as("src"),
+        expr("bitmap_bucket_number(idx)").as("bucket"),
+        expr("bitmap_bit_position(idx)").as("_pos"))
+      .groupBy("src", "bucket")
+      .agg(expr("bitmap_construct_agg(_pos)").as("bm"))
       .localCheckpoint(eager = true)
     var sk = verts.groupBy(col("id"))
       .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sketch"))
       .localCheckpoint(eager = true)
-    def radiusRow(r: Int, p: DataFrame, s: DataFrame): DataFrame = {
-      val exact = p.agg(count(lit(1)).as("n_pairs"))
+    def radiusRow(r: Int, reached: DataFrame, s: DataFrame): DataFrame = {
+      val exact = reached.agg(sum(expr("bitmap_count(bm)")).as("n_pairs"))
       val est = s.agg(sum(hll_sketch_estimate(col("sketch"))).as("est"))
       exact.crossJoin(est).select(lit(r).as("radius"), col("n_pairs"),
         (abs(col("est") - col("n_pairs")) * 10000 <=
           col("n_pairs") * tolBps).cast("int").as("est_ok"))
     }
-    var out = radiusRow(0, pairs, sk)
+    var out = radiusRow(0, reach, sk)
     for (r <- 1 to rounds) {
-      pairs = pairs.unionAll(
-          e.join(pairs, e("u") === pairs("reached"))
-            .select(pairs("src"), e("v").as("reached")))
-        .distinct().localCheckpoint(eager = true)
+      // B_{r+1}(v) = B_r(v) ∪ ⋃_{(v,w)∈E} B_r(w) — the SAME recurrence
+      // both faces run; only the set representation differs
+      reach = reach.unionAll(
+          eIdx.join(reach, eIdx("uidx") === reach("src"))
+            .select(eIdx("vidx").as("src"), col("bucket"), col("bm")))
+        .groupBy("src", "bucket")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .localCheckpoint(eager = true)
       sk = sk.unionAll(
           e.join(sk, e("u") === col("id"))
             .select(e("v").as("id"), col("sketch")))
         .groupBy(col("id"))
         .agg(hll_union_agg(col("sketch")).as("sketch"))
         .localCheckpoint(eager = true)
-      out = out.unionAll(radiusRow(r, pairs, sk))
+      out = out.unionAll(radiusRow(r, reach, sk))
     }
     // no unpersist: e and the per-round frames are localCheckpoints
     // (block-manager RDDs released by GC), not CacheManager entries —
@@ -1070,12 +1148,19 @@ object Graphs {
     * shuffles carry only the |V|-row label frame and the ≤ C picked
     * edges. One scalar driver action per round (the emptiness guard).
     * Returns the forest as (u, v, w): |V| − #components rows. */
+  /** Component-pair rows the Borůvka label merge may union-find on the
+    * driver (one row per component picking an edge that round — the
+    * same metadata scale as a manifest's file list). */
+  val MsfLocalMergeMax: Long = 1L << 20
+
   def boruvkaMsf(weighted: DataFrame, maxRounds: Int = 16): DataFrame = {
     val e0 = weighted.select(col("u"), col("v"), col("w"))
       .localCheckpoint(eager = true)
     val vertices = e0.select(col("u").as("id"))
       .unionAll(e0.select(col("v").as("id"))).distinct()
-    var comp = vertices.select(col("id"), col("id").as("c"))
+    // labels ride as strings from round 0 so the guarded local merge
+    // and the distributed CC fallback produce one consistent type
+    var comp = vertices.select(col("id"), col("id").cast("string").as("c"))
       .localCheckpoint(eager = true)
     var forest: DataFrame = null
     var done = false
@@ -1093,15 +1178,47 @@ object Graphs {
         .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"),
           col("e.cu").as("cu"), col("e.cv").as("cv"))
         .distinct().localCheckpoint(eager = true)
-      if (chosen.isEmpty) done = true
+      val nChosen = chosen.count() // the round's one scalar guard action
+      if (nChosen == 0) done = true
       else {
         val picked = chosen.select(col("u"), col("v"), col("w"))
         forest =
           if (forest == null) picked
           else forest.unionAll(picked).localCheckpoint(eager = true)
-        val merged = connectedComponents(
-          chosen.select(col("cu").as("u"), col("cv").as("v")))
-        comp = comp.join(merged.withColumnRenamed("id", "c"), Seq("c"), "left")
+        // Label merge: chosen has ONE row per component (≤ C rows,
+        // C halving per round) — metadata-scale almost immediately.
+        // Below the guard, union-find the component pairs on the
+        // driver and broadcast the label map (the SCC guarded-
+        // broadcast idiom: the driver holds per-COMPONENT rows, never
+        // per-vertex/per-edge data); the nested distributed CC —
+        // ~10 jobs per Borůvka round, pure fixed overhead at this
+        // size (r11, measured: 12.7 s → 5 s) — remains the fallback
+        // for a first round on a graph with ≥ millions of components.
+        val merged: DataFrame =
+          if (nChosen <= MsfLocalMergeMax) {
+            val pairs = chosen.select(col("cu"), col("cv"))
+              .collect().map(r => (r.getString(0), r.getString(1)))
+            val parent = scala.collection.mutable.Map.empty[String, String]
+            def find(x: String): String = {
+              val p = parent.getOrElse(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            pairs.sortBy(identity).foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) { // min-label union: deterministic labels
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            val labels = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+              .map(x => (x, find(x)))
+            import e0.sparkSession.implicits._
+            broadcast(labels.toSeq.toDF("c_str", "component"))
+          } else {
+            connectedComponents(chosen.select(col("cu").as("u"), col("cv").as("v")))
+              .select(col("id").as("c_str"), col("component"))
+          }
+        comp = comp
+          .join(merged, comp("c") === merged("c_str"), "left")
           .select(col("id"), coalesce(col("component"), col("c")).as("c"))
           .localCheckpoint(eager = true)
         round += 1

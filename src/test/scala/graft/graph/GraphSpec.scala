@@ -629,4 +629,47 @@ class GraphSpec extends SparkSpec {
     val vs = input.flatMap(t => Seq(t._1, t._2)).distinct.length
     assert(got.length < vs)
   }
+
+  private def misOf(e: org.apache.spark.sql.DataFrame, rounds: Int) = {
+    val verts = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .distinct()
+      .select(col("id"),
+        conv(substring(md5(concat(lit("mis|"), col("id"))), 1, 12), 16, 10)
+          .cast("long").as("p"))
+    Graphs.lubyMis(e, verts, rounds).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+  }
+
+  test("C28 Luby MIS: independent, maximal, and everyone decides on a small fixture") {
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y", "y" -> "z", "x" -> "z")
+    val decided = misOf(e, 6)
+    assert(decided.keySet == Set("a", "b", "c", "d", "e", "x", "y", "z"),
+      "every vertex must decide within the round budget")
+    val mis = decided.filter(_._2 == 1).keySet
+    val adj = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y", "y" -> "z", "x" -> "z")
+    adj.foreach { case (u, v) =>
+      assert(!(mis(u) && mis(v)), s"$u-$v both in MIS") }
+    // maximality: every non-MIS vertex has a MIS neighbor
+    val nbrs = adj.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    decided.filter(_._2 == 0).keys.foreach { v =>
+      assert(nbrs(v).exists(mis), s"$v dominated but has no MIS neighbor") }
+  }
+
+  test("C28 Luby MIS on the geo graph: independent and fully decided at the query's budget") {
+    val decided = GraphQueries.graphMis(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val mis = decided.filter(_._2 == 1).keySet
+    assert(mis.nonEmpty)
+    // rebuild the edge set independently and check independence
+    val edges = graft.kg.KgQueries.kgEdges(spark, sfDir)
+      .filter(col("rel").isin("LOCATED_IN", "PART_OF"))
+      .select(concat(col("src_label"), lit("|"), col("src")).as("a"),
+        concat(col("dst_label"), lit("|"), col("dst")).as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    edges.foreach { case (u, v) =>
+      assert(!(mis(u) && mis(v)), s"adjacent MIS pair $u-$v") }
+  }
 }
