@@ -745,6 +745,80 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class SsEv(user_id: Long, ts: Timestamp)
+  final case class SessState(startMs: Long, lastMs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, closed_by: String)
+
+  /** I33: sessionization with EVENT-TIME TIMERS — the push half of the
+    * session operator family. I2's session_window closes a session
+    * only when later data for the SAME aggregation arrives; a
+    * timer-armed StatefulProcessor instead emits the moment the
+    * WATERMARK passes last-event + gap, whether or not the key ever
+    * speaks again — the "user went quiet, fire the abandoned-cart
+    * event" shape that windowed aggregation cannot express. Two close
+    * paths, mutually exclusive by construction: an in-batch event
+    * beyond the gap closes inline (and re-arms), and the timer closes
+    * quiet keys (each arm deletes the previous timer, so a session
+    * closes exactly once). State is one ValueState[SessState] per key
+    * — O(1), RocksDB-backed; timers are engine-managed per key, so at
+    * 100 TB the cost profile equals the session_window aggregation it
+    * parities (StreamingSpec pins closed sessions ≡ the batch
+    * gap-split sessionization). */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SsEv, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("session",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+    private def closed(user: Long, s: SessState, by: String) =
+      ClosedSession(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, by)
+    override def handleInputRows(user: Long, rows: Iterator[SsEv],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var cur = if (state.exists()) Some(state.get()) else None
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            out += closed(user, s, "gap"); Some(SessState(t, t, 1L))
+          case Some(s) =>
+            Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+          case None => Some(SessState(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(s.lastMs + gapMs)
+        state.update(s)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (state.exists()) {
+        val s = state.get()
+        // guard against a stale timer surviving a re-arm race: only the
+        // timer matching the CURRENT session end may close it
+        if (info.getExpiryTimeInMs >= s.lastMs + gapMs) {
+          state.clear(); Iterator.single(closed(user, s, "timeout"))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** I33 front door (RocksDB state store + a watermark on `ts`
+    * required — TimeMode.EventTime drives timer expiry off it). */
+  def sessionTimeoutStreaming(events: Dataset[SsEv], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** I4: checkpointed file-stream → parquet sink. Returns the running
     * query; callers own its lifecycle. */
   def fileStreamToParquet(spark: SparkSession, srcDir: String, schema: StructType,

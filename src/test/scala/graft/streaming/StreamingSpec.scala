@@ -1063,4 +1063,65 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("I33 event-time timers close quiet sessions; gap events close inline; parity with batch gap-split") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapMs = 10 * 60000L // 10 min
+    val mem = MemoryStream[Streaming.SsEv]
+    val q = Streaming.sessionTimeoutStreaming(mem.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sess_timer_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 at min 0 and 5 (one session); user 2 at min 2
+      mem.addData(Streaming.SsEv(1L, ts(0)), Streaming.SsEv(1L, ts(5)),
+        Streaming.SsEv(2L, ts(2)))
+      q.processAllAvailable()
+      // batch 2: user 1 again at min 40 — beyond the gap, so the FIRST
+      // session closes INLINE (closed_by = gap) regardless of watermark
+      mem.addData(Streaming.SsEv(1L, ts(40)))
+      q.processAllAvailable()
+      // the first session closes INLINE with the gap marker (the timer
+      // path may ALSO have closed other quiet keys already — a
+      // processAllAvailable drains the extra watermark-advance batch)
+      val afterGap = spark.table("sess_timer_out").as[Streaming.ClosedSession].collect()
+      assert(afterGap.map(c => (c.user_id, c.session_start, c.session_end, c.n_events, c.closed_by)).toSet
+        .contains((1L, ts(0), ts(5), 2L, "gap")))
+      // batches 3-4: watermark flushes (user 99) push event time past
+      // every live session's last + gap → TIMERS close users 2 and 1
+      mem.addData(Streaming.SsEv(99L, ts(120))); q.processAllAvailable()
+      mem.addData(Streaming.SsEv(99L, ts(121))); q.processAllAvailable()
+      mem.addData(Streaming.SsEv(99L, ts(200))); q.processAllAvailable()
+      mem.addData(Streaming.SsEv(99L, ts(201))); q.processAllAvailable()
+      val closed = spark.table("sess_timer_out").as[Streaming.ClosedSession].collect()
+        .filter(_.user_id != 99L)
+      assert(closed.map(c => (c.user_id, c.session_start, c.session_end, c.n_events)).toSet ==
+        Set((1L, ts(0), ts(5), 2L), (2L, ts(2), ts(2), 1L), (1L, ts(40), ts(40), 1L)))
+      assert(closed.filter(_.closed_by == "timeout").map(_.user_id).toSet == Set(1L, 2L))
+      // batch-face parity: gap-split sessionization over the same events
+      val batchDf = Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(2)), (1L, ts(40)))
+        .toDF("user_id", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val batch = batchDf
+        .withColumn("brk", when(col("ts").cast("long") * 1000 -
+          lag(col("ts").cast("long") * 1000, 1).over(w) > gapMs, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(closed.map(c => (c.user_id, c.session_start, c.session_end, c.n_events)).toSet == batch)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
