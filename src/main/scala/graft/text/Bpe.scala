@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G31: byte-pair-encoding merge-rule learning — the tokenizer-training
+  * step of an LLM data pipeline (Sennrich et al. 2016), Spark-first.
+  *
+  * The scale insight the original algorithm already contains: BPE
+  * never needs the corpus after pretokenization — it trains on the
+  * WORD-COUNT table. One distributed pass collapses a 100 TB corpus to
+  * vocabulary scale (millions of rows, not billions), and every merge
+  * round after that is an aggregation over distinct words weighted by
+  * their counts. Each round:
+  *   1. adjacent-pair counts: one arrays_zip explode + one sum keyed
+  *      on the symbol pair (map-side combined);
+  *   2. argmax pair by (count DESC, pair ASC) — a one-row driver
+  *      action, the same scalar-guard budget as the SCC loop;
+  *   3. greedy left-to-right merge applied to every word: posexplode +
+  *      per-word windows mark matches, split consecutive-match runs,
+  *      and merge at even offsets within each run (exactly the
+  *      non-overlapping leftmost-first semantics of the reference
+  *      implementation), then the word's symbol array is rebuilt with
+  *      one sort_array(collect_list(struct)). All codegen'd column
+  *      work — no higher-order-function lambdas, no UDFs.
+  *
+  * Determinism: counts are exact integers; ties in the argmax break on
+  * the pair itself; merges at a fixed round budget are therefore a
+  * pure function of the corpus. BpeSpec pins parity against an
+  * independent in-memory reference implementation (the MSF/Kruskal
+  * convention), and the driver query ships rows-only.
+  */
+object Bpe {
+
+  /** Learn `k` merge rules from whitespace-pretokenized text. Returns
+    * (rank, left, right, pair_count) — rank 1 is the first merge. */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(split(trim(col(textCol)), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("w"), col("n"),
+        array_remove(split(col("w"), ""), "").as("syms"))
+      .localCheckpoint(eager = true)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val multi = words.filter(size(col("syms")) >= 2)
+      val pair = explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p")
+      val counts = multi.select(col("n"), pair)
+        .select(col("n"), col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+        .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
+      // the round's one scalar action: the argmax merge rule
+      val best = counts.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        r += 1
+        merges += ((r, a, b, cnt))
+        // apply the merge greedily left-to-right in every word
+        val wn = Window.partitionBy("w").orderBy("pos")
+        val ex = words
+          .select(col("w"), col("n"), posexplode(col("syms")).as(Seq("pos", "s")))
+          .withColumn("m", (col("s") === a && lead(col("s"), 1).over(wn) === b).cast("int"))
+        // consecutive matched positions form runs (overlapping pairs,
+        // e.g. "aaa" under a+a); leftmost-first = merge at even offsets
+        val mrows = ex.filter(col("m") === 1)
+          .withColumn("runkey", col("pos") - row_number().over(wn))
+          .withColumn("merge_at",
+            ((col("pos") - min(col("pos")).over(
+              Window.partitionBy("w", "runkey"))) % 2 === 0).cast("int"))
+          .select(col("w").as("w2"), col("pos").as("mpos"), col("merge_at"))
+        val applied = ex
+          .join(mrows, col("w") === col("w2") && col("pos") === col("mpos"), "left")
+          .withColumn("prev_merged",
+            coalesce(lag(col("merge_at"), 1).over(wn), lit(0)))
+          .filter(col("prev_merged") === 0) // the absorbed right symbol drops
+          .withColumn("v",
+            when(col("merge_at") === 1, lit(a + b)).otherwise(col("s")))
+        words = applied
+          .groupBy("w", "n")
+          .agg(expr("sort_array(collect_list(struct(pos, v)))").as("arr"))
+          .select(col("w"), col("n"), col("arr.v").as("syms"))
+          .localCheckpoint(eager = true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+}

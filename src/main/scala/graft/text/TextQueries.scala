@@ -1068,6 +1068,11 @@ object TextQueries {
     "text_bm25"         -> (textBm25 _),
     "text_bm25_indexed" -> (textBm25Indexed _),
     "text_wsample"      -> (textWsample _),
+    // G31: BPE merge learning — iterative greedy merges are not
+    // SQL-expressible; rows-only here, semantics pinned by BpeSpec's
+    // reference-implementation parity (the graph_msf convention)
+    "text_bpe"          -> ((s: SparkSession, dir: String) =>
+      Bpe.learnMerges(Tables.documents(s, dir), "text", 8)),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),

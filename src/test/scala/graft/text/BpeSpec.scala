@@ -1,0 +1,79 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.annotation.tailrec
+
+/** G31: the distributed BPE learner must reproduce the reference
+  * greedy merge semantics exactly — pinned against an independent
+  * in-memory implementation (the MSF/Kruskal parity convention), on a
+  * hand-checkable fixture AND the real sf corpus. */
+class BpeSpec extends SparkSpec {
+
+  private def mergeGreedy(syms: List[String], a: String, b: String): List[String] = {
+    @tailrec def loop(rest: List[String], acc: List[String]): List[String] = rest match {
+      case x :: y :: t if x == a && y == b => loop(t, (a + b) :: acc)
+      case x :: t => loop(t, x :: acc)
+      case Nil => acc.reverse
+    }
+    loop(syms, Nil)
+  }
+
+  /** Independent reference: word-count BPE, leftmost-first merges. */
+  private def refBpe(wordCounts: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+    var ws: Map[String, (List[String], Long)] =
+      wordCounts.map { case (w, n) => w -> ((w.map(_.toString).toList, n)) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      ws.values.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) += n) }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        r += 1
+        out += ((r, a, b, cnt))
+        ws = ws.map { case (w, (syms, n)) => w -> ((mergeGreedy(syms, a, b), n)) }
+      }
+    }
+    out.toSeq
+  }
+
+  private def learned(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String, Long)] =
+    df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("G31 classic low/lower/lowest fixture: merges match the reference rule for rule") {
+    import spark.implicits._
+    val docs = Seq(
+      "low low low low low", "lower lower", "lowest lowest lowest",
+      "newer newer newer newer newer newer", "wider wider wider").toDF("text")
+    val got = learned(Bpe.learnMerges(docs, "text", 6))
+    val wc = Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 3L, "newer" -> 6L, "wider" -> 3L).toMap
+    val want = refBpe(wc, 6)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // the er-heavy corpus must learn e+r first (count 11)
+    assert(got.head._2 == "e" && got.head._3 == "r" && got.head._4 == 11L)
+  }
+
+  test("G31 overlapping pairs merge leftmost-first (aaa under a+a)") {
+    import spark.implicits._
+    val docs = Seq("aaa aaa aaa aaa", "ab ab").toDF("text")
+    val got = learned(Bpe.learnMerges(docs, "text", 2))
+    val want = refBpe(Map("aaa" -> 4L, "ab" -> 2L), 2)
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
+  test("G31 parity with the reference on the real sf corpus") {
+    val docs = graft.Tables.documents(spark, sfDir).select("text")
+    val got = learned(Bpe.learnMerges(docs, "text", 5))
+    val wc = docs.collect().iterator
+      .flatMap(_.getString(0).trim.split(" +")).filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long].withDefaultValue(0L)) {
+        (m, w) => m.updated(w, m(w) + 1L) }
+    val want = refBpe(wc, 5)
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+}
