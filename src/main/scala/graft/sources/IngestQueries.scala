@@ -341,9 +341,34 @@ object IngestQueries {
   }
   private val dppPaths = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** K27 as a driver query: keyed semantic diff between two snapshot
+    * versions of an orders table whose v0→v1 delta is generated BY
+    * FORMULA — v0 drops okey%5=4, v1 drops okey%7=1 and bumps price
+    * by 100 cents on okey%3=0 — so inserts/deletes/updates are each
+    * derivable without the store, which is exactly what the oracle
+    * restates. Exact integer cents (diff equality must be bit-free). */
+  def ingSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, SnapshotStore}
+    val key = GraftStore.dirKey(dir)
+    val name = s"ord_diff_$key"
+    snapCommitted.getOrElseUpdate(name, {
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      SnapshotStore.commitOverwrite(name, o.filter(col("o_orderkey") % 5 =!= 4))
+      SnapshotStore.commitOverwrite(name,
+        o.filter(col("o_orderkey") % 7 =!= 1)
+          .withColumn("price_c", col("price_c") +
+            when(col("o_orderkey") % 3 === 0, 100L).otherwise(0L)))
+      true
+    })
+    SnapshotStore.diff(spark, name, 0L, 1L, Seq("o_orderkey"))
+  }
+
   def warmStores(spark: SparkSession, dir: String): Unit = {
     ingZonemap(spark, dir); ingSnapshotIndex(spark, dir); ingMvInc(spark, dir)
-    dppLayout(spark, dir); ()
+    dppLayout(spark, dir); ingSnapshotDiff(spark, dir); ()
   }
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -364,6 +389,7 @@ object IngestQueries {
     "ing_snapshot_index" -> (ingSnapshotIndex _),
     "ing_mv_inc" -> (ingMvInc _),
     "ing_dpp" -> (ingDpp _),
+    "ing_snapshot_diff" -> (ingSnapshotDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -453,6 +479,27 @@ object IngestQueries {
         |SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN m ON strftime(l_shipdate, '%Y-%m') = m.ship_month
         |GROUP BY 1""".stripMargin,
+    // mirrors ingSnapshotDiff's generating formula: v0 = keep %5≠4,
+    // v1 = keep %7≠1 with +100 cents on %3=0; insert/delete/update
+    // membership and images all derive from the moduli
+    "ing_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, round(o_totalprice * 100)::bigint AS price_c,
+        |    o_orderstatus, o_orderpriority,
+        |    round(o_totalprice * 100)::bigint
+        |      + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS new_price
+        |  FROM orders
+        |)
+        |SELECT 'insert' AS op, o_orderkey, new_price AS price_c,
+        |  o_orderstatus, o_orderpriority
+        |FROM o WHERE o_orderkey % 5 = 4 AND o_orderkey % 7 <> 1
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, price_c, o_orderstatus, o_orderpriority
+        |FROM o WHERE o_orderkey % 7 = 1 AND o_orderkey % 5 <> 4
+        |UNION ALL
+        |SELECT 'update', o_orderkey, new_price, o_orderstatus, o_orderpriority
+        |FROM o WHERE o_orderkey % 5 <> 4 AND o_orderkey % 7 <> 1
+        |  AND o_orderkey % 3 = 0""".stripMargin,
     "ing_mv_inc" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  sum(round(l_quantity * 100)::bigint)::bigint AS sum_qty_c,

@@ -163,6 +163,42 @@ object SnapshotStore {
     commitOverwrite(name, survivors.unionAll(upserts))
   }
 
+  /** K27: keyed semantic diff between two snapshot versions — "what
+    * changed between corpus snapshot v1 and v2" as data, the audit/
+    * lineage query every versioned store grows (Delta's table_changes
+    * shape, computed from the snapshots themselves so it works even
+    * for versions committed without CDC). Returns one row per changed
+    * key with `op` ∈ insert | delete | update, the v2 image for
+    * insert/update and the v1 image for delete. Implementation is a
+    * single full-outer join on the key columns with null-safe
+    * comparison over the non-key columns (one shuffle each side,
+    * keyed on the diff key — no all-pairs, no driver data). At scale
+    * the join reads prune to each version's manifest files; with
+    * range-clustered commits the K23 index narrows it further. */
+  def diff(spark: SparkSession, name: String, v1: Long, v2: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, name, Some(v1))
+    val b = read(spark, name, Some(v2))
+    require(a.columns.sameElements(b.columns),
+      s"schema changed between v$v1 and v$v2 — diff needs matching columns")
+    val valCols = a.columns.filterNot(keyCols.contains)
+    val aPref = a.select(a.columns.map(c => col(c).as(s"a_$c")): _*)
+    val bPref = b.select(b.columns.map(c => col(c).as(s"b_$c")): _*)
+    val cond = keyCols.map(k => aPref(s"a_$k") === bPref(s"b_$k")).reduce(_ && _)
+    val joined = aPref.join(bPref, cond, "full_outer")
+    val inA = keyCols.map(k => col(s"a_$k").isNotNull).reduce(_ && _)
+    val inB = keyCols.map(k => col(s"b_$k").isNotNull).reduce(_ && _)
+    val changed = valCols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(!inA, "insert").when(!inB, "delete")
+      .when(changed, "update")
+    val img = (c: String) => when(col("op") === "delete", col(s"a_$c"))
+      .otherwise(col(s"b_$c")).as(c)
+    joined.withColumn("op", op).filter(col("op").isNotNull)
+      .select(col("op") +: a.columns.toIndexedSeq.map(img): _*)
+  }
+
   /** Retention GC (the VACUUM half every snapshot format stages
     * separately from commits): keep only the newest `keep` versions'
     * manifests, then delete every data file no surviving manifest

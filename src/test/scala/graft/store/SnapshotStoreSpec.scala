@@ -39,6 +39,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows("t3") == Set((1L, "a"), (2L, "b")))
   }
 
+  test("K27 keyed diff classifies insert/delete/update and skips unchanged") {
+    import spark.implicits._
+    SnapshotStore.commitOverwrite("tdiff",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v"))
+    SnapshotStore.commitOverwrite("tdiff",
+      Seq((1L, "a", 10L), (2L, "b", 99L), (4L, "d", 40L)).toDF("k", "s", "v"))
+    val d = SnapshotStore.diff(spark, "tdiff", 0L, 1L, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(d == Set(
+      ("update", 2L, "b", 99L),   // v2 image
+      ("delete", 3L, "c", 30L),   // v1 image
+      ("insert", 4L, "d", 40L)))  // key 1 unchanged → absent
+  }
+
   test("K20 unknown table / version fail loudly") {
     import spark.implicits._
     intercept[IllegalArgumentException] { SnapshotStore.read(spark, "nope") }
