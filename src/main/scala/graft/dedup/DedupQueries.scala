@@ -192,6 +192,43 @@ object DedupQueries {
           .cast("int").as("est_ok"))
   }
 
+  /** E12: LSH banding-parameter tuner — for a fixed signature budget
+    * K = b·r, which (bands, rows) splits the S-curve
+    * P(candidate | s) = 1 − (1 − s^r)^b best around the target
+    * similarity threshold? Expected error is the grid integral of
+    * P below the threshold plus (1 − P) above it — the standard
+    * Broder/MMDS design calculation, computed IN-PLAN so pipeline
+    * configs can be derived next to the data they tune for.
+    * Cross-engine determinism: powers are spelled as explicit
+    * multiplication chains (1.0·s·s·…, left-assoc — identical IEEE
+    * in both engines; pow() would ride each libm's own curve), and
+    * each grid term rounds to integer MICRO-units before the sum, so
+    * the per-combo error is an order-free exact integer. */
+  val LshTuneCombos: Seq[(Int, Int)] =
+    Seq((64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64))
+  val LshTuneThreshold = 0.7
+
+  def dedupLshTune(spark: SparkSession, dir: String): DataFrame = {
+    val grid = spark.range(0, 101).select((col("id") / 100.0).as("s"))
+    val perCombo = LshTuneCombos.map { case (b, r) =>
+      val sr = (1 to r).foldLeft(lit(1.0))((acc, _) => acc * col("s"))
+      val om = lit(1.0) - sr
+      val pNot = (1 to b).foldLeft(lit(1.0))((acc, _) => acc * om)
+      val p = lit(1.0) - pNot
+      val term = when(col("s") < LshTuneThreshold, p).otherwise(lit(1.0) - p)
+      grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        round(term * 1e6).cast("long").as("term_micro"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("err_micro"), col("bands"))
+    perCombo.reduce(_ unionAll _)
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(col("term_micro")).as("err_micro"))
+      // 6-row final ranking: the no-partition window runs over the
+      // combo list only, never data (the text_bm25 top-k convention)
+      .withColumn("rnk", row_number().over(w))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dedup_source_overlap"  -> (dedupSourceOverlap _),
     "dedup_exact"           -> (dedupExact _),
@@ -207,6 +244,7 @@ object DedupQueries {
     "dedup_best_survivor"   -> (dedupBestSurvivor _),
     "dedup_substring"       -> (dedupSubstring _),
     "dedup_incremental"     -> (dedupIncremental _),
+    "dedup_lsh_tune"        -> (dedupLshTune _),
   )
 
   val SubstrW = 30
@@ -305,6 +343,28 @@ object DedupQueries {
        |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors dedupLshTune: same combos, same left-assoc 1.0·s·…
+    // multiplication chains, same per-term micro-rounding before the
+    // (order-free integer) sum, same (err, bands) rank order
+    "dedup_lsh_tune" -> {
+      val t = LshTuneThreshold
+      val branches = LshTuneCombos.map { case (b, r) =>
+        val sr = "1.0" + ("*s" * r)
+        val om = s"(1.0 - ($sr))"
+        val pNot = "1.0" + (s"*$om" * b)
+        val p = s"(1.0 - ($pNot))"
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  round((CASE WHEN s < $t THEN $p ELSE 1.0 - $p END) * 1e6)::bigint AS term_micro
+           |FROM grid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH grid AS (SELECT unnest(range(0, 101)) / 100.0 AS s),
+         |terms AS (
+         |$branches
+         |)
+         |SELECT bands, rows_per_band, sum(term_micro)::bigint AS err_micro,
+         |  row_number() OVER (ORDER BY sum(term_micro), bands) AS rnk
+         |FROM terms GROUP BY 1, 2""".stripMargin
+    },
     // same md5 window keys, same duplicated-hash cut, same
     // gaps-and-islands merge (p - row_number), generated from the
     // shared W/flag constants
