@@ -37,13 +37,7 @@ object Bpe {
     * (rank, left, right, pair_count) — rank 1 is the first merge. */
   def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
-    var words = docs
-      .select(explode(split(trim(col(textCol)), " +")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("w"), col("n"),
-        array_remove(split(col("w"), ""), "").as("syms"))
-      .localCheckpoint(eager = true)
+    var words = pretokenize(docs, textCol).localCheckpoint(eager = true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
@@ -63,34 +57,74 @@ object Bpe {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         r += 1
         merges += ((r, a, b, cnt))
-        // apply the merge greedily left-to-right in every word
-        val wn = Window.partitionBy("w").orderBy("pos")
-        val ex = words
-          .select(col("w"), col("n"), posexplode(col("syms")).as(Seq("pos", "s")))
-          .withColumn("m", (col("s") === a && lead(col("s"), 1).over(wn) === b).cast("int"))
-        // consecutive matched positions form runs (overlapping pairs,
-        // e.g. "aaa" under a+a); leftmost-first = merge at even offsets
-        val mrows = ex.filter(col("m") === 1)
-          .withColumn("runkey", col("pos") - row_number().over(wn))
-          .withColumn("merge_at",
-            ((col("pos") - min(col("pos")).over(
-              Window.partitionBy("w", "runkey"))) % 2 === 0).cast("int"))
-          .select(col("w").as("w2"), col("pos").as("mpos"), col("merge_at"))
-        val applied = ex
-          .join(mrows, col("w") === col("w2") && col("pos") === col("mpos"), "left")
-          .withColumn("prev_merged",
-            coalesce(lag(col("merge_at"), 1).over(wn), lit(0)))
-          .filter(col("prev_merged") === 0) // the absorbed right symbol drops
-          .withColumn("v",
-            when(col("merge_at") === 1, lit(a + b)).otherwise(col("s")))
-        words = applied
-          .groupBy("w", "n")
-          .agg(expr("sort_array(collect_list(struct(pos, v)))").as("arr"))
-          .select(col("w"), col("n"), col("arr.v").as("syms"))
-          .localCheckpoint(eager = true)
+        words = applyMerge(words, a, b).localCheckpoint(eager = true)
       }
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Whitespace pretokenization to the word-count table with each
+    * word's symbol array — the frame every BPE phase trains on. */
+  def pretokenize(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(split(trim(col(textCol)), " +")).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy("w").agg(count(lit(1)).as("n"))
+    .select(col("w"), col("n"),
+      array_remove(split(col("w"), ""), "").as("syms"))
+
+  /** One greedy leftmost-first merge of (a,b) applied to every word of
+    * a (w, n, syms) frame — the shared kernel of learn (argmax'd
+    * rules) and encode (given rules). */
+  def applyMerge(words: DataFrame, a: String, b: String): DataFrame = {
+    val wn = Window.partitionBy("w").orderBy("pos")
+    val ex = words
+      .select(col("w"), col("n"), posexplode(col("syms")).as(Seq("pos", "s")))
+      .withColumn("m", (col("s") === a && lead(col("s"), 1).over(wn) === b).cast("int"))
+    // consecutive matched positions form runs (overlapping pairs,
+    // e.g. "aaa" under a+a); leftmost-first = merge at even offsets
+    val mrows = ex.filter(col("m") === 1)
+      .withColumn("runkey", col("pos") - row_number().over(wn))
+      .withColumn("merge_at",
+        ((col("pos") - min(col("pos")).over(
+          Window.partitionBy("w", "runkey"))) % 2 === 0).cast("int"))
+      .select(col("w").as("w2"), col("pos").as("mpos"), col("merge_at"))
+    ex.join(mrows, col("w") === col("w2") && col("pos") === col("mpos"), "left")
+      .withColumn("prev_merged",
+        coalesce(lag(col("merge_at"), 1).over(wn), lit(0)))
+      .filter(col("prev_merged") === 0) // the absorbed right symbol drops
+      .withColumn("v",
+        when(col("merge_at") === 1, lit(a + b)).otherwise(col("s")))
+      .groupBy("w", "n")
+      .agg(expr("sort_array(collect_list(struct(pos, v)))").as("arr"))
+      .select(col("w"), col("n"), col("arr.v").as("syms"))
+  }
+
+  /** G32: the ENCODE half — segment every distinct word under the
+    * ranked merge rules. The corpus never re-tokenizes: encoding is a
+    * fold of k merges over the VOCABULARY-scale word table, and any
+    * downstream corpus pass is a word→pieces dictionary join. Returns
+    * (w, n, pieces). */
+  def wordPieces(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    var words = pretokenize(docs, textCol).localCheckpoint(eager = true)
+    merges.foreach { case (a, b) =>
+      words = applyMerge(words, a, b).localCheckpoint(eager = true) }
+    words.select(col("w"), col("n"), col("syms").as("pieces"))
+  }
+
+  /** G32 driver face: learn k merges, encode the vocabulary, and
+    * report the corpus's top piece frequencies — the "what does the
+    * learned vocab actually look like" QA query. */
+  def topPieces(docs: DataFrame, textCol: String, k: Int, topK: Int): DataFrame = {
+    val learned = learnMerges(docs, textCol, k).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val pieces = wordPieces(docs, textCol, learned)
+    val w = Window.orderBy(col("n_tokens").desc, col("piece"))
+    pieces.select(col("n"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("piece")).limit(topK)
+      // topK-row final ranking only (the text_bm25 convention)
+      .withColumn("rnk", row_number().over(w))
   }
 }

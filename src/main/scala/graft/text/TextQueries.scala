@@ -1073,6 +1073,9 @@ object TextQueries {
     // reference-implementation parity (the graph_msf convention)
     "text_bpe"          -> ((s: SparkSession, dir: String) =>
       Bpe.learnMerges(Tables.documents(s, dir), "text", 8)),
+    // G32: encode face — rows-only like text_bpe, BpeSpec-pinned
+    "text_bpe_encode"   -> ((s: SparkSession, dir: String) =>
+      Bpe.topPieces(Tables.documents(s, dir), "text", 8, 30)),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),

@@ -66,6 +66,43 @@ class BpeSpec extends SparkSpec {
     assert(got == want, s"\ngot  $got\nwant $want")
   }
 
+  test("G32 encode segments words exactly like the reference merge fold") {
+    import spark.implicits._
+    val docs = Seq(
+      "low low low low low", "lower lower", "lowest lowest lowest",
+      "newer newer newer newer newer newer", "wider wider wider").toDF("text")
+    val wc = Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 3L, "newer" -> 6L, "wider" -> 3L).toMap
+    val rules = refBpe(wc, 6).map(m => (m._2, m._3))
+    val got = Bpe.wordPieces(docs, "text", rules).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    val want = wc.keys.map { w =>
+      w -> rules.foldLeft(w.map(_.toString).toList) {
+        case (syms, (a, b)) => mergeGreedy(syms, a, b) }
+    }.toMap
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // segmentation is a partition of each word
+    got.foreach { case (w, ps) => assert(ps.mkString == w) }
+  }
+
+  test("G32 top pieces are the reference piece frequencies, ranked") {
+    import spark.implicits._
+    val docs = Seq("low low lower newer newer newest").toDF("text")
+    val wc = Map("low" -> 2L, "lower" -> 1L, "newer" -> 2L, "newest" -> 1L)
+    val k = 4
+    val got = Bpe.topPieces(docs, "text", k, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList
+    val rules = refBpe(wc, k).map(m => (m._2, m._3))
+    val freqs = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wc.foreach { case (w, n) =>
+      rules.foldLeft(w.map(_.toString).toList) {
+        case (syms, (a, b)) => mergeGreedy(syms, a, b)
+      }.foreach(p => freqs(p) += n)
+    }
+    val want = freqs.toList.sortBy { case (p, n) => (-n, p) }.take(10)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1) }
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
   test("G31 parity with the reference on the real sf corpus") {
     val docs = graft.Tables.documents(spark, sfDir).select("text")
     val got = learned(Bpe.learnMerges(docs, "text", 5))
