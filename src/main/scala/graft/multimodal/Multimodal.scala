@@ -1815,6 +1815,46 @@ object Multimodal {
       .select("doc_id", "valid_pdf", "pdf_version", "n_objs", "startxref")
   }
 
+  /** H25: SVG dimension scan — the vector-image sibling of the PDF
+    * pass: SVG is XML text, and corpus triage wants width/height (or
+    * the viewBox fallback when explicit dims are absent — the common
+    * real-world case) without an XML parser in the hot path. Regex +
+    * string ops, codegen'd, zero shuffle. */
+  def withSvgDims(df: DataFrame, strCol: String): DataFrame = {
+    val s = col(strCol)
+    val valid = s.contains("<svg").cast("int")
+    def ifv(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    def num(re: String) = {
+      val m = regexp_extract(s, re, 1)
+      when(m =!= "", m.cast("int"))
+    }
+    df.withColumn("valid_svg", valid)
+      .withColumn("width", ifv(num("width=\"(\\d+)\"")))
+      .withColumn("height", ifv(num("height=\"(\\d+)\"")))
+      .withColumn("vb_w", ifv(num("viewBox=\"\\d+ \\d+ (\\d+) \\d+\"")))
+      .withColumn("vb_h", ifv(num("viewBox=\"\\d+ \\d+ \\d+ (\\d+)\"")))
+  }
+
+  /** H25 driver query: synthesize an SVG per asset — explicit dims on
+    * even docs, viewBox-only on odd (the parser must fall through),
+    * corrupt on every 11th; formula oracle. */
+  def mmSvgDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 11 === 0
+    val w = (col("n_chars") % 1200 + 1).cast("int")
+    val h = (col("doc_id") % 800 + 1).cast("int")
+    val explicitDims = col("doc_id") % 2 === 0
+    val svg = concat(lit("<svg xmlns=\"http://www.w3.org/2000/svg\""),
+      when(explicitDims,
+        concat(lit(" width=\""), w, lit("\" height=\""), h, lit("\""))).otherwise(lit("")),
+      lit(" viewBox=\"0 0 "), w, lit(" "), h, lit("\"><rect/></svg>"))
+    val payload = when(corrupt, lit("<xml>not a vector</xml>")).otherwise(svg)
+    withSvgDims(d.select(col("doc_id"), payload.as("_s")), "_s")
+      .select(col("doc_id"), col("valid_svg"), col("width"), col("height"),
+        coalesce(col("width"), col("vb_w")).as("eff_w"),
+        coalesce(col("height"), col("vb_h")).as("eff_h"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -1840,6 +1880,7 @@ object Multimodal {
     "mm_gzip_meta" -> (mmGzipMeta _),
     "mm_midi_meta" -> (mmMidiMeta _),
     "mm_pdf_info"  -> (mmPdfInfo _),
+    "mm_svg_dims"  -> (mmSvgDims _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1854,6 +1895,20 @@ object Multimodal {
         |       WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::int AS smpte,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE (n_chars % 960 + 24)::int END AS division,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE (n_chars % 4096)::bigint END AS first_track_len
+        |FROM documents""".stripMargin,
+    // mirrors mmSvgDims: width/height only on even docs, viewBox
+    // fallback on odd, corrupt on every 11th
+    "mm_svg_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS valid_svg,
+        |  CASE WHEN doc_id % 11 = 0 OR doc_id % 2 <> 0 THEN NULL
+        |       ELSE (n_chars % 1200 + 1)::int END AS width,
+        |  CASE WHEN doc_id % 11 = 0 OR doc_id % 2 <> 0 THEN NULL
+        |       ELSE (doc_id % 800 + 1)::int END AS height,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE (n_chars % 1200 + 1)::int END AS eff_w,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE (doc_id % 800 + 1)::int END AS eff_h
         |FROM documents""".stripMargin,
     // mirrors mmPdfInfo: corrupt header on every 9th (all fields null)
     "mm_pdf_info" ->

@@ -54,6 +54,22 @@ object IngestQueries {
       c => org.apache.spark.sql.functions.col(c)): _*)
   }
 
+  /** A14 as a driver query: nation through the fixed-width wire format
+    * and back — the copybook layout (left-justified strings,
+    * right-justified numerics) is the writer's contract and the
+    * reader re-slices it by (start, len), so the oracle is the
+    * round-trip identity like ing_csv/ing_orc. */
+  def ingFixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val layout = Seq(
+      ("n_nationkey", 1, 6, "int"),
+      ("n_name", 7, 16, "string"),
+      ("n_regionkey", 23, 6, "int"))
+    val path = tmp("nation_fixed")
+    Sources.writeFixedWidth(nation, path, layout)
+    Sources.fixedWidth(spark, path, layout)
+  }
+
   def ingBatches(spark: SparkSession, dir: String): DataFrame =
     Sources.jsonBatches(
       Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars"),
@@ -390,6 +406,7 @@ object IngestQueries {
     "ing_mv_inc" -> (ingMvInc _),
     "ing_dpp" -> (ingDpp _),
     "ing_snapshot_diff" -> (ingSnapshotDiff _),
+    "ing_fixed_width" -> (ingFixedWidth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -429,6 +446,7 @@ object IngestQueries {
         |FROM l""".stripMargin,
 
     "ing_csv"  -> "SELECT * FROM nation",
+    "ing_fixed_width" -> "SELECT * FROM nation",
     "ing_tsv"  -> "SELECT * FROM supplier",
     "ing_json" -> "SELECT * FROM region",
     "ing_xml"  -> "SELECT * FROM region",

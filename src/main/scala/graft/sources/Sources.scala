@@ -64,6 +64,37 @@ object Sources {
     * key-derived id is stable across partitionings and re-runs; the
     * only shuffle is the groupBy(batch_id), and records order inside a
     * batch is pinned by array_sort on the key. */
+  /** A14: fixed-width record reader — the mainframe/COBOL-copybook
+    * wire format (and the one classic ingestion shape a delimiter
+    * reader cannot express). A layout is (name, start 1-based, len,
+    * ddl-type); each field is a substring slice, trimmed and cast —
+    * all codegen'd projections over spark.read.text, so the scan
+    * parallelizes by line splits like any text source. Casts run
+    * try_cast-style (null on mismatch) so a bad record degrades to
+    * nulls instead of failing the scan — the A11/A12 tolerance
+    * convention. */
+  def fixedWidth(spark: SparkSession, path: String,
+      layout: Seq[(String, Int, Int, String)]): DataFrame = {
+    val lines = spark.read.text(path)
+    lines.select(layout.map { case (name, start, len, ddl) =>
+      val raw = trim(substring(col("value"), start, len))
+      (if (ddl.equalsIgnoreCase("string")) raw else raw.try_cast(ddl)).as(name)
+    }: _*)
+  }
+
+  /** Fixed-width writer for round-trips: left-justify strings,
+    * right-justify numerics in their slots (the copybook convention),
+    * concatenated in layout order. */
+  def writeFixedWidth(df: DataFrame, path: String,
+      layout: Seq[(String, Int, Int, String)]): Unit = {
+    val line = concat(layout.map { case (name, _, len, ddl) =>
+      if (ddl.equalsIgnoreCase("string"))
+        rpad(coalesce(col(name).cast("string"), lit("")), len, " ")
+      else lpad(coalesce(col(name).cast("string"), lit("")), len, " ")
+    }: _*)
+    df.select(line.as("value")).write.mode("overwrite").text(path)
+  }
+
   def jsonBatches(df: DataFrame, keyCol: String, batchSize: Int): DataFrame = {
     val rec = to_json(struct(df.columns.map(col): _*))
     df.select(

@@ -113,12 +113,25 @@ object Bpe {
     words.select(col("w"), col("n"), col("syms").as("pieces"))
   }
 
-  /** G32 driver face: learn k merges, encode the vocabulary, and
-    * report the corpus's top piece frequencies — the "what does the
-    * learned vocab actually look like" QA query. */
-  def topPieces(docs: DataFrame, textCol: String, k: Int, topK: Int): DataFrame = {
-    val learned = learnMerges(docs, textCol, k).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+  /** Learned merge rules memoized per (session, key) — the encode face
+    * must not re-train (write-once/query-many, the store convention:
+    * rules are the tokenizer artifact, learned once per corpus). */
+  private val ruleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Seq[(String, String)]]
+  def cachedMerges(docs: DataFrame, textCol: String, k: Int, key: String): Seq[(String, String)] =
+    ruleCache.getOrElseUpdate((docs.sparkSession, key, k),
+      learnMerges(docs, textCol, k).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** G32 driver face: encode the vocabulary under the (memoized)
+    * learned rules and report the corpus's top piece frequencies —
+    * the "what does the learned vocab actually look like" QA query. */
+  def topPieces(docs: DataFrame, textCol: String, k: Int, topK: Int,
+      cacheKey: String = ""): DataFrame = {
+    val learned =
+      if (cacheKey.nonEmpty) cachedMerges(docs, textCol, k, cacheKey)
+      else learnMerges(docs, textCol, k).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
     val pieces = wordPieces(docs, textCol, learned)
     val w = Window.orderBy(col("n_tokens").desc, col("piece"))
     pieces.select(col("n"), explode(col("pieces")).as("piece"))
