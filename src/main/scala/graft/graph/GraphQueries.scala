@@ -611,6 +611,7 @@ object GraphQueries {
     "graph_eccentricity" -> (graphEccentricity _),
     "graph_betweenness" -> (graphBetweenness _),
     "graph_mis"       -> (graphMis _),
+    "graph_matching"  -> (graphMatching _),
   )
 
   val MisRounds = 4
@@ -631,6 +632,21 @@ object GraphQueries {
           .cast("long").as("p"))
       .localCheckpoint(eager = true)
     Graphs.lubyMis(und, verts, MisRounds)
+  }
+
+  val MatchRounds = 6
+
+  /** C29 driver query: Luby maximal matching over the geo graph. The
+    * unique priority key is hash-prefix ++ canonical pair, so the
+    * local-minimum rule has no tie cases (see Graphs.maximalMatching);
+    * the oracle restates the rounds verbatim. */
+  def graphMatching(spark: SparkSession, dir: String): DataFrame = {
+    val und = storedGeoUnd(spark, dir)
+    val pkey = concat(
+      substring(md5(concat(lit("match|"), col("u"), lit("|"), col("v"))), 1, 12),
+      lit("|"), col("u"), lit("|"), col("v"))
+    Graphs.maximalMatching(und.select(col("u"), col("v"), pkey.as("pkey")),
+      MatchRounds)
   }
 
   // --- oracles ------------------------------------------------------
@@ -916,6 +932,46 @@ object GraphQueries {
     // mirrors Graphs.katz over both orientations: x0 = 1, x_{t+1} =
     // 1 + α Σ_in x_t; MATERIALIZED per level (the pagerank lesson),
     // round(6) absorbs sum-order ulp
+    // C29: fixed-round Luby matching restated round for round — same
+    // unique string priority keys (hash prefix ++ canonical pair), so
+    // the strict local-minimum rule has no tie cases in either engine
+    "graph_matching" -> {
+      val rounds = (1 to MatchRounds).map { i =>
+        s"""vm$i AS MATERIALIZED (
+           |  SELECT x, min(pkey) AS mk FROM (
+           |    SELECT u AS x, pkey FROM a${i - 1}
+           |    UNION ALL SELECT v, pkey FROM a${i - 1}) GROUP BY x
+           |),
+           |m$i AS MATERIALIZED (
+           |  SELECT a.u, a.v FROM a${i - 1} a
+           |  JOIN vm$i mu ON a.u = mu.x
+           |  JOIN vm$i mv ON a.v = mv.x
+           |  WHERE a.pkey = mu.mk AND a.pkey = mv.mk
+           |),
+           |t$i AS MATERIALIZED (
+           |  SELECT u AS x FROM m$i UNION ALL SELECT v FROM m$i
+           |),
+           |a$i AS MATERIALIZED (
+           |  SELECT u, v, pkey FROM a${i - 1}
+           |  WHERE u NOT IN (SELECT x FROM t$i)
+           |    AND v NOT IN (SELECT x FROM t$i)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to MatchRounds).map { i =>
+        s"SELECT u, v, $i::int AS matched_round FROM m$i"
+      }.mkString("\nUNION ALL ")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |a0 AS MATERIALIZED (
+         |  SELECT u, v,
+         |    substr(md5('match|' || u || '|' || v), 1, 12)
+         |      || '|' || u || '|' || v AS pkey
+         |  FROM und0
+         |),
+         |$rounds
+         |$out""".stripMargin
+    },
+
     // C28: fixed-round Luby MIS restated round for round — identical
     // salted 48-bit priorities, strict < against the neighbor min with
     // the same Long.MaxValue sentinel, dominated = active neighbors of

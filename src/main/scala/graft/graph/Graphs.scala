@@ -305,6 +305,46 @@ object Graphs {
     decided.get
   }
 
+  /** C29: maximal matching — Luby's local-minimum rule applied to the
+    * LINE graph: per round an active edge joins the matching iff its
+    * priority key is the strict minimum among active edges at BOTH
+    * endpoints, then matched endpoints retire with every incident
+    * edge. Priority keys are unique BY CONSTRUCTION (hash prefix ++
+    * the canonical endpoint pair), so "strict minimum at both ends"
+    * can never admit two edges sharing a vertex, and both engines
+    * order the same strings — no tie-break cases at all. Expected
+    * O(log n) rounds like MIS. Input (u, v, pkey) with pkey the
+    * caller-built unique key; emits matched edges as
+    * (u, v, matched_round); callers wanting guaranteed maximality
+    * check nothing stays active (GraphSpec does). Per round: one
+    * endpoint-keyed min aggregation + one join back + one semi-ish
+    * retirement join — the edge frame shrinks geometrically. */
+  def maximalMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    var active = edges.select(col("u"), col("v"), col("pkey"))
+      .localCheckpoint(eager = true)
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val byVertex = active.select(col("u").as("x"), col("pkey"))
+        .unionAll(active.select(col("v").as("x"), col("pkey")))
+      val vmin = byVertex.groupBy("x").agg(min(col("pkey")).as("mk"))
+      val matched = active
+        .join(vmin.select(col("x").as("u"), col("mk").as("mu")), "u")
+        .join(vmin.select(col("x").as("v"), col("mk").as("mv")), "v")
+        .filter(col("pkey") === col("mu") && col("pkey") === col("mv"))
+        .select(col("u"), col("v"))
+        .localCheckpoint(eager = true)
+      val taken = matched.select(col("u").as("x"))
+        .unionAll(matched.select(col("v").as("x"))).distinct()
+      val newly = matched.select(col("u"), col("v"), lit(r).as("matched_round"))
+      out = Some(out.map(_.unionAll(newly)).getOrElse(newly))
+      active = active
+        .join(taken.select(col("x").as("u")), Seq("u"), "left_anti")
+        .join(taken.select(col("x").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    out.get
+  }
+
   /** Weighted PageRank: contributions split proportionally to edge
     * weight — rank·w/Σw(src) instead of rank/deg — the variant that
     * ranks a similarity/co-occurrence graph by STRENGTH of connection

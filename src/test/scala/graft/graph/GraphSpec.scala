@@ -658,6 +658,45 @@ class GraphSpec extends SparkSpec {
       assert(nbrs(v).exists(mis), s"$v dominated but has no MIS neighbor") }
   }
 
+  test("C29 Luby matching: disjoint, maximal, and deterministic on a fixture") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y"), ("y", "z")).toDF("u", "v")
+      .select(col("u"), col("v"),
+        concat(substring(md5(concat(lit("match|"), col("u"), lit("|"), col("v"))), 1, 12),
+          lit("|"), col("u"), lit("|"), col("v")).as("pkey"))
+    val m = Graphs.maximalMatching(e, 6).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // matching: no vertex twice
+    val touched = m.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(touched.distinct.size == touched.size, s"vertex reused in $m")
+    // maximal: every unmatched edge shares an endpoint with a matched one
+    val pairs = Set("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "x" -> "y", "y" -> "z")
+    (pairs -- m).foreach { case (u, v) =>
+      assert(touched.contains(u) || touched.contains(v), s"$u-$v unmatched but free") }
+    // determinism: second run identical
+    assert(Graphs.maximalMatching(e, 6).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == m)
+  }
+
+  test("C29 Luby matching on the geo graph is a matching and maximal at the query budget") {
+    val m = GraphQueries.graphMatching(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m.nonEmpty)
+    val touched = m.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(touched.distinct.size == touched.size, "vertex matched twice")
+    // maximality: every geo edge must touch a matched vertex
+    val tset = touched.toSet
+    val edges = graft.kg.KgQueries.kgEdges(spark, sfDir)
+      .filter(col("rel").isin("LOCATED_IN", "PART_OF"))
+      .select(concat(col("src_label"), lit("|"), col("src")).as("a"),
+        concat(col("dst_label"), lit("|"), col("dst")).as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(p => p._1 != p._2)
+    edges.foreach { case (u, v) =>
+      assert(tset.contains(u) || tset.contains(v), s"free edge $u-$v survived") }
+  }
+
   test("C28 Luby MIS on the geo graph: independent and fully decided at the query's budget") {
     val decided = GraphQueries.graphMis(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
