@@ -60,7 +60,7 @@ object Monitor {
   }
 
   final case class StreamProgress(queryName: String, batchId: Long,
-      inputRows: Long, stateRows: Long)
+      inputRows: Long, stateRows: Long, droppedByWatermark: Long = 0L)
 
   /** J2: per-micro-batch progress collector — the streaming face of
     * the J1 envelope (monitor.py's per-job record, emitted per batch):
@@ -76,16 +76,24 @@ object Monitor {
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
-      val state = Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      val ops = Option(p.stateOperators).toSeq.flatten
+      val state = ops.map(_.numRowsTotal).sum
+      // J7: the late-data audit counter — rows the watermark excluded
+      // from stateful operators. At 100 TB/day this is the SLO number
+      // a pipeline alerts on (silent late-drop = silent data loss; a
+      // rising curve means the watermark delay no longer matches the
+      // source's real lateness distribution).
+      val dropped = ops.map(_.numRowsDroppedByWatermark).sum
       progress.add(StreamProgress(
-        Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows, state))
+        Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
+        state, dropped))
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
 
     def snapshot: Seq[StreamProgress] = progress.asScala.toSeq
 
     def toJson: String = snapshot.map { m =>
-      s"""{"query":"${Monitor.jsonEscape(m.queryName)}","batch_id":${m.batchId},"input_rows":${m.inputRows},"state_rows":${m.stateRows}}"""
+      s"""{"query":"${Monitor.jsonEscape(m.queryName)}","batch_id":${m.batchId},"input_rows":${m.inputRows},"state_rows":${m.stateRows},"late_dropped":${m.droppedByWatermark}}"""
     }.mkString("[", ",", "]")
   }
 

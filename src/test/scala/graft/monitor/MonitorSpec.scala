@@ -57,6 +57,42 @@ class MonitorSpec extends SparkSpec {
     }
   }
 
+  test("J7 late rows dropped by the watermark are counted and excluded from output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val c = Monitor.registerStreaming(spark)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData((ts(0), "a")); q.processAllAvailable()
+      // advance the watermark far past the first window...
+      mem.addData((ts(60), "b")); q.processAllAvailable()
+      // ...then inject a row 60 min late: it must be DROPPED, and the
+      // drop must be OBSERVABLE (silent late-drop = silent data loss)
+      mem.addData((ts(1), "a")); q.processAllAvailable()
+      mem.addData((ts(61), "b")); q.processAllAvailable()
+      var tries = 0
+      while (c.snapshot.map(_.droppedByWatermark).sum == 0 && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(c.snapshot.map(_.droppedByWatermark).sum == 1,
+        s"expected exactly the late row counted: ${c.snapshot}")
+      val emitted = spark.table("late_out").select("k", "n")
+        .as[(String, Long)].collect().toSet
+      // window(0-5, a) closed with ONE row — the late second 'a' is out
+      assert(emitted.contains(("a", 1L)), s"emitted: $emitted")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(c)
+    }
+  }
+
   test("J3 task tracker attributes shuffle bytes to a bracketed query") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
