@@ -377,8 +377,13 @@ object Dedup {
     * (any span ≥ `flagChars`). */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int, flagChars: Int): DataFrame = {
+    // guard docs shorter than the window: sequence(1, n) with n < 1
+    // DESCENDS in Spark (default step -1) and would synthesize bogus
+    // negative start positions (the shingles() lesson, r11 review)
     val starts = docs.select(col(idCol), col(textCol),
-        explode(sequence(lit(1), length(col(textCol)) - (w - 1))).as("p"))
+        explode(when(length(col(textCol)) >= w,
+            sequence(lit(1), length(col(textCol)) - (w - 1)))
+          .otherwise(array())).as("p"))
       .select(col(idCol), col("p"),
         xxhash64(col(textCol).substr(col("p"), lit(w))).as("h"))
     val dupHashes = starts.groupBy("h")

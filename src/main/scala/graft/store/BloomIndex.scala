@@ -43,10 +43,18 @@ object BloomIndex {
     * doing it on the driver holds exactly what FileSourceScanExec
     * holds after listing, one entry per file). The key is hashed with
     * the SAME XxHash64 the build used. */
-  def pruneFiles(statsDf: DataFrame, key: Any): Array[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+  def pruneFiles(statsDf: DataFrame, key: Any,
+      keyType: Option[org.apache.spark.sql.types.DataType] = None): Array[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    // the probe must hash the key AS THE INDEXED COLUMN'S TYPE — an
+    // Int probe against a Long-indexed column hashes 4 bytes vs 8 and
+    // silently never matches (r11 review); callers that know the
+    // column type pass it, lookup() always does
+    val lit0 = Literal(key)
+    val lit = keyType.filter(_ != lit0.dataType)
+      .map(t => Literal.create(Cast(lit0, t).eval(null), t)).getOrElse(lit0)
     // seed 42 = the default the xxhash64() SQL function uses at build
-    val hash = XxHash64(Seq(Literal(key)), 42L).eval(null).asInstanceOf[Long]
+    val hash = XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
     statsDf.select("file", "bloom").collect().iterator.filter { r =>
       org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
@@ -59,8 +67,8 @@ object BloomIndex {
     * cheap, correctness never depends on them). */
   def lookup(spark: SparkSession, path: String, statsDf: DataFrame,
       c: String, key: Any): DataFrame = {
-    val files = pruneFiles(statsDf, key)
     val full = spark.read.parquet(path)
+    val files = pruneFiles(statsDf, key, Some(full.schema(c).dataType))
     if (files.isEmpty) full.limit(0)
     else spark.read.schema(full.schema).parquet(files: _*)
       .filter(col(c) === lit(key))

@@ -136,8 +136,13 @@ final class GraftFileIndex(
     case (_: DecimalType, d: Decimal) => Some(d.toJavaBigDecimal)
     case (_: DecimalType, d: java.math.BigDecimal) => Some(d)
     case (_: DecimalType, d: BigDecimal) => Some(d.bigDecimal)
-    case (StringType, s: UTF8String) => Some(s.toString)
-    case (StringType, s: String) => Some(s)
+    // strings canonicalize to UTF8String and compare in UTF-8 BINARY
+    // order — the order Spark's min/max computed the zone bounds in;
+    // java.lang.String.compareTo is UTF-16 code-unit order and
+    // disagrees beyond the BMP, which could prune a matching file
+    // (r11 review)
+    case (StringType, s: UTF8String) => Some(s)
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
     case (DateType, d: java.lang.Integer) => Some(d.longValue()) // internal: epoch days
     case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
     case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
@@ -153,7 +158,7 @@ final class GraftFileIndex(
     case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
     case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
     case _ => 0 // mixed canon domains: treat as overlapping (keep)
   }
 }

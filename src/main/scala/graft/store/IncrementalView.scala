@@ -54,8 +54,12 @@ object IncrementalView {
       df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
 
+    // the reflected base version may have been vacuumed away — its
+    // manifest is gone, which by contract means FULL recompute, not a
+    // crash (r11 review)
     val prior = reflects.get(mvName)
       .filter(_ => SnapshotStore.versions(mvName).nonEmpty)
+      .filter(v => SnapshotStore.versions(baseName).contains(v))
     val result: Refresh = prior match {
       case Some(v) if v == target =>
         Refresh(target, incremental = true, filesScanned = 0)

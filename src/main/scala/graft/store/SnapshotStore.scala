@@ -38,15 +38,23 @@ object SnapshotStore {
   private def manifestPath(name: String, v: Long): Path =
     manifestDir(name).resolve(f"v$v%06d.txt")
 
+  /** Files.list streams hold an OS directory handle until closed —
+    * every lister below runs through this guard (r11 review: a
+    * streaming job committing thousands of micro-batches must not
+    * leak a handle per commit). */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Committed versions of `name`, ascending (empty if none). */
   def versions(name: String): Seq[Long] = {
     val dir = manifestDir(name)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    else listDir(dir)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toLong }
-      .toSeq.sorted
+      .toSeq.sorted)
   }
 
   private def readManifest(name: String, v: Long): Seq[String] =
@@ -87,8 +95,8 @@ object SnapshotStore {
       val v = prev.lastOption.getOrElse(-1L) + 1L
       val dataDir = tableDir(name).resolve(s"data_v$v")
       df.write.mode("error").parquet(dataDir.toString)
-      val newFiles = Files.list(dataDir).iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      val newFiles = listDir(dataDir)(
+        _.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
       val visible =
         (if (append && prev.nonEmpty) readManifest(name, prev.last) else Seq.empty) ++ newFiles
       // schema evolution, Delta-style: an append's schema is the
@@ -127,11 +135,25 @@ object SnapshotStore {
     * version. Readers are never exposed to a half-committed batch:
     * they see version v or v+1, each a complete consistent table.
     * Usage: `ds.writeStream.foreachBatch(SnapshotStore.streamSink(name) _)`. */
+  // committed batchIds per table, loaded from the manifests ONCE and
+  // maintained on commit — without it every micro-batch re-reads every
+  // manifest to detect a replay, O(B²) I/O over a stream's life
+  private val committedBatches =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Long, Long]]
+
   def commitStreamBatch(name: String, df: DataFrame, batchId: Long): Long =
     synchronized {
-      versions(name).find(v => batchIdOf(name, v).contains(batchId)) match {
+      val known = committedBatches.getOrElseUpdate(name, {
+        val m = scala.collection.mutable.Map.empty[Long, Long]
+        versions(name).foreach(v => batchIdOf(name, v).foreach(b => m(b) = v))
+        m
+      })
+      known.get(batchId) match {
         case Some(v) => v
-        case None => commit(name, df, append = true, header = Some(s"#batch=$batchId"))
+        case None =>
+          val v = commit(name, df, append = true, header = Some(s"#batch=$batchId"))
+          known(batchId) = v
+          v
       }
     }
 
@@ -153,7 +175,10 @@ object SnapshotStore {
     * `changes` must carry `opCol` ∈ {"upsert","delete"}; delete rows
     * need only the key columns populated. */
   def applyChanges(spark: SparkSession, name: String, changes: DataFrame,
-      keyCols: Seq[String], opCol: String = "op"): Long = {
+      keyCols: Seq[String], opCol: String = "op"): Long = synchronized {
+    // read-merge-commit must be one atomic unit like every other
+    // mutator — unsynchronized, a concurrent commit between the read
+    // and the overwrite would be silently erased (r11 review)
     import org.apache.spark.sql.functions.col
     val prev = read(spark, name)
     val changedKeys = changes.select(keyCols.map(col): _*).distinct()
@@ -213,17 +238,17 @@ object SnapshotStore {
     if (drop.nonEmpty) {
       val referenced = vs.takeRight(keep).flatMap(readManifest(name, _)).toSet
       drop.foreach(v => Files.delete(manifestPath(name, v)))
-      Files.list(tableDir(name)).iterator().asScala
+      listDir(tableDir(name))(_.toSeq)
         .filter(_.getFileName.toString.startsWith("data_v")).foreach { d =>
-          Files.list(d).iterator().asScala
+          listDir(d)(_.toSeq)
             .filter(f => !referenced.contains(f.toString)).foreach(Files.delete)
-          if (!Files.list(d).iterator().hasNext) Files.delete(d)
+          if (listDir(d)(_.isEmpty)) Files.delete(d)
         }
     }
   }
 
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Seq[String]), (GraftFileIndex, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long, Seq[String]), (GraftFileIndex, DataFrame)]
 
   /** K23: snapshot read THROUGH a [[GraftFileIndex]] — same immutable
     * manifest file list, but data filters on the returned frame prune
@@ -237,7 +262,7 @@ object SnapshotStore {
     require(vs.nonEmpty, s"snapshot table '$name' has no commits")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v of '$name' not found (have $vs)")
-    indexCache.getOrElseUpdate((name, v, zoneCols), {
+    indexCache.getOrElseUpdate((spark, name, v, zoneCols), {
       val files = readManifest(name, v)
       val schema = schemaOf(name, v).getOrElse(spark.read.parquet(files: _*).schema)
       GraftFileIndex.scan(spark, files, schema, zoneCols)

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
-  private val layouts = TrieMap.empty[(SparkSession, String), String]
+  private val layouts = TrieMap.empty[(SparkSession, String), (String, String, Int)]
 
   private lazy val base: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_zm_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -39,14 +39,22 @@ object ZoneMap {
     * (one disjoint value range per file); memoized per (session,
     * name). Returns the layout path. */
   def ensureRangeLayout(spark: SparkSession, name: String, df: => DataFrame,
-      rangeCol: String, numFiles: Int): String =
-    layouts.getOrElseUpdate((spark, name), {
+      rangeCol: String, numFiles: Int): String = {
+    val (path, col0, n0) = layouts.getOrElseUpdate((spark, name), {
       val path = s"$base/$name"
       df.repartitionByRange(numFiles, col(rangeCol))
         .sortWithinPartitions(rangeCol)
         .write.mode("overwrite").parquet(path)
-      path
+      (path, rangeCol, numFiles)
     })
+    // same loud-mismatch contract as GraftStore.ensureBucketed: a name
+    // reused with different clustering must not silently serve the old
+    // layout (zones would be non-disjoint for the new column)
+    require(col0 == rangeCol && n0 == numFiles,
+      s"layout '$name' was built on ($col0, $n0 files) but requested " +
+        s"($rangeCol, $numFiles) — use a distinct name per parameterization")
+    path
+  }
 
   /** Per-file min/max stats for `cols` — one distributed aggregation,
     * one output row per file. */

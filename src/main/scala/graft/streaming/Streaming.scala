@@ -719,8 +719,13 @@ object Streaming {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var count: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // TTL bounds the state: a (user, hour) counter is dead one hour
+      // after its window closes, but without eviction every active
+      // user leaks one counter per clock hour forever (r11 review);
+      // 2h TTL >> the hour window, so no live counter can expire early
       count = getHandle.getValueState[Long]("throttle_n",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofHours(2)))
     override def handleInputRows(key: (Long, Long), rows: Iterator[ThEv],
         tv: TimerValues): Iterator[Throttled] = {
       var n = if (count.exists()) count.get() else 0L
@@ -741,8 +746,10 @@ object Streaming {
     import org.apache.spark.sql.streaming.TimeMode
     events.groupByKey(e =>
         (e.user_id, e.ts.getTime - math.floorMod(e.ts.getTime, 3600000L)))
+      // ProcessingTime mode: required for the state TTL that bounds
+      // the per-(user, hour) counters (see ThrottleProcessor.init)
       .transformWithState(new ThrottleProcessor(maxPerWindow),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   final case class SsEv(user_id: Long, ts: Timestamp)

@@ -28,6 +28,15 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("K22 a probe whose boxed type differs from the column type still finds the row") {
+    val (path, stats) = layout
+    // uid 0 exists (i=0); probe with an Int — the lookup must cast to
+    // the column's LongType before hashing, or the hash never matches
+    val got = BloomIndex.lookup(spark, path, stats, "uid", 0)
+      .select("uid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L), s"Int probe against Long column must hit, got $got")
+  }
+
   test("K22 lookups plan over far fewer files than the table holds") {
     val (_, stats) = layout
     val probed = (0 until 50).map { i =>

@@ -37,6 +37,20 @@ class IncrementalViewSpec extends SparkSpec {
     assert(r.incremental && r.filesScanned == 0)
   }
 
+  test("K25 a vacuumed-away reflected version forces a full rebuild, not a crash") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("ivvac", Seq(("a", 1L)).toDF("g", "v").repartition(1))
+    IncrementalView.refresh(spark, "ivvac", "ivvacmv", Seq("g"), Seq("v"))
+    SnapshotStore.commitAppend("ivvac", Seq(("b", 2L)).toDF("g", "v").repartition(1))
+    SnapshotStore.vacuum("ivvac", keep = 1) // v0 (the reflected one) is gone
+    SnapshotStore.commitAppend("ivvac", Seq(("c", 3L)).toDF("g", "v").repartition(1))
+    val r = IncrementalView.refresh(spark, "ivvac", "ivvacmv", Seq("g"), Seq("v"))
+    assert(!r.incremental, "gone manifest must fall back to full recompute")
+    val got = IncrementalView.read(spark, "ivvacmv").collect()
+      .map(x => (x.getString(0), x.getLong(2))).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
+
   test("K25 an overwrite breaks the append chain and forces a correct full rebuild") {
     import spark.implicits._
     SnapshotStore.commitOverwrite("ivbase", Seq(("z", 100L), ("z", 1L)).toDF("g", "v"))
