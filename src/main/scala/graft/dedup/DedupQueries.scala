@@ -219,14 +219,22 @@ object DedupQueries {
       grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
         round(term * 1e6).cast("long").as("term_micro"))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("err_micro"), col("bands"))
-    perCombo.reduce(_ unionAll _)
+    val agg = perCombo.reduce(_ unionAll _)
       .groupBy("bands", "rows_per_band")
       .agg(sum(col("term_micro")).as("err_micro"))
-      // 6-row final ranking: the no-partition window runs over the
-      // combo list only, never data (the text_bm25 top-k convention)
-      .withColumn("rnk", row_number().over(w))
+    // 6-row final ranking WITHOUT a global window: rank(x) = 1 +
+    // #{combos strictly before x in (err, bands) order}, via a
+    // broadcast self-join — no SinglePartition exchange is ever
+    // planned, so the J6 fleet tripwire holds with an EMPTY allowlist.
+    // (err_micro, bands) is unique per combo, so this equals the old
+    // row_number.
+    val other = agg.select(col("err_micro").as("o_err"), col("bands").as("o_bands"))
+    agg.join(broadcast(other),
+        col("o_err") < col("err_micro") ||
+          (col("o_err") === col("err_micro") && col("o_bands") < col("bands")),
+        "left")
+      .groupBy("bands", "rows_per_band", "err_micro")
+      .agg((count(col("o_bands")) + lit(1)).cast("int").as("rnk"))
   }
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

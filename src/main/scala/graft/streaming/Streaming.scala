@@ -709,47 +709,62 @@ object Streaming {
 
   /** I32 (streaming path): the same cap through transformWithState —
     * one ValueState[Long] counter per (user, hour) key, O(1) state per
-    * key, hour keys age out of relevance naturally. Within a
-    * micro-batch rows sort by (ts, event_id) — the batch face's total
-    * order — so single-batch parity is exact; across batches the
-    * counter carries, admitting first-arrived (the semantics a live
-    * rate limiter wants). */
+    * key. Within a micro-batch rows sort by (ts, event_id) — the batch
+    * face's total order — so single-batch parity is exact; across
+    * batches the counter carries, admitting first-arrived (the
+    * semantics a live rate limiter wants).
+    *
+    * State retirement is EVENT-TIME, not a processing-time TTL (r11
+    * advisor + verdict): a timer at the hour's END fires once the
+    * watermark passes it — at that point any further event for the
+    * hour is late and dropped upstream, so the counter is provably
+    * dead and cannot expire early under backfill/replay, where a
+    * wall-clock TTL would silently reset a live counter whenever
+    * processing lags event time by more than the TTL. Event-time mode
+    * also makes test/pipeline termination structural: no-data
+    * micro-batches occur only on watermark advances (which need data),
+    * where the old ProcessingTime-TTL spelling churned empty commits
+    * under processAllAvailable (the r11 18k-batch storm). */
   class ThrottleProcessor(max: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), ThEv, Throttled] {
-    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var count: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      // TTL bounds the state: a (user, hour) counter is dead one hour
-      // after its window closes, but without eviction every active
-      // user leaks one counter per clock hour forever (r11 review);
-      // 2h TTL >> the hour window, so no live counter can expire early
       count = getHandle.getValueState[Long]("throttle_n",
-        org.apache.spark.sql.Encoders.scalaLong,
-        TTLConfig(java.time.Duration.ofHours(2)))
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(key: (Long, Long), rows: Iterator[ThEv],
         tv: TimerValues): Iterator[Throttled] = {
-      var n = if (count.exists()) count.get() else 0L
+      val first = !count.exists()
+      var n = if (first) 0L else count.get()
       val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
         n += 1
         Throttled(e.event_id, e.user_id,
           new Timestamp(key._2), n, if (n <= max) 1 else 0)
       }
       count.update(n)
+      // one timer per key lifetime, armed at the hour's close
+      if (first) getHandle.registerTimer(key._2 + 3600000L)
       out.iterator
+    }
+    override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Throttled] = {
+      count.clear(); Iterator.empty
     }
   }
 
   /** I32 front door (requires the RocksDB state store provider, as
-    * with the I29 face). */
-  def throttleStreaming(events: Dataset[ThEv], maxPerWindow: Int): Dataset[Throttled] = {
+    * with the I29 face). Event-time mode needs a watermark on `ts`;
+    * `watermarkDelay` is the caller's lateness allowance (0s keeps the
+    * spec deterministic; production callers pass their real skew). */
+  def throttleStreaming(events: Dataset[ThEv], maxPerWindow: Int,
+      watermarkDelay: String = "0 seconds"): Dataset[Throttled] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    events.groupByKey(e =>
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e =>
         (e.user_id, e.ts.getTime - math.floorMod(e.ts.getTime, 3600000L)))
-      // ProcessingTime mode: required for the state TTL that bounds
-      // the per-(user, hour) counters (see ThrottleProcessor.init)
       .transformWithState(new ThrottleProcessor(maxPerWindow),
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   final case class SsEv(user_id: Long, ts: Timestamp)
@@ -816,11 +831,16 @@ object Streaming {
   }
 
   /** I33 front door (RocksDB state store + a watermark on `ts`
-    * required — TimeMode.EventTime drives timer expiry off it). */
-  def sessionTimeoutStreaming(events: Dataset[SsEv], gapMs: Long): Dataset[ClosedSession] = {
+    * required — TimeMode.EventTime drives timer expiry off it).
+    * `watermarkDelay` is the caller's out-of-order allowance (r11
+    * advisor): 0s keeps the spec deterministic, production callers
+    * pass their real arrival skew so cross-batch stragglers are not
+    * silently dropped before sessionization. */
+  def sessionTimeoutStreaming(events: Dataset[SsEv], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    events.withWatermark("ts", "0 seconds")
+    events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
