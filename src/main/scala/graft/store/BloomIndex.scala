@@ -51,15 +51,30 @@ object BloomIndex {
     // silently never matches (r11 review); callers that know the
     // column type pass it, lookup() always does
     val lit0 = Literal(key)
-    val lit = keyType.filter(_ != lit0.dataType)
-      .map(t => Literal.create(Cast(lit0, t).eval(null), t)).getOrElse(lit0)
-    // seed 42 = the default the xxhash64() SQL function uses at build
-    val hash = XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
-    statsDf.select("file", "bloom").collect().iterator.filter { r =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        .mightContainLong(hash)
-    }.map(_.getString(0)).toArray
+    // timezone-dependent casts (e.g. String → Timestamp) need a zone id
+    // or Cast.eval throws (r11 advisor). A cast that still fails (or a
+    // null result — an unparseable key) must NOT hash the uncast bytes:
+    // a differently-typed hash risks a FALSE-NEGATIVE prune. Degrade to
+    // the documented conservative behavior instead: keep every file.
+    val lit: Option[Literal] = keyType.filter(_ != lit0.dataType) match {
+      case None => Some(lit0)
+      case Some(t) => scala.util.Try {
+        val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+        Option(Cast(lit0, t, Some(tz)).eval(null)).map(Literal.create(_, t))
+      }.toOption.flatten
+    }
+    lit match {
+      case None =>
+        statsDf.select("file").collect().map(_.getString(0))
+      case Some(l) =>
+        // seed 42 = the default the xxhash64() SQL function uses at build
+        val hash = XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+        statsDf.select("file", "bloom").collect().iterator.filter { r =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+            .mightContainLong(hash)
+        }.map(_.getString(0)).toArray
+    }
   }
 
   /** Point lookup planning over only the admitted files, equality

@@ -1,7 +1,7 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** K20: snapshot / time-travel table store — the transactional-lake
@@ -23,42 +23,71 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * removed by commits (GC of unreferenced files is a separate,
   * deferred concern — exactly how the production formats stage it).
   *
-  * Local-FS `rename` gives the atomic publish here; on an object
-  * store the same contract comes from a conditional PUT / DynamoDB
-  * mutex (public Delta-on-S3 design), behind this same interface.
+  * All filesystem I/O rides the Hadoop `FileSystem` API (r11 verdict
+  * item 3 — the GraftStore/GraftFileIndex idiom), so the store speaks
+  * `file://`, `hdfs://`, and `s3a://` URIs alike with the session's
+  * Hadoop configuration (credentials, endpoints). The atomic-publish
+  * contract is rename-based: atomic on local FS and HDFS, the
+  * deployments this single-writer store targets; an object store
+  * (S3 rename = copy+delete, not atomic) needs the conditional-PUT /
+  * external-mutex commit the public Delta-on-S3 design documents,
+  * behind this same interface.
   */
 object SnapshotStore {
 
-  private lazy val base: String =
+  @volatile private var baseOverride: Option[String] = None
+
+  /** Point the store at a different root URI (e.g. `hdfs://nn/lake`,
+    * `s3a://bucket/lake`, or a plain local dir). Call before the first
+    * commit; tables already committed under the old base are not
+    * moved. */
+  def setBase(uri: String): Unit = synchronized {
+    baseOverride = Some(uri)
+    committedBatches.clear()
+    indexCache.clear()
+  }
+
+  private lazy val defaultBase: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}"
 
-  private def tableDir(name: String): Path = Paths.get(base, name)
-  private def manifestDir(name: String): Path = tableDir(name).resolve("_manifests")
+  private def base: String = baseOverride.getOrElse(defaultBase)
+
+  /** The session's Hadoop configuration when one is active (carries
+    * object-store credentials/endpoints); a default config otherwise
+    * (pure-local callers in tests). */
+  private def hconf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
+
+  private def tableDir(name: String): Path = new Path(base, name)
+  private def manifestDir(name: String): Path = new Path(tableDir(name), "_manifests")
 
   private def manifestPath(name: String, v: Long): Path =
-    manifestDir(name).resolve(f"v$v%06d.txt")
+    new Path(manifestDir(name), f"v$v%06d.txt")
 
-  /** Files.list streams hold an OS directory handle until closed —
-    * every lister below runs through this guard (r11 review: a
-    * streaming job committing thousands of micro-batches must not
-    * leak a handle per commit). */
-  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
-    val s = Files.list(dir)
-    try f(s.iterator().asScala) finally s.close()
+  private def readLines(p: Path): Seq[String] = {
+    val fs = fsOf(p)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
   }
 
   /** Committed versions of `name`, ascending (empty if none). */
   def versions(name: String): Seq[Long] = {
     val dir = manifestDir(name)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else listDir(dir)(_.map(_.getFileName.toString)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toLong }
-      .toSeq.sorted)
+      .toSeq.sorted
   }
 
   private def readManifest(name: String, v: Long): Seq[String] =
-    Files.readAllLines(manifestPath(name, v)).asScala.toSeq
+    readLines(manifestPath(name, v))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
   /** The data files visible at version `v` — the manifest, verbatim.
@@ -70,7 +99,7 @@ object SnapshotStore {
   /** The streaming batchId this version committed, if it was published
     * by [[commitStreamBatch]] (recorded as a `#batch=` header). */
   def batchIdOf(name: String, v: Long): Option[Long] =
-    Files.readAllLines(manifestPath(name, v)).asScala
+    readLines(manifestPath(name, v))
       .find(_.startsWith("#batch=")).map(_.stripPrefix("#batch=").toLong)
 
   /** The table schema AT version v, recorded in the manifest (the
@@ -78,7 +107,7 @@ object SnapshotStore {
     * file footers to discover it — O(1) at any file count, and an
     * appended column is visible the moment its commit lands). */
   def schemaOf(name: String, v: Long): Option[org.apache.spark.sql.types.StructType] =
-    Files.readAllLines(manifestPath(name, v)).asScala
+    readLines(manifestPath(name, v))
       .find(_.startsWith("#schema=")).map(l =>
         org.apache.spark.sql.types.DataType.fromJson(
           l.stripPrefix("#schema=")).asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -93,10 +122,13 @@ object SnapshotStore {
     synchronized {
       val prev = versions(name)
       val v = prev.lastOption.getOrElse(-1L) + 1L
-      val dataDir = tableDir(name).resolve(s"data_v$v")
+      val dataDir = new Path(tableDir(name), s"data_v$v")
       df.write.mode("error").parquet(dataDir.toString)
-      val newFiles = listDir(dataDir)(
-        _.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
+      val fs = fsOf(dataDir)
+      // listStatus returns fs-qualified paths (file:/…, hdfs://…) —
+      // manifests store those verbatim so a read needs no re-resolution
+      val newFiles = fs.listStatus(dataDir).iterator.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
       val visible =
         (if (append && prev.nonEmpty) readManifest(name, prev.last) else Seq.empty) ++ newFiles
       // schema evolution, Delta-style: an append's schema is the
@@ -115,11 +147,17 @@ object SnapshotStore {
             org.apache.spark.sql.types.StructType(
               old.fields ++ df.schema.fields.filterNot(f => old.fieldNames.contains(f.name)))
         }
-      Files.createDirectories(manifestDir(name))
-      val tmp = manifestDir(name).resolve(s".v$v.tmp")
+      val mdir = manifestDir(name)
+      fs.mkdirs(mdir)
+      val tmp = new Path(mdir, s".v$v.tmp")
       val headers = header.toSeq :+ s"#schema=${schema.json}"
-      Files.write(tmp, (headers ++ visible).mkString("\n").getBytes("UTF-8"))
-      Files.move(tmp, manifestPath(name, v), StandardCopyOption.ATOMIC_MOVE)
+      val out = fs.create(tmp, true)
+      try out.write((headers ++ visible).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // the atomic publish: rename is atomic on local FS and HDFS;
+      // object stores slot a conditional PUT here (see class doc)
+      require(fs.rename(tmp, manifestPath(name, v)),
+        s"manifest publish failed for $name v$v (concurrent writer?)")
       v
     }
 
@@ -230,19 +268,30 @@ object SnapshotStore {
     * references. Order matters for crash safety — manifests go first,
     * so a crash mid-vacuum can only leave orphaned data files (which
     * the next vacuum removes), never a manifest pointing at deleted
-    * data. */
+    * data. Both read caches are invalidated for the dropped versions
+    * (r11 advisor): a cached batchId→version entry whose manifest is
+    * gone would resolve replays to an unreadable version, and a cached
+    * indexed read would plan over deleted files. */
   def vacuum(name: String, keep: Int): Unit = synchronized {
     require(keep >= 1, "must keep at least one version")
     val vs = versions(name)
     val drop = vs.dropRight(keep)
     if (drop.nonEmpty) {
+      val dropped = drop.toSet
       val referenced = vs.takeRight(keep).flatMap(readManifest(name, _)).toSet
-      drop.foreach(v => Files.delete(manifestPath(name, v)))
-      listDir(tableDir(name))(_.toSeq)
-        .filter(_.getFileName.toString.startsWith("data_v")).foreach { d =>
-          listDir(d)(_.toSeq)
-            .filter(f => !referenced.contains(f.toString)).foreach(Files.delete)
-          if (listDir(d)(_.isEmpty)) Files.delete(d)
+      val fs = fsOf(tableDir(name))
+      drop.foreach(v => fs.delete(manifestPath(name, v), false))
+      committedBatches.get(name).foreach(m =>
+        m.filterInPlace((_, v) => !dropped.contains(v)))
+      indexCache.keys.filter(k => k._2 == name && dropped.contains(k._3))
+        .foreach(indexCache.remove)
+      fs.listStatus(tableDir(name)).iterator
+        .filter(_.getPath.getName.startsWith("data_v")).foreach { d =>
+          val kept = fs.listStatus(d.getPath).iterator.map(_.getPath).filter { f =>
+            if (referenced.contains(f.toString)) true
+            else { fs.delete(f, false); false }
+          }.toSeq
+          if (kept.isEmpty) fs.delete(d.getPath, true)
         }
     }
   }

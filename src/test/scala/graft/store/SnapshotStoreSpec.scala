@@ -150,4 +150,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(scan.contains("PushedFilters:") && scan.contains("EqualTo(k,42"), scan)
     assert(df.count() == 1L)
   }
+
+  test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
+    import spark.implicits._
+    val uriBase = "file://" + java.nio.file.Files
+      .createTempDirectory("graft_snap_uri").toString
+    SnapshotStore.setBase(uriBase)
+    try {
+      SnapshotStore.commitAppend("u1", Seq((1L, "a")).toDF("k", "s"))
+      SnapshotStore.commitAppend("u1", Seq((2L, "b")).toDF("k", "s"))
+      SnapshotStore.commitOverwrite("u1", Seq((3L, "c")).toDF("k", "s"))
+      assert(SnapshotStore.versions("u1") == Seq(0L, 1L, 2L))
+      // manifests record fs-qualified URIs, and reads plan over them
+      assert(SnapshotStore.files("u1", 2L).forall(_.startsWith("file:")))
+      assert(SnapshotStore.read(spark, "u1").as[(Long, String)].collect().toSet
+        == Set((3L, "c")))
+      assert(SnapshotStore.read(spark, "u1", Some(1L)).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b")))
+      // vacuum through the same FileSystem: v0/v1 manifests + their
+      // unreferenced data files go; the survivor still reads
+      SnapshotStore.vacuum("u1", keep = 1)
+      assert(SnapshotStore.versions("u1") == Seq(2L))
+      assert(SnapshotStore.read(spark, "u1").count() == 1L)
+    } finally SnapshotStore.setBase(
+      s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}")
+  }
 }
