@@ -154,6 +154,18 @@ object Bench {
       jkey(k) + a.map(auditJson).getOrElse(auditErrJson)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    // sp_heavy tripwire AT BENCH TIME (r11 verdict #5): the committed
+    // artifact must not be able to disagree silently with the
+    // FleetAuditSpec static gate — a query planning a heavy
+    // single-partition exchange turns the round red right here.
+    val spOffenders = results.collect {
+      case (k, _, _, _, Some(a)) if a.singlePartitionHeavy > 0 =>
+        s"$k(${a.singlePartitionHeavy})"
+    }
+    if (spOffenders.nonEmpty)
+      System.err.println(
+        s"[bench] FAIL sp_heavy>0: ${spOffenders.mkString(", ")} — " +
+          "heavy single-partition exchange(s) in an executed plan")
     // load snapshot AFTER the timed passes: os_load1_end reflects the
     // bench's own threads PLUS any co-tenant, while cpu_proc_avg is
     // THIS JVM's average core-occupancy over the whole bench window
@@ -184,6 +196,6 @@ object Bench {
       .map { case (k, v, _, _, _) => jkey(k) + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"errors":$errors,"n_queries":${results.size},"top":$slowest,"sf":"$sfDir"}""")
     spark.stop()
-    if (errors > 0) sys.exit(1)
+    if (errors > 0 || spOffenders.nonEmpty) sys.exit(1)
   }
 }

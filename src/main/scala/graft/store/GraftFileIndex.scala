@@ -45,7 +45,9 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GraftFileIndex(
     files: Seq[FileStatus],
     zones: Map[String, Map[String, (Any, Any)]],
-    val dataSchema: StructType) extends FileIndex {
+    val dataSchema: StructType,
+    blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = Map.empty)
+  extends FileIndex {
 
   val totalFiles: Int = files.size
   /** Files surviving the most recent `listFiles` — test/telemetry hook. */
@@ -62,20 +64,32 @@ final class GraftFileIndex(
     val kept =
       if (dataFilters.isEmpty) files
       else files.filter { f =>
-        val z = zones.getOrElse(f.getPath.toUri.getPath, Map.empty[String, (Any, Any)])
-        dataFilters.forall(e => mayMatch(z, e))
+        val key = f.getPath.toUri.getPath
+        val z = zones.getOrElse(key, Map.empty[String, (Any, Any)])
+        val b = blooms.getOrElse(key,
+          Map.empty[String, org.apache.spark.util.sketch.BloomFilter])
+        dataFilters.forall(e => mayMatch(z, b, e))
       }
     lastKept.set(kept.size)
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 
-  /** Can any row of a file with zone stats `z` satisfy `e`? Unknown
-    * shapes answer true (keep) — pruning must never invent emptiness. */
-  private def mayMatch(z: Map[String, (Any, Any)], e: Expression): Boolean = e match {
-    case And(l, r) => mayMatch(z, l) && mayMatch(z, r)
-    case Or(l, r) => mayMatch(z, l) || mayMatch(z, r)
-    case EqualTo(a: AttributeReference, Literal(v, dt)) => overlaps(z, a.name, dt, v, v)
-    case EqualTo(Literal(v, dt), a: AttributeReference) => overlaps(z, a.name, dt, v, v)
+  /** Can any row of a file with zone stats `z` and Bloom filters `b`
+    * satisfy `e`? Unknown shapes answer true (keep) — pruning must
+    * never invent emptiness. Equality/IN additionally probe the K22
+    * per-file Bloom filter when the column carries one: zones answer
+    * range queries on the clustered column; the Bloom answers needle
+    * equality on any OTHER (high-cardinality, unclustered) column,
+    * where every zone overlaps. No false negatives by construction, so
+    * a negative probe is a safe prune. */
+  private def mayMatch(z: Map[String, (Any, Any)],
+      b: Map[String, org.apache.spark.util.sketch.BloomFilter], e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(z, b, l) && mayMatch(z, b, r)
+    case Or(l, r) => mayMatch(z, b, l) || mayMatch(z, b, r)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+      overlaps(z, a.name, dt, v, v) && bloomMayContain(b, a.name, dt, v)
+    case EqualTo(Literal(v, dt), a: AttributeReference) =>
+      overlaps(z, a.name, dt, v, v) && bloomMayContain(b, a.name, dt, v)
     case GreaterThan(a: AttributeReference, Literal(v, dt)) => upperAbove(z, a.name, dt, v, strict = true)
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => upperAbove(z, a.name, dt, v, strict = false)
     case LessThan(a: AttributeReference, Literal(v, dt)) => lowerBelow(z, a.name, dt, v, strict = true)
@@ -86,11 +100,28 @@ final class GraftFileIndex(
     case LessThan(Literal(v, dt), a: AttributeReference) => upperAbove(z, a.name, dt, v, strict = true)
     case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => upperAbove(z, a.name, dt, v, strict = false)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, dt) => overlaps(z, a.name, dt, v, v) }
+      vs.exists { case Literal(v, dt) =>
+        overlaps(z, a.name, dt, v, v) && bloomMayContain(b, a.name, dt, v) }
     case InSet(a: AttributeReference, vs) =>
-      vs.exists(v => overlaps(z, a.name, a.dataType, v, v))
+      vs.exists(v => overlaps(z, a.name, a.dataType, v, v) &&
+        bloomMayContain(b, a.name, a.dataType, v))
     case _ => true
   }
+
+  /** Bloom probe over Catalyst-internal `v`, hashed with the SAME
+    * XxHash64(seed 42) the build aggregated (`xxhash64(col)`), so the
+    * probe and the build see identical hash inputs. No filter for the
+    * column, a null key, or a hash failure all keep the file. */
+  private def bloomMayContain(
+      b: Map[String, org.apache.spark.util.sketch.BloomFilter],
+      c: String, dt: DataType, v: Any): Boolean =
+    b.get(c) match {
+      case Some(bf) if v != null =>
+        scala.util.Try(XxHash64(Seq(Literal.create(v, dt)), 42L)
+            .eval(null).asInstanceOf[Long])
+          .map(bf.mightContainLong).getOrElse(true)
+      case _ => true
+    }
 
   // zone checks: absent stats (uncovered column, all-null file) keep the file
   private def overlaps(z: Map[String, (Any, Any)], c: String, dt: DataType,
@@ -171,7 +202,21 @@ object GraftFileIndex {
     * then the scan DataFrame plans over the index. Filters applied to
     * the returned frame prune files at planning time. */
   def scan(spark: SparkSession, paths: Seq[String], schema: StructType,
-      zoneCols: Seq[String]): (GraftFileIndex, DataFrame) = {
+      zoneCols: Seq[String]): (GraftFileIndex, DataFrame) =
+    scan(spark, paths, schema, zoneCols, Nil)
+
+  /** As above, plus per-file K22 Bloom filters over `bloomCols`: a
+    * plain `df.filter(col === x)` on a bloom-indexed column then plans
+    * over only the files whose filter admits x — needle lookups on an
+    * UNCLUSTERED column (where every zone overlaps) without the
+    * explicit [[BloomIndex.lookup]] probe call. One extra aggregation
+    * per build, one serialized filter per (file, column) held
+    * driver-side next to the zone map (~1.2 MB per file-column at the
+    * 1M-key default — the same metadata-scale contract as Delta's
+    * per-file stats). */
+  def scan(spark: SparkSession, paths: Seq[String], schema: StructType,
+      zoneCols: Seq[String], bloomCols: Seq[String],
+      bloomExpectedPerFile: Long = 1000000L): (GraftFileIndex, DataFrame) = {
     val fs = new Path(paths.head).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = paths.map(p => fs.getFileStatus(new Path(p)))
     val zones: Map[String, Map[String, (Any, Any)]] =
@@ -189,7 +234,26 @@ object GraftFileIndex {
               c -> ((r.get(r.fieldIndex(s"${c}__min")), r.get(r.fieldIndex(s"${c}__max"))))).toMap
           }.toMap
       }
-    val index = new GraftFileIndex(statuses, zones, schema)
+    val blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        graft.functions.VectorFunctions.ensureRegistered(spark)
+        val aggs = bloomCols.map(c => org.apache.spark.sql.functions.call_function(
+          "graft_bloom_agg", org.apache.spark.sql.functions.xxhash64(col(c)),
+          org.apache.spark.sql.functions.lit(bloomExpectedPerFile)).as(s"${c}__bloom"))
+        spark.read.schema(schema).parquet(paths: _*)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val key = new java.net.URI(r.getString(0)).getPath
+            key -> bloomCols.map(c =>
+              c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  r.getAs[Array[Byte]](s"${c}__bloom")))).toMap
+          }.toMap
+      }
+    val index = new GraftFileIndex(statuses, zones, schema, blooms)
     val relation = HadoopFsRelation(index, StructType(Nil), schema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     (index, spark.baseRelationToDataFrame(relation))

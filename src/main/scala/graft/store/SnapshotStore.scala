@@ -297,24 +297,26 @@ object SnapshotStore {
   }
 
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long, Seq[String]), (GraftFileIndex, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long, Seq[String], Seq[String]), (GraftFileIndex, DataFrame)]
 
   /** K23: snapshot read THROUGH a [[GraftFileIndex]] — same immutable
     * manifest file list, but data filters on the returned frame prune
     * files at planning time against a per-file zone map over
-    * `zoneCols` (built once per (table, version), cached like the
+    * `zoneCols` and (K22 integration) per-file Bloom filters over
+    * `bloomCols` (built once per (table, version), cached like the
     * production formats cache log stats). Returns the index too so
     * callers/tests can observe pruning (`lastKept` vs `totalFiles`). */
   def readIndexed(spark: SparkSession, name: String, zoneCols: Seq[String],
-      version: Option[Long] = None): (GraftFileIndex, DataFrame) = {
+      version: Option[Long] = None,
+      bloomCols: Seq[String] = Nil): (GraftFileIndex, DataFrame) = {
     val vs = versions(name)
     require(vs.nonEmpty, s"snapshot table '$name' has no commits")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v of '$name' not found (have $vs)")
-    indexCache.getOrElseUpdate((spark, name, v, zoneCols), {
+    indexCache.getOrElseUpdate((spark, name, v, zoneCols, bloomCols), {
       val files = readManifest(name, v)
       val schema = schemaOf(name, v).getOrElse(spark.read.parquet(files: _*).schema)
-      GraftFileIndex.scan(spark, files, schema, zoneCols)
+      GraftFileIndex.scan(spark, files, schema, zoneCols, bloomCols)
     })
   }
 

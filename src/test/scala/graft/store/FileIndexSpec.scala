@@ -90,6 +90,35 @@ class FileIndexSpec extends SparkSpec {
     assert(idx.lastKept.get() == 0)
   }
 
+  test("K22/K23 equality on a bloom-indexed UNCLUSTERED column plans ~1 file") {
+    import spark.implicits._
+    // time-clustered layout, needle lookups on uid: every (min,max)
+    // uid zone spans the whole domain, so only the Bloom can prune
+    val df = (0L until 4000L)
+      .map(k => (k, (k * 2654435761L) % 4000L, s"p${k % 7}"))
+      .toDF("t", "uid", "payload")
+      .repartitionByRange(8, col("t"))
+      .sortWithinPartitions("t")
+    SnapshotStore.commitOverwrite("fidx_bloom", df)
+    val (idx, indexed) = SnapshotStore.readIndexed(spark, "fidx_bloom",
+      zoneCols = Seq("t"), bloomCols = Seq("uid"))
+    assert(idx.totalFiles == 8)
+    val needle = (123L * 2654435761L) % 4000L
+    val hit = indexed.filter(col("uid") === needle)
+    assert(hit.select("t").as[Long].collect().toSeq == Seq(123L))
+    assert(idx.lastKept.get() <= 2, s"kept ${idx.lastKept.get()}/8")
+    assert(scanFileCount(hit) == idx.lastKept.get().toLong)
+    // an absent key prunes everything (no false negatives either way)
+    assert(indexed.filter(col("uid") === 999999L).count() == 0L)
+    assert(idx.lastKept.get() <= 1)
+    // IN over two needles keeps at most their files (+FP allowance)
+    val two = indexed.filter(col("uid").isin(needle, (3777L * 2654435761L) % 4000L))
+    assert(two.count() == 2L && idx.lastKept.get() <= 3)
+    // zone + bloom compose: t-range AND uid-equality prune to ≤1 file
+    val both = indexed.filter(col("t") < 1000L && col("uid") === needle)
+    assert(both.count() == 1L && idx.lastKept.get() <= 1)
+  }
+
   test("K23 the indexed read is immune to later commits (snapshot semantics)") {
     import spark.implicits._
     val before = SnapshotStore.readIndexed(spark, table, Seq("k"))._2
