@@ -71,7 +71,8 @@ object SparkEntry {
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
-      graft.graph.GraphQueries.queries ++ graft.streaming.StreamQueries.queries
+      graft.graph.GraphQueries.queries ++ graft.streaming.StreamQueries.queries ++
+      graft.monitor.QualityQueries.queries
 
   def oracleSql: Map[String, String] =
     KgQueries.oracleSql ++ graft.text.TextQueries.oracleSql ++
@@ -79,7 +80,8 @@ object SparkEntry {
       graft.sources.IngestQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++ graft.sim.SimQueries.oracleSql ++
       graft.graph.GraphQueries.oracleSql ++
-      graft.streaming.StreamQueries.oracleSql ++ Map(
+      graft.streaming.StreamQueries.oracleSql ++
+      graft.monitor.QualityQueries.oracleSql ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

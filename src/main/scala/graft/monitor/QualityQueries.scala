@@ -1,0 +1,145 @@
+package graft.monitor
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** J8: data-quality constraint battery + column profiler — the
+  * Deequ-style "unit tests for data" face every production pipeline
+  * runs before training-data ships (completeness, domain, uniqueness,
+  * referential integrity), computed IN ONE PASS per table.
+  *
+  * Reference behavior anchor: the reference pipeline trusts its CSV
+  * inputs blindly (Big-Data---Knowledge-graph-construction-with-LLM
+  * `LOCAL/data_ingestion_batch.py` reads and concatenates with no
+  * validation); at 100 TB a silent schema drift or null storm
+  * poisons a training run days later, so the engine-side answer is a
+  * declarative check battery whose cost is one aggregation, not one
+  * job per rule.
+  *
+  * Scale shape: every metric is an algebraic aggregate (map-side
+  * partial combine, one shuffle of O(partitions) rows); the exact
+  * uniqueness check is the one count-distinct (Expand) and the RI
+  * check one anti-join keyed on the FK — both the shapes a real
+  * Deequ run plans. Output is metadata-scale: one row per
+  * constraint, so the battery composes into CI gates and the J1
+  * monitoring envelope for free.
+  */
+object QualityQueries {
+
+  /** One row per constraint: (constraint, value, passed). Thresholds
+    * live here next to the metrics so the battery is self-describing;
+    * the non-unique synthetic (l_orderkey, l_linenumber) pair makes
+    * the uniqueness rule genuinely FAIL — the battery is not a
+    * tautology. */
+  def dqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val one = li.agg(
+      count(lit(1)).cast("double").as("row_count"),
+      (sum(when(col("l_orderkey").isNotNull, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("comp_orderkey"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_discount")).as("max_disc"),
+      (sum(when(col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("dom_returnflag"),
+      (count_distinct(col("l_orderkey"), col("l_linenumber")).cast("double") /
+        count(lit(1))).as("uniq_pk"))
+    val base = one.select(expr(
+      """stack(6,
+        |  'row_count_min_1',            row_count,
+        |  'completeness_l_orderkey',    comp_orderkey,
+        |  'min_l_quantity_ge_1',        min_qty,
+        |  'max_l_discount_le_0.1',      max_disc,
+        |  'domain_l_returnflag',        dom_returnflag,
+        |  'unique_orderkey_linenumber', uniq_pk) AS (check_name, value)""".stripMargin))
+    // FK integrity: orphan orders (o_custkey with no customer row).
+    // Unhinted join — at test SF the dim broadcasts, at 100 TB it
+    // shuffle-joins on the FK; both are the plan a real RI check wants.
+    val orphans = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("ri_orders_custkey").as("check_name"), col("value"))
+    base.unionAll(orphans)
+      .select(col("check_name"), round(col("value"), 4).as("value"),
+        when(col("check_name") === "row_count_min_1", col("value") >= 1.0)
+          .when(col("check_name") === "completeness_l_orderkey", col("value") >= 1.0)
+          .when(col("check_name") === "min_l_quantity_ge_1", col("value") >= 1.0)
+          .when(col("check_name") === "max_l_discount_le_0.1", col("value") <= 0.1)
+          .when(col("check_name") === "domain_l_returnflag", col("value") >= 1.0)
+          .when(col("check_name") === "unique_orderkey_linenumber", col("value") >= 1.0)
+          .otherwise(col("value") <= 0.0) // ri: zero orphans
+          .cast("int").as("passed"))
+  }
+
+  /** Numeric column profile of lineitem in one pass: per column the
+    * non-null count, exact distinct count, min/max, and mean — the
+    * "what does this table even look like" scan a data engineer runs
+    * first, as one job instead of one per column. */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).as(s"${c}__min"),
+      max(col(c)).as(s"${c}__max"),
+      avg(col(c)).as(s"${c}__mean")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__min, ${c}__max, ${c}__mean").mkString(",\n")
+    one.select(expr(
+      s"stack(${cols.size},\n$stackArgs) AS (column_name, non_null, n_distinct, min_v, max_v, mean_v)"))
+      .select(col("column_name"), col("non_null"), col("n_distinct"),
+        round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"),
+        round(col("mean_v"), 4).as("mean_v"))
+  }
+
+  def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "dq_constraints" -> (dqConstraints _),
+    "dq_profile"     -> (dqProfile _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dq_constraints" ->
+      """WITH m AS (
+        |  SELECT count(*)::double AS row_count,
+        |    sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END)::double / count(*) AS comp_orderkey,
+        |    min(l_quantity) AS min_qty,
+        |    max(l_discount) AS max_disc,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)::double / count(*) AS dom_returnflag,
+        |    count(DISTINCT (l_orderkey, l_linenumber))::double / count(*) AS uniq_pk
+        |  FROM lineitem
+        |), ri AS (
+        |  SELECT count(*)::double AS orphans FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |), rules AS (
+        |  SELECT 'row_count_min_1' AS check_name, row_count AS value, row_count >= 1.0 AS ok FROM m
+        |  UNION ALL SELECT 'completeness_l_orderkey', comp_orderkey, comp_orderkey >= 1.0 FROM m
+        |  UNION ALL SELECT 'min_l_quantity_ge_1', min_qty, min_qty >= 1.0 FROM m
+        |  UNION ALL SELECT 'max_l_discount_le_0.1', max_disc, max_disc <= 0.1 FROM m
+        |  UNION ALL SELECT 'domain_l_returnflag', dom_returnflag, dom_returnflag >= 1.0 FROM m
+        |  UNION ALL SELECT 'unique_orderkey_linenumber', uniq_pk, uniq_pk >= 1.0 FROM m
+        |  UNION ALL SELECT 'ri_orders_custkey', orphans, orphans <= 0.0 FROM ri
+        |)
+        |SELECT check_name, round(value, 4) AS value, ok::int AS passed FROM rules""".stripMargin,
+    "dq_profile" ->
+      """SELECT column_name, non_null, n_distinct,
+        |  round(min_v, 4) AS min_v, round(max_v, 4) AS max_v, round(mean_v, 4) AS mean_v
+        |FROM (
+        |  SELECT 'l_quantity' AS column_name, count(l_quantity) AS non_null,
+        |    count(DISTINCT l_quantity) AS n_distinct, min(l_quantity) AS min_v,
+        |    max(l_quantity) AS max_v, avg(l_quantity) AS mean_v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', count(l_extendedprice),
+        |    count(DISTINCT l_extendedprice), min(l_extendedprice),
+        |    max(l_extendedprice), avg(l_extendedprice) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', count(l_discount),
+        |    count(DISTINCT l_discount), min(l_discount),
+        |    max(l_discount), avg(l_discount) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', count(l_tax),
+        |    count(DISTINCT l_tax), min(l_tax),
+        |    max(l_tax), avg(l_tax) FROM lineitem
+        |) p""".stripMargin,
+  )
+}
