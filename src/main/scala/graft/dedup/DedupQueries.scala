@@ -253,7 +253,38 @@ object DedupQueries {
     "dedup_substring"       -> (dedupSubstring _),
     "dedup_incremental"     -> (dedupIncremental _),
     "dedup_lsh_tune"        -> (dedupLshTune _),
+    "dedup_bloom_cross"     -> (dedupBloomCross _),
   )
+
+  /** E13: bloom-accelerated cross-corpus membership dedup — "which
+    * INCOMING documents already exist in the prior corpus", the
+    * admission check every continuously-crawled training pipeline
+    * runs per batch. The fingerprint is the prefix-100 md5 (near-dup
+    * crawls share openings; the synthetic corpus has zero whole-text
+    * exact dups across the split but real prefix collisions, so the
+    * query is non-vacuous at every SF). The 100 TB shape: the prior
+    * corpus collapses to ONE Bloom sketch via the engine's own
+    * BloomFilterAggregate, rides into the incoming scan as a scalar
+    * subquery (the InjectRuntimeFilter mechanics, hand-held), and
+    * drops ~all non-members BEFORE the membership semi-join — the
+    * join's probe side shrinks from |incoming| to |members| + FPs,
+    * while the semi-join re-verifies so the RESULT is exact (Bloom
+    * has no false negatives; false positives die in the join). */
+  def dedupBloomCross(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 100)).as("h"))
+      .createOrReplaceTempView("graft_e13_docs")
+    spark.sql(
+      """WITH existing AS (SELECT h FROM graft_e13_docs WHERE doc_id % 2 = 0),
+        |     incoming AS (SELECT doc_id, h FROM graft_e13_docs WHERE doc_id % 2 = 1)
+        |SELECT i.doc_id, i.h
+        |FROM incoming i
+        |WHERE graft_bloom_might_contain(
+        |        (SELECT graft_bloom_agg(xxhash64(h), CAST(100000 AS BIGINT)) FROM existing),
+        |        xxhash64(i.h))
+        |  AND i.h IN (SELECT h FROM existing)""".stripMargin)
+  }
 
   val SubstrW = 30
   val SubstrFlagChars = 50
@@ -351,6 +382,12 @@ object DedupQueries {
        |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // E13: exact membership is the contract — the Bloom is an
+    // accelerator the oracle must not see
+    "dedup_bloom_cross" ->
+      """WITH h AS (SELECT doc_id, md5(substr(text, 1, 100)) AS h FROM documents)
+        |SELECT doc_id, h FROM h
+        |WHERE doc_id % 2 = 1 AND h IN (SELECT h FROM h WHERE doc_id % 2 = 0)""".stripMargin,
     // mirrors dedupLshTune: same combos, same left-assoc 1.0·s·…
     // multiplication chains, same per-term micro-rounding before the
     // (order-free integer) sum, same (err, bands) rank order

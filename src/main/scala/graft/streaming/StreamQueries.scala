@@ -541,6 +541,7 @@ object StreamQueries {
     "ev_qhist_hourly" -> (evQhistHourly _),
     "ev_lifetime_features" -> (evLifetimeFeatures _),
     "ev_throttle"    -> (evThrottle _),
+    "ev_ewma"        -> (evEwma _),
   )
 
   /** I29: point-in-time-correct lifetime features (batch face; the
@@ -555,6 +556,40 @@ object StreamQueries {
     * streaming parity in StreamingSpec). */
   def evThrottle(spark: SparkSession, dir: String): DataFrame =
     Streaming.throttleBatch(Tables.events(spark, dir), ThrottleMax)
+
+  /** EWMA weights (1-α)^k for α=0.5 over the current + 5 prior hours —
+    * exact binary fractions, so the weighted sums are IEEE-identical
+    * in Spark and DuckDB and the oracle can hash-match. */
+  val EwmaWeights: Seq[Double] = Seq(1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
+
+  /** I34: time-decayed hourly volume — a fixed-horizon EWMA per
+    * event type, the smoothing every ops dashboard layers under its
+    * spike detector (I11's z-score compares against the GLOBAL mean;
+    * the EWMA tracks the RECENT level, so a ramping series stops
+    * looking anomalous an hour after the ramp). Missing leading lags
+    * drop out of numerator AND denominator, so the series head is a
+    * properly-normalized partial average, not biased toward zero.
+    * Scale shape: one hour-keyed aggregation (map-side combined),
+    * then a lag window partitioned by event_type over O(hours) rows
+    * per type — the window input is already aggregate-scale, never
+    * event-scale. */
+  def evEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val lags = EwmaWeights.zipWithIndex.map { case (wk, k) =>
+      (if (k == 0) col("n") else lag(col("n"), k).over(w), wk)
+    }
+    val num = lags.map { case (c, wk) => coalesce(c * lit(wk), lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.map { case (c, wk) =>
+      when(c.isNotNull, lit(wk)).otherwise(lit(0.0)) }.reduce(_ + _)
+    hourly.select(col("event_type"), col("hour"), col("n"),
+      round(num / den, 4).as("ewma"))
+  }
 
   /** Generated gaps-and-islands assignment CTEs (mirror of
     * Streaming.sessionAssign; event_type rides through for the
@@ -855,6 +890,27 @@ object StreamQueries {
     // mirrors EventOps.hourlyAnomalies: mean/sd from EXACT integer sums
     // (identical double expressions over identical inputs → identical
     // rounding and threshold decisions in both engines)
+    // I34: same weights, same drop-missing-lags normalization; the
+    // weighted sums are exact binary-fraction arithmetic in both
+    // engines, so round(…, 4) hashes identically
+    "ev_ewma" -> {
+      val ws = StreamQueries.EwmaWeights
+      val lagCols = (1 until ws.size).map(k => s"lag(n, $k) OVER w AS n$k").mkString(",\n    ")
+      val num = (s"n * ${ws.head}" +:
+        (1 until ws.size).map(k => s"coalesce(n$k * ${ws(k)}, 0.0)")).mkString(" + ")
+      val den = (s"${ws.head}" +:
+        (1 until ws.size).map(k => s"CASE WHEN n$k IS NULL THEN 0.0 ELSE ${ws(k)} END")).mkString(" + ")
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), l AS (
+         |  SELECT event_type, hour, n,
+         |    $lagCols
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+         |)
+         |SELECT event_type, hour, n, round(($num) / ($den), 4) AS ewma FROM l""".stripMargin
+    },
+
     "ev_anomaly" ->
       s"""WITH hourly AS (
          |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
