@@ -86,11 +86,43 @@ object SnapshotStore {
       .toSeq.sorted
   }
 
-  private def readManifest(name: String, v: Long): Seq[String] =
+  /** K28: checkpoint cadence for delta-encoded append manifests. An
+    * append commit normally writes ONLY its new files plus a
+    * `#prev=<v-1>` pointer — O(commit) manifest I/O instead of
+    * O(table), the difference between a streaming sink appending to a
+    * million-file table in milliseconds vs rewriting a 100 MB file
+    * list per micro-batch (the exact problem Delta's JSON-log +
+    * checkpoint split solves). Every `checkpointInterval`-th version
+    * (and every overwrite) writes the FULL resolved list, bounding
+    * any read's chain walk to < interval manifest reads. */
+  @volatile private var checkpointInterval: Long = 10L
+
+  /** Tune the checkpoint cadence (≥1; 1 = every manifest is full —
+    * the pre-r12 behavior). */
+  def setCheckpointInterval(n: Long): Unit = {
+    require(n >= 1, "checkpoint interval must be >= 1")
+    checkpointInterval = n
+  }
+
+  private def manifestLines(name: String, v: Long): Seq[String] =
     readLines(manifestPath(name, v))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
-  /** The data files visible at version `v` — the manifest, verbatim.
+  private def prevOf(name: String, v: Long): Option[Long] =
+    readLines(manifestPath(name, v))
+      .find(_.startsWith("#prev=")).map(_.stripPrefix("#prev=").toLong)
+
+  /** Resolve the full data-file list visible at `v`, following the
+    * delta chain back to the nearest checkpoint (bounded by the
+    * checkpoint interval). Chain links always point at v-1, so the
+    * walk is a strictly-descending, terminating recursion. */
+  private def readManifest(name: String, v: Long): Seq[String] =
+    prevOf(name, v) match {
+      case Some(p) => readManifest(name, p) ++ manifestLines(name, v)
+      case None => manifestLines(name, v)
+    }
+
+  /** The data files visible at version `v` (delta chains resolved).
     * Public so incremental consumers (K25) can diff file sets between
     * versions; files are immutable, so `files(v2) \ files(v1)` IS the
     * appended data. */
@@ -129,8 +161,14 @@ object SnapshotStore {
       // manifests store those verbatim so a read needs no re-resolution
       val newFiles = fs.listStatus(dataDir).iterator.map(_.getPath.toString)
         .filter(_.endsWith(".parquet")).toSeq.sorted
-      val visible =
-        (if (append && prev.nonEmpty) readManifest(name, prev.last) else Seq.empty) ++ newFiles
+      // K28: appends write a DELTA manifest (new files + #prev link)
+      // except at the checkpoint cadence; overwrites are natural
+      // checkpoints (they reference no prior files)
+      val isDelta = append && prev.nonEmpty && (v % checkpointInterval != 0L)
+      val body =
+        if (isDelta) newFiles
+        else (if (append && prev.nonEmpty) readManifest(name, prev.last)
+              else Seq.empty) ++ newFiles
       // schema evolution, Delta-style: an append's schema is the
       // previous schema widened by the commit's NEW columns (same-name
       // columns must keep their type — fail loudly, never corrupt);
@@ -150,9 +188,11 @@ object SnapshotStore {
       val mdir = manifestDir(name)
       fs.mkdirs(mdir)
       val tmp = new Path(mdir, s".v$v.tmp")
-      val headers = header.toSeq :+ s"#schema=${schema.json}"
+      val headers = header.toSeq ++
+        (if (isDelta) Seq(s"#prev=${prev.last}") else Seq.empty) :+
+        s"#schema=${schema.json}"
       val out = fs.create(tmp, true)
-      try out.write((headers ++ visible).mkString("\n").getBytes("UTF-8"))
+      try out.write((headers ++ body).mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // the atomic publish: rename is atomic on local FS and HDFS;
       // object stores slot a conditional PUT here (see class doc)
@@ -278,8 +318,33 @@ object SnapshotStore {
     val drop = vs.dropRight(keep)
     if (drop.nonEmpty) {
       val dropped = drop.toSet
-      val referenced = vs.takeRight(keep).flatMap(readManifest(name, _)).toSet
+      val keptVersions = vs.takeRight(keep)
+      // resolve while every chain is still intact
+      val referenced = keptVersions.flatMap(readManifest(name, _)).toSet
       val fs = fsOf(tableDir(name))
+      // K28 chain repair BEFORE any manifest deletion: delta links
+      // always point at v-1, so only the OLDEST kept version can
+      // reference a dropped manifest — rewrite it as a full
+      // checkpoint (same headers minus #prev), atomically
+      val oldestKept = keptVersions.head
+      if (prevOf(name, oldestKept).isDefined) {
+        val full = readManifest(name, oldestKept)
+        val headers = readLines(manifestPath(name, oldestKept))
+          .filter(l => l.startsWith("#") && !l.startsWith("#prev="))
+        val tmp = new Path(manifestDir(name), s".v$oldestKept.ckpt.tmp")
+        val out = fs.create(tmp, true)
+        try out.write((headers ++ full).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        val target = manifestPath(name, oldestKept)
+        // delete→rename through the SAME FileSystem (checksum sidecars
+        // stay coherent on LocalFileSystem). The non-atomic window is
+        // recoverable: the full .ckpt.tmp survives a crash between the
+        // two calls, and nothing has been dropped yet — still "orphan
+        // data files only", never a lost table state.
+        fs.delete(target, false)
+        require(fs.rename(tmp, target),
+          s"checkpoint rewrite failed for $name v$oldestKept")
+      }
       drop.foreach(v => fs.delete(manifestPath(name, v), false))
       committedBatches.get(name).foreach(m =>
         m.filterInPlace((_, v) => !dropped.contains(v)))

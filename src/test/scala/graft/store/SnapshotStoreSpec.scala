@@ -151,6 +151,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(df.count() == 1L)
   }
 
+  test("K28 append manifests are delta-encoded; checkpoints bound the chain; vacuum repairs it") {
+    import spark.implicits._
+    SnapshotStore.setCheckpointInterval(4)
+    try {
+      (0 until 10).foreach(i =>
+        SnapshotStore.commitAppend("t9", Seq((i.toLong, s"s$i")).toDF("k", "s")))
+      // every version resolves to its full prefix
+      (0 until 10).foreach { i =>
+        assert(SnapshotStore.files("t9", i.toLong).size == i + 1, s"v$i")
+        assert(rows("t9", Some(i.toLong)) ==
+          (0 to i).map(j => (j.toLong, s"s$j")).toSet, s"v$i")
+      }
+      // delta manifests carry ONE file; checkpoints (v0, v4, v8) are full
+      val manifestsDir = java.nio.file.Paths.get(
+        new java.net.URI(SnapshotStore.files("t9", 9L).head).getPath)
+        .getParent.getParent.resolve("_manifests")
+      def manifestDataLines(v: Long): Int =
+        java.nio.file.Files.readAllLines(
+          manifestsDir.resolve(f"v$v%06d.txt")).asScala
+          .count(l => l.nonEmpty && !l.startsWith("#"))
+      assert(manifestDataLines(4L) == 5 && manifestDataLines(8L) == 9)
+      assert(manifestDataLines(3L) == 1 && manifestDataLines(9L) == 1)
+      // vacuum drops v0..v6; v7 (a delta) must be rewritten as a full
+      // checkpoint so the kept chain never dangles
+      SnapshotStore.vacuum("t9", keep = 3)
+      assert(SnapshotStore.versions("t9") == Seq(7L, 8L, 9L))
+      assert(rows("t9", Some(7L)) == (0 to 7).map(j => (j.toLong, s"s$j")).toSet)
+      assert(rows("t9", Some(9L)) == (0 to 9).map(j => (j.toLong, s"s$j")).toSet)
+      assert(manifestDataLines(7L) == 8) // now a checkpoint
+    } finally SnapshotStore.setCheckpointInterval(10)
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
