@@ -152,15 +152,26 @@ object SnapshotStore {
   private def commit(name: String, df: DataFrame, append: Boolean,
       header: Option[String] = None): Long =
     synchronized {
-      val prev = versions(name)
-      val v = prev.lastOption.getOrElse(-1L) + 1L
+      val v = versions(name).lastOption.getOrElse(-1L) + 1L
       val dataDir = new Path(tableDir(name), s"data_v$v")
       df.write.mode("error").parquet(dataDir.toString)
-      val fs = fsOf(dataDir)
-      // listStatus returns fs-qualified paths (file:/…, hdfs://…) —
-      // manifests store those verbatim so a read needs no re-resolution
-      val newFiles = fs.listStatus(dataDir).iterator.map(_.getPath.toString)
-        .filter(_.endsWith(".parquet")).toSeq.sorted
+      publishFiles(name, listParquet(dataDir), append, header, df.schema)
+    }
+
+  /** listStatus returns fs-qualified paths (file:/…, hdfs://…) —
+    * manifests store those verbatim so a read needs no re-resolution. */
+  private def listParquet(dataDir: Path): Seq[String] =
+    fsOf(dataDir).listStatus(dataDir).iterator.map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+
+  /** Publish already-written data files as the next manifest version —
+    * the shared tail of [[commit]] and the K29 [[publish]] path. */
+  private def publishFiles(name: String, newFiles: Seq[String], append: Boolean,
+      header: Option[String], dfSchema: org.apache.spark.sql.types.StructType): Long =
+    synchronized {
+      val prev = versions(name)
+      val v = prev.lastOption.getOrElse(-1L) + 1L
+      val fs = fsOf(tableDir(name))
       // K28: appends write a DELTA manifest (new files + #prev link)
       // except at the checkpoint cadence; overwrites are natural
       // checkpoints (they reference no prior files)
@@ -175,15 +186,15 @@ object SnapshotStore {
       // an overwrite starts from the commit's own schema
       val schema: org.apache.spark.sql.types.StructType =
         (if (append) prev.lastOption.flatMap(schemaOf(name, _)) else None) match {
-          case None => df.schema
+          case None => dfSchema
           case Some(old) =>
-            df.schema.fields.filter(f => old.fieldNames.contains(f.name)).foreach { f =>
+            dfSchema.fields.filter(f => old.fieldNames.contains(f.name)).foreach { f =>
               val prevType = old(f.name).dataType
               require(prevType == f.dataType,
                 s"column '${f.name}' type changed: $prevType -> ${f.dataType}")
             }
             org.apache.spark.sql.types.StructType(
-              old.fields ++ df.schema.fields.filterNot(f => old.fieldNames.contains(f.name)))
+              old.fields ++ dfSchema.fields.filterNot(f => old.fieldNames.contains(f.name)))
         }
       val mdir = manifestDir(name)
       fs.mkdirs(mdir)
@@ -203,6 +214,60 @@ object SnapshotStore {
 
   def commitAppend(name: String, df: DataFrame): Long = commit(name, df, append = true)
   def commitOverwrite(name: String, df: DataFrame): Long = commit(name, df, append = false)
+
+  /** K29: a staged (written-but-unpublished) commit — the handle the
+    * write-audit-publish flow passes between its three steps. */
+  final case class StagedCommit(name: String, stageDir: String,
+    files: Seq[String], schema: org.apache.spark.sql.types.StructType)
+
+  /** K29 step 1 — WRITE: land `df`'s files under an invisible staging
+    * directory. Nothing references them: readers of every version are
+    * unaffected, vacuum will not touch the staging area, and a crashed
+    * stager leaves only an orphaned directory. The write-audit-publish
+    * pattern (Iceberg's WAP / Delta's shadow-write idiom) is how a
+    * production training-data pipeline runs its J8 quality battery
+    * against the EXACT bytes it is about to ship — not a sample, not a
+    * pre-write frame that could re-compute differently — and still
+    * publishes atomically. */
+  def stage(name: String, df: DataFrame): StagedCommit = {
+    val dir = new Path(tableDir(name),
+      s"data_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("error").parquet(dir.toString)
+    StagedCommit(name, dir.toString, listParquet(dir), df.schema)
+  }
+
+  /** K29 step 2 — AUDIT surface: the table AS IT WOULD BE after
+    * publishing the stage as an append (current files ++ staged), or
+    * the staged files alone for `append=false`. The auditor runs any
+    * checks (row counts, the J8 battery, reconciliation joins) against
+    * this frame; its file list is immutable like every snapshot read. */
+  def stagedRead(spark: SparkSession, st: StagedCommit,
+      append: Boolean = true): DataFrame = {
+    val prior =
+      if (append) versions(st.name).lastOption.map(readManifest(st.name, _)).getOrElse(Seq.empty)
+      else Seq.empty
+    spark.read.schema(st.schema).parquet((prior ++ st.files): _*)
+  }
+
+  /** K29 step 3a — PUBLISH: move the staged files into the versioned
+    * data area and publish the next manifest atomically. Concurrent
+    * commits between stage and publish are fine: the version and the
+    * carried-forward file list are resolved HERE, under the same lock
+    * every other mutator takes. */
+  def publish(st: StagedCommit, append: Boolean = true): Long = synchronized {
+    val v = versions(st.name).lastOption.getOrElse(-1L) + 1L
+    val target = new Path(tableDir(st.name), s"data_v$v")
+    val fs = fsOf(target)
+    require(fs.rename(new Path(st.stageDir), target),
+      s"staged publish failed for ${st.name}: rename ${st.stageDir} -> $target")
+    publishFiles(st.name, listParquet(target), append, None, st.schema)
+  }
+
+  /** K29 step 3b — ABORT: drop the staged files; the table never knew. */
+  def abort(st: StagedCommit): Unit = {
+    val dir = new Path(st.stageDir)
+    fsOf(dir).delete(dir, true); ()
+  }
 
   /** Exactly-once streaming append — the `foreachBatch` sink that
     * marries batchId idempotence to snapshot isolation: each

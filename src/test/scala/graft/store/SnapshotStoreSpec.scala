@@ -183,6 +183,34 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally SnapshotStore.setCheckpointInterval(10)
   }
 
+  test("K29 write-audit-publish: a failing audit aborts invisibly; a passing one lands atomically") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("twap", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // stage a BAD batch (null key) — the audit rejects it
+    val bad = SnapshotStore.stage("twap",
+      Seq((Option.empty[Long], "x"), (Some(3L), "c")).toDF("k", "s"))
+    // audit runs against the would-be table: current ++ staged bytes
+    val preview = SnapshotStore.stagedRead(spark, bad)
+    assert(preview.count() == 4L)
+    val nulls = preview.filter(col("k").isNull).count()
+    assert(nulls == 1L)
+    SnapshotStore.abort(bad)
+    // the table never saw the staged batch; no version was created
+    assert(SnapshotStore.versions("twap") == Seq(0L))
+    assert(rows("twap") == Set((1L, "a"), (2L, "b")))
+    // stage a GOOD batch; audit passes; publish is one atomic version
+    val good = SnapshotStore.stage("twap", Seq((3L, "c")).toDF("k", "s"))
+    assert(SnapshotStore.stagedRead(spark, good).filter(col("k").isNull).count() == 0L)
+    // a concurrent commit lands BETWEEN stage and publish — publish
+    // must resolve its version and carry-forward list at publish time
+    SnapshotStore.commitAppend("twap", Seq((9L, "z")).toDF("k", "s"))
+    val v = SnapshotStore.publish(good)
+    assert(v == 2L)
+    assert(rows("twap") == Set((1L, "a"), (2L, "b"), (9L, "z"), (3L, "c")))
+    // published staged files live in the versioned data area
+    assert(SnapshotStore.files("twap", v).forall(_.contains("data_v")))
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
