@@ -162,6 +162,28 @@ object SimQueries {
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  /** F15 prefix length: the first 16 of 64 dims (a 4× cheaper scan). */
+  val MatryoshkaDims = 16
+
+  /** F15: Matryoshka truncated-prefix candidates + exact full-dim
+    * rescoring (candidate pool shared with F13's RerankCand). */
+  def simMatryoshka(spark: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", NumQueries, MatryoshkaDims, RerankCand, K)
+
+  /** F15 quality dial: recall@k vs brute-force full-dim cosine (the
+    * F5 pattern) — what serving on a 16-dim prefix funnel gives up. */
+  def simMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val mt = simMatryoshka(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = mt.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   val PqM = 8          // sub-spaces
   val PqSubDim = 8     // dims per sub-space (8 × 8 = 64)
   val PqCodebook = 16  // codebook entries per sub-space
@@ -235,6 +257,8 @@ object SimQueries {
     "sim_hamming_recall" -> (simHammingRecall _),
     "sim_rerank"     -> (simRerank _),
     "sim_rerank_recall" -> (simRerankRecall _),
+    "sim_matryoshka" -> (simMatryoshka _),
+    "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -288,6 +312,30 @@ object SimQueries {
        |s AS (
        |  SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
        |  FROM q, n WHERE q_id <> n_id
+       |), r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+
+  // F15: truncated-prefix candidates (full-precision cosine on the
+  // first MatryoshkaDims list elements, same index-order sums as the
+  // Spark slice) → exact full-dim rescoring → rank
+  private lazy val oracleSqlMatryoshka: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+       |ts AS (
+       |  SELECT q_id, n_id, ${cosSql(s"qv[1:$MatryoshkaDims]", s"nv[1:$MatryoshkaDims]")} AS tcos
+       |  FROM q, n WHERE q_id <> n_id
+       |), cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY tcos DESC, n_id) AS crnk
+       |    FROM ts) WHERE crnk <= $RerankCand
+       |), s AS (
+       |  SELECT c.q_id, c.n_id, ${cosSql("q.qv", "n.nv")} AS cos
+       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN n ON n.n_id = c.n_id
        |), r AS (
        |  SELECT q_id, n_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
@@ -409,6 +457,24 @@ object SimQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "sim_topk_brute" -> oracleSqlBrute,
+
+    "sim_matryoshka" -> oracleSqlMatryoshka,
+
+    // recall@k of the prefix funnel vs exact cosine — nested oracles
+    // (the sim_ann_recall pattern), drift-proof
+    "sim_matryoshka_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |mt AS (SELECT q_id, n_id FROM (${oracleSqlMatryoshka})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM mt a WHERE EXISTS (
+         |    SELECT 1 FROM exact b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT e.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e
+         |LEFT JOIN hits h ON h.q_id = e.q_id""".stripMargin,
 
     // same cosine tree as the brute oracle, threshold instead of rank
     "sim_range" ->

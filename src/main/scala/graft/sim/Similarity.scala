@@ -127,6 +127,35 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** F15: Matryoshka two-stage retrieval — candidate generation by
+    * cosine over only the FIRST `prefixDims` dimensions, exact
+    * full-dimension rescoring of the candidates (how MRL-trained
+    * embeddings are served: the prefix is itself a valid embedding,
+    * so the cheap low-dim scan ranks ~correctly and the full vector
+    * only touches candK rows per query). The prefix stage here is the
+    * brute scan at 1/(d/prefix) the arithmetic; at scale it composes
+    * with any ANN face over the prefix (IVF/LSH on 16 dims is also
+    * ~4× cheaper to build and probe than on 64). Same candidate →
+    * rescore → rank shape as [[rerankTopK]], with the shipped recall
+    * query measuring exactly what the truncation gives up. */
+  def matryoshkaTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int, prefixDims: Int, candK: Int, k: Int): DataFrame = {
+    val trunc = vecs.select(col(idCol), slice(col(vecCol), 1, prefixDims).as("tv"))
+    val cand = bruteTopK(trunc, idCol, "tv",
+      trunc.filter(col(idCol) < numQueries), candK)
+      .select(col("q_id"), col("n_id"))
+    val qv = broadcast(vecs.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv")))
+    val cos = VectorFunctions.cosineSim(vecs.sparkSession, col("qv"), col("nv"))
+    cand.join(vecs.select(col(idCol).as("n_id"), col(vecCol).as("nv")), "n_id")
+      .join(qv, "q_id")
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** F10: deterministic Lloyd k-means over int8-QUANTIZED vectors —
     * the codebook-learning step PQ/IVF serving stacks train offline,
     * spelled so every iteration is EXACT and cross-engine stable:
