@@ -364,6 +364,196 @@ object Multimodal {
       round((pFrames * 1000).cast("double") / pRate, 4).as("duration_ms"))
   }
 
+  /** Max top-level RIFF chunks the AVI walk visits before giving up. */
+  val AviMaxChunks = 3
+
+  /** Walk the top-level RIFF chunks of an AVI byte stream to the
+    * hdrl LIST (chunks start at byte 13: "RIFF" + u32le + "AVI ").
+    * AVI nests: the main header lives at LIST/hdrl → avih, and real
+    * muxers emit JUNK/alignment chunks before it, so like WAV there
+    * is no fixed offset — a bounded unroll of codegen'd projections
+    * hops 8 + size (+ odd-pad) per chunk until the LIST whose list
+    * type is "hdrl". Captures `hdrl_off` (the LIST chunk's own
+    * offset; 0 = not found within maxChunks). */
+  def withAviHdrl(df: DataFrame, binCol: String,
+      maxChunks: Int = AviMaxChunks): DataFrame = {
+    val bin = col(binCol)
+    var out = df
+      .withColumn("valid_avi",
+        (lower(hex(substring(bin, 1, 4))) === "52494646" && // "RIFF"
+          lower(hex(substring(bin, 9, 4))) === "41564920").cast("int")) // "AVI "
+      .withColumn("hdrl_off", lit(0))
+      .withColumn("_cur", lit(13))
+    for (_ <- 1 to maxChunks) {
+      val ckId = lower(hex(bin.substr(col("_cur"), lit(4))))
+      val listType = lower(hex(bin.substr(col("_cur") + lit(8), lit(4))))
+      val ckSize = leU32(bin, col("_cur") + lit(4))
+      out = out
+        .withColumn("hdrl_off",
+          when(col("hdrl_off") > 0, col("hdrl_off"))
+            .when(ckId === "4c495354" && listType === "6864726c", col("_cur")) // LIST/hdrl
+            .otherwise(lit(0)))
+        .withColumn("_cur",
+          when(col("_cur") + lit(8) + ckSize + (ckSize % 2) <= Int.MaxValue,
+            (col("_cur") + lit(8) + ckSize + (ckSize % 2)).cast("int")))
+    }
+    out.drop("_cur")
+  }
+
+  /** H26 driver query: synthesize a structurally REAL AVI prefix per
+    * asset — RIFF/"AVI ", an OPTIONAL JUNK alignment chunk (present
+    * for doc_id % 3 != 0, payload (doc_id % 12) * 2 + 2 bytes — the
+    * chunk real muxers pad with), then LIST/hdrl holding the
+    * mandatory 56-byte avih main header (little-endian fields from
+    * metadata) — and parse frame timing, counts, streams, and
+    * dimensions back from the BYTES with the bounded chunk walk. The
+    * oracle re-derives every output (including hdrl_off by chunk
+    * arithmetic) from the generating formulas. */
+  def mmAviMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val usec = ((col("n_chars") % 4 + 1) * 16667).cast("long")
+    val frames = (col("doc_id") % 3000 + 30).cast("long")
+    val streams = (col("doc_id") % 2 + 1).cast("int")
+    val w = (col("n_chars") % 1280 + 16).cast("int")
+    val h = (col("doc_id") % 720 + 16).cast("int")
+    val hasJunk = col("doc_id") % 3 =!= 0
+    val junkLen = ((col("doc_id") % 12) * 2 + 2).cast("int")
+    val avihPayload = concat(
+      leHex32(usec), leHex32(lit(0)), leHex32(lit(0)), leHex32(lit(16)),
+      leHex32(frames), leHex32(lit(0)), leHex32(streams), leHex32(lit(0)),
+      leHex32(w), leHex32(h), repeat(lit("00"), 16)) // 4 reserved dwords
+    val listLen = lit(4 + 8 + 56) // "hdrl" + avih header + payload
+    val riffSize = lit(4) + when(hasJunk, junkLen + 8).otherwise(0) + listLen + 8
+    val hx = concat(
+      lit("52494646"), leHex32(riffSize), lit("41564920"), // RIFF … "AVI "
+      when(hasJunk, concat(lit("4a554e4b"), leHex32(junkLen), // "JUNK"
+        repeat(lit("00"), junkLen))).otherwise(lit("")),
+      lit("4c495354"), leHex32(listLen), lit("6864726c"), // LIST … "hdrl"
+      lit("61766968"), leHex32(lit(56)), avihPayload) // "avih" + cb
+    val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
+    val scanned = withAviHdrl(withBin, "_bin")
+    val bin = col("_bin")
+    val off = col("hdrl_off")
+    // avih must be the first hdrl entry (spec-mandatory) — guard on it
+    val hasAvih = off > 0 &&
+      lower(hex(bin.substr(off + lit(12), lit(4)))) === "61766968"
+    def ifAvih(c: org.apache.spark.sql.Column) = when(hasAvih, c)
+    val pUsec = ifAvih(leU32(bin, off + lit(20)))
+    val pFrames = ifAvih(leU32(bin, off + lit(36)))
+    scanned.select(col("doc_id"), col("valid_avi"), off.as("hdrl_off"),
+      pUsec.as("usec_per_frame"), pFrames.as("total_frames"),
+      ifAvih(leU32(bin, off + lit(44))).cast("int").as("n_streams"),
+      ifAvih(leU32(bin, off + lit(52))).cast("int").as("width"),
+      ifAvih(leU32(bin, off + lit(56))).cast("int").as("height"),
+      round(lit(1000000.0) / pUsec, 4).as("fps"),
+      round((pUsec * pFrames).cast("double") / 1000.0, 4).as("duration_ms"))
+  }
+
+  /** EBML variable-length integer (Matroska/WebM): the count of
+    * leading zero bits in the FIRST byte (+1) is the total width,
+    * the marker bit is part of the value and must be subtracted —
+    * the one binary encoding in this family where even the LENGTH
+    * field needs decoding. Widths 1-4 cover every header-level size
+    * real files emit (EBML sizes beyond 2^28 appear only on segment
+    * payloads). Returns null width for a reserved/oversized lead
+    * byte, so callers' guards freeze instead of misparsing. */
+  def ebmlVintLen(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = conv(hex(bin.substr(off, lit(1))), 16, 10).cast("int")
+    when(b >= 128, 1).when(b >= 64, 2).when(b >= 32, 3).when(b >= 16, 4)
+  }
+
+  /** The vint's VALUE: the raw big-endian bytes minus the marker bit
+    * (2^(7·len)). Callers pass the length from [[ebmlVintLen]]. */
+  def ebmlVintVal(bin: org.apache.spark.sql.Column, off: org.apache.spark.sql.Column,
+      len: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val marker = when(len === 1, 128L).when(len === 2, 16384L)
+      .when(len === 3, 2097152L).when(len === 4, 268435456L) // 2^(7·len)
+    (conv(hex(bin.substr(off, len)), 16, 10).cast("long") - marker).cast("long")
+  }
+
+  /** Max EBML header elements the walk visits. */
+  val EbmlMaxElements = 7
+
+  /** H27 driver query: synthesize a structurally REAL EBML header per
+    * asset — the 0x1A45DFA3 magic, the header payload size as a vint
+    * (every 4th asset uses the WIDER 2-byte encoding of the same
+    * value — legal per spec, and the case that breaks fixed-offset
+    * parsers), then the standard element run (EBMLVersion,
+    * ReadVersion, MaxIDLength, MaxSizeLength, DocType, DocTypeVersion,
+    * DocTypeReadVersion) — and walk it back from the BYTES: each hop
+    * decodes a 2-byte element ID plus a GENERAL vint size (not the
+    * 1-byte shortcut the synthesizer happens to emit), capturing the
+    * DocType string ("matroska" | "webm") and the version fields. */
+  def mmEbmlMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val isWebm = col("doc_id") % 2 === 1
+    val docType = when(isWebm, "7765626d") // "webm"
+      .otherwise(lit("6d6174726f736b61")) // "matroska"
+    val dtLen = when(isWebm, 4).otherwise(8)
+    val ebmlVer = (col("n_chars") % 2 + 1).cast("int")
+    val dtVer = (col("doc_id") % 4 + 1).cast("int")
+    val paySize = lit(23) + dtLen
+    val wideVint = col("doc_id") % 4 === 0
+    val sizeVintHex = when(wideVint,
+        concat(lit("40"), lpad(lower(hex(paySize)), 2, "0")))
+      .otherwise(lpad(lower(hex(paySize + 128)), 2, "0"))
+    def b1(v: org.apache.spark.sql.Column) = lpad(lower(hex(v)), 2, "0")
+    val hx = concat(
+      lit("1a45dfa3"), sizeVintHex,
+      lit("4286"), lit("81"), b1(ebmlVer), // EBMLVersion
+      lit("42f7"), lit("81"), lit("01"), // EBMLReadVersion
+      lit("42f2"), lit("81"), lit("04"), // EBMLMaxIDLength
+      lit("42f3"), lit("81"), lit("08"), // EBMLMaxSizeLength
+      lit("4282"), b1(dtLen + 128), docType, // DocType
+      lit("4287"), lit("81"), b1(dtVer), // DocTypeVersion
+      lit("4285"), lit("81"), lit("01")) // DocTypeReadVersion
+    val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
+    val bin = col("_bin")
+    val hdrLen = ebmlVintLen(bin, lit(5))
+    val hdrSize = ebmlVintVal(bin, lit(5), hdrLen)
+    var out = withBin
+      .withColumn("valid_ebml",
+        (lower(hex(substring(bin, 1, 4))) === "1a45dfa3").cast("int"))
+      .withColumn("hdr_vint_len", hdrLen)
+      .withColumn("header_size", hdrSize)
+      .withColumn("ebml_version", lit(null).cast("int"))
+      .withColumn("doctype", lit(null).cast("string"))
+      .withColumn("doctype_version", lit(null).cast("int"))
+      .withColumn("_cur", (lit(5) + hdrLen).cast("int"))
+    for (_ <- 1 to EbmlMaxElements) {
+      // per-hop intermediates as ALIASED columns (the JPEG-walk
+      // lesson): the vint length/value feed four outputs each — as one
+      // composed expression the projection re-derives them 4× per hop
+      // across 7 hops and the generated method blows the 64KB
+      // JIT/codegen limit (caught by CodegenFallbackSpec at birth)
+      out = out
+        .withColumn("_id", lower(hex(bin.substr(col("_cur"), lit(2)))))
+        .withColumn("_slen", ebmlVintLen(bin, col("_cur") + lit(2)))
+        .withColumn("_sval", ebmlVintVal(bin, col("_cur") + lit(2), col("_slen")))
+      out = out.withColumn("_poff", (col("_cur") + lit(2) + col("_slen")).cast("int"))
+      out = out
+        .withColumn("ebml_version",
+          when(col("ebml_version").isNotNull, col("ebml_version"))
+            .when(col("_id") === "4286",
+              conv(hex(bin.substr(col("_poff"), col("_sval").cast("int"))), 16, 10).cast("int")))
+        .withColumn("doctype",
+          when(col("doctype").isNotNull, col("doctype"))
+            .when(col("_id") === "4282",
+              bin.substr(col("_poff"), col("_sval").cast("int")).cast("string")))
+        .withColumn("doctype_version",
+          when(col("doctype_version").isNotNull, col("doctype_version"))
+            .when(col("_id") === "4287",
+              conv(hex(bin.substr(col("_poff"), col("_sval").cast("int"))), 16, 10).cast("int")))
+        .withColumn("_cur",
+          when(col("_slen").isNotNull && col("_poff") + col("_sval") <= Int.MaxValue,
+            (col("_poff") + col("_sval")).cast("int")))
+    }
+    out.select(col("doc_id"), col("valid_ebml"), col("hdr_vint_len"),
+      col("header_size"), col("ebml_version"), col("doctype"),
+      col("doctype_version"),
+      (col("doctype") === "webm").cast("int").as("is_webm"))
+  }
+
   /** Signed little-endian i32 (two's complement) at a COLUMN byte
     * offset — BMP's biHeight is NEGATIVE for top-down row order, the
     * classic header quirk naive parsers truncate to garbage. */
@@ -1881,9 +2071,41 @@ object Multimodal {
     "mm_midi_meta" -> (mmMidiMeta _),
     "mm_pdf_info"  -> (mmPdfInfo _),
     "mm_svg_dims"  -> (mmSvgDims _),
+    "mm_avi_meta"  -> (mmAviMeta _),
+    "mm_ebml_meta" -> (mmEbmlMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmEbmlMeta by the generating formulas: vint width 2 on
+    // every 4th doc, payload 23 + doctype length
+    "mm_ebml_meta" ->
+      """SELECT doc_id, 1 AS valid_ebml,
+        |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS hdr_vint_len,
+        |  (23 + CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 8 END)::bigint AS header_size,
+        |  (n_chars % 2 + 1)::int AS ebml_version,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'webm' ELSE 'matroska' END AS doctype,
+        |  (doc_id % 4 + 1)::int AS doctype_version,
+        |  (doc_id % 2 = 1)::int AS is_webm
+        |FROM documents""".stripMargin,
+    // mirrors mmAviMeta by the generating formulas: hdrl_off by chunk
+    // arithmetic (12 RIFF header bytes, optional 8+junkLen JUNK)
+    "mm_avi_meta" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    ((n_chars % 4 + 1) * 16667)::bigint AS usec,
+        |    (doc_id % 3000 + 30)::bigint AS frames,
+        |    (doc_id % 2 + 1)::int AS streams,
+        |    (n_chars % 1280 + 16)::int AS w,
+        |    (doc_id % 720 + 16)::int AS h,
+        |    CASE WHEN doc_id % 3 <> 0 THEN ((doc_id % 12) * 2 + 2 + 8) ELSE 0 END AS junk_span
+        |  FROM documents
+        |)
+        |SELECT doc_id, 1 AS valid_avi, (13 + junk_span)::int AS hdrl_off,
+        |  usec AS usec_per_frame, frames AS total_frames,
+        |  streams AS n_streams, w AS width, h AS height,
+        |  round(1000000.0 / usec, 4) AS fps,
+        |  round((usec * frames)::double / 1000.0, 4) AS duration_ms
+        |FROM g""".stripMargin,
     // mirrors mmMidiMeta by the generating formula: every 13th doc is
     // corrupt (all parsed fields null), SMPTE flag on every 4th
     "mm_midi_meta" ->
