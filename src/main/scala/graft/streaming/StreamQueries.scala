@@ -542,6 +542,7 @@ object StreamQueries {
     "ev_lifetime_features" -> (evLifetimeFeatures _),
     "ev_throttle"    -> (evThrottle _),
     "ev_ewma"        -> (evEwma _),
+    "ev_dau_wau"     -> (evDauWau _),
   )
 
   /** I29: point-in-time-correct lifetime features (batch face; the
@@ -556,6 +557,29 @@ object StreamQueries {
     * streaming parity in StreamingSpec). */
   def evThrottle(spark: SparkSession, dir: String): DataFrame =
     Streaming.throttleBatch(Tables.events(spark, dir), ThrottleMax)
+
+  /** I36: rolling actives — DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per day, the engagement face every
+    * product pipeline reports. Exact distincts (the oracle-checkable
+    * face; the windowed-HLL I22 is the sketch sibling at 100 TB/day).
+    * Scale shape: events collapse to DISTINCT (day, user) first —
+    * everything downstream is user-day scale; the trailing window is
+    * a ≤7× bounded range join against the TINY day dimension
+    * (broadcast — 365 rows/year), never event×event. */
+  def evDauWau(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ud = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+    val dau = ud.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+    val days = dau.select(col("day").as("d"))
+    val wau = ud.join(broadcast(days),
+        col("day") <= col("d") &&
+          col("day") >= col("d") - expr("INTERVAL 6 DAYS"))
+      .groupBy("d").agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
 
   /** EWMA weights (1-α)^k for α=0.5 over the current + 5 prior hours —
     * exact binary fractions, so the weighted sums are IEEE-identical
@@ -890,6 +914,21 @@ object StreamQueries {
     // mirrors EventOps.hourlyAnomalies: mean/sd from EXACT integer sums
     // (identical double expressions over identical inputs → identical
     // rounding and threshold decisions in both engines)
+    // I36: same distinct-first shape; the trailing window is the same
+    // closed 7-day interval in both engines
+    "ev_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT d.d, count(DISTINCT u.user_id) AS wau
+        |  FROM (SELECT DISTINCT day AS d FROM ud) d
+        |  JOIN ud u ON u.day <= d.d AND u.day >= d.d - INTERVAL 6 DAY
+        |  GROUP BY 1
+        |)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(dau.dau::double / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.d""".stripMargin,
+
     // I34: same weights, same drop-missing-lags normalization; the
     // weighted sums are exact binary-fraction arithmetic in both
     // engines, so round(…, 4) hashes identically
