@@ -367,48 +367,108 @@ object SnapshotStore {
       .select(col("op") +: a.columns.toIndexedSeq.map(img): _*)
   }
 
+  // ---- K31: named tags -------------------------------------------------
+
+  private def tagsDir(name: String): Path = new Path(tableDir(name), "_tags")
+  private def tagPath(name: String, tag: String): Path = {
+    require(tag.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$tag'")
+    new Path(tagsDir(name), s"$tag.txt")
+  }
+
+  /** K31: pin a version under a NAME — "corpus@prod", "run-17" — the
+    * reproducibility handle Delta/Iceberg tags give: training configs
+    * reference the tag, not a version number that only means something
+    * to whoever committed it. Re-tagging overwrites (write-temp +
+    * rename, same publish discipline as manifests). Defaults to the
+    * latest version. Tagged versions are PROTECTED from [[vacuum]]. */
+  def tag(name: String, tagName: String, version: Option[Long] = None): Long =
+    synchronized {
+      val vs = versions(name)
+      require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+      val v = version.getOrElse(vs.last)
+      require(vs.contains(v), s"version $v of '$name' not found (have $vs)")
+      val fs = fsOf(tagsDir(name))
+      fs.mkdirs(tagsDir(name))
+      val tmp = new Path(tagsDir(name), s".$tagName.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      val target = tagPath(name, tagName)
+      fs.delete(target, false)
+      require(fs.rename(tmp, target), s"tag publish failed: $name@$tagName")
+      v
+    }
+
+  /** All tags of `name` → version. */
+  def tags(name: String): Map[String, Long] = {
+    val dir = tagsDir(name)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).iterator.map(_.getPath)
+      .filter(p => p.getName.endsWith(".txt") && !p.getName.startsWith("."))
+      .map(p => p.getName.stripSuffix(".txt") -> readLines(p).head.trim.toLong)
+      .toMap
+  }
+
+  /** Read the table as of a tag. */
+  def readTag(spark: SparkSession, name: String, tagName: String): DataFrame = {
+    val v = tags(name).getOrElse(tagName,
+      throw new IllegalArgumentException(s"no tag '$tagName' on '$name'"))
+    read(spark, name, Some(v))
+  }
+
+  def deleteTag(name: String, tagName: String): Unit = {
+    val p = tagPath(name, tagName)
+    fsOf(p).delete(p, false); ()
+  }
+
   /** Retention GC (the VACUUM half every snapshot format stages
-    * separately from commits): keep only the newest `keep` versions'
-    * manifests, then delete every data file no surviving manifest
-    * references. Order matters for crash safety — manifests go first,
-    * so a crash mid-vacuum can only leave orphaned data files (which
-    * the next vacuum removes), never a manifest pointing at deleted
-    * data. Both read caches are invalidated for the dropped versions
-    * (r11 advisor): a cached batchId→version entry whose manifest is
-    * gone would resolve replays to an unreadable version, and a cached
-    * indexed read would plan over deleted files. */
+    * separately from commits): keep the newest `keep` versions PLUS
+    * every K31-tagged version, then delete every data file no
+    * surviving manifest references. Order matters for crash safety —
+    * manifests go first, so a crash mid-vacuum can only leave
+    * orphaned data files (which the next vacuum removes), never a
+    * manifest pointing at deleted data. Both read caches are
+    * invalidated for the dropped versions (r11 advisor): a cached
+    * batchId→version entry whose manifest is gone would resolve
+    * replays to an unreadable version, and a cached indexed read
+    * would plan over deleted files. */
   def vacuum(name: String, keep: Int): Unit = synchronized {
     require(keep >= 1, "must keep at least one version")
     val vs = versions(name)
-    val drop = vs.dropRight(keep)
+    val protectedVs = tags(name).values.toSet
+    val keptVersions =
+      (vs.takeRight(keep) ++ vs.filter(protectedVs.contains)).distinct.sorted
+    val drop = vs.filterNot(keptVersions.contains)
     if (drop.nonEmpty) {
       val dropped = drop.toSet
-      val keptVersions = vs.takeRight(keep)
+      val keptSet = keptVersions.toSet
       // resolve while every chain is still intact
       val referenced = keptVersions.flatMap(readManifest(name, _)).toSet
       val fs = fsOf(tableDir(name))
-      // K28 chain repair BEFORE any manifest deletion: delta links
-      // always point at v-1, so only the OLDEST kept version can
-      // reference a dropped manifest — rewrite it as a full
-      // checkpoint (same headers minus #prev), atomically
-      val oldestKept = keptVersions.head
-      if (prevOf(name, oldestKept).isDefined) {
-        val full = readManifest(name, oldestKept)
-        val headers = readLines(manifestPath(name, oldestKept))
-          .filter(l => l.startsWith("#") && !l.startsWith("#prev="))
-        val tmp = new Path(manifestDir(name), s".v$oldestKept.ckpt.tmp")
-        val out = fs.create(tmp, true)
-        try out.write((headers ++ full).mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        val target = manifestPath(name, oldestKept)
-        // delete→rename through the SAME FileSystem (checksum sidecars
-        // stay coherent on LocalFileSystem). The non-atomic window is
-        // recoverable: the full .ckpt.tmp survives a crash between the
-        // two calls, and nothing has been dropped yet — still "orphan
-        // data files only", never a lost table state.
-        fs.delete(target, false)
-        require(fs.rename(tmp, target),
-          s"checkpoint rewrite failed for $name v$oldestKept")
+      // K28 chain repair BEFORE any manifest deletion: with tag
+      // protection the kept set need not be contiguous, so EVERY kept
+      // version whose #prev link leaves the kept set is rewritten as a
+      // full checkpoint (same headers minus #prev) — resolution still
+      // works because no manifest has been deleted yet
+      keptVersions.foreach { kv =>
+        if (prevOf(name, kv).exists(p => !keptSet.contains(p))) {
+          val full = readManifest(name, kv)
+          val headers = readLines(manifestPath(name, kv))
+            .filter(l => l.startsWith("#") && !l.startsWith("#prev="))
+          val tmp = new Path(manifestDir(name), s".v$kv.ckpt.tmp")
+          val out = fs.create(tmp, true)
+          try out.write((headers ++ full).mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          val target = manifestPath(name, kv)
+          // delete→rename through the SAME FileSystem (checksum
+          // sidecars stay coherent on LocalFileSystem). The non-atomic
+          // window is recoverable: the full .ckpt.tmp survives a crash
+          // between the two calls, and nothing has been dropped yet —
+          // still "orphan data files only", never a lost table state.
+          fs.delete(target, false)
+          require(fs.rename(tmp, target),
+            s"checkpoint rewrite failed for $name v$kv")
+        }
       }
       drop.foreach(v => fs.delete(manifestPath(name, v), false))
       committedBatches.get(name).foreach(m =>

@@ -211,6 +211,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.files("twap", v).forall(_.contains("data_v")))
   }
 
+  test("K31 tags pin versions by name and protect them from vacuum") {
+    import spark.implicits._
+    SnapshotStore.setCheckpointInterval(4)
+    try {
+      (0 until 10).foreach(i =>
+        SnapshotStore.commitAppend("ttag", Seq((i.toLong, s"s$i")).toDF("k", "s")))
+      // pin v2 (a delta deep in the droppable prefix) as "run-17"
+      assert(SnapshotStore.tag("ttag", "run-17", Some(2L)) == 2L)
+      assert(SnapshotStore.tag("ttag", "latest") == 9L) // defaults to last
+      assert(SnapshotStore.tags("ttag") == Map("run-17" -> 2L, "latest" -> 9L))
+      assert(SnapshotStore.readTag(spark, "ttag", "run-17").count() == 3L)
+      // vacuum keep-2 must preserve v2 (tagged) alongside v8,v9 — and
+      // repair BOTH dangling chains (v2→v1 dropped, v8→v7 dropped)
+      SnapshotStore.vacuum("ttag", keep = 2)
+      assert(SnapshotStore.versions("ttag") == Seq(2L, 8L, 9L))
+      assert(SnapshotStore.readTag(spark, "ttag", "run-17")
+        .as[(Long, String)].collect().toSet ==
+        (0 to 2).map(j => (j.toLong, s"s$j")).toSet)
+      assert(SnapshotStore.read(spark, "ttag", Some(9L)).count() == 10L)
+      // untag → the next vacuum reclaims it
+      SnapshotStore.deleteTag("ttag", "run-17")
+      SnapshotStore.vacuum("ttag", keep = 2)
+      assert(SnapshotStore.versions("ttag") == Seq(8L, 9L))
+      intercept[IllegalArgumentException] {
+        SnapshotStore.readTag(spark, "ttag", "run-17")
+      }
+    } finally SnapshotStore.setCheckpointInterval(10)
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
