@@ -343,6 +343,41 @@ object KgQueries {
           .otherwise("N:M").as("cardinality"))
   }
 
+  /** B18 negatives per positive triple. */
+  val NegSamplesK = 3
+
+  /** B18: deterministic negative sampling for KG-embedding training —
+    * the export every TransE/DistMult/RotatE pipeline runs over a
+    * constructed KG: each positive (s, r, o) yields K corrupted
+    * (s, r, o′) pairs with o′ drawn from the node table by an
+    * md5-keyed index (no RNG — same inputs, same negatives, in any
+    * engine, on any cluster; the G5 hash-split discipline applied to
+    * sampling). Collisions (o′ = o) are filtered rather than redrawn
+    * so the output stays a pure projection of the hash. Scale shape:
+    * nodes rank once via the distributed rankedAsc (no global
+    * window); the K-way explode is bounded fanout; the draw is one
+    * shuffle join keyed on the node index. */
+  def kgNegativeSamples(spark: SparkSession, dir: String): DataFrame = {
+    val t = storedTriples(spark, dir)
+      .filter(col("subject").isNotNull && trim(col("subject")) =!= "" &&
+        col("object").isNotNull && trim(col("object")) =!= "")
+      .select("subject", "relation", "object")
+    val names = storedNodes(spark, dir).select(col("name")).distinct()
+    val ranked = graft.graph.Graphs.rankedAsc(names, "name", "idx")
+    val nNodes = broadcast(ranked.agg(count(lit(1)).as("n_nodes")))
+    t.crossJoin(nNodes)
+      .select(col("subject"), col("relation"), col("object"), col("n_nodes"),
+        explode(sequence(lit(0), lit(NegSamplesK - 1))).as("neg_i"))
+      .withColumn("idx",
+        conv(substring(md5(concat_ws("|", col("subject"), col("relation"),
+          col("object"), col("neg_i"))), 1, 8), 16, 10).cast("long")
+          % col("n_nodes") + 1)
+      .join(ranked, "idx")
+      .filter(col("name") =!= col("object"))
+      .select(col("subject"), col("relation"), col("object"),
+        col("neg_i"), col("name").as("neg_object"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "kg_triples"               -> (kgTriples _),
     "kg_extract_json"          -> (kgExtractJson _),
@@ -358,6 +393,7 @@ object KgQueries {
     "kg_reciprocity"           -> (kgReciprocity _),
     "kg_type_signatures"       -> (kgTypeSignatures _),
     "kg_schema_violations"     -> (kgSchemaViolations _),
+    "kg_negative_samples"      -> (kgNegativeSamples _),
   )
 
   /** Generated ER pair oracle — mirrors EntityResolution.resolutionPairs
@@ -420,6 +456,35 @@ object KgQueries {
 
   def oracleSql: Map[String, String] = Map(
     "kg_triples" -> triplesSql,
+
+    // B18: same md5-keyed draw over the same name-ranked node table;
+    // ranks agree because names are ASCII (binary order both engines)
+    "kg_negative_samples" ->
+      s"""WITH t AS ($triplesSql),
+         |tt AS (
+         |  SELECT subject, relation, object FROM t
+         |  WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |    AND object IS NOT NULL AND trim(object) <> ''
+         |),
+         |names AS (
+         |  SELECT DISTINCT name FROM (
+         |    SELECT subject AS name FROM t
+         |    WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |    UNION
+         |    SELECT object FROM t
+         |    WHERE object IS NOT NULL AND trim(object) <> '')
+         |),
+         |ranked AS (SELECT name, row_number() OVER (ORDER BY name) AS idx FROM names),
+         |n AS (SELECT count(*) AS n_nodes FROM names),
+         |e AS (
+         |  SELECT subject, relation, object, neg_i,
+         |    ('0x' || substr(md5(subject || '|' || relation || '|' || object || '|' || neg_i), 1, 8))::bigint
+         |      % n_nodes + 1 AS idx
+         |  FROM tt, n, (SELECT unnest(range(0, ${KgQueries.NegSamplesK})) AS neg_i)
+         |)
+         |SELECT e.subject, e.relation, e.object, e.neg_i, r.name AS neg_object
+         |FROM e JOIN ranked r ON r.idx = e.idx
+         |WHERE r.name <> e.object""".stripMargin,
 
     "kg_extract_json" ->
       """SELECT substr(regexp_replace(text, '["{}\[\]]', '', 'g'), 1, 40) AS subject,
