@@ -788,6 +788,38 @@ object TextQueries {
     * negligible up to ~2³²·cap docs per source. Shape: one count
     * aggregation + a broadcast threshold join + a pure filter — the
     * corpus is scanned once and never shuffled. */
+  /** G34: no source may claim more than this share of the allocated
+    * token budget (spelled identically in the oracle). */
+  val MixtureBudgetCapShare = 0.15
+
+  /** G34: capped token-budget mixture allocation — the data-mixing
+    * math a training run does BEFORE sampling: per-source corpus
+    * token counts, a hard cap ("no single crawl may exceed 15% of
+    * the budget"), the per-source sampling RATE that implements the
+    * cap, and each source's share of the allocated budget. G18
+    * samples documents to a target mixture; this is the planning
+    * face that decides the mixture from corpus statistics. All
+    * arithmetic is exact integers until the two final divisions
+    * (identical doubles in both engines), so round(4) is pure
+    * formatting. One keyed aggregation + two broadcast scalars —
+    * aggregate-scale throughout. */
+  def textMixtureBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val perSource = d.select(col("source"), size(tokens(col("text"))).as("n"))
+      .groupBy("source").agg(sum(col("n")).as("tokens"))
+    val total = broadcast(perSource.agg(sum(col("tokens")).as("total_tokens")))
+    val alloc = perSource.crossJoin(total)
+      .withColumn("cap_tokens",
+        floor(col("total_tokens") * lit(MixtureBudgetCapShare)).cast("long"))
+      .withColumn("alloc_tokens", least(col("tokens"), col("cap_tokens")))
+    val totalAlloc = broadcast(alloc.agg(sum(col("alloc_tokens")).as("total_alloc")))
+    alloc.crossJoin(totalAlloc)
+      .select(col("source"), col("tokens"), col("cap_tokens"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("tokens"), 4).as("sample_rate"),
+        round(col("alloc_tokens").cast("double") / col("total_alloc"), 4).as("mixture_share"))
+  }
+
   def textMixture(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val space = 4294967296L // 2^32
@@ -1099,6 +1131,7 @@ object TextQueries {
     "text_pack"         -> (textPack _),
     "text_sample"       -> (textSample _),
     "text_mixture"      -> (textMixture _),
+    "text_mixture_budget" -> (textMixtureBudget _),
     "text_lm_score"     -> (textLmScore _),
     "text_top_bigram"   -> (textTopBigram _),
     "text_gopher"       -> (textGopher _),
@@ -1497,6 +1530,24 @@ object TextQueries {
          |       WHEN bucket < $ValBucketMax THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    // G34: same integer token sums, same floor(cap), same two final
+    // divisions
+    "text_mixture_budget" ->
+      s"""WITH per_source AS (
+         |  SELECT source, sum(length($toksSql))::bigint AS tokens
+         |  FROM documents GROUP BY 1
+         |), t AS (SELECT sum(tokens)::bigint AS total_tokens FROM per_source),
+         |a AS (
+         |  SELECT source, tokens,
+         |    floor(total_tokens * ${TextQueries.MixtureBudgetCapShare})::bigint AS cap_tokens,
+         |    least(tokens, floor(total_tokens * ${TextQueries.MixtureBudgetCapShare})::bigint) AS alloc_tokens
+         |  FROM per_source, t
+         |), ta AS (SELECT sum(alloc_tokens)::bigint AS total_alloc FROM a)
+         |SELECT source, tokens, cap_tokens, alloc_tokens,
+         |  round(alloc_tokens::double / tokens, 4) AS sample_rate,
+         |  round(alloc_tokens::double / total_alloc, 4) AS mixture_share
+         |FROM a, ta""".stripMargin,
 
     "text_corpus_stats" ->
       s"""WITH q AS (SELECT source, lang, length($toksSql) AS n, length(text) AS len FROM documents)
