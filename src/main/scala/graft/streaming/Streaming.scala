@@ -767,6 +767,26 @@ object Streaming {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** I38: dead-letter split sink — every ingest front door needs the
+    * invalid rows PRESERVED (the A11/A12 corrupt-tolerant discipline,
+    * streaming flavor): one foreachBatch routes each micro-batch into
+    * an accepted table and a dead-letter table, BOTH through the
+    * snapshot store's batchId-idempotent commit. A true atomic
+    * two-sink write does not exist in any streaming engine; this is
+    * the production-standard convergent shape instead — a crash
+    * between the two commits replays the batch, the already-committed
+    * table no-ops on its batchId, the other catches up, and both
+    * tables end exactly-once. Rejected rows carry the batchId for
+    * audit joins. Usage:
+    * `ds.writeStream.foreachBatch(Streaming.deadLetterSink("ok", "dlq", cond) _)`. */
+  def deadLetterSink(okTable: String, deadTable: String,
+      isValid: org.apache.spark.sql.Column)(df: DataFrame, batchId: Long): Unit = {
+    graft.store.SnapshotStore.commitStreamBatch(okTable, df.filter(isValid), batchId)
+    graft.store.SnapshotStore.commitStreamBatch(deadTable,
+      df.filter(!isValid).withColumn("batch_id", lit(batchId)), batchId)
+    ()
+  }
+
   final case class SsEv(user_id: Long, ts: Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -339,6 +339,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I38 dead-letter split sink: both tables land exactly-once, replay converges") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.store.SnapshotStore
+    val mem = MemoryStream[Streaming.ThEv]
+    val valid = org.apache.spark.sql.functions.col("user_id") > 0L
+    val q = mem.toDS().toDF()
+      .writeStream
+      .foreachBatch(Streaming.deadLetterSink("dlq_ok", "dlq_bad", valid) _)
+      .start()
+    try {
+      mem.addData(
+        Streaming.ThEv(1L, 7L, ts(0)), Streaming.ThEv(2L, 0L, ts(1)),
+        Streaming.ThEv(3L, 9L, ts(2)))
+      q.processAllAvailable()
+      mem.addData(Streaming.ThEv(4L, 0L, ts(3)), Streaming.ThEv(5L, 2L, ts(4)))
+      q.processAllAvailable()
+      def ids(t: String) = SnapshotStore.read(spark, t)
+        .select("event_id").as[Long].collect().toSet
+      assert(ids("dlq_ok") == Set(1L, 3L, 5L))
+      assert(ids("dlq_bad") == Set(2L, 4L))
+      // dead-letter rows carry their batchId for audit joins
+      assert(SnapshotStore.read(spark, "dlq_bad")
+        .select("batch_id").as[Long].collect().toSet == Set(0L, 1L))
+      // the crash-replay window: batch 0 re-delivered — BOTH tables
+      // must no-op on the known batchId, nothing duplicates
+      val replay = Seq(
+        Streaming.ThEv(1L, 7L, ts(0)), Streaming.ThEv(2L, 0L, ts(1)),
+        Streaming.ThEv(3L, 9L, ts(2))).toDF()
+      Streaming.deadLetterSink("dlq_ok", "dlq_bad", valid)(replay, 0L)
+      assert(ids("dlq_ok") == Set(1L, 3L, 5L) && ids("dlq_bad") == Set(2L, 4L))
+      assert(SnapshotStore.versions("dlq_ok").size == 2 &&
+        SnapshotStore.versions("dlq_bad").size == 2)
+    } finally q.stop()
+  }
+
   test("I13 streaming transitions match the batch window operator, across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
