@@ -68,6 +68,7 @@ object SparkEntry {
       "q_small_qty_revenue" -> (Relational.qSmallQtyRevenue _),
       "q_excess_suppliers" -> (Relational.qExcessSuppliers _),
       "q_waiting_suppliers" -> (Relational.qWaitingSuppliers _),
+      "q_overlap_orders"   -> (Relational.qOverlapOrders _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -534,6 +535,21 @@ object SparkEntry {
         |JOIN only_late ol ON ll.l_orderkey = ol.l_orderkey
         |JOIN supplier s ON ll.l_suppkey = s.s_suppkey
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    // D38: same interval build, same closed-overlap predicate and
+    // inclusive day count
+    "q_overlap_orders" ->
+      """WITH iv AS (
+        |  SELECT o.o_custkey AS c, o.o_orderkey AS k, o.o_orderdate AS s,
+        |    max(l.l_shipdate) AS e
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT a.c AS o_custkey, count(*) AS n_overlap_pairs,
+        |  max(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1) AS max_overlap_days
+        |FROM iv a JOIN iv b ON a.c = b.c AND a.k < b.k
+        |WHERE a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

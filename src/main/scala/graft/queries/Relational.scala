@@ -953,4 +953,32 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(20)
   }
+
+  /** D38: interval-OVERLAP self-join — "which customers ran
+    * concurrent open orders, and how concurrent": each order becomes
+    * the interval [orderdate, max shipdate of its lines]; same-key
+    * (customer) interval pairs that overlap aggregate to a
+    * per-customer concurrency profile. The self-join is EQUI-KEYED
+    * on the customer (pair space bounded by orders-per-customer², a
+    * small constant at any corpus scale) with the overlap predicate
+    * as a post-join filter — the plan a real overlap join wants when
+    * a natural partition key bounds the pairs; when none does, the
+    * K4 grid-bucketing is the fallback shape. */
+  def qOverlapOrders(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("end_ts"))
+    val a = iv.select(col("o_custkey").as("c"), col("o_orderkey").as("k1"),
+      col("o_orderdate").as("s1"), col("end_ts").as("e1"))
+    val b = iv.select(col("o_custkey").as("c"), col("o_orderkey").as("k2"),
+      col("o_orderdate").as("s2"), col("end_ts").as("e2"))
+    a.join(b, Seq("c"))
+      .filter(col("k1") < col("k2") && col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .withColumn("overlap_days",
+        datediff(least(col("e1"), col("e2")), greatest(col("s1"), col("s2"))) + 1)
+      .groupBy(col("c").as("o_custkey"))
+      .agg(count(lit(1)).as("n_overlap_pairs"),
+        max(col("overlap_days")).as("max_overlap_days"))
+  }
 }
