@@ -498,8 +498,11 @@ object Multimodal {
         concat(lit("40"), lpad(lower(hex(paySize)), 2, "0")))
       .otherwise(lpad(lower(hex(paySize + 128)), 2, "0"))
     def b1(v: org.apache.spark.sql.Column) = lpad(lower(hex(v)), 2, "0")
+    // corrupt leg (every 9th doc): wrong magic — the parser must null
+    // every field rather than misread, the mm-family convention
+    val magic = when(col("doc_id") % 9 === 0, "deadbeef").otherwise(lit("1a45dfa3"))
     val hx = concat(
-      lit("1a45dfa3"), sizeVintHex,
+      magic, sizeVintHex,
       lit("4286"), lit("81"), b1(ebmlVer), // EBMLVersion
       lit("42f7"), lit("81"), lit("01"), // EBMLReadVersion
       lit("42f2"), lit("81"), lit("04"), // EBMLMaxIDLength
@@ -509,11 +512,13 @@ object Multimodal {
       lit("4285"), lit("81"), lit("01")) // DocTypeReadVersion
     val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
     val bin = col("_bin")
-    val hdrLen = ebmlVintLen(bin, lit(5))
-    val hdrSize = ebmlVintVal(bin, lit(5), hdrLen)
+    val validC = (lower(hex(substring(bin, 1, 4))) === "1a45dfa3").cast("int")
+    // guard every parsed field on the magic (the jpegDims convention):
+    // a corrupt stream yields nulls, never a structural misread
+    val hdrLen = when(validC === 1, ebmlVintLen(bin, lit(5)))
+    val hdrSize = when(validC === 1, ebmlVintVal(bin, lit(5), ebmlVintLen(bin, lit(5))))
     var out = withBin
-      .withColumn("valid_ebml",
-        (lower(hex(substring(bin, 1, 4))) === "1a45dfa3").cast("int"))
+      .withColumn("valid_ebml", validC)
       .withColumn("hdr_vint_len", hdrLen)
       .withColumn("header_size", hdrSize)
       .withColumn("ebml_version", lit(null).cast("int"))
@@ -2077,15 +2082,20 @@ object Multimodal {
 
   def oracleSql: Map[String, String] = Map(
     // mirrors mmEbmlMeta by the generating formulas: vint width 2 on
-    // every 4th doc, payload 23 + doctype length
+    // every 4th doc, payload 23 + doctype length, every 9th doc
+    // corrupt (all parsed fields null)
     "mm_ebml_meta" ->
-      """SELECT doc_id, 1 AS valid_ebml,
-        |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS hdr_vint_len,
-        |  (23 + CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 8 END)::bigint AS header_size,
-        |  (n_chars % 2 + 1)::int AS ebml_version,
-        |  CASE WHEN doc_id % 2 = 1 THEN 'webm' ELSE 'matroska' END AS doctype,
-        |  (doc_id % 4 + 1)::int AS doctype_version,
-        |  (doc_id % 2 = 1)::int AS is_webm
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_ebml,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS hdr_vint_len,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE (23 + CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 8 END) END::bigint AS header_size,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE (n_chars % 2 + 1) END::int AS ebml_version,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 1 THEN 'webm' ELSE 'matroska' END AS doctype,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE (doc_id % 4 + 1) END::int AS doctype_version,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE (doc_id % 2 = 1)::int END AS is_webm
         |FROM documents""".stripMargin,
     // mirrors mmAviMeta by the generating formulas: hdrl_off by chunk
     // arithmetic (12 RIFF header bytes, optional 8+junkLen JUNK)
