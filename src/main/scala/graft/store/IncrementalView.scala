@@ -77,6 +77,37 @@ object IncrementalView {
           SnapshotStore.commitOverwrite(mvName, merged)
           Refresh(target, incremental = true, filesScanned = added.size)
         }
+      case Some(v) if signedMergeViable(baseName, v, targetFiles) =>
+        // file-level COW advance (r12): the new version REMOVED some
+        // files (applyChangesCow rewrote them) but most carried over.
+        // count/sum are group-wise SUBTRACTABLE, so
+        //   mv_new = mv_old ⊕ agg(added files) ⊖ agg(removed files)
+        // scans only the rewritten slice — removed files still exist
+        // (data immutability; vacuum invalidates via the version check
+        // above, and signedMergeViable re-verifies on disk). Groups
+        // whose row count reaches zero drop, matching the full
+        // recompute. min/max are NOT subtractable — this view family
+        // is count/sum by construction.
+        val oldFiles = SnapshotStore.files(baseName, v)
+        val added = targetFiles.diff(oldFiles)
+        val removed = oldFiles.diff(targetFiles)
+        val schema = SnapshotStore.read(spark, baseName, Some(target)).schema
+        def signed(files: Seq[String], sign: Int): DataFrame = {
+          val a = aggregate(spark.read.schema(schema).parquet(files: _*))
+          a.select(keys.map(col) ++
+            ((col("n_rows") * sign).as("n_rows") +:
+              sumCols.map(c => (col(s"sum_$c") * sign).as(s"sum_$c"))): _*)
+        }
+        val parts = Seq(SnapshotStore.read(spark, mvName)) ++
+          (if (added.nonEmpty) Seq(signed(added, 1)) else Nil) ++
+          Seq(signed(removed, -1))
+        val merged = parts.reduce(_ unionByName _)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("n_rows")).as("n_rows"),
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+          .filter(col("n_rows") > 0)
+        SnapshotStore.commitOverwrite(mvName, merged)
+        Refresh(target, incremental = true, filesScanned = added.size + removed.size)
       case _ =>
         // first build, or history rewritten (overwrite/CDC/vacuum):
         // full recompute — correctness never depends on the fast path
@@ -86,6 +117,24 @@ object IncrementalView {
     }
     reflects(mvName) = target
     result
+  }
+
+  /** The signed merge is taken only when it actually beats a full
+    * rescan AND every removed file is still on disk (a vacuum between
+    * versions could have reclaimed them — then only full is safe). */
+  private def signedMergeViable(baseName: String, v: Long,
+      targetFiles: Seq[String]): Boolean = {
+    val oldFiles = SnapshotStore.files(baseName, v)
+    val removed = oldFiles.diff(targetFiles)
+    val added = targetFiles.diff(oldFiles)
+    removed.nonEmpty &&
+      (removed.size + added.size) < targetFiles.size &&
+      removed.forall { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        scala.util.Try(p.getFileSystem(
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+          .exists(p)).getOrElse(false)
+      }
   }
 
   /** The view's current contents. */

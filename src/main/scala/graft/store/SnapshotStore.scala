@@ -331,6 +331,80 @@ object SnapshotStore {
     commitOverwrite(name, survivors.unionAll(upserts))
   }
 
+  /** Publish an EXPLICIT file list as the next version (always a full
+    * checkpoint — the list is arbitrary, no #prev chain applies) —
+    * the tail the file-level COW merge needs: untouched files carry
+    * over by REFERENCE, only rewritten ones are new. */
+  private def publishList(name: String, body: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Long = synchronized {
+    val prev = versions(name)
+    val v = prev.lastOption.getOrElse(-1L) + 1L
+    val fs = fsOf(tableDir(name))
+    val mdir = manifestDir(name)
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((Seq(s"#schema=${schema.json}") ++ body)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(name, v)),
+      s"manifest publish failed for $name v$v (concurrent writer?)")
+    v
+  }
+
+  /** I31 at scale — file-level COPY-ON-WRITE merge: the same
+    * upsert/delete contract as [[applyChanges]], but only the files
+    * that MIGHT hold a changed key are rewritten; every untouched
+    * file carries into the new manifest by reference. One scan
+    * locates affected files (input_file_name ⋉ changed keys — with a
+    * K22/K23 index the scan itself prunes), the rewrite reads ONLY
+    * those files, and the publish is the same atomic manifest swap.
+    * On a 100 TB table where a CDC batch touches 0.1% of keys this
+    * is the difference between rewriting a table and rewriting a few
+    * files — exactly the Delta/Iceberg COW contract. Returns
+    * (version, filesRewritten, filesTotal) so callers and tests can
+    * observe the write amplification. */
+  def applyChangesCow(spark: SparkSession, name: String, changes: DataFrame,
+      keyCols: Seq[String], opCol: String = "op"): (Long, Int, Int) = synchronized {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val prevFiles = readManifest(name, vs.last)
+    val schema = schemaOf(name, vs.last)
+      .getOrElse(spark.read.parquet(prevFiles: _*).schema)
+    val ck = changes.select(keyCols.map(col): _*).distinct()
+    val withFile = spark.read.schema(schema).parquet(prevFiles: _*)
+      .withColumn("_file", org.apache.spark.sql.functions.input_file_name())
+    // URI-path normalization: manifest entries are fs-qualified
+    // (file:/…), input_file_name emits file:///… — compare paths
+    val affPaths = withFile.join(ck, keyCols, "left_semi")
+      .select("_file").distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val (affected, untouched) =
+      prevFiles.partition(f => affPaths.contains(new java.net.URI(f).getPath))
+    val survivors =
+      if (affected.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(affected: _*)
+        .join(ck, keyCols, "left_anti")
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val v = vs.last + 1L
+    val dataDir = new Path(tableDir(name), s"data_v$v")
+    // unionByName: an anti using-join can reorder the using columns to
+    // the front, so a positional union would cast across columns.
+    // Coalesce to the rewritten width: a COW of N files should produce
+    // ~N files, not shuffle-partition-many slivers (write amplification
+    // AND the small-file disease K10/K30 exist to fight).
+    survivors.unionByName(upserts)
+      .coalesce(math.max(1, affected.size))
+      .write.mode("error").parquet(dataDir.toString)
+    val newFiles = listParquet(dataDir)
+    val published = publishList(name, untouched ++ newFiles, schema)
+    (published, affected.size, prevFiles.size)
+  }
+
   /** K27: keyed semantic diff between two snapshot versions — "what
     * changed between corpus snapshot v1 and v2" as data, the audit/
     * lineage query every versioned store grows (Delta's table_changes

@@ -58,4 +58,45 @@ class IncrementalViewSpec extends SparkSpec {
     assert(!r.incremental, "rewritten history must fall back to full recompute")
     assert(mvRows("ivmv") == Map("z" -> ((2L, 101L))))
   }
+
+  test("K25 a file-level COW merge advances by SIGNED delta, scanning only rewritten files") {
+    import spark.implicits._
+    // 6 files, two keys per file — the layout a COW merge mostly reuses
+    val base = (0L until 12L).map(k => (s"g${k % 3}", k, k * 10L))
+      .toDF("g", "k", "v").repartition(6, col("k"))
+    SnapshotStore.commitOverwrite("ivcow", base)
+    val r0 = IncrementalView.refresh(spark, "ivcow", "ivcowmv", Seq("g"), Seq("v"))
+    assert(!r0.incremental)
+    val total = SnapshotStore.files("ivcow", r0.baseVersion).size
+    // CDC: update key 4 (g1, v 40 → 999), delete key 7 (g1)
+    val changes = Seq(("u", 4L, "g1", 999L), ("d", 7L, null.asInstanceOf[String], 0L))
+      .toDF("op0", "k", "g", "v")
+      .select(col("k"), col("g"), col("v"),
+        when(col("op0") === "u", "upsert").otherwise("delete").as("op"))
+    val (v1, rewritten, filesTotal) =
+      SnapshotStore.applyChangesCow(spark, "ivcow", changes, Seq("k"))
+    assert(filesTotal == total && rewritten < total,
+      s"COW must rewrite a strict subset: $rewritten of $filesTotal")
+    // untouched files carried by reference into the new manifest
+    val carried = SnapshotStore.files("ivcow", v1)
+      .intersect(SnapshotStore.files("ivcow", r0.baseVersion)).size
+    assert(carried == total - rewritten)
+    val r1 = IncrementalView.refresh(spark, "ivcow", "ivcowmv", Seq("g"), Seq("v"))
+    assert(r1.incremental, "COW advance must take the signed-delta path")
+    assert(r1.filesScanned < filesTotal,
+      s"scanned ${r1.filesScanned} of $filesTotal — not incremental")
+    // the view equals a fresh group-by of the merged table
+    val expect = SnapshotStore.read(spark, "ivcow").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(mvRows("ivcowmv") == expect)
+    // a COW delete of an ENTIRE group drops its row from the view
+    val dropG2 = (0L until 12L).filter(_ % 3 == 2)
+      .map(k => (k, null.asInstanceOf[String], 0L, "delete"))
+      .toDF("k", "g", "v", "op")
+    SnapshotStore.applyChangesCow(spark, "ivcow", dropG2, Seq("k"))
+    val r2 = IncrementalView.refresh(spark, "ivcow", "ivcowmv", Seq("g"), Seq("v"))
+    assert(r2.incremental)
+    assert(!mvRows("ivcowmv").contains("g2"))
+  }
 }
