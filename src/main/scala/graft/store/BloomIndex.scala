@@ -77,6 +77,36 @@ object BloomIndex {
     }
   }
 
+  /** The files whose filter admits ANY of `keys` — the batch probe a
+    * CDC merge wants ("which files might hold any changed key"):
+    * each file's filter deserializes ONCE and tests every key, so a
+    * K-key batch over N files is N deserializations + N·K O(1)
+    * probes, all metadata-side. Cast failures keep all files (the
+    * [[pruneFiles]] conservative contract). */
+  def pruneFilesAny(statsDf: DataFrame, keys: Seq[Any],
+      keyType: org.apache.spark.sql.types.DataType): Array[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val hashes: Option[Seq[Long]] = scala.util.Try {
+      val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+      keys.filter(_ != null).map { k =>
+        val lit0 = Literal(k)
+        val l =
+          if (lit0.dataType == keyType) lit0
+          else Literal.create(Cast(lit0, keyType, Some(tz)).eval(null), keyType)
+        XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+      }
+    }.toOption
+    hashes match {
+      case None => statsDf.select("file").collect().map(_.getString(0))
+      case Some(hs) =>
+        statsDf.select("file", "bloom").collect().iterator.filter { r =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          hs.exists(bf.mightContainLong)
+        }.map(_.getString(0)).toArray
+    }
+  }
+
   /** Point lookup planning over only the admitted files, equality
     * re-applied (Bloom positives may be false; the filter makes them
     * cheap, correctness never depends on them). */

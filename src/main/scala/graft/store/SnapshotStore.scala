@@ -365,7 +365,8 @@ object SnapshotStore {
     * (version, filesRewritten, filesTotal) so callers and tests can
     * observe the write amplification. */
   def applyChangesCow(spark: SparkSession, name: String, changes: DataFrame,
-      keyCols: Seq[String], opCol: String = "op"): (Long, Int, Int) = synchronized {
+      keyCols: Seq[String], opCol: String = "op",
+      bloomStats: Option[DataFrame] = None): (Long, Int, Int) = synchronized {
     import org.apache.spark.sql.functions.col
     val vs = versions(name)
     require(vs.nonEmpty, s"snapshot table '$name' has no commits")
@@ -373,13 +374,38 @@ object SnapshotStore {
     val schema = schemaOf(name, vs.last)
       .getOrElse(spark.read.parquet(prevFiles: _*).schema)
     val ck = changes.select(keyCols.map(col): _*).distinct()
-    val withFile = spark.read.schema(schema).parquet(prevFiles: _*)
-      .withColumn("_file", org.apache.spark.sql.functions.input_file_name())
     // URI-path normalization: manifest entries are fs-qualified
-    // (file:/…), input_file_name emits file:///… — compare paths
-    val affPaths = withFile.join(ck, keyCols, "left_semi")
-      .select("_file").distinct().collect()
-      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    // (file:/…), input_file_name/bloom stats emit file:///… — compare
+    // paths
+    lazy val statsCoverPrev = bloomStats.exists { stats =>
+      val covered = stats.select("file").collect()
+        .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      prevFiles.forall(f => covered.contains(new java.net.URI(f).getPath))
+    }
+    val affPaths: Set[String] = bloomStats match {
+      case Some(stats) if keyCols.size == 1 && statsCoverPrev =>
+        // K22-located COW: the per-file Bloom index answers "which
+        // files might hold any changed key" WITHOUT scanning the
+        // table at all — location cost is the metadata-scale stats
+        // table. False positives only cost an extra file rewrite
+        // (correctness never depends on the filter); no false
+        // negatives by construction — GUARDED on the stats covering
+        // every current file (stale stats from an older version
+        // would silently skip newer files' keys, so they fall back
+        // to the scan locator instead). The changed-key set is the
+        // CDC batch's key column — the bounded small side by
+        // definition.
+        val keys = ck.collect().map(_.get(0)).toSeq
+        BloomIndex.pruneFilesAny(stats, keys, schema(keyCols.head).dataType)
+          .map(f => new java.net.URI(f).getPath).toSet
+      case _ =>
+        // scan-located: one pass marks the files actually holding keys
+        val withFile = spark.read.schema(schema).parquet(prevFiles: _*)
+          .withColumn("_file", org.apache.spark.sql.functions.input_file_name())
+        withFile.join(ck, keyCols, "left_semi")
+          .select("_file").distinct().collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    }
     val (affected, untouched) =
       prevFiles.partition(f => affPaths.contains(new java.net.URI(f).getPath))
     val survivors =

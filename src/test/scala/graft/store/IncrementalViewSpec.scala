@@ -99,4 +99,38 @@ class IncrementalViewSpec extends SparkSpec {
     assert(r2.incremental)
     assert(!mvRows("ivcowmv").contains("g2"))
   }
+
+  test("K22-located COW: the Bloom index finds affected files without scanning; stale stats fall back") {
+    import spark.implicits._
+    val base = (0L until 12L).map(k => (s"g${k % 3}", k, k * 10L))
+      .toDF("g", "k", "v").repartition(6, col("k"))
+    SnapshotStore.commitOverwrite("ivcowb", base)
+    val files = SnapshotStore.files("ivcowb", 0L)
+    // build the per-file Bloom stats over the CURRENT version's files
+    val stats = BloomIndex.build(spark,
+      new java.io.File(new java.net.URI(files.head).getPath).getParent, "k")
+      .cache()
+    val changes = Seq((4L, "g1", 999L, "upsert"),
+        (7L, null.asInstanceOf[String], 0L, "delete"))
+      .toDF("k", "g", "v", "op")
+    val (v1, rewritten, total) = SnapshotStore.applyChangesCow(
+      spark, "ivcowb", changes, Seq("k"), bloomStats = Some(stats))
+    assert(rewritten < total, s"bloom locate must rewrite a subset: $rewritten/$total")
+    val got = SnapshotStore.read(spark, "ivcowb")
+      .as[(String, Long, Long)].collect().toMap2
+    assert(got.get(4L).contains(("g1", 999L)) && !got.contains(7L) &&
+      got.size == 11, s"merged table wrong: $got")
+    // stats now cover only v0's files — v1 added new ones, so a second
+    // bloom-located merge must detect the gap and fall back to scan
+    val more = Seq((4L, null.asInstanceOf[String], 0L, "delete")).toDF("k", "g", "v", "op")
+    val (_, _, _) = SnapshotStore.applyChangesCow(
+      spark, "ivcowb", more, Seq("k"), bloomStats = Some(stats))
+    assert(SnapshotStore.read(spark, "ivcowb").filter(col("k") === 4L).count() == 0L,
+      "stale stats must not let a delete survive")
+  }
+
+  implicit private class Tup3Map(rows: Array[(String, Long, Long)]) {
+    def toMap2: Map[Long, (String, Long)] =
+      rows.map { case (g, k, v) => k -> ((g, v)) }.toMap
+  }
 }
