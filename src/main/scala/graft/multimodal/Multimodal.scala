@@ -559,6 +559,114 @@ object Multimodal {
       (col("doctype") === "webm").cast("int").as("is_webm"))
   }
 
+  /** ELF machine ids → names for the common ISAs (the triage subset;
+    * unknown ids surface numerically). */
+  val ElfMachines: Seq[(Int, String)] = Seq(
+    3 -> "x86", 40 -> "arm", 62 -> "x86_64", 183 -> "aarch64", 243 -> "riscv")
+
+  /** H28 driver query: ELF identification triage — the parser a CODE
+    * corpus runs over its binary blobs ("what did the crawler drag
+    * in: which ISA, 32/64-bit, relocatable or executable?") before
+    * any real toolchain touches them. The e_ident block is
+    * endianness-FREE (single bytes); e_type/e_machine honor
+    * EI_DATA — the parse dispatches LE/BE per row, the detail naive
+    * fixed-endian parsers get wrong on big-endian objects.
+    * Synthesized streams vary class/endianness/type/machine from
+    * metadata; every 11th doc is corrupt (bad magic → all null). */
+  def mmElfMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cls = (col("doc_id") % 2 + 1).cast("int") // 1=32-bit, 2=64-bit
+    val dat = (col("n_chars") % 2 + 1).cast("int") // 1=LE, 2=BE
+    val etype = (col("doc_id") % 4 + 1).cast("int") // REL/EXEC/DYN/CORE
+    val mach = element_at(
+      array(ElfMachines.map(m => lit(m._1)): _*),
+      (col("doc_id") % ElfMachines.size + 1).cast("int"))
+    def b1(v: org.apache.spark.sql.Column) = lpad(lower(hex(v)), 2, "0")
+    def u16e(v: org.apache.spark.sql.Column) = // honor EI_DATA
+      when(dat === 1, concat(b1(v % 256), b1(v / 256)))
+        .otherwise(concat(b1(v / 256), b1(v % 256)))
+    val magic = when(col("doc_id") % 11 === 0, "deadc0de").otherwise(lit("7f454c46"))
+    val hx = concat(
+      magic, b1(cls), b1(dat), lit("01"), // EI_VERSION
+      repeat(lit("00"), 9), // padding to byte 16
+      u16e(etype), u16e(mach), // e_type, e_machine
+      when(dat === 1, "01000000").otherwise(lit("00000001"))) // e_version
+    val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
+    val bin = col("_bin")
+    val valid = (lower(hex(substring(bin, 1, 4))) === "7f454c46").cast("int")
+    def ifV(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val pData = ifV(conv(hex(substring(bin, 6, 1)), 16, 10).cast("int"))
+    def u16At(off: Int) = when(pData === 1, leU16(bin, lit(off)))
+      .otherwise(conv(hex(substring(bin, off, 2)), 16, 10).cast("long"))
+    val pType = ifV(u16At(17).cast("int"))
+    val pMach = ifV(u16At(19).cast("int"))
+    val machName = ElfMachines.foldLeft(lit(null).cast("string")) {
+      case (acc, (id, nm)) => when(pMach === id, nm).otherwise(acc)
+    }
+    withBin.select(col("doc_id"), valid.as("valid_elf"),
+      ifV(when(conv(hex(substring(bin, 5, 1)), 16, 10) === 2, 64).otherwise(32))
+        .cast("int").as("bits"),
+      ifV(when(pData === 2, "BE").otherwise(lit("LE"))).as("endianness"),
+      ifV(when(pType === 1, "REL").when(pType === 2, "EXEC")
+        .when(pType === 3, "DYN").when(pType === 4, "CORE")
+        .otherwise(lit("OTHER"))).as("elf_type"),
+      pMach.as("machine_id"), ifV(machName).as("machine"))
+  }
+
+  /** PE machine ids → names (COFF header subset). */
+  val PeMachines: Seq[(Long, String)] = Seq(
+    0x14cL -> "x86", 0x8664L -> "x86_64", 0xaa64L -> "aarch64")
+
+  /** H29 driver query: PE/COFF triage — the Windows sibling of H28:
+    * 'MZ' DOS header, the e_lfanew pointer at 0x3C (VARIABLE — real
+    * DOS stubs differ in length, so the PE signature has no fixed
+    * offset; the synthesizer varies it), 'PE\0\0', then the COFF
+    * machine/section-count/timestamp and the optional-header magic
+    * distinguishing PE32 from PE32+. Every 13th doc corrupt. */
+  def mmPeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stub = ((col("doc_id") % 8) * 4).cast("int") // extra DOS stub bytes
+    val lfanew = lit(64) + stub
+    val mach = element_at(
+      array(PeMachines.map(m => lit(m._1)): _*),
+      (col("doc_id") % PeMachines.size + 1).cast("int"))
+    val nsect = (col("n_chars") % 12 + 1).cast("long")
+    val stamp = (col("doc_id") * 7 % 100000000L).cast("long")
+    val pe32plus = col("doc_id") % 2 === 0
+    def le16(v: org.apache.spark.sql.Column) =
+      concat(lpad(lower(hex(v % 256)), 2, "0"), lpad(lower(hex(v / 256)), 2, "0"))
+    val magic = when(col("doc_id") % 13 === 0, "0000").otherwise(lit("4d5a"))
+    val hx = concat(
+      magic, repeat(lit("00"), 58), leHex32(lfanew), // DOS header
+      repeat(lit("00"), stub), // variable DOS stub
+      lit("50450000"), // "PE\0\0"
+      le16(mach), le16(nsect), leHex32(stamp),
+      repeat(lit("00"), 10), // symtab ptr (4), sym count (4), opt size (2)
+      le16(lit(0)), // characteristics
+      when(pe32plus, "0b02").otherwise(lit("0b01"))) // optional magic LE
+    val withBin = d.select(col("doc_id"), unhex(hx).as("_bin"))
+    val bin = col("_bin")
+    val valid = (lower(hex(substring(bin, 1, 2))) === "4d5a").cast("int")
+    val pLfanew = leU32(bin, lit(61)).cast("int")
+    val hasPe = valid === 1 &&
+      lower(hex(bin.substr(pLfanew + 1, lit(4)))) === "50450000"
+    def ifPe(c: org.apache.spark.sql.Column) = when(hasPe, c)
+    val coff = pLfanew + 5 // 1-based offset of the COFF header
+    val pMach = ifPe(leU16(bin, coff))
+    val machName = PeMachines.foldLeft(lit(null).cast("string")) {
+      case (acc, (id, nm)) => when(pMach === id, nm).otherwise(acc)
+    }
+    val optMagic = ifPe(leU16(bin, coff + lit(20)))
+    withBin.select(col("doc_id"), valid.as("valid_mz"),
+      ifPe(lit(1)).otherwise(lit(0)).cast("int").as("valid_pe"),
+      ifPe(pLfanew).as("pe_off"),
+      pMach.cast("int").as("machine_id"), ifPe(machName).as("machine"),
+      ifPe(leU16(bin, coff + lit(2))).cast("int").as("n_sections"),
+      ifPe(leU32(bin, coff + lit(4))).as("timestamp"),
+      ifPe(when(optMagic === 0x20b, "PE32+").when(optMagic === 0x10b, "PE32")
+        .otherwise(lit("UNKNOWN"))).as("format"))
+  }
+
   /** Signed little-endian i32 (two's complement) at a COLUMN byte
     * offset — BMP's biHeight is NEGATIVE for top-down row order, the
     * classic header quirk naive parsers truncate to garbage. */
@@ -2078,9 +2186,54 @@ object Multimodal {
     "mm_svg_dims"  -> (mmSvgDims _),
     "mm_avi_meta"  -> (mmAviMeta _),
     "mm_ebml_meta" -> (mmEbmlMeta _),
+    "mm_elf_meta"  -> (mmElfMeta _),
+    "mm_pe_meta"   -> (mmPeMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmElfMeta by the generating formulas; every 11th corrupt
+    "mm_elf_meta" -> {
+      val machCase = ElfMachines.zipWithIndex
+        .map { case ((id, _), i) => s"WHEN $i THEN $id" }.mkString(" ")
+      val nameCase = ElfMachines.zipWithIndex
+        .map { case ((_, nm), i) => s"WHEN $i THEN '$nm'" }.mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS valid_elf,
+         |  CASE WHEN doc_id % 11 = 0 THEN NULL
+         |       WHEN doc_id % 2 + 1 = 2 THEN 64 ELSE 32 END::int AS bits,
+         |  CASE WHEN doc_id % 11 = 0 THEN NULL
+         |       WHEN n_chars % 2 + 1 = 2 THEN 'BE' ELSE 'LE' END AS endianness,
+         |  CASE WHEN doc_id % 11 = 0 THEN NULL
+         |       ELSE CASE doc_id % 4 + 1 WHEN 1 THEN 'REL' WHEN 2 THEN 'EXEC'
+         |            WHEN 3 THEN 'DYN' ELSE 'CORE' END END AS elf_type,
+         |  CASE WHEN doc_id % 11 = 0 THEN NULL
+         |       ELSE CASE doc_id % ${ElfMachines.size} $machCase END END::int AS machine_id,
+         |  CASE WHEN doc_id % 11 = 0 THEN NULL
+         |       ELSE CASE doc_id % ${ElfMachines.size} $nameCase END END AS machine
+         |FROM documents""".stripMargin
+    },
+    // mirrors mmPeMeta: pe_off = 64 + the variable DOS stub; every
+    // 13th corrupt
+    "mm_pe_meta" -> {
+      val machCase = PeMachines.zipWithIndex
+        .map { case ((id, _), i) => s"WHEN $i THEN $id" }.mkString(" ")
+      val nameCase = PeMachines.zipWithIndex
+        .map { case ((_, nm), i) => s"WHEN $i THEN '$nm'" }.mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS valid_mz,
+         |  CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS valid_pe,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL
+         |       ELSE 64 + (doc_id % 8) * 4 END::int AS pe_off,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL
+         |       ELSE CASE doc_id % ${PeMachines.size} $machCase END END::int AS machine_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL
+         |       ELSE CASE doc_id % ${PeMachines.size} $nameCase END END AS machine,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars % 12 + 1 END::int AS n_sections,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id * 7 % 100000000 END::bigint AS timestamp,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL
+         |       WHEN doc_id % 2 = 0 THEN 'PE32+' ELSE 'PE32' END AS format
+         |FROM documents""".stripMargin
+    },
     // mirrors mmEbmlMeta by the generating formulas: vint width 2 on
     // every 4th doc, payload 23 + doctype length, every 9th doc
     // corrupt (all parsed fields null)
