@@ -543,6 +543,7 @@ object StreamQueries {
     "ev_throttle"    -> (evThrottle _),
     "ev_ewma"        -> (evEwma _),
     "ev_dau_wau"     -> (evDauWau _),
+    "ev_pattern"     -> (evPattern _),
   )
 
   /** I29: point-in-time-correct lifetime features (batch face; the
@@ -579,6 +580,46 @@ object StreamQueries {
     dau.join(wau, col("day") === col("d"))
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
+  /** I39 patterns over per-user journey strings (one char per event:
+    * first letter of the type — c/e/p/s/v, all distinct). Kept to
+    * syntax with identical semantics in Java regex and RE2. */
+  val JourneyPatterns: Seq[(String, String)] = Seq(
+    ("view_to_purchase", "v.*p"),
+    ("error_then_leave", "e[^p]*$"),
+    ("signup_first", "^s"))
+
+  /** I39: sequence-pattern cohorts — the MATCH_RECOGNIZE-lite face:
+    * each user's journey collapses to a compact code string in exact
+    * (ts, event_id) order, and each named pattern counts matching
+    * users. The funnel (I8) answers ONE fixed ordered-subset; regex
+    * patterns express the negative/anchor shapes it cannot ("error
+    * with no later purchase", "signup before anything"). Scale
+    * shape: one groupBy(user) building O(events-per-user) strings
+    * (sort_array over struct keys — no interpreted lambda; field
+    * extraction is a codegen'd GetArrayStructFields), then a
+    * per-user regex — per-row work; the final count is
+    * aggregate-scale. */
+  def evPattern(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val coded = Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("s"))
+      .groupBy("user_id")
+      .agg(array_join(sort_array(collect_list(col("s"))).getField("c"), "").as("journey"))
+    val flags = JourneyPatterns.map { case (name, re) =>
+      sum(when(regexp_like(col("journey"), lit(re)), 1L).otherwise(0L)).as(name)
+    }
+    val one = coded.agg(count(lit(1)).as("n_users"), flags: _*)
+    one.select(expr(
+      s"""stack(${JourneyPatterns.size},
+         |${JourneyPatterns.map { case (n, _) => s"'$n', $n" }.mkString(",\n")})
+         |AS (pattern, n_matched)""".stripMargin),
+      col("n_users"))
+      .select(col("pattern"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_users"), 4).as("share"))
   }
 
   /** EWMA weights (1-α)^k for α=0.5 over the current + 5 prior hours —
@@ -914,6 +955,24 @@ object StreamQueries {
     // mirrors EventOps.hourlyAnomalies: mean/sd from EXACT integer sums
     // (identical double expressions over identical inputs → identical
     // rounding and threshold decisions in both engines)
+    // I39: same journey strings (string_agg in the same exact order),
+    // same regexes — kept to the Java/RE2-identical subset
+    "ev_pattern" -> {
+      val rules = StreamQueries.JourneyPatterns.map { case (n, re) =>
+        s"SELECT '$n' AS pattern, " +
+          s"sum(CASE WHEN regexp_matches(journey, '$re') THEN 1 ELSE 0 END)::bigint AS n_matched, " +
+          "count(*) AS n_users FROM j"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH j AS (
+         |  SELECT user_id,
+         |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT pattern, n_matched,
+         |  round(n_matched::double / n_users, 4) AS share
+         |FROM ($rules)""".stripMargin
+    },
+
     // I36: same distinct-first shape; the trailing window is the same
     // closed 7-day interval in both engines
     "ev_dau_wau" ->
