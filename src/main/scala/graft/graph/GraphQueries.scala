@@ -359,6 +359,22 @@ object GraphQueries {
       .select(col("id"), round(col("rank"), 6).as("rank"))
   }
 
+  /** C31 iteration count — fewer than C12's: the batch frame carries
+    * |seeds|× the state, and 5 rounds already separate the regions. */
+  val PprBatchIterations = 5
+
+  /** C31 driver query: one independent PPR vector per region seed —
+    * the landmark-proximity features ("how close is every geo node to
+    * EACH region"), 5 vectors in one keyed frame. */
+  def graphPprBatch(spark: SparkSession, dir: String): DataFrame = {
+    val verts = storedGeoVerts(spark, dir)
+    Graphs.pageRankPersonalizedBatch(storedGeoUnd(spark, dir),
+        verts.filter(col("id").startsWith(PprSourcePrefix)),
+        iterations = PprBatchIterations, damping = PrDamping)
+      .select(col("seed"), col("id"), round(col("rank"), 6).as("rank"))
+      .filter(col("rank") >= 1e-6)
+  }
+
   val LpaIterations = 3
 
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
@@ -596,6 +612,7 @@ object GraphQueries {
     "graph_pagerank_w" -> (graphPagerankWeighted _),
     "graph_katz"      -> (graphKatz _),
     "graph_ppr"       -> (graphPpr _),
+    "graph_ppr_batch" -> (graphPprBatch _),
     "graph_lpa"       -> (graphLpa _),
     "graph_lpa_w"     -> (graphLpaWeighted _),
     "graph_louvain"   -> (graphLouvain _),
@@ -1146,6 +1163,45 @@ object GraphQueries {
          |r0 AS (SELECT id, p AS rank FROM p),
          |$iters
          |SELECT id, round(rank, 6) AS rank FROM r$PprIterations""".stripMargin
+    },
+
+    "graph_ppr_batch" -> {
+      // C31: the C12 iteration lifted by a seed dimension — per-seed
+      // contributions, per-seed dangling loss returned to the seed,
+      // sparse state (rows exist only where mass arrived). The two
+      // rank terms per (seed, id) sum commutatively (IEEE a+b = b+a),
+      // so the union-then-sum matches Spark's plan exactly.
+      val d = PrDamping
+      val iters = (1 to PprBatchIterations).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT r.seed, e.dst AS id, sum(r.rank / o.deg) AS c
+           |  FROM e2 e JOIN r${i - 1} r ON e.src = r.id JOIN od o ON e.src = o.src
+           |  GROUP BY 1, 2
+           |),
+           |l$i AS (
+           |  SELECT s.seed, 1 - coalesce(cs.sc, 0) AS lost
+           |  FROM s LEFT JOIN (SELECT seed, sum(c) AS sc FROM c$i GROUP BY 1) cs
+           |    ON cs.seed = s.seed
+           |),
+           |r$i AS MATERIALIZED (
+           |  SELECT seed, id, sum(rank) AS rank FROM (
+           |    SELECT seed, id, $d::double * c AS rank FROM c$i
+           |    UNION ALL
+           |    SELECT seed, seed AS id,
+           |      (1 - $d::double) + $d::double * lost AS rank FROM l$i
+           |  ) GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und0),
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+         |s AS MATERIALIZED (SELECT DISTINCT id AS seed FROM v WHERE id LIKE '$PprSourcePrefix%'),
+         |r0 AS (SELECT seed, seed AS id, 1.0::double AS rank FROM s),
+         |$iters
+         |SELECT seed, id, round(rank, 6) AS rank FROM r$PprBatchIterations
+         |WHERE round(rank, 6) >= 0.000001""".stripMargin
     },
 
     "graph_hits" -> {

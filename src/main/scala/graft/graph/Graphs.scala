@@ -427,6 +427,47 @@ object Graphs {
     ranks
   }
 
+  /** C31: BATCH personalized PageRank — one INDEPENDENT PPR vector
+    * per seed, all computed simultaneously in a single (seed, node)
+    * keyed frame: the proximity-embedding / landmark-feature shape
+    * ("how close is every node to EACH hub"), where C12 answers one
+    * combined restart set. The state is kept SPARSE: rank rows exist
+    * only where mass has arrived, so early rounds carry |seeds|·
+    * (reached nodes), not |seeds|·|V|; per round one join against
+    * the degree-pinned edges and one (seed, dst) aggregation —
+    * exactly the C3 plan with a seed dimension riding the key, so
+    * S seeds cost ~S× one PPR, never S sequential jobs. Restart
+    * mass (1−d) and each seed's dangling loss return to the SEED
+    * node (the standard PPR teleport), so each vector sums to 1. */
+  def pageRankPersonalizedBatch(undirectedOrDirected: DataFrame, seeds: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = undirectedOrDirected.select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(eager = true)
+    val e2 = pinBySrc(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+    val s = seeds.select(col("id").as("seed")).distinct()
+      .localCheckpoint(eager = true)
+    var ranks = s.select(col("seed"), col("seed").as("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = e2.join(ranks, e2("src") === ranks("id"))
+        .select(col("seed"), col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("seed", "id").agg(sum(col("c")).as("c"))
+        .localCheckpoint(eager = true)
+      // per-seed dangling loss; a seed whose frontier died entirely
+      // keeps full teleport mass (coalesce to 1)
+      val lost = s.join(
+          contribs.groupBy("seed").agg(sum(col("c")).as("sc")), Seq("seed"), "left")
+        .select(col("seed"), (lit(1.0) - coalesce(col("sc"), lit(0.0))).as("lost"))
+      val seedRows = lost.select(col("seed"), col("seed").as("id"),
+        (lit(1 - damping) + lit(damping) * col("lost")).as("rank"))
+      ranks = contribs
+        .select(col("seed"), col("id"), (lit(damping) * col("c")).as("rank"))
+        .unionByName(seedRows)
+        .groupBy("seed", "id").agg(sum(col("rank")).as("rank"))
+    }
+    e2.unpersist()
+    ranks
+  }
+
   /** C10: HITS hubs & authorities over a DIRECTED edge list (u → v),
     * fixed iterations, sum-normalized after each half-step (scores are
     * scale-invariant, so Σ=1 normalization is as good as L2 and keeps
