@@ -378,6 +378,37 @@ object KgQueries {
         col("neg_i"), col("name").as("neg_object"))
   }
 
+  /** Percent-encode the characters N-Triples forbids inside an IRI
+    * (RFC 3987 ⊂ the encode set below) — '%' FIRST so later encodings
+    * aren't double-escaped. Plain nested replace(), codegen'd. */
+  private def iriEnc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Seq("%" -> "%25", " " -> "%20", "\"" -> "%22", "<" -> "%3C",
+      ">" -> "%3E", "#" -> "%23").foldLeft(c) {
+      case (acc, (from, to)) => regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+    }
+
+  /** B19: N-Triples export of the constructed graph — the reference
+    * serializes its rdflib graph to RDF on the way OUT as well as in
+    * (data_ingestion_batch.py round-trips .ttl); this is the
+    * Spark-side writer face: every typed edge becomes one canonical
+    * `<s> <p> <o> .` line under a deterministic urn:graft:* IRI
+    * scheme with percent-encoded local names. A downstream triple
+    * store (or the A5 reader itself) can consume the lines directly.
+    * Pure projection over the PERSISTED edge table — no shuffle, and
+    * at 100 TB the serialization is embarrassingly parallel next to
+    * a `.write.text` sink. */
+  def kgNtriples(spark: SparkSession, dir: String): DataFrame = {
+    val e = storedEdges(spark, dir)
+    val s = concat(lit("urn:graft:"), lower(col("src_label")), lit(":"),
+      iriEnc(col("src")))
+    val p = concat(lit("urn:graft:rel:"), iriEnc(col("rel")))
+    val o = concat(lit("urn:graft:"), lower(col("dst_label")), lit(":"),
+      iriEnc(col("dst")))
+    e.select(
+      s.as("s_iri"), p.as("p_iri"), o.as("o_iri"),
+      concat(lit("<"), s, lit("> <"), p, lit("> <"), o, lit("> .")).as("ntriple"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "kg_triples"               -> (kgTriples _),
     "kg_extract_json"          -> (kgExtractJson _),
@@ -394,6 +425,7 @@ object KgQueries {
     "kg_type_signatures"       -> (kgTypeSignatures _),
     "kg_schema_violations"     -> (kgSchemaViolations _),
     "kg_negative_samples"      -> (kgNegativeSamples _),
+    "kg_ntriples"              -> (kgNtriples _),
   )
 
   /** Generated ER pair oracle — mirrors EntityResolution.resolutionPairs
@@ -540,6 +572,24 @@ object KgQueries {
          |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
 
     "kg_edges" -> s"WITH t AS ($triplesSql)\n$edgesSelectSql",
+
+    // mirrors kgNtriples: the same edge CTE, the same %-first encode
+    // chain and urn:graft IRI scheme
+    "kg_ntriples" -> {
+      def enc(x: String) = Seq("%" -> "%25", " " -> "%20", "\"" -> "%22",
+        "<" -> "%3C", ">" -> "%3E", "#" -> "%23")
+        .foldLeft(x) { case (acc, (f, t)) =>
+          s"replace($acc, '${f.replace("'", "''")}', '$t')" }
+      val s = s"'urn:graft:' || lower(src_label) || ':' || ${enc("src")}"
+      val p = s"'urn:graft:rel:' || ${enc("rel")}"
+      val o = s"'urn:graft:' || lower(dst_label) || ':' || ${enc("dst")}"
+      s"""WITH t AS ($triplesSql), e AS (
+         |$edgesSelectSql
+         |)
+         |SELECT $s AS s_iri, $p AS p_iri, $o AS o_iri,
+         |  '<' || $s || '> <' || $p || '> <' || $o || '> .' AS ntriple
+         |FROM e""".stripMargin
+    },
 
     // mirrors kgTypeSignatures: same grouping, same windowed share
     "kg_type_signatures" ->

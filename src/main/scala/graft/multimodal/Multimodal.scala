@@ -2158,6 +2158,168 @@ object Multimodal {
         coalesce(col("height"), col("vb_h")).as("eff_h"))
   }
 
+  /** H30: Zstandard frame-header parse (RFC 8878 §3.1.1) — the
+    * compression envelope modern web-crawl corpora actually ship in
+    * (.warc.zst / .jsonl.zst), the way A13 ships gzip. Reads the
+    * little-endian magic 0xFD2FB528, the Frame_Header_Descriptor bit
+    * field (Frame_Content_Size width, Single_Segment, Content_Checksum,
+    * Dictionary_ID width), the Window_Descriptor's exponent/mantissa
+    * window size (absent when Single_Segment — the content size IS the
+    * window then), the optional dictionary id, and the
+    * Frame_Content_Size at its flag-dependent width (the 2-byte form
+    * carries value−256 per spec). Why it matters at scale: the window
+    * size bounds decompressor memory per split and the dictionary id
+    * tells a 1000-executor scan which shared dictionary to broadcast
+    * BEFORE any bytes are decoded; content size enables exact output
+    * pre-allocation. Pure codegen'd projection, no UDF, no shuffle. */
+  def withZstdHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    def u8(off: org.apache.spark.sql.Column) =
+      conv(hex(bin.substr(off, lit(1))), 16, 10).cast("int")
+    val valid = (lower(hex(substring(bin, 1, 4))) === "28b52ffd").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val fhd = u8(lit(5))
+    val fcsFlag = shiftright(fhd, 6).bitwiseAND(3)
+    val singleSeg = shiftright(fhd, 5).bitwiseAND(1)
+    val checksum = shiftright(fhd, 2).bitwiseAND(1)
+    val dictFlag = fhd.bitwiseAND(3)
+    val dictBytes = when(dictFlag === 3, 4).otherwise(dictFlag)
+    // window descriptor (1 byte) present only when NOT single-segment
+    val wdOff = lit(6)
+    val wd = u8(wdOff)
+    val wExp = shiftright(wd, 3)
+    val wMant = wd.bitwiseAND(7)
+    // 2^(10+exp) is exact in a double up to exp 43 — far past the
+    // spec's cap — so the pow→long cast is bit-exact
+    val wBase = pow(lit(2.0), (wExp + 10).cast("double")).cast("long")
+    val dictOff = wdOff + (lit(1) - singleSeg)
+    val fcsOff = dictOff + dictBytes
+    val dictId = when(dictFlag === 1, u8(dictOff).cast("long"))
+      .when(dictFlag === 2, leU16(bin, dictOff).cast("long"))
+      .when(dictFlag === 3, leU32(bin, dictOff))
+    val contentSize = when(fcsFlag === 0 && singleSeg === 1, u8(fcsOff).cast("long"))
+      .when(fcsFlag === 1, leU16(bin, fcsOff).cast("long") + 256L)
+      .when(fcsFlag === 2, leU32(bin, fcsOff))
+      .when(fcsFlag === 3, leU32(bin, fcsOff) +
+        leU32(bin, fcsOff + 4) * lit(4294967296L))
+    df.withColumn("valid_zstd", valid)
+      .withColumn("single_segment", ifOk(singleSeg))
+      .withColumn("has_checksum", ifOk(checksum))
+      // single-segment frames have no window field: window = content
+      .withColumn("window_size", ifOk(when(singleSeg === 1, contentSize)
+        .otherwise(wBase + shiftright(wBase, 3) * wMant)))
+      .withColumn("dict_id", ifOk(dictId))
+      .withColumn("content_size", ifOk(contentSize))
+  }
+
+  /** H30 driver query: synthesize a zstd frame header per asset —
+    * a single-segment leg (1-byte content size, no window field), a
+    * checksummed 2-byte-FCS leg (content = u16+256, real window
+    * descriptor), and a dictionary leg (2-byte dict id, no content
+    * size); every 7th doc corrupt (wrong magic → all fields null).
+    * Parsed back from the BYTES; formula oracle. */
+  def mmZstdMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 7 === 0
+    val leg = col("doc_id") % 3
+    def hx8(c: org.apache.spark.sql.Column) =
+      lpad(lower(hex(c.bitwiseAND(lit(255)))), 2, "0")
+    val fhdHex = when(leg === 0, lit("20")) // single-segment, 1-byte FCS
+      .when(leg === 1, lit("44"))           // 2-byte FCS + checksum
+      .otherwise(lit("02"))                 // 2-byte dict id, no FCS
+    val wExp = when(leg === 1, col("n_chars") % 12).otherwise(col("doc_id") % 10)
+    val wMant = when(leg === 1, col("doc_id") % 8).otherwise(lit(0))
+    val wdHex = when(leg === 0, lit("")).otherwise(hx8(wExp * 8 + wMant))
+    val fcs1 = col("doc_id") % 200 + 10
+    val fcs2 = col("n_chars") % 60000
+    val dictU16 = col("doc_id") % 65536
+    val tailHex = when(leg === 0, hx8(fcs1))
+      .when(leg === 1, leHex16(fcs2))
+      .otherwise(leHex16(dictU16))
+    val hx = concat(
+      when(corrupt, lit("28b52ffe")).otherwise(lit("28b52ffd")),
+      fhdHex, wdHex, tailHex,
+      lit("00")) // first block header byte (elided)
+    withZstdHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_zstd", "single_segment", "has_checksum",
+        "window_size", "dict_id", "content_size")
+  }
+
+  /** H31: LZ4 frame-header parse (frame format spec v1.6.1) — the
+    * other codec envelope large corpora ship in (and the one whose
+    * BLOCK INDEPENDENCE flag decides whether a 100 TB scan can split a
+    * frame across executors at all: dependent blocks force sequential
+    * decode). Reads the little-endian magic 0x184D2204, the FLG bit
+    * field (version must be 01; block-independence, block-checksum,
+    * content-size, content-checksum, dict-id flags), the BD byte's
+    * block-max-size code (4→64 KB … 7→4 MB), then the optional u64le
+    * content size and u32le dictionary id at their flag-dependent
+    * offsets. The trailing header-checksum byte (xxh32 slice) is
+    * hopped over, not validated — no xxh32 exists in-plan, and the
+    * magic+version+reserved-bit checks already reject non-LZ4 bytes. */
+  def withLz4Header(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    def u8(off: org.apache.spark.sql.Column) =
+      conv(hex(bin.substr(off, lit(1))), 16, 10).cast("int")
+    val flg = u8(lit(5))
+    val version = shiftright(flg, 6).bitwiseAND(3)
+    val valid = (lower(hex(substring(bin, 1, 4))) === "04224d18" &&
+      version === 1).cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val bIndep = shiftright(flg, 5).bitwiseAND(1)
+    val bChecksum = shiftright(flg, 4).bitwiseAND(1)
+    val hasCSize = shiftright(flg, 3).bitwiseAND(1)
+    val cChecksum = shiftright(flg, 2).bitwiseAND(1)
+    val hasDict = flg.bitwiseAND(1)
+    val bmaxCode = shiftright(u8(lit(6)), 4).bitwiseAND(7)
+    val bmaxKb = when(bmaxCode === 4, 64).when(bmaxCode === 5, 256)
+      .when(bmaxCode === 6, 1024).when(bmaxCode === 7, 4096)
+    val csOff = lit(7)
+    val contentSize = when(hasCSize === 1,
+      leU32(bin, csOff) + leU32(bin, csOff + 4) * lit(4294967296L))
+    val dictOff = csOff + hasCSize * 8
+    val dictId = when(hasDict === 1, leU32(bin, dictOff))
+    df.withColumn("valid_lz4", valid)
+      .withColumn("block_indep", ifOk(bIndep))
+      .withColumn("block_checksum", ifOk(bChecksum))
+      .withColumn("content_checksum", ifOk(cChecksum))
+      .withColumn("block_max_kb", ifOk(bmaxKb))
+      .withColumn("content_size", ifOk(contentSize))
+      .withColumn("dict_id", ifOk(dictId))
+  }
+
+  /** H31 driver query: synthesize an LZ4 frame header per asset — a
+    * splittable leg (block-independent + content size, 64-256 KB
+    * blocks), a streaming leg (block+content checksums, 4 MB blocks,
+    * no size), and a dictionary leg (dict id + content size); every
+    * 8th doc corrupt (wrong magic). Formula oracle. */
+  def mmLz4Meta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 8 === 0
+    val leg = col("doc_id") % 3
+    def hx8(c: org.apache.spark.sql.Column) =
+      lpad(lower(hex(c.bitwiseAND(lit(255)))), 2, "0")
+    val flgHex = when(leg === 0, lit("68")) // v1, indep, content size
+      .when(leg === 1, lit("54"))           // v1, blk+content checksums
+      .otherwise(lit("49"))                 // v1, content size + dict id
+    val bdHex = when(leg === 0, hx8((col("doc_id") % 2 + 4) * 16))
+      .when(leg === 1, lit("70")).otherwise(lit("50"))
+    val cs0 = col("n_chars") % 100000 + 5
+    val cs2 = col("n_chars") % 1000 + 1
+    val dictU32 = col("doc_id") % 100000
+    def le64(c: org.apache.spark.sql.Column) = concat(leHex32(c), lit("00000000"))
+    val tailHex = when(leg === 0, le64(cs0))
+      .when(leg === 1, lit(""))
+      .otherwise(concat(le64(cs2), leHex32(dictU32)))
+    val hx = concat(
+      when(corrupt, lit("04224d19")).otherwise(lit("04224d18")),
+      flgHex, bdHex, tailHex,
+      lit("a5")) // header-checksum byte (hopped, not validated)
+    withLz4Header(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_lz4", "block_indep", "block_checksum",
+        "content_checksum", "block_max_kb", "content_size", "dict_id")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -2188,9 +2350,56 @@ object Multimodal {
     "mm_ebml_meta" -> (mmEbmlMeta _),
     "mm_elf_meta"  -> (mmElfMeta _),
     "mm_pe_meta"   -> (mmPeMeta _),
+    "mm_zstd_meta" -> (mmZstdMeta _),
+    "mm_lz4_meta"  -> (mmLz4Meta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmZstdMeta by the generating formulas; every 7th corrupt.
+    // 2**(10+exp) is exact in both engines' doubles at these exponents.
+    "mm_zstd_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS valid_zstd,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END::int AS single_segment,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END::int AS has_checksum,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN doc_id % 200 + 10
+        |       WHEN doc_id % 3 = 1 THEN
+        |         (2 ** (10 + n_chars % 12))::bigint
+        |           + ((2 ** (10 + n_chars % 12))::bigint // 8) * (doc_id % 8)
+        |       ELSE (2 ** (10 + doc_id % 10))::bigint
+        |  END::bigint AS window_size,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 2
+        |       THEN doc_id % 65536 END::bigint AS dict_id,
+        |  CASE WHEN doc_id % 7 = 0 OR doc_id % 3 = 2 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN doc_id % 200 + 10
+        |       ELSE n_chars % 60000 + 256
+        |  END::bigint AS content_size
+        |FROM documents""".stripMargin,
+    // mirrors mmLz4Meta by the generating formulas; every 8th corrupt
+    "mm_lz4_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 8 = 0 THEN 0 ELSE 1 END AS valid_lz4,
+        |  CASE WHEN doc_id % 8 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END::int AS block_indep,
+        |  CASE WHEN doc_id % 8 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END::int AS block_checksum,
+        |  CASE WHEN doc_id % 8 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END::int AS content_checksum,
+        |  CASE WHEN doc_id % 8 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN
+        |         CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 256 END
+        |       WHEN doc_id % 3 = 1 THEN 4096 ELSE 256
+        |  END::int AS block_max_kb,
+        |  CASE WHEN doc_id % 8 = 0 OR doc_id % 3 = 1 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN n_chars % 100000 + 5
+        |       ELSE n_chars % 1000 + 1
+        |  END::bigint AS content_size,
+        |  CASE WHEN doc_id % 8 <> 0 AND doc_id % 3 = 2
+        |       THEN doc_id % 100000 END::bigint AS dict_id
+        |FROM documents""".stripMargin,
     // mirrors mmElfMeta by the generating formulas; every 11th corrupt
     "mm_elf_meta" -> {
       val machCase = ElfMachines.zipWithIndex

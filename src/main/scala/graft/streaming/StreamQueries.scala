@@ -352,6 +352,44 @@ object StreamQueries {
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     EventOps.hourlyAnomalies(Tables.events(spark, dir), AnomalyZ)
 
+  /** CUSUM alarm threshold, in units of the per-type hourly mean:
+    * alarm when the running excess-over-mean exceeds 3 mean-hours. */
+  val CusumMeans = 3L
+
+  /** I40: one-sided CUSUM change-point detection over hourly volumes —
+    * the SUSTAINED-shift detector the I11 z-score face cannot be (a z
+    * test fires on single spiky hours; CUSUM accumulates small drifts
+    * until the evidence crosses a threshold, Page 1954). The recursion
+    * S_t = max(0, S_{t-1} + x_t − μ) is not a window function, but its
+    * closed form is: S_t = C_t − min(0, min_{j≤t} C_j) where C is the
+    * running sum of deviations — two cumulative windows, both
+    * partitioned by event_type (bounded key count; no single-partition
+    * stage, J6-clean). Exact integers throughout: deviations are
+    * scaled by the per-type hour count m (D_t = m·n_t − T, T = Σn), so
+    * the running min/sum never touch a float; the one division back to
+    * mean-units happens once at the end, rounded 4dp. At 100 TB the
+    * hourly pre-aggregation collapses events to (types × hours) rows
+    * before any window runs — the windows see thousands of rows, not
+    * billions. */
+  def evCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(sum("n").as("t_total"), count(lit(1)).as("m_hours"))
+    val run = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = sum(col("n") * col("m_hours") - col("t_total")).over(run)
+    hourly.join(stats, "event_type")
+      .withColumn("_c", c)
+      .withColumn("_s", col("_c") - least(lit(0L), min(col("_c")).over(run)))
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("_s").cast("double") / col("t_total"), 4).as("cusum_means"),
+        (col("_s") > lit(CusumMeans) * col("t_total")).cast("int").as("alarm"))
+  }
+
   /** I14: top event types per day — the daily heavy-hitters roll-up.
     * One day-keyed aggregation + a rank window over tiny per-day
     * groups (at most #event-types rows per day reach the window).
@@ -530,6 +568,7 @@ object StreamQueries {
     "ev_scd_latest"  -> (evScdLatest _),
     "ev_scd2"        -> (evScd2 _),
     "ev_anomaly"     -> (evAnomaly _),
+    "ev_cusum"       -> (evCusum _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1008,6 +1047,36 @@ object StreamQueries {
          |)
          |SELECT event_type, hour, n, round(($num) / ($den), 4) AS ewma FROM l""".stripMargin
     },
+
+    // mirrors evCusum: the same scaled-integer closed form
+    // S_t = C_t − min(0, min_{j≤t} C_j) with D_t = m·n_t − T, one
+    // rounded division back to mean-units at the end
+    "ev_cusum" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT event_type AS t, sum(n)::bigint AS t_total,
+         |    count(*)::bigint AS m_hours
+         |  FROM hourly GROUP BY 1
+         |), w AS (
+         |  SELECT h.event_type, h.hour, h.n,
+         |    s.t_total,
+         |    sum(h.n * s.m_hours - s.t_total) OVER (
+         |      PARTITION BY h.event_type ORDER BY h.hour
+         |      ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM hourly h JOIN stats s ON h.event_type = s.t
+         |), s2 AS (
+         |  SELECT event_type, hour, n, t_total,
+         |    c - least(0, min(c) OVER (
+         |      PARTITION BY event_type ORDER BY hour
+         |      ROWS UNBOUNDED PRECEDING)) AS s
+         |  FROM w
+         |)
+         |SELECT event_type, hour, n,
+         |  round(s::double / t_total, 4) AS cusum_means,
+         |  (s > ${StreamQueries.CusumMeans} * t_total)::int AS alarm
+         |FROM s2""".stripMargin,
 
     "ev_anomaly" ->
       s"""WITH hourly AS (

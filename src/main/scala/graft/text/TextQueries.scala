@@ -1087,6 +1087,63 @@ object TextQueries {
       .filter(col("rnk") <= WsampleK)
   }
 
+  /** G35: readability battery — Flesch reading ease and
+    * Flesch-Kincaid grade per document, the classic complexity
+    * signals a pretraining mixer uses next to the G2 quality score
+    * (too-hard and too-easy tails both get downweighted). Words are
+    * \\S+ runs, sentences are [.!?]+ runs (floor 1 so a fragment
+    * without terminal punctuation still scores), syllables are the
+    * standard vowel-group approximation ([aeiouy]+ runs, lowercased).
+    * All three counts are exact integers from regexp_count — the
+    * Flesch formulas are the only float step, fixed expressions over
+    * integer ratios, rounded 3dp. Per-doc projection: no shuffle,
+    * embarrassingly parallel at any corpus size. */
+  /** Positivity bias for the readability scores' integer half-up
+    * rounding (score range guaranteed within ±10⁶, far past any real
+    * Flesch value) — a positive dividend makes truncating (Spark div,
+    * DuckDB //) and flooring division identical. */
+  val ReadabilityBias = 1000000000L
+
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = regexp_count(col("text"), lit("\\S+"))
+    val s = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val y = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    d.select(col("doc_id"),
+      w.as("n_words"), s.as("n_sentences"), y.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("words_per_sentence",
+        round(col("n_words").cast("double") / col("n_sentences"), 4))
+      .withColumn("syllables_per_word",
+        round(col("n_syllables").cast("double") / col("n_words"), 4))
+      // exact-integer scores end to end: a float spelling of the
+      // Flesch formulas lands last-ulp-different between engines
+      // exactly at round()'s .0005 boundary (doc 42: 32.5725 rounds
+      // up via Spark's decimal HALF_UP, down via DuckDB's binary
+      // nearest-double). So the half-up rounding to milli-units is
+      // spelled in INTEGER arithmetic — (2n + d + 2d·bias) div 2d −
+      // bias, bias keeping the dividend positive so truncating and
+      // flooring division agree — and the only float op left is one
+      // division by the constant 1000.0, bit-identical everywhere.
+      // numerators pre-scaled so n/d IS the score in milli-units
+      .withColumn("_fln",
+        lit(206835L) * col("n_sentences") * col("n_words")
+          - lit(1015L) * col("n_words") * col("n_words")
+          - lit(84600L) * col("n_syllables") * col("n_sentences"))
+      .withColumn("_fkn",
+        lit(390L) * col("n_words") * col("n_words")
+          + lit(11800L) * col("n_syllables") * col("n_sentences")
+          - lit(15590L) * col("n_sentences") * col("n_words"))
+      .withColumn("_d", col("n_sentences").cast("long") * col("n_words"))
+      .withColumn("flesch", expr(
+        s"((2 * _fln + _d + 2 * _d * ${ReadabilityBias}L) div (2 * _d) - ${ReadabilityBias}L)")
+        .cast("double") / 1000.0)
+      .withColumn("fk_grade", expr(
+        s"((2 * _fkn + _d + 2 * _d * ${ReadabilityBias}L) div (2 * _d) - ${ReadabilityBias}L)")
+        .cast("double") / 1000.0)
+      .drop("_fln", "_fkn", "_d")
+  }
+
   /** Build the K24 inverted-index tables and the G31 merge rules
     * outside query timings (text_bpe itself still times the TRAIN op
     * honestly — only the encode face reads the cache). */
@@ -1118,6 +1175,7 @@ object TextQueries {
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
+    "text_readability"  -> (textReadability _),
     "text_langid"       -> (textLangid _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"  -> (textFingerprint _),
@@ -1324,6 +1382,36 @@ object TextQueries {
          |  length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_re,
          |  length(text) AS len_chars
          |FROM documents""".stripMargin,
+
+    // mirrors textReadability: RE2 regex classes agree between engines
+    // on \S+ / [.!?]+ / [aeiouy]+ runs; integer counts, fixed float
+    // formulas, 3-4dp rounding
+    "text_readability" ->
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(n_words::double / n_sentences, 4) AS words_per_sentence,
+        |  round(n_syllables::double / n_words, 4) AS syllables_per_word,
+        |  ((2 * (206835 * n_sentences::bigint * n_words
+        |         - 1015 * n_words::bigint * n_words
+        |         - 84600 * n_syllables::bigint * n_sentences)
+        |    + n_sentences::bigint * n_words
+        |    + 2 * n_sentences::bigint * n_words * $ReadabilityBias)
+        |   // (2 * n_sentences::bigint * n_words)
+        |   - $ReadabilityBias)::double / 1000.0 AS flesch,
+        |  ((2 * (390 * n_words::bigint * n_words
+        |         + 11800 * n_syllables::bigint * n_sentences
+        |         - 15590 * n_sentences::bigint * n_words)
+        |    + n_sentences::bigint * n_words
+        |    + 2 * n_sentences::bigint * n_words * $ReadabilityBias)
+        |   // (2 * n_sentences::bigint * n_words)
+        |   - $ReadabilityBias)::double / 1000.0 AS fk_grade
+        |FROM c WHERE n_words > 0""".stripMargin,
 
     "text_quality" ->
       s"""WITH q AS (
