@@ -51,6 +51,38 @@ object DedupQueries {
       JaccardThreshold)
   }
 
+  /** E14: edit-distance verification window (chars of the normalized
+    * text) and the accept cut 4·lev ≤ max(len) — i.e. relative edit
+    * distance ≤ 0.25, spelled as an integer compare. */
+  val EditPrefix = 96
+
+  /** E14: edit-distance-verified near-dup pairs — the CHARACTER-level
+    * fuzzy dedup the shingle family can't do (token shingles are
+    * blind to within-word typos and OCR noise; Levenshtein sees
+    * them). Candidates come from the SAME persisted LSH banding store
+    * as E2/E4 (never all-pairs); verification is levenshtein() — a
+    * built-in codegen'd expression in both engines — on the first
+    * [[EditPrefix]] chars of the whitespace-collapsed text, so the
+    * per-pair cost is a fixed O(EditPrefix²) regardless of document
+    * length. At 100 TB: candidate count is bounded by LSH bucket
+    * sizes, each verification touches ≤2·96 chars, and the prefixes
+    * ride the candidate join instead of full documents. */
+  def dedupEditPairs(spark: SparkSession, dir: String): DataFrame = {
+    val st = sigTables(spark, dir)
+    val cand = Dedup.minhashPairsFromBanded(spark.table(st.banded))
+    val norm = Tables.documents(spark, dir).select(col("doc_id"),
+      substring(regexp_replace(trim(col("text")), " +", " "), 1, EditPrefix)
+        .as("p"))
+    cand
+      .join(norm.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+      .withColumn("lev", levenshtein(col("pa"), col("pb")))
+      .withColumn("_mx", greatest(length(col("pa")), length(col("pb"))))
+      .filter(col("_mx") > 0 && col("lev") * 4 <= col("_mx"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        round(col("lev").cast("double") / col("_mx"), 4).as("edit_ratio"))
+  }
+
   val ContainmentMaxDf = 20
   val ContainmentThreshold = 0.8
 
@@ -246,6 +278,7 @@ object DedupQueries {
     "dedup_simhash_pairs"   -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", MaxHamming)),
     "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
+    "dedup_edit_pairs"      -> (dedupEditPairs _),
     "dedup_containment"     -> (dedupContainment _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
@@ -557,6 +590,29 @@ object DedupQueries {
          |)
          |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard
          |FROM j WHERE round(inter::double / uni, 4) >= $JaccardThreshold""".stripMargin,
+
+    // mirrors dedupEditPairs: identical LSH candidate CTEs, then
+    // levenshtein on the same 96-char normalized prefix with the
+    // integer 4·lev ≤ maxlen cut
+    "dedup_edit_pairs" ->
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |${sigCte(Bands * RowsPerBand)},
+         |${bandsCte(Bands, RowsPerBand)},
+         |cand AS ($candidateSelect),
+         |norm AS (SELECT doc_id,
+         |  substr(regexp_replace(trim(text), ' +', ' ', 'g'), 1, $EditPrefix) AS p
+         |  FROM documents),
+         |v AS (
+         |  SELECT c.doc_a, c.doc_b, levenshtein(a.p, b.p) AS lev,
+         |    greatest(length(a.p), length(b.p)) AS mx
+         |  FROM cand c
+         |  JOIN norm a ON c.doc_a = a.doc_id
+         |  JOIN norm b ON c.doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, lev,
+         |  round(lev::double / mx, 4) AS edit_ratio
+         |FROM v WHERE mx > 0 AND lev * 4 <= mx""".stripMargin,
 
     // mirrors containmentFromSets over the same hashed-shingle sets:
     // rare-shingle blocking (df in [2, maxDf]) then per-pair verify

@@ -259,6 +259,12 @@ object GraphQueries {
   def graphWalks(spark: SparkSession, dir: String): DataFrame =
     Graphs.randomWalks(coOrderEdges(spark, dir), WalkSteps)
 
+  /** C32 driver query: node2vec second-order biased walks over the
+    * same co-order graph (p = 4, q = 2 — BFS-leaning; see
+    * Graphs.node2vecWalks for the integer-exponent draw). */
+  def graphNode2vec(spark: SparkSession, dir: String): DataFrame =
+    Graphs.node2vecWalks(coOrderEdges(spark, dir), WalkSteps)
+
   val SsspIterations = 4
 
   /** Co-order graph with weights: w = 1 / #orders-containing-both, so
@@ -605,6 +611,7 @@ object GraphQueries {
     "graph_kcore"     -> (graphKcore _),
     "graph_ktruss"    -> (graphKtruss _),
     "graph_walks"     -> (graphWalks _),
+    "graph_node2vec"  -> (graphNode2vec _),
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
     "graph_msf"       -> (graphMsf _),
@@ -1530,6 +1537,58 @@ object GraphQueries {
          |  SELECT u, max(rn) AS deg FROM nbrs GROUP BY u
          |), w0 AS MATERIALIZED (
          |  SELECT DISTINCT u AS walk_src, u AS cur FROM und
+         |),
+         |$hops
+         |$out""".stripMargin
+    },
+
+    // mirrors Graphs.node2vecWalks: identical co-order base CTEs as
+    // graph_walks, first-order w1 (seed n2v), then per-hop candidate
+    // scoring — u from the same md5 window, score = u⁴/u/u² by
+    // prev-distance class (pure multiplication chains, no pow)
+    "graph_node2vec" -> {
+      val hops = (2 to WalkSteps).map { i =>
+        s"""w$i AS MATERIALIZED (
+           |  SELECT walk_src, cur0 AS prev, cand AS cur FROM (
+           |    SELECT s.*, row_number() OVER (PARTITION BY s.walk_src
+           |        ORDER BY CASE WHEN s.cand = s.prev0 THEN s.u*s.u*s.u*s.u
+           |                      WHEN s.hit IS NOT NULL THEN s.u
+           |                      ELSE s.u*s.u END DESC, s.cand) AS r
+           |    FROM (
+           |      SELECT p.walk_src, p.prev AS prev0, p.cur AS cur0, n.v AS cand,
+           |        (('0x' || substr(md5('n2v|' || p.walk_src || '|' || $i || '|' || n.v), 1, 8))::bigint)::double
+           |          / 4294967296.0 AS u,
+           |        e.u AS hit
+           |      FROM w${i - 1} p
+           |      JOIN nbrs n ON n.u = p.cur
+           |      LEFT JOIN und e ON e.u = p.prev AND e.v = n.v
+           |    ) s
+           |  ) WHERE r = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 to WalkSteps)
+        .map(i => s"SELECT walk_src, $i AS step, cur AS vertex FROM w$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), und AS MATERIALIZED (
+         |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+         |), nbrs AS MATERIALIZED (
+         |  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rn FROM und
+         |), deg AS MATERIALIZED (
+         |  SELECT u, max(rn) AS deg FROM nbrs GROUP BY u
+         |), w0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS walk_src, u AS cur FROM und
+         |), w1 AS MATERIALIZED (
+         |  SELECT p.walk_src, p.cur AS prev, n.v AS cur
+         |  FROM w0 p
+         |  JOIN deg d ON p.cur = d.u
+         |  JOIN nbrs n ON n.u = p.cur
+         |   AND n.rn = ('0x' || substr(md5('n2v|' || p.walk_src || '|1'), 1, 8))::bigint
+         |               % d.deg + 1
          |),
          |$hops
          |$out""".stripMargin

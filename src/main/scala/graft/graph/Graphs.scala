@@ -737,6 +737,73 @@ object Graphs {
     acc.reduce(_ unionAll _)
   }
 
+  /** C32: node2vec SECOND-ORDER biased walks (Grover & Leskovec 2016)
+    * — where C18's first-order walk picks uniformly, this one scores
+    * every candidate by its distance from the PREVIOUS vertex:
+    * return (cand = prev) carries weight 1/4, a common neighbor of
+    * prev weight 1, anything else 1/2 (p = 4, q = 2 — the BFS-leaning
+    * setting). The draw is deterministic weighted sampling by
+    * exponential races (Efraimidis-Spirakis): u = md5-hash(walk, step,
+    * cand) ∈ [0,1), argmax of u^(1/w) — and p/q are chosen so 1/w is
+    * an INTEGER (4, 1, 2), making every score a pure multiplication
+    * chain (u⁴/u/u²) that computes bit-identically in any engine; no
+    * pow(), no RNG. Per step: one frontier×degree candidate expansion,
+    * one edge-existence left join against the undirected edge frame,
+    * one rank window partitioned by walk (J6-clean). That candidate
+    * scoring is the honest node2vec cost — at 100 TB you bound it by
+    * walk count, not by skipping the second-order term. */
+  def node2vecWalks(canonical: DataFrame, steps: Int,
+      seed: String = "n2v"): DataFrame = {
+    val e0 = canonical.select(col("u"), col("v")).localCheckpoint(eager = true)
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("v")
+    val nbrs = und.withColumn("rn", row_number().over(w))
+      .localCheckpoint(eager = true)
+    val deg = nbrs.groupBy("u").agg(max(col("rn")).as("deg"))
+    val start = und.select(col("u").as("walk_src")).distinct()
+      .select(col("walk_src"), col("walk_src").as("cur"))
+    // step 1 has no prev: the C18 first-order hash-rank pick
+    val k1 = conv(substring(md5(concat_ws("|", lit(seed),
+      col("walk_src").cast("string"), lit("1"))), 1, 8), 16, 10)
+      .cast("long") % col("deg") + 1
+    var cur = start.join(deg, start("cur") === deg("u"))
+      .select(col("walk_src"), col("cur"), k1.as("k"))
+      .join(nbrs.select(col("u").as("nu"), col("v"), col("rn")),
+        col("cur") === col("nu") && col("k") === col("rn"))
+      .select(col("walk_src"), col("cur").as("prev"), col("v").as("cur"))
+      .localCheckpoint(eager = true)
+    var acc = Vector(
+      start.select(col("walk_src"), lit(0).as("step"), col("cur").as("vertex")),
+      cur.select(col("walk_src"), lit(1).as("step"), col("cur").as("vertex")))
+    for (i <- 2 to steps) {
+      val cands = cur.join(
+        nbrs.select(col("u").as("cu"), col("v").as("cand")),
+        col("cur") === col("cu")).drop("cu")
+      val flagged = cands.join(
+        und.select(col("u").as("pu"), col("v").as("pv")),
+        col("prev") === col("pu") && col("cand") === col("pv"), "left")
+      // u exact in a double (32 bits), /2^32 exact: score chains are
+      // the only float ops and they are identical IEEE in any engine
+      val u01 = conv(substring(md5(concat_ws("|", lit(seed),
+        col("walk_src").cast("string"), lit(i.toString),
+        col("cand").cast("string"))), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      val score = when(col("cand") === col("prev"), u01 * u01 * u01 * u01)
+        .when(col("pv").isNotNull, u01)
+        .otherwise(u01 * u01)
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy("walk_src").orderBy(col("_s").desc, col("cand"))
+      cur = flagged.withColumn("_s", score)
+        .withColumn("_r", row_number().over(rw)).filter(col("_r") === 1)
+        .select(col("walk_src"), col("cur").as("prev"), col("cand").as("cur"))
+        .localCheckpoint(eager = true)
+      acc :+= cur.select(col("walk_src"), lit(i).as("step"),
+        col("cur").as("vertex"))
+    }
+    acc.reduce(_ unionAll _)
+  }
+
   /** C5: label propagation, synchronous, fixed iterations; each vertex
     * adopts the most frequent neighbor label, min label on ties. */
   def labelPropagation(undirected: DataFrame, iterations: Int = 5,
