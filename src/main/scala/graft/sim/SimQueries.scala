@@ -4,6 +4,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Driver-facing similarity queries (SURVEY §2 F1-F2) with generated
   * DuckDB oracles; the hyperplane matrix is computed once in Scala and
@@ -75,6 +76,64 @@ object SimQueries {
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
+  /** F16: neighbors kept per vector in the k-NN graph. */
+  val KnnK = 3
+
+  /** F16 exact face: the all-vectors k-NN graph — the curation
+    * primitive under SemDeDup-style semantic dedup, diversity
+    * filtering, and graph-based clustering (every vector's top-k
+    * cosine neighbors, self excluded). This exact face is the
+    * VERIFICATION face: all-pairs is O(n²) and only sane at oracle
+    * scale; the LSH face below is the 100 TB path and the recall
+    * query measures the gap. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteTopK(emb, "vec_id", "embedding", emb, KnnK)
+      .select(col("q_id").as("src_id"), col("n_id").as("nbr_id"),
+        col("cos"), col("rnk"))
+  }
+
+  /** F16 scale face: k-NN graph from the persisted multi-table LSH
+    * buckets — candidates are bucket collisions in ANY table (the F2
+    * store, built once), scored exactly, top-k per source. Candidate
+    * count is Σ bucket² instead of n², and the bucket self-join
+    * shuffles on (t, bucket) — the only shuffle in the plan. */
+  def simKnnGraphLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val b = storedLshBuckets(spark, dir)
+    val cand = b.join(
+      b.select(col("id").as("nid"), col("t"), col("bucket")), Seq("t", "bucket"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id").as("src_id"), col("nid").as("nbr_id")).distinct()
+    val cos = VectorFunctions.cosineSim(spark, col("sv"), col("nv"))
+    cand
+      .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("sv")),
+        "src_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nv")),
+        "nbr_id")
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+          .orderBy(col("cos").desc, col("nbr_id"))))
+      .filter(col("rnk") <= KnnK)
+      .select(col("src_id"), col("nbr_id"), round(col("cos"), 4).as("cos"),
+        col("rnk"))
+  }
+
+  /** F16 recall dial: per-source overlap of the LSH graph against the
+    * exact graph (the F5 nested-oracle pattern). */
+  def simKnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
+    val lsh = simKnnGraphLsh(spark, dir).select(col("src_id"), col("nbr_id"))
+    val hits = lsh.join(exact, Seq("src_id", "nbr_id"), "left_semi")
+      .groupBy("src_id").agg(count(lit(1)).as("hits"))
+    exact.select("src_id").distinct()
+      .join(hits, Seq("src_id"), "left")
+      .select(col("src_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / KnnK, 4)
+          .as("recall"))
   }
 
   def simQuantize(spark: SparkSession, dir: String): DataFrame =
@@ -259,6 +318,9 @@ object SimQueries {
     "sim_rerank_recall" -> (simRerankRecall _),
     "sim_matryoshka" -> (simMatryoshka _),
     "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
+    "sim_knn_graph"  -> (simKnnGraph _),
+    "sim_knn_graph_lsh" -> (simKnnGraphLsh _),
+    "sim_knn_recall" -> (simKnnRecall _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -342,6 +404,43 @@ object SimQueries {
        |  FROM s
        |)
        |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+
+  // F16 exact k-NN graph: the brute shape with q = every vector
+  private lazy val oracleSqlKnnExact: String =
+    s"""WITH q AS (SELECT vec_id AS src_id, embedding AS qv FROM embeddings),
+       |n AS (SELECT vec_id AS nbr_id, embedding AS nv FROM embeddings),
+       |s AS (
+       |  SELECT src_id, nbr_id, ${cosSql("qv", "nv")} AS cos
+       |  FROM q, n WHERE src_id <> nbr_id
+       |), r AS (
+       |  SELECT src_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT src_id, nbr_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $KnnK""".stripMargin
+
+  // F16 LSH k-NN graph: the ann shape with every vector as a query
+  private lazy val oracleSqlKnnLsh: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS src_id, b.id AS nbr_id
+       |  FROM b a JOIN b ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id
+       |), s AS (
+       |  SELECT c.src_id, c.nbr_id, ${cosSql("se.embedding", "ne.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings se ON se.vec_id = c.src_id
+       |  JOIN embeddings ne ON ne.vec_id = c.nbr_id
+       |), r AS (
+       |  SELECT src_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT src_id, nbr_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $KnnK""".stripMargin
+  }
 
   private lazy val oracleSqlAnn: String = {
     val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
@@ -507,6 +606,26 @@ object SimQueries {
          |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
 
     "sim_ann_lsh" -> oracleSqlAnn,
+
+    // F16: the brute oracle shape with q = ALL vectors (the exact
+    // k-NN graph), the ann oracle shape likewise, and the nested
+    // recall — all three generated so they cannot drift
+    "sim_knn_graph" -> oracleSqlKnnExact,
+    "sim_knn_graph_lsh" -> oracleSqlKnnLsh,
+    "sim_knn_recall" ->
+      s"""WITH exact AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnExact})),
+         |lsh AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})),
+         |hits AS (
+         |  SELECT a.src_id, count(*) AS hits
+         |  FROM lsh a WHERE EXISTS (
+         |    SELECT 1 FROM exact b
+         |    WHERE b.src_id = a.src_id AND b.nbr_id = a.nbr_id)
+         |  GROUP BY a.src_id
+         |)
+         |SELECT e.src_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $KnnK, 4) AS recall
+         |FROM (SELECT DISTINCT src_id FROM exact) e
+         |LEFT JOIN hits h ON h.src_id = e.src_id""".stripMargin,
 
     "sim_ann_recall" ->
       // the brute / ann oracles nest as derived tables (DuckDB allows a
