@@ -469,6 +469,31 @@ object SnapshotStore {
 
   // ---- K31: named tags -------------------------------------------------
 
+  /** K32: RESTORE — roll the table back to an earlier version by
+    * publishing a NEW version that references the old version's files
+    * (the Delta RESTORE contract: history is preserved, no data is
+    * copied, and the rollback is itself a commit that can in turn be
+    * rolled back or diffed). The restored manifest is a CHECKPOINT
+    * (full file list, no #prev link), so the K28 delta chain never
+    * crosses a restore point; vacuum safety falls out of the normal
+    * referenced-file rule — the old files are reachable through the
+    * new head. Returns the new version number. */
+  def restore(name: String, toVersion: Long): Long = synchronized {
+    require(versions(name).contains(toVersion),
+      s"version $toVersion not found for table '$name'")
+    val schema = schemaOf(name, toVersion).getOrElse(sys.error(
+      s"no schema recorded for '$name' v$toVersion — cannot restore"))
+    publishList(name, readManifest(name, toVersion), schema)
+  }
+
+  /** K32 over K31: restore to a NAMED tag (the "roll back to the
+    * release-2 snapshot" operation). */
+  def restoreTag(name: String, tagName: String): Long = {
+    val t = tags(name)
+    require(t.contains(tagName), s"tag '$tagName' not found for '$name'")
+    restore(name, t(tagName))
+  }
+
   private def tagsDir(name: String): Path = new Path(tableDir(name), "_tags")
   private def tagPath(name: String, tag: String): Path = {
     require(tag.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$tag'")

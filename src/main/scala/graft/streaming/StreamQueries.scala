@@ -352,6 +352,46 @@ object StreamQueries {
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     EventOps.hourlyAnomalies(Tables.events(spark, dir), AnomalyZ)
 
+  /** I41: RFM (recency / frequency / monetary) segmentation — the
+    * classic customer-value cube over the event stream. Per user:
+    * recency in whole days behind the corpus' newest event (integer
+    * epoch-second arithmetic), event count, exact-cents value sum.
+    * Scores 1-5 come from quintile THRESHOLDS (exact interpolated
+    * percentiles of the per-user measures, one tiny agg broadcast
+    * back), NOT from a global ntile window — an unpartitioned ntile
+    * is a single-partition exchange, the exact plan J6 bans; the
+    * threshold spelling needs one users-scale groupBy plus a 1-row
+    * cross join and scores stay identical. segment = r·100+f·10+m. */
+  def evRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val users = ev.groupBy("user_id").agg(
+      max(col("ts").cast("long")).as("last_s"),
+      count(lit(1)).as("n_events"),
+      sum(round(col("value") * 100).cast("long")).as("cents"))
+    val mx = ev.agg(max(col("ts").cast("long")).as("mx_s"))
+    val withRec = users.crossJoin(mx)
+      .withColumn("recency_days", ((col("mx_s") - col("last_s")) / 86400L)
+        .cast("long"))
+      .drop("mx_s", "last_s")
+    val cuts = withRec.agg(
+      percentile(col("recency_days"), typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("rc"),
+      percentile(col("n_events"), typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("fc"),
+      percentile(col("cents"), typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("mc"))
+    def scoreUp(x: org.apache.spark.sql.Column, c: String) =
+      lit(1) + (0 to 3).map(i => (x > col(c).getItem(i)).cast("int")).reduce(_ + _)
+    def scoreDown(x: org.apache.spark.sql.Column, c: String) =
+      lit(1) + (0 to 3).map(i => (x < col(c).getItem(3 - i)).cast("int")).reduce(_ + _)
+    withRec.crossJoin(cuts)
+      .withColumn("r_score", scoreDown(col("recency_days"), "rc"))
+      .withColumn("f_score", scoreUp(col("n_events"), "fc"))
+      .withColumn("m_score", scoreUp(col("cents"), "mc"))
+      .select(col("user_id"), col("recency_days"), col("n_events"), col("cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+  }
+
   /** CUSUM alarm threshold, in units of the per-type hourly mean:
     * alarm when the running excess-over-mean exceeds 3 mean-hours. */
   val CusumMeans = 3L
@@ -569,6 +609,7 @@ object StreamQueries {
     "ev_scd2"        -> (evScd2 _),
     "ev_anomaly"     -> (evAnomaly _),
     "ev_cusum"       -> (evCusum _),
+    "ev_rfm"         -> (evRfm _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1047,6 +1088,40 @@ object StreamQueries {
          |)
          |SELECT event_type, hour, n, round(($num) / ($den), 4) AS ewma FROM l""".stripMargin
     },
+
+    // mirrors evRfm: floor(epoch) matches Spark's truncating
+    // timestamp→long cast (events carry sub-second fractions); same
+    // quintile thresholds from quantile_cont, same >/< tie rules
+    "ev_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(floor(epoch(ts))::bigint) AS last_s,
+        |    count(*) AS n_events,
+        |    sum(CAST(round(value * 100) AS BIGINT))::bigint AS cents
+        |  FROM events GROUP BY 1
+        |), mx AS (SELECT max(floor(epoch(ts))::bigint) AS mx_s FROM events),
+        |w AS (
+        |  SELECT user_id, ((mx_s - last_s) // 86400)::bigint AS recency_days,
+        |    n_events, cents
+        |  FROM u, mx
+        |), c AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |         quantile_cont(n_events, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |         quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM w
+        |), s AS (
+        |  SELECT user_id, recency_days, n_events, cents,
+        |    1 + (recency_days < rc[1])::int + (recency_days < rc[2])::int
+        |      + (recency_days < rc[3])::int + (recency_days < rc[4])::int AS r_score,
+        |    1 + (n_events > fc[1])::int + (n_events > fc[2])::int
+        |      + (n_events > fc[3])::int + (n_events > fc[4])::int AS f_score,
+        |    1 + (cents > mc[1])::int + (cents > mc[2])::int
+        |      + (cents > mc[3])::int + (cents > mc[4])::int AS m_score
+        |  FROM w, c
+        |)
+        |SELECT user_id, recency_days, n_events, cents,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM s""".stripMargin,
 
     // mirrors evCusum: the same scaled-integer closed form
     // S_t = C_t − min(0, min_{j≤t} C_j) with D_t = m·n_t − T, one

@@ -240,6 +240,35 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally SnapshotStore.setCheckpointInterval(10)
   }
 
+  test("K32 restore publishes a new version referencing the old files; history survives") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("trst", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    SnapshotStore.commitAppend("trst", Seq((3L, "c")).toDF("k", "s"))       // v1
+    SnapshotStore.commitOverwrite("trst", Seq((9L, "z")).toDF("k", "s"))    // v2
+    val v3 = SnapshotStore.restore("trst", 1L)
+    assert(v3 == 3L)
+    // head content == v1 content, nothing copied (same file paths)
+    assert(rows("trst") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(SnapshotStore.files("trst", 3L).toSet ==
+      SnapshotStore.files("trst", 1L).toSet)
+    // the bad overwrite stays readable as history
+    assert(rows("trst", Some(2L)) == Set((9L, "z")))
+    // the rollback is itself a commit: restore the restore
+    val v4 = SnapshotStore.restore("trst", 2L)
+    assert(v4 == 4L && rows("trst") == Set((9L, "z")))
+    // tag-addressed restore (K32 over K31)
+    SnapshotStore.tag("trst", "good", Some(1L))
+    assert(SnapshotStore.restoreTag("trst", "good") == 5L)
+    assert(rows("trst") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // vacuum keep-2 retains the restored head's files (referenced-file
+    // rule) even though v0/v1 manifests drop
+    SnapshotStore.deleteTag("trst", "good")
+    SnapshotStore.vacuum("trst", keep = 2)
+    assert(SnapshotStore.versions("trst") == Seq(4L, 5L))
+    assert(rows("trst") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] { SnapshotStore.restore("trst", 0L) }
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
