@@ -96,12 +96,104 @@ object QualityQueries {
         round(col("mean_v"), 4).as("mean_v"))
   }
 
+  /** J9: distribution-drift detection via the Population Stability
+    * Index — the "did this feed silently change shape" alarm between
+    * two time windows of the same stream (the check a training
+    * pipeline runs between yesterday's corpus and today's before
+    * mixing them). The event stream splits at its integer midpoint
+    * second (s·2 ≤ min+max — no division, exact); `value` buckets
+    * into 10 equal-width EXACT-CENTS bands (integer width and floor —
+    * no float bucket edges to disagree on); Laplace-smoothed shares
+    * p,q keep ln finite on empty bands; psi = Σ(p−q)·ln(p/q) per
+    * event_type, rounded 4dp (the text_entropy log-sum precedent).
+    * Scale shape: one pass computes the window tag and bucket, one
+    * (type, bucket) aggregation — 10 rows per type reach the psi
+    * fold. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      col("ts").cast("long").as("s"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min("s").as("min_s"), max("s").as("max_s"),
+      min("cents").as("min_c"), max("cents").as("max_c"))
+    val width = expr("(max_c - min_c) div 10 + 1")
+    val tagged = ev.crossJoin(bounds)
+      .withColumn("win",
+        when(col("s") * 2 <= col("min_s") + col("max_s"), "a").otherwise("b"))
+      .withColumn("bucket", expr("(cents - min_c) div ((max_c - min_c) div 10 + 1)"))
+    val counts = tagged.groupBy("event_type", "bucket").agg(
+      sum(when(col("win") === "a", 1L).otherwise(0L)).as("a_n"),
+      sum(when(col("win") === "b", 1L).otherwise(0L)).as("b_n"))
+    // dense (type × bucket 0..9) grid so empty bands still contribute
+    // their smoothed share
+    val grid = counts.select("event_type").distinct()
+      .crossJoin(spark.range(10).select(col("id").cast("int").as("bucket")))
+    val dense = grid.join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("a_n"), lit(0L)).as("a_n"),
+        coalesce(col("b_n"), lit(0L)).as("b_n"))
+    val tot = dense.groupBy("event_type")
+      .agg(sum("a_n").as("a_total"), sum("b_n").as("b_total"))
+    val p = (col("a_n") + 1).cast("double") / (col("a_total") + 10)
+    val q = (col("b_n") + 1).cast("double") / (col("b_total") + 10)
+    dense.join(tot, "event_type")
+      .withColumn("_term", (p - q) * log(p / q))
+      .groupBy(col("event_type"), col("a_total"), col("b_total"))
+      .agg(round(sum(col("_term")), 4).as("psi"))
+      .select("event_type", "a_total", "b_total", "psi")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dq_constraints" -> (dqConstraints _),
     "dq_profile"     -> (dqProfile _),
+    "dq_drift"       -> (dqDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors dqDrift: floor(epoch) for the truncating ts→long cast,
+    // the same no-division midpoint and integer band arithmetic, the
+    // same Laplace-smoothed psi fold
+    "dq_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, floor(epoch(ts))::bigint AS s,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), bounds AS (
+        |  SELECT min(s) AS min_s, max(s) AS max_s,
+        |    min(cents) AS min_c, max(cents) AS max_c
+        |  FROM ev
+        |), tagged AS (
+        |  SELECT event_type,
+        |    CASE WHEN s * 2 <= min_s + max_s THEN 'a' ELSE 'b' END AS win,
+        |    (cents - min_c) // ((max_c - min_c) // 10 + 1) AS bucket
+        |  FROM ev, bounds
+        |), counts AS (
+        |  SELECT event_type, bucket,
+        |    sum(CASE WHEN win = 'a' THEN 1 ELSE 0 END)::bigint AS a_n,
+        |    sum(CASE WHEN win = 'b' THEN 1 ELSE 0 END)::bigint AS b_n
+        |  FROM tagged GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT t.event_type, b.bucket
+        |  FROM (SELECT DISTINCT event_type FROM counts) t
+        |  CROSS JOIN (SELECT unnest(range(10)) AS bucket) b
+        |), dense AS (
+        |  SELECT g.event_type, g.bucket,
+        |    coalesce(c.a_n, 0) AS a_n, coalesce(c.b_n, 0) AS b_n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.bucket = c.bucket
+        |), tot AS (
+        |  SELECT event_type, sum(a_n)::bigint AS a_total,
+        |    sum(b_n)::bigint AS b_total
+        |  FROM dense GROUP BY 1
+        |)
+        |SELECT d.event_type, t.a_total, t.b_total,
+        |  round(sum(
+        |    ((d.a_n + 1)::double / (t.a_total + 10)
+        |      - (d.b_n + 1)::double / (t.b_total + 10))
+        |    * ln(((d.a_n + 1)::double / (t.a_total + 10))
+        |         / ((d.b_n + 1)::double / (t.b_total + 10)))), 4) AS psi
+        |FROM dense d JOIN tot t ON d.event_type = t.event_type
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "dq_constraints" ->
       """WITH m AS (
         |  SELECT count(*)::double AS row_count,

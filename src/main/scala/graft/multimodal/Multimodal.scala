@@ -2320,6 +2320,144 @@ object Multimodal {
         "content_checksum", "block_max_kb", "content_size", "dict_id")
   }
 
+  /** H32: SQLite main-database header parse (the 100-byte header of
+    * file-format 3) — SQLite files are a real corpus modality (app
+    * exports, telemetry dumps, WhatsApp/Chrome artifacts in crawl
+    * data). Reads the 16-byte magic "SQLite format 3\0", the BE u16
+    * page size at offset 17 (value 1 means 65536 — the one special
+    * case), file-format write/read versions, the BE u32 page count at
+    * offset 29, the text encoding code at offset 57 (1 UTF-8 /
+    * 2 UTF-16le / 3 UTF-16be), and derives the database size in bytes
+    * (pages × page size). Pure codegen'd projection. */
+  def withSqliteHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    def u8(off: Int) = conv(hex(bin.substr(lit(off), lit(1))), 16, 10).cast("int")
+    val valid = (lower(hex(substring(bin, 1, 16))) ===
+      "53514c69746520666f726d6174203300").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val rawPs = beU16(bin, lit(17))
+    val pageSize = when(rawPs === 1, 65536).otherwise(rawPs)
+    val nPages = beU32c(bin, lit(29))
+    val encCode = beU32c(bin, lit(57))
+    df.withColumn("valid_sqlite", valid)
+      .withColumn("page_size", ifOk(pageSize))
+      .withColumn("write_version",
+        ifOk(when(u8(19) === 2, "wal").otherwise("legacy")))
+      .withColumn("n_pages", ifOk(nPages))
+      .withColumn("encoding", ifOk(when(encCode === 1, "utf8")
+        .when(encCode === 2, "utf16le").when(encCode === 3, "utf16be")
+        .otherwise("unknown")))
+      .withColumn("db_bytes", ifOk(nPages * pageSize.cast("long")))
+  }
+
+  /** H32 driver query: synthesize a SQLite header per asset — legacy
+    * and WAL legs, the page-size=1→65536 special case on every 5th
+    * doc, UTF-8/16 encodings; every 9th corrupt. Formula oracle. */
+  def mmSqliteMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 9 === 0
+    val big = col("doc_id") % 5 === 0
+    def beHex16(c: org.apache.spark.sql.Column) =
+      lpad(lower(hex(c.bitwiseAND(lit(0xffff)))), 4, "0")
+    def beHex32v(c: org.apache.spark.sql.Column) =
+      lpad(lower(hex(c.bitwiseAND(lit(0xffffffffL)))), 8, "0")
+    // page sizes are powers of two 512..32768; the big leg writes the
+    // literal 1 that means 65536
+    val psExp = col("doc_id") % 7 + 9                  // 2^9..2^15
+    val ps = pow(lit(2.0), psExp.cast("double")).cast("int")
+    val psField = when(big, lit(1)).otherwise(ps)
+    val wal = col("doc_id") % 2 === 0
+    val verHex = when(wal, lit("0202")).otherwise(lit("0101"))
+    val nPages = col("n_chars") % 100000 + 1
+    val enc = col("doc_id") % 3 + 1
+    val hx = concat(
+      when(corrupt, lit("53514c69746520666f726d6174203200"))
+        .otherwise(lit("53514c69746520666f726d6174203300")),
+      beHex16(psField), verHex,
+      lit("00" * 4),                     // reserved + payload fractions
+      beHex32v(lit(7)),                  // change counter (offset 24)
+      beHex32v(nPages),                  // db size in pages (offset 28)
+      lit("00" * 24),                    // freelist/schema fields
+      beHex32v(enc))                     // text encoding (offset 56)
+    withSqliteHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_sqlite", "page_size", "write_version",
+        "n_pages", "encoding", "db_bytes")
+  }
+
+  /** H33: pcap global-header parse — packet captures are the other
+    * binary stream a data platform ingests at bulk, and the format's
+    * magic IS its byte-order probe: 0xa1b2c3d4 read as LE means the
+    * writer was big-endian (fields need BE reads) and vice versa, so
+    * like the H28 ELF parser every field read dispatches endianness
+    * PER ROW. The 0xa1b23c4d magic variant flags nanosecond
+    * timestamps. Reads version, snaplen, and the LINKTYPE_* id. */
+  def withPcapHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val m = lower(hex(substring(bin, 1, 4)))
+    // file bytes d4c3b2a1 = a LITTLE-endian writer of magic 0xa1b2c3d4
+    val isLe = m === "d4c3b2a1" || m === "4d3cb2a1"
+    val isNs = m === "a1b23c4d" || m === "4d3cb2a1"
+    val valid = (isLe || m === "a1b2c3d4" || m === "a1b23c4d").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    def u16e(off: Int) = when(isLe, leU16(bin, lit(off)))
+      .otherwise(beU16(bin, lit(off)))
+    def u32e(off: Int) = when(isLe, leU32(bin, lit(off)))
+      .otherwise(beU32c(bin, lit(off)))
+    val link = u32e(21)
+    df.withColumn("valid_pcap", valid)
+      .withColumn("byte_order", ifOk(when(isLe, "le").otherwise("be")))
+      .withColumn("ts_resolution", ifOk(when(isNs, "ns").otherwise("us")))
+      .withColumn("version",
+        ifOk(concat(u16e(5).cast("string"), lit("."), u16e(7).cast("string"))))
+      .withColumn("snaplen", ifOk(u32e(17)))
+      .withColumn("linktype", ifOk(link.cast("int")))
+      .withColumn("link_name", ifOk(when(link === 1, "ethernet")
+        .when(link === 101, "raw_ip").when(link === 105, "ieee802_11")
+        .when(link === 113, "linux_sll").otherwise("other")))
+  }
+
+  /** H33 driver query: synthesize a pcap global header per asset —
+    * LE-µs, BE-µs, and LE-ns legs (the magic byte-order probe), a
+    * linktype cycle over the common ids; every 10th corrupt. */
+  def mmPcapMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 10 === 0
+    val leg = col("doc_id") % 3
+    def leHex16s(c: org.apache.spark.sql.Column) = {
+      def b(x: org.apache.spark.sql.Column) =
+        lpad(lower(hex(x.bitwiseAND(lit(255)))), 2, "0")
+      concat(b(c), b(shiftright(c, 8)))
+    }
+    def leHex32s(c: org.apache.spark.sql.Column) = {
+      def b(x: org.apache.spark.sql.Column) =
+        lpad(lower(hex(x.bitwiseAND(lit(255)))), 2, "0")
+      concat(b(c), b(shiftright(c, 8)), b(shiftright(c, 16)), b(shiftright(c, 24)))
+    }
+    def beHex16s(c: org.apache.spark.sql.Column) =
+      lpad(lower(hex(c.bitwiseAND(lit(0xffff)))), 4, "0")
+    def beHex32s(c: org.apache.spark.sql.Column) =
+      lpad(lower(hex(c.bitwiseAND(lit(0xffffffffL)))), 8, "0")
+    val isLe = leg =!= 1
+    val magic = when(corrupt, lit("a1b2c3d5"))
+      .when(leg === 0, lit("d4c3b2a1"))   // LE writer, µs
+      .when(leg === 1, lit("a1b2c3d4"))   // BE writer, µs
+      .otherwise(lit("4d3cb2a1"))         // LE writer, ns
+    val snap = col("n_chars") % 65536 + 64
+    val linkIds = Seq(1, 101, 105, 113, 228)
+    val link = element_at(typedLit(linkIds), (col("doc_id") % linkIds.size + 1).cast("int"))
+    def fld16(c: org.apache.spark.sql.Column) =
+      when(isLe, leHex16s(c)).otherwise(beHex16s(c))
+    def fld32(c: org.apache.spark.sql.Column) =
+      when(isLe, leHex32s(c)).otherwise(beHex32s(c))
+    val hx = concat(magic,
+      fld16(lit(2)), fld16(lit(4)),       // version 2.4
+      fld32(lit(0)), fld32(lit(0)),       // thiszone, sigfigs
+      fld32(snap), fld32(link))
+    withPcapHeader(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_pcap", "byte_order", "ts_resolution",
+        "version", "snaplen", "linktype", "link_name")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -2352,9 +2490,54 @@ object Multimodal {
     "mm_pe_meta"   -> (mmPeMeta _),
     "mm_zstd_meta" -> (mmZstdMeta _),
     "mm_lz4_meta"  -> (mmLz4Meta _),
+    "mm_sqlite_meta" -> (mmSqliteMeta _),
+    "mm_pcap_meta" -> (mmPcapMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmSqliteMeta: page size 2^(doc_id%7+9) except the
+    // big leg's literal 1 → 65536; every 9th corrupt
+    "mm_sqlite_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_sqlite,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 65536
+        |       ELSE (2 ** (doc_id % 7 + 9))::int END::int AS page_size,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'wal' ELSE 'legacy' END AS write_version,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE n_chars % 100000 + 1 END::bigint AS n_pages,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE CASE doc_id % 3 + 1 WHEN 1 THEN 'utf8'
+        |            WHEN 2 THEN 'utf16le' ELSE 'utf16be' END END AS encoding,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE (n_chars % 100000 + 1)
+        |         * (CASE WHEN doc_id % 5 = 0 THEN 65536
+        |            ELSE (2 ** (doc_id % 7 + 9))::bigint END)
+        |  END::bigint AS db_bytes
+        |FROM documents""".stripMargin,
+    // mirrors mmPcapMeta: leg 0 LE-µs, 1 BE-µs, 2 LE-ns; linktype
+    // cycles [1,101,105,113,228]; every 10th corrupt
+    "mm_pcap_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS valid_pcap,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 1 THEN 'be' ELSE 'le' END AS byte_order,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 2 THEN 'ns' ELSE 'us' END AS ts_resolution,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE '2.4' END AS version,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE n_chars % 65536 + 64 END::bigint AS snaplen,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 101
+        |            WHEN 2 THEN 105 WHEN 3 THEN 113 ELSE 228 END
+        |  END::int AS linktype,
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL
+        |       ELSE CASE doc_id % 5 WHEN 0 THEN 'ethernet' WHEN 1 THEN 'raw_ip'
+        |            WHEN 2 THEN 'ieee802_11' WHEN 3 THEN 'linux_sll'
+        |            ELSE 'other' END
+        |  END AS link_name
+        |FROM documents""".stripMargin,
     // mirrors mmZstdMeta by the generating formulas; every 7th corrupt.
     // 2**(10+exp) is exact in both engines' doubles at these exponents.
     "mm_zstd_meta" ->
