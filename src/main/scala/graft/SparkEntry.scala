@@ -69,6 +69,7 @@ object SparkEntry {
       "q_excess_suppliers" -> (Relational.qExcessSuppliers _),
       "q_waiting_suppliers" -> (Relational.qWaitingSuppliers _),
       "q_overlap_orders"   -> (Relational.qOverlapOrders _),
+      "q_basket_rules"     -> (Relational.qBasketRules _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -550,6 +551,33 @@ object SparkEntry {
         |FROM iv a JOIN iv b ON a.c = b.c AND a.k < b.k
         |WHERE a.s <= b.e AND b.s <= a.e
         |GROUP BY 1""".stripMargin,
+
+    // D39: same distinct baskets, same u<v pair counts exploded to
+    // both directions, same fixed divisions
+    "q_basket_rules" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+         |pn AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+         |  FROM op a JOIN op b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= ${Relational.BasketMinPairs}
+         |), directed AS (
+         |  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+         |  UNION ALL
+         |  SELECT pb AS antecedent, pa AS consequent, n_ab FROM pairs
+         |)
+         |SELECT d.antecedent, d.consequent, d.n_ab,
+         |  pa.n_part AS n_ante, pc.n_part AS n_cons,
+         |  round(d.n_ab::double / n.n_orders, 6) AS support,
+         |  round(d.n_ab::double / pa.n_part, 4) AS confidence,
+         |  round((d.n_ab * n.n_orders)::double / (pa.n_part * pc.n_part), 4) AS lift
+         |FROM directed d
+         |JOIN pn pa ON d.antecedent = pa.l_partkey
+         |JOIN pn pc ON d.consequent = pc.l_partkey
+         |CROSS JOIN n""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -981,4 +981,47 @@ object Relational {
       .agg(count(lit(1)).as("n_overlap_pairs"),
         max(col("overlap_days")).as("max_overlap_days"))
   }
+
+  /** D39: a pair must co-occur in at least this many orders to emit
+    * a rule (the Apriori support cut that keeps rule count bounded). */
+  val BasketMinPairs = 3L
+
+  /** D39: market-basket association rules — directed part→part rules
+    * with support, confidence, and lift over the order baskets (the
+    * retail co-purchase miner; I20's session lift is the event-stream
+    * sibling, this is the classic Apriori-1×1 face with CONFIDENCE
+    * and a support cut). Baskets dedupe to distinct (order, part)
+    * first; the pair generation is the canonical u<v self-join on the
+    * order key, counted once then EXPLODED to both rule directions —
+    * the expensive join runs once, not twice. Counts are integers;
+    * support/confidence/lift are single fixed divisions rounded 4-6dp.
+    * At 100 TB the basket self-join is the honest cost and shuffles on
+    * the order key; the support cut prunes before the per-part joins. */
+  def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val partN = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketMinPairs)
+    val directed = pairs.select(col("pa").as("antecedent"),
+        col("pb").as("consequent"), col("n_ab"))
+      .unionAll(pairs.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("n_ab")))
+    directed
+      .join(partN.select(col("l_partkey").as("antecedent"),
+        col("n_part").as("n_ante")), "antecedent")
+      .join(partN.select(col("l_partkey").as("consequent"),
+        col("n_part").as("n_cons")), "consequent")
+      .crossJoin(nOrders)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ante"), col("n_cons"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_ante"), 4).as("confidence"),
+        round((col("n_ab") * col("n_orders")).cast("double")
+          / (col("n_ante") * col("n_cons")), 4).as("lift"))
+  }
 }

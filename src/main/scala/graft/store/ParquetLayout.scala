@@ -30,13 +30,21 @@ object ParquetLayout {
     * and on-disk), column count, how many columns carry a dictionary
     * encoding, and the codec of the first column chunk. */
   def audit(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files: Seq[String] =
       if (fs.getFileStatus(root).isFile) Seq(root.toString)
       else fs.listStatus(root).iterator.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    auditFiles(spark, files)
+  }
+
+  /** [[audit]] over an EXPLICIT file list — the entry point for
+    * manifest-driven callers (the K33 fast count hands the snapshot
+    * head's file list straight from the manifest, no directory
+    * listing). */
+  def auditFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    import spark.implicits._
     val slices = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(slices).mapPartitions { it =>

@@ -486,6 +486,26 @@ object SnapshotStore {
     publishList(name, readManifest(name, toVersion), schema)
   }
 
+  /** K33: metadata-only COUNT(*) — sums per-row-group row counts out
+    * of the parquet FOOTERS of a snapshot's manifest file list (two
+    * seeks + a few KB per file; data pages never open). The Delta
+    * "answer count from the log" shortcut: on a 100 TB table this is
+    * a million footer reads distributed over executors (the K30
+    * scanner) instead of a table scan. Exact by parquet's contract —
+    * footer row counts are authoritative. */
+  def fastCount(spark: SparkSession, name: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse {
+      val vs = versions(name)
+      require(vs.nonEmpty, s"unknown table '$name'")
+      vs.last
+    }
+    val fl = files(name, v)
+    if (fl.isEmpty) 0L
+    else ParquetLayout.auditFiles(spark, fl)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
+  }
+
   /** K32 over K31: restore to a NAMED tag (the "roll back to the
     * release-2 snapshot" operation). */
   def restoreTag(name: String, tagName: String): Long = {

@@ -269,6 +269,23 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotStore.restore("trst", 0L) }
   }
 
+  test("K33 fastCount answers from footers and matches a real count at every version") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("tfc", (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s"))
+    SnapshotStore.commitAppend("tfc", (101L to 130L).map(i => (i, s"s$i")).toDF("k", "s"))
+    SnapshotStore.commitOverwrite("tfc", (1L to 7L).map(i => (i, s"s$i")).toDF("k", "s"))
+    assert(SnapshotStore.fastCount(spark, "tfc", Some(0L)) == 100L)
+    assert(SnapshotStore.fastCount(spark, "tfc", Some(1L)) == 130L)
+    assert(SnapshotStore.fastCount(spark, "tfc") == 7L)
+    // agrees with the scan across the whole history, incl. a restore
+    SnapshotStore.restore("tfc", 1L)
+    (0L to 3L).foreach { v =>
+      assert(SnapshotStore.fastCount(spark, "tfc", Some(v)) ==
+        SnapshotStore.read(spark, "tfc", Some(v)).count())
+    }
+    intercept[IllegalArgumentException] { SnapshotStore.fastCount(spark, "nope") }
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
