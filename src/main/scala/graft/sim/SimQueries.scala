@@ -139,6 +139,44 @@ object SimQueries {
   def simQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
+  /** F17: top-k by INT8 dot product over the F6-quantized codes — the
+    * middle rung of the quantization ladder actually SEARCHED (F6
+    * only produces the codes; F12 searches 1-bit, F8 searches PQ):
+    * score = Σ qa·qb in pure integer arithmetic, so the kernel is
+    * exact, portable, and 4× smaller than float reads. Per-query
+    * ranking by (idot desc, n_id); the recall face below measures the
+    * quantization loss against exact cosine. At 100 TB this kernel
+    * runs over IVF/LSH candidates; the exhaustive face here is the
+    * measured-quality convention of the family. */
+  def simInt8Topk(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Similarity.quantizeInt8(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val q = broadcast(codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("dim"), col("q").as("qa")))
+    val n = codes.select(col("vec_id").as("n_id"), col("dim"), col("q").as("qb"))
+    n.join(q, "dim")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("qa").cast("long") * col("qb")).as("idot"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("idot").desc, col("n_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), col("idot"), col("rnk"))
+  }
+
+  /** F17 recall dial vs exact cosine ground truth. */
+  def simInt8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val i8 = simInt8Topk(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = i8.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   val KmeansK = 8
   val KmeansIters = 3
 
@@ -321,6 +359,8 @@ object SimQueries {
     "sim_knn_graph"  -> (simKnnGraph _),
     "sim_knn_graph_lsh" -> (simKnnGraphLsh _),
     "sim_knn_recall" -> (simKnnRecall _),
+    "sim_int8_topk"  -> (simInt8Topk _),
+    "sim_int8_recall" -> (simInt8Recall _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -404,6 +444,39 @@ object SimQueries {
        |  FROM s
        |)
        |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+
+  // mirrors Similarity.quantizeInt8: identical double expression
+  // (x * 127 / max|x|), identical half-away-from-zero rounding
+  private lazy val oracleSqlQuantize: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS dim, embedding
+      |  FROM embeddings
+      |), v AS (
+      |  SELECT vec_id, dim, embedding[dim + 1]::double AS x FROM ex
+      |), m AS (
+      |  SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1
+      |)
+      |SELECT v.vec_id, v.dim,
+      |  CASE WHEN m.maxabs = 0 THEN 0
+      |       ELSE round(v.x * 127 / m.maxabs)::int END AS q
+      |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin
+
+  // F17: integer dot-product rank over the nested quantize oracle
+  private lazy val oracleSqlInt8: String =
+    s"""WITH codes AS (SELECT vec_id, dim, q FROM (${oracleSqlQuantize})),
+       |s AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    sum(a.q::bigint * b.q)::bigint AS idot
+       |  FROM codes a JOIN codes b
+       |    ON a.dim = b.dim AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $NumQueries
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT q_id, n_id, idot,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, idot, rnk FROM r WHERE rnk <= $K""".stripMargin
 
   // F16 exact k-NN graph: the brute shape with q = every vector
   private lazy val oracleSqlKnnExact: String =
@@ -516,21 +589,25 @@ object SimQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "sim_quantize" ->
-      // mirrors Similarity.quantizeInt8: identical double expression
-      // (x * 127 / max|x|), identical half-away-from-zero rounding
-      """WITH ex AS (
-        |  SELECT vec_id, unnest(range(0, length(embedding)))::int AS dim, embedding
-        |  FROM embeddings
-        |), v AS (
-        |  SELECT vec_id, dim, embedding[dim + 1]::double AS x FROM ex
-        |), m AS (
-        |  SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1
-        |)
-        |SELECT v.vec_id, v.dim,
-        |  CASE WHEN m.maxabs = 0 THEN 0
-        |       ELSE round(v.x * 127 / m.maxabs)::int END AS q
-        |FROM v JOIN m ON v.vec_id = m.vec_id""".stripMargin,
+    "sim_quantize" -> oracleSqlQuantize,
+
+    // F17: integer dot over the same quantized codes (nested quantize
+    // oracle — drift-proof), per-query rank; plus the nested recall
+    // against exact cosine
+    "sim_int8_topk" -> oracleSqlInt8,
+    "sim_int8_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |i8 AS (SELECT q_id, n_id FROM (${oracleSqlInt8})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM i8 a WHERE EXISTS (
+         |    SELECT 1 FROM exact b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT e.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e
+         |LEFT JOIN hits h ON h.q_id = e.q_id""".stripMargin,
 
     // mirrors Similarity.kmeansInt8 iteration for iteration over the
     // generated quantization CTE: integer distances, floor(Σq/n)

@@ -352,6 +352,45 @@ object StreamQueries {
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     EventOps.hourlyAnomalies(Tables.events(spark, dir), AnomalyZ)
 
+  /** I42: days of the retention horizon (bits in one long). */
+  val BitmapDays = 14
+
+  /** I42: bitmap cohort retention — the roaring-bitmap technique in
+    * pure SQL longs: each user's activity collapses to ONE 64-bit
+    * mask (bit d = active on corpus-day d, via a codegen'd
+    * shiftleft + bit_or aggregation), the cohort is the user's first
+    * active day, and day-k retention is a popcount-style bit probe
+    * over masks. Why it exists next to I9's count-based matrix: at
+    * 100 TB the (user × active-day) intermediate is the cost — here
+    * it collapses to 8 bytes per user BEFORE the cohort roll-up, the
+    * masks are mergeable across partitions/windows by a single OR,
+    * and the whole horizon reads from one aggregation. Integer bit
+    * ops end to end — nothing floats until the final rate division. */
+  def evBitmapRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ts").cast("long") / lit(86400L))
+        .cast("long").as("abs_day"))
+    val d0 = ev.agg(min("abs_day").as("first_day"))
+    val masks = ev.crossJoin(d0)
+      .select(col("user_id"), (col("abs_day") - col("first_day")).as("d"))
+      .filter(col("d") < BitmapDays)
+      .groupBy("user_id")
+      .agg(bit_or(expr("shiftleft(1L, cast(d as int))")).as("mask"),
+        min("d").as("cohort_day"))
+    masks
+      .crossJoin(spark.range(BitmapDays).select(col("id").as("k")))
+      .filter(col("cohort_day") + col("k") < BitmapDays)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).as("cohort_size"),
+        sum(expr("shiftright(mask, cast(cohort_day + k as int)) & 1L"))
+          .as("active"))
+      .select(col("cohort_day"), col("k").as("day_k"), col("cohort_size"),
+        col("active"),
+        round(col("active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+  }
+
   /** I41: RFM (recency / frequency / monetary) segmentation — the
     * classic customer-value cube over the event stream. Per user:
     * recency in whole days behind the corpus' newest event (integer
@@ -610,6 +649,7 @@ object StreamQueries {
     "ev_anomaly"     -> (evAnomaly _),
     "ev_cusum"       -> (evCusum _),
     "ev_rfm"         -> (evRfm _),
+    "ev_bitmap_retention" -> (evBitmapRetention _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1088,6 +1128,33 @@ object StreamQueries {
          |)
          |SELECT event_type, hour, n, round(($num) / ($den), 4) AS ewma FROM l""".stripMargin
     },
+
+    // mirrors evBitmapRetention: same one-long-per-user bit_or masks
+    // (DuckDB's << / >> on bigint match Spark's shiftleft/shiftright
+    // two's-complement semantics at these widths), same cohort probe
+    "ev_bitmap_retention" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, floor(epoch(ts))::bigint // 86400 AS abs_day
+         |  FROM events
+         |), d0 AS (SELECT min(abs_day) AS first_day FROM ev),
+         |masks AS (
+         |  SELECT user_id,
+         |    bit_or((1::bigint << (abs_day - first_day)::int)) AS mask,
+         |    min(abs_day - first_day) AS cohort_day
+         |  FROM ev, d0
+         |  WHERE abs_day - first_day < ${StreamQueries.BitmapDays}
+         |  GROUP BY user_id
+         |), probe AS (
+         |  SELECT m.cohort_day, k.k, m.mask
+         |  FROM masks m
+         |  CROSS JOIN (SELECT unnest(range(${StreamQueries.BitmapDays}))::bigint AS k) k
+         |  WHERE m.cohort_day + k.k < ${StreamQueries.BitmapDays}
+         |)
+         |SELECT cohort_day, k AS day_k, count(*) AS cohort_size,
+         |  sum((mask >> (cohort_day + k)::int) & 1)::bigint AS active,
+         |  round(sum((mask >> (cohort_day + k)::int) & 1)::double
+         |        / count(*), 4) AS retention
+         |FROM probe GROUP BY 1, 2""".stripMargin,
 
     // mirrors evRfm: floor(epoch) matches Spark's truncating
     // timestamp→long cast (events carry sub-second fractions); same
