@@ -70,6 +70,7 @@ object SparkEntry {
       "q_waiting_suppliers" -> (Relational.qWaitingSuppliers _),
       "q_overlap_orders"   -> (Relational.qOverlapOrders _),
       "q_basket_rules"     -> (Relational.qBasketRules _),
+      "q_cumulative_customers" -> (Relational.qCumulativeCustomers _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -551,6 +552,18 @@ object SparkEntry {
         |FROM iv a JOIN iv b ON a.c = b.c AND a.k < b.k
         |WHERE a.s <= b.e AND b.s <= a.e
         |GROUP BY 1""".stripMargin,
+
+    // D40: the oracle states the INTENT as a plain running-sum window
+    // — the Spark side's triangular join must be row-identical
+    "q_cumulative_customers" ->
+      """WITH f AS (
+        |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS fm
+        |  FROM orders GROUP BY 1
+        |), m AS (SELECT fm, count(*) AS new_customers FROM f GROUP BY 1)
+        |SELECT fm AS month, new_customers,
+        |  sum(new_customers) OVER (ORDER BY fm
+        |    ROWS UNBOUNDED PRECEDING)::bigint AS cum_customers
+        |FROM m""".stripMargin,
 
     // D39: same distinct baskets, same u<v pair counts exploded to
     // both directions, same fixed divisions

@@ -982,6 +982,28 @@ object Relational {
         max(col("overlap_days")).as("max_overlap_days"))
   }
 
+  /** D40: cumulative distinct customers by month — the windowed
+    * COUNT(DISTINCT) no engine supports as a window function,
+    * spelled scale-correctly: each customer collapses to a
+    * FIRST-ORDER month (one groupBy), months aggregate to new-customer
+    * counts, and the running total is a triangular self-join over the
+    * bounded month table (≤ months² tiny rows) instead of an
+    * unpartitioned running-sum window — the planned SinglePartition
+    * exchange J6 bans. The distinct work happens once at customer
+    * grain; nothing at data scale ever sorts globally. */
+  def qCumulativeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(date_trunc("month", col("o_orderdate"))).as("fm"))
+    val monthly = first.groupBy("fm").agg(count(lit(1)).as("new_customers"))
+    monthly.select(col("fm"), col("new_customers"))
+      .join(monthly.select(col("fm").as("fm2"),
+        col("new_customers").as("nc2")), col("fm2") <= col("fm"))
+      .groupBy(col("fm").as("month"), col("new_customers"))
+      .agg(sum(col("nc2")).as("cum_customers"))
+      .select("month", "new_customers", "cum_customers")
+  }
+
   /** D39: a pair must co-occur in at least this many orders to emit
     * a rule (the Apriori support cut that keeps rule count bounded). */
   val BasketMinPairs = 3L

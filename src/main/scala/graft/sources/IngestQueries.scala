@@ -90,6 +90,28 @@ object IngestQueries {
     * Partition columns come back LAST and with inferred types, so the
     * read is re-projected to the original column order and schema —
     * exactly what a consumer of a partitioned lake table does. */
+  /** A15: schema-evolution read across parquet drops — two vintages
+    * of the same feed directory (the late one grew a column), read
+    * back as ONE frame via mergeSchema: pre-evolution rows null the
+    * new column, the vintage partition dir becomes a column. This is
+    * the reality of every long-lived feed at 100 TB — producers
+    * evolve, history doesn't rewrite; mergeSchema pays one footer
+    * read per file (metadata, not data) to resolve the union schema.
+    * The store-side mirror of this contract is K20's manifest schema
+    * evolution. */
+  def ingMergeSchema(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val path = tmp(s"nation_vintages_${graft.store.GraftStore.dirKey(dir)}")
+    n.filter(col("n_nationkey") % 2 === 0).select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$path/vintage=1")
+    n.filter(col("n_nationkey") % 2 === 1)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$path/vintage=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"), col("vintage").cast("int").as("vintage"))
+  }
+
   def ingParquet(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.nation(spark, dir)
     val path = tmp("nation_parquet_part")
@@ -396,6 +418,7 @@ object IngestQueries {
     "ing_union"   -> (ingUnion _),
     "ing_rdf"     -> (ingRdf _),
     "ing_parquet" -> (ingParquet _),
+    "ing_merge_schema" -> (ingMergeSchema _),
     "ing_orc"     -> (ingOrc _),
     "ing_gzip"    -> (ingGzip _),
     "ing_binary"  -> (ingBinary _),
@@ -446,6 +469,15 @@ object IngestQueries {
         |FROM l""".stripMargin,
 
     "ing_csv"  -> "SELECT * FROM nation",
+
+    // A15: the evolved union the mergeSchema read must produce —
+    // vintage-1 rows null the late column
+    "ing_merge_schema" ->
+      """SELECT n_nationkey, n_name, NULL::int AS n_regionkey, 1 AS vintage
+        |FROM nation WHERE n_nationkey % 2 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 2
+        |FROM nation WHERE n_nationkey % 2 = 1""".stripMargin,
     "ing_fixed_width" -> "SELECT * FROM nation",
     "ing_tsv"  -> "SELECT * FROM supplier",
     "ing_json" -> "SELECT * FROM region",

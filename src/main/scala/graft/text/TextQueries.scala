@@ -1098,6 +1098,30 @@ object TextQueries {
     * Flesch formulas are the only float step, fixed expressions over
     * integer ratios, rounded 3dp. Per-doc projection: no shuffle,
     * embarrassingly parallel at any corpus size. */
+  /** G37: hapax / vocabulary-growth profile per (source, lang) slice
+    * — Heaps-law diagnostics for corpus curation: vocabulary size,
+    * hapax legomena share (types seen once — the classic "is this
+    * slice creative text or boilerplate" dial: templated slices have
+    * almost no hapaxes, natural text ~40-60%), and dis legomena. One
+    * (slice, token) aggregation then a slice roll-up; token text
+    * never leaves the first shuffle (counts only). */
+  def textHapax(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("source"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy("source", "lang", "tok").agg(count(lit(1)).as("n"))
+    tf.groupBy("source", "lang").agg(
+      count(lit(1)).as("vocab"),
+      sum("n").as("n_tokens"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("source"), col("lang"), col("vocab"), col("n_tokens"),
+        col("hapax"), col("dis"),
+        round(col("hapax").cast("double") / col("vocab"), 4).as("hapax_share"),
+        round(col("vocab").cast("double") / col("n_tokens"), 4)
+          .as("type_token_ratio"))
+  }
+
   /** Positivity bias for the readability scores' integer half-up
     * rounding (score range guaranteed within ±10⁶, far past any real
     * Flesch value) — a positive dividend makes truncating (Spark div,
@@ -1176,6 +1200,7 @@ object TextQueries {
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
     "text_readability"  -> (textReadability _),
+    "text_hapax"        -> (textHapax _),
     "text_langid"       -> (textLangid _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"  -> (textFingerprint _),
@@ -1386,6 +1411,21 @@ object TextQueries {
     // mirrors textReadability: RE2 regex classes agree between engines
     // on \S+ / [.!?]+ / [aeiouy]+ runs; integer counts, fixed float
     // formulas, 3-4dp rounding
+    // mirrors textHapax over the same whitespace tokens
+    "text_hapax" ->
+      s"""WITH tok AS (
+         |  SELECT source, lang, unnest($toksSql) AS tok FROM documents
+         |), tf AS (
+         |  SELECT source, lang, tok, count(*) AS n FROM tok GROUP BY 1, 2, 3
+         |)
+         |SELECT source, lang, count(*) AS vocab, sum(n)::bigint AS n_tokens,
+         |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::bigint AS hapax,
+         |  sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::bigint AS dis,
+         |  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::double / count(*), 4)
+         |    AS hapax_share,
+         |  round(count(*)::double / sum(n), 4) AS type_token_ratio
+         |FROM tf GROUP BY 1, 2""".stripMargin,
+
     "text_readability" ->
       s"""WITH c AS (
         |  SELECT doc_id,
