@@ -492,6 +492,57 @@ class GraphSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("C32 node2vec walks match an independent in-memory reference of the biased draw") {
+    import spark.implicits._
+    // triangle a-b-c + tail c-d: from c arriving via b, candidate a is
+    // a common neighbor of prev (weight 1), b is the return (1/4), d
+    // is distance-2 (1/2) — all three classes exercised
+    val e = edgesDf("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d")
+    val steps = 4
+    val out = Graphs.node2vecWalks(e, steps)
+      .as[(String, Int, String)].collect().toSet
+
+    // independent reference: same md5 draws, same score chains, plain
+    // Scala walk (the BpeSpec independent-reference pattern)
+    val und = e.collect().flatMap(r =>
+      Seq((r.getString(0), r.getString(1)), (r.getString(1), r.getString(0))))
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def h8(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expected = scala.collection.mutable.Set.empty[(String, Int, String)]
+    adj.keys.foreach { src =>
+      var prev = src
+      var cur = src
+      expected += ((src, 0, src))
+      // step 1: first-order hash-rank pick
+      val n1 = adj(src)
+      val pick1 = n1((h8(s"n2v|$src|1") % n1.size).toInt)
+      prev = src; cur = pick1
+      expected += ((src, 1, cur))
+      for (i <- 2 to steps) {
+        val cands = adj(cur)
+        val pick = cands.map { cand =>
+          val u = h8(s"n2v|$src|$i|$cand").toDouble / 4294967296.0
+          val score =
+            if (cand == prev) u * u * u * u
+            else if (adj(prev).contains(cand)) u
+            else u * u
+          (cand, score)
+        }.sortBy { case (c, s) => (-s, c) }.head._1
+        prev = cur; cur = pick
+        expected += ((src, i, cur))
+      }
+    }
+    assert(out == expected.toSet)
+    // and the walk is edge-respecting by construction of the reference
+    val again = Graphs.node2vecWalks(e, steps).as[(String, Int, String)]
+      .collect().toSet
+    assert(again == out, "hash-driven: must be run-to-run identical")
+  }
+
   test("C3w weighted PageRank: uniform weights reduce to plain PageRank; heavy edges attract rank") {
     import spark.implicits._
     val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))

@@ -159,6 +159,50 @@ class EventOpsSpec extends SparkSpec {
       ("click", "view", 1L, 0.5)))
   }
 
+  test("I40 CUSUM closed form equals the direct max(0, S+d) recursion on the real stream") {
+    val out = StreamQueries.evCusum(spark, sfDir)
+      .select("event_type", "hour", "cusum_means", "alarm")
+      .as[(String, Timestamp, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    // recompute from first principles: hourly counts per type, then
+    // the textbook recursion in exact integers (the same m-scaling)
+    val hourly = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Timestamp, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._1.getTime)).toMap
+    assert(out.keySet == hourly.keySet && out.nonEmpty)
+    hourly.foreach { case (t, rows) =>
+      val m = rows.size.toLong
+      val total = rows.map(_._3).sum
+      var s = 0L
+      val expect = rows.map { case (_, _, n) =>
+        s = math.max(0L, s + (n * m - total))
+        // Spark round() = BigDecimal.valueOf + HALF_UP; replicate it
+        (java.math.BigDecimal.valueOf(s.toDouble / total)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue,
+          if (s > StreamQueries.CusumMeans * total) 1 else 0)
+      }
+      val got = out(t).map(r => (r._3, r._4)).toSeq
+      assert(got == expect.toSeq, s"type $t diverges from the recursion")
+    }
+  }
+
+  test("I42 bitmap retention: day-0 retention is exactly 1.0 for every cohort") {
+    val rows = StreamQueries.evBitmapRetention(spark, sfDir)
+      .select("cohort_day", "day_k", "cohort_size", "active", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // the cohort-day bit is set by definition of the cohort
+    rows.filter(_._2 == 0L).foreach { case (c, _, size, active, r) =>
+      assert(active == size && r == 1.0, s"cohort $c day-0 must be full")
+    }
+    // masks only shrink availability: active never exceeds cohort size
+    rows.foreach { case (c, k, size, active, _) =>
+      assert(active <= size, s"cohort $c day $k overcounts")
+    }
+  }
+
   test("hourlyAnomalies flags only the spike hour; constant series drop out") {
     // type x: five 1-event hours + one 12-event hour → only the spike
     // has |z| >= 2; type y is constant (sd = 0) → excluded entirely
