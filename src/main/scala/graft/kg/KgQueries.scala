@@ -378,6 +378,23 @@ object KgQueries {
         col("neg_i"), col("name").as("neg_object"))
   }
 
+  /** B21: the entity2id / relation2id dictionaries a KG-embedding
+    * trainer (TransE/DistMult/pykeen conventions) loads next to the
+    * B18 negative samples — contiguous 0-based ids in deterministic
+    * name order, minted by the DISTRIBUTED rankedAsc (range-sort +
+    * per-partition offsets; no global window), both dictionaries in
+    * one frame keyed by kind. The same ranking B18 draws against, so
+    * ids and negatives stay consistent by construction. */
+  def kgIdMaps(spark: SparkSession, dir: String): DataFrame = {
+    val names = storedNodes(spark, dir).select(col("name")).distinct()
+    val rels = storedEdges(spark, dir).select(col("rel").as("name")).distinct()
+    val e = graft.graph.Graphs.rankedAsc(names, "name", "idx")
+      .select(lit("entity").as("kind"), col("name"), (col("idx") - 1).as("id"))
+    val r = graft.graph.Graphs.rankedAsc(rels, "name", "idx")
+      .select(lit("relation").as("kind"), col("name"), (col("idx") - 1).as("id"))
+    e.unionAll(r)
+  }
+
   /** Percent-encode the characters N-Triples forbids inside an IRI
     * (RFC 3987 ⊂ the encode set below) — '%' FIRST so later encodings
     * aren't double-escaped. Plain nested replace(), codegen'd. */
@@ -426,6 +443,7 @@ object KgQueries {
     "kg_schema_violations"     -> (kgSchemaViolations _),
     "kg_negative_samples"      -> (kgNegativeSamples _),
     "kg_ntriples"              -> (kgNtriples _),
+    "kg_id_maps"               -> (kgIdMaps _),
   )
 
   /** Generated ER pair oracle — mirrors EntityResolution.resolutionPairs
@@ -572,6 +590,26 @@ object KgQueries {
          |FROM t WHERE object IS NOT NULL AND trim(object) <> ''""".stripMargin,
 
     "kg_edges" -> s"WITH t AS ($triplesSql)\n$edgesSelectSql",
+
+    // B21: the oracle mints ids with a plain global row_number (the
+    // INTENT); the Spark side's distributed rankedAsc must agree
+    "kg_id_maps" ->
+      s"""WITH t AS ($triplesSql), e AS (
+         |$edgesSelectSql
+         |), names AS (
+         |  SELECT DISTINCT name FROM (
+         |    SELECT ${camelSql("subject_type")} AS label, subject AS name
+         |    FROM t WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |    UNION
+         |    SELECT ${camelSql("object_type")}, object
+         |    FROM t WHERE object IS NOT NULL AND trim(object) <> ''
+         |  )
+         |), rels AS (SELECT DISTINCT rel AS name FROM e)
+         |SELECT 'entity' AS kind, name,
+         |  row_number() OVER (ORDER BY name) - 1 AS id FROM names
+         |UNION ALL
+         |SELECT 'relation', name,
+         |  row_number() OVER (ORDER BY name) - 1 FROM rels""".stripMargin,
 
     // mirrors kgNtriples: the same edge CTE, the same %-first encode
     // chain and urn:graft IRI scheme

@@ -767,6 +767,53 @@ object Streaming {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class CuIn(event_type: String, hour: Timestamp, n: Long)
+  final case class CuOut(event_type: String, hour: Timestamp, n: Long,
+      s_scaled: Long, alarm: Int)
+
+  /** I40 (streaming path): ONLINE one-sided CUSUM over windowed
+    * counts — the live flavor of StreamQueries.evCusum. The batch
+    * face derives its reference level μ from the full history (a
+    * luxury a stream doesn't have), so the online contract is the
+    * textbook one: a FIXED reference passed as an exact rational
+    * (refNum/refDen — e.g. yesterday's T and m), the recursion
+    * S = max(0, S + den·n − num) in scaled integers (unit:
+    * den·counts, the batch face's m-scaling), alarm when
+    * S > alarmMeans·num. One ValueState[Long] per event_type — O(1)
+    * state per key; rows sort by hour within a batch so single-batch
+    * runs reproduce the batch recursion exactly and state carries the
+    * running sum across micro-batches. */
+  class CusumProcessor(refNum: Long, refDen: Long, alarmMeans: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CuIn, CuOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var s: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      s = getHandle.getValueState[Long]("cusum_s",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CuIn],
+        tv: TimerValues): Iterator[CuOut] = {
+      var cur = if (s.exists()) s.get() else 0L
+      val out = rows.toSeq.sortBy(_.hour.getTime).map { r =>
+        cur = math.max(0L, cur + refDen * r.n - refNum)
+        CuOut(key, r.hour, r.n, cur,
+          if (cur > alarmMeans * refNum) 1 else 0)
+      }
+      s.update(cur)
+      out.iterator
+    }
+  }
+
+  /** I40 front door (requires the RocksDB state store provider, as
+    * with the other transformWithState faces). */
+  def cusumStreaming(hourly: Dataset[CuIn], refNum: Long, refDen: Long,
+      alarmMeans: Long = StreamQueries.CusumMeans): Dataset[CuOut] = {
+    import hourly.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    hourly.groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(refNum, refDen, alarmMeans),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** I38: dead-letter split sink — every ingest front door needs the
     * invalid rows PRESERVED (the A11/A12 corrupt-tolerant discipline,
     * streaming flavor): one foreachBatch routes each micro-batch into

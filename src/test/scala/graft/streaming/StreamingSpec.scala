@@ -1058,6 +1058,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("I40 streaming CUSUM equals the scaled-integer recursion across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // hourly series with a level shift at hour 6; reference = the
+    // pre-shift rate 2/1 (num=2, den=1) so the shift accumulates
+    val counts = Seq(2L, 1L, 3L, 2L, 2L, 2L, 5L, 6L, 5L, 6L)
+    val rows = counts.zipWithIndex.map { case (n, h) =>
+      Streaming.CuIn("x", new Timestamp(h * 3600000L), n)
+    }
+    val mem = MemoryStream[Streaming.CuIn]
+    val q = Streaming.cusumStreaming(mem.toDS(), refNum = 2L, refDen = 1L,
+        alarmMeans = 3L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: state must carry the running S across them
+      mem.addData(rows.take(6): _*); q.processAllAvailable()
+      mem.addData(rows.drop(6): _*); q.processAllAvailable()
+      val got = spark.table("cusum_out")
+        .select("hour", "n", "s_scaled", "alarm")
+        .as[(Timestamp, Long, Long, Int)].collect().sortBy(_._1.getTime)
+        .map(r => (r._3, r._4)).toSeq
+      var s = 0L
+      val expect = counts.map { n =>
+        s = math.max(0L, s + n - 2L)
+        (s, if (s > 3L * 2L) 1 else 0)
+      }
+      assert(got == expect, s"streamed $got vs recursion $expect")
+      // the shift is detected: alarms only after the level change
+      assert(got.takeWhile(_._2 == 0).size >= 6 && got.exists(_._2 == 1))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("I32 transformWithState throttle matches the batch cap across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
