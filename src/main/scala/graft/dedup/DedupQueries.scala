@@ -83,6 +83,33 @@ object DedupQueries {
         round(col("lev").cast("double") / col("_mx"), 4).as("edit_ratio"))
   }
 
+  /** E15/G38: dedup impact report — the per-source before/after a
+    * curation run actually reports: document and TOKEN keep rates
+    * under the E6 survivor policy (token rates matter more than doc
+    * rates for a training mix — near-dup clusters skew long). One
+    * join of the survivor flags onto per-doc token counts, one
+    * source-keyed aggregation; at 100 TB both sides are corpus-scale
+    * scans that were already being paid (tokens for G1, survivors for
+    * E6) — the report composes them without new heavy work. */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      size(graft.text.TextQueries.tokens(col("text"))).cast("long").as("n_tok"))
+    val surv = dedupSurvivors(spark, dir).select(col("doc_id"),
+      col("is_kept").cast("long").as("kept"))
+    d.join(surv, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(col("kept")).as("docs_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(col("n_tok") * col("kept")).as("tokens_kept"))
+      .select(col("source"), col("docs_total"), col("docs_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        round(col("docs_kept").cast("double") / col("docs_total"), 4)
+          .as("doc_keep_rate"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 4)
+          .as("token_keep_rate"))
+  }
+
   val ContainmentMaxDf = 20
   val ContainmentThreshold = 0.8
 
@@ -279,6 +306,7 @@ object DedupQueries {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", MaxHamming)),
     "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
     "dedup_edit_pairs"      -> (dedupEditPairs _),
+    "dedup_impact"          -> (dedupImpact _),
     "dedup_containment"     -> (dedupContainment _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
@@ -638,6 +666,25 @@ object DedupQueries {
          |    AS direction
          |FROM v
          |WHERE round(greatest(inter / la, inter / lb), 4) >= $ContainmentThreshold""".stripMargin,
+
+    // mirrors dedupImpact: the survivor-cluster CTEs + per-source
+    // token-weighted keep rates (token counts via the text module's
+    // split convention — text_tokens pins the parity)
+    "dedup_impact" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+         |imp AS (
+         |  SELECT d.source,
+         |    (coalesce(c.component, d.doc_id) = d.doc_id)::int AS kept,
+         |    length(string_split_regex(trim(d.text), ' +')) AS n_tok
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |)
+         |SELECT source, count(*) AS docs_total,
+         |  sum(kept)::bigint AS docs_kept,
+         |  sum(n_tok)::bigint AS tokens_total,
+         |  sum(n_tok * kept)::bigint AS tokens_kept,
+         |  round(sum(kept)::double / count(*), 4) AS doc_keep_rate,
+         |  round(sum(n_tok * kept)::double / sum(n_tok), 4) AS token_keep_rate
+         |FROM imp GROUP BY 1""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH RECURSIVE $dupClusterCtes

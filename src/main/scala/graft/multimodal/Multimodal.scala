@@ -2458,6 +2458,49 @@ object Multimodal {
         "version", "snaplen", "linktype", "link_name")
   }
 
+  /** H34: parquet envelope parse — 'PAR1' at both ends, the LE u32
+    * footer length 8 bytes from the tail. Self-referential but
+    * practical: this is the FIRST read any parquet consumer performs
+    * (two seeks), and the footer_fits flag (footer + trailer within
+    * the file) is the standard truncated-upload detector a lake's
+    * quarantine step runs before handing files to a real reader
+    * (K30 then audits the footer's row groups). */
+  def withParquetTrailer(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin)
+    val valid = (lower(hex(substring(bin, 1, 4))) === "50415231" &&
+      lower(hex(bin.substr(flen - 3, lit(4)))) === "50415231" &&
+      flen >= 12).cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val footerLen = leU32(bin, flen - 7)
+    df.withColumn("valid_parquet", valid)
+      .withColumn("file_bytes", ifOk(flen.cast("long")))
+      .withColumn("footer_len", ifOk(footerLen))
+      // footer + 8-byte trailer + 4-byte header magic must fit
+      .withColumn("footer_fits",
+        ifOk((footerLen + 12L <= flen.cast("long")).cast("int")))
+  }
+
+  /** H34 driver query: synthesize a parquet envelope per asset —
+    * honest leg (declared footer covers the filler), truncated leg on
+    * every 4th doc (declared footer larger than the file — the
+    * interrupted-upload signature), corrupt tail magic every 6th. */
+  def mmParquetMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 6 === 0
+    val truncated = col("doc_id") % 4 === 0
+    val fill = (col("doc_id") % 19 + 1).cast("int")
+    val declared = when(truncated, fill + lit(1000)).otherwise(fill)
+    val hx = concat(
+      lit("50415231"),
+      repeat(lit("00"), fill),
+      leHex32(declared),
+      when(corrupt, lit("50415232")).otherwise(lit("50415231")))
+    withParquetTrailer(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_parquet", "file_bytes", "footer_len",
+        "footer_fits")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -2492,9 +2535,23 @@ object Multimodal {
     "mm_lz4_meta"  -> (mmLz4Meta _),
     "mm_sqlite_meta" -> (mmSqliteMeta _),
     "mm_pcap_meta" -> (mmPcapMeta _),
+    "mm_parquet_meta" -> (mmParquetMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmParquetMeta: file = 4 + fill + 8 bytes trailer;
+    // truncated leg declares fill+1000; every 6th corrupt tail magic
+    "mm_parquet_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS valid_parquet,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       ELSE doc_id % 19 + 1 + 12 END::bigint AS file_bytes,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN doc_id % 19 + 1 + 1000
+        |       ELSE doc_id % 19 + 1 END::bigint AS footer_len,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END::int AS footer_fits
+        |FROM documents""".stripMargin,
     // mirrors mmSqliteMeta: page size 2^(doc_id%7+9) except the
     // big leg's literal 1 → 65536; every 9th corrupt
     "mm_sqlite_meta" ->

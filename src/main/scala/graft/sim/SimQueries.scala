@@ -63,6 +63,35 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K, NCentroids, NProbe)
   }
 
+  /** F18: nprobe values the recall sweep measures. */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 3)
+
+  /** F18: the recall-vs-nprobe curve for IVF — the tuning face every
+    * ANN deployment needs before picking its latency/recall point
+    * (the E12 LSH-tuner discipline applied to IVF): one recall row
+    * per (nprobe, query) from the SAME ivfSearch operator the
+    * single-point query runs, unioned across the sweep. Each leg's
+    * candidate cost scales with nprobe/ncentroids of the corpus —
+    * the measured trade-off IS the output. */
+  def simIvfSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+      .localCheckpoint(eager = true)
+    val qs = brute.select("q_id").distinct()
+    SweepProbes.map { p =>
+      val ivf = Similarity.ivfSearch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < NumQueries), K, NCentroids, p)
+        .select(col("q_id"), col("n_id"))
+      val hits = ivf.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      qs.join(hits, Seq("q_id"), "left")
+        .select(lit(p).as("nprobe"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4)
+            .as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Recall@k of the LSH ANN against brute-force ground truth, fully
     * IN-PLAN (semi-join on the (query, neighbor) pairs + one agg) — the
     * ANN quality dial as a driver-visible, oracled query instead of a
@@ -361,6 +390,7 @@ object SimQueries {
     "sim_knn_recall" -> (simKnnRecall _),
     "sim_int8_topk"  -> (simInt8Topk _),
     "sim_int8_recall" -> (simInt8Recall _),
+    "sim_ivf_sweep"  -> (simIvfSweep _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -438,6 +468,35 @@ object SimQueries {
        |), s AS (
        |  SELECT c.q_id, c.n_id, ${cosSql("q.qv", "n.nv")} AS cos
        |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN n ON n.n_id = c.n_id
+       |), r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+
+  // parameterized IVF oracle (nprobe is the F18 sweep's dial)
+  private def oracleSqlIvf(nprobe: Int): String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
+       |v AS (SELECT vec_id AS id, embedding AS vv FROM embeddings),
+       |asg AS (
+       |  SELECT id, vv, c_id FROM (
+       |    SELECT v.id, v.vv, c.c_id,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosSql("vv", "cv")} DESC, c.c_id) AS r
+       |    FROM v, c) WHERE r = 1
+       |),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |pr AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.q_id, q.qv, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("qv", "cv")} DESC, c.c_id) AS r
+       |    FROM q, c) WHERE r <= $nprobe
+       |),
+       |s AS (
+       |  SELECT pr.q_id, asg.id AS n_id, ${cosSql("qv", "asg.vv")} AS cos
+       |  FROM pr JOIN asg ON pr.c_id = asg.c_id WHERE pr.q_id <> asg.id
        |), r AS (
        |  SELECT q_id, n_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
@@ -721,33 +780,23 @@ object SimQueries {
          |FROM (SELECT DISTINCT q_id FROM brute) q
          |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
 
-    "sim_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
-         |v AS (SELECT vec_id AS id, embedding AS vv FROM embeddings),
-         |asg AS (
-         |  SELECT id, vv, c_id FROM (
-         |    SELECT v.id, v.vv, c.c_id,
-         |      row_number() OVER (PARTITION BY v.id
-         |        ORDER BY ${cosSql("vv", "cv")} DESC, c.c_id) AS r
-         |    FROM v, c) WHERE r = 1
-         |),
-         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
-         |pr AS (
-         |  SELECT q_id, qv, c_id FROM (
-         |    SELECT q.q_id, q.qv, c.c_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${cosSql("qv", "cv")} DESC, c.c_id) AS r
-         |    FROM q, c) WHERE r <= $NProbe
-         |),
-         |s AS (
-         |  SELECT pr.q_id, asg.id AS n_id, ${cosSql("qv", "asg.vv")} AS cos
-         |  FROM pr JOIN asg ON pr.c_id = asg.c_id WHERE pr.q_id <> asg.id
-         |), r AS (
-         |  SELECT q_id, n_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM s
-         |)
-         |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin,
+    "sim_ivf" -> oracleSqlIvf(NProbe),
+
+    // F18: the recall-vs-nprobe curve — each leg nests the
+    // parameterized IVF oracle, so the sweep cannot drift from the
+    // single-point sim_ivf query
+    "sim_ivf_sweep" -> SweepProbes.map { p =>
+      s"""SELECT $p AS nprobe, e.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM (${oracleSqlBrute})) e
+         |LEFT JOIN (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM (SELECT q_id, n_id FROM (${oracleSqlIvf(p)})) a
+         |  WHERE EXISTS (SELECT 1 FROM (${oracleSqlBrute}) b
+         |                WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |) h ON h.q_id = e.q_id""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "sim_pq" -> oracleSqlPq,
 
