@@ -486,6 +486,28 @@ object SnapshotStore {
     publishList(name, readManifest(name, toVersion), schema)
   }
 
+  /** K35: zero-copy SHALLOW CLONE — the target's v0 manifest simply
+    * references the source version's files (the Delta SHALLOW CLONE
+    * contract): no bytes move, the clone commits/vacuums
+    * independently, and because GC only ever touches a table's OWN
+    * data_v* dirs a clone's vacuum can never delete source bytes.
+    * The inverse hazard is Delta's as well and is the documented
+    * caveat: vacuuming the SOURCE may drop files a shallow clone
+    * still references — pin the cloned source version with a K31 tag
+    * for the clone's lifetime. The dev/test-sandbox primitive a real
+    * lake team uses daily. */
+  def cloneTable(name: String, target: String,
+      version: Option[Long] = None): Long = synchronized {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"unknown table '$name'")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not found for table '$name'")
+    require(versions(target).isEmpty, s"clone target '$target' already exists")
+    val schema = schemaOf(name, v).getOrElse(sys.error(
+      s"no schema recorded for '$name' v$v — cannot clone"))
+    publishList(target, readManifest(name, v), schema)
+  }
+
   /** K33: metadata-only COUNT(*) — sums per-row-group row counts out
     * of the parquet FOOTERS of a snapshot's manifest file list (two
     * seeks + a few KB per file; data pages never open). The Delta

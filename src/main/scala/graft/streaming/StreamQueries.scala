@@ -352,6 +352,40 @@ object StreamQueries {
   def evAnomaly(spark: SparkSession, dir: String): DataFrame =
     EventOps.hourlyAnomalies(Tables.events(spark, dir), AnomalyZ)
 
+  /** I44: conversion-lag distribution — per converting user the delay
+    * from FIRST view to the first purchase AT OR AFTER it, then exact
+    * interpolated delay percentiles (p50/p90/p99) plus the conversion
+    * rate over the viewing population. The timing companion to I8's
+    * ordered funnel (which counts, but never times). Integer epoch
+    * seconds end to end; percentiles are the D14 cross-engine-stable
+    * kind; two user-keyed aggs and one 1-row roll-up — nothing at
+    * event scale ever sorts globally. */
+  def evConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("s"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("s").as("first_view"))
+    val lags = views.join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("s").as("ps")), Seq("user_id"))
+      .filter(col("ps") >= col("first_view"))
+      .groupBy("user_id", "first_view").agg(min("ps").as("first_purchase"))
+      .select(col("user_id"), (col("first_purchase") - col("first_view"))
+        .as("lag_s"))
+    views.select(col("user_id")).crossJoin(broadcast(
+        lags.agg(count(lit(1)).as("n_converted"),
+          percentile(col("lag_s"), typedLit(Seq(0.5, 0.9, 0.99))).as("pcts"))))
+      .groupBy("n_converted", "pcts")
+      .agg(count(lit(1)).as("n_viewers"))
+      .select(col("n_viewers"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_viewers"), 4)
+          .as("conversion_rate"),
+        round(col("pcts").getItem(0), 1).as("lag_p50"),
+        round(col("pcts").getItem(1), 1).as("lag_p90"),
+        round(col("pcts").getItem(2), 1).as("lag_p99"))
+  }
+
   /** I42: days of the retention horizon (bits in one long). */
   val BitmapDays = 14
 
@@ -650,6 +684,7 @@ object StreamQueries {
     "ev_cusum"       -> (evCusum _),
     "ev_rfm"         -> (evRfm _),
     "ev_bitmap_retention" -> (evBitmapRetention _),
+    "ev_conversion_lag" -> (evConversionLag _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1128,6 +1163,32 @@ object StreamQueries {
          |)
          |SELECT event_type, hour, n, round(($num) / ($den), 4) AS ewma FROM l""".stripMargin
     },
+
+    // mirrors evConversionLag: floor(epoch) second arithmetic, the
+    // same first-view→first-at-or-after-purchase lag, quantile_cont
+    "ev_conversion_lag" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, floor(epoch(ts))::bigint AS s FROM events
+        |), v AS (
+        |  SELECT user_id, min(s) AS first_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), lags AS (
+        |  SELECT v.user_id, min(p.s) - v.first_view AS lag_s
+        |  FROM v JOIN ev p ON p.user_id = v.user_id
+        |    AND p.event_type = 'purchase' AND p.s >= v.first_view
+        |  GROUP BY v.user_id, v.first_view
+        |), agg AS (
+        |  SELECT count(*) AS n_converted,
+        |    quantile_cont(lag_s, [0.5, 0.9, 0.99]) AS pcts
+        |  FROM lags
+        |)
+        |SELECT (SELECT count(*) FROM v) AS n_viewers, n_converted,
+        |  round(n_converted::double / (SELECT count(*) FROM v), 4)
+        |    AS conversion_rate,
+        |  round(pcts[1], 1) AS lag_p50,
+        |  round(pcts[2], 1) AS lag_p90,
+        |  round(pcts[3], 1) AS lag_p99
+        |FROM agg""".stripMargin,
 
     // mirrors evBitmapRetention: same one-long-per-user bit_or masks
     // (DuckDB's << / >> on bigint match Spark's shiftleft/shiftright

@@ -1098,6 +1098,32 @@ object TextQueries {
     * Flesch formulas are the only float step, fixed expressions over
     * integer ratios, rounded 3dp. Per-doc projection: no shuffle,
     * embarrassingly parallel at any corpus size. */
+  /** G39: in-vocabulary size for the OOV-rate signal. */
+  val OovVocabK = 1000
+
+  /** G39: out-of-vocabulary rate per document against the corpus'
+    * own top-[[OovVocabK]] token vocabulary — the tokenizer-fit /
+    * domain-shift signal a data mixer reads before adding a new
+    * source (high OOV against the core vocabulary = the slice will
+    * fragment into byte-level tokens). Vocabulary = top-K tokens by
+    * (count desc, token asc) — deterministic tie-break; ranked by
+    * the distributed rankedDesc-style aggregation (a TakeOrdered
+    * global top-K, bounded K rows) and broadcast back into the
+    * per-doc membership join. */
+  def textOov(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = broadcast(tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(OovVocabK)
+      .select(col("tok"), lit(1).as("in_vocab")))
+    tok.join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+  }
+
   /** G37: hapax / vocabulary-growth profile per (source, lang) slice
     * — Heaps-law diagnostics for corpus curation: vocabulary size,
     * hapax legomena share (types seen once — the classic "is this
@@ -1201,6 +1227,7 @@ object TextQueries {
     "text_quality"      -> (textQuality _),
     "text_readability"  -> (textReadability _),
     "text_hapax"        -> (textHapax _),
+    "text_oov"          -> (textOov _),
     "text_langid"       -> (textLangid _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"  -> (textFingerprint _),
@@ -1411,6 +1438,25 @@ object TextQueries {
     // mirrors textReadability: RE2 regex classes agree between engines
     // on \S+ / [.!?]+ / [aeiouy]+ runs; integer counts, fixed float
     // formulas, 3-4dp rounding
+    // mirrors textOov: the same (count desc, token) top-K vocabulary
+    // and per-doc membership rates
+    "text_oov" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS n,
+         |      row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+         |    FROM tok GROUP BY tok
+         |  ) WHERE r <= $OovVocabK
+         |)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::bigint AS n_oov,
+         |  round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::double
+         |        / count(*), 4) AS oov_rate
+         |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+         |GROUP BY t.doc_id""".stripMargin,
+
     // mirrors textHapax over the same whitespace tokens
     "text_hapax" ->
       s"""WITH tok AS (

@@ -286,6 +286,29 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotStore.fastCount(spark, "nope") }
   }
 
+  test("K35 shallow clone: zero-copy, divergent histories, clone vacuum never touches source") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("tsrc", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    SnapshotStore.commitAppend("tsrc", Seq((3L, "c")).toDF("k", "s"))     // v1
+    val v0 = SnapshotStore.cloneTable("tsrc", "tclone")
+    assert(v0 == 0L)
+    // same rows, same underlying files (no copy)
+    assert(rows("tclone") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(SnapshotStore.files("tclone", 0L).toSet ==
+      SnapshotStore.files("tsrc", 1L).toSet)
+    // histories diverge independently
+    SnapshotStore.commitAppend("tclone", Seq((9L, "z")).toDF("k", "s"))
+    SnapshotStore.commitAppend("tsrc", Seq((4L, "d")).toDF("k", "s"))
+    assert(rows("tclone") == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    assert(rows("tsrc") == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // the clone's vacuum GCs only its own data dirs: source intact
+    SnapshotStore.vacuum("tclone", keep = 1)
+    assert(rows("tsrc") == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rows("tclone") == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    intercept[IllegalArgumentException] { SnapshotStore.cloneTable("tsrc", "tclone") }
+    intercept[IllegalArgumentException] { SnapshotStore.cloneTable("nope", "t2") }
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
