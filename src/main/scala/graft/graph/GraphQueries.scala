@@ -289,6 +289,16 @@ object GraphQueries {
   def graphCc(spark: SparkSession, dir: String): DataFrame =
     Graphs.connectedComponents(storedGeoUnd(spark, dir))
 
+  /** C33: component-size histogram — the corpus-health view over C2
+    * ("one giant component + dust" is the shape every entity-graph
+    * audit checks first; a flat histogram means the blocking/ER step
+    * under-merged). Two bounded aggregations over the CC labels —
+    * output is histogram-scale, never vertex-scale. */
+  def graphCcSizes(spark: SparkSession, dir: String): DataFrame =
+    graphCc(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+
   /** C27 driver query: Borůvka MSF over the co-order graph with the
     * EXACT integer co-occurrence count as weight (min-cnt forest —
     * the skeleton of weakest links; no float ties to tie-break, and
@@ -614,6 +624,7 @@ object GraphQueries {
     "graph_node2vec"  -> (graphNode2vec _),
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
+    "graph_cc_sizes"  -> (graphCcSizes _),
     "graph_msf"       -> (graphMsf _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_pagerank_w" -> (graphPagerankWeighted _),
@@ -951,6 +962,22 @@ object GraphQueries {
          |  WHERE c.lbl < und.v
          |)
          |SELECT id, min(lbl) AS component FROM closure GROUP BY id""".stripMargin
+    },
+
+    // C33: the same min-label closure rolled to a size histogram
+    "graph_cc_sizes" -> {
+      val body = edgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$body,
+         |$geoUndCtes,
+         |closure(id, lbl) AS (
+         |  SELECT u, u FROM und
+         |  UNION
+         |  SELECT und.v, c.lbl FROM closure c JOIN und ON und.u = c.id
+         |  WHERE c.lbl < und.v
+         |),
+         |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id),
+         |sz AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+         |SELECT size, count(*) AS n_components FROM sz GROUP BY 1""".stripMargin
     },
 
     // mirrors Graphs.katz over both orientations: x0 = 1, x_{t+1} =

@@ -112,6 +112,44 @@ object IngestQueries {
         col("n_regionkey"), col("vintage").cast("int").as("vintage"))
   }
 
+  /** A16: corrupt-file quarantine read — a multi-file parquet feed
+    * where one file's bytes are garbage (the truncated-upload /
+    * bit-rot reality of any large drop), read back under
+    * ignoreCorruptFiles: the healthy files' rows survive, the bad
+    * file skips instead of failing the job. The FILE-level sibling of
+    * A11/A12's row-level corruption tolerance; at 100 TB one bad
+    * object must never kill a million-file scan (the H34/K30 audits
+    * find and quarantine it out of band). */
+  def ingCorruptFiles(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val path = tmp(s"nation_corrupt_${graft.store.GraftStore.dirKey(dir)}")
+    (0 to 2).foreach { p =>
+      n.filter(col("n_nationkey") % 3 === p).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/part=$p")
+    }
+    // clobber part=1's data file with non-parquet bytes
+    val root = new org.apache.hadoop.fs.Path(s"$path/part=1")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).iterator
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val out = fs.create(f.getPath, true)
+        try out.write("not parquet at all".getBytes("UTF-8"))
+        finally out.close()
+      }
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try
+      spark.read.parquet(path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        // materialize under the flag: the lazy frame would otherwise
+        // read after the finally restores it
+        .localCheckpoint(eager = true)
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", p)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   def ingParquet(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.nation(spark, dir)
     val path = tmp("nation_parquet_part")
@@ -419,6 +457,7 @@ object IngestQueries {
     "ing_rdf"     -> (ingRdf _),
     "ing_parquet" -> (ingParquet _),
     "ing_merge_schema" -> (ingMergeSchema _),
+    "ing_corrupt_files" -> (ingCorruptFiles _),
     "ing_orc"     -> (ingOrc _),
     "ing_gzip"    -> (ingGzip _),
     "ing_binary"  -> (ingBinary _),
@@ -469,6 +508,12 @@ object IngestQueries {
         |FROM l""".stripMargin,
 
     "ing_csv"  -> "SELECT * FROM nation",
+
+    // A16: the surviving rows — everything except the clobbered
+    // part=1 slice
+    "ing_corrupt_files" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 3 <> 1""".stripMargin,
 
     // A15: the evolved union the mergeSchema read must produce —
     // vintage-1 rows null the late column
