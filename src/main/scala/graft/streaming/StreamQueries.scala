@@ -528,6 +528,51 @@ object StreamQueries {
     EventOps.transitionMatrix(Tables.events(spark, dir),
       "user_id", "ts", "event_id", "event_type")
 
+  /** I47: power-iteration rounds for the stationary distribution. */
+  val StationaryIters = 8
+
+  /** I47: stationary distribution of the I13 journey Markov chain —
+    * where users spend their long-run time, the one-number-per-state
+    * summary a product team reads off the transition matrix. Power
+    * iteration π ← πP from uniform, renormalized each round (states
+    * without outgoing transitions leak mass; renormalization keeps a
+    * proper distribution), [[StationaryIters]] rounds. P entries are
+    * exact-integer ratios; each round is one join + one type-keyed
+    * agg over ≤ |types|² rows — the matrix is bounded by the event
+    * vocabulary, so every frame after the first count is
+    * metadata-scale. round(6) absorbs sum-order ulp (the Katz
+    * precedent). */
+  def evStationary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val j = Tables.events(spark, dir).select(col("event_type"),
+      lead(col("event_type"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))).as("to_type"))
+    val c = j.filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(eager = true)
+    val tot = c.groupBy("from_type").agg(sum("n").as("tot"))
+    val p = c.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("tot")).as("pe"))
+      .localCheckpoint(eager = true)
+    val st = c.select(col("from_type").as("t")).distinct()
+    val nt = st.agg(count(lit(1)).as("nt"))
+    var pi = st.crossJoin(nt)
+      .select(col("t"), (lit(1.0) / col("nt")).as("pi"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to StationaryIters) {
+      val raw = pi.join(p, pi("t") === p("from_type"))
+        .join(st.select(col("t").as("t2")), col("to_type") === col("t2"))
+        .groupBy(col("to_type")).agg(sum(col("pi") * col("pe")).as("w"))
+      val mass = raw.agg(sum("w").as("mass"))
+      pi = raw.crossJoin(mass)
+        .select(col("to_type").as("t"), (col("w") / col("mass")).as("pi"))
+        .localCheckpoint(eager = true)
+    }
+    pi.select(col("t").as("event_type"), round(col("pi"), 6).as("pi"))
+  }
+
   val HeavyTopK = 10
 
   /** I21: EXACT heavy hitters — the top-10 users per event type by
@@ -685,6 +730,7 @@ object StreamQueries {
     "ev_rfm"         -> (evRfm _),
     "ev_bitmap_retention" -> (evBitmapRetention _),
     "ev_conversion_lag" -> (evConversionLag _),
+    "ev_stationary"  -> (evStationary _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1324,6 +1370,39 @@ object StreamQueries {
 
     // mirrors EventOps.transitionMatrix: (ts, event_id) total order per
     // user, lead() for the next type, then count + per-from share
+    // mirrors evStationary: the same unrounded P, uniform start,
+    // MATERIALIZED per-round renormalized iteration (katz pattern)
+    "ev_stationary" -> {
+      val rounds = (1 to StationaryIters).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT p.to_type AS t, sum(pi${i - 1}.pi * p.pe) AS w
+           |  FROM pi${i - 1} JOIN p ON p.from_type = pi${i - 1}.t
+           |  JOIN st s2 ON s2.t = p.to_type
+           |  GROUP BY 1
+           |),
+           |pi$i AS MATERIALIZED (
+           |  SELECT t, w / (SELECT sum(w) FROM r$i) AS pi FROM r$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH j AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |                           ORDER BY ts, event_id) AS to_type
+         |  FROM events
+         |), c AS (
+         |  SELECT from_type, to_type, count(*) AS n
+         |  FROM j WHERE to_type IS NOT NULL GROUP BY 1, 2
+         |), tot AS (SELECT from_type, sum(n)::bigint AS tot FROM c GROUP BY 1),
+         |p AS (
+         |  SELECT c.from_type, c.to_type, c.n::double / t.tot AS pe
+         |  FROM c JOIN tot t ON c.from_type = t.from_type
+         |), st AS (SELECT DISTINCT from_type AS t FROM c),
+         |n AS (SELECT count(*) AS nt FROM st),
+         |pi0 AS MATERIALIZED (SELECT t, 1.0 / nt AS pi FROM st, n),
+         |$rounds
+         |SELECT t AS event_type, round(pi, 6) AS pi FROM pi$StationaryIters""".stripMargin
+    },
+
     "ev_markov" ->
       """WITH j AS (
         |  SELECT event_type AS from_type,
