@@ -289,6 +289,34 @@ object GraphQueries {
   def graphCc(spark: SparkSession, dir: String): DataFrame =
     Graphs.connectedComponents(storedGeoUnd(spark, dir))
 
+  /** C34: degree cutoffs the rich-club pass evaluates. */
+  val RichClubKs: Seq[Int] = Seq(2, 4, 8)
+
+  /** C34: rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    * co-order graph — do high-degree parts preferentially co-order
+    * with EACH OTHER (φ→1: an elite clique of staples; φ≈ the global
+    * density: no club)? The classic topology probe next to C14's
+    * assortativity. One degree table + per-k two semi-joins and two
+    * 1-row counts — each k's subgraph restriction reuses the same
+    * canonical edge frame — [integer counts, one display division]. */
+  def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir).localCheckpoint(eager = true)
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    RichClubKs.map { k =>
+      val rich = deg.filter(col("deg") > k).select(col("x"))
+      val nN = rich.agg(count(lit(1)).as("n_nodes"))
+      val eK = e.join(rich.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(rich.select(col("x").as("v")), Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("n_edges"))
+      nN.crossJoin(eK).select(lit(k).as("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") >= 2,
+          round(lit(2.0) * col("n_edges")
+            / (col("n_nodes") * (col("n_nodes") - 1)), 6)).as("phi"))
+    }.reduce(_ unionAll _)
+  }
+
   /** C33: component-size histogram — the corpus-health view over C2
     * ("one giant component + dust" is the shape every entity-graph
     * audit checks first; a flat histogram means the blocking/ER step
@@ -625,6 +653,7 @@ object GraphQueries {
     "graph_sssp"      -> (graphSssp _),
     "graph_cc"        -> (graphCc _),
     "graph_cc_sizes"  -> (graphCcSizes _),
+    "graph_rich_club" -> (graphRichClub _),
     "graph_msf"       -> (graphMsf _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_pagerank_w" -> (graphPagerankWeighted _),
@@ -962,6 +991,33 @@ object GraphQueries {
          |  WHERE c.lbl < und.v
          |)
          |SELECT id, min(lbl) AS component FROM closure GROUP BY id""".stripMargin
+    },
+
+    // C34: same co-order edge CTE as graph_walks; per-k restriction
+    // + the 2E/(N(N−1)) formula
+    "graph_rich_club" -> {
+      val legs = RichClubKs.map { k =>
+        s"""SELECT $k AS k,
+           |  (SELECT count(*) FROM deg WHERE deg > $k) AS n_nodes,
+           |  (SELECT count(*) FROM e0
+           |   WHERE u IN (SELECT x FROM deg WHERE deg > $k)
+           |     AND v IN (SELECT x FROM deg WHERE deg > $k)) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), deg AS MATERIALIZED (
+         |  SELECT x, count(*) AS deg FROM (
+         |    SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1
+         |), legs AS (
+         |$legs
+         |)
+         |SELECT k, n_nodes, n_edges,
+         |  CASE WHEN n_nodes >= 2 THEN
+         |    round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) END AS phi
+         |FROM legs""".stripMargin
     },
 
     // C33: the same min-label closure rolled to a size histogram

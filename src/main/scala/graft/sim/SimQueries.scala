@@ -63,6 +63,36 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K, NCentroids, NProbe)
   }
 
+  /** F19: embedding drift between corpus halves — the J9 PSI idea
+    * for VECTORS: per label, the cosine between the centroid of the
+    * even-id half and the odd-id half (a deployed encoder whose two
+    * vintages drift apart shows cos ≪ 1 long before any downstream
+    * metric moves). Per-dim centroid sums ride one (label, half,
+    * dim) aggregation; the cosine assembles from three per-label
+    * sums — centroid-scale frames after the first agg (the F9
+    * precedent for float-sum portability, round 4). */
+  def simDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "half", "dim")
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("half"), col("dim"),
+        (col("sx") / col("n")).as("c"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("c").as("ca"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("c").as("cb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na"),
+        sum(col("cb") * col("cb")).as("nb"))
+      .select(col("label"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
+          .as("half_cosine"))
+  }
+
   /** F18: nprobe values the recall sweep measures. */
   val SweepProbes: Seq[Int] = Seq(1, 2, 3)
 
@@ -391,6 +421,7 @@ object SimQueries {
     "sim_int8_topk"  -> (simInt8Topk _),
     "sim_int8_recall" -> (simInt8Recall _),
     "sim_ivf_sweep"  -> (simIvfSweep _),
+    "sim_drift"      -> (simDrift _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -746,6 +777,28 @@ object SimQueries {
     // F16: the brute oracle shape with q = ALL vectors (the exact
     // k-NN graph), the ann oracle shape likewise, and the nested
     // recall — all three generated so they cannot drift
+    // F19: same per-dim centroid means and three-sum cosine assembly
+    "sim_drift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    unnest(range(0, length(embedding)))::int AS dim, embedding
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT label, half, dim, embedding[dim + 1]::double AS x FROM ex
+        |), cent AS (
+        |  SELECT label, half, dim, sum(x) / count(*) AS c
+        |  FROM v GROUP BY 1, 2, 3
+        |), j AS (
+        |  SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+        |  FROM cent a JOIN cent b
+        |    ON a.label = b.label AND a.dim = b.dim
+        |   AND a.half = 0 AND b.half = 1
+        |)
+        |SELECT label,
+        |  round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 4)
+        |    AS half_cosine
+        |FROM j GROUP BY label""".stripMargin,
+
     "sim_knn_graph" -> oracleSqlKnnExact,
     "sim_knn_graph_lsh" -> oracleSqlKnnLsh,
     "sim_knn_recall" ->

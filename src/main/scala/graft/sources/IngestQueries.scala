@@ -187,6 +187,19 @@ object IngestQueries {
       .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
   }
 
+  /** A17: LZ4-compressed JSONL round-trip — the fast modern codec
+    * next to A13's gzip (frame-level LZ4 decompresses ~5× faster; the
+    * H31 parser reads the very envelope these files carry — its
+    * block-independence flag is what decides splittability). Same
+    * byte-fidelity contract: md5 against the source table. */
+  def ingLz4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val path = tmp(s"docs_lz4_${graft.store.GraftStore.dirKey(dir)}")
+    docs.write.mode("overwrite").option("compression", "lz4").json(path)
+    spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+  }
+
   /** A10: the `binaryFile` source — the multimodal ingestion front
     * door (images/audio/video land as opaque files; Spark lists and
     * reads them distributed, one row per file with path/length/bytes).
@@ -458,6 +471,7 @@ object IngestQueries {
     "ing_parquet" -> (ingParquet _),
     "ing_merge_schema" -> (ingMergeSchema _),
     "ing_corrupt_files" -> (ingCorruptFiles _),
+    "ing_lz4"     -> (ingLz4 _),
     "ing_orc"     -> (ingOrc _),
     "ing_gzip"    -> (ingGzip _),
     "ing_binary"  -> (ingBinary _),
@@ -543,6 +557,8 @@ object IngestQueries {
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     // the gzip JSONL lines round-trip the documents rows byte-exactly
     "ing_gzip" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents""",
+    "ing_lz4" ->
       """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents""",
     // independent derivation: the files' bytes ARE the documents' UTF-8
     // text, so length and md5 re-derive from the source table

@@ -528,6 +528,48 @@ object StreamQueries {
     EventOps.transitionMatrix(Tables.events(spark, dir),
       "user_id", "ts", "event_id", "event_type")
 
+  /** I48: minimum events before the cadence test speaks. */
+  val BotMinEvents = 5L
+
+  /** I48: bot-cadence signals — per user the inter-event-gap
+    * statistics that separate scripted traffic from humans: a
+    * machine fires on a near-constant timer (coefficient of
+    * variation of gaps ≈ 0) where human gaps are bursty (cv ≳ 1).
+    * Exact integers end to end: gaps in whole seconds, variance via
+    * the (n·Σx² − (Σx)²) identity over bigint sums, and the bot flag
+    * is the INTEGER cross-multiplied inequality 100·n·(nΣx²−(Σx)²) <
+    * (Σx)²·n (cv² < 1/100 ⟺ n·(nΣx²−(Σx)²) < (Σx)²·... spelled
+    * below) — no float compare decides membership; the reported cv
+    * is the one rounded display division. One lag window per user +
+    * one user-keyed agg. */
+  def evBotSignals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("s"))
+      .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").as("sx"), sum(col("gap") * col("gap")).as("sxx"),
+        min("gap").as("min_gap"), max("gap").as("max_gap"))
+      .filter(col("n_gaps") >= BotMinEvents && col("sx") > 0)
+      // cv = √(nΣx²−(Σx)²)/Σx ; bot ⟺ cv² < 1/100, i.e. the integer
+      // inequality 100·(nΣx²−(Σx)²) < (Σx)² — no float compare
+      // decides membership. (Bigint headroom: gaps are seconds and
+      // 100·n·Σgap² stays far under 2⁶³ at this corpus's per-user
+      // volumes; a 100 TB deployment hashes gaps to minutes first.)
+      .select(col("user_id"), col("n_gaps"), col("min_gap"), col("max_gap"),
+        round(sqrt((col("n_gaps") * col("sxx")
+            - col("sx") * col("sx")).cast("double")) / col("sx"), 4)
+          .as("gap_cv"),
+        (lit(100L) * (col("n_gaps") * col("sxx")
+            - col("sx") * col("sx")) < col("sx") * col("sx"))
+          .cast("int").as("bot_flag"))
+  }
+
   /** I47: power-iteration rounds for the stationary distribution. */
   val StationaryIters = 8
 
@@ -731,6 +773,7 @@ object StreamQueries {
     "ev_bitmap_retention" -> (evBitmapRetention _),
     "ev_conversion_lag" -> (evConversionLag _),
     "ev_stationary"  -> (evStationary _),
+    "ev_bot_signals" -> (evBotSignals _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1370,6 +1413,27 @@ object StreamQueries {
 
     // mirrors EventOps.transitionMatrix: (ts, event_id) total order per
     // user, lead() for the next type, then count + per-from share
+    // mirrors evBotSignals: floor(epoch) gaps, the same bigint
+    // variance identity and integer cv²<1/100 cut
+    "ev_bot_signals" ->
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |    floor(epoch(ts))::bigint
+         |      - lag(floor(epoch(ts))::bigint) OVER (
+         |          PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM events
+         |), a AS (
+         |  SELECT user_id, count(*) AS n_gaps,
+         |    sum(gap)::bigint AS sx, sum(gap * gap)::bigint AS sxx,
+         |    min(gap) AS min_gap, max(gap) AS max_gap
+         |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+         |  HAVING count(*) >= ${StreamQueries.BotMinEvents} AND sum(gap) > 0
+         |)
+         |SELECT user_id, n_gaps, min_gap, max_gap,
+         |  round(sqrt((n_gaps * sxx - sx * sx)::double) / sx, 4) AS gap_cv,
+         |  (100 * (n_gaps * sxx - sx * sx) < sx * sx)::int AS bot_flag
+         |FROM a""".stripMargin,
+
     // mirrors evStationary: the same unrounded P, uniform start,
     // MATERIALIZED per-round renormalized iteration (katz pattern)
     "ev_stationary" -> {
