@@ -2501,6 +2501,86 @@ object Multimodal {
         "footer_fits")
   }
 
+  /** Max records the TFRecord walk visits. */
+  val TfMaxRecords = 4
+
+  /** H35: TFRecord envelope scan — THE classic training-data
+    * container (TensorFlow's length-delimited record stream): each
+    * record is [u64le length][u32 masked-crc of length][payload]
+    * [u32 masked-crc of payload]. The walk hops ≤ [[TfMaxRecords]]
+    * records with every offset an ALIASED column (the 64 KB codegen
+    * discipline), counting records and payload bytes and flagging
+    * TRUNCATION (a declared length running past the file — the
+    * interrupted-shard signature, the H34 footer_fits idea at record
+    * grain). CRCs are hopped, not verified (no crc32c in-plan);
+    * the magic-less format means validity is structural: the first
+    * record must fit. */
+  def withTfRecords(df: DataFrame, binCol: String,
+      maxRecords: Int = TfMaxRecords): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin).cast("long")
+    def u64(off: org.apache.spark.sql.Column) =
+      leU32(bin, off.cast("int")) + leU32(bin, off.cast("int") + 4) * lit(4294967296L)
+    var out = df.withColumn("_o1", lit(1L))
+    for (i <- 1 to maxRecords) {
+      val o = col(s"_o$i")
+      out = out
+        .withColumn(s"_len$i", u64(o))
+        // the length field itself is readable
+        .withColumn(s"_hdr$i", coalesce(o + 7L <= flen, lit(false)))
+        // the record is live iff its FULL envelope fits
+        .withColumn(s"_ok$i", coalesce(
+          col(s"_hdr$i") && o + 15L + col(s"_len$i") <= flen, lit(false)))
+        // readable header whose envelope does NOT fit = truncation
+        .withColumn(s"_tr$i", col(s"_hdr$i") && !col(s"_ok$i"))
+        .withColumn(s"_o${i + 1}", o + 16L + col(s"_len$i"))
+    }
+    val nRec = (1 to maxRecords).map(i => col(s"_ok$i").cast("int")).reduce(_ + _)
+    val payload = (1 to maxRecords)
+      .map(i => when(col(s"_ok$i"), col(s"_len$i")).otherwise(0L)).reduce(_ + _)
+    val truncated = (1 to maxRecords).map(i => col(s"_tr$i")).reduce(_ || _)
+    out
+      .withColumn("valid_tfrecord", col("_ok1").cast("int"))
+      .withColumn("n_records", when(col("_ok1"), nRec))
+      .withColumn("payload_bytes", when(col("_ok1"), payload))
+      .withColumn("first_len", when(col("_ok1"), col("_len1")))
+      .withColumn("truncated", when(col("_ok1"), truncated.cast("int")))
+      .drop((1 to maxRecords + 1).map(i => s"_o$i") ++
+        (1 to maxRecords).flatMap(i =>
+          Seq(s"_len$i", s"_hdr$i", s"_ok$i", s"_tr$i")): _*)
+  }
+
+  /** H35 driver query: synthesize a TFRecord shard per asset — two
+    * full records plus a third present on doc_id % 3 != 0; every 5th
+    * doc TRUNCATES the last record's payload (declared length runs
+    * past the file), every 9th doc is an empty/garbage shard (first
+    * header does not fit). Formula oracle. */
+  def mmTfrecordMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val garbage = col("doc_id") % 9 === 0
+    val truncate = col("doc_id") % 5 === 0
+    val hasThird = col("doc_id") % 3 =!= 0
+    val l1 = (col("doc_id") % 40 + 1).cast("int")
+    val l2 = (col("n_chars") % 60 + 1).cast("int")
+    val l3 = (col("doc_id") % 20 + 1).cast("int")
+    def le64(c: org.apache.spark.sql.Column) = concat(leHex32(c), lit("00000000"))
+    def rec(len: org.apache.spark.sql.Column,
+        cut: org.apache.spark.sql.Column) = concat(
+      le64(len), lit("aabbccdd"),                 // masked len crc (hopped)
+      repeat(lit("00"), greatest(len - cut, lit(0)).cast("int")),
+      when(cut > 0, lit("")).otherwise(lit("eeff0011"))) // data crc unless cut
+    val full = concat(
+      rec(l1, lit(0)), rec(l2, lit(0)),
+      when(hasThird && !truncate, rec(l3, lit(0)))
+        // the truncated leg declares l3 but ships half the payload
+        .when(hasThird && truncate, rec(l3, shiftright(l3, 1) + 1))
+        .otherwise(lit("")))
+    val hx = when(garbage, lit("0102030405")).otherwise(full)
+    withTfRecords(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_tfrecord", "n_records", "payload_bytes",
+        "first_len", "truncated")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -2536,9 +2616,31 @@ object Multimodal {
     "mm_sqlite_meta" -> (mmSqliteMeta _),
     "mm_pcap_meta" -> (mmPcapMeta _),
     "mm_parquet_meta" -> (mmParquetMeta _),
+    "mm_tfrecord_meta" -> (mmTfrecordMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmTfrecordMeta: l1 = doc_id%40+1, l2 = n_chars%60+1,
+    // third record on doc_id%3!=0 (len doc_id%20+1), truncated when
+    // also doc_id%5=0, garbage shard every 9th
+    "mm_tfrecord_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_tfrecord,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0 THEN 3
+        |       ELSE 2 END::int AS n_records,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0
+        |         THEN (doc_id % 40 + 1) + (n_chars % 60 + 1) + (doc_id % 20 + 1)
+        |       ELSE (doc_id % 40 + 1) + (n_chars % 60 + 1)
+        |  END::bigint AS payload_bytes,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE doc_id % 40 + 1 END::bigint AS first_len,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN 1
+        |       ELSE 0 END::int AS truncated
+        |FROM documents""".stripMargin,
+
     // mirrors mmParquetMeta: file = 4 + fill + 8 bytes trailer;
     // truncated leg declares fill+1000; every 6th corrupt tail magic
     "mm_parquet_meta" ->
