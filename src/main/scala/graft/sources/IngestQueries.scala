@@ -455,6 +455,22 @@ object IngestQueries {
     SnapshotStore.diff(spark, name, 0L, 1L, Seq("o_orderkey"))
   }
 
+  /** K33 driver query: the metadata-only count against BOTH versions
+    * of the K27 snapshot history — the numbers come from parquet
+    * FOOTERS of the manifests' file lists (never a data scan) and the
+    * oracle recomputes them from the generating filters, so the
+    * footer path is value-checked end to end. Driver-side footer jobs
+    * produce a 2-row frame — metadata-scale, the index-stats collect
+    * convention. */
+  def ingFastCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, SnapshotStore}
+    ingSnapshotDiff(spark, dir) // ensures the 2-version table exists
+    val name = s"ord_diff_${GraftStore.dirKey(dir)}"
+    import spark.implicits._
+    Seq(0L, 1L).map(v => (v, SnapshotStore.fastCount(spark, name, Some(v))))
+      .toDF("version", "n_rows")
+  }
+
   def warmStores(spark: SparkSession, dir: String): Unit = {
     ingZonemap(spark, dir); ingSnapshotIndex(spark, dir); ingMvInc(spark, dir)
     dppLayout(spark, dir); ingSnapshotDiff(spark, dir); ()
@@ -472,6 +488,7 @@ object IngestQueries {
     "ing_merge_schema" -> (ingMergeSchema _),
     "ing_corrupt_files" -> (ingCorruptFiles _),
     "ing_lz4"     -> (ingLz4 _),
+    "ing_fastcount" -> (ingFastCount _),
     "ing_orc"     -> (ingOrc _),
     "ing_gzip"    -> (ingGzip _),
     "ing_binary"  -> (ingBinary _),
@@ -560,6 +577,14 @@ object IngestQueries {
       """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents""",
     "ing_lz4" ->
       """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents""",
+
+    // K33: footer-derived counts must equal the generating filters
+    "ing_fastcount" ->
+      """SELECT 0::bigint AS version,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 4) AS n_rows
+        |UNION ALL
+        |SELECT 1,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 1)""".stripMargin,
     // independent derivation: the files' bytes ARE the documents' UTF-8
     // text, so length and md5 re-derive from the source table
     "ing_binary" ->
