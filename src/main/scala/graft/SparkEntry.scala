@@ -71,6 +71,7 @@ object SparkEntry {
       "q_overlap_orders"   -> (Relational.qOverlapOrders _),
       "q_basket_rules"     -> (Relational.qBasketRules _),
       "q_cumulative_customers" -> (Relational.qCumulativeCustomers _),
+      "q_mad_outliers"     -> (Relational.qMadOutliers _),
     ) ++ KgQueries.queries ++ graft.text.TextQueries.queries ++
       graft.multimodal.Multimodal.queries ++ graft.sources.IngestQueries.queries ++
       graft.dedup.DedupQueries.queries ++ graft.sim.SimQueries.queries ++
@@ -552,6 +553,30 @@ object SparkEntry {
         |FROM iv a JOIN iv b ON a.c = b.c AND a.k < b.k
         |WHERE a.s <= b.e AND b.s <= a.e
         |GROUP BY 1""".stripMargin,
+
+    // D44: same exact-cents inputs, same two quantile_cont passes and
+    // the 3·MAD cut on deterministic half-integer deviations
+    "q_mad_outliers" ->
+      """WITH o AS (
+        |  SELECT r.r_name, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |), m AS (
+        |  SELECT r_name, quantile_cont(cents, 0.5) AS med FROM o GROUP BY 1
+        |), d AS (
+        |  SELECT o.r_name, abs(o.cents - m.med) AS dev, m.med
+        |  FROM o JOIN m ON o.r_name = m.r_name
+        |), md AS (
+        |  SELECT r_name, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+        |)
+        |SELECT d.r_name, round(d.med / 100.0, 2) AS median_price,
+        |  round(md.mad / 100.0, 2) AS mad_price,
+        |  count(*) AS n_orders,
+        |  sum((d.dev > 3.0 * md.mad)::int)::bigint AS n_outliers
+        |FROM d JOIN md ON d.r_name = md.r_name
+        |GROUP BY d.r_name, d.med, md.mad""".stripMargin,
 
     // D40: the oracle states the INTENT as a plain running-sum window
     // — the Spark side's triangular join must be row-identical

@@ -982,6 +982,38 @@ object Relational {
         max(col("overlap_days")).as("max_overlap_days"))
   }
 
+  /** D44: robust outlier detection by median absolute deviation —
+    * the outlier battery that doesn't let the outliers poison their
+    * own threshold (mean/stddev does; median/MAD doesn't — the
+    * robust-statistics standard). Per region: median order cents,
+    * MAD, and the count beyond 3 MAD. Exact-cents integers feed two
+    * interpolated-percentile aggregations (the D14 cross-engine
+    * contract); |x−med| values are half-integer-exact doubles so the
+    * 3·MAD comparison is deterministic. Two region-keyed aggs + one
+    * broadcast-back join. */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val med = o.groupBy("r_name")
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val withDev = o.join(med, "r_name")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = withDev.groupBy("r_name")
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    withDev.join(mad, "r_name")
+      .groupBy(col("r_name"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("dev") > lit(3.0) * col("mad")).cast("long")).as("n_outliers"))
+      .select(col("r_name"),
+        round(col("med") / 100.0, 2).as("median_price"),
+        round(col("mad") / 100.0, 2).as("mad_price"),
+        col("n_orders"), col("n_outliers"))
+  }
+
   /** D40: cumulative distinct customers by month — the windowed
     * COUNT(DISTINCT) no engine supports as a window function,
     * spelled scale-correctly: each customer collapses to a

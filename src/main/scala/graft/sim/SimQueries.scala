@@ -63,6 +63,81 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K, NCentroids, NProbe)
   }
 
+  /** F20: FILTERED vector search — top-k cosine restricted to the
+    * query's own label (metadata predicate + vector similarity, the
+    * production ANN feature every store markets). Exact face filters
+    * BEFORE scoring (pre-filter: correct by construction); the ANN
+    * face generates candidates from the UNFILTERED LSH buckets and
+    * filters after (post-filter) — and the recall dial exists to
+    * expose exactly the failure mode that design has under selective
+    * predicates: the k survivors of a label-blind candidate set may
+    * not cover the label-restricted true top-k. That measured gap is
+    * the argument for label-partitioned indexes at 100 TB. */
+  def simFilteredBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = broadcast(emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv")))
+    val n = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("nv"))
+    val cos = VectorFunctions.cosineSim(spark, col("qv"), col("nv"))
+    n.crossJoin(q)
+      .filter(col("q_id") =!= col("n_id") && col("n_label") === col("q_label"))
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
+        col("rnk"))
+  }
+
+  /** F20 post-filter ANN face: label-blind LSH candidates, label
+    * filter after, exact rescoring. */
+  def simFilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val b = storedLshBuckets(spark, dir)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val cand = b.filter(col("id") < NumQueries)
+      .select(col("id").as("q_id"), col("t"), col("bucket"))
+      .join(b.select(col("id").as("n_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val cos = VectorFunctions.cosineSim(spark, col("qv"), col("nv"))
+    cand
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("nl")), "n_id")
+      .filter(col("ql") === col("nl"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        "q_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+        "n_id")
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
+        col("rnk"))
+  }
+
+  /** F20 recall dial: the pre/post-filter gap, measured. The
+    * denominator is the per-query EXACT result size (a label group
+    * can hold fewer than k neighbors), not a flat k. */
+  def simFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simFilteredBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val ann = simFilteredAnn(spark, dir).select(col("q_id"), col("n_id"))
+    val truth = exact.groupBy("q_id").agg(count(lit(1)).as("n_true"))
+    val hits = ann.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    truth.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_true"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_true"), 4)
+          .as("recall"))
+  }
+
   /** F19: embedding drift between corpus halves — the J9 PSI idea
     * for VECTORS: per label, the cosine between the centroid of the
     * even-id half and the odd-id half (a deployed encoder whose two
@@ -422,6 +497,9 @@ object SimQueries {
     "sim_int8_recall" -> (simInt8Recall _),
     "sim_ivf_sweep"  -> (simIvfSweep _),
     "sim_drift"      -> (simDrift _),
+    "sim_filtered"   -> (simFilteredBrute _),
+    "sim_filtered_ann" -> (simFilteredAnn _),
+    "sim_filtered_recall" -> (simFilteredRecall _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -567,6 +645,46 @@ object SimQueries {
        |  FROM s
        |)
        |SELECT q_id, n_id, idot, rnk FROM r WHERE rnk <= $K""".stripMargin
+
+  // F20 pre-filter exact face: the brute shape + label equality
+  private lazy val oracleSqlFilteredBrute: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |n AS (SELECT vec_id AS n_id, label AS nl, embedding AS nv FROM embeddings),
+       |s AS (
+       |  SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos
+       |  FROM q, n WHERE q_id <> n_id AND ql = nl
+       |), r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+
+  // F20 post-filter ANN face: label-blind buckets, label filter after
+  private lazy val oracleSqlFilteredAnn: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$bandSelects
+       |), q AS (SELECT id AS q_id, t, bucket FROM b WHERE id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, b.id
+       |  FROM q JOIN b ON q.t = b.t AND q.bucket = b.bucket AND q.q_id <> b.id
+       |), s AS (
+       |  SELECT c.q_id, c.id AS n_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ne ON ne.vec_id = c.id
+       |  WHERE qe.label = ne.label
+       |), r AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+  }
 
   // F16 exact k-NN graph: the brute shape with q = every vector
   private lazy val oracleSqlKnnExact: String =
@@ -777,6 +895,24 @@ object SimQueries {
     // F16: the brute oracle shape with q = ALL vectors (the exact
     // k-NN graph), the ann oracle shape likewise, and the nested
     // recall — all three generated so they cannot drift
+    // F20: pre-filter exact, post-filter ANN, and the nested
+    // per-query-denominator recall that exposes the gap between them
+    "sim_filtered" -> oracleSqlFilteredBrute,
+    "sim_filtered_ann" -> oracleSqlFilteredAnn,
+    "sim_filtered_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlFilteredBrute})),
+         |ann AS (SELECT q_id, n_id FROM (${oracleSqlFilteredAnn})),
+         |truth AS (SELECT q_id, count(*) AS n_true FROM exact GROUP BY 1),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM ann a WHERE EXISTS (
+         |    SELECT 1 FROM exact b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT t.q_id, t.n_true, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / t.n_true, 4) AS recall
+         |FROM truth t LEFT JOIN hits h ON h.q_id = t.q_id""".stripMargin,
+
     // F19: same per-dim centroid means and three-sum cosine assembly
     "sim_drift" ->
       """WITH ex AS (

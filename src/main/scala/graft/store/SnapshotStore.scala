@@ -588,6 +588,31 @@ object SnapshotStore {
     fsOf(p).delete(p, false); ()
   }
 
+  /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
+    * (versions, data files, bytes), computed with the same
+    * keep+tag-protection rule but touching nothing. The ops-review
+    * step a real lake runs before a destructive retention change
+    * ("how much does keep=3 actually reclaim?"). */
+  final case class VacuumPlan(dropVersions: Seq[Long],
+      dropFiles: Seq[String], dropBytes: Long)
+
+  def vacuumDryRun(name: String, keep: Int): VacuumPlan = synchronized {
+    require(keep >= 1, "must keep at least one version")
+    val vs = versions(name)
+    val protectedVs = tags(name).values.toSet
+    val keptVersions =
+      (vs.takeRight(keep) ++ vs.filter(protectedVs.contains)).distinct.sorted
+    val drop = vs.filterNot(keptVersions.contains)
+    val referenced = keptVersions.flatMap(readManifest(name, _)).toSet
+    val fs = fsOf(tableDir(name))
+    val victims = fs.listStatus(tableDir(name)).iterator
+      .filter(_.getPath.getName.startsWith("data_v"))
+      .flatMap(d => fs.listStatus(d.getPath).iterator)
+      .filter(f => !referenced.contains(f.getPath.toString))
+      .map(f => (f.getPath.toString, f.getLen)).toSeq.sortBy(_._1)
+    VacuumPlan(drop, victims.map(_._1), victims.map(_._2).sum)
+  }
+
   /** Retention GC (the VACUUM half every snapshot format stages
     * separately from commits): keep the newest `keep` versions PLUS
     * every K31-tagged version, then delete every data file no

@@ -309,6 +309,31 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotStore.cloneTable("nope", "t2") }
   }
 
+  test("K38 vacuum dry run predicts exactly what the real vacuum then drops") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("tdry", Seq((0L, "a")).toDF("k", "s"))
+    SnapshotStore.commitAppend("tdry", Seq((1L, "b")).toDF("k", "s"))
+    // the overwrite orphans v0/v1's files once their manifests drop
+    SnapshotStore.commitOverwrite("tdry", Seq((2L, "c")).toDF("k", "s"))
+    SnapshotStore.commitAppend("tdry", Seq((3L, "d")).toDF("k", "s"))
+    SnapshotStore.commitAppend("tdry", Seq((4L, "e")).toDF("k", "s"))
+    val plan = SnapshotStore.vacuumDryRun("tdry", keep = 2)
+    // kept {3,4} resolve through the v2 overwrite → v0/v1 data files
+    // are the victims
+    assert(plan.dropVersions == Seq(0L, 1L, 2L))
+    assert(plan.dropFiles.nonEmpty && plan.dropBytes > 0)
+    val before = SnapshotStore.files("tdry", 4L).toSet
+    SnapshotStore.vacuum("tdry", keep = 2)
+    assert(SnapshotStore.versions("tdry") == Seq(3L, 4L))
+    // the dry run's victims are exactly the files now gone
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    plan.dropFiles.foreach(f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(f)), s"$f not deleted"))
+    assert(SnapshotStore.files("tdry", 4L).toSet == before, "kept head intact")
+    assert(SnapshotStore.read(spark, "tdry", Some(4L)).count() == 3L)
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
