@@ -51,6 +51,36 @@ object DedupQueries {
       JaccardThreshold)
   }
 
+  /** E16: MinHash estimator-quality audit — for every LSH candidate
+    * pair, the signature ESTIMATE of Jaccard (matching hash share
+    * over the 12 minhashes) next to the EXACT Jaccard over the
+    * stored shingle sets, with the absolute error. The dedup
+    * family's recall-dial: every ANN face ships a measured-quality
+    * query, and the minhash estimator deserves the same honesty —
+    * at 100 TB you tune bands×rows against THIS distribution, not
+    * against the textbook expectation. Candidates only (never
+    * all-pairs); signatures and sets read from the persisted store. */
+  def dedupMinhashQuality(spark: SparkSession, dir: String): DataFrame = {
+    val st = sigTables(spark, dir)
+    val sig = spark.table(st.sig)
+    val n = Bands * RowsPerBand
+    val cand = Dedup.minhashPairsFromBanded(spark.table(st.banded))
+    def side(tag: String) = sig.select(
+      Seq(col("id").as(s"doc_$tag")) ++
+        (0 until n).map(i => col(s"h$i").as(s"h$tag$i")) :+
+        col("sh").as(s"sh$tag"): _*)
+    val matches = (0 until n)
+      .map(i => (col(s"ha$i") === col(s"hb$i")).cast("int")).reduce(_ + _)
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val uni = size(col("sha")) + size(col("shb")) - inter
+    cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / n, 4).as("est_jaccard"),
+        round(inter.cast("double") / uni, 4).as("true_jaccard"),
+        round(abs(matches.cast("double") / n
+          - inter.cast("double") / uni), 4).as("abs_err"))
+  }
+
   /** E14: edit-distance verification window (chars of the normalized
     * text) and the accept cut 4·lev ≤ max(len) — i.e. relative edit
     * distance ≤ 0.25, spelled as an integer compare. */
@@ -307,6 +337,7 @@ object DedupQueries {
     "dedup_jaccard_pairs"   -> (dedupJaccardPairs _),
     "dedup_edit_pairs"      -> (dedupEditPairs _),
     "dedup_impact"          -> (dedupImpact _),
+    "dedup_minhash_quality" -> (dedupMinhashQuality _),
     "dedup_containment"     -> (dedupContainment _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
@@ -618,6 +649,36 @@ object DedupQueries {
          |)
          |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard
          |FROM j WHERE round(inter::double / uni, 4) >= $JaccardThreshold""".stripMargin,
+
+    // mirrors dedupMinhashQuality: identical sig/band/cand CTEs,
+    // matching-hash share vs exact Jaccard over the same md5 sets
+    "dedup_minhash_quality" -> {
+      val n = Bands * RowsPerBand
+      val match_ = (0 until n)
+        .map(i => s"(a.h$i = b.h$i)::int").mkString(" + ")
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |${sigCte(n)},
+         |${bandsCte(Bands, RowsPerBand)},
+         |cand AS ($candidateSelect),
+         |ds AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
+         |m AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ($match_)::double / $n AS est,
+         |    length(list_filter(da.ds, x -> list_contains(db.ds, x)))::double
+         |      / (length(da.ds) + length(db.ds)
+         |         - length(list_filter(da.ds, x -> list_contains(db.ds, x)))) AS tru
+         |  FROM cand c
+         |  JOIN sig a ON c.doc_a = a.doc_id
+         |  JOIN sig b ON c.doc_b = b.doc_id
+         |  JOIN ds da ON c.doc_a = da.doc_id
+         |  JOIN ds db ON c.doc_b = db.doc_id
+         |)
+         |SELECT doc_a, doc_b, round(est, 4) AS est_jaccard,
+         |  round(tru, 4) AS true_jaccard,
+         |  round(abs(est - tru), 4) AS abs_err
+         |FROM m""".stripMargin
+    },
 
     // mirrors dedupEditPairs: identical LSH candidate CTEs, then
     // levenshtein on the same 96-char normalized prefix with the

@@ -224,6 +224,33 @@ object GraphQueries {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** C36: global graphlet census + transitivity — one row summarizing
+    * the graph's shape: edges, wedges (Σ deg·(deg−1)/2), triangles,
+    * and the transitivity coefficient 3·△/wedges — the GLOBAL
+    * companion to C19's per-vertex clustering (the two diverge
+    * exactly when hubs exist: transitivity weights hubs by their
+    * wedge counts, the lcc average doesn't — reporting both is the
+    * textbook topology hygiene). Integer counts from frames already
+    * computed elsewhere; one display division. */
+  def graphTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir).localCheckpoint(eager = true)
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1)).as("_w2"))
+      .select(expr("_w2 div 2").as("n_wedges"))
+    val e1 = e.select(col("u").as("x"), col("v").as("y"))
+    val e2 = e.select(col("u").as("y"), col("v").as("z"))
+    val e3 = e.select(col("u").as("x"), col("v").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("transitivity"))
+  }
+
   /** C19 driver query: local clustering coefficient per vertex of the
     * co-order part graph — lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
     * the per-vertex "how clique-like is my neighborhood" signal C4's
@@ -654,6 +681,7 @@ object GraphQueries {
     "graph_cc"        -> (graphCc _),
     "graph_cc_sizes"  -> (graphCcSizes _),
     "graph_rich_club" -> (graphRichClub _),
+    "graph_transitivity" -> (graphTransitivity _),
     "graph_msf"       -> (graphMsf _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_pagerank_w" -> (graphPagerankWeighted _),
@@ -1354,6 +1382,27 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // C36: wedges from the degree sum, triangles from the same
+    // closure as graph_triangles, 3△/wedges
+    "graph_transitivity" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), deg AS (
+         |  SELECT x, count(*) AS deg FROM (
+         |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+         |), w AS (SELECT sum(deg * (deg - 1))::bigint // 2 AS n_wedges FROM deg),
+         |t AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+         |), ne AS (SELECT count(*) AS n_edges FROM e)
+         |SELECT ne.n_edges, w.n_wedges, t.n_triangles,
+         |  CASE WHEN w.n_wedges > 0 THEN
+         |    round(3.0 * t.n_triangles / w.n_wedges, 6) END AS transitivity
+         |FROM ne, w, t""".stripMargin,
 
     // mirrors Graphs.adamicAdar: same wedge closure + 1/ln(deg)
     // weight; candidate row set pinned by the integer common-count
