@@ -588,6 +588,27 @@ object SnapshotStore {
     fsOf(p).delete(p, false); ()
   }
 
+  /** K40: manifest-integrity check (the store's fsck) — per version:
+    * does its K28 delta chain resolve, how many files it references,
+    * how many are MISSING on the filesystem. The audit a lake runs
+    * after an incident (partial vacuum, manual deletion, failed
+    * replication) before trusting reads again; metadata-only. */
+  final case class FsckReport(version: Long, chainOk: Boolean,
+      nFiles: Int, nMissing: Int, missing: Seq[String])
+
+  def fsck(name: String): Seq[FsckReport] = synchronized {
+    versions(name).map { v =>
+      try {
+        val files = readManifest(name, v)
+        val fs = fsOf(tableDir(name))
+        val missing = files.filterNot(f => fs.exists(new Path(f)))
+        FsckReport(v, chainOk = true, files.size, missing.size, missing)
+      } catch {
+        case _: Exception => FsckReport(v, chainOk = false, 0, 0, Seq.empty)
+      }
+    }
+  }
+
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
     * (versions, data files, bytes), computed with the same
     * keep+tag-protection rule but touching nothing. The ops-review

@@ -528,6 +528,41 @@ object StreamQueries {
     EventOps.transitionMatrix(Tables.events(spark, dir),
       "user_id", "ts", "event_id", "event_type")
 
+  /** I49: the watermark-delay candidates the lateness profile
+    * evaluates (seconds). */
+  val LatenessDelays: Seq[Long] = Seq(60L, 600L, 3600L)
+
+  /** I49: out-of-orderness profile — the measurement that DECIDES a
+    * watermark delay instead of guessing it: per event its lateness
+    * behind the per-user running max event-time (arrival order =
+    * event_id, the append order), then per event_type the p50/p99
+    * lateness and the share of events a 1-min/10-min/1-h watermark
+    * would drop. This is the profile the I1/I16 windowed faces and
+    * every `withWatermark` caller should be configured FROM; the
+    * advisor's r11 note (callers must be able to express real
+    * lateness) gets its data here. Integer seconds; percentiles are
+    * the D14-portable kind; one user-ordered window + one type agg. */
+  def evLateness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val late = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("s"))
+      .withColumn("lateness", max(col("s")).over(w) - col("s"))
+    val shares = LatenessDelays.map(d =>
+      round(sum((col("lateness") > d).cast("long")).cast("double")
+        / count(lit(1)), 4).as(s"share_late_${d}s"))
+    late.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (Seq(
+          round(percentile(col("lateness"), lit(0.5)), 1).as("lateness_p50"),
+          round(percentile(col("lateness"), lit(0.99)), 1).as("lateness_p99"))
+          ++ shares): _*)
+  }
+
   /** I48: minimum events before the cadence test speaks. */
   val BotMinEvents = 5L
 
@@ -774,6 +809,7 @@ object StreamQueries {
     "ev_conversion_lag" -> (evConversionLag _),
     "ev_stationary"  -> (evStationary _),
     "ev_bot_signals" -> (evBotSignals _),
+    "ev_lateness"    -> (evLateness _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1413,6 +1449,26 @@ object StreamQueries {
 
     // mirrors EventOps.transitionMatrix: (ts, event_id) total order per
     // user, lead() for the next type, then count + per-from share
+    // mirrors evLateness: running max by event_id order, the same
+    // integer lateness and watermark-share cuts
+    "ev_lateness" -> {
+      val shares = StreamQueries.LatenessDelays.map(d =>
+        s"round(sum((lateness > $d)::int)::double / count(*), 4) AS share_late_${d}s")
+        .mkString(",\n  ")
+      s"""WITH l AS (
+         |  SELECT event_type,
+         |    max(floor(epoch(ts))::bigint) OVER (
+         |      PARTITION BY user_id ORDER BY event_id
+         |      ROWS UNBOUNDED PRECEDING) - floor(epoch(ts))::bigint AS lateness
+         |  FROM events
+         |)
+         |SELECT event_type, count(*) AS n_events,
+         |  round(quantile_cont(lateness, 0.5), 1) AS lateness_p50,
+         |  round(quantile_cont(lateness, 0.99), 1) AS lateness_p99,
+         |  $shares
+         |FROM l GROUP BY 1""".stripMargin
+    },
+
     // mirrors evBotSignals: floor(epoch) gaps, the same bigint
     // variance identity and integer cv²<1/100 cut
     "ev_bot_signals" ->

@@ -1098,6 +1098,39 @@ object TextQueries {
     * Flesch formulas are the only float step, fixed expressions over
     * integer ratios, rounded 3dp. Per-doc projection: no shuffle,
     * embarrassingly parallel at any corpus size. */
+  /** G45: distinctive terms kept per source, and the min corpus df. */
+  val SourceTermsK = 5
+  val SourceTermsMinDf = 20L
+
+  /** G45: per-source distinctive terms by LIFT — "what makes this
+    * source different": lift(t, s) = share of t in s over its corpus
+    * share, top-[[SourceTermsK]] per source among tokens with corpus
+    * count ≥ [[SourceTermsMinDf]] (rare tokens produce unstable
+    * lifts). The at-a-glance slice characterization a mixer reads
+    * next to G6's corpus stats. Exact integer counts; the lift is a
+    * ratio of two integer ratios spelled as ONE cross-multiplied
+    * division (n_ts·T)/(n_t·T_s) — no intermediate float; rank
+    * window partitioned by source. */
+  def textSourceTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val ts = tok.groupBy("source", "tok").agg(count(lit(1)).as("n_ts"))
+    val t = tok.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      .filter(col("n_t") >= SourceTermsMinDf)
+    val srcTot = tok.groupBy("source").agg(count(lit(1)).as("t_s"))
+    val tot = tok.agg(count(lit(1)).as("t_all"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("lift").desc, col("tok"))
+    ts.join(t, "tok").join(srcTot, "source").crossJoin(broadcast(tot))
+      .withColumn("lift",
+        round((col("n_ts") * col("t_all")).cast("double")
+          / (col("n_t") * col("t_s")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SourceTermsK)
+      .select(col("source"), col("rnk"), col("tok"), col("n_ts"),
+        col("n_t"), col("lift"))
+  }
+
   /** G39: in-vocabulary size for the OOV-rate signal. */
   val OovVocabK = 1000
 
@@ -1228,6 +1261,7 @@ object TextQueries {
     "text_readability"  -> (textReadability _),
     "text_hapax"        -> (textHapax _),
     "text_oov"          -> (textOov _),
+    "text_source_terms" -> (textSourceTerms _),
     "text_langid"       -> (textLangid _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"  -> (textFingerprint _),
@@ -1438,6 +1472,33 @@ object TextQueries {
     // mirrors textReadability: RE2 regex classes agree between engines
     // on \S+ / [.!?]+ / [aeiouy]+ runs; integer counts, fixed float
     // formulas, 3-4dp rounding
+    // mirrors textSourceTerms: identical cross-multiplied lift,
+    // rank over the ROUNDED lift with the token tie-break
+    "text_source_terms" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents
+         |), ts AS (
+         |  SELECT source, tok, count(*) AS n_ts FROM tok GROUP BY 1, 2
+         |), t AS (
+         |  SELECT tok, count(*) AS n_t FROM tok GROUP BY 1
+         |  HAVING count(*) >= $SourceTermsMinDf
+         |), st AS (SELECT source, count(*) AS t_s FROM tok GROUP BY 1),
+         |al AS (SELECT count(*) AS t_all FROM tok),
+         |lifted AS (
+         |  SELECT ts.source, ts.tok, ts.n_ts, t.n_t,
+         |    round((ts.n_ts * al.t_all)::double / (t.n_t * st.t_s), 4) AS lift
+         |  FROM ts JOIN t ON ts.tok = t.tok
+         |  JOIN st ON ts.source = st.source
+         |  CROSS JOIN al
+         |), r AS (
+         |  SELECT source, tok, n_ts, n_t, lift,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY lift DESC, tok) AS rnk
+         |  FROM lifted
+         |)
+         |SELECT source, rnk, tok, n_ts, n_t, lift
+         |FROM r WHERE rnk <= $SourceTermsK""".stripMargin,
+
     // mirrors textOov: the same (count desc, token) top-K vocabulary
     // and per-doc membership rates
     "text_oov" ->

@@ -334,6 +334,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, "tdry", Some(4L)).count() == 3L)
   }
 
+  test("K40 fsck reports resolvable chains and detects a missing data file") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("tfsck", Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.commitAppend("tfsck", Seq((2L, "b")).toDF("k", "s"))
+    val clean = SnapshotStore.fsck("tfsck")
+    assert(clean.map(_.version) == Seq(0L, 1L))
+    assert(clean.forall(r => r.chainOk && r.nMissing == 0 && r.nFiles > 0))
+    // sabotage: delete one of v0's data files out of band
+    val victim = SnapshotStore.files("tfsck", 0L).head
+    val fs = new org.apache.hadoop.fs.Path(victim).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    val dirty = SnapshotStore.fsck("tfsck")
+    // both versions reference the deleted file (v1 appends onto v0)
+    assert(dirty.forall(r => r.chainOk && r.nMissing == 1 &&
+      r.missing == Seq(victim)))
+  }
+
   test("K20 store speaks FileSystem URIs: commit/read/vacuum under an explicit file:// base") {
     import spark.implicits._
     val uriBase = "file://" + java.nio.file.Files
