@@ -224,6 +224,32 @@ object GraphQueries {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** C37: Gini coefficient of the degree distribution — ONE number
+    * for "how hub-dominated is this graph" (0 = regular, →1 = a few
+    * hubs own every edge); the inequality lens on C1's degree
+    * histogram. Sorted-rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx) over degrees ranked ascending — the global sort is the
+    * DISTRIBUTED rankedAsc on a composite (deg·2³² + id) key (range
+    * sort + per-partition offsets, no single-partition stage), the
+    * sums are exact integers, one final division. */
+  def graphDegreeGini(spark: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(spark, dir)
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+      // composite key: unique per vertex, orders by (deg, id)
+      .select((col("deg") * lit(4294967296L) + col("x")).as("key"),
+        col("deg"))
+      .localCheckpoint(eager = true)
+    val ranked = Graphs.rankedAsc(deg.select("key"), "key", "rnk")
+    deg.join(ranked, "key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("deg")).as("sd"),
+        sum(col("rnk") * col("deg")).as("srd"))
+      .select(col("n").as("n_vertices"), col("sd").as("sum_degree"),
+        round((lit(2L) * col("srd") - (col("n") + 1) * col("sd"))
+          .cast("double") / (col("n") * col("sd")), 6).as("gini"))
+  }
+
   /** C36: global graphlet census + transitivity — one row summarizing
     * the graph's shape: edges, wedges (Σ deg·(deg−1)/2), triangles,
     * and the transitivity coefficient 3·△/wedges — the GLOBAL
@@ -682,6 +708,7 @@ object GraphQueries {
     "graph_cc_sizes"  -> (graphCcSizes _),
     "graph_rich_club" -> (graphRichClub _),
     "graph_transitivity" -> (graphTransitivity _),
+    "graph_degree_gini" -> (graphDegreeGini _),
     "graph_msf"       -> (graphMsf _),
     "graph_pagerank"  -> (graphPagerank _),
     "graph_pagerank_w" -> (graphPagerankWeighted _),
@@ -1382,6 +1409,25 @@ object GraphQueries {
          |)
          |SELECT count(*) AS triangles
          |FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // C37: the oracle states the intent with a global rank window;
+    // the distributed composite-key rank must agree
+    "graph_degree_gini" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), deg AS (
+         |  SELECT x, count(*) AS deg FROM (
+         |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+         |), r AS (
+         |  SELECT deg, row_number() OVER (ORDER BY deg, x) AS rnk FROM deg
+         |)
+         |SELECT count(*) AS n_vertices, sum(deg)::bigint AS sum_degree,
+         |  round((2 * sum(rnk * deg) - (count(*) + 1) * sum(deg))::double
+         |        / (count(*) * sum(deg)), 6) AS gini
+         |FROM r""".stripMargin,
 
     // C36: wedges from the degree sum, triangles from the same
     // closure as graph_triangles, 3△/wedges

@@ -63,6 +63,25 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K, NCentroids, NProbe)
   }
 
+  /** F21: norm-distribution audit per label — the embedding-health
+    * check (collapsed norms = a dead/saturated encoder; bimodal =
+    * mixed vintages): per label the p5/p50/p95 of ‖x‖. Each norm is
+    * a PER-ROW fixed-order sum (no cross-row float order issues at
+    * all), percentiles are the portable interpolated kind. */
+  def simNorms(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // codegen'd graft_dot(v, v) — index-order accumulation, same sums
+    // as the oracle's list_sum; no interpreted HOF on the scan
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(VectorFunctions.dotProduct(spark, v, v))
+    emb.select(col("label"), norm.as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(percentile(col("nrm"), lit(0.05)), 4).as("norm_p5"),
+        round(percentile(col("nrm"), lit(0.5)), 4).as("norm_p50"),
+        round(percentile(col("nrm"), lit(0.95)), 4).as("norm_p95"))
+  }
+
   /** F20: FILTERED vector search — top-k cosine restricted to the
     * query's own label (metadata predicate + vector similarity, the
     * production ANN feature every store markets). Exact face filters
@@ -500,6 +519,7 @@ object SimQueries {
     "sim_filtered"   -> (simFilteredBrute _),
     "sim_filtered_ann" -> (simFilteredAnn _),
     "sim_filtered_recall" -> (simFilteredRecall _),
+    "sim_norms"      -> (simNorms _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -895,6 +915,20 @@ object SimQueries {
     // F16: the brute oracle shape with q = ALL vectors (the exact
     // k-NN graph), the ann oracle shape likewise, and the nested
     // recall — all three generated so they cannot drift
+    // F21: the same index-order per-row norm sum, quantile_cont
+    "sim_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::double * x::double))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vectors,
+        |  round(quantile_cont(nrm, 0.05), 4) AS norm_p5,
+        |  round(quantile_cont(nrm, 0.5), 4) AS norm_p50,
+        |  round(quantile_cont(nrm, 0.95), 4) AS norm_p95
+        |FROM n GROUP BY label""".stripMargin,
+
     // F20: pre-filter exact, post-filter ANN, and the nested
     // per-query-denominator recall that exposes the gap between them
     "sim_filtered" -> oracleSqlFilteredBrute,

@@ -528,6 +528,23 @@ object StreamQueries {
     EventOps.transitionMatrix(Tables.events(spark, dir),
       "user_id", "ts", "event_id", "event_type")
 
+  /** I50: weekly-seasonality heatmap — event share per (day-of-week,
+    * hour-of-day) per type, the capacity-planning / anomaly-baseline
+    * view (the I11 z-test should really be conditioned on THIS).
+    * Pure integer counts + one share division; UTC dow/hour from the
+    * session timezone both engines pin to UTC. */
+  def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, dir).select(col("event_type"),
+      dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+    val cell = e.groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy("event_type").agg(sum("n").as("n_type"))
+    cell.join(tot, "event_type")
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("n_type"), 5).as("share"))
+  }
+
   /** I49: the watermark-delay candidates the lateness profile
     * evaluates (seconds). */
   val LatenessDelays: Seq[Long] = Seq(60L, 600L, 3600L)
@@ -810,6 +827,7 @@ object StreamQueries {
     "ev_stationary"  -> (evStationary _),
     "ev_bot_signals" -> (evBotSignals _),
     "ev_lateness"    -> (evLateness _),
+    "ev_seasonality" -> (evSeasonality _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1449,6 +1467,20 @@ object StreamQueries {
 
     // mirrors EventOps.transitionMatrix: (ts, event_id) total order per
     // user, lead() for the next type, then count + per-from share
+    // mirrors evSeasonality: DuckDB dayofweek is 0-6 Sunday-first,
+    // Spark's 1-7 Sunday-first — +1 aligns them; both sessions UTC
+    "ev_seasonality" ->
+      """WITH cell AS (
+        |  SELECT event_type, dayofweek(ts)::int + 1 AS dow,
+        |    hour(ts)::int AS hod, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT event_type, sum(n)::bigint AS n_type FROM cell GROUP BY 1
+        |)
+        |SELECT c.event_type, c.dow, c.hod, c.n,
+        |  round(c.n::double / t.n_type, 5) AS share
+        |FROM cell c JOIN tot t ON c.event_type = t.event_type""".stripMargin,
+
     // mirrors evLateness: running max by event_id order, the same
     // integer lateness and watermark-share cuts
     "ev_lateness" -> {
