@@ -63,6 +63,71 @@ object SimQueries {
       emb.filter(col("vec_id") < NumQueries), K, NCentroids, NProbe)
   }
 
+  /** F22: beam width and hop budget for the graph search. */
+  val BeamWidth = 4
+  val BeamHops = 4
+
+  /** F22: greedy BEAM SEARCH over the F16 k-NN graph — the
+    * HNSW-layer primitive: start at a fixed entry vertex (min id —
+    * deterministic; HNSW's top layer plays this role), expand the
+    * current beam's graph neighbors, score ONLY new vertices against
+    * the query, keep the best [[BeamWidth]] as the next beam,
+    * [[BeamHops]] hops; answer = top-k among everything scored. Work
+    * is O(hops·beam·k) score evaluations per query — INDEPENDENT of
+    * corpus size once the graph exists, which is the entire point of
+    * graph-based ANN; the recall face measures what that buys at
+    * this graph's connectivity. Per-hop frames are (queries×beam·k)
+    * rows — metadata-scale; the only corpus-scale work happened when
+    * F16 built the graph. */
+  def simBeam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val g = simKnnGraphLsh(spark, dir).select(col("src_id"), col("nbr_id"))
+      .localCheckpoint(eager = true)
+    val q = broadcast(emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val nvs = emb.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val cos = VectorFunctions.cosineSim(spark, col("qv"), col("nv"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(nvs, "n_id").join(q, "q_id")
+        .withColumn("cos", cos).select("q_id", "n_id", "cos")
+    val entry = emb.agg(min(col("vec_id")).as("n_id"))
+    var visited = score(q.select(col("q_id")).crossJoin(entry))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    for (_ <- 1 to BeamHops) {
+      val nb = frontier.select(col("q_id"), col("n_id").as("src_id"))
+        .join(g, "src_id")
+        .select(col("q_id"), col("nbr_id").as("n_id")).distinct()
+      val fresh = nb.join(visited, Seq("q_id", "n_id"), "left_anti")
+      val scored = score(fresh).localCheckpoint(eager = true)
+      frontier = scored.withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("_r") <= BeamWidth).drop("_r")
+      visited = visited.unionAll(scored).localCheckpoint(eager = true)
+    }
+    visited.filter(col("q_id") =!= col("n_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
+        col("rnk"))
+  }
+
+  /** F22 recall dial vs exact cosine — what beam search over THIS
+    * graph's connectivity actually buys. */
+  def simBeamRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val beam = simBeam(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = beam.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
   /** F21: norm-distribution audit per label — the embedding-health
     * check (collapsed norms = a dead/saturated encoder; bimodal =
     * mixed vintages): per label the p5/p50/p95 of ‖x‖. Each norm is
@@ -520,6 +585,8 @@ object SimQueries {
     "sim_filtered_ann" -> (simFilteredAnn _),
     "sim_filtered_recall" -> (simFilteredRecall _),
     "sim_norms"      -> (simNorms _),
+    "sim_beam"       -> (simBeam _),
+    "sim_beam_recall" -> (simBeamRecall _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -704,6 +771,55 @@ object SimQueries {
        |  FROM s
        |)
        |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
+  }
+
+  // F22: the same per-hop expand / score-new / keep-beam recursion,
+  // stated as MATERIALIZED CTEs over the nested LSH-graph oracle
+  private lazy val oracleSqlBeam: String = {
+    val hops = (1 to BeamHops).map { h =>
+      s"""nb$h AS MATERIALIZED (
+         |  SELECT DISTINCT f${h - 1}.q_id, g.nbr_id AS n_id
+         |  FROM f${h - 1} JOIN g ON g.src_id = f${h - 1}.n_id
+         |),
+         |new$h AS MATERIALIZED (
+         |  SELECT nb.q_id, nb.n_id,
+         |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM nb$h nb
+         |  JOIN embeddings qe ON qe.vec_id = nb.q_id
+         |  JOIN embeddings ne ON ne.vec_id = nb.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |    WHERE v.q_id = nb.q_id AND v.n_id = nb.n_id)
+         |),
+         |f$h AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, n_id) AS r
+         |    FROM new$h) WHERE r <= $BeamWidth
+         |),
+         |v$h AS MATERIALIZED (
+         |  SELECT q_id, n_id, cos FROM v${h - 1}
+         |  UNION ALL SELECT q_id, n_id, cos FROM new$h
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})
+       |), e AS (SELECT min(vec_id) AS e_id FROM embeddings),
+       |v0 AS MATERIALIZED (
+       |  SELECT qe.vec_id AS q_id, e.e_id AS n_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM embeddings qe
+       |  CROSS JOIN e
+       |  JOIN embeddings ne ON ne.vec_id = e.e_id
+       |  WHERE qe.vec_id < $NumQueries
+       |),
+       |f0 AS MATERIALIZED (SELECT q_id, n_id FROM v0),
+       |$hops
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM v$BeamHops WHERE q_id <> n_id
+       |) WHERE rnk <= $K""".stripMargin
   }
 
   // F16 exact k-NN graph: the brute shape with q = every vector
@@ -915,6 +1031,22 @@ object SimQueries {
     // F16: the brute oracle shape with q = ALL vectors (the exact
     // k-NN graph), the ann oracle shape likewise, and the nested
     // recall — all three generated so they cannot drift
+    // F22: nested-graph beam recursion + the nested recall
+    "sim_beam" -> oracleSqlBeam,
+    "sim_beam_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |beam AS (SELECT q_id, n_id FROM (${oracleSqlBeam})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM beam a WHERE EXISTS (
+         |    SELECT 1 FROM exact b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT e.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e
+         |LEFT JOIN hits h ON h.q_id = e.q_id""".stripMargin,
+
     // F21: the same index-order per-row norm sum, quantile_cont
     "sim_norms" ->
       """WITH n AS (
