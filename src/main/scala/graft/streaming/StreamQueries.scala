@@ -528,6 +528,32 @@ object StreamQueries {
     EventOps.transitionMatrix(Tables.events(spark, dir),
       "user_id", "ts", "event_id", "event_type")
 
+  /** I51: traffic-concentration summary — how much of the stream the
+    * top-1% of users generate (the "is this stream a few whales"
+    * number that decides skew handling, sampling design, and whether
+    * per-user state stores need salting). Per-user counts → p99
+    * threshold (portable interpolated percentile) → one roll-up:
+    * users/events above it and their share. The I21 heavy-hitter
+    * list names the whales; this one number says whether they
+    * matter. */
+  def evPowerUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cnt = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val thr = cnt.agg(percentile(col("n"), lit(0.99)).as("p99"))
+    cnt.crossJoin(broadcast(thr))
+      .groupBy("p99")
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"),
+        sum((col("n") > col("p99")).cast("long")).as("heavy_users"),
+        sum(when(col("n") > col("p99"), col("n")).otherwise(0L))
+          .as("heavy_events"))
+      .select(col("n_users"), col("n_events"),
+        round(col("p99"), 2).as("p99_events"),
+        col("heavy_users"), col("heavy_events"),
+        round(col("heavy_events").cast("double") / col("n_events"), 4)
+          .as("heavy_share"))
+  }
+
   /** I50: weekly-seasonality heatmap — event share per (day-of-week,
     * hour-of-day) per type, the capacity-planning / anomaly-baseline
     * view (the I11 z-test should really be conditioned on THIS).
@@ -828,6 +854,7 @@ object StreamQueries {
     "ev_bot_signals" -> (evBotSignals _),
     "ev_lateness"    -> (evLateness _),
     "ev_seasonality" -> (evSeasonality _),
+    "ev_power_users" -> (evPowerUsers _),
     "ev_dedupe"      -> (evDedupe _),
     "ev_markov"      -> (evMarkov _),
     "ev_daily_topk"  -> (evDailyTopk _),
@@ -1467,6 +1494,19 @@ object StreamQueries {
 
     // mirrors EventOps.transitionMatrix: (ts, event_id) total order per
     // user, lead() for the next type, then count + per-from share
+    // mirrors evPowerUsers: same p99 threshold and strict > cut
+    "ev_power_users" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+        |), t AS (SELECT quantile_cont(n, 0.99) AS p99 FROM c)
+        |SELECT count(*) AS n_users, sum(n)::bigint AS n_events,
+        |  round(any_value(t.p99), 2) AS p99_events,
+        |  sum((n > t.p99)::int)::bigint AS heavy_users,
+        |  sum(CASE WHEN n > t.p99 THEN n ELSE 0 END)::bigint AS heavy_events,
+        |  round(sum(CASE WHEN n > t.p99 THEN n ELSE 0 END)::double
+        |        / sum(n), 4) AS heavy_share
+        |FROM c CROSS JOIN t""".stripMargin,
+
     // mirrors evSeasonality: DuckDB dayofweek is 0-6 Sunday-first,
     // Spark's 1-7 Sunday-first — +1 aligns them; both sessions UTC
     "ev_seasonality" ->

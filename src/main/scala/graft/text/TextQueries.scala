@@ -1098,6 +1098,50 @@ object TextQueries {
     * Flesch formulas are the only float step, fixed expressions over
     * integer ratios, rounded 3dp. Per-doc projection: no shuffle,
     * embarrassingly parallel at any corpus size. */
+  /** G47: min corpus count for a token to enter the JSD vocabulary
+    * (rare tokens add noise without signal). */
+  val JsdMinDf = 20L
+
+  /** G47: pairwise Jensen-Shannon divergence between source unigram
+    * distributions — "which sources are distributionally the same
+    * feed" (near-zero JSD between two sources usually means one
+    * scraped the other; high JSD flags a mixture-balance problem
+    * G18 should know about). Distributions over the shared
+    * min-df vocabulary with Laplace smoothing so every term is in
+    * both supports; JSD = ½KL(p‖m)+½KL(q‖m) summed term-wise (the
+    * text_entropy log-sum + round-4 precedent), one row per ordered
+    * source pair a<b. Vocabulary-scale joins only — token text never
+    * rides past the first aggregation. */
+  def textSourceJsd(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n_all"))
+      .filter(col("n_all") >= JsdMinDf).select("tok")
+    val ts = tok.join(vocab, "tok")
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val tot = ts.groupBy("source").agg(sum("n").as("t_s"))
+    // dense (source × vocab) grid so absent terms carry the smoothed
+    // floor in BOTH distributions
+    val grid = tot.crossJoin(vocab)
+    val dense = grid.join(ts, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("source"), col("tok"),
+        ((coalesce(col("n"), lit(0L)) + 1).cast("double")
+          / (col("t_s") + col("v"))).as("p"))
+    val a = dense.select(col("source").as("source_a"), col("tok"),
+      col("p").as("pa"))
+    val b = dense.select(col("source").as("source_b"), col("tok"),
+      col("p").as("pb"))
+    a.join(b, "tok").filter(col("source_a") < col("source_b"))
+      .withColumn("_m", (col("pa") + col("pb")) / 2)
+      .withColumn("_t",
+        col("pa") * log(col("pa") / col("_m")) / 2
+          + col("pb") * log(col("pb") / col("_m")) / 2)
+      .groupBy("source_a", "source_b")
+      .agg(round(sum(col("_t")), 4).as("jsd"))
+  }
+
   /** G45: distinctive terms kept per source, and the min corpus df. */
   val SourceTermsK = 5
   val SourceTermsMinDf = 20L
@@ -1262,6 +1306,7 @@ object TextQueries {
     "text_hapax"        -> (textHapax _),
     "text_oov"          -> (textOov _),
     "text_source_terms" -> (textSourceTerms _),
+    "text_source_jsd"   -> (textSourceJsd _),
     "text_langid"       -> (textLangid _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"  -> (textFingerprint _),
@@ -1472,6 +1517,36 @@ object TextQueries {
     // mirrors textReadability: RE2 regex classes agree between engines
     // on \S+ / [.!?]+ / [aeiouy]+ runs; integer counts, fixed float
     // formulas, 3-4dp rounding
+    // mirrors textSourceJsd: same min-df vocabulary, same Laplace
+    // grid, same term-wise half-KL sum (ln both engines)
+    "text_source_jsd" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents
+         |), vocab AS (
+         |  SELECT tok FROM (SELECT tok, count(*) AS n_all FROM tok GROUP BY 1)
+         |  WHERE n_all >= $JsdMinDf
+         |), ts AS (
+         |  SELECT t.source, t.tok, count(*) AS n
+         |  FROM tok t JOIN vocab v ON t.tok = v.tok
+         |  GROUP BY 1, 2
+         |), vsize AS (SELECT count(*) AS v FROM vocab),
+         |tot AS (SELECT source, sum(n)::bigint AS t_s FROM ts GROUP BY 1),
+         |dense AS (
+         |  SELECT g.source, g.tok,
+         |    (coalesce(ts.n, 0) + 1)::double / (g.t_s + vs.v) AS p
+         |  FROM (SELECT tot.source, tot.t_s, vocab.tok
+         |        FROM tot CROSS JOIN vocab) g
+         |  LEFT JOIN ts ON ts.source = g.source AND ts.tok = g.tok
+         |  CROSS JOIN vsize vs
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  round(sum(
+         |    a.p * ln(a.p / ((a.p + b.p) / 2)) / 2
+         |      + b.p * ln(b.p / ((a.p + b.p) / 2)) / 2), 4) AS jsd
+         |FROM dense a JOIN dense b
+         |  ON a.tok = b.tok AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+
     // mirrors textSourceTerms: identical cross-multiplied lift,
     // rank over the ROUNDED lift with the token tie-break
     "text_source_terms" ->
