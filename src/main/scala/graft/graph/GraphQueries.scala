@@ -234,12 +234,22 @@ object GraphQueries {
     * sums are exact integers, one final division. */
   def graphDegreeGini(spark: SparkSession, dir: String): DataFrame = {
     val e = coOrderEdges(spark, dir)
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+    val degRaw = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    // the composite (deg·2³² + id) key is only order-correct while
+    // id < 2³² and deg < 2³¹ (no collision, no long overflow) — guard
+    // it explicitly rather than silently mis-rank at extreme scale
+    // (one tiny agg over the already-checkpointed frame)
+    val b = degRaw.agg(max(col("x").cast("long")).as("mx"),
+      max(col("deg")).as("md")).head()
+    require(b.isNullAt(0) || (b.getLong(0) < 4294967296L && b.getLong(1) < 2147483648L),
+      s"graphDegreeGini composite key domain exceeded (max id=${b.get(0)}, " +
+        s"max deg=${b.get(1)}): rank on a (deg, id) struct instead")
+    val deg = degRaw
       // composite key: unique per vertex, orders by (deg, id)
       .select((col("deg") * lit(4294967296L) + col("x")).as("key"),
         col("deg"))
-      .localCheckpoint(eager = true)
     val ranked = Graphs.rankedAsc(deg.select("key"), "key", "rnk")
     deg.join(ranked, "key")
       .agg(count(lit(1)).as("n"),

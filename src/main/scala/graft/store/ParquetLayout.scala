@@ -47,10 +47,14 @@ object ParquetLayout {
     import spark.implicits._
     val slices = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
+    // Ship the SESSION Hadoop conf to executors: a bare Configuration()
+    // would drop spark.hadoop.* (object-store creds/endpoints) and read
+    // differently on s3a/hdfs than every other store-layer path.
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     spark.createDataset(files).repartition(slices).mapPartitions { it =>
-      // executor-side Configuration: file:// and cluster-default
-      // HDFS/S3A creds resolve from the environment like any task read
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = confBc.value.value
       it.flatMap { f =>
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(f), conf))

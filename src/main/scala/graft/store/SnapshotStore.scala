@@ -68,6 +68,26 @@ object SnapshotStore {
   private def manifestPath(name: String, v: Long): Path =
     new Path(manifestDir(name), f"v$v%06d.txt")
 
+  private def ckptTmpPath(name: String, v: Long): Path =
+    new Path(manifestDir(name), f".v$v%d.ckpt.tmp")
+
+  /** Crash-recovery resolution of a version's manifest file: if the
+    * published manifest is missing but a full `.ckpt.tmp` from an
+    * interrupted vacuum checkpoint rewrite survives, finish the
+    * publish (rename tmp → target) and read the result — a crash in
+    * the delete→rename window never loses a kept version's state. */
+  private def resolvedManifestPath(name: String, v: Long): Path = {
+    val target = manifestPath(name, v)
+    val fs = fsOf(target)
+    if (fs.exists(target)) target
+    else {
+      val tmp = ckptTmpPath(name, v)
+      if (fs.exists(tmp) && fs.rename(tmp, target)) target
+      else if (fs.exists(tmp)) tmp
+      else target
+    }
+  }
+
   private def readLines(p: Path): Seq[String] = {
     val fs = fsOf(p)
     val in = fs.open(p)
@@ -81,9 +101,16 @@ object SnapshotStore {
     val fs = fsOf(dir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
-        s.stripPrefix("v").stripSuffix(".txt").toLong }
-      .toSeq.sorted
+      .collect {
+        case s if s.startsWith("v") && s.endsWith(".txt") =>
+          s.stripPrefix("v").stripSuffix(".txt").toLong
+        // a surviving vacuum-checkpoint tmp IS the version's manifest
+        // (crash between delete and rename); resolvedManifestPath
+        // finishes the publish on first read
+        case s if s.startsWith(".v") && s.endsWith(".ckpt.tmp") =>
+          s.stripPrefix(".v").stripSuffix(".ckpt.tmp").toLong
+      }
+      .toSeq.distinct.sorted
   }
 
   /** K28: checkpoint cadence for delta-encoded append manifests. An
@@ -105,11 +132,11 @@ object SnapshotStore {
   }
 
   private def manifestLines(name: String, v: Long): Seq[String] =
-    readLines(manifestPath(name, v))
+    readLines(resolvedManifestPath(name, v))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
   private def prevOf(name: String, v: Long): Option[Long] =
-    readLines(manifestPath(name, v))
+    readLines(resolvedManifestPath(name, v))
       .find(_.startsWith("#prev=")).map(_.stripPrefix("#prev=").toLong)
 
   /** Resolve the full data-file list visible at `v`, following the
@@ -131,7 +158,7 @@ object SnapshotStore {
   /** The streaming batchId this version committed, if it was published
     * by [[commitStreamBatch]] (recorded as a `#batch=` header). */
   def batchIdOf(name: String, v: Long): Option[Long] =
-    readLines(manifestPath(name, v))
+    readLines(resolvedManifestPath(name, v))
       .find(_.startsWith("#batch=")).map(_.stripPrefix("#batch=").toLong)
 
   /** The table schema AT version v, recorded in the manifest (the
@@ -139,7 +166,7 @@ object SnapshotStore {
     * file footers to discover it — O(1) at any file count, and an
     * appended column is visible the moment its commit lands). */
   def schemaOf(name: String, v: Long): Option[org.apache.spark.sql.types.StructType] =
-    readLines(manifestPath(name, v))
+    readLines(resolvedManifestPath(name, v))
       .find(_.startsWith("#schema=")).map(l =>
         org.apache.spark.sql.types.DataType.fromJson(
           l.stripPrefix("#schema=")).asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -565,15 +592,36 @@ object SnapshotStore {
       v
     }
 
-  /** All tags of `name` → version. */
-  def tags(name: String): Map[String, Long] = {
+  /** All tags of `name` → version. Recovers half-published tags: a
+    * crash in tag()'s delete→rename window leaves only the `.tag.tmp`
+    * — finish its publish here so the version it pins never loses its
+    * vacuum protection. A tmp alongside a published tag is a later
+    * in-flight re-tag; the tmp (newer intent) wins, same as the
+    * completed rename would have. */
+  def tags(name: String): Map[String, Long] = synchronized {
     val dir = tagsDir(name)
     val fs = fsOf(dir)
     if (!fs.exists(dir)) Map.empty
-    else fs.listStatus(dir).iterator.map(_.getPath)
-      .filter(p => p.getName.endsWith(".txt") && !p.getName.startsWith("."))
-      .map(p => p.getName.stripSuffix(".txt") -> readLines(p).head.trim.toLong)
-      .toMap
+    else {
+      val all = fs.listStatus(dir).iterator.map(_.getPath).toList
+      val published = all
+        .filter(p => p.getName.endsWith(".txt") && !p.getName.startsWith("."))
+        .map(p => p.getName.stripSuffix(".txt") -> readLines(p).head.trim.toLong)
+        .toMap
+      val recovered = all
+        .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
+        .flatMap { tmp =>
+          val tagName = tmp.getName.stripPrefix(".").stripSuffix(".tmp")
+          scala.util.Try {
+            val v = readLines(tmp).head.trim.toLong
+            val target = new Path(dir, s"$tagName.txt")
+            fs.delete(target, false)
+            fs.rename(tmp, target)
+            tagName -> v
+          }.toOption
+        }.toMap
+      published ++ recovered
+    }
   }
 
   /** Read the table as of a tag. */
@@ -583,9 +631,12 @@ object SnapshotStore {
     read(spark, name, Some(v))
   }
 
-  def deleteTag(name: String, tagName: String): Unit = {
+  def deleteTag(name: String, tagName: String): Unit = synchronized {
     val p = tagPath(name, tagName)
-    fsOf(p).delete(p, false); ()
+    val fs = fsOf(p)
+    fs.delete(p, false)
+    // also drop any half-published tmp so tags() cannot resurrect it
+    fs.delete(new Path(tagsDir(name), s".$tagName.tmp"), false); ()
   }
 
   /** K40: manifest-integrity check (the store's fsck) — per version:

@@ -828,9 +828,14 @@ object Streaming {
     * `ds.writeStream.foreachBatch(Streaming.deadLetterSink("ok", "dlq", cond) _)`. */
   def deadLetterSink(okTable: String, deadTable: String,
       isValid: org.apache.spark.sql.Column)(df: DataFrame, batchId: Long): Unit = {
-    graft.store.SnapshotStore.commitStreamBatch(okTable, df.filter(isValid), batchId)
+    // Null-safe routing: a NULL predicate (e.g. the validity expression
+    // touches a null column) must land in the DEAD-LETTER table, not
+    // vanish — filter(p) and filter(!p) both drop null-p rows, the one
+    // loss a dead-letter sink exists to prevent.
+    val ok = coalesce(isValid, lit(false))
+    graft.store.SnapshotStore.commitStreamBatch(okTable, df.filter(ok), batchId)
     graft.store.SnapshotStore.commitStreamBatch(deadTable,
-      df.filter(!isValid).withColumn("batch_id", lit(batchId)), batchId)
+      df.filter(!ok).withColumn("batch_id", lit(batchId)), batchId)
     ()
   }
 

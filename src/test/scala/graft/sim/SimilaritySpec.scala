@@ -221,6 +221,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("F16/F22 beam + recall consumers plan over the STORED k-NN graph table") {
+    val tbl = SimQueries.knnGraphTable(spark, dataDir)
+    // the stored table holds the full graph output (cos + rnk preserved)
+    val stored = spark.table(tbl)
+    assert(stored.columns.toSeq == Seq("src_id", "nbr_id", "cos", "rnk"))
+    assert(stored.count() > 0)
+    // sim_knn_graph_lsh and sim_knn_recall read the table directly in
+    // their final plan; simBeam's hops checkpoint eagerly (the scan
+    // happens at construction), so its graph frame is asserted as the
+    // frame the loop joins against.
+    for (q <- Seq(SimQueries.simKnnGraphLsh(spark, dataDir),
+        SimQueries.simKnnRecall(spark, dataDir),
+        SimQueries.storedKnnGraph(spark, dataDir))) {
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.catalogTable.exists(_.identifier.table == tbl) => r
+      }
+      assert(scans.nonEmpty,
+        s"consumer must read the stored table $tbl, not rebuild the graph")
+    }
+    // beam search still answers k rows per query off the stored graph
+    val beam = SimQueries.simBeam(spark, dataDir)
+    val perQ = beam.groupBy("q_id").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == SimQueries.K.toLong))
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
