@@ -67,7 +67,8 @@ object SimQueries {
     * timings. */
   def warmStores(spark: SparkSession, dir: String): Unit = {
     storedLshBuckets(spark, dir)
-    storedKnnGraph(spark, dir); ()
+    storedKnnGraph(spark, dir)
+    hnswL1Table(spark, dir); ()
   }
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
@@ -99,11 +100,14 @@ object SimQueries {
     * this graph's connectivity. Per-hop frames are (queries×beam·k)
     * rows — metadata-scale; the only corpus-scale work happened when
     * F16 built the graph. */
-  def simBeam(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    // parquet-backed stored graph: no checkpoint needed, and every hop
-    // re-reads a 2-column pruned scan instead of re-running the build
-    val g = storedKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
+  /** The shared greedy beam loop: expand `entry` (one or more seed
+    * vertices per q_id) over graph `g`, `hops` hops keeping the best
+    * `width` NEW vertices as each next frontier; returns everything
+    * scored as (q_id, n_id, cos). Per-hop frames are metadata-scale
+    * (queries × width·k rows), checkpointed eagerly to keep the plan
+    * linear in hops. */
+  private def beamVisited(spark: SparkSession, emb: DataFrame,
+      g: DataFrame, entry: DataFrame, width: Int, hops: Int): DataFrame = {
     val q = broadcast(emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
     val nvs = emb.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
@@ -111,11 +115,10 @@ object SimQueries {
     def score(cand: DataFrame): DataFrame =
       cand.join(nvs, "n_id").join(q, "q_id")
         .withColumn("cos", cos).select("q_id", "n_id", "cos")
-    val entry = emb.agg(min(col("vec_id")).as("n_id"))
-    var visited = score(q.select(col("q_id")).crossJoin(entry))
+    var visited = score(entry.select("q_id", "n_id"))
       .localCheckpoint(eager = true)
     var frontier = visited
-    for (_ <- 1 to BeamHops) {
+    for (_ <- 1 to hops) {
       val nb = frontier.select(col("q_id"), col("n_id").as("src_id"))
         .join(g, "src_id")
         .select(col("q_id"), col("nbr_id").as("n_id")).distinct()
@@ -124,9 +127,14 @@ object SimQueries {
       frontier = scored.withColumn("_r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("n_id"))))
-        .filter(col("_r") <= BeamWidth).drop("_r")
+        .filter(col("_r") <= width).drop("_r")
       visited = visited.unionAll(scored).localCheckpoint(eager = true)
     }
+    visited
+  }
+
+  /** Final top-k presentation over a beam's visited set. */
+  private def beamTopK(visited: DataFrame): DataFrame =
     visited.filter(col("q_id") =!= col("n_id"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
@@ -134,6 +142,16 @@ object SimQueries {
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"),
         col("rnk"))
+
+  def simBeam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // parquet-backed stored graph: no checkpoint needed, and every hop
+    // re-reads a 2-column pruned scan instead of re-running the build
+    val g = storedKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
+    val entry = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(emb.agg(min(col("vec_id")).as("n_id")))
+    beamTopK(beamVisited(spark, emb, g, entry, BeamWidth, BeamHops))
   }
 
   /** F22 recall dial vs exact cosine — what beam search over THIS
@@ -142,6 +160,95 @@ object SimQueries {
     val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
     val beam = simBeam(spark, dir).select(col("q_id"), col("n_id"))
     val hits = beam.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+  }
+
+  /** F23 (HNSW): 1/[[HnswMod]] of vertices promote to layer 1 —
+    * deterministic md5 hash-range membership (the G5 discipline), the
+    * oracle-checkable stand-in for HNSW's geometric level draw. */
+  val HnswMod = 8
+  /** Layer-1 beam dials: the top layer is ~n/8 vertices with the same
+    * degree, so a narrow beam suffices to land NEAR the query before
+    * the layer-0 beam takes over. */
+  val HnswTopWidth = 2
+  val HnswTopHops = 3
+
+  private def hnswL1Member(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("hnsw|"), c)), 1, 8), 16, 10)
+      .cast("long") % HnswMod === 0
+
+  /** Persisted LAYER-1 k-NN graph: LSH bucket collisions restricted to
+    * layer-1 members on BOTH endpoints, exact top-[[KnnK]] per source —
+    * the same build as [[knnGraphTable]] over the promoted subset
+    * (~1/64 of the candidate pairs; once-per-corpus like the rest of
+    * the store family). */
+  def hnswL1Table(spark: SparkSession, dir: String): String = {
+    import graft.store.GraftStore
+    GraftStore.ensureBucketed(spark, s"graft_knng1_${GraftStore.dirKey(dir)}",
+      32, Seq("src_id")) {
+      val emb = Tables.embeddings(spark, dir)
+      val m = emb.filter(hnswL1Member(col("vec_id"))).select(col("vec_id"))
+      val b = storedLshBuckets(spark, dir)
+        .join(m.select(col("vec_id").as("id")), "id")
+      val cand = b.join(
+        b.select(col("id").as("nid"), col("t"), col("bucket")), Seq("t", "bucket"))
+        .filter(col("id") =!= col("nid"))
+        .select(col("id").as("src_id"), col("nid").as("nbr_id")).distinct()
+      val cos = VectorFunctions.cosineSim(spark, col("sv"), col("nv"))
+      cand
+        .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("sv")),
+          "src_id")
+        .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nv")),
+          "nbr_id")
+        .withColumn("cos", cos)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+            .orderBy(col("cos").desc, col("nbr_id"))))
+        .filter(col("rnk") <= KnnK)
+        .select(col("src_id"), col("nbr_id"), round(col("cos"), 4).as("cos"),
+          col("rnk"))
+    }
+  }
+
+  /** F23: HNSW-style two-layer search — the hierarchy that fixes the
+    * flat beam's corpus-corner bias: a narrow beam over the LAYER-1
+    * graph (md5-promoted subset, global min-member entry) finds a
+    * PER-QUERY entry vertex, and the layer-0 beam ([[simBeam]]'s
+    * loop, same dials) starts there instead of at the fixed min-id
+    * corner. Both graphs are stored tables; search work stays
+    * O(hops·width·k) per query, independent of corpus size — exactly
+    * the HNSW promise, with every stage deterministic and
+    * oracle-checkable via per-hop materialized CTEs. */
+  def simHnsw(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val g1 = spark.table(hnswL1Table(spark, dir))
+      .select(col("src_id"), col("nbr_id"))
+    val g0 = storedKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
+    val qIds = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"))
+    val entry1 = qIds.crossJoin(
+      emb.filter(hnswL1Member(col("vec_id")))
+        .agg(min(col("vec_id")).as("n_id")))
+    val top = beamVisited(spark, emb, g1, entry1, HnswTopWidth, HnswTopHops)
+    // per-query entry for layer 0 = the best vertex the top layer saw
+    val entry0 = top.withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("_r") === 1).select("q_id", "n_id")
+    beamTopK(beamVisited(spark, emb, g0, entry0, BeamWidth, BeamHops))
+  }
+
+  /** F23 recall dial vs exact cosine — measured against the same
+    * truth as [[simBeamRecall]], so the two dials are directly
+    * comparable (SimilaritySpec pins hnsw ≥ flat beam). */
+  def simHnswRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val h = simHnsw(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = h.join(exact, Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("hits"))
     exact.select("q_id").distinct()
       .join(hits, Seq("q_id"), "left")
@@ -612,6 +719,8 @@ object SimQueries {
     "sim_norms"      -> (simNorms _),
     "sim_beam"       -> (simBeam _),
     "sim_beam_recall" -> (simBeamRecall _),
+    "sim_hnsw"        -> (simHnsw _),
+    "sim_hnsw_recall" -> (simHnswRecall _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -847,6 +956,102 @@ object SimQueries {
        |) WHERE rnk <= $K""".stripMargin
   }
 
+  /** Parameterized per-hop MATERIALIZED beam CTEs (the F22 oracle
+    * pattern with a name prefix, so sim_hnsw can chain two beam
+    * phases in one statement). Produces `${pfx}nb/new/f/v$h` reading
+    * graph CTE `g`, seeded from visited `v0` / frontier `f0`. */
+  private def beamCtesSql(g: String, v0: String, f0: String, pfx: String,
+      width: Int, hops: Int): String =
+    (1 to hops).map { h =>
+      val vPrev = if (h == 1) v0 else s"${pfx}v${h - 1}"
+      val fPrev = if (h == 1) f0 else s"${pfx}f${h - 1}"
+      s"""${pfx}nb$h AS MATERIALIZED (
+         |  SELECT DISTINCT f.q_id, g.nbr_id AS n_id
+         |  FROM $fPrev f JOIN $g g ON g.src_id = f.n_id
+         |),
+         |${pfx}new$h AS MATERIALIZED (
+         |  SELECT nb.q_id, nb.n_id,
+         |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM ${pfx}nb$h nb
+         |  JOIN embeddings qe ON qe.vec_id = nb.q_id
+         |  JOIN embeddings ne ON ne.vec_id = nb.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $vPrev v
+         |    WHERE v.q_id = nb.q_id AND v.n_id = nb.n_id)
+         |),
+         |${pfx}f$h AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, n_id) AS r
+         |    FROM ${pfx}new$h) WHERE r <= $width
+         |),
+         |${pfx}v$h AS MATERIALIZED (
+         |  SELECT q_id, n_id, cos FROM $vPrev
+         |  UNION ALL SELECT q_id, n_id, cos FROM ${pfx}new$h
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  // F23 HNSW: layer-1 graph among md5-promoted members, top-layer beam
+  // to a per-query entry, then the layer-0 beam — every stage a
+  // materialized CTE mirroring the Spark loop hop for hop
+  private lazy val oracleSqlHnsw: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g0 AS MATERIALIZED (
+       |  SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})
+       |), m AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE ('0x' || substr(md5('hnsw|' || vec_id), 1, 8))::bigint % $HnswMod = 0
+       |), bb AS MATERIALIZED (
+       |$bandSelects
+       |), b1 AS MATERIALIZED (
+       |  SELECT bb.id, bb.t, bb.bucket FROM bb JOIN m ON m.vec_id = bb.id
+       |), cand1 AS (
+       |  SELECT DISTINCT a.id AS src_id, b.id AS nbr_id
+       |  FROM b1 a JOIN b1 b ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id
+       |), g1 AS MATERIALIZED (
+       |  SELECT src_id, nbr_id FROM (
+       |    SELECT c.src_id, c.nbr_id,
+       |      row_number() OVER (PARTITION BY c.src_id
+       |        ORDER BY ${cosSql("se.embedding", "ne.embedding")} DESC, c.nbr_id) AS rnk
+       |    FROM cand1 c
+       |    JOIN embeddings se ON se.vec_id = c.src_id
+       |    JOIN embeddings ne ON ne.vec_id = c.nbr_id
+       |  ) WHERE rnk <= $KnnK
+       |), e1 AS (SELECT min(vec_id) AS e_id FROM m),
+       |tv0 AS MATERIALIZED (
+       |  SELECT qe.vec_id AS q_id, e1.e_id AS n_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM embeddings qe
+       |  CROSS JOIN e1
+       |  JOIN embeddings ne ON ne.vec_id = e1.e_id
+       |  WHERE qe.vec_id < $NumQueries
+       |),
+       |tf0 AS MATERIALIZED (SELECT q_id, n_id FROM tv0),
+       |${beamCtesSql("g1", "tv0", "tf0", "t", HnswTopWidth, HnswTopHops)},
+       |ent AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+       |    FROM tv$HnswTopHops) WHERE r = 1
+       |),
+       |v0 AS MATERIALIZED (
+       |  SELECT ent.q_id, ent.n_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM ent
+       |  JOIN embeddings qe ON qe.vec_id = ent.q_id
+       |  JOIN embeddings ne ON ne.vec_id = ent.n_id
+       |),
+       |f0 AS MATERIALIZED (SELECT q_id, n_id FROM v0),
+       |${beamCtesSql("g0", "v0", "f0", "", BeamWidth, BeamHops)}
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM v$BeamHops WHERE q_id <> n_id
+       |) WHERE rnk <= $K""".stripMargin
+  }
+
   // F16 exact k-NN graph: the brute shape with q = every vector
   private lazy val oracleSqlKnnExact: String =
     s"""WITH q AS (SELECT vec_id AS src_id, embedding AS qv FROM embeddings),
@@ -1058,6 +1263,20 @@ object SimQueries {
     // recall — all three generated so they cannot drift
     // F22: nested-graph beam recursion + the nested recall
     "sim_beam" -> oracleSqlBeam,
+    "sim_hnsw" -> oracleSqlHnsw,
+    "sim_hnsw_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |hh AS (SELECT q_id, n_id FROM (${oracleSqlHnsw})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM hh a WHERE EXISTS (
+         |    SELECT 1 FROM exact b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT e.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e
+         |LEFT JOIN hits h ON h.q_id = e.q_id""".stripMargin,
     "sim_beam_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
          |beam AS (SELECT q_id, n_id FROM (${oracleSqlBeam})),

@@ -247,6 +247,22 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == SimQueries.K.toLong))
   }
 
+  test("F23 HNSW: layer hierarchy returns k rows per query and recall >= flat beam") {
+    val h = SimQueries.simHnsw(spark, dataDir)
+    val perQ = h.groupBy("q_id").count().collect()
+    assert(perQ.length == SimQueries.NumQueries &&
+      perQ.forall(_.getLong(1) == SimQueries.K.toLong))
+    def avgRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.select("recall").collect().map(_.getDouble(0))
+      rs.sum / rs.length
+    }
+    val hnsw = avgRecall(SimQueries.simHnswRecall(spark, dataDir))
+    val flat = avgRecall(SimQueries.simBeamRecall(spark, dataDir))
+    assert(hnsw >= flat,
+      s"per-query entry from the layer hierarchy must not lose to the " +
+        s"fixed min-id corner entry (hnsw=$hnsw, flat=$flat)")
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
