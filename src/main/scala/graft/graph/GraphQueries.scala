@@ -508,6 +508,66 @@ object GraphQueries {
       storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
       LouvainRounds)
 
+  /** C21 level 2: condense level-1 communities to a super-graph
+    * (exact integer inter-community weight sums) and re-run the
+    * integer-gain sweep — the Blondel multi-level move. */
+  def graphLouvain2(spark: SparkSession, dir: String): DataFrame =
+    Graphs.louvainTwoLevel(
+      storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
+      LouvainRounds)
+
+  /** Shared base CTEs for the Louvain oracles: the co-order weighted
+    * graph, symmetrized edges, integer degrees, 2m, singleton seed. */
+  private lazy val louvainBaseCtes: String =
+    s"""l AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_quantity >= $TriangleMinQty
+       |), e0 AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+       |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), und AS MATERIALIZED (
+       |  SELECT u, v, cnt FROM e0 UNION ALL SELECT v, u, cnt FROM e0
+       |), deg AS MATERIALIZED (
+       |  SELECT u AS id, sum(cnt)::bigint AS deg FROM und GROUP BY 1
+       |), tm AS (SELECT sum(deg)::bigint AS two_m FROM deg),
+       |c0 AS MATERIALIZED (SELECT id, id AS c FROM deg)""".stripMargin
+
+  /** The generated per-round MATERIALIZED k/D/cand/argmax CTEs of the
+    * integer-gain sweep, parameterized by name prefix and the
+    * edge/degree/2m CTEs so graph_louvain2 can run the SAME rounds
+    * over the condensed super-graph in one statement. */
+  private def louvainRoundCtesSql(pfx: String, und: String, deg: String,
+      tm: String): String =
+    (1 to LouvainRounds).map { i =>
+      val prev = s"${pfx}c${i - 1}"
+      s"""${pfx}k$i AS MATERIALIZED (
+         |  SELECT und.u AS id, cm.c, sum(und.cnt)::bigint AS k
+         |  FROM $und und JOIN $prev cm ON und.v = cm.id GROUP BY 1, 2
+         |), ${pfx}dc$i AS MATERIALIZED (
+         |  SELECT cm.c, sum(deg.deg)::bigint AS d_c
+         |  FROM $prev cm JOIN $deg deg ON cm.id = deg.id GROUP BY 1
+         |), ${pfx}cand$i AS MATERIALIZED (
+         |  SELECT id, c, max(k)::bigint AS k FROM (
+         |    SELECT id, c, k FROM ${pfx}k$i
+         |    UNION ALL SELECT id, c, 0 AS k FROM $prev
+         |  ) GROUP BY 1, 2
+         |), ${pfx}c$i AS MATERIALIZED (
+         |  SELECT id, c FROM (
+         |    SELECT cand.id, cand.c,
+         |      row_number() OVER (PARTITION BY cand.id ORDER BY
+         |        ((SELECT two_m FROM $tm) * cand.k
+         |          - deg.deg * (dc.d_c
+         |              - CASE WHEN cand.c = cur.c THEN deg.deg ELSE 0 END)) DESC,
+         |        cand.c) AS r
+         |    FROM ${pfx}cand$i cand
+         |    JOIN ${pfx}dc$i dc ON cand.c = dc.c
+         |    JOIN $deg deg ON cand.id = deg.id
+         |    JOIN $prev cur ON cand.id = cur.id
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+
   val LayerRounds = 6
 
   /** C22 driver query: longest-path layers over the FULL directed
@@ -728,6 +788,7 @@ object GraphQueries {
     "graph_lpa"       -> (graphLpa _),
     "graph_lpa_w"     -> (graphLpaWeighted _),
     "graph_louvain"   -> (graphLouvain _),
+    "graph_louvain2"  -> (graphLouvain2 _),
     "graph_layers"    -> (graphLayers _),
     "graph_scc"       -> (graphScc _),
     "graph_modularity" -> (graphModularity _),
@@ -975,48 +1036,33 @@ object GraphQueries {
     // min-community ties — every CTE materialized (the iteration-CTE
     // inlining lesson), no float anywhere
     "graph_louvain" -> {
-      val roundCtes = (1 to LouvainRounds).map { i =>
-        s"""k$i AS MATERIALIZED (
-           |  SELECT und.u AS id, cm.c, sum(und.cnt)::bigint AS k
-           |  FROM und JOIN c${i - 1} cm ON und.v = cm.id GROUP BY 1, 2
-           |), dc$i AS MATERIALIZED (
-           |  SELECT cm.c, sum(deg.deg)::bigint AS d_c
-           |  FROM c${i - 1} cm JOIN deg ON cm.id = deg.id GROUP BY 1
-           |), cand$i AS MATERIALIZED (
-           |  SELECT id, c, max(k)::bigint AS k FROM (
-           |    SELECT id, c, k FROM k$i
-           |    UNION ALL SELECT id, c, 0 AS k FROM c${i - 1}
-           |  ) GROUP BY 1, 2
-           |), c$i AS MATERIALIZED (
-           |  SELECT id, c FROM (
-           |    SELECT cand.id, cand.c,
-           |      row_number() OVER (PARTITION BY cand.id ORDER BY
-           |        ((SELECT two_m FROM tm) * cand.k
-           |          - deg.deg * (dc.d_c
-           |              - CASE WHEN cand.c = cur.c THEN deg.deg ELSE 0 END)) DESC,
-           |        cand.c) AS r
-           |    FROM cand$i cand
-           |    JOIN dc$i dc ON cand.c = dc.c
-           |    JOIN deg ON cand.id = deg.id
-           |    JOIN c${i - 1} cur ON cand.id = cur.id
-           |  ) WHERE r = 1
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH l AS (
-         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-         |  WHERE l_quantity >= $TriangleMinQty
-         |), e0 AS MATERIALIZED (
-         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
-         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2
-         |), und AS MATERIALIZED (
-         |  SELECT u, v, cnt FROM e0 UNION ALL SELECT v, u, cnt FROM e0
-         |), deg AS MATERIALIZED (
-         |  SELECT u AS id, sum(cnt)::bigint AS deg FROM und GROUP BY 1
-         |), tm AS (SELECT sum(deg)::bigint AS two_m FROM deg),
-         |c0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
-         |$roundCtes
+      s"""WITH $louvainBaseCtes,
+         |${louvainRoundCtesSql("", "und", "deg", "tm")}
          |SELECT id, c AS community FROM c$LouvainRounds""".stripMargin
+    },
+
+    // C21 level 2: condense the level-1 communities (exact integer
+    // weight sums; self-loops carry intra weight and the UNION ALL
+    // symmetrization doubles them, preserving 2m) and re-run the same
+    // generated round CTEs with an "s" prefix over the super-graph
+    "graph_louvain2" -> {
+      s"""WITH $louvainBaseCtes,
+         |${louvainRoundCtesSql("", "und", "deg", "tm")},
+         |s1 AS MATERIALIZED (SELECT id, c FROM c$LouvainRounds),
+         |se AS MATERIALIZED (
+         |  SELECT least(ca.c, cb.c) AS u, greatest(ca.c, cb.c) AS v,
+         |    sum(e0.cnt)::bigint AS cnt
+         |  FROM e0 JOIN s1 ca ON e0.u = ca.id JOIN s1 cb ON e0.v = cb.id
+         |  GROUP BY 1, 2
+         |), und2 AS MATERIALIZED (
+         |  SELECT u, v, cnt FROM se UNION ALL SELECT v, u, cnt FROM se
+         |), deg2 AS MATERIALIZED (
+         |  SELECT u AS id, sum(cnt)::bigint AS deg FROM und2 GROUP BY 1
+         |), tm2 AS (SELECT sum(deg)::bigint AS two_m FROM deg2),
+         |sc0 AS MATERIALIZED (SELECT id, id AS c FROM deg2),
+         |${louvainRoundCtesSql("s", "und2", "deg2", "tm2")}
+         |SELECT s1.id, s1.c AS community_l1, f.c AS community
+         |FROM s1 JOIN sc$LouvainRounds f ON s1.c = f.id""".stripMargin
     },
 
     "graph_modularity" ->

@@ -560,15 +560,25 @@ object StreamQueries {
     * Pure integer counts + one share division; UTC dow/hour from the
     * session timezone both engines pin to UTC. */
   def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    seasonalityFromCells(Streaming.seasonalityCells(
+      Tables.events(spark, dir).select(col("ts"), col("event_type"))))
+  }
+
+  /** I50 batch finish: fold per-day cells into the (dow, hod) heatmap
+    * and add the per-type share — shared by the batch query and the
+    * streaming sink's closed windows (the I13/I14 split). */
+  def seasonalityFromCells(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val e = Tables.events(spark, dir).select(col("event_type"),
-      dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
-    val cell = e.groupBy("event_type", "dow", "hod")
-      .agg(count(lit(1)).as("n"))
-    val tot = cell.groupBy("event_type").agg(sum("n").as("n_type"))
-    cell.join(tot, "event_type")
-      .select(col("event_type"), col("dow"), col("hod"), col("n"),
-        round(col("n").cast("double") / col("n_type"), 5).as("share"))
+    val cell = cells.select(col("event_type"),
+        dayofweek(col("day")).as("dow"), col("hod"), col("n"))
+      .groupBy("event_type", "dow", "hod").agg(sum("n").as("n"))
+    // per-type total as a partitioned window over the ≤ types×7×24
+    // grid: join-free (no self-reference on a streaming memory view)
+    // and one shuffle fewer than the groupBy+join spelling
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    cell.select(col("event_type"), col("dow"), col("hod"), col("n"),
+      round(col("n").cast("double") / sum("n").over(wt), 5).as("share"))
   }
 
   /** I49: the watermark-delay candidates the lateness profile
@@ -595,6 +605,14 @@ object StreamQueries {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts").cast("long").as("s"))
       .withColumn("lateness", max(col("s")).over(w) - col("s"))
+    latenessProfile(late)
+  }
+
+  /** I49 batch finish: per-type percentiles and watermark-drop shares
+    * over per-event lateness rows — shared by the batch query and the
+    * streaming face's emitted frame (the I13/I14 split). */
+  def latenessProfile(late: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     val shares = LatenessDelays.map(d =>
       round(sum((col("lateness") > d).cast("long")).cast("double")
         / count(lit(1)), 4).as(s"share_late_${d}s"))

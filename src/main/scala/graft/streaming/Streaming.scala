@@ -484,6 +484,68 @@ object Streaming {
     daily.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** I50 (streaming face): per-day seasonality CELLS as a 1-day
+    * tumbling window keyed by (type, hour-of-day) — the incremental
+    * half of the weekly-seasonality heatmap; watermark-bounded state,
+    * one row per closed (day, type, hod) cell. Folding days onto the
+    * (dow, hod) grid and the per-type share are a batch finishing
+    * touch (`StreamQueries.seasonalityFromCells`) — the I13/I14
+    * incremental-half / batch-finish split. On batch input the
+    * watermark is a no-op and window(1 day).start ==
+    * date_trunc('day'), so ONE function serves both faces. */
+  def seasonalityCells(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("event_type"), col("hod"),
+        col("n"))
+
+  final case class LateSt(lastId: Long, maxS: Long)
+  final case class LatenessEv(user_id: Long, event_id: Long,
+      event_type: String, lateness: Long)
+
+  /** I49 (streaming face): per-event lateness behind the per-user
+    * running max event-time — the incremental half of the
+    * watermark-delay profile, with O(1) state per user (the last
+    * arrival id + the running max seconds, the minimal state the
+    * running max needs). Within a batch events sort by event_id (the
+    * append order, same total order as the batch window); the
+    * per-type percentile/share roll-up is a batch finishing touch
+    * (`StreamQueries.latenessProfile`).
+    *
+    * Cross-batch ordering: as with I13's journey tracker, an event
+    * arriving in a LATER micro-batch with an event_id below the
+    * stored last id cannot be re-linearized by O(1) state and is
+    * DROPPED (emitting it would use a running max the batch order
+    * does not contain at that position). In-order arrival reproduces
+    * the batch lateness rows exactly (StreamingSpec pins both). */
+  def latenessStreaming(events: Dataset[TypedEv]): Dataset[LatenessEv] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LateSt, LatenessEv](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TypedEv], state: GroupState[LateSt]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[LatenessEv]
+          var st = state.getOption.getOrElse(LateSt(Long.MinValue, Long.MinValue))
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            if (e.event_id > st.lastId) {
+              // ts.getTime is millis; integer division truncates like
+              // the batch face's ts.cast("long") (epoch is positive)
+              val s = e.ts.getTime / 1000L
+              val m = math.max(st.maxS, s)
+              out += LatenessEv(user, e.event_id, e.event_type, m - s)
+              st = LateSt(e.event_id, m)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** I9 (streaming face): incremental weekly-active (user_id, week)
     * rows — a 7-day tumbling window keyed by user. `startTime` of 4
     * days aligns windows to MONDAYS (the epoch is a Thursday), so

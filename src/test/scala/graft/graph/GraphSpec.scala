@@ -218,6 +218,28 @@ class GraphSpec extends SparkSpec {
     assert(c == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L), s"$c")
   }
 
+  test("C21 louvain level 2: the condensed sweep merges level-1 communities") {
+    import spark.implicits._
+    // two asymmetric-weight triangles joined by a weak bridge: the
+    // 3-round synchronous level-1 sweep leaves each triangle split in
+    // two (the swap pathology of simultaneous moves), and the level-2
+    // sweep over the condensed super-graph merges each triangle's two
+    // halves — 4 level-1 communities, 2 final ones, triangle == final
+    // community (verified against an independent reference simulation)
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 11L), (1L, 3L, 12L),
+      (4L, 5L, 10L), (5L, 6L, 11L), (4L, 6L, 12L),
+      (3L, 4L, 1L)).toDF("u", "v", "w")
+    val out = Graphs.louvainTwoLevel(e, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val l1 = out.view.mapValues(_._1).toMap
+    val l2 = out.view.mapValues(_._2).toMap
+    assert(l1.values.toSet.size == 4, s"level 1 must leave 4 communities: $l1")
+    assert(l2.values.toSet.size == 2, s"level 2 must merge to 2: $l2")
+    assert(Set(l2(1L), l2(2L), l2(3L)).size == 1 &&
+      Set(l2(4L), l2(5L), l2(6L)).size == 1 && l2(1L) != l2(4L),
+      s"each triangle must be one final community: $l2")
+  }
+
   test("C22 dag layers: longest path wins the diamond; a cycle saturates at the round bound") {
     import spark.implicits._
     // diamond with a long side: a→b→c→d plus the a→d shortcut —

@@ -436,6 +436,113 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I50 streaming seasonality cells + finishing shares match the batch heatmap, across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val asEvents = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "event_type")
+    val q = Streaming.seasonalityCells(asEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("season_out").outputMode("append").start()
+    try {
+      // ts(0) = 2023-11-14T22:13:20Z (a Tuesday): hour-22 click×2
+      // split ACROSS batches (the (day,type,hod) cell must merge in
+      // state) + view×1; next day hour 0: click×1; next day hour 23:
+      // view×1
+      val data = Seq((ts(0), "click"), (ts(2), "view"),
+        (ts(30), "click"), (ts(125), "click"), (ts(1500), "view"))
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData((ts(100000), "flush")); q.processAllAvailable()
+      mem.addData((ts(200000), "flush")); q.processAllAvailable()
+      def grid(df: org.apache.spark.sql.DataFrame) =
+        StreamQueries.seasonalityFromCells(df)
+          .select("event_type", "dow", "hod", "n", "share")
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+            r.getLong(3), r.getDouble(4))).toSet
+      val streamed = grid(spark.table("season_out")
+        .filter(col("event_type") =!= "flush"))
+      val batch = grid(Streaming.seasonalityCells(asEvents(data.toDF())))
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+      // the split cell merged: Tuesday (dow 3) hour-22 click counts 2
+      // of 3 clicks total — share 2/3
+      assert(streamed.contains(("click", 3, 22, 2L, 0.66667)), s"$streamed")
+    } finally q.stop()
+  }
+
+  test("I49 streaming lateness matches the batch running-max window on in-order arrival, across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val q = Streaming.latenessStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      // event_ids arrive IN ORDER across batches; timestamps regress
+      // (that regression IS the lateness being measured). user 1's
+      // running max must carry from batch 1 into batch 2.
+      val data = Seq(
+        Streaming.TypedEv(1L, ts(0), 1L, "view"),
+        Streaming.TypedEv(1L, ts(10), 2L, "click"),
+        Streaming.TypedEv(2L, ts(0), 10L, "view"),
+        Streaming.TypedEv(1L, ts(5), 3L, "purchase"),
+        Streaming.TypedEv(2L, ts(20), 12L, "click"))
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("late_out")
+        .as[Streaming.LatenessEv].collect()
+        .map(e => (e.user_id, e.event_id, e.lateness)).toSet
+      // batch face: the evLateness running-max window over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val batchLate = data.toDF()
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("s"))
+        .withColumn("lateness", max(col("s")).over(w) - col("s"))
+      val batch = batchLate.select("user_id", "event_id", "lateness")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.contains((1L, 3L, 300L)),
+        s"streamed $streamed vs batch $batch")
+      // the shared finishing profile agrees on both faces
+      val sp = StreamQueries.latenessProfile(spark.table("late_out"))
+        .collect().map(_.toSeq).toSet
+      val bp = StreamQueries.latenessProfile(batchLate)
+        .collect().map(_.toSeq).toSet
+      assert(sp == bp, s"profile mismatch: $sp vs $bp")
+    } finally q.stop()
+  }
+
+  test("I49 late cross-batch event_id is dropped; state still chains in order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val q = Streaming.latenessStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("late_drop_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Streaming.TypedEv(1L, ts(0), 1L, "view"),
+        Streaming.TypedEv(1L, ts(10), 3L, "click"))
+      q.processAllAvailable()
+      // event_id 2 arrives AFTER id 3 was processed in a prior batch:
+      // O(1) state cannot re-linearize it — dropped, state untouched
+      mem.addData(Streaming.TypedEv(1L, ts(4), 2L, "late_view"))
+      q.processAllAvailable()
+      mem.addData(Streaming.TypedEv(1L, ts(6), 4L, "purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("late_drop_out")
+        .as[Streaming.LatenessEv].collect()
+        .map(e => (e.event_id, e.lateness)).toSet
+      assert(streamed == Set((1L, 0L), (3L, 0L), (4L, 240L)),
+        s"unexpected lateness rows: $streamed")
+    } finally q.stop()
+  }
+
   test("I14 streaming daily counts + finishing rank match the batch daily top-k") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
