@@ -226,8 +226,19 @@ object SnapshotStore {
       val mdir = manifestDir(name)
       fs.mkdirs(mdir)
       val tmp = new Path(mdir, s".v$v.tmp")
+      // K41: cumulative commit-time stats — one pass over the NEW
+      // files, merged driver-side with the previous version's header
+      // (sketches union exactly); advisory, never fails the commit
+      val stats: Option[TableStats] = scala.util.Try {
+        val cur = computeFileStats(newFiles, schema)
+        if (append) (prev.lastOption.flatMap(statsOf(name, _)), cur) match {
+          case (Some(p), Some(c)) => Some(mergeStats(p, c, schema))
+          case _ => cur // a gap in the chain: stop claiming cumulative
+        } else cur
+      }.toOption.flatten
       val headers = header.toSeq ++
-        (if (isDelta) Seq(s"#prev=${prev.last}") else Seq.empty) :+
+        (if (isDelta) Seq(s"#prev=${prev.last}") else Seq.empty) ++
+        stats.map(s => s"#stats=${statsToJson(s)}") :+
         s"#schema=${schema.json}"
       val out = fs.create(tmp, true)
       try out.write((headers ++ body).mkString("\n").getBytes("UTF-8"))
@@ -788,6 +799,218 @@ object SnapshotStore {
       // simply null it — no footer-merge scan at any file count
       case Some(s) => spark.read.schema(s).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
+    }
+  }
+
+  // ------------------------------------------------------------- K41
+  // Per-column statistics embedded in the manifest AT COMMIT TIME —
+  // the Delta/Iceberg discipline that makes ANALYZE a no-op: every
+  // version's manifest carries the CUMULATIVE row/byte counts and per
+  // column min/max, null count, and a mergeable DataSketches HLL NDV
+  // sketch. An append pays one stats pass over ITS OWN new files (the
+  // data is in page cache, just written) plus an O(columns)
+  // driver-side sketch merge with the previous version's header —
+  // never an O(table) rescan — and reads get CBO-grade stats at any
+  // version for free.
+
+  /** Per-column commit-time statistics. min/max are the column values
+    * cast to string (type-aware comparisons on merge); `hllB64` is a
+    * base64 DataSketches HLL sketch (integral/string columns). */
+  final case class ColumnStats(min: Option[String], max: Option[String],
+      nullCount: Long, hllB64: Option[String]) {
+    /** NDV estimate from the embedded sketch (rounded). */
+    def ndv: Option[Long] = hllB64.map { b =>
+      Math.round(org.apache.datasketches.hll.HllSketch.heapify(
+        java.util.Base64.getDecoder.decode(b)).getEstimate)
+    }
+  }
+
+  /** Cumulative table statistics at a version. */
+  final case class TableStats(rows: Long, bytes: Long,
+      cols: Map[String, ColumnStats])
+
+  private def statsToJson(s: TableStats): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    compact(render(
+      ("rows" -> s.rows) ~ ("bytes" -> s.bytes) ~
+        ("cols" -> s.cols.map { case (c, cs) =>
+          c -> (("min" -> cs.min) ~ ("max" -> cs.max) ~
+            ("nulls" -> cs.nullCount) ~ ("hll" -> cs.hllB64))
+        })))
+  }
+
+  private def statsFromJson(j: String): TableStats = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmts: Formats = DefaultFormats
+    val v = parse(j)
+    val cols = (v \ "cols") match {
+      case JObject(fields) => fields.map { case (c, cv) =>
+        c -> ColumnStats(
+          (cv \ "min").extractOpt[String],
+          (cv \ "max").extractOpt[String],
+          (cv \ "nulls").extract[Long],
+          (cv \ "hll").extractOpt[String])
+      }.toMap
+      case _ => Map.empty[String, ColumnStats]
+    }
+    TableStats((v \ "rows").extract[Long], (v \ "bytes").extract[Long], cols)
+  }
+
+  import org.apache.spark.sql.types._
+
+  private def isMinMaxType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** hll_sketch_agg accepts integral, string, and binary inputs. */
+  private def isSketchType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** One stats pass over a commit's NEW files (count + per-column
+    * min/max/nulls/HLL in a single aggregation). Advisory: any
+    * failure yields None, never a failed commit. */
+  private def computeFileStats(files: Seq[String],
+      schema: StructType): Option[TableStats] =
+    SparkSession.getActiveSession.flatMap { spark =>
+      scala.util.Try {
+        if (files.isEmpty) TableStats(0L, 0L, Map.empty)
+        else {
+          import org.apache.spark.sql.functions._
+          val bytes = files.map { f =>
+            val p = new Path(f); fsOf(p).getFileStatus(p).getLen
+          }.sum
+          val statCols = schema.fields.filter(f => isMinMaxType(f.dataType))
+          val df = spark.read.schema(schema).parquet(files: _*)
+          val aggs: Seq[org.apache.spark.sql.Column] =
+            Seq(count(lit(1)).as("_rows")) ++ statCols.flatMap { f =>
+              val c = col(f.name)
+              Seq(min(c).cast("string").as(s"_min_${f.name}"),
+                max(c).cast("string").as(s"_max_${f.name}"),
+                sum(c.isNull.cast("long")).as(s"_nul_${f.name}")) ++
+                (if (isSketchType(f.dataType))
+                  Seq(base64(hll_sketch_agg(c)).as(s"_hll_${f.name}"))
+                else Nil)
+            }
+          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          val cols = statCols.map { f =>
+            f.name -> ColumnStats(
+              Option(r.getAs[String](s"_min_${f.name}")),
+              Option(r.getAs[String](s"_max_${f.name}")),
+              Option(r.getAs[Any](s"_nul_${f.name}"))
+                .map(_.toString.toLong).getOrElse(0L),
+              if (isSketchType(f.dataType))
+                // Spark's base64() chunks long output MIME-style with
+                // embedded newlines — normalize to one clean line so
+                // the manifest header and the basic decoder agree
+                Option(r.getAs[String](s"_hll_${f.name}"))
+                  .map(_.replaceAll("\\s+", ""))
+              else None)
+          }.toMap
+          TableStats(r.getAs[Long]("_rows"), bytes, cols)
+        }
+      }.toOption
+    }
+
+  /** Exact merge of two cumulative stats: counts sum, min/max compare
+    * type-aware, HLL sketches union (the entire point of carrying the
+    * sketch instead of an estimate — NDV estimates don't merge,
+    * sketches do). */
+  private def mergeStats(prev: TableStats, cur: TableStats,
+      schema: StructType): TableStats = {
+    def less(dt: DataType, a: String, b: String): Boolean = dt match {
+      case _: NumericType => BigDecimal(a) < BigDecimal(b)
+      // booleans ("false" < "true") and zero-padded date/timestamp/
+      // string renderings order lexicographically
+      case _ => a < b
+    }
+    def pick(dt: DataType, x: Option[String], y: Option[String],
+        takeMin: Boolean): Option[String] = (x, y) match {
+      case (Some(p), Some(q)) => Some(if (less(dt, p, q) == takeMin) p else q)
+      case (p, q) => p.orElse(q)
+    }
+    def unionHll(x: Option[String], y: Option[String]): Option[String] =
+      (x, y) match {
+        case (Some(p), Some(q)) =>
+          val dec = java.util.Base64.getDecoder
+          val u = new org.apache.datasketches.hll.Union(12)
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(dec.decode(p)))
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(dec.decode(q)))
+          Some(java.util.Base64.getEncoder.encodeToString(
+            u.getResult.toCompactByteArray))
+        case (p, q) => p.orElse(q)
+      }
+    val keys = prev.cols.keySet ++ cur.cols.keySet
+    TableStats(prev.rows + cur.rows, prev.bytes + cur.bytes,
+      keys.iterator.map { k =>
+        val dt = schema.find(_.name == k).map(_.dataType).getOrElse(StringType)
+        k -> ((prev.cols.get(k), cur.cols.get(k)) match {
+          case (Some(a), Some(b)) => ColumnStats(
+            pick(dt, a.min, b.min, takeMin = true),
+            pick(dt, a.max, b.max, takeMin = false),
+            a.nullCount + b.nullCount, unionHll(a.hllB64, b.hllB64))
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case _ => ColumnStats(None, None, 0L, None)
+        })
+      }.toMap)
+  }
+
+  /** K41: the cumulative table statistics recorded at version `v`
+    * (None for manifests written before stats landed, or when the
+    * commit's advisory stats pass failed). */
+  def statsOf(name: String, v: Long): Option[TableStats] =
+    readLines(resolvedManifestPath(name, v))
+      .find(_.startsWith("#stats="))
+      .flatMap(l => scala.util.Try(statsFromJson(l.stripPrefix("#stats="))).toOption)
+
+  /** K41: snapshot read with the manifest stats attached as CATALOG
+    * statistics — the cost-based optimizer plans from commit-time
+    * stats with NO ANALYZE pass (row count, per-column NDV/min/max/
+    * null count flow into join reorder, broadcast thresholds, and
+    * filter selectivity). min/max inject for numeric columns (the
+    * types whose external string form round-trips); NDV and null
+    * count inject for every tracked column. */
+  def readWithStats(spark: SparkSession, name: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val vs = versions(name)
+      require(vs.nonEmpty, s"snapshot table '$name' has no commits"); vs.last
+    }
+    val df = read(spark, name, Some(v))
+    statsOf(name, v) match {
+      case None => df
+      case Some(st) =>
+        import org.apache.spark.sql.catalyst.TableIdentifier
+        import org.apache.spark.sql.catalyst.catalog._
+        val colStats = df.schema.fields.flatMap { f =>
+          st.cols.get(f.name).map { cs =>
+            val numeric = f.dataType.isInstanceOf[NumericType]
+            f.name -> CatalogColumnStat(
+              distinctCount = cs.ndv.map(BigInt(_)),
+              min = if (numeric) cs.min else None,
+              max = if (numeric) cs.max else None,
+              nullCount = Some(BigInt(cs.nullCount)),
+              avgLen = None, maxLen = None, histogram = None)
+          }
+        }.toMap
+        val ct = CatalogTable(
+          identifier = TableIdentifier(s"${name}_v$v"),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty,
+          schema = df.schema,
+          provider = Some("parquet"),
+          stats = Some(CatalogStatistics(BigInt(math.max(st.bytes, 1L)),
+            Some(BigInt(st.rows)), colStats)))
+        df.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            org.apache.spark.sql.GraftDatasetBridge.ofRows(spark,
+              r.copy(catalogTable = Some(ct)))
+        }.getOrElse(df)
     }
   }
 }

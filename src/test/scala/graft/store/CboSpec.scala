@@ -41,6 +41,31 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  test("K41 CBO plans from MANIFEST stats with no ANALYZE call (stats merged across commits)") {
+    import spark.implicits._
+    val name = "cbo_manifest_t"
+    // two appends: the cumulative header must merge counts and union
+    // the NDV sketches across the delta chain
+    SnapshotStore.commitAppend(name, (1L to 600L).map(i => (i, i % 10)).toDF("k", "g"))
+    SnapshotStore.commitAppend(name, (601L to 1000L).map(i => (i, i % 10)).toDF("k", "g"))
+    val st = SnapshotStore.statsOf(name, SnapshotStore.versions(name).last)
+      .getOrElse(fail("no #stats header on the committed manifest"))
+    assert(st.rows == 1000L && st.bytes > 0L)
+    assert(st.cols("g").ndv.exists(d => d >= 9L && d <= 11L),
+      s"g NDV ~10 from the merged sketch, got ${st.cols("g").ndv}")
+    assert(st.cols("k").min.contains("1") && st.cols("k").max.contains("1000"))
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val full = SnapshotStore.readWithStats(spark, name)
+      assert(full.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(1000)),
+        "row count must flow from the manifest header, no ANALYZE ran")
+      val est = SnapshotStore.readWithStats(spark, name).filter(col("g") === 3)
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("CBO must estimate a row count"))
+      assert(est > BigInt(0) && est < BigInt(300),
+        s"one of ~10 groups should estimate well under the table size, got $est")
+    }
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(body: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
