@@ -115,9 +115,16 @@ object SimQueries {
     def score(cand: DataFrame): DataFrame =
       cand.join(nvs, "n_id").join(q, "q_id")
         .withColumn("cos", cos).select("q_id", "n_id", "cos")
-    var visited = score(entry.select("q_id", "n_id"))
-      .localCheckpoint(eager = true)
-    var frontier = visited
+    // ONE eager checkpoint per hop (the scored frontier); visited is a
+    // lazy union of the checkpointed hop frames — each is ≤ queries ×
+    // width·k rows, so re-unioning is free while keeping the loop at
+    // one eager job per hop (job-launch latency dominates this
+    // metadata-scale loop; a fully lazy spelling re-executes the
+    // shared hop subplans combinatorially)
+    val hopFrames = scala.collection.mutable.ArrayBuffer(
+      score(entry.select("q_id", "n_id")).localCheckpoint(eager = true))
+    def visited: DataFrame = hopFrames.reduce(_ unionAll _)
+    var frontier = hopFrames.head
     for (_ <- 1 to hops) {
       val nb = frontier.select(col("q_id"), col("n_id").as("src_id"))
         .join(g, "src_id")
@@ -128,7 +135,7 @@ object SimQueries {
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("n_id"))))
         .filter(col("_r") <= width).drop("_r")
-      visited = visited.unionAll(scored).localCheckpoint(eager = true)
+      hopFrames += scored
     }
     visited
   }
