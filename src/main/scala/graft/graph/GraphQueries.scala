@@ -516,6 +516,44 @@ object GraphQueries {
       storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
       LouvainRounds)
 
+  /** C21 quality dial: WEIGHTED modularity of the level-1 vs the
+    * level-2 partition — the measurement that makes "level 2 merges
+    * communities" an improvement claim, not a structural one. Exact
+    * to the last bit before one display division: Q = Σc[e_in/m −
+    * (d_c/2m)²] re-arranged to (4m·ΣE_in − Σd_c²)/(4m²), where ΣE_in
+    * (intra-community weight), Σd_c² and m are exact integer sums —
+    * no float accumulates across communities, so the cross-engine
+    * float-sum-order trap never opens. */
+  def graphLouvainGain(spark: SparkSession, dir: String): DataFrame = {
+    val und = storedCoOrder(spark, dir)
+      .select(col("u"), col("v"), col("cnt").as("w"))
+      .localCheckpoint(eager = true)
+    val both = Graphs.louvainTwoLevel(und, LouvainRounds)
+      .localCheckpoint(eager = true)
+    val deg = und.select(col("u").as("id"), col("w"))
+      .unionAll(und.select(col("v").as("id"), col("w")))
+      .groupBy("id").agg(sum("w").as("deg"))
+    val mw = und.agg(sum("w")).head().getLong(0)
+    def qOf(comm: DataFrame, level: Int): DataFrame = {
+      val cm = comm.select(col("id"), col("c"))
+      val ein = und
+        .join(cm.select(col("id").as("u"), col("c").as("cu")), "u")
+        .join(cm.select(col("id").as("v"), col("c").as("cv")), "v")
+        .filter(col("cu") === col("cv"))
+        .agg(coalesce(sum("w"), lit(0L)).as("e_in_w"))
+      val d2 = cm.join(deg, "id").groupBy("c").agg(sum("deg").as("ds"))
+        .agg(sum(col("ds") * col("ds")).as("d2_sum"),
+          count(lit(1)).as("n_communities"))
+      ein.crossJoin(d2).select(
+        lit(level).as("level"), col("n_communities"),
+        col("e_in_w"), col("d2_sum"),
+        round((lit(4L) * lit(mw) * col("e_in_w") - col("d2_sum"))
+          .cast("double") / (lit(4.0) * mw * mw), 6).as("q"))
+    }
+    qOf(both.select(col("id"), col("community_l1").as("c")), 1)
+      .unionAll(qOf(both.select(col("id"), col("community").as("c")), 2))
+  }
+
   /** Shared base CTEs for the Louvain oracles: the co-order weighted
     * graph, symmetrized edges, integer degrees, 2m, singleton seed. */
   private lazy val louvainBaseCtes: String =
@@ -789,6 +827,7 @@ object GraphQueries {
     "graph_lpa_w"     -> (graphLpaWeighted _),
     "graph_louvain"   -> (graphLouvain _),
     "graph_louvain2"  -> (graphLouvain2 _),
+    "graph_louvain_gain" -> (graphLouvainGain _),
     "graph_layers"    -> (graphLayers _),
     "graph_scc"       -> (graphScc _),
     "graph_modularity" -> (graphModularity _),
@@ -1063,6 +1102,54 @@ object GraphQueries {
          |${louvainRoundCtesSql("s", "und2", "deg2", "tm2")}
          |SELECT s1.id, s1.c AS community_l1, f.c AS community
          |FROM s1 JOIN sc$LouvainRounds f ON s1.c = f.id""".stripMargin
+    },
+
+    // C21 quality dial: weighted modularity of both louvain levels in
+    // the exact-integer spelling Q = (4m·E_in − Σd_c²)/4m² — integer
+    // sums per level, one display division each
+    "graph_louvain_gain" -> {
+      def qLeg(lv: String, level: Int): String =
+        s"""SELECT $level AS level,
+           |  (SELECT count(DISTINCT c) FROM $lv) AS n_communities,
+           |  (SELECT coalesce(sum(e.cnt), 0)::bigint FROM e0 e
+           |     JOIN $lv a ON e.u = a.id JOIN $lv b ON e.v = b.id
+           |     WHERE a.c = b.c) AS e_in_w,
+           |  (SELECT sum(ds * ds)::bigint FROM (
+           |     SELECT sum(degw.deg)::bigint AS ds FROM $lv
+           |     JOIN degw ON $lv.id = degw.id GROUP BY $lv.c)) AS d2_sum,
+           |  round((4 * (SELECT mw FROM mq) *
+           |      (SELECT coalesce(sum(e.cnt), 0)::bigint FROM e0 e
+           |         JOIN $lv a ON e.u = a.id JOIN $lv b ON e.v = b.id
+           |         WHERE a.c = b.c)
+           |    - (SELECT sum(ds * ds)::bigint FROM (
+           |         SELECT sum(degw.deg)::bigint AS ds FROM $lv
+           |         JOIN degw ON $lv.id = degw.id GROUP BY $lv.c)))::double
+           |    / (4.0 * (SELECT mw FROM mq) * (SELECT mw FROM mq)), 6) AS q""".stripMargin
+      s"""WITH $louvainBaseCtes,
+         |${louvainRoundCtesSql("", "und", "deg", "tm")},
+         |s1 AS MATERIALIZED (SELECT id, c FROM c$LouvainRounds),
+         |se AS MATERIALIZED (
+         |  SELECT least(ca.c, cb.c) AS u, greatest(ca.c, cb.c) AS v,
+         |    sum(e0.cnt)::bigint AS cnt
+         |  FROM e0 JOIN s1 ca ON e0.u = ca.id JOIN s1 cb ON e0.v = cb.id
+         |  GROUP BY 1, 2
+         |), und2 AS MATERIALIZED (
+         |  SELECT u, v, cnt FROM se UNION ALL SELECT v, u, cnt FROM se
+         |), deg2 AS MATERIALIZED (
+         |  SELECT u AS id, sum(cnt)::bigint AS deg FROM und2 GROUP BY 1
+         |), tm2 AS (SELECT sum(deg)::bigint AS two_m FROM deg2),
+         |sc0 AS MATERIALIZED (SELECT id, id AS c FROM deg2),
+         |${louvainRoundCtesSql("s", "und2", "deg2", "tm2")},
+         |lv1 AS MATERIALIZED (SELECT id, c FROM s1),
+         |lv2 AS MATERIALIZED (
+         |  SELECT s1.id, f.c FROM s1 JOIN sc$LouvainRounds f ON s1.c = f.id
+         |), mq AS (SELECT sum(cnt)::bigint AS mw FROM e0),
+         |degw AS MATERIALIZED (
+         |  SELECT u AS id, sum(cnt)::bigint AS deg FROM und GROUP BY 1
+         |)
+         |${qLeg("lv1", 1)}
+         |UNION ALL
+         |${qLeg("lv2", 2)}""".stripMargin
     },
 
     "graph_modularity" ->

@@ -263,6 +263,68 @@ object SimQueries {
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  /** F24: MMR selection depth and candidate-pool width. */
+  val MmrK = 5
+  val MmrCand = 8
+
+  /** F24: Maximal Marginal Relevance diversity re-rank — the
+    * retrieval-side curation primitive (a RAG context window filled
+    * with 5 near-duplicates wastes 4 slots): from each query's
+    * exact top-[[MmrCand]] candidates, iteratively pick the item
+    * maximizing relevance − max-similarity-to-already-picked (the
+    * λ=1/2 MMR objective, which is affine-equivalent to qsim − pen,
+    * so the argmax is identical). All frames are metadata-scale
+    * (queries × candidates²); every pick is deterministic (score
+    * desc, id asc) and the oracle replays the same [[MmrK]]
+    * iterations as materialized CTEs. */
+  def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy("q_id")
+    val emb = Tables.embeddings(spark, dir)
+    val q = broadcast(emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val cand = n.crossJoin(q).filter(col("q_id") =!= col("n_id"))
+      .withColumn("qsim", VectorFunctions.cosineSim(spark, col("qv"), col("nv")))
+      .withColumn("_r", row_number().over(
+        wq.orderBy(col("qsim").desc, col("n_id"))))
+      .filter(col("_r") <= MmrCand).select("q_id", "n_id", "qsim")
+      .localCheckpoint(eager = true)
+    val ce = cand.join(
+      emb.select(col("vec_id").as("n_id"), col("embedding").as("e")), "n_id")
+    val pair = ce.select(col("q_id"), col("n_id").as("d"), col("e").as("de"))
+      .join(ce.select(col("q_id"), col("n_id").as("s"), col("e").as("se")),
+        Seq("q_id"))
+      .filter(col("d") =!= col("s"))
+      .withColumn("sim", VectorFunctions.cosineSim(spark, col("de"), col("se")))
+      .select("q_id", "d", "s", "sim")
+      .localCheckpoint(eager = true)
+    var sel = cand
+      .withColumn("_r", row_number().over(
+        wq.orderBy(col("qsim").desc, col("n_id"))))
+      .filter(col("_r") === 1)
+      .select(col("q_id"), col("n_id"), col("qsim").as("score"),
+        lit(1).as("mmr_rank"))
+      .localCheckpoint(eager = true)
+    for (k <- 2 to MmrK) {
+      val pen = pair.join(sel.select(col("q_id"), col("n_id").as("s")),
+          Seq("q_id", "s"))
+        .groupBy(col("q_id"), col("d")).agg(max("sim").as("pen"))
+        .withColumnRenamed("d", "n_id")
+      val pick = cand.join(sel.select("q_id", "n_id"), Seq("q_id", "n_id"),
+          "left_anti")
+        .join(pen, Seq("q_id", "n_id"))
+        .withColumn("score", col("qsim") - col("pen"))
+        .withColumn("_r", row_number().over(
+          wq.orderBy(col("score").desc, col("n_id"))))
+        .filter(col("_r") === 1)
+        .select(col("q_id"), col("n_id"), col("score"), lit(k).as("mmr_rank"))
+      sel = sel.unionAll(pick).localCheckpoint(eager = true)
+    }
+    sel.select(col("q_id"), col("n_id"),
+      round(col("score"), 4).as("mmr_score"), col("mmr_rank"))
+  }
+
   /** F21: norm-distribution audit per label — the embedding-health
     * check (collapsed norms = a dead/saturated encoder; bimodal =
     * mixed vintages): per label the p5/p50/p95 of ‖x‖. Each norm is
@@ -728,6 +790,7 @@ object SimQueries {
     "sim_beam_recall" -> (simBeamRecall _),
     "sim_hnsw"        -> (simHnsw _),
     "sim_hnsw_recall" -> (simHnswRecall _),
+    "sim_mmr"         -> (simMmr _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -1059,6 +1122,60 @@ object SimQueries {
        |) WHERE rnk <= $K""".stripMargin
   }
 
+  // F24 MMR: top-MmrCand exact candidates (RAW cosine — the selection
+  // ranks on unrounded scores both sides), candidate-pair sims, then
+  // MmrK materialized selection iterations
+  private lazy val oracleSqlMmr: String = {
+    val iters = (2 to MmrK).map { k =>
+      s"""pen$k AS MATERIALIZED (
+         |  SELECT p.q_id, p.d AS n_id, max(p.sim) AS pen
+         |  FROM pair p JOIN sel${k - 1} s ON p.q_id = s.q_id AND p.s = s.n_id
+         |  GROUP BY 1, 2
+         |),
+         |pick$k AS MATERIALIZED (
+         |  SELECT q_id, n_id, score, $k AS mmr_rank FROM (
+         |    SELECT c.q_id, c.n_id, c.qsim - p.pen AS score,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY c.qsim - p.pen DESC, c.n_id) AS r
+         |    FROM cand c
+         |    JOIN pen$k p ON c.q_id = p.q_id AND c.n_id = p.n_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+         |      WHERE s.q_id = c.q_id AND s.n_id = c.n_id)
+         |  ) WHERE r = 1
+         |),
+         |sel$k AS MATERIALIZED (
+         |  SELECT q_id, n_id, score, mmr_rank FROM sel${k - 1}
+         |  UNION ALL SELECT q_id, n_id, score, mmr_rank FROM pick$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, n_id, qsim FROM (
+       |    SELECT q_id, n_id, ${cosSql("qv", "nv")} AS qsim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${cosSql("qv", "nv")} DESC, n_id) AS rnk
+       |    FROM q, n WHERE q_id <> n_id
+       |  ) WHERE rnk <= $MmrCand
+       |), pair AS MATERIALIZED (
+       |  SELECT a.q_id, a.n_id AS d, b.n_id AS s,
+       |    ${cosSql("da.embedding", "db.embedding")} AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+       |  JOIN embeddings da ON da.vec_id = a.n_id
+       |  JOIN embeddings db ON db.vec_id = b.n_id
+       |), sel1 AS MATERIALIZED (
+       |  SELECT q_id, n_id, qsim AS score, 1 AS mmr_rank FROM (
+       |    SELECT q_id, n_id, qsim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY qsim DESC, n_id) AS r
+       |    FROM cand
+       |  ) WHERE r = 1
+       |),
+       |$iters
+       |SELECT q_id, n_id, round(score, 4) AS mmr_score, mmr_rank
+       |FROM sel$MmrK""".stripMargin
+  }
+
   // F16 exact k-NN graph: the brute shape with q = every vector
   private lazy val oracleSqlKnnExact: String =
     s"""WITH q AS (SELECT vec_id AS src_id, embedding AS qv FROM embeddings),
@@ -1270,6 +1387,7 @@ object SimQueries {
     // recall — all three generated so they cannot drift
     // F22: nested-graph beam recursion + the nested recall
     "sim_beam" -> oracleSqlBeam,
+    "sim_mmr" -> oracleSqlMmr,
     "sim_hnsw" -> oracleSqlHnsw,
     "sim_hnsw_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),

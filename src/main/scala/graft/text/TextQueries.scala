@@ -1098,6 +1098,29 @@ object TextQueries {
     * Flesch formulas are the only float step, fixed expressions over
     * integer ratios, rounded 3dp. Per-doc projection: no shuffle,
     * embarrassingly parallel at any corpus size. */
+  /** G48: temperature-scaled source sampling weights — the
+    * multilingual/multi-source mixing rule every pretraining run
+    * tunes (p_i^α / Σ p_j^α, here α = 1/2): low-resource sources
+    * upsample (w_alpha > p_raw), dominant ones downsample. Exact
+    * integer counts; the α-power is ONE IEEE sqrt per source, and
+    * the normalizer sums those sqrts in SOURCE-NAME ORDER on both
+    * engines (Spark: aggregate over a sorted struct array; DuckDB:
+    * list_sum over an ORDER BY list — the F9/cosSql fixed-order
+    * float-sum discipline), so the division is bit-identical. */
+  def textMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val z = d.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, n_docs))), " +
+        "x -> sqrt(cast(x.n_docs as double))), cast(0 as double), (a, x) -> a + x)")
+        .as("z"),
+      sum("n_docs").as("n_total"))
+    d.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 5).as("p_raw"),
+        round(sqrt(col("n_docs").cast("double")) / col("z"), 5).as("w_alpha"))
+  }
+
   /** G47: min corpus count for a token to enter the JSD vocabulary
     * (rare tokens add noise without signal). */
   val JsdMinDf = 20L
@@ -1330,6 +1353,7 @@ object TextQueries {
     "text_repetition"   -> (textRepetition _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
+    "text_mix_weights"  -> (textMixWeights _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -1395,6 +1419,21 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // G48: exact counts; sqrt normalizer summed in source-name order
+    // (list_sum over ORDER BY — mirrors Spark's sorted-array aggregate)
+    "text_mix_weights" ->
+      s"""WITH s AS (
+         |  SELECT source, count(*)::bigint AS n_docs FROM documents GROUP BY 1
+         |), z AS (
+         |  SELECT sum(n_docs)::bigint AS n_total,
+         |    list_sum(list(sqrt(n_docs::double) ORDER BY source)) AS z
+         |  FROM s
+         |)
+         |SELECT source, n_docs,
+         |  round(n_docs::double / (SELECT n_total FROM z), 5) AS p_raw,
+         |  round(sqrt(n_docs::double) / (SELECT z FROM z), 5) AS w_alpha
+         |FROM s""".stripMargin,
+
     // mirrors lineDedup: same token segments (generated from
     // LineSegTokens/LineMinDocs), same within-source recurrence cut,
     // same ordered reassembly; coalesce('') covers fully-removed docs
