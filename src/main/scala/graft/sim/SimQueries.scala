@@ -263,6 +263,37 @@ object SimQueries {
         round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  /** F25: beam widths the recall sweep measures. */
+  val BeamSweepWidths: Seq[Int] = Seq(2, 4, 8)
+
+  /** F25: recall-vs-beam-width curve — the tuning face for the F22
+    * graph search (the F18 nprobe-sweep discipline applied to the
+    * beam): one recall row per (width, query) against exact cosine,
+    * all widths reading the SAME stored k-NN graph, so the sweep
+    * prices the latency/recall dial before a deployment picks its
+    * point. */
+  def simBeamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val g = storedKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
+    val brute = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+      .localCheckpoint(eager = true)
+    val qs = brute.select("q_id").distinct()
+    val entry = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(emb.agg(min(col("vec_id")).as("n_id")))
+    BeamSweepWidths.map { wd =>
+      val beam = beamTopK(beamVisited(spark, emb, g, entry, wd, BeamHops))
+        .select("q_id", "n_id")
+      val hits = beam.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      qs.join(hits, Seq("q_id"), "left")
+        .select(lit(wd).as("beam_width"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4)
+            .as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** F24: MMR selection depth and candidate-pool width. */
   val MmrK = 5
   val MmrCand = 8
@@ -791,6 +822,7 @@ object SimQueries {
     "sim_hnsw"        -> (simHnsw _),
     "sim_hnsw_recall" -> (simHnswRecall _),
     "sim_mmr"         -> (simMmr _),
+    "sim_beam_sweep"  -> (simBeamSweep _),
   )
 
   /** DuckDB mirror of the sign-bit pack + Hamming rank (shared by
@@ -1122,6 +1154,49 @@ object SimQueries {
        |) WHERE rnk <= $K""".stripMargin
   }
 
+  // F25: the beam replayed once per width over the shared graph/entry
+  // CTEs, each width its own prefixed per-hop MATERIALIZED blocks,
+  // recall legs unioned
+  private lazy val oracleSqlBeamSweep: String = {
+    val widthBlocks = BeamSweepWidths.map { w =>
+      s"""${beamCtesSql("g", "v0", "f0", s"w$w", w, BeamHops)},
+         |w${w}top AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM w${w}v$BeamHops WHERE q_id <> n_id
+         |  ) WHERE rnk <= $K
+         |)""".stripMargin
+    }.mkString(",\n")
+    val legs = BeamSweepWidths.map { w =>
+      s"""SELECT $w AS beam_width, e.q_id,
+         |  coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e
+         |LEFT JOIN (
+         |  SELECT a.q_id, count(*) AS hits FROM w${w}top a
+         |  WHERE EXISTS (SELECT 1 FROM exact b
+         |    WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY 1
+         |) h ON h.q_id = e.q_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})
+       |), e AS (SELECT min(vec_id) AS e_id FROM embeddings),
+       |v0 AS MATERIALIZED (
+       |  SELECT qe.vec_id AS q_id, e.e_id AS n_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM embeddings qe
+       |  CROSS JOIN e
+       |  JOIN embeddings ne ON ne.vec_id = e.e_id
+       |  WHERE qe.vec_id < $NumQueries
+       |),
+       |f0 AS MATERIALIZED (SELECT q_id, n_id FROM v0),
+       |$widthBlocks,
+       |exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute}))
+       |$legs""".stripMargin
+  }
+
   // F24 MMR: top-MmrCand exact candidates (RAW cosine — the selection
   // ranks on unrounded scores both sides), candidate-pair sims, then
   // MmrK materialized selection iterations
@@ -1388,6 +1463,7 @@ object SimQueries {
     // F22: nested-graph beam recursion + the nested recall
     "sim_beam" -> oracleSqlBeam,
     "sim_mmr" -> oracleSqlMmr,
+    "sim_beam_sweep" -> oracleSqlBeamSweep,
     "sim_hnsw" -> oracleSqlHnsw,
     "sim_hnsw_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),

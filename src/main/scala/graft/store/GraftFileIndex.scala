@@ -196,6 +196,18 @@ final class GraftFileIndex(
 
 object GraftFileIndex {
 
+  /** Plan a scan over an index built from ALREADY-KNOWN zones (K42:
+    * the manifest carried them — no build scan at all). Zone keys are
+    * URI paths, matching `listFiles`' lookup key. */
+  def scanWithZones(spark: SparkSession, files: Seq[FileStatus],
+      schema: StructType,
+      zones: Map[String, Map[String, (Any, Any)]]): (GraftFileIndex, DataFrame) = {
+    val index = new GraftFileIndex(files, zones, schema)
+    val relation = HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    (index, spark.baseRelationToDataFrame(relation))
+  }
+
   /** Build an index over concrete parquet `paths`: one distributed
     * aggregation derives the per-file zone map for `zoneCols`
     * (write-once; the result is metadata-scale — one row per file),

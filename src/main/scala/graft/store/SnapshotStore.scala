@@ -226,19 +226,31 @@ object SnapshotStore {
       val mdir = manifestDir(name)
       fs.mkdirs(mdir)
       val tmp = new Path(mdir, s".v$v.tmp")
-      // K41: cumulative commit-time stats — one pass over the NEW
-      // files, merged driver-side with the previous version's header
+      // K41/K42: commit-time stats — ONE pass over the NEW files
+      // yields both the per-file zone map and the global stats,
+      // merged driver-side with the previous version's header
       // (sketches union exactly); advisory, never fails the commit
-      val stats: Option[TableStats] = scala.util.Try {
-        val cur = computeFileStats(newFiles, schema)
-        if (append) (prev.lastOption.flatMap(statsOf(name, _)), cur) match {
+      val computed = scala.util.Try(computeCommitStats(newFiles, schema))
+        .toOption.flatten
+      val stats: Option[TableStats] =
+        if (append) (prev.lastOption.flatMap(statsOf(name, _)), computed.map(_._1)) match {
           case (Some(p), Some(c)) => Some(mergeStats(p, c, schema))
-          case _ => cur // a gap in the chain: stop claiming cumulative
-        } else cur
-      }.toOption.flatten
+          case (_, cur) => cur // a gap in the chain: stop claiming cumulative
+        } else computed.map(_._1)
+      // K42: a delta manifest carries ITS files' zones (symmetric with
+      // the file list); checkpoints/overwrites carry the full resolved
+      // map — a pure driver-side metadata merge, never a rescan
+      val fstats: FileZones = scala.util.Try {
+        val nz = computed.map(_._2).getOrElse(Map.empty: FileZones)
+        if (isDelta) nz
+        else (if (append && prev.nonEmpty) fileZonesOf(name, prev.last)
+              else Map.empty: FileZones) ++ nz
+      }.getOrElse(Map.empty)
       val headers = header.toSeq ++
         (if (isDelta) Seq(s"#prev=${prev.last}") else Seq.empty) ++
-        stats.map(s => s"#stats=${statsToJson(s)}") :+
+        stats.map(s => s"#stats=${statsToJson(s)}") ++
+        (if (fstats.nonEmpty) Seq(s"#fstats=${zonesToJson(fstats)}")
+         else Seq.empty) :+
         s"#schema=${schema.json}"
       val out = fs.create(tmp, true)
       try out.write((headers ++ body).mkString("\n").getBytes("UTF-8"))
@@ -874,11 +886,31 @@ object SnapshotStore {
   /** One stats pass over a commit's NEW files (count + per-column
     * min/max/nulls/HLL in a single aggregation). Advisory: any
     * failure yields None, never a failed commit. */
-  private def computeFileStats(files: Seq[String],
-      schema: StructType): Option[TableStats] =
+  /** Per-file zone stats: column → (min, max) as strings. */
+  type FileZones = Map[String, Map[String, (String, String)]]
+
+  /** Zone-comparable types (K42): numeric and string — the families
+    * [[GraftFileIndex]] canonicalizes losslessly from an external
+    * string (date/timestamp strings would re-parse through the JVM
+    * default timezone, so they stay out of the zone map). */
+  private def isZoneType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType => true
+    case _ => false
+  }
+
+  private def uriPath(p: String): String = new java.net.URI(p).getPath
+
+  /** ONE stats pass over a commit's NEW files — grouped per file, so
+    * the same scan yields (a) the per-file zone map for K42 manifest
+    * pruning and (b) the cumulative-ready global stats, folded
+    * driver-side with [[mergeStats]] (HLL register unions over
+    * disjoint per-file streams equal the single-pass sketch exactly).
+    * Advisory: any failure yields None, never a failed commit. */
+  private def computeCommitStats(files: Seq[String],
+      schema: StructType): Option[(TableStats, FileZones)] =
     SparkSession.getActiveSession.flatMap { spark =>
       scala.util.Try {
-        if (files.isEmpty) TableStats(0L, 0L, Map.empty)
+        if (files.isEmpty) (TableStats(0L, 0L, Map.empty), Map.empty: FileZones)
         else {
           import org.apache.spark.sql.functions._
           val bytes = files.map { f =>
@@ -896,22 +928,37 @@ object SnapshotStore {
                   Seq(base64(hll_sketch_agg(c)).as(s"_hll_${f.name}"))
                 else Nil)
             }
-          val r = df.agg(aggs.head, aggs.tail: _*).head()
-          val cols = statCols.map { f =>
-            f.name -> ColumnStats(
-              Option(r.getAs[String](s"_min_${f.name}")),
-              Option(r.getAs[String](s"_max_${f.name}")),
-              Option(r.getAs[Any](s"_nul_${f.name}"))
-                .map(_.toString.toLong).getOrElse(0L),
-              if (isSketchType(f.dataType))
-                // Spark's base64() chunks long output MIME-style with
-                // embedded newlines — normalize to one clean line so
-                // the manifest header and the basic decoder agree
-                Option(r.getAs[String](s"_hll_${f.name}"))
-                  .map(_.replaceAll("\\s+", ""))
-              else None)
+          val rows = df.groupBy(input_file_name().as("_f"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+          val perFile = rows.map { r =>
+            val cols = statCols.map { f =>
+              f.name -> ColumnStats(
+                Option(r.getAs[String](s"_min_${f.name}")),
+                Option(r.getAs[String](s"_max_${f.name}")),
+                Option(r.getAs[Any](s"_nul_${f.name}"))
+                  .map(_.toString.toLong).getOrElse(0L),
+                if (isSketchType(f.dataType))
+                  // Spark's base64() chunks long output MIME-style with
+                  // embedded newlines — normalize to one clean line so
+                  // the manifest header and the basic decoder agree
+                  Option(r.getAs[String](s"_hll_${f.name}"))
+                    .map(_.replaceAll("\\s+", ""))
+                else None)
+            }.toMap
+            (r.getString(0), TableStats(r.getAs[Long]("_rows"), 0L, cols))
+          }
+          val global = perFile.map(_._2)
+            .reduceOption(mergeStats(_, _, schema))
+            .getOrElse(TableStats(0L, 0L, Map.empty))
+            .copy(bytes = bytes)
+          val zones: FileZones = perFile.map { case (f, ts) =>
+            uriPath(f) -> ts.cols.collect {
+              case (c, cs) if cs.min.isDefined && cs.max.isDefined &&
+                  schema.find(_.name == c).exists(x => isZoneType(x.dataType)) =>
+                c -> ((cs.min.get, cs.max.get))
+            }
           }.toMap
-          TableStats(r.getAs[Long]("_rows"), bytes, cols)
+          (global, zones)
         }
       }.toOption
     }
@@ -958,6 +1005,89 @@ object SnapshotStore {
           case _ => ColumnStats(None, None, 0L, None)
         })
       }.toMap)
+  }
+
+  private def zonesToJson(z: FileZones): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    compact(render(z.map { case (f, cols) =>
+      f -> cols.map { case (c, (mn, mx)) => c -> List(mn, mx) }
+    }))
+  }
+
+  private def zonesFromJson(j: String): FileZones = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    parse(j) match {
+      case JObject(files) => files.map { case (f, cv) =>
+        f -> (cv match {
+          case JObject(cols) => cols.collect {
+            case (c, JArray(List(JString(mn), JString(mx)))) => c -> ((mn, mx))
+          }.toMap
+          case _ => Map.empty[String, (String, String)]
+        })
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** K42: the per-file zone map recorded at version `v`, resolved
+    * along the same delta chain as the file list (files from
+    * pre-fstats manifests simply have no zones — the index keeps
+    * them, conservative). */
+  def fileZonesOf(name: String, v: Long): FileZones = {
+    val own = readLines(resolvedManifestPath(name, v))
+      .find(_.startsWith("#fstats="))
+      .flatMap(l => scala.util.Try(
+        zonesFromJson(l.stripPrefix("#fstats="))).toOption)
+      .getOrElse(Map.empty: FileZones)
+    prevOf(name, v) match {
+      case Some(p) => fileZonesOf(name, p) ++ own
+      case None => own
+    }
+  }
+
+  /** Re-type a zone bound from its manifest string for
+    * [[GraftFileIndex]]'s canonical compare. */
+  private def zoneValue(dt: DataType, s: String): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      scala.util.Try(java.lang.Long.valueOf(s): Any).toOption
+    case FloatType | DoubleType =>
+      scala.util.Try(java.lang.Double.valueOf(s): Any).toOption
+    case _: DecimalType =>
+      scala.util.Try(new java.math.BigDecimal(s): Any).toOption
+    case StringType => Some(s)
+    case _ => None
+  }
+
+  /** K42: snapshot read whose scan prunes files at PLANNING time from
+    * the manifest's per-file zone stats — the Iceberg/Delta
+    * manifest-stats read with ZERO index-build scan: the zone map was
+    * paid once at commit time (over just-written, page-warm files)
+    * and rides the metadata chain ever since. `df.filter(...)` alone
+    * drives the pruning; returns the index so callers can assert
+    * kept-file counts. */
+  def readZoned(spark: SparkSession, name: String,
+      version: Option[Long] = None): (GraftFileIndex, DataFrame) = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = version.getOrElse(vs.last)
+    val files = readManifest(name, v)
+    val schema = schemaOf(name, v).getOrElse(
+      spark.read.parquet(files: _*).schema)
+    val zones: Map[String, Map[String, (Any, Any)]] =
+      fileZonesOf(name, v).map { case (path, cols) =>
+        path -> cols.flatMap { case (c, (mn, mx)) =>
+          schema.find(_.name == c).flatMap { f =>
+            for (lo <- zoneValue(f.dataType, mn); hi <- zoneValue(f.dataType, mx))
+              yield c -> ((lo, hi))
+          }
+        }
+      }
+    val statuses = files.map { f =>
+      val p = new Path(f); fsOf(p).getFileStatus(p)
+    }
+    GraftFileIndex.scanWithZones(spark, statuses, schema, zones)
   }
 
   /** K41: the cumulative table statistics recorded at version `v`

@@ -647,6 +647,15 @@ object StreamQueries {
         col("ts").cast("long").as("s"))
       .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
       .filter(col("gap").isNotNull)
+    botSignalsFromGaps(gaps)
+  }
+
+  /** I48 batch finish: the per-user cadence profile over (user_id,
+    * gap) rows — shared by the batch query and the streaming face's
+    * emitted gaps (the I13/I14 split). All-integer sums; the bot
+    * flag is the integer cross-multiplied inequality. */
+  def botSignalsFromGaps(gaps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     gaps.groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
         sum("gap").as("sx"), sum(col("gap") * col("gap")).as("sxx"),

@@ -546,6 +546,45 @@ object Streaming {
       }
   }
 
+  final case class GapSt(lastMs: Long, lastId: Long, lastS: Long)
+  final case class GapEv(user_id: Long, event_id: Long, gap: Long)
+
+  /** I48 (streaming face): per-user inter-event GAPS with O(1) state
+    * (the last event's (ts, id) order key + its whole-second
+    * timestamp) — the incremental half of the bot-cadence profile;
+    * the all-integer per-user roll-up is the shared batch finish
+    * (`StreamQueries.botSignalsFromGaps`). Within a batch events sort
+    * by (ts, event_id) — the batch lag-window's total order; an event
+    * arriving in a LATER micro-batch below the stored order key is
+    * DROPPED (the I13 journey-tracker semantics: O(1) state cannot
+    * re-linearize, and a fabricated gap would corrupt the cadence
+    * variance). In-order arrival reproduces the batch gaps exactly
+    * (StreamingSpec pins both cases). */
+  def gapsStreaming(events: Dataset[TypedEv]): Dataset[GapEv] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapSt, GapEv](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TypedEv], state: GroupState[GapSt]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapEv]
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val before = st != null &&
+              (e.ts.getTime < st.lastMs ||
+                (e.ts.getTime == st.lastMs && e.event_id < st.lastId))
+            if (!before) {
+              val s = e.ts.getTime / 1000L
+              if (st != null) out += GapEv(user, e.event_id, s - st.lastS)
+              st = GapSt(e.ts.getTime, e.event_id, s)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** I9 (streaming face): incremental weekly-active (user_id, week)
     * rows — a 7-day tumbling window keyed by user. `startTime` of 4
     * days aligns windows to MONDAYS (the epoch is a Thursday), so

@@ -119,6 +119,32 @@ class FileIndexSpec extends SparkSpec {
     assert(both.count() == 1L && idx.lastKept.get() <= 1)
   }
 
+  test("K42 readZoned prunes from MANIFEST per-file stats with zero index-build scan") {
+    import spark.implicits._
+    val name = "fidx_zoned"
+    // two appends of disjoint k-ranges, each range-clustered into
+    // files — zones land in each commit's #fstats header and resolve
+    // across the delta chain
+    SnapshotStore.commitAppend(name, (0L until 2000L).map(k => (k, s"g${k / 500}"))
+      .toDF("k", "grp").repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    SnapshotStore.commitAppend(name, (2000L until 4000L).map(k => (k, s"g${k / 500}"))
+      .toDF("k", "grp").repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val (idx, df) = SnapshotStore.readZoned(spark, name)
+    assert(idx.totalFiles == 8)
+    // numeric zone prune across the chain: a narrow k-range from the
+    // SECOND commit's files keeps a strict subset
+    val narrow = df.filter(col("k") >= 2500 && col("k") < 2600)
+    assert(narrow.count() == 100L, "zoned read must return exact rows")
+    assert(idx.lastKept.get() < idx.totalFiles,
+      s"manifest zones must prune (kept ${idx.lastKept.get()} of ${idx.totalFiles})")
+    // string zones prune too; results equal the plain snapshot read
+    val s = df.filter(col("grp") === "g1").count()
+    assert(s == SnapshotStore.read(spark, name).filter(col("grp") === "g1").count())
+    // conservative: an unprunable predicate keeps everything and stays correct
+    assert(df.filter(col("k") % 7 === 0).count() ==
+      SnapshotStore.read(spark, name).filter(col("k") % 7 === 0).count())
+  }
+
   test("K23 the indexed read is immune to later commits (snapshot semantics)") {
     import spark.implicits._
     val before = SnapshotStore.readIndexed(spark, table, Seq("k"))._2

@@ -543,6 +543,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I48 streaming gaps match the batch lag window in order; a late straggler is dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val q = Streaming.gapsStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("gaps_out").outputMode("append").start()
+    try {
+      // user 1: six in-order events at constant 60 s cadence (a bot),
+      // SPLIT across batches so the last-event state must carry over
+      val inOrder = (1 to 6).map(i =>
+        Streaming.TypedEv(1L, ts(i), i.toLong, "click"))
+      mem.addData(inOrder.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(inOrder.drop(3): _*)
+      q.processAllAvailable()
+      // a straggler BELOW the stored (ts, id) key: dropped, state intact
+      mem.addData(Streaming.TypedEv(1L, ts(4), 99L, "late"))
+      q.processAllAvailable()
+      mem.addData(Streaming.TypedEv(1L, ts(7), 7L, "click"))
+      q.processAllAvailable()
+      val streamed = spark.table("gaps_out").as[Streaming.GapEv]
+        .collect().map(g => (g.event_id, g.gap)).toSet
+      assert(streamed == (2 to 7).map(i => (i.toLong, 60L)).toSet,
+        s"unexpected gaps: $streamed")
+      // the shared finish flags the constant cadence as a bot
+      val prof = StreamQueries.botSignalsFromGaps(
+        spark.table("gaps_out").select(col("user_id"), col("gap"))).collect()
+      assert(prof.length == 1 && prof.head.getAs[Int]("bot_flag") == 1 &&
+        prof.head.getAs[Long]("n_gaps") == 6L, s"profile: ${prof.toSeq}")
+      // batch face over the same surviving rows agrees
+      val batchGaps = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        (inOrder :+ Streaming.TypedEv(1L, ts(7), 7L, "click")).toDF()
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("long").as("s"), col("ts"))
+          .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
+          .filter(col("gap").isNotNull)
+      }
+      val bp = StreamQueries.botSignalsFromGaps(batchGaps).collect()
+      assert(bp.map(_.toSeq).toSet == prof.map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("I14 streaming daily counts + finishing rank match the batch daily top-k") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
