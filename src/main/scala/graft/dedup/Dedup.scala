@@ -249,9 +249,13 @@ object Dedup {
     val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
     val cAB = inter / size(col("ha"))   // A contained in B when high
     val cBA = inter / size(col("hb"))
+    // the shingle-set side is docs-scale (one row per doc); the
+    // candidate side is PAIRS-scale (quadratic in rare-hash df) —
+    // broadcast the small side so the pair frame never shuffles for
+    // either array fetch
     cand
-      .join(sets.select(col("id").as("doc_a"), col("sh").as("ha")), "doc_a")
-      .join(sets.select(col("id").as("doc_b"), col("sh").as("hb")), "doc_b")
+      .join(broadcast(sets.select(col("id").as("doc_a"), col("sh").as("ha"))), "doc_a")
+      .join(broadcast(sets.select(col("id").as("doc_b"), col("sh").as("hb"))), "doc_b")
       .withColumn("containment", round(greatest(cAB, cBA), 4))
       .withColumn("direction", when(cAB >= cBA, "a_in_b").otherwise("b_in_a"))
       .filter(col("containment") >= threshold)

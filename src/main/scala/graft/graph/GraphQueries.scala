@@ -516,6 +516,16 @@ object GraphQueries {
       storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
       LouvainRounds)
 
+  /** C21 multi-level depth (Blondel's outer loop, fixed). */
+  val LouvainLevels = 3
+
+  /** C21 full loop: the fixed-depth multi-level dendrogram — one
+    * (id, level, community) row per vertex per level. */
+  def graphLouvainMulti(spark: SparkSession, dir: String): DataFrame =
+    Graphs.louvainLevels(
+      storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
+      LouvainRounds, LouvainLevels)
+
   /** C21 quality dial: WEIGHTED modularity of the level-1 vs the
     * level-2 partition — the measurement that makes "level 2 merges
     * communities" an improvement claim, not a structural one. Exact
@@ -828,6 +838,7 @@ object GraphQueries {
     "graph_louvain"   -> (graphLouvain _),
     "graph_louvain2"  -> (graphLouvain2 _),
     "graph_louvain_gain" -> (graphLouvainGain _),
+    "graph_louvain_multi" -> (graphLouvainMulti _),
     "graph_layers"    -> (graphLayers _),
     "graph_scc"       -> (graphScc _),
     "graph_modularity" -> (graphModularity _),
@@ -1102,6 +1113,46 @@ object GraphQueries {
          |${louvainRoundCtesSql("s", "und2", "deg2", "tm2")}
          |SELECT s1.id, s1.c AS community_l1, f.c AS community
          |FROM s1 JOIN sc$LouvainRounds f ON s1.c = f.id""".stripMargin
+    },
+
+    // C21 multi-level: level-1 rounds, then per level l: condense the
+    // previous level's edge list by its sweep, re-run the generated
+    // round CTEs under an "l<n>" prefix, compose the global map —
+    // long-format dendrogram out
+    "graph_louvain_multi" -> {
+      val sb = new StringBuilder
+      sb ++= s"WITH $louvainBaseCtes,\n"
+      sb ++= louvainRoundCtesSql("", "und", "deg", "tm") + ",\n"
+      sb ++= s"mp1 AS MATERIALIZED (SELECT id, c FROM c$LouvainRounds)"
+      var prevEdges = "e0"
+      var prevSweep = "mp1"
+      for (l <- 2 to LouvainLevels) {
+        val p = s"l$l"
+        sb ++= s""",
+           |${p}se AS MATERIALIZED (
+           |  SELECT least(ca.c, cb.c) AS u, greatest(ca.c, cb.c) AS v,
+           |    sum(e.cnt)::bigint AS cnt
+           |  FROM $prevEdges e JOIN $prevSweep ca ON e.u = ca.id
+           |                    JOIN $prevSweep cb ON e.v = cb.id
+           |  GROUP BY 1, 2
+           |), ${p}und AS MATERIALIZED (
+           |  SELECT u, v, cnt FROM ${p}se UNION ALL SELECT v, u, cnt FROM ${p}se
+           |), ${p}deg AS MATERIALIZED (
+           |  SELECT u AS id, sum(cnt)::bigint AS deg FROM ${p}und GROUP BY 1
+           |), ${p}tm AS (SELECT sum(deg)::bigint AS two_m FROM ${p}deg),
+           |${p}c0 AS MATERIALIZED (SELECT id, id AS c FROM ${p}deg),
+           |${louvainRoundCtesSql(p, s"${p}und", s"${p}deg", s"${p}tm")},
+           |${p}sw AS MATERIALIZED (SELECT id, c FROM ${p}c$LouvainRounds),
+           |mp$l AS MATERIALIZED (
+           |  SELECT m.id, s.c FROM mp${l - 1} m JOIN ${p}sw s ON m.c = s.id
+           |)""".stripMargin
+        prevEdges = s"${p}se"
+        prevSweep = s"${p}sw"
+      }
+      sb ++= "\n" + (1 to LouvainLevels).map(l =>
+        s"SELECT id, $l AS level, c AS community FROM mp$l")
+        .mkString("\nUNION ALL ")
+      sb.toString
     },
 
     // C21 quality dial: weighted modularity of both louvain levels in

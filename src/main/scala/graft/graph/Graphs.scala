@@ -989,6 +989,45 @@ object Graphs {
       .select(col("id"), col("community_l1"), col("community"))
   }
 
+  /** C21 full fixed-depth multi-level loop — [[louvainTwoLevel]]
+    * generalized: condense, re-sweep, repeat for `levels` levels
+    * (Blondel's outer loop with a fixed depth instead of a
+    * convergence test, so the result stays a deterministic function
+    * both engines reproduce). Output is LONG format: one (id, level,
+    * community) row per vertex per level — the dendrogram a
+    * hierarchy consumer reads directly. Each level's sweep runs on a
+    * graph no larger than the previous level's community count, so
+    * total cost is level-1-dominated at any corpus size. */
+  def louvainLevels(undirected: DataFrame, iterations: Int,
+      levels: Int): DataFrame = {
+    require(levels >= 1, "levels must be >= 1")
+    var curEdges = undirected.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(eager = true)
+    var sweep = louvainMove(curEdges, iterations)
+      .select(col("id"), col("community")).localCheckpoint(eager = true)
+    var global = sweep
+    var out = global.select(col("id"), lit(1).as("level"), col("community"))
+    for (l <- 2 to levels) {
+      val cond = curEdges
+        .join(sweep.select(col("id").as("u"), col("community").as("cu")), "u")
+        .join(sweep.select(col("id").as("v"), col("community").as("cv")), "v")
+        .select(least(col("cu"), col("cv")).as("u"),
+          greatest(col("cu"), col("cv")).as("v"), col("w"))
+        .groupBy("u", "v").agg(sum(col("w")).as("w"))
+        .localCheckpoint(eager = true)
+      val s = louvainMove(cond, iterations)
+        .select(col("id"), col("community")).localCheckpoint(eager = true)
+      global = global.select(col("id"), col("community").as("_prev"))
+        .join(s.select(col("id").as("_prev"), col("community")), "_prev")
+        .select(col("id"), col("community")).localCheckpoint(eager = true)
+      out = out.unionAll(global.select(col("id"), lit(l).as("level"),
+        col("community")))
+      curEdges = cond
+      sweep = s
+    }
+    out
+  }
+
   /** C22: R-bounded longest-path layering of a DIRECTED graph — the
     * topological depth audit for a DAG-shaped KG (every FK-derived
     * schema is one: B14 measured zero reciprocal edges on this

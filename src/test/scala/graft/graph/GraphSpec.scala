@@ -240,6 +240,27 @@ class GraphSpec extends SparkSpec {
       s"each triangle must be one final community: $l2")
   }
 
+  test("C21 louvain multi-level: dendrogram converges 4 -> 2 -> 2 on the fixture") {
+    import spark.implicits._
+    // same fixture as the two-level test: level 3 condenses a 2-node
+    // super-graph whose heavy self-loops keep the communities apart —
+    // the dendrogram CONVERGES (verified against the reference sim)
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 11L), (1L, 3L, 12L),
+      (4L, 5L, 10L), (5L, 6L, 11L), (4L, 6L, 12L),
+      (3L, 4L, 1L)).toDF("u", "v", "w")
+    val out = Graphs.louvainLevels(e, 3, 3).collect()
+      .map(r => (r.getInt(1), r.getLong(0)) -> r.getLong(2)).toMap
+    def nAt(l: Int) = out.collect { case ((`l`, _), c) => c }.toSet.size
+    assert(nAt(1) == 4 && nAt(2) == 2 && nAt(3) == 2, s"dendrogram: $out")
+    // level 3 == level 2 exactly (converged)
+    assert((1L to 6L).forall(v => out((2, v)) == out((3, v))))
+    // and the two-level wide face agrees with levels 1-2 of the loop
+    val two = Graphs.louvainTwoLevel(e, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert((1L to 6L).forall(v =>
+      two(v) == ((out((1, v)), out((2, v))))), s"two-level mismatch")
+  }
+
   test("C22 dag layers: longest path wins the diamond; a cycle saturates at the round bound") {
     import spark.implicits._
     // diamond with a long side: a→b→c→d plus the a→d shortcut —
