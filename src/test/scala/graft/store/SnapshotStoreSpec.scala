@@ -240,6 +240,59 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally SnapshotStore.setCheckpointInterval(10)
   }
 
+  test("K31 a half-published tag (crash between delete and rename) recovers and still pins vacuum") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    (0 until 4).foreach(i =>
+      SnapshotStore.commitAppend("ttagcrash", Seq((i.toLong, s"s$i")).toDF("k", "s")))
+    // derive the table layout from a data file path (the dirs are
+    // private): <base>/<name>/data_vN/part…
+    val dataFile = new Path(SnapshotStore.files("ttagcrash", 0L).head)
+    val tableDir = dataFile.getParent.getParent
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tagsDir = new Path(tableDir, "_tags")
+    fs.mkdirs(tagsDir)
+    // simulate tag()'s crash window: only the tmp exists
+    val tmp = new Path(tagsDir, ".pinned.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    // tags() finishes the publish; the version stays vacuum-protected
+    assert(SnapshotStore.tags("ttagcrash") == Map("pinned" -> 1L))
+    assert(fs.exists(new Path(tagsDir, "pinned.txt")) && !fs.exists(tmp),
+      "recovery must complete the rename")
+    SnapshotStore.vacuum("ttagcrash", keep = 1)
+    assert(SnapshotStore.versions("ttagcrash").contains(1L),
+      "the recovered tag must protect its version from vacuum")
+    assert(SnapshotStore.readTag(spark, "ttagcrash", "pinned").count() == 2L)
+  }
+
+  test("K28 an interrupted vacuum checkpoint rewrite (surviving .ckpt.tmp) recovers on read") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    (0 until 3).foreach(i =>
+      SnapshotStore.commitAppend("tckptcrash", Seq((i.toLong, s"s$i")).toDF("k", "s")))
+    val dataFile = new Path(SnapshotStore.files("tckptcrash", 0L).head)
+    val mdir = new Path(dataFile.getParent.getParent, "_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: v2's full manifest exists only as the
+    // checkpoint tmp (delete happened, rename did not)
+    val target = new Path(mdir, "v000002.txt")
+    val lines = {
+      val in = fs.open(target)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val tmp = new Path(mdir, ".v2.ckpt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    // versions() lists the tmp-only version; the first read finishes
+    // the publish and the table state is intact
+    assert(SnapshotStore.versions("tckptcrash") == Seq(0L, 1L, 2L))
+    assert(SnapshotStore.read(spark, "tckptcrash", Some(2L)).count() == 3L)
+    assert(fs.exists(target) && !fs.exists(tmp),
+      "recovery must complete the rename")
+  }
+
   test("K32 restore publishes a new version referencing the old files; history survives") {
     import spark.implicits._
     SnapshotStore.commitAppend("trst", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))

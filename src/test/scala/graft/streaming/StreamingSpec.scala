@@ -375,6 +375,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    // value IS NULL makes `value > 1.0` evaluate to NULL — the row
+    // class filter(p)/filter(!p) both drop; the sink must dead-letter it
+    val df = Seq[(Long, java.lang.Double)]((1L, 5.0), (2L, null), (3L, 0.5))
+      .toDF("event_id", "value")
+    val valid = col("value") > 1.0
+    Streaming.deadLetterSink("dlqn_ok", "dlqn_bad", valid)(df, 0L)
+    def ids(t: String) = SnapshotStore.read(spark, t)
+      .select("event_id").as[Long].collect().toSet
+    assert(ids("dlqn_ok") == Set(1L), s"accepted: ${ids("dlqn_ok")}")
+    assert(ids("dlqn_bad") == Set(2L, 3L),
+      s"the NULL-predicate row must land in the dead-letter table: ${ids("dlqn_bad")}")
+  }
+
   test("I13 streaming transitions match the batch window operator, across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
