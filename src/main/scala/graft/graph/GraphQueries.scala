@@ -142,7 +142,7 @@ object GraphQueries {
     storedUndHashed(spark, dir); storedVertexDict(spark, dir)
     storedDirHashed(spark, dir)
     storedGeoUnd(spark, dir); storedGeoVerts(spark, dir)
-    storedCoOrder(spark, dir); ()
+    storedCoOrder(spark, dir); storedLouvain1(spark, dir); ()
   }
 
   /** K18: recursive CTE through the SQL front door (Spark 4's
@@ -504,9 +504,21 @@ object GraphQueries {
     * stored co-order weighted graph (integer co-order counts as
     * weights — the same weight column C5w votes with). */
   def graphLouvain(spark: SparkSession, dir: String): DataFrame =
-    Graphs.louvainMove(
-      storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
-      LouvainRounds)
+    storedLouvain1(spark, dir)
+
+  /** Persisted level-1 Louvain sweep over the co-order graph — built
+    * ONCE and read by graph_louvain and every level-2+ consumer
+    * (graph_louvain2 / _gain / _multi each re-ran the full level-1
+    * sweep before; the F16 stored-graph discipline). */
+  private def storedLouvain1(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.GraftStore
+    spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_louv1_${GraftStore.dirKey(dir)}", 32, Seq("id")) {
+      Graphs.louvainMove(
+        storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
+        LouvainRounds)
+    })
+  }
 
   /** C21 level 2: condense level-1 communities to a super-graph
     * (exact integer inter-community weight sums) and re-run the
@@ -514,7 +526,7 @@ object GraphQueries {
   def graphLouvain2(spark: SparkSession, dir: String): DataFrame =
     Graphs.louvainTwoLevel(
       storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
-      LouvainRounds)
+      LouvainRounds, Some(storedLouvain1(spark, dir)))
 
   /** C21 multi-level depth (Blondel's outer loop, fixed). */
   val LouvainLevels = 3
@@ -524,7 +536,7 @@ object GraphQueries {
   def graphLouvainMulti(spark: SparkSession, dir: String): DataFrame =
     Graphs.louvainLevels(
       storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
-      LouvainRounds, LouvainLevels)
+      LouvainRounds, LouvainLevels, Some(storedLouvain1(spark, dir)))
 
   /** C21 quality dial: WEIGHTED modularity of the level-1 vs the
     * level-2 partition — the measurement that makes "level 2 merges
@@ -538,7 +550,8 @@ object GraphQueries {
     val und = storedCoOrder(spark, dir)
       .select(col("u"), col("v"), col("cnt").as("w"))
       .localCheckpoint(eager = true)
-    val both = Graphs.louvainTwoLevel(und, LouvainRounds)
+    val both = Graphs.louvainTwoLevel(und, LouvainRounds,
+        Some(storedLouvain1(spark, dir)))
       .localCheckpoint(eager = true)
     val deg = und.select(col("u").as("id"), col("w"))
       .unionAll(und.select(col("v").as("id"), col("w")))

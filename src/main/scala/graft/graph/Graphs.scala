@@ -971,10 +971,14 @@ object Graphs {
     * keyed aggregation — O(E) — and the level-2 sweep runs on a
     * community-scale graph, so the whole second level costs less
     * than one level-1 round at any corpus size. */
-  def louvainTwoLevel(undirected: DataFrame, iterations: Int): DataFrame = {
+  def louvainTwoLevel(undirected: DataFrame, iterations: Int,
+      level1: Option[DataFrame] = None): DataFrame = {
     val edges = undirected.select(col("u"), col("v"), col("w"))
       .localCheckpoint(eager = true)
-    val c1 = louvainMove(edges, iterations).localCheckpoint(eager = true)
+    // level 1 can come from a persisted store table (the F16
+    // once-per-corpus discipline) — same (id, community) frame
+    val c1 = level1.getOrElse(
+      louvainMove(edges, iterations).localCheckpoint(eager = true))
     val cm = c1.select(col("id"), col("community"))
     val sup = edges
       .join(cm.select(col("id").as("u"), col("community").as("cu")), "u")
@@ -999,12 +1003,13 @@ object Graphs {
     * graph no larger than the previous level's community count, so
     * total cost is level-1-dominated at any corpus size. */
   def louvainLevels(undirected: DataFrame, iterations: Int,
-      levels: Int): DataFrame = {
+      levels: Int, level1: Option[DataFrame] = None): DataFrame = {
     require(levels >= 1, "levels must be >= 1")
     var curEdges = undirected.select(col("u"), col("v"), col("w"))
       .localCheckpoint(eager = true)
-    var sweep = louvainMove(curEdges, iterations)
-      .select(col("id"), col("community")).localCheckpoint(eager = true)
+    var sweep = level1.map(_.select(col("id"), col("community"))).getOrElse(
+      louvainMove(curEdges, iterations)
+        .select(col("id"), col("community")).localCheckpoint(eager = true))
     var global = sweep
     var out = global.select(col("id"), lit(1).as("level"), col("community"))
     for (l <- 2 to levels) {
