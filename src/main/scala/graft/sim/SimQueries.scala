@@ -68,7 +68,8 @@ object SimQueries {
   def warmStores(spark: SparkSession, dir: String): Unit = {
     storedLshBuckets(spark, dir)
     storedKnnGraph(spark, dir)
-    hnswL1Table(spark, dir); ()
+    hnswL1Table(spark, dir)
+    hnswL2Table(spark, dir); ()
   }
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
@@ -188,36 +189,62 @@ object SimQueries {
     conv(substring(md5(concat(lit("hnsw|"), c)), 1, 8), 16, 10)
       .cast("long") % HnswMod === 0
 
-  /** Persisted LAYER-1 k-NN graph: LSH bucket collisions restricted to
-    * layer-1 members on BOTH endpoints, exact top-[[KnnK]] per source —
-    * the same build as [[knnGraphTable]] over the promoted subset
-    * (~1/64 of the candidate pairs; once-per-corpus like the rest of
-    * the store family). */
+  /** F23 third layer: 1/[[Hnsw2Mod]] of vertices promote to layer 2 —
+    * the SAME hash, a multiple modulus, so layer 2 ⊆ layer 1 (the
+    * nested-layer property real HNSW gets from its geometric draw). */
+  val Hnsw2Mod = 64
+  val Hnsw2Width = 2
+  val Hnsw2Hops = 2
+
+  private def hnswL2Member(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("hnsw|"), c)), 1, 8), 16, 10)
+      .cast("long") % Hnsw2Mod === 0
+
+  /** The member-restricted k-NN graph build shared by the HNSW
+    * layers: LSH bucket collisions with BOTH endpoints in the layer,
+    * exact top-[[KnnK]] per source. */
+  private def restrictedKnnPlan(spark: SparkSession, dir: String,
+      member: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val m = emb.filter(member(col("vec_id"))).select(col("vec_id"))
+    val b = storedLshBuckets(spark, dir)
+      .join(m.select(col("vec_id").as("id")), "id")
+    val cand = b.join(
+      b.select(col("id").as("nid"), col("t"), col("bucket")), Seq("t", "bucket"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id").as("src_id"), col("nid").as("nbr_id")).distinct()
+    val cos = VectorFunctions.cosineSim(spark, col("sv"), col("nv"))
+    cand
+      .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("sv")),
+        "src_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nv")),
+        "nbr_id")
+      .withColumn("cos", cos)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+          .orderBy(col("cos").desc, col("nbr_id"))))
+      .filter(col("rnk") <= KnnK)
+      .select(col("src_id"), col("nbr_id"), round(col("cos"), 4).as("cos"),
+        col("rnk"))
+  }
+
+  /** Persisted LAYER-1 k-NN graph (~1/64 of the candidate pairs;
+    * once-per-corpus like the rest of the store family). */
   def hnswL1Table(spark: SparkSession, dir: String): String = {
     import graft.store.GraftStore
     GraftStore.ensureBucketed(spark, s"graft_knng1_${GraftStore.dirKey(dir)}",
       32, Seq("src_id")) {
-      val emb = Tables.embeddings(spark, dir)
-      val m = emb.filter(hnswL1Member(col("vec_id"))).select(col("vec_id"))
-      val b = storedLshBuckets(spark, dir)
-        .join(m.select(col("vec_id").as("id")), "id")
-      val cand = b.join(
-        b.select(col("id").as("nid"), col("t"), col("bucket")), Seq("t", "bucket"))
-        .filter(col("id") =!= col("nid"))
-        .select(col("id").as("src_id"), col("nid").as("nbr_id")).distinct()
-      val cos = VectorFunctions.cosineSim(spark, col("sv"), col("nv"))
-      cand
-        .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("sv")),
-          "src_id")
-        .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nv")),
-          "nbr_id")
-        .withColumn("cos", cos)
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("src_id")
-            .orderBy(col("cos").desc, col("nbr_id"))))
-        .filter(col("rnk") <= KnnK)
-        .select(col("src_id"), col("nbr_id"), round(col("cos"), 4).as("cos"),
-          col("rnk"))
+      restrictedKnnPlan(spark, dir, hnswL1Member)
+    }
+  }
+
+  /** Persisted LAYER-2 k-NN graph (community of ~n/64 vertices; empty
+    * at tiny SFs — the search entry falls back to layer 1). */
+  def hnswL2Table(spark: SparkSession, dir: String): String = {
+    import graft.store.GraftStore
+    GraftStore.ensureBucketed(spark, s"graft_knng2_${GraftStore.dirKey(dir)}",
+      32, Seq("src_id")) {
+      restrictedKnnPlan(spark, dir, hnswL2Member)
     }
   }
 
@@ -247,6 +274,62 @@ object SimQueries {
           .orderBy(col("cos").desc, col("n_id"))))
       .filter(col("_r") === 1).select("q_id", "n_id")
     beamTopK(beamVisited(spark, emb, g0, entry0, BeamWidth, BeamHops))
+  }
+
+  /** The per-query best vertex a beam phase saw — the entry the next
+    * layer down starts from. */
+  private def bestPerQuery(visited: DataFrame): DataFrame =
+    visited.withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("_r") === 1).select("q_id", "n_id")
+
+  /** F23 full hierarchy: THREE layers — a narrow beam over the ~n/64
+    * layer-2 graph finds a per-query entry for the layer-1 beam,
+    * which finds the entry for the layer-0 beam. The global entry is
+    * the min layer-2 member, falling back to the min layer-1 member
+    * when the tiny-SF layer is empty (coalesce — deterministic both
+    * engines). Search work stays O(Σ hops·width·k) per query at any
+    * corpus size; each extra layer divides the distance the widest
+    * (layer-0) beam must cover — AT CORPUS SCALE. The recall dial
+    * measures what the extra layer costs at oracle scale instead
+    * (0.12 vs the 2-layer 0.26 at sf0.01: an n/64 layer over a few
+    * hundred vectors is 8 disconnected points, so its "best" entry
+    * is worse than the corpus-corner start) — the F18/F20 discipline
+    * of exposing the trade-off as a measured number; the 2-layer
+    * face is the operating point at these SFs. */
+  def simHnsw3(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val g2 = spark.table(hnswL2Table(spark, dir))
+      .select(col("src_id"), col("nbr_id"))
+    val g1 = spark.table(hnswL1Table(spark, dir))
+      .select(col("src_id"), col("nbr_id"))
+    val g0 = storedKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
+    val qIds = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"))
+    val e2 = emb.filter(hnswL2Member(col("vec_id")))
+      .agg(min(col("vec_id")).as("m2"))
+    val e1 = emb.filter(hnswL1Member(col("vec_id")))
+      .agg(min(col("vec_id")).as("m1"))
+    val entry2 = qIds.crossJoin(e2).crossJoin(e1)
+      .select(col("q_id"), coalesce(col("m2"), col("m1")).as("n_id"))
+    val top2 = beamVisited(spark, emb, g2, entry2, Hnsw2Width, Hnsw2Hops)
+    val top1 = beamVisited(spark, emb, g1, bestPerQuery(top2),
+      HnswTopWidth, HnswTopHops)
+    beamTopK(beamVisited(spark, emb, g0, bestPerQuery(top1),
+      BeamWidth, BeamHops))
+  }
+
+  /** F23 three-layer recall dial — same truth as the other dials. */
+  def simHnsw3Recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopkBrute(spark, dir).select(col("q_id"), col("n_id"))
+    val h = simHnsw3(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = h.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
   /** F23 recall dial vs exact cosine — measured against the same
@@ -821,6 +904,8 @@ object SimQueries {
     "sim_beam_recall" -> (simBeamRecall _),
     "sim_hnsw"        -> (simHnsw _),
     "sim_hnsw_recall" -> (simHnswRecall _),
+    "sim_hnsw3"       -> (simHnsw3 _),
+    "sim_hnsw3_recall" -> (simHnsw3Recall _),
     "sim_mmr"         -> (simMmr _),
     "sim_beam_sweep"  -> (simBeamSweep _),
   )
@@ -1197,6 +1282,85 @@ object SimQueries {
        |$legs""".stripMargin
   }
 
+  // F23 three layers: the hnsw oracle with one more chained beam
+  // phase; the layer-2 member/graph CTEs mirror the layer-1 ones with
+  // the nested modulus, and the global entry coalesces to layer 1
+  // when layer 2 is empty at tiny SFs
+  private lazy val oracleSqlHnsw3: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    def layerGraph(m: String, pfx: String): String =
+      s"""b$pfx AS MATERIALIZED (
+         |  SELECT bb.id, bb.t, bb.bucket FROM bb JOIN $m ON $m.vec_id = bb.id
+         |), cand$pfx AS (
+         |  SELECT DISTINCT a.id AS src_id, b.id AS nbr_id
+         |  FROM b$pfx a JOIN b$pfx b ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id
+         |), g$pfx AS MATERIALIZED (
+         |  SELECT src_id, nbr_id FROM (
+         |    SELECT c.src_id, c.nbr_id,
+         |      row_number() OVER (PARTITION BY c.src_id
+         |        ORDER BY ${cosSql("se.embedding", "ne.embedding")} DESC, c.nbr_id) AS rnk
+         |    FROM cand$pfx c
+         |    JOIN embeddings se ON se.vec_id = c.src_id
+         |    JOIN embeddings ne ON ne.vec_id = c.nbr_id
+         |  ) WHERE rnk <= $KnnK
+         |)""".stripMargin
+    def entryScore(ent: String, vName: String): String =
+      s"""$vName AS MATERIALIZED (
+         |  SELECT ent.q_id, ent.n_id,
+         |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+         |  FROM $ent ent
+         |  JOIN embeddings qe ON qe.vec_id = ent.q_id
+         |  JOIN embeddings ne ON ne.vec_id = ent.n_id
+         |)""".stripMargin
+    def argmax(v: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+         |    FROM $v) WHERE r = 1
+         |)""".stripMargin
+    s"""WITH g0 AS MATERIALIZED (
+       |  SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})
+       |), m AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE ('0x' || substr(md5('hnsw|' || vec_id), 1, 8))::bigint % $HnswMod = 0
+       |), m2 AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE ('0x' || substr(md5('hnsw|' || vec_id), 1, 8))::bigint % $Hnsw2Mod = 0
+       |), bb AS MATERIALIZED (
+       |$bandSelects
+       |),
+       |${layerGraph("m", "1")},
+       |${layerGraph("m2", "2")},
+       |e AS (SELECT coalesce((SELECT min(vec_id) FROM m2),
+       |  (SELECT min(vec_id) FROM m)) AS e_id),
+       |uv0 AS MATERIALIZED (
+       |  SELECT qe.vec_id AS q_id, e.e_id AS n_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM embeddings qe
+       |  CROSS JOIN e
+       |  JOIN embeddings ne ON ne.vec_id = e.e_id
+       |  WHERE qe.vec_id < $NumQueries
+       |),
+       |uf0 AS MATERIALIZED (SELECT q_id, n_id FROM uv0),
+       |${beamCtesSql("g2", "uv0", "uf0", "u", Hnsw2Width, Hnsw2Hops)},
+       |${argmax(s"uv$Hnsw2Hops", "ent1")},
+       |${entryScore("ent1", "tv0")},
+       |tf0 AS MATERIALIZED (SELECT q_id, n_id FROM tv0),
+       |${beamCtesSql("g1", "tv0", "tf0", "t", HnswTopWidth, HnswTopHops)},
+       |${argmax(s"tv$HnswTopHops", "ent")},
+       |${entryScore("ent", "v0")},
+       |f0 AS MATERIALIZED (SELECT q_id, n_id FROM v0),
+       |${beamCtesSql("g0", "v0", "f0", "", BeamWidth, BeamHops)}
+       |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM v$BeamHops WHERE q_id <> n_id
+       |) WHERE rnk <= $K""".stripMargin
+  }
+
   // F24 MMR: top-MmrCand exact candidates (RAW cosine — the selection
   // ranks on unrounded scores both sides), candidate-pair sims, then
   // MmrK materialized selection iterations
@@ -1465,6 +1629,20 @@ object SimQueries {
     "sim_mmr" -> oracleSqlMmr,
     "sim_beam_sweep" -> oracleSqlBeamSweep,
     "sim_hnsw" -> oracleSqlHnsw,
+    "sim_hnsw3" -> oracleSqlHnsw3,
+    "sim_hnsw3_recall" ->
+      s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
+         |hh AS (SELECT q_id, n_id FROM (${oracleSqlHnsw3})),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS hits
+         |  FROM hh a WHERE EXISTS (
+         |    SELECT 1 FROM exact b WHERE b.q_id = a.q_id AND b.n_id = a.n_id)
+         |  GROUP BY a.q_id
+         |)
+         |SELECT e.q_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::double / $K, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) e
+         |LEFT JOIN hits h ON h.q_id = e.q_id""".stripMargin,
     "sim_hnsw_recall" ->
       s"""WITH exact AS (SELECT q_id, n_id FROM (${oracleSqlBrute})),
          |hh AS (SELECT q_id, n_id FROM (${oracleSqlHnsw})),

@@ -263,6 +263,25 @@ class SimilaritySpec extends SparkSpec {
         s"fixed min-id corner entry (hnsw=$hnsw, flat=$flat)")
   }
 
+  test("F23 three-layer face: nested layers, k rows per query, recall dial computed") {
+    // layer nesting: % 64 == 0 implies % 8 == 0 (same hash, multiple
+    // modulus) — every layer-2 member is a layer-1 member
+    val l2 = spark.table(SimQueries.hnswL2Table(spark, dataDir))
+      .select("src_id").distinct().collect().map(_.getLong(0)).toSet
+    val l1 = spark.table(SimQueries.hnswL1Table(spark, dataDir))
+      .select("src_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(l2.subsetOf(l1), s"layer 2 must nest inside layer 1: ${l2 -- l1}")
+    val h = SimQueries.simHnsw3(spark, dataDir)
+    val perQ = h.groupBy("q_id").count().collect()
+    assert(perQ.length == SimQueries.NumQueries &&
+      perQ.forall(_.getLong(1) == SimQueries.K.toLong))
+    // the dial exists and computes — its VALUE is the documented
+    // tiny-corpus trade-off, not a pinned floor
+    val rec = SimQueries.simHnsw3Recall(spark, dataDir)
+      .select("recall").collect().map(_.getDouble(0))
+    assert(rec.length == SimQueries.NumQueries && rec.forall(r => r >= 0 && r <= 1))
+  }
+
   test("planeSigns is deterministic and balanced-ish") {
     val p1 = Similarity.planeSigns(4, 64)
     val p2 = Similarity.planeSigns(4, 64)
