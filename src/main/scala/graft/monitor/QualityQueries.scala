@@ -142,13 +142,74 @@ object QualityQueries {
       .select("event_type", "a_total", "b_total", "psi")
   }
 
+  /** J10: k-anonymity threshold — equivalence classes smaller than K
+    * are re-identification risks. */
+  val KanonK = 5L
+  /** J10: width of the n_chars generalization bucket (the numeric
+    * quasi-identifier is coarsened before classing, as a real
+    * anonymity audit would). */
+  val KanonLenBucket = 100L
+
+  /** J10: k-anonymity audit over the corpus quasi-identifiers — the
+    * privacy gate a pipeline runs AFTER G9's PII redaction: direct
+    * identifiers are gone, but a (lang, source, length-bucket)
+    * combination shared by fewer than [[KanonK]] documents still
+    * re-identifies via linkage. One row per equivalence class with its
+    * size k, the at-risk flag, and the actionable signal: would
+    * generalizing away `source` (the next rung on the generalization
+    * lattice) lift the class above K? `rescued` distinguishes "coarsen
+    * the release" classes from "suppress the rows" classes.
+    *
+    * Reference behavior anchor: the reference ships extracted entities
+    * straight to Neo4j with no privacy audit (main_neo4j_loader.py);
+    * at 100 TB with real user-generated text, the k-anonymity audit is
+    * the release gate.
+    *
+    * Scale shape: two map-side-combinable aggregations (classes, then
+    * the source-generalized roll-up OF THE CLASS FRAME — class-scale,
+    * not corpus-scale input) and one class-scale join; output is
+    * metadata-scale (one row per equivalence class). */
+  def dqKanon(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("source"),
+      expr(s"n_chars div $KanonLenBucket").as("len_bucket"))
+    val cls = d.groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("k"))
+    val gen = cls.groupBy("lang", "len_bucket").agg(sum("k").as("k_gen"))
+    cls.join(gen, Seq("lang", "len_bucket"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("k"),
+        (col("k") < KanonK).cast("int").as("at_risk"),
+        (col("k") < KanonK && col("k_gen") >= KanonK).cast("int")
+          .as("rescued"))
+      .orderBy("lang", "source", "len_bucket")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dq_constraints" -> (dqConstraints _),
     "dq_profile"     -> (dqProfile _),
     "dq_drift"       -> (dqDrift _),
+    "dq_kanon"       -> (dqKanon _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors dqKanon: same truncating length-bucket division, the
+    // class count, the class-frame roll-up for the generalized k, and
+    // int-cast flags (the dq_constraints `passed` precedent)
+    "dq_kanon" ->
+      s"""WITH q AS (
+         |  SELECT lang, source, n_chars // $KanonLenBucket AS len_bucket
+         |  FROM documents
+         |), cls AS (
+         |  SELECT lang, source, len_bucket, count(*)::bigint AS k
+         |  FROM q GROUP BY 1, 2, 3
+         |), gen AS (
+         |  SELECT lang, len_bucket, sum(k)::bigint AS k_gen
+         |  FROM cls GROUP BY 1, 2
+         |)
+         |SELECT c.lang, c.source, c.len_bucket, c.k,
+         |  (c.k < $KanonK)::int AS at_risk,
+         |  (c.k < $KanonK AND g.k_gen >= $KanonK)::int AS rescued
+         |FROM cls c JOIN gen g
+         |  ON c.lang = g.lang AND c.len_bucket = g.len_bucket""".stripMargin,
     // mirrors dqDrift: floor(epoch) for the truncating ts→long cast,
     // the same no-division midpoint and integer band arithmetic, the
     // same Laplace-smoothed psi fold

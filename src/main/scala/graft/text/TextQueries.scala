@@ -1165,6 +1165,75 @@ object TextQueries {
       .agg(round(sum(col("_t")), 4).as("jsd"))
   }
 
+  /** G49: bucket count for hashed DSIR n-gram features — small enough
+    * that the bucket model is a broadcast-scale frame everywhere, large
+    * enough that hash collisions stay a smoothing, not a signal. */
+  val DsirBuckets = 512
+  /** G49: the target-distribution slice (DSIR scores raw docs by how
+    * target-like their hashed n-gram profile is). */
+  val DsirTargetLang = "en"
+
+  /** G49: DSIR importance-resampling weights — hashed-n-gram importance
+    * scoring per Xie et al. 2023 ("Data Selection for Language Models
+    * via Importance Resampling"): fit bag-of-hashed-ngram models over a
+    * TARGET slice (here the `en` documents, standing in for the curated
+    * target corpus) and the RAW corpus, then weight every document by
+    * log p_target(doc) − log p_raw(doc) under those models. The weight
+    * is the resampling key for target-aware data selection — the
+    * principled upgrade to G2's handcrafted quality score.
+    *
+    * Reference behavior anchor: the reference pipeline ingests its
+    * corpus unfiltered (Big-Data---Knowledge-graph-construction-with-LLM
+    * `LOCAL/data_ingestion_batch.py` concatenates every CSV row); at
+    * 100 TB a target-distribution filter is the first thing a training
+    * pipeline adds, and DSIR is the published, hash-bounded way to do it.
+    *
+    * Scale shape: features are unigrams + bigrams hashed into
+    * [[DsirBuckets]] buckets, so BOTH models collapse to ≤512-row
+    * frames regardless of corpus size — the model join is a broadcast
+    * by construction and token text never rides past the first
+    * aggregation. Two token-scale shuffles (the bigram window by doc,
+    * the (doc, bucket) count), both map-side-combinable. The per-doc
+    * log-ratio sum is a float fold, so it runs in FIXED bucket order on
+    * both engines (the text_mix_weights sorted-struct-array idiom);
+    * counts and totals stay exact integers until the two ln() calls. */
+  def textDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val ex = docs.select(col("doc_id"), col("lang"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val uni = ex.select(col("doc_id"), col("lang"), col("t").as("f"))
+    val bi = ex
+      .select(col("doc_id"), col("lang"), col("t"),
+        lead(col("t"), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("t"), col("next")).as("f"))
+    val fb = uni.union(bi).select(col("doc_id"), col("lang"),
+      pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
+        lit(DsirBuckets.toLong)).as("b"))
+    val docB = fb.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    // one pass builds BOTH models: raw count + target count per bucket
+    val model = fb.groupBy("b").agg(count(lit(1)).as("n_r"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("n_t"))
+    val tot = model.agg(sum("n_r").as("nr"), sum("n_t").as("nt"))
+    val lr = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("n_t") + 1).cast("double") / (col("nt") + DsirBuckets))
+          - log((col("n_r") + 1).cast("double")
+            / (col("nr") + DsirBuckets))).as("lr_b"))
+    docB.join(broadcast(lr), "b")
+      .select(col("doc_id"), col("b"), col("c"),
+        (col("c") * col("lr_b")).as("term"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"),
+        round(expr("aggregate(transform(array_sort(" +
+          "collect_list(struct(b, term))), x -> x.term), " +
+          "cast(0 as double), (a, x) -> a + x)"), 4).as("w"))
+      .orderBy("doc_id")
+  }
+
   /** G45: distinctive terms kept per source, and the min corpus df. */
   val SourceTermsK = 5
   val SourceTermsMinDf = 20L
@@ -1330,6 +1399,7 @@ object TextQueries {
     "text_oov"          -> (textOov _),
     "text_source_terms" -> (textSourceTerms _),
     "text_source_jsd"   -> (textSourceJsd _),
+    "text_dsir"         -> (textDsir _),
     "text_langid"       -> (textLangid _),
     "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"  -> (textFingerprint _),
@@ -1738,6 +1808,41 @@ object TextQueries {
     // and tf-normalization double expressions, same (score, doc_id)
     // total order on the top-k cut
     "text_bm25" -> bm25OracleSql,
+
+    // mirrors textDsir: same unigram+bigram features, same md5-prefix
+    // bucket hash, the same Laplace-smoothed log-ratio, and the per-doc
+    // float fold in the SAME fixed bucket order (list ORDER BY b ↔
+    // array_sort(collect_list(struct(b, term))))
+    "text_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang, unnest(toks) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, lang, unnest(CASE WHEN length(toks) >= 2
+         |    THEN list_transform(range(1, length(toks)), i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END) AS f FROM t
+         |), fb AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(f), 1, 8))::bigint % $DsirBuckets AS b
+         |  FROM f
+         |), docb AS (
+         |  SELECT doc_id, b, count(*)::bigint AS c FROM fb GROUP BY 1, 2
+         |), model AS (
+         |  SELECT b, count(*)::bigint AS n_r,
+         |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)::bigint AS n_t
+         |  FROM fb GROUP BY 1
+         |), tot AS (
+         |  SELECT sum(n_r)::bigint AS nr, sum(n_t)::bigint AS nt FROM model
+         |), lr AS (
+         |  SELECT b,
+         |    ln((n_t + 1)::double / ((SELECT nt FROM tot) + $DsirBuckets))
+         |    - ln((n_r + 1)::double / ((SELECT nr FROM tot) + $DsirBuckets)) AS lr_b
+         |  FROM model
+         |)
+         |SELECT d.doc_id, sum(d.c)::bigint AS n_feats,
+         |  round(list_sum(list(d.c * lr.lr_b ORDER BY d.b)), 4) AS w
+         |FROM docb d JOIN lr ON d.b = lr.b
+         |GROUP BY d.doc_id""".stripMargin,
 
     "text_ngrams" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

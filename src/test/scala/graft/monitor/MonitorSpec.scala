@@ -195,3 +195,36 @@ class PlanAuditSubquerySpec extends graft.SparkSpec {
       s"outer scan AND the scalar-subquery scan must both be counted: $a")
   }
 }
+
+class QualityKanonSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("J10 k-anonymity: at-risk flags on k<K, rescued only when source-generalization lifts the class past K") {
+    // en/bucket0: 3 sources with k=2 each → every class at-risk, but
+    //   the generalized (en, 0) class has k_gen=6 ≥ 5 → rescued.
+    // de/bucket0: one source with k=2 → at-risk AND NOT rescued
+    //   (k_gen=2: coarsening cannot save it; suppression territory).
+    // fr/bucket1: k=5 → not at risk at all.
+    val rows =
+      (1 to 2).map(i => (s"a$i", "en", "s1", 10L)) ++
+      (1 to 2).map(i => (s"b$i", "en", "s2", 20L)) ++
+      (1 to 2).map(i => (s"c$i", "en", "s3", 30L)) ++
+      (1 to 2).map(i => (s"d$i", "de", "s1", 40L)) ++
+      (1 to 5).map(i => (s"e$i", "fr", "s1", 150L))
+    val d = rows.zipWithIndex
+      .map { case ((t, l, s, n), i) => (i.toLong, t, l, s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kanon").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QualityQueries.dqKanon(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(out(("en", "s1")) == ((2L, 1, 1)), s"$out")
+    assert(out(("en", "s2")) == ((2L, 1, 1)), s"$out")
+    assert(out(("en", "s3")) == ((2L, 1, 1)), s"$out")
+    assert(out(("de", "s1")) == ((2L, 1, 0)),
+      s"no sibling sources to generalize into: $out")
+    assert(out(("fr", "s1")) == ((5L, 0, 0)), s"$out")
+  }
+}

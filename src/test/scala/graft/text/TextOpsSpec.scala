@@ -285,4 +285,31 @@ class TextOpsSpec extends SparkSpec {
     val ids = TextQueries.repetition(df).select("doc_id").as[Long].collect().toSeq
     assert(ids == Seq(2L))
   }
+
+  test("G49 DSIR: target-like raw docs outrank target-unlike ones; n_feats counts unigrams+bigrams") {
+    // target slice (en) speaks "good stuff"; the de corpus has one
+    // doc that ALSO says "good stuff" (target-like) and several that
+    // say distinct junk. DSIR must weight the target-like de doc
+    // above every junk de doc — that ordering IS the method.
+    val d = (Seq(
+      (1L, "good stuff", "en"), (2L, "good stuff", "en"),
+      (3L, "good stuff here", "en"),
+      (10L, "good stuff", "de")) ++
+      (11L to 14L).map(i => (i, s"junk$i noise$i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    d.withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textDsir(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // "good stuff" = 2 unigrams + 1 bigram
+    assert(out(10L)._1 == 3L, s"n_feats: ${out(10L)}")
+    (11L to 14L).foreach { j =>
+      assert(out(10L)._2 > out(j)._2,
+        s"target-like doc 10 must outweigh junk doc $j: $out")
+    }
+    // target docs score their own distribution highest of all
+    assert(out(1L)._2 >= out(10L)._2, s"$out")
+  }
 }
