@@ -1143,4 +1143,86 @@ object SnapshotStore {
         }.getOrElse(df)
     }
   }
+
+  /** K43: zone-pruned read whose PLANNING statistics are narrowed to
+    * the surviving files — the K41×K42 composition. K42's per-file
+    * zones decide which files `pred` can touch (the same metadata-only
+    * compare [[GraftFileIndex.listFiles]] runs at physical planning);
+    * the CBO then estimates from statistics scoped to THAT subset
+    * instead of the whole table: rows pro-rated by the kept byte
+    * fraction (the FileIndex sizeInBytes discipline — per-file row
+    * counts are not persisted, bytes are exact), per-column min/max
+    * tightened to the union of the kept files' zones (exact, from the
+    * manifest), NDV and null count capped at the surviving row
+    * estimate. Without this, a zone-pruned scan still PLANS joins as
+    * if every file survived — at 100 TB the difference between a
+    * broadcast and a full shuffle on the probe side.
+    *
+    * Returns the index (kept/total file counts for callers) and the
+    * filtered frame carrying the narrowed catalog stats. Tables whose
+    * manifests predate the K41 stats header fall back to the plain
+    * zoned read — never worse, only better-informed. */
+  def readZonedStats(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column,
+      version: Option[Long] = None): (GraftFileIndex, DataFrame) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val (idx, df) = readZoned(spark, name, version)
+    val out = df.filter(pred)
+    val v = version.getOrElse(versions(name).last)
+    statsOf(name, v) match {
+      case None => (idx, out)
+      case Some(st) =>
+        // the RESOLVED conjuncts, exactly what physical planning will
+        // hand listFiles — mayMatch handles And/Or internally
+        val conds = out.queryExecution.analyzed.collect {
+          case f: LFilter => f.condition
+        }
+        val kept = idx.listFiles(Nil, conds).flatMap(_.files)
+        val keptPaths = kept.map(_.getPath.toUri.getPath).toSet
+        val keptBytes = math.max(1L, kept.map(_.getLen).sum)
+        val estRows = math.max(1L,
+          math.round(st.rows * (keptBytes.toDouble /
+            math.max(1L, idx.sizeInBytes))))
+        val zonesAll = fileZonesOf(name, v).filter(z => keptPaths(z._1))
+        val schema = df.schema
+        val colStats = schema.fields.flatMap { f =>
+          st.cols.get(f.name).map { cs =>
+            val numeric = f.dataType.isInstanceOf[NumericType]
+            // narrow min/max only when EVERY kept file zones the
+            // column (a zoneless file could hold anything)
+            val zs = zonesAll.values.flatMap(_.get(f.name)).toSeq
+            val (mn, mx) =
+              if (zs.size == zonesAll.size && zs.nonEmpty && numeric) {
+                def d(s: String) =
+                  scala.util.Try(scala.math.BigDecimal(s)).toOption
+                val los = zs.flatMap(z => d(z._1).map(_ -> z._1))
+                val his = zs.flatMap(z => d(z._2).map(_ -> z._2))
+                if (los.size == zs.size && his.size == zs.size)
+                  (Some(los.minBy(_._1)._2), Some(his.maxBy(_._1)._2))
+                else (cs.min, cs.max)
+              } else (cs.min, cs.max)
+            f.name -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+              distinctCount = cs.ndv.map(n => BigInt(math.min(n, estRows))),
+              min = if (numeric) mn else None,
+              max = if (numeric) mx else None,
+              nullCount = Some(BigInt(math.min(cs.nullCount, estRows))),
+              avgLen = None, maxLen = None, histogram = None)
+          }
+        }.toMap
+        val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+          identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+            s"${name}_v${v}_zoned"),
+          tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+          storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty,
+          schema = schema,
+          provider = Some("parquet"),
+          stats = Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+            BigInt(keptBytes), Some(BigInt(estRows)), colStats)))
+        val replanned = out.queryExecution.analyzed.transform {
+          case r: LogicalRelation => r.copy(catalogTable = Some(ct))
+        }
+        (idx, org.apache.spark.sql.GraftDatasetBridge.ofRows(spark, replanned))
+    }
+  }
 }

@@ -66,6 +66,39 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  test("K43 zone-pruned read narrows planning stats to the surviving files") {
+    import spark.implicits._
+    val name = "cbo_zoned_t"
+    // two commits with DISJOINT k ranges; a k-range predicate must
+    // prune the first commit's files AND shrink the planning stats
+    SnapshotStore.commitAppend(name,
+      (1L to 500L).map(i => (i, i % 10)).toDF("k", "g").repartition(4))
+    SnapshotStore.commitAppend(name,
+      (501L to 1000L).map(i => (i, i % 10)).toDF("k", "g").repartition(4))
+    val (idx, df) = SnapshotStore.readZonedStats(spark, name, col("k") > 500L)
+    assert(idx.lastKept.get < idx.totalFiles,
+      s"the k<=500 files must prune: kept ${idx.lastKept.get}/${idx.totalFiles}")
+    val ct = df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable
+    }.flatten.getOrElse(fail("no catalog table attached"))
+    val stats = ct.stats.getOrElse(fail("no stats attached"))
+    val rc = stats.rowCount.getOrElse(fail("no row estimate"))
+    assert(rc > BigInt(0) && rc < BigInt(1000),
+      s"row estimate must reflect pruning, got $rc of 1000")
+    val k = stats.colStats("k")
+    assert(k.min.exists(m => BigDecimal(m) >= BigDecimal(501)),
+      s"k.min must narrow to the surviving files' zones, got ${k.min}")
+    assert(k.distinctCount.exists(_ <= rc),
+      s"NDV must cap at the row estimate: ${k.distinctCount} vs $rc")
+    // the estimate flows into CBO planning
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val est = df.queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(e => e > BigInt(0) && e <= rc),
+        s"optimizer estimate must ride the narrowed stats: $est vs $rc")
+    }
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(body: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
