@@ -246,10 +246,21 @@ object SnapshotStore {
         else (if (append && prev.nonEmpty) fileZonesOf(name, prev.last)
               else Map.empty: FileZones) ++ nz
       }.getOrElse(Map.empty)
+      // K44: per-file detail rides the same delta semantics as zones —
+      // a delta manifest carries ITS files' detail, checkpoints carry
+      // the full resolved map
+      val fdetail: FileDetails = scala.util.Try {
+        val nd = computed.map(_._3).getOrElse(Map.empty: FileDetails)
+        if (isDelta) nd
+        else (if (append && prev.nonEmpty) fileDetailsOf(name, prev.last)
+              else Map.empty: FileDetails) ++ nd
+      }.getOrElse(Map.empty)
       val headers = header.toSeq ++
         (if (isDelta) Seq(s"#prev=${prev.last}") else Seq.empty) ++
         stats.map(s => s"#stats=${statsToJson(s)}") ++
         (if (fstats.nonEmpty) Seq(s"#fstats=${zonesToJson(fstats)}")
+         else Seq.empty) ++
+        (if (fdetail.nonEmpty) Seq(s"#fdetail=${detailsToJson(fdetail)}")
          else Seq.empty) :+
         s"#schema=${schema.json}"
       val out = fs.create(tmp, true)
@@ -889,6 +900,18 @@ object SnapshotStore {
   /** Per-file zone stats: column → (min, max) as strings. */
   type FileZones = Map[String, Map[String, (String, String)]]
 
+  /** K44: per-file DETAIL stats — exact row count, per-column null
+    * counts, and per-column HLL NDV sketches. Where K42's zones answer
+    * "can this file match?", these answer "what does the surviving set
+    * actually hold?": kept-file rows SUM exactly, null counts sum, and
+    * the per-file sketches UNION to the surviving set's true NDV —
+    * no pro-rating. Small-cardinality HLLs serialize in coupon-list
+    * mode, so the manifest cost per file stays near the real NDV, not
+    * the register array. */
+  final case class FileDetail(rows: Long, nulls: Map[String, Long],
+      hll: Map[String, String])
+  type FileDetails = Map[String, FileDetail]
+
   /** Zone-comparable types (K42): numeric and string — the families
     * [[GraftFileIndex]] canonicalizes losslessly from an external
     * string (date/timestamp strings would re-parse through the JVM
@@ -907,10 +930,12 @@ object SnapshotStore {
     * disjoint per-file streams equal the single-pass sketch exactly).
     * Advisory: any failure yields None, never a failed commit. */
   private def computeCommitStats(files: Seq[String],
-      schema: StructType): Option[(TableStats, FileZones)] =
+      schema: StructType): Option[(TableStats, FileZones, FileDetails)] =
     SparkSession.getActiveSession.flatMap { spark =>
       scala.util.Try {
-        if (files.isEmpty) (TableStats(0L, 0L, Map.empty), Map.empty: FileZones)
+        if (files.isEmpty)
+          (TableStats(0L, 0L, Map.empty), Map.empty: FileZones,
+            Map.empty: FileDetails)
         else {
           import org.apache.spark.sql.functions._
           val bytes = files.map { f =>
@@ -958,7 +983,14 @@ object SnapshotStore {
                 c -> ((cs.min.get, cs.max.get))
             }
           }.toMap
-          (global, zones)
+          // K44: the same pass, kept AT file granularity
+          val details: FileDetails = perFile.map { case (f, ts) =>
+            uriPath(f) -> FileDetail(ts.rows,
+              ts.cols.map { case (c, cs) => c -> cs.nullCount },
+              ts.cols.collect { case (c, cs) if cs.hllB64.isDefined =>
+                c -> cs.hllB64.get })
+          }.toMap
+          (global, zones, details)
         }
       }.toOption
     }
@@ -1028,6 +1060,44 @@ object SnapshotStore {
         })
       }.toMap
       case _ => Map.empty
+    }
+  }
+
+  private def detailsToJson(d: FileDetails): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    compact(render(d.map { case (f, fd) =>
+      f -> (("r" -> fd.rows) ~ ("n" -> fd.nulls) ~ ("h" -> fd.hll))
+    }))
+  }
+
+  private def detailsFromJson(j: String): FileDetails = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmts: Formats = DefaultFormats
+    parse(j) match {
+      case JObject(files) => files.map { case (f, fv) =>
+        f -> FileDetail((fv \ "r").extract[Long],
+          (fv \ "n").extractOpt[Map[String, Long]].getOrElse(Map.empty),
+          (fv \ "h").extractOpt[Map[String, String]].getOrElse(Map.empty))
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** K44: the per-file detail map recorded at version `v`, resolved
+    * along the delta chain exactly like [[fileZonesOf]] (pre-K44
+    * files simply have no detail — consumers fall back to the
+    * pro-rated estimate for any set that includes one). */
+  def fileDetailsOf(name: String, v: Long): FileDetails = {
+    val own = readLines(resolvedManifestPath(name, v))
+      .find(_.startsWith("#fdetail="))
+      .flatMap(l => scala.util.Try(
+        detailsFromJson(l.stripPrefix("#fdetail="))).toOption)
+      .getOrElse(Map.empty: FileDetails)
+    prevOf(name, v) match {
+      case Some(p) => fileDetailsOf(name, p) ++ own
+      case None => own
     }
   }
 
@@ -1181,9 +1251,23 @@ object SnapshotStore {
         val kept = idx.listFiles(Nil, conds).flatMap(_.files)
         val keptPaths = kept.map(_.getPath.toUri.getPath).toSet
         val keptBytes = math.max(1L, kept.map(_.getLen).sum)
-        val estRows = math.max(1L,
-          math.round(st.rows * (keptBytes.toDouble /
-            math.max(1L, idx.sizeInBytes))))
+        // K44: when EVERY kept file carries a detail record, the row
+        // count is an EXACT sum over survivors — byte pro-rating is
+        // only the fallback for pre-K44 manifests
+        val details = fileDetailsOf(name, v).filter(d => keptPaths(d._1))
+        val exact = keptPaths.nonEmpty && details.size == keptPaths.size
+        val estRows =
+          if (exact) math.max(1L, details.values.map(_.rows).sum)
+          else math.max(1L,
+            math.round(st.rows * (keptBytes.toDouble /
+              math.max(1L, idx.sizeInBytes))))
+        def unionNdv(bs: Iterable[String]): Long = {
+          val dec = java.util.Base64.getDecoder
+          val u = new org.apache.datasketches.hll.Union(12)
+          bs.foreach(b => u.update(
+            org.apache.datasketches.hll.HllSketch.heapify(dec.decode(b))))
+          Math.round(u.getResult.getEstimate)
+        }
         val zonesAll = fileZonesOf(name, v).filter(z => keptPaths(z._1))
         val schema = df.schema
         val colStats = schema.fields.flatMap { f =>
@@ -1202,11 +1286,23 @@ object SnapshotStore {
                   (Some(los.minBy(_._1)._2), Some(his.maxBy(_._1)._2))
                 else (cs.min, cs.max)
               } else (cs.min, cs.max)
+            // K44: NDV from the UNION of the kept files' sketches and
+            // null count from their exact sum, when every kept file
+            // details the column; else cap the global figures
+            val hlls = details.values.flatMap(_.hll.get(f.name)).toSeq
+            val ndvKept =
+              if (exact && hlls.size == details.size && hlls.nonEmpty)
+                Some(math.min(unionNdv(hlls), estRows))
+              else cs.ndv.map(n => math.min(n, estRows))
+            val nullsSeq = details.values.flatMap(_.nulls.get(f.name)).toSeq
+            val nullsKept =
+              if (exact && nullsSeq.size == details.size) nullsSeq.sum
+              else math.min(cs.nullCount, estRows)
             f.name -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
-              distinctCount = cs.ndv.map(n => BigInt(math.min(n, estRows))),
+              distinctCount = ndvKept.map(BigInt(_)),
               min = if (numeric) mn else None,
               max = if (numeric) mx else None,
-              nullCount = Some(BigInt(math.min(cs.nullCount, estRows))),
+              nullCount = Some(BigInt(nullsKept)),
               avgLen = None, maxLen = None, histogram = None)
           }
         }.toMap

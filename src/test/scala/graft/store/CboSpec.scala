@@ -99,6 +99,39 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  test("K44 per-file detail makes pruned planning stats EXACT (rows summed, NDV unioned)") {
+    import spark.implicits._
+    val name = "cbo_detail_t"
+    // disjoint k ranges AND disjoint g cardinalities per commit: the
+    // first holds 10 g values, the second only 3 — pruning to the
+    // second must report rows EXACTLY 500 (summed, not byte
+    // pro-rated) and g NDV ~3, not the global 13 capped at the
+    // estimate
+    SnapshotStore.commitAppend(name,
+      (1L to 500L).map(i => (i, i % 10)).toDF("k", "g").repartition(4))
+    SnapshotStore.commitAppend(name,
+      (501L to 1000L).map(i => (i, 100L + i % 3)).toDF("k", "g").repartition(4))
+    val v = SnapshotStore.versions(name).last
+    val det = SnapshotStore.fileDetailsOf(name, v)
+    assert(det.size == SnapshotStore.files(name, v).size,
+      "every committed file must carry a detail record")
+    assert(det.values.map(_.rows).sum == 1000L,
+      s"detail rows must sum to the table: ${det.values.map(_.rows).sum}")
+    val (idx, df) = SnapshotStore.readZonedStats(spark, name, col("k") > 500L)
+    assert(idx.lastKept.get < idx.totalFiles, "the k<=500 files must prune")
+    val stats = df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable
+    }.flatten.flatMap(_.stats).getOrElse(fail("no stats attached"))
+    assert(stats.rowCount.contains(BigInt(500)),
+      s"row count must be the EXACT kept-file sum, got ${stats.rowCount}")
+    val g = stats.colStats("g")
+    assert(g.distinctCount.exists(d => d >= BigInt(2) && d <= BigInt(4)),
+      s"g NDV must come from the kept files' sketch union (~3), got ${g.distinctCount}")
+    assert(g.nullCount.contains(BigInt(0)),
+      s"null count must be the kept files' exact sum, got ${g.nullCount}")
+  }
+
   private def withSQLConf[A](kv: (String, String)*)(body: => A): A = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
