@@ -2581,6 +2581,258 @@ object Multimodal {
         "first_len", "truncated")
   }
 
+  /** H36: safetensors header parse — the de-facto tensor-weights
+    * container of the LLM ecosystem (huggingface/safetensors README:
+    * `[u64le header_len][header_len bytes of JSON][tensor data]`).
+    * The JSON header maps tensor names to dtype/shape/data_offsets;
+    * everything a shard auditor needs — tensor count, dtypes, declared
+    * data extent vs actual file size (the interrupted-download
+    * signature) — reads from the header without touching a single
+    * tensor byte. Field extraction uses get_json_object (a codegen'd
+    * expression in Spark 4, verified non-fallback by
+    * CodegenFallbackSpec); the staged _hlen/_json aliases keep the
+    * plan linear (the H5 64 KB discipline). Per-row work only, zero
+    * shuffle at any scale. */
+  def withSafetensors(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin).cast("long")
+    val out = df
+      .withColumn("_hlen",
+        leU32(bin, lit(1)) + leU32(bin, lit(5)) * lit(4294967296L))
+      .withColumn("_jok", coalesce(
+        col("_hlen") > 0L && col("_hlen") + 8L <= flen, lit(false)))
+      .withColumn("_json", when(col("_jok"),
+        decode(bin.substr(lit(9), col("_hlen").cast("int")), "UTF-8")))
+    val json = col("_json")
+    val valid = (col("_jok") && substring(json, 1, 1) === "{").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    out
+      .withColumn("valid_st", valid)
+      .withColumn("header_len", ifOk(col("_hlen")))
+      // every tensor entry carries exactly one "dtype" key;
+      // __metadata__ carries none — occurrence count IS tensor count
+      .withColumn("n_tensors", ifOk(
+        ((length(json) - length(replace(json, lit("\"dtype\"")))) / 7)
+          .cast("int")))
+      .withColumn("dtype", ifOk(get_json_object(json, "$.w.dtype")))
+      .withColumn("t_rows", ifOk(
+        get_json_object(json, "$.w.shape[0]").cast("int")))
+      .withColumn("t_cols", ifOk(
+        get_json_object(json, "$.w.shape[1]").cast("int")))
+      .withColumn("declared_bytes", ifOk(greatest(
+        coalesce(get_json_object(json, "$.w.data_offsets[1]").cast("long"), lit(0L)),
+        coalesce(get_json_object(json, "$.b.data_offsets[1]").cast("long"), lit(0L)))))
+      .withColumn("truncated", ifOk(
+        (col("declared_bytes") > flen - 8L - col("_hlen")).cast("int")))
+      .drop("_hlen", "_jok", "_json")
+  }
+
+  /** H36 driver query: synthesize a safetensors shard per asset — a
+    * 2-d "w" tensor (dims from metadata, dtype cycling F32/F16/BF16),
+    * a 1-d "b" tensor on even doc_ids, real data_offsets, and a
+    * __metadata__ block (which must NOT count as a tensor); every 5th
+    * doc ships only half the declared tensor bytes (truncation),
+    * every 9th declares a header that overruns the file (invalid).
+    * The oracle rebuilds the SAME JSON text and measures it, so the
+    * u64 length read, the JSON slice, and every extracted field are
+    * value-checked. */
+  def mmSafetensorsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val garbage = col("doc_id") % 9 === 0
+    val truncate = col("doc_id") % 5 === 0
+    val hasB = col("doc_id") % 2 === 0
+    val r = (col("n_chars") % 16 + 1).cast("int")
+    val c = (col("doc_id") % 8 + 1).cast("int")
+    val dt = when(col("doc_id") % 3 === 0, "F32")
+      .when(col("doc_id") % 3 === 1, "F16").otherwise("BF16")
+    val isz = when(col("doc_id") % 3 === 0, 4).otherwise(2)
+    val e1 = (r * c * isz).cast("long")
+    val e2 = e1 + (c * isz).cast("long")
+    val json = concat(
+      lit("{\"__metadata__\":{\"format\":\"pt\"},\"w\":{\"dtype\":\""), dt,
+      lit("\",\"shape\":["), r.cast("string"), lit(","), c.cast("string"),
+      lit("],\"data_offsets\":[0,"), e1.cast("string"), lit("]}"),
+      when(hasB, concat(
+        lit(",\"b\":{\"dtype\":\""), dt,
+        lit("\",\"shape\":["), c.cast("string"),
+        lit("],\"data_offsets\":["), e1.cast("string"), lit(","),
+        e2.cast("string"), lit("]}"))).otherwise(lit("")),
+      lit("}"))
+    val declared = when(hasB, e2).otherwise(e1)
+    val avail = when(truncate, shiftright(declared, 1)).otherwise(declared)
+    val bin = when(garbage, unhex(lit("ffffffff0000000000")))
+      .otherwise(concat(
+        unhex(concat(leHex32(length(json)), lit("00000000"))),
+        encode(json, "UTF-8"),
+        unhex(repeat(lit("00"), avail.cast("int")))))
+    withSafetensors(d.select(col("doc_id"), bin.as("_bin")), "_bin")
+      .select("doc_id", "valid_st", "header_len", "n_tensors", "dtype",
+        "t_rows", "t_cols", "declared_bytes", "truncated")
+  }
+
+  /** H37: NumPy .npy header parse (the npy format spec, v1.0): magic
+    * \x93NUMPY, u8 major/minor, u16le header_len, then an ASCII
+    * Python-dict header `{'descr': '<f4', 'fortran_order': False,
+    * 'shape': (3, 4), }` space-padded so data starts 16-byte-aligned.
+    * descr/fortran_order/shape extract with codegen'd regexes; the
+    * declared data extent (Π shape × itemsize from descr) against the
+    * actual file length is the truncation signature, and the
+    * alignment of 10+header_len is re-checked (a mis-padded writer
+    * breaks mmap'd readers). */
+  def withNpyHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin).cast("long")
+    val valid = (lower(hex(substring(bin, 1, 6))) === "934e554d5059" &&
+      conv(hex(substring(bin, 7, 1)), 16, 10).cast("int") === 1).cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val out = df
+      .withColumn("_vnpy", valid)
+      .withColumn("_hlen", leU16(bin, lit(9)))
+      .withColumn("_hdr", when(col("_vnpy") === 1,
+        decode(bin.substr(lit(11), col("_hlen")), "UTF-8")))
+      .withColumn("_descr",
+        regexp_extract(col("_hdr"), "'descr': '([^']+)'", 1))
+      .withColumn("_tup",
+        regexp_extract(col("_hdr"), "'shape': \\(([0-9, ]*)\\)", 1))
+    val d1 = nullif(regexp_extract(col("_tup"), "^([0-9]+)", 1), lit("")).cast("long")
+    val d2 = nullif(regexp_extract(col("_tup"), ", ([0-9]+)", 1), lit("")).cast("long")
+    val isz = nullif(regexp_extract(col("_descr"), "([0-9]+)", 1), lit("")).cast("int")
+    val dataBytes = d1 * coalesce(d2, lit(1L)) * isz
+    out
+      .withColumn("valid_npy", col("_vnpy"))
+      .withColumn("header_len", ifOk(col("_hlen")))
+      .withColumn("descr", ifOk(col("_descr")))
+      .withColumn("fortran_order", ifOk(
+        col("_hdr").contains("'fortran_order': True").cast("int")))
+      .withColumn("ndim", ifOk(when(d2.isNotNull, 2).otherwise(1)))
+      .withColumn("d1", ifOk(d1))
+      .withColumn("d2", ifOk(d2))
+      .withColumn("data_bytes", ifOk(dataBytes))
+      .withColumn("truncated", ifOk(
+        (lit(10L) + col("_hlen") + dataBytes > flen).cast("int")))
+      .withColumn("aligned", ifOk(
+        ((lit(10) + col("_hlen")) % 16 === 0).cast("int")))
+      .drop("_vnpy", "_hlen", "_hdr", "_descr", "_tup")
+  }
+
+  /** H37 driver query: synthesize a .npy per asset — descr cycling
+    * <f4/<f8/<i8, fortran_order True every 7th, 1-d shape `(N,)` on
+    * doc_id%4==0 else 2-d `(R, C)`, header space-padded to the real
+    * 16-byte alignment rule; every 5th doc ships half the data bytes
+    * (truncation), every 9th has a corrupt magic. The oracle rebuilds
+    * the dict text and the padding arithmetic, so the u16 length
+    * read, the regex field extraction, and the alignment check are
+    * all value-checked. */
+  def mmNpyMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val garbage = col("doc_id") % 9 === 0
+    val truncate = col("doc_id") % 5 === 0
+    val oneD = col("doc_id") % 4 === 0
+    val n = (col("n_chars") % 100 + 1).cast("int")
+    val r = (col("n_chars") % 16 + 1).cast("int")
+    val c = (col("doc_id") % 8 + 1).cast("int")
+    val descr = when(col("doc_id") % 3 === 0, "<f4")
+      .when(col("doc_id") % 3 === 1, "<f8").otherwise("<i8")
+    val isz = when(col("doc_id") % 3 === 0, 4).otherwise(8)
+    val ft = when(col("doc_id") % 7 === 0, "True").otherwise("False")
+    val shp = when(oneD, concat(lit("("), n.cast("string"), lit(",)")))
+      .otherwise(concat(lit("("), r.cast("string"), lit(", "),
+        c.cast("string"), lit(")")))
+    val dict = concat(lit("{'descr': '"), descr,
+      lit("', 'fortran_order': "), ft, lit(", 'shape': "), shp, lit(", }"))
+    // pad so 10 + header_len ≡ 0 (mod 16); header ends with \n
+    val rawLen = length(dict) + 1
+    val pad = (lit(16) - (lit(10) + rawLen) % 16) % 16
+    val header = concat(dict, repeat(lit(" "), pad), lit("\n"))
+    val nElems = when(oneD, n.cast("long")).otherwise((r * c).cast("long"))
+    val dataBytes = nElems * isz
+    val avail = when(truncate, shiftright(dataBytes, 1)).otherwise(dataBytes)
+    val bin = when(garbage, unhex(lit("deadbeef00000000000000")))
+      .otherwise(concat(
+        unhex(concat(lit("934e554d5059" + "0100"), leHex16(length(header)))),
+        encode(header, "UTF-8"),
+        unhex(repeat(lit("00"), avail.cast("int")))))
+    withNpyHeader(d.select(col("doc_id"), bin.as("_bin")), "_bin")
+      .select("doc_id", "valid_npy", "header_len", "descr",
+        "fortran_order", "ndim", "d1", "d2", "data_bytes", "truncated",
+        "aligned")
+  }
+
+  /** H38: GGUF header parse (ggml's gguf.md spec) — the quantized-
+    * model container of the llama.cpp ecosystem: magic "GGUF", u32le
+    * version, u64le tensor_count, u64le metadata_kv_count, then KV
+    * records of [u64le key_len][key][u32le value_type][value]. The
+    * walk reads the counts and the FIRST KV (conventionally
+    * general.architecture, a string — value type 8: u64le len +
+    * bytes), guarding every hop against the file end: a declared
+    * key_len running past the file is the truncated-pull signature.
+    * All offsets past the fixed 32-byte header are ALIASED columns
+    * (the 64 KB discipline). */
+  def withGgufHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin).cast("long")
+    val valid = (lower(hex(substring(bin, 1, 4))) === "47475546").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    def u64(off: org.apache.spark.sql.Column) =
+      leU32(bin, off.cast("int")) + leU32(bin, off.cast("int") + 4) * lit(4294967296L)
+    val out = df
+      .withColumn("_vg", valid)
+      .withColumn("_klen", u64(lit(25L)))
+      .withColumn("_kok", coalesce(
+        col("_vg") === 1 && lit(32L) + col("_klen") + 12L <= flen, lit(false)))
+      .withColumn("_vlen", when(col("_kok"), u64(lit(37L) + col("_klen"))))
+    out
+      .withColumn("valid_gguf", col("_vg"))
+      .withColumn("version", ifOk(leU32(bin, lit(5)).cast("int")))
+      .withColumn("n_tensors", ifOk(u64(lit(9L))))
+      .withColumn("n_kv", ifOk(u64(lit(17L))))
+      .withColumn("key_len", ifOk(col("_klen")))
+      .withColumn("first_key", when(col("_kok"),
+        decode(bin.substr(lit(33), col("_klen").cast("int")), "UTF-8")))
+      .withColumn("value_type", when(col("_kok"),
+        leU32(bin, (lit(33L) + col("_klen")).cast("int")).cast("int")))
+      .withColumn("architecture", when(
+        col("_kok") && col("value_type") === 8 &&
+          lit(44L) + col("_klen") + col("_vlen") <= flen,
+        decode(bin.substr((lit(45L) + col("_klen")).cast("int"),
+          col("_vlen").cast("int")), "UTF-8")))
+      .withColumn("truncated", ifOk((!col("_kok")).cast("int")))
+      .drop("_vg", "_klen", "_kok", "_vlen")
+  }
+
+  /** H38 driver query: synthesize a GGUF prefix per asset — version 3
+    * (2 every 4th doc), tensor/KV counts from metadata, first KV
+    * "general.architecture" = llama/gpt2/bert cycling; every 5th doc
+    * cuts the key mid-bytes (declared key_len overruns — truncated),
+    * every 9th has a corrupt magic. Formula oracle. */
+  def mmGgufMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val garbage = col("doc_id") % 9 === 0
+    val truncate = col("doc_id") % 5 === 0
+    val version = when(col("doc_id") % 4 === 0, 2).otherwise(3)
+    val nT = (col("doc_id") % 5).cast("long")
+    val nKv = (col("doc_id") % 7 + 1).cast("long")
+    val arch = when(col("doc_id") % 3 === 0, "llama")
+      .when(col("doc_id") % 3 === 1, "gpt2").otherwise("bert")
+    val key = lit("general.architecture") // 20 bytes
+    def le64(c: org.apache.spark.sql.Column) =
+      concat(leHex32(c), lit("00000000"))
+    val fullTail = concat(
+      unhex(concat(le64(lit(20)))), encode(key, "UTF-8"),
+      unhex(concat(leHex32(lit(8)), le64(length(arch)))),
+      encode(arch, "UTF-8"))
+    val cutTail = concat(unhex(le64(lit(20))),
+      encode(substring(key, 1, 10), "UTF-8"))
+    val bin = when(garbage, unhex(lit("deadbeef")))
+      .otherwise(concat(
+        unhex(concat(lit("47475546"), leHex32(version),
+          le64(nT), le64(nKv))),
+        when(truncate, cutTail).otherwise(fullTail)))
+    withGgufHeader(d.select(col("doc_id"), bin.as("_bin")), "_bin")
+      .select("doc_id", "valid_gguf", "version", "n_tensors", "n_kv",
+        "key_len", "first_key", "value_type", "architecture", "truncated")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -2617,9 +2869,111 @@ object Multimodal {
     "mm_pcap_meta" -> (mmPcapMeta _),
     "mm_parquet_meta" -> (mmParquetMeta _),
     "mm_tfrecord_meta" -> (mmTfrecordMeta _),
+    "mm_safetensors_meta" -> (mmSafetensorsMeta _),
+    "mm_npy_meta" -> (mmNpyMeta _),
+    "mm_gguf_meta" -> (mmGgufMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors mmSafetensorsMeta: the oracle REBUILDS the JSON header
+    // text and measures it, so the u64 length read, the JSON slice,
+    // and every extracted field are value-checked. Garbage every 9th,
+    // truncated data every 5th, "b" tensor on even doc_ids.
+    "mm_safetensors_meta" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    n_chars % 16 + 1 AS r, doc_id % 8 + 1 AS c,
+        |    CASE doc_id % 3 WHEN 0 THEN 'F32' WHEN 1 THEN 'F16'
+        |         ELSE 'BF16' END AS dt,
+        |    CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 2 END AS isz,
+        |    doc_id % 9 = 0 AS garbage, doc_id % 5 = 0 AS trunc,
+        |    doc_id % 2 = 0 AS hasb
+        |  FROM documents),
+        |j AS (
+        |  SELECT *, r*c*isz AS e1, r*c*isz + c*isz AS e2,
+        |    '{"__metadata__":{"format":"pt"},"w":{"dtype":"' || dt ||
+        |    '","shape":[' || r || ',' || c || '],"data_offsets":[0,' ||
+        |    (r*c*isz) || ']}' ||
+        |    CASE WHEN hasb THEN ',"b":{"dtype":"' || dt || '","shape":['
+        |      || c || '],"data_offsets":[' || (r*c*isz) || ',' ||
+        |      (r*c*isz + c*isz) || ']}' ELSE '' END || '}' AS hdr
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN garbage THEN 0 ELSE 1 END AS valid_st,
+        |  CASE WHEN garbage THEN NULL ELSE length(hdr) END::bigint AS header_len,
+        |  CASE WHEN garbage THEN NULL WHEN hasb THEN 2 ELSE 1 END::int AS n_tensors,
+        |  CASE WHEN garbage THEN NULL ELSE dt END AS dtype,
+        |  CASE WHEN garbage THEN NULL ELSE r END::int AS t_rows,
+        |  CASE WHEN garbage THEN NULL ELSE c END::int AS t_cols,
+        |  CASE WHEN garbage THEN NULL WHEN hasb THEN e2 ELSE e1
+        |       END::bigint AS declared_bytes,
+        |  CASE WHEN garbage THEN NULL WHEN trunc THEN 1 ELSE 0
+        |       END::int AS truncated
+        |FROM j""".stripMargin,
+    // mirrors mmNpyMeta: dict text + 16-byte padding arithmetic
+    // rebuilt textually; garbage every 9th, truncated every 5th,
+    // 1-d shape every 4th, fortran_order True every 7th
+    "mm_npy_meta" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    doc_id % 9 = 0 AS garbage, doc_id % 5 = 0 AS trunc,
+        |    doc_id % 4 = 0 AS oned,
+        |    n_chars % 100 + 1 AS n, n_chars % 16 + 1 AS r,
+        |    doc_id % 8 + 1 AS c,
+        |    CASE doc_id % 3 WHEN 0 THEN '<f4' WHEN 1 THEN '<f8'
+        |         ELSE '<i8' END AS descr,
+        |    CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 8 END AS isz,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'True' ELSE 'False' END AS ft
+        |  FROM documents),
+        |j AS (
+        |  SELECT *,
+        |    CASE WHEN oned THEN '(' || n || ',)'
+        |         ELSE '(' || r || ', ' || c || ')' END AS shp,
+        |    CASE WHEN oned THEN n ELSE r*c END AS nelems
+        |  FROM t),
+        |k AS (
+        |  SELECT *, length('{''descr'': ''' || descr ||
+        |    ''', ''fortran_order'': ' || ft || ', ''shape'': ' || shp ||
+        |    ', }') + 1 AS rawlen
+        |  FROM j),
+        |m AS (SELECT *,
+        |  rawlen + (16 - (10 + rawlen) % 16) % 16 AS hlen FROM k)
+        |SELECT doc_id,
+        |  CASE WHEN garbage THEN 0 ELSE 1 END AS valid_npy,
+        |  CASE WHEN garbage THEN NULL ELSE hlen END::int AS header_len,
+        |  CASE WHEN garbage THEN NULL ELSE descr END AS descr,
+        |  CASE WHEN garbage THEN NULL WHEN doc_id % 7 = 0 THEN 1 ELSE 0
+        |       END::int AS fortran_order,
+        |  CASE WHEN garbage THEN NULL WHEN oned THEN 1 ELSE 2 END::int AS ndim,
+        |  CASE WHEN garbage THEN NULL WHEN oned THEN n ELSE r END::bigint AS d1,
+        |  CASE WHEN garbage OR oned THEN NULL ELSE c END::bigint AS d2,
+        |  CASE WHEN garbage THEN NULL ELSE nelems * isz END::bigint AS data_bytes,
+        |  CASE WHEN garbage THEN NULL WHEN trunc THEN 1 ELSE 0
+        |       END::int AS truncated,
+        |  CASE WHEN garbage THEN NULL ELSE 1 END::int AS aligned
+        |FROM m""".stripMargin,
+    // mirrors mmGgufMeta by the generating formulas: garbage every
+    // 9th, key cut mid-bytes every 5th, version 2 every 4th
+    "mm_gguf_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_gguf,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN 2 ELSE 3 END::int AS version,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE doc_id % 5 END::bigint AS n_tensors,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE doc_id % 7 + 1 END::bigint AS n_kv,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 20 END::bigint AS key_len,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 5 = 0 THEN NULL
+        |       ELSE 'general.architecture' END AS first_key,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 5 = 0 THEN NULL
+        |       ELSE 8 END::int AS value_type,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 5 = 0 THEN NULL
+        |       ELSE CASE doc_id % 3 WHEN 0 THEN 'llama'
+        |            WHEN 1 THEN 'gpt2' ELSE 'bert' END END AS architecture,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END::int AS truncated
+        |FROM documents""".stripMargin,
     // mirrors mmTfrecordMeta: l1 = doc_id%40+1, l2 = n_chars%60+1,
     // third record on doc_id%3!=0 (len doc_id%20+1), truncated when
     // also doc_id%5=0, garbage shard every 9th
