@@ -73,6 +73,21 @@ object TextQueries {
       keep.cast("int").as("keep"))
   }
 
+  /** The G3 language vote as a reusable STATELESS column — the same
+    * expression serves the batch query and the r13 streaming face
+    * (graft.text.TextStreaming.langMixCells): ties go to the first
+    * profile in declaration order; zero hits → "und". */
+  def langPredCol(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwordProfiles.map { case (lang, words) =>
+      lang -> countIn(toks, words)
+    }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === m, lit(lang))
+    }
+  }
+
   /** G3: language ID by stopword-profile voting; ties go to the first
     * profile in declaration order; zero hits → "und". */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
@@ -82,9 +97,7 @@ object TextQueries {
       lang -> countIn(toks, words)
     }
     val m = greatest(scores.map(_._2): _*)
-    val pred = scores.foldLeft(when(m === 0, lit("und"))) {
-      case (acc, (lang, s)) => acc.when(s === m, lit(lang))
-    }
+    val pred = langPredCol(col("text"))
     val cols = col("doc_id") +:
       scores.map { case (lang, s) => s.as(s"s_$lang") } :+
       m.as("score_max") :+ pred.as("lang_pred")
