@@ -2833,6 +2833,228 @@ object Multimodal {
         "key_len", "first_key", "value_type", "architecture", "truncated")
   }
 
+  /** H39: Avro Object Container File header parse — magic "Obj\x01",
+    * then the file-metadata map: a zigzag-varint entry count followed
+    * by (varint-length string key, varint-length bytes value) pairs.
+    * This is the first REAL varint decoding in the H family: each
+    * field reads 1 continuation-bit-dispatched little-endian 7-bit
+    * group pair (values here fit 2 bytes; a declared length needing
+    * more is flagged, not mis-read), zigzag-decoded via a right
+    * shift. The walk reads the entry count, the first key (the Avro
+    * convention puts avro.codec / avro.schema here), its value when
+    * it is the codec, and the second key's declared length vs the
+    * file end (truncation). Every offset is an ALIASED column. */
+  def withAvroHeader(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin).cast("long")
+    def u8(off: org.apache.spark.sql.Column) =
+      conv(hex(bin.substr(off.cast("int"), lit(1))), 16, 10).cast("long")
+    // zigzag varint at a column offset: value and its encoded width
+    def vint(off: org.apache.spark.sql.Column)
+        : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val b0 = u8(off)
+      val b1 = u8(off + 1)
+      val raw = when(b0 < 128, b0)
+        .otherwise((b0.bitwiseAND(lit(127L))) + b1 * 128L)
+      // zigzag: positive n encodes as 2n — decode is a halving
+      (shiftright(raw, 1), when(b0 < 128, 1L).otherwise(2L))
+    }
+    val valid = (lower(hex(substring(bin, 1, 4))) === "4f626a01").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val (nMeta, w0) = vint(lit(5L))
+    val out0 = df
+      .withColumn("_v", valid)
+      .withColumn("_n", nMeta)
+      .withColumn("_o1", lit(5L) + w0)
+    val (k1len, w1) = vint(col("_o1"))
+    val out1 = out0
+      .withColumn("_k1len", k1len)
+      .withColumn("_k1off", col("_o1") + w1)
+      .withColumn("_k1ok", coalesce(
+        col("_v") === 1 && col("_k1off") + col("_k1len") - 1L <= flen,
+        lit(false)))
+    val (v1len, w2) = vint(col("_k1off") + col("_k1len"))
+    val out2 = out1
+      .withColumn("_v1len", when(col("_k1ok"), v1len))
+      .withColumn("_v1off", col("_k1off") + col("_k1len") + w2)
+    val (k2len, w3) = vint(col("_v1off") + col("_v1len"))
+    val out3 = out2
+      .withColumn("_k2len", when(col("_k1ok"), k2len))
+      .withColumn("_k2off", col("_v1off") + col("_v1len") + w3)
+    val key1 = when(col("_k1ok"),
+      decode(bin.substr(col("_k1off").cast("int"),
+        col("_k1len").cast("int")), "UTF-8"))
+    // the second entry's declared key running past the file is the
+    // truncated-container signature
+    val trunc = coalesce(col("_k2off") + col("_k2len") - 1L > flen, lit(true))
+    // the second VALUE's varint (the schema length) sits right after
+    // key2 — the field whose z ≥ 128 exercises the 2-byte decode path
+    val (v2len, _) = vint(col("_k2off") + col("_k2len"))
+    out3
+      .withColumn("valid_avro", col("_v"))
+      .withColumn("n_meta", ifOk(col("_n")))
+      .withColumn("first_key", key1)
+      .withColumn("codec", when(col("_k1ok") && key1 === "avro.codec",
+        decode(bin.substr(col("_v1off").cast("int"),
+          col("_v1len").cast("int")), "UTF-8")))
+      .withColumn("second_key_len", when(col("_k1ok"), col("_k2len")))
+      .withColumn("schema_len", when(col("_k1ok") && !trunc, v2len))
+      .withColumn("truncated", ifOk(trunc.cast("int")))
+      .drop("_v", "_n", "_o1", "_k1len", "_k1off", "_k1ok",
+        "_v1len", "_v1off", "_k2len", "_k2off")
+  }
+
+  /** H39 driver query: synthesize an Avro OCF header per asset — two
+    * metadata entries (avro.codec cycling null/deflate/snappy/zstd,
+    * then avro.schema whose VARIABLE length crosses the 1-byte/2-byte
+    * varint boundary: padding n_chars%120+40 drives schema lengths
+    * through 63/64+), cut mid-second-key every 5th doc, corrupt magic
+    * every 9th. The oracle rebuilds the schema string length and the
+    * varint-width arithmetic, so both varint widths are
+    * value-checked. */
+  def mmAvroMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val garbage = col("doc_id") % 9 === 0
+    val truncate = col("doc_id") % 5 === 0
+    val codec = when(col("doc_id") % 4 === 0, "null")
+      .when(col("doc_id") % 4 === 1, "deflate")
+      .when(col("doc_id") % 4 === 2, "snappy").otherwise("zstandard")
+    // schema length crosses the varint width boundary: 40..159 chars
+    val pad = (col("n_chars") % 120 + 2).cast("int")
+    val schema = concat(
+      lit("{\"type\":\"record\",\"name\":\"r\",\"doc\":\""),
+      repeat(lit("x"), pad), lit("\",\"fields\":[]}"))
+    // zigzag-varint hex of a small non-negative int (≤ 2 bytes)
+    def vhex(n: org.apache.spark.sql.Column) = {
+      val z = n * 2
+      when(z < 128, lpad(lower(hex(z)), 2, "0"))
+        .otherwise(concat(
+          lpad(lower(hex(z.bitwiseAND(lit(127)).bitwiseOR(lit(128)))), 2, "0"),
+          lpad(lower(hex(shiftright(z, 7))), 2, "0")))
+    }
+    val key1 = lit("avro.codec")   // 10 bytes
+    val key2 = lit("avro.schema")  // 11 bytes
+    val full = concat(
+      unhex(concat(lit("4f626a01"), vhex(lit(2)), vhex(lit(10)))),
+      encode(key1, "UTF-8"),
+      unhex(vhex(length(codec))), encode(codec, "UTF-8"),
+      unhex(vhex(lit(11))), encode(key2, "UTF-8"),
+      unhex(vhex(length(schema))), encode(schema, "UTF-8"))
+    val cut = concat(
+      unhex(concat(lit("4f626a01"), vhex(lit(2)), vhex(lit(10)))),
+      encode(key1, "UTF-8"),
+      unhex(vhex(length(codec))), encode(codec, "UTF-8"),
+      unhex(vhex(lit(11))), encode(substring(key2, 1, 4), "UTF-8"))
+    val bin = when(garbage, unhex(lit("deadbeef00")))
+      .otherwise(when(truncate, cut).otherwise(full))
+    withAvroHeader(d.select(col("doc_id"), bin.as("_bin")), "_bin")
+      .select("doc_id", "valid_avro", "n_meta", "first_key", "codec",
+        "second_key_len", "schema_len", "truncated")
+  }
+
+  /** H40: Arrow IPC file envelope — "ARROW1\0\0" leading magic, and a
+    * trailing [flatbuffer footer][u32le footer length]["ARROW1"]
+    * triplet (the H34 parquet-trailer idea with the magic 6 bytes
+    * long and the length BEFORE it): footer_fits is the
+    * interrupted-upload detector any Arrow reader needs before
+    * trusting the footer flatbuffer. */
+  def withArrowTrailer(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin).cast("long")
+    val valid = (flen >= 18L &&
+      lower(hex(substring(bin, 1, 8))) === "4152524f57310000" &&
+      lower(hex(bin.substr((flen - 5L).cast("int"), lit(6)))) ===
+        "4152524f5731").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val footerLen = leU32(bin, (flen - 9L).cast("int"))
+    df
+      .withColumn("valid_arrow", valid)
+      .withColumn("file_bytes", ifOk(flen))
+      .withColumn("footer_len", ifOk(footerLen))
+      .withColumn("footer_fits",
+        ifOk((lit(8L) + footerLen + 10L <= flen).cast("int")))
+  }
+
+  /** H40 driver query: body filler doc_id%23+1 bytes; the truncated
+    * leg declares footer_len 500 past the file; corrupt trailing
+    * magic every 6th. Formula oracle (the H34 shape). */
+  def mmArrowMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corrupt = col("doc_id") % 6 === 0
+    val fill = (col("doc_id") % 23 + 1).cast("int")
+    val declared = when(col("doc_id") % 4 === 0, fill + lit(500)).otherwise(fill)
+    val hx = concat(
+      lit("4152524f57310000"),
+      repeat(lit("00"), fill),
+      leHex32(declared),
+      when(corrupt, lit("4152524f5732")).otherwise(lit("4152524f5731")))
+    withArrowTrailer(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_arrow", "file_bytes", "footer_len",
+        "footer_fits")
+  }
+
+  /** H41: HDF5 superblock parse — the scientific/ML array store
+    * (h5py model checkpoints and datasets ride it): signature
+    * \x89HDF\r\n\x1a\n, then a VERSIONED superblock. Version 0 keeps
+    * size-of-offsets/lengths at bytes 14/15 (after the free-space/
+    * root-group/shared-header version bytes); version 2+ moved them
+    * to bytes 10/11 and added a little-endian end-of-file address at
+    * bytes 29-36 whose excess over the actual file length is the
+    * definitive truncation signal (the spec's own crash-detection
+    * field). Both version legs dispatch per row. */
+  def withHdf5Superblock(df: DataFrame, binCol: String): DataFrame = {
+    val bin = col(binCol)
+    val flen = length(bin).cast("long")
+    def u8(off: Int) = conv(hex(substring(bin, off, 1)), 16, 10).cast("int")
+    val valid = (lower(hex(substring(bin, 1, 8))) === "894844460d0a1a0a").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val ver = u8(9)
+    val v2 = ver >= 2
+    val eof = leU32(bin, lit(29)) + leU32(bin, lit(33)) * lit(4294967296L)
+    df
+      .withColumn("valid_hdf5", valid)
+      .withColumn("sb_version", ifOk(ver))
+      .withColumn("offset_size", ifOk(when(v2, u8(10)).otherwise(u8(14))))
+      .withColumn("length_size", ifOk(when(v2, u8(11)).otherwise(u8(15))))
+      .withColumn("eof_addr", ifOk(when(v2, eof)))
+      .withColumn("truncated", ifOk(when(v2, (eof > flen).cast("int"))))
+  }
+
+  /** H41 driver query: version 0 legs (sizes at 14/15) on doc_id%3==0,
+    * version 2 legs otherwise with a REAL eof address = the synthesized
+    * file length, overstated by 4096 on the truncated leg (every 5th);
+    * corrupt signature every 9th. Formula oracle. */
+  def mmHdf5Meta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val garbage = col("doc_id") % 9 === 0
+    val truncate = col("doc_id") % 5 === 0
+    val isV0 = col("doc_id") % 3 === 0
+    val osz = when(col("doc_id") % 2 === 0, 8).otherwise(4)
+    val fill = (col("doc_id") % 31 + 1).cast("int")
+    // v2 layout: sig(8) ver(1) osz(1) lsz(1) flags(1) base(8) ext(8)
+    // eof(8 le @29) root(8) checksum(4) + body fill → flen = 48 + fill
+    val flenV2 = (lit(48) + fill).cast("int")
+    val eofDecl = when(truncate, flenV2 + lit(4096)).otherwise(flenV2)
+    val v2hx = concat(
+      lit("894844460d0a1a0a"), lit("02"),
+      lpad(lower(hex(osz)), 2, "0"), lpad(lower(hex(osz)), 2, "0"),
+      lit("00"), repeat(lit("00"), 16),
+      leHex32(eofDecl), lit("00000000"),
+      repeat(lit("00"), 12),
+      repeat(lit("00"), fill))
+    // v0 layout: sig(8) ver(1)=00 fsver(1) rgver(1) res(1) shver(1)
+    // osz(1 @14) lsz(1 @15) + tail
+    val v0hx = concat(
+      lit("894844460d0a1a0a"), lit("00"), lit("00000000"),
+      lpad(lower(hex(osz)), 2, "0"), lpad(lower(hex(osz)), 2, "0"),
+      repeat(lit("00"), 8))
+    val hx = when(garbage, lit("89484446deadbeef00"))
+      .otherwise(when(isV0, v0hx).otherwise(v2hx))
+    withHdf5Superblock(d.select(col("doc_id"), unhex(hx).as("_bin")), "_bin")
+      .select("doc_id", "valid_hdf5", "sb_version", "offset_size",
+        "length_size", "eof_addr", "truncated")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_frames"   -> (mmFrames _),
@@ -2872,6 +3094,9 @@ object Multimodal {
     "mm_safetensors_meta" -> (mmSafetensorsMeta _),
     "mm_npy_meta" -> (mmNpyMeta _),
     "mm_gguf_meta" -> (mmGgufMeta _),
+    "mm_avro_meta" -> (mmAvroMeta _),
+    "mm_arrow_meta" -> (mmArrowMeta _),
+    "mm_hdf5_meta" -> (mmHdf5Meta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2952,6 +3177,58 @@ object Multimodal {
         |       END::int AS truncated,
         |  CASE WHEN garbage THEN NULL ELSE 1 END::int AS aligned
         |FROM m""".stripMargin,
+    // mirrors mmAvroMeta: schema_len rebuilds the schema text and
+    // measures it (the field whose varint crosses the 1/2-byte
+    // boundary); garbage every 9th, cut mid-second-key every 5th
+    "mm_avro_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_avro,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 2 END::bigint AS n_meta,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE 'avro.codec' END AS first_key,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE CASE doc_id % 4 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+        |            WHEN 2 THEN 'snappy' ELSE 'zstandard' END END AS codec,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 11 END::bigint AS second_key_len,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 5 = 0 THEN NULL
+        |       ELSE length('{"type":"record","name":"r","doc":"' ||
+        |            repeat('x', (n_chars % 120 + 2)::int) ||
+        |            '","fields":[]}') END::bigint AS schema_len,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END::int AS truncated
+        |FROM documents""".stripMargin,
+    // mirrors mmArrowMeta: file = 8 + fill + 4 + 6 bytes; truncated
+    // leg declares fill+500; corrupt trailing magic every 6th
+    "mm_arrow_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS valid_arrow,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       ELSE doc_id % 23 + 1 + 18 END::bigint AS file_bytes,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN doc_id % 23 + 1 + 500
+        |       ELSE doc_id % 23 + 1 END::bigint AS footer_len,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END::int AS footer_fits
+        |FROM documents""".stripMargin,
+    // mirrors mmHdf5Meta: v0 legs every 3rd (no eof field), v2 legs
+    // otherwise with eof = true length (+4096 on the truncated 5ths);
+    // corrupt signature every 9th
+    "mm_hdf5_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_hdf5,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 0 ELSE 2 END::int AS sb_version,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END::int AS offset_size,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END::int AS length_size,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 3 = 0 THEN NULL
+        |       ELSE 48 + doc_id % 31 + 1 +
+        |            CASE WHEN doc_id % 5 = 0 THEN 4096 ELSE 0 END
+        |  END::bigint AS eof_addr,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 3 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END::int AS truncated
+        |FROM documents""".stripMargin,
     // mirrors mmGgufMeta by the generating formulas: garbage every
     // 9th, key cut mid-bytes every 5th, version 2 every 4th
     "mm_gguf_meta" ->
