@@ -183,14 +183,72 @@ object QualityQueries {
       .orderBy("lang", "source", "len_bucket")
   }
 
+  /** J11: minimum distinct sensitive values per equivalence class. */
+  val DiversityL = 3L
+
+  /** J11: l-diversity audit — the homogeneity-attack check k-anonymity
+    * misses: a class can hold k ≥ K rows and still leak if they all
+    * share one SENSITIVE value (knowing someone is in the class IS
+    * knowing their value). Classes are J10's (lang, source,
+    * length-bucket); the sensitive attribute is the document's leading
+    * term (the content signature a release would protect — the
+    * machinery, not the column choice, is the point). Per class:
+    * k, the distinct sensitive count l, the modal sensitive count, and
+    * two flags — diverse (l ≥ [[DiversityL]]) and homogeneous
+    * (one value covers the class, the worst case). All evidence stays
+    * in EXACT integers (distinct counts and the modal count) rather
+    * than a float entropy — the well-distributed variant's ln() sums
+    * would ride cross-engine float-order differences for no extra
+    * signal at the audit grain.
+    *
+    * Scale shape: two map-side-combinable aggregations ((class, sens)
+    * counts, then the class roll-up of THAT frame); output one row per
+    * class — metadata-scale. */
+  def dqLdiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("source"),
+      expr(s"n_chars div $KanonLenBucket").as("len_bucket"),
+      regexp_extract(col("text"), "^ *([^ ]+)", 1).as("sens"))
+    d.groupBy("lang", "source", "len_bucket", "sens")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(sum(col("cnt")).as("k"),
+        count(lit(1)).as("l_distinct"),
+        max(col("cnt")).as("max_sens_cnt"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("k"),
+        col("l_distinct"), col("max_sens_cnt"),
+        (col("l_distinct") >= DiversityL).cast("int").as("diverse"),
+        (col("max_sens_cnt") === col("k")).cast("int").as("homogeneous"))
+      .orderBy("lang", "source", "len_bucket")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dq_constraints" -> (dqConstraints _),
     "dq_profile"     -> (dqProfile _),
     "dq_drift"       -> (dqDrift _),
     "dq_kanon"       -> (dqKanon _),
+    "dq_ldiversity"  -> (dqLdiversity _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors dqLdiversity: same leading-term regex, same truncating
+    // bucket division, two-stage (class, sens)-count → class roll-up,
+    // int-cast flags — all evidence exact integers
+    "dq_ldiversity" ->
+      s"""WITH q AS (
+         |  SELECT lang, source, n_chars // $KanonLenBucket AS len_bucket,
+         |    regexp_extract(text, '^ *([^ ]+)', 1) AS sens
+         |  FROM documents
+         |), sc AS (
+         |  SELECT lang, source, len_bucket, sens, count(*)::bigint AS cnt
+         |  FROM q GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT lang, source, len_bucket,
+         |  sum(cnt)::bigint AS k,
+         |  count(*)::bigint AS l_distinct,
+         |  max(cnt)::bigint AS max_sens_cnt,
+         |  (count(*) >= $DiversityL)::int AS diverse,
+         |  (max(cnt) = sum(cnt))::int AS homogeneous
+         |FROM sc GROUP BY 1, 2, 3""".stripMargin,
     // mirrors dqKanon: same truncating length-bucket division, the
     // class count, the class-frame roll-up for the generalized k, and
     // int-cast flags (the dq_constraints `passed` precedent)
