@@ -304,6 +304,18 @@ object GraphQueries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
     Graphs.kCore(coOrderEdges(spark, dir), KCoreK, KCoreIterations)
 
+  val OnionKMax = 3
+  val OnionRoundsPerK = 4
+
+  /** C38 driver query: onion decomposition of the co-order part graph
+    * — per vertex its coreness AND the peel round (layer) it survived
+    * to. The fixed (k ≤ 3, 4 rounds per k) schedule defines the
+    * result; sequential stages converge faster than graph_kcore's
+    * direct k=3 peel because the k<3 shells are already gone, and
+    * GraphSpec pins coreness-3 == the independent kCore fixpoint. */
+  def graphOnion(spark: SparkSession, dir: String): DataFrame =
+    Graphs.onion(coOrderEdges(spark, dir), OnionKMax, OnionRoundsPerK)
+
   val KTrussK = 3
   val KTrussIterations = 4
 
@@ -831,6 +843,7 @@ object GraphQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore"     -> (graphKcore _),
+    "graph_onion"     -> (graphOnion _),
     "graph_ktruss"    -> (graphKtruss _),
     "graph_walks"     -> (graphWalks _),
     "graph_node2vec"  -> (graphNode2vec _),
@@ -2012,6 +2025,52 @@ object GraphQueries {
          |),
          |$rounds
          |SELECT u, v, support::bigint AS support FROM k$KTrussIterations""".stripMargin
+    },
+
+    "graph_onion" -> {
+      // fixed-(k, round) peel mirroring Graphs.onion; vertices tracked
+      // explicitly (zero-filled left join) so an edge-orphaned vertex
+      // still drops WITH its layer. Every CTE MATERIALIZED — the
+      // graph_kcore re-inline trap
+      val stages = (for (k <- 1 to OnionKMax; r <- 1 to OnionRoundsPerK)
+        yield {
+          val i = (k - 1) * OnionRoundsPerK + r
+          s"""d$i AS MATERIALIZED (
+             |  SELECT w.id, coalesce(g.deg, 0) AS deg
+             |  FROM v${i - 1} w LEFT JOIN (
+             |    SELECT id, count(*) AS deg FROM (
+             |      SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}
+             |    ) GROUP BY id
+             |  ) g ON w.id = g.id
+             |),
+             |x$i AS MATERIALIZED (
+             |  SELECT id, ${k - 1} AS coreness, $i AS layer FROM d$i WHERE deg < $k
+             |),
+             |v$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k),
+             |e$i AS MATERIALIZED (
+             |  SELECT u, v FROM e${i - 1}
+             |  WHERE u IN (SELECT id FROM v$i) AND v IN (SELECT id FROM v$i)
+             |)""".stripMargin
+        }).mkString(",\n")
+      val n = OnionKMax * OnionRoundsPerK
+      val drops = (1 to n).map(i =>
+        s"SELECT id, coreness, layer FROM x$i").mkString("\nUNION ALL\n")
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= $TriangleMinQty
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |), v0 AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0
+         |  )
+         |),
+         |$stages
+         |SELECT id, coreness::int AS coreness, layer::int AS layer FROM (
+         |$drops
+         |UNION ALL
+         |SELECT id, $OnionKMax AS coreness, ${n + 1} AS layer FROM v$n
+         |)""".stripMargin
     },
 
     "graph_kcore" -> {

@@ -1340,6 +1340,53 @@ object Graphs {
     degrees(e)
   }
 
+  /** C38: onion decomposition (r13) — coreness WITH peel-layer
+    * indices (Hébert-Dufresne et al.'s refinement of the k-core): the
+    * peel runs stages k = 1..kMax of `roundsPerK` rounds each; a
+    * vertex removed in stage k carries coreness k−1 and the GLOBAL
+    * round index as its onion layer (how deep into the peeling it
+    * survived — the centrality signal coreness alone collapses:
+    * two vertices of equal coreness can sit at very different depths
+    * of their shell). Stage-kMax survivors carry coreness kMax and
+    * layer kMax·roundsPerK+1.
+    *
+    * Vertices are tracked EXPLICITLY (zero-filled left join against
+    * the remaining vertex set) — a vertex whose last edge vanishes
+    * mid-stage must still be dropped WITH a layer, which the
+    * edge-derived degree frame alone would silently lose. Fixed
+    * (k, rounds) schedule, so the result is a deterministic function
+    * both engines mirror (the kCore contract); GraphSpec pins that
+    * the coreness-kMax set equals [[kCore]]'s independent fixpoint.
+    * Per round: one map-side-combined degree agg + two semi-joins —
+    * O(E) per round; the emitted frame is O(V) total. */
+  def onion(undirected: DataFrame, kMax: Int, roundsPerK: Int): DataFrame = {
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
+    var verts = degreesOf(e).select(col("id")).localCheckpoint(eager = true)
+    var out = verts.filter(lit(false))
+      .select(col("id"), lit(0).as("coreness"), lit(0).as("layer"))
+    var layer = 0
+    for (k <- 1 to kMax; r <- 1 to roundsPerK) {
+      layer += 1
+      val deg = verts.join(degreesOf(e), Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      out = checkpointEvery(out.unionAll(
+        deg.filter(col("deg") < k)
+          .select(col("id"), lit(k - 1).as("coreness"),
+            lit(layer).as("layer"))), layer, every = 4)
+      verts = deg.filter(col("deg") >= k).select(col("id"))
+        .localCheckpoint(eager = true)
+      e = checkpointEvery(
+        e.join(verts.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(verts.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")), layer, every = 2)
+    }
+    out.unionAll(verts.select(col("id"), lit(kMax).as("coreness"),
+      lit(kMax * roundsPerK + 1).as("layer")))
+  }
+
   /** C9: single-source shortest paths (weighted), Bellman-Ford with
     * fixed rounds: dist_i(v) = min(dist_{i-1}(v), min_u(dist_{i-1}(u) +
     * w(u,v))). Fixed rounds make the result a deterministic function

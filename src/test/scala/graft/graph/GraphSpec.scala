@@ -43,6 +43,36 @@ class GraphSpec extends SparkSpec {
     assert(Graphs.kCore(e, k = 3, iterations = 2).isEmpty)
   }
 
+  test("C38 onion: layers order the peel, coreness-kMax equals the kCore fixpoint") {
+    // triangle x-y-z + pendant chain a-b-x: a drops in the first k=1
+    // round (degree 1 < ... no: degree 1 >= 1) — a and b SURVIVE k=1;
+    // at k=2, a (deg 1) drops round 1, b drops round 2 once a is gone,
+    // the triangle survives to coreness 2
+    val e = edgesDf("x" -> "y", "y" -> "z", "x" -> "z",
+      "a" -> "b", "b" -> "x")
+    val rows = Graphs.onion(e, kMax = 2, roundsPerK = 3).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // k=1 stage (rounds 1-3) drops nobody; k=2 stage: round 4 drops a
+    // (coreness 1), round 5 drops b; triangle survives (layer 7)
+    assert(rows("a") == ((1, 4)) && rows("b") == ((1, 5)), s"$rows")
+    assert(Seq("x", "y", "z").forall(rows(_) == ((2, 7))), s"$rows")
+    // the coreness-kMax set is exactly the independent kCore fixpoint
+    val core = Graphs.kCore(e, k = 2, iterations = 3).collect()
+      .map(_.getString(0)).toSet
+    assert(rows.filter(_._2._1 == 2).keySet == core)
+  }
+
+  test("C38 onion: an edge-orphaned vertex still drops with its layer") {
+    // star: center c with leaves l1..l3; at k=2 every leaf (deg 1)
+    // drops in round 1, which orphans c (deg 0 over remaining edges) —
+    // c must still be emitted, in round 2
+    val e = edgesDf("c" -> "l1", "c" -> "l2", "c" -> "l3")
+    val rows = Graphs.onion(e, kMax = 2, roundsPerK = 3).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(Seq("l1", "l2", "l3").forall(rows(_) == ((1, 4))), s"$rows")
+    assert(rows("c") == ((1, 5)), s"orphaned center must drop with a layer: $rows")
+  }
+
   test("C9 sssp: weighted shortcut beats fewer hops; unreached absent") {
     import spark.implicits._
     // a-b-c path with cheap weights vs direct a-c expensive edge:
