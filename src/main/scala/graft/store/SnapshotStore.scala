@@ -155,6 +155,34 @@ object SnapshotStore {
     * appended data. */
   def files(name: String, v: Long): Seq[String] = readManifest(name, v)
 
+  /** K45: the wall-clock commit time recorded at version `v` (None
+    * for manifests written before the `#at` header landed). Vacuum's
+    * checkpoint rewrite preserves non-#prev headers, so the anchor
+    * survives retention — unlike a manifest file's mtime. */
+  def commitTimeOf(name: String, v: Long): Option[Long] =
+    readLines(resolvedManifestPath(name, v))
+      .find(_.startsWith("#at=")).map(_.stripPrefix("#at=").toLong)
+
+  /** K45: the version visible at wall-clock instant `tsMillis` — the
+    * LATEST version whose commit time is ≤ ts (Delta's AS OF
+    * TIMESTAMP contract). Pre-#at manifests count as arbitrarily old
+    * (always eligible); selection is max-version-among-eligible, so a
+    * clock regression between commits can never un-publish a version
+    * that a pure takeWhile would hide. None = the table did not exist
+    * yet at ts. */
+  def versionAt(name: String, tsMillis: Long): Option[Long] =
+    versions(name)
+      .filter(v => commitTimeOf(name, v).forall(_ <= tsMillis))
+      .lastOption
+
+  /** K45: AS-OF-TIMESTAMP read — [[read]] at [[versionAt]]'s pick. */
+  def readAsOf(spark: SparkSession, name: String, tsMillis: Long): DataFrame = {
+    val v = versionAt(name, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot table '$name' has no version at or before $tsMillis"))
+    read(spark, name, Some(v))
+  }
+
   /** The streaming batchId this version committed, if it was published
     * by [[commitStreamBatch]] (recorded as a `#batch=` header). */
   def batchIdOf(name: String, v: Long): Option[Long] =
@@ -256,6 +284,10 @@ object SnapshotStore {
               else Map.empty: FileDetails) ++ nd
       }.getOrElse(Map.empty)
       val headers = header.toSeq ++
+        // K45: wall-clock commit time — the durable anchor for
+        // AS-OF-TIMESTAMP reads (manifest file mtimes don't survive
+        // vacuum's checkpoint rewrites; a header does)
+        Seq(s"#at=${System.currentTimeMillis()}") ++
         (if (isDelta) Seq(s"#prev=${prev.last}") else Seq.empty) ++
         stats.map(s => s"#stats=${statsToJson(s)}") ++
         (if (fstats.nonEmpty) Seq(s"#fstats=${zonesToJson(fstats)}")

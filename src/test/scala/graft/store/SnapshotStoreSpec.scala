@@ -39,6 +39,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows("t3") == Set((1L, "a"), (2L, "b")))
   }
 
+  test("K45 AS-OF-TIMESTAMP reads resolve to the version visible at that instant") {
+    import spark.implicits._
+    val name = "asof_ts_t"
+    SnapshotStore.commitAppend(name, Seq((1L, "a")).toDF("k", "s"))
+    Thread.sleep(15) // strictly between the two commit clocks
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapshotStore.commitAppend(name, Seq((2L, "b")).toDF("k", "s"))
+    val vs = SnapshotStore.versions(name)
+    // every commit recorded its wall clock, monotonically
+    val times = vs.map(v => SnapshotStore.commitTimeOf(name, v)
+      .getOrElse(fail(s"v$v missing #at")))
+    assert(times == times.sorted && times.head < mid && times.last > mid)
+    assert(SnapshotStore.versionAt(name, mid).contains(vs.head))
+    assert(SnapshotStore.readAsOf(spark, name, mid).count() == 1L,
+      "the mid-instant read must see only the first commit")
+    assert(SnapshotStore.readAsOf(spark, name,
+      System.currentTimeMillis()).count() == 2L)
+    // before the table existed: no version
+    assert(SnapshotStore.versionAt(name, times.head - 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, name, times.head - 1)
+    }
+  }
+
   test("K27 keyed diff classifies insert/delete/update and skips unchanged") {
     import spark.implicits._
     SnapshotStore.commitOverwrite("tdiff",
