@@ -378,6 +378,47 @@ object KgQueries {
         col("neg_i"), col("name").as("neg_object"))
   }
 
+  /** B22: embedding dimensionality of the stub TransE table. */
+  val TranseDim = 4
+
+  /** B22: TransE-style energy audit — the ranking eval a KG-embedding
+    * trainer runs per epoch: for every (h, r, t) and each of its B18
+    * negatives (h, r, t′), compare energy ‖e(h) + e(r) − e(t)‖₁
+    * against the corrupted triple's. Embeddings here are md5-derived
+    * EXACT INTEGERS (dim [[TranseDim]], each coordinate a 4-hex-digit
+    * slice mod 97), standing in for a trained checkpoint exactly as
+    * H2's stub decoder stands in for a codec — with stub vectors the
+    * true-beats-negative rate is chance, and the PIPELINE SHAPE (the
+    * per-relation n_pairs / n_true_better / energy sums a trainer
+    * monitors) is the deliverable; on a cluster you swap the md5
+    * expression for a broadcast checkpoint lookup and nothing else
+    * changes. Integer L1 energies make every aggregate
+    * order-independent — the oracle mirrors bit for bit.
+    *
+    * Scale shape: rides B18's draw (bounded fanout + one idx join);
+    * the scoring is pure per-row expressions; one map-side-combinable
+    * aggregation to relation grain. */
+  def kgTranseEnergy(spark: SparkSession, dir: String): DataFrame = {
+    def emb(kind: String, c: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(md5(concat(lit(kind), lit("|"), c)), i * 4 + 1, 4),
+        16, 10).cast("long") % 97
+    def energy(h: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      (0 until TranseDim)
+        .map(i => abs(emb("e", h, i) + emb("r", r, i) - emb("e", t, i)))
+        .reduce(_ + _)
+    kgNegativeSamples(spark, dir)
+      .withColumn("en_true",
+        energy(col("subject"), col("relation"), col("object")))
+      .withColumn("en_neg",
+        energy(col("subject"), col("relation"), col("neg_object")))
+      .groupBy("relation")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("en_true") < col("en_neg")).cast("long")).as("n_true_better"),
+        sum(col("en_true")).as("sum_true_energy"),
+        sum(col("en_neg")).as("sum_neg_energy"))
+  }
+
   /** B21: the entity2id / relation2id dictionaries a KG-embedding
     * trainer (TransE/DistMult/pykeen conventions) loads next to the
     * B18 negative samples — contiguous 0-based ids in deterministic
@@ -448,6 +489,7 @@ object KgQueries {
     "kg_type_signatures"       -> (kgTypeSignatures _),
     "kg_schema_violations"     -> (kgSchemaViolations _),
     "kg_negative_samples"      -> (kgNegativeSamples _),
+    "kg_transe_energy"         -> (kgTranseEnergy _),
     "kg_ntriples"              -> (kgNtriples _),
     "kg_id_maps"               -> (kgIdMaps _),
   )
@@ -541,6 +583,56 @@ object KgQueries {
          |SELECT e.subject, e.relation, e.object, e.neg_i, r.name AS neg_object
          |FROM e JOIN ranked r ON r.idx = e.idx
          |WHERE r.name <> e.object""".stripMargin,
+
+    // mirrors kgTranseEnergy: the B18 draw verbatim, then the
+    // generated integer-L1 energy (4-hex md5 slices mod 97) and the
+    // relation-grain roll-up — everything exact integers
+    "kg_transe_energy" -> {
+      def embSql(kind: String, x: String, i: Int): String =
+        s"(('0x' || substr(md5('$kind|' || $x), ${i * 4 + 1}, 4))::bigint % 97)"
+      def enSql(h: String, r: String, t: String): String =
+        (0 until KgQueries.TranseDim).map(i =>
+          s"abs(${embSql("e", h, i)} + ${embSql("r", r, i)} - ${embSql("e", t, i)})")
+          .mkString(" + ")
+      s"""WITH t AS ($triplesSql),
+         |tt AS (
+         |  SELECT subject, relation, object FROM t
+         |  WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |    AND object IS NOT NULL AND trim(object) <> ''
+         |),
+         |names AS (
+         |  SELECT DISTINCT name FROM (
+         |    SELECT subject AS name FROM t
+         |    WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |    UNION
+         |    SELECT object FROM t
+         |    WHERE object IS NOT NULL AND trim(object) <> '')
+         |),
+         |ranked AS (SELECT name, row_number() OVER (ORDER BY name) AS idx FROM names),
+         |n AS (SELECT count(*) AS n_nodes FROM names),
+         |e AS (
+         |  SELECT subject, relation, object, neg_i,
+         |    ('0x' || substr(md5(subject || '|' || relation || '|' || object || '|' || neg_i), 1, 8))::bigint
+         |      % n_nodes + 1 AS idx
+         |  FROM tt, n, (SELECT unnest(range(0, ${KgQueries.NegSamplesK})) AS neg_i)
+         |),
+         |pairs AS (
+         |  SELECT e.subject, e.relation, e.object, r.name AS neg_object
+         |  FROM e JOIN ranked r ON r.idx = e.idx
+         |  WHERE r.name <> e.object
+         |),
+         |scored AS (
+         |  SELECT relation,
+         |    ${enSql("subject", "relation", "object")} AS en_true,
+         |    ${enSql("subject", "relation", "neg_object")} AS en_neg
+         |  FROM pairs
+         |)
+         |SELECT relation, count(*)::bigint AS n_pairs,
+         |  sum((en_true < en_neg)::int)::bigint AS n_true_better,
+         |  sum(en_true)::bigint AS sum_true_energy,
+         |  sum(en_neg)::bigint AS sum_neg_energy
+         |FROM scored GROUP BY relation""".stripMargin
+    },
 
     "kg_extract_json" ->
       """SELECT substr(regexp_replace(text, '["{}\[\]]', '', 'g'), 1, 40) AS subject,
