@@ -655,6 +655,55 @@ object SimQueries {
         col("rnk"))
   }
 
+  /** F26: every 17th vector plays the freshly-arrived batch. */
+  val InsertMod = 17
+
+  /** F26: incremental k-NN-graph maintenance — the INSERT path of a
+    * graph-ANN index: attach an arriving batch to the existing corpus
+    * WITHOUT rebuilding the graph. Incoming vectors reuse the
+    * persisted F2 bucket table (their hyperplane hashes were paid at
+    * store-build; nothing re-bucketes the corpus), candidates are
+    * incoming×BASE bucket collisions ONLY — cost ∝ batch × bucket
+    * density, never corpus² — scored exactly, and emitted in BOTH
+    * maintenance directions: 'fwd' rows are each incoming vector's
+    * top-k into the base (its new adjacency list); 'rev' rows are,
+    * per touched base vector, its top-k among the batch — the
+    * candidate updates an insert must merge into stored adjacency
+    * (a base node's kth neighbor may now be an arrival). This is
+    * E7's incremental-admission idiom applied to F16: the graph as a
+    * maintained artifact, not a rebuild. One (t, bucket) shuffle +
+    * two candidate-scale window ranks. */
+  def simKnnInsert(spark: SparkSession, dir: String): DataFrame = {
+    val b = storedLshBuckets(spark, dir)
+    val in = b.filter(col("id") % InsertMod === 0)
+    val base = b.filter(col("id") % InsertMod =!= 0)
+      .select(col("id").as("nid"), col("t"), col("bucket"))
+    val cand = in.join(base, Seq("t", "bucket"))
+      .select(col("id").as("src_id"), col("nid").as("nbr_id")).distinct()
+    val emb = Tables.embeddings(spark, dir)
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("sv")),
+        "src_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nv")),
+        "nbr_id")
+      .withColumn("cos", VectorFunctions.cosineSim(spark, col("sv"), col("nv")))
+      .select("src_id", "nbr_id", "cos")
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("nbr_id").orderBy(col("cos").desc, col("src_id"))
+    val fwd = scored.withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= KnnK)
+      .select(lit("fwd").as("direction"), col("src_id"), col("nbr_id"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+    val rev = scored.withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= KnnK)
+      .select(lit("rev").as("direction"), col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id"), round(col("cos"), 4).as("cos"),
+        col("rnk"))
+    fwd.unionAll(rev)
+  }
+
   /** F16 recall dial: per-source overlap of the LSH graph against the
     * exact graph (the F5 nested-oracle pattern). */
   def simKnnRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -891,6 +940,7 @@ object SimQueries {
     "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "sim_knn_graph"  -> (simKnnGraph _),
     "sim_knn_graph_lsh" -> (simKnnGraphLsh _),
+    "sim_knn_insert" -> (simKnnInsert _),
     "sim_knn_recall" -> (simKnnRecall _),
     "sim_int8_topk"  -> (simInt8Topk _),
     "sim_int8_recall" -> (simInt8Recall _),
@@ -1452,6 +1502,39 @@ object SimQueries {
        |SELECT src_id, nbr_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $KnnK""".stripMargin
   }
 
+  /** Mirror of simKnnInsert: incoming×base collisions, both
+    * maintenance directions ranked. */
+  private lazy val oracleSqlKnnInsert: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS src_id, c.id AS nbr_id
+       |  FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+       |  WHERE a.id % $InsertMod = 0 AND c.id % $InsertMod <> 0
+       |), s AS (
+       |  SELECT c.src_id, c.nbr_id, ${cosSql("se.embedding", "ne.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings se ON se.vec_id = c.src_id
+       |  JOIN embeddings ne ON ne.vec_id = c.nbr_id
+       |), f AS (
+       |  SELECT 'fwd' AS direction, src_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM s
+       |), r AS (
+       |  SELECT 'rev' AS direction, nbr_id AS src_id, src_id AS nbr_id, cos,
+       |    row_number() OVER (PARTITION BY nbr_id ORDER BY cos DESC, src_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT direction, src_id, nbr_id, round(cos, 4) AS cos, rnk
+       |FROM f WHERE rnk <= $KnnK
+       |UNION ALL
+       |SELECT direction, src_id, nbr_id, round(cos, 4) AS cos, rnk
+       |FROM r WHERE rnk <= $KnnK""".stripMargin
+  }
+
   private lazy val oracleSqlAnn: String = {
     val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
       s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
@@ -1726,6 +1809,7 @@ object SimQueries {
 
     "sim_knn_graph" -> oracleSqlKnnExact,
     "sim_knn_graph_lsh" -> oracleSqlKnnLsh,
+    "sim_knn_insert" -> oracleSqlKnnInsert,
     "sim_knn_recall" ->
       s"""WITH exact AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnExact})),
          |lsh AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})),
