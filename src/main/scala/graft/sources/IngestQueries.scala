@@ -476,6 +476,82 @@ object IngestQueries {
     dppLayout(spark, dir); ingSnapshotDiff(spark, dir); ()
   }
 
+  /** A18: WARC/1.0 record parse — THE web-crawl container a training
+    * pipeline starts from (Common Crawl ships WARC; WET/WAT derive
+    * from it). A record is CRLF-separated headers (WARC-Type,
+    * WARC-Target-URI, Content-Length, …) then a blank line and
+    * exactly Content-Length payload bytes. The parse finds the
+    * header/payload boundary with instr(\r\n\r\n), extracts the named
+    * headers with anchored regexes, and slices the payload ONLY when
+    * the declared Content-Length fits the record (an over-declared
+    * length is the truncated-fetch signature — flagged, payload
+    * null). Emitting md5(payload) value-checks the slice against the
+    * oracle's md5 of the generating text — an off-by-one anywhere in
+    * the boundary arithmetic hash-mismatches every row. Pure per-row
+    * expressions; zero shuffle at any scale. Offsets here are
+    * CHARACTER offsets (the synthetic corpus is ASCII, so they equal
+    * the spec's byte offsets; a production reader slices the binary
+    * column directly with the same arithmetic). */
+  def withWarcRecord(df: DataFrame, binCol: String): DataFrame = {
+    val s = decode(col(binCol), "UTF-8")
+    val valid = (substring(s, 1, 5) === "WARC/").cast("int")
+    def ifOk(c: org.apache.spark.sql.Column) = when(valid === 1, c)
+    val out = df
+      .withColumn("_s", s)
+      .withColumn("_hdrEnd", instr(col("_s"), "\r\n\r\n"))
+      .withColumn("_clen", nullif(regexp_extract(col("_s"),
+        "(?m)^Content-Length: ([0-9]+)\r\n", 1), lit("")).cast("long"))
+    val paylOff = col("_hdrEnd") + 4L
+    val fits = col("_hdrEnd") > 0 && col("_clen").isNotNull &&
+      paylOff + col("_clen") - 1L <= length(col("_s"))
+    out
+      .withColumn("valid_warc", valid)
+      .withColumn("warc_version", ifOk(
+        regexp_extract(col("_s"), "^WARC/([0-9.]+)\r", 1)))
+      .withColumn("warc_type", ifOk(
+        regexp_extract(col("_s"), "(?m)^WARC-Type: ([a-z]+)\r\n", 1)))
+      .withColumn("target_uri", ifOk(nullif(
+        regexp_extract(col("_s"), "(?m)^WARC-Target-URI: ([^\r]+)\r\n", 1),
+        lit(""))))
+      .withColumn("content_length", ifOk(col("_clen")))
+      .withColumn("payload_md5", when(valid === 1 && fits,
+        md5(encode(substring(col("_s"), paylOff.cast("int"),
+          col("_clen").cast("int")), "UTF-8"))))
+      .withColumn("truncated", ifOk((!fits).cast("int")))
+      .drop("_s", "_hdrEnd", "_clen")
+  }
+
+  /** A18 driver query: synthesize a WARC record per document — the
+    * doc's own text as payload (Content-Length = its exact byte
+    * length), WARC-Type cycling response/request/warcinfo, the
+    * Target-URI header present on non-warcinfo records only (the real
+    * convention); every 5th doc over-declares Content-Length by 50
+    * (truncated fetch), every 9th is not a WARC record at all. The
+    * oracle rebuilds the record text and md5s the same payload. */
+  def ingWarc(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val garbage = col("doc_id") % 9 === 0
+    val truncate = col("doc_id") % 5 === 0
+    val wtype = when(col("doc_id") % 3 === 0, "response")
+      .when(col("doc_id") % 3 === 1, "request").otherwise("warcinfo")
+    val declared = when(truncate, length(col("text")) + 50L)
+      .otherwise(length(col("text")).cast("long"))
+    val rec = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: "), wtype, lit("\r\n"),
+      when(wtype =!= "warcinfo",
+        concat(lit("WARC-Target-URI: http://corpus.local/doc/"),
+          col("doc_id").cast("string"), lit("\r\n"))).otherwise(lit("")),
+      lit("Content-Length: "), declared.cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      col("text"))
+    val bin = when(garbage, encode(lit("HTTP/1.1 200 OK\r\n\r\nnope"), "UTF-8"))
+      .otherwise(encode(rec, "UTF-8"))
+    withWarcRecord(d.select(col("doc_id"), bin.as("_bin")), "_bin")
+      .select("doc_id", "valid_warc", "warc_version", "warc_type",
+        "target_uri", "content_length", "payload_md5", "truncated")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -488,6 +564,7 @@ object IngestQueries {
     "ing_merge_schema" -> (ingMergeSchema _),
     "ing_corrupt_files" -> (ingCorruptFiles _),
     "ing_lz4"     -> (ingLz4 _),
+    "ing_warc"    -> (ingWarc _),
     "ing_fastcount" -> (ingFastCount _),
     "ing_orc"     -> (ingOrc _),
     "ing_gzip"    -> (ingGzip _),
@@ -577,6 +654,25 @@ object IngestQueries {
       """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents""",
     "ing_lz4" ->
       """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents""",
+    // mirrors ingWarc by the generating formulas; payload_md5 rebuilds
+    // the same md5 the record slice must land on
+    "ing_warc" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS valid_warc,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE '1.0' END AS warc_version,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE CASE doc_id % 3 WHEN 0 THEN 'response'
+        |            WHEN 1 THEN 'request' ELSE 'warcinfo' END END AS warc_type,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 3 = 2 THEN NULL
+        |       ELSE 'http://corpus.local/doc/' || doc_id END AS target_uri,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN length(text) + 50
+        |       ELSE length(text) END::bigint AS content_length,
+        |  CASE WHEN doc_id % 9 = 0 OR doc_id % 5 = 0 THEN NULL
+        |       ELSE md5(text) END AS payload_md5,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END::int AS truncated
+        |FROM documents""".stripMargin,
 
     // K33: footer-derived counts must equal the generating filters
     "ing_fastcount" ->
