@@ -726,6 +726,43 @@ object SnapshotStore {
     }
   }
 
+  /** K46: one row per detail-bearing file of the deep fsck. */
+  final case class RowsReport(version: Long, path: String,
+      manifestRows: Long, footerRows: Long, ok: Boolean)
+
+  /** K46: DEEP fsck — row-count reconciliation between the K44
+    * manifest detail and the parquet footers. [[fsck]] proves the
+    * referenced files EXIST; this proves they still hold what the
+    * commit recorded — the silent-swap / silent-truncation detector
+    * (a replaced or rewritten data file keeps its name, passes the
+    * existence check, and corrupts every read until something
+    * compares CONTENT evidence; row counts are the cheapest such
+    * evidence, and both sides are metadata: the detail header vs one
+    * distributed footer pass). Files from pre-K44 commits carry no
+    * detail and are skipped — run after any incident, alongside
+    * [[fsck]]. */
+  def fsckRows(spark: SparkSession, name: String,
+      version: Option[Long] = None): Seq[RowsReport] = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"unknown table '$name'")
+    val v = version.getOrElse(vs.last)
+    val det = fileDetailsOf(name, v)
+    val fl = files(name, v).filter(f => det.contains(uriPath(f)))
+    if (fl.isEmpty) Seq.empty
+    else {
+      val counts = ParquetLayout.auditFiles(spark, fl)
+        .groupBy("file")
+        .agg(org.apache.spark.sql.functions.sum("n_rows").as("n_rows"))
+        .collect().map(r => (uriPath(r.getString(0)), r.getLong(1))).toMap
+      fl.map { f =>
+        val p = uriPath(f)
+        val m = det(p).rows
+        val fr = counts.getOrElse(p, -1L)
+        RowsReport(v, p, m, fr, m == fr)
+      }
+    }
+  }
+
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
     * (versions, data files, bytes), computed with the same
     * keep+tag-protection rule but touching nothing. The ops-review

@@ -64,6 +64,36 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("K46 deep fsck catches a silently swapped data file that plain fsck passes") {
+    import spark.implicits._
+    val name = "fsck_rows_t"
+    SnapshotStore.commitAppend(name, (1L to 100L).map(i => (i, i % 7)).toDF("k", "g"))
+    // healthy: every file reconciles
+    val before = SnapshotStore.fsckRows(spark, name)
+    assert(before.nonEmpty && before.forall(_.ok))
+    // silently SWAP one referenced file with a different-row-count
+    // parquet file under the same name (rewrite-in-place incident)
+    val victim = new org.apache.hadoop.fs.Path(
+      SnapshotStore.files(name, SnapshotStore.versions(name).last).head)
+    val tmpDir = victim.getParent.suffix("_swap")
+    Seq((999L, 0L)).toDF("k", "g").coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFile = fs.listStatus(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.delete(victim, false)
+    assert(fs.rename(newFile, victim))
+    // existence-only fsck still passes; the deep fsck flags the swap
+    val shallow = SnapshotStore.fsck(name)
+    assert(shallow.forall(r => r.chainOk && r.nMissing == 0),
+      "plain fsck must NOT see the swap (the gap K46 exists to close)")
+    val after = SnapshotStore.fsckRows(spark, name)
+    val bad = after.filter(!_.ok)
+    assert(bad.size == 1 && bad.head.footerRows == 1L &&
+      bad.head.manifestRows > 1L,
+      s"the swapped file must reconcile false: $after")
+  }
+
   test("K27 keyed diff classifies insert/delete/update and skips unchanged") {
     import spark.implicits._
     SnapshotStore.commitOverwrite("tdiff",
