@@ -719,6 +719,67 @@ object GraphQueries {
       Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
         vertices = Some(storedGeoVerts(spark, dir))))
 
+  /** C39 driver query: modularity EXCESS over a degree-preserving
+    * null model — "is Q = 0.12 actually good?" is unanswerable
+    * without the configuration-model baseline (Newman's null
+    * hypothesis: same degree sequence, random wiring). The rewiring
+    * is DETERMINISTIC: each edge contributes two stubs, stubs rank by
+    * md5("cfg|u|v|side") via the distributed rankedAsc (no global
+    * window), and consecutive ranks pair into null edges — degrees
+    * are preserved BY CONSTRUCTION (each vertex keeps exactly its
+    * stub count; dsq_null == dsq_real in the output IS that proof),
+    * self-loops/multi-edges kept per the standard model. Both Qs are
+    * spelled as ONE division of exact integers — Q = (4m·Σe_in −
+    * Σd_c²)/4m² (the louvain-gain spelling) — so no cross-engine
+    * float-sum order exists anywhere. Output: the integer evidence +
+    * both Qs + the excess. */
+  def graphModularityNull(spark: SparkSession, dir: String): DataFrame = {
+    val und = storedGeoUnd(spark, dir).select(col("u"), col("v"))
+      .localCheckpoint(eager = true)
+    val labels = Graphs.labelPropagation(und, LpaIterations,
+        vertices = Some(storedGeoVerts(spark, dir)))
+      .localCheckpoint(eager = true)
+    // guarded driver scalars (the adjudicated pattern): three exact
+    // integers per face
+    def pieces(e: DataFrame): (Long, Long, Long) = {
+      val m = e.count()
+      val bi = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = bi.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      val eIn = e
+        .join(labels.select(col("id").as("u"), col("lbl").as("lbl_u")), "u")
+        .join(labels.select(col("id").as("v"), col("lbl").as("lbl_v")), "v")
+        .filter(col("lbl_u") === col("lbl_v")).count()
+      val dsq = labels.join(deg, "id").groupBy("lbl")
+        .agg(sum(col("deg")).as("d"))
+        .agg(sum(col("d") * col("d"))).head.getLong(0)
+      (m, eIn, dsq)
+    }
+    val (m, eInR, dsqR) = pieces(und)
+    // key = 32-char md5 ++ "|" ++ vid: sliced back BY POSITION, so a
+    // vertex id may contain any character (geo ids are strings)
+    val stubs = und.select(col("u").as("vid"),
+        md5(concat_ws("|", lit("cfg"), col("u"), col("v"), lit(0))).as("h"))
+      .unionAll(und.select(col("v").as("vid"),
+        md5(concat_ws("|", lit("cfg"), col("u"), col("v"), lit(1))).as("h")))
+      .select(concat(col("h"), lit("|"), col("vid")).as("k"))
+    val nullE = Graphs.rankedAsc(stubs, "k", "rn")
+      .select(expr("substr(k, 34)").as("vid"),
+        col("rn"), expr("(rn - 1) div 2").as("grp"))
+      .groupBy("grp")
+      .agg(expr("min_by(vid, rn)").as("u"), expr("max_by(vid, rn)").as("v"))
+      .select(col("u"), col("v")).localCheckpoint(eager = true)
+    val (m2, eInN, dsqN) = pieces(nullE)
+    require(m2 == m, s"stub pairing must preserve edge count: $m2 != $m")
+    def q(eIn: Long, dsq: Long): Double =
+      (4L * m * eIn - dsq).toDouble / (4L * m * m).toDouble
+    spark.range(1).select(lit(m).as("m"),
+      lit(eInR).as("e_in_real"), lit(eInN).as("e_in_null"),
+      lit(dsqR).as("dsq_real"), lit(dsqN).as("dsq_null"),
+      round(lit(q(eInR, dsqR)), 6).as("q_real"),
+      round(lit(q(eInN, dsqN)), 6).as("q_null"),
+      round(lit(q(eInR, dsqR) - q(eInN, dsqN)), 6).as("q_excess"))
+  }
+
   val HarmonicSources = 4
   val HarmonicHops = 3
 
@@ -868,6 +929,7 @@ object GraphQueries {
     "graph_layers"    -> (graphLayers _),
     "graph_scc"       -> (graphScc _),
     "graph_modularity" -> (graphModularity _),
+    "graph_modularity_null" -> (graphModularityNull _),
     "graph_hits"      -> (graphHits _),
     "graph_jaccard"   -> (graphJaccard _),
     "graph_adamic_adar" -> (graphAdamicAdar _),
@@ -1251,6 +1313,63 @@ object GraphQueries {
          |    - (deg_sum::double / (2 * (SELECT m FROM m)))
          |      * (deg_sum::double / (2 * (SELECT m FROM m))), 6) AS q_contrib
          |FROM d LEFT JOIN e_in ON d.community = e_in.community""".stripMargin,
+
+    // mirrors graphModularityNull: the stub ranking is a plain
+    // row_number over the SAME "<md5>|<vid>" strings rankedAsc orders
+    // (byte-lexicographic in both engines); both Qs one exact-integer
+    // division — no float sum anywhere
+    "graph_modularity_null" -> {
+      def piecesSql(edges: String, p: String): String =
+        s"""${p}deg AS (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT u AS id FROM $edges UNION ALL SELECT v FROM $edges
+           |  ) GROUP BY 1
+           |),
+           |${p}ein AS (
+           |  SELECT count(*)::bigint AS e_in
+           |  FROM $edges e JOIN lbl$LpaIterations a ON e.u = a.id
+           |                JOIN lbl$LpaIterations b ON e.v = b.id
+           |  WHERE a.lbl = b.lbl
+           |),
+           |${p}dsq AS (
+           |  SELECT sum(d * d)::bigint AS dsq FROM (
+           |    SELECT sum(deg)::bigint AS d
+           |    FROM lbl$LpaIterations l JOIN ${p}deg g ON l.id = g.id
+           |    GROUP BY l.lbl
+           |  )
+           |)""".stripMargin
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |$lpaLabelCtes,
+         |m AS (SELECT count(*)::bigint AS m FROM und0),
+         |stubs AS (
+         |  SELECT md5('cfg|' || u || '|' || v || '|0') || '|' || u AS k FROM und0
+         |  UNION ALL
+         |  SELECT md5('cfg|' || u || '|' || v || '|1') || '|' || v AS k FROM und0
+         |),
+         |rk AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM stubs),
+         |ne AS (
+         |  SELECT min_by(substr(k, 34), rn) AS u,
+         |         max_by(substr(k, 34), rn) AS v
+         |  FROM rk GROUP BY (rn - 1) // 2
+         |),
+         |${piecesSql("und0", "r")},
+         |${piecesSql("ne", "n")}
+         |SELECT (SELECT m FROM m) AS m,
+         |  (SELECT e_in FROM rein) AS e_in_real,
+         |  (SELECT e_in FROM nein) AS e_in_null,
+         |  (SELECT dsq FROM rdsq) AS dsq_real,
+         |  (SELECT dsq FROM ndsq) AS dsq_null,
+         |  round((4 * m * (SELECT e_in FROM rein) - (SELECT dsq FROM rdsq))::double
+         |    / (4 * m * m), 6) AS q_real,
+         |  round((4 * m * (SELECT e_in FROM nein) - (SELECT dsq FROM ndsq))::double
+         |    / (4 * m * m), 6) AS q_null,
+         |  round((4 * m * (SELECT e_in FROM rein) - (SELECT dsq FROM rdsq))::double
+         |      / (4 * m * m)
+         |    - (4 * m * (SELECT e_in FROM nein) - (SELECT dsq FROM ndsq))::double
+         |      / (4 * m * m), 6) AS q_excess
+         |FROM m""".stripMargin
+    },
 
     "graph_cc" -> {
       // Min-label closure as a recursive CTE (the dedup_survivors
