@@ -142,7 +142,8 @@ object GraphQueries {
     storedUndHashed(spark, dir); storedVertexDict(spark, dir)
     storedDirHashed(spark, dir)
     storedGeoUnd(spark, dir); storedGeoVerts(spark, dir)
-    storedCoOrder(spark, dir); storedLouvain1(spark, dir); ()
+    storedCoOrder(spark, dir); storedLouvain1(spark, dir)
+    storedLpaLabels(spark, dir); ()
   }
 
   /** K18: recursive CTE through the SQL front door (Spark 4's
@@ -314,7 +315,10 @@ object GraphQueries {
     * direct k=3 peel because the k<3 shells are already gone, and
     * GraphSpec pins coreness-3 == the independent kCore fixpoint. */
   def graphOnion(spark: SparkSession, dir: String): DataFrame =
-    Graphs.onion(coOrderEdges(spark, dir), OnionKMax, OnionRoundsPerK)
+    // kMin = 2: stage 1 is a provable no-op on an edge-derived vertex
+    // set (see Graphs.onion) — a third of the barrier floors for free
+    Graphs.onion(coOrderEdges(spark, dir), OnionKMax, OnionRoundsPerK,
+      kMin = 2)
 
   val KTrussK = 3
   val KTrussIterations = 4
@@ -497,8 +501,21 @@ object GraphQueries {
   val LpaIterations = 3
 
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
-    Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
-      vertices = Some(storedGeoVerts(spark, dir)))
+    storedLpaLabels(spark, dir)
+
+  /** Persisted LPA sweep over the geo graph (r13) — built ONCE and
+    * read by graph_lpa, graph_modularity, and graph_modularity_null
+    * (each re-ran the full [[LpaIterations]]-round propagation before;
+    * the storedLouvain1 discipline applied to C5). Bucketed by id:
+    * every consumer joins labels on the vertex. */
+  private def storedLpaLabels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.GraftStore
+    spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_lpa_${GraftStore.dirKey(dir)}", 32, Seq("id")) {
+      Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
+        vertices = Some(storedGeoVerts(spark, dir)))
+    })
+  }
 
   /** C5w driver query: WEIGHTED label propagation over the co-order
     * part graph, votes summed by co-order COUNT (exact integers — the
@@ -715,9 +732,7 @@ object GraphQueries {
   /** C13 driver query: modularity of the LPA partition over the geo
     * graph — how well the propagated communities separate the edges. */
   def graphModularity(spark: SparkSession, dir: String): DataFrame =
-    Graphs.modularity(storedGeoUnd(spark, dir),
-      Graphs.labelPropagation(storedGeoUnd(spark, dir), LpaIterations,
-        vertices = Some(storedGeoVerts(spark, dir))))
+    Graphs.modularity(storedGeoUnd(spark, dir), storedLpaLabels(spark, dir))
 
   /** C39 driver query: modularity EXCESS over a degree-preserving
     * null model — "is Q = 0.12 actually good?" is unanswerable
@@ -736,23 +751,24 @@ object GraphQueries {
   def graphModularityNull(spark: SparkSession, dir: String): DataFrame = {
     val und = storedGeoUnd(spark, dir).select(col("u"), col("v"))
       .localCheckpoint(eager = true)
-    val labels = Graphs.labelPropagation(und, LpaIterations,
-        vertices = Some(storedGeoVerts(spark, dir)))
-      .localCheckpoint(eager = true)
+    val labels = storedLpaLabels(spark, dir)
     // guarded driver scalars (the adjudicated pattern): three exact
     // integers per face
     def pieces(e: DataFrame): (Long, Long, Long) = {
-      val m = e.count()
       val bi = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val deg = bi.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-      val eIn = e
+      // every endpoint carries an LPA label, so the inner join keeps
+      // all m edges — one action yields m AND e_in
+      val r = e
         .join(labels.select(col("id").as("u"), col("lbl").as("lbl_u")), "u")
         .join(labels.select(col("id").as("v"), col("lbl").as("lbl_v")), "v")
-        .filter(col("lbl_u") === col("lbl_v")).count()
+        .agg(count(lit(1)).as("m"),
+          sum((col("lbl_u") === col("lbl_v")).cast("long")).as("e_in"))
+        .head
       val dsq = labels.join(deg, "id").groupBy("lbl")
         .agg(sum(col("deg")).as("d"))
         .agg(sum(col("d") * col("d"))).head.getLong(0)
-      (m, eIn, dsq)
+      (r.getLong(0), r.getLong(1), dsq)
     }
     val (m, eInR, dsqR) = pieces(und)
     // key = 32-char md5 ++ "|" ++ vid: sliced back BY POSITION, so a
@@ -2151,9 +2167,11 @@ object GraphQueries {
       // explicitly (zero-filled left join) so an edge-orphaned vertex
       // still drops WITH its layer. Every CTE MATERIALIZED — the
       // graph_kcore re-inline trap
-      val stages = (for (k <- 1 to OnionKMax; r <- 1 to OnionRoundsPerK)
+      // kMin = 2 like the Spark face: the k = 1 stage is a provable
+      // no-op (every edge-derived vertex has deg ≥ 1)
+      val stages = (for (k <- 2 to OnionKMax; r <- 1 to OnionRoundsPerK)
         yield {
-          val i = (k - 1) * OnionRoundsPerK + r
+          val i = (k - 2) * OnionRoundsPerK + r
           s"""d$i AS MATERIALIZED (
              |  SELECT w.id, coalesce(g.deg, 0) AS deg
              |  FROM v${i - 1} w LEFT JOIN (
@@ -2171,7 +2189,7 @@ object GraphQueries {
              |  WHERE u IN (SELECT id FROM v$i) AND v IN (SELECT id FROM v$i)
              |)""".stripMargin
         }).mkString(",\n")
-      val n = OnionKMax * OnionRoundsPerK
+      val n = (OnionKMax - 1) * OnionRoundsPerK
       val drops = (1 to n).map(i =>
         s"SELECT id, coreness, layer FROM x$i").mkString("\nUNION ALL\n")
       s"""WITH l AS (

@@ -1359,7 +1359,8 @@ object Graphs {
     * the coreness-kMax set equals [[kCore]]'s independent fixpoint.
     * Per round: one map-side-combined degree agg + two semi-joins —
     * O(E) per round; the emitted frame is O(V) total. */
-  def onion(undirected: DataFrame, kMax: Int, roundsPerK: Int): DataFrame = {
+  def onion(undirected: DataFrame, kMax: Int, roundsPerK: Int,
+      kMin: Int = 1): DataFrame = {
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -1368,7 +1369,12 @@ object Graphs {
     var out = verts.filter(lit(false))
       .select(col("id"), lit(0).as("coreness"), lit(0).as("layer"))
     var layer = 0
-    for (k <- 1 to kMax; r <- 1 to roundsPerK) {
+    // callers may start at kMin = 2: on an edge-derived vertex set the
+    // k = 1 stage is a PROVABLE no-op (every present vertex has deg ≥ 1
+    // and nothing is removed to orphan one), so its rounds are pure
+    // barrier cost; coreness semantics are unchanged (nobody can carry
+    // coreness < kMin − 1)
+    for (k <- kMin to kMax; r <- 1 to roundsPerK) {
       layer += 1
       val deg = verts.join(degreesOf(e), Seq("id"), "left")
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
@@ -1384,7 +1390,7 @@ object Graphs {
           .select(col("u"), col("v")), layer, every = 2)
     }
     out.unionAll(verts.select(col("id"), lit(kMax).as("coreness"),
-      lit(kMax * roundsPerK + 1).as("layer")))
+      lit((kMax - kMin + 1) * roundsPerK + 1).as("layer")))
   }
 
   /** C9: single-source shortest paths (weighted), Bellman-Ford with

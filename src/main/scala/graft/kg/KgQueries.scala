@@ -99,10 +99,24 @@ object KgQueries {
       GraphBuilder.nodes(storedTriples(spark, dir))
     })
 
+  /** The deterministic name ranking (r13): kg_negative_samples,
+    * kg_transe_energy, and kg_id_maps all draw against the SAME
+    * contiguous name order — persisting it runs the distributed
+    * rankedAsc once per session instead of once per query (the
+    * storedNodes discipline applied to the rank frame). Bucketed by
+    * idx: the B18 draw joins on it. */
+  def storedNameRanks(spark: SparkSession, dir: String): DataFrame =
+    spark.table(graft.store.GraftStore.ensureBucketed(
+      spark, s"graft_kgrank_${graft.store.GraftStore.dirKey(dir)}", 32, Seq("idx")) {
+      graft.graph.Graphs.rankedAsc(
+        storedNodes(spark, dir).select(col("name")).distinct(), "name", "idx")
+    })
+
   /** Bench hook: force the one-time KG store builds (triples → edges,
-    * nodes) so they are paid outside per-query timings. */
+    * nodes, name ranks) so they are paid outside per-query timings. */
   def warmStores(spark: SparkSession, dir: String): Unit = {
-    storedEdges(spark, dir); storedNodes(spark, dir); ()
+    storedEdges(spark, dir); storedNodes(spark, dir)
+    storedNameRanks(spark, dir); ()
   }
 
   def kgNodes(spark: SparkSession, dir: String): DataFrame =
@@ -362,8 +376,7 @@ object KgQueries {
       .filter(col("subject").isNotNull && trim(col("subject")) =!= "" &&
         col("object").isNotNull && trim(col("object")) =!= "")
       .select("subject", "relation", "object")
-    val names = storedNodes(spark, dir).select(col("name")).distinct()
-    val ranked = graft.graph.Graphs.rankedAsc(names, "name", "idx")
+    val ranked = storedNameRanks(spark, dir)
     val nNodes = broadcast(ranked.agg(count(lit(1)).as("n_nodes")))
     t.crossJoin(nNodes)
       .select(col("subject"), col("relation"), col("object"), col("n_nodes"),
@@ -427,9 +440,8 @@ object KgQueries {
     * one frame keyed by kind. The same ranking B18 draws against, so
     * ids and negatives stay consistent by construction. */
   def kgIdMaps(spark: SparkSession, dir: String): DataFrame = {
-    val names = storedNodes(spark, dir).select(col("name")).distinct()
     val rels = storedEdges(spark, dir).select(col("rel").as("name")).distinct()
-    val e = graft.graph.Graphs.rankedAsc(names, "name", "idx")
+    val e = storedNameRanks(spark, dir)
       .select(lit("entity").as("kind"), col("name"), (col("idx") - 1).as("id"))
     val r = graft.graph.Graphs.rankedAsc(rels, "name", "idx")
       .select(lit("relation").as("kind"), col("name"), (col("idx") - 1).as("id"))
