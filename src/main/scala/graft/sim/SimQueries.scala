@@ -704,6 +704,49 @@ object SimQueries {
     fwd.unionAll(rev)
   }
 
+  /** F27: every 23rd vector plays the tombstoned batch. */
+  val DeleteMod = 23
+
+  /** F27: k-NN-graph DELETE repair — the other half of F26's
+    * maintenance story: tombstone a batch and repair ONLY the
+    * adjacency lists that referenced it. Affected sources are read
+    * from the PERSISTED graph (rows whose neighbor died — a
+    * metadata-scale semi-join, never a corpus scan); each affected
+    * source then rebuilds its top-k from its own bucket collisions
+    * with the tombstones excluded — cost ∝ affected × bucket density.
+    * Rows whose SOURCE died simply drop (no repair owed). At 100 TB
+    * this is the difference between "deletes force a nightly rebuild"
+    * and "deletes are an incremental repair job": the two queries
+    * F26/F27 together are the full index-maintenance contract. */
+  def simKnnDelete(spark: SparkSession, dir: String): DataFrame = {
+    val dead = col("id") % DeleteMod === 0
+    val g = storedKnnGraph(spark, dir)
+    val affected = g
+      .filter(col("nbr_id") % DeleteMod === 0 &&
+        col("src_id") % DeleteMod =!= 0)
+      .select(col("src_id").as("id")).distinct()
+    val b = storedLshBuckets(spark, dir)
+    val srcB = b.join(affected, "id")
+    val cand = srcB.join(
+        b.filter(!dead).select(col("id").as("nid"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id").as("src_id"), col("nid").as("nbr_id")).distinct()
+    val emb = Tables.embeddings(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id"))
+    cand
+      .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("sv")),
+        "src_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nv")),
+        "nbr_id")
+      .withColumn("cos", VectorFunctions.cosineSim(spark, col("sv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select(col("src_id"), col("nbr_id"), round(col("cos"), 4).as("cos"),
+        col("rnk"))
+  }
+
   /** F16 recall dial: per-source overlap of the LSH graph against the
     * exact graph (the F5 nested-oracle pattern). */
   def simKnnRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -941,6 +984,7 @@ object SimQueries {
     "sim_knn_graph"  -> (simKnnGraph _),
     "sim_knn_graph_lsh" -> (simKnnGraphLsh _),
     "sim_knn_insert" -> (simKnnInsert _),
+    "sim_knn_delete" -> (simKnnDelete _),
     "sim_knn_recall" -> (simKnnRecall _),
     "sim_int8_topk"  -> (simInt8Topk _),
     "sim_int8_recall" -> (simInt8Recall _),
@@ -1535,6 +1579,50 @@ object SimQueries {
        |FROM r WHERE rnk <= $KnnK""".stripMargin
   }
 
+  /** Mirror of simKnnDelete: rebuild the stored graph, find sources
+    * whose neighbor died, repair their top-k with tombstones
+    * excluded. */
+  private lazy val oracleSqlKnnDelete: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$bandSelects
+       |), cand0 AS (
+       |  SELECT DISTINCT a.id AS src_id, c.id AS nbr_id
+       |  FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.id <> c.id
+       |), s0 AS (
+       |  SELECT c.src_id, c.nbr_id, ${cosSql("se.embedding", "ne.embedding")} AS cos
+       |  FROM cand0 c
+       |  JOIN embeddings se ON se.vec_id = c.src_id
+       |  JOIN embeddings ne ON ne.vec_id = c.nbr_id
+       |), g AS (
+       |  SELECT src_id, nbr_id FROM (
+       |    SELECT src_id, nbr_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rnk
+       |    FROM s0
+       |  ) WHERE rnk <= $KnnK
+       |), aff AS (
+       |  SELECT DISTINCT src_id AS id FROM g
+       |  WHERE nbr_id % $DeleteMod = 0 AND src_id % $DeleteMod <> 0
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS src_id, c.id AS nbr_id
+       |  FROM b a JOIN aff ON a.id = aff.id
+       |  JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+       |  WHERE c.id % $DeleteMod <> 0 AND c.id <> a.id
+       |), s AS (
+       |  SELECT c.src_id, c.nbr_id, ${cosSql("se.embedding", "ne.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings se ON se.vec_id = c.src_id
+       |  JOIN embeddings ne ON ne.vec_id = c.nbr_id
+       |), r AS (
+       |  SELECT src_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT src_id, nbr_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $KnnK""".stripMargin
+  }
+
   private lazy val oracleSqlAnn: String = {
     val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
       s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
@@ -1810,6 +1898,7 @@ object SimQueries {
     "sim_knn_graph" -> oracleSqlKnnExact,
     "sim_knn_graph_lsh" -> oracleSqlKnnLsh,
     "sim_knn_insert" -> oracleSqlKnnInsert,
+    "sim_knn_delete" -> oracleSqlKnnDelete,
     "sim_knn_recall" ->
       s"""WITH exact AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnExact})),
          |lsh AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})),
