@@ -947,6 +947,48 @@ object TextQueries {
     * exchange) → distinct + two keyed aggregations. Docs shorter than
     * one full window winnow to their global min gram; docs with < 3
     * tokens fall back to md5(text). */
+  /** G51: repeated-span gram size (Rae et al. trim 8-grams). */
+  val SpanGram = 8
+
+  /** G51: within-doc repeated-span coverage — the measurement half of
+    * Gopher/MassiveText's repetition REMOVAL rule (drop or trim docs
+    * whose duplicate 8-gram spans cover too much text): every token
+    * position covered by an 8-gram whose identical gram appeared
+    * EARLIER in the same document counts as removable, and the
+    * distinct-position union (not a per-gram sum — overlapping
+    * repeats must not double-count) over token count is the trim
+    * ratio. G25 measures gram-level duplication; this is the
+    * span-coverage spelling the removal rule actually thresholds.
+    * One window per doc for grams + one per (doc, gram) for first
+    * positions + a bounded ×8 position explode — all partitioned by
+    * doc, no global stage. */
+  def textSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = d.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val gram = concat_ws(" ",
+      col("t") +: (1 until SpanGram).map(i => lead(col("t"), i).over(w)): _*)
+    val grams = toks.select(col("doc_id"), col("pos"),
+        when(lead(col("t"), SpanGram - 1).over(w).isNotNull, md5(gram)).as("h"))
+      .filter(col("h").isNotNull)
+    val rep = grams
+      .withColumn("fp", min(col("pos")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "h")))
+      .filter(col("pos") > col("fp"))
+    val covered = rep.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanGram - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    d.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double")
+          / col("n_tokens"), 4).as("dup_span_ratio"))
+  }
+
   def textWinnow(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
@@ -1390,6 +1432,7 @@ object TextQueries {
     "text_line_dedup"   -> (textLineDedup _),
     "text_boilerplate"  -> (textBoilerplate _),
     "text_winnow"       -> (textWinnow _),
+    "text_span_dedup"   -> (textSpanDedup _),
     "text_tfidf"        -> (textTfidf _),
     "text_bm25"         -> (textBm25 _),
     "text_bm25_indexed" -> (textBm25Indexed _),
@@ -1571,6 +1614,39 @@ object TextQueries {
     // mirrors textWinnow: same grams, same rolling-min frame (truncated
     // at partition end), same valid-start cut, same fallbacks —
     // generated from WinnowGram/WinnowWindow
+    // mirrors textSpanDedup: same token split, 8-gram hashes at the
+    // same 0-based positions, first-position window, distinct-position
+    // coverage union
+    "text_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(${(0 until SpanGram).map(j => s"t[i + $j]").mkString(" || ' ' || ")}) AS h
+         |  FROM toks, unnest(range(1, length(t) - ${SpanGram - 2})) AS r(i)
+         |  WHERE length(t) >= $SpanGram
+         |), rep AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      min(pos) OVER (PARTITION BY doc_id, h) AS fp
+         |    FROM g
+         |  ) WHERE pos > fp
+         |), cov AS (
+         |  SELECT DISTINCT doc_id, pos + j AS p
+         |  FROM rep, unnest(range(0, $SpanGram)) AS s(j)
+         |), nc AS (
+         |  SELECT doc_id, count(*)::bigint AS n_covered FROM cov GROUP BY 1
+         |), tot AS (
+         |  SELECT doc_id, length(t)::int AS n_tokens FROM toks
+         |)
+         |SELECT t.doc_id, t.n_tokens,
+         |  coalesce(nc.n_covered, 0)::bigint AS n_covered,
+         |  round(coalesce(nc.n_covered, 0)::double / t.n_tokens, 4)
+         |    AS dup_span_ratio
+         |FROM tot t LEFT JOIN nc ON t.doc_id = nc.doc_id""".stripMargin,
+
     "text_winnow" ->
       s"""WITH toks AS (
          |  SELECT doc_id, text,
