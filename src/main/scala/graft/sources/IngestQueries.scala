@@ -455,6 +455,27 @@ object IngestQueries {
     SnapshotStore.diff(spark, name, 0L, 1L, Seq("o_orderkey"))
   }
 
+  /** K45 driver query: AS-OF-TIMESTAMP read against the K27 snapshot
+    * history — resolve the instant of version 0's OWN commit clock
+    * (the ≤ boundary case) and summarize what that read sees; the
+    * oracle recomputes the v0 generating filter, so a resolver that
+    * lands on the wrong version hash-mismatches both columns. The
+    * commit-clock monotonicity the contract rests on is asserted
+    * in-query. */
+  def ingAsofRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, SnapshotStore}
+    ingSnapshotDiff(spark, dir) // ensures the 2-version table exists
+    val name = s"ord_diff_${GraftStore.dirKey(dir)}"
+    val Seq(v0, v1) = SnapshotStore.versions(name).take(2)
+    val t0 = SnapshotStore.commitTimeOf(name, v0).get
+    val t1 = SnapshotStore.commitTimeOf(name, v1).get
+    require(t1 > t0, s"commit clocks must advance: $t0 -> $t1")
+    SnapshotStore.readAsOf(spark, name, t0)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_c")).as("sum_price_c"))
+      .select(lit(0L).as("version"), col("n_rows"), col("sum_price_c"))
+  }
+
   /** K33 driver query: the metadata-only count against BOTH versions
     * of the K27 snapshot history — the numbers come from parquet
     * FOOTERS of the manifests' file lists (never a data scan) and the
@@ -565,6 +586,7 @@ object IngestQueries {
     "ing_corrupt_files" -> (ingCorruptFiles _),
     "ing_lz4"     -> (ingLz4 _),
     "ing_warc"    -> (ingWarc _),
+    "ing_asof"    -> (ingAsofRead _),
     "ing_fastcount" -> (ingFastCount _),
     "ing_orc"     -> (ingOrc _),
     "ing_gzip"    -> (ingGzip _),
@@ -673,6 +695,14 @@ object IngestQueries {
         |  CASE WHEN doc_id % 9 = 0 THEN NULL
         |       WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END::int AS truncated
         |FROM documents""".stripMargin,
+
+    // K45: the AS-OF read at v0's own commit instant must see exactly
+    // the v0 generating filter
+    "ing_asof" ->
+      """SELECT 0::bigint AS version,
+        |  count(*)::bigint AS n_rows,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::bigint AS sum_price_c
+        |FROM orders WHERE o_orderkey % 5 <> 4""".stripMargin,
 
     // K33: footer-derived counts must equal the generating filters
     "ing_fastcount" ->
