@@ -747,6 +747,35 @@ object SimQueries {
         col("rnk"))
   }
 
+  /** K47: MERGE the F27 delete repair back into the persisted graph
+    * as a SNAPSHOT-STORE commit — the piece that turns F26/F27 from
+    * "queries that compute maintenance deltas" into "the ANN index is
+    * a maintained lake table": version 0 is the built graph, version
+    * 1 is the post-delete state (dead sources and dead neighbors
+    * dropped, affected sources' adjacency replaced by their repaired
+    * top-k, untouched rows carried AS IS), and K20 time travel keeps
+    * the pre-delete index readable for rollback/audit. Returns
+    * (table, v0, v1); idempotent per session via the snapCommitted
+    * memo discipline would re-commit — callers own the cadence.
+    * Spec-pinned in KnnMaintenanceSpec: no dead references survive,
+    * affected adjacency == the repair exactly, untouched adjacency
+    * byte-stable, v0 unchanged. */
+  def applyDeleteRepair(spark: SparkSession, dir: String): (String, Long, Long) = {
+    import graft.store.{GraftStore, SnapshotStore}
+    val name = s"knng_snap_${GraftStore.dirKey(dir)}"
+    if (SnapshotStore.versions(name).isEmpty)
+      SnapshotStore.commitOverwrite(name, storedKnnGraph(spark, dir))
+    val v0 = SnapshotStore.versions(name).head
+    val g = SnapshotStore.read(spark, name, Some(v0))
+    val repaired = simKnnDelete(spark, dir)
+    val kept = g
+      .filter(col("src_id") % DeleteMod =!= 0 &&
+        col("nbr_id") % DeleteMod =!= 0)
+      .join(repaired.select("src_id").distinct(), Seq("src_id"), "left_anti")
+    val v1 = SnapshotStore.commitOverwrite(name, kept.unionByName(repaired))
+    (name, v0, v1)
+  }
+
   /** F16 recall dial: per-source overlap of the LSH graph against the
     * exact graph (the F5 nested-oracle pattern). */
   def simKnnRecall(spark: SparkSession, dir: String): DataFrame = {
