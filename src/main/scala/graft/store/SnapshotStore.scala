@@ -820,8 +820,20 @@ object SnapshotStore {
       keptVersions.foreach { kv =>
         if (prevOf(name, kv).exists(p => !keptSet.contains(p))) {
           val full = readManifest(name, kv)
+          // K42/K44: a DELTA's #fstats/#fdetail cover only ITS files —
+          // earlier files resolved via the #prev link this rewrite
+          // severs. The checkpoint must carry the RESOLVED maps or
+          // zone pruning and exact planning stats silently degrade to
+          // their conservative fallbacks for every pre-delta file.
+          val resolvedZones = fileZonesOf(name, kv)
+          val resolvedDetail = fileDetailsOf(name, kv)
           val headers = readLines(manifestPath(name, kv))
-            .filter(l => l.startsWith("#") && !l.startsWith("#prev="))
+            .filter(l => l.startsWith("#") && !l.startsWith("#prev=") &&
+              !l.startsWith("#fstats=") && !l.startsWith("#fdetail=")) ++
+            (if (resolvedZones.nonEmpty)
+              Seq(s"#fstats=${zonesToJson(resolvedZones)}") else Seq.empty) ++
+            (if (resolvedDetail.nonEmpty)
+              Seq(s"#fdetail=${detailsToJson(resolvedDetail)}") else Seq.empty)
           val tmp = new Path(manifestDir(name), s".v$kv.ckpt.tmp")
           val out = fs.create(tmp, true)
           try out.write((headers ++ full).mkString("\n").getBytes("UTF-8"))

@@ -64,6 +64,32 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("K42/K44 vacuum's checkpoint rewrite carries the RESOLVED zone and detail maps") {
+    import spark.implicits._
+    val name = "vac_detail_t"
+    // v0 full + v1/v2 deltas (interval 10): each delta's #fstats/
+    // #fdetail cover only ITS files — resolution rides #prev
+    SnapshotStore.commitAppend(name, (1L to 100L).map(i => (i, i % 5)).toDF("k", "g"))
+    SnapshotStore.commitAppend(name, (101L to 200L).map(i => (i, i % 5)).toDF("k", "g"))
+    SnapshotStore.commitAppend(name, (201L to 300L).map(i => (i, i % 5)).toDF("k", "g"))
+    val last = SnapshotStore.versions(name).last
+    val zonesBefore = SnapshotStore.fileZonesOf(name, last)
+    val detailBefore = SnapshotStore.fileDetailsOf(name, last)
+    assert(detailBefore.size == SnapshotStore.files(name, last).size,
+      "every file must carry detail before the vacuum")
+    // keep=2 drops v0 → v1's #prev leaves the kept set → v1 is
+    // rewritten as a full checkpoint; without resolved maps the
+    // rewrite would silently lose v0's files' zones/detail
+    SnapshotStore.vacuum(name, keep = 2)
+    assert(SnapshotStore.fileZonesOf(name, last) == zonesBefore,
+      "zone map must survive the rewrite RESOLVED")
+    assert(SnapshotStore.fileDetailsOf(name, last) == detailBefore,
+      "detail map must survive the rewrite RESOLVED")
+    // and the consumers still see exactness: deep fsck reconciles all
+    val rr = SnapshotStore.fsckRows(spark, name)
+    assert(rr.size == SnapshotStore.files(name, last).size && rr.forall(_.ok))
+  }
+
   test("K46 deep fsck catches a silently swapped data file that plain fsck passes") {
     import spark.implicits._
     val name = "fsck_rows_t"
