@@ -250,12 +250,17 @@ object Dedup {
     val cAB = inter / size(col("ha"))   // A contained in B when high
     val cBA = inter / size(col("hb"))
     // the shingle-set side is docs-scale (one row per doc); the
-    // candidate side is PAIRS-scale (quadratic in rare-hash df) —
-    // broadcast the small side so the pair frame never shuffles for
-    // either array fetch
+    // candidate side is PAIRS-scale (quadratic in rare-hash df). No
+    // forced broadcast here: the docs-scale side is NOT broadcastable
+    // at corpus scale (one md5-hex array per document — far past any
+    // driver/executor budget at 100 TB), and a hint bypasses
+    // autoBroadcastJoinThreshold entirely. AQE's runtime re-plan
+    // broadcasts it whenever it actually fits (it does at bench SF, so
+    // the pair frame still never shuffles there) and degrades to a
+    // shuffle join gracefully when it doesn't.
     cand
-      .join(broadcast(sets.select(col("id").as("doc_a"), col("sh").as("ha"))), "doc_a")
-      .join(broadcast(sets.select(col("id").as("doc_b"), col("sh").as("hb"))), "doc_b")
+      .join(sets.select(col("id").as("doc_a"), col("sh").as("ha")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("sh").as("hb")), "doc_b")
       .withColumn("containment", round(greatest(cAB, cBA), 4))
       .withColumn("direction", when(cAB >= cBA, "a_in_b").otherwise("b_in_a"))
       .filter(col("containment") >= threshold)

@@ -262,7 +262,11 @@ object SnapshotStore {
         .toOption.flatten
       val stats: Option[TableStats] =
         if (append) (prev.lastOption.flatMap(statsOf(name, _)), computed.map(_._1)) match {
-          case (Some(p), Some(c)) => Some(mergeStats(p, c, schema))
+          case (Some(p), Some(c)) =>
+            // advisory, never fails the commit: a merge that throws
+            // degrades to this commit's own (non-cumulative) stats —
+            // the same honest fallback as a gap in the chain
+            scala.util.Try(mergeStats(p, c, schema)).toOption.orElse(Some(c))
           case (_, cur) => cur // a gap in the chain: stop claiming cumulative
         } else computed.map(_._1)
       // K42: a delta manifest carries ITS files' zones (symmetric with
@@ -283,11 +287,22 @@ object SnapshotStore {
         else (if (append && prev.nonEmpty) fileDetailsOf(name, prev.last)
               else Map.empty: FileDetails) ++ nd
       }.getOrElse(Map.empty)
+      // K45: wall-clock commit time — the durable anchor for
+      // AS-OF-TIMESTAMP reads (manifest file mtimes don't survive
+      // vacuum's checkpoint rewrites; a header does). Strictly
+      // monotonic per table: two commits landing in the same
+      // millisecond would otherwise be indistinguishable to
+      // versionAt, so a same-or-regressed clock bumps past the
+      // previous version's anchor (the Delta/Iceberg commit-clock
+      // convention).
+      val at = {
+        val now = System.currentTimeMillis()
+        val prevAt = prev.lastOption.flatMap(v =>
+          scala.util.Try(commitTimeOf(name, v)).toOption.flatten)
+        math.max(now, prevAt.map(_ + 1L).getOrElse(now))
+      }
       val headers = header.toSeq ++
-        // K45: wall-clock commit time — the durable anchor for
-        // AS-OF-TIMESTAMP reads (manifest file mtimes don't survive
-        // vacuum's checkpoint rewrites; a header does)
-        Seq(s"#at=${System.currentTimeMillis()}") ++
+        Seq(s"#at=$at") ++
         (if (isDelta) Seq(s"#prev=${prev.last}") else Seq.empty) ++
         stats.map(s => s"#stats=${statsToJson(s)}") ++
         (if (fstats.nonEmpty) Seq(s"#fstats=${zonesToJson(fstats)}")
@@ -845,11 +860,27 @@ object SnapshotStore {
           // between the two calls, and nothing has been dropped yet —
           // still "orphan data files only", never a lost table state.
           fs.delete(target, false)
-          require(fs.rename(tmp, target),
-            s"checkpoint rewrite failed for $name v$kv")
+          if (!fs.rename(tmp, target)) {
+            // a reader in resolvedManifestPath can win the
+            // delete→rename window and publish the tmp first (same
+            // bytes — we just wrote them); the on-disk state is then
+            // exactly what this rewrite wanted, so only fail when the
+            // target is genuinely absent
+            require(fs.exists(target),
+              s"checkpoint rewrite failed for $name v$kv")
+          }
         }
       }
-      drop.foreach(v => fs.delete(manifestPath(name, v), false))
+      // drop the version's checkpoint tmp too: a stale .ckpt.tmp left
+      // by a vacuum that crashed after writing the tmp but before its
+      // delete→rename (target intact, tmp never consumed) would —
+      // once the published manifest is gone — resurrect the version
+      // via versions()/resolvedManifestPath with a file list pointing
+      // at data this vacuum is about to delete
+      drop.foreach { v =>
+        fs.delete(manifestPath(name, v), false)
+        fs.delete(ckptTmpPath(name, v), false)
+      }
       committedBatches.get(name).foreach(m =>
         m.filterInPlace((_, v) => !dropped.contains(v)))
       indexCache.keys.filter(k => k._2 == name && dropped.contains(k._3))
@@ -862,6 +893,19 @@ object SnapshotStore {
           }.toSeq
           if (kept.isEmpty) fs.delete(d.getPath, true)
         }
+    }
+    // sweep stale .ckpt.tmp files of KEPT versions whose target is
+    // intact (a vacuum that crashed between writing the tmp and its
+    // delete→rename leaves one): safe under the store lock — readers
+    // only touch a tmp when the published target is missing — and
+    // necessary, because a lingering tmp would resurrect its version
+    // after a LATER vacuum drops the published manifest. Runs even
+    // when this vacuum drops nothing.
+    val fsm = fsOf(manifestDir(name))
+    keptVersions.foreach { kv =>
+      val t = ckptTmpPath(name, kv)
+      if (fsm.exists(manifestPath(name, kv)) && fsm.exists(t))
+        fsm.delete(t, false)
     }
   }
 
@@ -1083,7 +1127,21 @@ object SnapshotStore {
   private def mergeStats(prev: TableStats, cur: TableStats,
       schema: StructType): TableStats = {
     def less(dt: DataType, a: String, b: String): Boolean = dt match {
-      case _: NumericType => BigDecimal(a) < BigDecimal(b)
+      case _: NumericType =>
+        // double/float min/max can render the non-decimal specials
+        // BigDecimal rejects ("NaN", "Infinity") — rank them the way
+        // Spark orders them (-Infinity < finite < Infinity < NaN) so
+        // the advisory stats merge never throws on data-dependent
+        // input and a NaN max stays the max across commits
+        def rank(s: String): Int = s match {
+          case "NaN" => 2
+          case "Infinity" => 1
+          case "-Infinity" => -1
+          case _ => 0
+        }
+        val (ra, rb) = (rank(a), rank(b))
+        if (ra != 0 || rb != 0) ra < rb
+        else scala.util.Try(BigDecimal(a) < BigDecimal(b)).getOrElse(a < b)
       // booleans ("false" < "true") and zero-padded date/timestamp/
       // string renderings order lexicographically
       case _ => a < b

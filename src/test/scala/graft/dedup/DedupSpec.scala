@@ -124,6 +124,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> ((1.0, "a_in_b"))), s"$out")
   }
 
+  test("E9 containment never FORCES a broadcast of the docs-scale shingle sets") {
+    import spark.implicits._
+    // a broadcast() hint bypasses autoBroadcastJoinThreshold entirely —
+    // at corpus scale the one-array-per-document frame is far past any
+    // broadcast budget and the hint turns a graceful shuffle join into
+    // an OOM. The join strategy must stay AQE's runtime choice (which
+    // still picks broadcast whenever the side actually fits).
+    val sets = Seq((1L, Seq("s1", "s2")), (2L, Seq("s1", "s2", "s3")))
+      .toDF("id", "sh")
+    val plan = Dedup.containmentFromSets(sets).queryExecution.analyzed
+    val hinted = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"found forced join hints: $hinted")
+  }
+
   test("E10 substring spans: shared run merges to one maximal span, unique doc zero") {
     import spark.implicits._
     // docs 0 and 1 share chars 1..14 ("ABCDEFGHIJKLMN") and diverge

@@ -510,4 +510,100 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally SnapshotStore.setBase(
       s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}")
   }
+
+  test("K41 appending a double column containing NaN never fails the commit; NaN stays the max") {
+    import spark.implicits._
+    val name = "tnanstats"
+    SnapshotStore.commitAppend(name, Seq((1L, 1.5), (2L, 3.5)).toDF("k", "x"))
+    // second commit's max renders "NaN" — the stats merge must rank it
+    // above every finite value instead of throwing NumberFormatException
+    // (stats are advisory; a data-dependent commit failure is the bug)
+    SnapshotStore.commitAppend(name, Seq((3L, Double.NaN), (4L, 0.5)).toDF("k", "x"))
+    assert(SnapshotStore.versions(name) == Seq(0L, 1L))
+    val st = SnapshotStore.statsOf(name, 1L).getOrElse(fail("stats missing"))
+    assert(st.rows == 4L, "merge stayed cumulative")
+    assert(st.cols("x").max.contains("NaN"), "NaN orders above all finite values")
+    assert(st.cols("x").min.contains("0.5"))
+  }
+
+  test("K38 a stale vacuum .ckpt.tmp cannot resurrect a dropped version") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val name = "tstaletmp"
+    (0 until 3).foreach(i =>
+      SnapshotStore.commitAppend(name, Seq((i.toLong, s"s$i")).toDF("k", "s")))
+    val dataFile = new Path(SnapshotStore.files(name, 0L).head)
+    val mdir = new Path(dataFile.getParent.getParent, "_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a vacuum that crashed AFTER writing v0's checkpoint tmp
+    // but BEFORE its delete→rename (published target intact, tmp never
+    // consumed): the tmp's stale file list references v0-era data
+    val target = new Path(mdir, "v000000.txt")
+    val lines = {
+      val in = fs.open(target)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val tmp = new Path(mdir, ".v0.ckpt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    // a later vacuum drops v0: BOTH the manifest and the stale tmp must
+    // go, or versions() resurrects v0 pointing at deleted data files
+    SnapshotStore.vacuum(name, keep = 1)
+    assert(!fs.exists(tmp), "the stale checkpoint tmp must be deleted with its version")
+    assert(SnapshotStore.versions(name) == Seq(2L),
+      "a dropped version must stay dropped")
+    assert(rows(name) == Set((0L, "s0"), (1L, "s1"), (2L, "s2")))
+  }
+
+  test("K38 vacuum sweeps a stale .ckpt.tmp of a KEPT version whose target is intact") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val name = "tkepttmp"
+    (0 until 2).foreach(i =>
+      SnapshotStore.commitAppend(name, Seq((i.toLong, s"s$i")).toDF("k", "s")))
+    val dataFile = new Path(SnapshotStore.files(name, 0L).head)
+    val mdir = new Path(dataFile.getParent.getParent, "_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(mdir, ".v1.ckpt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("#schema={}\n".getBytes("UTF-8")) finally out.close()
+    SnapshotStore.vacuum(name, keep = 2) // drops nothing
+    // keep=2 drops nothing, but the sweep still removes the stale tmp
+    // under the store lock (readers only touch a tmp when the target is
+    // missing, so this can never race a recovery publish)
+    assert(fs.exists(new Path(mdir, "v000001.txt")) && !fs.exists(tmp),
+      "stale tmp of a kept version must not linger to a later drop")
+    assert(rows(name) == Set((0L, "s0"), (1L, "s1")))
+  }
+
+  test("K45 commit clocks are strictly monotonic even against a stepped-back wall clock") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val name = "tmonoat"
+    SnapshotStore.commitAppend(name, Seq((1L, "a")).toDF("k", "s"))
+    // simulate a forward clock step recorded at v0: rewrite its #at one
+    // minute into the future; the next commit's now() is then "behind"
+    val dataFile = new Path(SnapshotStore.files(name, 0L).head)
+    val mdir = new Path(dataFile.getParent.getParent, "_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(mdir, "v000000.txt")
+    val future = System.currentTimeMillis() + 60000L
+    val rewritten = {
+      val in = fs.open(target)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map(l =>
+        if (l.startsWith("#at=")) s"#at=$future" else l).mkString("\n")
+      finally in.close()
+    }
+    val out = fs.create(target, true)
+    try out.write(rewritten.getBytes("UTF-8")) finally out.close()
+    SnapshotStore.commitAppend(name, Seq((2L, "b")).toDF("k", "s"))
+    val Seq(t0, t1) = SnapshotStore.versions(name)
+      .map(v => SnapshotStore.commitTimeOf(name, v).getOrElse(fail("missing #at")))
+    // the bump rule max(now, prev+1) makes ties and regressions impossible,
+    // so AS-OF reads (and ing_asof's t1 > t0 contract) can rely on it
+    assert(t0 == future && t1 == future + 1L,
+      s"expected the commit clock to bump past the stepped anchor: $t0 -> $t1")
+    assert(SnapshotStore.versionAt(name, t0).contains(0L))
+    assert(SnapshotStore.versionAt(name, t1).contains(1L))
+  }
 }
