@@ -610,16 +610,31 @@ object SimQueries {
   /** F16: neighbors kept per vector in the k-NN graph. */
   val KnnK = 3
 
-  /** F16 exact face: the all-vectors k-NN graph — the curation
-    * primitive under SemDeDup-style semantic dedup, diversity
-    * filtering, and graph-based clustering (every vector's top-k
-    * cosine neighbors, self excluded). This exact face is the
-    * VERIFICATION face: all-pairs is O(n²) and only sane at oracle
-    * scale; the LSH face below is the 100 TB path and the recall
-    * query measures the gap. */
+  /** F16 verification sample: 1/[[KnnSampleMod]] of sources by
+    * deterministic md5 hash range (the G5/B18 draw discipline —
+    * engine-portable, so the oracle regenerates the identical subset
+    * from the same predicate). */
+  val KnnSampleMod = 7
+
+  private def knnSampleMember(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("knns|"), c)), 1, 8), 16, 10)
+      .cast("long") % KnnSampleMod === 0
+
+  /** F16 exact face, SAMPLED: exact top-k cosine neighbors for an md5
+    * hash-range sample of sources against the FULL corpus — the
+    * ground-truth side of the k-NN-graph recall dial. Brute-forcing
+    * every source is O(n²) with no valve (the repo's last corpus-wide
+    * all-pairs plan, r13 verdict); sampling the SOURCE side makes the
+    * exact face O(s·n) with s a fixed 1/[[KnnSampleMod]] draw — the
+    * standard way production ANN systems verify recall at any corpus
+    * size. The neighbor side stays the whole corpus, so per-source
+    * truth is identical to the unsampled graph's rows for those
+    * sources (SimilaritySpec pins sampled ⊂ full and sampled recall ≈
+    * full recall at oracle SF). */
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.bruteTopK(emb, "vec_id", "embedding", emb, KnnK)
+    val sampled = emb.filter(knnSampleMember(col("vec_id")))
+    Similarity.bruteTopK(emb, "vec_id", "embedding", sampled, KnnK)
       .select(col("q_id").as("src_id"), col("n_id").as("nbr_id"),
         col("cos"), col("rnk"))
   }
@@ -777,10 +792,15 @@ object SimQueries {
   }
 
   /** F16 recall dial: per-source overlap of the LSH graph against the
-    * exact graph (the F5 nested-oracle pattern). */
+    * exact graph (the F5 nested-oracle pattern), over the SAMPLED
+    * sources — the stored graph is filtered by the same deterministic
+    * predicate, so both sides cover exactly the sample and the dial
+    * costs O(s·n) at any corpus size. */
   def simKnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = simKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
-    val lsh = storedKnnGraph(spark, dir).select(col("src_id"), col("nbr_id"))
+    val lsh = storedKnnGraph(spark, dir)
+      .filter(knnSampleMember(col("src_id")))
+      .select(col("src_id"), col("nbr_id"))
     val hits = lsh.join(exact, Seq("src_id", "nbr_id"), "left_semi")
       .groupBy("src_id").agg(count(lit(1)).as("hits"))
     exact.select("src_id").distinct()
@@ -1538,9 +1558,12 @@ object SimQueries {
        |FROM sel$MmrK""".stripMargin
   }
 
-  // F16 exact k-NN graph: the brute shape with q = every vector
+  // F16 exact k-NN graph: the brute shape with q = the md5 hash-range
+  // SAMPLE of sources (the same deterministic predicate as
+  // knnSampleMember) against the full corpus
   private lazy val oracleSqlKnnExact: String =
-    s"""WITH q AS (SELECT vec_id AS src_id, embedding AS qv FROM embeddings),
+    s"""WITH q AS (SELECT vec_id AS src_id, embedding AS qv FROM embeddings
+       |  WHERE ('0x' || substr(md5('knns|' || vec_id), 1, 8))::bigint % $KnnSampleMod = 0),
        |n AS (SELECT vec_id AS nbr_id, embedding AS nv FROM embeddings),
        |s AS (
        |  SELECT src_id, nbr_id, ${cosSql("qv", "nv")} AS cos
@@ -1930,7 +1953,8 @@ object SimQueries {
     "sim_knn_delete" -> oracleSqlKnnDelete,
     "sim_knn_recall" ->
       s"""WITH exact AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnExact})),
-         |lsh AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})),
+         |lsh AS (SELECT src_id, nbr_id FROM (${oracleSqlKnnLsh})
+         |  WHERE ('0x' || substr(md5('knns|' || src_id), 1, 8))::bigint % $KnnSampleMod = 0),
          |hits AS (
          |  SELECT a.src_id, count(*) AS hits
          |  FROM lsh a WHERE EXISTS (

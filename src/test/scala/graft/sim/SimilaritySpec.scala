@@ -247,6 +247,44 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == SimQueries.K.toLong))
   }
 
+  test("F16 sampled exact face: sampled truth == full truth on the sample; recall agrees") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dataDir)
+    // TEST-ONLY all-pairs ground truth (the shape the driver queries no
+    // longer run): the sampled face must reproduce it exactly on the
+    // sampled sources, because only the SOURCE side is sampled — the
+    // neighbor side stays the whole corpus
+    val full = Similarity.bruteTopK(emb, "vec_id", "embedding", emb, SimQueries.KnnK)
+      .select(col("q_id").as("src_id"), col("n_id").as("nbr_id"), col("cos"), col("rnk"))
+    val sampled = SimQueries.simKnnGraph(spark, dataDir)
+    val srcs = sampled.select("src_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(srcs.size >= 40, s"sample too small to be a recall dial: ${srcs.size}")
+    assert(srcs.size < emb.count(), "the sample must be a strict subset of sources")
+    val fullOnSample = full.collect()
+      .filter(r => srcs(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val sampledRows = sampled.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sampledRows == fullOnSample,
+      "sampled truth must equal the full graph restricted to sampled sources")
+    // the dial the sample exists for: mean LSH recall measured on the
+    // sample tracks mean recall measured on every source
+    val lsh = SimQueries.storedKnnGraph(spark, dataDir)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def meanRecall(truth: Set[(Long, Long, Double, Int)]): Double = {
+      val bySrc = truth.groupBy(_._1)
+      val rs = bySrc.map { case (s, rows) =>
+        rows.count(t => lsh((t._1, t._2))).toDouble / SimQueries.KnnK }
+      rs.sum / rs.size
+    }
+    val fullAll = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val (mSampled, mFull) = (meanRecall(fullOnSample), meanRecall(fullAll))
+    assert(math.abs(mSampled - mFull) <= 0.1,
+      s"sampled recall $mSampled must track full recall $mFull")
+  }
+
   test("F23 HNSW: layer hierarchy returns k rows per query and recall >= flat beam") {
     val h = SimQueries.simHnsw(spark, dataDir)
     val perQ = h.groupBy("q_id").count().collect()
