@@ -535,6 +535,8 @@ object IngestQueries {
         regexp_extract(col("_s"), "(?m)^WARC-Target-URI: ([^\r]+)\r\n", 1),
         lit(""))))
       .withColumn("content_length", ifOk(col("_clen")))
+      .withColumn("payload", when(valid === 1 && fits,
+        substring(col("_s"), paylOff.cast("int"), col("_clen").cast("int"))))
       .withColumn("payload_md5", when(valid === 1 && fits,
         md5(encode(substring(col("_s"), paylOff.cast("int"),
           col("_clen").cast("int")), "UTF-8"))))
@@ -549,7 +551,10 @@ object IngestQueries {
     * convention); every 5th doc over-declares Content-Length by 50
     * (truncated fetch), every 9th is not a WARC record at all. The
     * oracle rebuilds the record text and md5s the same payload. */
-  def ingWarc(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic WARC container shared by [[ingWarc]] and
+    * [[ingWarcCorpus]] — one generator, so the composition query can
+    * never drift from the parse query's fixture. */
+  private def warcContainer(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val garbage = col("doc_id") % 9 === 0
     val truncate = col("doc_id") % 5 === 0
@@ -568,9 +573,46 @@ object IngestQueries {
       col("text"))
     val bin = when(garbage, encode(lit("HTTP/1.1 200 OK\r\n\r\nnope"), "UTF-8"))
       .otherwise(encode(rec, "UTF-8"))
-    withWarcRecord(d.select(col("doc_id"), bin.as("_bin")), "_bin")
+    d.select(col("doc_id"), bin.as("_bin"))
+  }
+
+  def ingWarc(spark: SparkSession, dir: String): DataFrame =
+    withWarcRecord(warcContainer(spark, dir), "_bin")
       .select("doc_id", "valid_warc", "warc_version", "warc_type",
         "target_uri", "content_length", "payload_md5", "truncated")
+
+  /** A18→G24→E1 composition: the WET pipeline in one plan — crawl
+    * container in, filtered + deduped training corpus out (the actual
+    * first mile of a Common-Crawl-scale pipeline, which until this
+    * query only met the G/E families in tests). Record selection is
+    * the WET discipline: valid WARC, `response` type, fetch not
+    * truncated. The Gopher battery and the E1 whitespace-normalized
+    * fingerprint then run ON THE SLICED PAYLOAD — not on the source
+    * text — so every downstream number value-checks the A18 boundary
+    * arithmetic (payload_md5 rides along as the direct check; the
+    * oracle recomputes everything from the generating text, and an
+    * off-by-one in the slice mismatches all of it). corpus_keep is
+    * the deliverable bit: Gopher-passing AND not a duplicate.
+    * Shape: one container scan, the E1 fingerprint window's single
+    * hash shuffle, one doc-keyed join — no new shuffle class beyond
+    * its parts at any scale. */
+  def ingWarcCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val wet = withWarcRecord(warcContainer(spark, dir), "_bin")
+      .filter(col("valid_warc") === 1 && col("truncated") === 0 &&
+        col("warc_type") === "response")
+      .select(col("doc_id"), col("target_uri"), col("payload_md5"),
+        col("payload").as("text"))
+    val gophered = graft.text.TextQueries.gopherRules(
+        wet.select("doc_id", "text"))
+      .select(col("doc_id"), col("n_words"), col("stop_hits"),
+        col("keep").as("gopher_keep"))
+    val fp = graft.dedup.Dedup.exactDedup(wet, "doc_id", "text")
+      .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+    wet.select("doc_id", "target_uri", "payload_md5")
+      .join(gophered, "doc_id")
+      .join(fp, "doc_id")
+      .withColumn("corpus_keep",
+        (col("gopher_keep") === 1 && col("is_dup") === 0).cast("int"))
   }
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -586,6 +628,7 @@ object IngestQueries {
     "ing_corrupt_files" -> (ingCorruptFiles _),
     "ing_lz4"     -> (ingLz4 _),
     "ing_warc"    -> (ingWarc _),
+    "ing_warc_corpus" -> (ingWarcCorpus _),
     "ing_asof"    -> (ingAsofRead _),
     "ing_fastcount" -> (ingFastCount _),
     "ing_orc"     -> (ingOrc _),
@@ -695,6 +738,47 @@ object IngestQueries {
         |  CASE WHEN doc_id % 9 = 0 THEN NULL
         |       WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END::int AS truncated
         |FROM documents""".stripMargin,
+
+    // A18→G24→E1: the WET composition recomputed from the generating
+    // text — the Spark side runs everything on the SLICED payload, so
+    // any boundary-arithmetic error mismatches every column here
+    "ing_warc_corpus" ->
+      s"""WITH wet AS (
+         |  SELECT doc_id, 'http://corpus.local/doc/' || doc_id AS target_uri,
+         |    md5(text) AS payload_md5, text
+         |  FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0 AND doc_id % 5 <> 0
+         |), q AS (
+         |  SELECT doc_id, target_uri, payload_md5,
+         |    ${graft.text.TextQueries.toksSql} AS toks, text
+         |  FROM wet
+         |), m AS (
+         |  SELECT doc_id, target_uri, payload_md5,
+         |    length(toks) AS n,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
+         |    length(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         |    length(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         |    ${graft.text.TextQueries.countInSql("toks", graft.text.TextQueries.GopherStops)} AS stops
+         |  FROM q
+         |), g AS (
+         |  SELECT doc_id, target_uri, payload_md5, n AS n_words,
+         |    stops AS stop_hits,
+         |    CAST((n BETWEEN 50 AND 100000) AND (nonws BETWEEN 3*n AND 10*n)
+         |      AND n_sym*10 <= n AND n_alpha*5 >= n*4 AND stops >= 2 AS INT)
+         |      AS gopher_keep
+         |  FROM m
+         |), h AS (
+         |  SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h
+         |  FROM wet
+         |), f AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+         |    (doc_id <> min(doc_id) OVER (PARTITION BY h))::int AS is_dup
+         |  FROM h
+         |)
+         |SELECT g.doc_id, g.target_uri, g.payload_md5, g.n_words, g.stop_hits,
+         |  g.gopher_keep, f.canonical_id, f.is_dup,
+         |  CAST(g.gopher_keep = 1 AND f.is_dup = 0 AS INT) AS corpus_keep
+         |FROM g JOIN f ON g.doc_id = f.doc_id""".stripMargin,
 
     // K45: the AS-OF read at v0's own commit instant must see exactly
     // the v0 generating filter

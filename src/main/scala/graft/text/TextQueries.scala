@@ -1487,10 +1487,10 @@ object TextQueries {
   private def inListSql(x: String, words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(s"list_contains([", ", ", s"], $x)")
 
-  private def countInSql(toksExpr: String, words: Seq[String]): String =
+  private[graft] def countInSql(toksExpr: String, words: Seq[String]): String =
     s"length(list_filter($toksExpr, t -> ${inListSql("t", words)}))"
 
-  private val toksSql = "string_split_regex(trim(text), ' +')"
+  private[graft] val toksSql = "string_split_regex(trim(text), ' +')"
 
   /** Shared by text_bm25 (corpus-scan plan) and text_bm25_indexed
     * (posting-list plan): one oracle text, two physical strategies. */
