@@ -287,6 +287,14 @@ object SnapshotStore {
         else (if (append && prev.nonEmpty) fileDetailsOf(name, prev.last)
               else Map.empty: FileDetails) ++ nd
       }.getOrElse(Map.empty)
+      // K48: row-group grain rides the same delta semantics; footers
+      // of the just-written files only — pure metadata, advisory
+      val rgdetail: FileRowGroups = scala.util.Try {
+        val nd = computeRowGroups(newFiles, schema)
+        if (isDelta) nd
+        else (if (append && prev.nonEmpty) fileRowGroupsOf(name, prev.last)
+              else Map.empty: FileRowGroups) ++ nd
+      }.getOrElse(Map.empty)
       // K45: wall-clock commit time — the durable anchor for
       // AS-OF-TIMESTAMP reads (manifest file mtimes don't survive
       // vacuum's checkpoint rewrites; a header does). Strictly
@@ -308,6 +316,8 @@ object SnapshotStore {
         (if (fstats.nonEmpty) Seq(s"#fstats=${zonesToJson(fstats)}")
          else Seq.empty) ++
         (if (fdetail.nonEmpty) Seq(s"#fdetail=${detailsToJson(fdetail)}")
+         else Seq.empty) ++
+        (if (rgdetail.nonEmpty) Seq(s"#rgdetail=${rgToJson(rgdetail)}")
          else Seq.empty) :+
         s"#schema=${schema.json}"
       val out = fs.create(tmp, true)
@@ -778,6 +788,44 @@ object SnapshotStore {
     }
   }
 
+  /** K48/K46: one row per row-group-detail-bearing file of the
+    * row-group deep fsck. */
+  final case class RgFsckReport(version: Long, path: String,
+      manifestRgs: Int, footerRgs: Int, manifestRows: Long,
+      footerRows: Long, ok: Boolean)
+
+  /** K48 face of the K46 deep fsck: reconcile the manifest's
+    * row-group record against the files' CURRENT footers — group
+    * count and per-file row sum both match or the file was swapped /
+    * rewritten under its name. Metadata vs metadata, like
+    * [[fsckRows]]; files from pre-K48 commits carry no record and are
+    * skipped. */
+  def fsckRowGroups(spark: SparkSession, name: String,
+      version: Option[Long] = None): Seq[RgFsckReport] = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"unknown table '$name'")
+    val v = version.getOrElse(vs.last)
+    val rg = fileRowGroupsOf(name, v)
+    val fl = files(name, v).filter(f => rg.contains(uriPath(f)))
+    if (fl.isEmpty) Seq.empty
+    else {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val foot = ParquetLayout.auditFiles(spark, fl)
+        .groupBy("file")
+        .agg(count(lit(1)).as("rgs"), sum("n_rows").as("rows"))
+        .collect()
+        .map(r => (uriPath(r.getString(0)), (r.getLong(1), r.getLong(2))))
+        .toMap
+      fl.map { f =>
+        val p = uriPath(f)
+        val m = rg(p)
+        val (frg, frows) = foot.getOrElse(p, (-1L, -1L))
+        RgFsckReport(v, p, m.size, frg.toInt, m.map(_.rows).sum, frows,
+          m.size.toLong == frg && m.map(_.rows).sum == frows)
+      }
+    }
+  }
+
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
     * (versions, data files, bytes), computed with the same
     * keep+tag-protection rule but touching nothing. The ops-review
@@ -842,13 +890,17 @@ object SnapshotStore {
           // their conservative fallbacks for every pre-delta file.
           val resolvedZones = fileZonesOf(name, kv)
           val resolvedDetail = fileDetailsOf(name, kv)
+          val resolvedRg = fileRowGroupsOf(name, kv)
           val headers = readLines(manifestPath(name, kv))
             .filter(l => l.startsWith("#") && !l.startsWith("#prev=") &&
-              !l.startsWith("#fstats=") && !l.startsWith("#fdetail=")) ++
+              !l.startsWith("#fstats=") && !l.startsWith("#fdetail=") &&
+              !l.startsWith("#rgdetail=")) ++
             (if (resolvedZones.nonEmpty)
               Seq(s"#fstats=${zonesToJson(resolvedZones)}") else Seq.empty) ++
             (if (resolvedDetail.nonEmpty)
-              Seq(s"#fdetail=${detailsToJson(resolvedDetail)}") else Seq.empty)
+              Seq(s"#fdetail=${detailsToJson(resolvedDetail)}") else Seq.empty) ++
+            (if (resolvedRg.nonEmpty)
+              Seq(s"#rgdetail=${rgToJson(resolvedRg)}") else Seq.empty)
           val tmp = new Path(manifestDir(name), s".v$kv.ckpt.tmp")
           val out = fs.create(tmp, true)
           try out.write((headers ++ full).mkString("\n").getBytes("UTF-8"))
@@ -1036,6 +1088,196 @@ object SnapshotStore {
   final case class FileDetail(rows: Long, nulls: Map[String, Long],
       hll: Map[String, String])
   type FileDetails = Map[String, FileDetail]
+
+  /** K48: one parquet ROW GROUP of a committed file — rows, on-disk
+    * (compressed) bytes, and per-column min/max zone strings. The row
+    * group is parquet's natural pruning unit: the reader can skip one
+    * without touching its pages, so manifest stats at this grain let
+    * planning predict (and tests assert) strictly less I/O than
+    * file-grain pruning whenever a predicate prunes WITHIN a file. */
+  final case class RowGroupDetail(rows: Long, bytes: Long,
+      zones: Map[String, (String, String)])
+  type FileRowGroups = Map[String, Seq[RowGroupDetail]]
+
+  /** K48: per-row-group detail from the just-written files' parquet
+    * FOOTERS — pure metadata (no data scan; footer reads are the K33
+    * fastCount convention, O(files) driver-side for the handful of
+    * files one commit writes; a bulk backfill would ride the
+    * distributed [[ParquetLayout.auditFiles]] pass instead). Min/max
+    * render through the footer statistics' typed values for exactly
+    * the [[isZoneType]] families [[zoneValue]] re-parses — the same
+    * canonical compare domain as the K42 file zones. Advisory like
+    * every stats pass: any failure yields an empty map, never a
+    * failed commit. */
+  private def computeRowGroups(files: Seq[String],
+      schema: StructType): FileRowGroups = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val zoneCols = schema.fields.filter(f => isZoneType(f.dataType))
+      .map(_.name).toSet
+    files.map { f =>
+      val p = new Path(f)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, hconf))
+      try {
+        val rgs = reader.getFooter.getBlocks.asScala.toList.map { b =>
+          val zones = b.getColumns.asScala.iterator.flatMap { c =>
+            val nm = c.getPath.toDotString
+            val st = c.getStatistics
+            if (!zoneCols(nm) || st == null || st.isEmpty || !st.hasNonNullValue) None
+            else for {
+              mn <- renderStatValue(st.genericGetMin)
+              mx <- renderStatValue(st.genericGetMax)
+            } yield nm -> ((mn, mx))
+          }.toMap
+          RowGroupDetail(b.getRowCount, b.getCompressedSize, zones)
+        }
+        uriPath(f) -> rgs
+      } finally reader.close()
+    }.toMap
+  }
+
+  private def renderStatValue(v: Any): Option[String] = v match {
+    case null => None
+    case b: org.apache.parquet.io.api.Binary =>
+      scala.util.Try(b.toStringUsingUTF8).toOption
+    case n: java.lang.Number => Some(n.toString)
+    case _ => None
+  }
+
+  private def rgToJson(m: FileRowGroups): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    compact(render(m.map { case (f, rgs) =>
+      f -> rgs.map(rg =>
+        ("r" -> rg.rows) ~ ("b" -> rg.bytes) ~
+          ("z" -> rg.zones.map { case (c, (mn, mx)) => c -> List(mn, mx) }))
+    }))
+  }
+
+  private def rgFromJson(j: String): FileRowGroups = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmts: Formats = DefaultFormats
+    parse(j) match {
+      case JObject(files) => files.map { case (f, rv) =>
+        f -> (rv match {
+          case JArray(rgs) => rgs.map { g =>
+            RowGroupDetail((g \ "r").extract[Long], (g \ "b").extract[Long],
+              (g \ "z") match {
+                case JObject(cols) => cols.collect {
+                  case (c, JArray(List(JString(mn), JString(mx)))) =>
+                    c -> ((mn, mx))
+                }.toMap
+                case _ => Map.empty[String, (String, String)]
+              })
+          }
+          case _ => Seq.empty[RowGroupDetail]
+        })
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** K48: the per-file row-group detail recorded at version `v`,
+    * resolved along the delta chain exactly like [[fileDetailsOf]]
+    * (files from pre-K48 commits simply have no row-group record —
+    * consumers treat such a file as one opaque unit). */
+  def fileRowGroupsOf(name: String, v: Long): FileRowGroups = {
+    val own = readLines(resolvedManifestPath(name, v))
+      .find(_.startsWith("#rgdetail="))
+      .flatMap(l => scala.util.Try(
+        rgFromJson(l.stripPrefix("#rgdetail="))).toOption)
+      .getOrElse(Map.empty: FileRowGroups)
+    prevOf(name, v) match {
+      case Some(p) => fileRowGroupsOf(name, p) ++ own
+      case None => own
+    }
+  }
+
+  /** K48: the row groups of `kept` files that `conds` can touch —
+    * each row group becomes a pseudo-file over its own zone bounds and
+    * the SAME [[GraftFileIndex]] compare that prunes files prunes row
+    * groups (one evaluator, both grains; no second predicate
+    * interpreter to drift). Files without a row-group record return
+    * as a single conservative pseudo-group covering the whole file
+    * (rows from the K44 detail when present, else -1). */
+  private def keptRowGroupsOf(schema: StructType,
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      kept: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata],
+      rgAll: FileRowGroups,
+      details: FileDetails): Seq[(String, Int, RowGroupDetail)] = {
+    val pseudo: Seq[(org.apache.hadoop.fs.FileStatus, Map[String, (Any, Any)],
+        (String, Int, RowGroupDetail))] =
+      kept.flatMap { f =>
+        val p = f.getPath.toUri.getPath
+        rgAll.get(p) match {
+          case Some(rgs) => rgs.zipWithIndex.map { case (rg, i) =>
+            val path = new Path(s"$p.rg$i")
+            val st = new org.apache.hadoop.fs.FileStatus(
+              rg.bytes, false, 1, 1, 0L, path)
+            val z = rg.zones.flatMap { case (c, (mn, mx)) =>
+              schema.find(_.name == c).flatMap { fd =>
+                for (lo <- zoneValue(fd.dataType, mn);
+                     hi <- zoneValue(fd.dataType, mx)) yield c -> ((lo, hi))
+              }
+            }
+            (st, z, (p, i, rg))
+          }
+          case None => // pre-K48 file: one opaque unit, never pruned here
+            val rows = details.get(p).map(_.rows).getOrElse(-1L)
+            Seq((f.fileStatus, Map.empty[String, (Any, Any)],
+              (p, 0, RowGroupDetail(rows, f.getLen, Map.empty))))
+        }
+      }
+    if (pseudo.isEmpty) Seq.empty
+    else {
+      val idx = new GraftFileIndex(pseudo.map(_._1),
+        pseudo.map(x => (x._1.getPath.toUri.getPath, x._2)).toMap, schema)
+      val keptPaths = idx.listFiles(Nil, conds).flatMap(_.files)
+        .map(_.getPath.toUri.getPath).toSet
+      pseudo.collect {
+        case (st, _, out) if keptPaths(st.getPath.toUri.getPath) => out
+      }
+    }
+  }
+
+  /** K48: the prune plan at BOTH grains for a predicate — the
+    * metadata-only answer to "how much does row-group pruning save
+    * over file pruning here?". keptRgBytes ≤ keptFileBytes always;
+    * strictly less exactly when the predicate prunes inside a kept
+    * file. keptRgRows is the exact scan-output bound when every kept
+    * file carries a row-group record (rgExact). */
+  final case class RgPrunePlan(totalFiles: Int, keptFiles: Int,
+      keptFileBytes: Long, totalRowGroups: Int, keptRowGroups: Int,
+      keptRgBytes: Long, keptRgRows: Long, rgExact: Boolean)
+
+  def rowGroupPrunePlan(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column,
+      version: Option[Long] = None): RgPrunePlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val v = version.getOrElse(versions(name).last)
+    val (idx, df) = readZoned(spark, name, Some(v))
+    val out = df.filter(pred)
+    val conds = out.queryExecution.analyzed.collect {
+      case f: LFilter => f.condition
+    }
+    val kept = idx.listFiles(Nil, conds).flatMap(_.files)
+    val rgAll = fileRowGroupsOf(name, v)
+    val details = fileDetailsOf(name, v)
+    val keptRgs = keptRowGroupsOf(df.schema, conds, kept, rgAll, details)
+    val rgExact = kept.forall(f => rgAll.contains(f.getPath.toUri.getPath))
+    RgPrunePlan(
+      totalFiles = idx.totalFiles,
+      keptFiles = kept.size,
+      keptFileBytes = kept.map(_.getLen).sum,
+      totalRowGroups = kept.map(f =>
+        rgAll.get(f.getPath.toUri.getPath).map(_.size).getOrElse(1)).sum,
+      keptRowGroups = keptRgs.size,
+      keptRgBytes = keptRgs.map(_._3.bytes).sum,
+      keptRgRows = if (rgExact) keptRgs.map(_._3.rows).sum else -1L,
+      rgExact = rgExact)
+  }
 
   /** Zone-comparable types (K42): numeric and string — the families
     * [[GraftFileIndex]] canonicalizes losslessly from an external
@@ -1395,8 +1637,20 @@ object SnapshotStore {
         // only the fallback for pre-K44 manifests
         val details = fileDetailsOf(name, v).filter(d => keptPaths(d._1))
         val exact = keptPaths.nonEmpty && details.size == keptPaths.size
+        // K48: when every kept file ALSO carries row-group detail, the
+        // bound tightens further — parquet's reader skips row groups
+        // the pushed predicate cannot touch, so the scan's output is
+        // the kept-ROW-GROUP sum, not the kept-file sum (equal when
+        // zones align with files, strictly smaller when a predicate
+        // prunes within one)
+        val rgAll = fileRowGroupsOf(name, v)
+        val rgExact = keptPaths.nonEmpty &&
+          kept.forall(f => rgAll.contains(f.getPath.toUri.getPath))
         val estRows =
-          if (exact) math.max(1L, details.values.map(_.rows).sum)
+          if (rgExact) math.max(1L,
+            keptRowGroupsOf(df.schema, conds, kept, rgAll, details)
+              .map(_._3.rows).sum)
+          else if (exact) math.max(1L, details.values.map(_.rows).sum)
           else math.max(1L,
             math.round(st.rows * (keptBytes.toDouble /
               math.max(1L, idx.sizeInBytes))))

@@ -511,6 +511,66 @@ class SnapshotStoreSpec extends SparkSpec {
       s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}")
   }
 
+  test("K48 row-group detail: strictly fewer bytes than file-grain pruning on a mixed file; deep fsck reconciles; survives vacuum rewrite") {
+    import spark.implicits._
+    val name = "trgdetail"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      // ONE file, k-sorted, tiny block size → several row groups with
+      // disjoint k ranges inside a single file
+      SnapshotStore.commitAppend(name,
+        (1L to 20000L).map(i => (i, i % 7)).toDF("k", "g")
+          .coalesce(1).sortWithinPartitions("k"))
+    } finally old match {
+      case Some(s) => hc.set("parquet.block.size", s)
+      case None => hc.unset("parquet.block.size")
+    }
+    val v = SnapshotStore.versions(name).last
+    val rg = SnapshotStore.fileRowGroupsOf(name, v)
+    assert(rg.size == 1, s"expected one data file, got ${rg.keys}")
+    val rgs = rg.values.head
+    assert(rgs.size >= 2, s"need a mixed multi-row-group file, got ${rgs.size}")
+    assert(rgs.map(_.rows).sum == 20000L)
+    assert(rgs.forall(_.zones.contains("k")), "every row group must zone k")
+    // a predicate INSIDE the file's k range: file-grain pruning keeps the
+    // whole file; row-group grain keeps only the tail groups
+    val plan = SnapshotStore.rowGroupPrunePlan(spark, name, col("k") > 19500L)
+    assert(plan.totalFiles == 1 && plan.keptFiles == 1,
+      "the file itself must survive file-grain pruning")
+    assert(plan.keptRowGroups < plan.totalRowGroups,
+      s"row groups must prune within the file: $plan")
+    assert(plan.keptRgBytes < plan.keptFileBytes,
+      s"row-group grain must keep STRICTLY fewer bytes: $plan")
+    assert(plan.rgExact && plan.keptRgRows < 20000L && plan.keptRgRows >= 500L,
+      s"kept row-group rows must bound the scan output: $plan")
+    // planning statistics ride the tighter grain…
+    val (_, df) = SnapshotStore.readZonedStats(spark, name, col("k") > 19500L)
+    val stats = df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable
+    }.flatten.flatMap(_.stats).getOrElse(fail("no stats attached"))
+    assert(stats.rowCount.contains(BigInt(plan.keptRgRows)),
+      s"row estimate must be the kept-ROW-GROUP sum, got ${stats.rowCount}")
+    // …and the pruned read still answers exactly
+    assert(df.count() == 500L)
+    // K46 deep fsck reconciles the record against the live footers
+    val rep = SnapshotStore.fsckRowGroups(spark, name)
+    assert(rep.nonEmpty && rep.forall(_.ok), s"$rep")
+    // the resolved map survives a vacuum checkpoint rewrite (the K42/K44
+    // resolution discipline)
+    SnapshotStore.commitAppend(name, Seq((100000L, 1L)).toDF("k", "g"))
+    SnapshotStore.commitAppend(name, Seq((100001L, 2L)).toDF("k", "g"))
+    val head = SnapshotStore.versions(name).last
+    val before = SnapshotStore.fileRowGroupsOf(name, head)
+    SnapshotStore.vacuum(name, keep = 2)
+    val after = SnapshotStore.fileRowGroupsOf(name, SnapshotStore.versions(name).last)
+    assert(after == before,
+      "vacuum's checkpoint rewrite must carry the RESOLVED row-group map")
+    assert(SnapshotStore.fsckRowGroups(spark, name).forall(_.ok))
+  }
+
   test("K41 appending a double column containing NaN never fails the commit; NaN stays the max") {
     import spark.implicits._
     val name = "tnanstats"
