@@ -221,12 +221,50 @@ object QualityQueries {
       .orderBy("lang", "source", "len_bucket")
   }
 
+  /** J11 over a SECOND sensitive attribute, composed with J10's
+    * generalization-rescue signal at the DIVERSITY level: the second
+    * attribute is the document's second leading term (a release
+    * protects every sensitive column independently — one diverse
+    * attribute says nothing about another), and for every class that
+    * fails l-diversity the audit answers the actionable question J10
+    * answers for k: would generalizing away `source` (the same next
+    * rung on the lattice) lift the class's distinct-sensitive count
+    * to L? `l_gen` is the distinct count over the GENERALIZED class
+    * (lang, len_bucket) — counted from the (class, sens)-distinct
+    * frame, class-scale input, never a second corpus scan. All
+    * evidence exact integers (the J11 discipline).
+    *
+    * Scale shape: the same two map-side-combinable aggregations as
+    * [[dqLdiversity]] plus one class-frame roll-up and a class-scale
+    * join; output one row per class — metadata-scale. */
+  def dqLdiversity2(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("source"),
+      expr(s"n_chars div $KanonLenBucket").as("len_bucket"),
+      regexp_extract(col("text"), "^ *[^ ]+ +([^ ]+)", 1).as("sens"))
+    val sc = d.groupBy("lang", "source", "len_bucket", "sens")
+      .agg(count(lit(1)).as("cnt"))
+    val cls = sc.groupBy("lang", "source", "len_bucket")
+      .agg(sum(col("cnt")).as("k"),
+        count(lit(1)).as("l_distinct"),
+        max(col("cnt")).as("max_sens_cnt"))
+    val gen = sc.select("lang", "len_bucket", "sens").distinct()
+      .groupBy("lang", "len_bucket").agg(count(lit(1)).as("l_gen"))
+    cls.join(gen, Seq("lang", "len_bucket"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("k"),
+        col("l_distinct"), col("max_sens_cnt"), col("l_gen"),
+        (col("l_distinct") >= DiversityL).cast("int").as("diverse"),
+        (col("l_distinct") < DiversityL && col("l_gen") >= DiversityL)
+          .cast("int").as("rescued"))
+      .orderBy("lang", "source", "len_bucket")
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dq_constraints" -> (dqConstraints _),
     "dq_profile"     -> (dqProfile _),
     "dq_drift"       -> (dqDrift _),
     "dq_kanon"       -> (dqKanon _),
     "dq_ldiversity"  -> (dqLdiversity _),
+    "dq_ldiversity2" -> (dqLdiversity2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -249,6 +287,33 @@ object QualityQueries {
          |  (count(*) >= $DiversityL)::int AS diverse,
          |  (max(cnt) = sum(cnt))::int AS homogeneous
          |FROM sc GROUP BY 1, 2, 3""".stripMargin,
+    // mirrors dqLdiversity2: second-leading-term regex, the same
+    // two-stage roll-up, plus the generalized distinct count from the
+    // (class, sens)-distinct frame and the rescue flag
+    "dq_ldiversity2" ->
+      s"""WITH q AS (
+         |  SELECT lang, source, n_chars // $KanonLenBucket AS len_bucket,
+         |    regexp_extract(text, '^ *[^ ]+ +([^ ]+)', 1) AS sens
+         |  FROM documents
+         |), sc AS (
+         |  SELECT lang, source, len_bucket, sens, count(*)::bigint AS cnt
+         |  FROM q GROUP BY 1, 2, 3, 4
+         |), cls AS (
+         |  SELECT lang, source, len_bucket,
+         |    sum(cnt)::bigint AS k,
+         |    count(*)::bigint AS l_distinct,
+         |    max(cnt)::bigint AS max_sens_cnt
+         |  FROM sc GROUP BY 1, 2, 3
+         |), gen AS (
+         |  SELECT lang, len_bucket, count(DISTINCT sens)::bigint AS l_gen
+         |  FROM sc GROUP BY 1, 2
+         |)
+         |SELECT c.lang, c.source, c.len_bucket, c.k, c.l_distinct,
+         |  c.max_sens_cnt, g.l_gen,
+         |  (c.l_distinct >= $DiversityL)::int AS diverse,
+         |  (c.l_distinct < $DiversityL AND g.l_gen >= $DiversityL)::int AS rescued
+         |FROM cls c JOIN gen g
+         |  ON c.lang = g.lang AND c.len_bucket = g.len_bucket""".stripMargin,
     // mirrors dqKanon: same truncating length-bucket division, the
     // class count, the class-frame roll-up for the generalized k, and
     // int-cast flags (the dq_constraints `passed` precedent)

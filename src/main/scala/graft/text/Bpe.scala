@@ -34,7 +34,23 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Learn `k` merge rules from whitespace-pretokenized text. Returns
-    * (rank, left, right, pair_count) — rank 1 is the first merge. */
+    * (rank, left, right, pair_count) — rank 1 is the first merge.
+    *
+    * COST MODEL (pinned by BpeSpec "G31 cost model"): the merge
+    * dependency is inherently sequential — rule r+1's pair counts
+    * exist only after rule r is applied — so learning runs ≤ 2k+2
+    * driver-blocking ACTIONS (per round: the one-row argmax collect +
+    * the eager checkpoint of the merged word table; plus the
+    * pretokenize checkpoint and the final empty-check). Under AQE each
+    * action schedules a small constant number of stage-jobs, so the
+    * spec pins the O(k)·constant job budget. Each action's INPUT is
+    * the distinct-word count table, never the corpus: the cost is
+    * k × vocab-scale aggregations, not k corpus scans.
+    * Production guidance baked into the faces: train on a bounded
+    * sample (every real tokenizer trains on one — the text_bpe driver
+    * face trains on the oracle-SF corpus directly because that IS a
+    * sample), and learn once — [[cachedMerges]] memoizes rules per
+    * (session, corpus key) so the encode faces never re-train. */
   def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     var words = pretokenize(docs, textCol).localCheckpoint(eager = true)

@@ -45,6 +45,47 @@ class BpeSpec extends SparkSpec {
     df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toSeq
 
+  test("G31 cost model: learning k rules stays within the pinned O(k)-actions job budget") {
+    import spark.implicits._
+    // the contract the scaladoc pins: BPE's merge dependency is
+    // sequential, so the learner is ALLOWED 2k+2 driver-blocking
+    // ACTIONS (k argmax collects + k checkpoint materializations +
+    // pretokenize checkpoint + the final exhaustion check) — each over
+    // the vocab-scale word-count table — and NOT more (a regression to
+    // per-round rescans or extra actions is a silent driver-loop
+    // surprise at training SF). Under AQE one action schedules a small
+    // constant number of stage-jobs, so the job bound is
+    // (2k+2+1 forcing count) × a per-action constant.
+    val docs = Seq("low low lower lowest", "newer new newest low")
+      .toDF("text")
+    val k = 4
+    val n0 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n0.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Bpe.learnMerges(docs, "text", k).count() // jobs all ran inside learnMerges
+      // the listener bus is async: wait until the count is stable
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = n0.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      val jobs = n0.get()
+      val perActionAqeJobs = 4 // measured: a shuffle+collect action runs ≤4 AQE stage-jobs
+      assert(jobs >= k, s"expected at least one job per learned rule, saw $jobs")
+      assert(jobs <= (2 * k + 3) * perActionAqeJobs,
+        s"BPE learning must stay within the pinned O(k)-actions budget " +
+          s"(${2 * k + 3} actions x $perActionAqeJobs AQE jobs), saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("G31 classic low/lower/lowest fixture: merges match the reference rule for rule") {
     import spark.implicits._
     val docs = Seq(
