@@ -1418,6 +1418,97 @@ object TextQueries {
       .drop("_fln", "_fkn", "_d")
   }
 
+  /** G52: HTML → text extraction — the step between a crawl's HTTP
+    * payload and every text operator in this family (the WET
+    * extraction trafilatura/jusText perform, reduced to its
+    * load-bearing core): script/style BLOCKS drop with their content
+    * (they are code, and a tag-stripper that runs first leaks their
+    * strings into the corpus — the classic trap, exercised by the
+    * fixture's `"<p>not text</p>"` JS literal), comments drop, tags
+    * become whitespace, the five load-bearing entities decode with
+    * `&amp;` LAST (so `&amp;lt;` round-trips to the literal `&lt;` the
+    * author wrote), and whitespace collapses. Pure per-row regex
+    * chain — codegen'd, zero shuffle at any scale. RE2-compatible
+    * patterns (no backreferences), so the oracle runs the identical
+    * chain. */
+  def htmlToText(c: Column): Column = {
+    val noBlock = regexp_replace(c,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val e1 = regexp_replace(noTags, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
+  /** G52 driver query: synthesize a full HTML page per document (title
+    * + style + script-with-markup-in-a-string + h1 + entity-escaped
+    * body + comment), extract it back, and prove the round trip:
+    * `roundtrip_ok` is 1 exactly when extraction recovers title, h1,
+    * and the UNESCAPED body with collapsed whitespace — any ordering
+    * bug in the strip chain (tags before scripts, `&amp;` decoded
+    * early) flips it to 0 corpus-wide. The oracle rebuilds the page
+    * and runs the same chain in DuckDB. */
+  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><head><title>doc "), col("doc_id"), lit("</title>"),
+      lit("<style>p{margin:0}</style>"),
+      lit("<script>var x = \"<p>not text</p>\";</script></head>"),
+      lit("<body><h1>doc "), col("doc_id"), lit("</h1><p>"),
+      esc, lit("</p><!-- hidden & ignored --></body></html>"))
+    val extracted = htmlToText(html)
+    val expected = concat(lit("doc "), col("doc_id"), lit(" doc "),
+      col("doc_id"), lit(" "),
+      trim(regexp_replace(col("text"), "\\s+", " ")))
+    d.select(col("doc_id"),
+      length(html).as("n_chars_html"),
+      length(extracted).as("n_chars_text"),
+      md5(extracted).as("text_md5"),
+      (extracted === expected).cast("int").as("roundtrip_ok"))
+  }
+
+  /** G53: Luhn-checksum PII audit — the verification rung above G9's
+    * pattern redaction: a 16-digit run is only a CARD NUMBER risk when
+    * its Luhn checksum holds (ISO/IEC 7812), so the audit extracts
+    * digit-run candidates and validates each with the exact integer
+    * checksum (double every second digit from the right, fold >9 to
+    * digit sum, total ≡ 0 mod 10) instead of flagging every long
+    * number. Fixture: each document carries one injected candidate
+    * whose 15 payload digits are md5-derived — even doc_ids get the
+    * CORRECT check digit, odd doc_ids a corrupted one — so validity
+    * is half/half by construction and the oracle regenerates both
+    * sides from the same formula. The validation runs on the digits
+    * PARSED BACK out of the text (position-wise substring, a static
+    * 16-term integer sum — pure codegen, zero shuffle). */
+  def textLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def luhnTerm(dd: Column, i: Int): Column =
+      if (i % 2 == 1) when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2) else dd
+    val d15 = (0 until 15).map(i =>
+      conv(substring(md5(concat(lit("luhn|"), col("doc_id"))), i + 1, 1),
+        16, 10).cast("int") % 10)
+    val sum15 = d15.zipWithIndex.map { case (dd, idx) =>
+      luhnTerm(dd, idx + 1) }.reduce(_ + _)
+    val check = (lit(10) - sum15 % 10) % 10
+    val last = when(col("doc_id") % 2 === 0, check)
+      .otherwise((check + lit(1)) % 10)
+    val cand16 = concat((d15.map(_.cast("string")) :+ last.cast("string")): _*)
+    val text2 = concat(col("text"), lit(" card "), cand16)
+    // the operator: parse the candidate back out and validate it
+    val cand = regexp_extract(text2, "([0-9]{16})", 1)
+    val total = (1 to 16).map(i =>
+      luhnTerm(substring(cand, i, 1).cast("int"), i)).reduce(_ + _)
+    d.select(col("doc_id"), cand.as("candidate"),
+      (total % 10 === 0).cast("int").as("luhn_valid"))
+  }
+
   /** Build the K24 inverted-index tables and the G31 merge rules
     * outside query timings (text_bpe itself still times the TRAIN op
     * honestly — only the encode face reads the cache). */
@@ -1480,6 +1571,8 @@ object TextQueries {
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
     "text_mix_weights"  -> (textMixWeights _),
+    "text_html_extract" -> (textHtmlExtract _),
+    "text_luhn"         -> (textLuhn _),
   )
 
   // --- generated DuckDB oracles -------------------------------------
@@ -2302,6 +2395,69 @@ object TextQueries {
          |  round(count(tr.sh)::double / count(*), 4) AS ratio
          |FROM te LEFT JOIN tr ON te.sh = tr.sh
          |GROUP BY te.doc_id""".stripMargin
+    },
+
+    // G52: rebuild the same page, run the same strip chain (RE2 flags
+    // spelled with 'g'/'gs'), compare against the same expected string
+    "text_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    '<html><head><title>doc ' || doc_id || '</title>' ||
+         |    '<style>p{margin:0}</style>' ||
+         |    '<script>var x = "<p>not text</p>";</script></head>' ||
+         |    '<body><h1>doc ' || doc_id || '</h1><p>' ||
+         |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+         |    '</p><!-- hidden & ignored --></body></html>' AS html
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id, text, html,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(html,
+         |              '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |            '(?s)<!--.*?-->', ' ', 'g'),
+         |          '<[^>]*>', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS extracted
+         |  FROM h
+         |)
+         |SELECT doc_id,
+         |  length(html) AS n_chars_html,
+         |  length(extracted) AS n_chars_text,
+         |  md5(extracted) AS text_md5,
+         |  (extracted = 'doc ' || doc_id || ' doc ' || doc_id || ' ' ||
+         |    trim(regexp_replace(text, '\\s+', ' ', 'g')))::int AS roundtrip_ok
+         |FROM x""".stripMargin,
+
+    // G53: regenerate the injected candidate from the same md5 digit
+    // formula, re-extract it from the text, and fold the identical
+    // 16-term integer Luhn sum
+    "text_luhn" -> {
+      def dig(idx: Int) =
+        s"(('0x' || substr(md5('luhn|' || doc_id), ${idx + 1}, 1))::bigint % 10)"
+      def term(d: String, i: Int) =
+        if (i % 2 == 1) s"(CASE WHEN $d*2 > 9 THEN $d*2-9 ELSE $d*2 END)" else d
+      val sum15 = (0 until 15).map(idx => term(dig(idx), idx + 1)).mkString(" + ")
+      val check = s"((10 - ($sum15) % 10) % 10)"
+      val last =
+        s"(CASE WHEN doc_id % 2 = 0 THEN $check ELSE ($check + 1) % 10 END)"
+      val cand16 = ((0 until 15).map(i => s"${dig(i)}::varchar") :+
+        s"$last::varchar").mkString(" || ")
+      val total = (1 to 16).map(i =>
+        term(s"substr(candidate, $i, 1)::int", i)).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text || ' card ' || ($cand16) AS text2
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, regexp_extract(text2, '([0-9]{16})', 1) AS candidate
+         |  FROM t
+         |)
+         |SELECT doc_id, candidate,
+         |  (($total) % 10 = 0)::int AS luhn_valid
+         |FROM c""".stripMargin
     },
   )
 }
