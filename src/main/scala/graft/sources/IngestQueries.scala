@@ -455,6 +455,48 @@ object IngestQueries {
     SnapshotStore.diff(spark, name, 0L, 1L, Seq("o_orderkey"))
   }
 
+  /** K49/K50 driver query: copy-on-write DELETE then keyed MERGE
+    * against a range-partitioned snapshot table, with every version's
+    * (rows, exact-cents sum) summarized — the oracle re-derives all
+    * three versions from the generating formulas alone (delete
+    * threshold = min + (max−min) div 4 over the base keys; the merge
+    * updates the lowest SURVIVING key by +777 cents and inserts
+    * max+1), so a COW rewrite that loses a row, resurrects a deleted
+    * one, or double-applies an upsert hash-mismatches a version line.
+    * The store-level guarantees (only zone-affected files rewritten,
+    * untouched paths carried verbatim, metadata carry) are pinned in
+    * SnapshotStoreSpec; this face pins the VISIBLE semantics
+    * end-to-end against DuckDB. */
+  def ingCow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, SnapshotStore}
+    val name = s"ord_cow_${GraftStore.dirKey(dir)}"
+    snapCommitted.getOrElseUpdate(name, {
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      SnapshotStore.commitOverwrite(name,
+        o.repartitionByRange(4, col("o_orderkey")))
+      val Seq(mn, mx) = o.agg(min("o_orderkey"), max("o_orderkey"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+      val thresh = mn + (mx - mn) / 4
+      SnapshotStore.deleteWhere(spark, name, col("o_orderkey") < thresh)
+      val v1 = SnapshotStore.read(spark, name)
+      val mk = v1.agg(min("o_orderkey")).collect().head.getLong(0)
+      val upd = v1.filter(col("o_orderkey") === mk)
+        .select(col("o_orderkey"), (col("price_c") + 777L).as("price_c"))
+      val ins = spark.range(1).select(lit(mx + 1L).as("o_orderkey"),
+        lit(123L).as("price_c"))
+      SnapshotStore.mergeKeyed(spark, name, upd.unionByName(ins),
+        Seq("o_orderkey"))
+      true
+    })
+    Seq(0L, 1L, 2L).map(v =>
+      SnapshotStore.read(spark, name, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price_c")))
+      .reduce(_ unionByName _)
+  }
+
   /** K45 driver query: AS-OF-TIMESTAMP read against the K27 snapshot
     * history — resolve the instant of version 0's OWN commit clock
     * (the ≤ boundary case) and summarize what that read sees; the
@@ -629,6 +671,7 @@ object IngestQueries {
     "ing_lz4"     -> (ingLz4 _),
     "ing_warc"    -> (ingWarc _),
     "ing_warc_corpus" -> (ingWarcCorpus _),
+    "ing_cow"     -> (ingCow _),
     "ing_asof"    -> (ingAsofRead _),
     "ing_fastcount" -> (ingFastCount _),
     "ing_orc"     -> (ingOrc _),
@@ -787,6 +830,35 @@ object IngestQueries {
         |  count(*)::bigint AS n_rows,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::bigint AS sum_price_c
         |FROM orders WHERE o_orderkey % 5 <> 4""".stripMargin,
+
+    // K49/K50: all three versions re-derived from the generating
+    // formulas (threshold delete, lowest-surviving-key +777 update,
+    // max+1 insert) — COW semantics value-checked end to end
+    "ing_cow" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders
+        |), b AS (
+        |  SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS thresh,
+        |         max(o_orderkey) AS mx
+        |  FROM base
+        |), v1 AS (
+        |  SELECT o_orderkey, price_c FROM base, b WHERE o_orderkey >= thresh
+        |), mk AS (SELECT min(o_orderkey) AS m FROM v1),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT m FROM mk) THEN price_c + 777
+        |         ELSE price_c END AS price_c
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT (SELECT mx FROM b) + 1, 123
+        |)
+        |SELECT 0::bigint AS version, count(*)::bigint AS n_rows,
+        |  sum(price_c)::bigint AS sum_price_c FROM base
+        |UNION ALL
+        |SELECT 1::bigint, count(*)::bigint, sum(price_c)::bigint FROM v1
+        |UNION ALL
+        |SELECT 2::bigint, count(*)::bigint, sum(price_c)::bigint FROM v2""".stripMargin,
 
     // K33: footer-derived counts must equal the generating filters
     "ing_fastcount" ->

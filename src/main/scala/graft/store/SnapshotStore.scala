@@ -221,8 +221,16 @@ object SnapshotStore {
 
   /** Publish already-written data files as the next manifest version —
     * the shared tail of [[commit]] and the K29 [[publish]] path. */
+  /** `carryFrom`: a prior version whose per-file metadata may already
+    * cover some of `newFiles` (the K49/K50 copy-on-write paths list
+    * untouched files verbatim) — those files' zone/detail/row-group
+    * records are COPIED from that version's resolved maps and only the
+    * genuinely fresh files are scanned for stats. Without the carry, a
+    * COW delete that rewrites one file would rescan the whole table
+    * for stats — O(table) where the operation itself is O(affected). */
   private def publishFiles(name: String, newFiles: Seq[String], append: Boolean,
-      header: Option[String], dfSchema: org.apache.spark.sql.types.StructType): Long =
+      header: Option[String], dfSchema: org.apache.spark.sql.types.StructType,
+      carryFrom: Option[Long] = None): Long =
     synchronized {
       val prev = versions(name)
       val v = prev.lastOption.getOrElse(-1L) + 1L
@@ -254,26 +262,66 @@ object SnapshotStore {
       val mdir = manifestDir(name)
       fs.mkdirs(mdir)
       val tmp = new Path(mdir, s".v$v.tmp")
-      // K41/K42: commit-time stats — ONE pass over the NEW files
+      // K49/K50 carry: COW-listed files whose metadata the carry
+      // version already resolved skip the stats scan entirely
+      val carryZones: FileZones = carryFrom.map(cv =>
+        scala.util.Try(fileZonesOf(name, cv)).getOrElse(Map.empty: FileZones))
+        .getOrElse(Map.empty)
+      val carryDetails: FileDetails = carryFrom.map(cv =>
+        scala.util.Try(fileDetailsOf(name, cv)).getOrElse(Map.empty: FileDetails))
+        .getOrElse(Map.empty)
+      val carryRg: FileRowGroups = carryFrom.map(cv =>
+        scala.util.Try(fileRowGroupsOf(name, cv)).getOrElse(Map.empty: FileRowGroups))
+        .getOrElse(Map.empty)
+      val (carried, fresh) = newFiles.partition(f =>
+        carryDetails.contains(uriPath(f)))
+      // K41/K42: commit-time stats — ONE pass over the FRESH files
       // yields both the per-file zone map and the global stats,
       // merged driver-side with the previous version's header
       // (sketches union exactly); advisory, never fails the commit
-      val computed = scala.util.Try(computeCommitStats(newFiles, schema))
+      val computed = scala.util.Try(computeCommitStats(fresh, schema))
         .toOption.flatten
+      // global stats for carried files rebuild from their per-file
+      // detail + zones — rows/nulls/NDV exact, min/max only where a
+      // zone bound exists (columns any carried file leaves unbounded
+      // drop min/max from the merged header rather than understate)
+      val carriedStats: Option[TableStats] =
+        if (carried.isEmpty) None
+        else scala.util.Try(statsFromCarried(carried, carryZones,
+          carryDetails, schema)).toOption
+      val freshStats = computed.map(_._1)
+      val cowStats: Option[TableStats] =
+        if (carryFrom.isEmpty) freshStats
+        else (carriedStats, freshStats) match {
+          case (Some(a), Some(b)) =>
+            scala.util.Try(mergeStats(a, b, schema)).toOption
+          case (_, b) if carried.isEmpty => b
+          case (a, _) if fresh.isEmpty => a
+          case _ => None // a carried file without detail: stop claiming
+        }
       val stats: Option[TableStats] =
-        if (append) (prev.lastOption.flatMap(statsOf(name, _)), computed.map(_._1)) match {
+        if (carryFrom.nonEmpty) cowStats.map { s =>
+          // bytes over ALL listed files (exact, from file statuses)
+          val bytes = scala.util.Try(newFiles.map { f =>
+            val p = new Path(f); fsOf(p).getFileStatus(p).getLen
+          }.sum).getOrElse(0L)
+          s.copy(bytes = bytes)
+        }
+        else if (append) (prev.lastOption.flatMap(statsOf(name, _)), freshStats) match {
           case (Some(p), Some(c)) =>
             // advisory, never fails the commit: a merge that throws
             // degrades to this commit's own (non-cumulative) stats —
             // the same honest fallback as a gap in the chain
             scala.util.Try(mergeStats(p, c, schema)).toOption.orElse(Some(c))
           case (_, cur) => cur // a gap in the chain: stop claiming cumulative
-        } else computed.map(_._1)
+        } else freshStats
+      val newPaths = newFiles.map(uriPath).toSet
       // K42: a delta manifest carries ITS files' zones (symmetric with
       // the file list); checkpoints/overwrites carry the full resolved
       // map — a pure driver-side metadata merge, never a rescan
       val fstats: FileZones = scala.util.Try {
-        val nz = computed.map(_._2).getOrElse(Map.empty: FileZones)
+        val nz = carryZones.filter(z => newPaths(z._1)) ++
+          computed.map(_._2).getOrElse(Map.empty: FileZones)
         if (isDelta) nz
         else (if (append && prev.nonEmpty) fileZonesOf(name, prev.last)
               else Map.empty: FileZones) ++ nz
@@ -282,7 +330,8 @@ object SnapshotStore {
       // a delta manifest carries ITS files' detail, checkpoints carry
       // the full resolved map
       val fdetail: FileDetails = scala.util.Try {
-        val nd = computed.map(_._3).getOrElse(Map.empty: FileDetails)
+        val nd = carryDetails.filter(d => newPaths(d._1)) ++
+          computed.map(_._3).getOrElse(Map.empty: FileDetails)
         if (isDelta) nd
         else (if (append && prev.nonEmpty) fileDetailsOf(name, prev.last)
               else Map.empty: FileDetails) ++ nd
@@ -290,7 +339,8 @@ object SnapshotStore {
       // K48: row-group grain rides the same delta semantics; footers
       // of the just-written files only — pure metadata, advisory
       val rgdetail: FileRowGroups = scala.util.Try {
-        val nd = computeRowGroups(newFiles, schema)
+        val nd = carryRg.filter(r => newPaths(r._1)) ++
+          computeRowGroups(fresh, schema)
         if (isDelta) nd
         else (if (append && prev.nonEmpty) fileRowGroupsOf(name, prev.last)
               else Map.empty: FileRowGroups) ++ nd
@@ -332,6 +382,101 @@ object SnapshotStore {
 
   def commitAppend(name: String, df: DataFrame): Long = commit(name, df, append = true)
   def commitOverwrite(name: String, df: DataFrame): Long = commit(name, df, append = false)
+
+  /** K49: row-level DELETE with copy-on-write file rewrite — the lake
+    * operation behind GDPR erasure and corpus-curation retractions
+    * (Delta `DELETE FROM`, Iceberg copy-on-write). The rewrite set is
+    * scoped by K42 ZONE PRUNING: only files whose zones can contain a
+    * matching row are read and rewritten (minus matching rows);
+    * untouched files carry into the new manifest VERBATIM — same
+    * paths, no data movement, and their zone/detail/row-group records
+    * carry as pure metadata (publishFiles' carryFrom), so the commit
+    * costs O(affected files) I/O at any table size. Old versions stay
+    * intact for time travel (COW never mutates a published file);
+    * vacuum reclaims the replaced files once no kept version
+    * references them. Returns the new version (the current one
+    * unchanged if zone pruning proves nothing can match). */
+  def deleteWhere(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column): Long = synchronized {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = vs.last
+    val (idx, df) = readZoned(spark, name, Some(v))
+    val conds = df.filter(pred).queryExecution.analyzed.collect {
+      case f: LFilter => f.condition
+    }
+    val affected = idx.listFiles(Nil, conds).flatMap(_.files)
+      .map(_.getPath.toUri.getPath).toSet
+    if (affected.isEmpty) return v
+    val all = readManifest(name, v)
+    val (touched, untouched) = all.partition(f => affected(uriPath(f)))
+    val schema = schemaOf(name, v).getOrElse(df.schema)
+    val vNext = v + 1L
+    val dataDir = new Path(tableDir(name), s"data_v$vNext")
+    spark.read.schema(schema).parquet(touched: _*)
+      .filter(!pred)
+      .write.mode("error").parquet(dataDir.toString)
+    publishFiles(name, untouched ++ listParquet(dataDir), append = false,
+      header = None, dfSchema = schema, carryFrom = Some(v))
+  }
+
+  /** K50: keyed MERGE (upsert) with copy-on-write rewrite — Delta
+    * `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` for
+    * a BOUNDED update batch (the CDC-apply / corpus-correction shape;
+    * `updates` must carry the full row). The batch's distinct keys
+    * collect to the driver (bounded by `maxBatchKeys` — a corpus-scale
+    * merge is a different operation: shuffle-join both sides and
+    * rewrite everything, i.e. commitOverwrite) and drive the SAME zone
+    * pruning as K49: only files that can hold a matched key rewrite,
+    * with matched rows replaced via a distributed LEFT ANTI join
+    * against the batch (data never collects). Unmatched update rows
+    * insert as new files. Untouched files and their metadata carry
+    * verbatim. */
+  def mergeKeyed(spark: SparkSession, name: String, updates: DataFrame,
+      keys: Seq[String], maxBatchKeys: Int = 10000): Long = synchronized {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keys.nonEmpty, "mergeKeyed needs at least one key column")
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = vs.last
+    val schema = schemaOf(name, v).getOrElse(
+      throw new IllegalArgumentException(s"no schema recorded for '$name'"))
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column '$k' not in table schema"))
+    val keyRows = updates.select(keys.map(col): _*).distinct()
+      .limit(maxBatchKeys + 1).collect()
+    require(keyRows.length <= maxBatchKeys,
+      s"update batch exceeds $maxBatchKeys distinct keys — use " +
+        "commitOverwrite with a full shuffle-join merge for corpus-scale " +
+        "updates")
+    val pred =
+      if (keys.size == 1)
+        col(keys.head).isin(keyRows.map(_.get(0)).toIndexedSeq: _*)
+      else keyRows.map(r => keys.zipWithIndex.map { case (k, i) =>
+        col(k) === lit(r.get(i)) }.reduce(_ && _)).reduceOption(_ || _)
+        .getOrElse(lit(false))
+    val (idx, df) = readZoned(spark, name, Some(v))
+    val conds = df.filter(pred).queryExecution.analyzed.collect {
+      case f: LFilter => f.condition
+    }
+    val affected = idx.listFiles(Nil, conds).flatMap(_.files)
+      .map(_.getPath.toUri.getPath).toSet
+    val all = readManifest(name, v)
+    val (touched, untouched) = all.partition(f => affected(uriPath(f)))
+    val vNext = v + 1L
+    val dataDir = new Path(tableDir(name), s"data_v$vNext")
+    val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val rewritten =
+      if (touched.isEmpty) aligned
+      else spark.read.schema(schema).parquet(touched: _*)
+        .join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(aligned)
+    rewritten.write.mode("error").parquet(dataDir.toString)
+    publishFiles(name, untouched ++ listParquet(dataDir), append = false,
+      header = None, dfSchema = schema, carryFrom = Some(v))
+  }
 
   /** K29: a staged (written-but-unpublished) commit — the handle the
     * write-audit-publish flow passes between its three steps. */
@@ -1361,6 +1506,35 @@ object SnapshotStore {
         }
       }.toOption
     }
+
+  /** K49/K50: rebuild a global TableStats from CARRIED per-file
+    * metadata — rows/nulls from the K44 detail (exact), NDV from the
+    * detail's HLL sketches (unions exactly in [[mergeStats]]), min/max
+    * from the K42 zone bounds where present. Columns some carried file
+    * tracks but does not zone get their min/max POISONED after the
+    * fold (min/max claimed from a subset of files would understate the
+    * range — worse than absent for a planner). Throws on a file
+    * without detail; the caller treats that as "stop claiming". */
+  private def statsFromCarried(files: Seq[String], zones: FileZones,
+      details: FileDetails, schema: StructType): TableStats = {
+    val per = files.map { f =>
+      val p = uriPath(f)
+      val fd = details(p)
+      val fz = zones.getOrElse(p, Map.empty[String, (String, String)])
+      val cols = (fd.nulls.keySet ++ fd.hll.keySet ++ fz.keySet).iterator.map { c =>
+        val z = fz.get(c)
+        c -> ColumnStats(z.map(_._1), z.map(_._2),
+          fd.nulls.getOrElse(c, 0L), fd.hll.get(c))
+      }.toMap
+      (TableStats(fd.rows, 0L, cols), fz.keySet, cols.keySet)
+    }
+    val merged = per.map(_._1).reduceOption(mergeStats(_, _, schema))
+      .getOrElse(TableStats(0L, 0L, Map.empty))
+    val unbounded = per.flatMap { case (_, zoned, tracked) => tracked -- zoned }.toSet
+    merged.copy(cols = merged.cols.map { case (c, cs) =>
+      c -> (if (unbounded(c)) cs.copy(min = None, max = None) else cs)
+    })
+  }
 
   /** Exact merge of two cumulative stats: counts sum, min/max compare
     * type-aware, HLL sketches union (the entire point of carrying the

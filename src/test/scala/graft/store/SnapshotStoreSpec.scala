@@ -511,6 +511,77 @@ class SnapshotStoreSpec extends SparkSpec {
       s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}")
   }
 
+  test("K49 copy-on-write DELETE rewrites only zone-affected files; untouched files and their metadata carry verbatim") {
+    import spark.implicits._
+    val name = "tcowdel"
+    SnapshotStore.commitAppend(name,
+      (1L to 1000L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")))
+    val v0 = SnapshotStore.versions(name).last
+    val files0 = SnapshotStore.files(name, v0)
+    assert(files0.size == 4)
+    // k < 250 lives in the first range file(s) only
+    val v1 = SnapshotStore.deleteWhere(spark, name, col("k") < 250L)
+    assert(v1 == v0 + 1)
+    val files1 = SnapshotStore.files(name, v1)
+    val carried = files1.toSet intersect files0.toSet
+    assert(carried.nonEmpty && carried.size >= 2,
+      s"untouched files must carry by PATH (no rewrite): ${files1.size} vs ${files0.size}")
+    assert((files0.toSet -- files1.toSet).nonEmpty, "affected file(s) must be replaced")
+    // content: exactly the non-matching rows survive; v0 is intact
+    assert(SnapshotStore.read(spark, name).count() == 751L)
+    assert(SnapshotStore.read(spark, name)
+      .agg(min(col("k"))).collect().head.getLong(0) == 250L)
+    assert(rows(name, Some(v0)).size == 1000)
+    // metadata carried for untouched + computed for fresh: full coverage
+    val det = SnapshotStore.fileDetailsOf(name, v1)
+    assert(files1.forall(f => det.contains(new java.net.URI(f).getPath)),
+      "every file of the new head must carry detail (carried or fresh)")
+    assert(det.values.map(_.rows).sum == 751L)
+    val st = SnapshotStore.statsOf(name, v1).getOrElse(fail("no stats"))
+    assert(st.rows == 751L, s"COW stats must stay exact: ${st.rows}")
+    assert(SnapshotStore.fileRowGroupsOf(name, v1).keySet ==
+      det.keySet, "row-group records must cover the same files")
+    // deep fsck reconciles both grains after the rewrite
+    assert(SnapshotStore.fsckRows(spark, name).forall(_.ok))
+    assert(SnapshotStore.fsckRowGroups(spark, name).forall(_.ok))
+    // a provably-unmatchable predicate is a metadata no-op
+    assert(SnapshotStore.deleteWhere(spark, name, col("k") > 5000L) == v1)
+  }
+
+  test("K50 keyed MERGE upserts matched rows, inserts new ones, rewrites only affected files") {
+    import spark.implicits._
+    val name = "tcowmerge"
+    SnapshotStore.commitAppend(name,
+      (1L to 1000L).map(i => (i, s"old$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")))
+    val v0 = SnapshotStore.versions(name).last
+    val files0 = SnapshotStore.files(name, v0)
+    // batch: update keys 10 and 20 (both in the low range file), insert 5000
+    val v1 = SnapshotStore.mergeKeyed(spark, name,
+      Seq((10L, "NEW10"), (20L, "NEW20"), (5000L, "NEW5000")).toDF("k", "s"),
+      Seq("k"))
+    assert(v1 == v0 + 1)
+    val files1 = SnapshotStore.files(name, v1)
+    assert((files1.toSet intersect files0.toSet).nonEmpty,
+      "files whose zones cannot hold a batch key must carry by path")
+    val got = rows(name)
+    assert(got.size == 1001)
+    assert(got((10L, "NEW10")) && got((20L, "NEW20")) && got((5000L, "NEW5000")))
+    assert(!got.exists(_ == (10L, "old10")) && got((11L, "old11")))
+    // v0 unchanged (time travel across a merge)
+    assert(rows(name, Some(v0))((10L, "old10")))
+    // exact stats after the upsert
+    assert(SnapshotStore.statsOf(name, v1).exists(_.rows == 1001L))
+    assert(SnapshotStore.fsckRows(spark, name).forall(_.ok))
+    // the bounded-batch contract is enforced, not silently violated
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeKeyed(spark, name,
+        (1L to 50L).map(i => (i, "x")).toDF("k", "s"), Seq("k"),
+        maxBatchKeys = 10)
+    }
+  }
+
   test("K48 row-group detail: strictly fewer bytes than file-grain pruning on a mixed file; deep fsck reconciles; survives vacuum rewrite") {
     import spark.implicits._
     val name = "trgdetail"
