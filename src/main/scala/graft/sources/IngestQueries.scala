@@ -657,6 +657,106 @@ object IngestQueries {
         (col("gopher_keep") === 1 && col("is_dup") === 0).cast("int"))
   }
 
+  /** A21: URL canonicalization — the dedup key normalization every
+    * crawl pipeline runs before fetch dedup and per-domain rollups
+    * (two spellings of one URL are the single biggest source of
+    * phantom "distinct" documents in a crawl): scheme and host
+    * lowercase (they are case-insensitive per RFC 3986; the path is
+    * NOT), default ports drop (:80 for http, :443 for https),
+    * fragments drop (never sent to the server), `utm_*` tracking
+    * params drop, and the surviving query params SORT so argument
+    * order cannot split a key. Pure per-row regex/array work — zero
+    * shuffle at any scale. */
+  def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val q = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val scheme = lower(regexp_extract(base, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(base, "^[A-Za-z]+://([^/]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_extract(base, "^[A-Za-z]+://[^/]*(/.*)?$", 1)
+    val params = array_join(array_sort(filter(split(q, "&"),
+      p => !p.startsWith("utm_") && p =!= "")), "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", "/").otherwise(path),
+      when(params === "", "").otherwise(concat(lit("?"), params)))
+  }
+
+  /** A21 driver query: a deliberately messy URL per document (cased
+    * scheme/host, default ports on evens, tracking params interleaved
+    * with real ones out of order, fragments on every third) →
+    * canonical form + the registrable domain (last two host labels,
+    * the per-site rollup key). The oracle rebuilds the same mess and
+    * canonicalizes it with the identical rule chain in DuckDB — a
+    * divergent regex or sort order hash-mismatches every row. */
+  def ingUrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scheme = when(col("doc_id") % 4 === 0, "HTTP")
+      .when(col("doc_id") % 4 === 1, "http")
+      .when(col("doc_id") % 4 === 2, "HTTPS").otherwise("https")
+    val isHttp = col("doc_id") % 4 < 2
+    val host = concat(lit("WWW.Site"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.COM"))
+    val port = when(col("doc_id") % 2 === 0,
+      when(isHttp, ":80").otherwise(":443")).otherwise("")
+    val extra = when(col("doc_id") % 5 === 0, "&b=3").otherwise("")
+    val frag = when(col("doc_id") % 3 === 0, "#sec").otherwise("")
+    val url = concat(scheme, lit("://"), host, port,
+      lit("/Path/"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&z=2"), extra, lit("&a=1&utm_medium=x"), frag)
+    val canon = canonicalUrl(url)
+    d.select(col("doc_id"), url.as("url"), canon.as("canonical"),
+      regexp_extract(regexp_extract(canon, "^[a-z]+://([^/]*)", 1),
+        "([^.]+\\.[^.]+)$", 1).as("domain"))
+  }
+
+  /** A20: robots.txt politeness evaluation — the fetch gate of a
+    * polite crawler, REP semantics (RFC 9309): parse the Allow /
+    * Disallow lines out of the robots BODY (not a pre-parsed rule
+    * table — the parsing is the operator), then for a URL path apply
+    * longest-prefix-match with Allow winning ties. Per row: extract
+    * both rule lists with one multiline regex each, keep the prefixes
+    * that match the path, take each side's longest, compare. No rule
+    * matching at all means allowed (REP default-allow). Pure per-row
+    * regex + array work, zero shuffle.
+    *
+    * Driver query fixture: each source's robots carries the shared
+    * rules plus one per-source Disallow; paths cycle through the four
+    * interesting cases (disallowed-by-prefix, allow-overrides-disallow
+    * on the longer match, per-source disallow, no-rule default-allow).
+    * The oracle rebuilds body+path and runs the identical extraction
+    * and longest-match fold in DuckDB. */
+  def ingRobots(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val s = (col("doc_id") % 7).cast("string")
+    val robots = concat(
+      lit("User-agent: *\n"),
+      lit("Disallow: /private\n"),
+      lit("Allow: /private/pub\n"),
+      lit("Disallow: /tmp/\n"),
+      lit("Disallow: /s"), s, lit("\n"))
+    val path = when(col("doc_id") % 4 === 0,
+        concat(lit("/private/doc"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("/private/pub/doc"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 2, concat(lit("/s"), s, lit("/x")))
+      .otherwise(concat(lit("/public/doc"), col("doc_id").cast("string")))
+    val allows = regexp_extract_all(robots, lit("(?m)^Allow: ([^\\n]+)$"), lit(1))
+    val disallows = regexp_extract_all(robots,
+      lit("(?m)^Disallow: ([^\\n]+)$"), lit(1))
+    def longest(rules: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      coalesce(array_max(transform(filter(rules, r => p.startsWith(r)),
+        r => length(r))), lit(-1))
+    val (la, ld) = (longest(allows, path), longest(disallows, path))
+    d.select(col("doc_id"), path.as("path"),
+      size(allows).as("n_allow"), size(disallows).as("n_disallow"),
+      la.as("longest_allow"), ld.as("longest_disallow"),
+      (la >= ld).cast("int").as("allowed"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -672,6 +772,8 @@ object IngestQueries {
     "ing_warc"    -> (ingWarc _),
     "ing_warc_corpus" -> (ingWarcCorpus _),
     "ing_cow"     -> (ingCow _),
+    "ing_url_canon" -> (ingUrlCanon _),
+    "ing_robots"  -> (ingRobots _),
     "ing_asof"    -> (ingAsofRead _),
     "ing_fastcount" -> (ingFastCount _),
     "ing_orc"     -> (ingOrc _),
@@ -830,6 +932,89 @@ object IngestQueries {
         |  count(*)::bigint AS n_rows,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::bigint AS sum_price_c
         |FROM orders WHERE o_orderkey % 5 <> 4""".stripMargin,
+
+    // A20: rebuild body+path, same multiline extraction, same
+    // longest-prefix fold with Allow winning ties (REP semantics)
+    "ing_robots" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'User-agent: *' || chr(10) ||
+        |    'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/pub' || chr(10) ||
+        |    'Disallow: /tmp/' || chr(10) ||
+        |    'Disallow: /s' || (doc_id % 7) || chr(10) AS robots,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '/private/doc' || doc_id
+        |      WHEN 1 THEN '/private/pub/doc' || doc_id
+        |      WHEN 2 THEN '/s' || (doc_id % 7) || '/x'
+        |      ELSE '/public/doc' || doc_id END AS path
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, path,
+        |    regexp_extract_all(robots, '(?m)^Allow: ([^\n]+)$', 1) AS allows,
+        |    regexp_extract_all(robots, '(?m)^Disallow: ([^\n]+)$', 1) AS disallows
+        |  FROM f
+        |), m AS (
+        |  SELECT doc_id, path,
+        |    length(allows)::int AS n_allow,
+        |    length(disallows)::int AS n_disallow,
+        |    coalesce(list_max(list_transform(
+        |      list_filter(allows, x -> starts_with(path, x)),
+        |      x -> length(x))), -1)::int AS longest_allow,
+        |    coalesce(list_max(list_transform(
+        |      list_filter(disallows, x -> starts_with(path, x)),
+        |      x -> length(x))), -1)::int AS longest_disallow
+        |  FROM r
+        |)
+        |SELECT doc_id, path, n_allow, n_disallow,
+        |  longest_allow, longest_disallow,
+        |  (longest_allow >= longest_disallow)::int AS allowed
+        |FROM m""".stripMargin,
+
+    // A21: rebuild the same messy URL, canonicalize with the identical
+    // rule chain (lowercase scheme/host, default-port strip, fragment
+    // drop, utm_* filter, param sort)
+    "ing_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http'
+        |          WHEN 2 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://WWW.Site' || (doc_id % 7) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0
+        |             THEN (CASE WHEN doc_id % 4 < 2 THEN ':80' ELSE ':443' END)
+        |             ELSE '' END)
+        |    || '/Path/' || doc_id
+        |    || '?utm_source=feed&z=2'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '&b=3' ELSE '' END)
+        |    || '&a=1&utm_medium=x'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents
+        |), p2 AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS q,
+        |    regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS base
+        |  FROM u
+        |), p3 AS (
+        |  SELECT doc_id, url, q,
+        |    lower(regexp_extract(base, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(base, '^[A-Za-z]+://([^/]*)', 1)) AS hostport,
+        |    regexp_extract(base, '^[A-Za-z]+://[^/]*(/.*)?$', 1) AS path
+        |  FROM p2
+        |), p4 AS (
+        |  SELECT doc_id, url, scheme, path,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS params
+        |  FROM p3
+        |)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host
+        |    || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |    || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canonical,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM p4""".stripMargin,
 
     // K49/K50: all three versions re-derived from the generating
     // formulas (threshold delete, lowest-surviving-key +777 update,
