@@ -250,17 +250,24 @@ object Dedup {
     val cAB = inter / size(col("ha"))   // A contained in B when high
     val cBA = inter / size(col("hb"))
     // the shingle-set side is docs-scale (one row per doc); the
-    // candidate side is PAIRS-scale (quadratic in rare-hash df). No
-    // forced broadcast here: the docs-scale side is NOT broadcastable
-    // at corpus scale (one md5-hex array per document — far past any
-    // driver/executor budget at 100 TB), and a hint bypasses
-    // autoBroadcastJoinThreshold entirely. AQE's runtime re-plan
-    // broadcasts it whenever it actually fits (it does at bench SF, so
-    // the pair frame still never shuffles there) and degrades to a
-    // shuffle join gracefully when it doesn't.
+    // candidate side is PAIRS-scale (quadratic in rare-hash df).
+    // Broadcasting the docs-scale side keeps the pair frame from ever
+    // shuffling (measured 4× on the bench corpus) — but an
+    // UNCONDITIONAL hint would bypass autoBroadcastJoinThreshold and
+    // OOM at corpus scale, where one md5-hex array per document is far
+    // past any broadcast budget (r13 advisor). So the hint is GATED on
+    // the optimizer's own size estimate against the session's
+    // configured threshold: under it, hint (and keep the win); over it
+    // — or with broadcasting disabled (threshold -1) — fall through to
+    // the shuffle join, which degrades gracefully.
+    val autoThresh =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val small = autoThresh > 0 &&
+      sets.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(autoThresh)
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     cand
-      .join(sets.select(col("id").as("doc_a"), col("sh").as("ha")), "doc_a")
-      .join(sets.select(col("id").as("doc_b"), col("sh").as("hb")), "doc_b")
+      .join(side(sets.select(col("id").as("doc_a"), col("sh").as("ha"))), "doc_a")
+      .join(side(sets.select(col("id").as("doc_b"), col("sh").as("hb"))), "doc_b")
       .withColumn("containment", round(greatest(cAB, cBA), 4))
       .withColumn("direction", when(cAB >= cBA, "a_in_b").otherwise("b_in_a"))
       .filter(col("containment") >= threshold)
