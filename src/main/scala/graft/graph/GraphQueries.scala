@@ -956,6 +956,7 @@ object GraphQueries {
     "graph_betweenness" -> (graphBetweenness _),
     "graph_mis"       -> (graphMis _),
     "graph_matching"  -> (graphMatching _),
+    "graph_coloring"  -> (graphColoring _),
   )
 
   val MisRounds = 4
@@ -976,6 +977,26 @@ object GraphQueries {
           .cast("long").as("p"))
       .localCheckpoint(eager = true)
     Graphs.lubyMis(und, verts, MisRounds)
+  }
+
+  val ColorRounds = 6
+
+  /** C40 driver query: Jones-Plassmann coloring over the geo graph
+    * with salted-hash priorities (the MIS convention — 48-bit md5
+    * prefix, strict `<` needs no tie-break). Emits decided vertices
+    * with their color and round; the generated fixed-round oracle
+    * restates priority-minima selection and the {0}∪{c+1}−S mex
+    * verbatim, and GraphSpec pins properness (no decided edge is
+    * monochrome) plus mex minimality on a hand fixture. */
+  def graphColoring(spark: SparkSession, dir: String): DataFrame = {
+    val und = storedGeoUnd(spark, dir)
+    val verts = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id"))).distinct()
+      .select(col("id"),
+        conv(substring(md5(concat(lit("color|"), col("id"))), 1, 12), 16, 10)
+          .cast("long").as("p"))
+      .localCheckpoint(eager = true)
+    Graphs.jpColoring(und, verts, ColorRounds)
   }
 
   val MatchRounds = 6
@@ -1525,6 +1546,55 @@ object GraphQueries {
          |),
          |$rounds
          |$out""".stripMargin
+    },
+
+    "graph_coloring" -> {
+      // fixed-round Jones-Plassmann mirror: the MIS local-minimum CTE
+      // pair plus the mex as {0} ∪ {color+1} − neighborColors (one
+      // union + one anti-join — no per-vertex ranges to generate)
+      val rounds = (1 to ColorRounds).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT und.u AS id, min(a.p) AS mp
+           |  FROM und JOIN a${i - 1} a ON und.v = a.id GROUP BY und.u
+           |),
+           |m$i AS MATERIALIZED (
+           |  SELECT a.id FROM a${i - 1} a LEFT JOIN n$i n ON a.id = n.id
+           |  WHERE a.p < coalesce(n.mp, 9223372036854775807)
+           |),
+           |nc$i AS MATERIALIZED (
+           |  SELECT DISTINCT m.id, c.color
+           |  FROM m$i m JOIN und ON und.u = m.id
+           |  JOIN col${i - 1} c ON und.v = c.id
+           |),
+           |cand$i AS (
+           |  SELECT id, 0::bigint AS c FROM m$i
+           |  UNION ALL SELECT id, color + 1 FROM nc$i
+           |),
+           |mex$i AS MATERIALIZED (
+           |  SELECT c.id, min(c.c) AS color
+           |  FROM cand$i c LEFT JOIN nc$i n ON c.id = n.id AND c.c = n.color
+           |  WHERE n.id IS NULL GROUP BY c.id
+           |),
+           |col$i AS MATERIALIZED (
+           |  SELECT id, color, r FROM col${i - 1}
+           |  UNION ALL SELECT id, color, $i::int AS r FROM mex$i
+           |),
+           |a$i AS MATERIALIZED (
+           |  SELECT id, p FROM a${i - 1} WHERE id NOT IN (SELECT id FROM m$i)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$edgesCte,
+         |$geoUndCtes,
+         |v AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+         |a0 AS MATERIALIZED (
+         |  SELECT id, ('0x' || substr(md5('color|' || id), 1, 12))::bigint AS p
+         |  FROM v
+         |),
+         |col0 AS (SELECT CAST(NULL AS VARCHAR) AS id,
+         |  CAST(NULL AS BIGINT) AS color, CAST(NULL AS INT) AS r
+         |  WHERE false),
+         |$rounds
+         |SELECT id, color, r AS decided_round FROM col$ColorRounds""".stripMargin
     },
 
     "graph_katz" -> {

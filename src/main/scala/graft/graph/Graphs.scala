@@ -305,6 +305,57 @@ object Graphs {
     decided.get
   }
 
+  /** C40: Jones-Plassmann greedy coloring, bounded rounds — the
+    * register-allocation / conflict-scheduling primitive (and the
+    * parallel-coloring algorithm of record since Jones & Plassmann
+    * 1993): per round the ACTIVE local-priority-minima color
+    * themselves with the smallest color no already-colored neighbor
+    * holds, then retire. Same-round winners are an independent set by
+    * the strict-< argument lubyMis rides (adjacent vertices can't both
+    * be local minima), so they never conflict with each other; the
+    * mex against earlier rounds makes the partial coloring PROPER at
+    * every step. The mex avoids per-vertex ranges entirely:
+    * mex(S) = min(({0} ∪ {s+1 | s ∈ S}) − S) — candidate generation is
+    * one union + one anti-join, both candidate-scale. Emits decided
+    * vertices only (exact for the fixed budget, the MIS convention);
+    * O(E) joins per round, expected O(log n) rounds to drain. */
+  def jpColoring(und: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
+    val both = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    val e2 = pinBySrc(both)
+    var active = verts.select(col("id"), col("p")).localCheckpoint(eager = true)
+    var colored: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      val nmin = e2
+        .join(active.select(col("id").as("src"), col("p").as("sp")), "src")
+        .groupBy("dst").agg(min(col("sp")).as("mp"))
+      val m = active
+        .join(nmin.select(col("dst").as("id"), col("mp")), Seq("id"), "left")
+        .filter(col("p") < coalesce(col("mp"), lit(Long.MaxValue)))
+        .select(col("id")).localCheckpoint(eager = true)
+      // colors already held by a winner's neighbors (earlier rounds)
+      val nc = e2.join(m.select(col("id").as("src")), "src")
+        .select(col("src").as("id"), col("dst").as("nbr"))
+        .join(colored.map(c => c.select(col("id").as("nbr"), col("color")))
+          .getOrElse(m.limit(0).select(col("id").as("nbr"),
+            lit(0L).as("color"))), "nbr")
+        .select(col("id"), col("color")).distinct()
+      val cand = m.select(col("id"), lit(0L).as("c"))
+        .unionAll(nc.select(col("id"), (col("color") + 1L).as("c")))
+      val mex = cand.join(nc.select(col("id"), col("color").as("c")),
+          Seq("id", "c"), "left_anti")
+        .groupBy("id").agg(min(col("c")).as("color"))
+      val newly = mex.select(col("id"), col("color"),
+        lit(i).as("decided_round")).localCheckpoint(eager = true)
+      colored = Some(colored.map(_.unionAll(newly)).getOrElse(newly))
+      active = active.join(m, Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    both.unpersist()
+    colored.get
+  }
+
   /** C29: maximal matching — Luby's local-minimum rule applied to the
     * LINE graph: per round an active edge joins the matching iff its
     * priority key is the strict minimum among active edges at BOTH

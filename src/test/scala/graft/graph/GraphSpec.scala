@@ -821,6 +821,55 @@ class GraphSpec extends SparkSpec {
       assert(tset.contains(u) || tset.contains(v), s"free edge $u-$v survived") }
   }
 
+  test("C40 Jones-Plassmann coloring: proper, mex-minimal, everyone decides on a fixture") {
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y", "y" -> "z", "x" -> "z")
+    val verts = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .distinct()
+      .select(col("id"),
+        conv(substring(md5(concat(lit("color|"), col("id"))), 1, 12), 16, 10)
+          .cast("long").as("p"))
+    val colored = Graphs.jpColoring(e, verts, 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(colored.keySet == Set("a", "b", "c", "d", "e", "x", "y", "z"),
+      "every vertex must decide within the round budget")
+    val adj = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y", "y" -> "z", "x" -> "z")
+    // proper: no edge is monochrome
+    adj.foreach { case (u, v) =>
+      assert(colored(u)._1 != colored(v)._1, s"$u-$v share color") }
+    // the triangle needs 3 colors, the path 2 — greedy mex stays tight
+    assert(Seq("x", "y", "z").map(colored(_)._1).toSet == Set(0L, 1L, 2L))
+    assert(Seq("a", "b", "c", "d", "e").map(colored(_)._1).toSet.subsetOf(Set(0L, 1L)))
+    // mex minimality: a vertex's color is the smallest not held by a
+    // neighbor decided in an EARLIER round
+    val nbrs = adj.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    colored.foreach { case (id, (c, r)) =>
+      val earlier = nbrs(id).filter(n => colored(n)._2 < r).map(n => colored(n)._1)
+      val mex = Iterator.from(0).map(_.toLong).find(!earlier.contains(_)).get
+      assert(c == mex, s"$id color $c != mex $mex of earlier-round neighbors $earlier")
+    }
+    // determinism
+    assert(Graphs.jpColoring(e, verts, 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap == colored)
+  }
+
+  test("C40 coloring on the geo graph: proper among decided at the query budget") {
+    val colored = GraphQueries.graphColoring(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(colored.nonEmpty)
+    val edges = graft.kg.KgQueries.kgEdges(spark, sfDir)
+      .filter(col("rel").isin("LOCATED_IN", "PART_OF"))
+      .select(concat(col("src_label"), lit("|"), col("src")).as("a"),
+        concat(col("dst_label"), lit("|"), col("dst")).as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(p => p._1 != p._2)
+    edges.foreach { case (u, v) =>
+      if (colored.contains(u) && colored.contains(v))
+        assert(colored(u) != colored(v), s"monochrome edge $u-$v") }
+  }
+
   test("C28 Luby MIS on the geo graph: independent and fully decided at the query's budget") {
     val decided = GraphQueries.graphMis(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
