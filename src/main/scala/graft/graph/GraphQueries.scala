@@ -143,7 +143,7 @@ object GraphQueries {
     storedDirHashed(spark, dir)
     storedGeoUnd(spark, dir); storedGeoVerts(spark, dir)
     storedCoOrder(spark, dir); storedLouvain1(spark, dir)
-    storedLpaLabels(spark, dir); ()
+    storedLpaLabels(spark, dir); storedNeighborhood(spark, dir); ()
   }
 
   /** K18: recursive CTE through the SQL front door (Spark 4's
@@ -888,21 +888,47 @@ object GraphQueries {
     * the Σ|B(r)|·deg pair-expansion that made the first spelling
     * 16.6 s at sf0.1. The exact face still exists only to oracle the
     * sketch IN-PLAN, per the sim_ann_recall convention. */
-  def graphNeighborhood(spark: SparkSession, dir: String): DataFrame = {
-    // xxhash64 the ~25-byte composite ids once at the edge: the
-    // vertex-rank dictionary sorts and joins 8-byte longs instead of
-    // strings, and the HLL face sketches the hashes with identical
-    // register mechanics. Counts are collision-exact at any plausible
-    // vertex count (the storedUndHashed argument: P ≈ V²/2⁶⁴).
-    val h = storedGeoUnd(spark, dir)
-      .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"))
-    // lgK=10 (1 KB/vertex): the sketch face shuffles V sketches per
-    // round, so register width is the direct cost knob; rsd(2^10) ≈
-    // 3.2% stays inside the 500 bps est_ok tolerance with margin
-    // (errors over the Σ_v sum partially cancel besides)
-    Graphs.neighborhoodFunction(
-      h.unionAll(h.select(col("v").as("u"), col("u").as("v"))), NbRounds,
-      lgK = 10)
+  /** The persisted NF curve (4 rows) — two consumers now recompute it
+    * (graph_neighborhood reports it, graph_eff_diameter derives from
+    * it), so the HyperBall rounds run once per (session, dir) and the
+    * build lands in bench build_sec (the store discipline). */
+  private def storedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.GraftStore
+    spark.table(GraftStore.ensureBucketed(
+      spark, s"graft_nf_${GraftStore.dirKey(dir)}", 1, Seq("radius")) {
+      // xxhash64 the ~25-byte composite ids once at the edge: the
+      // vertex-rank dictionary sorts and joins 8-byte longs instead of
+      // strings, and the HLL face sketches the hashes with identical
+      // register mechanics. Counts are collision-exact at any plausible
+      // vertex count (the storedUndHashed argument: P ≈ V²/2⁶⁴).
+      val h = storedGeoUnd(spark, dir)
+        .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"))
+      // lgK=10 (1 KB/vertex): the sketch face shuffles V sketches per
+      // round, so register width is the direct cost knob; rsd(2^10) ≈
+      // 3.2% stays inside the 500 bps est_ok tolerance with margin
+      // (errors over the Σ_v sum partially cancel besides)
+      Graphs.neighborhoodFunction(
+        h.unionAll(h.select(col("v").as("u"), col("u").as("v"))), NbRounds,
+        lgK = 10)
+    })
+  }
+
+  def graphNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    storedNeighborhood(spark, dir).orderBy("radius")
+
+  /** C41: effective diameter at q=0.9 from the NF curve (the HyperBall
+    * deliverable HyperANF was built for): the smallest radius whose
+    * reachable-pair count covers ≥ 90% of the largest observed count —
+    * integer cross-multiplication, no division. Reported next to the
+    * curve endpoints so the oracle value-checks the derivation, not
+    * just the pick. Reads the persisted 4-row curve: metadata-scale. */
+  def graphEffDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val nf = storedNeighborhood(spark, dir).select("radius", "n_pairs")
+    val mx = nf.agg(max(col("n_pairs")).as("n_max"))
+    nf.crossJoin(mx)
+      .filter(col("n_pairs") * 10L >= col("n_max") * 9L)
+      .agg(min(col("radius")).as("eff_diameter_90"))
+      .crossJoin(mx)
   }
 
   /** Degree distribution of the KG (count of nodes per total degree) —
@@ -957,6 +983,7 @@ object GraphQueries {
     "graph_mis"       -> (graphMis _),
     "graph_matching"  -> (graphMatching _),
     "graph_coloring"  -> (graphColoring _),
+    "graph_eff_diameter" -> (graphEffDiameter _),
   )
 
   val MisRounds = 4
@@ -1015,6 +1042,28 @@ object GraphQueries {
   }
 
   // --- oracles ------------------------------------------------------
+
+  /** The exact NF curve — shared by graph_neighborhood and the C41
+    * effective-diameter derivation. */
+  private lazy val oracleSqlNeighborhood: String = {
+    val bCtes = (1 to NbRounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT DISTINCT src, reached FROM (
+         |    SELECT src, reached FROM b${r - 1}
+         |    UNION ALL
+         |    SELECT p.src, und.v FROM b${r - 1} p JOIN und ON und.u = p.reached
+         |  ) x
+         |)""".stripMargin
+    }.mkString(",\n")
+    val counts = (0 to NbRounds).map(r =>
+      s"SELECT $r AS radius, count(*)::bigint AS n_pairs, 1 AS est_ok FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""$edgesCte,
+       |$geoUndCtes,
+       |b0 AS MATERIALIZED (SELECT DISTINCT u AS src, u AS reached FROM und),
+       |$bCtes
+       |$counts""".stripMargin
+  }
 
   private val edgesCte =
     s"WITH t AS (${KgQueries.triplesSql}),\ne AS (\n${KgQueries.edgesSelectSql}\n)"
@@ -1902,25 +1951,16 @@ object GraphQueries {
     // mirrors the EXACT face of the neighborhood function round for
     // round (per-round distinct pair closure over the doubled geo
     // edges); est_ok is the constant 1 the in-plan HLL flag must hit
-    "graph_neighborhood" -> {
-      val bCtes = (1 to NbRounds).map { r =>
-        s"""b$r AS MATERIALIZED (
-           |  SELECT DISTINCT src, reached FROM (
-           |    SELECT src, reached FROM b${r - 1}
-           |    UNION ALL
-           |    SELECT p.src, und.v FROM b${r - 1} p JOIN und ON und.u = p.reached
-           |  ) x
-           |)""".stripMargin
-      }.mkString(",\n")
-      val counts = (0 to NbRounds).map(r =>
-        s"SELECT $r AS radius, count(*)::bigint AS n_pairs, 1 AS est_ok FROM b$r")
-        .mkString("\nUNION ALL\n")
-      s"""$edgesCte,
-         |$geoUndCtes,
-         |b0 AS MATERIALIZED (SELECT DISTINCT u AS src, u AS reached FROM und),
-         |$bCtes
-         |$counts""".stripMargin
-    },
+    "graph_neighborhood" -> oracleSqlNeighborhood,
+
+    // C41: nests the NF oracle (the F5 nested-oracle pattern) so the
+    // derivation cannot drift from the curve it reads
+    "graph_eff_diameter" ->
+      s"""WITH nf AS (
+         |  SELECT radius, n_pairs FROM ($oracleSqlNeighborhood)
+         |), mx AS (SELECT max(n_pairs) AS n_max FROM nf)
+         |SELECT min(radius) AS eff_diameter_90, (SELECT n_max FROM mx) AS n_max
+         |FROM nf, mx WHERE n_pairs * 10 >= n_max * 9""".stripMargin,
 
     // mirrors graphClustering: same wedge closure per corner + degree
     // agg; lcc is ONE fixed double expression over exact counts
