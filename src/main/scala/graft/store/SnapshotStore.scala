@@ -971,6 +971,64 @@ object SnapshotStore {
     }
   }
 
+  /** K51: clustering-quality audit for one column. */
+  final case class ClusterDepth(column: String, nFiles: Int, nZoned: Int,
+      maxDepth: Int, overlapPairs: Long)
+
+  /** K51: zone-overlap DEPTH — the metadata-only answer to "how well
+    * is this table clustered on `column`?" (the metric an OPTIMIZE /
+    * Z-order decision rests on). Treating each file's zone [min, max]
+    * as an interval, `maxDepth` is the largest number of files a
+    * single point predicate can fail to prune (perfectly clustered =
+    * 1; fully interleaved = every file) and `overlapPairs` counts
+    * interval pairs that overlap at all. One manifest read + an
+    * O(F log F) driver-side sweep over file COUNT — never data. Files
+    * without a zone for the column are reported in nFiles−nZoned and
+    * excluded from the sweep (they are unprunable regardless). */
+  def clusteringDepth(name: String, column: String,
+      version: Option[Long] = None): ClusterDepth = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = version.getOrElse(vs.last)
+    val fl = files(name, v)
+    val zones = fileZonesOf(name, v)
+    val dt = schemaOf(name, v).flatMap(_.fields.find(_.name == column))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$column' not in '$name' schema"))
+    def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    val ivs: Seq[(Any, Any)] = fl.flatMap { f =>
+      zones.get(uriPath(f)).flatMap(_.get(column)).flatMap {
+        case (mn, mx) =>
+          for (lo <- zoneValue(dt, mn); hi <- zoneValue(dt, mx))
+            yield (lo, hi)
+      }
+    }
+    // sweep: starts sort before ends at the same value — a shared
+    // boundary point hits both files, so touching intervals count as
+    // overlapping (exactly what a point predicate at that value sees)
+    val events: Seq[(Any, Int)] =
+      ivs.map(i => (i._1, 0)) ++ ivs.map(i => (i._2, 1))
+    val sorted = events.sortWith { (a, b) =>
+      val c = cmpAny(a._1, b._1)
+      if (c != 0) c < 0 else a._2 < b._2
+    }
+    var depth = 0
+    var maxDepth = 0
+    var pairs = 0L
+    sorted.foreach {
+      case (_, 0) => pairs += depth; depth += 1; maxDepth = math.max(maxDepth, depth)
+      case _ => depth -= 1
+    }
+    ClusterDepth(column, fl.size, ivs.size, maxDepth, pairs)
+  }
+
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
     * (versions, data files, bytes), computed with the same
     * keep+tag-protection rule but touching nothing. The ops-review

@@ -511,6 +511,32 @@ class SnapshotStoreSpec extends SparkSpec {
       s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}")
   }
 
+  test("K51 clustering depth: 1 for a range-clustered table, ~files for interleaved, repaired by a clustered rewrite") {
+    import spark.implicits._
+    val name = "tclusterdepth"
+    // interleaved: round-robin partitioning puts every k range in
+    // every file → every point predicate hits all files
+    SnapshotStore.commitOverwrite(name,
+      (1L to 1000L).map(i => (i, s"s$i")).toDF("k", "s").repartition(4))
+    val bad = SnapshotStore.clusteringDepth(name, "k")
+    assert(bad.nFiles == 4 && bad.nZoned == 4)
+    assert(bad.maxDepth == 4, s"interleaved zones must fully overlap: $bad")
+    assert(bad.overlapPairs == 6L, s"all C(4,2) pairs overlap: $bad")
+    // the OPTIMIZE decision this metric drives: a range-clustered
+    // rewrite gives disjoint zones → depth 1, zero overlapping pairs
+    SnapshotStore.commitOverwrite(name,
+      (1L to 1000L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")))
+    val good = SnapshotStore.clusteringDepth(name, "k")
+    assert(good.nZoned == 4 && good.maxDepth == 1 && good.overlapPairs == 0L,
+      s"range clustering must be depth 1: $good")
+    // history is versioned like everything else
+    assert(SnapshotStore.clusteringDepth(name, "k", Some(0L)).maxDepth == 4)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.clusteringDepth(name, "nope")
+    }
+  }
+
   test("K49 copy-on-write DELETE rewrites only zone-affected files; untouched files and their metadata carry verbatim") {
     import spark.implicits._
     val name = "tcowdel"
