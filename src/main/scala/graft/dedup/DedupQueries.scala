@@ -51,6 +51,45 @@ object DedupQueries {
       JaccardThreshold)
   }
 
+  /** E18: sorted-neighborhood blocking window (each record pairs with
+    * the next w−1 in sort order). */
+  val SnmWindow = 4
+
+  /** E18: sorted-neighborhood method (Hernández & Stolfo) — the OTHER
+    * classic candidate-generation family next to LSH banding: sort the
+    * corpus on a domain key (here the normalized text prefix,
+    * id-suffixed into a total order) and pair each record with its w−1
+    * successors. SNM catches near-dups whose edits live OUTSIDE the
+    * key prefix regardless of shingle overlap geometry, and its
+    * candidate count is exactly n·(w−1) — linear by construction, the
+    * strongest possible scale guarantee. The sort is the distributed
+    * rankedAsc (range partitions + per-partition offsets, never a
+    * global window); the window join is ONE equi-join after a w−1
+    * offset explode; verification reads the persisted shingle sets.
+    * Emits every window pair with its exact Jaccard and the matched
+    * flag at the family threshold — the recall/precision evidence an
+    * SNM-vs-LSH tuning decision needs. */
+  def dedupSnmPairs(spark: SparkSession, dir: String): DataFrame = {
+    val st = sigTables(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val keyed = d.select(col("doc_id"),
+      concat(substring(regexp_replace(trim(col("text")), " +", " "), 1, 16),
+        lit("|"), col("doc_id").cast("string")).as("k"))
+    val ranked = graft.graph.Graphs.rankedAsc(keyed.select("k"), "k", "rnk")
+    val withRank = keyed.join(ranked, "k").select(col("doc_id"), col("rnk"))
+    val cand = withRank
+      .select(col("doc_id").as("doc_a"), col("rnk"),
+        explode(sequence(lit(1), lit(SnmWindow - 1))).as("off"))
+      .withColumn("rnk2", col("rnk") + col("off"))
+      .join(withRank.select(col("doc_id").as("doc_b"),
+        col("rnk").as("rnk2")), "rnk2")
+      .select("doc_a", "doc_b")
+    Dedup.jaccardVerify(cand,
+        spark.table(st.sig).select(col("id"), col("sh")), 0.0)
+      .withColumn("matched",
+        (col("jaccard") >= JaccardThreshold).cast("int"))
+  }
+
   /** E16: MinHash estimator-quality audit — for every LSH candidate
     * pair, the signature ESTIMATE of Jaccard (matching hash share
     * over the 12 minhashes) next to the EXACT Jaccard over the
@@ -339,6 +378,7 @@ object DedupQueries {
     "dedup_impact"          -> (dedupImpact _),
     "dedup_minhash_quality" -> (dedupMinhashQuality _),
     "dedup_containment"     -> (dedupContainment _),
+    "dedup_snm_pairs"       -> (dedupSnmPairs _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
     "dedup_best_survivor"   -> (dedupBestSurvivor _),
@@ -630,6 +670,37 @@ object DedupQueries {
          |LEFT JOIN nc ON i.doc_id = nc.doc_a
          |LEFT JOIN near ON i.doc_id = near.doc_a""".stripMargin
     },
+
+    // E18: row_number over the same prefix|id key, rank-offset window
+    // pairs, exact Jaccard over the same shingle sets, no filter
+    "dedup_snm_pairs" ->
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |k AS (
+         |  SELECT doc_id,
+         |    substr(regexp_replace(trim(text), ' +', ' ', 'g'), 1, 16)
+         |      || '|' || doc_id AS k
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY k) AS rnk FROM k
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND ${SnmWindow - 1}
+         |), ds AS (
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds
+         |  FROM sh
+         |), j AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+         |    length(a.ds) + length(b.ds)
+         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+         |  FROM cand c
+         |  JOIN ds a ON c.doc_a = a.doc_id
+         |  JOIN ds b ON c.doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard,
+         |  (round(inter::double / uni, 4) >= $JaccardThreshold)::int AS matched
+         |FROM j""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""WITH $toksCte,

@@ -432,6 +432,45 @@ object KgQueries {
         sum(col("en_neg")).as("sum_neg_energy"))
   }
 
+  /** B23: filtered ranking metrics per relation — the MRR / Hits@k
+    * eval every KG-embedding paper reports (and a trainer watches per
+    * epoch), over the B18 negatives and the B22 stub energies. A
+    * triple's rank is pessimistic-deterministic: 1 + the number of its
+    * negatives whose energy is ≤ the true tail's (ties count against —
+    * no float order, no arbitrary tie-break). With K=[[NegSamplesK]]
+    * negatives ranks live in 1..K+1, so MRR is EXACT in integers:
+    * `mrr_x12` sums 12/rank (12 = lcm(1..4)) — divide by 12·n_triples
+    * offline for the familiar 0..1 figure. Identical duplicate draws
+    * (a repeated triple regenerates the same md5 negatives) collapse
+    * via DISTINCT before ranking. Scale shape: rides the B18 draw,
+    * then two map-side-combinable keyed aggregations. */
+  def kgRankingEval(spark: SparkSession, dir: String): DataFrame = {
+    def emb(kind: String, c: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(md5(concat(lit(kind), lit("|"), c)), i * 4 + 1, 4),
+        16, 10).cast("long") % 97
+    def energy(h: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      (0 until TranseDim)
+        .map(i => abs(emb("e", h, i) + emb("r", r, i) - emb("e", t, i)))
+        .reduce(_ + _)
+    val scored = kgNegativeSamples(spark, dir)
+      .select(col("subject"), col("relation"), col("object"), col("neg_object"))
+      .distinct()
+      .withColumn("en_true",
+        energy(col("subject"), col("relation"), col("object")))
+      .withColumn("en_neg",
+        energy(col("subject"), col("relation"), col("neg_object")))
+    val ranks = scored.groupBy("subject", "relation", "object")
+      .agg((lit(1L) +
+        sum((col("en_neg") <= col("en_true")).cast("long"))).as("rank"))
+    ranks.groupBy("relation").agg(
+      count(lit(1)).as("n_triples"),
+      sum((col("rank") === 1L).cast("long")).as("hits_at_1"),
+      sum((col("rank") <= 3L).cast("long")).as("hits_at_3"),
+      sum(col("rank")).as("sum_rank"),
+      sum(expr("12 div rank")).as("mrr_x12"))
+  }
+
   /** B21: the entity2id / relation2id dictionaries a KG-embedding
     * trainer (TransE/DistMult/pykeen conventions) loads next to the
     * B18 negative samples — contiguous 0-based ids in deterministic
@@ -502,6 +541,7 @@ object KgQueries {
     "kg_schema_violations"     -> (kgSchemaViolations _),
     "kg_negative_samples"      -> (kgNegativeSamples _),
     "kg_transe_energy"         -> (kgTranseEnergy _),
+    "kg_ranking_eval"          -> (kgRankingEval _),
     "kg_ntriples"              -> (kgNtriples _),
     "kg_id_maps"               -> (kgIdMaps _),
   )
@@ -644,6 +684,61 @@ object KgQueries {
          |  sum(en_true)::bigint AS sum_true_energy,
          |  sum(en_neg)::bigint AS sum_neg_energy
          |FROM scored GROUP BY relation""".stripMargin
+    },
+
+    // B23: the B22 derivation with DISTINCT pairs, the deterministic
+    // pessimistic rank (ties count against), and exact-integer MRR×12
+    "kg_ranking_eval" -> {
+      def embSql(kind: String, x: String, i: Int): String =
+        s"(('0x' || substr(md5('$kind|' || $x), ${i * 4 + 1}, 4))::bigint % 97)"
+      def enSql(h: String, r: String, t: String): String =
+        (0 until KgQueries.TranseDim).map(i =>
+          s"abs(${embSql("e", h, i)} + ${embSql("r", r, i)} - ${embSql("e", t, i)})")
+          .mkString(" + ")
+      s"""WITH t AS ($triplesSql),
+         |tt AS (
+         |  SELECT subject, relation, object FROM t
+         |  WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |    AND object IS NOT NULL AND trim(object) <> ''
+         |),
+         |names AS (
+         |  SELECT DISTINCT name FROM (
+         |    SELECT subject AS name FROM t
+         |    WHERE subject IS NOT NULL AND trim(subject) <> ''
+         |    UNION
+         |    SELECT object FROM t
+         |    WHERE object IS NOT NULL AND trim(object) <> '')
+         |),
+         |ranked AS (SELECT name, row_number() OVER (ORDER BY name) AS idx FROM names),
+         |n AS (SELECT count(*) AS n_nodes FROM names),
+         |e AS (
+         |  SELECT subject, relation, object, neg_i,
+         |    ('0x' || substr(md5(subject || '|' || relation || '|' || object || '|' || neg_i), 1, 8))::bigint
+         |      % n_nodes + 1 AS idx
+         |  FROM tt, n, (SELECT unnest(range(0, ${KgQueries.NegSamplesK})) AS neg_i)
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT e.subject, e.relation, e.object, r.name AS neg_object
+         |  FROM e JOIN ranked r ON r.idx = e.idx
+         |  WHERE r.name <> e.object
+         |),
+         |scored AS (
+         |  SELECT subject, relation, object,
+         |    ${enSql("subject", "relation", "object")} AS en_true,
+         |    ${enSql("subject", "relation", "neg_object")} AS en_neg
+         |  FROM pairs
+         |),
+         |ranks AS (
+         |  SELECT subject, relation, object,
+         |    1 + sum((en_neg <= en_true)::int) AS rank
+         |  FROM scored GROUP BY 1, 2, 3
+         |)
+         |SELECT relation, count(*)::bigint AS n_triples,
+         |  sum((rank = 1)::int)::bigint AS hits_at_1,
+         |  sum((rank <= 3)::int)::bigint AS hits_at_3,
+         |  sum(rank)::bigint AS sum_rank,
+         |  sum(12 // rank)::bigint AS mrr_x12
+         |FROM ranks GROUP BY relation""".stripMargin
     },
 
     "kg_extract_json" ->
