@@ -207,6 +207,7 @@ object SnapshotStore {
   private def commit(name: String, df: DataFrame, append: Boolean,
       header: Option[String] = None): Long =
     synchronized {
+      enforceConstraints(name, df) // K52: before anything lands
       val v = versions(name).lastOption.getOrElse(-1L) + 1L
       val dataDir = new Path(tableDir(name), s"data_v$v")
       df.write.mode("error").parquet(dataDir.toString)
@@ -383,6 +384,87 @@ object SnapshotStore {
   def commitAppend(name: String, df: DataFrame): Long = commit(name, df, append = true)
   def commitOverwrite(name: String, df: DataFrame): Long = commit(name, df, append = false)
 
+  private def constraintsDir(name: String): Path =
+    new Path(tableDir(name), "_constraints")
+
+  /** K52: registered CHECK constraints of `name` (constraint name →
+    * SQL predicate). */
+  def constraints(name: String): Map[String, String] = {
+    val dir = constraintsDir(name)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).iterator.map(_.getPath)
+      .filter(p => p.getName.endsWith(".txt"))
+      .map(p => p.getName.stripSuffix(".txt") -> readLines(p).mkString("\n"))
+      .toMap
+  }
+
+  /** K52: table-level CHECK constraint (the Delta `ALTER TABLE ADD
+    * CONSTRAINT` contract): every FUTURE commit's data must satisfy
+    * `exprSql` (SQL three-valued CHECK semantics — NULL passes, only
+    * FALSE violates), and the EXISTING head must already satisfy it or
+    * the registration fails. Enforcement beats monitoring for a
+    * training-data lake: the J8 battery reports bad rows after the
+    * fact; a constraint stops the commit that would ship them. */
+  def addCheckConstraint(name: String, cname: String, exprSql: String): Unit =
+    synchronized {
+      require(cname.matches("[A-Za-z0-9_-]+"),
+        s"constraint name '$cname' must be [A-Za-z0-9_-]+")
+      SparkSession.getActiveSession.foreach { spark =>
+        if (versions(name).nonEmpty) {
+          import org.apache.spark.sql.functions.{coalesce, expr, lit}
+          val bad = read(spark, name)
+            .filter(coalesce(expr(exprSql), lit(true)) === false)
+            .limit(1).count()
+          require(bad == 0L,
+            s"existing rows of '$name' violate CHECK '$cname' ($exprSql)")
+        }
+      }
+      val dir = constraintsDir(name)
+      val fs = fsOf(dir)
+      fs.mkdirs(dir)
+      val tmp = new Path(dir, s".$cname.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(exprSql.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, new Path(dir, s"$cname.txt")) ||
+        fs.exists(new Path(dir, s"$cname.txt")),
+        s"constraint publish failed for $name/$cname")
+    }
+
+  def dropConstraint(name: String, cname: String): Unit = synchronized {
+    fsOf(constraintsDir(name))
+      .delete(new Path(constraintsDir(name), s"$cname.txt"), false)
+    ()
+  }
+
+  /** K52 enforcement: ONE pass over the commit's data counting
+    * violations of every registered constraint at once; throws naming
+    * each violated constraint with its row count. A failed commit
+    * publishes nothing (validation runs before the data write). */
+  private def enforceConstraints(name: String, df: DataFrame): Unit = {
+    val cs = constraints(name).toSeq.sortBy(_._1)
+      .filter { case (_, sql) =>
+        // a constraint over columns this commit doesn't carry (schema
+        // evolution) cannot be evaluated against it: skip, the columns
+        // arrive as nulls and NULL passes CHECK anyway
+        scala.util.Try(df.select(org.apache.spark.sql.functions.expr(sql)))
+          .isSuccess
+      }
+    if (cs.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, sum}
+      val aggs = cs.map { case (cn, sql) =>
+        sum((coalesce(expr(sql), lit(true)) === false).cast("long")).as(cn)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val bad = cs.zipWithIndex.collect {
+        case ((cn, sql), i) if row.getLong(i) > 0 =>
+          s"$cn ($sql): ${row.getLong(i)} row(s)"
+      }
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"commit to '$name' violates CHECK constraint(s): ${bad.mkString("; ")}")
+    }
+  }
+
   /** K49: row-level DELETE with copy-on-write file rewrite — the lake
     * operation behind GDPR erasure and corpus-curation retractions
     * (Delta `DELETE FROM`, Iceberg copy-on-write). The rewrite set is
@@ -468,6 +550,7 @@ object SnapshotStore {
     val vNext = v + 1L
     val dataDir = new Path(tableDir(name), s"data_v$vNext")
     val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    enforceConstraints(name, aligned) // K52: an upsert batch is new data
     val rewritten =
       if (touched.isEmpty) aligned
       else spark.read.schema(schema).parquet(touched: _*)

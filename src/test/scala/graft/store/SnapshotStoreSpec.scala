@@ -511,6 +511,41 @@ class SnapshotStoreSpec extends SparkSpec {
       s"${System.getProperty("java.io.tmpdir")}/graft_snap_${java.util.UUID.randomUUID().toString.take(8)}")
   }
 
+  test("K52 CHECK constraints: violating commits publish nothing, NULL passes, existing data gates registration") {
+    import spark.implicits._
+    val name = "tconstraint"
+    SnapshotStore.commitAppend(name, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    SnapshotStore.addCheckConstraint(name, "k-positive", "k > 0")
+    // a valid append passes
+    SnapshotStore.commitAppend(name, Seq((3L, "c")).toDF("k", "s"))
+    assert(SnapshotStore.versions(name) == Seq(0L, 1L))
+    // a violating append throws, names the constraint, publishes NOTHING
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(name, Seq((-5L, "x"), (4L, "d")).toDF("k", "s"))
+    }
+    assert(e.getMessage.contains("k-positive") && e.getMessage.contains("1 row(s)"))
+    assert(SnapshotStore.versions(name) == Seq(0L, 1L),
+      "a failed commit must not publish a version")
+    assert(rows(name) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // SQL CHECK three-valued semantics: NULL passes, only FALSE violates
+    SnapshotStore.commitAppend(name,
+      Seq((Some(5L), "e"), (None, "nul")).toDF("k", "s"))
+    assert(SnapshotStore.versions(name) == Seq(0L, 1L, 2L))
+    // mergeKeyed enforces against the upsert batch too
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeKeyed(spark, name,
+        Seq((-9L, "bad")).toDF("k", "s"), Seq("k"))
+    }
+    // registration is gated on the EXISTING head
+    intercept[IllegalArgumentException] {
+      SnapshotStore.addCheckConstraint(name, "s-short", "length(s) <= 1")
+    }
+    // dropped constraint stops gating
+    SnapshotStore.dropConstraint(name, "k-positive")
+    SnapshotStore.commitAppend(name, Seq((-1L, "z")).toDF("k", "s"))
+    assert(SnapshotStore.read(spark, name).count() == 6L)
+  }
+
   test("K51 clustering depth: 1 for a range-clustered table, ~files for interleaved, repaired by a clustered rewrite") {
     import spark.implicits._
     val name = "tclusterdepth"
