@@ -494,13 +494,104 @@ object SnapshotStore {
     val all = readManifest(name, v)
     val (touched, untouched) = all.partition(f => affected(uriPath(f)))
     val schema = schemaOf(name, v).getOrElse(df.schema)
+    // the Delta fast path: a file whose zone PROVES every row matches
+    // the predicate drops from the manifest without being read at all
+    // — metadata-only, the dominant case for retention deletes on a
+    // clustered column ("drop everything before T"). Safe only when
+    // the file records ZERO nulls for every column the proof touches
+    // (zone bounds ignore nulls; a null row does NOT match and must
+    // survive).
+    val zones = fileZonesOf(name, v)
+    val details = fileDetailsOf(name, v)
+    def fullyCovered(f: String): Boolean = {
+      val p = uriPath(f)
+      val z = zones.getOrElse(p, Map.empty[String, (String, String)])
+      val refs = scala.collection.mutable.Set.empty[String]
+      val proven = conds.nonEmpty &&
+        conds.forall(e => zoneMustMatch(z, schema, e, refs))
+      proven && details.get(p).exists(d =>
+        refs.forall(c => d.nulls.get(c).contains(0L)))
+    }
+    val rewrite = touched.filterNot(fullyCovered)
     val vNext = v + 1L
     val dataDir = new Path(tableDir(name), s"data_v$vNext")
-    spark.read.schema(schema).parquet(touched: _*)
-      .filter(!pred)
-      .write.mode("error").parquet(dataDir.toString)
-    publishFiles(name, untouched ++ listParquet(dataDir), append = false,
+    val newFiles =
+      if (rewrite.isEmpty) Seq.empty
+      else {
+        // DELETE keeps every row whose predicate is not TRUE — a NULL
+        // predicate must SURVIVE (plain !pred is NULL for it and the
+        // filter would silently delete the row; SQL DELETE semantics)
+        spark.read.schema(schema).parquet(rewrite: _*)
+          .filter(!org.apache.spark.sql.functions.coalesce(pred,
+            org.apache.spark.sql.functions.lit(false)))
+          .write.mode("error").parquet(dataDir.toString)
+        listParquet(dataDir)
+      }
+    // `dropped` files are simply absent from the new manifest — never
+    // read, never rewritten; vacuum reclaims them with the version
+    publishFiles(name, untouched ++ newFiles, append = false,
       header = None, dfSchema = schema, carryFrom = Some(v))
+  }
+
+  /** K49 fast path: does the zone PROVE that EVERY (non-null) row of
+    * the file satisfies `e`? Conservative — unknown shapes and
+    * non-numeric domains answer false (the rewrite path is always
+    * correct, just slower). `refs` collects the columns the proof
+    * relies on so the caller can require zero recorded nulls for
+    * them. NUMERIC columns only: the zone strings are Spark-rendered
+    * and literals are Catalyst-internal — the numeric domains
+    * round-trip exactly, string collation does not (the r11 UTF8
+    * ordering lesson). */
+  private def zoneMustMatch(z: Map[String, (String, String)],
+      schema: org.apache.spark.sql.types.StructType,
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      refs: scala.collection.mutable.Set[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def bounds(c: String): Option[(BigDecimal, BigDecimal)] =
+      if (!schema.find(_.name == c).exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+        None
+      else z.get(c).flatMap { case (mn, mx) =>
+        for (lo <- scala.util.Try(BigDecimal(mn)).toOption;
+             hi <- scala.util.Try(BigDecimal(mx)).toOption) yield (lo, hi)
+      }
+    def num(v: Any): Option[BigDecimal] = v match {
+      case null => None
+      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      case _ => None
+    }
+    def prove(c: String, v: Any)(ok: (BigDecimal, BigDecimal, BigDecimal) => Boolean): Boolean =
+      (bounds(c), num(v)) match {
+        case (Some((lo, hi)), Some(lit)) => refs += c; ok(lo, hi, lit)
+        case _ => false
+      }
+    e match {
+      case And(l, r) => zoneMustMatch(z, schema, l, refs) &&
+        zoneMustMatch(z, schema, r, refs)
+      case Or(l, r) => zoneMustMatch(z, schema, l, refs) ||
+        zoneMustMatch(z, schema, r, refs)
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        prove(a.name, v)((_, hi, lit) => hi < lit)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        prove(a.name, v)((_, hi, lit) => hi <= lit)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        prove(a.name, v)((lo, _, lit) => lo > lit)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        prove(a.name, v)((lo, _, lit) => lo >= lit)
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        prove(a.name, v)((lo, hi, lit) => lo == lit && hi == lit)
+      // literal-first mirrors
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        prove(a.name, v)((lo, _, lit) => lo > lit)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        prove(a.name, v)((lo, _, lit) => lo >= lit)
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        prove(a.name, v)((_, hi, lit) => hi < lit)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        prove(a.name, v)((_, hi, lit) => hi <= lit)
+      case _ => false
+    }
   }
 
   /** K50: keyed MERGE (upsert) with copy-on-write rewrite — Delta

@@ -610,6 +610,47 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.deleteWhere(spark, name, col("k") > 5000L) == v1)
   }
 
+  test("K49 fully-covered files drop metadata-only (never read); null rows block the fast path") {
+    import spark.implicits._
+    val name = "tcowfast"
+    SnapshotStore.commitAppend(name,
+      (1L to 1000L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")))
+    val v0 = SnapshotStore.versions(name).last
+    val files0 = SnapshotStore.files(name, v0)
+    // k < 255: the first range file ([1..~250]) is FULLY covered →
+    // dropped from the manifest without a read; the second is partial →
+    // rewritten. Proof: the rewrite output holds ONLY the partial
+    // file's survivors — if the covered file had been rewritten, its
+    // rows would appear in the new data directory.
+    val v1 = SnapshotStore.deleteWhere(spark, name, col("k") < 255L)
+    val files1 = SnapshotStore.files(name, v1)
+    val fresh = files1.filterNot(files0.toSet)
+    assert(fresh.nonEmpty, "the partially-covered file must rewrite")
+    val freshRows = spark.read.parquet(fresh: _*)
+      .agg(count(lit(1)), min(col("k")), max(col("k"))).collect().head
+    assert(SnapshotStore.read(spark, name).count() == 746L)
+    assert(freshRows.getLong(0) < 300L,
+      s"rewrite output must hold ONLY the partial file's survivors " +
+        s"(got ${freshRows.getLong(0)} rows - a fully-covered file was rewritten)")
+    assert(freshRows.getLong(1) == 255L)
+    assert(SnapshotStore.statsOf(name, v1).exists(_.rows == 746L))
+    assert(SnapshotStore.fsckRows(spark, name).forall(_.ok))
+    // NULL rows in the proof column BLOCK the fast path: zone bounds
+    // ignore nulls, and a null row does NOT match k < 100 - it must
+    // survive the delete (the whole-file drop would lose it)
+    val name2 = "tcowfastnull"
+    SnapshotStore.commitAppend(name2,
+      (Seq((Some(1L), "a"), (Some(2L), "b"), (None, "nul")))
+        .toDF("k", "s").coalesce(1))
+    val v2 = SnapshotStore.deleteWhere(spark, name2, col("k") < 100L)
+    assert(v2 == 1L)
+    val left = SnapshotStore.read(spark, name2).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    assert(left == Set((None, "nul")),
+      s"the null-k row must survive a k<100 delete: $left")
+  }
+
   test("K50 keyed MERGE upserts matched rows, inserts new ones, rewrites only affected files") {
     import spark.implicits._
     val name = "tcowmerge"
