@@ -90,6 +90,48 @@ object DedupQueries {
         (col("jaccard") >= JaccardThreshold).cast("int"))
   }
 
+  /** E19: MULTI-PASS sorted neighborhood — the Hernández-Stolfo recall
+    * booster: a single sort key misses near-dups whose edits fall
+    * inside the key prefix, so run a second pass on an INDEPENDENT key
+    * (here the reversed-text prefix — suffix-anchored, so prefix edits
+    * and suffix edits cannot both escape) and union the window pairs.
+    * Candidates stay ≤ 2·n·(w−1) — still linear by construction; each
+    * pass is the E18 machinery verbatim (distributed rankedAsc + one
+    * offset-explode equi-join). Emits the DISTINCT union with exact
+    * Jaccard, matched flag, and per-pair pass provenance (found by
+    * pass 1, pass 2, or both — the evidence a key-design decision
+    * reads). */
+  def dedupSnmMulti(spark: SparkSession, dir: String): DataFrame = {
+    val st = sigTables(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val norm = regexp_replace(trim(col("text")), " +", " ")
+    def passPairs(key: org.apache.spark.sql.Column): DataFrame = {
+      val keyed = d.select(col("doc_id"),
+        concat(key, lit("|"), col("doc_id").cast("string")).as("k"))
+      val ranked = graft.graph.Graphs.rankedAsc(keyed.select("k"), "k", "rnk")
+      val withRank = keyed.join(ranked, "k").select(col("doc_id"), col("rnk"))
+      withRank
+        .select(col("doc_id").as("doc_a"), col("rnk"),
+          explode(sequence(lit(1), lit(SnmWindow - 1))).as("off"))
+        .withColumn("rnk2", col("rnk") + col("off"))
+        .join(withRank.select(col("doc_id").as("doc_b"),
+          col("rnk").as("rnk2")), "rnk2")
+        .select("doc_a", "doc_b")
+    }
+    val p1 = passPairs(substring(norm, 1, 16))
+      .withColumn("in_p1", lit(1)).withColumn("in_p2", lit(0))
+    val p2 = passPairs(substring(reverse(norm), 1, 16))
+      .withColumn("in_p1", lit(0)).withColumn("in_p2", lit(1))
+    val cand = p1.unionAll(p2)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("in_p1")).as("in_p1"), max(col("in_p2")).as("in_p2"))
+    Dedup.jaccardVerify(cand.select("doc_a", "doc_b"),
+        spark.table(st.sig).select(col("id"), col("sh")), 0.0)
+      .join(cand, Seq("doc_a", "doc_b"))
+      .withColumn("matched",
+        (col("jaccard") >= JaccardThreshold).cast("int"))
+  }
+
   /** E16: MinHash estimator-quality audit — for every LSH candidate
     * pair, the signature ESTIMATE of Jaccard (matching hash share
     * over the 12 minhashes) next to the EXACT Jaccard over the
@@ -379,6 +421,7 @@ object DedupQueries {
     "dedup_minhash_quality" -> (dedupMinhashQuality _),
     "dedup_containment"     -> (dedupContainment _),
     "dedup_snm_pairs"       -> (dedupSnmPairs _),
+    "dedup_snm_multi"       -> (dedupSnmMulti _),
     "dedup_embedding_pairs" -> (dedupEmbeddingPairs _),
     "dedup_survivors"       -> (dedupSurvivors _),
     "dedup_best_survivor"   -> (dedupBestSurvivor _),
@@ -699,6 +742,52 @@ object DedupQueries {
          |  JOIN ds b ON c.doc_b = b.doc_id
          |)
          |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard,
+         |  (round(inter::double / uni, 4) >= $JaccardThreshold)::int AS matched
+         |FROM j""".stripMargin,
+
+    // E19: two ranked passes (prefix key, reversed-prefix key), window
+    // pairs each, distinct union with pass provenance, exact Jaccard
+    "dedup_snm_multi" ->
+      s"""WITH $toksCte,
+         |${shinglesCte(K)},
+         |nrm AS (
+         |  SELECT doc_id, regexp_replace(trim(text), ' +', ' ', 'g') AS nt
+         |  FROM documents
+         |), r1 AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY substr(nt, 1, 16) || '|' || doc_id) AS rnk
+         |  FROM nrm
+         |), r2 AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY substr(reverse(nt), 1, 16) || '|' || doc_id) AS rnk
+         |  FROM nrm
+         |), c1 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND ${SnmWindow - 1}
+         |), c2 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND ${SnmWindow - 1}
+         |), cand AS (
+         |  SELECT doc_a, doc_b, max(in_p1)::int AS in_p1, max(in_p2)::int AS in_p2
+         |  FROM (
+         |    SELECT doc_a, doc_b, 1 AS in_p1, 0 AS in_p2 FROM c1
+         |    UNION ALL
+         |    SELECT doc_a, doc_b, 0, 1 FROM c2
+         |  ) GROUP BY 1, 2
+         |), ds AS (
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds
+         |  FROM sh
+         |), j AS (
+         |  SELECT c.doc_a, c.doc_b, c.in_p1, c.in_p2,
+         |    length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+         |    length(a.ds) + length(b.ds)
+         |      - length(list_filter(a.ds, x -> list_contains(b.ds, x))) AS uni
+         |  FROM cand c
+         |  JOIN ds a ON c.doc_a = a.doc_id
+         |  JOIN ds b ON c.doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, round(inter::double / uni, 4) AS jaccard,
+         |  in_p1, in_p2,
          |  (round(inter::double / uni, 4) >= $JaccardThreshold)::int AS matched
          |FROM j""".stripMargin,
 
