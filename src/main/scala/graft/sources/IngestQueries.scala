@@ -340,6 +340,7 @@ object IngestQueries {
     * filtered aggregate it must equal. File-count evidence lives in
     * FileIndexSpec. */
   private val snapCommitted = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val cowTables = scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Long])]
   def ingSnapshotIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.store.{GraftStore, SnapshotStore}
     val key = GraftStore.dirKey(dir)
@@ -470,30 +471,39 @@ object IngestQueries {
   def ingCow(spark: SparkSession, dir: String): DataFrame = {
     import graft.store.{GraftStore, SnapshotStore}
     val name = s"ord_cow_${GraftStore.dirKey(dir)}"
-    snapCommitted.getOrElseUpdate(name, {
+    // the build memoizes the table NAME and the THREE VERSIONS the
+    // mutations return rather than assuming 0/1/2: a metadata no-op
+    // delete returns the current version unchanged, and a half-failed
+    // build retried in the same session starts over on a FRESH
+    // suffixed table (never resumes partial state), so shifted
+    // version numbering can never reach the oracle
+    val (tbl, vs) = cowTables.getOrElseUpdate(name, {
+      val t = LazyList.from(0).map(i => if (i == 0) name else s"${name}_r$i")
+        .find(SnapshotStore.versions(_).isEmpty).get
       val o = Tables.orders(spark, dir).select(
         col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("price_c"))
-      SnapshotStore.commitOverwrite(name,
+      val v0 = SnapshotStore.commitOverwrite(t,
         o.repartitionByRange(4, col("o_orderkey")))
       val Seq(mn, mx) = o.agg(min("o_orderkey"), max("o_orderkey"))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
       val thresh = mn + (mx - mn) / 4
-      SnapshotStore.deleteWhere(spark, name, col("o_orderkey") < thresh)
-      val v1 = SnapshotStore.read(spark, name)
-      val mk = v1.agg(min("o_orderkey")).collect().head.getLong(0)
-      val upd = v1.filter(col("o_orderkey") === mk)
+      val v1 = SnapshotStore.deleteWhere(spark, t,
+        col("o_orderkey") < thresh)
+      val s1 = SnapshotStore.read(spark, t, Some(v1))
+      val mk = s1.agg(min("o_orderkey")).collect().head.getLong(0)
+      val upd = s1.filter(col("o_orderkey") === mk)
         .select(col("o_orderkey"), (col("price_c") + 777L).as("price_c"))
       val ins = spark.range(1).select(lit(mx + 1L).as("o_orderkey"),
         lit(123L).as("price_c"))
-      SnapshotStore.mergeKeyed(spark, name, upd.unionByName(ins),
+      val v2 = SnapshotStore.mergeKeyed(spark, t, upd.unionByName(ins),
         Seq("o_orderkey"))
-      true
+      (t, Seq(v0, v1, v2))
     })
-    Seq(0L, 1L, 2L).map(v =>
-      SnapshotStore.read(spark, name, Some(v))
+    vs.zipWithIndex.map { case (v, i) =>
+      SnapshotStore.read(spark, tbl, Some(v))
         .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"))
-        .select(lit(v).as("version"), col("n_rows"), col("sum_price_c")))
+        .select(lit(i.toLong).as("version"), col("n_rows"), col("sum_price_c")) }
       .reduce(_ unionByName _)
   }
 

@@ -207,11 +207,31 @@ object SnapshotStore {
   private def commit(name: String, df: DataFrame, append: Boolean,
       header: Option[String] = None): Long =
     synchronized {
-      enforceConstraints(name, df) // K52: before anything lands
       val v = versions(name).lastOption.getOrElse(-1L) + 1L
       val dataDir = new Path(tableDir(name), s"data_v$v")
       df.write.mode("error").parquet(dataDir.toString)
+      // K52: validate the WRITTEN bytes, not the incoming frame — a
+      // nondeterministic df (rand(), current_timestamp, unstable
+      // sampling) can pass a pre-write check and still WRITE violating
+      // rows, because the parquet write re-evaluates the plan. A
+      // violation deletes the data dir before the manifest exists, so
+      // a failed commit still publishes nothing.
+      validateWritten(name, df.sparkSession, dataDir, df.schema)
       publishFiles(name, listParquet(dataDir), append, header, df.schema)
+    }
+
+  /** K52 post-write gate shared by [[commit]] and [[mergeKeyed]]:
+    * enforce the table's CHECK constraints against the files just
+    * written (the exact bytes a reader would see), deleting them on
+    * violation so nothing dangles. No-ops when no constraint is
+    * registered — zero extra jobs on the common path. */
+  private def validateWritten(name: String, spark: SparkSession,
+      dataDir: Path, schema: org.apache.spark.sql.types.StructType): Unit =
+    if (constraints(name).nonEmpty) {
+      try enforceConstraints(name,
+        spark.read.schema(schema).parquet(dataDir.toString))
+      catch { case e: Throwable =>
+        scala.util.Try(fsOf(dataDir).delete(dataDir, true)); throw e }
     }
 
   /** listStatus returns fs-qualified paths (file:/…, hdfs://…) —
@@ -286,16 +306,26 @@ object SnapshotStore {
       // detail + zones — rows/nulls/NDV exact, min/max only where a
       // zone bound exists (columns any carried file leaves unbounded
       // drop min/max from the merged header rather than understate)
-      val carriedStats: Option[TableStats] =
+      val carriedRes: Option[(TableStats, Set[String])] =
         if (carried.isEmpty) None
         else scala.util.Try(statsFromCarried(carried, carryZones,
           carryDetails, schema)).toOption
+      val carriedStats = carriedRes.map(_._1)
       val freshStats = computed.map(_._1)
       val cowStats: Option[TableStats] =
         if (carryFrom.isEmpty) freshStats
         else (carriedStats, freshStats) match {
           case (Some(a), Some(b)) =>
-            scala.util.Try(mergeStats(a, b, schema)).toOption
+            // STICKY poison: a column some carried file tracks but
+            // does not zone has no table-wide bounds; mergeStats'
+            // orElse would adopt the fresh side's (subset-of-files)
+            // min/max, so re-None those columns after the merge
+            val unbounded = carriedRes.map(_._2).getOrElse(Set.empty)
+            scala.util.Try(mergeStats(a, b, schema)).toOption.map(m =>
+              m.copy(cols = m.cols.map { case (c, cs) =>
+                c -> (if (unbounded(c)) cs.copy(min = None, max = None)
+                      else cs)
+              }))
           case (_, b) if carried.isEmpty => b
           case (a, _) if fresh.isEmpty => a
           case _ => None // a carried file without detail: stop claiming
@@ -595,21 +625,39 @@ object SnapshotStore {
   }
 
   /** K50: keyed MERGE (upsert) with copy-on-write rewrite — Delta
-    * `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` for
-    * a BOUNDED update batch (the CDC-apply / corpus-correction shape;
-    * `updates` must carry the full row). The batch's distinct keys
-    * collect to the driver (bounded by `maxBatchKeys` — a corpus-scale
-    * merge is a different operation: shuffle-join both sides and
-    * rewrite everything, i.e. commitOverwrite) and drive the SAME zone
-    * pruning as K49: only files that can hold a matched key rewrite,
-    * with matched rows replaced via a distributed LEFT ANTI join
-    * against the batch (data never collects). Unmatched update rows
-    * insert as new files. Untouched files and their metadata carry
-    * verbatim. */
+    * `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`
+    * (`updates` must carry the full row). Two paths, same semantics:
+    *
+    *  - BOUNDED batch (≤ `maxBatchKeys` distinct keys — the CDC-apply
+    *    / corpus-correction shape): the batch's keys collect to the
+    *    driver and drive the SAME zone pruning as K49, so only files
+    *    that can hold a matched key are even READ.
+    *  - CORPUS-SCALE batch (the reference's whole load path is MERGE
+    *    upserts): keys never materialize on the driver. The affected
+    *    FILE SET comes from a distributed semi-join of the table
+    *    (tagged with input_file_name) against the batch keys — O(file
+    *    count) driver state, same order as the manifest itself — with
+    *    the scan pre-narrowed by zone-pruning on the batch's per-key
+    *    min/max bounds (one small agg), so a key-clustered table still
+    *    reads only the key range the batch spans.
+    *
+    * Either way: matched rows are replaced via a distributed LEFT ANTI
+    * join against the batch (data never collects), unmatched update
+    * rows insert as new files, untouched files and their metadata
+    * carry verbatim (publishFiles carryFrom).
+    *
+    * The batch is localCheckpoint'ed ONCE up front: key collection /
+    * semi-join, the multi-match guard, and the data write must all see
+    * the same rows, and a nondeterministic source evaluated three
+    * times would not (the K52 check itself runs post-write against the
+    * written bytes). A batch with DUPLICATE keys or NULL key values is
+    * rejected — Delta MERGE raises the same multiple-source-rows
+    * error, and a NULL key would never match the anti-join (it would
+    * silently insert next to the row it meant to update). */
   def mergeKeyed(spark: SparkSession, name: String, updates: DataFrame,
       keys: Seq[String], maxBatchKeys: Int = 10000): Long = synchronized {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     require(keys.nonEmpty, "mergeKeyed needs at least one key column")
     val vs = versions(name)
     require(vs.nonEmpty, s"snapshot table '$name' has no commits")
@@ -618,36 +666,74 @@ object SnapshotStore {
       throw new IllegalArgumentException(s"no schema recorded for '$name'"))
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"key column '$k' not in table schema"))
-    val keyRows = updates.select(keys.map(col): _*).distinct()
-      .limit(maxBatchKeys + 1).collect()
-    require(keyRows.length <= maxBatchKeys,
-      s"update batch exceeds $maxBatchKeys distinct keys — use " +
-        "commitOverwrite with a full shuffle-join merge for corpus-scale " +
-        "updates")
-    val pred =
-      if (keys.size == 1)
-        col(keys.head).isin(keyRows.map(_.get(0)).toIndexedSeq: _*)
-      else keyRows.map(r => keys.zipWithIndex.map { case (k, i) =>
-        col(k) === lit(r.get(i)) }.reduce(_ && _)).reduceOption(_ || _)
-        .getOrElse(lit(false))
+    val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    val badKey = aligned.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 || keys.map(col(_).isNull).reduce(_ || _))
+      .limit(1).collect()
+    require(badKey.isEmpty, {
+      val r = badKey.head
+      val what = if (keys.exists(k => r.isNullAt(r.fieldIndex(k)))) "NULL key values"
+        else "multiple rows for the same key"
+      s"merge batch for '$name' has $what (e.g. " +
+        keys.map(k => s"$k=${r.get(r.fieldIndex(k))}").mkString(", ") +
+        ") — MERGE requires at most one source row per target key " +
+        "and non-null keys"
+    })
+    val updKeys = aligned.select(keys.map(col): _*)
+    val keyRows = updKeys.limit(maxBatchKeys + 1).collect()
     val (idx, df) = readZoned(spark, name, Some(v))
-    val conds = df.filter(pred).queryExecution.analyzed.collect {
-      case f: LFilter => f.condition
+    def zonePrunedFiles(pred: org.apache.spark.sql.Column): Set[String] = {
+      val conds = df.filter(pred).queryExecution.analyzed.collect {
+        case f: LFilter => f.condition
+      }
+      idx.listFiles(Nil, conds).flatMap(_.files)
+        .map(_.getPath.toUri.getPath).toSet
     }
-    val affected = idx.listFiles(Nil, conds).flatMap(_.files)
-      .map(_.getPath.toUri.getPath).toSet
+    val affected: Set[String] =
+      if (keyRows.length <= maxBatchKeys) {
+        // bounded fast path: exact key-literal zone pruning
+        val pred =
+          if (keys.size == 1)
+            col(keys.head).isin(keyRows.map(_.get(0)).toIndexedSeq: _*)
+          else keyRows.map(r => keys.zipWithIndex.map { case (k, i) =>
+            col(k) === lit(r.get(i)) }.reduce(_ && _)).reduceOption(_ || _)
+            .getOrElse(lit(false))
+        zonePrunedFiles(pred)
+      } else {
+        // corpus-scale shuffle path: narrow by the batch's per-key
+        // bounds (a file outside [min,max] on ANY key column cannot
+        // hold a matching row), then let a distributed semi-join name
+        // the files that actually contain a matched key
+        val bAggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val b = updKeys.agg(bAggs.head, bAggs.tail: _*).collect().head
+        val rangePred = keys.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(b.get(2 * i)) && col(k) <= lit(b.get(2 * i + 1))
+        }.reduce(_ && _)
+        val candidates = zonePrunedFiles(rangePred)
+        if (candidates.isEmpty) Set.empty[String]
+        else spark.read.schema(schema)
+          .parquet(readManifest(name, v).filter(f => candidates(uriPath(f))): _*)
+          .select(keys.map(col) :+
+            org.apache.spark.sql.functions.input_file_name().as("__f"): _*)
+          .join(updKeys, keys, "left_semi")
+          .select("__f").distinct().collect()
+          .map(r => uriPath(r.getString(0))).toSet
+      }
     val all = readManifest(name, v)
     val (touched, untouched) = all.partition(f => affected(uriPath(f)))
     val vNext = v + 1L
     val dataDir = new Path(tableDir(name), s"data_v$vNext")
-    val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    enforceConstraints(name, aligned) // K52: an upsert batch is new data
     val rewritten =
       if (touched.isEmpty) aligned
       else spark.read.schema(schema).parquet(touched: _*)
-        .join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .join(updKeys, keys, "left_anti")
         .unionByName(aligned)
     rewritten.write.mode("error").parquet(dataDir.toString)
+    // K52 post-write: validate the written bytes (an upsert batch is
+    // new data; carried rows re-land here too and stay compliant)
+    validateWritten(name, spark, dataDir, schema)
     publishFiles(name, untouched ++ listParquet(dataDir), append = false,
       header = None, dfSchema = schema, carryFrom = Some(v))
   }
@@ -692,6 +778,14 @@ object SnapshotStore {
     * carried-forward file list are resolved HERE, under the same lock
     * every other mutator takes. */
   def publish(st: StagedCommit, append: Boolean = true): Long = synchronized {
+    // K52 on the staged path too: the write-audit-publish flow must
+    // honor CHECK constraints like every other write path (Delta
+    // enforces invariants on ALL writes). The staged files are final
+    // bytes, so this check is TOCTOU-free by construction; a violation
+    // leaves the stage intact for the auditor to inspect/abort.
+    if (constraints(st.name).nonEmpty)
+      enforceConstraints(st.name, org.apache.spark.sql.SparkSession.active
+        .read.schema(st.schema).parquet(st.files: _*))
     val v = versions(st.name).lastOption.getOrElse(-1L) + 1L
     val target = new Path(tableDir(st.name), s"data_v$v")
     val fs = fsOf(target)
@@ -1746,9 +1840,14 @@ object SnapshotStore {
     * tracks but does not zone get their min/max POISONED after the
     * fold (min/max claimed from a subset of files would understate the
     * range — worse than absent for a planner). Throws on a file
-    * without detail; the caller treats that as "stop claiming". */
+    * without detail; the caller treats that as "stop claiming".
+    * Returns the unbounded column set ALONGSIDE the stats so the
+    * caller can keep the poison sticky across its merge with the
+    * fresh-file stats — mergeStats' orElse would otherwise resurrect
+    * a min/max computed from only the rewritten files, the exact
+    * understatement the poisoning prevents. */
   private def statsFromCarried(files: Seq[String], zones: FileZones,
-      details: FileDetails, schema: StructType): TableStats = {
+      details: FileDetails, schema: StructType): (TableStats, Set[String]) = {
     val per = files.map { f =>
       val p = uriPath(f)
       val fd = details(p)
@@ -1763,9 +1862,9 @@ object SnapshotStore {
     val merged = per.map(_._1).reduceOption(mergeStats(_, _, schema))
       .getOrElse(TableStats(0L, 0L, Map.empty))
     val unbounded = per.flatMap { case (_, zoned, tracked) => tracked -- zoned }.toSet
-    merged.copy(cols = merged.cols.map { case (c, cs) =>
+    (merged.copy(cols = merged.cols.map { case (c, cs) =>
       c -> (if (unbounded(c)) cs.copy(min = None, max = None) else cs)
-    })
+    }), unbounded)
   }
 
   /** Exact merge of two cumulative stats: counts sum, min/max compare

@@ -546,6 +546,64 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, name).count() == 6L)
   }
 
+  test("K52 staged publish enforces CHECK constraints on the staged bytes; the stage survives for the auditor") {
+    import spark.implicits._
+    val name = "twapconstraint"
+    SnapshotStore.commitAppend(name, Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.addCheckConstraint(name, "k-positive", "k > 0")
+    val bad = SnapshotStore.stage(name, Seq((-3L, "x")).toDF("k", "s"))
+    val e = intercept[IllegalArgumentException] { SnapshotStore.publish(bad) }
+    assert(e.getMessage.contains("k-positive"))
+    assert(SnapshotStore.versions(name) == Seq(0L),
+      "a rejected staged publish must create no version")
+    SnapshotStore.abort(bad)
+    val good = SnapshotStore.stage(name, Seq((3L, "c")).toDF("k", "s"))
+    assert(SnapshotStore.publish(good) == 1L)
+    assert(rows(name) == Set((1L, "a"), (3L, "c")))
+  }
+
+  test("K52 validates the WRITTEN bytes: a source that re-evaluates differently cannot sneak violating rows past the check") {
+    import spark.implicits._
+    val name = "ttoctou"
+    SnapshotStore.commitAppend(name, Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.addCheckConstraint(name, "k-positive", "k > 0")
+    // a stateful source: the FIRST full evaluation yields k=1 (valid),
+    // every later one k=-1 (violating). A pre-write check would bless
+    // the first evaluation and the write would land the second — the
+    // TOCTOU the post-write validation closes.
+    val n = 64L
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    val flaky = org.apache.spark.sql.functions.udf((_: Long) =>
+      if (counter.incrementAndGet() <= n) 1L else -1L).asNondeterministic()
+    val df = spark.range(n).coalesce(1)
+      .select(flaky(col("id")).as("k"), lit("x").as("s"))
+    SnapshotStore.commitAppend(name, df)
+    val got = SnapshotStore.read(spark, name).filter(col("k") < 0).count()
+    assert(got == 0L,
+      "the constraint must gate the bytes that actually landed")
+  }
+
+  test("K42/K49 sticky stats poison: a COW merge never claims bounds for a column carried files leave unzoned") {
+    import spark.implicits._
+    val name = "tpoison"
+    // timestamp is min/max-TRACKED in the stats header but never
+    // ZONED (zones are numeric/string only) — after a COW delete the
+    // carried files contribute no t bounds, so the merged header must
+    // not resurrect the rewritten files' (subset) t min/max
+    val df = (1L to 1000L).map(i =>
+      (i, new java.sql.Timestamp(1000000000000L + i * 1000L))).toDF("k", "t")
+    SnapshotStore.commitOverwrite(name, df.repartitionByRange(4, col("k")))
+    assert(SnapshotStore.statsOf(name, 0L).exists(_.cols("t").min.isDefined),
+      "a full commit computes t bounds exactly")
+    val v1 = SnapshotStore.deleteWhere(spark, name, col("k") <= 10L)
+    val s = SnapshotStore.statsOf(name, v1).get
+    assert(s.rows == 990L)
+    assert(s.cols("t").min.isEmpty && s.cols("t").max.isEmpty,
+      "t bounds from only the rewritten files would understate the table")
+    assert(s.cols("k").min.isDefined && s.cols("k").max.isDefined,
+      "the zoned column keeps exact merged bounds")
+  }
+
   test("K51 clustering depth: 1 for a range-clustered table, ~files for interleaved, repaired by a clustered rewrite") {
     import spark.implicits._
     val name = "tclusterdepth"
@@ -676,11 +734,33 @@ class SnapshotStoreSpec extends SparkSpec {
     // exact stats after the upsert
     assert(SnapshotStore.statsOf(name, v1).exists(_.rows == 1001L))
     assert(SnapshotStore.fsckRows(spark, name).forall(_.ok))
-    // the bounded-batch contract is enforced, not silently violated
+    // K50 corpus-scale path: a batch ABOVE maxBatchKeys merges via the
+    // distributed semi-join (keys never collect to the driver) with
+    // the same semantics as the bounded path
+    val v2 = SnapshotStore.mergeKeyed(spark, name,
+      (1L to 50L).map(i => (i, s"x$i")).toDF("k", "s"), Seq("k"),
+      maxBatchKeys = 10)
+    val got2 = rows(name, Some(v2))
+    assert(got2.size == 1001)
+    assert(got2((1L, "x1")) && got2((50L, "x50")) && got2((51L, "old51")) &&
+      got2((5000L, "NEW5000")) && !got2.exists(_ == (10L, "NEW10")))
+    // untouched files (zones outside the batch's key range) carry by path
+    assert((SnapshotStore.files(name, v2).toSet intersect
+      SnapshotStore.files(name, v1).toSet).nonEmpty,
+      "shuffle-path merge must still carry untouched files by path")
+    // ...and the result is row-identical to a full overwrite rebuild
+    val expect = ((1L to 1000L).map(i =>
+      if (i <= 50L) (i, s"x$i") else (i, s"old$i")).toSet + ((5000L, "NEW5000")))
+    assert(got2 == expect,
+      "shuffle-path merge must equal the commitOverwrite rebuild")
+    // MERGE source hygiene: duplicate keys and NULL keys are rejected
     intercept[IllegalArgumentException] {
       SnapshotStore.mergeKeyed(spark, name,
-        (1L to 50L).map(i => (i, "x")).toDF("k", "s"), Seq("k"),
-        maxBatchKeys = 10)
+        Seq((7L, "a"), (7L, "b")).toDF("k", "s"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeKeyed(spark, name,
+        Seq((Option.empty[Long], "n")).toDF("k", "s"), Seq("k"))
     }
   }
 
