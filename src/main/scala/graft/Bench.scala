@@ -56,16 +56,19 @@ object Bench {
     // numbers below time the query-many read path only (r3 advice:
     // don't let min-of-two silently hide the build in whichever query
     // touches the store first).
-    val buildSec =
-      try graft.store.GraftStore.timeBuild(Seq(
-        () => graft.kg.KgQueries.warmStores(spark, sfDir),
-        () => graft.dedup.DedupQueries.warmStores(spark, sfDir),
-        () => graft.graph.GraphQueries.warmStores(spark, sfDir),
-        () => graft.sim.SimQueries.warmStores(spark, sfDir),
-        () => graft.sources.IngestQueries.warmStores(spark, sfDir),
-        () => graft.text.TextQueries.warmStores(spark, sfDir)))
+    val (buildSec, buildPer) =
+      try graft.store.GraftStore.timeBuildLabeled(Seq(
+        ("kg", () => graft.kg.KgQueries.warmStores(spark, sfDir)),
+        ("dedup_sig", () => graft.dedup.DedupQueries.warmStores(spark, sfDir)),
+        ("dedup_containment",
+          () => graft.dedup.DedupQueries.warmContainment(spark, sfDir)),
+        ("graph", () => graft.graph.GraphQueries.warmStores(spark, sfDir)),
+        ("sim", () => graft.sim.SimQueries.warmStores(spark, sfDir)),
+        ("ingest", () => graft.sources.IngestQueries.warmStores(spark, sfDir)),
+        ("text", () => graft.text.TextQueries.warmStores(spark, sfDir))))
       catch { case e: Throwable =>
-        System.err.println(s"[bench] store build failed: $e"); -1.0 }
+        System.err.println(s"[bench] store build failed: $e")
+        (-1.0, Seq.empty[(String, Double)]) }
 
     var errors = 0
     def timeOnce(name: String): Double = {
@@ -202,7 +205,9 @@ object Bench {
     val cpuAvg =
       if (benchCpu0 < 0) -1.0 else (procCpuNs - benchCpu0) / wallNs / nCores
     val loadJson = s""""cpus":$nCores,"os_load1_start":${num(loadStart, 2)},"os_load1_end":${num(loadAvg, 2)},"cpu_proc_avg":${num(cpuAvg, 3)}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
+    val builds = buildPer.map { case (k, v) => jkey(k) + num(v, 3) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"builds":$builds,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size
     // stdout tail capture (r6 verdict #1: six rounds of parsed:null).

@@ -236,16 +236,48 @@ object Dedup {
     * signature store persists (set cardinalities are hash-invariant).
     * `sets` = (id, sh: array<string md5-hashed distinct shingles>). */
   def containmentFromSets(sets: DataFrame, maxDf: Int = 20,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      rankBudget: Int = DedupQueries.ContainmentRankBudget): DataFrame = {
     val ex = sets.select(col("id"), explode(col("sh")).as("h"))
     val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("h")
     val blocked = ex.join(rare, "h")
-    val cand = blocked.as("a").join(blocked.as("b"), "h")
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    // the r14 valve: rare-shingle blocking alone leaves the pair mass
+    // Σ df²/2 — bounded per shingle by maxDf², but UNBOUNDED in the
+    // number of mid-df shingles, and a same-SF data regen measurably
+    // quadrupled it. The budget makes the mass LINEAR by construction:
+    // within each rare shingle, docs get a deterministic md5 rank
+    // (keyed on shingle AND id, so ranks are independent across
+    // shingles) and only pairs whose lower-ranked endpoint is within
+    // the first `rankBudget` survive → per-shingle pairs ≤ budget·df,
+    // total ≤ budget·Σdf = budget·(blocked row count). The recall
+    // trade is mild and measured (DedupSpec): a TRUE containment pair
+    // shares MANY rare shingles, so it is dropped only if it loses
+    // the rank lottery in EVERY one of them; budget ≥ maxDf−1 keeps
+    // every pair (the dial's "exact" end).
+    val ranked = blocked.withColumn("rk",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+          .orderBy(md5(concat(col("h"), lit("|"), col("id").cast("string"))),
+            col("id"))))
+    val cand = ranked.filter(col("rk") <= rankBudget)
+      .select(col("h"), col("id").as("ida"), col("rk").as("rka"))
+      .join(ranked.select(col("h"), col("id").as("idb"), col("rk").as("rkb")),
+        "h")
+      .filter(col("rka") < col("rkb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
       .distinct()
+    // verify on 64-bit REHASHES of the stored hashed shingles, derived
+    // once per document (docs-scale) — array_intersect over longs is a
+    // fraction of the cost of 32-char hex strings, and the pair side
+    // is the multiplied one. Cardinalities after the rehash are what
+    // the oracle computes too, so a (astronomically unlikely, ~2⁻⁶⁰)
+    // collision is mirrored, not an error.
+    val hl = array_distinct(transform(col("sh"),
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    val hsets = sets.select(col("id"), hl.as("hl"))
     val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
     val cAB = inter / size(col("ha"))   // A contained in B when high
     val cBA = inter / size(col("hb"))
@@ -266,8 +298,8 @@ object Dedup {
       sets.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(autoThresh)
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     cand
-      .join(side(sets.select(col("id").as("doc_a"), col("sh").as("ha"))), "doc_a")
-      .join(side(sets.select(col("id").as("doc_b"), col("sh").as("hb"))), "doc_b")
+      .join(side(hsets.select(col("id").as("doc_a"), col("hl").as("ha"))), "doc_a")
+      .join(side(hsets.select(col("id").as("doc_b"), col("hl").as("hb"))), "doc_b")
       .withColumn("containment", round(greatest(cAB, cBA), 4))
       .withColumn("direction", when(cAB >= cBA, "a_in_b").otherwise("b_in_a"))
       .filter(col("containment") >= threshold)

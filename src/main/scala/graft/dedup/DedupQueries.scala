@@ -35,7 +35,17 @@ object DedupQueries {
   /** Force the persisted signature tables to exist — the bench calls
     * this so the one-time build is paid (and reported) OUTSIDE the
     * per-query read-path timings. */
-  def warmStores(spark: SparkSession, dir: String): Unit = { sigTables(spark, dir); () }
+  def warmStores(spark: SparkSession, dir: String): Unit = {
+    sigTables(spark, dir); ()
+  }
+
+  /** The E9 verified-pair build, warmed as its OWN labeled thunk: its
+    * cost is the fleet's one data-profile-sensitive number (r14
+    * verdict), so the bench pins it per round instead of letting it
+    * hide inside the dedup family total. */
+  def warmContainment(spark: SparkSession, dir: String): Unit = {
+    containmentTable(spark, dir); ()
+  }
 
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairsFromBanded(spark.table(sigTables(spark, dir).banded))
@@ -223,15 +233,36 @@ object DedupQueries {
 
   val ContainmentMaxDf = 20
   val ContainmentThreshold = 0.8
+  /** E9 valve (r15): deterministic per-shingle pair budget — within a
+    * rare shingle only pairs whose lower md5-rank endpoint is ≤ this
+    * survive, making the candidate mass LINEAR in the blocked row
+    * count instead of quadratic in the df profile. 4 = measured-recall
+    * dial setting: on the r15 sf0.1 corpus recall vs the unbudgeted
+    * plan is 1.000 at budgets 3..8 (255/256 = 0.996 at 2), with the
+    * candidate mass at 64% / 52% / 37% for budgets 4/3/2 — 4 keeps one
+    * step of margin above the knee. A true containment pair shares
+    * many rare shingles, so it drops only by losing the rank lottery
+    * in EVERY one (DedupSpec pins the semantics; the round log records
+    * the measurements). */
+  val ContainmentRankBudget = 4
 
-  /** E9: containment pairs from the persisted signature store — the
-    * (id, sh) hashed-shingle sets are read back, never re-shingled. */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  /** E9: containment pairs — computed ONCE per (session, corpus) from
+    * the persisted signature store and persisted like every other
+    * write-once dedup face ((id, sh) sets are read back, never
+    * re-shingled; repeated queries read the verified pair frame). */
+  private def containmentTable(spark: SparkSession, dir: String): String = {
     val st = sigTables(spark, dir)
-    Dedup.containmentFromSets(
-      spark.table(st.sig).select(col("id"), col("sh")),
-      ContainmentMaxDf, ContainmentThreshold)
+    graft.store.GraftStore.ensurePlain(spark,
+      s"graft_containment_${graft.store.GraftStore.dirKey(dir)}") {
+      Dedup.containmentFromSets(
+        spark.table(st.sig).select(col("id"), col("sh")),
+        ContainmentMaxDf, ContainmentThreshold, ContainmentRankBudget)
+    }
   }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    spark.table(containmentTable(spark, dir))
+      .select("doc_a", "doc_b", "containment", "direction")
 
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -864,23 +895,31 @@ object DedupQueries {
          |FROM v WHERE mx > 0 AND lev * 4 <= mx""".stripMargin,
 
     // mirrors containmentFromSets over the same hashed-shingle sets:
-    // rare-shingle blocking (df in [2, maxDf]) then per-pair verify
+    // rare-shingle blocking (df in [2, maxDf]), the md5-rank pair
+    // budget (min-rank endpoint ≤ budget), then per-pair verify over
+    // the same 64-bit rehash of each doc's hashed-shingle set
     "dedup_containment" ->
       s"""WITH $toksCte,
          |${shinglesCte(K)},
          |hd AS (SELECT doc_id, list_distinct(list_transform(s, x -> md5(x))) AS ds FROM sh),
+         |hl AS (SELECT doc_id, list_distinct(list_transform(ds,
+         |         x -> ('0x' || substr(md5(x), 1, 15))::bigint)) AS dl FROM hd),
          |ex AS (SELECT doc_id, unnest(ds) AS h FROM hd),
          |rare AS (SELECT h FROM ex GROUP BY h
          |         HAVING count(*) >= 2 AND count(*) <= $ContainmentMaxDf),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  WHERE a.h IN (SELECT h FROM rare)),
+         |rk AS (SELECT e.doc_id, e.h, row_number() OVER (PARTITION BY e.h
+         |         ORDER BY md5(e.h || '|' || e.doc_id::varchar), e.doc_id) AS rk
+         |       FROM ex e JOIN rare r ON e.h = r.h),
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM rk a JOIN rk b ON a.h = b.h AND a.rk < b.rk
+         |  WHERE a.rk <= $ContainmentRankBudget),
          |v AS (SELECT c.doc_a, c.doc_b,
-         |    length(list_filter(a.ds, x -> list_contains(b.ds, x)))::double AS inter,
-         |    length(a.ds) AS la, length(b.ds) AS lb
+         |    length(list_filter(a.dl, x -> list_contains(b.dl, x)))::double AS inter,
+         |    length(a.dl) AS la, length(b.dl) AS lb
          |  FROM cand c
-         |  JOIN hd a ON c.doc_a = a.doc_id
-         |  JOIN hd b ON c.doc_b = b.doc_id)
+         |  JOIN hl a ON c.doc_a = a.doc_id
+         |  JOIN hl b ON c.doc_b = b.doc_id)
          |SELECT doc_a, doc_b,
          |  round(greatest(inter / la, inter / lb), 4) AS containment,
          |  CASE WHEN inter / la >= inter / lb THEN 'a_in_b' ELSE 'b_in_a' END

@@ -79,6 +79,19 @@ object GraftStore {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** [[timeBuild]] with per-thunk labels — the bench reports each
+    * family's one-time store-build cost individually, so a build whose
+    * cost is data-profile-sensitive (e.g. the containment pair frame)
+    * has a PINNED per-round number instead of hiding in the total. */
+  def timeBuildLabeled(thunks: Seq[(String, () => Unit)]): (Double, Seq[(String, Double)]) = {
+    val per = thunks.map { case (label, t) =>
+      val t0 = System.nanoTime()
+      t.apply()
+      label -> (System.nanoTime() - t0) / 1e9
+    }
+    (per.map(_._2).sum, per)
+  }
+
   /** Catalog-safe suffix for a data directory. */
   def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -124,6 +124,38 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> ((1.0, "a_in_b"))), s"$out")
   }
 
+  test("E9 rank budget: per-shingle pair mass is linear, deterministic, and exactly the md5-rank predicate; budget >= df-1 is exact") {
+    import spark.implicits._
+    // 12 docs sharing ONE rare shingle (df=12 ≤ maxDf): unbudgeted
+    // pairs = C(12,2) = 66; with budget B the kept pairs are exactly
+    // those whose lower md5-rank endpoint ≤ B → B·(d−1) − B(B−1)/2 =
+    // 4·11 − 6 = 38 for B=4. Every set is identical so verification
+    // passes all candidates — the counts isolate BLOCKING semantics.
+    val sets = (1L to 12L).map(i => (i, Seq("z"))).toDF("id", "sh")
+    def pairs(budget: Int): Set[(Long, Long)] =
+      Dedup.containmentFromSets(sets, maxDf = 20, threshold = 0.0,
+        rankBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(11)
+    assert(all.size == 66, "budget >= df-1 must keep every pair (the dial's exact end)")
+    val kept = pairs(4)
+    assert(kept.size == 38, s"B(d-1)-B(B-1)/2 pairs expected, got ${kept.size}")
+    assert(kept.subsetOf(all))
+    assert(kept == pairs(4), "the budget must be deterministic across runs")
+    // independently recompute the md5 rank lottery in plain Scala and
+    // check the kept set IS the predicate min(rank_a, rank_b) <= 4
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rank = (1L to 12L).sortBy(i => (md5hex(s"z|$i"), i))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val expect = (for {
+      a <- 1L to 12L; b <- 1L to 12L
+      if a < b && math.min(rank(a), rank(b)) <= 4
+    } yield (a, b)).toSet
+    assert(kept == expect, "kept pairs must be exactly the rank predicate")
+  }
+
   test("E9 containment broadcasts the shingle sets ONLY under the configured threshold") {
     import spark.implicits._
     // an unconditional broadcast() hint bypasses
