@@ -667,6 +667,83 @@ object IngestQueries {
         (col("gopher_keep") === 1 && col("is_dup") === 0).cast("int"))
   }
 
+  /** A22: the FETCH-GATED corpus — the crawl first mile as ONE plan,
+    * in the order a real pipeline runs it (the reference's
+    * `Art-Knowledge-Graph-Local/main.py:1-90` is the same end-to-end
+    * chain at laptop scale): A18 WET slice (valid WARC, response, not
+    * truncated) → A21 canonicalize the fetch URL → per-canonical-URL
+    * uniqueness (two spellings of one URL must not yield two corpus
+    * docs) → A20 robots REP gate evaluated on the CANONICAL path
+    * (canonicalize-then-check, the crawler order) → G24 Gopher quality
+    * → E1 content fingerprint dedup. `corpus_keep` is the deliverable
+    * bit: allowed ∧ url-unique ∧ Gopher-passing ∧ not a content dup.
+    *
+    * Fixture: each WET doc gets a deliberately messy URL (cased
+    * scheme/host, default ports on evens, utm params, fragment) whose
+    * PATH cycles the four robots-interesting cases against its site's
+    * robots body, and whose path slug is doc_id%36 so distinct docs
+    * collide on the canonical key. The oracle derives the canonical
+    * form from the generating formula directly — so the whole Spark
+    * rule chain (canonicalUrl + body parse + longest-prefix REP fold)
+    * is value-checked against first principles, not mirrored regexes.
+    *
+    * Shape at scale: per-row regex work, ONE window shuffle keyed by
+    * canonical URL, the E1 fingerprint's hash window, and doc-keyed
+    * joins — no new shuffle class beyond its parts. */
+  def ingCorpusGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wet = withWarcRecord(warcContainer(spark, dir), "_bin")
+      .filter(col("valid_warc") === 1 && col("truncated") === 0 &&
+        col("warc_type") === "response")
+      .select(col("doc_id"), col("payload").as("text"))
+    val slug = (col("doc_id") % 36).cast("string")
+    val site = (col("doc_id") % 7).cast("string")
+    val scheme = when(col("doc_id") % 4 === 0, "HTTP")
+      .when(col("doc_id") % 4 === 1, "http")
+      .when(col("doc_id") % 4 === 2, "HTTPS").otherwise("https")
+    val isHttp = col("doc_id") % 4 < 2
+    val port = when(col("doc_id") % 2 === 0,
+      when(isHttp, ":80").otherwise(":443")).otherwise("")
+    val rpath = when(col("doc_id") % 4 === 0, concat(lit("/private/doc"), slug))
+      .when(col("doc_id") % 4 === 1, concat(lit("/private/pub/doc"), slug))
+      .when(col("doc_id") % 4 === 2, concat(lit("/s"), site, lit("/x"), slug))
+      .otherwise(concat(lit("/public/doc"), slug))
+    val url = concat(scheme, lit("://WWW.Site"), site, lit(".Example.COM"),
+      port, rpath, lit("?utm_source=feed&z=2&a=1&utm_medium=x"), lit("#sec"))
+    val robots = concat(
+      lit("User-agent: *\n"),
+      lit("Disallow: /private\n"),
+      lit("Allow: /private/pub\n"),
+      lit("Disallow: /tmp/\n"),
+      lit("Disallow: /s"), site, lit("\n"))
+    val allows = regexp_extract_all(robots, lit("(?m)^Allow: ([^\\n]+)$"), lit(1))
+    val disallows = regexp_extract_all(robots,
+      lit("(?m)^Disallow: ([^\\n]+)$"), lit(1))
+    val cpath = regexp_extract(col("canonical"), "^[a-z]+://[^/]*([^?]*)", 1)
+    def longest(rules: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      coalesce(array_max(transform(filter(rules, r => p.startsWith(r)),
+        r => length(r))), lit(-1))
+    val gated = wet
+      .select(col("doc_id"), canonicalUrl(url).as("canonical"))
+      .withColumn("allowed",
+        (longest(allows, cpath) >= longest(disallows, cpath)).cast("int"))
+      .withColumn("url_unique", (col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
+        .cast("int"))
+    val gophered = graft.text.TextQueries.gopherRules(
+        wet.select("doc_id", "text"))
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val fp = graft.dedup.Dedup.exactDedup(wet, "doc_id", "text")
+      .select(col("doc_id"), col("is_dup"))
+    gated.join(gophered, "doc_id").join(fp, "doc_id")
+      .withColumn("corpus_keep",
+        (col("allowed") === 1 && col("url_unique") === 1 &&
+          col("gopher_keep") === 1 && col("is_dup") === 0).cast("int"))
+      .select("doc_id", "canonical", "allowed", "url_unique",
+        "gopher_keep", "is_dup", "corpus_keep")
+  }
+
   /** A21: URL canonicalization — the dedup key normalization every
     * crawl pipeline runs before fetch dedup and per-domain rollups
     * (two spellings of one URL are the single biggest source of
@@ -781,6 +858,7 @@ object IngestQueries {
     "ing_lz4"     -> (ingLz4 _),
     "ing_warc"    -> (ingWarc _),
     "ing_warc_corpus" -> (ingWarcCorpus _),
+    "ing_corpus_gate" -> (ingCorpusGate _),
     "ing_cow"     -> (ingCow _),
     "ing_url_canon" -> (ingUrlCanon _),
     "ing_robots"  -> (ingRobots _),
@@ -934,6 +1012,72 @@ object IngestQueries {
          |  g.gopher_keep, f.canonical_id, f.is_dup,
          |  CAST(g.gopher_keep = 1 AND f.is_dup = 0 AS INT) AS corpus_keep
          |FROM g JOIN f ON g.doc_id = f.doc_id""".stripMargin,
+
+    // A22: the fetch-gated corpus — the canonical URL, robots verdict,
+    // Gopher flag and content fingerprint are all re-derived from the
+    // GENERATING FORMULAS (the canonical form is written down directly:
+    // lowercased scheme/host, port and fragment dropped, utm params
+    // filtered and the survivors sorted to 'a=1&z=2'; the REP verdict
+    // folds the literal rule lists), so the Spark side's full rule
+    // chain is value-checked against first principles
+    "ing_corpus_gate" ->
+      s"""WITH wet AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0 AND doc_id % 5 <> 0
+         |), c AS (
+         |  SELECT doc_id, text, (doc_id % 7) AS site,
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN '/private/doc' || (doc_id % 36)
+         |      WHEN 1 THEN '/private/pub/doc' || (doc_id % 36)
+         |      WHEN 2 THEN '/s' || (doc_id % 7) || '/x' || (doc_id % 36)
+         |      ELSE '/public/doc' || (doc_id % 36) END AS path,
+         |    (CASE WHEN doc_id % 4 < 2 THEN 'http' ELSE 'https' END)
+         |      || '://www.site' || (doc_id % 7) || '.example.com' AS base
+         |  FROM wet
+         |), r AS (
+         |  SELECT doc_id, text, base || path || '?a=1&z=2' AS canonical,
+         |    coalesce(list_max(list_transform(list_filter(
+         |      ['/private/pub'], x -> starts_with(path, x)),
+         |      x -> length(x))), -1) AS la,
+         |    coalesce(list_max(list_transform(list_filter(
+         |      ['/private', '/tmp/', '/s' || site], x -> starts_with(path, x)),
+         |      x -> length(x))), -1) AS ld
+         |  FROM c
+         |), g0 AS (
+         |  SELECT doc_id, ${graft.text.TextQueries.toksSql} AS toks, text
+         |  FROM wet
+         |), m AS (
+         |  SELECT doc_id, length(toks) AS n,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
+         |    length(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         |    length(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         |    ${graft.text.TextQueries.countInSql("toks", graft.text.TextQueries.GopherStops)} AS stops
+         |  FROM g0
+         |), g AS (
+         |  SELECT doc_id,
+         |    CAST((n BETWEEN 50 AND 100000) AND (nonws BETWEEN 3*n AND 10*n)
+         |      AND n_sym*10 <= n AND n_alpha*5 >= n*4 AND stops >= 2 AS INT)
+         |      AS gopher_keep
+         |  FROM m
+         |), h AS (
+         |  SELECT doc_id, md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS h
+         |  FROM wet
+         |), f AS (
+         |  SELECT doc_id,
+         |    (doc_id <> min(doc_id) OVER (PARTITION BY h))::int AS is_dup
+         |  FROM h
+         |), u AS (
+         |  SELECT doc_id, canonical,
+         |    (la >= ld)::int AS allowed,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY canonical))::int
+         |      AS url_unique
+         |  FROM r
+         |)
+         |SELECT u.doc_id, u.canonical, u.allowed, u.url_unique,
+         |  g.gopher_keep, f.is_dup,
+         |  CAST(u.allowed = 1 AND u.url_unique = 1 AND g.gopher_keep = 1
+         |    AND f.is_dup = 0 AS INT) AS corpus_keep
+         |FROM u JOIN g ON u.doc_id = g.doc_id JOIN f ON u.doc_id = f.doc_id""".stripMargin,
 
     // K45: the AS-OF read at v0's own commit instant must see exactly
     // the v0 generating filter
