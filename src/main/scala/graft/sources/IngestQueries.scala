@@ -606,8 +606,13 @@ object IngestQueries {
   /** The synthetic WARC container shared by [[ingWarc]] and
     * [[ingWarcCorpus]] — one generator, so the composition query can
     * never drift from the parse query's fixture. */
-  private def warcContainer(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  private def warcContainer(spark: SparkSession, dir: String): DataFrame =
+    warcContainerOf(Tables.documents(spark, dir))
+
+  /** The same container built over an arbitrary (doc_id, text) frame —
+    * the streaming WET face's spec drives batch and stream from ONE
+    * fixture generator so parity cannot drift. */
+  private[graft] def warcContainerOf(d: DataFrame): DataFrame = {
     val garbage = col("doc_id") % 9 === 0
     val truncate = col("doc_id") % 5 === 0
     val wtype = when(col("doc_id") % 3 === 0, "response")

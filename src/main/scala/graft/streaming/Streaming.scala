@@ -940,6 +940,32 @@ object Streaming {
     ()
   }
 
+  /** A19/I38: the streaming WET face — the batch WET composition's
+    * record selection as a file-stream front door (the production
+    * ingest contract: a crawl drops WARC chunks into a landing dir and
+    * the corpus advances exactly-once per micro-batch). The TRANSFORM
+    * is the batch operator verbatim (`withWarcRecord` + the WET gate:
+    * valid WARC ∧ response ∧ fetch not truncated), so stream ≡ batch
+    * BY CONSTRUCTION and StreamingSpec pins it on a shared fixture
+    * across micro-batches. Accepted records land in the corpus table
+    * with the parse columns the downstream quality/dedup stages read
+    * (doc_id, target_uri, payload, payload_md5); everything else —
+    * garbage bytes, non-response types, truncated fetches — lands in
+    * the dead-letter table with its parse evidence, through the same
+    * batchId-idempotent two-table commit as [[deadLetterSink]].
+    * Usage: `binRecords.writeStream.foreachBatch(
+    *   Streaming.wetCorpusSink("corpus", "dlq") _)`. */
+  def wetCorpusSink(corpusTable: String, deadTable: String)
+      (df: DataFrame, batchId: Long): Unit = {
+    val parsed = graft.sources.IngestQueries.withWarcRecord(df, "_bin")
+      .select(col("doc_id"), col("valid_warc"), col("warc_type"),
+        col("truncated"), col("target_uri"), col("payload_md5"),
+        col("payload"))
+    deadLetterSink(corpusTable, deadTable,
+      col("valid_warc") === 1 && col("warc_type") === "response" &&
+        col("truncated") === 0)(parsed, batchId)
+  }
+
   final case class SsEv(user_id: Long, ts: Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -375,6 +375,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A19/I38 streaming WET face: file-streamed WARC chunks split into corpus + dead letter; stream ≡ batch across micro-batches") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    import graft.sources.IngestQueries
+    val base = Files.createTempDirectory("graft_wet")
+    val src = base.resolve("src").toString
+    val ckp = base.resolve("ckp").toString
+    // one fixture generator drives both faces: ids cycle garbage (%9),
+    // truncated fetch (%5) and record type (%3), so the stream's two
+    // micro-batches exercise every accept/reject class
+    def docs(ids: Seq[Long]) = ids
+      .map(i => (i, s"wet payload number $i with several more words"))
+      .toDF("doc_id", "text")
+    val all = (1L to 60L).toSeq
+    val bin1 = IngestQueries.warcContainerOf(docs(all.take(30)))
+    val bin2 = IngestQueries.warcContainerOf(docs(all.drop(30)))
+    bin1.coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream.schema(bin1.schema).parquet(src)
+      .writeStream.option("checkpointLocation", ckp)
+      .foreachBatch(Streaming.wetCorpusSink("wet_corpus", "wet_dlq") _)
+      .start()
+    try {
+      q.processAllAvailable()
+      bin2.coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch face over the SAME fixture, the WET gate verbatim
+    val parsed = IngestQueries.withWarcRecord(
+      IngestQueries.warcContainerOf(docs(all)), "_bin")
+    val gate = col("valid_warc") === 1 &&
+      col("warc_type") === "response" && col("truncated") === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "target_uri", "payload_md5", "payload")
+      .as[(Long, String, String, String)].collect().toSet
+    val batchOk = rows(parsed.filter(gate))
+    assert(batchOk.nonEmpty)
+    assert(rows(SnapshotStore.read(spark, "wet_corpus")) == batchOk,
+      "streamed corpus must equal the batch WET slice")
+    val streamDead = SnapshotStore.read(spark, "wet_dlq")
+      .select("doc_id").as[Long].collect().toSet
+    val batchDead = parsed.filter(!coalesce(gate, lit(false)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamDead == batchDead && streamDead.nonEmpty,
+      "every rejected record must be preserved in the dead letter")
+    // all three reject classes are present and disjoint from the corpus
+    assert(streamDead.exists(_ % 9 == 0) &&
+      streamDead.exists(i => i % 5 == 0 && i % 9 != 0) &&
+      streamDead.exists(i => i % 3 != 0 && i % 9 != 0 && i % 5 != 0))
+    assert(batchOk.map(_._1).intersect(streamDead).isEmpty)
+    // two micro-batches → two exactly-once versions per table; a
+    // replayed first batch no-ops on its batchId
+    assert(SnapshotStore.versions("wet_corpus").size == 2 &&
+      SnapshotStore.versions("wet_dlq").size == 2)
+    Streaming.wetCorpusSink("wet_corpus", "wet_dlq")(bin1, 0L)
+    assert(SnapshotStore.versions("wet_corpus").size == 2 &&
+      rows(SnapshotStore.read(spark, "wet_corpus")) == batchOk)
+  }
+
   test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
     import spark.implicits._
     import graft.store.SnapshotStore
