@@ -273,6 +273,13 @@ object Graphs {
     * GRAPH/graph_builder.py builds the graph; independent-set style
     * selection is the engine-side generalization used for e.g.
     * conflict-free batch scheduling of entity updates). */
+  /** Rounds the last drained-loop primitive on this thread actually
+    * executed ([[lubyMis]] / [[jpColoring]] / [[maximalMatching]]) —
+    * observability for the early-exit contract (GraphSpec pins
+    * rounds-executed == rounds-needed, not the caller's budget). */
+  private val lastRounds = new ThreadLocal[Int]
+  def lastRoundsExecuted: Int = lastRounds.get
+
   def lubyMis(und: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
     val both = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
@@ -280,7 +287,14 @@ object Graphs {
     val e2 = pinBySrc(both)
     var active = verts.select(col("id"), col("p")).localCheckpoint(eager = true)
     var decided: Option[DataFrame] = None
-    for (i <- 1 to rounds) {
+    // early exit once the active set drains (the SCC delta-empty
+    // idiom): every remaining round would join against an empty frame
+    // and emit nothing, but still pay the full per-round plan floor —
+    // the fleet's #1 query was paying budget−needed empty rounds. One
+    // scalar action per round, on the already-materialized checkpoint.
+    var i = 1
+    var drained = active.isEmpty
+    while (i <= rounds && !drained) {
       val nmin = e2
         .join(active.select(col("id").as("src"), col("p").as("sp")), "src")
         .groupBy("dst").agg(min(col("sp")).as("mp"))
@@ -300,9 +314,13 @@ object Graphs {
       active = active
         .join(mis.unionAll(dominated).select("id"), Seq("id"), "left_anti")
         .localCheckpoint(eager = true)
+      drained = active.isEmpty
+      lastRounds.set(i)
+      i += 1
     }
     both.unpersist()
-    decided.get
+    decided.getOrElse(verts.limit(0).select(col("id"),
+      lit(1).as("in_mis"), lit(0).as("decided_round")))
   }
 
   /** C40: Jones-Plassmann greedy coloring, bounded rounds — the
@@ -326,7 +344,10 @@ object Graphs {
     val e2 = pinBySrc(both)
     var active = verts.select(col("id"), col("p")).localCheckpoint(eager = true)
     var colored: Option[DataFrame] = None
-    for (i <- 1 to rounds) {
+    // drained-loop early exit, same contract as lubyMis
+    var i = 1
+    var drained = active.isEmpty
+    while (i <= rounds && !drained) {
       val nmin = e2
         .join(active.select(col("id").as("src"), col("p").as("sp")), "src")
         .groupBy("dst").agg(min(col("sp")).as("mp"))
@@ -351,9 +372,13 @@ object Graphs {
       colored = Some(colored.map(_.unionAll(newly)).getOrElse(newly))
       active = active.join(m, Seq("id"), "left_anti")
         .localCheckpoint(eager = true)
+      drained = active.isEmpty
+      lastRounds.set(i)
+      i += 1
     }
     both.unpersist()
-    colored.get
+    colored.getOrElse(verts.limit(0).select(col("id"),
+      lit(0L).as("color"), lit(0).as("decided_round")))
   }
 
   /** C29: maximal matching — Luby's local-minimum rule applied to the
@@ -374,7 +399,10 @@ object Graphs {
     var active = edges.select(col("u"), col("v"), col("pkey"))
       .localCheckpoint(eager = true)
     var out: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
+    // drained-loop early exit, same contract as lubyMis/jpColoring
+    var r = 1
+    var drained = active.isEmpty
+    while (r <= rounds && !drained) {
       val byVertex = active.select(col("u").as("x"), col("pkey"))
         .unionAll(active.select(col("v").as("x"), col("pkey")))
       val vmin = byVertex.groupBy("x").agg(min(col("pkey")).as("mk"))
@@ -392,8 +420,12 @@ object Graphs {
         .join(taken.select(col("x").as("u")), Seq("u"), "left_anti")
         .join(taken.select(col("x").as("v")), Seq("v"), "left_anti")
         .localCheckpoint(eager = true)
+      drained = active.isEmpty
+      lastRounds.set(r)
+      r += 1
     }
-    out.get
+    out.getOrElse(edges.limit(0).select(col("u"), col("v"),
+      lit(0).as("matched_round")))
   }
 
   /** Weighted PageRank: contributions split proportionally to edge

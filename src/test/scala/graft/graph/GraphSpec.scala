@@ -855,6 +855,48 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap == colored)
   }
 
+  test("C28/C29/C40 drained loops exit early: rounds-executed == rounds-needed, values identical at any larger budget") {
+    import spark.implicits._
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y", "y" -> "z", "x" -> "z")
+    val verts = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .distinct()
+      .select(col("id"),
+        conv(substring(md5(concat(lit("color|"), col("id"))), 1, 12), 16, 10)
+          .cast("long").as("p"))
+    def colorRun(budget: Int) = {
+      val got = Graphs.jpColoring(e, verts, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      (got, Graphs.lastRoundsExecuted)
+    }
+    val (c6, cNeeded) = colorRun(6)
+    assert(cNeeded <= 6)
+    val (c64, cAt64) = colorRun(64)
+    assert(cAt64 == cNeeded,
+      s"a drained coloring must not run empty rounds: $cAt64 != $cNeeded")
+    assert(c64 == c6, "early exit must not change a single value")
+    def misRun(budget: Int) = {
+      val got = Graphs.lubyMis(e, verts, budget).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      (got, Graphs.lastRoundsExecuted)
+    }
+    val (m6, mNeeded) = misRun(6)
+    val (m64, mAt64) = misRun(64)
+    assert(mAt64 == mNeeded && m64 == m6)
+    val me = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("u", "v")
+      .select(col("u"), col("v"),
+        concat(substring(md5(concat(lit("match|"), col("u"), lit("|"), col("v"))), 1, 12),
+          lit("|"), col("u"), lit("|"), col("v")).as("pkey"))
+    def matchRun(budget: Int) = {
+      val got = Graphs.maximalMatching(me, budget).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      (got, Graphs.lastRoundsExecuted)
+    }
+    val (x6, xNeeded) = matchRun(6)
+    val (x64, xAt64) = matchRun(64)
+    assert(xAt64 == xNeeded && x64 == x6)
+  }
+
   test("C40 coloring on the geo graph: proper among decided at the query budget") {
     val colored = GraphQueries.graphColoring(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
