@@ -1491,9 +1491,14 @@ object TextQueries {
     val d = Tables.documents(spark, dir)
     def luhnTerm(dd: Column, i: Int): Column =
       if (i % 2 == 1) when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2) else dd
+    // r15 hoist (the B22 Generate-barrier discipline): the fixture
+    // digest computes ONCE per row in a projection the Generate below
+    // shields from CollapseProject — the spelled-out form re-evaluated
+    // md5 inside all 30 digit-slice references
+    val hoisted = d.select(col("doc_id"), col("text"),
+      md5(concat(lit("luhn|"), col("doc_id"))).as("_h"))
     val d15 = (0 until 15).map(i =>
-      conv(substring(md5(concat(lit("luhn|"), col("doc_id"))), i + 1, 1),
-        16, 10).cast("int") % 10)
+      conv(substring(col("_h"), i + 1, 1), 16, 10).cast("int") % 10)
     val sum15 = d15.zipWithIndex.map { case (dd, idx) =>
       luhnTerm(dd, idx + 1) }.reduce(_ + _)
     val check = (lit(10) - sum15 % 10) % 10
@@ -1501,11 +1506,18 @@ object TextQueries {
       .otherwise((check + lit(1)) % 10)
     val cand16 = concat((d15.map(_.cast("string")) :+ last.cast("string")): _*)
     val text2 = concat(col("text"), lit(" card "), cand16)
-    // the operator: parse the candidate back out and validate it
-    val cand = regexp_extract(text2, "([0-9]{16})", 1)
+    // the operator: parse the candidate back out and validate it. The
+    // full-text regex scan is the dominant per-row cost, and the 16
+    // checksum terms each referenced it — 17 scans per document.
+    // explode(array(x)) is a 1:1 Generate: a projection barrier that
+    // forces the scan to run ONCE and hands the 16-char result to the
+    // checksum as a plain attribute. Values bit-identical, oracle
+    // untouched (sf0.1: 2.83 → see bench).
+    val parsed = hoisted.select(col("doc_id"),
+      explode(array(regexp_extract(text2, "([0-9]{16})", 1))).as("candidate"))
     val total = (1 to 16).map(i =>
-      luhnTerm(substring(cand, i, 1).cast("int"), i)).reduce(_ + _)
-    d.select(col("doc_id"), cand.as("candidate"),
+      luhnTerm(substring(col("candidate"), i, 1).cast("int"), i)).reduce(_ + _)
+    parsed.select(col("doc_id"), col("candidate"),
       (total % 10 === 0).cast("int").as("luhn_valid"))
   }
 
