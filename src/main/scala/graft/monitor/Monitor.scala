@@ -104,9 +104,9 @@ object Monitor {
   }
 
   final case class TaskBytes(shuffleRead: Long, shuffleWrite: Long,
-      spill: Long) {
+      spill: Long, input: Long = 0L) {
     def -(o: TaskBytes): TaskBytes = TaskBytes(shuffleRead - o.shuffleRead,
-      shuffleWrite - o.shuffleWrite, spill - o.spill)
+      shuffleWrite - o.shuffleWrite, spill - o.spill, input - o.input)
   }
 
   /** J3: cumulative task-level byte counters — shuffle read/write and
@@ -123,7 +123,8 @@ object Monitor {
     private val read = new java.util.concurrent.atomic.AtomicLong
     private val write = new java.util.concurrent.atomic.AtomicLong
     private val spill = new java.util.concurrent.atomic.AtomicLong
-    @volatile private var mark = TaskBytes(0, 0, 0)
+    private val input = new java.util.concurrent.atomic.AtomicLong
+    @volatile private var mark = TaskBytes(0, 0, 0, 0)
 
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
@@ -131,10 +132,13 @@ object Monitor {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        // K48: source bytes actually read — the live-read half of the
+        // row-group pruning story (planned bytes live in RgPrunePlan)
+        input.addAndGet(m.inputMetrics.bytesRead)
       }
     }
 
-    def totals: TaskBytes = TaskBytes(read.get, write.get, spill.get)
+    def totals: TaskBytes = TaskBytes(read.get, write.get, spill.get, input.get)
 
     /** Bytes since the previous delta()/construction; re-marks. */
     def delta(): TaskBytes = synchronized {
