@@ -749,6 +749,45 @@ object IngestQueries {
         "gopher_keep", "is_dup", "corpus_keep")
   }
 
+  /** K53 driver query: OPTIMIZE ZORDER end-to-end — commit an orders
+    * projection in an a-linear layout, z-order-rewrite it, and read
+    * the OPTIMIZED version back with the K11 Morton key recomputed per
+    * row. The oracle re-derives (a, b) from the generating formulas
+    * and the z value from an INDEPENDENT spelling of the bit-spread
+    * arithmetic in DuckDB — so a lost/duplicated row in the rewrite,
+    * or any divergence in the interleave math, hash-mismatches. The
+    * layout improvement itself (clustering depth collapse, 2D box
+    * pruning) is pinned in SnapshotStoreSpec — file layout is not
+    * SQL-observable. */
+  def ingZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, SnapshotStore}
+    val name = s"ord_z_${GraftStore.dirKey(dir)}"
+    snapCommitted.getOrElseUpdate(name, {
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 256).as("a"),
+        (col("o_orderkey") % 256).as("b"))
+      SnapshotStore.commitOverwrite(name,
+        o.repartitionByRange(4, col("a")))
+      SnapshotStore.optimizeZOrder(spark, name, ("a", "b"), files = 4)
+      true
+    })
+    SnapshotStore.read(spark, name)
+      .select(col("o_orderkey"), col("a"), col("b"),
+        graft.functions.ZOrder.zOrderKey(col("a"), col("b")).as("zval"))
+  }
+
+  /** The K11 bit-spread as DuckDB SQL — generated next to the Scala
+    * Column arithmetic it mirrors so the two cannot drift. */
+  private def spreadSql(x: String): String = {
+    var v = s"(($x) & 65535)"
+    v = s"((xor($v, ($v << 8))) & 16711935)"
+    v = s"((xor($v, ($v << 4))) & 252645135)"
+    v = s"((xor($v, ($v << 2))) & 858993459)"
+    v = s"((xor($v, ($v << 1))) & 1431655765)"
+    v
+  }
+
   /** A21: URL canonicalization — the dedup key normalization every
     * crawl pipeline runs before fetch dedup and per-domain rollups
     * (two spellings of one URL are the single biggest source of
@@ -865,6 +904,7 @@ object IngestQueries {
     "ing_warc_corpus" -> (ingWarcCorpus _),
     "ing_corpus_gate" -> (ingCorpusGate _),
     "ing_cow"     -> (ingCow _),
+    "ing_zorder"  -> (ingZorder _),
     "ing_url_canon" -> (ingUrlCanon _),
     "ing_robots"  -> (ingRobots _),
     "ing_asof"    -> (ingAsofRead _),
@@ -1083,6 +1123,16 @@ object IngestQueries {
          |  CAST(u.allowed = 1 AND u.url_unique = 1 AND g.gopher_keep = 1
          |    AND f.is_dup = 0 AS INT) AS corpus_keep
          |FROM u JOIN g ON u.doc_id = g.doc_id JOIN f ON u.doc_id = f.doc_id""".stripMargin,
+
+    // K53: rows from the OPTIMIZED table re-derived from the orders
+    // formulas; z re-spelled as independent DuckDB bit arithmetic
+    "ing_zorder" ->
+      s"""SELECT o_orderkey,
+         |  (o_custkey % 256)::bigint AS a,
+         |  (o_orderkey % 256)::bigint AS b,
+         |  (${spreadSql("o_custkey % 256")}
+         |    | (${spreadSql("o_orderkey % 256")} << 1))::bigint AS zval
+         |FROM orders""".stripMargin,
 
     // K45: the AS-OF read at v0's own commit instant must see exactly
     // the v0 generating filter

@@ -1297,6 +1297,64 @@ object SnapshotStore {
     ClusterDepth(column, fl.size, ivs.size, maxDepth, pairs)
   }
 
+  /** K53: OPTIMIZE ZORDER — the Delta/Iceberg table-maintenance verb
+    * that the K51 clusteringDepth metric exists to justify: rewrite
+    * the CURRENT version's rows into files ordered by the K11 Morton
+    * interleave of two columns and publish as a new version (logical
+    * overwrite — every older version still time-travels; vacuum
+    * reclaims the replaced files). The row set is IDENTICAL by
+    * construction — only LAYOUT changes: each file now holds a
+    * disjoint z-range (range partition by the key, sorted within), so
+    * BOTH dimensions' zone bounds tighten and K42 file pruning / K48
+    * row-group pruning work for box predicates on either column —
+    * where a linear sort gives one tight dimension and one useless
+    * one. Dimensions clamp to 16 bits in the key (layout needs rank
+    * correlation, not exactness — wider domains should bucket/scale
+    * first, same contract as [[graft.functions.ZOrder.zOrderKey]]).
+    * `files` sizes the rewritten layout. O(table) I/O like any
+    * OPTIMIZE; the new files' stats/zones/row-groups are computed by
+    * the normal commit path. */
+  def optimizeZOrder(spark: SparkSession, name: String,
+      dims: (String, String), files: Int = 8): Long = synchronized {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = vs.last
+    val df = read(spark, name, Some(v))
+    val schema = schemaOf(name, v).getOrElse(df.schema)
+    Seq(dims._1, dims._2).foreach(c => require(
+      schema.fieldNames.contains(c), s"z-order column '$c' not in schema"))
+    val z = graft.functions.ZOrder.zOrderKey(col(dims._1), col(dims._2))
+    // bucket on EXACT z ranges (one O(1) scalar job for the max), and
+    // place bucket k in file k with an EXPLICIT partitioner — sampled
+    // range boundaries (repartitionByRange) split or merge tiles,
+    // and a merged tile widens a file's span in BOTH dimensions. Any
+    // contiguous z sub-range stays inside its tile's bounds, so exact
+    // placement is what makes every file one clean 2D tile. This is
+    // the one RDD drop-down in the store: deterministic partition
+    // PLACEMENT is per-partition imperative logic no DataFrame
+    // repartition expresses.
+    val zmax = df.agg(org.apache.spark.sql.functions.max(z))
+      .collect().head.getLong(0)
+    val bucket = org.apache.spark.sql.functions.least(
+      org.apache.spark.sql.functions.floor(z * files / (zmax + 1L)),
+      lit(files - 1L))
+    val keyed = df
+      .select(bucket.as("__zb"), z.as("__z"),
+        org.apache.spark.sql.functions.struct(
+          schema.fieldNames.map(col).toIndexedSeq: _*).as("__r"))
+      .rdd.map(r => ((r.getLong(0), r.getLong(1)),
+        r.getStruct(2).asInstanceOf[org.apache.spark.sql.Row]))
+    val parted = keyed.repartitionAndSortWithinPartitions(
+      new org.apache.spark.Partitioner {
+        override def numPartitions: Int = files
+        override def getPartition(key: Any): Int =
+          key.asInstanceOf[(Long, Long)]._1.toInt
+      })
+    val rewritten = spark.createDataFrame(parted.map(_._2), schema)
+    commit(name, rewritten, append = false)
+  }
+
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
     * (versions, data files, bytes), computed with the same
     * keep+tag-protection rule but touching nothing. The ops-review

@@ -764,6 +764,35 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("K53 OPTIMIZE ZORDER: identical rows in a new version; the useless dimension's depth collapses; a 2D box prunes files; history intact") {
+    import spark.implicits._
+    val name = "tzorder"
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)
+    // x-linear layout: x zones are disjoint, every file spans ALL of y
+    SnapshotStore.commitOverwrite(name, grid.toDF("x", "y")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x", "y"))
+    val yBefore = SnapshotStore.clusteringDepth(name, "y")
+    assert(yBefore.maxDepth == yBefore.nFiles,
+      s"x-linear layout must fully overlap on y: $yBefore")
+    val v1 = SnapshotStore.optimizeZOrder(spark, name, ("x", "y"), files = 8)
+    def rowSet(v: Long) = SnapshotStore.read(spark, name, Some(v))
+      .as[(Long, Long)].collect().toSet
+    assert(rowSet(v1) == grid.toSet && rowSet(0L) == grid.toSet,
+      "OPTIMIZE must not change a single row, and v0 must time-travel")
+    val yAfter = SnapshotStore.clusteringDepth(name, "y", Some(v1))
+    assert(yAfter.maxDepth < yBefore.maxDepth,
+      s"z-order must tighten the formerly useless dimension: $yAfter")
+    val xAfter = SnapshotStore.clusteringDepth(name, "x", Some(v1))
+    assert(xAfter.maxDepth <= 4 && yAfter.maxDepth <= 4,
+      s"both dimensions reasonably tight under z-order: $xAfter / $yAfter")
+    // a 2D box predicate now prunes FILES (the low-quadrant tile lives
+    // in one z range); under the x-linear layout y gave no pruning
+    val plan = SnapshotStore.rowGroupPrunePlan(spark, name,
+      col("x") < 8L && col("y") < 8L, Some(v1))
+    assert(plan.keptFiles < plan.totalFiles,
+      s"the z layout must prune files for a 2D box: $plan")
+  }
+
   test("K48 row-group detail: strictly fewer bytes than file-grain pruning on a mixed file; deep fsck reconciles; survives vacuum rewrite") {
     import spark.implicits._
     val name = "trgdetail"
