@@ -403,23 +403,26 @@ object Graphs {
     var r = 1
     var drained = active.isEmpty
     while (r <= rounds && !drained) {
+      // one flagged checkpoint per round (the lubyMis r15 discipline)
       val byVertex = active.select(col("u").as("x"), col("pkey"))
         .unionAll(active.select(col("v").as("x"), col("pkey")))
       val vmin = byVertex.groupBy("x").agg(min(col("pkey")).as("mk"))
-      val matched = active
+      val flagged = active
         .join(vmin.select(col("x").as("u"), col("mk").as("mu")), "u")
         .join(vmin.select(col("x").as("v"), col("mk").as("mv")), "v")
-        .filter(col("pkey") === col("mu") && col("pkey") === col("mv"))
-        .select(col("u"), col("v"))
+        .select(col("u"), col("v"), col("pkey"),
+          (col("pkey") === col("mu") && col("pkey") === col("mv"))
+            .as("matched"))
         .localCheckpoint(eager = true)
+      val matched = flagged.filter(col("matched")).select(col("u"), col("v"))
       val taken = matched.select(col("u").as("x"))
         .unionAll(matched.select(col("v").as("x"))).distinct()
       val newly = matched.select(col("u"), col("v"), lit(r).as("matched_round"))
       out = Some(out.map(_.unionAll(newly)).getOrElse(newly))
-      active = active
+      active = flagged.filter(!col("matched"))
+        .select(col("u"), col("v"), col("pkey"))
         .join(taken.select(col("x").as("u")), Seq("u"), "left_anti")
         .join(taken.select(col("x").as("v")), Seq("v"), "left_anti")
-        .localCheckpoint(eager = true)
       drained = active.isEmpty
       lastRounds.set(r)
       r += 1
