@@ -966,6 +966,47 @@ object Streaming {
         col("truncated") === 0)(parsed, batchId)
   }
 
+  /** I53: incremental corpus ADMISSION — the streaming continuation
+    * of the A22 fetch gate: per micro-batch, admit only documents
+    * whose CANONICAL URL and CONTENT FINGERPRINT are both unseen —
+    * against the accumulated corpus table AND within the batch
+    * (min-doc_id wins inside a batch; arrival order wins across
+    * batches — the crawl-frontier contract). Expects rows already
+    * carrying the stateless gate columns: (doc_id, canonical, fp,
+    * ...payload). State is the corpus table itself — no streaming
+    * state store: the dedup keys are unbounded (every URL ever seen),
+    * which is exactly what a TABLE is for, and the anti-joins read a
+    * snapshot whose size is the admitted corpus, not the crawl. A
+    * replayed batch converges: its rows are already in the table, the
+    * anti-joins empty the batch, and the batchId-idempotent commit
+    * no-ops regardless. Usage:
+    * `gated.writeStream.foreachBatch(Streaming.corpusAdmitSink("corpus") _)`. */
+  def corpusAdmitSink(corpusTable: String)(df: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val inBatch = df
+      .withColumn("__ru", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("canonical")).orderBy(col("doc_id"))))
+      .withColumn("__rf", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("__ru") === 1 && col("__rf") === 1)
+      .drop("__ru", "__rf")
+    // each key gates INDEPENDENTLY (a doc that loses the URL race
+    // still occupies its fingerprint's slot for the batch) —
+    // deterministic and conservative: never admits a duplicate,
+    // occasionally rejects a doc a strictly sequential scan would
+    // keep. Cross-batch, the accumulated table plays the same role.
+    val admitted = (
+      if (graft.store.SnapshotStore.versions(corpusTable).isEmpty) inBatch
+      else {
+        val prior = graft.store.SnapshotStore.read(df.sparkSession, corpusTable)
+        inBatch
+          .join(prior.select(col("canonical")), Seq("canonical"), "left_anti")
+          .join(prior.select(col("fp")), Seq("fp"), "left_anti")
+      }).select(df.columns.map(col).toIndexedSeq: _*)
+    graft.store.SnapshotStore.commitStreamBatch(corpusTable, admitted, batchId)
+    ()
+  }
+
   final case class SsEv(user_id: Long, ts: Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -433,6 +433,45 @@ class StreamingSpec extends SparkSpec {
       rows(SnapshotStore.read(spark, "wet_corpus")) == batchOk)
   }
 
+  test("I53 incremental corpus admission: URL/fingerprint first-wins within and across batches; replay converges") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.store.SnapshotStore
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = mem.toDS().toDF("doc_id", "canonical", "fp", "payload")
+      .writeStream
+      .foreachBatch(Streaming.corpusAdmitSink("adm_corpus") _)
+      .start()
+    try {
+      mem.addData((1L, "u1", "fA", "a"), (2L, "u1", "fB", "b"),
+        (3L, "u2", "fA", "c"), (4L, "u3", "fC", "d"))
+      q.processAllAvailable()
+      mem.addData((5L, "u1", "fD", "e"), (6L, "u4", "fC", "f"),
+        (7L, "u4", "fE", "g"), (8L, "u5", "fF", "h"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def ids = SnapshotStore.read(spark, "adm_corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // batch 1: 2 loses u1 to 1; 3 loses fA to 1; 4 admits.
+    // batch 2: 5 loses u1 to the CORPUS; 6 loses fC to the corpus;
+    // 7 loses u4 to 6 WITHIN the batch even though 6 was itself
+    // rejected (keys gate independently — the documented conservative
+    // policy: never a duplicate, occasionally an extra rejection);
+    // 8 admits.
+    assert(ids == Set(1L, 4L, 8L), s"admitted: $ids")
+    assert(SnapshotStore.versions("adm_corpus").size == 2)
+    // no duplicate keys ever land
+    val c = SnapshotStore.read(spark, "adm_corpus")
+    assert(c.groupBy("canonical").count().filter(col("count") > 1).isEmpty)
+    assert(c.groupBy("fp").count().filter(col("count") > 1).isEmpty)
+    // replayed first batch: anti-joins empty it AND the batchId no-ops
+    Streaming.corpusAdmitSink("adm_corpus")(
+      Seq((1L, "u1", "fA", "a"), (4L, "u3", "fC", "d"))
+        .toDF("doc_id", "canonical", "fp", "payload"), 0L)
+    assert(ids == Set(1L, 4L, 8L) &&
+      SnapshotStore.versions("adm_corpus").size == 2)
+  }
+
   test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
     import spark.implicits._
     import graft.store.SnapshotStore
