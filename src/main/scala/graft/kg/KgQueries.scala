@@ -498,6 +498,30 @@ object KgQueries {
       sum(expr("12 div rank")).as("mrr_x12"))
   }
 
+  /** B20: triple provenance / support ledger — the evidence B7's
+    * MERGE semantics collapse: for every DISTINCT (subject, relation,
+    * object) the number of independent extraction mentions (the
+    * FK/attribute extraction emits one triple per source row, so a
+    * repeated fact really is multi-sourced — e.g. an order CONTAINS a
+    * part once per lineitem), the relation's total mention mass, and
+    * the multi-sourced flag a downstream confidence policy thresholds
+    * on (singleton facts are where extraction noise lives; the
+    * reference's Neo4j MERGE upserts silently discard exactly this
+    * signal). Shape: the (s,r,o) rollup rides the subject-bucketed
+    * triple store (no shuffle — bucketing on subject co-locates every
+    * (s,r,o) group); the relation totals are a handful of rows,
+    * joined back via broadcast. */
+  def kgProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val g = storedTriples(spark, dir)
+      .groupBy("subject", "relation", "object")
+      .agg(count(lit(1)).as("n_mentions"))
+    val r = g.groupBy("relation").agg(sum("n_mentions").as("rel_mentions"))
+    g.join(broadcast(r), "relation")
+      .select(col("subject"), col("relation"), col("object"),
+        col("n_mentions"), col("rel_mentions"),
+        (col("n_mentions") >= 2).cast("int").as("multi_sourced"))
+  }
+
   /** B21: the entity2id / relation2id dictionaries a KG-embedding
     * trainer (TransE/DistMult/pykeen conventions) loads next to the
     * B18 negative samples — contiguous 0-based ids in deterministic
@@ -571,6 +595,7 @@ object KgQueries {
     "kg_ranking_eval"          -> (kgRankingEval _),
     "kg_ntriples"              -> (kgNtriples _),
     "kg_id_maps"               -> (kgIdMaps _),
+    "kg_provenance"            -> (kgProvenance _),
   )
 
   /** Generated ER pair oracle — mirrors EntityResolution.resolutionPairs
@@ -633,6 +658,20 @@ object KgQueries {
 
   def oracleSql: Map[String, String] = Map(
     "kg_triples" -> triplesSql,
+
+    // B20: the (s,r,o) support rollup + relation mention mass over
+    // the same extraction CTE
+    "kg_provenance" ->
+      s"""WITH t AS ($triplesSql),
+         |g AS (SELECT subject, relation, object, count(*) AS n_mentions
+         |      FROM t GROUP BY 1, 2, 3),
+         |r AS (SELECT relation, sum(n_mentions) AS rel_mentions
+         |      FROM g GROUP BY 1)
+         |SELECT g.subject, g.relation, g.object,
+         |  g.n_mentions::bigint AS n_mentions,
+         |  r.rel_mentions::bigint AS rel_mentions,
+         |  (g.n_mentions >= 2)::int AS multi_sourced
+         |FROM g JOIN r ON g.relation = r.relation""".stripMargin,
 
     // B18: same md5-keyed draw over the same name-ranked node table;
     // ranks agree because names are ASCII (binary order both engines)
