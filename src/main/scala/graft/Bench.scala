@@ -70,6 +70,25 @@ object Bench {
         System.err.println(s"[bench] store build failed: $e")
         (-1.0, Seq.empty[(String, Double)]) }
 
+    // Store-size LEDGER (r15 verdict #1): per-table rows/files/bytes
+    // from parquet footers, committed next to builds{} — makes a
+    // store-backed query's round-over-round drift decidable as
+    // data-vs-code from the artifacts alone (the r15 kg_ranking_eval
+    // 2× was undecidable without it).
+    val storeLedger =
+      try graft.store.GraftStore.ledger(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] store ledger failed: $e")
+        Seq.empty[graft.store.GraftStore.TableStat] }
+
+    // E9 recall dial (r15 verdict #7): re-measure (budget, recall,
+    // candidate-mass ratio) against THIS round's data so the valve's
+    // recall claim is a living number, not one round's prose.
+    val e9Dial =
+      try Some(graft.dedup.DedupQueries.containmentDial(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] e9 dial failed: $e"); None }
+
     var errors = 0
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -207,7 +226,13 @@ object Bench {
     val loadJson = s""""cpus":$nCores,"os_load1_start":${num(loadStart, 2)},"os_load1_end":${num(loadAvg, 2)},"cpu_proc_avg":${num(cpuAvg, 3)}"""
     val builds = buildPer.map { case (k, v) => jkey(k) + num(v, 3) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"builds":$builds,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
+    val ledgerJson = storeLedger.map(t =>
+      jkey(t.name) + s"""{"rows":${t.rows},"files":${t.files},"bytes":${t.bytes}}""")
+      .mkString("{", ",", "}")
+    val dialJson = e9Dial.map { case (b, recall, mass, pb, pe) =>
+      s"""{"budget":$b,"recall":${num(recall, 4)},"cand_mass_ratio":${num(mass, 4)},"pairs":$pb,"pairs_exact":$pe}"""
+    }.getOrElse("null")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"builds":$builds,"store_ledger":$ledgerJson,"e9_dial":$dialJson,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size
     // stdout tail capture (r6 verdict #1: six rounds of parsed:null).

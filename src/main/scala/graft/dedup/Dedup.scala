@@ -235,8 +235,7 @@ object Dedup {
     * candidate set only, against the SAME hashed-shingle sets the
     * signature store persists (set cardinalities are hash-invariant).
     * `sets` = (id, sh: array<string md5-hashed distinct shingles>). */
-  def containmentFromSets(sets: DataFrame, maxDf: Int = 20,
-      threshold: Double = 0.8,
+  def containmentCandidates(sets: DataFrame, maxDf: Int = 20,
       rankBudget: Int = DedupQueries.ContainmentRankBudget): DataFrame = {
     val ex = sets.select(col("id"), explode(col("sh")).as("h"))
     val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
@@ -252,7 +251,9 @@ object Dedup {
     // shingles) and only pairs whose lower-ranked endpoint is within
     // the first `rankBudget` survive → per-shingle pairs ≤ budget·df,
     // total ≤ budget·Σdf = budget·(blocked row count). The recall
-    // trade is mild and measured (DedupSpec): a TRUE containment pair
+    // trade is mild and RE-MEASURED EVERY ROUND (the bench's e9_dial
+    // field — r15 advice: a budget tuned on one corpus profile must
+    // not silently hold as data drifts): a TRUE containment pair
     // shares MANY rare shingles, so it is dropped only if it loses
     // the rank lottery in EVERY one of them; budget ≥ maxDf−1 keeps
     // every pair (the dial's "exact" end).
@@ -261,7 +262,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
           .orderBy(md5(concat(col("h"), lit("|"), col("id").cast("string"))),
             col("id"))))
-    val cand = ranked.filter(col("rk") <= rankBudget)
+    ranked.filter(col("rk") <= rankBudget)
       .select(col("h"), col("id").as("ida"), col("rk").as("rka"))
       .join(ranked.select(col("h"), col("id").as("idb"), col("rk").as("rkb")),
         "h")
@@ -269,6 +270,12 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"))
       .distinct()
+  }
+
+  def containmentFromSets(sets: DataFrame, maxDf: Int = 20,
+      threshold: Double = 0.8,
+      rankBudget: Int = DedupQueries.ContainmentRankBudget): DataFrame = {
+    val cand = containmentCandidates(sets, maxDf, rankBudget)
     // verify on 64-bit REHASHES of the stored hashed shingles, derived
     // once per document (docs-scale) — array_intersect over longs is a
     // fraction of the cost of 32-char hex strings, and the pair side

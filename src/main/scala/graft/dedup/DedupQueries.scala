@@ -47,6 +47,32 @@ object DedupQueries {
     containmentTable(spark, dir); ()
   }
 
+  /** E9 recall DIAL, re-measured against live data (r15 verdict #7:
+    * the budget-4 = recall-1.000 measurement lived in SURVEY prose,
+    * pinned to one corpus profile — the bench now emits it every
+    * round so data drift can't silently erode the valve). Returns
+    * (budget, recall, candidateMassRatio, budgetedPairs, exactPairs):
+    * recall = verified pairs under the budget / verified pairs at the
+    * exact end (budget ≥ maxDf−1 keeps every blocked pair, so the
+    * budgeted verified set is a SUBSET and the ratio is a true
+    * recall); massRatio = budgeted candidates / exact candidates, the
+    * cost side of the dial. One extra exact-end build per bench —
+    * bounded by the same rare-shingle blocking, just without the
+    * per-shingle budget. */
+  def containmentDial(spark: SparkSession, dir: String): (Int, Double, Double, Long, Long) = {
+    val sig = spark.table(sigTables(spark, dir).sig).select(col("id"), col("sh"))
+    val candB = Dedup.containmentCandidates(sig, ContainmentMaxDf,
+      ContainmentRankBudget).count()
+    val candE = Dedup.containmentCandidates(sig, ContainmentMaxDf,
+      ContainmentMaxDf).count()
+    val pairsB = spark.table(containmentTable(spark, dir)).count()
+    val pairsE = Dedup.containmentFromSets(sig, ContainmentMaxDf,
+      ContainmentThreshold, ContainmentMaxDf).count()
+    val recall = if (pairsE == 0) 1.0 else pairsB.toDouble / pairsE
+    val mass = if (candE == 0) 1.0 else candB.toDouble / candE
+    (ContainmentRankBudget, recall, mass, pairsB, pairsE)
+  }
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairsFromBanded(spark.table(sigTables(spark, dir).banded))
 
@@ -252,8 +278,16 @@ object DedupQueries {
     * re-shingled; repeated queries read the verified pair frame). */
   private def containmentTable(spark: SparkSession, dir: String): String = {
     val st = sigTables(spark, dir)
+    // the valve parameters are PART OF THE TABLE IDENTITY: the rank
+    // budget (and maxDf/threshold) are baked into the persisted rows,
+    // so a dial change must miss the cache and rebuild — a name keyed
+    // on dir alone would silently serve pairs computed under the OLD
+    // budget. Exact-mode escape hatch: rankBudget >= maxDf-1 keeps
+    // every blocked pair (per-shingle rank can't exceed df <= maxDf).
+    val params = s"b${ContainmentRankBudget}_df${ContainmentMaxDf}_" +
+      s"t${(ContainmentThreshold * 100).round}"
     graft.store.GraftStore.ensurePlain(spark,
-      s"graft_containment_${graft.store.GraftStore.dirKey(dir)}") {
+      s"graft_containment_${params}_${graft.store.GraftStore.dirKey(dir)}") {
       Dedup.containmentFromSets(
         spark.table(st.sig).select(col("id"), col("sh")),
         ContainmentMaxDf, ContainmentThreshold, ContainmentRankBudget)

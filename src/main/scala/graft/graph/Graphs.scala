@@ -281,6 +281,7 @@ object Graphs {
   def lastRoundsExecuted: Int = lastRounds.get
 
   def lubyMis(und: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
+    lastRounds.set(0) // a zero-round run (empty active set) must not leak the prior primitive's count
     val both = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(eager = true)
@@ -338,6 +339,7 @@ object Graphs {
     * vertices only (exact for the fixed budget, the MIS convention);
     * O(E) joins per round, expected O(log n) rounds to drain. */
   def jpColoring(und: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
+    lastRounds.set(0) // see lubyMis: zero-round runs must report 0, not the prior run
     val both = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(eager = true)
@@ -396,6 +398,7 @@ object Graphs {
     * endpoint-keyed min aggregation + one join back + one semi-ish
     * retirement join — the edge frame shrinks geometrically. */
   def maximalMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    lastRounds.set(0) // see lubyMis: zero-round runs must report 0, not the prior run
     var active = edges.select(col("u"), col("v"), col("pkey"))
       .localCheckpoint(eager = true)
     var out: Option[DataFrame] = None

@@ -92,6 +92,35 @@ object GraftStore {
     (per.map(_._2).sum, per)
   }
 
+  final case class TableStat(name: String, rows: Long, files: Int, bytes: Long)
+
+  /** Store-size LEDGER (r15 verdict #1): per persisted table, the
+    * row / file / byte counts — read from parquet FOOTERS only, so
+    * this is a metadata job at any scale. The bench commits the
+    * ledger next to `builds{}`: when a store-backed query's cost
+    * moves round-over-round with an unchanged plan, the committed
+    * artifacts now DECIDE data-drift vs code-drift (the r15
+    * kg_ranking_eval 2× was undecidable precisely because no store
+    * sizes were recorded). */
+  def ledger(spark: SparkSession): Seq[TableStat] = {
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    built.keys.collect { case (s, name) if s eq spark => name }.toSeq.sorted.map { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$defaultBase/$name")
+      val fs = p.getFileSystem(hconf)
+      val files = fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      var rows = 0L
+      files.foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, hconf))
+        try rows += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+      TableStat(name, rows, files.length, files.map(_.getLen).sum)
+    }
+  }
+
   /** Catalog-safe suffix for a data directory. */
   def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -651,9 +651,15 @@ object SnapshotStore {
     * the same rows, and a nondeterministic source evaluated three
     * times would not (the K52 check itself runs post-write against the
     * written bytes). A batch with DUPLICATE keys or NULL key values is
-    * rejected — Delta MERGE raises the same multiple-source-rows
-    * error, and a NULL key would never match the anti-join (it would
-    * silently insert next to the row it meant to update). */
+    * rejected. This is DELIBERATELY stricter than Delta MERGE: Delta
+    * errors only when multiple source rows match an EXISTING target
+    * row, and lets duplicate unmatched source keys both INSERT — but a
+    * keyed upsert whose batch carries two rows for one key is an
+    * upstream bug either way (which row wins is arbitrary), so we
+    * reject uniformly rather than let the target's current contents
+    * decide whether the batch is legal. A NULL key would never match
+    * the anti-join (it would silently insert next to the row it meant
+    * to update). */
   def mergeKeyed(spark: SparkSession, name: String, updates: DataFrame,
       keys: Seq[String], maxBatchKeys: Int = 10000): Long = synchronized {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
@@ -777,15 +783,27 @@ object SnapshotStore {
     * commits between stage and publish are fine: the version and the
     * carried-forward file list are resolved HERE, under the same lock
     * every other mutator takes. */
-  def publish(st: StagedCommit, append: Boolean = true): Long = synchronized {
+  def publish(st: StagedCommit, append: Boolean = true,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Long = synchronized {
     // K52 on the staged path too: the write-audit-publish flow must
     // honor CHECK constraints like every other write path (Delta
     // enforces invariants on ALL writes). The staged files are final
     // bytes, so this check is TOCTOU-free by construction; a violation
     // leaves the stage intact for the auditor to inspect/abort.
-    if (constraints(st.name).nonEmpty)
-      enforceConstraints(st.name, org.apache.spark.sql.SparkSession.active
-        .read.schema(st.schema).parquet(st.files: _*))
+    // The session is threaded explicitly like every other store entry
+    // point (with active/default-session fallback so existing callers
+    // keep working) — SparkSession.active THROWS on a non-Spark thread,
+    // which would make a constraint-bearing publish fail with an
+    // unrelated-looking error only when a constraint happens to exist.
+    if (constraints(st.name).nonEmpty) {
+      val s = spark
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          s"publish(${st.name}): CHECK constraints are registered but no " +
+            "SparkSession is active on this thread — pass one explicitly"))
+      enforceConstraints(st.name, s.read.schema(st.schema).parquet(st.files: _*))
+    }
     val v = versions(st.name).lastOption.getOrElse(-1L) + 1L
     val target = new Path(tableDir(st.name), s"data_v$v")
     val fs = fsOf(target)
@@ -1334,8 +1352,11 @@ object SnapshotStore {
     // the one RDD drop-down in the store: deterministic partition
     // PLACEMENT is per-partition imperative logic no DataFrame
     // repartition expresses.
-    val zmax = df.agg(org.apache.spark.sql.functions.max(z))
-      .collect().head.getLong(0)
+    val zmaxRow = df.agg(org.apache.spark.sql.functions.max(z)).collect().head
+    // empty current version: max(z) is NULL — OPTIMIZE of nothing is a
+    // no-op (return the current version), not an NPE
+    if (zmaxRow.isNullAt(0)) return v
+    val zmax = zmaxRow.getLong(0)
     val bucket = org.apache.spark.sql.functions.least(
       org.apache.spark.sql.functions.floor(z * files / (zmax + 1L)),
       lit(files - 1L))

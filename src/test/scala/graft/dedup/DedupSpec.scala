@@ -156,6 +156,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == expect, "kept pairs must be exactly the rank predicate")
   }
 
+  test("E9 persisted pair table bakes the valve params into its NAME: a dial change cannot silently read a stale frame") {
+    // r15 advice: the budget/maxDf/threshold are part of the persisted
+    // rows — key the catalog name on them so a parameter change MISSES
+    // the memo and rebuilds instead of serving old-budget pairs.
+    DedupQueries.dedupContainment(spark, sfDir).limit(1).collect()
+    val params = s"b${DedupQueries.ContainmentRankBudget}_" +
+      s"df${DedupQueries.ContainmentMaxDf}_" +
+      s"t${(DedupQueries.ContainmentThreshold * 100).round}"
+    val names = spark.catalog.listTables().collect().map(_.name)
+    assert(names.exists(n => n.startsWith(s"graft_containment_$params")),
+      s"containment table must be keyed on valve params: $params not in " +
+        names.filter(_.startsWith("graft_containment")).mkString(","))
+  }
+
   test("E9 containment broadcasts the shingle sets ONLY under the configured threshold") {
     import spark.implicits._
     // an unconditional broadcast() hint bypasses

@@ -895,6 +895,16 @@ class GraphSpec extends SparkSpec {
     val (x6, xNeeded) = matchRun(6)
     val (x64, xAt64) = matchRun(64)
     assert(xAt64 == xNeeded && x64 == x6)
+    // r15 advice: a ZERO-round run (empty input) must report 0, not
+    // leak the previous primitive's count through the ThreadLocal
+    assert(xNeeded > 0)
+    val none = Graphs.maximalMatching(me.limit(0), 64)
+    assert(none.isEmpty && Graphs.lastRoundsExecuted == 0,
+      "an empty-input drained loop must report 0 rounds executed")
+    val noneMis = Graphs.lubyMis(e.limit(0), verts.limit(0), 64)
+    assert(noneMis.isEmpty && Graphs.lastRoundsExecuted == 0)
+    val noneCol = Graphs.jpColoring(e.limit(0), verts.limit(0), 64)
+    assert(noneCol.isEmpty && Graphs.lastRoundsExecuted == 0)
   }
 
   test("C40 coloring on the geo graph: proper among decided at the query budget") {

@@ -560,6 +560,23 @@ class SnapshotStoreSpec extends SparkSpec {
     val good = SnapshotStore.stage(name, Seq((3L, "c")).toDF("k", "s"))
     assert(SnapshotStore.publish(good) == 1L)
     assert(rows(name) == Set((1L, "a"), (3L, "c")))
+    // r15 advice: publish takes an EXPLICIT session like every other
+    // store entry point — a constraint-bearing publish from a thread
+    // with no ACTIVE session must still enforce (not throw an
+    // unrelated-looking SparkSession.active error). Run on a fresh
+    // thread (thread-local active session absent there).
+    val bad2 = SnapshotStore.stage(name, Seq((-7L, "y")).toDF("k", "s"))
+    @volatile var caught: Option[Throwable] = None
+    val t = new Thread(() => {
+      try { SnapshotStore.publish(bad2, append = true, Some(spark)); () }
+      catch { case e: Throwable => caught = Some(e) }
+    })
+    t.start(); t.join()
+    assert(caught.exists(e => e.isInstanceOf[IllegalArgumentException] &&
+      e.getMessage.contains("k-positive")),
+      s"explicit-session publish must enforce the constraint off-thread: $caught")
+    SnapshotStore.abort(bad2)
+    assert(SnapshotStore.versions(name) == Seq(0L, 1L))
   }
 
   test("K52 validates the WRITTEN bytes: a source that re-evaluates differently cannot sneak violating rows past the check") {
@@ -791,6 +808,15 @@ class SnapshotStoreSpec extends SparkSpec {
       col("x") < 8L && col("y") < 8L, Some(v1))
     assert(plan.keptFiles < plan.totalFiles,
       s"the z layout must prune files for a 2D box: $plan")
+    // r15 advice: OPTIMIZE of an EMPTY current version is a no-op (the
+    // current version comes back), not an NPE from max(z) = NULL
+    val empty = "tzorderempty"
+    SnapshotStore.commitOverwrite(empty,
+      grid.toDF("x", "y").limit(0))
+    val vEmpty = SnapshotStore.versions(empty).last
+    assert(SnapshotStore.optimizeZOrder(spark, empty, ("x", "y")) == vEmpty,
+      "OPTIMIZE of an empty table must return the current version untouched")
+    assert(SnapshotStore.versions(empty).last == vEmpty)
   }
 
   test("K48 row-group detail: strictly fewer bytes than file-grain pruning on a mixed file; deep fsck reconciles; survives vacuum rewrite") {
