@@ -1540,13 +1540,18 @@ object TextQueries {
     "text_bm25"         -> (textBm25 _),
     "text_bm25_indexed" -> (textBm25Indexed _),
     "text_wsample"      -> (textWsample _),
-    // G31: BPE merge learning — iterative greedy merges are not
-    // SQL-expressible; rows-only here, semantics pinned by BpeSpec's
-    // reference-implementation parity (the graph_msf convention)
+    // G31: BPE merge learning — the greedy merge dependency is
+    // iterative, so the oracle (r15 verdict #6) is GENERATED per-round
+    // MATERIALIZED CTEs (the MIS/coloring idiom): round r's argmax is
+    // a 1-row CTE the round-r merge CTEs reference as scalar
+    // subqueries; semantics additionally pinned by BpeSpec's
+    // reference-implementation parity
     "text_bpe"          -> ((s: SparkSession, dir: String) =>
       Bpe.learnMerges(Tables.documents(s, dir), "text", 8)),
-    // G32: encode face — rows-only like text_bpe, BpeSpec-pinned;
-    // rules memoized per corpus (encode must not re-train)
+    // G32: encode face — same generated-CTE oracle route (the train
+    // corpus IS the encode corpus, so the encoded vocabulary is the
+    // final round's word table); rules memoized per corpus (encode
+    // must not re-train)
     "text_bpe_encode"   -> ((s: SparkSession, dir: String) =>
       Bpe.topPieces(Tables.documents(s, dir), "text", 8, 30,
         cacheKey = graft.store.GraftStore.dirKey(dir))),
@@ -1628,6 +1633,86 @@ object TextQueries {
        |FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** G31/G32 oracle (r15 verdict #6): 8 greedy BPE merge rounds as
+    * generated MATERIALIZED CTEs. Each round r: `c_r` pair counts over
+    * the previous word table (parallel unnest of the two array slices
+    * — DuckDB zips equal-length unnests, mirroring arrays_zip), `b_r`
+    * the 1-row argmax (count DESC, pair ASC — the exact Spark
+    * tie-break), then the greedy leftmost-first merge: `ex_r` marks
+    * adjacent matches (lead over per-word position), `mr_r` buckets
+    * consecutive matches into runs and keeps EVEN offsets (overlapping
+    * pairs like "aaa" under a+a merge leftmost-first), `w_r` drops the
+    * absorbed right symbol (lag of merge_at) and rebuilds the array
+    * with list(v ORDER BY pos) — the sort_array(collect_list) mirror.
+    * The merge rule is DATA-dependent, so rounds reference `b_r` via
+    * scalar subqueries rather than literals. Validated equal to the
+    * Spark output at sf0.001 and sf0.01 before registration. */
+  private def bpeW0Sql: String =
+    """w0 AS MATERIALIZED (
+      |  SELECT w, n, regexp_split_to_array(w, '') AS syms FROM (
+      |    SELECT w, count(*)::bigint AS n FROM (
+      |      SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+      |    ) WHERE length(w) > 0 GROUP BY w
+      |  )
+      |)""".stripMargin
+
+  private def bpeRoundSql(i: Int): String =
+    s"""c$i AS (
+       |  SELECT a, b, sum(n)::bigint AS cnt FROM (
+       |    SELECT n, unnest(syms[1:len(syms)-1]) AS a, unnest(syms[2:len(syms)]) AS b
+       |    FROM w${i - 1} WHERE len(syms) >= 2
+       |  ) GROUP BY a, b
+       |),
+       |b$i AS MATERIALIZED (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |ex$i AS MATERIALIZED (
+       |  SELECT w, n, pos, s,
+       |    CASE WHEN s = (SELECT a FROM b$i)
+       |      AND lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT b FROM b$i)
+       |    THEN 1 ELSE 0 END AS m
+       |  FROM (SELECT w, n, unnest(syms) AS s, unnest(range(len(syms))) AS pos FROM w${i - 1})
+       |),
+       |mr$i AS MATERIALIZED (
+       |  SELECT w, pos,
+       |    CASE WHEN (pos - min(pos) OVER (PARTITION BY w, runkey)) % 2 = 0 THEN 1 ELSE 0 END AS merge_at
+       |  FROM (
+       |    SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS runkey
+       |    FROM ex$i WHERE m = 1
+       |  )
+       |),
+       |w$i AS MATERIALIZED (
+       |  SELECT w, n, list(v ORDER BY pos) AS syms FROM (
+       |    SELECT e.w, e.n, e.pos,
+       |      CASE WHEN m.merge_at = 1 THEN (SELECT a || b FROM b$i) ELSE e.s END AS v,
+       |      coalesce(lag(m.merge_at) OVER (PARTITION BY e.w ORDER BY e.pos), 0) AS prev_merged
+       |    FROM ex$i e LEFT JOIN mr$i m ON e.w = m.w AND e.pos = m.pos
+       |  ) WHERE prev_merged = 0
+       |  GROUP BY w, n
+       |)""".stripMargin
+
+  private val BpeK = 8
+  private lazy val bpeOracleSql: String = {
+    val rounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
+    val out = (1 to BpeK).map(i =>
+      s"""SELECT $i AS "rank", a AS "left", b AS "right", cnt AS pair_count FROM b$i""")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeW0Sql},\n$rounds\n$out"
+  }
+
+  private lazy val bpeEncodeOracleSql: String = {
+    val rounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
+    s"""WITH ${bpeW0Sql},
+       |$rounds
+       |SELECT piece, n_tokens, rnk FROM (
+       |  SELECT piece, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, piece) AS rnk
+       |  FROM (
+       |    SELECT piece, sum(n)::bigint AS n_tokens FROM (
+       |      SELECT n, unnest(syms) AS piece FROM w$BpeK
+       |    ) GROUP BY piece
+       |  )
+       |) WHERE rnk <= 30""".stripMargin
+  }
+
   /** DuckDB mirror of textLangid (shared by text_langid and
     * text_lang_confusion). */
   private lazy val langidSql: String = {
@@ -1650,6 +1735,9 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // G31/G32: 8 merge rounds as generated materialized CTEs (above)
+    "text_bpe" -> bpeOracleSql,
+    "text_bpe_encode" -> bpeEncodeOracleSql,
     // G48: exact counts; sqrt normalizer summed in source-name order
     // (list_sum over ORDER BY — mirrors Spark's sorted-array aggregate)
     "text_mix_weights" ->
