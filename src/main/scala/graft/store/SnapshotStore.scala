@@ -660,6 +660,116 @@ object SnapshotStore {
     * decide whether the batch is legal. A NULL key would never match
     * the anti-join (it would silently insert next to the row it meant
     * to update). */
+  /** K22-in-the-store (r15 verdict #4): a persistent per-FILE Bloom
+    * index over one key column, maintained INCREMENTALLY — data files
+    * are immutable, so a file's filter never changes; carried files
+    * keep their entry across versions and only manifest files without
+    * one are scanned (key column only) on ensure. Stored as a parquet
+    * (file, bloom) table next to the manifests. This is what rescues
+    * the MERGE shuffle path for content-hash keys: their per-key
+    * min/max bounds span the whole domain, so zone narrowing keeps
+    * every file — but a Bloom probe still names the true-positive
+    * files without touching data. */
+  def ensureBloomIndex(spark: SparkSession, name: String, column: String,
+      expectedPerFile: Long = 1000000L): Int = synchronized {
+    import org.apache.spark.sql.functions.{call_function, col, input_file_name, lit, xxhash64}
+    val vs = versions(name)
+    require(vs.nonEmpty, s"snapshot table '$name' has no commits")
+    val v = vs.last
+    val schema = schemaOf(name, v).getOrElse(
+      throw new IllegalArgumentException(s"no schema recorded for '$name'"))
+    require(schema.fieldNames.contains(column),
+      s"bloom index column '$column' not in table schema")
+    val existing = readBloomIndex(spark, name, column)
+    val missing = readManifest(name, v).filterNot(f => existing.contains(uriPath(f)))
+    if (missing.nonEmpty) {
+      graft.functions.VectorFunctions.ensureRegistered(spark)
+      val fresh = spark.read.schema(schema).parquet(missing: _*)
+        .select(col(column))
+        .groupBy(input_file_name().as("file"))
+        .agg(call_function("graft_bloom_agg",
+          xxhash64(col(column)), lit(expectedPerFile)).as("bloom"))
+        .collect()
+        .map(r => (uriPath(r.getString(0)), r.getAs[Array[Byte]](1)))
+      import spark.implicits._
+      val all = (existing.toSeq ++ fresh).toDF("file", "bloom")
+      // write-aside + swap, the store's atomicity idiom
+      val dir = bloomDir(name, column)
+      val tmp = new Path(dir.toString + "_staging")
+      all.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val fs = fsOf(dir)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      require(fs.rename(tmp, dir), s"bloom index publish failed for $name.$column")
+    }
+    missing.size
+  }
+
+  private def bloomDir(name: String, column: String): Path =
+    new Path(tableDir(name), s"bloomidx_$column")
+
+  private def readBloomIndex(spark: SparkSession, name: String,
+      column: String): Map[String, Array[Byte]] = {
+    val dir = bloomDir(name, column)
+    if (!fsOf(dir).exists(dir)) Map.empty
+    else spark.read.parquet(dir.toString).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
+  }
+
+  /** Narrow a MERGE candidate-file set through the per-file Bloom
+    * index WITHOUT collecting the batch keys: blooms are driver-side
+    * metadata (one row per file — the same budget as the manifest),
+    * the key hashes stay distributed, and the probe ships bloom GROUPS
+    * of bounded broadcast size to the keys (per partition each filter
+    * deserializes once; a file stops probing after its first hit).
+    * Files without an index entry are kept unconditionally (the K22
+    * conservative contract — false negatives must be impossible). */
+  private def bloomNarrowFiles(spark: SparkSession, name: String,
+      column: String, updKeys: DataFrame,
+      candidates: Set[String]): Set[String] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val entries = readBloomIndex(spark, name, column)
+      .filter { case (f, _) => candidates(f) }.toSeq.sortBy(_._1)
+    if (entries.isEmpty) return candidates
+    val unindexed = candidates -- entries.map(_._1)
+    import spark.implicits._
+    // xxhash64(col) = the exact hash the index build used (seed 42);
+    // nulls can't occur (mergeKeyed rejects NULL-key batches upstream)
+    val hashes = updKeys.select(xxhash64(col(column))).as[Long]
+    val hits = entries.grouped(64).flatMap { grp =>
+      val bc = spark.sparkContext.broadcast(grp.toArray)
+      val got = hashes.mapPartitions { it =>
+        val bfs = bc.value.map { case (f, b) =>
+          (f, org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b)))
+        }
+        val seen = new Array[Boolean](bfs.length)
+        var remaining = bfs.length
+        while (remaining > 0 && it.hasNext) {
+          val h = it.next()
+          var i = 0
+          while (i < bfs.length) {
+            if (!seen(i) && bfs(i)._2.mightContainLong(h)) {
+              seen(i) = true; remaining -= 1
+            }
+            i += 1
+          }
+        }
+        Iterator.range(0, bfs.length).filter(seen(_)).map(i => bfs(i)._1)
+      }.distinct().collect()
+      got
+    }.toSet
+    unindexed ++ hits
+  }
+
+  /** Files the last [[mergeKeyed]] corpus-scale probe actually READ in
+    * its semi-join scan (empty when the bounded path or no scan ran) —
+    * observability for the Bloom-pruning contract, the
+    * lastRoundsExecuted idiom. */
+  private val lastMergeScan = new ThreadLocal[Seq[String]] {
+    override def initialValue(): Seq[String] = Seq.empty
+  }
+  def lastMergeProbeScanFiles: Seq[String] = lastMergeScan.get
+
   def mergeKeyed(spark: SparkSession, name: String, updates: DataFrame,
       keys: Seq[String], maxBatchKeys: Int = 10000): Long = synchronized {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
@@ -697,35 +807,52 @@ object SnapshotStore {
       idx.listFiles(Nil, conds).flatMap(_.files)
         .map(_.getPath.toUri.getPath).toSet
     }
+    lastMergeScan.set(Seq.empty)
     val affected: Set[String] =
       if (keyRows.length <= maxBatchKeys) {
-        // bounded fast path: exact key-literal zone pruning
+        // bounded fast path: exact key-literal zone pruning, then (for
+        // a single-key table with a Bloom index) a driver-side Bloom
+        // probe — content-hash keys give useless zones, so the Bloom
+        // is what keeps a hash-keyed CDC batch from rewriting-scanning
+        // the world even on this path
         val pred =
           if (keys.size == 1)
             col(keys.head).isin(keyRows.map(_.get(0)).toIndexedSeq: _*)
           else keyRows.map(r => keys.zipWithIndex.map { case (k, i) =>
             col(k) === lit(r.get(i)) }.reduce(_ && _)).reduceOption(_ || _)
             .getOrElse(lit(false))
-        zonePrunedFiles(pred)
+        val zoned = zonePrunedFiles(pred)
+        if (keys.size == 1) bloomNarrowFiles(spark, name, keys.head, updKeys, zoned)
+        else zoned
       } else {
         // corpus-scale shuffle path: narrow by the batch's per-key
         // bounds (a file outside [min,max] on ANY key column cannot
-        // hold a matching row), then let a distributed semi-join name
-        // the files that actually contain a matched key
+        // hold a matching row), then — when a Bloom index exists on
+        // the key (r15 verdict #4: bounds degenerate for keys that
+        // span the domain) — by the distributed Bloom probe, and only
+        // THEN let a distributed semi-join over the surviving files
+        // name the ones that actually contain a matched key
         val bAggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
         val b = updKeys.agg(bAggs.head, bAggs.tail: _*).collect().head
         val rangePred = keys.zipWithIndex.map { case (k, i) =>
           col(k) >= lit(b.get(2 * i)) && col(k) <= lit(b.get(2 * i + 1))
         }.reduce(_ && _)
-        val candidates = zonePrunedFiles(rangePred)
+        val zoned = zonePrunedFiles(rangePred)
+        val candidates =
+          if (keys.size == 1) bloomNarrowFiles(spark, name, keys.head, updKeys, zoned)
+          else zoned
         if (candidates.isEmpty) Set.empty[String]
-        else spark.read.schema(schema)
-          .parquet(readManifest(name, v).filter(f => candidates(uriPath(f))): _*)
-          .select(keys.map(col) :+
-            org.apache.spark.sql.functions.input_file_name().as("__f"): _*)
-          .join(updKeys, keys, "left_semi")
-          .select("__f").distinct().collect()
-          .map(r => uriPath(r.getString(0))).toSet
+        else {
+          val scanFiles = readManifest(name, v).filter(f => candidates(uriPath(f)))
+          lastMergeScan.set(scanFiles.map(uriPath))
+          spark.read.schema(schema)
+            .parquet(scanFiles: _*)
+            .select(keys.map(col) :+
+              org.apache.spark.sql.functions.input_file_name().as("__f"): _*)
+            .join(updKeys, keys, "left_semi")
+            .select("__f").distinct().collect()
+            .map(r => uriPath(r.getString(0))).toSet
+        }
       }
     val all = readManifest(name, v)
     val (touched, untouched) = all.partition(f => affected(uriPath(f)))
@@ -1374,6 +1501,39 @@ object SnapshotStore {
       })
     val rewritten = spark.createDataFrame(parted.map(_._2), schema)
     commit(name, rewritten, append = false)
+  }
+
+  /** K51→K53 OPTIMIZE ADVISOR (r15 verdict #3): the table-maintenance
+    * decision a real lake automates — read the K51 zone-overlap depth
+    * for both candidate clustering dimensions FROM THE MANIFEST ALONE
+    * (no data I/O), compare against a threshold, and decide
+    * rewrite/skip. [[optimizeIfAdvised]] closes the loop: an advised
+    * table gets the K53 ZORDER rewrite, a well-clustered one is left
+    * untouched (an OPTIMIZE that always rewrites is just a scheduled
+    * full-table tax). The threshold is in DEPTH units: maxDepth is
+    * "files a point predicate cannot prune", so threshold d means
+    * "rewrite when some point in either dimension still hits > d
+    * files". */
+  final case class OptimizeAdvice(name: String, dims: (String, String),
+      depth1: Int, depth2: Int, threshold: Int, rewrite: Boolean,
+      optimizedVersion: Option[Long])
+
+  def adviseOptimize(name: String, dims: (String, String),
+      depthThreshold: Int): OptimizeAdvice = {
+    require(depthThreshold >= 1, "depth threshold must be >= 1 (1 = perfectly clustered)")
+    val d1 = clusteringDepth(name, dims._1).maxDepth
+    val d2 = clusteringDepth(name, dims._2).maxDepth
+    OptimizeAdvice(name, dims, d1, d2, depthThreshold,
+      math.max(d1, d2) > depthThreshold, None)
+  }
+
+  def optimizeIfAdvised(spark: SparkSession, name: String,
+      dims: (String, String), depthThreshold: Int,
+      files: Int = 8): OptimizeAdvice = {
+    val a = adviseOptimize(name, dims, depthThreshold)
+    if (a.rewrite)
+      a.copy(optimizedVersion = Some(optimizeZOrder(spark, name, dims, files)))
+    else a
   }
 
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop

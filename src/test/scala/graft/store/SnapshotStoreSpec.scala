@@ -781,6 +781,68 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("K50+K22 Bloom-pruned MERGE: a domain-spanning hash-keyed batch semi-join-scans only true-positive files; result equals the rebuild") {
+    import spark.implicits._
+    val name = "tbloommerge"
+    // content-hash-shaped keys: hash-partitioned layout, every file's
+    // k zone spans ~the whole domain → per-key min/max narrowing keeps
+    // ALL files (the r15 verdict #4 degenerate shape)
+    def hk(i: Long): Long = (i * 2654435761L) & 0xffffffffL
+    val rows0 = (1L to 2000L).map(i => (hk(i), s"old$i"))
+    SnapshotStore.commitOverwrite(name,
+      rows0.toDF("k", "s").repartition(4, col("k")))
+    val v0 = SnapshotStore.versions(name).last
+    val files0 = SnapshotStore.files(name, v0)
+    assert(files0.size == 4)
+    assert(SnapshotStore.clusteringDepth(name, "k").maxDepth == 4,
+      "hash layout must fully interleave k zones (zone narrowing is useless here)")
+    SnapshotStore.ensureBloomIndex(spark, name, "k")
+    // batch: keys from ONE file only, but spanning nearly the whole k
+    // domain; > maxBatchKeys forces the corpus-scale shuffle path
+    val f0 = files0.sorted.head
+    val f0keys = spark.read.parquet(f0).select("k")
+      .orderBy("k").as[Long].collect()
+    val batchKeys = Seq(f0keys.head, f0keys(f0keys.length / 2), f0keys.last)
+    val batch = batchKeys.map(k => (k, s"NEW$k")).toDF("k", "s")
+    val v1 = SnapshotStore.mergeKeyed(spark, name, batch, Seq("k"),
+      maxBatchKeys = 2)
+    // the Bloom probe must hand the semi-join ONLY the true-positive
+    // file (filters sized at ~1e6 expected keys over 500 actual →
+    // false positives are deterministic-zero at this fill)
+    assert(SnapshotStore.lastMergeProbeScanFiles ==
+      Seq(new java.net.URI(f0).getPath),
+      s"semi-join must scan only the Bloom-positive file: " +
+        s"${SnapshotStore.lastMergeProbeScanFiles.size} of ${files0.size}")
+    // untouched files carry by path; result identical to the rebuild
+    assert((SnapshotStore.files(name, v1).toSet intersect files0.toSet).size == 3,
+      "the three Bloom-negative files must carry verbatim")
+    val got = rows(name, Some(v1))
+    val want = rows0.map { case (k, s) =>
+      if (batchKeys.contains(k)) (k, s"NEW$k") else (k, s) }.toSet
+    assert(got == want, "merge result must equal the commitOverwrite rebuild")
+    // files WITHOUT an index entry are kept unconditionally (no false
+    // negatives) — the merge's own output files are unindexed until
+    // the next ensure, which is INCREMENTAL: only they are scanned,
+    // the carried files' filters are reused (immutable data files)
+    val freshFiles = SnapshotStore.files(name, v1).toSet -- files0.toSet
+    assert(SnapshotStore.ensureBloomIndex(spark, name, "k") == freshFiles.size,
+      "re-ensure must index exactly the merge's fresh files")
+    // a domain-spanning INSERT-ONLY batch (no key present anywhere):
+    // the Bloom probe empties the candidate set — zero files scanned
+    val inserts = Seq(1L, 4294967295L, 2147483647L)
+      .filterNot(rows0.map(_._1).toSet)
+      .map(k => (k, s"INS$k")).toDF("k", "s")
+    val v2 = SnapshotStore.mergeKeyed(spark, name, inserts, Seq("k"),
+      maxBatchKeys = 2)
+    assert(SnapshotStore.lastMergeProbeScanFiles.isEmpty,
+      "an all-new-keys batch must scan NO files (pure insert)")
+    assert((SnapshotStore.files(name, v2).toSet intersect
+      SnapshotStore.files(name, v1).toSet).size ==
+      SnapshotStore.files(name, v1).size,
+      "every prior file carries on a pure insert")
+    assert(rows(name, Some(v2)).size == want.size + inserts.count())
+  }
+
   test("K53 OPTIMIZE ZORDER: identical rows in a new version; the useless dimension's depth collapses; a 2D box prunes files; history intact") {
     import spark.implicits._
     val name = "tzorder"
@@ -808,6 +870,31 @@ class SnapshotStoreSpec extends SparkSpec {
       col("x") < 8L && col("y") < 8L, Some(v1))
     assert(plan.keptFiles < plan.totalFiles,
       s"the z layout must prune files for a 2D box: $plan")
+    // r15 verdict #3 — the ADVISOR closes the K51→K53 loop: decision
+    // from the manifest alone, rewrite only when depth demands it
+    val name2 = "tzadvisor"
+    SnapshotStore.commitOverwrite(name2, grid.toDF("x", "y")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x", "y"))
+    val advice = SnapshotStore.optimizeIfAdvised(spark, name2, ("x", "y"),
+      depthThreshold = 4)
+    assert(advice.rewrite && advice.depth2 == 8,
+      s"x-linear layout (y depth 8) must trigger the rewrite: $advice")
+    val vOpt = advice.optimizedVersion.getOrElse(fail("advised but not rewritten"))
+    // measured depth collapse after the advisor-triggered rewrite...
+    val d2 = SnapshotStore.clusteringDepth(name2, "y", Some(vOpt)).maxDepth
+    assert(d2 <= 4, s"advisor-triggered ZORDER must collapse y depth: $d2")
+    // ...a 2D box predicate now prunes files...
+    val plan2 = SnapshotStore.rowGroupPrunePlan(spark, name2,
+      col("x") < 8L && col("y") < 8L, Some(vOpt))
+    assert(plan2.keptFiles < plan2.totalFiles, s"box must prune: $plan2")
+    // ...and the SAME advisor now says SKIP (no maintenance churn)
+    val again = SnapshotStore.optimizeIfAdvised(spark, name2, ("x", "y"),
+      depthThreshold = 4)
+    assert(!again.rewrite && again.optimizedVersion.isEmpty,
+      s"a freshly optimized table must not re-rewrite: $again")
+    assert(SnapshotStore.versions(name2).last == vOpt,
+      "skip must publish nothing")
+
     // r15 advice: OPTIMIZE of an EMPTY current version is a no-op (the
     // current version comes back), not an NPE from max(z) = NULL
     val empty = "tzorderempty"
