@@ -606,7 +606,7 @@ object IngestQueries {
   /** The synthetic WARC container shared by [[ingWarc]] and
     * [[ingWarcCorpus]] — one generator, so the composition query can
     * never drift from the parse query's fixture. */
-  private def warcContainer(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def warcContainer(spark: SparkSession, dir: String): DataFrame =
     warcContainerOf(Tables.documents(spark, dir))
 
   /** The same container built over an arbitrary (doc_id, text) frame —
@@ -695,44 +695,72 @@ object IngestQueries {
     * Shape at scale: per-row regex work, ONE window shuffle keyed by
     * canonical URL, the E1 fingerprint's hash window, and doc-keyed
     * joins — no new shuffle class beyond its parts. */
+  /** A20 REP verdict against a robots.txt BODY column: allowed iff the
+    * longest matching Allow prefix is at least as long as the longest
+    * matching Disallow prefix (Google's documented tie rule), over the
+    * CANONICAL URL's path. A missing/empty body allows everything (no
+    * robots.txt = no restrictions). Shared verbatim by the batch A22
+    * gate and the I54 streaming gate so the two cannot drift. */
+  def repAllowed(robotsBody: org.apache.spark.sql.Column,
+      canonical: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val body = coalesce(robotsBody, lit(""))
+    val allows = regexp_extract_all(body, lit("(?m)^Allow: ([^\\n]+)$"), lit(1))
+    val disallows = regexp_extract_all(body,
+      lit("(?m)^Disallow: ([^\\n]+)$"), lit(1))
+    val cpath = regexp_extract(canonical, "^[a-z]+://[^/]*([^?]*)", 1)
+    def longest(rules: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      coalesce(array_max(transform(filter(rules, r => p.startsWith(r)),
+        r => length(r))), lit(-1))
+    (longest(allows, cpath) >= longest(disallows, cpath)).cast("int")
+  }
+
+  /** The A22 fixture's messy fetch URL for a doc_id column (cased
+    * scheme/host, default ports on evens, tracking params, fragment;
+    * path cycles the four robots-interesting cases; slug = doc_id%36
+    * so distinct docs collide on the canonical key). Package-visible:
+    * the I54 StreamingSpec streams the SAME fixture the batch gate
+    * computes, so the parity pin can't drift from the generator. */
+  private[graft] def gateFixtureUrl(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val slug = (docId % 36).cast("string")
+    val site = (docId % 7).cast("string")
+    val scheme = when(docId % 4 === 0, "HTTP")
+      .when(docId % 4 === 1, "http")
+      .when(docId % 4 === 2, "HTTPS").otherwise("https")
+    val isHttp = docId % 4 < 2
+    val port = when(docId % 2 === 0,
+      when(isHttp, ":80").otherwise(":443")).otherwise("")
+    val rpath = when(docId % 4 === 0, concat(lit("/private/doc"), slug))
+      .when(docId % 4 === 1, concat(lit("/private/pub/doc"), slug))
+      .when(docId % 4 === 2, concat(lit("/s"), site, lit("/x"), slug))
+      .otherwise(concat(lit("/public/doc"), slug))
+    concat(scheme, lit("://WWW.Site"), site, lit(".Example.COM"),
+      port, rpath, lit("?utm_source=feed&z=2&a=1&utm_medium=x"), lit("#sec"))
+  }
+
+  /** The A22 fixture's per-site robots.txt body (site = a string
+    * column holding doc_id%7 or the site ordinal). */
+  private[graft] def gateFixtureRobots(site: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("User-agent: *\n"),
+      lit("Disallow: /private\n"),
+      lit("Allow: /private/pub\n"),
+      lit("Disallow: /tmp/\n"),
+      lit("Disallow: /s"), site, lit("\n"))
+
   def ingCorpusGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wet = withWarcRecord(warcContainer(spark, dir), "_bin")
       .filter(col("valid_warc") === 1 && col("truncated") === 0 &&
         col("warc_type") === "response")
       .select(col("doc_id"), col("payload").as("text"))
-    val slug = (col("doc_id") % 36).cast("string")
     val site = (col("doc_id") % 7).cast("string")
-    val scheme = when(col("doc_id") % 4 === 0, "HTTP")
-      .when(col("doc_id") % 4 === 1, "http")
-      .when(col("doc_id") % 4 === 2, "HTTPS").otherwise("https")
-    val isHttp = col("doc_id") % 4 < 2
-    val port = when(col("doc_id") % 2 === 0,
-      when(isHttp, ":80").otherwise(":443")).otherwise("")
-    val rpath = when(col("doc_id") % 4 === 0, concat(lit("/private/doc"), slug))
-      .when(col("doc_id") % 4 === 1, concat(lit("/private/pub/doc"), slug))
-      .when(col("doc_id") % 4 === 2, concat(lit("/s"), site, lit("/x"), slug))
-      .otherwise(concat(lit("/public/doc"), slug))
-    val url = concat(scheme, lit("://WWW.Site"), site, lit(".Example.COM"),
-      port, rpath, lit("?utm_source=feed&z=2&a=1&utm_medium=x"), lit("#sec"))
-    val robots = concat(
-      lit("User-agent: *\n"),
-      lit("Disallow: /private\n"),
-      lit("Allow: /private/pub\n"),
-      lit("Disallow: /tmp/\n"),
-      lit("Disallow: /s"), site, lit("\n"))
-    val allows = regexp_extract_all(robots, lit("(?m)^Allow: ([^\\n]+)$"), lit(1))
-    val disallows = regexp_extract_all(robots,
-      lit("(?m)^Disallow: ([^\\n]+)$"), lit(1))
-    val cpath = regexp_extract(col("canonical"), "^[a-z]+://[^/]*([^?]*)", 1)
-    def longest(rules: org.apache.spark.sql.Column,
-        p: org.apache.spark.sql.Column) =
-      coalesce(array_max(transform(filter(rules, r => p.startsWith(r)),
-        r => length(r))), lit(-1))
+    val url = gateFixtureUrl(col("doc_id"))
+    val robots = gateFixtureRobots(site)
     val gated = wet
-      .select(col("doc_id"), canonicalUrl(url).as("canonical"))
-      .withColumn("allowed",
-        (longest(allows, cpath) >= longest(disallows, cpath)).cast("int"))
+      .select(col("doc_id"), canonicalUrl(url).as("canonical"), robots.as("__robots"))
+      .withColumn("allowed", repAllowed(col("__robots"), col("canonical")))
+      .drop("__robots")
       .withColumn("url_unique", (col("doc_id") ===
         min(col("doc_id")).over(Window.partitionBy(col("canonical"))))
         .cast("int"))

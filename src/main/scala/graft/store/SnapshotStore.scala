@@ -189,6 +189,26 @@ object SnapshotStore {
     readLines(resolvedManifestPath(name, v))
       .find(_.startsWith("#batch=")).map(_.stripPrefix("#batch=").toLong)
 
+  /** The table as of BEFORE stream batch `batchId` committed — the
+    * read a REPLAYED foreachBatch sink must use when its routing
+    * decisions depend on prior table state (the I54 gate's seen-key
+    * anti-joins): a replay that read the current head would see its
+    * own first-attempt rows and classify them differently, and a
+    * two-table sink could then commit a divergent second table. None
+    * when the table does not exist yet or this batch WAS its first
+    * commit — both mean "no prior state". */
+  def readBeforeStreamBatch(spark: SparkSession, name: String,
+      batchId: Long): Option[DataFrame] = synchronized {
+    val vs = versions(name)
+    if (vs.isEmpty) None
+    else vs.find(v => batchIdOf(name, v).contains(batchId)) match {
+      case Some(v) =>
+        val idx = vs.indexOf(v)
+        if (idx == 0) None else Some(read(spark, name, Some(vs(idx - 1))))
+      case None => Some(read(spark, name, Some(vs.last)))
+    }
+  }
+
   /** The table schema AT version v, recorded in the manifest (the
     * Delta design: schema lives in the log, so a read never touches
     * file footers to discover it — O(1) at any file count, and an

@@ -1007,6 +1007,84 @@ object Streaming {
     ()
   }
 
+  /** I54: the FULL fetch gate in the stream (r15 verdict #2) — A22's
+    * entire gate composed per micro-batch, closing the I52→I53 chain's
+    * gap (I53 admitted on dedup keys only; the production first mile
+    * runs ALL the gates per micro-batch): A21 canonicalization → A20
+    * robots REP verdict against a STATIC (host, robots) side input
+    * (the stream-static enrichment shape — robots bodies are fetched
+    * out-of-band and change on crawl-config cadence, not per event) →
+    * G24 Gopher quality → E1 content fingerprint → first-fetch-wins
+    * URL/fingerprint slots. Admitted rows land in the corpus table,
+    * every rejected row in the dead-letter table WITH its gate
+    * evidence (allowed / gopher_keep / url_unique / is_dup), and the
+    * TWO TABLES TOGETHER are the crawl ledger: the cross-batch seen
+    * set is corpus ∪ dead-letter, so a canonical URL or fingerprint is
+    * occupied by its FIRST FETCH whether or not that fetch passed the
+    * other gates — exactly the batch A22 semantics (url_unique/is_dup
+    * are min-doc_id over ALL wet docs there, not over survivors), and
+    * StreamingSpec pins stream ≡ batch corpus_keep on the shared WARC
+    * fixture. Replay safety: the seen set reads the tables AS OF
+    * BEFORE this batchId ([[graft.store.SnapshotStore.readBeforeStreamBatch]]),
+    * so a replayed batch reclassifies identically and both
+    * batchId-idempotent commits no-op. State is the corpus+ledger
+    * tables themselves (the I53 call: dedup keys are unbounded, a
+    * table is the right store); per batch the stateless gates are
+    * per-row work and the admission is two anti-join-shaped marker
+    * joins against a snapshot sized by the crawl ledger.
+    * Input rows: (doc_id, url, text). Usage:
+    * `wet.writeStream.foreachBatch(Streaming.corpusGateSink("corpus", "dlq", robots) _)`. */
+  def corpusGateSink(corpusTable: String, deadTable: String,
+      robots: DataFrame)(df: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val canon = df
+      .withColumn("canonical",
+        graft.sources.IngestQueries.canonicalUrl(col("url")))
+      .withColumn("__host",
+        regexp_extract(col("canonical"), "^[a-z]+://([^/:]+)", 1))
+    val withAllowed = canon
+      .join(broadcast(robots.select(col("host").as("__host"),
+        col("robots").as("__robots"))), Seq("__host"), "left")
+      .withColumn("allowed",
+        graft.sources.IngestQueries.repAllowed(col("__robots"), col("canonical")))
+      .drop("__host", "__robots")
+    val gophered = graft.text.TextQueries.gopherRules(
+        df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    // E1's exact fingerprint expression (whitespace-normalized md5)
+    val fp = md5(regexp_replace(trim(col("text")), " +", " "))
+    val slotted = withAllowed.join(gophered, "doc_id")
+      .withColumn("fp", fp)
+      .withColumn("__ru", row_number().over(
+        Window.partitionBy(col("canonical")).orderBy(col("doc_id"))))
+      .withColumn("__rf", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+    def seenMark(d: DataFrame, keyCol: String, m: String): DataFrame = {
+      val seen = Seq(corpusTable, deadTable).flatMap(t =>
+        graft.store.SnapshotStore.readBeforeStreamBatch(spark, t, batchId)
+          .map(_.select(col(keyCol))))
+      seen.reduceOption(_ unionAll _) match {
+        case None => d.withColumn(m, lit(0))
+        case Some(s) =>
+          d.join(s.distinct().withColumn(m, lit(1)), Seq(keyCol), "left")
+            .withColumn(m, coalesce(col(m), lit(0)))
+      }
+    }
+    val marked = seenMark(seenMark(slotted, "canonical", "__su"), "fp", "__sf")
+    val out = marked
+      .withColumn("url_unique",
+        (col("__ru") === 1 && col("__su") === 0).cast("int"))
+      .withColumn("is_dup",
+        (col("__rf") > 1 || col("__sf") === 1).cast("int"))
+      .withColumn("corpus_keep",
+        (col("allowed") === 1 && col("url_unique") === 1 &&
+          col("gopher_keep") === 1 && col("is_dup") === 0).cast("int"))
+      .drop("__ru", "__rf", "__su", "__sf")
+    deadLetterSink(corpusTable, deadTable,
+      col("corpus_keep") === 1)(out, batchId)
+  }
+
   final case class SsEv(user_id: Long, ts: Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -472,6 +472,60 @@ class StreamingSpec extends SparkSpec {
       SnapshotStore.versions("adm_corpus").size == 2)
   }
 
+  test("I54 streaming corpus gate: full A22 gate per micro-batch equals the batch corpus_keep on the shared fixture; replay idempotent") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    import graft.sources.IngestQueries
+    // the batch reference: A22's oracled gate over the sf fixture
+    val batch = IngestQueries.ingCorpusGate(spark, sfDir)
+      .select("doc_id", "canonical", "allowed", "url_unique",
+        "gopher_keep", "is_dup", "corpus_keep")
+      .as[(Long, String, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(batch.nonEmpty && batch.values.exists(_._7 == 1) &&
+      batch.values.exists(_._7 == 0))
+    // the stream input: the SAME WET slice with the SAME fixture URL,
+    // arriving in two doc_id-ordered micro-batches (crawl order)
+    val wet = IngestQueries.withWarcRecord(
+        IngestQueries.warcContainer(spark, sfDir), "_bin")
+      .filter(col("valid_warc") === 1 && col("truncated") === 0 &&
+        col("warc_type") === "response")
+      .select(col("doc_id"), IngestQueries.gateFixtureUrl(col("doc_id")).as("url"),
+        col("payload").as("text"))
+    val mid = wet.agg(org.apache.spark.sql.functions.percentile_approx(
+      col("doc_id"), lit(0.5), lit(100))).collect().head.getLong(0)
+    val robots = spark.range(7).select(
+      concat(lit("www.site"), col("id"), lit(".example.com")).as("host"),
+      IngestQueries.gateFixtureRobots(col("id").cast("string")).as("robots"))
+    val sink = Streaming.corpusGateSink("gate_corpus", "gate_dlq", robots) _
+    sink(wet.filter(col("doc_id") <= mid), 0L)
+    sink(wet.filter(col("doc_id") > mid), 1L)
+    // stream ≡ batch: every wet doc lands in exactly one table, with
+    // the SAME evidence flags the batch gate computes — the admitted
+    // set IS the batch corpus_keep set
+    def flags(t: String) = SnapshotStore.read(spark, t)
+      .select("doc_id", "canonical", "allowed", "url_unique",
+        "gopher_keep", "is_dup", "corpus_keep")
+      .as[(Long, String, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    val corpus = flags("gate_corpus")
+    val dead = flags("gate_dlq")
+    assert(corpus.keySet.intersect(dead.keySet).isEmpty)
+    assert(corpus.keySet ++ dead.keySet == batch.keySet)
+    assert(corpus.keySet == batch.filter(_._2._7 == 1).keySet,
+      s"admitted must equal batch corpus_keep=1 " +
+        s"(${corpus.size} vs ${batch.count(_._2._7 == 1)})")
+    (corpus ++ dead).foreach { case (id, got) =>
+      assert(got == batch(id), s"doc $id: stream $got != batch ${batch(id)}")
+    }
+    // replay of the first micro-batch: reclassifies against the
+    // BEFORE-batch-0 state (none) and both batchId commits no-op
+    sink(wet.filter(col("doc_id") <= mid), 0L)
+    assert(SnapshotStore.versions("gate_corpus").size == 2 &&
+      SnapshotStore.versions("gate_dlq").size == 2)
+    assert(flags("gate_corpus") == corpus && flags("gate_dlq") == dead)
+  }
+
   test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
     import spark.implicits._
     import graft.store.SnapshotStore
