@@ -3055,8 +3055,113 @@ object Multimodal {
         "length_size", "eof_addr", "truncated")
   }
 
+  // ----- H42/E20: perceptual image near-dup (dHash) -----------------
+
+  /** H42: dHash — THE perceptual image fingerprint production
+    * image-text pipelines (DataComp/LAION practice) dedup frames with
+    * before any captioning spend: downscale to a 9×8 grayscale grid,
+    * emit one bit per horizontally adjacent pixel pair
+    * (left > right), 64 bits total; near-duplicate images (re-encodes,
+    * small crops/noise) differ in a few bits, unrelated images in
+    * ~32. No image codec exists in this container, so the DECODED
+    * PIXELS are the deterministic synthetic stand-in for the H2
+    * stub-decode contract: each doc's 9×8 grid derives from md5 of its
+    * GROUP key (group = doc_id div 4 — "the same image re-encoded 4
+    * ways"), one md5 per row with the 9 pixel bytes sliced from the
+    * digest, plus a per-doc single-pixel brightness bump (the
+    * re-encode noise; it flips ≤ 2 adjacent-comparison bits). The
+    * whole hash is codegen'd expressions — md5/substring/conv/when —
+    * zero shuffle, and the oracle re-derives every band from the same
+    * formula in DuckDB.
+    *
+    * The 64 bits are emitted directly as FOUR 16-bit band integers
+    * (rows 2b, 2b+1 → band b) — the E3 SimHash banding layout, so the
+    * pair face blocks on band equality with no repacking. */
+  val DHashGroup = 4
+  val DHashNoise = 77
+  /** Max Hamming distance for a verified near-dup pair: same-group
+    * docs differ by ≤ 2 noise pixels → ≤ 4 bits; unrelated grids
+    * differ in ~32. 6 keeps one bit of slack above the constructed
+    * worst case while rejecting everything unrelated. */
+  val DHashThreshold = 6
+
+  private def dhashPixel(g: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column, r: Int, c: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("img|"), g.cast("string"), lit(s"|$r"))),
+      c * 2 + 1, 2), 16, 10).cast("int") +
+      when(docId % 72 === lit(r * 9 + c), DHashNoise).otherwise(0)
+
+  /** The four 16-bit dHash bands for a doc_id column. */
+  def dhashBands(docId: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val g = floor(docId / DHashGroup).cast("long")
+    (0 until 4).map { b =>
+      (0 until 16).map { k =>
+        val r = 2 * b + k / 8; val c = k % 8
+        when(dhashPixel(g, docId, r, c) > dhashPixel(g, docId, r, c + 1),
+          lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"b$b")
+    }
+  }
+
+  /** H42 driver query: per-asset dHash bands. */
+  def mmDhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: dhashBands(col("doc_id")): _*)
+
+  /** E20: image near-dup PAIRS — Hamming-band blocking (the E3
+    * banding idiom: two hashes within Hamming distance d agree on at
+    * least one of d+1 bit bands — at threshold 6 and 4 bands any
+    * true pair shares a band BY PIGEONHOLE when its distance is ≤ 3
+    * per unshared band; the constructed near-dups differ in ≤ 2
+    * bands, so ≥ 2 bands match exactly), bucket-join on
+    * (band_idx, band_value) — never all-pairs — then exact Hamming
+    * verification via bit_count(xor) over the four bands. Shape: one
+    * union-explode to 4·N band rows, one equality bucket join, two
+    * doc-keyed hash joins for verification. */
+  def mmDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = mmDhash(spark, dir)
+    val banded = (0 until 4).map(b =>
+      h.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
+      .reduce(_ unionAll _)
+    val cand = banded.select(col("doc_id").as("ida"), col("bi"), col("bv"))
+      .join(banded.select(col("doc_id").as("idb"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val ha = h.select(col("doc_id").as("ida") +:
+      (0 until 4).map(b => col(s"b$b").as(s"xa$b")): _*)
+    val hb = h.select(col("doc_id").as("idb") +:
+      (0 until 4).map(b => col(s"b$b").as(s"xb$b")): _*)
+    cand.join(ha, "ida").join(hb, "idb")
+      .withColumn("hamming", (0 until 4).map(b =>
+        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .filter(col("hamming") <= DHashThreshold)
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("hamming"))
+  }
+
+  private def dhashPxSql(r: Int, c: Int): String =
+    s"((('0x' || substr(md5('img|' || g::varchar || '|$r'), ${2 * c + 1}, 2))::int)" +
+      s" + (CASE WHEN doc_id % 72 = ${r * 9 + c} THEN $DHashNoise ELSE 0 END))"
+
+  private def dhashBandSql(b: Int): String =
+    (0 until 16).map { k =>
+      val r = 2 * b + k / 8; val c = k % 8
+      s"(CASE WHEN ${dhashPxSql(r, c)} > ${dhashPxSql(r, c + 1)} THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")::int")
+
+  /** The dHash formula oracle's shared hash CTE — every band value
+    * re-derived in DuckDB from the generating pixel formula (the K53
+    * spreadSql convention: generated next to the Scala arithmetic so
+    * the two cannot drift). */
+  private lazy val dhashHashCte: String =
+    s"""gd AS (SELECT doc_id, doc_id // $DHashGroup AS g FROM documents),
+       |h AS MATERIALIZED (SELECT doc_id, ${(0 until 4)
+        .map(b => dhashBandSql(b) + s" AS b$b").mkString(", ")} FROM gd)""".stripMargin
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
+    "mm_dhash" -> (mmDhash _),
+    "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
@@ -3100,6 +3205,27 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_dhash" ->
+      s"""WITH $dhashHashCte
+         |SELECT doc_id, b0, b1, b2, b3 FROM h""".stripMargin,
+    "mm_dhash_pairs" ->
+      s"""WITH $dhashHashCte,
+         |bands AS (${(0 until 4)
+          .map(b => s"SELECT doc_id, $b AS bi, b$b AS bv FROM h")
+          .mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+         |  FROM bands x JOIN bands y
+         |    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT c.ida AS doc_a, c.idb AS doc_b,
+         |    (bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) +
+         |     bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)))::int AS hamming
+         |  FROM cand c
+         |  JOIN h ha ON ha.doc_id = c.ida
+         |  JOIN h hb ON hb.doc_id = c.idb
+         |) WHERE hamming <= $DHashThreshold""".stripMargin,
     // mirrors mmSafetensorsMeta: the oracle REBUILDS the JSON header
     // text and measures it, so the u64 length read, the JSON slice,
     // and every extracted field are value-checked. Garbage every 9th,

@@ -692,4 +692,32 @@ class MultimodalSpec extends SparkSpec {
       .select("valid_riff", "fmt_off", "data_size").collect().head
     assert(wav.getInt(0) == 1 && wav.getInt(1) == 0 && wav.getLong(2) == 0L)
   }
+
+  test("H42/E20 dHash near-dup: every same-group pair verified, zero cross-group pairs, bands codegen-stable") {
+    import spark.implicits._
+    val pairs = Multimodal.mmDhashPairs(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    // the synthetic decode makes doc_id div 4 the ground-truth group:
+    // ALL within-group pairs must verify (noise flips <= 4 bits), and
+    // nothing across groups may pass the Hamming gate
+    pairs.foreach { case (a, b, d) =>
+      assert(a / Multimodal.DHashGroup == b / Multimodal.DHashGroup,
+        s"cross-group pair ($a, $b) at hamming $d")
+      assert(d <= Multimodal.DHashThreshold)
+    }
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val groups = (0L until n).groupBy(_ / Multimodal.DHashGroup)
+    val expected = groups.values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(pairs.length.toLong == expected,
+      s"recall must be total on the constructed groups: ${pairs.length} vs $expected")
+    // banding guarantee, checked directly: every true pair agrees on
+    // at least one 16-bit band (the bucket join can never miss one)
+    val bands = Multimodal.mmDhash(spark, sfDir)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    pairs.foreach { case (a, b, _) =>
+      assert(bands(a).zip(bands(b)).exists(x => x._1 == x._2),
+        s"pair ($a, $b) shares no band - the blocking would miss it") }
+  }
 }
