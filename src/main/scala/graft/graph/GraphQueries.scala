@@ -424,8 +424,13 @@ object GraphQueries {
     * job count is independent of scale, so the same plan on a
     * cluster at 1000× data pays the same ~75 rounds of latency
     * while each round stays fully parallel. */
+  /** Round budget shared by the driver query and its generated oracle
+    * (16 ≫ the O(log V) rounds Borůvka needs; converged rounds pick
+    * nothing on both sides). */
+  val MsfRounds = 16
+
   def graphMsf(spark: SparkSession, dir: String): DataFrame =
-    Graphs.boruvkaMsf(coOrderCnt(spark, dir))
+    Graphs.boruvkaMsf(coOrderCnt(spark, dir), maxRounds = MsfRounds)
 
   /** The (u, v, cnt→w) co-order edge list graph_msf runs on —
     * public so GraphSpec can Kruskal-check the forest on the SAME
@@ -2147,6 +2152,66 @@ object GraphQueries {
          |d0 AS MATERIALIZED (SELECT min(u) AS id, 0.0::double AS d FROM e0),
          |$rounds
          |SELECT id, round(d, 6) AS dist FROM d$SsspIterations""".stripMargin
+    },
+
+    // C27 Borůvka MSF (r15 verdict #6's "may follow the same route"):
+    // generated per-round CTEs over the SAME co-order edge derivation
+    // as graph_sssp's oracle. Per round: cross-component edges, each
+    // component's min struct(w,u,v,cu,cv) pick (DuckDB struct min is
+    // the same lexicographic field-order comparison as Spark's), then
+    // the label merge as a RECURSIVE min-label reachability closure
+    // over the picked component pairs — the SQL mirror of the guarded
+    // driver union-find, whose min-label union makes every final root
+    // the minimum of its connected component. Labels are id::varchar
+    // (the Spark loop rides string labels from round 0), so the min is
+    // LEXICOGRAPHIC in both engines. Converged rounds pick nothing on
+    // both sides; the forest is the union of all rounds' picks.
+    "graph_msf" -> {
+      val rounds = (1 to MsfRounds).map { i =>
+        s"""ce$i AS MATERIALIZED (
+           |  SELECT e.u, e.v, e.w, x.c AS cu, y.c AS cv
+           |  FROM ed e JOIN comp${i - 1} x ON e.u = x.id JOIN comp${i - 1} y ON e.v = y.id
+           |  WHERE x.c <> y.c
+           |),
+           |ch$i AS MATERIALIZED (
+           |  SELECT DISTINCT struct_extract(e, 'u') AS u, struct_extract(e, 'v') AS v,
+           |    struct_extract(e, 'w') AS w,
+           |    struct_extract(e, 'cu') AS cu, struct_extract(e, 'cv') AS cv
+           |  FROM (
+           |    SELECT c, min({'w': w, 'u': u, 'v': v, 'cu': cu, 'cv': cv}) AS e FROM (
+           |      SELECT cu AS c, u, v, w, cu, cv FROM ce$i
+           |      UNION ALL SELECT cv AS c, u, v, w, cu, cv FROM ce$i
+           |    ) GROUP BY c
+           |  )
+           |),
+           |pg$i AS (SELECT cu AS a, cv AS b FROM ch$i UNION SELECT cv, cu FROM ch$i),
+           |lab$i AS (
+           |  SELECT a AS c, a AS r FROM pg$i
+           |  UNION
+           |  SELECT p.a AS c, l.r FROM pg$i p JOIN lab$i l ON l.c = p.b
+           |),
+           |mg$i AS MATERIALIZED (SELECT c, min(r) AS nc FROM lab$i GROUP BY c),
+           |comp$i AS MATERIALIZED (
+           |  SELECT v.id, coalesce(m.nc, v.c) AS c
+           |  FROM comp${i - 1} v LEFT JOIN mg$i m ON v.c = m.c
+           |)""".stripMargin
+      }.mkString(",\n")
+      val forest = (1 to MsfRounds)
+        .map(i => s"SELECT u, v, w FROM ch$i").mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE l AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_quantity >= $TriangleMinQty
+         |),
+         |ed AS MATERIALIZED (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*)::bigint AS w
+         |  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |),
+         |comp0 AS MATERIALIZED (
+         |  SELECT id, id::varchar AS c FROM (SELECT u AS id FROM ed UNION SELECT v FROM ed)
+         |),
+         |$rounds
+         |$forest""".stripMargin
     },
 
     // mirrors Graphs.randomWalks step for step: the same neighbor-rank
