@@ -65,7 +65,8 @@ object Bench {
         ("graph", () => graft.graph.GraphQueries.warmStores(spark, sfDir)),
         ("sim", () => graft.sim.SimQueries.warmStores(spark, sfDir)),
         ("ingest", () => graft.sources.IngestQueries.warmStores(spark, sfDir)),
-        ("text", () => graft.text.TextQueries.warmStores(spark, sfDir))))
+        ("text", () => graft.text.TextQueries.warmStores(spark, sfDir)),
+        ("mm", () => graft.multimodal.Multimodal.warmStores(spark, sfDir))))
       catch { case e: Throwable =>
         System.err.println(s"[bench] store build failed: $e")
         (-1.0, Seq.empty[(String, Double)]) }

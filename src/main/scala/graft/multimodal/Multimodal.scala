@@ -3103,10 +3103,27 @@ object Multimodal {
     }
   }
 
+  /** The dHash band table, persisted once per (session, corpus) —
+    * the store discipline: THREE driver faces (mm_dhash,
+    * mm_dhash_pairs ×3 plan references, mm_dhash_admit) would
+    * otherwise each re-evaluate the 64-comparison pixel formula per
+    * doc. Tiny table (one row of five ints per doc); the build is the
+    * mm-labeled bench thunk. */
+  private def dhashTable(spark: SparkSession, dir: String): String =
+    graft.store.GraftStore.ensurePlain(spark,
+      s"graft_dhash_${graft.store.GraftStore.dirKey(dir)}") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id") +: dhashBands(col("doc_id")): _*)
+    }
+
+  /** Force the persisted dHash table to exist (bench build thunk). */
+  def warmStores(spark: SparkSession, dir: String): Unit = {
+    dhashTable(spark, dir); ()
+  }
+
   /** H42 driver query: per-asset dHash bands. */
   def mmDhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id") +: dhashBands(col("doc_id")): _*)
+    spark.table(dhashTable(spark, dir))
 
   /** E20: image near-dup PAIRS — Hamming-band blocking (the E3
     * banding idiom: two hashes within Hamming distance d agree on at
@@ -3139,6 +3156,50 @@ object Multimodal {
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("hamming"))
   }
 
+  /** E21: INCREMENTAL image admission — the daily-batch production
+    * shape for the image corpus (E7's discipline on the H42 hash):
+    * admit only INCOMING images (the non-train side of the G5 hash
+    * split) with no perceptual near-duplicate in the HISTORICAL
+    * corpus (the train side). Candidates come from the same
+    * Hamming-band blocking as E20, but INCOMING × HISTORICAL only —
+    * the incremental frontier never pairs against itself, and at
+    * 100 TB the historical side's bands read from the persisted hash
+    * table, never recomputed from pixels. Emits per incoming image
+    * the candidate count, the min verified Hamming distance (null =
+    * no candidate survived banding), and the admit bit. */
+  def mmDhashAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextQueries.TrainBucketMax
+    def isHist(id: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("split|"), id.cast("string"))), 1, 4), 16, 10)
+        .cast("int") < TrainBucketMax
+    val h = spark.table(dhashTable(spark, dir))
+    val banded = (0 until 4).map(b =>
+      h.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
+      .reduce(_ unionAll _)
+    val cand = banded.filter(!isHist(col("doc_id")))
+      .select(col("doc_id").as("ida"), col("bi"), col("bv"))
+      .join(banded.filter(isHist(col("doc_id")))
+        .select(col("doc_id").as("idb"), col("bi"), col("bv")), Seq("bi", "bv"))
+      .select("ida", "idb").distinct()
+    val ha = h.select(col("doc_id").as("ida") +:
+      (0 until 4).map(b => col(s"b$b").as(s"xa$b")): _*)
+    val hb = h.select(col("doc_id").as("idb") +:
+      (0 until 4).map(b => col(s"b$b").as(s"xb$b")): _*)
+    val verified = cand.join(ha, "ida").join(hb, "idb")
+      .withColumn("hamming", (0 until 4).map(b =>
+        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .groupBy(col("ida").as("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(col("hamming")).as("min_hamming"))
+    h.select(col("doc_id")).filter(!isHist(col("doc_id")))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("min_hamming"),
+        (coalesce(col("min_hamming"), lit(64)) > DHashThreshold)
+          .cast("int").as("admit"))
+  }
+
   private def dhashPxSql(r: Int, c: Int): String =
     s"((('0x' || substr(md5('img|' || g::varchar || '|$r'), ${2 * c + 1}, 2))::int)" +
       s" + (CASE WHEN doc_id % 72 = ${r * 9 + c} THEN $DHashNoise ELSE 0 END))"
@@ -3162,6 +3223,7 @@ object Multimodal {
     "mm_features" -> (mmFeatures _),
     "mm_dhash" -> (mmDhash _),
     "mm_dhash_pairs" -> (mmDhashPairs _),
+    "mm_dhash_admit" -> (mmDhashAdmit _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
@@ -3226,6 +3288,36 @@ object Multimodal {
          |  JOIN h ha ON ha.doc_id = c.ida
          |  JOIN h hb ON hb.doc_id = c.idb
          |) WHERE hamming <= $DHashThreshold""".stripMargin,
+    "mm_dhash_admit" ->
+      s"""WITH $dhashHashCte,
+         |sp AS MATERIALIZED (
+         |  SELECT doc_id, b0, b1, b2, b3,
+         |    ('0x' || substr(md5('split|' || doc_id::varchar), 1, 4))::int
+         |      < ${graft.text.TextQueries.TrainBucketMax} AS hist
+         |  FROM h
+         |),
+         |bands AS (${(0 until 4)
+          .map(b => s"SELECT doc_id, hist, $b AS bi, b$b AS bv FROM sp")
+          .mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+         |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bv = y.bv
+         |  WHERE NOT x.hist AND y.hist
+         |),
+         |v AS (
+         |  SELECT c.ida AS doc_id, count(*)::bigint AS n_candidates,
+         |    min(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |        bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)))::int
+         |      AS min_hamming
+         |  FROM cand c JOIN sp a ON a.doc_id = c.ida JOIN sp b ON b.doc_id = c.idb
+         |  GROUP BY 1
+         |)
+         |SELECT s.doc_id, coalesce(v.n_candidates, 0)::bigint AS n_candidates,
+         |  v.min_hamming,
+         |  (CASE WHEN coalesce(v.min_hamming, 64) > $DHashThreshold
+         |        THEN 1 ELSE 0 END)::int AS admit
+         |FROM sp s LEFT JOIN v ON v.doc_id = s.doc_id
+         |WHERE NOT s.hist""".stripMargin,
     // mirrors mmSafetensorsMeta: the oracle REBUILDS the JSON header
     // text and measures it, so the u64 length read, the JSON slice,
     // and every extracted field are value-checked. Garbage every 9th,
