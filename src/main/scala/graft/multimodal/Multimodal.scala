@@ -3156,6 +3156,25 @@ object Multimodal {
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("hamming"))
   }
 
+  /** E22: image SURVIVOR list — the keep-list the near-dup pairs
+    * exist to produce (E6's shape on the H42 hash): connected
+    * components over the verified pairs, min-id canonical per
+    * cluster, one row per image with its canonical and the kept bit.
+    * Clusters ride the same star-contraction CC every dedup face
+    * uses; at 100 TB the pair frame is band-blocked (linear), the CC
+    * is O(log C) rounds over pair-scale frames. */
+  def mmDhashSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = mmDhashPairs(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val cc = graft.graph.Graphs.connectedComponents(pairs)
+    spark.table(dhashTable(spark, dir)).select(col("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("is_kept"))
+  }
+
   /** E21: INCREMENTAL image admission — the daily-batch production
     * shape for the image corpus (E7's discipline on the H42 hash):
     * admit only INCOMING images (the non-train side of the G5 hash
@@ -3224,6 +3243,7 @@ object Multimodal {
     "mm_dhash" -> (mmDhash _),
     "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_dhash_admit" -> (mmDhashAdmit _),
+    "mm_dhash_survivors" -> (mmDhashSurvivors _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
@@ -3288,6 +3308,40 @@ object Multimodal {
          |  JOIN h ha ON ha.doc_id = c.ida
          |  JOIN h hb ON hb.doc_id = c.idb
          |) WHERE hamming <= $DHashThreshold""".stripMargin,
+    // E22: the CC closure is the dedup_survivors oracle idiom — a
+    // recursive min-label reachability with the lbl < v pruning
+    "mm_dhash_survivors" ->
+      s"""WITH RECURSIVE $dhashHashCte,
+         |bands AS (${(0 until 4)
+          .map(b => s"SELECT doc_id, $b AS bi, b$b AS bv FROM h")
+          .mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+         |  FROM bands x JOIN bands y
+         |    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |),
+         |hp AS (
+         |  SELECT ida AS u, idb AS v FROM (
+         |    SELECT c.ida, c.idb,
+         |      (bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) +
+         |       bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))) AS hamming
+         |    FROM cand c
+         |    JOIN h ha ON ha.doc_id = c.ida
+         |    JOIN h hb ON hb.doc_id = c.idb
+         |  ) WHERE hamming <= $DHashThreshold
+         |),
+         |und AS (SELECT u, v FROM hp UNION SELECT v, u FROM hp),
+         |closure(id, lbl) AS (
+         |  SELECT u, u FROM und
+         |  UNION
+         |  SELECT und.v, c.lbl FROM closure c JOIN und ON und.u = c.id
+         |  WHERE c.lbl < und.v
+         |),
+         |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)
+         |SELECT hh.doc_id,
+         |  coalesce(comp.component, hh.doc_id) AS canonical_id,
+         |  (coalesce(comp.component, hh.doc_id) = hh.doc_id)::int AS is_kept
+         |FROM h hh LEFT JOIN comp ON comp.id = hh.doc_id""".stripMargin,
     "mm_dhash_admit" ->
       s"""WITH $dhashHashCte,
          |sp AS MATERIALIZED (
