@@ -1085,6 +1085,62 @@ object Streaming {
       col("corpus_keep") === 1)(out, batchId)
   }
 
+  /** I55: streaming PERCEPTUAL image admission — the crawl's image
+    * first mile (the I53 shape with a DISTANCE predicate instead of
+    * key equality): per micro-batch admit only images with no dHash
+    * near-duplicate (Hamming ≤ threshold) in the accumulated corpus
+    * OR among smaller-ids in the batch. Expects rows already carrying
+    * the stateless H42 band columns (doc_id, b0..b3, ...payload) —
+    * the I53 convention. Near-dup checks are band-blocked (never
+    * all-pairs) then Hamming-verified, both within the batch and
+    * against the corpus table's stored bands. The within-batch rule
+    * is min-id-threatens: a doc is rejected iff a SMALLER-id batch
+    * doc sits within the threshold — deterministic, and no two
+    * admitted docs can be near-dups of each other (if y admits, no
+    * smaller id is within t of y); like I53's independent slots it
+    * can reject a doc a strictly sequential scan would keep (a
+    * rejected middle link still shields its neighbors) — never the
+    * reverse. State is the corpus table (unbounded hash history);
+    * replay-safe: the corpus side reads AS OF BEFORE this batchId and
+    * the commit is batchId-idempotent. Usage:
+    * `banded.writeStream.foreachBatch(Streaming.dhashAdmitSink("img_corpus") _)`. */
+  def dhashAdmitSink(corpusTable: String,
+      threshold: Int = graft.multimodal.Multimodal.DHashThreshold)
+      (df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    def bandsOf(d: DataFrame): DataFrame = (0 until 4).map(b =>
+      d.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
+      .reduce(_ unionAll _)
+    def hamming(pfx: String): org.apache.spark.sql.Column = (0 until 4).map(b =>
+      bit_count(col(s"b$b").bitwiseXOR(col(s"$pfx$b")))).reduce(_ + _)
+    val mine = df.select(col("doc_id") +:
+      (0 until 4).map(b => col(s"b$b")): _*).localCheckpoint(true)
+    def rejectedBy(other: DataFrame, smallerIdOnly: Boolean): DataFrame = {
+      val cand = bandsOf(mine).select(col("doc_id"), col("bi"), col("bv"))
+        .join(bandsOf(other).select(col("doc_id").as("oid"), col("bi"), col("bv")),
+          Seq("bi", "bv"))
+        .filter(if (smallerIdOnly) col("oid") < col("doc_id")
+          else col("oid") =!= col("doc_id"))
+        .select("doc_id", "oid").distinct()
+      cand
+        .join(mine, "doc_id")
+        .join(other.select(col("doc_id").as("oid") +:
+          (0 until 4).map(b => col(s"b$b").as(s"o$b")): _*), "oid")
+        .filter(hamming("o") <= threshold)
+        .select("doc_id").distinct()
+    }
+    val inBatch = rejectedBy(mine, smallerIdOnly = true)
+    val rejected = graft.store.SnapshotStore
+      .readBeforeStreamBatch(spark, corpusTable, batchId) match {
+        case None => inBatch
+        case Some(prior) =>
+          inBatch.unionAll(rejectedBy(prior, smallerIdOnly = false))
+      }
+    val admitted = df.join(rejected.distinct(), Seq("doc_id"), "left_anti")
+    graft.store.SnapshotStore.commitStreamBatch(corpusTable, admitted, batchId)
+    ()
+  }
+
   final case class SsEv(user_id: Long, ts: Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -526,6 +526,47 @@ class StreamingSpec extends SparkSpec {
     assert(flags("gate_corpus") == corpus && flags("gate_dlq") == dead)
   }
 
+  test("I55 streaming perceptual admission: Hamming near-dups rejected within and across batches; replay converges") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    val sink = Streaming.dhashAdmitSink("img_corpus") _
+    // band values picked so near-dups differ by ONE low bit in b0
+    // (hamming 1, three shared bands → always a banding candidate)
+    // and unrelated images share NO band at all
+    val b0 = Seq(
+      (1L, 100, 200, 300, 400, "a"),
+      (2L, 101, 200, 300, 400, "b"),     // 1 bit from doc 1 → in-batch reject
+      (10L, 1000, 2000, 3000, 4000, "c")
+    ).toDF("doc_id", "b0", "b1", "b2", "b3", "payload")
+    sink(b0, 0L)
+    val b1 = Seq(
+      (3L, 102, 200, 300, 400, "d"),     // 1 bit from CORPUS doc 1 → reject
+      (11L, 1001, 2000, 3000, 4000, "e"),// 1 bit from corpus doc 10 → reject
+      (20L, 5000, 6000, 7000, 8000, "f"),
+      (21L, 5001, 6000, 7000, 8000, "g") // 1 bit from 20 WITHIN batch → reject
+    ).toDF("doc_id", "b0", "b1", "b2", "b3", "payload")
+    sink(b1, 1L)
+    def ids = SnapshotStore.read(spark, "img_corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 10L, 20L), s"admitted: $ids")
+    // the admitted set is pairwise FAR by construction of the rule:
+    // no two admitted rows may sit within the threshold
+    val kept = SnapshotStore.read(spark, "img_corpus")
+      .select("doc_id", "b0", "b1", "b2", "b3")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    for (x <- kept; y <- kept if x._1 < y._1) {
+      val ham = Integer.bitCount(x._2 ^ y._2) + Integer.bitCount(x._3 ^ y._3) +
+        Integer.bitCount(x._4 ^ y._4) + Integer.bitCount(x._5 ^ y._5)
+      assert(ham > graft.multimodal.Multimodal.DHashThreshold,
+        s"admitted pair (${x._1}, ${y._1}) within threshold: $ham")
+    }
+    // replayed first batch: reclassifies against BEFORE-batch-0 state
+    // (empty) and the batchId commit no-ops
+    sink(b0, 0L)
+    assert(ids == Set(1L, 10L, 20L) &&
+      SnapshotStore.versions("img_corpus").size == 2)
+  }
+
   test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
     import spark.implicits._
     import graft.store.SnapshotStore
