@@ -324,11 +324,9 @@ object DedupQueries {
     * from the (band, bucket) join of the two banded subsets, and only
     * candidates are Jaccard-verified. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.TextQueries.TrainBucketMax
     val st = sigTables(spark, dir)
     def isHist(id: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit("split|"), id.cast("string"))), 1, 4), 16, 10)
-        .cast("int") < TrainBucketMax
+      graft.text.TextQueries.isTrainSplit(id)
     val hashes = Tables.documents(spark, dir).select(col("doc_id"),
       md5(regexp_replace(trim(col("text")), " +", " ")).as("h"))
     val incoming = hashes.filter(!isHist(col("doc_id")))

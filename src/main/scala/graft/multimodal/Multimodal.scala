@@ -3125,6 +3125,46 @@ object Multimodal {
   def mmDhash(spark: SparkSession, dir: String): DataFrame =
     spark.table(dhashTable(spark, dir))
 
+  /** (doc_id, bi, bv) band rows of a (doc_id, b0..b3) frame — the
+    * shared E20/E21 blocking layout (r16 review: one spelling, three
+    * faces). */
+  def dhashBanded(h: DataFrame): DataFrame =
+    (0 until 4).map(b =>
+      h.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
+      .reduce(_ unionAll _)
+
+  /** Exact 64-bit Hamming distance between two band-column sets. */
+  def dhashHamming(a: Seq[org.apache.spark.sql.Column],
+      b: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    a.zip(b).map { case (x, y) => bit_count(x.bitwiseXOR(y)) }
+      .reduce(_ + _).cast("int")
+
+  /** The 64-bit hash reassembled from the four 16-bit bands. */
+  private def dhashLong(b: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    b(0).cast("long")
+      .bitwiseOR(shiftleft(b(1).cast("long"), 16))
+      .bitwiseOR(shiftleft(b(2).cast("long"), 32))
+      .bitwiseOR(shiftleft(b(3).cast("long"), 48))
+
+  /** `n` SUB-bands of the 64-bit hash (widths ⌊64/n⌋, remainder to the
+    * last). Pigeonhole: two hashes within Hamming distance n−1 agree
+    * on at least one sub-band — the guarantee the four 16-bit bands
+    * give only up to distance 3. The I55 sink blocks on
+    * threshold+1 = 7 sub-bands (9-10 bits) because it takes ARBITRARY
+    * external hashes whose bit differences spread anywhere; the
+    * narrower bands trade candidate mass (~n/2^width random collision
+    * rate — the recall/mass dial a corpus above ~10⁸ images tunes by
+    * dropping the threshold or adding a coarse prefilter). */
+  def dhashSubBands(b: Seq[org.apache.spark.sql.Column],
+      n: Int): Seq[org.apache.spark.sql.Column] = {
+    val v = dhashLong(b)
+    val w = 64 / n
+    (0 until n).map { j =>
+      val width = if (j == n - 1) 64 - w * (n - 1) else w
+      shiftrightunsigned(v, j * w).bitwiseAND(lit((1L << width) - 1L))
+    }
+  }
+
   /** E20: image near-dup PAIRS — Hamming-band blocking (the E3
     * banding idiom: two hashes within Hamming distance d agree on at
     * least one of d+1 bit bands — at threshold 6 and 4 bands any
@@ -3137,9 +3177,7 @@ object Multimodal {
     * doc-keyed hash joins for verification. */
   def mmDhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val h = mmDhash(spark, dir)
-    val banded = (0 until 4).map(b =>
-      h.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
-      .reduce(_ unionAll _)
+    val banded = dhashBanded(h)
     val cand = banded.select(col("doc_id").as("ida"), col("bi"), col("bv"))
       .join(banded.select(col("doc_id").as("idb"), col("bi"), col("bv")),
         Seq("bi", "bv"))
@@ -3150,8 +3188,8 @@ object Multimodal {
     val hb = h.select(col("doc_id").as("idb") +:
       (0 until 4).map(b => col(s"b$b").as(s"xb$b")): _*)
     cand.join(ha, "ida").join(hb, "idb")
-      .withColumn("hamming", (0 until 4).map(b =>
-        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .withColumn("hamming", dhashHamming(
+        (0 until 4).map(b => col(s"xa$b")), (0 until 4).map(b => col(s"xb$b"))))
       .filter(col("hamming") <= DHashThreshold)
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"), col("hamming"))
   }
@@ -3187,14 +3225,10 @@ object Multimodal {
     * the candidate count, the min verified Hamming distance (null =
     * no candidate survived banding), and the admit bit. */
   def mmDhashAdmit(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.TextQueries.TrainBucketMax
     def isHist(id: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit("split|"), id.cast("string"))), 1, 4), 16, 10)
-        .cast("int") < TrainBucketMax
+      graft.text.TextQueries.isTrainSplit(id)
     val h = spark.table(dhashTable(spark, dir))
-    val banded = (0 until 4).map(b =>
-      h.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
-      .reduce(_ unionAll _)
+    val banded = dhashBanded(h)
     val cand = banded.filter(!isHist(col("doc_id")))
       .select(col("doc_id").as("ida"), col("bi"), col("bv"))
       .join(banded.filter(isHist(col("doc_id")))
@@ -3205,8 +3239,8 @@ object Multimodal {
     val hb = h.select(col("doc_id").as("idb") +:
       (0 until 4).map(b => col(s"b$b").as(s"xb$b")): _*)
     val verified = cand.join(ha, "ida").join(hb, "idb")
-      .withColumn("hamming", (0 until 4).map(b =>
-        bit_count(col(s"xa$b").bitwiseXOR(col(s"xb$b")))).reduce(_ + _).cast("int"))
+      .withColumn("hamming", dhashHamming(
+        (0 until 4).map(b => col(s"xa$b")), (0 until 4).map(b => col(s"xb$b"))))
       .groupBy(col("ida").as("doc_id"))
       .agg(count(lit(1)).as("n_candidates"),
         min(col("hamming")).as("min_hamming"))

@@ -701,18 +701,26 @@ object SnapshotStore {
     require(schema.fieldNames.contains(column),
       s"bloom index column '$column' not in table schema")
     val existing = readBloomIndex(spark, name, column)
+    val live = readManifest(name, v).map(uriPath).toSet
     val missing = readManifest(name, v).filterNot(f => existing.contains(uriPath(f)))
-    if (missing.nonEmpty) {
+    // GC on ensure: entries for files no longer in the live manifest
+    // (dropped by merges/OPTIMIZE/vacuum) are swept here, or a
+    // long-lived merged table accumulates MB-scale dead filters that
+    // every probe then collects to the driver forever
+    val kept = existing.filter { case (f, _) => live(f) }
+    if (missing.nonEmpty || kept.size != existing.size) {
       graft.functions.VectorFunctions.ensureRegistered(spark)
-      val fresh = spark.read.schema(schema).parquet(missing: _*)
-        .select(col(column))
-        .groupBy(input_file_name().as("file"))
-        .agg(call_function("graft_bloom_agg",
-          xxhash64(col(column)), lit(expectedPerFile)).as("bloom"))
-        .collect()
-        .map(r => (uriPath(r.getString(0)), r.getAs[Array[Byte]](1)))
+      val fresh =
+        if (missing.isEmpty) Seq.empty[(String, Array[Byte])]
+        else spark.read.schema(schema).parquet(missing: _*)
+          .select(col(column))
+          .groupBy(input_file_name().as("file"))
+          .agg(call_function("graft_bloom_agg",
+            xxhash64(col(column)), lit(expectedPerFile)).as("bloom"))
+          .collect()
+          .map(r => (uriPath(r.getString(0)), r.getAs[Array[Byte]](1))).toSeq
       import spark.implicits._
-      val all = (existing.toSeq ++ fresh).toDF("file", "bloom")
+      val all = (kept.toSeq ++ fresh).toDF("file", "bloom")
       // write-aside + swap, the store's atomicity idiom
       val dir = bloomDir(name, column)
       val tmp = new Path(dir.toString + "_staging")
@@ -735,26 +743,37 @@ object SnapshotStore {
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
   }
 
-  /** Narrow a MERGE candidate-file set through the per-file Bloom
-    * index WITHOUT collecting the batch keys: blooms are driver-side
-    * metadata (one row per file — the same budget as the manifest),
-    * the key hashes stay distributed, and the probe ships bloom GROUPS
-    * of bounded broadcast size to the keys (per partition each filter
-    * deserializes once; a file stops probing after its first hit).
-    * Files without an index entry are kept unconditionally (the K22
-    * conservative contract — false negatives must be impossible). */
-  private def bloomNarrowFiles(spark: SparkSession, name: String,
-      column: String, updKeys: DataFrame,
-      candidates: Set[String]): Set[String] = {
-    import org.apache.spark.sql.functions.{col, xxhash64}
+  /** The live index entries covering `candidates`, plus the candidate
+    * files with NO entry (kept unconditionally — the K22 conservative
+    * contract: false negatives must be impossible). */
+  private def bloomEntriesFor(spark: SparkSession, name: String,
+      column: String, candidates: Set[String]): (Seq[(String, Array[Byte])], Set[String]) = {
     val entries = readBloomIndex(spark, name, column)
       .filter { case (f, _) => candidates(f) }.toSeq.sortBy(_._1)
+    (entries, candidates -- entries.map(_._1))
+  }
+
+  /** Narrow a MERGE candidate-file set through the per-file Bloom
+    * index WITHOUT collecting the batch keys (the corpus-scale path):
+    * blooms are driver-side metadata (one row per file — the same
+    * budget as the manifest), the key hashes stay distributed, and
+    * the probe ships bloom GROUPS of bounded broadcast size to the
+    * keys (per partition each filter deserializes once; a file stops
+    * probing after its first hit). Keys hash AS THE TABLE'S COLUMN
+    * TYPE — the cast the semi-join would apply implicitly; hashing
+    * the batch's raw type (Int batch against a Long column = 4 bytes
+    * vs 8) would be a FALSE-NEGATIVE prune and a silent
+    * insert-next-to-the-old-row (the r11 BloomIndex bug class). */
+  private def bloomNarrowFiles(spark: SparkSession, name: String,
+      column: String, keyType: org.apache.spark.sql.types.DataType,
+      updKeys: DataFrame, candidates: Set[String]): Set[String] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val (entries, unindexed) = bloomEntriesFor(spark, name, column, candidates)
     if (entries.isEmpty) return candidates
-    val unindexed = candidates -- entries.map(_._1)
     import spark.implicits._
-    // xxhash64(col) = the exact hash the index build used (seed 42);
-    // nulls can't occur (mergeKeyed rejects NULL-key batches upstream)
-    val hashes = updKeys.select(xxhash64(col(column))).as[Long]
+    // xxhash64 = the exact hash the index build used (seed 42); nulls
+    // can't occur (mergeKeyed rejects NULL-key batches upstream)
+    val hashes = updKeys.select(xxhash64(col(column).cast(keyType))).as[Long]
     val hits = entries.grouped(64).flatMap { grp =>
       val bc = spark.sparkContext.broadcast(grp.toArray)
       val got = hashes.mapPartitions { it =>
@@ -776,9 +795,41 @@ object SnapshotStore {
         }
         Iterator.range(0, bfs.length).filter(seen(_)).map(i => bfs(i)._1)
       }.distinct().collect()
+      bc.destroy()
       got
     }.toSet
     unindexed ++ hits
+  }
+
+  /** The BOUNDED-path probe: the keys are already on the driver, so
+    * each candidate filter deserializes once and tests the key list
+    * directly — zero Spark jobs (the BloomIndex.pruneFilesAny shape,
+    * with its type-cast guard: a cast failure keeps every file). */
+  private def bloomNarrowFilesDriver(spark: SparkSession, name: String,
+      column: String, keyType: org.apache.spark.sql.types.DataType,
+      keys: Seq[Any], candidates: Set[String]): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val (entries, unindexed) = bloomEntriesFor(spark, name, column, candidates)
+    if (entries.isEmpty) return candidates
+    val hashes: Option[Seq[Long]] = scala.util.Try {
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      keys.filter(_ != null).map { k =>
+        val lit0 = Literal(k)
+        val l = if (lit0.dataType == keyType) lit0
+          else Literal.create(Cast(lit0, keyType, Some(tz)).eval(null), keyType)
+        XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+      }
+    }.toOption
+    hashes match {
+      case None => candidates
+      case Some(hs) =>
+        val hit = entries.iterator.filter { case (_, b) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b))
+          hs.exists(bf.mightContainLong)
+        }.map(_._1).toSet
+        unindexed ++ hit
+    }
   }
 
   /** Files the last [[mergeKeyed]] corpus-scale probe actually READ in
@@ -842,7 +893,9 @@ object SnapshotStore {
             col(k) === lit(r.get(i)) }.reduce(_ && _)).reduceOption(_ || _)
             .getOrElse(lit(false))
         val zoned = zonePrunedFiles(pred)
-        if (keys.size == 1) bloomNarrowFiles(spark, name, keys.head, updKeys, zoned)
+        if (keys.size == 1)
+          bloomNarrowFilesDriver(spark, name, keys.head,
+            schema(keys.head).dataType, keyRows.map(_.get(0)).toSeq, zoned)
         else zoned
       } else {
         // corpus-scale shuffle path: narrow by the batch's per-key
@@ -859,7 +912,9 @@ object SnapshotStore {
         }.reduce(_ && _)
         val zoned = zonePrunedFiles(rangePred)
         val candidates =
-          if (keys.size == 1) bloomNarrowFiles(spark, name, keys.head, updKeys, zoned)
+          if (keys.size == 1)
+            bloomNarrowFiles(spark, name, keys.head,
+              schema(keys.head).dataType, updKeys, zoned)
           else zoned
         if (candidates.isEmpty) Set.empty[String]
         else {

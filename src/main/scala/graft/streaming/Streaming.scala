@@ -1091,28 +1091,39 @@ object Streaming {
     * near-duplicate (Hamming ≤ threshold) in the accumulated corpus
     * OR among smaller-ids in the batch. Expects rows already carrying
     * the stateless H42 band columns (doc_id, b0..b3, ...payload) —
-    * the I53 convention. Near-dup checks are band-blocked (never
-    * all-pairs) then Hamming-verified, both within the batch and
-    * against the corpus table's stored bands. The within-batch rule
-    * is min-id-threatens: a doc is rejected iff a SMALLER-id batch
-    * doc sits within the threshold — deterministic, and no two
-    * admitted docs can be near-dups of each other (if y admits, no
-    * smaller id is within t of y); like I53's independent slots it
-    * can reject a doc a strictly sequential scan would keep (a
-    * rejected middle link still shields its neighbors) — never the
-    * reverse. State is the corpus table (unbounded hash history);
-    * replay-safe: the corpus side reads AS OF BEFORE this batchId and
-    * the commit is batchId-idempotent. Usage:
+    * the I53 convention. Near-dup checks block on threshold+1 = 7
+    * SUB-bands of the 64-bit hash (never all-pairs), then
+    * Hamming-verify — NOT the four 16-bit storage bands: those
+    * guarantee a shared band only up to distance 3 (pigeonhole over 4
+    * bands), and this sink takes ARBITRARY external hashes whose bit
+    * differences spread anywhere, so a distance-4..6 pair could share
+    * no 16-bit band and be wrongly admitted (r16 review). Both the
+    * within-batch and the against-corpus checks use the sub-band
+    * blocking. The within-batch rule is min-id-threatens: a doc is
+    * rejected iff a SMALLER-id batch doc sits within the threshold —
+    * deterministic, and no two admitted docs can be near-dups of each
+    * other (if y admits, no smaller id is within t of y); like I53's
+    * independent slots it can reject a doc a strictly sequential scan
+    * would keep (a rejected middle link still shields its neighbors)
+    * — never the reverse. State is the corpus table (unbounded hash
+    * history); replay-safe: the corpus side reads AS OF BEFORE this
+    * batchId and the commit is batchId-idempotent. Usage:
     * `banded.writeStream.foreachBatch(Streaming.dhashAdmitSink("img_corpus") _)`. */
   def dhashAdmitSink(corpusTable: String,
       threshold: Int = graft.multimodal.Multimodal.DHashThreshold)
       (df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
-    def bandsOf(d: DataFrame): DataFrame = (0 until 4).map(b =>
-      d.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
-      .reduce(_ unionAll _)
-    def hamming(pfx: String): org.apache.spark.sql.Column = (0 until 4).map(b =>
-      bit_count(col(s"b$b").bitwiseXOR(col(s"$pfx$b")))).reduce(_ + _)
+    val nBands = threshold + 1
+    def bandsOf(d: DataFrame): DataFrame = {
+      val subs = graft.multimodal.Multimodal.dhashSubBands(
+        (0 until 4).map(b => col(s"b$b")), nBands)
+      (0 until nBands).map(j =>
+        d.select(col("doc_id"), lit(j).as("bi"), subs(j).as("bv")))
+        .reduce(_ unionAll _)
+    }
+    def hamming(pfx: String): org.apache.spark.sql.Column =
+      graft.multimodal.Multimodal.dhashHamming(
+        (0 until 4).map(b => col(s"b$b")), (0 until 4).map(b => col(s"$pfx$b")))
     val mine = df.select(col("doc_id") +:
       (0 until 4).map(b => col(s"b$b")): _*).localCheckpoint(true)
     def rejectedBy(other: DataFrame, smallerIdOnly: Boolean): DataFrame = {

@@ -158,10 +158,23 @@ object TextQueries {
   val TrainBucketMax = 58982
   val ValBucketMax = 62259
 
+  /** The G5 split's 16-bit hash bucket for an id column — THE shared
+    * spelling (r16 review: four inlined copies had grown across
+    * text/dedup/multimodal; a formula change updated in one place
+    * would silently desynchronize the train/incoming boundary the
+    * incremental-dedup and image-admission faces depend on). */
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("split|"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("int")
+
+  /** True iff the G5 split assigns `id` to the TRAIN (historical)
+    * side — the incremental faces' partition predicate. */
+  def isTrainSplit(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    splitBucket(id) < TrainBucketMax
+
   def textSplit(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val bucket = conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-      .cast("int")
+    val bucket = splitBucket(col("doc_id"))
     d.select(col("doc_id"), bucket.as("bucket"),
       when(bucket < TrainBucketMax, "train").when(bucket < ValBucketMax, "val")
         .otherwise("test").as("split"))
@@ -536,9 +549,7 @@ object TextQueries {
 
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = docBigrams(Tables.documents(spark, dir))
-    val isTrain = conv(substring(md5(concat(lit("split|"),
-      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") < TrainBucketMax
-    val train = bigrams.filter(isTrain).localCheckpoint(eager = true)
+    val train = bigrams.filter(isTrainSplit(col("doc_id"))).localCheckpoint(eager = true)
     val bg = train.groupBy("t", "t2").agg(count(lit(1)).as("c_bg"))
     val pre = train.groupBy("t").agg(count(lit(1)).as("c_pre"))
     val vocab = broadcast(
@@ -859,8 +870,7 @@ object TextQueries {
     * than 5 tokens have no shingles and produce no row. */
   def textContamination(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val bucket = conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-      .cast("int")
+    val bucket = splitBucket(col("doc_id"))
     val split = when(bucket < TrainBucketMax, "train").when(bucket < ValBucketMax, "val")
       .otherwise("test")
     val w = org.apache.spark.sql.expressions.Window

@@ -840,7 +840,28 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.files(name, v1).toSet).size ==
       SnapshotStore.files(name, v1).size,
       "every prior file carries on a pure insert")
-    assert(rows(name, Some(v2)).size == want.size + inserts.count())
+    val n2 = want.size + inserts.count()
+    assert(rows(name, Some(v2)).size == n2)
+    // TYPE-WIDENED batches: an INT-typed batch against the BIGINT key
+    // must still probe POSITIVE — keys hash as the TABLE's column
+    // type (a raw-type hash is 4 bytes vs 8: a false-negative prune
+    // that silently INSERTS a duplicate next to the row it meant to
+    // update). Exercise BOTH probe paths.
+    SnapshotStore.ensureBloomIndex(spark, name, "k")
+    val smallKey = rows0.map(_._1).filter(_ <= Int.MaxValue).min
+    // corpus-scale path (maxBatchKeys = 0 forces it)
+    val v3 = SnapshotStore.mergeKeyed(spark, name,
+      Seq((smallKey.toInt, "RETYPED")).toDF("k", "s"), Seq("k"),
+      maxBatchKeys = 0)
+    val got3 = rows(name, Some(v3))
+    assert(got3.size == n2, "a widened-type update must not insert a duplicate")
+    assert(got3((smallKey, "RETYPED")))
+    // bounded driver-side path (default maxBatchKeys)
+    val v4 = SnapshotStore.mergeKeyed(spark, name,
+      Seq((smallKey.toInt, "RETYPED2")).toDF("k", "s"), Seq("k"))
+    val got4 = rows(name, Some(v4))
+    assert(got4.size == n2 && got4((smallKey, "RETYPED2")),
+      "the bounded Bloom probe must also hash as the table's key type")
   }
 
   test("K53 OPTIMIZE ZORDER: identical rows in a new version; the useless dimension's depth collapses; a 2D box prunes files; history intact") {

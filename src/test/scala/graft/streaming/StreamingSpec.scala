@@ -560,11 +560,20 @@ class StreamingSpec extends SparkSpec {
       assert(ham > graft.multimodal.Multimodal.DHashThreshold,
         s"admitted pair (${x._1}, ${y._1}) within threshold: $ham")
     }
+    // the r16 review gap, closed by sub-band blocking: a distance-4
+    // pair sharing NO 16-bit storage band (one flipped bit in EACH
+    // band) must still be caught — 4 bands is pigeonhole-safe only to
+    // distance 3; the sink blocks on threshold+1 = 7 sub-bands
+    val b2 = Seq((30L, 101, 201, 301, 401, "h"))
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "payload")
+    sink(b2, 2L)
+    assert(ids == Set(1L, 10L, 20L),
+      "a distance-4 near-dup with no shared 16-bit band must be rejected")
     // replayed first batch: reclassifies against BEFORE-batch-0 state
     // (empty) and the batchId commit no-ops
     sink(b0, 0L)
     assert(ids == Set(1L, 10L, 20L) &&
-      SnapshotStore.versions("img_corpus").size == 2)
+      SnapshotStore.versions("img_corpus").size == 3)
   }
 
   test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
