@@ -344,7 +344,11 @@ object Dedup {
       .filter(col("is_dup") === 1)
       .select(col("canonical_id").as("u"), col(idCol).as("v"))
     val nearPairs = nearDupPairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val cc = graft.graph.Graphs.connectedComponents(exactPairs.unionAll(nearPairs))
+    // pair-scale CC: the guarded local path (see componentsGuarded) —
+    // survivor pair graphs are band-blocked, so they are metadata-
+    // scale at any corpus size; the distributed CC remains the
+    // over-guard fallback
+    val cc = graft.graph.Graphs.componentsGuarded(exactPairs.unionAll(nearPairs))
     docs.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -114,6 +114,54 @@ object Graphs {
   /** C2: connected components via alternating large-star / small-star.
     * Returns (id, component) where component is the lexicographic min
     * vertex id of the component. */
+  /** [[connectedComponents]] with the Borůvka GUARDED-LOCAL fast path
+    * generalized (r16): when the pair frame fits the driver guard
+    * (pair-SCALE, not data-scale — dedup survivor graphs are a few
+    * thousand rows at any SF because the pairs themselves are
+    * band-blocked), a driver union-find with min-label union replaces
+    * the ~2-jobs-per-iteration star contraction whose fixed per-job
+    * overhead dominates at this size (the measured boruvkaMsf lesson,
+    * 12.7 → 3.5 s). Labels are identical BY CONSTRUCTION on both
+    * paths: min-label union makes every final root the MINIMUM of its
+    * component regardless of processing order, which is exactly the
+    * star contraction's fixed point. Above the guard: the distributed
+    * CC, unchanged. One scalar count action decides. */
+  def componentsGuarded(pairs: DataFrame,
+      maxDriverRows: Long = MsfLocalMergeMax): DataFrame = {
+    // checkpoint ONCE: the guard count, the collect (or the fallback's
+    // iterations) must not each re-run the caller's verification
+    // pipeline that produced the pairs
+    val p = pairs.select(col("u"), col("v")).localCheckpoint(true)
+    val n = p.count()
+    if (n > maxDriverRows)
+      return connectedComponents(p)
+    val spark = p.sparkSession
+    val rows = p.collect()
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.intValue < y.intValue
+      case (x: String, y: String) => x < y
+      case _ => a.toString < b.toString
+    }
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labels = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      .map(x => org.apache.spark.sql.Row(x, find(x)))
+    val t = pairs.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", t),
+      org.apache.spark.sql.types.StructField("component", t)))
+    broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(labels: _*), schema))
+  }
+
   def connectedComponents(undirected: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = undirected.sparkSession
     import spark.implicits._

@@ -3204,7 +3204,7 @@ object Multimodal {
   def mmDhashSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val pairs = mmDhashPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val cc = graft.graph.Graphs.connectedComponents(pairs)
+    val cc = graft.graph.Graphs.componentsGuarded(pairs)
     spark.table(dhashTable(spark, dir)).select(col("doc_id"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -21,6 +21,25 @@ class GraphSpec extends SparkSpec {
     assert(Set("x", "y", "z").map(cc) == Set("x"))
   }
 
+  test("C2 componentsGuarded: local union-find labels identical to the distributed CC on string AND long ids; over-guard falls back") {
+    import spark.implicits._
+    val e = edgesDf("a" -> "b", "b" -> "c", "c" -> "d",
+      "x" -> "y", "y" -> "z", "x" -> "z")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.get(0) -> r.get(1)).toMap
+    assert(toMap(Graphs.componentsGuarded(e)) ==
+      toMap(Graphs.connectedComponents(e)),
+      "guarded labels must equal the star-contraction fixed point")
+    // long-id pair graph (the survivor faces' shape): min-LABEL is
+    // numeric here, not lexicographic
+    val le = Seq((10L, 9L), (9L, 2L), (100L, 7L)).toDF("u", "v")
+    val gl = toMap(Graphs.componentsGuarded(le))
+    assert(gl == toMap(Graphs.connectedComponents(le)))
+    assert(gl(10L) == 2L && gl(100L) == 7L)
+    // a guard of 0 forces the distributed path — same labels
+    assert(toMap(Graphs.componentsGuarded(le, maxDriverRows = 0L)) == gl)
+  }
+
   test("C2 connected components: long chain needs log-round convergence") {
     val chain = (0 until 64).map(i => (f"v$i%03d", f"v${i + 1}%03d"))
     val cc = Graphs.connectedComponents(edgesDf(chain: _*)).collect()
