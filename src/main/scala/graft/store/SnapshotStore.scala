@@ -1611,6 +1611,106 @@ object SnapshotStore {
     else a
   }
 
+  // ----- K56: table properties + fleet maintenance loop -------------
+
+  private def propsPath(name: String): Path =
+    new Path(tableDir(name), "_props.txt")
+
+  /** Durable per-table properties (the Delta `TBLPROPERTIES` /
+    * Iceberg table-metadata `properties` mechanism, reduced to a
+    * key=value file published with the same write-temp + rename
+    * atomicity as manifests). This is what lets maintenance be
+    * DECLARATIVE: the table carries its own clustering contract, so a
+    * fleet-wide loop needs no per-table configuration. */
+  def setTableProperty(name: String, key: String, value: String): Unit =
+    synchronized {
+      require(!key.contains("=") && !key.contains("\n") && !value.contains("\n"),
+        "property keys/values are single-line and '='-free keys")
+      val next = tableProperties(name) + (key -> value)
+      val target = propsPath(name)
+      val fs = fsOf(target)
+      val tmp = new Path(tableDir(name), s".props.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(target, false)
+      require(fs.rename(tmp, target), s"property publish failed for $name")
+    }
+
+  def tableProperties(name: String): Map[String, String] = {
+    val p = propsPath(name)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      bytes.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        line.take(i) -> line.drop(i + 1)
+      }.toMap
+    }
+  }
+
+  /** Declare the table's clustering contract: maintenance loops read
+    * it back with [[declaredClusteringDims]]. */
+  def setClusteringDims(name: String, dims: (String, String)): Unit =
+    setTableProperty(name, "clustering.dims", s"${dims._1},${dims._2}")
+
+  def declaredClusteringDims(name: String): Option[(String, String)] =
+    tableProperties(name).get("clustering.dims").map { v =>
+      val Array(a, b) = v.split(",", 2)
+      (a, b)
+    }
+
+  /** Every table under the store base (a directory with a published
+    * `_manifests` child) — one metadata listing, no data I/O. */
+  def listTables: Seq[String] = {
+    val root = new Path(base)
+    val fs = fsOf(root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => fs.exists(manifestDir(n)))
+      .toSeq.sorted
+  }
+
+  final case class FleetMaintenance(advice: Seq[OptimizeAdvice],
+      undeclared: Seq[String]) {
+    def rewritten: Seq[String] = advice.filter(_.rewrite).map(_.name)
+    def skipped: Seq[String] = advice.filterNot(_.rewrite).map(_.name)
+  }
+
+  /** K56: the SCHEDULED MAINTENANCE LOOP a real lake automates
+    * (Databricks predictive optimization / Iceberg maintenance jobs):
+    * walk EVERY table in the store, and for each one that DECLARES a
+    * clustering contract, read its K51 zone-overlap depth from the
+    * manifest alone and run the K53 ZORDER rewrite only where depth
+    * demands it. Tables without a declared contract are reported, not
+    * guessed at — clustering the wrong dimensions is a full-table tax
+    * with no read-side payoff. The loop is idempotent by construction:
+    * a second pass over a freshly maintained fleet advises SKIP
+    * everywhere (the depth it just collapsed is below threshold), so
+    * scheduling it hourly costs one manifest read per table, not one
+    * rewrite per table. At 100 TB the decision pass is O(tables ×
+    * manifest lines) driver-side metadata — the data-scale work
+    * (the rewrite) only runs where the measured layout decayed. */
+  def maintainFleet(spark: SparkSession, depthThreshold: Int,
+      files: Int = 8): FleetMaintenance = {
+    val (declared, undeclared) =
+      listTables.partition(declaredClusteringDims(_).isDefined)
+    val advice = declared.map { t =>
+      optimizeIfAdvised(spark, t, declaredClusteringDims(t).get,
+        depthThreshold, files)
+    }
+    FleetMaintenance(advice, undeclared)
+  }
+
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
     * (versions, data files, bytes), computed with the same
     * keep+tag-protection rule but touching nothing. The ops-review

@@ -1082,4 +1082,52 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.versionAt(name, t0).contains(0L))
     assert(SnapshotStore.versionAt(name, t1).contains(1L))
   }
+
+  test("K56 fleet maintenance: declared contracts drive the loop; one pass rewrites only decayed tables; the second pass is all-skip; properties survive atomically") {
+    import spark.implicits._
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y)
+    // decayed: x-linear layout, y depth == nFiles → must rewrite
+    val decayed = "tfleet_decayed"
+    SnapshotStore.commitOverwrite(decayed, grid.toDF("x", "y")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x", "y"))
+    SnapshotStore.setClusteringDims(decayed, ("x", "y"))
+    // healthy: already z-ordered → must skip
+    val healthy = "tfleet_healthy"
+    SnapshotStore.commitOverwrite(healthy, grid.toDF("x", "y")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x", "y"))
+    SnapshotStore.setClusteringDims(healthy, ("x", "y"))
+    SnapshotStore.optimizeZOrder(spark, healthy, ("x", "y"), files = 8)
+    val healthyV = SnapshotStore.versions(healthy).last
+    // undeclared: no contract → reported, never touched
+    val plain = "tfleet_plain"
+    SnapshotStore.commitOverwrite(plain, grid.toDF("x", "y"))
+    val plainV = SnapshotStore.versions(plain).last
+
+    val m = SnapshotStore.maintainFleet(spark, depthThreshold = 4)
+    assert(m.rewritten.contains(decayed), s"decayed table must rewrite: $m")
+    assert(m.skipped.contains(healthy), s"z-ordered table must skip: $m")
+    assert(m.undeclared.contains(plain), "no contract → report, don't guess")
+    assert(SnapshotStore.versions(healthy).last == healthyV &&
+      SnapshotStore.versions(plain).last == plainV,
+      "maintenance must publish nothing on skipped/undeclared tables")
+    val vOpt = m.advice.find(_.name == decayed).get.optimizedVersion
+      .getOrElse(fail("advised but not rewritten"))
+    assert(SnapshotStore.clusteringDepth(decayed, "y", Some(vOpt)).maxDepth <= 4,
+      "fleet-triggered ZORDER must collapse the decayed dimension")
+    assert(SnapshotStore.read(spark, decayed, Some(vOpt))
+      .as[(Long, Long)].collect().toSet == grid.toSet,
+      "maintenance must not change a single row")
+    // idempotence: the loop is schedulable — a second pass over the
+    // fleet advises SKIP on every table it just maintained
+    val m2 = SnapshotStore.maintainFleet(spark, depthThreshold = 4)
+    assert(Seq(decayed, healthy).forall(m2.skipped.contains),
+      s"second pass must be all-skip on maintained tables: $m2")
+    assert(SnapshotStore.versions(decayed).last == vOpt,
+      "all-skip must publish nothing")
+    // property file: last write wins, other keys survive
+    SnapshotStore.setTableProperty(plain, "owner", "pipeline-a")
+    SnapshotStore.setClusteringDims(plain, ("y", "x"))
+    assert(SnapshotStore.declaredClusteringDims(plain).contains(("y", "x")))
+    assert(SnapshotStore.tableProperties(plain)("owner") == "pipeline-a")
+  }
 }
