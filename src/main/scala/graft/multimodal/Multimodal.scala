@@ -3253,6 +3253,107 @@ object Multimodal {
           .cast("int").as("admit"))
   }
 
+  // ----- H43/E23: audio near-dup (offset-invariant fingerprint) -----
+
+  /** H43: per-frame audio subfingerprints — the Haitsma-Kalker 2002 /
+    * Chromaprint shape: a clip is a SEQUENCE of per-frame spectral
+    * hashes, not one global hash, because the canonical audio
+    * near-dup (same track re-encoded, padded, or trimmed) is TIME
+    * SHIFTED — a whole-clip hash (dHash's geometry) breaks under a
+    * one-frame shift, while a frame sequence still matches at an
+    * offset. No audio codec exists in this container, so the decoded
+    * PCM stands in deterministically (the H2 stub-decode contract):
+    * track g = doc_id/3 has a base frame sequence (16 bits from md5
+    * of (track, frame)), and each of its 3 re-encodes is shifted by
+    * s = doc_id%3 leading pad frames (doc-specific pad hashes — the
+    * "different silence/encoder priming" reality) plus ONE glitched
+    * frame (bit 0 flipped at frame doc_id%24 — the lossy-re-encode
+    * corruption that forces count-based verification instead of
+    * whole-sequence equality). Pure per-row expressions, zero
+    * shuffle; the oracle re-derives every frame from the formula. */
+  val AfpGroup = 3
+  val AfpFrames = 24
+  /** Verified-pair floor on aligned bigram count: a true pair overlaps
+    * ≥ 24−2 frames → ≥ 21 aligned bigrams, minus ≤ 2 interior glitches
+    * × 2 bigrams each → ≥ 17; 16 leaves one of slack while a false
+    * pair would need 16 independent 32-bit collisions at one offset. */
+  val AfpMinRun = 16
+
+  private def h16(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(x), 1, 4), 16, 10).cast("int")
+
+  /** The 16-bit subfingerprint of clip `docId` at frame `t`. */
+  def afpSubfp(docId: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = floor(docId / AfpGroup).cast("long")
+    val s = docId % AfpGroup
+    val raw = when(t < s,
+      h16(concat(lit("afppad|"), docId.cast("string"), lit("|"), t.cast("string"))))
+      .otherwise(
+        h16(concat(lit("afp|"), g.cast("string"), lit("|"), (t - s).cast("string"))))
+    when(t === docId % AfpFrames, raw.bitwiseXOR(lit(1))).otherwise(raw)
+  }
+
+  /** H43 driver query: the per-clip frame-subfingerprint table. */
+  def mmAfp(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(AfpFrames - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        afpSubfp(col("doc_id"), col("pos")).as("subfp"))
+
+  /** E23: offset-invariant audio near-dup pairs — the Haitsma-Kalker
+    * search, Spark-first: block on BIGRAMS of consecutive
+    * subfingerprints (32 bits of key — the value space that keeps the
+    * equality join's candidate mass at true-pairs + ~(rows²/2³²)
+    * noise, where single 16-bit frames would square into the join),
+    * then verify ALIGNMENT, not similarity: group candidates by
+    * (clip_a, clip_b, offset = t_b − t_a) and keep pairs with ≥
+    * [[AfpMinRun]] aligned bigrams at ONE offset. The offset
+    * histogram is what makes the matcher shift-invariant — a true
+    * re-encode concentrates its matches at exactly the pad-length
+    * delta, noise spreads thin across offsets. The bigram frames are
+    * formula-recomputed per (doc, t), NOT window-shifted — two md5s
+    * per row instead of a per-doc sort shuffle. Shapes: one equality
+    * bucket join on the 32-bit key, one (a, b, offset) aggregation;
+    * never all-pairs. */
+  def mmAfpPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(AfpFrames - 2))).as("t"))
+      .select(col("doc_id"), col("t"),
+        afpSubfp(col("doc_id"), col("t")).as("v1"),
+        afpSubfp(col("doc_id"), col("t") + 1).as("v2"))
+    val a = bg.select(col("doc_id").as("doc_a"), col("t").as("ta"),
+      col("v1"), col("v2"))
+    val b = bg.select(col("doc_id").as("doc_b"), col("t").as("tb"),
+      col("v1"), col("v2"))
+    a.join(b, Seq("v1", "v2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("tb") - col("ta")).as("offset"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .filter(col("n_aligned") >= AfpMinRun)
+  }
+
+  /** The afp formula oracle's shared frame CTE (the dhashHashCte
+    * convention: generated next to the Scala arithmetic). */
+  private lazy val afpFrameCte: String =
+    s"""fr AS (
+       |  SELECT doc_id, doc_id // $AfpGroup AS g, doc_id % $AfpGroup AS s,
+       |    unnest(range(0, $AfpFrames))::int AS t
+       |  FROM documents
+       |),
+       |fp AS MATERIALIZED (
+       |  SELECT doc_id, t,
+       |    CASE WHEN t = doc_id % $AfpFrames THEN xor(v, 1) ELSE v END AS subfp
+       |  FROM (
+       |    SELECT doc_id, t,
+       |      CASE WHEN t < s
+       |        THEN ('0x' || substr(md5('afppad|' || doc_id::varchar || '|' || t::varchar), 1, 4))::int
+       |        ELSE ('0x' || substr(md5('afp|' || g::varchar || '|' || (t - s)::varchar), 1, 4))::int
+       |      END AS v
+       |    FROM fr)
+       |)""".stripMargin
+
   private def dhashPxSql(r: Int, c: Int): String =
     s"((('0x' || substr(md5('img|' || g::varchar || '|$r'), ${2 * c + 1}, 2))::int)" +
       s" + (CASE WHEN doc_id % 72 = ${r * 9 + c} THEN $DHashNoise ELSE 0 END))"
@@ -3278,6 +3379,8 @@ object Multimodal {
     "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_dhash_admit" -> (mmDhashAdmit _),
     "mm_dhash_survivors" -> (mmDhashSurvivors _),
+    "mm_afp" -> (mmAfp _),
+    "mm_afp_pairs" -> (mmAfpPairs _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
@@ -3321,6 +3424,23 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_afp" ->
+      s"""WITH $afpFrameCte
+         |SELECT doc_id, t AS pos, subfp FROM fp""".stripMargin,
+    // E23: the bigram self-join + offset-histogram verification,
+    // re-derived from the same frame formula
+    "mm_afp_pairs" ->
+      s"""WITH $afpFrameCte,
+         |bg AS (
+         |  SELECT a.doc_id, a.t, a.subfp AS v1, b.subfp AS v2
+         |  FROM fp a JOIN fp b ON a.doc_id = b.doc_id AND b.t = a.t + 1
+         |)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  (y.t - x.t)::int AS offset, count(*) AS n_aligned
+         |FROM bg x JOIN bg y
+         |  ON x.v1 = y.v1 AND x.v2 = y.v2 AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2, y.t - x.t
+         |HAVING count(*) >= $AfpMinRun""".stripMargin,
     "mm_dhash" ->
       s"""WITH $dhashHashCte
          |SELECT doc_id, b0, b1, b2, b3 FROM h""".stripMargin,

@@ -570,6 +570,83 @@ object TextQueries {
         round(avg(term), 4).as("surprise"))
   }
 
+  /** The interpolated-Kneser-Ney doc scores G54 and G55 share: one
+    * definition so the bucketing face can't drift from the scorer. */
+  private def knDocScores(d: DataFrame): DataFrame = {
+    val bigrams = docBigrams(d)
+    val train = bigrams.filter(isTrainSplit(col("doc_id"))).localCheckpoint(eager = true)
+    val bg = train.groupBy("t", "t2").agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint(eager = true)
+    val pre = train.groupBy("t").agg(count(lit(1)).as("c_pre"))
+    // continuation counts: each bg row is one distinct (t1,t2) TYPE,
+    // so count(*) per side IS the N1+ fertility of KN
+    val n1f = bg.groupBy("t").agg(count(lit(1)).as("n1f"))
+    val n1b = bg.groupBy("t2").agg(count(lit(1)).as("n1b"))
+    // bigram-type total and vocab as broadcast 1-row scalars
+    val scal = broadcast(bg.agg(count(lit(1)).as("n_types")).crossJoin(
+      train.select(col("t")).unionAll(train.select(col("t2").as("t")))
+        .distinct().agg(count(lit(1)).as("vocab"))))
+    val pcont = (coalesce(col("n1b"), lit(0L)) + 1).cast("double") /
+      (col("n_types") + col("vocab"))
+    val p = when(col("c_pre").isNotNull,
+      (greatest(coalesce(col("c_bg"), lit(0L)).cast("double") - 0.75, lit(0.0))
+        + lit(0.75) * col("n1f") * pcont) / col("c_pre"))
+      .otherwise(pcont)
+    bigrams
+      .join(bg, Seq("t", "t2"), "left")
+      .join(pre, Seq("t"), "left")
+      .join(n1f, Seq("t"), "left")
+      .join(n1b, Seq("t2"), "left")
+      .crossJoin(scal)
+      .select(col("doc_id"), col("c_pre"), (-log2(p)).as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_pre").isNull.cast("long")).as("n_backoff"),
+        round(avg(col("term")), 4).as("kn_surprise"))
+  }
+
+  /** G54: interpolated Kneser-Ney bigram scoring — the smoothing the
+    * published quality-filter pipelines actually run (CCNet's KenLM is
+    * a KN-smoothed n-gram model; G19's add-one is the baseline): a
+    * seen bigram is discounted by the absolute D=0.75 and the freed
+    * mass is spread by the prefix's continuation FERTILITY (how many
+    * distinct words follow t1), with the unigram backoff being the
+    * CONTINUATION probability (in how many distinct contexts does t2
+    * appear) rather than raw frequency — the "San Francisco" fix:
+    * "Francisco" is frequent but only ever follows "San", so KN gives
+    * it almost no backoff mass. All model inputs are exact integer
+    * type/token counts over the G5 train split; the backoff add-one
+    * ((n1b+1)/(T+V)) keeps zero-fertility words scoreable. Shapes:
+    * the same one exploded-window bigram pass as G19, four keyed count
+    * aggregations on the train side (each shuffles the TYPE table, not
+    * the corpus), scalars broadcast; D=0.75 is an exact binary
+    * fraction so the only cross-engine float risk is the order-
+    * sensitive per-doc mean, rounded like every float face. */
+  def textKnScore(spark: SparkSession, dir: String): DataFrame =
+    knDocScores(Tables.documents(spark, dir))
+
+  /** G55: CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
+    * published corpus-curation move: score every document under the
+    * in-domain LM, then split each LANGUAGE into equal head / middle /
+    * tail thirds by perplexity rank (head ≈ cleanest, tail gets
+    * dropped or down-sampled; the mixture dial LLaMA's data recipe
+    * tuned per bucket). Rank within language over the ROUNDED G54
+    * surprise with doc_id as the total-order tiebreak — ntile over a
+    * total order is engine-portable, raw-double ordering is not. One
+    * window over the scored frame; the scorer's shapes are G54's. */
+  def textCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("kn_surprise"), col("doc_id"))
+    knDocScores(d)
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("kn_surprise"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** G20: top-bigram share — the fraction of a document's bigrams
     * covered by its SINGLE most frequent bigram (the Gopher-rules
     * repetition filter: templated/boilerplate text repeats one phrase;
@@ -1589,6 +1666,8 @@ object TextQueries {
     "text_mixture"      -> (textMixture _),
     "text_mixture_budget" -> (textMixtureBudget _),
     "text_lm_score"     -> (textLmScore _),
+    "text_kn_score"     -> (textKnScore _),
+    "text_ccnet_buckets" -> (textCcnetBuckets _),
     "text_top_bigram"   -> (textTopBigram _),
     "text_gopher"       -> (textGopher _),
     "text_zipf"         -> (textZipf _),
@@ -1611,6 +1690,46 @@ object TextQueries {
     s"length(list_filter($toksExpr, t -> ${inListSql("t", words)}))"
 
   private[graft] val toksSql = "string_split_regex(trim(text), ' +')"
+
+  /** The shared KN CTE chain (bigrams → train counts → continuation
+    * fertilities → per-bigram term), parameterized on the final
+    * SELECT so text_kn_score and text_ccnet_buckets stay one text. */
+  private def knScoreOracleSql(tail: String, extraCte: Boolean = false): String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bgi AS (
+       |  SELECT doc_id, unnest(range(1, length(t)))::int AS i, t FROM toks
+       |),
+       |bgs AS (SELECT doc_id, t[i] AS t1, t[i + 1] AS t2 FROM bgi),
+       |tr AS (
+       |  SELECT * FROM bgs
+       |  WHERE ('0x' || substr(md5('split|' || doc_id), 1, 4))::int < $TrainBucketMax
+       |),
+       |bg AS (SELECT t1, t2, count(*) AS c_bg FROM tr GROUP BY 1, 2),
+       |pre AS (SELECT t1, count(*) AS c_pre FROM tr GROUP BY 1),
+       |n1f AS (SELECT t1, count(*) AS n1f FROM bg GROUP BY 1),
+       |n1b AS (SELECT t2, count(*) AS n1b FROM bg GROUP BY 1),
+       |scal AS (SELECT (SELECT count(*) FROM bg) AS n_types,
+       |  (SELECT count(*) FROM
+       |    (SELECT t1 AS t FROM tr UNION SELECT t2 FROM tr)) AS vocab),
+       |j AS (
+       |  SELECT s.doc_id, bg.c_bg, pre.c_pre, n1f.n1f,
+       |    (coalesce(n1b.n1b, 0) + 1)::double / (scal.n_types + scal.vocab) AS pc
+       |  FROM bgs s
+       |  LEFT JOIN bg ON s.t1 = bg.t1 AND s.t2 = bg.t2
+       |  LEFT JOIN pre ON s.t1 = pre.t1
+       |  LEFT JOIN n1f ON s.t1 = n1f.t1
+       |  LEFT JOIN n1b ON s.t2 = n1b.t2
+       |  CROSS JOIN scal
+       |),
+       |t AS (
+       |  SELECT doc_id, c_pre,
+       |    -log2(CASE WHEN c_pre IS NOT NULL THEN
+       |      (greatest(coalesce(c_bg, 0)::double - 0.75::double, 0.0::double)
+       |        + 0.75::double * n1f * pc) / c_pre
+       |    ELSE pc END) AS term
+       |  FROM j
+       |)${if (extraCte) "," else ""}
+       |$tail""".stripMargin
 
   /** Shared by text_bm25 (corpus-scan plan) and text_bm25_indexed
     * (posting-list plan): one oracle text, two physical strategies. */
@@ -2478,6 +2597,32 @@ object TextQueries {
          |  sum((c_bg = 0)::int)::bigint AS n_unseen,
          |  round(avg(-log2((c_bg + 1)::double / (c_pre + vocab))), 4) AS surprise
          |FROM j GROUP BY doc_id""".stripMargin,
+
+    // mirrors textKnScore: same bigram/train CTEs as text_lm_score,
+    // KN terms with every float literal ::double (a bare 0.75 is
+    // DECIMAL in DuckDB — decimal arithmetic would diverge from
+    // Spark's double path), round(4) on the order-sensitive mean
+    "text_kn_score" -> knScoreOracleSql("""SELECT doc_id, count(*) AS n_bigrams,
+         |  sum((c_pre IS NULL)::int)::bigint AS n_backoff,
+         |  round(avg(term), 4) AS kn_surprise
+         |FROM t GROUP BY doc_id""".stripMargin),
+
+    // mirrors textCcnetBuckets: the SAME kn CTE chain, then ntile(3)
+    // per language over the (rounded surprise, doc_id) total order
+    "text_ccnet_buckets" -> knScoreOracleSql(
+      """kn AS (
+         |  SELECT doc_id, round(avg(term), 4) AS kn_surprise
+         |  FROM t GROUP BY doc_id
+         |), sel AS (
+         |  SELECT k.doc_id, d.lang, k.kn_surprise,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |                   ORDER BY k.kn_surprise, k.doc_id) AS terc
+         |  FROM kn k JOIN documents d ON k.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, lang, kn_surprise,
+         |  CASE WHEN terc = 1 THEN 'head'
+         |       WHEN terc = 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM sel""".stripMargin, extraCte = true),
 
     "text_contamination" -> {
       val n = ContamN

@@ -720,4 +720,40 @@ class MultimodalSpec extends SparkSpec {
       assert(bands(a).zip(bands(b)).exists(x => x._1 == x._2),
         s"pair ($a, $b) shares no band - the blocking would miss it") }
   }
+
+  test("H43/E23 audio fingerprint: every same-track pair verified at its exact pad offset, zero cross-track pairs, alignment floor holds under glitches") {
+    import spark.implicits._
+    val pairs = Multimodal.mmAfpPairs(spark, sfDir)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, off, n) =>
+      // ground truth: doc_id div 3 is the track, doc_id mod 3 the pad
+      // shift — a verified pair must be same-track, at EXACTLY the
+      // difference of the two pad lengths, above the alignment floor
+      assert(a / Multimodal.AfpGroup == b / Multimodal.AfpGroup,
+        s"cross-track pair ($a, $b) with $n aligned at offset $off")
+      assert(off == (b % Multimodal.AfpGroup - a % Multimodal.AfpGroup).toInt,
+        s"pair ($a, $b) matched at offset $off, not its pad delta")
+      assert(n >= Multimodal.AfpMinRun)
+      // the worst constructed case: max pad 2 plus two interior
+      // glitches each killing <= 2 bigrams -> >= 17 aligned
+      assert(n >= 17, s"pair ($a, $b) aligned only $n — glitch math off")
+    }
+    // total recall: every within-track pair, each at ONE offset
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val expected = (0L until nDocs).groupBy(_ / Multimodal.AfpGroup)
+      .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(pairs.length.toLong == expected,
+      s"recall must be total on constructed tracks: ${pairs.length} vs $expected")
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
+      "no pair may verify at two offsets")
+    // the frame table itself: one subfingerprint per (clip, frame),
+    // 16-bit range, glitch bit landed (frame doc%24 differs from the
+    // same track position in a shift-0 sibling only by bit 0 when
+    // both read base content)
+    val fp = Multimodal.mmAfp(spark, sfDir)
+      .filter(col("doc_id") < 3).as[(Long, Int, Int)].collect()
+    assert(fp.length == 3 * Multimodal.AfpFrames)
+    assert(fp.forall(r => r._3 >= 0 && r._3 < 65536))
+  }
 }

@@ -286,6 +286,70 @@ class TextOpsSpec extends SparkSpec {
     assert(ids == Seq(2L))
   }
 
+  test("G54 Kneser-Ney: plain-Scala reference parity and EXACT normalization of the smoothed distribution") {
+    // repeated structure so discounting, fertility backoff, unseen
+    // bigrams over seen prefixes, and full prefix backoff ALL fire;
+    // ids 8/13/28 are non-train under the G5 md5 split, and doc 8's
+    // tokens are absent from every other doc → pure-backoff document
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, "a b a b c"), (1L, "a b c d"), (2L, "b c a b"), (3L, "d a b c"),
+      (4L, "c d a b a"), (5L, "e f a"), (6L, "a b e f"), (7L, "f e d c b a"),
+      (8L, "zz qq ww zz"), (9L, "b a d c"), (10L, "c c a"), (11L, "d d b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kn").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.textKnScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    // independent reference: java MessageDigest split + Scala-map KN
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def isTrain(id: Long): Boolean =
+      Integer.parseInt(md5hex(s"split|$id").take(4), 16) < TextQueries.TrainBucketMax
+    assert(!isTrain(8L), "fixture doc 8 must be non-train")
+    val bigramsOf = docs.toMap.view.mapValues(
+      _.split(" +").toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq).toMap
+    val train = docs.map(_._1).filter(isTrain).flatMap(bigramsOf)
+    val cBg = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cPre = train.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1f = cBg.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cBg.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val types = cBg.size.toLong
+    val vocab = train.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong
+    def pcont(w: String): Double = (n1b.getOrElse(w, 0L) + 1).toDouble / (types + vocab)
+    def p(t1: String, t2: String): Double = cPre.get(t1) match {
+      case Some(cp) =>
+        (math.max(cBg.getOrElse((t1, t2), 0L).toDouble - 0.75, 0.0)
+          + 0.75 * n1f(t1) * pcont(t2)) / cp
+      case None => pcont(t2)
+    }
+    docs.foreach { case (id, _) =>
+      val bgs = bigramsOf(id)
+      val exp = bgs.map { case (a, b) => -math.log(p(a, b)) / math.log(2.0) }
+      val (nB, nBack, s) = got(id)
+      assert(nB == bgs.size.toLong, s"doc $id n_bigrams")
+      assert(nBack == bgs.count(b => !cPre.contains(b._1)).toLong,
+        s"doc $id n_backoff")
+      assert(math.abs(s - exp.sum / exp.size) < 2e-4,
+        s"doc $id surprise: got $s expected ${exp.sum / exp.size}")
+    }
+    assert(got(8L)._2 == got(8L)._1, "doc 8 must be pure backoff")
+    // THE KN invariant: the add-one continuation distribution keeps
+    // every seen prefix's smoothed distribution EXACTLY normalized —
+    // sum over the vocab of P(w|t1) = (c_pre − D·n1f)/c_pre +
+    // D·n1f/c_pre · Σpcont, and Σpcont = (T + V)/(T + V) = 1
+    val vocabSeq = train.flatMap(pr => Seq(pr._1, pr._2)).distinct
+    cPre.keys.foreach { t1 =>
+      val mass = vocabSeq.map(w => p(t1, w)).sum
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"P(.|$t1) must normalize exactly, got $mass")
+    }
+  }
+
   test("G49 DSIR: target-like raw docs outrank target-unlike ones; n_feats counts unigrams+bigrams") {
     // target slice (en) speaks "good stuff"; the de corpus has one
     // doc that ALSO says "good stuff" (target-like) and several that
