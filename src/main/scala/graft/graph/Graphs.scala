@@ -813,7 +813,10 @@ object Graphs {
   def kTruss(canonical: DataFrame, k: Int, iterations: Int): DataFrame = {
     var e = canonical.select(col("u"), col("v")).localCheckpoint(eager = true)
     var result = e.withColumn("support", lit(0L))
-    for (_ <- 1 to iterations) {
+    var prevEdges = -1L
+    var i = 1
+    var done = false
+    while (i <= iterations && !done) {
       // triangles a<b<c over the current edge set
       val t = e.select(col("u").as("a"), col("v").as("b"))
         .join(e.select(col("u").as("b"), col("v").as("c")), "b")
@@ -827,7 +830,14 @@ object Graphs {
           coalesce(col("support"), lit(0L)).as("support"))
         .filter(col("support") >= k - 2)
         .localCheckpoint(eager = true)
+      // drained-loop exit: a round that drops no edge recomputes the
+      // SAME supports next round — the count (a metadata read on the
+      // fresh checkpoint) is the convergence certificate
+      val n = result.count()
+      if (n == prevEdges) done = true
+      prevEdges = n
       e = result.select("u", "v")
+      i += 1
     }
     result
   }
@@ -1465,6 +1475,12 @@ object Graphs {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
+    // NOTE deliberately NOT a drained loop: the A/B (r16) measured the
+    // per-round checkpoint + emptiness action COSTLIER than the lazy
+    // every-2-rounds pipeline on this graph (1.87 → 2.19 s) — the k<k
+    // set here stays non-empty until late, so the drain never pays.
+    // onion/kTruss keep the drain because their schedules run past
+    // convergence by construction.
     var e = undirected.select(col("u"), col("v")).localCheckpoint(eager = true)
     for (i <- 1 to iterations) {
       val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
@@ -1505,27 +1521,49 @@ object Graphs {
     var verts = degreesOf(e).select(col("id")).localCheckpoint(eager = true)
     var out = verts.filter(lit(false))
       .select(col("id"), lit(0).as("coreness"), lit(0).as("layer"))
-    var layer = 0
     // callers may start at kMin = 2: on an edge-derived vertex set the
     // k = 1 stage is a PROVABLE no-op (every present vertex has deg ≥ 1
     // and nothing is removed to orphan one), so its rounds are pure
     // barrier cost; coreness semantics are unchanged (nobody can carry
     // coreness < kMin − 1)
-    for (k <- kMin to kMax; r <- 1 to roundsPerK) {
-      layer += 1
-      val deg = verts.join(degreesOf(e), Seq("id"), "left")
-        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-      out = checkpointEvery(out.unionAll(
-        deg.filter(col("deg") < k)
-          .select(col("id"), lit(k - 1).as("coreness"),
-            lit(layer).as("layer"))), layer, every = 4)
-      verts = deg.filter(col("deg") >= k).select(col("id"))
-        .localCheckpoint(eager = true)
-      e = checkpointEvery(
-        e.join(verts.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-          .join(verts.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-          .select(col("u"), col("v")), layer, every = 2)
+    lastRounds.set(0)
+    var executed = 0
+    for (k <- kMin to kMax) {
+      var r = 1
+      var drained = false
+      while (r <= roundsPerK && !drained) {
+        // layer indices are SCHEDULE-fixed, not execution-fixed, so a
+        // drained stage's skipped rounds change nothing downstream
+        val layer = (k - kMin) * roundsPerK + r
+        executed += 1
+        val deg = verts.join(degreesOf(e), Seq("id"), "left")
+          .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+          .localCheckpoint(eager = true)
+        val dropped = deg.filter(col("deg") < k)
+        if (dropped.isEmpty) {
+          // degrees are unchanged for the rest of this stage — rounds
+          // r+1..roundsPerK provably drop nothing (the MIS/coloring
+          // drained-loop idiom): skip their barriers; the output is
+          // identical by construction because empty rounds CONTRIBUTE
+          // nothing and survivor/later layers are schedule literals
+          drained = true
+        } else {
+          // out stays un-checkpointed: each dropped frame is a filter
+          // of ITS round's checkpointed deg, so the union's lineage is
+          // already flat and O(V) total
+          out = out.unionAll(dropped
+            .select(col("id"), lit(k - 1).as("coreness"),
+              lit(layer).as("layer")))
+          verts = deg.filter(col("deg") >= k).select(col("id"))
+          e = checkpointEvery(
+            e.join(verts.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+              .join(verts.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+              .select(col("u"), col("v")), layer, every = 2)
+          r += 1
+        }
+      }
     }
+    lastRounds.set(executed)
     out.unionAll(verts.select(col("id"), lit(kMax).as("coreness"),
       lit((kMax - kMin + 1) * roundsPerK + 1).as("layer")))
   }

@@ -92,6 +92,39 @@ class GraphSpec extends SparkSpec {
     assert(rows("c") == ((1, 5)), s"orphaned center must drop with a layer: $rows")
   }
 
+  test("C38 onion drained loop: rounds-executed == rounds-needed, dropped rows identical at any larger budget") {
+    val e = edgesDf("x" -> "y", "y" -> "z", "x" -> "z",
+      "a" -> "b", "b" -> "x")
+    val small = Graphs.onion(e, kMax = 2, roundsPerK = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // k=1: one detection round (nobody below 1); k=2: two dropping
+    // rounds (a, then b) + one detection round = 4 of the 6 budgeted
+    assert(Graphs.lastRoundsExecuted == 4,
+      s"expected 4 rounds, ran ${Graphs.lastRoundsExecuted}")
+    val big = Graphs.onion(e, kMax = 2, roundsPerK = 64).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(Graphs.lastRoundsExecuted == 4,
+      "a 64-round budget must execute the same 4 rounds")
+    // dropped rows are budget-invariant up to the schedule-literal
+    // layer base: (id, coreness, round-within-stage) must agree
+    def withinStage(rows: Set[(String, Int, Int)], perK: Int) =
+      rows.filter(r => r._3 <= 2 * perK) // dropped rows only
+        .map(r => (r._1, r._2, r._3 - r._2 * perK)) // stage k drops carry coreness k−1
+    assert(withinStage(small, 3) == withinStage(big, 64),
+      s"$small vs $big")
+    assert(big.filter(_._2 == 2).map(_._3) == Set(2 * 64 + 1))
+    // kTruss convergence certificate: a 50-round budget returns the
+    // 3-round result without paying 47 extra triangle enumerations
+    val t3 = Graphs.kTruss(edgesDf("x" -> "y", "y" -> "z", "x" -> "z",
+      "a" -> "b"), k = 3, iterations = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val t50 = Graphs.kTruss(edgesDf("x" -> "y", "y" -> "z", "x" -> "z",
+      "a" -> "b"), k = 3, iterations = 50).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(t3 == t50 && t3.map(t => (t._1, t._2)) ==
+      Set(("x", "y"), ("y", "z"), ("x", "z")))
+  }
+
   test("C9 sssp: weighted shortcut beats fewer hops; unreached absent") {
     import spark.implicits._
     // a-b-c path with cheap weights vs direct a-c expensive edge:
