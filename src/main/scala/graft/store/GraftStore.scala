@@ -40,7 +40,16 @@ object GraftStore {
     val sort = if (sortCols.nonEmpty) sortCols else bucketCols
     val params = Built(buckets, bucketCols, sort)
     val memo = built.getOrElseUpdate((spark, name), {
-      df.write.mode("overwrite").format("parquet")
+      // repartition on the bucket columns FIRST: bucketBy alone writes
+      // one file per (input partition × bucket) — a 64-partition build
+      // exploded undh2 into 2048 files and every downstream hop join
+      // paid 2048 file opens (r16: graph_bfs spent its 3 s there, not
+      // in data). Spark's repartition hash IS the bucketing hash
+      // (Murmur3 + pmod), so `buckets` shuffle partitions land each
+      // bucket in exactly one task → exactly one file per bucket; the
+      // one build-time shuffle buys every downstream read.
+      df.repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").format("parquet")
         .option("path", s"$defaultBase/$name")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(sort.head, sort.tail: _*)

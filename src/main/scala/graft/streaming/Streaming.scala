@@ -1152,6 +1152,41 @@ object Streaming {
     ()
   }
 
+  /** I56: streaming PERPLEXITY gate — the CCNet quality filter run in
+    * the crawl's first mile: every micro-batch's documents are scored
+    * under a FIXED pre-trained Kneser-Ney LM (the G54 model as a
+    * STATIC side input — production trains the LM on the clean
+    * in-domain corpus, then scores the stream; re-training per batch
+    * would let the stream drift the filter) and split at a surprise
+    * threshold: in-distribution text → corpus, high-perplexity tail →
+    * dead letter WITH its score (the tail is audited/down-sampled,
+    * never silently vanished — the I38 contract). Documents too short
+    * to score (no bigram) dead-letter with a NULL score rather than
+    * riding a NULL predicate into the void. Scoring is per-document
+    * arithmetic against broadcast-scale model frames, so stream ≡
+    * batch values by construction and the per-batch cost is one model
+    * join over the batch, no state store — the model IS the state,
+    * and it's read-only. Replay-safe: both commits are
+    * batchId-idempotent. Usage:
+    * `docs.writeStream.foreachBatch(Streaming.perplexityGateSink(
+    *   "corpus", "dlq", model, threshold) _)`. */
+  def perplexityGateSink(corpusTable: String, deadTable: String,
+      model: graft.text.TextQueries.KnModel, threshold: Double)
+      (df: DataFrame, batchId: Long): Unit = {
+    val scored = graft.text.TextQueries.knScoreAgainst(
+      df.select(col("doc_id"), col("text")), model)
+    val flagged = df.join(
+      scored.select(col("doc_id"), col("kn_surprise")), Seq("doc_id"), "left")
+    // row-class completeness (the I38 NULL lesson): admit is made
+    // NULL-free so filter(admit) / filter(!admit) partition the batch
+    val admit = coalesce(col("kn_surprise") <= threshold, lit(false))
+    graft.store.SnapshotStore.commitStreamBatch(
+      corpusTable, flagged.filter(admit), batchId)
+    graft.store.SnapshotStore.commitStreamBatch(
+      deadTable, flagged.filter(!admit), batchId)
+    ()
+  }
+
   final case class SsEv(user_id: Long, ts: Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -570,11 +570,15 @@ object TextQueries {
         round(avg(term), 4).as("surprise"))
   }
 
-  /** The interpolated-Kneser-Ney doc scores G54 and G55 share: one
-    * definition so the bucketing face can't drift from the scorer. */
-  private def knDocScores(d: DataFrame): DataFrame = {
-    val bigrams = docBigrams(d)
-    val train = bigrams.filter(isTrainSplit(col("doc_id"))).localCheckpoint(eager = true)
+  /** The trained KN count frames — built once (G54/G55 train on the
+    * G5 split) and reusable as a STATIC side input (the I56 stream
+    * gate scores micro-batches against a fixed model, the production
+    * CCNet shape: the LM is pre-trained, the stream is scored). */
+  final case class KnModel(bg: DataFrame, pre: DataFrame,
+      n1f: DataFrame, n1b: DataFrame, scal: DataFrame)
+
+  def knModelOf(trainDocs: DataFrame): KnModel = {
+    val train = docBigrams(trainDocs).localCheckpoint(eager = true)
     val bg = train.groupBy("t", "t2").agg(count(lit(1)).as("c_bg"))
       .localCheckpoint(eager = true)
     val pre = train.groupBy("t").agg(count(lit(1)).as("c_pre"))
@@ -586,24 +590,36 @@ object TextQueries {
     val scal = broadcast(bg.agg(count(lit(1)).as("n_types")).crossJoin(
       train.select(col("t")).unionAll(train.select(col("t2").as("t")))
         .distinct().agg(count(lit(1)).as("vocab"))))
+    KnModel(bg, pre, n1f, n1b, scal)
+  }
+
+  /** Score `docs` (doc_id, text, …) under a FIXED KN model — per-doc
+    * arithmetic only, so batch and per-micro-batch invocations are
+    * value-identical by construction. */
+  def knScoreAgainst(docs: DataFrame, m: KnModel): DataFrame = {
     val pcont = (coalesce(col("n1b"), lit(0L)) + 1).cast("double") /
       (col("n_types") + col("vocab"))
     val p = when(col("c_pre").isNotNull,
       (greatest(coalesce(col("c_bg"), lit(0L)).cast("double") - 0.75, lit(0.0))
         + lit(0.75) * col("n1f") * pcont) / col("c_pre"))
       .otherwise(pcont)
-    bigrams
-      .join(bg, Seq("t", "t2"), "left")
-      .join(pre, Seq("t"), "left")
-      .join(n1f, Seq("t"), "left")
-      .join(n1b, Seq("t2"), "left")
-      .crossJoin(scal)
+    docBigrams(docs)
+      .join(m.bg, Seq("t", "t2"), "left")
+      .join(m.pre, Seq("t"), "left")
+      .join(m.n1f, Seq("t"), "left")
+      .join(m.n1b, Seq("t2"), "left")
+      .crossJoin(m.scal)
       .select(col("doc_id"), col("c_pre"), (-log2(p)).as("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("c_pre").isNull.cast("long")).as("n_backoff"),
         round(avg(col("term")), 4).as("kn_surprise"))
   }
+
+  /** The interpolated-Kneser-Ney doc scores G54 and G55 share: one
+    * definition so the bucketing face can't drift from the scorer. */
+  private def knDocScores(d: DataFrame): DataFrame =
+    knScoreAgainst(d, knModelOf(d.filter(isTrainSplit(col("doc_id")))))
 
   /** G54: interpolated Kneser-Ney bigram scoring — the smoothing the
     * published quality-filter pipelines actually run (CCNet's KenLM is

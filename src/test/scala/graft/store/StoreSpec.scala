@@ -69,6 +69,24 @@ class StoreSpec extends SparkSpec {
     assert(spark.table(n1).count() == Tables.region(spark, sfDir).count())
   }
 
+  test("ensureBucketed writes exactly one file per bucket regardless of input partitioning") {
+    import spark.implicits._
+    // 64 input partitions × 8 buckets exploded into 512 files before
+    // the r16 pre-repartition fix (graph_bfs paid 2048 file opens per
+    // hop on undh2); the build-time shuffle must collapse that to
+    // bucket-count files
+    val name = GraftStore.ensureBucketed(spark, "graft_onefile_bucket", 8, Seq("k")) {
+      spark.range(0, 10000, 1, 64).select(col("id").as("k"), (col("id") * 2).as("v"))
+    }
+    val loc = spark.sql(s"DESCRIBE FORMATTED $name").collect()
+      .find(_.getString(0).trim == "Location").get.getString(1)
+    val files = new java.io.File(new java.net.URI(loc)).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length == 8,
+      s"expected one file per bucket, got ${files.length}")
+    assert(spark.table(name).count() == 10000L)
+  }
+
   test("ensureBucketed fails fast when a name is reused with different parameters") {
     GraftStore.ensureBucketed(spark, "graft_memo_params", 2, Seq("r_regionkey")) {
       Tables.region(spark, sfDir)

@@ -576,6 +576,50 @@ class StreamingSpec extends SparkSpec {
       SnapshotStore.versions("img_corpus").size == 3)
   }
 
+  test("I56 streaming perplexity gate: stream admissions == the batch KN filter, unscoreable docs dead-letter with NULL score, replay idempotent") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    import graft.text.TextQueries
+    val d = graft.Tables.documents(spark, sfDir)
+    val model = TextQueries.knModelOf(
+      d.filter(TextQueries.isTrainSplit(col("doc_id"))))
+    val batchScores = TextQueries.textKnScore(spark, sfDir)
+      .select("doc_id", "kn_surprise").as[(Long, Double)].collect().toMap
+    val thr = batchScores.values.toSeq.sorted.apply(batchScores.size / 2)
+    val sink = Streaming.perplexityGateSink("ppl_corpus", "ppl_dlq", model, thr) _
+    val base = d.select("doc_id", "text", "lang")
+    // one unscoreable document (single token → zero bigrams)
+    val shorty = Seq((-1L, "solo", "xx")).toDF("doc_id", "text", "lang")
+    (0 until 3).foreach { b =>
+      val batch = base.filter(col("doc_id") % 3 === b)
+      sink(if (b == 1) batch.unionAll(shorty) else batch, b.toLong)
+    }
+    def ids(t: String) = SnapshotStore.read(spark, t)
+      .select("doc_id").as[Long].collect().toSet
+    val allIds = d.select("doc_id").as[Long].collect().toSet
+    val expectAdmit = batchScores.filter(_._2 <= thr).keySet
+    assert(ids("ppl_corpus") == expectAdmit,
+      "stream admissions must equal the batch KN filter")
+    assert(ids("ppl_dlq") == (allIds -- expectAdmit) + -1L,
+      "the high-perplexity tail plus the unscoreable doc dead-letter")
+    // the dead letter carries the score for auditing; unscoreable NULL
+    val dl = SnapshotStore.read(spark, "ppl_dlq")
+      .select("doc_id", "kn_surprise").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(dl(-1L).isEmpty, "zero-bigram doc must carry a NULL score")
+    dl.filter(_._1 >= 0).foreach { case (id, s) =>
+      assert(s.contains(batchScores(id)), s"dlq score drift for $id") }
+    // replay of batch 0: batchId-idempotent on both tables
+    val v0 = (SnapshotStore.versions("ppl_corpus").size,
+      SnapshotStore.versions("ppl_dlq").size)
+    sink(base.filter(col("doc_id") % 3 === 0), 0L)
+    assert(ids("ppl_corpus") == expectAdmit && v0 ==
+      (SnapshotStore.versions("ppl_corpus").size,
+        SnapshotStore.versions("ppl_dlq").size),
+      "replay must change nothing")
+  }
+
   test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
     import spark.implicits._
     import graft.store.SnapshotStore
