@@ -888,6 +888,73 @@ object TextQueries {
           col("n_sentences") >= 3).cast("int").as("keep"))
   }
 
+  /** The C4 blocklist is a POLICY input (Raffel et al. ship a large
+    * external list); the mechanics are what this battery implements,
+    * with a sentinel token the fixture injects deterministically. */
+  val C4Blocklist = Seq("graftbadword")
+
+  /** G56: the C4 heuristic cleanup battery (Raffel et al. 2020 §2.2)
+    * — the OTHER canonical published filter set next to G24's Gopher
+    * rules, operating at LINE grain where Gopher's main battery is
+    * document-grain: keep only lines that end in terminal punctuation
+    * AND carry ≥ 5 words; drop whole pages containing "lorem ipsum"
+    * (placeholder boilerplate), "{" (leaked code), any blocklist term
+    * (policy), or fewer than 3 sentences. Fixture pages are rebuilt
+    * deterministically from each doc (the G29/G52 convention: 4-8
+    * lines; every 4th line short; terminal '.'/'!' by residue; lorem
+    * on doc%7, a brace suffix on doc%5, a blocklist token on doc%11 —
+    * each injected where it also KILLS that line's terminal flag, so
+    * the flags interact the way real pages do). The Spark side runs
+    * the REAL string machinery — build page, split lines, count
+    * words, scan tokens — while the oracle recomputes every flag from
+    * the generating arithmetic. One explode + one doc-keyed agg,
+    * pure codegen expressions below it. */
+  def textC4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val long5 = concat_ws(" ", slice(toks, 1, 5))
+    val short2 = concat_ws(" ", slice(toks, 1, 2))
+    val nLines = (lit(4) + col("doc_id") % 5).cast("int")
+    def line(i: Int): Column = {
+      val body = when(col("doc_id") % 7 === 0 && lit(i) === 2,
+        lit("lorem ipsum dolor sit amet"))
+        .when((col("doc_id") + i) % 4 === 2, short2)
+        .otherwise(long5)
+      val term = when((col("doc_id") + i) % 3 === 0, lit("."))
+        .when((col("doc_id") + i) % 3 === 1, lit("!"))
+        .otherwise(lit(""))
+      val blocked = when(col("doc_id") % 11 === 0 && lit(i) === 3,
+        lit(" graftbadword")).otherwise(lit(""))
+      val brace = when(col("doc_id") % 5 === 0 && lit(i) === 1, lit(" {"))
+        .otherwise(lit(""))
+      val sep = if (i == 0) lit("") else lit("\n")
+      when(lit(i) < nLines, concat(sep, body, term, blocked, brace))
+        .otherwise(lit(""))
+    }
+    val page = concat((0 until 8).map(line): _*)
+    val words = size(split(col("line"), " "))
+    val terminal = endswith(col("line"), lit(".")) ||
+      endswith(col("line"), lit("!"))
+    val agg = d.select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"), col("page"),
+        explode(split(col("page"), "\n")).as("line"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((words >= 5 && terminal).cast("long")).as("n_kept"),
+        sum(terminal.cast("long")).as("n_sentences"),
+        max(col("page").contains("lorem ipsum").cast("int")).as("has_lorem"),
+        max(col("page").contains("{").cast("int")).as("has_brace"),
+        max((countIn(split(col("line"), " "), C4Blocklist) > 0)
+          .cast("int")).as("has_blocked"))
+    agg.select(col("doc_id"), col("n_lines"), col("n_kept"),
+      col("n_sentences"), col("has_lorem"), col("has_brace"),
+      col("has_blocked"),
+      round(col("n_kept").cast("double") / col("n_lines"), 4).as("kept_ratio"),
+      (col("has_lorem") === 0 && col("has_brace") === 0 &&
+        col("has_blocked") === 0 && col("n_sentences") >= 3)
+        .cast("int").as("keep"))
+  }
+
   /** Target docs per source for mixture balancing (in expectation). */
   val MixtureCap = 120
 
@@ -1689,6 +1756,7 @@ object TextQueries {
     "text_zipf"         -> (textZipf _),
     "text_encoding_audit" -> (textEncodingAudit _),
     "text_gopher_lines" -> (textGopherLines _),
+    "text_c4_filters"   -> (textC4Filters _),
     "text_repetition"   -> (textRepetition _),
     "text_contamination" -> (textContamination _),
     "text_quantile_sketch" -> (textQuantileSketch _),
@@ -2325,6 +2393,38 @@ object TextQueries {
         |  (CASE WHEN n_bullet * 10 <= n_lines * 9
         |    AND n_ellipsis * 10 <= n_lines * 3
         |    AND n_sentences >= 3 THEN 1 ELSE 0 END) AS keep
+        |FROM c""".stripMargin,
+
+    // G56: every flag re-derived from the generating arithmetic (the
+    // gopher_lines convention); the injected lorem/brace/blocklist
+    // lines also kill their line's terminal flag, mirrored exactly
+    "text_c4_filters" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS i
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, i,
+        |    (CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 5
+        |          WHEN (doc_id + i) % 4 = 2 THEN 2 ELSE 5 END)
+        |    + (CASE WHEN doc_id % 11 = 0 AND i = 3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 5 = 0 AND i = 1 THEN 1 ELSE 0 END) AS words,
+        |    (CASE WHEN (doc_id + i) % 3 IN (0, 1)
+        |          AND NOT (doc_id % 5 = 0 AND i = 1)
+        |          AND NOT (doc_id % 11 = 0 AND i = 3) THEN 1 ELSE 0 END) AS terminal
+        |  FROM g
+        |), c AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN words >= 5 AND terminal = 1 THEN 1 ELSE 0 END)::bigint AS n_kept,
+        |    sum(terminal)::bigint AS n_sentences
+        |  FROM l GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_lines, n_kept, n_sentences,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS has_lorem,
+        |  (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS has_brace,
+        |  (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS has_blocked,
+        |  round(n_kept::double / n_lines, 4) AS kept_ratio,
+        |  (CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0 AND doc_id % 11 <> 0
+        |        AND n_sentences >= 3 THEN 1 ELSE 0 END) AS keep
         |FROM c""".stripMargin,
 
     "text_zipf" ->
