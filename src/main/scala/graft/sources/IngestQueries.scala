@@ -70,6 +70,34 @@ object IngestQueries {
     Sources.fixedWidth(spark, path, layout)
   }
 
+  /** A23: nested-document normalization — the JSON-feed reality a
+    * relational engine has to meet halfway: the producer ships ONE
+    * document per order carrying an ARRAY of line items; analytics
+    * needs the child grain back. Round trip: denormalize (groupBy +
+    * sort_array(collect_list(struct)) — sort_array pins the array
+    * order collect_list alone leaves partition-dependent), write
+    * JSONL, schema'd read (no inference scan at 100 TB), posexplode
+    * back to child rows. The oracle is the IDENTITY on the original
+    * lineitem projection, which value-checks both directions
+    * including array order and the double round trip through JSON
+    * text. Shapes: one keyed agg to nest, a pure explode to unnest —
+    * the wire format costs one shuffle total. */
+  def ingNested(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))
+    val nested = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+        col("l_quantity").as("qty")))).as("items"))
+    val path = tmp(s"orders_nested_${graft.store.GraftStore.dirKey(dir)}")
+    nested.write.mode("overwrite").json(path)
+    spark.read.schema(nested.schema).json(path)
+      .select(col("l_orderkey"), explode(col("items")).as("it"))
+      .select(col("l_orderkey"), col("it.ln").as("l_linenumber"),
+        col("it.pk").as("l_partkey"), col("it.qty").as("l_quantity"))
+  }
+
   def ingBatches(spark: SparkSession, dir: String): DataFrame =
     Sources.jsonBatches(
       Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars"),
@@ -948,6 +976,7 @@ object IngestQueries {
     "ing_dpp" -> (ingDpp _),
     "ing_snapshot_diff" -> (ingSnapshotDiff _),
     "ing_fixed_width" -> (ingFixedWidth _),
+    "ing_nested"  -> (ingNested _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1003,6 +1032,10 @@ object IngestQueries {
         |SELECT n_nationkey, n_name, n_regionkey, 2
         |FROM nation WHERE n_nationkey % 2 = 1""".stripMargin,
     "ing_fixed_width" -> "SELECT * FROM nation",
+    // A23: the nest→JSONL→unnest round trip must reproduce the child
+    // projection exactly (array order pinned by sort_array)
+    "ing_nested" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem",
     "ing_tsv"  -> "SELECT * FROM supplier",
     "ing_json" -> "SELECT * FROM region",
     "ing_xml"  -> "SELECT * FROM region",
