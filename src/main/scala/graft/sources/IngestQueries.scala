@@ -419,6 +419,37 @@ object IngestQueries {
     IncrementalView.read(spark, mv)
   }
 
+  /** K58 as a driver query: MV = orders ⋈ lineitem maintained by
+    * delta propagation across STAGGERED appends — orders lands in two
+    * halves by orderkey parity, lineitem in two halves by PARTKEY
+    * parity (independent of the join key, so every delta term is
+    * non-trivial: ΔA⋈B_new and A_old⋈ΔB both produce rows). The
+    * A_old⋈B_old bulk is never re-joined after the first build
+    * (file-scan evidence in IncrementalViewSpec); the oracle is the
+    * one-shot join of the full tables, which every refresh must
+    * equal. */
+  def ingMvJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, IncrementalView, SnapshotStore}
+    val key = GraftStore.dirKey(dir)
+    val a = s"ord_mvj_$key"; val b = s"li_mvj_$key"; val mv = s"mvj_$key"
+    snapCommitted.getOrElseUpdate(mv, {
+      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("okey"),
+        col("o_custkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(spark, dir).select(col("l_orderkey").as("okey"),
+        col("l_linenumber"), col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      SnapshotStore.commitAppend(a, o.filter(col("okey") % 2 === 0))
+      SnapshotStore.commitAppend(b, l.filter(col("l_partkey") % 2 === 0))
+      IncrementalView.refreshJoin(spark, a, b, mv, Seq("okey"))
+      SnapshotStore.commitAppend(a, o.filter(col("okey") % 2 === 1))
+      IncrementalView.refreshJoin(spark, a, b, mv, Seq("okey"))
+      SnapshotStore.commitAppend(b, l.filter(col("l_partkey") % 2 === 1))
+      true
+    })
+    IncrementalView.refreshJoin(spark, a, b, mv, Seq("okey"))
+    IncrementalView.read(spark, mv)
+  }
+
   /** K26: dynamic partition pruning — the runtime file-skipping layer
     * the ENGINE provides when the table is directory-partitioned (the
     * warehouse star-join staple): lineitem lands partitioned by ship
@@ -973,6 +1004,7 @@ object IngestQueries {
     "ing_zonemap" -> (ingZonemap _),
     "ing_snapshot_index" -> (ingSnapshotIndex _),
     "ing_mv_inc" -> (ingMvInc _),
+    "ing_mv_join" -> (ingMvJoin _),
     "ing_dpp" -> (ingDpp _),
     "ing_snapshot_diff" -> (ingSnapshotDiff _),
     "ing_fixed_width" -> (ingFixedWidth _),
@@ -1379,6 +1411,11 @@ object IngestQueries {
         |  sum(round(l_extendedprice * 100)::bigint)::bigint AS sum_price_c
         |FROM lineitem
         |GROUP BY 1, 2""".stripMargin,
+    // K58: every refresh must equal the one-shot join of the full bases
+    "ing_mv_join" ->
+      """SELECT o_orderkey AS okey, o_custkey, o_orderpriority,
+        |  l_linenumber, l_partkey, round(l_quantity * 100)::bigint AS qty_c
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )
 }

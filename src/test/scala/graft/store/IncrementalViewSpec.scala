@@ -129,6 +129,54 @@ class IncrementalViewSpec extends SparkSpec {
       "stale stats must not let a delete survive")
   }
 
+  test("K58 join MV: staggered appends advance by delta propagation, equal to the full join at every step; history rewrite falls back full") {
+    import spark.implicits._
+    def full(): Set[(Long, String, Long)] =
+      SnapshotStore.read(spark, "jva").join(SnapshotStore.read(spark, "jvb"), Seq("k"))
+        .as[(Long, String, Long)].collect().toSet
+    def mv(): Set[(Long, String, Long)] =
+      IncrementalView.read(spark, "jvmv").as[(Long, String, Long)].collect().toSet
+    SnapshotStore.commitAppend("jva",
+      Seq((1L, "a1"), (2L, "a2")).toDF("k", "av").repartition(2))
+    SnapshotStore.commitAppend("jvb",
+      Seq((1L, 10L), (1L, 11L), (3L, 30L)).toDF("k", "bv").repartition(1))
+    val r0 = IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
+    assert(!r0.incremental && mv() == full() &&
+      mv() == Set((1L, "a1", 10L), (1L, "a1", 11L)))
+    // ΔA arrives: its rows must join the WHOLE current B (incl. k=3)
+    SnapshotStore.commitAppend("jva",
+      Seq((3L, "a3")).toDF("k", "av").repartition(1))
+    val r1 = IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
+    assert(r1.incremental && r1.deltaFilesScanned == 1, s"$r1")
+    assert(mv() == full() && mv()((3L, "a3", 30L)))
+    // ΔB arrives: must join A as of the REFLECTED version (which now
+    // includes a3) — and ΔA⋈ΔB must not double-count
+    SnapshotStore.commitAppend("jvb",
+      Seq((2L, 20L), (3L, 31L)).toDF("k", "bv").repartition(1))
+    val r2 = IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
+    assert(r2.incremental && r2.deltaFilesScanned == 1, s"$r2")
+    assert(mv() == full() && mv()((2L, "a2", 20L)) && mv()((3L, "a3", 31L)))
+    // BOTH deltas in one refresh: ΔA⋈B_new covers ΔA⋈ΔB, A_old⋈ΔB
+    // covers the rest — exactly once each
+    SnapshotStore.commitAppend("jva",
+      Seq((4L, "a4")).toDF("k", "av").repartition(1))
+    SnapshotStore.commitAppend("jvb",
+      Seq((4L, 40L), (1L, 12L)).toDF("k", "bv").repartition(1))
+    val r3 = IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
+    assert(r3.incremental && r3.deltaFilesScanned == 2, s"$r3")
+    assert(mv() == full(), "both-sides delta must still equal the full join")
+    // no-op refresh scans nothing
+    val r4 = IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
+    assert(r4.incremental && r4.deltaFilesScanned == 0)
+    // an OVERWRITE on a base breaks the append-only subset relation:
+    // the next refresh must go full and still be exact
+    SnapshotStore.commitOverwrite("jva",
+      Seq((1L, "A1"), (4L, "A4")).toDF("k", "av").repartition(1))
+    val r5 = IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
+    assert(!r5.incremental, "history rewrite must force the full path")
+    assert(mv() == full() && mv().forall(t => t._2 == "A1" || t._2 == "A4"))
+  }
+
   implicit private class Tup3Map(rows: Array[(String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long)] =
       rows.map { case (g, k, v) => k -> ((g, v)) }.toMap
