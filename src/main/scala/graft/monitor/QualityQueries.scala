@@ -258,7 +258,55 @@ object QualityQueries {
       .orderBy("lang", "source", "len_bucket")
   }
 
+  /** J13: maximum tolerated total-variation distance, in thousandths
+    * (t = 0.4) — kept integral so the flag is an exact comparison. */
+  val TCloseMillis = 400L
+
+  /** J13: t-closeness audit (Li et al. 2007) — the third rung of the
+    * privacy battery: a class can be k-anonymous (J10) AND l-diverse
+    * (J11) and still leak by SKEW — if a class's sensitive-value
+    * DISTRIBUTION sits far from the corpus-wide one, membership alone
+    * shifts an attacker's posterior (the "all three distinct salaries
+    * in this class are the three lowest" attack l-diversity cannot
+    * see). Distance is total variation over the categorical sensitive
+    * attribute: TV = ½ Σ_s |p_class(s) − p_global(s)|, computed in
+    * EXACT integers scaled by 2·k·N — the per-value term is
+    * |cnt_cs·N − cnt_g·k| and values ABSENT from the class contribute
+    * (N − Σ_{s∈class} cnt_g)·k in one closed form, so no per-class ×
+    * global-vocabulary explosion and no float until the one display
+    * division. The t_close flag compares scaled integers
+    * (tv_num·1000 ≤ 2·t_millis·k·N) — a boundary class cannot flip on
+    * an ulp. Shapes: the same (class, sens) count frame as J11, one
+    * global roll-up of THAT frame, one class-scale join back —
+    * metadata-scale output. */
+  def dqTcloseness(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("source"),
+      expr(s"n_chars div $KanonLenBucket").as("len_bucket"),
+      regexp_extract(col("text"), "^ *([^ ]+)", 1).as("sens"))
+    val sc = d.groupBy("lang", "source", "len_bucket", "sens")
+      .agg(count(lit(1)).as("cnt"))
+    val g = sc.groupBy("sens").agg(sum(col("cnt")).as("cnt_g"))
+    val n = broadcast(g.agg(sum(col("cnt_g")).as("n_total")))
+    val kf = sc.groupBy("lang", "source", "len_bucket")
+      .agg(sum(col("cnt")).as("k"))
+    val per = sc.join(kf, Seq("lang", "source", "len_bucket"))
+      .join(g, "sens").crossJoin(n)
+      .groupBy("lang", "source", "len_bucket")
+      .agg(max(col("k")).as("k"), max(col("n_total")).as("n_total"),
+        sum(abs(col("cnt") * col("n_total") - col("cnt_g") * col("k")))
+          .as("present_term"),
+        sum(col("cnt_g")).as("cov_g"))
+    val tvNum = col("present_term") + (col("n_total") - col("cov_g")) * col("k")
+    per.select(col("lang"), col("source"), col("len_bucket"), col("k"),
+      tvNum.as("tv_num"),
+      round(tvNum.cast("double") / (lit(2.0) * col("k") * col("n_total")), 6)
+        .as("tv"),
+      (tvNum * 1000L <= lit(2L * TCloseMillis) * col("k") * col("n_total"))
+        .cast("int").as("t_close"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "dq_tcloseness"  -> (dqTcloseness _),
     "dq_constraints" -> (dqConstraints _),
     "dq_profile"     -> (dqProfile _),
     "dq_drift"       -> (dqDrift _),
@@ -268,6 +316,41 @@ object QualityQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors dqTcloseness: same class/sens frames, the scaled-integer
+    // TV numerator with the absent-values closed form, the one display
+    // division, the exact-integer flag comparison
+    "dq_tcloseness" ->
+      s"""WITH q AS (
+         |  SELECT lang, source, n_chars // $KanonLenBucket AS len_bucket,
+         |    regexp_extract(text, '^ *([^ ]+)', 1) AS sens
+         |  FROM documents
+         |), sc AS (
+         |  SELECT lang, source, len_bucket, sens, count(*)::bigint AS cnt
+         |  FROM q GROUP BY 1, 2, 3, 4
+         |), g AS (SELECT sens, sum(cnt)::bigint AS cnt_g FROM sc GROUP BY 1),
+         |n AS (SELECT sum(cnt_g)::bigint AS n_total FROM g),
+         |kf AS (
+         |  SELECT lang, source, len_bucket, sum(cnt)::bigint AS k
+         |  FROM sc GROUP BY 1, 2, 3
+         |), p AS (
+         |  SELECT sc.lang, sc.source, sc.len_bucket,
+         |    max(kf.k) AS k, max(n.n_total) AS n_total,
+         |    sum(abs(sc.cnt * n.n_total - g.cnt_g * kf.k))::bigint AS present_term,
+         |    sum(g.cnt_g)::bigint AS cov_g
+         |  FROM sc
+         |  JOIN kf ON sc.lang = kf.lang AND sc.source = kf.source
+         |    AND sc.len_bucket = kf.len_bucket
+         |  JOIN g ON sc.sens = g.sens
+         |  CROSS JOIN n
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT lang, source, len_bucket, k,
+         |  (present_term + (n_total - cov_g) * k)::bigint AS tv_num,
+         |  round((present_term + (n_total - cov_g) * k)::double
+         |    / (2.0 * k * n_total), 6) AS tv,
+         |  ((present_term + (n_total - cov_g) * k) * 1000
+         |    <= ${2L * TCloseMillis} * k * n_total)::int AS t_close
+         |FROM p""".stripMargin,
     // mirrors dqLdiversity: same leading-term regex, same truncating
     // bucket division, two-stage (class, sens)-count → class roll-up,
     // int-cast flags — all evidence exact integers
