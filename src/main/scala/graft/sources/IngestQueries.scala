@@ -605,7 +605,7 @@ object IngestQueries {
 
   def warmStores(spark: SparkSession, dir: String): Unit = {
     ingZonemap(spark, dir); ingSnapshotIndex(spark, dir); ingMvInc(spark, dir)
-    dppLayout(spark, dir); ingSnapshotDiff(spark, dir); ()
+    dppLayout(spark, dir); ingSnapshotDiff(spark, dir); ingMvJoin(spark, dir); ()
   }
 
   /** A18: WARC/1.0 record parse — THE web-crawl container a training

@@ -168,6 +168,25 @@ class IncrementalViewSpec extends SparkSpec {
     // no-op refresh scans nothing
     val r4 = IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
     assert(r4.incremental && r4.deltaFilesScanned == 0)
+    // COMPOSITION: the join MV is itself an append-only snapshot
+    // table, so a K25 aggregate MV over it advances incrementally on
+    // the join MV's delta commits — the star-schema dashboard chain
+    // (fact⋈dim → per-key rollup) maintained end-to-end without ever
+    // rescanning either base
+    val c0 = IncrementalView.refresh(spark, "jvmv", "jvaggmv", Seq("av"), Seq("bv"))
+    assert(!c0.incremental, "first chained build is full (of the MV, not the bases)")
+    SnapshotStore.commitAppend("jvb",
+      Seq((4L, 41L)).toDF("k", "bv").repartition(1))
+    IncrementalView.refreshJoin(spark, "jva", "jvb", "jvmv", Seq("k"))
+    val c1 = IncrementalView.refresh(spark, "jvmv", "jvaggmv", Seq("av"), Seq("bv"))
+    assert(c1.incremental, "the chained aggregate must advance on the join MV's append")
+    val agg = IncrementalView.read(spark, "jvaggmv")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = full().groupBy(_._2)
+      .map { case (a, rows) => a -> ((rows.size.toLong, rows.toSeq.map(_._3).sum)) }
+    assert(agg == expect, s"$agg vs $expect")
+
     // an OVERWRITE on a base breaks the append-only subset relation:
     // the next refresh must go full and still be exact
     SnapshotStore.commitOverwrite("jva",
