@@ -1187,6 +1187,29 @@ object Streaming {
     ()
   }
 
+  /** I57: streaming JOIN-MV maintenance — the stream lands in the
+    * lake and the K58 join view advances by delta propagation in the
+    * SAME foreachBatch: after every batch the MV is exactly
+    * join(committed fact, dim), without the view ever re-running the
+    * old-fact ⋈ dim bulk. Replay converges through the STORE's
+    * idempotence, not sink logic: a replayed batchId's commit no-ops,
+    * so refreshJoin sees no new files and appends nothing. A dim
+    * UPDATE (overwrite) between batches breaks the append-only subset
+    * relation and the next batch's refresh rebuilds full — the MV is
+    * correct under both regimes, incremental under the common one.
+    * This is the streaming star-schema shape (events ⋈ dimension kept
+    * queryable as a table) without a stream-stream state store: the
+    * lake IS the state. Usage:
+    * `facts.writeStream.foreachBatch(
+    *   Streaming.joinMvSink("facts", "dim", "facts_mv", Seq("k")) _)`. */
+  def joinMvSink(factTable: String, dimTable: String, mvTable: String,
+      joinKeys: Seq[String])(df: DataFrame, batchId: Long): Unit = {
+    graft.store.SnapshotStore.commitStreamBatch(factTable, df, batchId)
+    graft.store.IncrementalView.refreshJoin(df.sparkSession,
+      factTable, dimTable, mvTable, joinKeys)
+    ()
+  }
+
   final case class SsEv(user_id: Long, ts: Timestamp)
   final case class SessState(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

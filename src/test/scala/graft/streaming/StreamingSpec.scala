@@ -620,6 +620,39 @@ class StreamingSpec extends SparkSpec {
       "replay must change nothing")
   }
 
+  test("I57 streaming join-MV: the view equals join(committed facts, dim) after every batch, replay no-ops through the store, dim overwrite rebuilds full") {
+    import spark.implicits._
+    import graft.store.{IncrementalView, SnapshotStore}
+    SnapshotStore.commitOverwrite("jmv_dim",
+      Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("k", "dv"))
+    val sink = Streaming.joinMvSink("jmv_fact", "jmv_dim", "jmv_mv", Seq("k")) _
+    def mv() = IncrementalView.read(spark, "jmv_mv")
+      .as[(Long, Long, String)].collect().toSet
+    def full() = SnapshotStore.read(spark, "jmv_fact")
+      .join(SnapshotStore.read(spark, "jmv_dim"), Seq("k"))
+      .as[(Long, Long, String)].collect().toSet
+    sink(Seq((1L, 10L), (2L, 20L)).toDF("k", "fv"), 0L)
+    assert(mv() == full() && mv() == Set((1L, 10L, "d1"), (2L, 20L, "d2")))
+    sink(Seq((3L, 30L), (1L, 11L)).toDF("k", "fv"), 1L)
+    assert(mv() == full() && mv()((3L, 30L, "d3")) && mv()((1L, 11L, "d1")))
+    // replay: the store's batchId idempotence is the ONLY guard the
+    // sink relies on — versions of fact and mv must both stand still
+    val vs = (SnapshotStore.versions("jmv_fact").size,
+      SnapshotStore.versions("jmv_mv").size)
+    sink(Seq((3L, 30L), (1L, 11L)).toDF("k", "fv"), 1L)
+    assert(mv() == full() && vs ==
+      (SnapshotStore.versions("jmv_fact").size,
+        SnapshotStore.versions("jmv_mv").size), "replay must change nothing")
+    // dim update mid-stream: overwrite breaks append-only; the next
+    // batch's refresh rebuilds full and the MV reflects the NEW dim
+    SnapshotStore.commitOverwrite("jmv_dim",
+      Seq((1L, "D1"), (2L, "D2"), (3L, "D3"), (4L, "D4")).toDF("k", "dv"))
+    sink(Seq((4L, 40L)).toDF("k", "fv"), 2L)
+    assert(mv() == full() && mv()((4L, 40L, "D4")) &&
+      mv().forall(_._3.startsWith("D")),
+      "after a dim rewrite every MV row must carry the new dim values")
+  }
+
   test("I38 a NULL validity predicate routes to the dead-letter table, never vanishes") {
     import spark.implicits._
     import graft.store.SnapshotStore
