@@ -262,6 +262,17 @@ object QualityQueries {
     * (t = 0.4) — kept integral so the flag is an exact comparison. */
   val TCloseMillis = 400L
 
+  /** The flag comparison in LOWEST terms: tv ≤ t ⇔ tv_num·den ≤
+    * num·k·N with num/den = 2t reduced (4/5 at t = 0.4). The naive
+    * ×1000 spelling overflowed Long at k·N > 4.6e15 — inside the
+    * query's own claimed scale, where Spark wraps silently and DuckDB
+    * errors (r16 review); den = 5 pushes the bound to k·N ≈ 9.2e17
+    * (tv_num ≤ 2·k·N, so tv_num·5 needs 10·k·N headroom). */
+  private val tCloseGcd = java.math.BigInteger.valueOf(2L * TCloseMillis)
+    .gcd(java.math.BigInteger.valueOf(1000L)).longValueExact()
+  val TCloseNum: Long = 2L * TCloseMillis / tCloseGcd
+  val TCloseDen: Long = 1000L / tCloseGcd
+
   /** J13: t-closeness audit (Li et al. 2007) — the third rung of the
     * privacy battery: a class can be k-anonymous (J10) AND l-diverse
     * (J11) and still leak by SKEW — if a class's sensitive-value
@@ -301,7 +312,7 @@ object QualityQueries {
       tvNum.as("tv_num"),
       round(tvNum.cast("double") / (lit(2.0) * col("k") * col("n_total")), 6)
         .as("tv"),
-      (tvNum * 1000L <= lit(2L * TCloseMillis) * col("k") * col("n_total"))
+      (tvNum * TCloseDen <= lit(TCloseNum) * col("k") * col("n_total"))
         .cast("int").as("t_close"))
   }
 
@@ -348,8 +359,8 @@ object QualityQueries {
          |  (present_term + (n_total - cov_g) * k)::bigint AS tv_num,
          |  round((present_term + (n_total - cov_g) * k)::double
          |    / (2.0 * k * n_total), 6) AS tv,
-         |  ((present_term + (n_total - cov_g) * k) * 1000
-         |    <= ${2L * TCloseMillis} * k * n_total)::int AS t_close
+         |  ((present_term + (n_total - cov_g) * k) * $TCloseDen
+         |    <= $TCloseNum * k * n_total)::int AS t_close
          |FROM p""".stripMargin,
     // mirrors dqLdiversity: same leading-term regex, same truncating
     // bucket division, two-stage (class, sens)-count → class roll-up,

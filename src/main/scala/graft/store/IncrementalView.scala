@@ -172,26 +172,32 @@ object IncrementalView {
     * recompute — correctness never depends on the fast path. */
   def refreshJoin(spark: SparkSession, aName: String, bName: String,
       mvName: String, joinKeys: Seq[String]): JoinRefresh = synchronized {
-    val ta = SnapshotStore.versions(aName).last
-    val tb = SnapshotStore.versions(bName).last
+    val versionsA = SnapshotStore.versions(aName)
+    val versionsB = SnapshotStore.versions(bName)
+    val ta = versionsA.last
+    val tb = versionsB.last
     val filesA = SnapshotStore.files(aName, ta)
     val filesB = SnapshotStore.files(bName, tb)
     def readFiles(name: String, t: Long, files: Seq[String]): DataFrame = {
       val schema = SnapshotStore.read(spark, name, Some(t)).schema
       spark.read.schema(schema).parquet(files: _*)
     }
+    // each base's version list and reflected-version manifest is read
+    // ONCE per refresh (r16 review: the subset check and the delta
+    // diff each re-read them — ~6 redundant metadata round trips on a
+    // loop that exists to be scheduled hourly)
     val prior = joinReflects.get(mvName)
       .filter(_ => SnapshotStore.versions(mvName).nonEmpty)
       .filter { case (va, vb) =>
-        SnapshotStore.versions(aName).contains(va) &&
-          SnapshotStore.versions(bName).contains(vb) }
-      .filter { case (va, vb) =>
-        SnapshotStore.files(aName, va).forall(filesA.contains) &&
-          SnapshotStore.files(bName, vb).forall(filesB.contains) }
+        versionsA.contains(va) && versionsB.contains(vb) }
+      .map { case (va, vb) =>
+        (va, vb, SnapshotStore.files(aName, va), SnapshotStore.files(bName, vb)) }
+      .filter { case (_, _, oldA, oldB) =>
+        oldA.forall(filesA.contains) && oldB.forall(filesB.contains) }
     val result = prior match {
-      case Some((va, vb)) =>
-        val addedA = filesA.diff(SnapshotStore.files(aName, va))
-        val addedB = filesB.diff(SnapshotStore.files(bName, vb))
+      case Some((va, vb, oldA, oldB)) =>
+        val addedA = filesA.diff(oldA)
+        val addedB = filesB.diff(oldB)
         if (addedA.isEmpty && addedB.isEmpty)
           JoinRefresh(ta, tb, incremental = true, 0)
         else {

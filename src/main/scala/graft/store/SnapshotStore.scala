@@ -62,7 +62,7 @@ object SnapshotStore {
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
-  private def tableDir(name: String): Path = new Path(base, name)
+  private[store] def tableDir(name: String): Path = new Path(base, name)
   private def manifestDir(name: String): Path = new Path(tableDir(name), "_manifests")
 
   private def manifestPath(name: String, v: Long): Path =
@@ -1616,12 +1616,19 @@ object SnapshotStore {
   private def propsPath(name: String): Path =
     new Path(tableDir(name), "_props.txt")
 
+  private def propsTmpPath(name: String): Path =
+    new Path(tableDir(name), ".props.tmp")
+
   /** Durable per-table properties (the Delta `TBLPROPERTIES` /
     * Iceberg table-metadata `properties` mechanism, reduced to a
-    * key=value file published with the same write-temp + rename
-    * atomicity as manifests). This is what lets maintenance be
-    * DECLARATIVE: the table carries its own clustering contract, so a
-    * fleet-wide loop needs no per-table configuration. */
+    * key=value file). The publish is delete→rename with the TAG
+    * recovery contract (r16 review): the tmp name is DETERMINISTIC,
+    * so a crash in the window leaves `.props.tmp` holding the full
+    * next map and [[tableProperties]] finishes the publish on the
+    * next read — the property map is never lost, unlike a
+    * random-named tmp nothing would ever recover. This is what lets
+    * maintenance be DECLARATIVE: the table carries its own clustering
+    * contract, so a fleet-wide loop needs no per-table config. */
   def setTableProperty(name: String, key: String, value: String): Unit =
     synchronized {
       require(!key.contains("=") && !key.contains("\n") && !value.contains("\n"),
@@ -1629,7 +1636,7 @@ object SnapshotStore {
       val next = tableProperties(name) + (key -> value)
       val target = propsPath(name)
       val fs = fsOf(target)
-      val tmp = new Path(tableDir(name), s".props.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val tmp = propsTmpPath(name)
       val out = fs.create(tmp, true)
       try out.write(next.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
@@ -1638,9 +1645,18 @@ object SnapshotStore {
       require(fs.rename(tmp, target), s"property publish failed for $name")
     }
 
-  def tableProperties(name: String): Map[String, String] = {
+  def tableProperties(name: String): Map[String, String] = synchronized {
     val p = propsPath(name)
     val fs = fsOf(p)
+    // crash recovery: a surviving .props.tmp means a publish wrote its
+    // full next map but died in the delete→rename window (target
+    // already gone) or just before it (target intact — the tmp is the
+    // NEWER intent and wins, same as the completed rename would have)
+    val tmp = propsTmpPath(name)
+    if (fs.exists(tmp)) {
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
     if (!fs.exists(p)) Map.empty
     else {
       val in = fs.open(p)
@@ -1658,13 +1674,21 @@ object SnapshotStore {
 
   /** Declare the table's clustering contract: maintenance loops read
     * it back with [[declaredClusteringDims]]. */
-  def setClusteringDims(name: String, dims: (String, String)): Unit =
+  def setClusteringDims(name: String, dims: (String, String)): Unit = {
+    require(!dims._1.contains(",") && !dims._2.contains(","),
+      "clustering dimension names must be comma-free")
     setTableProperty(name, "clustering.dims", s"${dims._1},${dims._2}")
+  }
 
+  /** Defensive parse (r16 review): a malformed value — hand-edited or
+    * written by a foreign tool — reads as None (undeclared), never a
+    * MatchError that would poison the whole maintenance loop. */
   def declaredClusteringDims(name: String): Option[(String, String)] =
-    tableProperties(name).get("clustering.dims").map { v =>
-      val Array(a, b) = v.split(",", 2)
-      (a, b)
+    tableProperties(name).get("clustering.dims").flatMap { v =>
+      v.split(",", 2) match {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => Some((a, b))
+        case _ => None
+      }
     }
 
   /** Every table under the store base (a directory with a published
@@ -1702,13 +1726,13 @@ object SnapshotStore {
     * (the rewrite) only runs where the measured layout decayed. */
   def maintainFleet(spark: SparkSession, depthThreshold: Int,
       files: Int = 8): FleetMaintenance = {
-    val (declared, undeclared) =
-      listTables.partition(declaredClusteringDims(_).isDefined)
-    val advice = declared.map { t =>
-      optimizeIfAdvised(spark, t, declaredClusteringDims(t).get,
-        depthThreshold, files)
+    // one _props read+parse per table (r16 review: the partition
+    // predicate and the rewrite loop each re-opened the file)
+    val contracts = listTables.map(t => t -> declaredClusteringDims(t))
+    val advice = contracts.collect { case (t, Some(dims)) =>
+      optimizeIfAdvised(spark, t, dims, depthThreshold, files)
     }
-    FleetMaintenance(advice, undeclared)
+    FleetMaintenance(advice, contracts.collect { case (t, None) => t })
   }
 
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop

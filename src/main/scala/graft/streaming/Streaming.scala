@@ -1175,8 +1175,12 @@ object Streaming {
       (df: DataFrame, batchId: Long): Unit = {
     val scored = graft.text.TextQueries.knScoreAgainst(
       df.select(col("doc_id"), col("text")), model)
+    // materialize the scored batch ONCE: the two commits below are two
+    // actions, and an uncached plan would run the scoring join twice
+    // per micro-batch (r16 review)
     val flagged = df.join(
       scored.select(col("doc_id"), col("kn_surprise")), Seq("doc_id"), "left")
+      .localCheckpoint(true)
     // row-class completeness (the I38 NULL lesson): admit is made
     // NULL-free so filter(admit) / filter(!admit) partition the batch
     val admit = coalesce(col("kn_surprise") <= threshold, lit(false))

@@ -581,15 +581,23 @@ object TextQueries {
     val train = docBigrams(trainDocs).localCheckpoint(eager = true)
     val bg = train.groupBy("t", "t2").agg(count(lit(1)).as("c_bg"))
       .localCheckpoint(eager = true)
+    // EVERY model frame is checkpointed (r16 review): a KnModel is a
+    // static side input scored against once per micro-batch — a lazy
+    // pre/vocab would re-aggregate the full train corpus on every
+    // batch action, making the stream gate O(train) per batch
     val pre = train.groupBy("t").agg(count(lit(1)).as("c_pre"))
+      .localCheckpoint(eager = true)
     // continuation counts: each bg row is one distinct (t1,t2) TYPE,
     // so count(*) per side IS the N1+ fertility of KN
     val n1f = bg.groupBy("t").agg(count(lit(1)).as("n1f"))
+      .localCheckpoint(eager = true)
     val n1b = bg.groupBy("t2").agg(count(lit(1)).as("n1b"))
+      .localCheckpoint(eager = true)
     // bigram-type total and vocab as broadcast 1-row scalars
     val scal = broadcast(bg.agg(count(lit(1)).as("n_types")).crossJoin(
       train.select(col("t")).unionAll(train.select(col("t2").as("t")))
-        .distinct().agg(count(lit(1)).as("vocab"))))
+        .distinct().agg(count(lit(1)).as("vocab")))
+      .localCheckpoint(eager = true))
     KnModel(bg, pre, n1f, n1b, scal)
   }
 
@@ -935,15 +943,20 @@ object TextQueries {
     val words = size(split(col("line"), " "))
     val terminal = endswith(col("line"), lit(".")) ||
       endswith(col("line"), lit("!"))
+    // page-level flags are computed ONCE per doc in the pre-explode
+    // projection (r16 review: inside the agg they rescanned the full
+    // page string per line row and shuffled the page per line)
     val agg = d.select(col("doc_id"), page.as("page"))
-      .select(col("doc_id"), col("page"),
+      .select(col("doc_id"),
+        col("page").contains("lorem ipsum").cast("int").as("pl"),
+        col("page").contains("{").cast("int").as("pb"),
         explode(split(col("page"), "\n")).as("line"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum((words >= 5 && terminal).cast("long")).as("n_kept"),
         sum(terminal.cast("long")).as("n_sentences"),
-        max(col("page").contains("lorem ipsum").cast("int")).as("has_lorem"),
-        max(col("page").contains("{").cast("int")).as("has_brace"),
+        max(col("pl")).as("has_lorem"),
+        max(col("pb")).as("has_brace"),
         max((countIn(split(col("line"), " "), C4Blocklist) > 0)
           .cast("int")).as("has_blocked"))
     agg.select(col("doc_id"), col("n_lines"), col("n_kept"),

@@ -1129,5 +1129,24 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.setClusteringDims(plain, ("y", "x"))
     assert(SnapshotStore.declaredClusteringDims(plain).contains(("y", "x")))
     assert(SnapshotStore.tableProperties(plain)("owner") == "pipeline-a")
+    // r16 review #1: a crash in the delete→rename window leaves only
+    // .props.tmp — the next read must finish the publish, never lose
+    // the map. Simulate by moving the published file onto the tmp.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = SnapshotStore.tableDir(plain)
+    val target = new org.apache.hadoop.fs.Path(dir, "_props.txt")
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".props.tmp")
+    assert(fs.rename(target, tmp), "crash simulation setup")
+    assert(SnapshotStore.declaredClusteringDims(plain).contains(("y", "x")),
+      "a surviving .props.tmp must be recovered, not lost")
+    assert(fs.exists(target) && !fs.exists(tmp), "recovery must republish")
+    // r16 review #3: a malformed foreign-written value reads as
+    // undeclared — one bad table must not poison the fleet loop
+    SnapshotStore.setTableProperty(plain, "clustering.dims", "only-one-dim")
+    assert(SnapshotStore.declaredClusteringDims(plain).isEmpty)
+    val m3 = SnapshotStore.maintainFleet(spark, depthThreshold = 4)
+    assert(m3.undeclared.contains(plain),
+      "malformed contract → reported undeclared, loop completes")
   }
 }
