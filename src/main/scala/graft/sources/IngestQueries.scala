@@ -114,6 +114,56 @@ object IngestQueries {
   def ingRdf(spark: SparkSession, dir: String): DataFrame =
     RdfXml.rdfTriples(spark, "/root/reference/data/*.xml")
 
+  /** A5's ORACLE face (ing_rdf_synth): the real-file face (ing_rdf)
+    * can only ever be rows-only — the expected triples of an external
+    * XML file are not SQL-expressible — but the PARSER can be value
+    * checked end-to-end by feeding it documents whose expected output
+    * is a formula (the mm-parser / dHash convention). Each document row
+    * becomes one RDF description pair exercising the reference
+    * semantics in one place: label PRECEDENCE (prefLabel beats a
+    * coexisting title), a non-kept predicate (isShownBy → dropped), a
+    * kept literal with and without xml:lang, a hexBinary-typed kept
+    * predicate (→ dropped by datatype), resource resolution through
+    * the per-file label map (creator → the artist node's dc:title),
+    * and the URI-fragment fallback (sameAs → a node with no
+    * description). Docs batch 50 to a file-equivalent string so the
+    * label map is genuinely per-FILE, artists shared within a batch.
+    * The full [[RdfXml.parseFile]] runs — only the binaryFile read
+    * (covered by ing_rdf + IngestSpec) is bypassed. */
+  def ingRdfSynth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id").cast("string")
+    val artist = (col("doc_id") % 7).cast("string")
+    def s(x: String) = lit(x)
+    val docXml = concat(
+      s("""<rdf:Description rdf:about="g/doc"""), id, s("\">"),
+      s("""<skos:prefLabel xml:lang="en">doc """), id, s("</skos:prefLabel>"),
+      s("<dc:title>ignored title "), id, s("</dc:title>"),
+      s("<skos:note>note "), id, s("</skos:note>"),
+      s("""<edm:isShownBy rdf:resource="g/img"""), id, s("\"/>"),
+      s("""<dc:creator rdf:resource="g/artist"""), artist, s("\"/>"),
+      s("""<skos:sameAs rdf:resource="g/ext"""), id, s("\"/>"),
+      s("""<skos:note rdf:datatype="http://www.w3.org/2001/XMLSchema#hexBinary">deadbeef</skos:note>"""),
+      s("</rdf:Description>"),
+      s("""<rdf:Description rdf:about="g/artist"""), artist, s("\">"),
+      s("<dc:title>artist "), artist, s("</dc:title>"),
+      s("</rdf:Description>"))
+    val envelope = (body: org.apache.spark.sql.Column) => concat(
+      s("""<?xml version="1.0" encoding="UTF-8"?>"""),
+      s("""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#""""),
+      s(""" xmlns:skos="http://www.w3.org/2004/02/skos/core#""""),
+      s(""" xmlns:dc="http://purl.org/dc/elements/1.1/""""),
+      s(""" xmlns:edm="http://www.europeana.eu/schemas/edm/">"""),
+      body, s("</rdf:RDF>"))
+    val files = Tables.documents(spark, dir)
+      .select((col("doc_id") / 50).cast("long").as("b"),
+        struct(col("doc_id"), docXml.as("x")).as("sx"))
+      .groupBy("b")
+      .agg(expr("array_join(transform(sort_array(collect_list(sx)), s -> s.x), '')").as("body"))
+      .select(envelope(col("body")).as("xml"))
+    RdfXml.rdfTriplesFromStrings(files.select("xml").as[String])
+  }
+
   /** A8 as a driver query: partitioned parquet write + read-back.
     * Partition columns come back LAST and with inferred types, so the
     * read is re-projected to the original column order and schema —
@@ -1009,6 +1059,7 @@ object IngestQueries {
     "ing_snapshot_diff" -> (ingSnapshotDiff _),
     "ing_fixed_width" -> (ingFixedWidth _),
     "ing_nested"  -> (ingNested _),
+    "ing_rdf_synth" -> (ingRdfSynth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1416,6 +1467,22 @@ object IngestQueries {
       """SELECT o_orderkey AS okey, o_custkey, o_orderpriority,
         |  l_linenumber, l_partkey, round(l_quantity * 100)::bigint AS qty_c
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+    // A5 oracle face: the expected triples of the formula-built RDF
+    // documents, straight from the generating arithmetic — prefLabel
+    // precedence (subject label = "doc i" despite the coexisting
+    // title), kept literals with/without lang, label-map resolution
+    // (creator), fragment fallback (sameAs); isShownBy and the
+    // hexBinary note contribute NOTHING (the drop rules)
+    "ing_rdf_synth" ->
+      """SELECT 'doc ' || doc_id AS subject, 'prefLabel' AS xml_label,
+        |  'doc ' || doc_id AS object, 'en' AS lang FROM documents
+        |UNION ALL
+        |SELECT 'doc ' || doc_id, 'note', 'note ' || doc_id, NULL FROM documents
+        |UNION ALL
+        |SELECT 'doc ' || doc_id, 'creator', 'artist ' || (doc_id % 7), NULL
+        |FROM documents
+        |UNION ALL
+        |SELECT 'doc ' || doc_id, 'sameAs', 'ext' || doc_id, NULL FROM documents""".stripMargin,
     // ing_rdf: intentionally no oracle (not SQL-expressible) → rows-only.
   )
 }

@@ -148,6 +148,17 @@ object RdfXml {
     * name and WARN-log a full FileNotFoundException stack through this
     * method — benign, but it made every bench/verify tail look like a
     * query failure (the r2/r3 "flaky bench" was exactly this noise). */
+  /** A5 over IN-PLAN document strings (the synth-oracle face,
+    * ing_rdf_synth): the SAME [[parseFile]] the wire face runs, minus
+    * the binaryFile read that ing_rdf covers — what this face buys is
+    * a DuckDB value oracle for the parser itself, which the real-file
+    * face can never have (the expected triples of a formula-built
+    * document are a formula). One flatMap per partition, no shuffle. */
+  def rdfTriplesFromStrings(docs: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions(_.flatMap(parseFile)).toDF()
+  }
+
   def rdfTriples(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     val (dir, filter) = {
