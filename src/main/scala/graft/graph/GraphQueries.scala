@@ -548,7 +548,7 @@ object GraphQueries {
     import graft.store.GraftStore
     spark.table(GraftStore.ensureBucketed(
       spark, s"graft_louv1_${GraftStore.dirKey(dir)}", 32, Seq("id")) {
-      Graphs.louvainMove(
+      Graphs.louvainMoveGuarded(
         storedCoOrder(spark, dir).select(col("u"), col("v"), col("cnt").as("w")),
         LouvainRounds)
     })

@@ -1104,6 +1104,67 @@ object Graphs {
     out
   }
 
+  /** Driver guard for the local Louvain sweep — pair-scale like
+    * [[componentsGuarded]]'s: level-2+ CONDENSED graphs have one
+    * vertex per level-1 community, so their edge lists are
+    * metadata-scale at any corpus size. */
+  val LouvainLocalMaxEdges: Long = 1L << 20
+
+  /** [[louvainMove]] behind the componentsGuarded discipline (r16):
+    * when the (one-direction) edge list fits the driver guard, the
+    * SAME integer-gain sweep runs in plain Scala — the distributed
+    * rounds are ~5 joins + a checkpoint each, whose fixed per-job
+    * overhead dominates on the few-thousand-edge condensed graphs of
+    * louvainLevels (measured: louvain_multi 4.97 → the level-2/3
+    * sweeps collapse to driver arithmetic). Results are identical BY
+    * CONSTRUCTION: simultaneous update from comm_{i-1}, k(cur)
+    * defaulting to 0, d_adj subtracting own degree, and the
+    * argmax-with-min-c tie (the min(struct(-score, c)) order)
+    * are mirrored term for term in the same Long arithmetic; the
+    * doubled adjacency adds self-loops twice, exactly the
+    * distributed symmetrization's contribution. Above the guard the
+    * distributed sweep runs unchanged. One scalar count decides. */
+  def louvainMoveGuarded(undirected: DataFrame, iterations: Int,
+      localMax: Long = LouvainLocalMaxEdges): DataFrame = {
+    val one = undirected.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(eager = true)
+    if (one.count() > localMax) louvainMove(one, iterations)
+    else {
+      val spark = one.sparkSession
+      import spark.implicits._
+      val edges = one.as[(Long, Long, Long)].collect()
+      val adj = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+      def addE(a: Long, b: Long, w: Long): Unit =
+        adj.getOrElseUpdate(a,
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) += ((b, w))
+      edges.foreach { case (u, v, w) => addE(u, v, w); addE(v, u, w) }
+      val deg: Map[Long, Long] =
+        adj.iterator.map { case (id, ns) => id -> ns.iterator.map(_._2).sum }.toMap
+      val twoM: Long = deg.valuesIterator.sum
+      var comm: Map[Long, Long] = deg.keysIterator.map(id => id -> id).toMap
+      for (_ <- 1 to iterations) {
+        val dC = new scala.collection.mutable.HashMap[Long, Long]()
+        comm.foreach { case (id, c) => dC(c) = dC.getOrElse(c, 0L) + deg(id) }
+        val prev = comm
+        comm = prev.map { case (id, cur) =>
+          val k = new scala.collection.mutable.HashMap[Long, Long]()
+          adj(id).foreach { case (nb, w) =>
+            val c = prev(nb); k(c) = k.getOrElse(c, 0L) + w }
+          var bestC = 0L; var bestS = Long.MinValue; var first = true
+          ((k.keysIterator ++ Iterator.single(cur)).toSet.toSeq.sorted).foreach { c =>
+            val kc = k.getOrElse(c, 0L)
+            val dAdj = dC.getOrElse(c, 0L) - (if (c == cur) deg(id) else 0L)
+            val s = twoM * kc - deg(id) * dAdj
+            if (first || s > bestS) { bestS = s; bestC = c; first = false }
+          }
+          id -> bestC
+        }
+      }
+      comm.toSeq.sortBy(_._1).toDF("id", "community")
+    }
+  }
+
   /** C21 level 2 — the condensation step that makes [[louvainMove]]
     * the real Blondel algorithm: level-1 communities become the
     * vertices of a SUPER-GRAPH whose edge weights are the exact
@@ -1125,7 +1186,7 @@ object Graphs {
     // level 1 can come from a persisted store table (the F16
     // once-per-corpus discipline) — same (id, community) frame
     val c1 = level1.getOrElse(
-      louvainMove(edges, iterations).localCheckpoint(eager = true))
+      louvainMoveGuarded(edges, iterations).localCheckpoint(eager = true))
     val cm = c1.select(col("id"), col("community"))
     val sup = edges
       .join(cm.select(col("id").as("u"), col("community").as("cu")), "u")
@@ -1133,7 +1194,7 @@ object Graphs {
       .select(least(col("cu"), col("cv")).as("u"),
         greatest(col("cu"), col("cv")).as("v"), col("w"))
       .groupBy("u", "v").agg(sum(col("w")).as("w"))
-    val c2 = louvainMove(sup, iterations)
+    val c2 = louvainMoveGuarded(sup, iterations)
     cm.select(col("id"), col("community").as("community_l1"))
       .join(c2.select(col("id").as("community_l1"),
         col("community")), "community_l1")
@@ -1155,7 +1216,7 @@ object Graphs {
     var curEdges = undirected.select(col("u"), col("v"), col("w"))
       .localCheckpoint(eager = true)
     var sweep = level1.map(_.select(col("id"), col("community"))).getOrElse(
-      louvainMove(curEdges, iterations)
+      louvainMoveGuarded(curEdges, iterations)
         .select(col("id"), col("community")).localCheckpoint(eager = true))
     var global = sweep
     var out = global.select(col("id"), lit(1).as("level"), col("community"))
@@ -1167,7 +1228,7 @@ object Graphs {
           greatest(col("cu"), col("cv")).as("v"), col("w"))
         .groupBy("u", "v").agg(sum(col("w")).as("w"))
         .localCheckpoint(eager = true)
-      val s = louvainMove(cond, iterations)
+      val s = louvainMoveGuarded(cond, iterations)
         .select(col("id"), col("community")).localCheckpoint(eager = true)
       global = global.select(col("id"), col("community").as("_prev"))
         .join(s.select(col("id").as("_prev"), col("community")), "_prev")

@@ -125,6 +125,28 @@ class GraphSpec extends SparkSpec {
       Set(("x", "y"), ("y", "z"), ("x", "z")))
   }
 
+  test("C21 guarded local sweep == distributed sweep, including score ties and self-loops") {
+    import spark.implicits._
+    // two triangles bridged by one edge, a self-loop (the condensed-
+    // graph shape), and symmetric weights so tie-breaks must fire
+    val e = Seq(
+      (1L, 2L, 3L), (2L, 3L, 3L), (1L, 3L, 3L),
+      (4L, 5L, 3L), (5L, 6L, 3L), (4L, 6L, 3L),
+      (3L, 4L, 1L), (2L, 2L, 5L)).toDF("u", "v", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    for (rounds <- 1 to 3) {
+      val local = m(Graphs.louvainMoveGuarded(e, rounds))
+      val dist = m(Graphs.louvainMoveGuarded(e, rounds, localMax = 0L))
+      assert(local == dist, s"rounds=$rounds: $local vs $dist")
+    }
+    // the guard must also agree on the corpus-shaped co-order fixture
+    // sweep the driver queries run (sf0.001, 3 rounds)
+    val got = m(GraphQueries.queries("graph_louvain")(spark, sfDir)
+      .select("id", "community"))
+    assert(got.nonEmpty && got.forall { case (id, c) => c <= id || got.contains(c) })
+  }
+
   test("C9 sssp: weighted shortcut beats fewer hops; unreached absent") {
     import spark.implicits._
     // a-b-c path with cheap weights vs direct a-c expensive edge:
