@@ -1735,6 +1735,33 @@ object SnapshotStore {
     FleetMaintenance(advice, contracts.collect { case (t, None) => t })
   }
 
+  final case class RetentionAdvice(name: String, keep: Int,
+      reclaimBytes: Long, reclaimFiles: Int, dropVersions: Int,
+      vacuumed: Boolean)
+
+  /** K59: fleet RETENTION loop — the other half of the scheduled
+    * maintenance K56 automates for clustering: walk every store
+    * table, K38-dry-run the retention policy (keep + K31 tag
+    * protection), and VACUUM only tables whose reclaimable bytes
+    * clear a floor — a vacuum that reclaims nothing still rewrites
+    * checkpoints and lists directories, so an unconditional loop is
+    * scheduled churn exactly like an OPTIMIZE that always rewrites.
+    * The decision pass is metadata-only (manifest diff + one
+    * directory listing per table); the destructive half runs only
+    * where the dry run proved the payoff. Tag-protected versions
+    * survive by the same rule vacuum itself enforces. `scope` is the
+    * namespace filter every real lake's maintenance job carries (one
+    * retention policy rarely fits a whole warehouse). */
+  def maintainRetention(keep: Int, minReclaimBytes: Long,
+      scope: String => Boolean = _ => true): Seq[RetentionAdvice] =
+    listTables.filter(scope).map { t =>
+      val plan = vacuumDryRun(t, keep)
+      val go = plan.dropBytes >= minReclaimBytes && plan.dropFiles.nonEmpty
+      if (go) vacuum(t, keep)
+      RetentionAdvice(t, keep, plan.dropBytes, plan.dropFiles.size,
+        plan.dropVersions.size, vacuumed = go)
+    }
+
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop
     * (versions, data files, bytes), computed with the same
     * keep+tag-protection rule but touching nothing. The ops-review

@@ -1149,4 +1149,46 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(m3.undeclared.contains(plain),
       "malformed contract → reported undeclared, loop completes")
   }
+
+  test("K59 retention loop: only tables clearing the reclaim floor vacuum, tags survive, scoped to the namespace") {
+    import spark.implicits._
+    def fill(name: String, overwrites: Int, rows: Int): Unit =
+      (0 until overwrites).foreach { i =>
+        SnapshotStore.commitOverwrite(name,
+          (0 until rows).map(j => (j.toLong + i, s"v$i-$j")).toDF("k", "s"))
+      }
+    // heavy garbage: 4 overwrites of 5k rows → 3 dead versions
+    fill("rket_big", 4, 5000)
+    SnapshotStore.tag("rket_big", "pinned", Some(0L))
+    // trivial garbage: 2 overwrites of 5 rows → reclaim below floor
+    fill("rket_small", 2, 5)
+    // nothing to drop: single version
+    fill("rket_single", 1, 5)
+    val before = SnapshotStore.versions("rket_small")
+    val advice = SnapshotStore.maintainRetention(keep = 1,
+      minReclaimBytes = 64 * 1024, scope = _.startsWith("rket_"))
+    val byName = advice.map(a => a.name -> a).toMap
+    assert(byName.keySet == Set("rket_big", "rket_small", "rket_single"),
+      s"scope must bound the loop: ${byName.keySet}")
+    assert(byName("rket_big").vacuumed &&
+      byName("rket_big").reclaimBytes >= 64 * 1024,
+      s"heavy garbage must vacuum: ${byName("rket_big")}")
+    assert(!byName("rket_small").vacuumed &&
+      SnapshotStore.versions("rket_small") == before,
+      "below-floor reclaim must be advised only, nothing dropped")
+    assert(!byName("rket_single").vacuumed &&
+      byName("rket_single").reclaimBytes == 0L)
+    // tag protection rides through the loop: v0 is pinned, v3 is live
+    val kept = SnapshotStore.versions("rket_big")
+    assert(kept.contains(0L) && kept.contains(3L) && kept.size == 2,
+      s"tagged + newest must survive keep=1: $kept")
+    // idempotence: a second pass vacuums nothing — the heavy table's
+    // reclaim is spent, and the below-floor table's garbage REMAINS
+    // advised-only (the policy's point: it never clears the floor)
+    val again = SnapshotStore.maintainRetention(keep = 1,
+      minReclaimBytes = 64 * 1024, scope = _.startsWith("rket_"))
+    assert(again.forall(!_.vacuumed), s"second pass must be all-skip: $again")
+    assert(again.find(_.name == "rket_big").get.reclaimBytes == 0L,
+      "the vacuumed table's reclaim must be spent")
+  }
 }
