@@ -189,6 +189,7 @@ object Bench {
       s"""{"shuffles":${a.shuffleExchanges},"broadcasts":${a.broadcastExchanges},""" +
         s""""sorts":${a.sorts},"codegen_spans":${a.wholeStageSpans},""" +
         s""""scans":${a.fileScans},"pushed":${a.scansWithPushedFilters},""" +
+        s""""files_read":${a.filesRead},"bytes_read":${a.bytesRead},""" +
         s""""single_partition":${a.singlePartitionExchanges},""" +
         s""""sp_heavy":${a.singlePartitionHeavy},"smells":$sm$allowJson}"""
     }
@@ -197,6 +198,7 @@ object Bench {
     val auditErrJson =
       """{"shuffles":null,"broadcasts":null,"sorts":null,""" +
         """"codegen_spans":null,"scans":null,"pushed":null,""" +
+        """"files_read":null,"bytes_read":null,""" +
         """"single_partition":null,"sp_heavy":null,"smells":["audit error"]}"""
     val audits = results.map { case (k, _, _, _, a) =>
       jkey(k) + a.map(auditJson(k, _)).getOrElse(auditErrJson)

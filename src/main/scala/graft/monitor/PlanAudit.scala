@@ -31,7 +31,9 @@ object PlanAudit {
       scansWithPartitionFilters: Int,
       readColumns: Int,
       singlePartitionExchanges: Int = 0,
-      singlePartitionHeavy: Int = 0) {
+      singlePartitionHeavy: Int = 0,
+      filesRead: Long = 0L,
+      bytesRead: Long = 0L) {
     /** The headline smells, human-readable; empty = clean. */
     def smells: Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -128,6 +130,16 @@ object PlanAudit {
         scans.count(_.partitionFilters.nonEmpty),
       readColumns = scans.map(_.output.length).sum,
       singlePartitionExchanges = spExchanges(seen).length,
-      singlePartitionHeavy = spExchanges(seen).count(e => !spBenign(e.child)))
+      singlePartitionHeavy = spExchanges(seen).count(e => !spBenign(e.child)),
+      // per-query FILE-LAYOUT telemetry (r16 verdict #7): the store
+      // layout's read cost is invisible to shuffle/codegen counts — a
+      // 2048-vs-32-file table reads with the same plan shape but 64×
+      // the open() calls. numFiles/filesSize are driver-side metrics
+      // set when the scan plans its partitions, so they are populated
+      // after materialization; scans missing the metric count 0.
+      filesRead = scans.map(s =>
+        s.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum,
+      bytesRead = scans.map(s =>
+        s.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum)
   }
 }

@@ -228,7 +228,13 @@ object SnapshotStore {
       header: Option[String] = None): Long =
     synchronized {
       val v = versions(name).lastOption.getOrElse(-1L) + 1L
-      val dataDir = new Path(tableDir(name), s"data_v$v")
+      // unique suffix: two PROCESSES racing the same append must not
+      // collide on the data directory either — each writer's files
+      // stay disjoint by construction, which is exactly what makes
+      // the OCC append retry in publishFiles commute (verdict #3);
+      // the data_v prefix is preserved for vacuum's orphan sweep
+      val uniq = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = new Path(tableDir(name), s"data_v${v}_$uniq")
       df.write.mode("error").parquet(dataDir.toString)
       // K52: validate the WRITTEN bytes, not the incoming frame — a
       // nondeterministic df (rand(), current_timestamp, unstable
@@ -269,10 +275,72 @@ object SnapshotStore {
     * genuinely fresh files are scanned for stats. Without the carry, a
     * COW delete that rewrites one file would rescan the whole table
     * for stats — O(table) where the operation itself is O(affected). */
+  /** Test seam for the OCC retry (r16 verdict #3): fired after the
+    * manifest is built but before the atomic rename — a spec can
+    * interleave a second writer's full commit here (the object lock is
+    * reentrant on the calling thread), forcing the cross-process race
+    * a single JVM cannot otherwise produce. No-op in production. */
+  private[store] var publishRaceHook: () => Unit = () => ()
+
+  /** A commit classified as NON-commutable lost the version race: its
+    * manifest was built against a head another writer has since
+    * replaced, and replaying it blindly could drop that writer's
+    * files (lost update). Disjoint-file appends never throw this —
+    * they rebuild and retry. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
   private def publishFiles(name: String, newFiles: Seq[String], append: Boolean,
       header: Option[String], dfSchema: org.apache.spark.sql.types.StructType,
       carryFrom: Option[Long] = None): Long =
     synchronized {
+      // Multi-writer OCC (r16 verdict #3): the version pick is
+      // OPTIMISTIC — the atomic rename doubles as the compare-and-swap
+      // (rename onto an existing target fails on local FS and HDFS; an
+      // object store slots a conditional PUT here). A lost race means
+      // another writer published our version number first:
+      //  - a plain APPEND commutes with any committed writer (its data
+      //    files are disjoint by construction — freshly written under
+      //    this commit's own directory), so it re-reads the head,
+      //    rebuilds its delta manifest against the NEW prev (stats
+      //    merge, #prev link, schema widening all recomputed), and
+      //    retries — no lost update, the version chain stays linear;
+      //  - an OVERWRITE or COW rewrite (carryFrom) read table state
+      //    that the concurrent commit may have invalidated (it lists
+      //    or replaces PRIOR files), so it classifies as a true
+      //    conflict and aborts with [[ConcurrentWriteException]] —
+      //    the caller re-runs against the new snapshot if it wants to.
+      // The in-JVM `synchronized` stays as a fast path that serializes
+      // same-process writers; the OCC loop is what makes two PROCESSES
+      // sharing a store base safe.
+      var attempts = 0
+      var published = -1L
+      while (published < 0) {
+        published = publishOnce(name, newFiles, append, header, dfSchema,
+          carryFrom) match {
+          case Right(v) => v
+          case Left(racedV) =>
+            if (!append || carryFrom.nonEmpty)
+              throw new ConcurrentWriteException(
+                s"$name: version $racedV was published concurrently and this " +
+                  "commit rewrites prior state (overwrite/COW) — aborted; " +
+                  "re-run against the new snapshot")
+            attempts += 1
+            require(attempts < 8,
+              s"$name: lost the publish race $attempts times — giving up")
+            -1L
+        }
+      }
+      published
+    }
+
+  /** One optimistic publish attempt: builds the manifest against the
+    * current head and tries the atomic rename. Right(v) = committed;
+    * Left(v) = lost the race for version v (the target appeared
+    * between the version pick and the rename). */
+  private def publishOnce(name: String, newFiles: Seq[String], append: Boolean,
+      header: Option[String], dfSchema: org.apache.spark.sql.types.StructType,
+      carryFrom: Option[Long]): Either[Long, Long] = {
       val prev = versions(name)
       val v = prev.lastOption.getOrElse(-1L) + 1L
       val fs = fsOf(tableDir(name))
@@ -424,11 +492,20 @@ object SnapshotStore {
       val out = fs.create(tmp, true)
       try out.write((headers ++ body).mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      // the atomic publish: rename is atomic on local FS and HDFS;
-      // object stores slot a conditional PUT here (see class doc)
-      require(fs.rename(tmp, manifestPath(name, v)),
-        s"manifest publish failed for $name v$v (concurrent writer?)")
-      v
+      publishRaceHook()
+      // the atomic publish-or-lose: rename is atomic and fails onto an
+      // existing target on local FS and HDFS — the OCC compare-and-swap
+      // (object stores slot a conditional PUT here, see class doc)
+      if (fs.rename(tmp, manifestPath(name, v))) Right(v)
+      else {
+        scala.util.Try(fs.delete(tmp, false))
+        if (versions(name) == prev)
+          // nothing raced us — the rename failed for a real I/O reason;
+          // retrying the same CAS forever would spin, so fail loudly
+          throw new IllegalStateException(
+            s"manifest publish failed for $name v$v (filesystem error)")
+        Left(v)
+      }
     }
 
   def commitAppend(name: String, df: DataFrame): Long = commit(name, df, append = true)
@@ -1637,38 +1714,83 @@ object SnapshotStore {
       val target = propsPath(name)
       val fs = fsOf(target)
       val tmp = propsTmpPath(name)
+      val lines = next.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      // completeness marker (r16 advice): a crash between fs.create
+      // (which truncates the tmp) and close leaves a PARTIAL tmp; the
+      // trailing sentinel carries the line count, so recovery can tell
+      // a full intent apart from a torn one and never adopts garbage
       val out = fs.create(tmp, true)
-      try out.write(next.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+      try out.write((lines :+ s"$PropsEndMarker${lines.length}")
+        .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       fs.delete(target, false)
       require(fs.rename(tmp, target), s"property publish failed for $name")
     }
 
+  /** Sentinel line closing every props file: `#end=<n>` where n is the
+    * number of property lines above it. */
+  private val PropsEndMarker = "#end="
+
+  /** Parse a props payload; None when the completeness marker is
+    * missing or disagrees with the line count (a torn write). */
+  private def parseProps(payload: String): Option[Map[String, String]] = {
+    val lines = payload.linesIterator.filter(_.nonEmpty).toSeq
+    lines.lastOption.filter(_.startsWith(PropsEndMarker)).flatMap { last =>
+      val kv = lines.dropRight(1)
+      scala.util.Try(last.stripPrefix(PropsEndMarker).toInt).toOption
+        .filter(_ == kv.length)
+        .map(_ => kv.map { line =>
+          val i = line.indexOf('=')
+          line.take(i) -> line.drop(i + 1)
+        }.toMap)
+    }
+  }
+
+  private def readPayload(p: Path): String = {
+    val fs = fsOf(p)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
   def tableProperties(name: String): Map[String, String] = synchronized {
     val p = propsPath(name)
     val fs = fsOf(p)
-    // crash recovery: a surviving .props.tmp means a publish wrote its
-    // full next map but died in the delete→rename window (target
-    // already gone) or just before it (target intact — the tmp is the
-    // NEWER intent and wins, same as the completed rename would have)
+    // crash recovery (tightened per r16 advice): a surviving
+    // .props.tmp is adopted ONLY when its completeness marker checks
+    // out — a crash mid-`fs.create` leaves a truncated tmp that must
+    // never displace an intact target. A verified-complete tmp is the
+    // newer intent and wins (same as the completed rename would
+    // have); a torn one is discarded and the target stands.
     val tmp = propsTmpPath(name)
     if (fs.exists(tmp)) {
-      fs.delete(p, false)
-      fs.rename(tmp, p)
+      val fullTmp = scala.util.Try(readPayload(tmp)).toOption.flatMap(parseProps)
+      fullTmp match {
+        case Some(map) =>
+          fs.delete(p, false)
+          // rename result checked (r16 advice #2): the target was just
+          // deleted, so a failed rename must not silently fall through
+          // to an empty map — the verified tmp content IS the answer
+          if (!fs.rename(tmp, p)) return map
+        case None =>
+          fs.delete(tmp, false)
+      }
     }
     if (!fs.exists(p)) Map.empty
     else {
-      val in = fs.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-        buf.toString("UTF-8")
-      } finally in.close()
-      bytes.linesIterator.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('=')
-        line.take(i) -> line.drop(i + 1)
-      }.toMap
+      val payload = readPayload(p)
+      // marker-checked parse first; legacy files (pre-marker rounds)
+      // have no sentinel and parse as plain key=value lines
+      parseProps(payload).getOrElse(
+        payload.linesIterator
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { line =>
+            val i = line.indexOf('=')
+            line.take(i) -> line.drop(i + 1)
+          }.toMap)
     }
   }
 
@@ -1692,15 +1814,16 @@ object SnapshotStore {
     }
 
   /** Every table under the store base (a directory with a published
-    * `_manifests` child) — one metadata listing, no data I/O. */
+    * `_manifests` child) — ONE glob listing, no per-child round trips
+    * (r16 advice #4: the previous spelling issued listStatus + N×
+    * exists(), N+1 metadata calls on an object store) and no data I/O. */
   def listTables: Seq[String] = {
     val root = new Path(base)
     val fs = fsOf(root)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).iterator
+    else fs.globStatus(new Path(root, "*/_manifests")).iterator
       .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(n => fs.exists(manifestDir(n)))
+      .map(_.getPath.getParent.getName)
       .toSeq.sorted
   }
 
@@ -1755,11 +1878,19 @@ object SnapshotStore {
   def maintainRetention(keep: Int, minReclaimBytes: Long,
       scope: String => Boolean = _ => true): Seq[RetentionAdvice] =
     listTables.filter(scope).map { t =>
-      val plan = vacuumDryRun(t, keep)
-      val go = plan.dropBytes >= minReclaimBytes && plan.dropFiles.nonEmpty
-      if (go) vacuum(t, keep)
-      RetentionAdvice(t, keep, plan.dropBytes, plan.dropFiles.size,
-        plan.dropVersions.size, vacuumed = go)
+      // one synchronized span per table (r16 advice #3): a commit
+      // landing between the dry run and the vacuum would make the
+      // reported reclaim counts diverge from what was actually
+      // dropped; holding the lock across the pair pins report ==
+      // action (the lock is reentrant, so the nested synchronized
+      // methods are free)
+      synchronized {
+        val plan = vacuumDryRun(t, keep)
+        val go = plan.dropBytes >= minReclaimBytes && plan.dropFiles.nonEmpty
+        if (go) vacuum(t, keep)
+        RetentionAdvice(t, keep, plan.dropBytes, plan.dropFiles.size,
+          plan.dropVersions.size, vacuumed = go)
+      }
     }
 
   /** K38: vacuum DRY RUN — exactly what [[vacuum]] would drop

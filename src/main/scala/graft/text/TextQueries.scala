@@ -1738,6 +1738,17 @@ object TextQueries {
     "text_bpe_encode"   -> ((s: SparkSession, dir: String) =>
       Bpe.topPieces(Tables.documents(s, dir), "text", 8, 30,
         cacheKey = graft.store.GraftStore.dirKey(dir))),
+    // G33: unigram-LM (SentencePiece) training — Viterbi-EM in
+    // fixed-point integer log space; the oracle enumerates every
+    // segmentation per word (recursive CTE) and picks by the same
+    // (score, reversed-lengths) order the DP's tie-break realizes
+    "text_unigram"      -> ((s: SparkSession, dir: String) =>
+      Unigram.trainedVocab(Tables.documents(s, dir), "text")),
+    // G34: the encode half — every distinct word's Viterbi
+    // segmentation under the (memoized) trained model
+    "text_unigram_encode" -> ((s: SparkSession, dir: String) =>
+      Unigram.encodeVocab(Tables.documents(s, dir), "text",
+        graft.store.GraftStore.dirKey(dir))),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
@@ -1915,6 +1926,107 @@ object TextQueries {
        |  GROUP BY w, n
        |)""".stripMargin
 
+  /** G33/G34 oracle scaffolding: the unigram-LM Viterbi-EM rounds as
+    * generated CTEs (the text_bpe route). The E-step's Viterbi is
+    * mirrored by EXHAUSTIVE segmentation enumeration per distinct word
+    * (a recursive CTE stepping 1..MaxPieceLen chars through the vocab
+    * piece table — tetranacci(len) paths per word, tractable because
+    * enumeration runs at VOCAB scale, never corpus scale) and a
+    * row_number pick per word by (score DESC, reversed-lengths DESC):
+    * single-digit piece lengths prepended into a VARCHAR make the
+    * string comparison exactly the DP's longer-piece-wins-ties order
+    * (see Unigram.viterbiSeg). Scores are the same fixed-point integer
+    * logs — each ln rounded separately — so the pick is exact Long
+    * arithmetic in both engines. */
+  private def unigramVocab0Sql: String = {
+    val S = graft.text.Unigram.Scale
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, count(*)::bigint AS n FROM (
+       |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY w
+       |),
+       |sub AS MATERIALIZED (
+       |  SELECT piece, sum(n)::bigint AS cnt FROM (
+       |    SELECT n, substr(w, st, l) AS piece FROM (
+       |      SELECT w, n, l, unnest(range(1, length(w) - l + 2)) AS st
+       |      FROM (SELECT w, n, unnest(range(1, ${graft.text.Unigram.MaxPieceLen + 1})) AS l FROM w0) q
+       |      WHERE l <= length(w)
+       |    )
+       |  ) GROUP BY piece
+       |),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT ${graft.text.Unigram.MultiBudget}
+       |  )
+       |),
+       |wt0 AS MATERIALIZED (
+       |  SELECT piece, CAST(round(ln(cnt + 1) * $S) AS BIGINT)
+       |    - (SELECT CAST(round(ln(sum(cnt + 1)) * $S) AS BIGINT) FROM vocab0) AS wgt
+       |  FROM vocab0
+       |)""".stripMargin
+  }
+
+  /** One Viterbi-EM round: enumerate (p), pick (seg), recount (c),
+    * reweight (wt) — round i reads wt(i−1). */
+  private def unigramRoundSql(i: Int): String = {
+    val S = graft.text.Unigram.Scale
+    val L = graft.text.Unigram.MaxPieceLen
+    s"""p$i AS (
+       |  SELECT w, n, 0 AS pos, '' AS seg, '' AS rlen, 0::bigint AS score FROM w0
+       |  UNION ALL
+       |  SELECT p.w, p.n, p.pos + l.l AS pos,
+       |    CASE WHEN p.seg = '' THEN substr(p.w, p.pos + 1, l.l)
+       |         ELSE p.seg || '|' || substr(p.w, p.pos + 1, l.l) END AS seg,
+       |    CAST(l.l AS VARCHAR) || p.rlen AS rlen,
+       |    p.score + t.wgt AS score
+       |  FROM p$i p, (SELECT unnest(range(1, ${L + 1})) AS l) l, wt${i - 1} t
+       |  WHERE p.pos + l.l <= length(p.w)
+       |    AND t.piece = substr(p.w, p.pos + 1, l.l)
+       |),
+       |seg$i AS MATERIALIZED (
+       |  SELECT w, n, seg FROM (
+       |    SELECT w, n, seg,
+       |      row_number() OVER (PARTITION BY w ORDER BY score DESC, rlen DESC) AS rn
+       |    FROM p$i WHERE pos = length(w)
+       |  ) WHERE rn = 1
+       |),
+       |c$i AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(u.cnt, 0)::bigint AS cnt
+       |  FROM vocab0 v LEFT JOIN (
+       |    SELECT piece, sum(n)::bigint AS cnt FROM (
+       |      SELECT n, unnest(string_split(seg, '|')) AS piece FROM seg$i
+       |    ) GROUP BY piece
+       |  ) u ON v.piece = u.piece
+       |),
+       |wt$i AS MATERIALIZED (
+       |  SELECT piece, CAST(round(ln(cnt + 1) * $S) AS BIGINT)
+       |    - (SELECT CAST(round(ln(sum(cnt + 1)) * $S) AS BIGINT) FROM c$i) AS wgt
+       |  FROM c$i
+       |)""".stripMargin
+  }
+
+  private lazy val unigramOracleSql: String = {
+    val r = graft.text.Unigram.EmRounds
+    val rounds = (1 to r).map(unigramRoundSql).mkString(",\n")
+    s"""WITH RECURSIVE ${unigramVocab0Sql},
+       |$rounds
+       |SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rnk
+       |FROM c$r""".stripMargin
+  }
+
+  private lazy val unigramEncodeOracleSql: String = {
+    // the encoder segments under the FINAL trained weights wt_r, i.e.
+    // one E-step beyond the last training round — round r+1's seg
+    val r = graft.text.Unigram.EmRounds + 1
+    val rounds = (1 to r).map(unigramRoundSql).mkString(",\n")
+    s"""WITH RECURSIVE ${unigramVocab0Sql},
+       |$rounds
+       |SELECT w, n, seg FROM seg$r""".stripMargin
+  }
+
   private val BpeK = 8
   private lazy val bpeOracleSql: String = {
     val rounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
@@ -1964,6 +2076,11 @@ object TextQueries {
     // G31/G32: 8 merge rounds as generated materialized CTEs (above)
     "text_bpe" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
+    // G33/G34: Viterbi-EM rounds as generated CTEs; the E-step is
+    // mirrored by exhaustive per-word segmentation enumeration picked
+    // under the same exact integer (score, reversed-lengths) order
+    "text_unigram" -> unigramOracleSql,
+    "text_unigram_encode" -> unigramEncodeOracleSql,
     // G48: exact counts; sqrt normalizer summed in source-name order
     // (list_sum over ORDER BY — mirrors Spark's sorted-array aggregate)
     "text_mix_weights" ->

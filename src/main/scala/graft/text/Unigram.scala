@@ -1,0 +1,210 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G33: unigram-LM (SentencePiece) tokenizer — train + Viterbi encode
+  * (Kudo 2018), the OTHER production tokenizer family next to BPE
+  * (G31/G32), Spark-first.
+  *
+  * Like BPE, unigram training never needs the corpus after
+  * pretokenization: one distributed pass collapses any corpus to the
+  * WORD-COUNT table, and everything after is vocab-scale. Unlike BPE
+  * (whose merge rounds are corpus-wide aggregations), the unigram
+  * E-step is per-word Viterbi — embarrassingly parallel — so the
+  * 100 TB shape here is: broadcast the (small, budget-bounded) piece
+  * table as a map literal and run the WHOLE dynamic program inside one
+  * codegen'd projection over the word table (nested `aggregate`
+  * higher-order functions: forward DP then backtrack). Zero shuffles,
+  * zero UDFs per E-step; the only exchanges are the vocab-scale piece
+  * count aggregations between rounds.
+  *
+  * Determinism (the text_bpe contract): Viterbi compares Σ log p —
+  * floats. Both engines instead score in FIXED-POINT INTEGER log
+  * space: weight(piece) = round(ln(cnt+1)·2²⁰) − round(ln(T)·2²⁰),
+  * each ln rounded separately, so every DP comparison is exact Long
+  * arithmetic and the argmax cannot drift on sum-order ulp. Add-one
+  * smoothing keeps every vocab piece usable in every round (single
+  * chars are seeded unconditionally, so every word stays segmentable).
+  * DP ties prefer the LONGER last piece, recursively — equivalently,
+  * among max-score segmentations the one whose reversed piece-length
+  * sequence is lexicographically largest, which is what the generated
+  * DuckDB oracle's ORDER BY mirrors (lengths are single digits, so the
+  * reversed-lengths STRING comparison is the same order).
+  *
+  * Training = Viterbi-EM (hard EM): E-step segments the vocabulary
+  * under current weights, M-step re-estimates counts from the
+  * segmentation (weighted by word frequency, exact integers). Fixed
+  * seed budget + fixed rounds make the result a pure function of the
+  * corpus, mirrored round-for-round by generated materialized CTEs in
+  * the oracle (the text_bpe route). Reference scope: tokenizer
+  * training is the pipeline stage the reference delegates to its LLM
+  * provider (LLM/pipeline.py tokenizes implicitly via the model API);
+  * a standalone engine owns it.
+  */
+object Unigram {
+
+  /** Longest candidate piece (SentencePiece's max_sentencepiece_length
+    * is 16 by default; 4 keeps the seed table and the oracle's
+    * enumeration tractable while exercising every mechanism). */
+  val MaxPieceLen = 4
+
+  /** Multi-char seed pieces kept (by substring count desc, piece asc);
+    * single chars are always kept — the segmentability floor. */
+  val MultiBudget = 16
+
+  /** Viterbi-EM rounds after seeding. */
+  val EmRounds = 2
+
+  /** Fixed-point log scale: 2^20 — integer log-space weights. */
+  val Scale = 1L << 20
+
+  /** round(ln(x)·2²⁰) as Long — BOTH engines compute the IEEE-double
+    * natural log of the same integer and round once; disagreement
+    * would need the true value within ~1 ulp of a half-integer
+    * boundary (the graph_pagerank round-6 argument, applied to ints). */
+  private def ilog(x: Column): Column =
+    round(log(x.cast("double")) * Scale, 0).cast("long")
+
+  /** The (w, n) distinct-word table — BPE's pretokenization, piece
+    * columns dropped. */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    Bpe.pretokenize(docs, textCol).select(col("w"), col("n"))
+
+  /** Seed vocabulary: every substring of length 1..MaxPieceLen of
+    * every distinct word, counted per OCCURRENCE (overlaps included)
+    * weighted by word frequency; all single chars + the top
+    * [[MultiBudget]] multi-char pieces by (count desc, piece asc).
+    * Returns (piece, cnt). The top-K ranking runs over the piece
+    * TABLE (vocab-scale²·L, still metadata next to the corpus). */
+  def seedVocab(docs: DataFrame, textCol: String): DataFrame = {
+    val words = wordCounts(docs, textCol)
+    val pieces = words.select(col("n"), explode(flatten(
+      transform(filter(sequence(lit(1), lit(MaxPieceLen)),
+          l => l <= length(col("w"))),
+        l => transform(sequence(lit(1), length(col("w")) - l + 1),
+          st => col("w").substr(st, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val multi = pieces.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(MultiBudget)
+    chars.unionAll(multi)
+  }
+
+  /** Fixed-point weights from a (piece, cnt) frame with add-one
+    * smoothing: weight = ilog(cnt+1) − ilog(Σ(cnt+1)). Driver-held —
+    * the vocab is budget-bounded (≤ chars + MultiBudget), the same
+    * bounded-collect class as Bpe.cachedMerges. */
+  def weightsOf(vocab: DataFrame): Map[String, Long] = {
+    val t = vocab.agg(sum(col("cnt") + 1L)).head().getLong(0)
+    val logT = math.round(math.log(t.toDouble) * Scale)
+    vocab.select(col("piece"), ilog(col("cnt") + 1L).as("il"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1) - logT)).toMap
+  }
+
+  /** The Viterbi segmentation of `wCol` under `weights`, as a
+    * '|'-joined piece string — ONE codegen'd column expression
+    * (nested aggregate HOFs over a broadcast map literal): forward DP
+    * builds (score, best-last-length) per position, the backtrack
+    * walks it once. No UDF, no shuffle, no per-row JVM call. */
+  def viterbiSeg(wCol: Column, weights: Map[String, Long]): Column = {
+    val wmap = typedLit(weights)
+    val len = length(wCol)
+    // dp(j) for positions 0..len: element j+1 = (s: best score of the
+    // prefix of length j, bl: length of its last piece). l iterates
+    // ascending with >= so EQUAL scores hand the slot to the longer
+    // piece — the pinned tie-break.
+    val dp = aggregate(
+      sequence(lit(1), len),
+      array(struct(lit(0L).as("s"), lit(0).as("bl"))),
+      (acc, j) => concat(acc, array(
+        aggregate(
+          filter(sequence(lit(1), lit(MaxPieceLen)), l => l <= j),
+          struct(lit(Long.MinValue).as("s"), lit(0).as("bl")),
+          (b, l) => {
+            val wgt = element_at(wmap, wCol.substr(j - l + 1, l))
+            val cand = element_at(acc, (j - l + 1).cast("int"))
+              .getField("s") + wgt
+            when(wgt.isNotNull && cand >= b.getField("s"),
+              struct(cand.as("s"), l.cast("int").as("bl")))
+              .otherwise(b)
+          }))))
+    // backtrack: ≤ len hops (every reachable position has bl ≥ 1 —
+    // single chars are always in the vocab); prepending keeps pieces
+    // in left-to-right order
+    aggregate(
+      sequence(lit(1), len),
+      struct(len.cast("int").as("j"), lit("").as("seg"), dp.as("dp")),
+      (acc, _) => {
+        val j = acc.getField("j")
+        val bl = element_at(acc.getField("dp"), j + 1).getField("bl")
+        val piece = wCol.substr(j - bl + 1, bl)
+        when(j <= 0, acc).otherwise(struct(
+          (j - bl).cast("int").as("j"),
+          when(acc.getField("seg") === "", piece)
+            .otherwise(concat(piece, lit("|"), acc.getField("seg"))).as("seg"),
+          acc.getField("dp").as("dp")))
+      },
+      acc => acc.getField("seg"))
+  }
+
+  /** One E-step: segment every distinct word, return (w, n, seg). */
+  def segment(words: DataFrame, weights: Map[String, Long]): DataFrame =
+    words.withColumn("seg", viterbiSeg(col("w"), weights))
+
+  /** M-step counts from an E-step frame: (piece, cnt) over the FULL
+    * vocab (unused pieces report 0 — the oracle mirrors the left
+    * join), weighted by word frequency. */
+  def emCounts(segmented: DataFrame, vocab: Seq[String]): DataFrame = {
+    val spark = segmented.sparkSession
+    import spark.implicits._
+    val used = segmented
+      .select(col("n"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    vocab.toDF("piece").join(used, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Train end-to-end: seed → [[EmRounds]] Viterbi-EM rounds. Returns
+    * (finalCounts DF (piece, cnt), finalWeights) — counts are the LAST
+    * E-step's, the numbers the trained model actually assigns. */
+  def train(docs: DataFrame, textCol: String): (DataFrame, Map[String, Long]) = {
+    val words = wordCounts(docs, textCol).localCheckpoint(eager = true)
+    val seed = seedVocab(docs, textCol).localCheckpoint(eager = true)
+    val vocab = seed.select("piece").collect().map(_.getString(0)).toSeq.sorted
+    var weights = weightsOf(seed)
+    var counts: DataFrame = seed
+    for (_ <- 1 to EmRounds) {
+      counts = emCounts(segment(words, weights), vocab)
+        .localCheckpoint(eager = true)
+      weights = weightsOf(counts)
+    }
+    (counts, weights)
+  }
+
+  /** Memoized trained model per (session, key) — the encode face must
+    * not re-train (the Bpe.cachedMerges discipline). */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Map[String, Long]]
+  def cachedWeights(docs: DataFrame, textCol: String, key: String): Map[String, Long] =
+    modelCache.getOrElseUpdate((docs.sparkSession, key), train(docs, textCol)._2)
+
+  /** G33 driver face: the trained vocabulary with final Viterbi-EM
+    * counts, ranked (cnt desc, piece asc). */
+  def trainedVocab(docs: DataFrame, textCol: String): DataFrame = {
+    val (counts, _) = train(docs, textCol)
+    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    // vocab-scale final ranking only (the text_bm25 convention)
+    counts.orderBy(col("cnt").desc, col("piece"))
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** G34 driver face: every distinct word's Viterbi segmentation under
+    * the (memoized) trained model — the encode artifact a corpus pass
+    * would dictionary-join. */
+  def encodeVocab(docs: DataFrame, textCol: String, cacheKey: String): DataFrame =
+    segment(wordCounts(docs, textCol),
+      cachedWeights(docs, textCol, cacheKey))
+      .select(col("w"), col("n"), col("seg"))
+}

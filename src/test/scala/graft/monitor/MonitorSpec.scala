@@ -145,6 +145,12 @@ class PlanAuditSpec extends graft.SparkSpec {
       s"the quantity filter must reach the scan: $a")
     assert(a.readColumns == 2, s"pruned read schema expected: $a")
     assert(a.smells.isEmpty, s"clean plan must report no smells: ${a.smells}")
+    // r16 verdict #7: file-layout telemetry — the scan must report how
+    // many files (and bytes) it actually planned over, the counter
+    // that would have named the one-file-per-bucket layout shift in
+    // one artifact diff
+    assert(a.filesRead >= 1, s"scan must report planned files: $a")
+    assert(a.bytesRead > 0, s"scan must report planned bytes: $a")
   }
 
   test("J5 audit sees the broadcast side of a dim join") {

@@ -1191,4 +1191,79 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(again.find(_.name == "rket_big").get.reclaimBytes == 0L,
       "the vacuumed table's reclaim must be spent")
   }
+
+  test("OCC: two interleaved writers' disjoint-file appends BOTH commit; no lost update, linear chain") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("occ1", Seq((1L, "base")).toDF("k", "s"))
+    // writer A builds its manifest for v1; the hook fires writer B's
+    // FULL commit in the race window (reentrant lock = same-thread
+    // interleave, the cross-process schedule a single JVM can't
+    // otherwise produce); B takes v1, A's CAS rename fails, A rebuilds
+    // its delta against B's head and retries at v2
+    var fired = false
+    SnapshotStore.publishRaceHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotStore.publishRaceHook = () => ()
+        SnapshotStore.commitAppend("occ1", Seq((2L, "writerB")).toDF("k", "s"))
+      }
+    }
+    val vA = try
+      SnapshotStore.commitAppend("occ1", Seq((3L, "writerA")).toDF("k", "s"))
+    finally SnapshotStore.publishRaceHook = () => ()
+    assert(fired, "the race must actually have been injected")
+    assert(vA == 2L, s"A must land AFTER B's stolen version: $vA")
+    assert(SnapshotStore.versions("occ1") == Seq(0L, 1L, 2L),
+      "version chain must stay linear — no gaps, no forks")
+    // NO lost update: both writers' rows are visible at the head
+    assert(rows("occ1") == Set((1L, "base"), (2L, "writerB"), (3L, "writerA")))
+    // and B's intermediate snapshot is exactly base + B
+    assert(rows("occ1", Some(1L)) == Set((1L, "base"), (2L, "writerB")))
+  }
+
+  test("OCC: a concurrent commit under an OVERWRITE classifies as a true conflict and aborts cleanly") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("occ2", Seq((1L, "base")).toDF("k", "s"))
+    var fired = false
+    SnapshotStore.publishRaceHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotStore.publishRaceHook = () => ()
+        SnapshotStore.commitAppend("occ2", Seq((2L, "writerB")).toDF("k", "s"))
+      }
+    }
+    val e = try intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.commitOverwrite("occ2", Seq((9L, "clobber")).toDF("k", "s"))
+    } finally SnapshotStore.publishRaceHook = () => ()
+    assert(fired)
+    assert(e.getMessage.contains("overwrite"),
+      s"the abort must classify the conflict: ${e.getMessage}")
+    // the abort is CLEAN: B's commit stands, no half-published version
+    assert(SnapshotStore.versions("occ2") == Seq(0L, 1L))
+    assert(rows("occ2") == Set((1L, "base"), (2L, "writerB")))
+    // and the table keeps working after the abort
+    SnapshotStore.commitAppend("occ2", Seq((3L, "after")).toDF("k", "s"))
+    assert(rows("occ2") == Set((1L, "base"), (2L, "writerB"), (3L, "after")))
+  }
+
+  test("props recovery: a TORN .props.tmp never displaces an intact target; a complete one wins") {
+    SnapshotStore.setTableProperty("pt1", "a", "1")
+    SnapshotStore.setTableProperty("pt1", "b", "2")
+    // simulate the crash-mid-write: a truncated tmp (no end marker)
+    val dir = SnapshotStore.tableDir("pt1")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".props.tmp")
+    val out = fs.create(tmp, true)
+    out.write("a=POISON".getBytes("UTF-8")); out.close()
+    assert(SnapshotStore.tableProperties("pt1") == Map("a" -> "1", "b" -> "2"),
+      "torn tmp must be discarded, target kept")
+    assert(!fs.exists(tmp), "the torn tmp must be swept")
+    // a COMPLETE tmp (full map + marker) is the newer intent and wins
+    val out2 = fs.create(tmp, true)
+    out2.write("a=9\nc=3\n#end=2".getBytes("UTF-8")); out2.close()
+    assert(SnapshotStore.tableProperties("pt1") == Map("a" -> "9", "c" -> "3"),
+      "complete tmp must finish its publish on read")
+    assert(SnapshotStore.tableProperties("pt1") == Map("a" -> "9", "c" -> "3"),
+      "and the adoption must be durable")
+  }
 }
