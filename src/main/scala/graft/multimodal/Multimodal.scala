@@ -3373,6 +3373,175 @@ object Multimodal {
        |h AS MATERIALIZED (SELECT doc_id, ${(0 until 4)
         .map(b => dhashBandSql(b) + s" AS b$b").mkString(", ")} FROM gd)""".stripMargin
 
+  // ----- H44/H45: cross-modal alignment (CLIP-score shape) ----------
+
+  /** H44: image↔caption alignment scoring — THE admission filter every
+    * published multimodal corpus gates on (LAION's CLIP-score ≥ 0.28,
+    * DataComp's learned thresholds): embed both modalities into one
+    * space, score cosine per PAIR, admit above a threshold. No vision
+    * model exists in this container, so the EMBEDDINGS are the
+    * deterministic stub under the H2 decode contract (the dHash pixel
+    * convention applied to the embedding step): the image tower embeds
+    * image GROUP g = doc_id div [[DHashGroup]] ("the same image
+    * re-encoded 4 ways" — one md5, 8 signed 16-bit dims sliced from
+    * the digest), and the caption tower embeds as the image embedding
+    * of the caption's SUBJECT plus bounded per-doc noise (captions of
+    * the same image vary in wording, not meaning). One doc in
+    * [[ClipMismatch]] carries a caption describing a DIFFERENT image
+    * (subject group g + large prime) — the misalignment population the
+    * filter exists to catch. All codegen'd md5/substring/conv/when
+    * arithmetic, zero shuffle per pair; the cosine is 8 double
+    * products summed in one fixed left-to-right chain, so both engines
+    * run identical IEEE operations in identical order and round(…, 4)
+    * absorbs the last ulp (the graph_pagerank contract).
+    *
+    * 100 TB shape: per-pair scoring is a pure projection over the
+    * (image, caption) table — embeds ride WITH the rows, nothing
+    * joins, nothing shuffles; the model forward pass slots into the
+    * H2 mapPartitions batch contract where the md5 stub sits now. */
+  /** 16 dims from TWO md5 digests per tower (32 hex chars = 8 four-hex
+    * slices each): 8 dims left the retrieval face's random-pair cosine
+    * tail fat enough that ~half the banded admissions were noise
+    * (σ = 1/√8 ≈ 0.35, and band collision conditions on shared signs,
+    * fattening the tail further); at 16 dims σ = 0.25 and the
+    * conditioned tail above 0.8 collapses — the spec pins ≥ 90%
+    * aligned admissions. */
+  val ClipDims = 16
+  val ClipMismatch = 5
+  /** Admission threshold on the ROUNDED cosine: aligned pairs land
+    * ≈ 0.95-0.99 (noise rms ≈ 0.25 of signal rms), mismatched pairs
+    * are near-orthogonal random vectors. */
+  val ClipThreshold = 0.8
+
+  private def clipSlice(h: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+    conv(substring(h, 4 * (j % 8) + 1, 4), 16, 10).cast("int")
+
+  private def clipEmbCols(key: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val h1 = md5(key); val h2 = md5(concat(key, lit("#2")))
+    (0 until ClipDims).map(j => clipSlice(if (j < 8) h1 else h2, j) - 32768)
+  }
+
+  /** Caption embedding: subject image embedding + bounded noise
+    * (% 16384 − 8192: modulo on non-negative ints agrees across
+    * engines; integer division would not — floor vs truncate). */
+  private def clipCapCols(subjectG: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val nk = concat(lit("clipcap|"), docId.cast("string"))
+    val n1 = md5(nk); val n2 = md5(concat(nk, lit("#2")))
+    clipEmbCols(concat(lit("clipimg|"), subjectG.cast("string")))
+      .zipWithIndex.map { case (base, j) =>
+        base + (clipSlice(if (j < 8) n1 else n2, j) % 16384 - 8192)
+      }
+  }
+
+  /** Cosine of two fixed-width integer embeddings, in double, rounded
+    * to 4 — every term cast to double BEFORE multiplying (the sums
+    * overflow int32 in both engines otherwise) and summed
+    * left-to-right. */
+  private def clipCosine(a: Seq[org.apache.spark.sql.Column],
+      b: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    val dot = a.zip(b).map { case (x, y) => x.cast("double") * y }.reduce(_ + _)
+    val na = sqrt(a.map(x => x.cast("double") * x).reduce(_ + _))
+    val nb = sqrt(b.map(x => x.cast("double") * x).reduce(_ + _))
+    round(dot / (na * nb), 4)
+  }
+
+  private def clipFrame(spark: SparkSession, dir: String): DataFrame = {
+    val g = floor(col("doc_id") / DHashGroup).cast("long")
+    val subj = when(col("doc_id") % ClipMismatch === 0, g + 999983L).otherwise(g)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), g.as("g"),
+      array(clipEmbCols(concat(lit("clipimg|"), g.cast("string"))): _*).as("img"),
+      array(clipCapCols(subj, col("doc_id")): _*).as("cap"))
+  }
+
+  /** H44 driver query: per-pair CLIP score + admission flag. */
+  def mmClipScore(spark: SparkSession, dir: String): DataFrame = {
+    val f = clipFrame(spark, dir)
+    def el(c: String) = (0 until ClipDims).map(j => element_at(col(c), j + 1))
+    f.select(col("doc_id"),
+        clipCosine(el("img"), el("cap")).as("clip_score"))
+      .withColumn("admitted",
+        (col("clip_score") >= ClipThreshold).cast("int"))
+  }
+
+  /** H45: corpus×corpus cross-modal RETRIEVAL — every image's admitted
+    * captions from OTHER documents, NEVER all-pairs: both towers block
+    * on sign-pattern bands (4 sign bits per band, 2 bands over the 8
+    * dims — the E3 SimHash banding idiom on the embedding's own
+    * hyperplanes). Aligned caption/image pairs share most sign bits
+    * (a dim flips only when |component| < |noise| — ≈ 7.6%/dim), so a
+    * pair survives blocking with ≥ 1 of 2 bands ≈ 93% — the recall/
+    * mass dial; at production dims (512+) the same plan uses 16-bit
+    * random-hyperplane bands (collision mass 1/65536 per band), the
+    * layout F-family LSH already implements for same-modality search.
+    * Candidates verify by exact cosine ≥ [[ClipThreshold]]; same-group
+    * aligned captions admit, mismatched and cross-group pairs drop. */
+  /** Sign-band count for retrieval blocking: 4 bands × 4 sign bits
+    * over the 16 dims; an aligned pair survives ≥ 1 band w.p. ≈ 99.5%
+    * (per-dim sign flip ≈ 7.6%). */
+  val ClipBands = 4
+
+  def mmClipRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val f = clipFrame(spark, dir).localCheckpoint(eager = true)
+    def bandCols(c: String): Seq[org.apache.spark.sql.Column] =
+      (0 until ClipBands).map(b =>
+        (0 until 4).map(k =>
+          when(element_at(col(c), 4 * b + k + 1) > 0, lit(1 << k)).otherwise(lit(0)))
+          .reduce(_ + _).as(s"bv$b"))
+    def banded(c: String, idAs: String): DataFrame =
+      (0 until ClipBands).map(b =>
+        f.select(col("doc_id").as(idAs), lit(b).as("bi"),
+          bandCols(c)(b).as("bv")))
+        .reduce(_ unionAll _)
+    val cand = banded("img", "img_doc")
+      .join(banded("cap", "cap_doc"), Seq("bi", "bv"))
+      .filter(col("img_doc") =!= col("cap_doc"))
+      .select("img_doc", "cap_doc").distinct()
+    def el(c: String) = (0 until ClipDims).map(j => element_at(col(c), j + 1))
+    val img = f.select(col("doc_id").as("img_doc"), col("img"))
+    val cap = f.select(col("doc_id").as("cap_doc"), col("cap"))
+    cand.join(img, "img_doc").join(cap, "cap_doc")
+      .select(col("img_doc"), col("cap_doc"),
+        clipCosine(el("img"), el("cap")).as("clip_score"))
+      .filter(col("clip_score") >= ClipThreshold)
+  }
+
+  /** Shared oracle CTE: the embedding frame re-derived from the same
+    * md5-slice formula (every term cast to double before any product —
+    * DuckDB's checked int32 arithmetic would otherwise overflow where
+    * Spark wraps). */
+  private lazy val clipEmbCte: String = {
+    def sliceSql(keyExpr: String, j: Int): String = {
+      val key = if (j < 8) keyExpr else s"$keyExpr || '#2'"
+      s"('0x' || substr(md5($key), ${4 * (j % 8) + 1}, 4))::int"
+    }
+    def embSql(keyExpr: String, j: Int): String =
+      s"(${sliceSql(keyExpr, j)} - 32768)"
+    def capSql(j: Int): String =
+      s"(${embSql("'clipimg|' || cg::varchar", j)} + " +
+        s"((${sliceSql("'clipcap|' || doc_id::varchar", j)}) % 16384 - 8192))"
+    val imgCols = (0 until ClipDims)
+      .map(j => s"${embSql("'clipimg|' || g::varchar", j)} AS i$j").mkString(", ")
+    val capCols = (0 until ClipDims).map(j => s"${capSql(j)} AS c$j").mkString(", ")
+    s"""ge AS (
+       |  SELECT doc_id, doc_id // $DHashGroup AS g,
+       |    CASE WHEN doc_id % $ClipMismatch = 0
+       |      THEN doc_id // $DHashGroup + 999983 ELSE doc_id // $DHashGroup END AS cg
+       |  FROM documents
+       |),
+       |emb AS MATERIALIZED (SELECT doc_id, $imgCols, $capCols FROM ge)""".stripMargin
+  }
+
+  /** cosine(iN…, cN…) as left-associated double sums — the exact
+    * operation order the Spark expression chain runs. */
+  private def clipCosSql(ip: String, cp: String): String = {
+    val dot = (0 until ClipDims).map(j => s"$ip$j::double * $cp$j").mkString(" + ")
+    val ni = (0 until ClipDims).map(j => s"$ip$j::double * $ip$j").mkString(" + ")
+    val nc = (0 until ClipDims).map(j => s"$cp$j::double * $cp$j").mkString(" + ")
+    s"round(($dot) / (sqrt($ni) * sqrt($nc)), 4)"
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_dhash" -> (mmDhash _),
@@ -3381,6 +3550,8 @@ object Multimodal {
     "mm_dhash_survivors" -> (mmDhashSurvivors _),
     "mm_afp" -> (mmAfp _),
     "mm_afp_pairs" -> (mmAfpPairs _),
+    "mm_clip_score" -> (mmClipScore _),
+    "mm_clip_retrieval" -> (mmClipRetrieval _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
@@ -3427,6 +3598,38 @@ object Multimodal {
     "mm_afp" ->
       s"""WITH $afpFrameCte
          |SELECT doc_id, t AS pos, subfp FROM fp""".stripMargin,
+    // H44: the per-pair score re-derived from the same embedding
+    // formula, cosine in the same left-to-right double order
+    "mm_clip_score" ->
+      s"""WITH $clipEmbCte
+         |SELECT doc_id, ${clipCosSql("i", "c")} AS clip_score,
+         |  (CASE WHEN ${clipCosSql("i", "c")} >= $ClipThreshold
+         |    THEN 1 ELSE 0 END)::int AS admitted
+         |FROM emb""".stripMargin,
+    // H45: the banded candidate join + exact-cosine verification,
+    // re-derived from the same sign-band formula
+    "mm_clip_retrieval" -> {
+      def bandSql(p: String, b: Int): String =
+        (0 until 4).map(k =>
+          s"(CASE WHEN $p${4 * b + k} > 0 THEN ${1 << k} ELSE 0 END)")
+          .mkString("(", " + ", ")")
+      val bands = (p: String, id: String) => (0 until ClipBands).map(b =>
+        s"SELECT doc_id AS $id, $b AS bi, ${bandSql(p, b)} AS bv FROM emb")
+        .mkString(" UNION ALL ")
+      s"""WITH $clipEmbCte,
+         |ib AS (${bands("i", "img_doc")}),
+         |cb AS (${bands("c", "cap_doc")}),
+         |cand AS (
+         |  SELECT DISTINCT img_doc, cap_doc FROM ib JOIN cb USING (bi, bv)
+         |  WHERE img_doc <> cap_doc
+         |)
+         |SELECT img_doc, cap_doc, clip_score FROM (
+         |  SELECT x.img_doc, x.cap_doc,
+         |    ${clipCosSql("a.i", "b.c")} AS clip_score
+         |  FROM cand x JOIN emb a ON a.doc_id = x.img_doc
+         |    JOIN emb b ON b.doc_id = x.cap_doc
+         |) WHERE clip_score >= $ClipThreshold""".stripMargin
+    },
     // E23: the bigram self-join + offset-histogram verification,
     // re-derived from the same frame formula
     "mm_afp_pairs" ->

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** G33: unigram-LM (SentencePiece) tokenizer — train + Viterbi encode
@@ -191,13 +190,22 @@ object Unigram {
     modelCache.getOrElseUpdate((docs.sparkSession, key), train(docs, textCol)._2)
 
   /** G33 driver face: the trained vocabulary with final Viterbi-EM
-    * counts, ranked (cnt desc, piece asc). */
+    * counts, ranked (cnt desc, piece asc). The rank is the
+    * DISTRIBUTED two-pass range rank (Graphs.rankedAsc — the C37/
+    * vertex-dict idiom), never a no-partition window: this corpus's
+    * vocab is budget-bounded, but a production piece budget is
+    * millions of rows and the fleet gate rightly rejects one-task
+    * global sorts. The composite (cnt desc, piece asc) order rides a
+    * single monotone string key: zero-padded (10¹⁸ − cnt) — exact
+    * Long arithmetic, cnt can never approach 10¹⁸ — then the piece. */
   def trainedVocab(docs: DataFrame, textCol: String): DataFrame = {
     val (counts, _) = train(docs, textCol)
-    val w = Window.orderBy(col("cnt").desc, col("piece"))
-    // vocab-scale final ranking only (the text_bm25 convention)
-    counts.orderBy(col("cnt").desc, col("piece"))
-      .withColumn("rnk", row_number().over(w))
+    val keyed = counts.withColumn("_k",
+      concat(lpad((lit(1000000000000000000L) - col("cnt")).cast("string"), 19, "0"),
+        lit("|"), col("piece")))
+    val ranked = graft.graph.Graphs.rankedAsc(keyed.select(col("_k")), "_k", "_rank")
+    keyed.join(ranked, "_k")
+      .select(col("piece"), col("cnt"), col("_rank").cast("int").as("rnk"))
   }
 
   /** G34 driver face: every distinct word's Viterbi segmentation under

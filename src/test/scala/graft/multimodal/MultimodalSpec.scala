@@ -756,4 +756,85 @@ class MultimodalSpec extends SparkSpec {
     assert(fp.length == 3 * Multimodal.AfpFrames)
     assert(fp.forall(r => r._3 >= 0 && r._3 < 65536))
   }
+
+  test("H44 CLIP-score gate: aligned captions admit, every mismatched caption rejects, scoring is a shuffle-free projection") {
+    import spark.implicits._
+    val scored = Multimodal.mmClipScore(spark, sfDir)
+      .as[(Long, Double, Int)].collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(scored.length.toLong == n)
+    scored.foreach { case (id, s, adm) =>
+      assert(adm == (if (s >= Multimodal.ClipThreshold) 1 else 0))
+      if (id % Multimodal.ClipMismatch == 0)
+        assert(adm == 0, s"mismatched caption $id admitted at $s")
+      else
+        assert(adm == 1, s"aligned caption $id rejected at $s")
+    }
+    // the admission gate is a PROJECTION: no exchange anywhere — at
+    // corpus scale the filter costs one codegen'd pass over the pairs
+    val a = graft.monitor.PlanAudit.audit(Multimodal.mmClipScore(spark, sfDir))
+    assert(a.shuffleExchanges == 0, s"per-pair scoring must not shuffle: $a")
+    assert(a.wholeStageSpans >= 1, s"scoring must run codegen'd: $a")
+  }
+
+  test("H45 CLIP retrieval: exact parity with an in-memory reference (bands, candidates, scores); blocking is banded, never all-pairs") {
+    import spark.implicits._
+    // independent reference: same md5-slice embeddings, same sign
+    // bands, same left-to-right double cosine, same HALF_UP round-4
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def slice(key: String, j: Int): Int = {
+      val h = md5hex(if (j < 8) key else key + "#2")
+      Integer.parseInt(h.substring(4 * (j % 8), 4 * (j % 8) + 4), 16)
+    }
+    def imgEmb(g: Long): Array[Int] =
+      Array.tabulate(Multimodal.ClipDims)(j => slice(s"clipimg|$g", j) - 32768)
+    def capEmb(doc: Long): Array[Int] = {
+      val g = doc / Multimodal.DHashGroup
+      val cg = if (doc % Multimodal.ClipMismatch == 0) g + 999983L else g
+      imgEmb(cg).zipWithIndex.map { case (b, j) =>
+        b + (slice(s"clipcap|$doc", j) % 16384 - 8192) }
+    }
+    def cos(a: Array[Int], b: Array[Int]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- 0 until Multimodal.ClipDims) {
+        dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j)
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def bands(e: Array[Int]): Seq[(Int, Int)] = (0 until Multimodal.ClipBands).map(b =>
+      b -> (0 until 4).map(k => if (e(4 * b + k) > 0) 1 << k else 0).sum)
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val imgs = (0L until n).map(d => d -> imgEmb(d / Multimodal.DHashGroup)).toMap
+    val caps = (0L until n).map(d => d -> capEmb(d)).toMap
+    val capsByBand = caps.toSeq.flatMap { case (d, e) => bands(e).map(_ -> d) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expect = (for {
+      (i, ie) <- imgs.toSeq
+      c <- bands(ie).flatMap(capsByBand.getOrElse(_, Set.empty)).distinct
+      if c != i
+      s = cos(ie, caps(c))
+      if s >= Multimodal.ClipThreshold
+    } yield (i, c, s)).toSet
+    val got = Multimodal.mmClipRetrieval(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"retrieval diverges: extra=${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
+    // the admitted set is dominated by the constructed aligned
+    // same-group pairs (an 8-dim random tail can clear the gate, so
+    // exact zero is not the claim — parity above is)
+    val aligned = got.count { case (i, c, _) =>
+      i / Multimodal.DHashGroup == c / Multimodal.DHashGroup &&
+        c % Multimodal.ClipMismatch != 0 }
+    assert(aligned * 10 >= got.size * 9, s"aligned $aligned of ${got.size}")
+    // plan shape: the candidate generator joins band rows (an equi
+    // join), never a cartesian product
+    val nodes = graft.monitor.PlanAudit.nodes(
+      Multimodal.mmClipRetrieval(spark, sfDir))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "retrieval must block on bands, never all-pairs")
+  }
 }
