@@ -3373,6 +3373,144 @@ object Multimodal {
        |h AS MATERIALIZED (SELECT doc_id, ${(0 until 4)
         .map(b => dhashBandSql(b) + s" AS b$b").mkString(", ")} FROM gd)""".stripMargin
 
+  // ----- H46/E25: video temporal near-dup (frame-dHash sequences) ---
+
+  /** H46: per-frame perceptual hash sequences — the video composition
+    * of three existing pieces (r16 verdict #4): H3's frame sampling
+    * gives a clip AS a sequence, H42's dHash fingerprints each frame
+    * perceptually, and E23's subsequence blocking makes the match
+    * OFFSET-INVARIANT (the canonical video near-dup — same footage
+    * re-encoded with different leader/padding — is time shifted, so
+    * any whole-clip hash breaks where a frame sequence still aligns).
+    * No video codec in this container, so decoded frames stand in
+    * deterministically per the H2 stub contract: video g = doc_id/3
+    * has a base frame sequence (each frame's 64-bit dHash as four
+    * 16-bit bands from md5 of (video, frame, band)), each of its 3
+    * re-encodes shifted by s = doc_id%3 leader frames (doc-specific
+    * pad hashes) plus ONE flipped bit (band doc_id%4 of frame
+    * doc_id%[[VidFrames]] — the re-encode noise that forces
+    * band-robust blocking: a bigram key over FULL 64-bit hashes
+    * would break on the noisy frame, while ≥ 3 of its 4 band keys
+    * still match). Pure per-row expressions, zero shuffle. */
+  val VidGroup = 3
+  val VidFrames = 16
+  /** Verified-pair floor on aligned band-bigrams counted per frame
+    * position: a true pair overlaps ≥ 16−2 base frames → ≥ 13 aligned
+    * bigram positions (each matching on ≥ 3 clean bands); a false
+    * pair would need 10 independent 32-bit band-bigram collisions at
+    * ONE offset. */
+  val VidMinRun = 10
+
+  /** 16-bit band `b` of the frame-`t` dHash of clip `docId`. */
+  def vidBand(docId: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column = {
+    val g = floor(docId / VidGroup).cast("long")
+    val s = docId % VidGroup
+    val raw = when(t < s,
+      h16(concat(lit("vidpad|"), docId.cast("string"), lit("|"),
+        t.cast("string"), lit(s"|$b"))))
+      .otherwise(h16(concat(lit("vid|"), g.cast("string"), lit("|"),
+        (t - s).cast("string"), lit(s"|$b"))))
+    when(t === docId % VidFrames && docId % 4 === b,
+      raw.bitwiseXOR(lit(1))).otherwise(raw)
+  }
+
+  /** H46 driver query: the per-clip frame-band table (long form —
+    * one row per (clip, frame, band)). */
+  def mmVidDhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(VidFrames - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), vidBand(col("doc_id"), col("pos"), b).as("bv"))): _*))
+        .as("x"))
+      .select(col("doc_id"), col("pos"), col("x.band").as("band"), col("x.bv").as("bv"))
+
+  /** E25: offset-invariant video near-dup pairs — E23's alignment
+    * verification over H46's band sequences: block on (band index,
+    * band(t), band(t+1)) bigram keys (32 bits of value + the band
+    * index; per-frame noise breaks at most one of the four band
+    * keys, so every true bigram position still blocks on ≥ 3),
+    * dedupe candidate (a, b, ta, tb) across bands, then keep pairs
+    * with ≥ [[VidMinRun]] aligned positions at ONE offset — the
+    * offset histogram is the shift invariance. Shapes: one equality
+    * bucket join + one aggregation; never all-pairs, never a
+    * per-clip sort (frames are formula-recomputed, not
+    * window-shifted). */
+  def mmVidPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(VidFrames - 2))).as("t"))
+      .select(col("doc_id"), col("t"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          vidBand(col("doc_id"), col("t"), b).as("v1"),
+          vidBand(col("doc_id"), col("t") + 1, b).as("v2"))): _*)).as("x"))
+      .select(col("doc_id"), col("t"), col("x.band").as("band"),
+        col("x.v1").as("v1"), col("x.v2").as("v2"))
+    val a = bg.select(col("doc_id").as("doc_a"), col("t").as("ta"),
+      col("band"), col("v1"), col("v2"))
+    val b = bg.select(col("doc_id").as("doc_b"), col("t").as("tb"),
+      col("band"), col("v1"), col("v2"))
+    a.join(b, Seq("band", "v1", "v2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ta", "tb").distinct()
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("tb") - col("ta")).as("offset"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .filter(col("n_aligned") >= VidMinRun)
+  }
+
+  /** E25 survivor face: connected components over verified clip pairs
+    * (the mmDhashSurvivors convention — min-id canonical, guarded
+    * pair-scale CC). */
+  def mmVidSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = mmVidPairs(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")).distinct()
+    val cc = graft.graph.Graphs.componentsGuarded(pairs)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("is_kept"))
+  }
+
+  /** The video-frame formula oracle's shared CTE (the afpFrameCte
+    * convention: generated next to the Scala arithmetic). */
+  private lazy val vidFrameCte: String =
+    s"""vfr AS (
+       |  SELECT doc_id, doc_id // $VidGroup AS g, doc_id % $VidGroup AS s,
+       |    unnest(range(0, $VidFrames))::int AS t
+       |  FROM documents
+       |),
+       |vbx AS (SELECT doc_id, g, s, t, unnest(range(0, 4))::int AS b FROM vfr),
+       |vfp AS MATERIALIZED (
+       |  SELECT doc_id, t, b,
+       |    CASE WHEN t = doc_id % $VidFrames AND b = doc_id % 4
+       |      THEN xor(v, 1) ELSE v END AS bv
+       |  FROM (
+       |    SELECT doc_id, t, b,
+       |      CASE WHEN t < s
+       |        THEN ('0x' || substr(md5('vidpad|' || doc_id::varchar || '|' || t::varchar || '|' || b::varchar), 1, 4))::int
+       |        ELSE ('0x' || substr(md5('vid|' || g::varchar || '|' || (t - s)::varchar || '|' || b::varchar), 1, 4))::int
+       |      END AS v
+       |    FROM vbx)
+       |)""".stripMargin
+
+  private lazy val vidPairsCte: String =
+    s"""vbg AS (
+       |  SELECT x.doc_id, x.t, x.b, x.bv AS v1, y.bv AS v2
+       |  FROM vfp x JOIN vfp y
+       |    ON y.doc_id = x.doc_id AND y.t = x.t + 1 AND y.b = x.b
+       |),
+       |vcd AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS ta, b.t AS tb
+       |  FROM vbg a JOIN vbg b
+       |    ON a.b = b.b AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+       |),
+       |vpairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, (tb - ta)::int AS "offset", count(*) AS n_aligned
+       |  FROM vcd GROUP BY 1, 2, 3 HAVING count(*) >= $VidMinRun
+       |)""".stripMargin
+
   // ----- H44/H45: cross-modal alignment (CLIP-score shape) ----------
 
   /** H44: image↔caption alignment scoring — THE admission filter every
@@ -3552,6 +3690,9 @@ object Multimodal {
     "mm_afp_pairs" -> (mmAfpPairs _),
     "mm_clip_score" -> (mmClipScore _),
     "mm_clip_retrieval" -> (mmClipRetrieval _),
+    "mm_vid_dhash" -> (mmVidDhash _),
+    "mm_vid_pairs" -> (mmVidPairs _),
+    "mm_vid_survivors" -> (mmVidSurvivors _),
     "mm_frames"   -> (mmFrames _),
     "mm_decode"   -> (mmDecode _),
     "mm_png_dims" -> (mmPngDims _),
@@ -3598,6 +3739,33 @@ object Multimodal {
     "mm_afp" ->
       s"""WITH $afpFrameCte
          |SELECT doc_id, t AS pos, subfp FROM fp""".stripMargin,
+    // H46: every frame band re-derived from the generating formula
+    "mm_vid_dhash" ->
+      s"""WITH $vidFrameCte
+         |SELECT doc_id, t AS pos, b AS band, bv FROM vfp""".stripMargin,
+    // E25: the band-bigram blocking + offset-histogram verification
+    "mm_vid_pairs" ->
+      s"""WITH $vidFrameCte,
+         |$vidPairsCte
+         |SELECT doc_a, doc_b, "offset", n_aligned FROM vpairs""".stripMargin,
+    // E25 survivors: min-label recursive closure over verified pairs
+    // (the mm_dhash_survivors convention)
+    "mm_vid_survivors" ->
+      s"""WITH RECURSIVE $vidFrameCte,
+         |$vidPairsCte,
+         |vund AS (SELECT doc_a AS u, doc_b AS v FROM vpairs
+         |  UNION SELECT doc_b, doc_a FROM vpairs),
+         |vclosure(id, lbl) AS (
+         |  SELECT u, u FROM vund
+         |  UNION
+         |  SELECT vund.v, c.lbl FROM vclosure c JOIN vund ON vund.u = c.id
+         |  WHERE c.lbl < vund.v
+         |),
+         |vcomp AS (SELECT id, min(lbl) AS component FROM vclosure GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(vcomp.component, d.doc_id) AS canonical_id,
+         |  (coalesce(vcomp.component, d.doc_id) = d.doc_id)::int AS is_kept
+         |FROM documents d LEFT JOIN vcomp ON vcomp.id = d.doc_id""".stripMargin,
     // H44: the per-pair score re-derived from the same embedding
     // formula, cosine in the same left-to-right double order
     "mm_clip_score" ->

@@ -757,6 +757,44 @@ class MultimodalSpec extends SparkSpec {
     assert(fp.forall(r => r._3 >= 0 && r._3 < 65536))
   }
 
+  test("H46/E25 video near-dup: every same-video pair verified at its exact pad offset despite per-clip bit noise; survivors one per video") {
+    import spark.implicits._
+    val pairs = Multimodal.mmVidPairs(spark, sfDir)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(pairs.nonEmpty)
+    val n = graft.Tables.documents(spark, sfDir).count()
+    pairs.foreach { case (a, b, off, aligned) =>
+      // ground truth: doc_id div 3 is the video, doc_id mod 3 the pad
+      assert(a / Multimodal.VidGroup == b / Multimodal.VidGroup,
+        s"cross-video pair ($a, $b)")
+      assert(off == (b % Multimodal.VidGroup - a % Multimodal.VidGroup),
+        s"pair ($a, $b) verified at wrong offset $off")
+      // overlap floor: 15 − max(pad) bigram positions, ALL of which
+      // must align — the per-clip flipped bit may break one band of a
+      // bigram but never all four (the band-robust blocking claim)
+      val expect = Multimodal.VidFrames - 1 -
+        math.max(a % Multimodal.VidGroup, b % Multimodal.VidGroup)
+      assert(aligned == expect,
+        s"pair ($a, $b) aligned $aligned, expected $expect")
+    }
+    // total recall on the constructed groups
+    val groups = (0L until n).groupBy(_ / Multimodal.VidGroup)
+    val expected = groups.values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(pairs.length.toLong == expected,
+      s"recall must be total: ${pairs.length} vs $expected")
+    // survivors: exactly the min doc of each video kept
+    val kept = Multimodal.mmVidSurvivors(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(kept.length.toLong == n)
+    kept.foreach { case (id, canon, isKept) =>
+      assert(canon == (id / Multimodal.VidGroup) * Multimodal.VidGroup ||
+        (id / Multimodal.VidGroup) * Multimodal.VidGroup >= n - n % Multimodal.VidGroup,
+        s"canonical of $id is $canon")
+      assert(isKept == (if (id == canon) 1 else 0))
+    }
+    assert(kept.count(_._3 == 1).toLong == groups.size)
+  }
+
   test("H44 CLIP-score gate: aligned captions admit, every mismatched caption rejects, scoring is a shuffle-free projection") {
     import spark.implicits._
     val scored = Multimodal.mmClipScore(spark, sfDir)

@@ -610,6 +610,14 @@ class StreamingSpec extends SparkSpec {
     assert(dl(-1L).isEmpty, "zero-bigram doc must carry a NULL score")
     dl.filter(_._1 >= 0).foreach { case (id, s) =>
       assert(s.contains(batchScores(id)), s"dlq score drift for $id") }
+    // the ADMITTED half too: stream ≡ batch score doc-by-doc (the I54
+    // flag-for-flag discipline applied to the gate's numeric evidence
+    // — r16 verdict #6: both tables carry the exact batch score, so
+    // the parity claim covers every document, not just the tail)
+    SnapshotStore.read(spark, "ppl_corpus")
+      .select("doc_id", "kn_surprise").as[(Long, Double)].collect()
+      .foreach { case (id, s) =>
+        assert(s == batchScores(id), s"corpus score drift for $id") }
     // replay of batch 0: batchId-idempotent on both tables
     val v0 = (SnapshotStore.versions("ppl_corpus").size,
       SnapshotStore.versions("ppl_dlq").size)
