@@ -3594,14 +3594,21 @@ object Multimodal {
   }
 
   /** H44 driver query: per-pair CLIP score + admission flag. */
-  def mmClipScore(spark: SparkSession, dir: String): DataFrame = {
-    val f = clipFrame(spark, dir)
-    def el(c: String) = (0 until ClipDims).map(j => element_at(col(c), j + 1))
-    f.select(col("doc_id"),
-        clipCosine(el("img"), el("cap")).as("clip_score"))
+  /** The H44 score as ONE column expression over a doc_id — shared by
+    * the batch face and the I58 streaming sink, so stream ≡ batch is
+    * true by construction (the knScoreAgainst discipline). */
+  def clipScoreCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = floor(docId / DHashGroup).cast("long")
+    val subj = when(docId % ClipMismatch === 0, g + 999983L).otherwise(g)
+    clipCosine(clipEmbCols(concat(lit("clipimg|"), g.cast("string"))),
+      clipCapCols(subj, docId))
+  }
+
+  def mmClipScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), clipScoreCol(col("doc_id")).as("clip_score"))
       .withColumn("admitted",
         (col("clip_score") >= ClipThreshold).cast("int"))
-  }
 
   /** H45: corpus×corpus cross-modal RETRIEVAL — every image's admitted
     * captions from OTHER documents, NEVER all-pairs: both towers block

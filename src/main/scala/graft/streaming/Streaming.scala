@@ -1191,6 +1191,33 @@ object Streaming {
     ()
   }
 
+  /** I58: streaming CROSS-MODAL admission — the H44 CLIP-score gate
+    * run in the ingest first mile (where LAION actually ran it: score
+    * at crawl time, never store unaligned pairs): every micro-batch's
+    * (image, caption) rows are scored by the SAME column expression
+    * the batch face uses (Multimodal.clipScoreCol — per-pair
+    * projection arithmetic, so stream ≡ batch values by construction,
+    * the knScoreAgainst discipline) and split at the threshold:
+    * aligned pairs → corpus, misaligned → dead letter WITH the score
+    * (the I38 audit contract). No state store — the score depends
+    * only on the pair itself. Replay-safe: both commits are
+    * batchId-idempotent. Usage:
+    * `pairs.writeStream.foreachBatch(Streaming.clipGateSink(
+    *   "mm_corpus", "mm_dlq") _)`. */
+  def clipGateSink(corpusTable: String, deadTable: String,
+      threshold: Double = graft.multimodal.Multimodal.ClipThreshold)
+      (df: DataFrame, batchId: Long): Unit = {
+    val flagged = df.withColumn("clip_score",
+      graft.multimodal.Multimodal.clipScoreCol(col("doc_id")))
+      .localCheckpoint(true)
+    val admit = col("clip_score") >= threshold
+    graft.store.SnapshotStore.commitStreamBatch(
+      corpusTable, flagged.filter(admit), batchId)
+    graft.store.SnapshotStore.commitStreamBatch(
+      deadTable, flagged.filter(!admit), batchId)
+    ()
+  }
+
   /** I57: streaming JOIN-MV maintenance — the stream lands in the
     * lake and the K58 join view advances by delta propagation in the
     * SAME foreachBatch: after every batch the MV is exactly

@@ -1749,6 +1749,11 @@ object TextQueries {
     "text_unigram_encode" -> ((s: SparkSession, dir: String) =>
       Unigram.encodeVocab(Tables.documents(s, dir), "text",
         graft.store.GraftStore.dirKey(dir))),
+    // G35: the corpus pass as a dictionary join — per-doc piece
+    // counts under the trained model, Viterbi never re-run
+    "text_unigram_tokens" -> ((s: SparkSession, dir: String) =>
+      Unigram.pieceCounts(Tables.documents(s, dir), "text",
+        graft.store.GraftStore.dirKey(dir))),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
@@ -2027,6 +2032,27 @@ object TextQueries {
        |SELECT w, n, seg FROM seg$r""".stripMargin
   }
 
+  private lazy val unigramTokensOracleSql: String = {
+    val r = graft.text.Unigram.EmRounds + 1
+    val rounds = (1 to r).map(unigramRoundSql).mkString(",\n")
+    s"""WITH RECURSIVE ${unigramVocab0Sql},
+       |$rounds,
+       |dict AS (SELECT w, len(string_split(seg, '|'))::bigint AS n_p FROM seg$r),
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+       |    FROM documents
+       |  ) WHERE length(w) > 0
+       |),
+       |per AS (
+       |  SELECT doc_id, count(*)::bigint AS n_words, sum(n_p)::bigint AS n_pieces
+       |  FROM dw JOIN dict USING (w) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(per.n_words, 0)::bigint AS n_words,
+       |  coalesce(per.n_pieces, 0)::bigint AS n_pieces
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin
+  }
+
   private val BpeK = 8
   private lazy val bpeOracleSql: String = {
     val rounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
@@ -2081,6 +2107,7 @@ object TextQueries {
     // under the same exact integer (score, reversed-lengths) order
     "text_unigram" -> unigramOracleSql,
     "text_unigram_encode" -> unigramEncodeOracleSql,
+    "text_unigram_tokens" -> unigramTokensOracleSql,
     // G48: exact counts; sqrt normalizer summed in source-name order
     // (list_sum over ORDER BY — mirrors Spark's sorted-array aggregate)
     "text_mix_weights" ->

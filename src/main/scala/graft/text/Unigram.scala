@@ -215,4 +215,29 @@ object Unigram {
     segment(wordCounts(docs, textCol),
       cachedWeights(docs, textCol, cacheKey))
       .select(col("w"), col("n"), col("seg"))
+
+  /** G35: corpus tokenization as the DICTIONARY JOIN both tokenizer
+    * families promise (the G32/G34 claim, realized as a face): the
+    * corpus pass never re-runs Viterbi — each document's words join
+    * the word→pieces dictionary and the per-doc piece count is one
+    * aggregation. At 100 TB the dictionary is vocab-scale (AQE
+    * broadcasts it at any realistic size) while the exploded corpus
+    * side streams through one map-side-combined sum; documents with
+    * no words keep a zero row (left join, the row-class-completeness
+    * contract). Returns (doc_id, n_words, n_pieces) — exact
+    * integers. */
+  def pieceCounts(docs: DataFrame, textCol: String, cacheKey: String): DataFrame = {
+    val dict = encodeVocab(docs, textCol, cacheKey)
+      .select(col("w"), size(split(col("seg"), "\\|")).cast("long").as("n_p"))
+    val words = docs
+      .select(col("doc_id"), explode(split(trim(col(textCol)), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+    val per = words.join(dict, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
 }

@@ -628,6 +628,34 @@ class StreamingSpec extends SparkSpec {
       "replay must change nothing")
   }
 
+  test("I58 streaming CLIP gate: stream admissions and scores == the batch H44 face doc-by-doc; replay idempotent") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    val batch = graft.multimodal.Multimodal.mmClipScore(spark, sfDir)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(batch.values.exists(_._3 == 1) && batch.values.exists(_._3 == 0))
+    val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val sink = Streaming.clipGateSink("clip_corpus", "clip_dlq") _
+    (0 until 3).foreach(b => sink(d.filter(col("doc_id") % 3 === b), b.toLong))
+    def scores(t: String) = SnapshotStore.read(spark, t)
+      .select("doc_id", "clip_score").as[(Long, Double)].collect().toMap
+    val corpus = scores("clip_corpus")
+    val dead = scores("clip_dlq")
+    assert(corpus.keySet.intersect(dead.keySet).isEmpty)
+    assert(corpus.keySet ++ dead.keySet == batch.keySet)
+    assert(corpus.keySet == batch.filter(_._2._3 == 1).keySet,
+      "stream admissions must equal the batch gate")
+    (corpus ++ dead).foreach { case (id, s) =>
+      assert(s == batch(id)._2, s"score drift for $id: $s vs ${batch(id)._2}") }
+    // replay: batchId-idempotent on both tables
+    val v0 = (SnapshotStore.versions("clip_corpus").size,
+      SnapshotStore.versions("clip_dlq").size)
+    sink(d.filter(col("doc_id") % 3 === 0), 0L)
+    assert(scores("clip_corpus") == corpus && v0 ==
+      (SnapshotStore.versions("clip_corpus").size,
+        SnapshotStore.versions("clip_dlq").size))
+  }
+
   test("I57 streaming join-MV: the view equals join(committed facts, dim) after every batch, replay no-ops through the store, dim overwrite rebuilds full") {
     import spark.implicits._
     import graft.store.{IncrementalView, SnapshotStore}

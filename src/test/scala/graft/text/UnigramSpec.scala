@@ -113,6 +113,32 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("G35 corpus piece counts ≡ the reference segmentation, summed per document") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower"), (2L, "newest banana"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val (_, refWt) = refTrain(wordCountsOf(docs.select("text")))
+    def viterbiLen(w: String): Long = {
+      val dp = Array.fill(w.length + 1)((Long.MinValue, 0)); dp(0) = (0L, 0)
+      for (j <- 1 to w.length; l <- 1 to Unigram.MaxPieceLen if l <= j)
+        refWt.get(w.substring(j - l, j)).foreach { g =>
+          val cand = dp(j - l)._1 + g
+          if (cand >= dp(j)._1) dp(j) = (cand, l)
+        }
+      var j = w.length; var k = 0L
+      while (j > 0) { j -= dp(j)._2; k += 1 }
+      k
+    }
+    val expect = Map(
+      1L -> (3L, Seq("low", "low", "lower").map(viterbiLen).sum),
+      2L -> (2L, Seq("newest", "banana").map(viterbiLen).sum),
+      3L -> (0L, 0L)) // the zero-word doc keeps its zero row
+    val got = Unigram.pieceCounts(docs, "text", "g35fixture")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect, s"got $got, expected $expect")
+  }
+
   test("G33 parity vs the reference on the real sf corpus") {
     val docs = graft.Tables.documents(spark, sfDir).select("text")
     val (refCounts, _) = refTrain(wordCountsOf(docs))
