@@ -1754,6 +1754,10 @@ object TextQueries {
     "text_unigram_tokens" -> ((s: SparkSession, dir: String) =>
       Unigram.pieceCounts(Tables.documents(s, dir), "text",
         graft.store.GraftStore.dirKey(dir))),
+    // G36: the SentencePiece PRUNE — shrink to chars + top-K used
+    // pieces after EM, refit with one more E-step
+    "text_unigram_prune" -> ((s: SparkSession, dir: String) =>
+      Unigram.trainedVocabPruned(Tables.documents(s, dir), "text")),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
@@ -1975,11 +1979,13 @@ object TextQueries {
   }
 
   /** One Viterbi-EM round: enumerate (p), pick (seg), recount (c),
-    * reweight (wt) — round i reads wt(i−1). */
-  private def unigramRoundSql(i: Int): String = {
+    * reweight (wt) — reads `prevWt`, counts over `vocab` (the prune
+    * round swaps both; training rounds use wt(i−1) / vocab0). */
+  private def unigramRoundSqlOver(tag: String, prevWt: String,
+      vocab: String): String = {
     val S = graft.text.Unigram.Scale
     val L = graft.text.Unigram.MaxPieceLen
-    s"""p$i AS (
+    s"""p$tag AS (
        |  SELECT w, n, 0 AS pos, '' AS seg, '' AS rlen, 0::bigint AS score FROM w0
        |  UNION ALL
        |  SELECT p.w, p.n, p.pos + l.l AS pos,
@@ -1987,31 +1993,34 @@ object TextQueries {
        |         ELSE p.seg || '|' || substr(p.w, p.pos + 1, l.l) END AS seg,
        |    CAST(l.l AS VARCHAR) || p.rlen AS rlen,
        |    p.score + t.wgt AS score
-       |  FROM p$i p, (SELECT unnest(range(1, ${L + 1})) AS l) l, wt${i - 1} t
+       |  FROM p$tag p, (SELECT unnest(range(1, ${L + 1})) AS l) l, $prevWt t
        |  WHERE p.pos + l.l <= length(p.w)
        |    AND t.piece = substr(p.w, p.pos + 1, l.l)
        |),
-       |seg$i AS MATERIALIZED (
+       |seg$tag AS MATERIALIZED (
        |  SELECT w, n, seg FROM (
        |    SELECT w, n, seg,
        |      row_number() OVER (PARTITION BY w ORDER BY score DESC, rlen DESC) AS rn
-       |    FROM p$i WHERE pos = length(w)
+       |    FROM p$tag WHERE pos = length(w)
        |  ) WHERE rn = 1
        |),
-       |c$i AS MATERIALIZED (
+       |c$tag AS MATERIALIZED (
        |  SELECT v.piece, coalesce(u.cnt, 0)::bigint AS cnt
-       |  FROM vocab0 v LEFT JOIN (
+       |  FROM $vocab v LEFT JOIN (
        |    SELECT piece, sum(n)::bigint AS cnt FROM (
-       |      SELECT n, unnest(string_split(seg, '|')) AS piece FROM seg$i
+       |      SELECT n, unnest(string_split(seg, '|')) AS piece FROM seg$tag
        |    ) GROUP BY piece
        |  ) u ON v.piece = u.piece
        |),
-       |wt$i AS MATERIALIZED (
+       |wt$tag AS MATERIALIZED (
        |  SELECT piece, CAST(round(ln(cnt + 1) * $S) AS BIGINT)
-       |    - (SELECT CAST(round(ln(sum(cnt + 1)) * $S) AS BIGINT) FROM c$i) AS wgt
-       |  FROM c$i
+       |    - (SELECT CAST(round(ln(sum(cnt + 1)) * $S) AS BIGINT) FROM c$tag) AS wgt
+       |  FROM c$tag
        |)""".stripMargin
   }
+
+  private def unigramRoundSql(i: Int): String =
+    unigramRoundSqlOver(i.toString, s"wt${i - 1}", "vocab0")
 
   private lazy val unigramOracleSql: String = {
     val r = graft.text.Unigram.EmRounds
@@ -2030,6 +2039,33 @@ object TextQueries {
     s"""WITH RECURSIVE ${unigramVocab0Sql},
        |$rounds
        |SELECT w, n, seg FROM seg$r""".stripMargin
+  }
+
+  /** G36: the prune round — vocabP keeps chars + top-KeepMulti multi
+    * by the FINAL training counts, then one more E-step over the
+    * shrunk vocab (same round template, wtP/vocabP swapped in). */
+  private lazy val unigramPruneOracleSql: String = {
+    val S = graft.text.Unigram.Scale
+    val r = graft.text.Unigram.EmRounds
+    val rounds = (1 to r).map(unigramRoundSql).mkString(",\n")
+    s"""WITH RECURSIVE ${unigramVocab0Sql},
+       |$rounds,
+       |vocabP AS MATERIALIZED (
+       |  SELECT piece, cnt FROM c$r WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM c$r WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT ${graft.text.Unigram.KeepMulti}
+       |  )
+       |),
+       |wtP0 AS MATERIALIZED (
+       |  SELECT piece, CAST(round(ln(cnt + 1) * $S) AS BIGINT)
+       |    - (SELECT CAST(round(ln(sum(cnt + 1)) * $S) AS BIGINT) FROM vocabP) AS wgt
+       |  FROM vocabP
+       |),
+       |${unigramRoundSqlOver("P", "wtP0", "vocabP")}
+       |SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rnk
+       |FROM cP""".stripMargin
   }
 
   private lazy val unigramTokensOracleSql: String = {
@@ -2108,6 +2144,7 @@ object TextQueries {
     "text_unigram" -> unigramOracleSql,
     "text_unigram_encode" -> unigramEncodeOracleSql,
     "text_unigram_tokens" -> unigramTokensOracleSql,
+    "text_unigram_prune" -> unigramPruneOracleSql,
     // G48: exact counts; sqrt normalizer summed in source-name order
     // (list_sum over ORDER BY — mirrors Spark's sorted-array aggregate)
     "text_mix_weights" ->

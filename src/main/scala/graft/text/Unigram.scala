@@ -189,8 +189,7 @@ object Unigram {
   def cachedWeights(docs: DataFrame, textCol: String, key: String): Map[String, Long] =
     modelCache.getOrElseUpdate((docs.sparkSession, key), train(docs, textCol)._2)
 
-  /** G33 driver face: the trained vocabulary with final Viterbi-EM
-    * counts, ranked (cnt desc, piece asc). The rank is the
+  /** Rank a (piece, cnt) frame by (cnt desc, piece asc) with the
     * DISTRIBUTED two-pass range rank (Graphs.rankedAsc — the C37/
     * vertex-dict idiom), never a no-partition window: this corpus's
     * vocab is budget-bounded, but a production piece budget is
@@ -198,14 +197,43 @@ object Unigram {
     * global sorts. The composite (cnt desc, piece asc) order rides a
     * single monotone string key: zero-padded (10¹⁸ − cnt) — exact
     * Long arithmetic, cnt can never approach 10¹⁸ — then the piece. */
-  def trainedVocab(docs: DataFrame, textCol: String): DataFrame = {
-    val (counts, _) = train(docs, textCol)
+  private def rankedCounts(counts: DataFrame): DataFrame = {
     val keyed = counts.withColumn("_k",
       concat(lpad((lit(1000000000000000000L) - col("cnt")).cast("string"), 19, "0"),
         lit("|"), col("piece")))
     val ranked = graft.graph.Graphs.rankedAsc(keyed.select(col("_k")), "_k", "_rank")
     keyed.join(ranked, "_k")
       .select(col("piece"), col("cnt"), col("_rank").cast("int").as("rnk"))
+  }
+
+  /** G33 driver face: the trained vocabulary with final Viterbi-EM
+    * counts, ranked (cnt desc, piece asc). */
+  def trainedVocab(docs: DataFrame, textCol: String): DataFrame =
+    rankedCounts(train(docs, textCol)._1)
+
+  /** Multi-char pieces SURVIVING the prune (chars always survive). */
+  val KeepMulti = 8
+
+  /** G36: the PRUNE half of the SentencePiece loop — after EM, shrink
+    * the vocabulary to the pieces the trained model actually uses
+    * (Kudo 2018 drops the pieces whose removal least hurts corpus
+    * likelihood; with Viterbi-EM hard counts the bottom-of-count
+    * pieces ARE that set — a zero-count piece contributes nothing,
+    * a low-count piece nearly nothing) and re-fit with one more
+    * E-step on the pruned vocab. Keep rule, pinned: all single chars
+    * (segmentability floor) + the top [[KeepMulti]] multi-char
+    * pieces by (final EM count desc, piece asc). The prune pick is a
+    * distributed TopK (sort-limit, never a one-task global sort);
+    * everything downstream reuses the G33 machinery. */
+  def trainedVocabPruned(docs: DataFrame, textCol: String): DataFrame = {
+    val words = wordCounts(docs, textCol).localCheckpoint(eager = true)
+    val (counts, _) = train(docs, textCol)
+    val chars = counts.filter(length(col("piece")) === 1)
+    val multi = counts.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(KeepMulti)
+    val pruned = chars.unionAll(multi).localCheckpoint(eager = true)
+    val vocabP = pruned.select("piece").collect().map(_.getString(0)).toSeq.sorted
+    rankedCounts(emCounts(segment(words, weightsOf(pruned)), vocabP))
   }
 
   /** G34 driver face: every distinct word's Viterbi segmentation under

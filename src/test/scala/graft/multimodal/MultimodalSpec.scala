@@ -847,12 +847,12 @@ class MultimodalSpec extends SparkSpec {
     val n = graft.Tables.documents(spark, sfDir).count()
     val imgs = (0L until n).map(d => d -> imgEmb(d / Multimodal.DHashGroup)).toMap
     val caps = (0L until n).map(d => d -> capEmb(d)).toMap
-    val capsByBand = caps.toSeq.flatMap { case (d, e) => bands(e).map(_ -> d) }
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val capBands = caps.map { case (d, e) => d -> bands(e).toSet }
     val expect = (for {
       (i, ie) <- imgs.toSeq
-      c <- bands(ie).flatMap(capsByBand.getOrElse(_, Set.empty)).distinct
-      if c != i
+      ib = bands(ie).toSet
+      (c, cb) <- capBands.toSeq
+      if c != i && ib.intersect(cb).size >= Multimodal.ClipMinBands
       s = cos(ie, caps(c))
       if s >= Multimodal.ClipThreshold
     } yield (i, c, s)).toSet

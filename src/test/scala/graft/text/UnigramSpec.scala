@@ -113,6 +113,39 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("G36 prune-and-refit ≡ the reference: chars + top-K surviving pieces, one more E-step") {
+    import spark.implicits._
+    val docs = Seq("low low lower lowest", "newer new newest low",
+      "banana bandana", "abracadabra").toDF("text")
+    val wcs = wordCountsOf(docs)
+    val (cnts, _) = refTrain(wcs)
+    val keepMulti = cnts.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(Unigram.KeepMulti)
+    val prunedCounts = cnts.filter(_._1.length == 1) ++ keepMulti
+    val vocabP = prunedCounts.keySet
+    val lt = ilog(prunedCounts.values.map(_ + 1L).sum)
+    val wtP = prunedCounts.map { case (p, n) => p -> (ilog(n + 1L) - lt) }
+    def viterbi(w: String): List[String] = {
+      val dp = Array.fill(w.length + 1)((Long.MinValue, 0)); dp(0) = (0L, 0)
+      for (j <- 1 to w.length; l <- 1 to Unigram.MaxPieceLen if l <= j)
+        wtP.get(w.substring(j - l, j)).foreach { g =>
+          val cand = dp(j - l)._1 + g
+          if (cand >= dp(j)._1) dp(j) = (cand, l)
+        }
+      var j = w.length; var out = List.empty[String]
+      while (j > 0) { val l = dp(j)._2; out = w.substring(j - l, j) :: out; j -= l }
+      out
+    }
+    val cP = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, n) <- wcs; p <- viterbi(w)) cP(p) += n
+    val expect = vocabP.iterator.map(p => p -> cP(p)).toMap
+    val got = Unigram.trainedVocabPruned(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"pruned refit diverges:\n got=$got\n ref=$expect")
+    // the prune actually shrank the multi-char population to the budget
+    assert(got.keys.count(_.length >= 2) <= Unigram.KeepMulti)
+  }
+
   test("G35 corpus piece counts ≡ the reference segmentation, summed per document") {
     import spark.implicits._
     val docs = Seq((1L, "low low lower"), (2L, "newest banana"), (3L, "  "))
