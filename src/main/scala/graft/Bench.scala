@@ -90,6 +90,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] e9 dial failed: $e"); None }
 
+    // H45 recall dial (r17): the min-bands blocking valve measured
+    // against exact threshold retrieval on a 1/7 doc sample — same
+    // living-number discipline as e9_dial.
+    val clipDial =
+      try Some(graft.multimodal.Multimodal.clipDial(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] clip dial failed: $e"); None }
+
     var errors = 0
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -235,7 +243,10 @@ object Bench {
     val dialJson = e9Dial.map { case (b, recall, mass, pb, pe) =>
       s"""{"budget":$b,"recall":${num(recall, 4)},"cand_mass_ratio":${num(mass, 4)},"pairs":$pb,"pairs_exact":$pe}"""
     }.getOrElse("null")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"builds":$builds,"store_ledger":$ledgerJson,"e9_dial":$dialJson,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
+    val clipDialJson = clipDial.map { case (b, recall, mass, pb, pe) =>
+      s"""{"min_bands":$b,"recall":${num(recall, 4)},"cand_mass_ratio":${num(mass, 4)},"pairs":$pb,"pairs_exact":$pe}"""
+    }.getOrElse("null")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"builds":$builds,"store_ledger":$ledgerJson,"e9_dial":$dialJson,"clip_dial":$clipDialJson,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size
     // stdout tail capture (r6 verdict #1: six rounds of parsed:null).

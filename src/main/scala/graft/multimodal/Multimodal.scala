@@ -3677,6 +3677,54 @@ object Multimodal {
       .filter(col("clip_score") >= ClipThreshold)
   }
 
+  /** The H45 recall dial (the E9 containmentDial idea): on a
+    * hash-sampled doc slice (1/7), measure the ≥[[ClipMinBands]]-band
+    * blocking against EXACT threshold retrieval (brute-force cosine on
+    * the sample — quadratic, which is exactly why it runs on a sample
+    * and only in the bench): (minBands, recall, candidate-mass ratio,
+    * banded pairs, exact pairs). Committed per round next to e9_dial
+    * so the 94%-recall claim is a living number, not one round's
+    * prose. */
+  def clipDial(spark: SparkSession, dir: String): (Int, Double, Double, Long, Long) = {
+    // sample whole GROUPS (1/7 by hash of the group key): a per-doc
+    // sample would break up the very same-group pairs whose recall is
+    // being measured
+    val f = clipFrame(spark, dir)
+      .filter(floor(col("doc_id") / DHashGroup) % 7 === 0)
+      .localCheckpoint(eager = true)
+    def el(p: String, c: String) =
+      (0 until ClipDims).map(j => element_at(col(s"$p.$c"), j + 1))
+    val pairs = f.as("x").join(f.as("y"),
+      col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("img_doc"), col("y.doc_id").as("cap_doc"),
+        clipCosine(el("x", "img"), el("y", "cap")).as("s"))
+    val exact = pairs.filter(col("s") >= ClipThreshold).count()
+    def bandRows(c: String, idAs: String): DataFrame =
+      (0 until ClipBands).map(b =>
+        f.select(col("doc_id").as(idAs), lit(b).as("bi"),
+          (0 until 4).map(k =>
+            when(element_at(col(c), 4 * b + k + 1) > 0, lit(1 << k))
+              .otherwise(lit(0))).reduce(_ + _).as("bv")))
+        .reduce(_ unionAll _)
+    def candAt(minBands: Int) = bandRows("img", "img_doc")
+      .join(bandRows("cap", "cap_doc"), Seq("bi", "bv"))
+      .filter(col("img_doc") =!= col("cap_doc"))
+      .groupBy("img_doc", "cap_doc").agg(count(lit(1)).as("_nb"))
+      .filter(col("_nb") >= minBands)
+      .select("img_doc", "cap_doc")
+    val cand = candAt(ClipMinBands).localCheckpoint(eager = true)
+    val candN = cand.count()
+    val candAll = candAt(1).count()
+    val img = f.select(col("doc_id").as("img_doc"), col("img"))
+    val cap = f.select(col("doc_id").as("cap_doc"), col("cap"))
+    def el1(c: String) = (0 until ClipDims).map(j => element_at(col(c), j + 1))
+    val banded = cand.join(img, "img_doc").join(cap, "cap_doc")
+      .filter(clipCosine(el1("img"), el1("cap")) >= ClipThreshold).count()
+    val recall = if (exact == 0) 1.0 else banded.toDouble / exact
+    val mass = if (candAll == 0) 1.0 else candN.toDouble / candAll
+    (ClipMinBands, recall, mass, banded, exact)
+  }
+
   /** Shared oracle CTE: the embedding frame re-derived from the same
     * md5-slice formula (every term cast to double before any product —
     * DuckDB's checked int32 arithmetic would otherwise overflow where
