@@ -3626,16 +3626,18 @@ object Multimodal {
 
   /** H45: corpus×corpus cross-modal RETRIEVAL — every image's admitted
     * captions from OTHER documents, NEVER all-pairs: both towers block
-    * on sign-pattern bands (4 sign bits per band, 2 bands over the 8
-    * dims — the E3 SimHash banding idiom on the embedding's own
-    * hyperplanes). Aligned caption/image pairs share most sign bits
-    * (a dim flips only when |component| < |noise| — ≈ 7.6%/dim), so a
-    * pair survives blocking with ≥ 1 of 2 bands ≈ 93% — the recall/
-    * mass dial; at production dims (512+) the same plan uses 16-bit
-    * random-hyperplane bands (collision mass 1/65536 per band), the
-    * layout F-family LSH already implements for same-modality search.
-    * Candidates verify by exact cosine ≥ [[ClipThreshold]]; same-group
-    * aligned captions admit, mismatched and cross-group pairs drop. */
+    * on sign-pattern bands ([[ClipBands]] = 4 bands × 4 sign bits over
+    * the 16 dims — the E3 SimHash banding idiom on the embedding's own
+    * hyperplanes), and a candidate must agree on ≥ [[ClipMinBands]]
+    * of them. Aligned caption/image pairs share most sign bits (a dim
+    * flips only when |component| < |noise| — ≈ 7.6%/dim, band clean
+    * ≈ 0.73), so a pair survives 2-of-4 blocking ≈ 94% — measured per
+    * round by [[clipDial]], never quoted from prose. At production
+    * dims (512+) the same plan widens the bands (16-bit
+    * random-hyperplane bands, collision mass 1/65536 per band — the
+    * F-family LSH layout) instead of raising the count. Candidates
+    * verify by exact cosine ≥ [[ClipThreshold]]; same-group aligned
+    * captions admit, mismatched and cross-group pairs drop. */
   /** Sign-band count for retrieval blocking: 4 bands × 4 sign bits
     * over the 16 dims. */
   val ClipBands = 4
@@ -3649,32 +3651,45 @@ object Multimodal {
     * is band COUNT — same trade, measured not guessed. */
   val ClipMinBands = 2
 
-  def mmClipRetrieval(spark: SparkSession, dir: String): DataFrame = {
-    val f = clipFrame(spark, dir).localCheckpoint(eager = true)
-    def bandCols(c: String): Seq[org.apache.spark.sql.Column] =
-      (0 until ClipBands).map(b =>
-        (0 until 4).map(k =>
-          when(element_at(col(c), 4 * b + k + 1) > 0, lit(1 << k)).otherwise(lit(0)))
-          .reduce(_ + _).as(s"bv$b"))
+  /** Element columns of an embedding array column. */
+  private def clipEl(c: String): Seq[org.apache.spark.sql.Column] =
+    (0 until ClipDims).map(j => element_at(col(c), j + 1))
+
+  /** The banded candidate generator — ONE definition shared by the
+    * retrieval face and [[clipDial]] (r17 review: a private copy in
+    * the dial would let the measured pipeline drift from the
+    * production one, the exact failure the dial exists to catch). */
+  private def clipCandidates(f: DataFrame, minBands: Int): DataFrame = {
     def banded(c: String, idAs: String): DataFrame =
       (0 until ClipBands).map(b =>
         f.select(col("doc_id").as(idAs), lit(b).as("bi"),
-          bandCols(c)(b).as("bv")))
+          (0 until 4).map(k =>
+            when(element_at(col(c), 4 * b + k + 1) > 0, lit(1 << k))
+              .otherwise(lit(0))).reduce(_ + _).as("bv")))
         .reduce(_ unionAll _)
-    val cand = banded("img", "img_doc")
+    banded("img", "img_doc")
       .join(banded("cap", "cap_doc"), Seq("bi", "bv"))
       .filter(col("img_doc") =!= col("cap_doc"))
       .groupBy("img_doc", "cap_doc")
       .agg(count(lit(1)).as("_nb"))
-      .filter(col("_nb") >= ClipMinBands)
+      .filter(col("_nb") >= minBands)
       .select("img_doc", "cap_doc")
-    def el(c: String) = (0 until ClipDims).map(j => element_at(col(c), j + 1))
+  }
+
+  /** Candidates joined back to their embeddings and cosine-scored —
+    * the verification stage, shared like [[clipCandidates]]. */
+  private def clipVerify(f: DataFrame, cand: DataFrame): DataFrame = {
     val img = f.select(col("doc_id").as("img_doc"), col("img"))
     val cap = f.select(col("doc_id").as("cap_doc"), col("cap"))
     cand.join(img, "img_doc").join(cap, "cap_doc")
       .select(col("img_doc"), col("cap_doc"),
-        clipCosine(el("img"), el("cap")).as("clip_score"))
+        clipCosine(clipEl("img"), clipEl("cap")).as("clip_score"))
       .filter(col("clip_score") >= ClipThreshold)
+  }
+
+  def mmClipRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val f = clipFrame(spark, dir).localCheckpoint(eager = true)
+    clipVerify(f, clipCandidates(f, ClipMinBands))
   }
 
   /** The H45 recall dial (the E9 containmentDial idea): on a
@@ -3699,27 +3714,13 @@ object Multimodal {
       .select(col("x.doc_id").as("img_doc"), col("y.doc_id").as("cap_doc"),
         clipCosine(el("x", "img"), el("y", "cap")).as("s"))
     val exact = pairs.filter(col("s") >= ClipThreshold).count()
-    def bandRows(c: String, idAs: String): DataFrame =
-      (0 until ClipBands).map(b =>
-        f.select(col("doc_id").as(idAs), lit(b).as("bi"),
-          (0 until 4).map(k =>
-            when(element_at(col(c), 4 * b + k + 1) > 0, lit(1 << k))
-              .otherwise(lit(0))).reduce(_ + _).as("bv")))
-        .reduce(_ unionAll _)
-    def candAt(minBands: Int) = bandRows("img", "img_doc")
-      .join(bandRows("cap", "cap_doc"), Seq("bi", "bv"))
-      .filter(col("img_doc") =!= col("cap_doc"))
-      .groupBy("img_doc", "cap_doc").agg(count(lit(1)).as("_nb"))
-      .filter(col("_nb") >= minBands)
-      .select("img_doc", "cap_doc")
-    val cand = candAt(ClipMinBands).localCheckpoint(eager = true)
-    val candN = cand.count()
-    val candAll = candAt(1).count()
-    val img = f.select(col("doc_id").as("img_doc"), col("img"))
-    val cap = f.select(col("doc_id").as("cap_doc"), col("cap"))
-    def el1(c: String) = (0 until ClipDims).map(j => element_at(col(c), j + 1))
-    val banded = cand.join(img, "img_doc").join(cap, "cap_doc")
-      .filter(clipCosine(el1("img"), el1("cap")) >= ClipThreshold).count()
+    // the SAME candidate generator and verifier the retrieval face
+    // runs — shared definitions, so the dial cannot measure a stale
+    // copy of the pipeline
+    val banded = clipVerify(f,
+      clipCandidates(f, ClipMinBands).localCheckpoint(eager = true)).count()
+    val candN = clipCandidates(f, ClipMinBands).count()
+    val candAll = clipCandidates(f, 1).count()
     val recall = if (exact == 0) 1.0 else banded.toDouble / exact
     val mass = if (candAll == 0) 1.0 else candN.toDouble / candAll
     (ClipMinBands, recall, mass, banded, exact)

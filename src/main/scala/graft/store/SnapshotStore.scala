@@ -370,7 +370,7 @@ object SnapshotStore {
         }
       val mdir = manifestDir(name)
       fs.mkdirs(mdir)
-      val tmp = new Path(mdir, s".v$v.tmp")
+      val tmp = new Path(mdir, publishTmpName(v))
       // K49/K50 carry: COW-listed files whose metadata the carry
       // version already resolved skip the stats scan entirely
       val carryZones: FileZones = carryFrom.map(cv =>
@@ -1163,6 +1163,11 @@ object SnapshotStore {
     * checkpoint — the list is arbitrary, no #prev chain applies) —
     * the tail the file-level COW merge needs: untouched files carry
     * over by REFERENCE, only rewritten ones are new. */
+  /** Bare-body manifest publish (COW merge / restore / optimize) —
+    * the SAME per-writer tmp + rename-CAS as [[publishOnce]] (r17
+    * review: this path sat outside the OCC classification). Every
+    * caller rewrites prior state, so a lost race is always a true
+    * conflict: classify and abort, never blind-retry. */
   private def publishList(name: String, body: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Long = synchronized {
     val prev = versions(name)
@@ -1170,15 +1175,34 @@ object SnapshotStore {
     val fs = fsOf(tableDir(name))
     val mdir = manifestDir(name)
     fs.mkdirs(mdir)
-    val tmp = new Path(mdir, s".v$v.tmp")
+    val tmp = new Path(mdir, publishTmpName(v))
     val out = fs.create(tmp, true)
     try out.write((Seq(s"#schema=${schema.json}") ++ body)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, manifestPath(name, v)),
-      s"manifest publish failed for $name v$v (concurrent writer?)")
-    v
+    publishRaceHook()
+    if (fs.rename(tmp, manifestPath(name, v))) v
+    else {
+      scala.util.Try(fs.delete(tmp, false))
+      if (versions(name) == prev)
+        throw new IllegalStateException(
+          s"manifest publish failed for $name v$v (filesystem error)")
+      throw new ConcurrentWriteException(
+        s"$name: version $v was published concurrently and this commit " +
+          "rewrites prior state (COW/restore/optimize) — aborted; re-run " +
+          "against the new snapshot")
+    }
   }
+
+  /** Per-writer-unique manifest tmp name (r17 review): a DETERMINISTIC
+    * `.v$v.tmp` let two processes racing the same version overwrite
+    * each other's tmp BODY before the rename — the winner could
+    * publish the loser's content. Unique names make each writer's
+    * staged bytes private; the rename-CAS alone decides the race
+    * (verified: Hadoop local FS and HDFS rename both return false
+    * onto an existing target, replacing nothing). */
+  private def publishTmpName(v: Long): String =
+    s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
 
   /** I31 at scale — file-level COPY-ON-WRITE merge: the same
     * upsert/delete contract as [[applyChanges]], but only the files
@@ -1929,7 +1953,7 @@ object SnapshotStore {
     * batchId→version entry whose manifest is gone would resolve
     * replays to an unreadable version, and a cached indexed read
     * would plan over deleted files. */
-  def vacuum(name: String, keep: Int): Unit = synchronized {
+  def vacuum(name: String, keep: Int, orphanGraceMs: Long = 0L): Unit = synchronized {
     require(keep >= 1, "must keep at least one version")
     val vs = versions(name)
     val protectedVs = tags(name).values.toSet
@@ -2004,11 +2028,22 @@ object SnapshotStore {
         m.filterInPlace((_, v) => !dropped.contains(v)))
       indexCache.keys.filter(k => k._2 == name && dropped.contains(k._3))
         .foreach(indexCache.remove)
+      // orphan sweep with an AGE GRACE (r17 review): under the K60
+      // multi-writer regime a concurrent PROCESS may have finished its
+      // data write but not yet published its manifest — its files are
+      // unreferenced only because the commit is in flight. The Delta
+      // tombstone-retention / Iceberg remove-orphans `olderThan`
+      // convention: only files older than `orphanGraceMs` are swept
+      // (0 = the single-process default, everything unreferenced goes;
+      // cross-process fleets pass an interval comfortably above their
+      // longest commit).
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
       fs.listStatus(tableDir(name)).iterator
         .filter(_.getPath.getName.startsWith("data_v")).foreach { d =>
-          val kept = fs.listStatus(d.getPath).iterator.map(_.getPath).filter { f =>
-            if (referenced.contains(f.toString)) true
-            else { fs.delete(f, false); false }
+          val kept = fs.listStatus(d.getPath).iterator.filter { st =>
+            if (referenced.contains(st.getPath.toString)) true
+            else if (st.getModificationTime > cutoff) true // in-flight commit
+            else { fs.delete(st.getPath, false); false }
           }.toSeq
           if (kept.isEmpty) fs.delete(d.getPath, true)
         }

@@ -123,16 +123,24 @@ object Unigram {
           struct(lit(Long.MinValue).as("s"), lit(0).as("bl")),
           (b, l) => {
             val wgt = element_at(wmap, wCol.substr(j - l + 1, l))
-            val cand = element_at(acc, (j - l + 1).cast("int"))
-              .getField("s") + wgt
-            when(wgt.isNotNull && cand >= b.getField("s"),
+            val prev = element_at(acc, (j - l + 1).cast("int")).getField("s")
+            val cand = prev + wgt
+            // the prev-reachability guard (r17 review): with a
+            // caller-supplied map missing some character, an
+            // unreachable prefix carries Long.MinValue and MinValue +
+            // wgt would WRAP positive, silently beating real paths —
+            // exclude unreachable prefixes instead
+            when(wgt.isNotNull && prev =!= Long.MinValue &&
+                cand >= b.getField("s"),
               struct(cand.as("s"), l.cast("int").as("bl")))
               .otherwise(b)
           }))))
     // backtrack: ≤ len hops (every reachable position has bl ≥ 1 —
-    // single chars are always in the vocab); prepending keeps pieces
-    // in left-to-right order
-    aggregate(
+    // single chars are always in a TRAINED vocab); prepending keeps
+    // pieces in left-to-right order. A word unsegmentable under a
+    // caller-supplied map (end position unreachable) yields NULL
+    // rather than a garbage walk (r17 review).
+    val bt = aggregate(
       sequence(lit(1), len),
       struct(len.cast("int").as("j"), lit("").as("seg"), dp.as("dp")),
       (acc, _) => {
@@ -146,6 +154,8 @@ object Unigram {
           acc.getField("dp").as("dp")))
       },
       acc => acc.getField("seg"))
+    when(element_at(dp, len + 1).getField("s") === Long.MinValue,
+      lit(null).cast("string")).otherwise(bt)
   }
 
   /** One E-step: segment every distinct word, return (w, n, seg). */
@@ -169,6 +179,14 @@ object Unigram {
     * (finalCounts DF (piece, cnt), finalWeights) — counts are the LAST
     * E-step's, the numbers the trained model actually assigns. */
   def train(docs: DataFrame, textCol: String): (DataFrame, Map[String, Long]) = {
+    val (c, w, _) = trainWithWords(docs, textCol); (c, w)
+  }
+
+  /** [[train]] that also hands back the checkpointed word table, so
+    * the prune face's extra E-step reuses it instead of re-deriving
+    * an identical frame (r17 review). */
+  private def trainWithWords(docs: DataFrame, textCol: String)
+      : (DataFrame, Map[String, Long], DataFrame) = {
     val words = wordCounts(docs, textCol).localCheckpoint(eager = true)
     val seed = seedVocab(docs, textCol).localCheckpoint(eager = true)
     val vocab = seed.select("piece").collect().map(_.getString(0)).toSeq.sorted
@@ -179,7 +197,7 @@ object Unigram {
         .localCheckpoint(eager = true)
       weights = weightsOf(counts)
     }
-    (counts, weights)
+    (counts, weights, words)
   }
 
   /** Memoized trained model per (session, key) — the encode face must
@@ -226,8 +244,7 @@ object Unigram {
     * distributed TopK (sort-limit, never a one-task global sort);
     * everything downstream reuses the G33 machinery. */
   def trainedVocabPruned(docs: DataFrame, textCol: String): DataFrame = {
-    val words = wordCounts(docs, textCol).localCheckpoint(eager = true)
-    val (counts, _) = train(docs, textCol)
+    val (counts, _, words) = trainWithWords(docs, textCol)
     val chars = counts.filter(length(col("piece")) === 1)
     val multi = counts.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece")).limit(KeepMulti)

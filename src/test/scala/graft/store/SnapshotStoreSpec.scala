@@ -1246,6 +1246,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows("occ2") == Set((1L, "base"), (2L, "writerB"), (3L, "after")))
   }
 
+  test("vacuum orphan grace: a fresh unreferenced file (an in-flight cross-process commit) survives; an old one sweeps") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("vgrace", Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.commitAppend("vgrace", Seq((2L, "b")).toDF("k", "s"))
+    // simulate a concurrent writer mid-commit: data written under the
+    // table dir, manifest not yet published
+    val dir = SnapshotStore.tableDir("vgrace")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inflight = new org.apache.hadoop.fs.Path(dir, "data_v9_inflight/part-0.parquet")
+    val out = fs.create(inflight, true)
+    out.write("not yet published".getBytes("UTF-8")); out.close()
+    // with a grace window the fresh file MUST survive the sweep
+    SnapshotStore.vacuum("vgrace", keep = 1, orphanGraceMs = 60 * 60 * 1000L)
+    assert(fs.exists(inflight),
+      "an unreferenced file younger than the grace must not be swept")
+    // with the single-process default (grace 0) it sweeps — a new
+    // version first, because the orphan sweep piggybacks on a vacuum
+    // that actually drops something
+    SnapshotStore.commitAppend("vgrace", Seq((3L, "c")).toDF("k", "s"))
+    SnapshotStore.vacuum("vgrace", keep = 1)
+    assert(!fs.exists(inflight))
+    assert(rows("vgrace") == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "referenced data is untouched either way")
+  }
+
   test("props recovery: a TORN .props.tmp never displaces an intact target; a complete one wins") {
     SnapshotStore.setTableProperty("pt1", "a", "1")
     SnapshotStore.setTableProperty("pt1", "b", "2")

@@ -72,6 +72,17 @@ class UnigramSpec extends SparkSpec {
     assert(segs("aaa") == "a|aa", s"got ${segs("aaa")}")
   }
 
+  test("G33 a word unsegmentable under a caller-supplied map yields NULL, never a wrapped-overflow garbage walk") {
+    import spark.implicits._
+    // 'a' is absent: position 1 is unreachable; without the
+    // reachability guard MinValue + wgt would wrap positive and win
+    val segs = Unigram.segment(Seq(("ab", 1L), ("bb", 1L)).toDF("w", "n"),
+      Map("b" -> -1L, "bb" -> -1L)).collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(segs("ab").isEmpty, s"unsegmentable word must be NULL: ${segs("ab")}")
+    assert(segs("bb").contains("bb"), s"segmentable words unaffected: ${segs("bb")}")
+  }
+
   test("G33 the E-step is ONE shuffle-free codegen'd projection (broadcast map, no UDF)") {
     import spark.implicits._
     val words = Seq(("hello", 3L), ("world", 2L)).toDF("w", "n")
