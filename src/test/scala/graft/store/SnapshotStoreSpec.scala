@@ -1246,6 +1246,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows("occ2") == Set((1L, "base"), (2L, "writerB"), (3L, "after")))
   }
 
+  test("OCC: a concurrent commit under a COW merge (publishList path) classifies and aborts; the store stays consistent") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("occ3",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    var fired = false
+    SnapshotStore.publishRaceHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotStore.publishRaceHook = () => ()
+        SnapshotStore.commitAppend("occ3", Seq((9L, "z")).toDF("k", "s"))
+      }
+    }
+    val e = try intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.applyChangesCow(spark, "occ3",
+        Seq((1L, "A", "upsert")).toDF("k", "s", "op"), Seq("k"))
+    } finally SnapshotStore.publishRaceHook = () => ()
+    assert(fired)
+    assert(e.getMessage.contains("COW"),
+      s"the abort must classify: ${e.getMessage}")
+    // clean abort: B's append stands, the COW never half-published
+    assert(rows("occ3") == Set((1L, "a"), (2L, "b"), (9L, "z")))
+    // and the COW succeeds when re-run against the new snapshot
+    SnapshotStore.applyChangesCow(spark, "occ3",
+      Seq((1L, "A", "upsert")).toDF("k", "s", "op"), Seq("k"))
+    assert(rows("occ3") == Set((1L, "A"), (2L, "b"), (9L, "z")))
+  }
+
   test("vacuum orphan grace: a fresh unreferenced file (an in-flight cross-process commit) survives; an old one sweeps") {
     import spark.implicits._
     SnapshotStore.commitAppend("vgrace", Seq((1L, "a")).toDF("k", "s"))
