@@ -1711,6 +1711,11 @@ object TextQueries {
     textBm25Indexed(spark, dir)
     Bpe.cachedMerges(Tables.documents(spark, dir), "text", 8,
       graft.store.GraftStore.dirKey(dir))
+    // the unigram model rides the same discipline: encode/tokens faces
+    // read the cache, only text_unigram/text_unigram_prune time the
+    // TRAIN op itself
+    Unigram.cachedWeights(Tables.documents(spark, dir), "text",
+      graft.store.GraftStore.dirKey(dir))
     ()
   }
 
