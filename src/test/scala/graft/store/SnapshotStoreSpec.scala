@@ -1221,6 +1221,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows("occ1", Some(1L)) == Set((1L, "base"), (2L, "writerB")))
   }
 
+  test("OCC: an append losing the race TWICE rebuilds against each new head and still commits linearly") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("occ4", Seq((1L, "base")).toDF("k", "s"))
+    // the hook fires on EVERY publish attempt: writer A's first two
+    // attempts each lose to a fresh writer-B commit, the third lands
+    // (inHook suppresses the hook during B's own nested publish)
+    var races = 0
+    var inHook = false
+    SnapshotStore.publishRaceHook = () => {
+      if (!inHook && races < 2) {
+        races += 1
+        inHook = true
+        try SnapshotStore.commitAppend("occ4",
+          Seq((10L + races, s"b$races")).toDF("k", "s"))
+        finally inHook = false
+      }
+    }
+    val vA = try
+      SnapshotStore.commitAppend("occ4", Seq((3L, "writerA")).toDF("k", "s"))
+    finally SnapshotStore.publishRaceHook = () => ()
+    assert(races == 2)
+    assert(vA == 3L, s"A must land after BOTH stolen versions: $vA")
+    assert(SnapshotStore.versions("occ4") == Seq(0L, 1L, 2L, 3L))
+    assert(rows("occ4") == Set((1L, "base"), (11L, "b1"), (12L, "b2"), (3L, "writerA")),
+      "all four writers' rows visible — two rebuilds, zero lost updates")
+  }
+
   test("OCC: a concurrent commit under an OVERWRITE classifies as a true conflict and aborts cleanly") {
     import spark.implicits._
     SnapshotStore.commitAppend("occ2", Seq((1L, "base")).toDF("k", "s"))
