@@ -3716,10 +3716,13 @@ object Multimodal {
     val exact = pairs.filter(col("s") >= ClipThreshold).count()
     // the SAME candidate generator and verifier the retrieval face
     // runs — shared definitions, so the dial cannot measure a stale
-    // copy of the pipeline
-    val banded = clipVerify(f,
-      clipCandidates(f, ClipMinBands).localCheckpoint(eager = true)).count()
-    val candN = clipCandidates(f, ClipMinBands).count()
+    // copy of the pipeline. The checkpointed candidate frame is bound
+    // once and reused for both the verify count and the mass count
+    // (r17 advice #5: rebuilding it re-ran the banded self-join the
+    // checkpoint had just materialized).
+    val cand = clipCandidates(f, ClipMinBands).localCheckpoint(eager = true)
+    val banded = clipVerify(f, cand).count()
+    val candN = cand.count()
     val candAll = clipCandidates(f, 1).count()
     val recall = if (exact == 0) 1.0 else banded.toDouble / exact
     val mass = if (candAll == 0) 1.0 else candN.toDouble / candAll

@@ -44,6 +44,7 @@ object SnapshotStore {
   def setBase(uri: String): Unit = synchronized {
     baseOverride = Some(uri)
     committedBatches.clear()
+    committedSeenV.clear()
     indexCache.clear()
   }
 
@@ -305,29 +306,88 @@ object SnapshotStore {
       //    rebuilds its delta manifest against the NEW prev (stats
       //    merge, #prev link, schema widening all recomputed), and
       //    retries — no lost update, the version chain stays linear;
-      //  - an OVERWRITE or COW rewrite (carryFrom) read table state
-      //    that the concurrent commit may have invalidated (it lists
-      //    or replaces PRIOR files), so it classifies as a true
-      //    conflict and aborts with [[ConcurrentWriteException]] —
-      //    the caller re-runs against the new snapshot if it wants to.
+      //  - a COW rewrite (carryFrom) that lost the race REBASES,
+      //    Delta-style (r17 verdict #2): its file list is "replace
+      //    exactly these base files, carry the rest" — so if every
+      //    file it removed/rewrote is still present at the NEW head,
+      //    the concurrent commits touched a DISJOINT file set and the
+      //    intent replays exactly: carry the new head's files (which
+      //    include the concurrent writer's work), swap in our
+      //    rewrites, retry. Only a genuinely OVERLAPPING rewrite (a
+      //    removed file is gone from the head — someone else rewrote
+      //    or dropped it) aborts with [[ConcurrentWriteException]].
+      //    Semantics note (Delta's WriteSerializable line): a rebased
+      //    predicate-delete/keyed-merge applies to the files it READ —
+      //    rows a concurrent append lands that happen to match the
+      //    predicate are that later commit's rows, untouched here.
+      //  - a plain OVERWRITE read table state a concurrent commit
+      //    invalidated wholesale (it replaces EVERYTHING, so any
+      //    concurrent write overlaps by definition) — true conflict,
+      //    abort; the caller re-runs against the new snapshot.
       // The in-JVM `synchronized` stays as a fast path that serializes
       // same-process writers; the OCC loop is what makes two PROCESSES
       // sharing a store base safe.
+      var files = newFiles
+      var carry = carryFrom
+      var sch = dfSchema
       var attempts = 0
       var published = -1L
       while (published < 0) {
-        published = publishOnce(name, newFiles, append, header, dfSchema,
-          carryFrom) match {
+        published = publishOnce(name, files, append, header, sch,
+          carry) match {
           case Right(v) => v
           case Left(racedV) =>
-            if (!append || carryFrom.nonEmpty)
-              throw new ConcurrentWriteException(
-                s"$name: version $racedV was published concurrently and this " +
-                  "commit rewrites prior state (overwrite/COW) — aborted; " +
-                  "re-run against the new snapshot")
             attempts += 1
             require(attempts < 8,
               s"$name: lost the publish race $attempts times — giving up")
+            if (!append && carry.isEmpty)
+              throw new ConcurrentWriteException(
+                s"$name: version $racedV was published concurrently and this " +
+                  "commit rewrites prior state (overwrite) — aborted; " +
+                  "re-run against the new snapshot")
+            if (carry.nonEmpty) {
+              // COW conflict resolution: re-list our intent against
+              // the new head. base = what we planned over; removed =
+              // base files our list drops/rewrites; added = our fresh
+              // rewrite output (under our own data dir — physically
+              // disjoint from any other writer's by construction).
+              val baseV = carry.get
+              val base = scala.util.Try(readManifest(name, baseV))
+                .getOrElse(throw new ConcurrentWriteException(
+                  s"$name: base version $baseV vanished (concurrent " +
+                    "vacuum) while resolving a COW publish race — aborted"))
+              val ourPaths = files.map(uriPath).toSet
+              val basePaths = base.map(uriPath).toSet
+              val removed = basePaths -- ourPaths
+              val added = files.filterNot(f => basePaths(uriPath(f)))
+              val headV = versions(name).last
+              val head = readManifest(name, headV)
+              val headPaths = head.map(uriPath).toSet
+              if (!removed.forall(headPaths))
+                throw new ConcurrentWriteException(
+                  s"$name: version $racedV rewrote/dropped file(s) this COW " +
+                    "commit also rewrites — overlapping file sets, true " +
+                    "conflict; re-run against the new snapshot")
+              // schema rebase rides the same widening rule appends
+              // use: the head's schema (which may carry a concurrent
+              // append's new columns) widened by OUR new columns;
+              // same-name type drift is a semantic conflict, abort.
+              schemaOf(name, headV).foreach { hs =>
+                sch.fields.filter(f => hs.fieldNames.contains(f.name))
+                  .foreach { f =>
+                    if (hs(f.name).dataType != f.dataType)
+                      throw new ConcurrentWriteException(
+                        s"$name: column '${f.name}' type diverged under a " +
+                          s"concurrent commit (${hs(f.name).dataType} vs " +
+                          s"${f.dataType}) — COW rebase aborted")
+                  }
+                sch = org.apache.spark.sql.types.StructType(
+                  hs.fields ++
+                    sch.fields.filterNot(f => hs.fieldNames.contains(f.name)))
+              }
+              files = head.filterNot(f => removed(uriPath(f))) ++ added
+              carry = Some(headV)
+            }
             -1L
         }
       }
@@ -641,7 +701,11 @@ object SnapshotStore {
     }
     val rewrite = touched.filterNot(fullyCovered)
     val vNext = v + 1L
-    val dataDir = new Path(tableDir(name), s"data_v$vNext")
+    // unique suffix (r18): the COW paths are publishFiles-rebase-able,
+    // so two PROCESSES can genuinely race here — each writer's rewrite
+    // output must land in its own directory exactly like commit()'s
+    val dataDir = new Path(tableDir(name),
+      s"data_v${vNext}_${java.util.UUID.randomUUID().toString.take(8)}")
     val newFiles =
       if (rewrite.isEmpty) Seq.empty
       else {
@@ -1009,7 +1073,9 @@ object SnapshotStore {
     val all = readManifest(name, v)
     val (touched, untouched) = all.partition(f => affected(uriPath(f)))
     val vNext = v + 1L
-    val dataDir = new Path(tableDir(name), s"data_v$vNext")
+    // unique suffix (r18): same cross-process collision rule as commit()
+    val dataDir = new Path(tableDir(name),
+      s"data_v${vNext}_${java.util.UUID.randomUUID().toString.take(8)}")
     val rewritten =
       if (touched.isEmpty) aligned
       else spark.read.schema(schema).parquet(touched: _*)
@@ -1084,7 +1150,11 @@ object SnapshotStore {
       enforceConstraints(st.name, s.read.schema(st.schema).parquet(st.files: _*))
     }
     val v = versions(st.name).lastOption.getOrElse(-1L) + 1L
-    val target = new Path(tableDir(st.name), s"data_v$v")
+    // unique suffix (r18): two processes publishing staged commits for
+    // the same version must not collide on the rename target (a rename
+    // onto an existing directory nests instead of failing on local FS)
+    val target = new Path(tableDir(st.name),
+      s"data_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = fsOf(target)
     require(fs.rename(new Path(st.stageDir), target),
       s"staged publish failed for ${st.name}: rename ${st.stageDir} -> $target")
@@ -1106,25 +1176,60 @@ object SnapshotStore {
     * version. Readers are never exposed to a half-committed batch:
     * they see version v or v+1, each a complete consistent table.
     * Usage: `ds.writeStream.foreachBatch(SnapshotStore.streamSink(name) _)`. */
-  // committed batchIds per table, loaded from the manifests ONCE and
+  // committed batchIds per table, seeded from the manifests and
   // maintained on commit — without it every micro-batch re-reads every
-  // manifest to detect a replay, O(B²) I/O over a stream's life
+  // manifest to detect a replay, O(B²) I/O over a stream's life.
+  // committedSeenV is the highest manifest version already folded in:
+  // a cache MISS refreshes from only the unseen tail (r17 advice #4 —
+  // a second PROCESS replaying a batch the first process committed
+  // must find it in the manifests, not trust a stale per-process
+  // cache), so the common hit path stays zero-I/O and a miss costs
+  // one listing + O(new versions) header reads.
   private val committedBatches =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Long, Long]]
+  private val committedSeenV =
+    scala.collection.mutable.Map.empty[String, Long]
 
+  /** Test seam: drop the per-process batch cache for `name`, which is
+    * exactly the state a FRESH process attaching to the same store
+    * base starts with — lets a spec exercise the cross-process replay
+    * path a single JVM cannot otherwise produce. */
+  private[store] def forgetBatchCache(name: String): Unit = synchronized {
+    committedBatches.remove(name); committedSeenV.remove(name); ()
+  }
+
+  /** Exactly-once scope (r17 advice #4): replays of a batchId are
+    * idempotent within a process (cache) and ACROSS processes whenever
+    * the replay starts after the other process's commit published (the
+    * miss-path refresh below reads it from the manifest headers). Two
+    * processes replaying the SAME batch truly simultaneously can still
+    * both commit — closing that window needs the CAS-loop itself to
+    * re-check raced versions' batch headers, i.e. coordination at the
+    * commit point, which is the same boundary Delta draws with
+    * application-level txnVersion. */
   def commitStreamBatch(name: String, df: DataFrame, batchId: Long): Long =
     synchronized {
-      val known = committedBatches.getOrElseUpdate(name, {
-        val m = scala.collection.mutable.Map.empty[Long, Long]
-        versions(name).foreach(v => batchIdOf(name, v).foreach(b => m(b) = v))
-        m
-      })
-      known.get(batchId) match {
-        case Some(v) => v
-        case None =>
+      val known = committedBatches.getOrElseUpdate(name,
+        scala.collection.mutable.Map.empty[Long, Long])
+      def refresh(): Unit = {
+        val seen = committedSeenV.getOrElse(name, -1L)
+        val vs = versions(name)
+        vs.filter(_ > seen).foreach(v =>
+          batchIdOf(name, v).foreach(b => known(b) = v))
+        committedSeenV(name) = vs.lastOption.getOrElse(-1L)
+      }
+      known.get(batchId).getOrElse {
+        // miss: fold in versions committed since the last look (first
+        // call seeds the whole history; later misses read only the
+        // tail another process may have appended), THEN re-check
+        refresh()
+        known.getOrElse(batchId, {
           val v = commit(name, df, append = true, header = Some(s"#batch=$batchId"))
           known(batchId) = v
+          committedSeenV(name) =
+            math.max(committedSeenV.getOrElse(name, -1L), v)
           v
+        })
       }
     }
 
@@ -1269,7 +1374,10 @@ object SnapshotStore {
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val v = vs.last + 1L
-    val dataDir = new Path(tableDir(name), s"data_v$v")
+    // unique suffix (r18): the rebase retry keeps OUR files and relists
+    // the head's — nothing may share a directory with a racing writer
+    val dataDir = new Path(tableDir(name),
+      s"data_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
     // unionByName: an anti using-join can reorder the using columns to
     // the front, so a positional union would cast across columns.
     // Coalesce to the rewritten width: a COW of N files should produce
@@ -1279,7 +1387,14 @@ object SnapshotStore {
       .coalesce(math.max(1, affected.size))
       .write.mode("error").parquet(dataDir.toString)
     val newFiles = listParquet(dataDir)
-    val published = publishList(name, untouched ++ newFiles, schema)
+    // through the carryFrom publish path (r17 verdict #2): untouched
+    // files keep their commit-time stats/zones as pure metadata AND a
+    // lost race against a disjoint-file commit REBASES instead of
+    // aborting — publishList (restore/optimize) keeps abort-only
+    // semantics because those rewrite arbitrary prior state.
+    val published = publishFiles(name, untouched ++ newFiles,
+      append = false, header = None, dfSchema = schema,
+      carryFrom = Some(vs.last))
     (published, affected.size, prevFiles.size)
   }
 
@@ -1898,9 +2013,19 @@ object SnapshotStore {
     * where the dry run proved the payoff. Tag-protected versions
     * survive by the same rule vacuum itself enforces. `scope` is the
     * namespace filter every real lake's maintenance job carries (one
-    * retention policy rarely fits a whole warehouse). */
+    * retention policy rarely fits a whole warehouse).
+    *
+    * `orphanGraceMs` plumbs straight into [[vacuum]]'s orphan sweep
+    * (r17 advice #1): the AUTOMATED retention path is exactly where a
+    * multi-process fleet meets the in-flight-commit hazard the grace
+    * exists for — a scheduled loop that always swept with grace 0
+    * would delete a concurrent writer's just-written data files the
+    * moment they are a millisecond old. Fleets pass an interval
+    * comfortably above their longest commit; the single-process
+    * default stays 0 (sweep everything unreferenced). */
   def maintainRetention(keep: Int, minReclaimBytes: Long,
-      scope: String => Boolean = _ => true): Seq[RetentionAdvice] =
+      scope: String => Boolean = _ => true,
+      orphanGraceMs: Long = 0L): Seq[RetentionAdvice] =
     listTables.filter(scope).map { t =>
       // one synchronized span per table (r16 advice #3): a commit
       // landing between the dry run and the vacuum would make the
@@ -1911,7 +2036,7 @@ object SnapshotStore {
       synchronized {
         val plan = vacuumDryRun(t, keep)
         val go = plan.dropBytes >= minReclaimBytes && plan.dropFiles.nonEmpty
-        if (go) vacuum(t, keep)
+        if (go) vacuum(t, keep, orphanGraceMs)
         RetentionAdvice(t, keep, plan.dropBytes, plan.dropFiles.size,
           plan.dropVersions.size, vacuumed = go)
       }
@@ -1955,6 +2080,11 @@ object SnapshotStore {
     * would plan over deleted files. */
   def vacuum(name: String, keep: Int, orphanGraceMs: Long = 0L): Unit = synchronized {
     require(keep >= 1, "must keep at least one version")
+    // grace cutoffs compare against the FILESYSTEM's own clock (r17
+    // advice #2), probed once per vacuum — mtimes and cutoff come
+    // from the same clock, so object-store/NFS skew between the
+    // writer JVM and the storage tier cannot eat into the grace.
+    lazy val fsNowMs = fsNow(manifestDir(name))
     val vs = versions(name)
     val protectedVs = tags(name).values.toSet
     val keptVersions =
@@ -2036,8 +2166,10 @@ object SnapshotStore {
       // convention: only files older than `orphanGraceMs` are swept
       // (0 = the single-process default, everything unreferenced goes;
       // cross-process fleets pass an interval comfortably above their
-      // longest commit).
-      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      // longest commit — measured on the storage tier's clock, see
+      // fsNowMs above, so clock skew larger than the grace cannot
+      // sweep a genuinely fresh file).
+      val cutoff = fsNowMs - orphanGraceMs
       fs.listStatus(tableDir(name)).iterator
         .filter(_.getPath.getName.startsWith("data_v")).foreach { d =>
           val kept = fs.listStatus(d.getPath).iterator.filter { st =>
@@ -2061,6 +2193,44 @@ object SnapshotStore {
       if (fsm.exists(manifestPath(name, kv)) && fsm.exists(t))
         fsm.delete(t, false)
     }
+    // sweep ORPHANED publish tmps (r17 advice #3): per-writer-unique
+    // names (.v<v>.<8-hex>.tmp) fixed the shared-tmp overwrite race,
+    // but a writer crashing between create and rename now leaves a
+    // tmp NO later attempt ever overwrites (the old deterministic
+    // name was self-healing that way) and the .ckpt.tmp sweep above
+    // never matches. Age-gated by the same storage-clock grace as the
+    // data-file sweep: an in-flight cross-process publish holds its
+    // tmp for milliseconds, and same-process publishes are serialized
+    // by the store lock this vacuum already holds, so grace 0 stays
+    // safe single-process. (The 8-hex group cannot match a
+    // `.v<v>.ckpt.tmp` — "ckpt" is 4 chars — so vacuum-checkpoint
+    // tmps keep their own recovery path above.)
+    val pubTmp = "^\\.v\\d+\\.[0-9a-f]{8}\\.tmp$".r
+    if (fsm.exists(manifestDir(name))) {
+      val pubCut = fsNowMs - orphanGraceMs
+      fsm.listStatus(manifestDir(name)).iterator
+        .filter(st => pubTmp.findFirstIn(st.getPath.getName).isDefined)
+        .filter(_.getModificationTime < pubCut)
+        .foreach(st => fsm.delete(st.getPath, false))
+    }
+  }
+
+  /** The storage tier's OWN current time: mtime of a just-created
+    * probe file (r17 advice #2 — the Iceberg remove-orphans caveat).
+    * A cutoff derived from the writer JVM's clock undercounts or
+    * overcounts the grace by exactly the storage clock skew; probing
+    * measures "now" on the same clock that stamped the candidate
+    * files' mtimes. Falls back to the JVM clock when the probe cannot
+    * be written (read-only mount) — the pre-r18 behavior. */
+  private def fsNow(dir: Path): Long = {
+    val fs = fsOf(dir)
+    val probe = new Path(dir,
+      s".fsnow.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    try {
+      fs.create(probe, true).close()
+      fs.getFileStatus(probe).getModificationTime
+    } catch { case _: Throwable => System.currentTimeMillis() }
+    finally { scala.util.Try(fs.delete(probe, false)); () }
   }
 
   private val indexCache =

@@ -1273,31 +1273,137 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows("occ2") == Set((1L, "base"), (2L, "writerB"), (3L, "after")))
   }
 
-  test("OCC: a concurrent commit under a COW merge (publishList path) classifies and aborts; the store stays consistent") {
+  test("OCC REBASE: a COW merge racing a DISJOINT-file append rebases and commits — linear chain, no lost update") {
     import spark.implicits._
     SnapshotStore.commitAppend("occ3",
       Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
     var fired = false
+    var inHook = false
     SnapshotStore.publishRaceHook = () => {
-      if (!fired) {
-        fired = true
-        SnapshotStore.publishRaceHook = () => ()
-        SnapshotStore.commitAppend("occ3", Seq((9L, "z")).toDF("k", "s"))
+      if (!fired && !inHook) {
+        fired = true; inHook = true
+        // writer B lands a plain append (a NEW file — disjoint from
+        // every file the COW rewrites) in the COW's race window
+        try SnapshotStore.commitAppend("occ3", Seq((9L, "z")).toDF("k", "s"))
+        finally inHook = false
+      }
+    }
+    val (vCow, _, _) = try
+      SnapshotStore.applyChangesCow(spark, "occ3",
+        Seq((1L, "A", "upsert")).toDF("k", "s", "op"), Seq("k"))
+    finally SnapshotStore.publishRaceHook = () => ()
+    assert(fired, "the race must actually have been injected")
+    // r17 verdict #2: the COW re-lists its untouched files against
+    // B's head and commits AFTER it — no abort, no retry storm
+    assert(vCow == 2L, s"the rebased COW must land after B's stolen version: $vCow")
+    assert(SnapshotStore.versions("occ3") == Seq(0L, 1L, 2L),
+      "version chain must stay linear — no gaps, no forks")
+    // no lost update in either direction: B's appended row AND the
+    // COW's upsert are both visible at the head
+    assert(rows("occ3") == Set((1L, "A"), (2L, "b"), (9L, "z")))
+    // B's intermediate snapshot is exactly base + B, pre-merge
+    assert(rows("occ3", Some(1L)) == Set((1L, "a"), (2L, "b"), (9L, "z")))
+  }
+
+  test("OCC REBASE: two COW merges rewriting the SAME file are a true conflict — the loser aborts, a re-run succeeds") {
+    import spark.implicits._
+    // one data file, so any two keyed rewrites overlap by construction
+    SnapshotStore.commitAppend("occ5",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1))
+    var fired = false
+    var inHook = false
+    SnapshotStore.publishRaceHook = () => {
+      if (!fired && !inHook) {
+        fired = true; inHook = true
+        try SnapshotStore.applyChangesCow(spark, "occ5",
+          Seq((2L, "B", "upsert")).toDF("k", "s", "op"), Seq("k"))
+        finally inHook = false
       }
     }
     val e = try intercept[SnapshotStore.ConcurrentWriteException] {
-      SnapshotStore.applyChangesCow(spark, "occ3",
+      SnapshotStore.applyChangesCow(spark, "occ5",
         Seq((1L, "A", "upsert")).toDF("k", "s", "op"), Seq("k"))
     } finally SnapshotStore.publishRaceHook = () => ()
     assert(fired)
-    assert(e.getMessage.contains("COW"),
-      s"the abort must classify: ${e.getMessage}")
-    // clean abort: B's append stands, the COW never half-published
-    assert(rows("occ3") == Set((1L, "a"), (2L, "b"), (9L, "z")))
-    // and the COW succeeds when re-run against the new snapshot
-    SnapshotStore.applyChangesCow(spark, "occ3",
+    assert(e.getMessage.contains("overlapping"),
+      s"the abort must classify the overlap: ${e.getMessage}")
+    // clean abort: the winning COW stands alone
+    assert(rows("occ5") == Set((1L, "a"), (2L, "B")))
+    // and the losing intent succeeds re-run against the new snapshot
+    SnapshotStore.applyChangesCow(spark, "occ5",
       Seq((1L, "A", "upsert")).toDF("k", "s", "op"), Seq("k"))
-    assert(rows("occ3") == Set((1L, "A"), (2L, "b"), (9L, "z")))
+    assert(rows("occ5") == Set((1L, "A"), (2L, "B")))
+  }
+
+  test("exactly-once across processes: a fresh process replaying a committed batchId no-ops via the manifest headers") {
+    import spark.implicits._
+    val v0 = SnapshotStore.commitStreamBatch("sb_xproc",
+      Seq((1L, "a")).toDF("k", "s"), batchId = 0L)
+    val v1 = SnapshotStore.commitStreamBatch("sb_xproc",
+      Seq((2L, "b")).toDF("k", "s"), batchId = 1L)
+    assert((v0, v1) == ((0L, 1L)))
+    // a SECOND process starts with an empty per-process cache — the
+    // r17 advice #4 hazard: without the miss-path manifest refresh it
+    // would re-append batch 1 and silently break exactly-once
+    SnapshotStore.forgetBatchCache("sb_xproc")
+    val vReplay = SnapshotStore.commitStreamBatch("sb_xproc",
+      Seq((99L, "POISON")).toDF("k", "s"), batchId = 1L)
+    assert(vReplay == v1, "the replay must resolve to the committed version")
+    assert(rows("sb_xproc") == Set((1L, "a"), (2L, "b")),
+      "the replayed batch must not double-append")
+    // and a genuinely new batch still commits
+    val v2 = SnapshotStore.commitStreamBatch("sb_xproc",
+      Seq((3L, "c")).toDF("k", "s"), batchId = 2L)
+    assert(v2 == 2L)
+    assert(rows("sb_xproc") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("vacuum sweeps ORPHANED publish tmps past the grace; fresh ones and ckpt tmps survive") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("vtmp", Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.commitAppend("vtmp", Seq((2L, "b")).toDF("k", "s"))
+    val mdir = new org.apache.hadoop.fs.Path(
+      SnapshotStore.tableDir("vtmp"), "_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer that crashed between tmp-create and rename-CAS leaves
+    // this forever under the unique-name scheme (r17 advice #3)
+    val stale = new org.apache.hadoop.fs.Path(mdir, ".v7.deadbeef.tmp")
+    fs.create(stale, true).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    val fresh = new org.apache.hadoop.fs.Path(mdir, ".v8.0abc1234.tmp")
+    fs.create(fresh, true).close()
+    SnapshotStore.vacuum("vtmp", keep = 1, orphanGraceMs = 3600 * 1000L)
+    assert(!fs.exists(stale), "a day-old orphaned publish tmp must sweep")
+    assert(fs.exists(fresh),
+      "a tmp younger than the grace (an in-flight cross-process publish) must survive")
+    // grace 0 (single-process default): everything unreferenced goes
+    SnapshotStore.vacuum("vtmp", keep = 1)
+    assert(!fs.exists(fresh))
+    assert(rows("vtmp") == Set((1L, "a"), (2L, "b")),
+      "published manifests and data are untouched by the tmp sweep")
+  }
+
+  test("K59 retention loop plumbs the orphan grace through to its vacuums") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("vret_g", Seq((1L, "a")).toDF("k", "s"))
+    SnapshotStore.commitAppend("vret_g", Seq((2L, "b")).toDF("k", "s"))
+    val dir = SnapshotStore.tableDir("vret_g")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight cross-process commit: data landed, manifest not yet
+    val inflight = new org.apache.hadoop.fs.Path(
+      dir, "data_v9_inflight/part-0.parquet")
+    val out = fs.create(inflight, true)
+    out.write("not yet published".getBytes("UTF-8")); out.close()
+    // r17 advice #1: the AUTOMATED path must honor the grace — before
+    // the plumb it always swept with the destructive default
+    val advice = SnapshotStore.maintainRetention(keep = 1,
+      minReclaimBytes = 0L, scope = _ == "vret_g",
+      orphanGraceMs = 3600 * 1000L)
+    assert(advice.exists(a => a.name == "vret_g" && a.vacuumed),
+      "the old version must actually have been vacuumed")
+    assert(fs.exists(inflight),
+      "the automated retention loop must not sweep an in-grace file")
+    assert(rows("vret_g") == Set((1L, "a"), (2L, "b")))
   }
 
   test("vacuum orphan grace: a fresh unreferenced file (an in-flight cross-process commit) survives; an old one sweeps") {
