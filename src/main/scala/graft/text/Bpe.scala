@@ -51,9 +51,15 @@ object Bpe {
     * face trains on the oracle-SF corpus directly because that IS a
     * sample), and learn once — [[cachedMerges]] memoizes rules per
     * (session, corpus key) so the encode faces never re-train. */
-  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    var words = pretokenize(docs, textCol).localCheckpoint(eager = true)
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    learnMergesFrom(pretokenize(docs, textCol), k)
+
+  /** [[learnMerges]] over an explicit (w, n, syms) word table — the
+    * seam that lets the BYTE-level face (G55) train through the exact
+    * same merge kernel with a different base alphabet. */
+  def learnMergesFrom(words0: DataFrame, k: Int): DataFrame = {
+    val spark = words0.sparkSession
+    var words = words0.localCheckpoint(eager = true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
@@ -88,6 +94,32 @@ object Bpe {
     .groupBy("w").agg(count(lit(1)).as("n"))
     .select(col("w"), col("n"),
       array_remove(split(col("w"), ""), "").as("syms"))
+
+  /** G55: BYTE-level pretokenization — the GPT-2 move (Radford et al.
+    * 2019): base symbols are the word's UTF-8 BYTES (rendered as
+    * two-char uppercase hex), so the base alphabet is CLOSED at ≤ 256
+    * symbols and no input — emoji, CJK, mojibake, binary-ish junk —
+    * is ever out-of-vocabulary. Everything downstream (merge
+    * learning, encoding) reuses the char-level kernels unchanged: a
+    * symbol is just a string, and a merged symbol is the byte
+    * sequence's hex concatenation. The corpus-scale shape is
+    * IDENTICAL to [[pretokenize]] — one explode + one count keyed on
+    * the word — with the byte expansion a codegen'd projection over
+    * the vocab-scale word table, never the corpus. */
+  def pretokenizeBytes(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(split(trim(col(textCol)), " +")).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy("w").agg(count(lit(1)).as("n"))
+    .select(col("w"), col("n"), byteSyms(col("w")).as("syms"))
+
+  /** The UTF-8 bytes of a string column as a hex-pair symbol array
+    * ("the" → ["74","68","65"]) — pure codegen'd expressions
+    * (encode/hex/substr), no UDF. */
+  def byteSyms(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hx = hex(encode(c, "UTF-8"))
+    transform(sequence(lit(1), length(encode(c, "UTF-8"))),
+      i => hx.substr(i * 2 - 1, lit(2)))
+  }
 
   /** One greedy leftmost-first merge of (a,b) applied to every word of
     * a (w, n, syms) frame — the shared kernel of learn (argmax'd

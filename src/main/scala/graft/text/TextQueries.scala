@@ -1763,6 +1763,20 @@ object TextQueries {
     // pieces after EM, refit with one more E-step
     "text_unigram_prune" -> ((s: SparkSession, dir: String) =>
       Unigram.trainedVocabPruned(Tables.documents(s, dir), "text")),
+    // G56: byte FALLBACK encode (r17 verdict #3) — a constructed OOV
+    // eval set (corpus words + an appended non-ASCII char) segments
+    // to <0x..> byte pieces under the same trained model instead of
+    // NULLing the word; oracle = the same enumeration with a
+    // byte-piece pseudo-vocab restricted to out-of-vocab chars
+    "text_unigram_bytes" -> ((s: SparkSession, dir: String) =>
+      Unigram.encodeVocabBytes(Tables.documents(s, dir), "text",
+        graft.store.GraftStore.dirKey(dir))),
+    // G55: BYTE-level BPE (r17 verdict #3) — GPT-2's closed base
+    // alphabet: train the same merge kernel over UTF-8 hex-pair
+    // symbols; no input is ever OOV
+    "text_bpe_bytes"    -> ((s: SparkSession, dir: String) =>
+      Bpe.learnMergesFrom(Bpe.pretokenizeBytes(
+        Tables.documents(s, dir), "text"), 8)),
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
@@ -2094,6 +2108,80 @@ object TextQueries {
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin
   }
 
+  /** G55 oracle w0: the byte-level base alphabet — each word's UTF-8
+    * bytes as two-char hex symbols (hex(encode(w)) sliced in pairs),
+    * mirroring Bpe.byteSyms; the merge rounds are the SAME generated
+    * CTEs as the char-level oracle (a symbol is just a string). */
+  private def bpeBytesW0Sql: String =
+    """w0 AS MATERIALIZED (
+      |  SELECT w, n, list_transform(range(1, octet_length(encode(w)) + 1),
+      |    i -> substr(hex(encode(w)), (2*i - 1)::int, 2)) AS syms
+      |  FROM (
+      |    SELECT w, count(*)::bigint AS n FROM (
+      |      SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+      |    ) WHERE length(w) > 0 GROUP BY w
+      |  )
+      |)""".stripMargin
+
+  private lazy val bpeBytesOracleSql: String = {
+    val rounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
+    val out = (1 to BpeK).map(i =>
+      s"""SELECT $i AS "rank", a AS "left", b AS "right", cnt AS pair_count FROM b$i""")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeBytesW0Sql},\n$rounds\n$out"
+  }
+
+  /** G56 oracle: the unigram enumeration with a byte-fallback
+    * pseudo-vocab — the trained piece table wt_r UNIONed with one
+    * (char → bytes-rendered seg, ByteWgt·octets) row per OOV char of
+    * the eval set, so the recursive walk stays ONE join against one
+    * piece table and the fallback is reachable exactly where the
+    * Spark DP's null-branch fires (chars absent from the trained
+    * map). Eval set mirrors encodeVocabBytes: corpus words + chr(233)
+    * ('é', 2 UTF-8 bytes) for even char lengths, chr(8364) ('€', 3
+    * bytes) for odd. */
+  private lazy val unigramBytesOracleSql: String = {
+    val r = graft.text.Unigram.EmRounds
+    val L = graft.text.Unigram.MaxPieceLen
+    val bw = graft.text.Unigram.ByteWgt
+    val rounds = (1 to r).map(unigramRoundSql).mkString(",\n")
+    s"""WITH RECURSIVE ${unigramVocab0Sql},
+       |$rounds,
+       |we AS MATERIALIZED (
+       |  SELECT w || CASE WHEN length(w) % 2 = 0 THEN chr(233) ELSE chr(8364) END AS w, n
+       |  FROM w0
+       |),
+       |fb AS MATERIALIZED (
+       |  SELECT DISTINCT c AS piece,
+       |    ($bw)::bigint * octet_length(encode(c)) AS wgt,
+       |    array_to_string(list_transform(range(1, octet_length(encode(c)) + 1),
+       |      i -> '<0x' || substr(hex(encode(c)), (2*i - 1)::int, 2) || '>'), '|') AS rseg
+       |  FROM (SELECT unnest(regexp_split_to_array(w, '')) AS c FROM we)
+       |  WHERE c NOT IN (SELECT piece FROM wt$r)
+       |),
+       |wtb AS MATERIALIZED (
+       |  SELECT piece, wgt, piece AS rseg FROM wt$r
+       |  UNION ALL SELECT piece, wgt, rseg FROM fb
+       |),
+       |pB AS (
+       |  SELECT w, n, 0 AS pos, '' AS seg, '' AS rlen, 0::bigint AS score FROM we
+       |  UNION ALL
+       |  SELECT p.w, p.n, p.pos + l.l AS pos,
+       |    CASE WHEN p.seg = '' THEN t.rseg
+       |         ELSE p.seg || '|' || t.rseg END AS seg,
+       |    CAST(l.l AS VARCHAR) || p.rlen AS rlen,
+       |    p.score + t.wgt AS score
+       |  FROM pB p, (SELECT unnest(range(1, ${L + 1})) AS l) l, wtb t
+       |  WHERE p.pos + l.l <= length(p.w)
+       |    AND t.piece = substr(p.w, p.pos + 1, l.l)
+       |)
+       |SELECT w, n, seg FROM (
+       |  SELECT w, n, seg,
+       |    row_number() OVER (PARTITION BY w ORDER BY score DESC, rlen DESC) AS rn
+       |  FROM pB WHERE pos = length(w)
+       |) WHERE rn = 1""".stripMargin
+  }
+
   private val BpeK = 8
   private lazy val bpeOracleSql: String = {
     val rounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
@@ -2150,6 +2238,11 @@ object TextQueries {
     "text_unigram_encode" -> unigramEncodeOracleSql,
     "text_unigram_tokens" -> unigramTokensOracleSql,
     "text_unigram_prune" -> unigramPruneOracleSql,
+    // G55/G56 (r17 verdict #3): byte-level BPE over the same merge
+    // CTEs with a hex-pair w0; unigram byte fallback as an OOV-char
+    // pseudo-vocab union in the enumeration
+    "text_bpe_bytes" -> bpeBytesOracleSql,
+    "text_unigram_bytes" -> unigramBytesOracleSql,
     // G48: exact counts; sqrt normalizer summed in source-name order
     // (list_sum over ORDER BY — mirrors Spark's sorted-array aggregate)
     "text_mix_weights" ->

@@ -59,6 +59,18 @@ object Unigram {
   /** Fixed-point log scale: 2^20 — integer log-space weights. */
   val Scale = 1L << 20
 
+  /** G56: per-BYTE fixed-point log weight of the byte-fallback pieces
+    * — the SentencePiece `byte_fallback` convention that makes a
+    * char-level unigram model production-usable: an OOV character
+    * segments to its UTF-8 bytes (`<0xC3>|<0xA9>`) instead of killing
+    * the whole word. Pinned far below any trainable piece weight
+    * (a trained weight is ≥ −ilog(Σ(cnt+1)), tens of Scale at any
+    * corpus size; −100·Scale per byte loses to EVERY real
+    * segmentation), so the fallback can never shadow a trained piece
+    * — it exists only where no trained path exists at all. Exact
+    * integer in both engines. */
+  val ByteWgt: Long = -100L * Scale
+
   /** round(ln(x)·2²⁰) as Long — BOTH engines compute the IEEE-double
     * natural log of the same integer and round once; disagreement
     * would need the true value within ~1 ulp of a half-integer
@@ -107,9 +119,21 @@ object Unigram {
     * (nested aggregate HOFs over a broadcast map literal): forward DP
     * builds (score, best-last-length) per position, the backtrack
     * walks it once. No UDF, no shuffle, no per-row JVM call. */
-  def viterbiSeg(wCol: Column, weights: Map[String, Long]): Column = {
+  def viterbiSeg(wCol: Column, weights: Map[String, Long],
+      byteFallback: Boolean = false): Column = {
     val wmap = typedLit(weights)
     val len = length(wCol)
+    // G56 byte fallback: a single OOV character scores ByteWgt per
+    // UTF-8 byte and renders as its byte pieces — the DP shape is
+    // untouched (the fallback is just another l=1 weight), so the
+    // fallback path can never alter an in-vocab word's segmentation
+    def fbWgt(piece: Column): Column =
+      lit(ByteWgt) * length(encode(piece, "UTF-8")).cast("long")
+    def fbRender(piece: Column): Column = {
+      val hx = hex(encode(piece, "UTF-8"))
+      array_join(transform(sequence(lit(1), length(encode(piece, "UTF-8"))),
+        i => concat(lit("<0x"), hx.substr(i * 2 - 1, lit(2)), lit(">"))), "|")
+    }
     // dp(j) for positions 0..len: element j+1 = (s: best score of the
     // prefix of length j, bl: length of its last piece). l iterates
     // ascending with >= so EQUAL scores hand the slot to the longer
@@ -122,7 +146,14 @@ object Unigram {
           filter(sequence(lit(1), lit(MaxPieceLen)), l => l <= j),
           struct(lit(Long.MinValue).as("s"), lit(0).as("bl")),
           (b, l) => {
-            val wgt = element_at(wmap, wCol.substr(j - l + 1, l))
+            val piece = wCol.substr(j - l + 1, l)
+            val direct = element_at(wmap, piece)
+            val wgt =
+              if (byteFallback)
+                when(direct.isNotNull, direct)
+                  .otherwise(when(l === 1, fbWgt(piece))
+                    .otherwise(lit(null).cast("long")))
+              else direct
             val prev = element_at(acc, (j - l + 1).cast("int")).getField("s")
             val cand = prev + wgt
             // the prev-reachability guard (r17 review): with a
@@ -146,7 +177,14 @@ object Unigram {
       (acc, _) => {
         val j = acc.getField("j")
         val bl = element_at(acc.getField("dp"), j + 1).getField("bl")
-        val piece = wCol.substr(j - bl + 1, bl)
+        val raw = wCol.substr(j - bl + 1, bl)
+        // an OOV single char (reachable only via the fallback weight)
+        // renders as its byte pieces; everything else verbatim
+        val piece =
+          if (byteFallback)
+            when(bl === 1 && element_at(wmap, raw).isNull, fbRender(raw))
+              .otherwise(raw)
+          else raw
         when(j <= 0, acc).otherwise(struct(
           (j - bl).cast("int").as("j"),
           when(acc.getField("seg") === "", piece)
@@ -260,6 +298,29 @@ object Unigram {
     segment(wordCounts(docs, textCol),
       cachedWeights(docs, textCol, cacheKey))
       .select(col("w"), col("n"), col("seg"))
+
+  /** G56 driver face: byte-fallback encoding on a CONSTRUCTED OOV
+    * eval set — every distinct corpus word with a deterministic
+    * non-ASCII character appended ('é' U+00E9 for even char lengths,
+    * '€' U+20AC for odd: one 2-byte and one 3-byte UTF-8 fallback),
+    * segmented under the (memoized) trained model with byte fallback
+    * ON. The corpus is ASCII, so the appended char is OOV by
+    * construction: each output row's seg ENDS in byte pieces
+    * (`…|<0xC3>|<0xA9>`) where the no-fallback encoder yields NULL
+    * for the whole word. The eval set is vocab-scale like every
+    * encode face; at 100 TB the fallback costs nothing on in-vocab
+    * text (it is a null-branch in the same codegen'd DP). */
+  def encodeVocabBytes(docs: DataFrame, textCol: String, cacheKey: String): DataFrame = {
+    val eval = wordCounts(docs, textCol).select(
+      concat(col("w"),
+        when(length(col("w")) % 2 === 0, lit("é"))
+          .otherwise(lit("€"))).as("w"),
+      col("n"))
+    eval.withColumn("seg",
+      viterbiSeg(col("w"), cachedWeights(docs, textCol, cacheKey),
+        byteFallback = true))
+      .select(col("w"), col("n"), col("seg"))
+  }
 
   /** G35: corpus tokenization as the DICTIONARY JOIN both tokenizer
     * families promise (the G32/G34 claim, realized as a face): the

@@ -154,4 +154,28 @@ class BpeSpec extends SparkSpec {
     val want = refBpe(wc, 5)
     assert(got == want, s"\ngot  $got\nwant $want")
   }
+
+  test("G55 byte-level BPE: an ASCII corpus reduces to the char learner under the hex renaming; multibyte chars merge their own bytes") {
+    import spark.implicits._
+    // the hex renaming (fixed-width, monotone per byte) preserves both
+    // pair counts (1 byte per ASCII char) and the argmax tie-break's
+    // lexicographic order, so the rule SEQUENCES must correspond 1:1 —
+    // an independent pin that the byte face is the same kernel, not a
+    // re-implementation that could drift
+    val docs = Seq("low low lower lowest", "new newer newest low").toDF("text")
+    def hexOf(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    val charRules = learned(Bpe.learnMerges(docs, "text", 6))
+      .map { case (r, a, b, c) => (r, hexOf(a), hexOf(b), c) }
+    val byteRules =
+      learned(Bpe.learnMergesFrom(Bpe.pretokenizeBytes(docs, "text"), 6))
+    assert(byteRules == charRules,
+      s"\nbyte $byteRules\nchar-as-hex $charRules")
+    // the reason the face exists: a multibyte char is never OOV — its
+    // bytes are base symbols and the learner merges THEM. "ééé é":
+    // C3 A9 ×4 → (C3,A9) count 4 beats (A9,C3) count 2
+    val uni = Seq("ééé é").toDF("text")
+    val r1 = learned(Bpe.learnMergesFrom(Bpe.pretokenizeBytes(uni, "text"), 1))
+    assert(r1 == Seq((1, "C3", "A9", 4L)), s"got $r1")
+  }
 }

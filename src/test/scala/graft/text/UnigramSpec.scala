@@ -198,4 +198,32 @@ class UnigramSpec extends SparkSpec {
       case _ => true
     })
   }
+
+  test("G56 byte fallback: OOV chars segment to UTF-8 byte pieces; trained pieces are never shadowed; fallback off still NULLs") {
+    import spark.implicits._
+    val wt = Map("a" -> -100L, "b" -> -150L, "ab" -> -180L)
+    val words = Seq(("abé", 1L), ("a€b", 1L), ("ab", 1L)).toDF("w", "n")
+    val withFb = words.withColumn("seg",
+      Unigram.viterbiSeg(col("w"), wt, byteFallback = true))
+    val segs = withFb.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // in-vocab word: identical to the no-fallback DP ("ab" −180 still
+    // beats "a|b" −250 — ByteWgt can never compete with trained pieces)
+    assert(segs("ab") == "ab", s"got ${segs("ab")}")
+    // 2-byte OOV char at the end: é = C3 A9
+    assert(segs("abé") == "ab|<0xC3>|<0xA9>", s"got ${segs("abé")}")
+    // 3-byte OOV char MID-word: € = E2 82 AC — trained pieces resume
+    // on the far side, so the fallback is per-character, not per-word
+    assert(segs("a€b") == "a|<0xE2>|<0x82>|<0xAC>|b", s"got ${segs("a€b")}")
+    // the DP stays one shuffle-free codegen'd projection with the
+    // fallback branch in place
+    val audit = graft.monitor.PlanAudit.audit(withFb)
+    assert(audit.shuffleExchanges == 0, s"fallback must not shuffle: $audit")
+    // and WITHOUT fallback the same OOV words are NULL — exactly the
+    // production failure the G56 face exists to close
+    val nulls = words.withColumn("seg", Unigram.viterbiSeg(col("w"), wt))
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(nulls("abé").isEmpty && nulls("a€b").isEmpty &&
+      nulls("ab").contains("ab"))
+  }
 }
