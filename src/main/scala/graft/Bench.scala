@@ -172,13 +172,28 @@ object Bench {
     // runs interpreted.
     val smellAllow: Map[String, (String, String)] = {
       val noCodegen = "no whole-stage codegen span anywhere (interpreted plan?)"
+      def miss(n: Int) = s"$n scan(s) evaluate a data filter " +
+        "with nothing pushed down (pushdown miss)"
       Map(
         "ing_csv" -> (noCodegen,
           "bare csv text scan: no projection/filter to fuse, nothing to codegen"),
         "ing_tsv" -> (noCodegen,
           "bare tsv text scan: no projection/filter to fuse, nothing to codegen"),
         "ing_json" -> (noCodegen,
-          "bare json text scan: no projection/filter to fuse, nothing to codegen"))
+          "bare json text scan: no projection/filter to fuse, nothing to codegen"),
+        // r18 (r17 verdict #4): the three residual-filter queries the
+        // refined smell still names — each is a filter over an
+        // expression DERIVED inside the query, with no stored column
+        // to push to; the row class IS the operator's semantics
+        "text_readability" -> (miss(1),
+          "tokenizable-docs gate: size(regexp_extract_all(text)) > 0 — " +
+            "a derived token count, no source-representable form"),
+        "ing_warc_corpus" -> (miss(1),
+          "HTTP-status gate parses the WARC payload SYNTHESIZED in the " +
+            "query from doc_id — no stored column exists to push to"),
+        "ing_corpus_gate" -> (miss(2),
+          "fetch gate parses the query-synthesized WARC payload (two " +
+            "scans: robots + records) — no stored column to push to"))
     }
     // J5 audit next to the wall seconds: counts + human-readable
     // smells per query, machine-readable in the round artifact
@@ -197,6 +212,7 @@ object Bench {
       s"""{"shuffles":${a.shuffleExchanges},"broadcasts":${a.broadcastExchanges},""" +
         s""""sorts":${a.sorts},"codegen_spans":${a.wholeStageSpans},""" +
         s""""scans":${a.fileScans},"pushed":${a.scansWithPushedFilters},""" +
+        s""""unpushed":${a.unpushedDataFilterScans},""" +
         s""""files_read":${a.filesRead},"bytes_read":${a.bytesRead},""" +
         s""""single_partition":${a.singlePartitionExchanges},""" +
         s""""sp_heavy":${a.singlePartitionHeavy},"smells":$sm$allowJson}"""
@@ -205,7 +221,7 @@ object Bench {
     // (nulled counts) so consumers can index fields unconditionally
     val auditErrJson =
       """{"shuffles":null,"broadcasts":null,"sorts":null,""" +
-        """"codegen_spans":null,"scans":null,"pushed":null,""" +
+        """"codegen_spans":null,"scans":null,"pushed":null,"unpushed":null,""" +
         """"files_read":null,"bytes_read":null,""" +
         """"single_partition":null,"sp_heavy":null,"smells":["audit error"]}"""
     val audits = results.map { case (k, _, _, _, a) =>

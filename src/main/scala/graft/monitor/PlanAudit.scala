@@ -33,14 +33,25 @@ object PlanAudit {
       singlePartitionExchanges: Int = 0,
       singlePartitionHeavy: Int = 0,
       filesRead: Long = 0L,
-      bytesRead: Long = 0L) {
+      bytesRead: Long = 0L,
+      unpushedDataFilterScans: Int = 0) {
     /** The headline smells, human-readable; empty = clean. */
     def smells: Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       if (fileScans > 0 && wholeStageSpans == 0)
         out += "no whole-stage codegen span anywhere (interpreted plan?)"
-      if (scansWithPushedFilters == 0 && fileScans > 0)
-        out += "no scan pushes any filter (full-table reads)"
+      // the pushdown smell fires per-scan on a GENUINE miss only (r17
+      // verdict #4): a scan that EVALUATES a data filter none of whose
+      // conjuncts translated to a source filter. A query whose
+      // semantic input is the whole table (profilers, corpus-wide
+      // aggregations) has no data filter targeting the scan at all —
+      // it reads everything BY DESIGN and must not smell, or the
+      // fleet's smell list buries every real miss under benign hits
+      // (165 of them in the r17 artifact). The old spelling
+      // ("no scan pushes any filter") could not tell the two apart.
+      if (unpushedDataFilterScans > 0)
+        out += s"$unpushedDataFilterScans scan(s) evaluate a data filter " +
+          "with nothing pushed down (pushdown miss)"
       // the scale-killer class (the r10 vdict lesson): a stage that
       // collapses UNBOUNDED data into one task — a global window/sort
       // with no partitioning. The benign single-partition shapes (the
@@ -140,6 +151,60 @@ object PlanAudit {
       filesRead = scans.map(s =>
         s.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum,
       bytesRead = scans.map(s =>
-        s.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum)
+        s.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum,
+      // a scan carrying dataFilters (post-partition-pruning predicates
+      // Catalyst pushed INTO the scan node) whose PushedFilters came
+      // out empty AND at least one conjunct is ACTIONABLE — the shape
+      // that is unambiguously a pushdown miss. Excluded conjunct
+      // classes (each never actionable at the source):
+      //  - dataFilters empty: nothing targeted the scan — a full read
+      //    by SEMANTICS (profilers, corpus aggregations), not a miss;
+      //  - null guards (isnotnull over a derived expression, or
+      //    boolean glue whose value leaves are all such guards):
+      //    join/agg key null-filtering artifacts, zero selectivity;
+      //  - uniform-hash predicates (md5/xxhash64/… in the subtree):
+      //    hash values distribute uniformly across every file and row
+      //    group, so no source filter, zone map, or min/max stat can
+      //    ever prune them — deterministic sampling and train/test
+      //    splits are this class BY DESIGN.
+      unpushedDataFilterScans = scans.count(s =>
+        s.dataFilters.exists(c => !nullGuard(c) && !hashDerived(c)) &&
+          !s.metadata.get("PushedFilters").exists(v =>
+            v.nonEmpty && v != "[]")))
+  }
+
+  /** A conjunct whose VALUE can only be a null-presence check:
+    * IsNotNull/IsNull over any expression, or boolean structure whose
+    * value leaves are all such checks (the salt-join CASE WHEN guard
+    * shape). Catalyst synthesizes these from join/agg null semantics;
+    * they prune nothing and are not a user predicate. */
+  private def nullGuard(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case _: IsNotNull | _: IsNull => true
+      case Literal(_, org.apache.spark.sql.types.BooleanType) => true
+      case CaseWhen(branches, elseV) =>
+        branches.forall { case (_, v) => nullGuard(v) } &&
+          elseV.forall(nullGuard)
+      case If(_, t, f) => nullGuard(t) && nullGuard(f)
+      case And(l, r) => nullGuard(l) && nullGuard(r)
+      case Or(l, r) => nullGuard(l) && nullGuard(r)
+      case Not(c) => nullGuard(c)
+      case _ => false
+    }
+  }
+
+  /** A conjunct computed from a cryptographic/mixing hash — uniform by
+    * construction, so source-level pruning is information-theoretically
+    * useless for it (every file matches the same fraction). */
+  private def hashDerived(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.exists {
+      case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 => true
+      case _: Murmur3Hash | _: XxHash64 | _: HiveHash => true
+      case _ => false
+    }
   }
 }

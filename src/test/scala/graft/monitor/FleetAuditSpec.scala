@@ -25,6 +25,33 @@ class FleetAuditSpec extends SparkSpec {
     * rows — a conscious choice, not a scale accident. */
   private val allowed: Set[String] = Set.empty
 
+  /** Residual-filter queries the refined pushdown smell still names —
+    * each filters on an expression DERIVED inside the query (token
+    * count over text; the synthesized WARC payload), so no stored
+    * column exists to push to. Mirrored by Bench's smellAllow with the
+    * same reasons; a NEW query tripping the smell must justify itself
+    * onto this list or fix its plan. */
+  private val pushdownAllowed: Set[String] =
+    Set("text_readability", "ing_warc_corpus", "ing_corpus_gate")
+
+  test("J5 no registered query smells a pushdown miss beyond the declared residual-filter list (r17 verdict #4)") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      if (!pushdownAllowed.contains(name)) {
+        try {
+          val audit = PlanAudit.audit(fn(spark, sfDir), materialize = false)
+          if (audit.unpushedDataFilterScans > 0)
+            offenders += name ->
+              s"${audit.unpushedDataFilterScans} unpushed data-filter scan(s)"
+        } catch {
+          case e: Throwable => offenders += name -> s"failed to plan: ${e.getMessage}"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"\n${offenders.map { case (n, m) => s"  $n: $m" }.mkString("\n")}")
+  }
+
   test("J5 no registered query plans an unbounded single-partition exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     graft.SparkEntry.queries.foreach { case (name, fn) =>

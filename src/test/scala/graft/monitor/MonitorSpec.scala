@@ -162,6 +162,52 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(a.broadcastExchanges == 1, s"nation must broadcast: $a")
   }
 
+  test("J5 pushdown smell precision (r17 verdict #4): corpus-semantics full reads are clean; a genuinely unpushed selective filter trips") {
+    // 1. a query whose SEMANTIC input is the whole table — no data
+    // filter targets the scan, so nothing could have been pushed:
+    // clean, not a buried benign hit
+    val full = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val aFull = graft.monitor.PlanAudit.audit(full)
+    assert(aFull.unpushedDataFilterScans == 0 &&
+      !aFull.smells.exists(_.contains("pushdown")),
+      s"a full-corpus aggregation must not smell: ${aFull.smells}")
+    // 2. a selective filter that DOES push: clean
+    val pushed = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 10)
+    val aPushed = graft.monitor.PlanAudit.audit(pushed)
+    assert(aPushed.scansWithPushedFilters == 1 &&
+      aPushed.unpushedDataFilterScans == 0, s"$aPushed")
+    // 3. a DELIBERATELY unpushable selective filter (a black-box UDF —
+    // no conjunct translates to a source filter): the genuine miss the
+    // smell exists for
+    val opaque = udf((id: Long) => id < 10)
+    val missed = graft.Tables.documents(spark, sfDir)
+      .filter(opaque(col("doc_id")))
+    val aMissed = graft.monitor.PlanAudit.audit(missed)
+    assert(aMissed.unpushedDataFilterScans == 1,
+      s"the unpushed filter must be counted: $aMissed")
+    assert(aMissed.smells.exists(_.contains("pushdown miss")),
+      s"and smelled: ${aMissed.smells}")
+    // 4. the two NEVER-actionable conjunct classes stay clean: a
+    // uniform-hash split predicate (no source filter can prune a
+    // uniform hash) and a derived-expression null guard (join/agg
+    // artifact, zero selectivity)
+    val hashSplit = graft.Tables.documents(spark, sfDir)
+      .filter(conv(substring(md5(concat(lit("split|"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") < 6554)
+    val aHash = graft.monitor.PlanAudit.audit(hashSplit)
+    assert(aHash.unpushedDataFilterScans == 0,
+      s"a deterministic hash split is unpushable BY DESIGN, not a miss: $aHash")
+    val guarded = graft.Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+      .join(graft.Tables.documents(spark, sfDir)
+        .select(md5(col("text")).as("h")), "h")
+    val aGuard = graft.monitor.PlanAudit.audit(guarded)
+    assert(aGuard.unpushedDataFilterScans == 0,
+      s"isnotnull(md5(..)) join guards are artifacts, not misses: $aGuard")
+  }
+
   test("J5 single-partition telemetry: global agg is benign, global window is heavy (r11)") {
     // a global scalar aggregate's final combine IS a single-partition
     // exchange, but it moves one partial row per upstream partition —
