@@ -3103,6 +3103,121 @@ object Multimodal {
     }
   }
 
+  // ----- H48: REAL codec decode feeding the REAL dHash (r17 #6) -----
+
+  /** The 9×8 md5 pixel grid as ONE array column (row-major, width 9)
+    * — the SAME generating formula as [[dhashBands]], materialized as
+    * pixel VALUES so a real encoder can turn them into image bytes. */
+  private def dhashPixelGrid(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = floor(docId / DHashGroup).cast("long")
+    array((for (r <- 0 until 8; c <- 0 until 9)
+      yield dhashPixel(g, docId, r, c)): _*)
+  }
+
+  /** REAL PNG encode of a grayscale grid via the JDK's javax.imageio
+    * (in java.desktop — no external codec dependency). 16-bit gray
+    * (TYPE_USHORT_GRAY) because the grid's noise bump can exceed 255
+    * (max 332) and 16-bit gray PNG round-trips raster samples
+    * exactly. This is the test-fixture "camera": it exists to turn
+    * the deterministic grid into genuine image FILES; the product
+    * path is [[pngDecodeGray]] → [[dhashBandsFromPixels]]. */
+  def pngEncodeGray16(px: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h, s"grid ${px.length} != ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    var i = 0
+    while (i < w * h) { img.getRaster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A decoded grayscale raster (row-major pixel samples). */
+  final case class GrayImage(width: Int, height: Int, px: Seq[Int])
+
+  /** H48: the REAL image decoder — PNG (or any ImageIO-readable
+    * format) bytes → pixel raster, via the JDK's ImageIO. This is the
+    * decode step the H2 stub contract marked as swap-on-cluster; for
+    * PNG the container's JDK ships the codec, so the face runs REAL
+    * bytes→pixels work. Per-row JVM codec calls are the canonical
+    * UDF case (a Catalyst Expression would wrap the same library
+    * call); everything around it — binaryFile scan, hash arithmetic,
+    * banding — stays codegen'd column work. */
+  def pngDecodeGray(bytes: Array[Byte]): GrayImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) { px(i) = img.getRaster.getSample(i % w, i / w, 0); i += 1 }
+    GrayImage(w, h, px.toIndexedSeq)
+  }
+
+  private lazy val decodeUdf = udf((b: Array[Byte]) => pngDecodeGray(b))
+
+  /** dHash bands from a DECODED pixel array column (row-major, width
+    * 9) — the same 64 adjacent-pixel comparisons as [[dhashBands]],
+    * but over pixel VALUES: the hash input is whatever the decoder
+    * produced, not the generating formula. */
+  def dhashBandsFromPixels(px: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until 4).map { b =>
+      (0 until 16).map { k =>
+        val r = 2 * b + k / 8; val c = k % 8
+        when(element_at(px, r * 9 + c + 1) > element_at(px, r * 9 + c + 2),
+          lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"b$b")
+    }
+
+  private val mmRunId = java.util.UUID.randomUUID().toString.take(8)
+  private def pngFixtureDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mm_$mmRunId/" +
+      s"png_${graft.store.GraftStore.dirKey(dir)}"
+
+  /** Write one real PNG file per document (executor-side, marker-
+    * gated, keyed by corpus like every fixture dir) — the multimodal
+    * ingestion front door's on-disk shape, so the decode face reads
+    * through the A10 binaryFile source exactly like production. */
+  def ensurePngFixture(spark: SparkSession, dir: String): String = {
+    val path = pngFixtureDir(dir)
+    val marker = new java.io.File(path, "_WRITTEN")
+    if (!marker.exists()) {
+      new java.io.File(path).mkdirs()
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), dhashPixelGrid(col("doc_id")).as("px"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, s"img_${r.getLong(0)}.png"),
+              pngEncodeGray16(r.getSeq[Int](1), 9, 8))
+          }
+        }
+      marker.createNewFile()
+    }
+    path
+  }
+
+  /** H48 driver query: real PNG files → binaryFile source → REAL
+    * ImageIO decode → the REAL dHash over DECODED pixels. The oracle
+    * re-derives the bands from the generating formula, so a pass
+    * proves decode∘encode is pixel-exact THROUGH the production hash
+    * path — the H-family's stub faces are unchanged, this face is the
+    * one whose pixels genuinely come from image bytes (r17 verdict
+    * #6). At 100 TB the shape is the production one: binary scan,
+    * per-row codec UDF, codegen'd hash arithmetic, no shuffle. */
+  def mmDecodeDhash(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePngFixture(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(path)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        decodeUdf(col("content")).as("img"))
+      .select(Seq(col("doc_id"), col("img.width").as("width"),
+        col("img.height").as("height")) ++
+        dhashBandsFromPixels(col("img.px")): _*)
+  }
+
   /** The dHash band table, persisted once per (session, corpus) —
     * the store discipline: THREE driver faces (mm_dhash,
     * mm_dhash_pairs ×3 plan references, mm_dhash_admit) would
@@ -3118,7 +3233,8 @@ object Multimodal {
 
   /** Force the persisted dHash + vid-pair tables (bench build thunk). */
   def warmStores(spark: SparkSession, dir: String): Unit = {
-    dhashTable(spark, dir); vidPairsTable(spark, dir); ()
+    dhashTable(spark, dir); vidPairsTable(spark, dir)
+    ensurePngFixture(spark, dir); ()
   }
 
   /** H42 driver query: per-asset dHash bands. */
@@ -3767,6 +3883,7 @@ object Multimodal {
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_dhash" -> (mmDhash _),
+    "mm_decode_dhash" -> (mmDecodeDhash _),
     "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_dhash_admit" -> (mmDhashAdmit _),
     "mm_dhash_survivors" -> (mmDhashSurvivors _),
@@ -3900,6 +4017,12 @@ object Multimodal {
     "mm_dhash" ->
       s"""WITH $dhashHashCte
          |SELECT doc_id, b0, b1, b2, b3 FROM h""".stripMargin,
+    // H48: the REAL-decode face — the oracle is the generating
+    // formula, so a pass proves decode(encode(grid)) == grid through
+    // the production dHash arithmetic
+    "mm_decode_dhash" ->
+      s"""WITH $dhashHashCte
+         |SELECT doc_id, 9 AS width, 8 AS height, b0, b1, b2, b3 FROM h""".stripMargin,
     "mm_dhash_pairs" ->
       s"""WITH $dhashHashCte,
          |bands AS (${(0 until 4)

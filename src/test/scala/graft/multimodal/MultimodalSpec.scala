@@ -875,4 +875,35 @@ class MultimodalSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
       "retrieval must block on bands, never all-pairs")
   }
+
+  test("H48 real PNG decode: encode->decode is pixel-exact past 255, garbage fails loudly, and the decoded-pixel dHash equals the formula hash corpus-wide") {
+    // raster round-trip on a grid that EXCEEDS 8-bit range (the noise
+    // bump reaches 332) — the reason the fixture writes 16-bit gray
+    val grid = (0 until 72).map(i => (i * 41 + 7) % 333)
+    val bytes = Multimodal.pngEncodeGray16(grid, 9, 8)
+    assert(bytes.length > 8 &&
+      bytes.take(8).map(_ & 0xff).map(b => f"$b%02x").mkString ==
+        Multimodal.PngSigHex, "the fixture must emit genuine PNG bytes")
+    val back = Multimodal.pngDecodeGray(bytes)
+    assert((back.width, back.height) == ((9, 8)))
+    assert(back.px == grid, "16-bit gray PNG must round-trip samples exactly")
+    // non-image bytes: the decoder refuses, never returns garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.pngDecodeGray("not a png at all".getBytes("UTF-8"))
+    }
+    // corpus-wide: the REAL path (files -> binaryFile -> ImageIO ->
+    // dHash over decoded pixels) must equal the formula-derived hash
+    // for EVERY document — decode∘encode is the identity THROUGH the
+    // production operator, not just on one fixture
+    val real = Multimodal.mmDecodeDhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))))
+      .toMap
+    val formula = Multimodal.mmDhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((9, 8, r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(real.size == formula.size && real.nonEmpty)
+    assert(real == formula,
+      s"decoded-pixel dHash diverged for ${real.count(kv => formula.get(kv._1) != Some(kv._2))} docs")
+  }
 }
