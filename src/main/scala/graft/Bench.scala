@@ -98,6 +98,20 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] clip dial failed: $e"); None }
 
+    // r18 (r17 verdict #5): PRODUCTION-WIDTH dial rows — the banded
+    // families' recall/mass trade measured at real widths (512-dim
+    // CLIP sign bands, 256-bit perceptual hash) so the "widen the
+    // bands" scale story is a committed number, not an extrapolation
+    // from the toy widths.
+    val clipDialWide =
+      try Some(graft.multimodal.Multimodal.clipDialWide(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] clip wide dial failed: $e"); None }
+    val dhashDialWide =
+      try Some(graft.multimodal.Multimodal.dhashDialWide(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dhash wide dial failed: $e"); None }
+
     var errors = 0
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -262,7 +276,13 @@ object Bench {
     val clipDialJson = clipDial.map { case (b, recall, mass, pb, pe) =>
       s"""{"min_bands":$b,"recall":${num(recall, 4)},"cand_mass_ratio":${num(mass, 4)},"pairs":$pb,"pairs_exact":$pe}"""
     }.getOrElse("null")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"builds":$builds,"store_ledger":$ledgerJson,"e9_dial":$dialJson,"clip_dial":$clipDialJson,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
+    val clipWideJson = clipDialWide.map { case (d, b, m, recall, frac, pb, pe) =>
+      s"""{"dims":$d,"bands":$b,"band_bits":${graft.multimodal.Multimodal.ClipWideBandBits},"min_bands":$m,"recall":${num(recall, 4)},"cand_frac":${num(frac, 6)},"pairs":$pb,"pairs_exact":$pe}"""
+    }.getOrElse("null")
+    val dhashWideJson = dhashDialWide.map { case (bits, b, recall, frac, pb, pe) =>
+      s"""{"hash_bits":$bits,"bands":$b,"recall":${num(recall, 4)},"cand_frac":${num(frac, 6)},"pairs":$pb,"pairs_exact":$pe}"""
+    }.getOrElse("null")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"builds":$builds,"store_ledger":$ledgerJson,"e9_dial":$dialJson,"clip_dial":$clipDialJson,"clip_dial_wide":$clipWideJson,"dhash_dial_wide":$dhashWideJson,$loadJson,"queries":$qs,"shuffle_mb":$sh,"spill_mb":$spills,"plan_audit":$audits,"errors":$errors,"sf":"$sfDir"}"""
     println(full)
     // The full line above is >100 queries long and overflows fixed-size
     // stdout tail capture (r6 verdict #1: six rounds of parsed:null).

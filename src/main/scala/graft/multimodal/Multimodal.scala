@@ -3845,6 +3845,171 @@ object Multimodal {
     (ClipMinBands, recall, mass, banded, exact)
   }
 
+  // ----- r18 (r17 verdict #5): PRODUCTION-WIDTH dial rows -----------
+
+  /** H45 dial at PRODUCTION WIDTH. The 16-dim face's dial varies band
+    * COUNT because 16 dims only fit 4 bands of 4 sign bits; at real
+    * CLIP width the dial is band WIDTH and table count. This dial
+    * synthesizes [[ClipWideDims]]-dim embeddings with the SAME
+    * group/mismatch/noise construction as the H44 face (md5-sliced
+    * int16 base, bounded per-doc caption noise) and measures the
+    * production-shaped blocking — [[ClipWideBands]] tables of
+    * [[ClipWideBandBits]] sign bits at ≥[[ClipWideMinBands]]
+    * agreement — against exact wide-cosine retrieval on a group-hash
+    * sample. Mass is reported as the CANDIDATE FRACTION of the
+    * quadratic pair space: at 16-bit bands a random pair collides
+    * w.p. ≈ bands·2⁻¹⁶, so multi-band agreement is no longer needed —
+    * exactly the band-count→band-width translation the toy dial
+    * cannot show. Bench-only telemetry (committed per round in
+    * clip_dial_wide). */
+  val ClipWideDims = 512
+  val ClipWideBands = 8
+  val ClipWideBandBits = 16
+  val ClipWideMinBands = 1
+
+  /** Unsigned 16-bit md5 slices, [[ClipWideDims]] of them, as ONE
+    * array expression (one md5 per 8 dims, 4 hex chars per dim). */
+  private def wideSliceU(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(ClipWideDims - 1)), j =>
+      conv(md5(concat(key, lit("|"), floor(j / 8).cast("string")))
+        .substr(((j % 8) * 4 + 1).cast("int"), lit(4)), 16, 10).cast("long"))
+
+  private def wideEmb(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(wideSliceU(key), x => x - 32768L)
+
+  /** cap = img(subject group) + bounded per-doc noise — the H44
+    * construction at wide dims (noise ∈ [−8192, 8191] per dim ⇒
+    * per-sign-bit flip rate ≈ 6%, aligned cosine ≈ 0.97). */
+  private def wideCap(subj: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(wideEmb(concat(lit("clipimgW|"), subj.cast("string"))),
+      wideSliceU(concat(lit("clipcapW|"), docId.cast("string"))),
+      (x, u) => x + (u % 16384L) - 8192L)
+
+  private def cosWide(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0L), (s, v) => s + v).cast("double")
+    val na = aggregate(transform(a, x => x * x),
+      lit(0L), (s, v) => s + v).cast("double")
+    val nb = aggregate(transform(b, x => x * x),
+      lit(0L), (s, v) => s + v).cast("double")
+    dot / sqrt(na * nb)
+  }
+
+  private def wideBandVal(arr: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
+    (0 until ClipWideBandBits).map(k =>
+      when(element_at(arr, b * ClipWideBandBits + k + 1) > 0, lit(1 << k))
+        .otherwise(lit(0))).reduce(_ + _)
+
+  private def clipWideFrame(spark: SparkSession, dir: String): DataFrame = {
+    val g = floor(col("doc_id") / DHashGroup).cast("long")
+    val subj = when(col("doc_id") % ClipMismatch === 0, g + 999983L).otherwise(g)
+    // whole-GROUP sample, 1/14 (the clipDial rule; wider dims make the
+    // exact side 32× heavier per pair, so the sample halves)
+    Tables.documents(spark, dir)
+      .filter(floor(col("doc_id") / DHashGroup) % 14 === 0)
+      .select(col("doc_id"),
+        wideEmb(concat(lit("clipimgW|"), g.cast("string"))).as("img"),
+        wideCap(subj, col("doc_id")).as("cap"))
+      .localCheckpoint(eager = true)
+  }
+
+  /** → (dims, bands, min_bands, recall, candidate fraction of the
+    * quadratic pair space, banded-verified pairs, exact pairs). */
+  def clipDialWide(spark: SparkSession, dir: String): (Int, Int, Int, Double, Double, Long, Long) = {
+    val f = clipWideFrame(spark, dir)
+    def banded(c: String, idAs: String): DataFrame =
+      (0 until ClipWideBands).map(b =>
+        f.select(col("doc_id").as(idAs), lit(b).as("bi"),
+          wideBandVal(col(c), b).as("bv"))).reduce(_ unionAll _)
+    val cand = banded("img", "img_doc")
+      .join(banded("cap", "cap_doc"), Seq("bi", "bv"))
+      .filter(col("img_doc") =!= col("cap_doc"))
+      .groupBy("img_doc", "cap_doc").agg(count(lit(1)).as("_nb"))
+      .filter(col("_nb") >= ClipWideMinBands)
+      .select("img_doc", "cap_doc").localCheckpoint(eager = true)
+    val img = f.select(col("doc_id").as("img_doc"), col("img"))
+    val cap = f.select(col("doc_id").as("cap_doc"), col("cap"))
+    val verified = cand.join(img, "img_doc").join(cap, "cap_doc")
+      .filter(cosWide(col("img"), col("cap")) >= ClipThreshold).count()
+    val exact = f.as("x").join(f.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+      .filter(cosWide(col("x.img"), col("y.cap")) >= ClipThreshold).count()
+    val n = f.count()
+    val candN = cand.count()
+    val allPairs = n * (n - 1)
+    val recall = if (exact == 0) 1.0 else verified.toDouble / exact
+    val frac = if (allPairs == 0) 0.0 else candN.toDouble / allPairs
+    (ClipWideDims, ClipWideBands, ClipWideMinBands, recall, frac, verified, exact)
+  }
+
+  /** H42 dial at PRODUCTION WIDTH: 256-bit perceptual hash (17×16
+    * grid — fleet-scale image dedup runs 256-bit hashes where the toy
+    * face runs 64), one 16-bit band per row = 16 bands, the same
+    * group/noise construction (one bumped pixel per doc flips ≤ 2
+    * adjacent comparisons). Measures ≥1-of-16 banding against exact
+    * Hamming ≤ [[DHashThreshold]] on a group-hash sample; mass =
+    * candidate fraction of all unordered pairs. The production
+    * question it pins: does widening the HASH keep banding recall at
+    * 1.0 while the per-band random-collision rate stays 2⁻¹⁶ — i.e.
+    * the band count scales with hash width, the collision math does
+    * not change. Bench-only telemetry (dhash_dial_wide). */
+  val DHashWideRows = 16
+  val DHashWideCols = 17
+
+  private def dhashWidePixel(g: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column, r: Int, c: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("imgW|"), g.cast("string"),
+      lit(s"|$r|${c / 8}"))), (c % 8) * 2 + 1, 2), 16, 10).cast("int") +
+      when(docId % (DHashWideRows * DHashWideCols) === lit(r * DHashWideCols + c),
+        DHashNoise).otherwise(lit(0))
+
+  private def dhashWideBand(g: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+    (0 until DHashWideCols - 1).map(c =>
+      when(dhashWidePixel(g, docId, r, c) > dhashWidePixel(g, docId, r, c + 1),
+        lit(1 << c)).otherwise(lit(0))).reduce(_ + _).cast("int")
+
+  /** → (hash bits, bands, recall, candidate fraction, banded-verified
+    * pairs, exact pairs). */
+  def dhashDialWide(spark: SparkSession, dir: String): (Int, Int, Double, Double, Long, Long) = {
+    val gex = floor(col("doc_id") / DHashGroup).cast("long")
+    val f = Tables.documents(spark, dir)
+      .filter(floor(col("doc_id") / DHashGroup) % 7 === 0)
+      .select(col("doc_id") +: (0 until DHashWideRows).map(r =>
+        dhashWideBand(gex, col("doc_id"), r).as(s"b$r")): _*)
+      .localCheckpoint(eager = true)
+    val banded = (0 until DHashWideRows).map(b =>
+      f.select(col("doc_id"), lit(b).as("bi"), col(s"b$b").as("bv")))
+      .reduce(_ unionAll _)
+    val cand = banded.select(col("doc_id").as("ida"), col("bi"), col("bv"))
+      .join(banded.select(col("doc_id").as("idb"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct().localCheckpoint(eager = true)
+    val ha = f.select(col("doc_id").as("ida") +:
+      (0 until DHashWideRows).map(b => col(s"b$b").as(s"xa$b")): _*)
+    val hb = f.select(col("doc_id").as("idb") +:
+      (0 until DHashWideRows).map(b => col(s"b$b").as(s"xb$b")): _*)
+    def ham(pre: String, post: String) = dhashHamming(
+      (0 until DHashWideRows).map(b => col(s"$pre$b")),
+      (0 until DHashWideRows).map(b => col(s"$post$b")))
+    val verified = cand.join(ha, "ida").join(hb, "idb")
+      .filter(ham("xa", "xb") <= DHashThreshold).count()
+    val exact = f.as("x").join(f.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(dhashHamming(
+        (0 until DHashWideRows).map(b => col(s"x.b$b")),
+        (0 until DHashWideRows).map(b => col(s"y.b$b"))) <= DHashThreshold)
+      .count()
+    val n = f.count()
+    val candN = cand.count()
+    val allPairs = n * (n - 1) / 2
+    val recall = if (exact == 0) 1.0 else verified.toDouble / exact
+    val frac = if (allPairs == 0) 0.0 else candN.toDouble / allPairs
+    (DHashWideRows * (DHashWideCols - 1), DHashWideRows, recall, frac,
+      verified, exact)
+  }
+
   /** Shared oracle CTE: the embedding frame re-derived from the same
     * md5-slice formula (every term cast to double before any product —
     * DuckDB's checked int32 arithmetic would otherwise overflow where

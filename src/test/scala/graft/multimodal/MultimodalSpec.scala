@@ -876,6 +876,25 @@ class MultimodalSpec extends SparkSpec {
       "retrieval must block on bands, never all-pairs")
   }
 
+  test("H42/H45 production-width dials: recall holds at 256-bit hash and 512-dim bands while candidate mass stays a small fraction") {
+    // the committed bench rows' invariants, pinned at spec scale: the
+    // noise construction flips ≤2 bits of 256 (≤2 bands of 16), so
+    // wide-hash banding recall is EXACTLY 1; sign-band recall at 512
+    // dims is probabilistic (~0.97 at the constructed flip rate)
+    val (bitsD, bandsD, recallD, fracD, pd, ed) =
+      Multimodal.dhashDialWide(spark, sfDir)
+    assert((bitsD, bandsD) == ((256, 16)))
+    assert(recallD == 1.0, s"wide-hash banding must be lossless here: $recallD ($pd/$ed)")
+    assert(ed > 0, "the exact side must find the constructed near-dups")
+    assert(fracD < 0.2, s"banding must prune the pair space: $fracD")
+    val (dims, bands, minB, recallC, fracC, pc, ec) =
+      Multimodal.clipDialWide(spark, sfDir)
+    assert((dims, bands, minB) == ((512, 8, 1)))
+    assert(ec > 0 && recallC >= 0.9,
+      s"512-dim sign-band recall must hold: $recallC ($pc/$ec)")
+    assert(fracC < 0.2, s"banding must prune the pair space: $fracC")
+  }
+
   test("H48 real PNG decode: encode->decode is pixel-exact past 255, garbage fails loudly, and the decoded-pixel dHash equals the formula hash corpus-wide") {
     // raster round-trip on a grid that EXCEEDS 8-bit range (the noise
     // bump reaches 332) — the reason the fixture writes 16-bit gray
