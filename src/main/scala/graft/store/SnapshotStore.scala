@@ -2215,6 +2215,55 @@ object SnapshotStore {
     }
   }
 
+  /** K61: TIME-based retention — the grammar real lakes actually
+    * speak (Delta `VACUUM … RETAIN 168 HOURS`, Iceberg
+    * expire_snapshots older_than): drop every version whose K45
+    * commit clock is older than `retainMs` ago, always keeping at
+    * least `minKeep` newest versions (a cold table must never vacuum
+    * itself toward nothing) plus every K31-tagged version. The time
+    * horizon translates into a version count against the SAME commit
+    * clock the #at headers were stamped with (writer wall clock —
+    * strictly monotone per table by K45, so the young set is always a
+    * contiguous tail), then delegates to [[vacuum]] — chain repair,
+    * orphan grace, tag protection, and tmp sweeps are one code path,
+    * two grammars. A version missing its #at header counts as YOUNG:
+    * retention must fail toward keeping data, never toward deleting
+    * it on incomplete metadata. */
+  def vacuumOlderThan(name: String, retainMs: Long, minKeep: Int = 1,
+      orphanGraceMs: Long = 0L): Unit = synchronized {
+    require(retainMs >= 0L, "retainMs must be non-negative")
+    require(minKeep >= 1, "must keep at least one version")
+    val vs = versions(name)
+    if (vs.nonEmpty) {
+      val cutoff = System.currentTimeMillis() - retainMs
+      val youngCount = vs.count(v =>
+        scala.util.Try(commitTimeOf(name, v)).toOption.flatten
+          .forall(_ >= cutoff))
+      vacuum(name, keep = math.max(minKeep, youngCount), orphanGraceMs)
+    }
+  }
+
+  /** K62: table HISTORY as data (the Delta DESCRIBE HISTORY surface):
+    * one row per version — commit clock, streaming batch id (null for
+    * non-stream commits), manifest kind (delta vs checkpoint), file
+    * count, and cumulative rows/bytes from the K41 commit-time stats
+    * (null where a commit carried none). Pure driver-side manifest
+    * reads — no data scan at any table size — and an immutable
+    * DataFrame like every snapshot read, so the ops question a
+    * versioned corpus gets audited with ("what landed when, how big,
+    * from which stream") is one query, not a directory crawl. */
+  def history(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    versions(name).map { v =>
+      val st = scala.util.Try(statsOf(name, v)).toOption.flatten
+      (v, commitTimeOf(name, v), batchIdOf(name, v),
+        if (prevOf(name, v).isDefined) "delta" else "checkpoint",
+        readManifest(name, v).size,
+        st.map(_.rows), st.map(_.bytes))
+    }.toDF("version", "committed_at", "batch_id", "manifest_kind",
+      "n_files", "rows", "bytes")
+  }
+
   /** The storage tier's OWN current time: mtime of a just-created
     * probe file (r17 advice #2 — the Iceberg remove-orphans caveat).
     * A cutoff derived from the writer JVM's clock undercounts or

@@ -1431,6 +1431,58 @@ class SnapshotStoreSpec extends SparkSpec {
       "referenced data is untouched either way")
   }
 
+  test("K61 time-based retention: versions older than the horizon drop, the young tail and the minKeep floor survive, tags still pin") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("vtime", Seq((1L, "old")).toDF("k", "s"))
+    Thread.sleep(30)
+    val horizon = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotStore.commitAppend("vtime", Seq((2L, "young")).toDF("k", "s"))
+    SnapshotStore.commitAppend("vtime", Seq((3L, "younger")).toDF("k", "s"))
+    // retain everything committed after `horizon`: v0 ages out, the
+    // young tail survives regardless of count
+    SnapshotStore.vacuumOlderThan("vtime",
+      retainMs = System.currentTimeMillis() - horizon)
+    assert(SnapshotStore.versions("vtime") == Seq(1L, 2L),
+      "only the pre-horizon version may drop")
+    assert(rows("vtime") == Set((1L, "old"), (2L, "young"), (3L, "younger")),
+      "the head's DATA is complete — appends carry prior rows forward")
+    // a zero-retention sweep still keeps the minKeep floor
+    SnapshotStore.vacuumOlderThan("vtime", retainMs = 0L)
+    assert(SnapshotStore.versions("vtime") == Seq(2L),
+      "minKeep must floor a total-expiry sweep at the head")
+    // tag protection rides the shared vacuum machinery
+    SnapshotStore.commitAppend("vtime", Seq((4L, "d")).toDF("k", "s"))
+    SnapshotStore.tag("vtime", "pin", Some(2L))
+    Thread.sleep(30)
+    SnapshotStore.vacuumOlderThan("vtime", retainMs = 0L)
+    assert(SnapshotStore.versions("vtime") == Seq(2L, 3L),
+      "the tagged version survives a sweep that would otherwise drop it")
+  }
+
+  test("K62 history reads as data: commit clocks, stream batch ids, manifest kinds, file counts, cumulative rows") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("hist1", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    SnapshotStore.commitStreamBatch("hist1", Seq((3L, "c")).toDF("k", "s"),
+      batchId = 42L)
+    SnapshotStore.commitOverwrite("hist1", Seq((9L, "z")).toDF("k", "s"))
+    val h = SnapshotStore.history(spark, "hist1").orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // commit clocks present and strictly monotone (K45)
+    val ats = h.map(_.getLong(1))
+    assert(ats.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+    // only the stream commit carries a batch id
+    assert(h.map(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toSeq ==
+      Seq(None, Some(42L), None))
+    // v1 is a delta onto v0; the overwrite is a natural checkpoint
+    assert(h.map(_.getString(3)).toSeq ==
+      Seq("checkpoint", "delta", "checkpoint"))
+    // cumulative K41 rows: 2 -> 3 -> 1
+    assert(h.map(r => if (r.isNullAt(5)) -1L else r.getLong(5)).toSeq ==
+      Seq(2L, 3L, 1L))
+    assert(h.forall(_.getInt(4) >= 1), "every version lists files")
+  }
+
   test("props recovery: a TORN .props.tmp never displaces an intact target; a complete one wins") {
     SnapshotStore.setTableProperty("pt1", "a", "1")
     SnapshotStore.setTableProperty("pt1", "b", "2")
