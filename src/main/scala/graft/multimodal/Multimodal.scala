@@ -3218,6 +3218,64 @@ object Multimodal {
         dhashBandsFromPixels(col("img.px")): _*)
   }
 
+  /** H49: decode with QUARANTINE — the A11/A16 corrupt-tolerance
+    * contract applied to the codec path: a crawl-scale image corpus
+    * always contains truncated/corrupt files, and ONE bad byte stream
+    * must quarantine ONE row, never kill the job (FAILFAST) or vanish
+    * (silent drop). Returns null on any decode failure; the face
+    * turns that into an explicit ok/quarantine row class. */
+  private lazy val decodeTryUdf =
+    udf((b: Array[Byte]) =>
+      try Some(pngDecodeGray(b)) catch { case _: Throwable => None })
+
+  /** Corrupt-image fixture: the H48 PNGs, but every 9th document's
+    * file TRUNCATED mid-stream (the A16 corruption formula) — what a
+    * crawl actually delivers. */
+  private def pngBadFixtureDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mm_$mmRunId/" +
+      s"pngbad_${graft.store.GraftStore.dirKey(dir)}"
+
+  def ensurePngBadFixture(spark: SparkSession, dir: String): String = {
+    val path = pngBadFixtureDir(dir)
+    val marker = new java.io.File(path, "_WRITTEN")
+    if (!marker.exists()) {
+      new java.io.File(path).mkdirs()
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), dhashPixelGrid(col("doc_id")).as("px"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val png = pngEncodeGray16(r.getSeq[Int](1), 9, 8)
+            val bytes = if (id % 9 == 0) png.take(20) else png
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, s"img_$id.png"), bytes)
+          }
+        }
+      marker.createNewFile()
+    }
+    path
+  }
+
+  /** H49 driver query: per-image decode outcome over the corrupt
+    * fixture — ok flag, dims where decodable, nulls where
+    * quarantined. Every input row is accounted for (row-class
+    * completeness: ok + quarantined = corpus), which is what lets a
+    * production pipeline alert on decode-failure RATE rather than
+    * discovering a silent hole at training time. */
+  def mmDecodeQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePngBadFixture(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(path)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        decodeTryUdf(col("content")).as("img"))
+      .select(col("doc_id"),
+        col("img").isNotNull.cast("int").as("ok"),
+        col("img.width").as("width"),
+        col("img.height").as("height"))
+  }
+
   /** The dHash band table, persisted once per (session, corpus) —
     * the store discipline: THREE driver faces (mm_dhash,
     * mm_dhash_pairs ×3 plan references, mm_dhash_admit) would
@@ -3234,7 +3292,7 @@ object Multimodal {
   /** Force the persisted dHash + vid-pair tables (bench build thunk). */
   def warmStores(spark: SparkSession, dir: String): Unit = {
     dhashTable(spark, dir); vidPairsTable(spark, dir)
-    ensurePngFixture(spark, dir); ()
+    ensurePngFixture(spark, dir); ensurePngBadFixture(spark, dir); ()
   }
 
   /** H42 driver query: per-asset dHash bands. */
@@ -4049,6 +4107,7 @@ object Multimodal {
     "mm_features" -> (mmFeatures _),
     "mm_dhash" -> (mmDhash _),
     "mm_decode_dhash" -> (mmDecodeDhash _),
+    "mm_decode_quarantine" -> (mmDecodeQuarantine _),
     "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_dhash_admit" -> (mmDhashAdmit _),
     "mm_dhash_survivors" -> (mmDhashSurvivors _),
@@ -4188,6 +4247,14 @@ object Multimodal {
     "mm_decode_dhash" ->
       s"""WITH $dhashHashCte
          |SELECT doc_id, 9 AS width, 8 AS height, b0, b1, b2, b3 FROM h""".stripMargin,
+    // H49: the corruption is BY FORMULA (every 9th file truncated), so
+    // the quarantine row class is exactly derivable
+    "mm_decode_quarantine" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS ok,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 9 END AS width,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 8 END AS height
+        |FROM documents""".stripMargin,
     "mm_dhash_pairs" ->
       s"""WITH $dhashHashCte,
          |bands AS (${(0 until 4)

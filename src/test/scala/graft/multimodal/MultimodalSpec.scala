@@ -895,6 +895,19 @@ class MultimodalSpec extends SparkSpec {
     assert(fracC < 0.2, s"banding must prune the pair space: $fracC")
   }
 
+  test("H49 decode quarantine: truncated files quarantine as rows, intact files decode, every input accounted for") {
+    val out = Multimodal.mmDecodeQuarantine(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))).toMap
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(out.size == docs, "row-class completeness: ok + quarantined = corpus")
+    val (bad, good) = out.partition(_._1 % 9 == 0)
+    assert(bad.nonEmpty && bad.values.forall(_ == ((0, None))),
+      "every truncated file must quarantine with null dims")
+    assert(good.values.forall(_ == ((1, Some(9)))),
+      "every intact file must decode to the 9-wide raster")
+  }
+
   test("H48 real PNG decode: encode->decode is pixel-exact past 255, garbage fails loudly, and the decoded-pixel dHash equals the formula hash corpus-wide") {
     // raster round-trip on a grid that EXCEEDS 8-bit range (the noise
     // bump reaches 332) — the reason the fixture writes 16-bit gray
