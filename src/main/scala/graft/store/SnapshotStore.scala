@@ -2023,9 +2023,16 @@ object SnapshotStore {
     * moment they are a millisecond old. Fleets pass an interval
     * comfortably above their longest commit; the single-process
     * default stays 0 (sweep everything unreferenced). */
+  /** `retainMs`: when set, the loop speaks the K61 TIME grammar —
+    * per table, `keep` becomes max(keep, count of versions younger
+    * than the horizon), so "keep 2 AND everything from the last 7
+    * days" is one call, exactly the policy real lake maintenance
+    * jobs run (Delta's deletedFileRetentionDuration + checkpoint
+    * floor). */
   def maintainRetention(keep: Int, minReclaimBytes: Long,
       scope: String => Boolean = _ => true,
-      orphanGraceMs: Long = 0L): Seq[RetentionAdvice] =
+      orphanGraceMs: Long = 0L,
+      retainMs: Option[Long] = None): Seq[RetentionAdvice] =
     listTables.filter(scope).map { t =>
       // one synchronized span per table (r16 advice #3): a commit
       // landing between the dry run and the vacuum would make the
@@ -2034,10 +2041,18 @@ object SnapshotStore {
       // action (the lock is reentrant, so the nested synchronized
       // methods are free)
       synchronized {
-        val plan = vacuumDryRun(t, keep)
+        val effKeep = retainMs match {
+          case Some(r) =>
+            val cutoff = System.currentTimeMillis() - r
+            math.max(keep, versions(t).count(v =>
+              scala.util.Try(commitTimeOf(t, v)).toOption.flatten
+                .forall(_ >= cutoff)))
+          case None => keep
+        }
+        val plan = vacuumDryRun(t, effKeep)
         val go = plan.dropBytes >= minReclaimBytes && plan.dropFiles.nonEmpty
-        if (go) vacuum(t, keep, orphanGraceMs)
-        RetentionAdvice(t, keep, plan.dropBytes, plan.dropFiles.size,
+        if (go) vacuum(t, effKeep, orphanGraceMs)
+        RetentionAdvice(t, effKeep, plan.dropBytes, plan.dropFiles.size,
           plan.dropVersions.size, vacuumed = go)
       }
     }

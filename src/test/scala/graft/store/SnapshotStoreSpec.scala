@@ -1460,6 +1460,25 @@ class SnapshotStoreSpec extends SparkSpec {
       "the tagged version survives a sweep that would otherwise drop it")
   }
 
+  test("K61 the retention loop speaks the time grammar: the young tail lifts keep above the count floor") {
+    import spark.implicits._
+    SnapshotStore.commitAppend("vret_t", Seq((1L, "a")).toDF("k", "s"))
+    Thread.sleep(30)
+    val horizon = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotStore.commitAppend("vret_t", Seq((2L, "b")).toDF("k", "s"))
+    SnapshotStore.commitAppend("vret_t", Seq((3L, "c")).toDF("k", "s"))
+    // keep=1 alone would drop v0 AND v1; the time horizon protects the
+    // post-horizon tail (v1, v2), so only v0 may age out
+    val advice = SnapshotStore.maintainRetention(keep = 1,
+      minReclaimBytes = 0L, scope = _ == "vret_t",
+      retainMs = Some(System.currentTimeMillis() - horizon))
+    assert(advice.exists(a => a.name == "vret_t" && a.vacuumed && a.keep == 2))
+    assert(SnapshotStore.versions("vret_t") == Seq(1L, 2L),
+      "time horizon must lift keep above the count floor")
+    assert(rows("vret_t") == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("K62 history reads as data: commit clocks, stream batch ids, manifest kinds, file counts, cumulative rows") {
     import spark.implicits._
     SnapshotStore.commitAppend("hist1", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
