@@ -154,8 +154,15 @@ object Bpe {
     * downstream corpus pass is a word→pieces dictionary join. Returns
     * (w, n, pieces). */
   def wordPieces(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    wordPiecesFrom(pretokenize(docs, textCol), merges)
+
+  /** [[wordPieces]] over an explicit (w, n, syms) word table — the
+    * encode-side twin of [[learnMergesFrom]], so the byte-level faces
+    * encode through the identical merge fold. */
+  def wordPiecesFrom(words0: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    var words = pretokenize(docs, textCol).localCheckpoint(eager = true)
+    var words = words0.localCheckpoint(eager = true)
     merges.foreach { case (a, b) =>
       words = applyMerge(words, a, b).localCheckpoint(eager = true) }
     words.select(col("w"), col("n"), col("syms").as("pieces"))
@@ -169,6 +176,13 @@ object Bpe {
   def cachedMerges(docs: DataFrame, textCol: String, k: Int, key: String): Seq[(String, String)] =
     ruleCache.getOrElseUpdate((docs.sparkSession, key, k),
       learnMerges(docs, textCol, k).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** [[cachedMerges]] for the BYTE-level model (G55) — distinct cache
+    * key space: the two models' rules must never cross-contaminate. */
+  def cachedMergesBytes(docs: DataFrame, textCol: String, k: Int, key: String): Seq[(String, String)] =
+    ruleCache.getOrElseUpdate((docs.sparkSession, s"$key#bytes", k),
+      learnMergesFrom(pretokenizeBytes(docs, textCol), k).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
   /** G32 driver face: encode the vocabulary under the (memoized)

@@ -178,4 +178,32 @@ class BpeSpec extends SparkSpec {
     val r1 = learned(Bpe.learnMergesFrom(Bpe.pretokenizeBytes(uni, "text"), 1))
     assert(r1 == Seq((1, "C3", "A9", 4L)), s"got $r1")
   }
+
+  test("G57 fertility: per-lang ratios equal an independent greedy fold weighted by collected word counts") {
+    // rules from the (separately pinned) byte learner; the spec's
+    // target is the WEIGHTING — per-lang word counts joined to the
+    // encoded dictionary — re-derived with the in-memory fold
+    val docs = graft.Tables.documents(spark, sfDir)
+    val rules = Bpe.learnMergesFrom(Bpe.pretokenizeBytes(docs, "text"), 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def hexSyms(w: String): List[String] =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toList
+    def pieces(w: String): Int =
+      rules.foldLeft(hexSyms(w)) { case (s, (a, b)) => mergeGreedy(s, a, b) }.size
+    val perLang = docs.select("lang", "text").collect()
+      .flatMap(r => r.getString(1).trim.split(" +").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+      .groupBy(_._1).map { case (lang, ws) =>
+        val nw = ws.length.toLong
+        val np = ws.iterator.map(x => pieces(x._2).toLong).sum
+        val nb = ws.iterator.map(_._2.getBytes("UTF-8").length.toLong).sum
+        lang -> ((nw, np,
+          BigDecimal(np.toDouble / nw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(nb.toDouble / np).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    val got = TextQueries.textBpeFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == perLang, s"\ngot  $got\nwant $perLang")
+  }
 }
