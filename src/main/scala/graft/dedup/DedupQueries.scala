@@ -470,6 +470,47 @@ object DedupQueries {
       .agg((count(col("o_bands")) + lit(1)).cast("int").as("rnk"))
   }
 
+  /** E26: train-split DECONTAMINATION against the held-out split —
+    * the GPT-3 appendix-C protocol every published pretraining corpus
+    * runs before training: an eval example whose n-gram appears in a
+    * training document leaks the benchmark into the weights, so each
+    * TRAIN document is audited for word n-grams shared with ANY
+    * held-out (val/test) document and dropped or span-redacted before
+    * the run. n = [[DecontamN]] here (the protocol runs 8-13 on
+    * web-scale text; these synthetic docs are tens of words, so 5
+    * keeps the gram space meaningfully populated at oracle SFs).
+    * Scale shape: the EVAL side is small BY CONSTRUCTION (the
+    * held-out split — 10% here, benchmark-sized in production), so
+    * its distinct gram-hash set broadcasts; the train side streams
+    * through one explode + one equi-join + a per-doc count — no
+    * quadratic stage, and only the 16-byte gram HASH ever shuffles,
+    * never the text. Every train doc keeps a row (left join):
+    * "contaminated = 0 everywhere" is the certificate a corpus ships
+    * with, so the zero row class must exist. */
+  val DecontamN = 5
+
+  def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val words = d.select(col("doc_id"), split(trim(col("text")), " +").as("ws"))
+    val grams = words.select(col("doc_id"), explode(
+      when(size(col("ws")) >= DecontamN,
+        transform(sequence(lit(1), size(col("ws")) - (DecontamN - 1)),
+          i => md5(array_join(slice(col("ws"), i, lit(DecontamN)), " "))))
+        .otherwise(array().cast("array<string>"))).as("gh"))
+    val isTrain = graft.text.TextQueries.isTrainSplit(col("doc_id"))
+    val evalGrams = grams.filter(!isTrain).select("gh").distinct()
+    val hits = grams.filter(isTrain)
+      .join(evalGrams, "gh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_shared_grams"))
+    d.select(col("doc_id")).filter(isTrain)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0)
+          .cast("int").as("contaminated"))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "dedup_source_overlap"  -> (dedupSourceOverlap _),
     "dedup_exact"           -> (dedupExact _),
@@ -492,6 +533,7 @@ object DedupQueries {
     "dedup_incremental"     -> (dedupIncremental _),
     "dedup_lsh_tune"        -> (dedupLshTune _),
     "dedup_bloom_cross"     -> (dedupBloomCross _),
+    "dedup_decontaminate"   -> (dedupDecontaminate _),
   )
 
   /** E13: bloom-accelerated cross-corpus membership dedup — "which
@@ -620,6 +662,37 @@ object DedupQueries {
        |comp AS (SELECT id, min(lbl) AS component FROM closure GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // E26: the exact gram-overlap protocol re-derived — same word
+    // split, same 5-gram windows, same md5 gram hash, same G5 split
+    "dedup_decontaminate" -> {
+      val n = DecontamN
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+         |),
+         |g AS (
+         |  SELECT doc_id, md5(array_to_string(ws[i:i+${n - 1}], ' ')) AS gh
+         |  FROM (
+         |    SELECT doc_id, ws, unnest(range(1, len(ws) - ${n - 2})) AS i
+         |    FROM w WHERE len(ws) >= $n
+         |  )
+         |),
+         |tr AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE ('0x' || substr(md5('split|' || doc_id), 1, 4))::int < ${graft.text.TextQueries.TrainBucketMax}
+         |),
+         |ev AS (
+         |  SELECT DISTINCT gh FROM g WHERE doc_id NOT IN (SELECT doc_id FROM tr)
+         |),
+         |hits AS (
+         |  SELECT doc_id, count(DISTINCT gh)::bigint AS n_shared_grams
+         |  FROM g JOIN ev USING (gh)
+         |  WHERE doc_id IN (SELECT doc_id FROM tr)
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, coalesce(h.n_shared_grams, 0)::bigint AS n_shared_grams,
+         |  CASE WHEN coalesce(h.n_shared_grams, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         |FROM tr t LEFT JOIN hits h USING (doc_id)""".stripMargin
+    },
     // E13: exact membership is the contract — the Bloom is an
     // accelerator the oracle must not see
     "dedup_bloom_cross" ->

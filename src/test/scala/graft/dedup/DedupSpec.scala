@@ -216,4 +216,34 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L, 0)))
     assert(out(3L) == ((6L, 2L, 12L, 0)), s"$out")
   }
+
+  test("E26 decontamination ≡ an independent in-memory gram-overlap pass; both row classes present") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = DedupQueries.DecontamN
+    def grams(t: String): Set[String] = {
+      val ws = t.trim.split(" +").toSeq
+      if (ws.length < n) Set.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    def bucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+      Integer.parseInt(f"${h(0) & 0xff}%02x${h(1) & 0xff}%02x", 16)
+    }
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (train, eval) = rows.partition { case (id, _) =>
+      bucket(id) < graft.text.TextQueries.TrainBucketMax }
+    val evalGrams = eval.iterator.flatMap(x => grams(x._2)).toSet
+    val want = train.map { case (id, t) =>
+      val hit = grams(t).count(evalGrams.contains).toLong
+      id -> ((hit, if (hit > 0) 1 else 0))
+    }.toMap
+    val got = DedupQueries.dedupDecontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == want, s"decontamination diverged on ${
+      got.count(kv => want.get(kv._1) != Some(kv._2))} docs")
+    assert(got.values.exists(_._2 == 1) && got.values.exists(_._2 == 0),
+      "the fixture must exercise BOTH row classes")
+  }
 }
