@@ -500,6 +500,31 @@ object IngestQueries {
     IncrementalView.read(spark, mv)
   }
 
+  /** K62 as an ORACLED face: a three-commit table whose shapes are
+    * all derivable — overwrite (natural checkpoint), append (delta),
+    * stream batch (delta + #batch header) — read back through
+    * SnapshotStore.history. n_files is pinned by coalesce(1) writes
+    * and counts the RESOLVED file list (the delta chain walked), rows
+    * are the cumulative K41 commit stats; committed_at is wall clock
+    * and stays spec-only (K62 spec pins monotonicity). */
+  def ingHistory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{GraftStore, SnapshotStore}
+    val t = s"hist_${GraftStore.dirKey(dir)}"
+    snapCommitted.getOrElseUpdate(t, {
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      SnapshotStore.commitOverwrite(t,
+        d.filter(col("doc_id") % 3 === 0).coalesce(1))
+      SnapshotStore.commitAppend(t,
+        d.filter(col("doc_id") % 3 === 1).coalesce(1))
+      SnapshotStore.commitStreamBatch(t,
+        d.filter(col("doc_id") % 3 === 2).coalesce(1), batchId = 7L)
+      true
+    })
+    SnapshotStore.history(spark, t)
+      .select(col("version"), col("batch_id"), col("manifest_kind"),
+        col("n_files"), col("rows"))
+  }
+
   /** K26: dynamic partition pruning — the runtime file-skipping layer
     * the ENGINE provides when the table is directory-partitioned (the
     * warehouse star-join staple): lineitem lands partitioned by ship
@@ -1055,6 +1080,7 @@ object IngestQueries {
     "ing_snapshot_index" -> (ingSnapshotIndex _),
     "ing_mv_inc" -> (ingMvInc _),
     "ing_mv_join" -> (ingMvJoin _),
+    "ing_history" -> (ingHistory _),
     "ing_dpp" -> (ingDpp _),
     "ing_snapshot_diff" -> (ingSnapshotDiff _),
     "ing_fixed_width" -> (ingFixedWidth _),
@@ -1463,6 +1489,20 @@ object IngestQueries {
         |FROM lineitem
         |GROUP BY 1, 2""".stripMargin,
     // K58: every refresh must equal the one-shot join of the full bases
+    // K62: the three commit shapes and their cumulative stats are
+    // fully derivable from the generating filters
+    "ing_history" ->
+      """WITH c AS (
+        |  SELECT
+        |    count(*) FILTER (doc_id % 3 = 0)::bigint AS n0,
+        |    count(*) FILTER (doc_id % 3 = 1)::bigint AS n1,
+        |    count(*) FILTER (doc_id % 3 = 2)::bigint AS n2
+        |  FROM documents
+        |)
+        |SELECT 0::bigint AS version, NULL::bigint AS batch_id,
+        |  'checkpoint' AS manifest_kind, 1 AS n_files, n0 AS "rows" FROM c
+        |UNION ALL SELECT 1::bigint, NULL::bigint, 'delta', 2, n0 + n1 FROM c
+        |UNION ALL SELECT 2::bigint, 7::bigint, 'delta', 3, n0 + n1 + n2 FROM c""".stripMargin,
     "ing_mv_join" ->
       """SELECT o_orderkey AS okey, o_custkey, o_orderpriority,
         |  l_linenumber, l_partkey, round(l_quantity * 100)::bigint AS qty_c
