@@ -489,26 +489,38 @@ object DedupQueries {
     * with, so the zero row class must exist. */
   val DecontamN = 5
 
-  def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val words = d.select(col("doc_id"), split(trim(col("text")), " +").as("ws"))
-    val grams = words.select(col("doc_id"), explode(
+  /** (doc_id, gh) — every word [[DecontamN]]-gram of every document,
+    * as its md5 hash (only the 16-byte hash ever shuffles). Shared by
+    * the batch audit and the I59 streaming admission gate. */
+  private[graft] def docGrams(df: DataFrame): DataFrame = {
+    val words = df.select(col("doc_id"), split(trim(col("text")), " +").as("ws"))
+    words.select(col("doc_id"), explode(
       when(size(col("ws")) >= DecontamN,
         transform(sequence(lit(1), size(col("ws")) - (DecontamN - 1)),
           i => md5(array_join(slice(col("ws"), i, lit(DecontamN)), " "))))
         .otherwise(array().cast("array<string>"))).as("gh"))
-    val isTrain = graft.text.TextQueries.isTrainSplit(col("doc_id"))
-    val evalGrams = grams.filter(!isTrain).select("gh").distinct()
-    val hits = grams.filter(isTrain)
-      .join(evalGrams, "gh")
+  }
+
+  /** The E26 kernel: audit `docs` against a frozen distinct gram-hash
+    * set — one explode + one equi-join + a per-doc count; every input
+    * doc keeps a row. */
+  def decontaminateAgainst(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val hits = docGrams(docs).join(evalGrams, "gh")
       .groupBy("doc_id")
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
-    d.select(col("doc_id")).filter(isTrain)
+    docs.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
         (coalesce(col("n_shared_grams"), lit(0L)) > 0)
           .cast("int").as("contaminated"))
+  }
+
+  def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val isTrain = graft.text.TextQueries.isTrainSplit(col("doc_id"))
+    decontaminateAgainst(d.filter(isTrain),
+      docGrams(d.filter(!isTrain)).select("gh").distinct())
   }
 
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

@@ -28,4 +28,23 @@ object DedupStreaming {
     docs.withWatermark("ts", watermarkDelay)
       .withColumn("fp", md5(regexp_replace(trim(col("text")), " +", " ")))
       .dropDuplicatesWithinWatermark("fp")
+
+  /** I59: ADMISSION-TIME decontamination — the E26 audit run per
+    * micro-batch against a FROZEN held-out gram set, composed with
+    * the K-store exactly-once batch sink: a crawl batch lands in the
+    * corpus table only WITH its contamination verdict attached, and a
+    * replayed micro-batch publishes no second version (the I30
+    * batchId idempotence). The gate itself is stateless — the eval
+    * side never changes mid-stream (benchmarks are frozen before a
+    * run), so there is no watermark and no state store; per batch it
+    * is the same explode + broadcastable equi-join + per-doc count as
+    * the batch face, which is what makes stream ≡ batch pinnable row
+    * for row. Usage:
+    * `ds.writeStream.foreachBatch(decontaminateSink(evalGrams, t) _)`. */
+  def decontaminateSink(evalGrams: DataFrame, table: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val gated = DedupQueries.decontaminateAgainst(batch, evalGrams)
+    graft.store.SnapshotStore.commitStreamBatch(table, gated, batchId)
+    ()
+  }
 }

@@ -55,4 +55,51 @@ class DedupStreamingSpec extends SparkSpec {
         "stream and batch must agree on the surviving fingerprint set")
     } finally q.stop()
   }
+
+  test("I59 streaming admission decontamination: per-batch verdicts equal the batch audit; a replayed batch publishes nothing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // frozen held-out set: one benchmark-ish sentence
+    val evalDocs = Seq((100L, "the quick brown fox jumps over it"))
+      .toDF("doc_id", "text")
+    val evalGrams = DedupQueries.docGrams(evalDocs).select("gh").distinct()
+      .localCheckpoint(true)
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over it again and again"), // leaks 2+ grams
+      (2L, "a wholly different training document with many words"),
+      (3L, "short doc"),                                         // < n words: 0 grams
+      (4L, "again the quick brown fox jumps near the fence"),    // leaks 1 gram
+    )
+    val table = "decontam_sink_t"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(DedupStreaming.decontaminateSink(evalGrams, table) _)
+      .start()
+    try {
+      mem.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.store.SnapshotStore.read(spark, table)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // stream ≡ batch: the same audit over all incoming rows at once
+    val want = DedupQueries.decontaminateAgainst(
+        incoming.toDF("doc_id", "text"), evalGrams)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == want, s"\nstream $got\nbatch  $want")
+    assert(got(1L)._2 == 1 && got(4L)._2 == 1,
+      s"the leaked benchmark grams must flag: $got")
+    assert(got(2L) == ((0L, 0)) && got(3L) == ((0L, 0)),
+      s"clean and sub-n docs keep zero rows: $got")
+    // exactly-once: replaying batch 0 through the sink publishes no
+    // second version and no duplicate verdict rows
+    val versionsBefore = graft.store.SnapshotStore.versions(table)
+    DedupStreaming.decontaminateSink(evalGrams, table)(
+      incoming.take(2).toDF("doc_id", "text"), 0L)
+    assert(graft.store.SnapshotStore.versions(table) == versionsBefore,
+      "a replayed batchId must no-op through the store sink")
+    assert(graft.store.SnapshotStore.read(spark, table).count() == 4L)
+  }
 }
