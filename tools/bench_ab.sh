@@ -26,11 +26,15 @@ trap 'git -C "$ROOT" worktree remove --force "$WT" >/dev/null 2>&1 || true' EXIT
 # HEAD classes must be current too (same window, same box)
 (cd "$ROOT" && sbt -batch compile >/dev/null)
 
-echo "== A: prior ($PRIOR) =="
+echo "== A: prior ($PRIOR = $(git -C "$WT" rev-parse --short HEAD)) =="
+# HEAD's run.sh (it honors GRAFT_CLASSES) pointed at the PRIOR tree's
+# classes — the runner script is orthogonal to the measured code, and
+# an older tree's run.sh may hardcode the main repo's target dir
+# (the r18 lesson: that silently benches HEAD twice)
 GRAFT_CLASSES="$WT/target/scala-2.13/classes" \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_SF_DIR="$SF" \
   BENCH_OUT="$ROOT/probes/BENCH_${TAG}_ab_priorcode.json" \
-  "$WT/tools/run.sh" graft.Bench >/dev/null
+  "$ROOT/tools/run.sh" graft.Bench >/dev/null
 
 echo "== B: HEAD =="
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_SF_DIR="$SF" \
