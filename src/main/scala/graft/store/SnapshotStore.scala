@@ -345,7 +345,31 @@ object SnapshotStore {
                 s"$name: version $racedV was published concurrently and this " +
                   "commit rewrites prior state (overwrite) — aborted; " +
                   "re-run against the new snapshot")
-            if (carry.nonEmpty) {
+            // BATCH FENCING (r18, the Delta-txnVersion boundary the
+            // r17 advice scoped): two PROCESSES replaying the SAME
+            // stream batch truly simultaneously both miss their
+            // caches and both commit — but only one wins each CAS, so
+            // the LOSER checks the raced versions' #batch headers
+            // right here: if any carries our batchId, the other
+            // writer's commit IS this batch — adopt its version and
+            // drop our just-written (never-referenced) files instead
+            // of appending a duplicate. This closes simultaneous
+            // cross-process replay exactly-once at the only place it
+            // can be closed: the commit CAS itself.
+            val adoptedBatch: Option[Long] =
+              if (!append) None
+              else header.filter(_.startsWith("#batch="))
+                .map(_.stripPrefix("#batch=").toLong)
+                .flatMap(b => versions(name).reverseIterator.find(v =>
+                  scala.util.Try(batchIdOf(name, v)).toOption.flatten
+                    .contains(b)))
+            adoptedBatch.foreach { _ =>
+              files.headOption.foreach { f =>
+                val d = new Path(f).getParent
+                scala.util.Try(fsOf(d).delete(d, true))
+              }
+            }
+            if (adoptedBatch.isEmpty && carry.nonEmpty) {
               // COW conflict resolution: re-list our intent against
               // the new head. base = what we planned over; removed =
               // base files our list drops/rewrites; added = our fresh
@@ -388,7 +412,7 @@ object SnapshotStore {
               files = head.filterNot(f => removed(uriPath(f))) ++ added
               carry = Some(headV)
             }
-            -1L
+            adoptedBatch.getOrElse(-1L)
         }
       }
       published
@@ -1198,15 +1222,17 @@ object SnapshotStore {
     committedBatches.remove(name); committedSeenV.remove(name); ()
   }
 
-  /** Exactly-once scope (r17 advice #4): replays of a batchId are
-    * idempotent within a process (cache) and ACROSS processes whenever
-    * the replay starts after the other process's commit published (the
-    * miss-path refresh below reads it from the manifest headers). Two
-    * processes replaying the SAME batch truly simultaneously can still
-    * both commit — closing that window needs the CAS-loop itself to
-    * re-check raced versions' batch headers, i.e. coordination at the
-    * commit point, which is the same boundary Delta draws with
-    * application-level txnVersion. */
+  /** Exactly-once scope (r17 advice #4, window CLOSED in r18):
+    * replays of a batchId are idempotent within a process (cache),
+    * across processes when the replay starts after the other
+    * process's commit published (the miss-path refresh below reads it
+    * from the manifest headers), AND under truly simultaneous
+    * cross-process replays — the OCC retry loop fences on the batch
+    * header: a writer losing the CAS to a version carrying its OWN
+    * batchId ADOPTS that version and drops its never-referenced files
+    * instead of appending a duplicate (see publishFiles). This is the
+    * same boundary Delta draws with application txnVersion, enforced
+    * at the only place it can be: the commit CAS itself. */
   def commitStreamBatch(name: String, df: DataFrame, batchId: Long): Long =
     synchronized {
       val known = committedBatches.getOrElseUpdate(name,

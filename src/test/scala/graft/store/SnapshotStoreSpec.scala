@@ -1358,6 +1358,52 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows("sb_xproc") == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("exactly-once batch FENCING: two processes replaying the same batch simultaneously publish ONE version; the loser adopts it") {
+    import spark.implicits._
+    val name = "sb_fence"
+    SnapshotStore.commitStreamBatch(name,
+      Seq((1L, "base")).toDF("k", "s"), batchId = 0L)
+    // writer A (this cache) replays batch 1; in its CAS window writer
+    // B — a FRESH process (cache forgotten) — commits the SAME batch
+    // with its own (equivalent-in-production) rows and wins the race
+    var fired = false
+    var inHook = false
+    SnapshotStore.publishRaceHook = () => {
+      if (!fired && !inHook) {
+        fired = true; inHook = true
+        try {
+          SnapshotStore.forgetBatchCache(name)
+          SnapshotStore.commitStreamBatch(name,
+            Seq((2L, "writerB")).toDF("k", "s"), batchId = 1L)
+        } finally inHook = false
+      }
+    }
+    val vA = try SnapshotStore.commitStreamBatch(name,
+      Seq((2L, "writerA")).toDF("k", "s"), batchId = 1L)
+    finally SnapshotStore.publishRaceHook = () => ()
+    assert(fired, "the race must actually have been injected")
+    // ONE version for batch 1 — A adopted B's commit instead of
+    // appending a duplicate (the pre-r18 behavior: versions 0,1,2 and
+    // both writers' rows visible)
+    assert(SnapshotStore.versions(name) == Seq(0L, 1L),
+      "the same batch must never publish twice")
+    assert(vA == 1L, "the loser must return the winner's version")
+    assert(rows(name) == Set((1L, "base"), (2L, "writerB")),
+      "exactly one replay's rows are visible")
+    // A's discarded data directory is gone (not left for vacuum)
+    val dir = SnapshotStore.tableDir(name)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("data_v")).toSeq
+    assert(dataDirs.length == 2,
+      s"only the two published commits' data dirs may remain: $dataDirs")
+    // and the stream keeps working: the next batch appends normally
+    val v2 = SnapshotStore.commitStreamBatch(name,
+      Seq((3L, "c")).toDF("k", "s"), batchId = 2L)
+    assert(v2 == 2L)
+    assert(rows(name) == Set((1L, "base"), (2L, "writerB"), (3L, "c")))
+  }
+
   test("vacuum sweeps ORPHANED publish tmps past the grace; fresh ones and ckpt tmps survive") {
     import spark.implicits._
     SnapshotStore.commitAppend("vtmp", Seq((1L, "a")).toDF("k", "s"))
