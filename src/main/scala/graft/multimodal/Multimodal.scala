@@ -3135,26 +3135,43 @@ object Multimodal {
   /** A decoded grayscale raster (row-major pixel samples). */
   final case class GrayImage(width: Int, height: Int, px: Seq[Int])
 
-  /** H48: the REAL image decoder — PNG (or any ImageIO-readable
-    * format) bytes → pixel raster, via the JDK's ImageIO. This is the
-    * decode step the H2 stub contract marked as swap-on-cluster; for
-    * PNG the container's JDK ships the codec, so the face runs REAL
-    * bytes→pixels work. Per-row JVM codec calls are the canonical
-    * UDF case (a Catalyst Expression would wrap the same library
-    * call); everything around it — binaryFile scan, hash arithmetic,
-    * banding — stays codegen'd column work. */
-  def pngDecodeGray(bytes: Array[Byte]): GrayImage = {
+  /** H48/H50/H51: the REAL image decoder — PNG/GIF/BMP (or any
+    * ImageIO-readable format) bytes → gray pixel raster, via the
+    * JDK's ImageIO. This is the decode step the H2 stub contract
+    * marked as swap-on-cluster; for these three containers the JDK
+    * ships the codec, so the faces run REAL bytes→pixels work.
+    * Per-row JVM codec calls are the canonical UDF case (a Catalyst
+    * Expression would wrap the same library call); everything around
+    * it — binaryFile scan, hash arithmetic, banding — stays codegen'd
+    * column work. Sample extraction dispatches on the decoded model:
+    * palette formats (GIF decodes as indexed) and multi-band rasters
+    * read the gray value through getRGB (the raster sample would be
+    * the palette INDEX — wrong whenever the writer reorders the
+    * palette); single-band non-indexed rasters (gray PNG/BMP) read
+    * raw samples, which is also what preserves 16-bit gray past 255. */
+  def imageDecodeGray(bytes: Array[Byte]): GrayImage = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
+    val indexed =
+      img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    val multiband = img.getRaster.getNumBands > 1
     val px = new Array[Int](w * h)
     var i = 0
-    while (i < w * h) { px(i) = img.getRaster.getSample(i % w, i / w, 0); i += 1 }
+    while (i < w * h) {
+      px(i) =
+        if (indexed || multiband) img.getRGB(i % w, i / w) & 0xFF
+        else img.getRaster.getSample(i % w, i / w, 0)
+      i += 1
+    }
     GrayImage(w, h, px.toIndexedSeq)
   }
 
-  private lazy val decodeUdf = udf((b: Array[Byte]) => pngDecodeGray(b))
+  /** The H48 face's historical name for [[imageDecodeGray]]. */
+  def pngDecodeGray(bytes: Array[Byte]): GrayImage = imageDecodeGray(bytes)
+
+  private lazy val decodeUdf = udf((b: Array[Byte]) => imageDecodeGray(b))
 
   /** dHash bands from a DECODED pixel array column (row-major, width
     * 9) — the same 64 adjacent-pixel comparisons as [[dhashBands]],
@@ -3169,33 +3186,79 @@ object Multimodal {
       }.reduce(_ + _).cast("int").as(s"b$b")
     }
 
-  private val mmRunId = java.util.UUID.randomUUID().toString.take(8)
-  private def pngFixtureDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_mm_$mmRunId/" +
-      s"png_${graft.store.GraftStore.dirKey(dir)}"
+  /** H50/H51: 8-bit grayscale encode for the palette/legacy containers
+    * (GIF, BMP) — the JDK writers for both; 8-bit because GIF is
+    * palette-bounded at 256 entries (a ≤256-value gray raster maps
+    * into the palette exactly, so decode∘encode stays pixel-exact —
+    * [[imageDecodeGray]]'s getRGB path reads the gray value back
+    * through the palette). */
+  def gray8Encode(px: Seq[Int], w: Int, h: Int, fmt: String): Array[Byte] = {
+    require(px.length == w * h, s"grid ${px.length} != ${w}x$h")
+    require(px.forall(p => p >= 0 && p <= 255),
+      s"8-bit gray encode needs samples in [0,255]")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < w * h) { img.getRaster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
 
-  /** Write one real PNG file per document (executor-side, marker-
-    * gated, keyed by corpus like every fixture dir) — the multimodal
-    * ingestion front door's on-disk shape, so the decode face reads
-    * through the A10 binaryFile source exactly like production. */
-  def ensurePngFixture(spark: SparkSession, dir: String): String = {
-    val path = pngFixtureDir(dir)
+  /** The dHash grid folded to 8-bit range (`% 256` of each sample —
+    * non-negative, so the fold agrees across engines) — the H50/H51
+    * generating formula: the 16-bit-capable PNG face keeps the raw
+    * grid, the 8-bit containers get this one, and each face's oracle
+    * re-derives its own bands from its own grid. */
+  private def dhashPixelGrid8(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = floor(docId / DHashGroup).cast("long")
+    array((for (r <- 0 until 8; c <- 0 until 9)
+      yield dhashPixel(g, docId, r, c) % 256): _*)
+  }
+
+  private val mmRunId = java.util.UUID.randomUUID().toString.take(8)
+  private def imgFixtureDir(dir: String, kind: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mm_$mmRunId/" +
+      s"${kind}_${graft.store.GraftStore.dirKey(dir)}"
+
+  /** Write one real image file per document (marker-gated, keyed by
+    * corpus like every fixture dir) — the multimodal ingestion front
+    * door's on-disk shape, so the decode faces read through the A10
+    * binaryFile source exactly like production. The write is
+    * DRIVER-side (r18 advice #4): an executor-side foreachPartition
+    * writes to java.io.tmpdir on the EXECUTORS' local disks, which
+    * only aliases the driver's in local mode — on a real cluster the
+    * driver's binaryFile read would see a partial or empty fixture.
+    * Driver-safe by construction: this is the test-fixture "camera"
+    * (one grid row of 72 ints per doc), not the product decode path,
+    * which stays fully distributed (binaryFile scan → per-row UDF). */
+  private def ensureImageFixture(spark: SparkSession, dir: String,
+      kind: String, ext: String, grid: org.apache.spark.sql.Column,
+      encode: Seq[Int] => Array[Byte],
+      corrupt: Long => Boolean): String = {
+    val path = imgFixtureDir(dir, kind)
     val marker = new java.io.File(path, "_WRITTEN")
     if (!marker.exists()) {
       new java.io.File(path).mkdirs()
       Tables.documents(spark, dir)
-        .select(col("doc_id"), dhashPixelGrid(col("doc_id")).as("px"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(path, s"img_${r.getLong(0)}.png"),
-              pngEncodeGray16(r.getSeq[Int](1), 9, 8))
-          }
+        .select(col("doc_id"), grid.as("px"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val bytes = encode(r.getSeq[Int](1))
+          // the A16 corruption formula: a corrupt file is TRUNCATED
+          // mid-stream — what a failed crawl fetch actually delivers
+          val out = if (corrupt(id)) bytes.take(20) else bytes
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"img_$id.$ext"), out)
         }
       marker.createNewFile()
     }
     path
   }
+
+  def ensurePngFixture(spark: SparkSession, dir: String): String =
+    ensureImageFixture(spark, dir, "png", "png",
+      dhashPixelGrid(col("doc_id")), pngEncodeGray16(_, 9, 8), _ => false)
 
   /** H48 driver query: real PNG files → binaryFile source → REAL
     * ImageIO decode → the REAL dHash over DECODED pixels. The oracle
@@ -3231,30 +3294,23 @@ object Multimodal {
   /** Corrupt-image fixture: the H48 PNGs, but every 9th document's
     * file TRUNCATED mid-stream (the A16 corruption formula) — what a
     * crawl actually delivers. */
-  private def pngBadFixtureDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_mm_$mmRunId/" +
-      s"pngbad_${graft.store.GraftStore.dirKey(dir)}"
+  def ensurePngBadFixture(spark: SparkSession, dir: String): String =
+    ensureImageFixture(spark, dir, "pngbad", "png",
+      dhashPixelGrid(col("doc_id")), pngEncodeGray16(_, 9, 8), _ % 9 == 0)
 
-  def ensurePngBadFixture(spark: SparkSession, dir: String): String = {
-    val path = pngBadFixtureDir(dir)
-    val marker = new java.io.File(path, "_WRITTEN")
-    if (!marker.exists()) {
-      new java.io.File(path).mkdirs()
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), dhashPixelGrid(col("doc_id")).as("px"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            val id = r.getLong(0)
-            val png = pngEncodeGray16(r.getSeq[Int](1), 9, 8)
-            val bytes = if (id % 9 == 0) png.take(20) else png
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(path, s"img_$id.png"), bytes)
-          }
-        }
-      marker.createNewFile()
-    }
-    path
-  }
+  /** H50 fixture: real GIF files over the 8-bit grid, every 9th
+    * truncated — decode exactness and quarantine exercised by ONE
+    * fixture through a palette container. */
+  def ensureGifFixture(spark: SparkSession, dir: String): String =
+    ensureImageFixture(spark, dir, "gif", "gif",
+      dhashPixelGrid8(col("doc_id")), gray8Encode(_, 9, 8, "gif"), _ % 9 == 0)
+
+  /** H51 fixture: real BMP files over the 8-bit grid (clean — BMP is
+    * the plain-raster container; the quarantine row class is pinned
+    * on PNG and GIF). */
+  def ensureBmpFixture(spark: SparkSession, dir: String): String =
+    ensureImageFixture(spark, dir, "bmp", "bmp",
+      dhashPixelGrid8(col("doc_id")), gray8Encode(_, 9, 8, "bmp"), _ => false)
 
   /** H49 driver query: per-image decode outcome over the corrupt
     * fixture — ok flag, dims where decodable, nulls where
@@ -3276,6 +3332,50 @@ object Multimodal {
         col("img.height").as("height"))
   }
 
+  /** H50 driver query: real GIF files → binaryFile source → REAL
+    * ImageIO decode (through the palette: GIF decodes indexed, the
+    * gray value reads back via getRGB) → the production dHash over
+    * DECODED pixels, with the H49 quarantine contract in the SAME
+    * face: every 9th file is truncated, decodes to null, and
+    * surfaces as ok=0 with null bands — ok + quarantined = corpus.
+    * The oracle re-derives the bands from the 8-bit generating
+    * formula and the quarantine class from the corruption formula, so
+    * a pass proves decode∘encode is pixel-exact through a SECOND real
+    * container (r18 verdict #1 — the H-family's real-decode face was
+    * PNG-only). */
+  def mmGifDecode(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureGifFixture(spark, dir)
+    val bands = dhashBandsFromPixels(col("img.px")).zipWithIndex.map {
+      case (b, i) =>
+        when(col("img").isNotNull, b).otherwise(lit(null)).cast("int").as(s"b$i")
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif").load(path)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.gif$", 1)
+          .cast("long").as("doc_id"),
+        decodeTryUdf(col("content")).as("img"))
+      .select(col("doc_id") +:
+        col("img").isNotNull.cast("int").as("ok") +: bands: _*)
+  }
+
+  /** H51 driver query: real BMP files → binaryFile → REAL decode →
+    * dHash — the third real container (plain uncompressed raster,
+    * where GIF is palette and PNG is filtered+deflate: the three JDK
+    * codecs cover the three classical encoding families). */
+  def mmBmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureBmpFixture(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp").load(path)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1)
+          .cast("long").as("doc_id"),
+        decodeUdf(col("content")).as("img"))
+      .select(Seq(col("doc_id"), col("img.width").as("width"),
+        col("img.height").as("height")) ++
+        dhashBandsFromPixels(col("img.px")): _*)
+  }
+
   /** The dHash band table, persisted once per (session, corpus) —
     * the store discipline: THREE driver faces (mm_dhash,
     * mm_dhash_pairs ×3 plan references, mm_dhash_admit) would
@@ -3292,7 +3392,8 @@ object Multimodal {
   /** Force the persisted dHash + vid-pair tables (bench build thunk). */
   def warmStores(spark: SparkSession, dir: String): Unit = {
     dhashTable(spark, dir); vidPairsTable(spark, dir)
-    ensurePngFixture(spark, dir); ensurePngBadFixture(spark, dir); ()
+    ensurePngFixture(spark, dir); ensurePngBadFixture(spark, dir)
+    ensureGifFixture(spark, dir); ensureBmpFixture(spark, dir); ()
   }
 
   /** H42 driver query: per-asset dHash bands. */
@@ -3546,6 +3647,21 @@ object Multimodal {
     s"""gd AS (SELECT doc_id, doc_id // $DHashGroup AS g FROM documents),
        |h AS MATERIALIZED (SELECT doc_id, ${(0 until 4)
         .map(b => dhashBandSql(b) + s" AS b$b").mkString(", ")} FROM gd)""".stripMargin
+
+  /** The H50/H51 8-bit-grid bands: the same generating formula with
+    * each sample folded `% 256` (non-negative → engines agree) — the
+    * grid the GIF/BMP fixtures encode. */
+  private def dhashBand8Sql(b: Int): String =
+    (0 until 16).map { k =>
+      val r = 2 * b + k / 8; val c = k % 8
+      s"(CASE WHEN (${dhashPxSql(r, c)} % 256) > (${dhashPxSql(r, c + 1)} % 256)" +
+        s" THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")::int")
+
+  private lazy val dhash8Cte: String =
+    s"""gd AS (SELECT doc_id, doc_id // $DHashGroup AS g FROM documents),
+       |h8 AS MATERIALIZED (SELECT doc_id, ${(0 until 4)
+        .map(b => dhashBand8Sql(b) + s" AS b$b").mkString(", ")} FROM gd)""".stripMargin
 
   // ----- H46/E25: video temporal near-dup (frame-dHash sequences) ---
 
@@ -3866,6 +3982,90 @@ object Multimodal {
     clipVerify(f, clipCandidates(f, ClipMinBands))
   }
 
+  // ----- H52: real-pixel CLIP retrieval (r18 verdict #2) -----------
+
+  /** ±1 projection weights for the pixel→embedding pooled-patch
+    * projection, derived from md5 at PLAN time (weight i is a literal
+    * in both the Spark plan and the generated oracle SQL — a
+    * dictionary-scale constant, exactly like a real model's frozen
+    * projection matrix rides a broadcast). */
+  private lazy val clipPxSign: IndexedSeq[Int] = (0 until 72).map { i =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"clipw|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1 else -1
+  }
+
+  /** The pixel tower: 16-dim integer embedding from a DECODED 72-px
+    * raster — dim j pools the ±1-signed, 128-CENTERED pixels i ≡ j
+    * (mod 16) (a trivial but REAL projection: every component is
+    * arithmetic over pixel values that came from image bytes, not
+    * from a formula). Centering is load-bearing: uncentered uniform
+    * pixels put 127.5·Σsigns — a constant shared by EVERY group — in
+    * each dim wherever a patch's signs don't balance, and the whole
+    * space collapses onto one direction (measured: 185k pairs ≥ 0.8
+    * at sf0.01 uncentered vs ~1.5k centered). */
+  private def clipPxEmbCols(px: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until ClipDims).map { j =>
+      (j until 72 by ClipDims)
+        .map(i => (element_at(px, i + 1) - 128) * clipPxSign(i))
+        .reduce(_ + _).cast("int")
+    }
+
+  /** The caption tower for the pixel face: the SAME projection applied
+    * to the subject group's BASE grid (the generating formula without
+    * the per-doc bump — captions describe the subject, not one
+    * rendering's noise), plus bounded per-doc noise (% 128 − 64 on
+    * non-negative md5 slices — engines agree). Mismatched docs
+    * (doc_id % ClipMismatch = 0) caption a far-away group, the class
+    * retrieval must reject. */
+  private def clipPxCapCols(docId: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val g = floor(docId / DHashGroup).cast("long")
+    val cg = when(docId % ClipMismatch === 0, g + 999983L).otherwise(g)
+    val nk = concat(lit("clippx|"), docId.cast("string"))
+    val n1 = md5(nk); val n2 = md5(concat(nk, lit("#2")))
+    def basePx(i: Int): org.apache.spark.sql.Column = {
+      val r = i / 9; val c = i % 9
+      conv(substring(md5(concat(lit("img|"), cg.cast("string"), lit(s"|$r"))),
+        c * 2 + 1, 2), 16, 10).cast("int")
+    }
+    (0 until ClipDims).map { j =>
+      val base = (j until 72 by ClipDims)
+        .map(i => (basePx(i) - 128) * clipPxSign(i)).reduce(_ + _)
+      (base + (clipSlice(if (j < 8) n1 else n2, j) % 128 - 64)).cast("int")
+    }
+  }
+
+  /** H52 driver query: the image pipeline oracled END TO END —
+    * bytes → pixels → vector → banded retrieval: real PNG files
+    * (H48's fixture) decode through ImageIO, the DECODED pixels
+    * project to the image-tower embedding, captions embed from the
+    * generating formula (the text tower), and retrieval runs the
+    * PRODUCTION H45 plan (shared clipCandidates/clipVerify — sign
+    * bands, ≥ ClipMinBands agreement, exact-cosine verify). The
+    * oracle recomputes the image embedding from the generating pixel
+    * formula — decode∘encode is pixel-exact (H48), so formula
+    * embeddings equal decoded-pixel embeddings, and a pass proves the
+    * whole chain, not just the hash step (r18 verdict #2: until this
+    * face, real decode fed only dHash while CLIP ran formula-built
+    * embeddings). Scale shape: binaryFile scan + per-row codec UDF +
+    * codegen'd projection, then the same banded blocking as H45 —
+    * never all-pairs. */
+  def mmClipPixels(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePngFixture(spark, dir)
+    val imgs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(path)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        decodeUdf(col("content")).as("dec"))
+      .select(col("doc_id"),
+        array(clipPxEmbCols(col("dec.px")): _*).as("img"))
+    val caps = Tables.documents(spark, dir).select(col("doc_id"),
+      array(clipPxCapCols(col("doc_id")): _*).as("cap"))
+    val f = imgs.join(caps, "doc_id").localCheckpoint(eager = true)
+    clipVerify(f, clipCandidates(f, ClipMinBands))
+  }
+
   /** The H45 recall dial (the E9 containmentDial idea): on a
     * hash-sampled doc slice (1/7), measure the ≥[[ClipMinBands]]-band
     * blocking against EXACT threshold retrieval (brute-force cosine on
@@ -4103,11 +4303,77 @@ object Multimodal {
     s"round(($dot) / (sqrt($ni) * sqrt($nc)), 4)"
   }
 
+  /** The H45/H52 retrieval oracle body over any `emb(doc_id, i0…,
+    * c0…)` CTE — banded candidate join + exact-cosine verification,
+    * ONE spelling for both embedding sources (r18 verdict #2: the
+    * pixel face must run the same retrieval, so its oracle must
+    * too). */
+  private def clipRetrievalOracleSql(embCte: String): String = {
+    def bandSql(p: String, b: Int): String =
+      (0 until 4).map(k =>
+        s"(CASE WHEN $p${4 * b + k} > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val bands = (p: String, id: String) => (0 until ClipBands).map(b =>
+      s"SELECT doc_id AS $id, $b AS bi, ${bandSql(p, b)} AS bv FROM emb")
+      .mkString(" UNION ALL ")
+    s"""WITH $embCte,
+       |ib AS (${bands("i", "img_doc")}),
+       |cb AS (${bands("c", "cap_doc")}),
+       |cand AS (
+       |  SELECT img_doc, cap_doc FROM ib JOIN cb USING (bi, bv)
+       |  WHERE img_doc <> cap_doc
+       |  GROUP BY img_doc, cap_doc HAVING count(*) >= $ClipMinBands
+       |)
+       |SELECT img_doc, cap_doc, clip_score FROM (
+       |  SELECT x.img_doc, x.cap_doc,
+       |    ${clipCosSql("a.i", "b.c")} AS clip_score
+       |  FROM cand x JOIN emb a ON a.doc_id = x.img_doc
+       |    JOIN emb b ON b.doc_id = x.cap_doc
+       |) WHERE clip_score >= $ClipThreshold""".stripMargin
+  }
+
+  /** The H52 embedding CTE: image tower = the ±1 pooled-patch
+    * projection over the PER-DOC generating grid (== the decoded
+    * pixels, by H48's exactness), caption tower = the same projection
+    * over the subject group's BASE grid plus bounded per-doc noise —
+    * generated next to the Scala arithmetic so the two cannot
+    * drift. */
+  private lazy val clipPxCte: String = {
+    def noiseSql(j: Int): String = {
+      val key = if (j < 8) "'clippx|' || doc_id::varchar"
+                else "'clippx|' || doc_id::varchar || '#2'"
+      s"(('0x' || substr(md5($key), ${4 * (j % 8) + 1}, 4))::int % 128 - 64)"
+    }
+    def imgDimSql(j: Int): String =
+      (j until 72 by ClipDims).map { i =>
+        s"((${dhashPxSql(i / 9, i % 9)} - 128) * ${clipPxSign(i)})"
+      }.mkString("(", " + ", ")")
+    def capBaseSql(j: Int): String =
+      (j until 72 by ClipDims).map { i =>
+        val r = i / 9; val c = i % 9
+        s"(((('0x' || substr(md5('img|' || cg::varchar || '|$r'), " +
+          s"${2 * c + 1}, 2))::int) - 128) * ${clipPxSign(i)})"
+      }.mkString("(", " + ", ")")
+    val imgCols = (0 until ClipDims)
+      .map(j => s"${imgDimSql(j)} AS i$j").mkString(", ")
+    val capCols = (0 until ClipDims)
+      .map(j => s"(${capBaseSql(j)} + ${noiseSql(j)}) AS c$j").mkString(", ")
+    s"""gd AS (
+       |  SELECT doc_id, doc_id // $DHashGroup AS g,
+       |    CASE WHEN doc_id % $ClipMismatch = 0
+       |      THEN doc_id // $DHashGroup + 999983 ELSE doc_id // $DHashGroup END AS cg
+       |  FROM documents
+       |),
+       |emb AS MATERIALIZED (SELECT doc_id, $imgCols, $capCols FROM gd)""".stripMargin
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "mm_features" -> (mmFeatures _),
     "mm_dhash" -> (mmDhash _),
     "mm_decode_dhash" -> (mmDecodeDhash _),
     "mm_decode_quarantine" -> (mmDecodeQuarantine _),
+    "mm_gif_decode" -> (mmGifDecode _),
+    "mm_bmp_decode" -> (mmBmpDecode _),
     "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_dhash_admit" -> (mmDhashAdmit _),
     "mm_dhash_survivors" -> (mmDhashSurvivors _),
@@ -4115,6 +4381,7 @@ object Multimodal {
     "mm_afp_pairs" -> (mmAfpPairs _),
     "mm_clip_score" -> (mmClipScore _),
     "mm_clip_retrieval" -> (mmClipRetrieval _),
+    "mm_clip_pixels" -> (mmClipPixels _),
     "mm_vid_dhash" -> (mmVidDhash _),
     "mm_vid_pairs" -> (mmVidPairs _),
     "mm_vid_survivors" -> (mmVidSurvivors _),
@@ -4201,29 +4468,12 @@ object Multimodal {
          |FROM emb""".stripMargin,
     // H45: the banded candidate join + exact-cosine verification,
     // re-derived from the same sign-band formula
-    "mm_clip_retrieval" -> {
-      def bandSql(p: String, b: Int): String =
-        (0 until 4).map(k =>
-          s"(CASE WHEN $p${4 * b + k} > 0 THEN ${1 << k} ELSE 0 END)")
-          .mkString("(", " + ", ")")
-      val bands = (p: String, id: String) => (0 until ClipBands).map(b =>
-        s"SELECT doc_id AS $id, $b AS bi, ${bandSql(p, b)} AS bv FROM emb")
-        .mkString(" UNION ALL ")
-      s"""WITH $clipEmbCte,
-         |ib AS (${bands("i", "img_doc")}),
-         |cb AS (${bands("c", "cap_doc")}),
-         |cand AS (
-         |  SELECT img_doc, cap_doc FROM ib JOIN cb USING (bi, bv)
-         |  WHERE img_doc <> cap_doc
-         |  GROUP BY img_doc, cap_doc HAVING count(*) >= $ClipMinBands
-         |)
-         |SELECT img_doc, cap_doc, clip_score FROM (
-         |  SELECT x.img_doc, x.cap_doc,
-         |    ${clipCosSql("a.i", "b.c")} AS clip_score
-         |  FROM cand x JOIN emb a ON a.doc_id = x.img_doc
-         |    JOIN emb b ON b.doc_id = x.cap_doc
-         |) WHERE clip_score >= $ClipThreshold""".stripMargin
-    },
+    "mm_clip_retrieval" -> clipRetrievalOracleSql(clipEmbCte),
+    // H52: the SAME retrieval body over the pixel-projection
+    // embeddings — image tower re-derived from the generating grid
+    // (== decoded pixels by H48 exactness), caption tower from the
+    // base grid + noise formula
+    "mm_clip_pixels" -> clipRetrievalOracleSql(clipPxCte),
     // E23: the bigram self-join + offset-histogram verification,
     // re-derived from the same frame formula
     "mm_afp_pairs" ->
@@ -4255,6 +4505,21 @@ object Multimodal {
         |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 9 END AS width,
         |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 8 END AS height
         |FROM documents""".stripMargin,
+    // H50: the SECOND real container — bands re-derived from the
+    // 8-bit generating grid, quarantine class from the corruption
+    // formula; a pass proves decode∘encode through the GIF palette
+    "mm_gif_decode" ->
+      s"""WITH $dhash8Cte
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS ok,
+         |  ${(0 until 4).map(b =>
+            s"CASE WHEN doc_id % 9 = 0 THEN NULL ELSE b$b END AS b$b")
+            .mkString(", ")}
+         |FROM h8""".stripMargin,
+    // H51: the THIRD real container (plain raster)
+    "mm_bmp_decode" ->
+      s"""WITH $dhash8Cte
+         |SELECT doc_id, 9 AS width, 8 AS height, b0, b1, b2, b3 FROM h8""".stripMargin,
     "mm_dhash_pairs" ->
       s"""WITH $dhashHashCte,
          |bands AS (${(0 until 4)

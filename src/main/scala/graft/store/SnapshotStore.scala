@@ -184,11 +184,32 @@ object SnapshotStore {
     read(spark, name, Some(v))
   }
 
-  /** The streaming batchId this version committed, if it was published
-    * by [[commitStreamBatch]] (recorded as a `#batch=` header). */
-  def batchIdOf(name: String, v: Long): Option[Long] =
+  /** The full idempotence key this version's stream commit recorded
+    * (the `#batch=` header verbatim): `<batchId>` for the default
+    * writer identity, `<queryId>:<batchId>` for a namespaced one.
+    * This is the Delta (txnAppId, txnVersion) boundary (r18 advice
+    * #2): two DISTINCT streaming queries writing one table both start
+    * at batchId 0, so the replay fence must key on the writer
+    * identity too or each silently drops the other's batches as
+    * replays. */
+  def batchKeyOf(name: String, v: Long): Option[String] =
     readLines(resolvedManifestPath(name, v))
-      .find(_.startsWith("#batch=")).map(_.stripPrefix("#batch=").toLong)
+      .find(_.startsWith("#batch=")).map(_.stripPrefix("#batch="))
+
+  /** The streaming batchId this version committed, if it was published
+    * by [[commitStreamBatch]] (the numeric tail of [[batchKeyOf]] —
+    * writer-identity-agnostic, for history display). */
+  def batchIdOf(name: String, v: Long): Option[Long] =
+    batchKeyOf(name, v).map(k => k.substring(k.lastIndexOf(':') + 1).toLong)
+
+  /** The composed idempotence key: plain `batchId` under the default
+    * writer identity (back-compat with every manifest already on
+    * disk), `queryId:batchId` otherwise. */
+  private def batchKey(queryId: String, batchId: Long): String = {
+    require(!queryId.contains("\n") && !queryId.contains(":"),
+      s"queryId must not contain ':' or newlines: '$queryId'")
+    if (queryId.isEmpty) batchId.toString else s"$queryId:$batchId"
+  }
 
   /** The table as of BEFORE stream batch `batchId` committed — the
     * read a REPLAYED foreachBatch sink must use when its routing
@@ -199,10 +220,11 @@ object SnapshotStore {
     * when the table does not exist yet or this batch WAS its first
     * commit — both mean "no prior state". */
   def readBeforeStreamBatch(spark: SparkSession, name: String,
-      batchId: Long): Option[DataFrame] = synchronized {
+      batchId: Long, queryId: String = ""): Option[DataFrame] = synchronized {
+    val key = batchKey(queryId, batchId)
     val vs = versions(name)
     if (vs.isEmpty) None
-    else vs.find(v => batchIdOf(name, v).contains(batchId)) match {
+    else vs.find(v => batchKeyOf(name, v).contains(key)) match {
       case Some(v) =>
         val idx = vs.indexOf(v)
         if (idx == 0) None else Some(read(spark, name, Some(vs(idx - 1))))
@@ -226,7 +248,8 @@ object SnapshotStore {
     * version from only this commit's files (logical overwrite — old
     * files stay on disk for time travel). Returns the new version. */
   private def commit(name: String, df: DataFrame, append: Boolean,
-      header: Option[String] = None): Long =
+      header: Option[String] = None,
+      batchFence: Option[(String, Long)] = None): Long =
     synchronized {
       val v = versions(name).lastOption.getOrElse(-1L) + 1L
       // unique suffix: two PROCESSES racing the same append must not
@@ -244,7 +267,8 @@ object SnapshotStore {
       // violation deletes the data dir before the manifest exists, so
       // a failed commit still publishes nothing.
       validateWritten(name, df.sparkSession, dataDir, df.schema)
-      publishFiles(name, listParquet(dataDir), append, header, df.schema)
+      publishFiles(name, listParquet(dataDir), append, header, df.schema,
+        carryFrom = None, batchFence = batchFence)
     }
 
   /** K52 post-write gate shared by [[commit]] and [[mergeKeyed]]:
@@ -291,9 +315,19 @@ object SnapshotStore {
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
 
+  /** `batchFence`: `(batchKey, floor)` for stream-batch commits — the
+    * exactly-once fence (r18 advice #1): any version ≤ `floor` was
+    * already checked for this key by the caller's cache refresh, so
+    * each publish attempt re-checks only the tail ABOVE the floor (on
+    * the SAME listing its CAS version pick uses — no window between
+    * the check and the pick) and ADOPTS a version carrying this key
+    * instead of appending a duplicate. Bounding to the floor is also
+    * what keeps a lost-race retry from re-reading every version's
+    * header on long-lived streaming tables (r18 advice #3). */
   private def publishFiles(name: String, newFiles: Seq[String], append: Boolean,
       header: Option[String], dfSchema: org.apache.spark.sql.types.StructType,
-      carryFrom: Option[Long] = None): Long =
+      carryFrom: Option[Long] = None,
+      batchFence: Option[(String, Long)] = None): Long =
     synchronized {
       // Multi-writer OCC (r16 verdict #3): the version pick is
       // OPTIMISTIC — the atomic rename doubles as the compare-and-swap
@@ -334,9 +368,26 @@ object SnapshotStore {
       var published = -1L
       while (published < 0) {
         published = publishOnce(name, files, append, header, sch,
-          carry) match {
+          carry, batchFence) match {
           case Right(v) => v
-          case Left(racedV) =>
+          // BATCH FENCING (r18, the Delta-txnVersion boundary; scan
+          // bounded + check-before-CAS moved into publishOnce in r19):
+          // two PROCESSES replaying the SAME stream batch truly
+          // simultaneously both miss their caches and both commit —
+          // publishOnce found a version carrying our batch key on the
+          // SAME listing its CAS pick used, so the other writer's
+          // commit IS this batch: adopt its version and drop our
+          // just-written (never-referenced) files instead of
+          // appending a duplicate. This closes simultaneous
+          // cross-process replay exactly-once at the only place it
+          // can be closed: the commit CAS itself.
+          case Left(AdoptedBatch(v)) =>
+            files.headOption.foreach { f =>
+              val d = new Path(f).getParent
+              scala.util.Try(fsOf(d).delete(d, true))
+            }
+            v
+          case Left(Raced(racedV)) =>
             attempts += 1
             require(attempts < 8,
               s"$name: lost the publish race $attempts times — giving up")
@@ -345,31 +396,7 @@ object SnapshotStore {
                 s"$name: version $racedV was published concurrently and this " +
                   "commit rewrites prior state (overwrite) — aborted; " +
                   "re-run against the new snapshot")
-            // BATCH FENCING (r18, the Delta-txnVersion boundary the
-            // r17 advice scoped): two PROCESSES replaying the SAME
-            // stream batch truly simultaneously both miss their
-            // caches and both commit — but only one wins each CAS, so
-            // the LOSER checks the raced versions' #batch headers
-            // right here: if any carries our batchId, the other
-            // writer's commit IS this batch — adopt its version and
-            // drop our just-written (never-referenced) files instead
-            // of appending a duplicate. This closes simultaneous
-            // cross-process replay exactly-once at the only place it
-            // can be closed: the commit CAS itself.
-            val adoptedBatch: Option[Long] =
-              if (!append) None
-              else header.filter(_.startsWith("#batch="))
-                .map(_.stripPrefix("#batch=").toLong)
-                .flatMap(b => versions(name).reverseIterator.find(v =>
-                  scala.util.Try(batchIdOf(name, v)).toOption.flatten
-                    .contains(b)))
-            adoptedBatch.foreach { _ =>
-              files.headOption.foreach { f =>
-                val d = new Path(f).getParent
-                scala.util.Try(fsOf(d).delete(d, true))
-              }
-            }
-            if (adoptedBatch.isEmpty && carry.nonEmpty) {
+            if (carry.nonEmpty) {
               // COW conflict resolution: re-list our intent against
               // the new head. base = what we planned over; removed =
               // base files our list drops/rewrites; added = our fresh
@@ -412,20 +439,41 @@ object SnapshotStore {
               files = head.filterNot(f => removed(uriPath(f))) ++ added
               carry = Some(headV)
             }
-            adoptedBatch.getOrElse(-1L)
+            -1L
         }
       }
       published
     }
 
+  /** A publish attempt that did not commit: [[Raced]] lost the CAS
+    * for version `attempt` (retry against the new head); or —
+    * stream-batch commits only — [[AdoptedBatch]] found another
+    * process already published version `v` for this very batch key,
+    * so the caller must adopt it and discard its own staged files. */
+  private sealed trait PublishMiss
+  private final case class Raced(attempt: Long) extends PublishMiss
+  private final case class AdoptedBatch(v: Long) extends PublishMiss
+
   /** One optimistic publish attempt: builds the manifest against the
     * current head and tries the atomic rename. Right(v) = committed;
-    * Left(v) = lost the race for version v (the target appeared
-    * between the version pick and the rename). */
+    * Left = lost the race or adopted a concurrent commit of the same
+    * stream batch (see [[PublishMiss]]). The batch-fence check runs
+    * on the SAME `versions` listing the CAS version pick uses: a
+    * concurrent same-batch commit either (a) landed at a version ≤
+    * the listing's head — in (floor, head], checked right here; or
+    * (b) lands after — then it took our target version number, the
+    * rename fails, and the NEXT attempt's listing covers it. No
+    * interleaving escapes both. */
   private def publishOnce(name: String, newFiles: Seq[String], append: Boolean,
       header: Option[String], dfSchema: org.apache.spark.sql.types.StructType,
-      carryFrom: Option[Long]): Either[Long, Long] = {
+      carryFrom: Option[Long],
+      batchFence: Option[(String, Long)] = None): Either[PublishMiss, Long] = {
       val prev = versions(name)
+      val adopted = batchFence.flatMap { case (key, floor) =>
+        prev.reverseIterator.takeWhile(_ > floor).find(pv =>
+          scala.util.Try(batchKeyOf(name, pv)).toOption.flatten.contains(key))
+      }
+      if (adopted.isDefined) return Left(AdoptedBatch(adopted.get))
       val v = prev.lastOption.getOrElse(-1L) + 1L
       val fs = fsOf(tableDir(name))
       // K28: appends write a DELTA manifest (new files + #prev link)
@@ -588,7 +636,7 @@ object SnapshotStore {
           // retrying the same CAS forever would spin, so fail loudly
           throw new IllegalStateException(
             s"manifest publish failed for $name v$v (filesystem error)")
-        Left(v)
+        Left(Raced(v))
       }
     }
 
@@ -1210,7 +1258,7 @@ object SnapshotStore {
   // cache), so the common hit path stays zero-I/O and a miss costs
   // one listing + O(new versions) header reads.
   private val committedBatches =
-    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Long, Long]]
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, Long]]
   private val committedSeenV =
     scala.collection.mutable.Map.empty[String, Long]
 
@@ -1222,36 +1270,66 @@ object SnapshotStore {
     committedBatches.remove(name); committedSeenV.remove(name); ()
   }
 
-  /** Exactly-once scope (r17 advice #4, window CLOSED in r18):
-    * replays of a batchId are idempotent within a process (cache),
+  /** Test seam: publish `df` as a stream-batch commit with NO cache
+    * bookkeeping in this process — byte-for-byte what another
+    * process's [[commitStreamBatch]] leaves on disk (a `#batch=key`
+    * manifest header), without [[forgetBatchCache]]'s side effect of
+    * resetting THIS process's cache (which would mask exactly the
+    * stale-cache interleavings the r18 advice found). */
+  private[store] def commitAsOtherProcess(name: String, df: DataFrame,
+      key: String): Long =
+    commit(name, df, append = true, header = Some(s"#batch=$key"))
+
+  /** Exactly-once scope (r17 advice #4, window closed in r18,
+    * remaining interleavings closed in r19 per the r18 advice):
+    * replays of a batch key are idempotent within a process (cache),
     * across processes when the replay starts after the other
     * process's commit published (the miss-path refresh below reads it
     * from the manifest headers), AND under truly simultaneous
-    * cross-process replays — the OCC retry loop fences on the batch
-    * header: a writer losing the CAS to a version carrying its OWN
-    * batchId ADOPTS that version and drops its never-referenced files
-    * instead of appending a duplicate (see publishFiles). This is the
-    * same boundary Delta draws with application txnVersion, enforced
-    * at the only place it can be: the commit CAS itself. */
-  def commitStreamBatch(name: String, df: DataFrame, batchId: Long): Long =
+    * cross-process replays — every publish ATTEMPT fences on the
+    * batch header over the same `versions` listing its CAS pick uses
+    * (see publishOnce): a version carrying this batch key is ADOPTED
+    * and this writer's never-referenced files dropped instead of
+    * appending a duplicate. This is the boundary Delta draws with
+    * (txnAppId, txnVersion): `queryId` is the writer identity — two
+    * DISTINCT streaming queries writing one table must pass distinct
+    * queryIds (each one's batchId counter starts at 0), or the
+    * default single-writer identity silently treats the other query's
+    * batches as replays (r18 advice #2). */
+  def commitStreamBatch(name: String, df: DataFrame, batchId: Long,
+      queryId: String = ""): Long =
     synchronized {
+      val key = batchKey(queryId, batchId)
       val known = committedBatches.getOrElseUpdate(name,
-        scala.collection.mutable.Map.empty[Long, Long])
+        scala.collection.mutable.Map.empty[String, Long])
       def refresh(): Unit = {
         val seen = committedSeenV.getOrElse(name, -1L)
         val vs = versions(name)
         vs.filter(_ > seen).foreach(v =>
-          batchIdOf(name, v).foreach(b => known(b) = v))
+          batchKeyOf(name, v).foreach(b => known(b) = v))
         committedSeenV(name) = vs.lastOption.getOrElse(-1L)
       }
-      known.get(batchId).getOrElse {
+      known.get(key).getOrElse {
         // miss: fold in versions committed since the last look (first
         // call seeds the whole history; later misses read only the
         // tail another process may have appended), THEN re-check
         refresh()
-        known.getOrElse(batchId, {
-          val v = commit(name, df, append = true, header = Some(s"#batch=$batchId"))
-          known(batchId) = v
+        known.getOrElse(key, {
+          val seenBefore = committedSeenV.getOrElse(name, -1L)
+          val v = commit(name, df, append = true,
+            header = Some(s"#batch=$key"),
+            batchFence = Some((key, seenBefore)))
+          // r18 advice #1: fold the headers of versions OTHER
+          // processes published between refresh() and the winning CAS
+          // (the raced versions of lost-race retries) — a bare
+          // max-bump to v would skip them forever, and a later replay
+          // of one of THOSE batches in this process would miss the
+          // cache, refresh only versions > v, find nothing, and
+          // append a duplicate.
+          versions(name).filter(x => x > seenBefore && x < v).foreach(x =>
+            batchKeyOf(name, x).foreach(b =>
+              if (!known.contains(b)) known(b) = x))
+          known(key) = v
           committedSeenV(name) =
             math.max(committedSeenV.getOrElse(name, -1L), v)
           v
@@ -1260,8 +1338,9 @@ object SnapshotStore {
     }
 
   /** [[commitStreamBatch]] curried to the foreachBatch signature. */
-  def streamSink(name: String)(df: DataFrame, batchId: Long): Unit = {
-    commitStreamBatch(name, df, batchId); ()
+  def streamSink(name: String, queryId: String = "")(
+      df: DataFrame, batchId: Long): Unit = {
+    commitStreamBatch(name, df, batchId, queryId); ()
   }
 
   /** I31: CDC merge-apply — one change batch of upserts and deletes

@@ -938,4 +938,68 @@ class MultimodalSpec extends SparkSpec {
     assert(real == formula,
       s"decoded-pixel dHash diverged for ${real.count(kv => formula.get(kv._1) != Some(kv._2))} docs")
   }
+
+  test("H50/H51 GIF + BMP real decode: 8-bit gray round-trips exactly through the palette (GIF) and the plain raster (BMP); truncation quarantines") {
+    val grid = (0 until 72).map(i => (i * 41 + 7) % 256)
+    for (fmt <- Seq("gif", "bmp")) {
+      val bytes = Multimodal.gray8Encode(grid, 9, 8, fmt)
+      val back = Multimodal.imageDecodeGray(bytes)
+      assert((back.width, back.height) == ((9, 8)), s"$fmt dims")
+      assert(back.px == grid,
+        s"$fmt 8-bit gray must round-trip samples exactly " +
+          "(GIF reads back THROUGH the palette via getRGB — raster " +
+          "samples would be palette indices)")
+      // truncated mid-stream: the decoder refuses, never returns garbage
+      intercept[Exception] { Multimodal.imageDecodeGray(bytes.take(20)) }
+    }
+    // samples past 8-bit range must be refused, not silently wrapped
+    intercept[IllegalArgumentException] {
+      Multimodal.gray8Encode(grid.updated(0, 300), 9, 8, "gif")
+    }
+    // corpus-wide: the GIF face carries BOTH contracts in one fixture —
+    // decode-exactness (bands == the 8-bit formula) for intact files,
+    // quarantine (ok=0, null bands) for every truncated 9th file
+    val gif = Multimodal.mmGifDecode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) None else Some((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))))
+      .toMap
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(gif.size == docs, "row-class completeness: ok + quarantined = corpus")
+    val (bad, good) = gif.partition(_._1 % 9 == 0)
+    assert(bad.nonEmpty && bad.values.forall(_ == ((0, None))),
+      "every truncated GIF must quarantine with null bands")
+    assert(good.nonEmpty && good.values.forall(v => v._1 == 1 && v._2.isDefined),
+      "every intact GIF must decode to non-null bands")
+    // and BMP agrees with GIF band-for-band on intact docs — the same
+    // 8-bit grid decoded through two unrelated codecs
+    val bmp = Multimodal.mmBmpDecode(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(bmp.size == docs)
+    assert(good.forall { case (id, (_, b)) => b.contains(bmp(id)) },
+      "GIF and BMP decode paths must agree on the same grid")
+  }
+
+  test("H52 real-pixel CLIP retrieval: decoded bytes drive the image tower end to end; aligned same-group captions retrieve, mismatched captions never do") {
+    val out = Multimodal.mmClipPixels(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty, "the retrieval face must retrieve")
+    // every retrieved pair clears the production threshold
+    assert(out.forall(_._3 >= Multimodal.ClipThreshold))
+    // mismatched captions (doc_id % ClipMismatch == 0 captions a
+    // far-away group) must NEVER be retrieved — the class the CLIP
+    // gate exists to reject
+    assert(out.forall { case (_, cap, _) => cap % Multimodal.ClipMismatch != 0 },
+      "a mismatched caption survived retrieval")
+    // the aligned class dominates: same-group pairs are the signal
+    val same = out.count { case (i, c, _) => i / Multimodal.DHashGroup == c / Multimodal.DHashGroup }
+    assert(same * 10 > out.length * 9,
+      s"aligned pairs must dominate retrieval ($same of ${out.length})")
+    // and retrieval genuinely recalls the aligned population: every
+    // non-mismatch doc has DHashGroup-1 aligned partners; demand most
+    // dock (banding admits ≥ 2-of-4 band agreement, not all)
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(same >= docs / 2,
+      s"retrieved only $same aligned pairs over $docs docs — the towers diverged")
+  }
 }

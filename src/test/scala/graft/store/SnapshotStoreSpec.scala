@@ -1404,6 +1404,64 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(name) == Set((1L, "base"), (2L, "writerB"), (3L, "c")))
   }
 
+  test("exactly-once cache FOLD: versions raced in by another process during a commit are folded, so their batches replay as no-ops (r18 advice #1)") {
+    import spark.implicits._
+    val name = "sb_fold"
+    SnapshotStore.commitStreamBatch(name,
+      Seq((1L, "base")).toDF("k", "s"), batchId = 0L)
+    // while THIS process commits batch 1, another process (no shared
+    // cache — commitAsOtherProcess touches only the disk) wins the
+    // CAS with its batch 7; our retry publishes batch 1 AFTER it.
+    var fired = false
+    SnapshotStore.publishRaceHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotStore.commitAsOtherProcess(name,
+          Seq((7L, "otherproc")).toDF("k", "s"), key = "7")
+      }
+    }
+    val v1 = try SnapshotStore.commitStreamBatch(name,
+      Seq((2L, "ours")).toDF("k", "s"), batchId = 1L)
+    finally SnapshotStore.publishRaceHook = () => ()
+    assert(fired, "the race must actually have been injected")
+    assert(SnapshotStore.versions(name) == Seq(0L, 1L, 2L) && v1 == 2L,
+      "other process at v1, our retried batch 1 at v2")
+    // THE POINT: a replay of the raced-in batch 7 in THIS process must
+    // resolve to the other process's version. Before the fold fix the
+    // cache's seenV max-bumped past v1 without reading its header, so
+    // this replay refreshed versions > 2, found nothing, and appended
+    // a duplicate.
+    val vReplay = SnapshotStore.commitStreamBatch(name,
+      Seq((99L, "POISON")).toDF("k", "s"), batchId = 7L)
+    assert(vReplay == 1L,
+      "the raced-in batch must replay to its committed version, not re-append")
+    assert(rows(name) == Set((1L, "base"), (7L, "otherproc"), (2L, "ours")),
+      "no duplicate rows after the replay")
+  }
+
+  test("exactly-once writer IDENTITY: two streaming queries sharing a table keep separate batchId spaces (r18 advice #2)") {
+    import spark.implicits._
+    val name = "sb_qid"
+    // both queries legitimately start at batchId 0 — under a single
+    // shared identity the second commit would be swallowed as a replay
+    val vA = SnapshotStore.commitStreamBatch(name,
+      Seq((1L, "qA-b0")).toDF("k", "s"), batchId = 0L, queryId = "qA")
+    val vB = SnapshotStore.commitStreamBatch(name,
+      Seq((2L, "qB-b0")).toDF("k", "s"), batchId = 0L, queryId = "qB")
+    assert((vA, vB) == ((0L, 1L)), "distinct identities both commit")
+    assert(rows(name) == Set((1L, "qA-b0"), (2L, "qB-b0")))
+    // replays stay idempotent PER identity — including from a fresh
+    // process (cache forgotten, manifests are the source of truth)
+    SnapshotStore.forgetBatchCache(name)
+    val vAr = SnapshotStore.commitStreamBatch(name,
+      Seq((9L, "POISON")).toDF("k", "s"), batchId = 0L, queryId = "qA")
+    assert(vAr == vA, "qA's batch 0 replay resolves to qA's version")
+    assert(rows(name) == Set((1L, "qA-b0"), (2L, "qB-b0")))
+    // the numeric tail stays readable for history display
+    assert(SnapshotStore.batchIdOf(name, vB).contains(0L))
+    assert(SnapshotStore.batchKeyOf(name, vB).contains("qB:0"))
+  }
+
   test("vacuum sweeps ORPHANED publish tmps past the grace; fresh ones and ckpt tmps survive") {
     import spark.implicits._
     SnapshotStore.commitAppend("vtmp", Seq((1L, "a")).toDF("k", "s"))
