@@ -246,6 +246,17 @@ object KgQueries {
   def kgCypherBatches(spark: SparkSession, dir: String): DataFrame =
     Neo4jUpsert.edgeUpsertBatches(storedEdges(spark, dir), UpsertBatches)
 
+  /** B24: the production payload bound — at most this many edge rows
+    * per UNWIND transaction (the reference loads in batches of 500;
+    * 64 here so the bound bites at every test SF). */
+  val UpsertBatchSize = 64
+
+  /** B24: fixed batch-SIZE assembly — ceil(n/batchSize) batches, the
+    * bound that holds as the corpus grows (B10's fixed COUNT lets
+    * payloads grow linearly with the data). */
+  def kgCypherSized(spark: SparkSession, dir: String): DataFrame =
+    Neo4jUpsert.edgeUpsertBatchesBySize(storedEdges(spark, dir), UpsertBatchSize)
+
   /** The extracted triple frame, persisted write-once/query-many: the
     * SINGLE extraction (the multi-join union over the base tables) that
     * every KG build step reads. r4 profiling showed kg_nodes / kg_edges
@@ -583,6 +594,7 @@ object KgQueries {
     "kg_nodes"                 -> (kgNodes _),
     "kg_edges"                 -> (kgEdges _),
     "kg_cypher_batches"        -> (kgCypherBatches _),
+    "kg_cypher_sized"          -> (kgCypherSized _),
     "kg_two_hop"               -> (kgTwoHop _),
     "kg_rel_cardinality"       -> (kgRelCardinality _),
     "kg_entity_resolution"     -> (kgEntityResolution _),
@@ -974,6 +986,29 @@ object KgQueries {
          |  SELECT
          |    ('0x' || substr(md5(src_label || '|' || src || '|' || rel || '|' || dst_label || '|' || dst), 1, 8))::bigint
          |      % $UpsertBatches AS batch_id,
+         |    to_json(struct_pack(src_label := src_label, src := src, rel := rel,
+         |      dst_label := dst_label, dst := dst, weight := weight)) AS row_json
+         |  FROM e
+         |)
+         |SELECT batch_id, count(*) AS n_rows,
+         |  '[' || string_agg(row_json, ',' ORDER BY row_json) || ']' AS rows_json,
+         |  '${Neo4jUpsert.EdgeUnwindCypher}' AS cypher
+         |FROM b GROUP BY batch_id""".stripMargin,
+
+    // B24: the fixed-SIZE sibling — global md5-order rank (the 256-way
+    // bucket+offset spelling reduces to a plain row_number here),
+    // batch_id = rank // batchSize
+    "kg_cypher_sized" ->
+      s"""WITH t AS ($triplesSql),
+         |e AS (
+         |$edgesSelectSql
+         |),
+         |b AS (
+         |  SELECT
+         |    (row_number() OVER (
+         |       ORDER BY md5(src_label || '|' || src || '|' || rel || '|' || dst_label || '|' || dst),
+         |         src_label || '|' || src || '|' || rel || '|' || dst_label || '|' || dst) - 1)
+         |      // $UpsertBatchSize AS batch_id,
          |    to_json(struct_pack(src_label := src_label, src := src, rel := rel,
          |      dst_label := dst_label, dst := dst, weight := weight)) AS row_json
          |  FROM e

@@ -74,4 +74,55 @@ object Neo4jUpsert {
     batches.select(col("cypher"), col("rows_json")).foreachPartition {
       (it: Iterator[Row]) => transport.send(it.map(r => (r.getString(0), r.getString(1))))
     }
+
+  /** B24: fixed batch-SIZE assembly — ceil(n/batchSize) batches of at
+    * most `batchSize` rows each, the contract the reference's batched
+    * loader actually implies (graph_builder.py loads in batches OF
+    * 500): a server-side UNWIND transaction is sized by its ROW
+    * COUNT, so the payload bound must hold as data grows —
+    * [[edgeUpsertBatches]]' fixed batch COUNT keeps the shuffle key
+    * space stable but lets every batch grow linearly with the corpus
+    * (r18 review). Deterministic and shuffle-parallel: edges take a
+    * md5 total order, ranked WITHOUT a global window (the classic
+    * single-partition scale trap) via the G11 exclusive-cumsum idiom
+    * — a 256-way hex-prefix range bucketing gives per-bucket
+    * row_numbers (256 independent window groups), a 256-row
+    * broadcast of exclusive bucket offsets lifts them to global
+    * ranks, and batch_id = rank / batchSize. */
+  def edgeUpsertBatchesBySize(edges: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val Seq(srcL, src, rel, dstL, dst) =
+      Seq("src_label", "src", "rel", "dst_label", "dst")
+        .map(c => coalesce(col(c), lit("")))
+    val key = concat_ws("|", srcL, src, rel, dstL, dst)
+    val rowJson = to_json(struct(srcL.as("src_label"), src.as("src"), rel.as("rel"),
+      dstL.as("dst_label"), dst.as("dst"), col("weight")))
+    val base = edges.select(md5(key).as("h"), key.as("k"),
+      rowJson.as("row_json"))
+    // hex-prefix buckets ARE ranges of the md5 order, so global order
+    // == (bucket, within-bucket md5 order); ties broken by the full
+    // key in both engines (md5 collisions)
+    val local = base
+      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("bucket").orderBy("h", "k")))
+    // 256-row exclusive cumsum — the one intentionally tiny frame; it
+    // broadcasts, the edge-scale frame never re-shuffles for ranking
+    val offs = local.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    local.join(broadcast(offs), "bucket")
+      .withColumn("batch_id",
+        // Spark '/' is double division — floor+cast is exact here
+        // (global ranks stay far below 2^53)
+        floor((col("off") + col("lr") - 1) / lit(batchSize)).cast("long"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_rows"),
+        concat(lit("["), array_join(sort_array(collect_list(col("row_json"))), ","),
+          lit("]")).as("rows_json"))
+      .withColumn("cypher", lit(EdgeUnwindCypher))
+  }
 }

@@ -194,12 +194,34 @@ object Bpe {
       if (cacheKey.nonEmpty) cachedMerges(docs, textCol, k, cacheKey)
       else learnMerges(docs, textCol, k).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-    val pieces = wordPieces(docs, textCol, learned)
+    rankPieces(wordPieces(docs, textCol, learned), topK)
+  }
+
+  /** The shared corpus-piece ranking tail of [[topPieces]] and
+    * [[topPiecesSampled]]. */
+  private def rankPieces(pieces: DataFrame, topK: Int): DataFrame = {
     val w = Window.orderBy(col("n_tokens").desc, col("piece"))
     pieces.select(col("n"), explode(col("pieces")).as("piece"))
       .groupBy("piece").agg(sum(col("n")).as("n_tokens"))
       .orderBy(col("n_tokens").desc, col("piece")).limit(topK)
       // topK-row final ranking only (the text_bm25 convention)
       .withColumn("rnk", row_number().over(w))
+  }
+
+  /** G58: the SAMPLE-FIRST training discipline as an oracled operator
+    * (r18 verdict #4) — rules learn on a deterministic hash-range doc
+    * sample, the encode applies CORPUS-WIDE. This is how every real
+    * tokenizer trains (SentencePiece/tiktoken train on reservoir or
+    * hash samples, never the raw corpus): the k sequential driver
+    * rounds of [[learnMergesFrom]] then run over a word table built
+    * from a BOUNDED slice — at 100 TB the sample predicate is the
+    * difference between k vocab-scale aggregations and k
+    * corpus-shaped ones — while the corpus pass stays the one
+    * dictionary-scale merge fold every word gets anyway. */
+  def topPiecesSampled(docs: DataFrame, textCol: String, k: Int,
+      topK: Int, samplePred: org.apache.spark.sql.Column): DataFrame = {
+    val learned = learnMerges(docs.filter(samplePred), textCol, k)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    rankPieces(wordPieces(docs, textCol, learned), topK)
   }
 }

@@ -1781,6 +1781,12 @@ object TextQueries {
     "text_bpe_encode"   -> ((s: SparkSession, dir: String) =>
       Bpe.topPieces(Tables.documents(s, dir), "text", 8, 30,
         cacheKey = graft.store.GraftStore.dirKey(dir))),
+    // G58: the sample-first discipline oracled — rules learned on a
+    // 1/3 md5 hash-range doc sample, encode applied corpus-wide (the
+    // production contract for the k sequential train rounds)
+    "text_bpe_sampled"  -> ((s: SparkSession, dir: String) =>
+      Bpe.topPiecesSampled(Tables.documents(s, dir), "text", 8, 30,
+        bpeSamplePred)),
     // G33: unigram-LM (SentencePiece) training — Viterbi-EM in
     // fixed-point integer log space; the oracle enumerates every
     // segmentation per word (recursive CTE) and picks by the same
@@ -2249,6 +2255,68 @@ object TextQueries {
   }
 
   private val BpeK = 8
+
+  /** G58: 1-in-[[BpeSampleMod]] md5 hash-range doc sample for
+    * tokenizer training (the HnswMod/G5 membership idiom). */
+  private val BpeSampleMod = 3
+  private def bpeSamplePred: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("bpesamp|"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long") % BpeSampleMod === 0
+  private val bpeSamplePredSql: String =
+    s"('0x' || substr(md5('bpesamp|' || doc_id::varchar), 1, 8))::bigint % $BpeSampleMod = 0"
+
+  /** G58 oracle: apply round i's learned rule (the b$i scalar CTEs) to
+    * the FULL-corpus word chain f0→f8 — the same merge arithmetic as
+    * [[bpeRoundSql]]'s w-chain without the argmax (rules come from the
+    * sampled chain). */
+  private def bpeApplyRoundSql(i: Int): String =
+    s"""fex$i AS MATERIALIZED (
+       |  SELECT w, n, pos, s,
+       |    CASE WHEN s = (SELECT a FROM b$i)
+       |      AND lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT b FROM b$i)
+       |    THEN 1 ELSE 0 END AS m
+       |  FROM (SELECT w, n, unnest(syms) AS s, unnest(range(len(syms))) AS pos FROM f${i - 1})
+       |),
+       |fmr$i AS MATERIALIZED (
+       |  SELECT w, pos,
+       |    CASE WHEN (pos - min(pos) OVER (PARTITION BY w, runkey)) % 2 = 0 THEN 1 ELSE 0 END AS merge_at
+       |  FROM (
+       |    SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS runkey
+       |    FROM fex$i WHERE m = 1
+       |  )
+       |),
+       |f$i AS MATERIALIZED (
+       |  SELECT w, n, list(v ORDER BY pos) AS syms FROM (
+       |    SELECT e.w, e.n, e.pos,
+       |      CASE WHEN m.merge_at = 1 THEN (SELECT a || b FROM b$i) ELSE e.s END AS v,
+       |      coalesce(lag(m.merge_at) OVER (PARTITION BY e.w ORDER BY e.pos), 0) AS prev_merged
+       |    FROM fex$i e LEFT JOIN fmr$i m ON e.w = m.w AND e.pos = m.pos
+       |  ) WHERE prev_merged = 0
+       |  GROUP BY w, n
+       |)""".stripMargin
+
+  private lazy val bpeSampledOracleSql: String = {
+    val trainRounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
+    val applyRounds = (1 to BpeK).map(bpeApplyRoundSql).mkString(",\n")
+    // w0 = the SAMPLED word table (rules learn here); f0 = the full one
+    val sampledW0 = bpeW0Sql.replace("FROM documents",
+      s"FROM documents WHERE $bpeSamplePredSql")
+    val fullF0 = bpeW0Sql.replace("w0 AS MATERIALIZED", "f0 AS MATERIALIZED")
+    s"""WITH $sampledW0,
+       |$trainRounds,
+       |$fullF0,
+       |$applyRounds
+       |SELECT piece, n_tokens, rnk FROM (
+       |  SELECT piece, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, piece) AS rnk
+       |  FROM (
+       |    SELECT piece, sum(n)::bigint AS n_tokens FROM (
+       |      SELECT n, unnest(syms) AS piece FROM f$BpeK
+       |    ) GROUP BY piece
+       |  )
+       |) WHERE rnk <= 30""".stripMargin
+  }
+
   private lazy val bpeOracleSql: String = {
     val rounds = (1 to BpeK).map(bpeRoundSql).mkString(",\n")
     val out = (1 to BpeK).map(i =>
@@ -2297,6 +2365,9 @@ object TextQueries {
     // G31/G32: 8 merge rounds as generated materialized CTEs (above)
     "text_bpe" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
+    // G58: sample-trained rules (b-chain over the sampled w0) applied
+    // to the full corpus (f-chain)
+    "text_bpe_sampled" -> bpeSampledOracleSql,
     // G33/G34: Viterbi-EM rounds as generated CTEs; the E-step is
     // mirrored by exhaustive per-word segmentation enumeration picked
     // under the same exact integer (score, reversed-lengths) order

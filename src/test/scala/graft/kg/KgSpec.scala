@@ -127,6 +127,39 @@ class KgSpec extends SparkSpec {
     assert(sent.forall(_._1 == Neo4jUpsert.EdgeUnwindCypher))
   }
 
+  test("B24 fixed-SIZE upsert batches: ceil(n/size) batches, every batch within the payload bound, rows conserved") {
+    import spark.implicits._
+    // 23 distinct edges, batchSize 5 -> exactly ceil(23/5)=5 batches:
+    // four full, one of 3 — the bound B10's fixed COUNT cannot give
+    val edges = (0 until 23).map(i =>
+      ("Artist", s"a$i", "PAINTED", "Artwork", s"x$i", 1L))
+      .toDF("src_label", "src", "rel", "dst_label", "dst", "weight")
+    val batchSize = 5
+    val batches = Neo4jUpsert.edgeUpsertBatchesBySize(edges, batchSize)
+      .collect()
+    assert(batches.length == (23 + batchSize - 1) / batchSize,
+      "batch count must be ceil(n/batchSize)")
+    val sizes = batches.map(r =>
+      (r.getLong(r.fieldIndex("batch_id")), r.getLong(r.fieldIndex("n_rows")))).toMap
+    assert(sizes.values.forall(_ <= batchSize),
+      s"a batch exceeded the payload bound: $sizes")
+    assert(sizes.values.sum == 23, "rows conserved across batches")
+    assert(sizes.keySet == (0 until 5).map(_.toLong).toSet,
+      "batch ids are contiguous from 0")
+    // the md5-rank assignment is deterministic: a re-run reproduces
+    // byte-identical payloads
+    val again = Neo4jUpsert.edgeUpsertBatchesBySize(edges, batchSize)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again == batches.map(r => (r.getLong(0), r.getString(2))).toSet)
+    // and growing the corpus grows the batch COUNT, never the bound
+    val more = (0 until 64).map(i =>
+      ("Artist", s"b$i", "PAINTED", "Artwork", s"y$i", 1L))
+      .toDF("src_label", "src", "rel", "dst_label", "dst", "weight")
+    val grown = Neo4jUpsert.edgeUpsertBatchesBySize(edges.unionAll(more), batchSize)
+    assert(grown.agg(max("n_rows")).first().getLong(0) <= batchSize)
+    assert(grown.count() == (87 + batchSize - 1) / batchSize)
+  }
+
   test("A8 partitioned parquet write round-trips with partition pruning") {
     import spark.implicits._
     val df = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")).toDF("id", "v", "pt")

@@ -206,4 +206,29 @@ class BpeSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
     assert(got == perLang, s"\ngot  $got\nwant $perLang")
   }
+
+  test("G58 sample-first training: an all-true sample degenerates to the full face, and sample-learned rules still encode EVERY corpus word") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    // contract floor: sample ≡ corpus ⇒ identical output (the sampled
+    // face is the same operator, parameterized by training scope)
+    val full = TextQueries.queries("text_bpe_encode")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val degenerate = Bpe.topPiecesSampled(docs, "text", 8, 30, lit(true))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(degenerate == full)
+    // a REAL 1/2 sample: rules come from half the docs, but the encode
+    // is corpus-wide — every distinct corpus word is segmented and the
+    // piece mass equals the full corpus symbol mass under those rules
+    val half = conv(substring(md5(concat(lit("g58|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0
+    val sampledRules = Bpe.learnMerges(docs.filter(half), "text", 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(sampledRules.nonEmpty)
+    val encoded = Bpe.wordPieces(docs, "text", sampledRules)
+    assert(encoded.count() ==
+      docs.select(explode(split(trim(col("text")), " +")).as("w"))
+        .filter(length(col("w")) > 0).select("w").distinct().count(),
+      "the encode must cover the whole corpus vocabulary, not the sample")
+  }
 }
