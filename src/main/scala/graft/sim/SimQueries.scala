@@ -76,6 +76,29 @@ object SimQueries {
     Similarity.annLshFromBuckets(Tables.embeddings(spark, dir), "vec_id",
       "embedding", storedLshBuckets(spark, dir), col("id") < NumQueries, K)
 
+  /** F28/I60: near-dup admission threshold — an incoming vector whose
+    * nearest indexed neighbor scores at or above this is evidence-
+    * flagged instead of admitted. 0.45 sits inside the corpus's
+    * top-1 spread (the null cosine tail reaches ≈ 0.49 at sf0.01) so
+    * BOTH row classes fire on real data; the spec additionally pins
+    * both classes on constructed vectors. */
+  val AdmitTau = 0.45
+
+  /** F28 driver face: ANN admission — the query slice plays the
+    * incoming micro-batch, the REST of the corpus is the frozen
+    * banded index (the same persisted bucket table every F-family
+    * consumer reads). One row per incoming vector: top-1 neighbor
+    * evidence + the admit verdict; null evidence when no bucket
+    * collides. */
+  def simAnnAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.annAdmitAgainst(
+      emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding",
+      storedLshBuckets(spark, dir).filter(col("id") >= NumQueries),
+      emb.filter(col("vec_id") >= NumQueries),
+      AdmitTau, Tables64)
+  }
+
   val NCentroids = 8
   val NProbe = 2
 
@@ -1012,6 +1035,7 @@ object SimQueries {
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_range"      -> (simRange _),
     "sim_ann_lsh"    -> (simAnnLsh _),
+    "sim_ann_admit"  -> (simAnnAdmit _),
     "sim_ivf"        -> (simIvf _),
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_quantize"   -> (simQuantize _),
@@ -1698,6 +1722,39 @@ object SimQueries {
        |SELECT q_id, n_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= $K""".stripMargin
   }
 
+  /** F28 oracle: the ann bucket join restricted to an index of
+    * id ≥ NumQueries, top-1 per query, LEFT-joined to the incoming
+    * set with the admit verdict. */
+  private lazy val oracleSqlAnnAdmit: String = {
+    val bandSelects = Tables64.zipWithIndex.map { case (pl, t) =>
+      s"SELECT vec_id AS id, $t AS t, ${bucketSql("embedding", pl)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$bandSelects
+       |), q AS (SELECT id AS q_id, t, bucket FROM b WHERE id < $NumQueries),
+       |ix AS (SELECT id, t, bucket FROM b WHERE id >= $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, ix.id
+       |  FROM q JOIN ix ON q.t = ix.t AND q.bucket = ix.bucket AND q.q_id <> ix.id
+       |), s AS (
+       |  SELECT c.q_id, c.id AS nn_id, ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ne ON ne.vec_id = c.id
+       |), t1 AS (
+       |  SELECT q_id, nn_id, round(cos, 4) AS nn_cos FROM (
+       |    SELECT q_id, nn_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+       |    FROM s
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT e.vec_id, t1.nn_id, t1.nn_cos,
+       |  (CASE WHEN t1.nn_cos IS NULL OR t1.nn_cos < $AdmitTau
+       |    THEN 1 ELSE 0 END) AS admitted
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id < $NumQueries) e
+       |LEFT JOIN t1 ON t1.q_id = e.vec_id""".stripMargin
+  }
+
   /** Generated fixed-iteration DuckDB mirror of kmeansInt8 over the
     * quantized embeddings — shared by sim_kmeans and the semantic-dedup
     * oracle (dedup_semantic composes it as a subquery). */
@@ -1843,6 +1900,9 @@ object SimQueries {
          |LEFT JOIN hits h ON q.q_id = h.q_id""".stripMargin,
 
     "sim_ann_lsh" -> oracleSqlAnn,
+    // F28: top-1 evidence + admit verdict, left-joined so
+    // no-candidate incoming rows survive with null evidence
+    "sim_ann_admit" -> oracleSqlAnnAdmit,
 
     // F16: the brute oracle shape with q = ALL vectors (the exact
     // k-NN graph), the ann oracle shape likewise, and the nested

@@ -304,6 +304,44 @@ object Similarity {
       .select(col("q_id"), col("id").as("n_id"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** F28/I60 batch kernel: ADMISSION evidence for incoming vectors
+    * against a FROZEN banded index — the similarity gate of a
+    * streaming corpus front door (the third gate next to the E17
+    * fingerprint and H44 CLIP gates): each incoming vector buckets
+    * under the SAME hyperplanes as the index, candidates come from
+    * the (t, bucket) equi-join (never all-pairs; the incoming side
+    * broadcasts — a micro-batch against a corpus-bucketed table),
+    * candidates verify by exact cosine, and the TOP-1 neighbor rides
+    * the row as evidence. Every incoming row survives: admitted = 1
+    * unless its nearest bucketed neighbor scores ≥ `tau` (a near-dup
+    * of the existing corpus); no-candidate rows admit with null
+    * evidence — the left-join row class a silent inner join would
+    * drop. */
+  def annAdmitAgainst(incoming: DataFrame, idCol: String, vecCol: String,
+      indexBuckets: DataFrame, indexVecs: DataFrame,
+      tau: Double, tables: Seq[Seq[Seq[Int]]]): DataFrame = {
+    val spark = incoming.sparkSession
+    val inVecs = incoming.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val inB = lshBucketsOf(incoming, idCol, vecCol, tables)
+      .select(col("id").as("q_id"), col("t"), col("bucket"))
+    val cand = indexBuckets.join(broadcast(inB), Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("id"))
+      .select("q_id", "id").distinct()
+    val top1 = cand
+      .join(indexVecs.select(col("vec_id").as("id"), col("embedding").as("nv")), "id")
+      .join(broadcast(inVecs), "q_id")
+      .withColumn("cos", VectorFunctions.cosineSim(spark, col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("id").as("nn_id"),
+        round(col("cos"), 4).as("nn_cos"))
+    inVecs.select(col("q_id").as("vec_id"))
+      .join(top1.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nn_id"), col("nn_cos"),
+        (col("nn_cos").isNull || col("nn_cos") < tau).cast("int").as("admitted"))
+  }
+
   /** F7 scale path: MIPS answered THROUGH cosine LSH — the
     * norm-augmentation reduction documented at mipsTopK, realized.
     * Every ITEM vector gains one coordinate sqrt(M² − ‖x‖²) (M = max

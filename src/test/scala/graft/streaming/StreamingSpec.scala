@@ -656,6 +656,54 @@ class StreamingSpec extends SparkSpec {
         SnapshotStore.versions("clip_dlq").size))
   }
 
+  test("I60 streaming ANN admission: stream evidence == the batch face row for row across micro-batches; constructed near-dups reject; replay idempotent") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    import graft.sim.{SimQueries, SimStreaming, Similarity}
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // the frozen index: the non-query corpus slice, banded once (the
+    // same frame the persisted bucket table holds)
+    val indexVecs = emb.filter(col("vec_id") >= SimQueries.NumQueries)
+    val indexBuckets = Similarity.lshBucketsOf(indexVecs,
+      "vec_id", "embedding", SimQueries.Tables64)
+      .localCheckpoint(eager = true)
+    // batch truth: the driver face's own kernel over the full slice
+    val batch = Similarity.annAdmitAgainst(
+      emb.filter(col("vec_id") < SimQueries.NumQueries),
+      "vec_id", "embedding", indexBuckets, indexVecs,
+      SimQueries.AdmitTau, SimQueries.Tables64)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) -1.0 else r.getDouble(2)), r.getInt(3))).toMap
+    // stream the SAME incoming rows in two micro-batches
+    val sink = SimStreaming.annAdmitSink(indexBuckets, indexVecs,
+      "ann_corpus") _
+    val incoming = emb.filter(col("vec_id") < SimQueries.NumQueries)
+      .select("vec_id", "embedding")
+    sink(incoming.filter(col("vec_id") % 2 === 0), 0L)
+    sink(incoming.filter(col("vec_id") % 2 === 1), 1L)
+    def stored = SnapshotStore.read(spark, "ann_corpus").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) -1.0 else r.getDouble(2)), r.getInt(3))).toMap
+    assert(stored == batch,
+      "stream admission evidence must equal the batch face row for row")
+    // the REJECT class on a constructed vector: a clone of an indexed
+    // vector must be flagged with near-1 evidence (the admit class is
+    // already exercised by the real corpus rows above)
+    val probe = indexVecs.orderBy("vec_id").limit(1)
+      .select(col("embedding")).as[Seq[Float]].head
+    val b2 = Seq((100000L, probe)).toDF("vec_id", "embedding")
+    sink(b2, 2L)
+    val s2 = stored
+    assert(s2(100000L)._3 == 0 && s2(100000L)._2 >= SimQueries.AdmitTau,
+      s"a cloned indexed vector must be rejected with near-1 evidence: ${s2(100000L)}")
+    // replay: the batchId commit no-ops
+    val nv = SnapshotStore.versions("ann_corpus").size
+    sink(incoming.filter(col("vec_id") % 2 === 0), 0L)
+    assert(stored == s2 && SnapshotStore.versions("ann_corpus").size == nv)
+  }
+
   test("I57 streaming join-MV: the view equals join(committed facts, dim) after every batch, replay no-ops through the store, dim overwrite rebuilds full") {
     import spark.implicits._
     import graft.store.{IncrementalView, SnapshotStore}
