@@ -73,6 +73,60 @@ object TextQueries {
       keep.cast("int").as("keep"))
   }
 
+  // ----- G59: hashed linear quality classifier (FineWeb-Edu shape) --
+
+  /** G59 feature space: the hashing trick's bucket count. Small here
+    * so collisions genuinely occur at test SF (the property the
+    * hashing trick is defined by); production uses 2²⁰+. */
+  val QcBuckets = 1024
+  /** G59 weight range: frozen per-bucket weights in [−1000, 1000]. */
+  val QcWgtRange = 1000
+
+  private def qcBucket(feat: Column): Column =
+    conv(substring(md5(feat), 1, 8), 16, 10).cast("long") % QcBuckets
+  private def qcWeight(bucket: Column): Column =
+    conv(substring(md5(concat(lit("qw|"), bucket.cast("string"))), 1, 8),
+      16, 10).cast("long") % (2 * QcWgtRange + 1) - QcWgtRange
+
+  /** G59: MODEL-BASED quality classification via the hashing trick —
+    * the FineWeb-Edu / fastText deployment shape: a frozen LINEAR
+    * classifier over hashed unigram+bigram features scores every
+    * document in one distributed pass. This is the third rung of the
+    * quality ladder — G2's heuristics, G19/G55's language models,
+    * and THIS: a trained classifier applied at corpus scale (how
+    * FineWeb-Edu, DCLM and every production quality pipeline
+    * actually filter). The model here is deterministic md5-derived
+    * weights (the frozen-matrix idiom — a real model would broadcast
+    * its weight table; hashing means the table is O(buckets), never
+    * O(vocab)); the SHAPE is the production one: explode features →
+    * hash to bucket → weight lookup as arithmetic → one map-side-
+    * combinable per-doc sum. Zero joins, one shuffle on doc_id
+    * (shared by the bigram window and the final agg). */
+  def textClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val ex = d.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val uni = ex.select(col("doc_id"), col("t").as("feat"))
+    val bi = ex
+      .select(col("doc_id"), col("t"), lead(col("t"), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("next")).as("feat"))
+    val scored = uni.unionAll(bi)
+      .select(col("doc_id"), qcWeight(qcBucket(col("feat"))).as("wgt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("score"))
+    // left join back: a featureless doc must surface as a row with
+    // score 0, not vanish (the A11/H49 completeness discipline)
+    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        round(col("score").cast("double") / col("n_feats"), 4).as("avg_wgt"),
+        (coalesce(col("score"), lit(0L)) >= 0).cast("int").as("keep"))
+  }
+
   /** The G3 language vote as a reusable STATELESS column — the same
     * expression serves the batch query and the r13 streaming face
     * (graft.text.TextStreaming.langMixCells): ties go to the first
@@ -1828,6 +1882,7 @@ object TextQueries {
     "text_ngrams"       -> (textNgrams _),
     "text_tokens"       -> (textTokens _),
     "text_quality"      -> (textQuality _),
+    "text_classifier"   -> (textClassifier _),
     "text_readability"  -> (textReadability _),
     "text_hapax"        -> (textHapax _),
     "text_oov"          -> (textOov _),
@@ -2368,6 +2423,29 @@ object TextQueries {
     // G58: sample-trained rules (b-chain over the sampled w0) applied
     // to the full corpus (f-chain)
     "text_bpe_sampled" -> bpeSampledOracleSql,
+    // G59: the hashed linear classifier re-derived feature for
+    // feature (unigrams + bigrams, bucket and weight arithmetic)
+    "text_classifier" ->
+      s"""WITH ex AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, unnest(toks) AS feat FROM ex
+         |  UNION ALL
+         |  SELECT doc_id, unnest(CASE WHEN length(toks) >= 2
+         |    THEN list_transform(range(1, length(toks)), i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END) AS feat FROM ex
+         |),
+         |s AS (
+         |  SELECT doc_id, count(*)::bigint AS n_feats,
+         |    sum((('0x' || substr(md5('qw|' ||
+         |        ((('0x' || substr(md5(feat), 1, 8))::bigint % $QcBuckets))::varchar),
+         |        1, 8))::bigint % ${2 * QcWgtRange + 1} - $QcWgtRange))::bigint AS score
+         |  FROM f GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+         |  coalesce(score, 0) AS score,
+         |  round(score::double / n_feats, 4) AS avg_wgt,
+         |  (CASE WHEN coalesce(score, 0) >= 0 THEN 1 ELSE 0 END) AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // G33/G34: Viterbi-EM rounds as generated CTEs; the E-step is
     // mirrored by exhaustive per-word segmentation enumeration picked
     // under the same exact integer (score, reversed-lengths) order

@@ -376,4 +376,40 @@ class TextOpsSpec extends SparkSpec {
     // target docs score their own distribution highest of all
     assert(out(1L)._2 >= out(10L)._2, s"$out")
   }
+
+  test("G59 hashed linear classifier: scores equal an independent in-memory scorer over unigrams+bigrams, corpus-wide") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def wgt(feat: String): Long = {
+      val bucket = java.lang.Long.parseLong(md5hex(feat).take(8), 16) %
+        TextQueries.QcBuckets
+      java.lang.Long.parseLong(md5hex(s"qw|$bucket").take(8), 16) %
+        (2 * TextQueries.QcWgtRange + 1) - TextQueries.QcWgtRange
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.map { case (id, text) =>
+      val toks = text.trim.split(" +").filter(_.nonEmpty).toSeq
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val score = feats.map(wgt).sum
+      id -> ((feats.size.toLong, score, (if (score >= 0) 1 else 0)))
+    }
+    val got = TextQueries.textClassifier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    assert(got.size == docs.size, "one verdict row per document")
+    assert(got == want,
+      s"classifier drift on ${got.count(kv => want.get(kv._1) != Some(kv._2))} docs")
+    // the hashing trick genuinely collides at this bucket count —
+    // the property that makes the weight table O(buckets), not O(vocab)
+    val feats = docs.values.flatMap { t =>
+      val toks = t.trim.split(" +").filter(_.nonEmpty).toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }.toSet
+    val buckets = feats.map(f =>
+      java.lang.Long.parseLong(md5hex(f).take(8), 16) % TextQueries.QcBuckets)
+    assert(buckets.size < feats.size,
+      s"the hash must genuinely collide (${feats.size} feats -> ${buckets.size} buckets)")
+  }
 }
