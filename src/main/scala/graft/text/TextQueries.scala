@@ -1852,6 +1852,12 @@ object TextQueries {
     "text_unigram_encode" -> ((s: SparkSession, dir: String) =>
       Unigram.encodeVocab(Tables.documents(s, dir), "text",
         graft.store.GraftStore.dirKey(dir))),
+    // G60: the unigram sample-first discipline — EM rounds over a 1/3
+    // hash-range doc sample, the FULL vocabulary segmented under the
+    // sample-trained weights
+    "text_unigram_sampled" -> ((s: SparkSession, dir: String) =>
+      Unigram.encodeVocabSampled(Tables.documents(s, dir), "text",
+        bpeSamplePred)),
     // G35: the corpus pass as a dictionary join — per-doc piece
     // counts under the trained model, Viterbi never re-run
     "text_unigram_tokens" -> ((s: SparkSession, dir: String) =>
@@ -2100,15 +2106,14 @@ object TextQueries {
        |)""".stripMargin
   }
 
-  /** One Viterbi-EM round: enumerate (p), pick (seg), recount (c),
-    * reweight (wt) — reads `prevWt`, counts over `vocab` (the prune
-    * round swaps both; training rounds use wt(i−1) / vocab0). */
-  private def unigramRoundSqlOver(tag: String, prevWt: String,
-      vocab: String): String = {
-    val S = graft.text.Unigram.Scale
+  /** The enumerate (p) + pick (seg) half of a Viterbi-EM round over
+    * an explicit `words` table — split out so the G60 sampled face
+    * can segment the FULL word table under sample-trained weights. */
+  private def unigramSegSqlOver(tag: String, prevWt: String,
+      words: String): String = {
     val L = graft.text.Unigram.MaxPieceLen
     s"""p$tag AS (
-       |  SELECT w, n, 0 AS pos, '' AS seg, '' AS rlen, 0::bigint AS score FROM w0
+       |  SELECT w, n, 0 AS pos, '' AS seg, '' AS rlen, 0::bigint AS score FROM $words
        |  UNION ALL
        |  SELECT p.w, p.n, p.pos + l.l AS pos,
        |    CASE WHEN p.seg = '' THEN substr(p.w, p.pos + 1, l.l)
@@ -2125,7 +2130,16 @@ object TextQueries {
        |      row_number() OVER (PARTITION BY w ORDER BY score DESC, rlen DESC) AS rn
        |    FROM p$tag WHERE pos = length(w)
        |  ) WHERE rn = 1
-       |),
+       |)""".stripMargin
+  }
+
+  /** One Viterbi-EM round: enumerate (p), pick (seg), recount (c),
+    * reweight (wt) — reads `prevWt`, counts over `vocab` (the prune
+    * round swaps both; training rounds use wt(i−1) / vocab0). */
+  private def unigramRoundSqlOver(tag: String, prevWt: String,
+      vocab: String): String = {
+    val S = graft.text.Unigram.Scale
+    s"""${unigramSegSqlOver(tag, prevWt, "w0")},
        |c$tag AS MATERIALIZED (
        |  SELECT v.piece, coalesce(u.cnt, 0)::bigint AS cnt
        |  FROM $vocab v LEFT JOIN (
@@ -2161,6 +2175,27 @@ object TextQueries {
     s"""WITH RECURSIVE ${unigramVocab0Sql},
        |$rounds
        |SELECT w, n, seg FROM seg$r""".stripMargin
+  }
+
+  /** G60 oracle: the training chain over a SAMPLED w0 (the vocab0
+    * replace swaps the doc source), then one seg pass over the FULL
+    * word table under the final sampled weights; unsegmentable
+    * full-corpus words keep a NULL row via the left join. */
+  private lazy val unigramSampledOracleSql: String = {
+    val r = graft.text.Unigram.EmRounds
+    val rounds = (1 to r).map(unigramRoundSql).mkString(",\n")
+    val sampledVocab0 = unigramVocab0Sql.replace("FROM documents",
+      s"FROM documents WHERE $bpeSamplePredSql")
+    s"""WITH RECURSIVE $sampledVocab0,
+       |$rounds,
+       |wf AS MATERIALIZED (
+       |  SELECT w, count(*)::bigint AS n FROM (
+       |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+       |  ) WHERE length(w) > 0 GROUP BY w
+       |),
+       |${unigramSegSqlOver("F", s"wt$r", "wf")}
+       |SELECT f.w, f.n, s.seg
+       |FROM wf f LEFT JOIN (SELECT w, seg FROM segF) s ON s.w = f.w""".stripMargin
   }
 
   /** G36: the prune round — vocabP keeps chars + top-KeepMulti multi
@@ -2451,6 +2486,7 @@ object TextQueries {
     // under the same exact integer (score, reversed-lengths) order
     "text_unigram" -> unigramOracleSql,
     "text_unigram_encode" -> unigramEncodeOracleSql,
+    "text_unigram_sampled" -> unigramSampledOracleSql,
     "text_unigram_tokens" -> unigramTokensOracleSql,
     "text_unigram_prune" -> unigramPruneOracleSql,
     // G55/G56 (r17 verdict #3): byte-level BPE over the same merge

@@ -299,6 +299,20 @@ object Unigram {
       cachedWeights(docs, textCol, cacheKey))
       .select(col("w"), col("n"), col("seg"))
 
+  /** G60 (r18 verdict #4, the unigram half): SAMPLE-FIRST training —
+    * the Viterbi-EM rounds run over a word table built from a
+    * hash-range DOC sample (the bounded-train contract of every real
+    * SentencePiece run), then the FULL corpus vocabulary segments
+    * under the sample-trained weights. A full-corpus word whose
+    * characters never appeared in the sample has no path and
+    * surfaces with a NULL seg (the row class byte-fallback G56
+    * exists to close), never a dropped row. */
+  def encodeVocabSampled(docs: DataFrame, textCol: String,
+      samplePred: org.apache.spark.sql.Column): DataFrame =
+    segment(wordCounts(docs, textCol),
+      train(docs.filter(samplePred), textCol)._2)
+      .select(col("w"), col("n"), col("seg"))
+
   /** G56 driver face: byte-fallback encoding on a CONSTRUCTED OOV
     * eval set — every distinct corpus word with a deterministic
     * non-ASCII character appended ('é' U+00E9 for even char lengths,

@@ -226,4 +226,24 @@ class UnigramSpec extends SparkSpec {
     assert(nulls("abé").isEmpty && nulls("a€b").isEmpty &&
       nulls("ab").contains("ab"))
   }
+
+  test("G60 sample-first unigram: an all-true sample degenerates to the full encode; a sample missing a char yields NULL for its words, never a dropped row") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val full = Unigram.encodeVocab(docs, "text",
+      graft.store.GraftStore.dirKey(sfDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val degenerate = Unigram.encodeVocabSampled(docs, "text", lit(true))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(degenerate == full)
+    // a sample that excludes the only doc containing 'z': the z-words
+    // keep their rows with NULL seg (the G56 fallback's row class)
+    val d = Seq((1L, "ab ba ab"), (2L, "zab")).toDF("doc_id", "text")
+    val out = Unigram.encodeVocabSampled(d, "text", col("doc_id") === 1L)
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(out.keySet == Set("ab", "ba", "zab"),
+      "the encode covers the WHOLE corpus vocabulary")
+    assert(out("zab").isEmpty, "an unsampleable char -> NULL seg")
+    assert(out("ab").nonEmpty && out("ba").nonEmpty)
+  }
 }
