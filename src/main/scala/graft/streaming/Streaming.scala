@@ -1191,6 +1191,34 @@ object Streaming {
     ()
   }
 
+  /** I61 (r19): streaming CLASSIFIER admission — the G59 hashed
+    * linear quality classifier run in the ingest first mile, which is
+    * exactly where FineWeb-Edu/DCLM deploy theirs: score at crawl
+    * time, keep-or-dead-letter before anything lands in the lake.
+    * Stateless (the model is frozen; hashing makes the weight table
+    * arithmetic, so there is nothing to broadcast, join, or keep in
+    * state), scored by the SAME kernel as the batch face
+    * (TextQueries.classifierScored — stream ≡ batch by construction),
+    * split at keep, both sides committed batchId-idempotently with
+    * the full evidence row (score, n_feats, avg_wgt — the I38 audit
+    * contract). */
+  def classifierGateSink(corpusTable: String, deadTable: String)(
+      df: DataFrame, batchId: Long): Unit = {
+    val scored = graft.text.TextQueries.classifierScored(
+      df.select(col("doc_id"), col("text")))
+    // one materialization: the two commits below are two actions
+    val flagged = df.join(
+      scored.select(col("doc_id"), col("score"), col("n_feats"),
+        col("avg_wgt"), col("keep")), Seq("doc_id"), "left")
+      .localCheckpoint(true)
+    val admit = coalesce(col("keep") === 1, lit(false))
+    graft.store.SnapshotStore.commitStreamBatch(
+      corpusTable, flagged.filter(admit), batchId)
+    graft.store.SnapshotStore.commitStreamBatch(
+      deadTable, flagged.filter(!admit), batchId)
+    ()
+  }
+
   /** I58: streaming CROSS-MODAL admission — the H44 CLIP-score gate
     * run in the ingest first mile (where LAION actually ran it: score
     * at crawl time, never store unaligned pairs): every micro-batch's

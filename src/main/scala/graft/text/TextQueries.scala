@@ -102,8 +102,14 @@ object TextQueries {
     * hash to bucket → weight lookup as arithmetic → one map-side-
     * combinable per-doc sum. Zero joins, one shuffle on doc_id
     * (shared by the bigram window and the final agg). */
-  def textClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def textClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifierScored(Tables.documents(spark, dir))
+
+  /** The G59 kernel over an explicit (doc_id, text, …) frame — the
+    * seam the I61 streaming gate scores micro-batches through, so
+    * stream ≡ batch by construction (the knScoreAgainst
+    * discipline). */
+  def classifierScored(d: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val ex = d.select(col("doc_id"),

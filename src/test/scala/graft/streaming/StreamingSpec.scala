@@ -704,6 +704,36 @@ class StreamingSpec extends SparkSpec {
     assert(stored == s2 && SnapshotStore.versions("ann_corpus").size == nv)
   }
 
+  test("I61 streaming classifier gate: stream keep/reject == the batch G59 verdicts doc by doc, evidence attached, replay idempotent") {
+    import spark.implicits._
+    import graft.store.SnapshotStore
+    val batch = graft.text.TextQueries.textClassifier(spark, sfDir)
+      .select("doc_id", "score", "keep").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch.values.exists(_._2 == 1) && batch.values.exists(_._2 == 0),
+      "the fixture must exercise both verdict classes")
+    val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val sink = Streaming.classifierGateSink("qc_corpus", "qc_dlq") _
+    (0 until 3).foreach(b => sink(d.filter(col("doc_id") % 3 === b), b.toLong))
+    def rows(t: String) = SnapshotStore.read(spark, t)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val corpus = rows("qc_corpus"); val dead = rows("qc_dlq")
+    assert(corpus.keySet.intersect(dead.keySet).isEmpty)
+    assert(corpus.keySet ++ dead.keySet == batch.keySet,
+      "row-class completeness: admitted + dead-lettered = corpus")
+    assert(corpus.keySet == batch.filter(_._2._2 == 1).keySet,
+      "stream admissions must equal the batch classifier verdicts")
+    (corpus ++ dead).foreach { case (id, s) =>
+      assert(s == batch(id)._1, s"score drift for $id") }
+    // replay: batchId-idempotent on both tables
+    val v0 = (SnapshotStore.versions("qc_corpus").size,
+      SnapshotStore.versions("qc_dlq").size)
+    sink(d.filter(col("doc_id") % 3 === 0), 0L)
+    assert(rows("qc_corpus") == corpus && v0 ==
+      (SnapshotStore.versions("qc_corpus").size,
+        SnapshotStore.versions("qc_dlq").size))
+  }
+
   test("I57 streaming join-MV: the view equals join(committed facts, dim) after every batch, replay no-ops through the store, dim overwrite rebuilds full") {
     import spark.implicits._
     import graft.store.{IncrementalView, SnapshotStore}
