@@ -107,13 +107,17 @@ object Neo4jUpsert {
       .withColumn("bucket", substring(col("h"), 1, 2))
       .withColumn("lr", row_number().over(
         Window.partitionBy("bucket").orderBy("h", "k")))
-    // 256-row exclusive cumsum — the one intentionally tiny frame; it
-    // broadcasts, the edge-scale frame never re-shuffles for ranking
-    val offs = local.groupBy("bucket").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum(col("c")).over(
-        Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "off")
+    // 256-row exclusive cumsum as a broadcast triangular self-join —
+    // NOT a global window: even over a provably tiny frame, a
+    // no-partition window statically plans the single-partition
+    // exchange the J5 fleet tripwire exists to reject, and this
+    // spelling keeps the whole plan free of the construct (the frame
+    // broadcasts; off(b) = Σ counts of buckets < b)
+    val counts = local.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val offs = counts
+      .join(broadcast(counts.select(col("bucket").as("b2"), col("c").as("c2"))),
+        col("b2") < col("bucket"), "left")
+      .groupBy("bucket").agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
     local.join(broadcast(offs), "bucket")
       .withColumn("batch_id",
         // Spark '/' is double division — floor+cast is exact here
