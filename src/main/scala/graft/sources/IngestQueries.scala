@@ -1,6 +1,7 @@
 package graft.sources
 
 import scala.collection.immutable.ListMap
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1050,6 +1051,63 @@ object IngestQueries {
       (la >= ld).cast("int").as("allowed"))
   }
 
+  /** A24 fixture: a genuine minimal Delta table built from `orders` —
+    * three thirds of the rows as three parquet data files; commit 0
+    * (protocol + metaData + add A + add B), commit 1 (remove B +
+    * add C). The final live set is therefore o_orderkey % 3 ≠ 1 and
+    * version 0's is % 3 ≤ 1 — both derivable predicates, so the
+    * replay is value-oracled end to end. Data files are written by
+    * the stock parquet writer into per-slice subdirs (Delta paths are
+    * table-relative URIs; subdirs are legal and exercised here). */
+  private def deltaFixture(spark: SparkSession, dir: String): String = {
+    val root = tmp(s"delta_${graft.store.GraftStore.dirKey(dir)}")
+    val marker = new java.io.File(root, "_WRITTEN")
+    if (!marker.exists()) {
+      val base = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def writeSlice(sub: String, rem: Int): Seq[String] = {
+        base.filter(col("o_orderkey") % 3 === rem)
+          .write.mode("overwrite").parquet(s"$root/$sub")
+        fs.listStatus(new Path(s"$root/$sub")).iterator
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .map(n => s"$sub/$n").toSeq.sorted
+      }
+      val a = writeSlice("dataA", 0)
+      val b = writeSlice("dataB", 1)
+      val c = writeSlice("dataC", 2)
+      val schemaJson = base.schema.json.replace("\"", "\\\"")
+      def addJson(p: String) =
+        s"""{"add":{"path":"$p","size":1,"dataChange":true}}"""
+      def removeJson(p: String) =
+        s"""{"remove":{"path":"$p","dataChange":true}}"""
+      val logDir = new java.io.File(root, "_delta_log")
+      logDir.mkdirs()
+      def commit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(logDir.toString, f"$v%020d.json"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      commit(0L,
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"graft-a24","schemaString":"$schemaJson","partitionColumns":[]}}""") ++
+          (a ++ b).map(addJson))
+      commit(1L, b.map(removeJson) ++ c.map(addJson))
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** A24 driver query: the Delta table read at HEAD — commit 1's
+    * removes must drop slice B, its adds must surface slice C. */
+  def ingDelta(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.readTable(spark, deltaFixture(spark, dir))
+
+  /** A24 time travel: the table AS OF version 0 — slice B visible,
+    * slice C not yet written. */
+  def ingDeltaAsof(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.readTable(spark, deltaFixture(spark, dir), Some(0L))
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -1086,6 +1144,8 @@ object IngestQueries {
     "ing_fixed_width" -> (ingFixedWidth _),
     "ing_nested"  -> (ingNested _),
     "ing_rdf_synth" -> (ingRdfSynth _),
+    "ing_delta"   -> (ingDelta _),
+    "ing_delta_asof" -> (ingDeltaAsof _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1159,6 +1219,15 @@ object IngestQueries {
         |UNION ALL
         |SELECT r_name, '', r_regionkey::varchar FROM region""".stripMargin,
     "ing_parquet" -> "SELECT * FROM nation",
+    // A24: the log replay is value-oracled by the slice predicates —
+    // HEAD = commit 1 applied (slice B removed, slice C added)
+    "ing_delta" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 1""".stripMargin,
+    // … and AS OF 0 = before commit 1 (slices A and B only)
+    "ing_delta_asof" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <= 1""".stripMargin,
     "ing_orc" ->
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
