@@ -1098,6 +1098,102 @@ object IngestQueries {
     root
   }
 
+  /** A25 fixture: a genuine minimal Iceberg table over the SAME
+    * `orders` thirds as the Delta fixture — snapshot 1 = manifest m1
+    * (ADDED A, ADDED B); snapshot 2 = manifest m2 exercising ALL
+    * THREE spec status codes (EXISTING A carried, DELETED B dropped,
+    * ADDED C). Manifest list + manifests are REAL Avro files written
+    * with the stock Apache Avro library; metadata/v1.metadata.json +
+    * version-hint.text complete the HadoopCatalog layout. */
+  private def icebergFixture(spark: SparkSession, dir: String): String = {
+    val root = tmp(s"iceberg_${graft.store.GraftStore.dirKey(dir)}")
+    val marker = new java.io.File(root, "_WRITTEN")
+    if (!marker.exists()) {
+      val base = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def writeSlice(sub: String, rem: Int): Seq[String] = {
+        base.filter(col("o_orderkey") % 3 === rem)
+          .write.mode("overwrite").parquet(s"$root/data/$sub")
+        fs.listStatus(new Path(s"$root/data/$sub")).iterator
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .map(n => s"data/$sub/$n").toSeq.sorted
+      }
+      val a = writeSlice("A", 0)
+      val b = writeSlice("B", 1)
+      val c = writeSlice("C", 2)
+      val mdir = new java.io.File(root, "metadata")
+      mdir.mkdirs()
+
+      import org.apache.avro.generic.{GenericData, GenericRecord}
+      def writeAvro(file: String, schemaJson: String,
+          rows: Seq[org.apache.avro.Schema => GenericRecord]): Unit = {
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, new java.io.File(mdir, file))
+        try rows.foreach(mk => w.append(mk(schema))) finally w.close()
+      }
+      val entrySchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+          |{"name":"file_path","type":"string"},
+          |{"name":"record_count","type":"long"}]}}]}""".stripMargin
+      def entry(status: Int, path: String)(s: org.apache.avro.Schema): GenericRecord = {
+        val r = new GenericData.Record(s)
+        val d = new GenericData.Record(s.getField("data_file").schema())
+        d.put("file_path", path); d.put("record_count", 1L)
+        r.put("status", status); r.put("data_file", d); r
+      }
+      writeAvro("m1.avro", entrySchema,
+        (a ++ b).map(p => entry(1, p) _))
+      writeAvro("m2.avro", entrySchema,
+        a.map(p => entry(0, p) _) ++ b.map(p => entry(2, p) _) ++
+          c.map(p => entry(1, p) _))
+      val listSchema =
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"content","type":"int","default":0}]}""".stripMargin
+      def mf(path: String)(s: org.apache.avro.Schema): GenericRecord = {
+        val r = new GenericData.Record(s)
+        r.put("manifest_path", path); r.put("content", 0); r
+      }
+      writeAvro("snap-1.avro", listSchema, Seq(mf("metadata/m1.avro") _))
+      writeAvro("snap-2.avro", listSchema, Seq(mf("metadata/m2.avro") _))
+      val metaJson =
+        s"""{"format-version": 1, "table-uuid": "graft-a25",
+           |"location": "$root", "current-schema-id": 0,
+           |"schemas": [{"schema-id": 0, "type": "struct", "fields": [
+           |  {"id": 1, "name": "o_orderkey", "required": false, "type": "long"},
+           |  {"id": 2, "name": "o_custkey", "required": false, "type": "long"},
+           |  {"id": 3, "name": "o_totalprice", "required": false, "type": "double"}]}],
+           |"current-snapshot-id": 2,
+           |"snapshots": [
+           |  {"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"},
+           |  {"snapshot-id": 2, "manifest-list": "metadata/snap-2.avro"}]}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(mdir.toString, "v1.metadata.json"),
+        metaJson.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(mdir.toString, "version-hint.text"),
+        "1".getBytes("UTF-8"))
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** A25 driver query: the Iceberg table at its CURRENT snapshot —
+    * m2's DELETED entries drop slice B, EXISTING carries A, ADDED
+    * surfaces C. */
+  def ingIceberg(spark: SparkSession, dir: String): DataFrame =
+    IcebergLog.readTable(spark, icebergFixture(spark, dir))
+
+  /** A25 time travel: snapshot 1 — slices A and B only. */
+  def ingIcebergAsof(spark: SparkSession, dir: String): DataFrame =
+    IcebergLog.readTable(spark, icebergFixture(spark, dir), Some(1L))
+
   /** A24 driver query: the Delta table read at HEAD — commit 1's
     * removes must drop slice B, its adds must surface slice C. */
   def ingDelta(spark: SparkSession, dir: String): DataFrame =
@@ -1146,6 +1242,8 @@ object IngestQueries {
     "ing_rdf_synth" -> (ingRdfSynth _),
     "ing_delta"   -> (ingDelta _),
     "ing_delta_asof" -> (ingDeltaAsof _),
+    "ing_iceberg" -> (ingIceberg _),
+    "ing_iceberg_asof" -> (ingIcebergAsof _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1226,6 +1324,14 @@ object IngestQueries {
         |WHERE o_orderkey % 3 <> 1""".stripMargin,
     // … and AS OF 0 = before commit 1 (slices A and B only)
     "ing_delta_asof" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <= 1""".stripMargin,
+    // A25: the Iceberg manifest replay, same slice predicates —
+    // current snapshot = EXISTING A + DELETED B + ADDED C
+    "ing_iceberg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 1""".stripMargin,
+    "ing_iceberg_asof" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 <= 1""".stripMargin,
     "ing_orc" ->
