@@ -84,6 +84,35 @@ object SimQueries {
     * both classes on constructed vectors. */
   val AdmitTau = 0.45
 
+  /** F29: the F28 admission face's quality dial (the F5 pattern, the
+    * r20 plan item pulled forward): per incoming vector, the banded
+    * top-1 against the EXACT top-1 over the same index (brute force
+    * over the bounded query slice — quadratic only in queries ×
+    * index, the sim_topk_brute class), with BOTH agreement readings:
+    * top1_match (did banding find the true nearest neighbor) and
+    * verdict_match (did the ADMIT decision agree at τ — the
+    * operational number: a banded miss that still lands on the right
+    * side of τ costs nothing). */
+  def simAnnAdmitRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val banded = simAnnAdmit(spark, dir)
+    val exact = Similarity.bruteTopK(
+      emb.filter(col("vec_id") >= NumQueries), "vec_id", "embedding",
+      emb.filter(col("vec_id") < NumQueries), 1)
+      .select(col("q_id").as("vec_id"), col("n_id").as("exact_nn"),
+        col("cos").as("exact_cos"))
+    banded.join(exact, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nn_id"), col("nn_cos"),
+        col("exact_nn"), col("exact_cos"),
+        // null nn_id (no banding candidate) counts as a miss, matching
+        // the oracle's CASE fall-through
+        coalesce((col("nn_id") === col("exact_nn")).cast("int"), lit(0))
+          .as("top1_match"),
+        (col("admitted") ===
+          (col("exact_cos").isNull || col("exact_cos") < AdmitTau).cast("int"))
+          .cast("int").as("verdict_match"))
+  }
+
   /** F28 driver face: ANN admission — the query slice plays the
     * incoming micro-batch, the REST of the corpus is the frozen
     * banded index (the same persisted bucket table every F-family
@@ -1036,6 +1065,7 @@ object SimQueries {
     "sim_range"      -> (simRange _),
     "sim_ann_lsh"    -> (simAnnLsh _),
     "sim_ann_admit"  -> (simAnnAdmit _),
+    "sim_ann_admit_recall" -> (simAnnAdmitRecall _),
     "sim_ivf"        -> (simIvf _),
     "sim_ann_recall" -> (simAnnRecall _),
     "sim_quantize"   -> (simQuantize _),
@@ -1903,6 +1933,32 @@ object SimQueries {
     // F28: top-1 evidence + admit verdict, left-joined so
     // no-candidate incoming rows survive with null evidence
     "sim_ann_admit" -> oracleSqlAnnAdmit,
+    // F29: the F28 dial — banded vs exact top-1 and the verdict
+    // agreement, both sides nested so the oracle cannot drift
+    "sim_ann_admit_recall" ->
+      s"""WITH banded AS MATERIALIZED ($oracleSqlAnnAdmit),
+         |ex AS (
+         |  SELECT e.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${cosSql("e.embedding", "n.embedding")} AS cos
+         |  FROM embeddings e, embeddings n
+         |  WHERE e.vec_id < $NumQueries AND n.vec_id >= $NumQueries
+         |    AND e.vec_id <> n.vec_id
+         |),
+         |exact AS (
+         |  SELECT q_id AS vec_id, n_id AS exact_nn,
+         |    round(cos, 4) AS exact_cos FROM (
+         |    SELECT q_id, n_id, cos,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM ex
+         |  ) WHERE rnk = 1
+         |)
+         |SELECT b.vec_id, b.nn_id, b.nn_cos, x.exact_nn, x.exact_cos,
+         |  (CASE WHEN b.nn_id = x.exact_nn THEN 1 ELSE 0 END) AS top1_match,
+         |  (CASE WHEN b.admitted =
+         |     (CASE WHEN x.exact_cos IS NULL OR x.exact_cos < $AdmitTau
+         |        THEN 1 ELSE 0 END)
+         |   THEN 1 ELSE 0 END) AS verdict_match
+         |FROM banded b LEFT JOIN exact x ON x.vec_id = b.vec_id""".stripMargin,
 
     // F16: the brute oracle shape with q = ALL vectors (the exact
     // k-NN graph), the ann oracle shape likewise, and the nested
