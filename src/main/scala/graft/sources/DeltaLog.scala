@@ -52,36 +52,45 @@ object DeltaLog {
 
   /** One action row pulled out of a commit or checkpoint frame. */
   private case class Act(version: Long, addPath: String, removePath: String,
-      schemaJson: String, minReader: Int)
+      schemaJson: String, minReader: Int,
+      partValues: Map[String, String], partCols: Seq[String])
 
   /** Collect (version, action) rows from a set of log files — ONE
     * Spark json/parquet read over metadata-scale files, columns
     * guarded because a log with no removes never materializes the
     * column. */
   private def actionsOf(df: DataFrame, version: org.apache.spark.sql.Column): Seq[Act] = {
-    def optCol(name: String) =
-      if (scala.util.Try(df(name)).isSuccess) df(name) else lit(null).cast("string")
+    def optCol(name: String, tpe: String = "string") =
+      if (scala.util.Try(df(name)).isSuccess) df(name).cast(tpe)
+      else lit(null).cast(tpe)
     df.select(
       version.cast("long").as("v"),
       optCol("add.path").as("ap"),
       optCol("remove.path").as("rp"),
       optCol("metaData.schemaString").as("ss"),
-      optCol("protocol.minReaderVersion").cast("int").as("mr"))
+      optCol("protocol.minReaderVersion", "int").as("mr"),
+      optCol("add.partitionValues", "map<string,string>").as("pv"),
+      optCol("metaData.partitionColumns", "array<string>").as("pc"))
       .collect()
       .map(r => Act(r.getLong(0),
         if (r.isNullAt(1)) null else r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2),
         if (r.isNullAt(3)) null else r.getString(3),
-        if (r.isNullAt(4)) -1 else r.getInt(4))).toSeq
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) Map.empty
+        else r.getMap[String, String](5).toMap,
+        if (r.isNullAt(6)) null else r.getSeq[String](6))).toSeq
   }
 
   /** Replay the log up to `asOfVersion` (inclusive; None = head):
-    * returns (live data file paths, schema). Starts from the newest
-    * parquet checkpoint at or below the target when the pre-checkpoint
-    * JSON commits are gone (Delta's log-cleanup reality), else replays
-    * the JSON commits alone. */
-  def snapshot(spark: SparkSession, tablePath: String,
-      asOfVersion: Option[Long] = None): (Seq[String], StructType) = {
+    * (live data file paths, schema, per-file partitionValues,
+    * partitionColumns). Starts from the newest parquet checkpoint at
+    * or below the target when the pre-checkpoint JSON commits are
+    * gone (Delta's log-cleanup reality), else replays the JSON
+    * commits alone. */
+  private def snapshotFull(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long] = None)
+      : (Seq[String], StructType, Map[String, Map[String, String]], Seq[String]) = {
     val dir = logDir(tablePath)
     val fs = fsOf(dir, spark)
     require(fs.exists(dir), s"not a Delta table (no _delta_log): $tablePath")
@@ -114,8 +123,16 @@ object DeltaLog {
       if (jsonNeeded.isEmpty) Seq.empty
       else {
         val paths = jsonNeeded.map(v => new Path(dir, f"$v%020d.json").toString)
+        // explicit partial schema: partitionValues must parse as a MAP
+        // (inference would explode its keys into struct fields), and
+        // absent actions become null columns instead of vanishing
+        val commitSchema = StructType.fromDDL(
+          "add struct<path:string,partitionValues:map<string,string>>, " +
+            "remove struct<path:string>, " +
+            "metaData struct<schemaString:string,partitionColumns:array<string>>, " +
+            "protocol struct<minReaderVersion:int>")
         actionsOf(
-          spark.read.json(paths: _*)
+          spark.read.schema(commitSchema).json(paths: _*)
             .withColumn("_v", regexp_extract(
               input_file_name(), "(\\d{20})\\.json", 1)),
           col("_v"))
@@ -139,22 +156,56 @@ object DeltaLog {
     def abs(rel: String): String =
       new Path(tablePath,
         java.net.URLDecoder.decode(rel, "UTF-8")).toString
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, String]]
     acts.groupBy(_.version).toSeq.sortBy(_._1).foreach { case (_, va) =>
       va.filter(_.removePath != null).foreach(a => live -= abs(a.removePath))
-      va.filter(_.addPath != null).foreach(a => live += abs(a.addPath))
+      va.filter(_.addPath != null).foreach(a =>
+        live += (abs(a.addPath) -> a.partValues))
     }
-    (live.toSeq, schema)
+    val partCols = acts.filter(_.partCols != null).lastOption
+      .map(_.partCols).getOrElse(Seq.empty)
+    (live.toSeq.map(_._1), schema, live.toMap, partCols)
+  }
+
+  /** Replay the log up to `asOfVersion`: (live data files, schema). */
+  def snapshot(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long] = None): (Seq[String], StructType) = {
+    val (files, schema, _, _) = snapshotFull(spark, tablePath, asOfVersion)
+    (files, schema)
   }
 
   /** The table as a DataFrame — the live files at `asOfVersion` under
     * the log's schema, through the stock vectorized parquet scan. An
-    * empty snapshot yields an empty frame WITH the schema. */
+    * empty snapshot yields an empty frame WITH the schema. A
+    * PARTITIONED table (metaData.partitionColumns non-empty)
+    * reconstructs the partition columns from each file's
+    * `partitionValues` — Delta data files do NOT store partition
+    * columns, the log does: files group by their partition tuple, each
+    * group reads under the data-only schema with the tuple attached as
+    * typed literals, groups union (at fixture/table scale; Spark's own
+    * Delta reader folds this into a FileIndex — same semantics). */
   def readTable(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): DataFrame = {
-    val (files, schema) = snapshot(spark, tablePath, asOfVersion)
+    val (files, schema, pvOf, partCols) =
+      snapshotFull(spark, tablePath, asOfVersion)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else if (partCols.isEmpty)
+      spark.read.schema(schema).parquet(files: _*)
+    else {
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => partCols.contains(f.name)))
+      val ordered = schema.fieldNames.map(col).toSeq
+      files.groupBy(pvOf).map { case (pv, fs) =>
+        partCols.foldLeft(
+          spark.read.schema(dataSchema).parquet(fs: _*)) { (df, pc) =>
+          val tpe = schema(pc).dataType
+          df.withColumn(pc,
+            pv.get(pc).map(v => lit(v).cast(tpe))
+              .getOrElse(lit(null).cast(tpe)))
+        }.select(ordered: _*)
+      }.reduce(_ unionAll _)
+    }
   }
 }

@@ -1204,6 +1204,48 @@ object IngestQueries {
   def ingDeltaAsof(spark: SparkSession, dir: String): DataFrame =
     DeltaLog.readTable(spark, deltaFixture(spark, dir), Some(0L))
 
+  /** A24 partitioned fixture: the same thirds, but as a PARTITIONED
+    * Delta table — `bucket3` lives in the LOG's partitionValues, not
+    * in the data files (the Delta layout), so the read must
+    * reconstruct it as a typed column. */
+  private def deltaPartFixture(spark: SparkSession, dir: String): String = {
+    val root = tmp(s"deltap_${graft.store.GraftStore.dirKey(dir)}")
+    val marker = new java.io.File(root, "_WRITTEN")
+    if (!marker.exists()) {
+      val base = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_totalprice")
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def writeSlice(rem: Int): Seq[String] = {
+        base.filter(col("o_orderkey") % 3 === rem)
+          .write.mode("overwrite").parquet(s"$root/bucket3=$rem")
+        fs.listStatus(new Path(s"$root/bucket3=$rem")).iterator
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .map(n => s"bucket3=$rem/$n").toSeq.sorted
+      }
+      val schemaJson = org.apache.spark.sql.types.StructType(
+        base.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "bucket3", org.apache.spark.sql.types.StringType))
+        .json.replace("\"", "\\\"")
+      val adds = (0 to 2).flatMap(rem => writeSlice(rem).map(p =>
+        s"""{"add":{"path":"$p","partitionValues":{"bucket3":"$rem"},"size":1,"dataChange":true}}"""))
+      val logDir = new java.io.File(root, "_delta_log")
+      logDir.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(logDir.toString, f"${0L}%020d.json"),
+        (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"graft-a24p","schemaString":"$schemaJson","partitionColumns":["bucket3"]}}""") ++
+          adds).mkString("\n").getBytes("UTF-8"))
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** A24 partitioned read: partition columns reconstructed from the
+    * log's partitionValues as typed literals per file group. */
+  def ingDeltaPart(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.readTable(spark, deltaPartFixture(spark, dir))
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -1242,6 +1284,7 @@ object IngestQueries {
     "ing_rdf_synth" -> (ingRdfSynth _),
     "ing_delta"   -> (ingDelta _),
     "ing_delta_asof" -> (ingDeltaAsof _),
+    "ing_delta_part" -> (ingDeltaPart _),
     "ing_iceberg" -> (ingIceberg _),
     "ing_iceberg_asof" -> (ingIcebergAsof _),
   )
@@ -1326,6 +1369,11 @@ object IngestQueries {
     "ing_delta_asof" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 <= 1""".stripMargin,
+    // A24 partitioned: bucket3 exists only in the log's
+    // partitionValues — the read reconstructs it typed
+    "ing_delta_part" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (o_orderkey % 3)::varchar AS bucket3 FROM orders""".stripMargin,
     // A25: the Iceberg manifest replay, same slice predicates —
     // current snapshot = EXISTING A + DELETED B + ADDED C
     "ing_iceberg" ->
