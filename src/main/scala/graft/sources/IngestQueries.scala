@@ -1246,6 +1246,19 @@ object IngestQueries {
   def ingDeltaPart(spark: SparkSession, dir: String): DataFrame =
     DeltaLog.readTable(spark, deltaPartFixture(spark, dir))
 
+  /** K65 driver query: round-trip the WRITE direction — a store table
+    * exports its snapshot as a Delta log (metadata-only, zero data
+    * movement) and reads back through the A24 reader. Idempotent
+    * across invocations: the store commit happens once per table, a
+    * no-change export returns the existing Delta version. */
+  def ingDeltaExport(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_dexp_${graft.store.GraftStore.dirKey(dir)}"
+    if (graft.store.SnapshotStore.versions(t).isEmpty)
+      graft.store.SnapshotStore.commitOverwrite(t, Tables.nation(spark, dir))
+    graft.store.DeltaExport.export(spark, t)
+    DeltaLog.readTable(spark, graft.store.DeltaExport.tablePath(t))
+  }
+
   def queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "ing_csv"     -> (ingCsv _),
     "ing_tsv"     -> (ingTsv _),
@@ -1285,6 +1298,7 @@ object IngestQueries {
     "ing_delta"   -> (ingDelta _),
     "ing_delta_asof" -> (ingDeltaAsof _),
     "ing_delta_part" -> (ingDeltaPart _),
+    "ing_delta_export" -> (ingDeltaExport _),
     "ing_iceberg" -> (ingIceberg _),
     "ing_iceberg_asof" -> (ingIcebergAsof _),
   )
@@ -1374,6 +1388,9 @@ object IngestQueries {
     "ing_delta_part" ->
       """SELECT o_orderkey, o_totalprice,
         |  (o_orderkey % 3)::varchar AS bucket3 FROM orders""".stripMargin,
+    // K65: the exported Delta log over the store's nation snapshot
+    // reads back bit-identically
+    "ing_delta_export" -> "SELECT * FROM nation",
     // A25: the Iceberg manifest replay, same slice predicates —
     // current snapshot = EXISTING A + DELETED B + ADDED C
     "ing_iceberg" ->
