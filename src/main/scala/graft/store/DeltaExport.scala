@@ -26,6 +26,23 @@ object DeltaExport {
     * location part of the interop contract). */
   def tablePath(name: String): String = SnapshotStore.tableDir(name).toString
 
+  /** I62: the exactly-once streaming sink whose commits are
+    * IMMEDIATELY consumable by any Delta engine — the I30 batchId
+    * idempotence composed with a per-batch metadata export: each
+    * micro-batch publishes one store version and mirrors it as one
+    * Delta commit over the same files; a REPLAYED batch no-ops on
+    * both sides (the store resolves the batchId, the export finds no
+    * file diff). Downstream Delta consumers tail the log and see
+    * exactly the batches the store admitted — the serving half of the
+    * streaming front door. Usage:
+    * `ds.writeStream.foreachBatch(DeltaExport.streamSink(t) _)`. */
+  def streamSink(name: String, queryId: String = "")(
+      df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    SnapshotStore.commitStreamBatch(name, df, batchId, queryId)
+    export(df.sparkSession, name)
+    ()
+  }
+
   /** Export the CURRENT store snapshot of `name` as the next Delta
     * commit. Returns the Delta version (−1 only never; a no-change
     * export returns the latest existing version). */

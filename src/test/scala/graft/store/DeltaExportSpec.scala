@@ -64,4 +64,26 @@ class DeltaExportSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(v1 == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("I62 streaming Delta sink: every micro-batch is immediately Delta-visible; a replay no-ops on BOTH logs") {
+    import spark.implicits._
+    val name = "dexp_stream"
+    val sink = DeltaExport.streamSink(name) _
+    sink(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), 0L)
+    assert(deltaRows(name) == Set((1L, "a"), (2L, "b")),
+      "batch 0 must be Delta-consumable the moment the sink returns")
+    sink(Seq((3L, "c")).toDF("k", "s"), 1L)
+    assert(deltaRows(name) == storeRows(name) &&
+      deltaRows(name) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val log = new java.io.File(
+      DeltaExport.tablePath(name).stripPrefix("file:"), "_delta_log")
+    def commits = log.listFiles().count(_.getName.endsWith(".json"))
+    val (sv, dv) = (SnapshotStore.versions(name).size, commits)
+    // replay of batch 0: the store resolves the batchId, the export
+    // finds no diff — neither log grows, no duplicate rows
+    sink(Seq((9L, "POISON")).toDF("k", "s"), 0L)
+    assert(deltaRows(name) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(SnapshotStore.versions(name).size == sv && commits == dv,
+      "a replayed batch must no-op on both the store and the Delta log")
+  }
 }
